@@ -1,0 +1,55 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session + table loading helpers.
+  *
+  * Scale notes: loaders are plain parquet scans, so Catalyst column pruning and
+  * predicate pushdown reach the file source (check `.explain("formatted")` for
+  * `PushedFilters` / `ReadSchema`). Nothing here materialises on the driver.
+  */
+object Graft {
+
+  /** Opinionated local session. On a real cluster the same settings apply except
+    * `master`; shuffle partitions should be sized to ~2-3x total cores and
+    * re-planned by AQE (`spark.sql.adaptive.coalescePartitions`).
+    */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Loaders for the driver-provided testdata tables (see TESTDATA.md). */
+object Tables {
+
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one table from a scale-factor directory.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark cannot read
+    * natively; we read it as nanos-since-epoch (spark.sql.legacy.parquet.nanosAsLong)
+    * and truncate to microseconds. DuckDB's `CAST(ts AS TIMESTAMP)` performs the
+    * same ns→µs truncation, so oracle SQL over `events` must wrap `ts` that way.
+    * The result is kept timezone-naive (TIMESTAMP_NTZ) to match the naive source
+    * column; the whole engine runs with session timezone UTC.
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read
+        .parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+}

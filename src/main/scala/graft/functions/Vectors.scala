@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math as Column expressions built from higher-order functions
+  * (`zip_with`/`aggregate`), i.e. no UDFs — these evaluate inside codegen'd
+  * projections and distribute trivially (pure row-local compute).
+  *
+  * Embeddings are `ARRAY<FLOAT>` on disk (reference: terraform/core/main.tf:529);
+  * math is done in double, accumulated left-to-right, which matches DuckDB's
+  * `list_dot_product` on `DOUBLE[]` bit-for-bit — letting the oracle verify
+  * cosine rankings exactly.
+  */
+object Vectors {
+
+  def toDoubleArr(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDoubleArr(a), toDoubleArr(b), _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared L2 distance, same codegen-friendly shape. */
+  def l2sq(a: Column, b: Column): Column = {
+    val d = zip_with(toDoubleArr(a), toDoubleArr(b), (x, y) => x - y)
+    aggregate(transform(d, x => x * x), lit(0.0), _ + _)
+  }
+}

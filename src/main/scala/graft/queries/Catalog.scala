@@ -1,0 +1,389 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{Scalars, Text, Vectors}
+import graft.operators.{EnrichmentJoin, IntervalJoin, Tumble, TopK}
+import graft.anomaly.AnomalyDetector
+
+/** One named query: a Spark DataFrame builder plus (when SQL-expressible) an
+  * equivalent DuckDB oracle. Column names are aligned on both sides — the
+  * driver's compare sorts columns by name before hashing.
+  *
+  * Determinism rules used throughout (so hash-equality holds across engines):
+  *   - money/double sums go through DECIMAL (order-independent) and render back
+  *     to double;
+  *   - float divisions happen once, on already-deterministic operands;
+  *   - stddev is computed from decimal-exact sum/sum-of-squares, not a
+  *     streaming estimator (engines disagree bit-wise otherwise);
+  *   - every ranking has an explicit integer tie-break;
+  *   - `events.ts` is TIMESTAMP(NANOS) on disk: Spark truncates to µs at load,
+  *     oracles apply `CAST(ts AS TIMESTAMP)` (same truncation);
+  *   - timestamps in outputs are timezone-naive (session tz is UTC).
+  */
+final case class Q(name: String,
+                   build: (SparkSession, String) => DataFrame,
+                   oracle: Option[String],
+                   headline: Boolean = false)
+
+object Catalog {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = Tables(s, dir, name)
+
+  /** DuckDB: events with ts truncated to µs, mirroring Spark's load. */
+  private val EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  // ---------------------------------------------------------------- relational
+
+  private val q01 = Q("q01_pricing_summary", (s, dir) => {
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 5.0)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Scalars.sumMoney(col("l_quantity")).as("sum_qty"),
+        Scalars.sumMoney(col("l_extendedprice")).as("sum_price"),
+        Scalars.avgMoney(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+  }, Some("""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS cnt
+    FROM lineitem WHERE l_quantity > 5.0
+    GROUP BY l_returnflag, l_linestatus"""), headline = true)
+
+  private val q02 = Q("q02_filter_project", (s, dir) => {
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 1000.0)
+      .select(
+        col("o_orderkey").as("order_id"),
+        col("o_custkey").as("customer_id"),
+        Scalars.moneyFmt(col("o_totalprice")).as("price_str"),
+        col("o_orderpriority").as("priority"))
+  }, Some("""
+    SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+           CAST(CAST(o_totalprice AS DECIMAL(10,2)) AS VARCHAR) AS price_str,
+           o_orderpriority AS priority
+    FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0"""))
+
+  private val q03 = Q("q03_enrich_join", (s, dir) => {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    // Lab1 enrichment topology: fact joined to broadcast dims — fact side never shuffles.
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(
+        o("o_orderkey").as("order_id"),
+        c("c_name").as("customer_name"),
+        n("n_name").as("nation_name"),
+        o("o_totalprice").as("order_price"))
+  }, Some("""
+    SELECT o.o_orderkey AS order_id, c.c_name AS customer_name,
+           n.n_name AS nation_name, o.o_totalprice AS order_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey"""), headline = true)
+
+  private val q04 = Q("q04_interval_join", (s, dir) => {
+    val l = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+    IntervalJoin(l, o, "l_orderkey", "o_orderkey", "l_shipdate", "o_orderdate", "'0' DAY", "'30' DAY")
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").cast("long").as("line_number"),
+        col("o_orderdate").cast("timestamp_ntz").as("order_date"),
+        col("l_shipdate").cast("timestamp_ntz").as("ship_date"))
+  }, Some("""
+    SELECT l.l_orderkey AS order_id, CAST(l.l_linenumber AS BIGINT) AS line_number,
+           o.o_orderdate AS order_date, l.l_shipdate AS ship_date
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL '30' DAY"""), headline = true)
+
+  private val q05 = Q("q05_window_5m", (s, dir) => {
+    Tumble(t(s, dir, "events"), "ts", "5 minutes", col("event_type"))(
+      "request_count" -> count(lit(1)),
+      "total_value" -> Scalars.sumMoney(col("value")))
+      .select(
+        col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("window_end").cast("timestamp_ntz").as("window_end"),
+        col("event_type"), col("request_count"), col("total_value"))
+  }, Some(s"""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+           event_type, COUNT(*) AS request_count,
+           CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total_value
+    FROM $EV e GROUP BY 1, 2, 3"""), headline = true)
+
+  private val q06 = Q("q06_window_6h_avg", (s, dir) => {
+    Tumble(t(s, dir, "events"), "ts", "6 hours", col("event_type"))(
+      "event_count" -> count(lit(1)),
+      "total_value" -> Scalars.sumMoney(col("value")),
+      "avg_value" -> Scalars.avgMoney(col("value")),
+      "avg_value_rounded" -> round(Scalars.avgMoney(col("value"))).cast("long"))
+      .select(
+        col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("event_count"), col("total_value"),
+        col("avg_value"), col("avg_value_rounded"))
+  }, Some(s"""
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
+           COUNT(*) AS event_count,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value,
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS avg_value_rounded
+    FROM $EV e GROUP BY 1, 2"""))
+
+  private val q07 = Q("q07_over_running", (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events").select(
+      col("user_id"), col("event_id"),
+      col("ts").cast("timestamp_ntz").as("ts"),
+      sum(col("value").cast("decimal(25,2)")).over(w).cast("double").as("running_value"),
+      count(lit(1)).over(w).as("running_count"))
+  }, Some(s"""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(25,2))) OVER w AS DOUBLE) AS running_value,
+           COUNT(*) OVER w AS running_count
+    FROM $EV e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
+
+  // ------------------------------------------------------------------ anomaly
+
+  private val anomalyCfg = AnomalyDetector.Config(minTrainingSize = 8, maxTrainingSize = 50, confidencePercentage = 95.0)
+
+  /** Lab3/Lab4 shape: tumbling counts per key, then the detector over the series. */
+  private def anomalyFrame(s: SparkSession, dir: String): DataFrame = {
+    val series = Tumble(t(s, dir, "events"), "ts", "1 hour", col("event_type"))(
+      "request_count" -> count(lit(1)))
+      .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("request_count"))
+    AnomalyDetector.detectBatch(series, col("request_count"),
+      Seq(col("event_type")), Seq(col("window_start")), anomalyCfg)
+  }
+
+  /** DuckDB twin of detectBatch+Tumble for `anomalyFrame` (z inlined). */
+  private def anomalySql(z: Double): String = s"""
+    WITH series AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+             COUNT(*) AS request_count
+      FROM $EV e GROUP BY 1, 2),
+    hist AS (
+      SELECT window_start, event_type, request_count,
+             CAST(SUM(CAST(CAST(request_count AS DOUBLE) AS DECIMAL(27,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(request_count AS DOUBLE) * CAST(request_count AS DOUBLE) AS DECIMAL(38,8))) OVER w AS DOUBLE) AS s2,
+             CAST(COUNT(request_count) OVER w AS DOUBLE) AS n
+      FROM series
+      WINDOW w AS (PARTITION BY event_type ORDER BY window_start ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)),
+    det AS (
+      SELECT window_start, event_type, request_count, n,
+             s1 / n AS forecast,
+             sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) AS sd
+      FROM hist)
+    SELECT window_start, event_type, request_count,
+           CASE WHEN n >= 8 THEN forecast END AS forecast_value,
+           CASE WHEN n >= 8 THEN forecast + $z * sd END AS upper_bound,
+           CASE WHEN n >= 8 THEN forecast - $z * sd END AS lower_bound,
+           CASE WHEN n >= 8 THEN CAST(request_count AS DOUBLE) > forecast + $z * sd
+                              OR CAST(request_count AS DOUBLE) < forecast - $z * sd
+                ELSE false END AS is_anomaly
+    FROM det"""
+
+  private val q08 = Q("q08_anomaly_detect", (s, dir) => {
+    anomalyFrame(s, dir).select(
+      col("window_start"), col("event_type"), col("request_count"),
+      col("forecast_value"), col("upper_bound"), col("lower_bound"), col("is_anomaly"))
+  }, Some(anomalySql(anomalyCfg.z)), headline = true)
+
+  private val q09 = Q("q09_anomaly_surge", (s, dir) => {
+    // Lab3 surge filter: anomalous AND above the upper band (LAB3-Walkthrough.md:196-197).
+    anomalyFrame(s, dir)
+      .filter(col("is_anomaly") === true && col("request_count") > col("upper_bound"))
+      .select(col("window_start"), col("event_type"), col("request_count"), col("upper_bound"))
+  }, Some(s"""
+    WITH det AS (${anomalySql(anomalyCfg.z)})
+    SELECT window_start, event_type, request_count, upper_bound
+    FROM det WHERE is_anomaly AND CAST(request_count AS DOUBLE) > upper_bound"""))
+
+  // ------------------------------------------------------------------ scalars
+
+  private val q10 = Q("q10_scalar_string", (s, dir) => {
+    t(s, dir, "customer").select(
+      col("c_custkey").as("customer_id"),
+      concat(upper(col("c_mktsegment")), lit(": "), trim(col("c_name"))).as("label"),
+      substring(col("c_name"), 1, 8).as("name_prefix"),
+      length(col("c_name")).cast("long").as("name_len"))
+  }, Some("""
+    SELECT c_custkey AS customer_id,
+           upper(c_mktsegment) || ': ' || trim(c_name) AS label,
+           substring(c_name, 1, 8) AS name_prefix,
+           length(c_name) AS name_len
+    FROM customer"""))
+
+  private val q11 = Q("q11_regexp_extract", (s, dir) => {
+    t(s, dir, "events").select(
+      col("event_id"),
+      regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("k_str"),
+      regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k_num"))
+  }, Some("""
+    SELECT event_id,
+           regexp_extract(props, '"k": (\d+)', 1) AS k_str,
+           CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_num
+    FROM events"""))
+
+  private val q12 = Q("q12_case_bucket", (s, dir) => {
+    t(s, dir, "events").select(
+      col("event_id"),
+      Scalars.timeOfDayBucket(col("ts")).as("bucket"),
+      date_format(col("ts"), "HH:mm").as("hm"),
+      date_format(col("ts"), "hh:mm a").as("hm_ampm"))
+  }, Some(s"""
+    SELECT event_id,
+           CASE WHEN hour(ts) >= 0 AND hour(ts) < 4 THEN 'late night'
+                WHEN hour(ts) >= 4 AND hour(ts) < 7 THEN 'early morning'
+                WHEN hour(ts) >= 7 AND hour(ts) < 10 THEN 'morning rush'
+                WHEN hour(ts) >= 10 AND hour(ts) < 12 THEN 'late morning'
+                WHEN hour(ts) >= 12 AND hour(ts) < 14 THEN 'midday'
+                WHEN hour(ts) >= 14 AND hour(ts) < 17 THEN 'afternoon'
+                WHEN hour(ts) >= 17 AND hour(ts) < 20 THEN 'evening rush'
+                WHEN hour(ts) >= 20 AND hour(ts) < 23 THEN 'night'
+                ELSE 'late night' END AS bucket,
+           strftime(ts, '%H:%M') AS hm,
+           strftime(ts, '%I:%M %p') AS hm_ampm
+    FROM $EV e"""))
+
+  private val q13 = Q("q13_coalesce_cast", (s, dir) => {
+    t(s, dir, "orders").select(
+      col("o_orderkey").as("order_id"),
+      coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")), lit("OTHER")).as("priority"),
+      coalesce(when(col("o_totalprice") > 100000.0, col("o_totalprice")), lit(0.0)).as("big_price"),
+      col("o_totalprice").cast("decimal(18,2)").cast("string").as("price_str"))
+  }, Some("""
+    SELECT o_orderkey AS order_id,
+           COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'OTHER') AS priority,
+           COALESCE(CASE WHEN o_totalprice > 100000.0 THEN o_totalprice END, 0.0) AS big_price,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str
+    FROM orders"""))
+
+  private val q14 = Q("q14_topk_orders", (s, dir) => {
+    // TakeOrderedAndProject: per-partition top-10 then merge — no global sort.
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey").as("order_id"), col("o_totalprice").as("total_price"))
+  }, Some("""
+    SELECT o_orderkey AS order_id, o_totalprice AS total_price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""))
+
+  private val q15 = Q("q15_scalar_subquery", (s, dir) => {
+    val o = t(s, dir, "orders").agg(count(lit(1)).as("orders_count"))
+    val l = t(s, dir, "lineitem").agg(count(lit(1)).as("lineitem_count"))
+    val c = t(s, dir, "customer").agg(count(lit(1)).as("customer_count"))
+    val e = t(s, dir, "events").agg(count(lit(1)).as("events_count"))
+    o.crossJoin(l).crossJoin(c).crossJoin(e)
+  }, Some("""
+    SELECT (SELECT COUNT(*) FROM orders) AS orders_count,
+           (SELECT COUNT(*) FROM lineitem) AS lineitem_count,
+           (SELECT COUNT(*) FROM customer) AS customer_count,
+           (SELECT COUNT(*) FROM events) AS events_count"""))
+
+  private val q16 = Q("q16_element_at", (s, dir) => {
+    t(s, dir, "embeddings").select(
+      col("vec_id"),
+      element_at(col("embedding"), 1).as("first_dim"),
+      size(col("embedding")).cast("long").as("dim"),
+      col("label"))
+  }, Some("""
+    SELECT vec_id, embedding[1] AS first_dim, len(embedding) AS dim, label
+    FROM embeddings"""))
+
+  // ------------------------------------------------------------ vector / knn
+
+  private val q17 = Q("q17_knn_cosine", (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    // Broadcast the small query side; corpus streams through map-side — the
+    // TopKAgg keeps only k candidates per query per partition before the shuffle.
+    val sims = corpus.join(broadcast(queries), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), Vectors.cosine(col("qvec"), col("nvec")).as("sim"))
+    val agg = sims.groupBy("qid").agg(TopK.topK(3)(col("sim"), col("nid")).as("nn"))
+    TopK.explodeRanked(agg, "nn", Seq(col("qid")))
+      .select(col("qid"), col("rank"), col("id").as("nid"))
+  }, Some("""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+    s AS (SELECT qid, nid,
+                 list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS sim
+          FROM q CROSS JOIN c WHERE qid <> nid),
+    r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank FROM s)
+    SELECT qid, rank, nid FROM r WHERE rank <= 3"""), headline = true)
+
+  // ------------------------------------------------------------------ llmops
+
+  private val q18 = Q("q18_dedup_exact", (s, dir) => {
+    // Exact dedup: hash-groupBy on content fingerprint; min doc_id is the keeper.
+    t(s, dir, "documents")
+      .withColumn("fp", Text.fingerprint(col("text")))
+      .groupBy("fp")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+      .select("doc_id", "fp", "dup_count")
+  }, Some("""
+    SELECT MIN(doc_id) AS doc_id, md5(text) AS fp, COUNT(*) AS dup_count
+    FROM documents GROUP BY md5(text)"""), headline = true)
+
+  private val q19 = Q("q19_text_stats", (s, dir) => {
+    val d = t(s, dir, "documents")
+    val toks = Text.tokens(col("text"))
+    d.select(
+      col("doc_id"),
+      Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_actual"),
+      Text.wordHits(toks, Text.enStopwords).cast("long").as("en_stop_hits"),
+      size(array_distinct(toks)).cast("long").as("n_unique_tokens"),
+      Text.fingerprint(col("text")).as("fp"))
+  }, Some("""
+    WITH d AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents)
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           length(text) AS n_chars_actual,
+           len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], x))) AS en_stop_hits,
+           len(list_distinct(t)) AS n_unique_tokens,
+           md5(text) AS fp
+    FROM d"""), headline = true)
+
+  private val q20 = Q("q20_lang_id", (s, dir) => {
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      Text.langId(col("text")).as("lang_pred"),
+      round(Text.langScores(col("text"))("en"), 4).as("en_score"))
+  }, Some("""
+    WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    sc AS (SELECT doc_id,
+                  len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], x))) / greatest(len(t), 1)::DOUBLE AS en,
+                  len(list_filter(t, x -> list_contains(['el','la','de','y','que','en','un','es','por','con'], x))) / greatest(len(t), 1)::DOUBLE AS es,
+                  len(list_filter(t, x -> list_contains(['der','die','das','und','zu','in','ist','ein','mit','von'], x))) / greatest(len(t), 1)::DOUBLE AS de
+           FROM d)
+    SELECT doc_id,
+           CASE WHEN en >= es AND en >= de THEN 'en' WHEN es >= de THEN 'es' ELSE 'de' END AS lang_pred,
+           round(en, 4) AS en_score
+    FROM sc"""))
+
+  // -------------------------------------------------------------------- list
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.build).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.stripMargin.trim)).toMap
+
+  def headlineNames: Seq[String] = all.filter(_.headline).map(_.name)
+}

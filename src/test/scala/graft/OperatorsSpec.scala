@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Scalars, Text, Vectors}
+import graft.operators.{IntervalJoin, TopK, Tumble}
+
+class TumbleSpec extends SparkSpec {
+  test("assigns epoch-aligned 5-minute windows; window_time = end - 1ms") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 00:02:00")),
+      ("a", Timestamp.valueOf("2024-01-01 00:04:59")),
+      ("a", Timestamp.valueOf("2024-01-01 00:05:00")),
+      ("b", Timestamp.valueOf("2024-01-01 00:02:00"))).toDF("k", "ts")
+    val out = Tumble(df, "ts", "5 minutes", col("k"))("cnt" -> count(lit(1)))
+      .orderBy("k", "window_start").collect()
+    assert(out.length == 3)
+    val first = out(0)
+    assert(first.getAs[Timestamp]("window_start") == Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(first.getAs[Timestamp]("window_end") == Timestamp.valueOf("2024-01-01 00:05:00"))
+    assert(first.getAs[Timestamp]("window_time") == Timestamp.valueOf("2024-01-01 00:04:59.999"))
+    assert(first.getAs[Long]("cnt") == 2)
+  }
+}
+
+class IntervalJoinSpec extends SparkSpec {
+  test("keeps rows inside [right+lower, right+upper] only") {
+    import spark.implicits._
+    val left = Seq((1L, Timestamp.valueOf("2024-01-02 00:00:00")),
+      (1L, Timestamp.valueOf("2024-02-01 00:00:00"))).toDF("k", "lts")
+    val right = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("k2", "rts")
+    val out = IntervalJoin(left, right, "k", "k2", "lts", "rts", "'0' DAY", "'30' DAY")
+    assert(out.count() == 1)
+  }
+}
+
+class TopKSpec extends SparkSpec {
+  test("topK keeps k best by score desc with id tie-break") {
+    import spark.implicits._
+    val df = Seq((1L, 0.5, 10L), (1L, 0.9, 11L), (1L, 0.9, 9L), (1L, 0.1, 12L), (2L, 0.3, 1L))
+      .toDF("qid", "score", "id")
+    val agg = df.groupBy("qid").agg(TopK.topK(2)(col("score"), col("id")).as("nn"))
+    val out = TopK.explodeRanked(agg, "nn", Seq(col("qid")))
+      .orderBy("qid", "rank").collect()
+    assert(out.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"), r.getAs[Long]("id"))).toSeq ==
+      Seq((1L, 1L, 9L), (1L, 2L, 11L), (2L, 1L, 1L)))
+  }
+}
+
+class FunctionsSpec extends SparkSpec {
+  test("cosine of identical vectors is 1; orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b", "c")
+    val r = df.select(
+      Vectors.cosine(col("a"), col("b")).as("same"),
+      Vectors.cosine(col("a"), col("c")).as("orth")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("moneyFmt renders two decimals") {
+    import spark.implicits._
+    val r = Seq(29.949, 5.0).toDF("p").select(Scalars.moneyFmt(col("p"))).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("29.95", "5.00"))
+  }
+
+  test("shingles produces distinct token n-grams") {
+    import spark.implicits._
+    val r = Seq("a b c d a b c d").toDF("t")
+      .select(Text.shingles(col("t"), 3).as("s")).head().getSeq[String](0)
+    assert(r.toSet == Set("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("langId picks the highest stopword ratio") {
+    import spark.implicits._
+    val r = Seq("the cat is on the mat", "el gato es un gato").toDF("t")
+      .select(Text.langId(col("t"))).collect().map(_.getString(0)).toSeq
+    assert(r == Seq("en", "es"))
+  }
+
+  test("timeOfDayBucket covers all hours") {
+    import spark.implicits._
+    val df = (0 to 23).map(h => Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")).toDF("ts")
+    val buckets = df.select(Scalars.timeOfDayBucket(col("ts"))).collect().map(_.getString(0))
+    assert(buckets.forall(_.nonEmpty))
+    // 9 CASE arms, but the first and last both say "late night" → 8 labels
+    assert(buckets.distinct.length == 8)
+  }
+}
