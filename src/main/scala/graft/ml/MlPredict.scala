@@ -1,0 +1,45 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** ML_PREDICT as a DataFrame stage (reference: lateral-join TVF usage,
+  * LAB1-Walkthrough.md:69-70; all observed calls are 1-row-in/1-row-out, so a
+  * column-append is the faithful shape — SURVEY.md §2.3 J3).
+  *
+  * Two physical paths:
+  *  - `embed`/`generate`: plain UDFs — fine for local (cheap, deterministic)
+  *    models; evaluated row-local inside the projection.
+  *  - `generateBatched`: mapPartitions with explicit batching — the path for
+  *    remote providers, amortising HTTP round-trips per partition with bounded
+  *    batch size (reference caps: 30 s/tool call, LAB1-Walkthrough.md:146).
+  */
+object MlPredict {
+
+  def embed(df: DataFrame, modelName: String, inCol: String, outCol: String = "embedding"): DataFrame = {
+    val model = ModelCatalog.embedding(modelName)
+    val u = udf((s: String) => model.embed(if (s == null) "" else s))
+    df.withColumn(outCol, u(col(inCol)))
+  }
+
+  def generate(df: DataFrame, modelName: String, inCol: String, outCol: String = "response"): DataFrame = {
+    val model = ModelCatalog.textGen(modelName)
+    val u = udf((s: String) => model.generate(if (s == null) "" else s))
+    df.withColumn(outCol, u(col(inCol)))
+  }
+
+  /** Batched per-partition text generation (remote-provider path). */
+  def generateBatched(df: DataFrame, modelName: String, inCol: String,
+                      outCol: String = "response", batchSize: Int = 32): DataFrame = {
+    val model = ModelCatalog.textGen(modelName)
+    val schema = df.schema.add(outCol, StringType)
+    val idx = df.schema.fieldIndex(inCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val outs = model.generateBatch(batch.map(r => Option(r.getString(idx)).getOrElse("")))
+        batch.lazyZip(outs).map { (r, o) => Row.fromSeq(r.toSeq :+ o) }
+      }
+    }(Encoders.row(schema))
+  }
+}

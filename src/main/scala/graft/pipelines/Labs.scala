@@ -1,0 +1,176 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agent._
+import graft.anomaly.AnomalyDetector
+import graft.core.Tables
+import graft.functions.Scalars
+import graft.ml.MlPredict
+import graft.operators.{IntervalJoin, Tumble}
+import graft.vector.{VectorSearchAgg, VectorStore}
+
+/** The four reference lab topologies (SURVEY.md §0) re-expressed as fused
+  * batch DAGs over the testdata tables, with deterministic local models so the
+  * correctness suite can assert on outputs. The streaming variants share the
+  * same stage functions (graft.streaming).
+  *
+  * Table casting: orders/customer/nation stand in for Lab1's
+  * orders/customers/products; `events` stands in for ride_requests (Lab3) and
+  * claims (Lab4); `documents` is the RAG corpus (Lab2/3/4).
+  */
+object Labs {
+
+  // ------------------------------------------------------------------- lab 1
+
+  /** Lab1 price-match: enrich orders with dims, run the price-match agent per
+    * order, regex-extract the verdict (reference: LAB1-Walkthrough.md:119-262).
+    */
+  def lab1PriceMatch(spark: SparkSession, dir: String, limit: Int = 40): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    val enriched = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(
+        o("o_orderkey").as("order_id"),
+        c("c_name").as("customer_name"),
+        n("n_name").as("nation_name"),
+        Scalars.moneyFmt(o("o_totalprice")).as("order_price"))
+      .orderBy("order_id").limit(limit)
+
+    val agent = AgentDefinition(
+      name = "price_match_agent",
+      model = ScriptedChatModel("scripted-pricer", Seq("http_get", "send_email"),
+        verdictFor = p => if (math.floorMod(p.hashCode, 2) == 0) "MATCH" else "NO_MATCH"),
+      systemPrompt = "You compare our price against a competitor page and email the customer.",
+      tools = Map(
+        "http_get" -> ScriptedTools.HttpGetTool(),
+        "send_email" -> ScriptedTools.SendEmailTool()))
+
+    val prompted = enriched.withColumn("prompt",
+      concat(lit("Price-match check for order "), col("order_id"),
+        lit(" customer "), col("customer_name"),
+        lit(" nation "), col("nation_name"),
+        lit(" at price "), col("order_price")))
+
+    AgentRuntime.runOnColumn(prompted, agent, "prompt")
+      .withColumn("verdict", regexp_extract(col("agent_response"), "VERDICT:\\s*(\\w+)", 1))
+      .drop("prompt")
+  }
+
+  // ------------------------------------------------------------------- lab 2
+
+  /** Lab2 RAG: embed the corpus, embed queries, top-k search, stuff the prompt,
+    * generate (reference: terraform/lab2-vector-search/main.tf:253,292,331).
+    */
+  def lab2Rag(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val corpus = MlPredict.embed(docs, "local-embed-64", "text")
+      .select(col("doc_id"), col("text").as("chunk"), col("embedding"))
+    val store = VectorStore.bruteForce(corpus, "doc_id", "chunk", "embedding")
+
+    val queries = docs.orderBy("doc_id").limit(nQueries)
+      .select(col("doc_id").as("query_id"), col("text").as("query"))
+    val embedded = MlPredict.embed(queries, "local-embed-64", "query")
+    val searched = VectorSearchAgg(spark, embedded, store, "embedding", k)
+    val prompted = searched.withColumn("prompt",
+      concat(
+        lit("Answer using only this context:\n"),
+        concat_ws("\n", transform(col("search_results"), r => r.getField("chunk"))),
+        lit("\n\nQuestion: "), col("query")))
+    MlPredict.generate(prompted, "local-textgen", "prompt")
+      .select(col("query_id"), col("query"),
+        element_at(col("search_results"), 1).getField("doc_id").as("top_doc_id"),
+        element_at(col("search_results"), 1).getField("score").as("top_score"),
+        size(col("search_results")).cast("long").as("n_results"),
+        col("response"))
+  }
+
+  // ------------------------------------------------------------------- lab 3
+
+  /** Lab3 fleet: 5-min windows per zone (event_type), anomaly-detect the count
+    * series, keep surges, embed a query, RAG-enrich, generate a reason
+    * (reference: LAB3-Walkthrough.md:99-371).
+    */
+  def lab3Fleet(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = AnomalyDetector.Config(minTrainingSize = 8, maxTrainingSize = 50, confidencePercentage = 99.9)
+    val windowed = Tumble(Tables(spark, dir, "events"), "ts", "5 minutes", col("event_type"))(
+      "request_count" -> count(lit(1)),
+      "total_value" -> Scalars.sumMoney(col("value")))
+    val detected = AnomalyDetector.detectBatch(windowed, col("request_count"),
+      Seq(col("event_type")), Seq(col("window_start")), cfg)
+    val surges = detected
+      .filter(col("is_anomaly") === true && col("request_count") > col("upper_bound"))
+      .select(
+        col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("event_type").as("zone"), col("request_count"),
+        round(col("upper_bound"), 4).as("upper_bound"),
+        Scalars.timeOfDayBucket(col("window_start")).as("time_of_day"))
+
+    val queried = surges.withColumn("query_text",
+      concat(lit("surge in "), col("zone"), lit(" during "), col("time_of_day"),
+        lit(" with "), col("request_count"), lit(" requests")))
+
+    val docs = Tables(spark, dir, "documents")
+    val corpus = MlPredict.embed(docs, "local-embed-64", "text")
+      .select(col("doc_id"), col("text").as("chunk"), col("embedding"))
+    val store = VectorStore.bruteForce(corpus, "doc_id", "chunk", "embedding")
+
+    val enriched = VectorSearchAgg(spark, MlPredict.embed(queried, "local-embed-64", "query_text"),
+      store, "embedding", 3)
+    MlPredict.generate(
+      enriched.withColumn("prompt",
+        concat(lit("Explain this surge: "), col("query_text"), lit("\nContext: "),
+          concat_ws(" | ", transform(col("search_results"), r => r.getField("chunk"))))),
+      "local-textgen", "prompt", "reason")
+      .select("window_start", "zone", "request_count", "upper_bound", "time_of_day", "reason")
+  }
+
+  // ------------------------------------------------------------------- lab 4
+
+  /** Lab4 fraud: 6-h windows per city (event_type), anomaly on the claim-total
+    * series, interval-join spikes back to raw claims, bound the queue, run the
+    * judge agent, extract the verdict enum
+    * (reference: LAB4-Walkthrough.md:126-445).
+    */
+  def lab4Fraud(spark: SparkSession, dir: String, queueLimit: Int = 10): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val cfg = AnomalyDetector.Config(minTrainingSize = 8, maxTrainingSize = 50, confidencePercentage = 95.0)
+    val windowed = Tumble(events, "ts", "6 hours", col("event_type"))(
+      "claim_count" -> count(lit(1)),
+      "total_amount" -> Scalars.sumMoney(col("value")))
+    val spikes = AnomalyDetector.detectBatch(windowed, col("total_amount"),
+      Seq(col("event_type")), Seq(col("window_start")), cfg)
+      .filter(col("is_anomaly") === true && col("total_amount") > col("upper_bound"))
+      .select(col("event_type").as("city"), col("window_time"), col("total_amount"))
+
+    val claims = events.select(
+      col("event_id").as("claim_id"), col("event_type").as("claim_city"),
+      col("ts").as("claim_ts"), col("value").as("claim_amount"), col("props").as("narrative"))
+
+    val toInvestigate = IntervalJoin(claims, spikes, "claim_city", "city",
+      "claim_ts", "window_time", "'-6' HOUR", "'0' HOUR")
+      .orderBy(col("claim_amount").desc, col("claim_id"))
+      .limit(queueLimit)
+
+    val judge = AgentDefinition(
+      name = "fraud_judge",
+      model = ScriptedChatModel("scripted-judge", Seq.empty,
+        verdictFor = p => Seq("APPROVE", "APPROVE_PARTIAL", "REQUEST_DOCS", "DENY_INELIGIBLE", "DENY_FRAUD")(
+          math.floorMod(p.hashCode, 5))),
+      systemPrompt = "Review the claim against the 9-point checklist.",
+      tools = Map.empty)
+
+    val prompted = toInvestigate.withColumn("prompt",
+      concat(lit("Claim "), col("claim_id"), lit(" city "), col("claim_city"),
+        lit(" amount "), Scalars.moneyFmt(col("claim_amount")),
+        lit(" narrative "), coalesce(col("narrative"), lit(""))))
+
+    AgentRuntime.runOnColumn(prompted, judge, "prompt")
+      .withColumn("verdict", regexp_extract(col("agent_response"), "VERDICT:\\s*(\\w+)", 1))
+      .select(col("claim_id"), col("claim_city"), col("claim_amount"),
+        col("agent_status"), col("verdict"))
+  }
+}

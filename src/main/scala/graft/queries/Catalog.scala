@@ -374,10 +374,155 @@ object Catalog {
            round(en, 4) AS en_score
     FROM sc"""))
 
+  // ------------------------------------------------------------ ML functions
+
+  private val q21 = Q("q21_ml_embed", (s, dir) => {
+    // ML_PREDICT embedding task: STRING → ARRAY<FLOAT> (rows-only oracle —
+    // model is engine-local). Emits stable scalars derived from the vector.
+    graft.ml.MlPredict.embed(t(s, dir, "documents"), "local-embed-64", "text")
+      .select(col("doc_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).as("first_dim"))
+  }, None)
+
+  private val q22 = Q("q22_ml_textgen", (s, dir) => {
+    graft.ml.MlPredict.generate(
+      t(s, dir, "documents").select(col("doc_id"), col("text")), "local-textgen", "text")
+      .select(col("doc_id"), col("response"))
+  }, None)
+
+  private val q23 = Q("q23_vector_search_agg", (s, dir) => {
+    // VECTOR_SEARCH_AGG shape: ARRAY<ROW(doc_id, chunk, score)> per query row,
+    // flattened here to (qid, rank, doc_id) for the oracle. Unlike q17 (the
+    // distributed KnnJoin), this exercises the broadcast BruteForceStore.
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.select(col("vec_id").as("doc_id"),
+      concat(lit("vec-"), col("vec_id")).as("chunk"), col("embedding"))
+    val store = graft.vector.VectorStore.bruteForce(corpus, "doc_id", "chunk", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    graft.vector.VectorSearchAgg(s, queries, store, "embedding", 3)
+      .select(col("qid"), posexplode(col("search_results")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.doc_id").as("doc_id"))
+  }, Some("""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS did, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+    s AS (SELECT qid, did,
+                 list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS sim
+          FROM q CROSS JOIN c),
+    r AS (SELECT qid, did, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, did ASC) AS rank FROM s)
+    SELECT qid, rank, did AS doc_id FROM r WHERE rank <= 3"""))
+
+  private val q24 = Q("q24_json_object", (s, dir) => {
+    // JSON_OBJECT config-building (reference: LAB3-Walkthrough.md:122-127).
+    t(s, dir, "events").select(
+      col("event_id"),
+      to_json(struct(
+        col("event_id").as("id"),
+        col("event_type").as("etype"),
+        lit(8).as("minTrainingSize"),
+        lit(false).as("enableStl"))).as("config"))
+  }, Some("""
+    SELECT event_id,
+           to_json(struct_pack(id := event_id, etype := event_type,
+                               minTrainingSize := 8, enableStl := false)) AS config
+    FROM events"""))
+
+  private val q25 = Q("q25_map_literal", (s, dir) => {
+    // MAP['k','v'] constructors (reference: LAB1-Walkthrough.md:70,88-90).
+    t(s, dir, "events").select(
+      col("event_id"),
+      to_json(map(lit("debug"), lit("true"))).as("static_map"),
+      to_json(map(lit("etype"), col("event_type"))).as("dynamic_map"))
+  }, Some("""
+    SELECT event_id,
+           to_json(MAP {'debug': 'true'}) AS static_map,
+           to_json(MAP {'etype': event_type}) AS dynamic_map
+    FROM events"""))
+
+  private val q26 = Q("q26_interval_arith", (s, dir) => {
+    // timestamp ± INTERVAL (reference: LAB3-Walkthrough.md:291, LAB4:234).
+    t(s, dir, "events").select(
+      col("event_id"),
+      (col("ts") - expr("INTERVAL 1 HOUR")).cast("timestamp_ntz").as("hour_before"),
+      (col("ts") + expr("INTERVAL 5 MINUTE")).cast("timestamp_ntz").as("five_min_after"))
+  }, Some(s"""
+    SELECT event_id, ts - INTERVAL '1' HOUR AS hour_before,
+           ts + INTERVAL '5' MINUTE AS five_min_after
+    FROM $EV e"""))
+
+  // ------------------------------------------------------------------ llmops
+
+  private val q27 = Q("q27_ngram_jaccard", (s, dir) => {
+    // Exact trigram-Jaccard near-dup pairs on a bounded slice (the quadratic
+    // oracle; the scale path is q28's MinHash LSH).
+    graft.llmops.Dedup.ngramJaccardPairs(
+      t(s, dir, "documents").filter(col("doc_id") < 300), "text", "doc_id",
+      shingleSize = 3, threshold = 0.2)
+  }, Some("""
+    WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE doc_id < 300),
+    sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2, 1)+1),
+                  i -> array_to_string(t[i:i+2], ' '))) AS s FROM d),
+    inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS common
+          FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
+    FROM p WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.2"""), headline = true)
+
+  private val q28 = Q("q28_minhash_lsh", (s, dir) => {
+    // MinHash+LSH near-dup (rows-only oracle: xxhash64 banding is engine-local;
+    // DedupSpec cross-checks recall against exact Jaccard on sf0.001).
+    graft.llmops.Dedup.minHashLsh(t(s, dir, "documents"), "text", "doc_id",
+      shingleSize = 3, numHashes = 16, numBands = 4, threshold = 0.2)
+  }, None, headline = true)
+
+  private val q29 = Q("q29_simhash_pairs", (s, dir) => {
+    graft.llmops.Dedup.simHashPairs(t(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+  }, None)
+
+  private val q30 = Q("q30_embed_neardup", (s, dir) => {
+    graft.llmops.Dedup.embeddingNearDup(
+      t(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding")),
+      "embedding", "vec_id", threshold = 0.35)
+  }, Some("""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 300),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35"""))
+
+  private val q31 = Q("q31_multimodal_features", (s, dir) => {
+    // Binary media column plumbing: schema/batching real, codec a deterministic
+    // stub (environment has no image libs) — see graft.llmops.Multimodal.
+    val media = graft.llmops.Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
+    graft.llmops.Multimodal.extractImageFeatures(media, "content")
+      .select(col("media_id"), col("media_type"), col("width"), col("height"),
+        size(col("features")).cast("long").as("n_features"))
+  }, None)
+
+  // --------------------------------------------------------------- pipelines
+
+  private val q32 = Q("q32_lab1_pricematch", (s, dir) =>
+    graft.pipelines.Labs.lab1PriceMatch(s, dir), None)
+
+  private val q33 = Q("q33_lab2_rag", (s, dir) =>
+    graft.pipelines.Labs.lab2Rag(s, dir), None)
+
+  private val q34 = Q("q34_lab3_fleet", (s, dir) =>
+    graft.pipelines.Labs.lab3Fleet(s, dir), None)
+
+  private val q35 = Q("q35_lab4_fraud", (s, dir) =>
+    graft.pipelines.Labs.lab4Fraud(s, dir), None)
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
+    q31, q32, q33, q34, q35)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

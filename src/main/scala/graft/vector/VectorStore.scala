@@ -1,0 +1,80 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+import graft.operators.TopK
+
+/** VECTOR_SEARCH_AGG (reference: terraform/lab2-vector-search/main.tf:292,
+  * LAB3-Walkthrough.md:343-350, LAB4-Walkthrough.md:301-309): top-k search
+  * against an external vector table, returning
+  * `search_results ARRAY<ROW(doc_id, chunk, score)>` per input row.
+  *
+  * Two physical designs:
+  *  - [[BruteForceStore]]: exact cosine over a broadcast corpus — the oracle
+  *    path, correct when the indexed side fits in executor memory (the
+  *    reference's vectordb tables are small document collections);
+  *  - [[KnnJoin]]: fully distributed corpus × queries with map-side bounded
+  *    top-k — the 100 TB path, shuffling O(queries·k) instead of the corpus.
+  */
+final case class ScoredDoc(doc_id: Long, chunk: String, score: Double)
+
+trait VectorStore extends Serializable {
+  /** Top-k by cosine similarity, ties broken by ascending doc id. */
+  def search(query: Array[Float], k: Int): Seq[ScoredDoc]
+}
+
+final class BruteForceStore(corpus: Array[(Long, String, Array[Float])]) extends VectorStore {
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override def search(query: Array[Float], k: Int): Seq[ScoredDoc] =
+    corpus.iterator
+      .map { case (id, chunk, emb) => ScoredDoc(id, chunk, cosine(query, emb)) }
+      .toSeq
+      .sortBy(d => (-d.score, d.doc_id))
+      .take(k)
+}
+
+object VectorStore {
+  /** Collect a (small) corpus DataFrame into a broadcast-able store. */
+  def bruteForce(corpus: DataFrame, idCol: String, chunkCol: String, embCol: String): BruteForceStore =
+    new BruteForceStore(corpus.select(col(idCol).cast("long"), col(chunkCol), col(embCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Float](2).toArray)))
+}
+
+object VectorSearchAgg {
+  /** Adds `search_results ARRAY<STRUCT<doc_id, chunk, score>>`. The store is
+    * broadcast once; the UDF is row-local (partition-parallel, no shuffle).
+    */
+  def apply(spark: SparkSession, df: DataFrame, store: VectorStore, queryVecCol: String,
+            k: Int, outCol: String = "search_results"): DataFrame = {
+    val bc = spark.sparkContext.broadcast(store)
+    val u = udf((q: Seq[Float]) => bc.value.search(q.toArray, k))
+    df.withColumn(outCol, u(col(queryVecCol)))
+  }
+}
+
+/** Distributed exact knn: every query row gets its k nearest corpus rows by
+  * cosine. The smaller side is broadcast; candidates are reduced map-side by
+  * the bounded TopKAgg before the per-query shuffle.
+  */
+object KnnJoin {
+  def apply(queries: DataFrame, corpus: DataFrame, k: Int,
+            qidCol: String = "qid", qvecCol: String = "qvec",
+            nidCol: String = "nid", nvecCol: String = "nvec"): DataFrame = {
+    val sims = corpus
+      .join(broadcast(queries), col(qidCol) =!= col(nidCol))
+      .select(col(qidCol), col(nidCol),
+        Vectors.cosine(col(qvecCol), col(nvecCol)).as("sim"))
+    val agg = sims.groupBy(qidCol).agg(TopK.topK(k)(col("sim"), col(nidCol)).as("nn"))
+    TopK.explodeRanked(agg, "nn", Seq(col(qidCol)))
+      .select(col(qidCol), col("rank"), col("id").as(nidCol), col("score").as("sim"))
+  }
+}

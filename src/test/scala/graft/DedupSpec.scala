@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llmops.{Dedup, Multimodal}
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup collapses identical texts to min id") {
+    import spark.implicits._
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").orderBy("doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_count"))).toSeq ==
+      Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("minhash LSH finds every exact-Jaccard pair above a safe threshold (recall on testdata)") {
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    // exact ground truth at tau=0.5 (high enough that 16x4-band LSH recall ~1)
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLsh(docs, "text", "doc_id", 3, 16, 4, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    // LSH verifies candidates with exact jaccard → can only miss, never add
+    assert(lsh.subsetOf(exact))
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 (missed ${exact -- lsh})")
+  }
+
+  test("simhash: identical docs have hamming 0, near-dups small distance") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different words about spark catalyst tungsten codegen shuffles")).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(df, "text", "doc_id", maxHamming = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").longValue())).toSeq ==
+      Seq((1L, 2L, 0L)))
+  }
+
+  test("embeddingNearDup finds identical vectors") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1f, 0f, 0f)), (2L, Array(1f, 0f, 0f)), (3L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(df, "embedding", "vec_id", 0.99).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("image feature extraction preserves schema contract and determinism") {
+    val docs = graft.core.Tables(spark, sfDir, "documents").limit(20)
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "media_type", "content", "meta"))
+    val out = Multimodal.extractImageFeatures(media, "content")
+    val rows = out.select("media_id", "width", "height").orderBy("media_id").collect()
+    assert(rows.length == 20)
+    assert(rows.forall(r => r.getInt(1) > 0 && r.getInt(2) > 0))
+    // deterministic: run twice, same output
+    val rows2 = Multimodal.extractImageFeatures(media, "content")
+      .select("media_id", "width", "height").orderBy("media_id").collect()
+    assert(rows.map(_.toSeq).toSeq == rows2.map(_.toSeq).toSeq)
+  }
+}
+
+class PipelinesSpec extends SparkSpec {
+  test("lab1: every order gets a status and a verdict in the enum") {
+    val out = graft.pipelines.Labs.lab1PriceMatch(spark, sfDir, limit = 10).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[String]("agent_status") == "SUCCESS"))
+    assert(out.forall(r => Set("MATCH", "NO_MATCH")(r.getAs[String]("verdict"))))
+  }
+
+  test("lab2: RAG retrieves the query doc itself as top hit") {
+    val out = graft.pipelines.Labs.lab2Rag(spark, sfDir, nQueries = 3).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("top_doc_id") == r.getAs[Long]("query_id"))
+      assert(r.getAs[Double]("top_score") > 0.999)
+      assert(r.getAs[String]("response").nonEmpty)
+    }
+  }
+
+  test("lab3: surge rows carry non-empty reasons and zone labels") {
+    val out = graft.pipelines.Labs.lab3Fleet(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[String]("reason").startsWith("[local-textgen]")))
+  }
+
+  test("lab4: bounded queue with verdicts from the 5-value enum") {
+    val enum5 = Set("APPROVE", "APPROVE_PARTIAL", "REQUEST_DOCS", "DENY_INELIGIBLE", "DENY_FRAUD")
+    val out = graft.pipelines.Labs.lab4Fraud(spark, sfDir).collect()
+    assert(out.length <= 10 && out.nonEmpty)
+    assert(out.forall(r => enum5(r.getAs[String]("verdict"))))
+  }
+}
