@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming counterparts of the batch operators (SURVEY.md §7.2 step 7).
+  *
+  * Topology choice mirrors the reference (SURVEY.md §3): each pipeline stage is
+  * an independent continuous query communicating through topics (faithful) or
+  * stages are fused into one DAG with foreachBatch at agent/sink boundaries
+  * (Spark-idiomatic). Both compose from the functions here.
+  *
+  * Changelog semantics: everything here emits in APPEND mode (the reference
+  * forces 'changelog.mode' = 'append' downstream of windows —
+  * LAB3-Walkthrough.md:226,456) — window results emit once, on watermark
+  * passing window end, matching Flink's window-close behavior.
+  */
+object StreamingOps {
+
+  /** Watermarked tumbling aggregation (streaming W1/A1/A2). Late rows beyond
+    * `delay` are dropped, as in the reference (scripts/publish_lab3_data.py:357-361).
+    */
+  def tumble(df: DataFrame, tsCol: String, delay: String, width: String, keys: Column*)(
+      aggs: (String, Column)*): DataFrame = {
+    // Streaming event time must be TIMESTAMP (LTZ): watermarks reject
+    // TIMESTAMP_NTZ. The session runs UTC so the cast is wall-clock-neutral.
+    val grouped = df
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), width) +: keys: _*)
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    grouped
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .withColumn("window_time", col("window.end") - expr("INTERVAL 1 MILLISECOND"))
+      .drop("window")
+  }
+
+  /** Streaming interval join (J2): equi-key + event-time range, watermarks on
+    * both sides bound the state — the Spark-native equivalent of Flink's
+    * interval join (state scales with key cardinality × range, not history).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   delay: String, lowerBound: String, upperBound: String): DataFrame = {
+    val l = left.withColumn(leftTs, col(leftTs).cast("timestamp")).withWatermark(leftTs, delay)
+    val r = right.withColumn(rightTs, col(rightTs).cast("timestamp")).withWatermark(rightTs, delay)
+    l.join(r,
+      l(leftKey) === r(rightKey) &&
+        l(leftTs) >= r(rightTs) + expr(s"INTERVAL $lowerBound") &&
+        l(leftTs) <= r(rightTs) + expr(s"INTERVAL $upperBound"),
+      "inner")
+  }
+
+  /** Stream-static enrichment (J1): the reference's customers/products dims are
+    * near-static, so a stream-static broadcast join is both faithful and
+    * state-free (SURVEY.md §7.4 item 2) — no TTL bookkeeping at all.
+    */
+  def enrich(stream: DataFrame, dims: Seq[(DataFrame, String)]): DataFrame =
+    dims.foldLeft(stream) { case (acc, (dim, key)) => acc.join(broadcast(dim), key) }
+
+  /** Upsert sink (PRIMARY KEY NOT ENFORCED semantics, LAB3-Walkthrough.md:453-456):
+    * foreachBatch merge keeping the last row per key by `orderCol`. The parquet
+    * rewrite implementation suits modest sink cardinality (the reference's sink
+    * tables are per-zone / per-claim summaries); at scale back this with Delta
+    * MERGE or a compacted Kafka topic keyed on the PK.
+    */
+  def upsertParquet(df: DataFrame, path: String, keyCols: Seq[String], orderCol: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.outputMode("update").foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val existing =
+        try Some(spark.read.parquet(path)) catch { case _: Exception => None }
+      val all = existing.map(_.unionByName(batch)).getOrElse(batch)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(col(orderCol).desc)
+      val merged = all.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      merged.cache().count() // materialise before overwriting the input path
+      merged.write.mode("overwrite").parquet(path)
+      merged.unpersist()
+      ()
+    }
+}
+
+/** Kafka source/sink facades (S1/S2). The connector jar
+  * (spark-sql-kafka-0-10) ships on real clusters but not in this container, so
+  * these build the plans by format name — compile-safe here, runtime-complete
+  * there. Payload serde is pluggable: JSON works out of the box; Confluent
+  * Avro wire format (magic byte 0x00 + 4-byte schema id + Avro body —
+  * reference: scripts/publish_lab3_data.py:96-122) is framed/unframed here
+  * with the body left to spark-avro's from_avro/to_avro on the cluster.
+  */
+object KafkaIO {
+
+  def source(spark: SparkSession, bootstrap: String, topic: String,
+             startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  def sink(df: DataFrame, bootstrap: String, topic: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** JSON value serde: parse a Kafka `value` column into typed columns. */
+  def fromJsonValue(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(from_json(col("value").cast("string"), schema).as("r")).select("r.*")
+
+  def toJsonValue(df: DataFrame, keyCol: Option[String]): DataFrame = {
+    val value = to_json(struct(df.columns.map(col): _*)).as("value")
+    keyCol match {
+      case Some(k) => df.select(col(k).cast("string").as("key"), value)
+      case None    => df.select(value)
+    }
+  }
+
+  /** Confluent wire-format framing: 0x00 magic + big-endian schema id + body. */
+  def confluentFrame(schemaId: Int, body: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](5 + body.length)
+    out(0) = 0
+    out(1) = ((schemaId >> 24) & 0xff).toByte
+    out(2) = ((schemaId >> 16) & 0xff).toByte
+    out(3) = ((schemaId >> 8) & 0xff).toByte
+    out(4) = (schemaId & 0xff).toByte
+    System.arraycopy(body, 0, out, 5, body.length)
+    out
+  }
+
+  def confluentUnframe(bytes: Array[Byte]): (Int, Array[Byte]) = {
+    require(bytes.length >= 5 && bytes(0) == 0, "not Confluent wire format")
+    val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) | ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+    (id, java.util.Arrays.copyOfRange(bytes, 5, bytes.length))
+  }
+}

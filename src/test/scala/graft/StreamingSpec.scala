@@ -1,0 +1,136 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.anomaly.AnomalyDetector
+import graft.streaming.{KafkaIO, StreamingAnomaly, StreamingOps}
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming tumble emits a window only after the watermark passes its end") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(Timestamp, String, Double)]
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "zone", "price")
+    val agg = StreamingOps.tumble(df, "ts", "5 seconds", "5 minutes", col("zone"))(
+      "cnt" -> count(lit(1)))
+    val q = agg.writeStream.format("memory").queryName("tumble_out").outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 00:01:00"), "z1", 1.0),
+        (ts("2024-01-01 00:02:00"), "z1", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("tumble_out").count() == 0, "window must stay open until watermark passes")
+      // event past window end + 5s delay closes the first window
+      mem.addData((ts("2024-01-01 00:05:06"), "z1", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumble_out").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("cnt") == 2)
+      assert(rows.head.getAs[Timestamp]("window_start") == ts("2024-01-01 00:00:00"))
+      assert(rows.head.getAs[Timestamp]("window_time") == ts("2024-01-01 00:04:59.999"))
+    } finally q.stop()
+  }
+
+  test("late rows below the watermark are dropped (reference drop semantics)") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(Timestamp, String, Double)]
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamingOps.tumble(mem.toDF().toDF("ts", "zone", "price"), "ts", "5 seconds", "5 minutes", col("zone"))(
+      "cnt" -> count(lit(1)))
+    val q = agg.writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 00:01:00"), "z1", 1.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:30:00"), "z1", 1.0)) // advances watermark far ahead
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 00:02:00"), "z1", 99.0)) // below watermark → dropped
+      q.processAllAvailable()
+      val w1 = spark.table("late_out").filter(col("window_start") === ts("2024-01-01 00:00:00")).collect()
+      assert(w1.length == 1 && w1.head.getAs[Long]("cnt") == 1, "late row must not re-open the window")
+    } finally q.stop()
+  }
+
+  test("streaming anomaly matches the pure-Scala detector across triggers") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Double)]
+    val cfg = AnomalyDetector.Config(minTrainingSize = 3, maxTrainingSize = 5, confidencePercentage = 95.0)
+    val values = Seq(10.0, 11.0, 10.0, 11.0, 10.0, 100.0, 10.0, 11.0)
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val det = StreamingAnomaly(mem.toDF().toDF("key", "ts", "value"), "key", "ts", "value", cfg)
+    val q = det.writeStream.format("memory").queryName("anom_out").outputMode("append").start()
+    try {
+      val points = values.zipWithIndex.map { case (v, i) =>
+        ("k1", ts(f"2024-01-01 00:${i}%02d:00"), v)
+      }
+      val (first, second) = points.splitAt(4) // two triggers → state must carry over
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(second: _*); q.processAllAvailable()
+      val got = spark.table("anom_out").orderBy("ts")
+        .select("forecast_value", "is_anomaly").collect()
+      val want = AnomalyDetector.detectSeries(values, cfg)
+      assert(got.length == want.length)
+      got.zip(want).foreach { case (row, (f, _, _, anom)) =>
+        (f, if (row.isNullAt(0)) None else Some(row.getDouble(0))) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9)
+          case (None, None)       => ()
+          case other              => fail(s"forecast mismatch: $other")
+        }
+        assert(row.getBoolean(1) == anom)
+      }
+      assert(got.count(_.getBoolean(1)) >= 1, "the 100.0 spike must be flagged")
+    } finally q.stop()
+  }
+
+  test("streaming interval join matches batch semantics") {
+    implicit val sq = spark.sqlContext
+    implicit val encL = Encoders.product[(Long, Timestamp)]
+    val left = MemoryStream[(Long, Timestamp)]
+    val right = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingOps.intervalJoin(
+      left.toDF().toDF("k", "lts"), right.toDF().toDF("k2", "rts"),
+      "k", "k2", "lts", "rts", "10 seconds", "'0' SECOND", "'60' SECOND")
+    val q = joined.writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      right.addData((1L, ts("2024-01-01 00:00:00")))
+      left.addData((1L, ts("2024-01-01 00:00:30")), (1L, ts("2024-01-01 00:02:00")), (2L, ts("2024-01-01 00:00:10")))
+      q.processAllAvailable()
+      val rows = spark.table("ij_out").collect()
+      assert(rows.length == 1, s"exactly the in-range same-key row joins, got ${rows.length}")
+      assert(rows.head.getAs[Long]("k") == 1L)
+      assert(rows.head.getAs[Timestamp]("lts") == ts("2024-01-01 00:00:30"))
+    } finally q.stop()
+  }
+
+  test("upsert sink keeps the latest row per key") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Long, Double)]
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString + "/sink"
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = StreamingOps.upsertParquet(mem.toDF().toDF("zone", "version", "price"),
+      dir, Seq("zone"), "version")
+      .option("checkpointLocation", dir + "_ckpt").start()
+    try {
+      mem.addData(("z1", 1L, 10.0), ("z2", 1L, 20.0)); q.processAllAvailable()
+      mem.addData(("z1", 2L, 11.0)); q.processAllAvailable()
+      val rows = spark.read.parquet(dir).orderBy("zone").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+        Seq(("z1", 2L, 11.0), ("z2", 1L, 20.0)))
+    } finally q.stop()
+  }
+
+  test("Confluent wire-format framing round-trips") {
+    val body = "payload-bytes".getBytes("UTF-8")
+    val framed = KafkaIO.confluentFrame(100007, body)
+    assert(framed(0) == 0.toByte && framed.length == body.length + 5)
+    val (id, out) = KafkaIO.confluentUnframe(framed)
+    assert(id == 100007 && out.toSeq == body.toSeq)
+    intercept[IllegalArgumentException](KafkaIO.confluentUnframe(Array[Byte](1, 2, 3, 4, 5, 6)))
+  }
+}
