@@ -517,12 +517,39 @@ object Catalog {
   private val q35 = Q("q35_lab4_fraud", (s, dir) =>
     graft.pipelines.Labs.lab4Fraud(s, dir), None)
 
+  private val q36 = Q("q36_ivf_ann", (s, dir) => {
+    // IVF approximate knn — the 100 TB similarity-search path (rows-only
+    // oracle: ANN result is index-dependent; IvfSpec bounds recall vs exact
+    // knn and proves full-probe == exact).
+    val emb = t(s, dir, "embeddings")
+    val ivf = graft.vector.IvfIndex.build(
+      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      nLists = 8, iterations = 2)
+    ivf.search(
+      emb.filter(col("vec_id") < 15).select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", k = 3, nProbes = 4)
+      .select(col("qid"), col("rank"), col("nid"))
+  }, None)
+
+  private val q37 = Q("q37_lateral_scalar", (s, dir) => {
+    // LATERAL TABLE(f(x)) 1-row form: struct-returning fn star-expanded (J3).
+    graft.operators.Lateral.applyScalar(
+      t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+      struct(
+        (col("o_totalprice") * 0.1).as("fee"),
+        Scalars.moneyFmt(col("o_totalprice") + 10.0).as("total_with_fee")))
+      .select(col("o_orderkey").as("order_id"), col("fee"), col("total_with_fee"))
+  }, Some("""
+    SELECT o_orderkey AS order_id, o_totalprice * 0.1 AS fee,
+           CAST(CAST(o_totalprice + 10.0 AS DECIMAL(10,2)) AS VARCHAR) AS total_with_fee
+    FROM orders"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35)
+    q31, q32, q33, q34, q35, q36, q37)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** The reference's table/DDL catalog surface (SURVEY.md §2.9): CREATE TABLE
+  * with watermark + primary-key metadata, CTAS, DROP, DESCRIBE, and per-query
+  * SET config. Spark has no notion of a watermark/PK in its catalog, so this
+  * registry carries that metadata alongside the Spark table.
+  *
+  * Tables resolve to DataFrames lazily (a registered loader), so registering
+  * is metadata-only — nothing materialises until a query runs.
+  */
+object TableRegistry {
+
+  final case class TableDef(name: String,
+                            schema: Option[StructType],
+                            watermarkCol: Option[String] = None,
+                            watermarkDelay: Option[String] = None,
+                            primaryKey: Seq[String] = Seq.empty,
+                            changelogMode: String = "append",
+                            options: Map[String, String] = Map.empty,
+                            load: SparkSession => DataFrame)
+
+  private val tables = scala.collection.concurrent.TrieMap[String, TableDef]()
+  private val sessionConf = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** CREATE TABLE (declared schema + loader). */
+  def createTable(df: TableDef): Unit = tables.put(df.name, df)
+
+  /** CREATE TABLE ... AS SELECT: registers the result of a query as a table
+    * (schema inferred — CTAS semantics, LAB1-Walkthrough.md:122).
+    */
+  def createTableAs(spark: SparkSession, name: String, query: DataFrame,
+                    primaryKey: Seq[String] = Seq.empty): Unit = {
+    val materialized = query // lazy: the DataFrame itself is the definition
+    tables.put(name, TableDef(name, Some(query.schema), primaryKey = primaryKey,
+      load = _ => materialized))
+  }
+
+  /** ALTER TABLE ... MODIFY (WATERMARK ...) (LAB3-Walkthrough.md:493-496). */
+  def alterWatermark(name: String, col: String, delay: String): Unit = {
+    val t = resolve(name)
+    tables.put(name, t.copy(watermarkCol = Some(col), watermarkDelay = Some(delay)))
+  }
+
+  def dropTable(name: String): Boolean = tables.remove(name).isDefined
+  def exists(name: String): Boolean = tables.contains(name)
+  def resolve(name: String): TableDef = tables.getOrElse(name, sys.error(s"no table '$name'"))
+
+  /** DESCRIBE: name, type, nullable per column plus graft metadata. */
+  def describe(name: String): Seq[(String, String)] = {
+    val t = resolve(name)
+    val cols = t.schema.map(_.fields.toSeq.map(f => f.name -> f.dataType.simpleString)).getOrElse(Seq.empty)
+    cols ++
+      t.watermarkCol.map(c => "WATERMARK" -> s"$c - ${t.watermarkDelay.getOrElse("")}").toSeq ++
+      (if (t.primaryKey.nonEmpty) Seq("PRIMARY KEY" -> t.primaryKey.mkString(",")) else Seq.empty)
+  }
+
+  /** Scan with watermark applied if defined (streaming sources). */
+  def scan(spark: SparkSession, name: String): DataFrame = {
+    val t = resolve(name)
+    val df = t.load(spark)
+    (t.watermarkCol, t.watermarkDelay) match {
+      case (Some(c), Some(d)) if df.isStreaming => df.withWatermark(c, d)
+      case _                                    => df
+    }
+  }
+
+  /** SET 'key' = 'value' (observed: sql.state-ttl — LAB1-Walkthrough.md:120). */
+  def set(key: String, value: String): Unit = sessionConf.put(key, value)
+  def get(key: String): Option[String] = sessionConf.get(key)
+  def clearConf(): Unit = sessionConf.clear()
+}

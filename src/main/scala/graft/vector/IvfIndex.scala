@@ -1,0 +1,107 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+import graft.operators.TopK
+
+/** IVF (inverted-file) approximate nearest neighbor — the scale path for
+  * similarity search when brute force over the corpus per query is too
+  * expensive.
+  *
+  * Build: pick `nLists` centroids (deterministic k-means|| style: hash-seeded
+  * sample, a few Lloyd iterations — all in Spark), assign every corpus vector
+  * to its nearest centroid (one narrow shuffle on centroid id).
+  *
+  * Search: route each query to its `nProbes` nearest centroids, then score
+  * only vectors in those lists — an equi-join on centroid id instead of a
+  * cross join, cutting scored candidates by ~nLists/nProbes. The candidate
+  * scoring reuses the bounded TopKAgg, so the shuffle stays O(queries·k).
+  *
+  * At 100 TB: the assigned corpus is written bucketed/partitioned by list_id
+  * once; every subsequent query joins only the probed partitions (partition
+  * pruning on list_id), and centroids (nLists × dim floats) broadcast.
+  */
+object IvfIndex {
+
+  /** Assign each row its nearest centroid id (broadcast centroids, row-local). */
+  def assign(df: DataFrame, centroids: DataFrame, embCol: String): DataFrame = {
+    val cents = centroids.orderBy("list_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bc = df.sparkSession.sparkContext.broadcast(cents)
+    val nearest = udf((v: Seq[Float]) => {
+      val arr = v.toArray
+      var best = -1L; var bestSim = Double.MinValue
+      bc.value.foreach { case (id, c) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < arr.length) { dot += arr(i).toDouble * c(i); na += arr(i).toDouble * arr(i); nb += c(i).toDouble * c(i); i += 1 }
+        val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+        if (sim > bestSim || (sim == bestSim && id < best)) { bestSim = sim; best = id }
+      }
+      best
+    })
+    df.withColumn("list_id", nearest(col(embCol)))
+  }
+
+  /** Full IVF build: k-means with `iterations` Lloyd steps (mean of assigned
+    * vectors per list, computed distributedly via posexplode + groupBy).
+    */
+  def build(corpus: DataFrame, idCol: String, embCol: String,
+            nLists: Int, iterations: Int = 2): Ivf = {
+    val spark = corpus.sparkSession
+    var centroids = corpus
+      .select(col(embCol).as("centroid"))
+      .withColumn("__h", xxhash64(col("centroid").cast("string")))
+      .orderBy("__h").limit(nLists)
+      .withColumn("list_id", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("__h")) - 1).cast("long"))
+      .select("list_id", "centroid")
+    for (_ <- 1 to iterations) {
+      val assigned = assign(corpus, centroids, embCol)
+      // new centroid = element-wise mean of member vectors (distributed)
+      val dims = assigned.select(col("list_id"), posexplode(col(embCol)))
+        .groupBy("list_id", "pos").agg(avg(col("col").cast("double")).as("m"))
+      centroids = dims.groupBy("list_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("centroid"))
+    }
+    val assigned = assign(corpus, centroids, embCol)
+      .select(col(idCol).as("nid"), col(embCol).as("nvec"), col("list_id"))
+    Ivf(centroids, assigned)
+  }
+
+  final case class Ivf(centroids: DataFrame, assigned: DataFrame) {
+
+    /** Approximate top-k: probe `nProbes` lists per query. */
+    def search(queries: DataFrame, qidCol: String, qvecCol: String,
+               k: Int, nProbes: Int): DataFrame = {
+      val probed = IvfIndex.probeLists(queries, centroids, qidCol, qvecCol, nProbes)
+      val sims = probed
+        .join(assigned, "list_id")
+        .filter(col(qidCol) =!= col("nid"))
+        .select(col(qidCol), col("nid"),
+          Vectors.cosine(col(qvecCol), col("nvec")).as("sim"))
+      val agg = sims.groupBy(qidCol).agg(TopK.topK(k)(col("sim"), col("nid")).as("nn"))
+      TopK.explodeRanked(agg, "nn", Seq(col(qidCol)))
+        .select(col(qidCol), col("rank"), col("id").as("nid"), col("score").as("sim"))
+    }
+  }
+
+  /** Route each query row to its nProbes nearest centroid list ids. */
+  private[vector] def probeLists(queries: DataFrame, centroids: DataFrame,
+                                 qidCol: String, qvecCol: String, nProbes: Int): DataFrame = {
+    val cents = centroids.orderBy("list_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bc = queries.sparkSession.sparkContext.broadcast(cents)
+    val probes = udf((v: Seq[Float]) => {
+      val arr = v.toArray
+      bc.value.map { case (id, c) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < arr.length) { dot += arr(i).toDouble * c(i); na += arr(i).toDouble * arr(i); nb += c(i).toDouble * c(i); i += 1 }
+        (dot / (math.sqrt(na) * math.sqrt(nb)), id)
+      }.sortBy { case (s, id) => (-s, id) }.take(nProbes).map(_._2)
+    })
+    queries.withColumn("list_id", explode(probes(col(qvecCol))))
+  }
+}
