@@ -128,6 +128,57 @@ object Labs {
       .select("window_start", "zone", "request_count", "upper_bound", "time_of_day", "reason")
   }
 
+  /** Streaming Lab3: the same topology as [[lab3Fleet]] but as a continuous
+    * query — file-stream source → watermarked 5-min tumble (append on window
+    * close) → flatMapGroupsWithState anomaly → surge filter → foreachBatch
+    * RAG enrichment (embed + vector search + textgen) appended to a parquet
+    * sink. foreachBatch is the agent/ML boundary (SURVEY.md §3: fused DAG with
+    * per-batch side effects); in production the sink is a Kafka topic via
+    * KafkaIO.sink.
+    */
+  def lab3FleetStreaming(spark: SparkSession, dir: String, sinkPath: String,
+                         checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.streaming.{StreamingAnomaly, StreamingOps}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema).parquet(s"$dir/")
+      .filter(col("event_id").isNotNull)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val windowed = StreamingOps.tumble(stream, "ts", "5 seconds", "5 minutes", col("event_type"))(
+      "request_count" -> count(lit(1)))
+    val cfg = AnomalyDetector.Config(minTrainingSize = 8, maxTrainingSize = 50, confidencePercentage = 99.9)
+    val det = StreamingAnomaly(
+      windowed.select(col("event_type"), col("window_start"), col("request_count")),
+      "event_type", "window_start", "request_count", cfg)
+    val surges = det.filter(col("is_anomaly") && col("value") > col("upper_bound"))
+
+    surges.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.StreamingAnomaly.Detection], _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val docs = Tables(s, dir, "documents")
+          val corpus = MlPredict.embed(docs, "local-embed-64", "text")
+            .select(col("doc_id"), col("text").as("chunk"), col("embedding"))
+          val store = graft.vector.VectorStore.bruteForce(corpus, "doc_id", "chunk", "embedding")
+          val queried = batch.toDF().withColumn("query_text",
+            concat(lit("surge in "), col("key"), lit(" with "), col("value"), lit(" requests")))
+          val enriched = graft.vector.VectorSearchAgg(s,
+            MlPredict.embed(queried, "local-embed-64", "query_text"), store, "embedding", 3)
+          MlPredict.generate(
+            enriched.withColumn("prompt",
+              concat(lit("Explain this surge: "), col("query_text"))),
+            "local-textgen", "prompt", "reason")
+            .select(col("key").as("zone"), col("ts").as("window_start"),
+              col("value").as("request_count"), col("reason"))
+            .write.mode("append").parquet(sinkPath)
+        }
+        ()
+      }
+      .start()
+  }
+
   // ------------------------------------------------------------------- lab 4
 
   /** Lab4 fraud: 6-h windows per city (event_type), anomaly on the claim-total

@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.anomaly.AnomalyDetector
+
+/** Property-based invariants (SURVEY.md §5 test plan item 4). Uses seeded
+  * ScalaCheck generators directly (scalatestplus bridge not available in the
+  * offline dependency cache) — deterministic across runs.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def forAll[A](gen: Gen[A], n: Int = 60)(f: A => Unit): Unit =
+    (0 until n).foreach { i => f(gen.pureApply(Gen.Parameters.default, Seed(42L + i))) }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until 60).foreach { i =>
+      f(ga.pureApply(Gen.Parameters.default, Seed(42L + i)),
+        gb.pureApply(Gen.Parameters.default, Seed(1042L + i)))
+    }
+
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  private val seriesGen: Gen[List[Double]] =
+    Gen.listOfN(40, Gen.choose(0.0, 1000.0))
+
+  test("anomaly: never emits a detection before minTrainingSize history rows") {
+    forAll(seriesGen, Gen.choose(2, 10)) { (vals, minTrain) =>
+      val cfg = AnomalyDetector.Config(minTrain, 50, 95.0)
+      val out = AnomalyDetector.detectSeries(vals, cfg)
+      out.take(math.min(minTrain, vals.length)).foreach { case (f, hi, lo, anom) =>
+        assert(f.isEmpty && hi.isEmpty && lo.isEmpty && !anom)
+      }
+    }
+  }
+
+  test("anomaly: is_anomaly is exactly 'outside the band'") {
+    forAll(seriesGen) { vals =>
+      val cfg = AnomalyDetector.Config(3, 20, 95.0)
+      AnomalyDetector.detectSeries(vals, cfg).zip(vals).foreach {
+        case ((Some(_), Some(hi), Some(lo), anom), v) =>
+          assert(anom == (v > hi || v < lo))
+          assert(lo <= hi)
+        case ((None, _, _, anom), _) => assert(!anom)
+        case other                   => fail(s"inconsistent detection $other")
+      }
+    }
+  }
+
+  test("anomaly: constant series has zero-width band and no anomalies after warm-up") {
+    forAll(Gen.choose(1.0, 100.0)) { c =>
+      val cfg = AnomalyDetector.Config(3, 10, 95.0)
+      val out = AnomalyDetector.detectSeries(List.fill(20)(c), cfg)
+      out.drop(3).foreach { case (f, hi, lo, anom) =>
+        // repeated-addition rounding makes mean ≈ c, not == c
+        assert(math.abs(f.get - c) < 1e-9)
+        assert(hi.get - lo.get < 1e-6, "band must be (numerically) zero-width")
+        assert(!anom)
+      }
+    }
+  }
+
+  test("window assignment: every ts falls in exactly its epoch-aligned bucket") {
+    forAll(Gen.choose(0L, 4102444800L), Gen.oneOf(60L, 300L, 3600L, 21600L)) { (epochS, widthS) =>
+      val start = (epochS / widthS) * widthS
+      assert(start <= epochS && epochS < start + widthS)
+    }
+  }
+
+  test("inverse normal CDF: symmetric, monotone") {
+    forAll(Gen.choose(0.001, 0.499)) { p =>
+      val z = graft.anomaly.Gaussian.invCdf(p)
+      val zMirror = graft.anomaly.Gaussian.invCdf(1.0 - p)
+      assert(math.abs(z + zMirror) < 1e-7, s"symmetry at $p")
+      assert(z < 0)
+    }
+    forAll(Gen.choose(0.01, 0.98), Gen.choose(0.001, 0.009)) { (p, d) =>
+      assert(graft.anomaly.Gaussian.invCdf(p) < graft.anomaly.Gaussian.invCdf(p + d))
+    }
+  }
+
+  test("confluent framing: round-trips arbitrary payloads and ids") {
+    forAll(Gen.choose(0, Int.MaxValue), Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) {
+      (id, body) =>
+        val (gotId, gotBody) = graft.streaming.KafkaIO.confluentUnframe(
+          graft.streaming.KafkaIO.confluentFrame(id, body.toArray))
+        assert(gotId == id && gotBody.toSeq == body)
+    }
+  }
+
+  test("money format: always two decimals, round-trips within half a cent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    forAll(Gen.listOfN(20, Gen.choose(0.0, 100000.0))) { vals =>
+      whenever(vals.nonEmpty) {
+        val out = vals.toDF("v").select(graft.functions.Scalars.moneyFmt(col("v"))).collect()
+        out.map(_.getString(0)).zip(vals).foreach { case (s, v) =>
+          assert(s.matches("-?\\d+\\.\\d{2}"), s"'$s' not money-shaped")
+          assert(math.abs(s.toDouble - v) <= 0.005 + 1e-9)
+        }
+      }
+    }
+  }
+}
