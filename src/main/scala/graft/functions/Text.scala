@@ -65,18 +65,35 @@ object Text {
     val punctRatio = punctCount(c).cast("double") / chars
     val digitRatio = digitCount(c).cast("double") / chars
     val lenScore = least(n / lit(64.0), lit(1.0))
-    round(
-      least(stopRatio * 2.0, lit(1.0)) * 0.3 + uniqRatio * 0.3 + lenScore * 0.2 +
-        (lit(1.0) - least(punctRatio * 4.0, lit(1.0))) * 0.1 +
-        (lit(1.0) - least(digitRatio * 4.0, lit(1.0))) * 0.1,
-      4)
+    // unrounded: every term is a short chain of IEEE ops evaluated in written
+    // order, so the result is bit-reproducible across engines; rounding would
+    // reintroduce HALF_UP (Spark) vs half-even (DuckDB) divergence on ties
+    least(stopRatio * 2.0, lit(1.0)) * 0.3 + uniqRatio * 0.3 + lenScore * 0.2 +
+      (lit(1.0) - least(punctRatio * 4.0, lit(1.0))) * 0.1 +
+      (lit(1.0) - least(digitRatio * 4.0, lit(1.0))) * 0.1
   }
 
-  /** Token n-gram shingles (distinct), the input to Jaccard / MinHash dedup. */
-  def shingles(c: Column, n: Int): Column = {
+  /** Token n-gram shingles (incl. duplicates) from a MATERIALIZED token array
+    * column. `toks` must be a bound attribute (a column produced by a prior
+    * select/withColumn), not a derived expression: Catalyst does not CSE
+    * inside higher-order-function lambdas, so a derived `split(...)` here
+    * would re-evaluate once per element reference — O(tokens²) per row
+    * (measured 8× slowdown at sf0.1 before this restructuring).
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", (0 until n).map(j => try_element_at(toks, i + j)): _*))
+
+  /** Convenience one-shot shingles (distinct) — fine for small frames and
+    * candidate verification; hot paths should materialize tokens first and
+    * use [[shinglesFromTokens]] (see Dedup.minHashSignatures).
+    */
+  def shingles(c: Column, n: Int): Column = array_distinct(shinglesAll(c, n))
+
+  /** Convenience one-shot shingles including duplicates. */
+  def shinglesAll(c: Column, n: Int): Column = {
     val t = tokens(c)
-    array_distinct(
-      transform(sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
+    transform(sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(t, i, lit(n))))
   }
 }

@@ -34,8 +34,11 @@ object Dedup {
     */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int, numHashes: Int): DataFrame = {
+    // tokens materialized as an attribute BEFORE the shingle HOF — lambdas
+    // re-evaluate derived expressions per element (no CSE), attributes are free
     val exploded = df
-      .select(col(idCol).as("doc_id"), explode(Text.shingles(col(textCol), shingleSize)).as("shingle"))
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(Text.shinglesFromTokens(col("__toks"), shingleSize)).as("shingle"))
     val mins = (0 until numHashes).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"__h$i"))
     exploded.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
@@ -69,7 +72,11 @@ object Dedup {
     pairs
       .join(docs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
       .join(docs.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
-      .withColumn("jaccard", jaccardShingles(col("text_a"), col("text_b"), shingleSize))
+      .withColumn("__ta", Text.tokens(col("text_a"))).withColumn("__tb", Text.tokens(col("text_b")))
+      .withColumn("__sa", array_distinct(Text.shinglesFromTokens(col("__ta"), shingleSize)))
+      .withColumn("__sb", array_distinct(Text.shinglesFromTokens(col("__tb"), shingleSize)))
+      .withColumn("__common", size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
+      .withColumn("jaccard", col("__common") / (size(col("__sa")) + size(col("__sb")) - col("__common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -89,8 +96,8 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"),
-      Text.shingles(col(textCol), shingleSize).as("sh"))
+    val sh = df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), array_distinct(Text.shinglesFromTokens(col("__toks"), shingleSize)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
     val a = inv.select(col("shingle"), col("doc_id").as("id_a"), col("n_sh").as("n_a"))

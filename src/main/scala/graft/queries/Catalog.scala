@@ -544,12 +544,78 @@ object Catalog {
            CAST(CAST(o_totalprice + 10.0 AS DECIMAL(10,2)) AS VARCHAR) AS total_with_fee
     FROM orders"""))
 
+  private val q38 = Q("q38_quality_score", (s, dir) => {
+    t(s, dir, "documents").select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+  }, Some("""
+    WITH d AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    m AS (SELECT doc_id, text, t,
+                 greatest(len(t), 1)::DOUBLE AS n,
+                 greatest(length(text), 1)::DOUBLE AS chars,
+                 len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], x)))::DOUBLE AS stops,
+                 len(list_distinct(t))::DOUBLE AS uniq,
+                 (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE AS punct,
+                 (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE AS digits
+          FROM d)
+    SELECT doc_id,
+           least(stops / n * 2.0, 1.0) * 0.3 + (uniq / n) * 0.3 + least(n / 64.0, 1.0) * 0.2 +
+           (1.0 - least(punct / chars * 4.0, 1.0)) * 0.1 +
+           (1.0 - least(digits / chars * 4.0, 1.0)) * 0.1 AS quality
+    FROM m"""))
+
+  private val q39 = Q("q39_token_bpe", (s, dir) => {
+    // BPE-ish subword tokenization: letter runs, digit runs, single punctuation
+    // — the regex family GPT-style tokenizers pre-split with.
+    val pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("bpe_tokens"),
+      Text.tokenCount(col("text")).cast("long").as("ws_tokens"))
+  }, Some("""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens,
+           len(string_split_regex(trim(text), '\s+')) AS ws_tokens
+    FROM documents"""))
+
+  private val q40 = Q("q40_json_parse", (s, dir) => {
+    t(s, dir, "events").select(
+      col("event_id"),
+      from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+        .getField("k").as("k_val"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_via_path"))
+  }, Some("""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_via_path
+    FROM events"""))
+
+  private val q41 = Q("q41_skew_salted_agg", (s, dir) => {
+    // Salted two-stage aggregation — same answer as a direct groupBy, skew-proof
+    // plan (oracle is the plain SQL aggregation).
+    graft.operators.SkewedAgg(t(s, dir, "events"), Seq(col("event_type")), saltBuckets = 16)(
+      ("event_count", count(lit(1)), c => sum(col(c))),
+      ("total_value", sum(col("value").cast("decimal(25,2)")), c => sum(col(c)).cast("double")),
+      ("max_value", max(col("value")), c => max(col(c))))
+  }, Some("""
+    SELECT event_type, COUNT(*) AS event_count,
+           CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type"""))
+
+  private val q42 = Q("q42_winnow_fingerprints", (s, dir) => {
+    // Winnowing fingerprint overlap (rows-only: xxhash64 is engine-local;
+    // WinnowingSpec proves containment-detection invariants).
+    graft.llmops.Winnowing.sharedFingerprintPairs(
+      t(s, dir, "documents"), "text", "doc_id", k = 3, w = 4, minShared = 3)
+  }, None)
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
+    q41, q42)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

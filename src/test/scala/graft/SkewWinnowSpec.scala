@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llmops.Winnowing
+import graft.operators.SkewedAgg
+
+class SkewedAggSpec extends SparkSpec {
+  test("salted aggregation equals direct groupBy on skewed data") {
+    import spark.implicits._
+    // 10k rows of one hot key + scattered cold keys
+    val df = spark.range(10000).select(
+      when(col("id") < 9000, "hot").otherwise(concat(lit("cold"), pmod(col("id"), lit(50)))).as("k"),
+      (col("id") % 97).cast("double").as("v"))
+    val direct = df.groupBy("k").agg(
+      count(lit(1)).as("event_count"),
+      sum(col("v").cast("decimal(25,2)")).cast("double").as("total_value"),
+      max("v").as("max_value"))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val salted = SkewedAgg(df, Seq(col("k")), 16)(
+      ("event_count", count(lit(1)), c => sum(col(c))),
+      ("total_value", sum(col("v").cast("decimal(25,2)")), c => sum(col(c)).cast("double")),
+      ("max_value", max(col("v")), c => max(col(c))))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(salted == direct)
+  }
+}
+
+class WinnowingSpec extends SparkSpec {
+  test("identical docs share all fingerprints; containment is detected; disjoint docs share none") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val contained = s"PREFIX ONE TWO $base SUFFIX THREE"
+    val unrelated = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val df = Seq((1L, base), (2L, base), (3L, contained), (4L, unrelated)).toDF("doc_id", "text")
+    val pairs = Winnowing.sharedFingerprintPairs(df, "text", "doc_id", 3, 4, 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val fpCounts = Winnowing.fingerprints(df, "text", "doc_id", 3, 4)
+      .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs((1L, 2L)) == fpCounts(1L), "identical docs share every fingerprint")
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) >= 2, "containment must overlap")
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)), "disjoint docs share nothing")
+  }
+}
