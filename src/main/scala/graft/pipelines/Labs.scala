@@ -179,6 +179,114 @@ object Labs {
       .start()
   }
 
+  /** Streaming Lab1: file-stream orders → stream-static broadcast enrichment
+    * (no state, the dims are near-static — SURVEY.md §7.4 item 2) →
+    * foreachBatch agent execution → parquet sink.
+    */
+  def lab1PriceMatchStreaming(spark: SparkSession, dir: String, sinkPath: String,
+                              checkpointPath: String, limitPerBatch: Int = 20): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ordersSchema = spark.read.parquet(s"$dir/orders.parquet").schema
+    val orders = spark.readStream.schema(ordersSchema).parquet(s"$dir/")
+      .filter(col("o_orderkey").isNotNull)
+    val c = Tables(spark, dir, "customer")
+    val n = Tables(spark, dir, "nation")
+    val enriched = orders
+      .join(broadcast(c), orders("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(
+        orders("o_orderkey").as("order_id"),
+        c("c_name").as("customer_name"),
+        n("n_name").as("nation_name"),
+        Scalars.moneyFmt(orders("o_totalprice")).as("order_price"))
+
+    val agent = AgentDefinition(
+      name = "price_match_agent",
+      model = ScriptedChatModel("scripted-pricer", Seq("http_get", "send_email"),
+        verdictFor = p => if (math.floorMod(p.hashCode, 2) == 0) "MATCH" else "NO_MATCH"),
+      systemPrompt = "You compare our price against a competitor page and email the customer.",
+      tools = Map(
+        "http_get" -> ScriptedTools.HttpGetTool(),
+        "send_email" -> ScriptedTools.SendEmailTool()))
+
+    enriched.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val bounded = batch.orderBy("order_id").limit(limitPerBatch)
+            .withColumn("prompt",
+              concat(lit("Price-match check for order "), col("order_id"),
+                lit(" customer "), col("customer_name"),
+                lit(" at price "), col("order_price")))
+          AgentRuntime.runOnColumn(bounded, agent, "prompt")
+            .withColumn("verdict", regexp_extract(col("agent_response"), "VERDICT:\\s*(\\w+)", 1))
+            .drop("prompt")
+            .write.mode("append").parquet(sinkPath)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming Lab4: 6-h tumble → stateful anomaly → foreachBatch
+    * interval-join back to raw claims + judge agent → parquet sink.
+    * The join/agent stage runs per micro-batch of closed-window anomalies —
+    * the reference's own topology is likewise stage-decoupled (SURVEY.md §3).
+    */
+  def lab4FraudStreaming(spark: SparkSession, dir: String, sinkPath: String,
+                         checkpointPath: String, queueLimit: Int = 10): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.streaming.{StreamingAnomaly, StreamingOps}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema).parquet(s"$dir/")
+      .filter(col("event_id").isNotNull)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val windowed = StreamingOps.tumble(stream, "ts", "5 seconds", "6 hours", col("event_type"))(
+      "total_amount" -> Scalars.sumMoney(col("value")))
+    val cfg = AnomalyDetector.Config(minTrainingSize = 8, maxTrainingSize = 50, confidencePercentage = 95.0)
+    val spikes = StreamingAnomaly(
+      windowed.select(col("event_type"), col("window_time"), col("total_amount")),
+      "event_type", "window_time", "total_amount", cfg)
+      .filter(col("is_anomaly") && col("value") > col("upper_bound"))
+
+    val judge = AgentDefinition(
+      name = "fraud_judge",
+      model = ScriptedChatModel("scripted-judge", Seq.empty,
+        verdictFor = p => Seq("APPROVE", "APPROVE_PARTIAL", "REQUEST_DOCS", "DENY_INELIGIBLE", "DENY_FRAUD")(
+          math.floorMod(p.hashCode, 5))),
+      systemPrompt = "Review the claim against the 9-point checklist.",
+      tools = Map.empty)
+
+    spikes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.StreamingAnomaly.Detection], _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val spikeRows = batch.toDF()
+            .select(col("key").as("city"), col("ts").as("window_time"))
+          val claims = Tables(s, dir, "events").select(
+            col("event_id").as("claim_id"), col("event_type").as("claim_city"),
+            col("ts").cast("timestamp").as("claim_ts"), col("value").as("claim_amount"),
+            col("props").as("narrative"))
+          val toInvestigate = IntervalJoin(claims, spikeRows, "claim_city", "city",
+            "claim_ts", "window_time", "'-6' HOUR", "'0' HOUR")
+            .orderBy(col("claim_amount").desc, col("claim_id"))
+            .limit(queueLimit)
+            .withColumn("prompt",
+              concat(lit("Claim "), col("claim_id"), lit(" city "), col("claim_city"),
+                lit(" amount "), Scalars.moneyFmt(col("claim_amount"))))
+          AgentRuntime.runOnColumn(toInvestigate, judge, "prompt")
+            .withColumn("verdict", regexp_extract(col("agent_response"), "VERDICT:\\s*(\\w+)", 1))
+            .select(col("claim_id"), col("claim_city"), col("claim_amount"),
+              col("agent_status"), col("verdict"))
+            .write.mode("append").parquet(sinkPath)
+        }
+        ()
+      }
+      .start()
+  }
+
   // ------------------------------------------------------------------- lab 4
 
   /** Lab4 fraud: 6-h windows per city (event_type), anomaly on the claim-total

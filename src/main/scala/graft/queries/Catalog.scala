@@ -609,13 +609,59 @@ object Catalog {
       t(s, dir, "documents"), "text", "doc_id", k = 3, w = 4, minShared = 3)
   }, None)
 
+  private val q43 = Q("q43_tool_invoke", (s, dir) => {
+    // AI_TOOL_INVOKE (single-shot tool call, LAB1-Walkthrough.md:80-91) —
+    // rows-only: scripted model+tool are engine-local.
+    import graft.agent._
+    val agent = AgentDefinition("emailer",
+      ScriptedChatModel("m", Seq("send_email"), _ => "SENT"),
+      "You send one email.", Map("send_email" -> ScriptedTools.SendEmailTool()))
+    val base = t(s, dir, "orders").orderBy("o_orderkey").limit(20)
+      .select(col("o_orderkey").as("order_id"),
+        concat(lit("notify customer about order "), col("o_orderkey")).as("prompt"))
+    AgentRuntime.runOnColumn(base, agent, "prompt", "invoke")
+      .withColumn("verdict", regexp_extract(col("invoke_response"), "VERDICT:\\s*(\\w+)", 1))
+      .select("order_id", "invoke_status", "verdict")
+  }, None)
+
+  private val q44 = Q("q44_window_interval_join", (s, dir) => {
+    // Lab4's relational core (LAB4-Walkthrough.md:231-235): 6-h windowed totals
+    // per city, then claims interval-joined back on (city, ts ∈ (window_time-6h,
+    // window_time]); window_time = window_end - 1ms (SURVEY.md §7.4 item 4).
+    val windowed = Tumble(t(s, dir, "events"), "ts", "6 hours", col("event_type"))(
+      "total_amount" -> Scalars.sumMoney(col("value")))
+      .filter(col("total_amount") > 1200.0)
+      .select(col("event_type").as("city"), col("window_time"), col("total_amount"))
+    val claims = t(s, dir, "events").select(
+      col("event_id").as("claim_id"), col("event_type").as("claim_city"),
+      col("ts").as("claim_ts"), col("value").as("claim_amount"))
+    IntervalJoin(claims, windowed, "claim_city", "city",
+      "claim_ts", "window_time", "'-6' HOUR", "'0' HOUR")
+      .select(col("claim_id"), col("claim_city"),
+        col("claim_ts").cast("timestamp_ntz").as("claim_ts"),
+        col("claim_amount"),
+        col("window_time").cast("timestamp_ntz").as("window_time"),
+        col("total_amount"))
+  }, Some(s"""
+    WITH w AS (
+      SELECT event_type AS city,
+             time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' - INTERVAL '1' MILLISECOND AS window_time,
+             CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total_amount
+      FROM $EV e GROUP BY 1, time_bucket(INTERVAL '6 hours', ts)
+      HAVING CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) > 1200.0)
+    SELECT c.event_id AS claim_id, c.event_type AS claim_city, c.ts AS claim_ts,
+           c.value AS claim_amount, w.window_time, w.total_amount
+    FROM $EV c JOIN w ON c.event_type = w.city
+     AND c.ts >= w.window_time - INTERVAL '6' HOUR
+     AND c.ts <= w.window_time"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42)
+    q41, q42, q43, q44)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
