@@ -655,13 +655,28 @@ object Catalog {
      AND c.ts >= w.window_time - INTERVAL '6' HOUR
      AND c.ts <= w.window_time"""))
 
+  private val q45 = Q("q45_kafka_serde_roundtrip", (s, dir) => {
+    // S1/S2 payload serde: rows → Kafka (key, json value) → parsed back.
+    // Round-trip must be the identity — the oracle is the source itself.
+    import org.apache.spark.sql.types._
+    val base = t(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      col("ts").cast("timestamp_ntz").as("ts"))
+    val wire = graft.streaming.KafkaIO.toJsonValue(base, Some("event_id"))
+    graft.streaming.KafkaIO.fromJsonValue(wire, StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts", TimestampNTZType))))
+  }, Some(s"""
+    SELECT event_id, user_id, event_type, value, ts FROM $EV e"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44)
+    q41, q42, q43, q44, q45)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

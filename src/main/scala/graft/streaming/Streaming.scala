@@ -110,12 +110,19 @@ object KafkaIO {
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
 
+  /** Microsecond-preserving timestamp formats: Spark's to_json default
+    * renders millis only, silently truncating round-trips.
+    */
+  private val serdeOptions = Map(
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
   /** JSON value serde: parse a Kafka `value` column into typed columns. */
   def fromJsonValue(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
-    df.select(from_json(col("value").cast("string"), schema).as("r")).select("r.*")
+    df.select(from_json(col("value").cast("string"), schema, serdeOptions).as("r")).select("r.*")
 
   def toJsonValue(df: DataFrame, keyCol: Option[String]): DataFrame = {
-    val value = to_json(struct(df.columns.map(col): _*)).as("value")
+    val value = to_json(struct(df.columns.map(col): _*), serdeOptions).as("value")
     keyCol match {
       case Some(k) => df.select(col(k).cast("string").as("key"), value)
       case None    => df.select(value)
