@@ -670,13 +670,68 @@ object Catalog {
   }, Some(s"""
     SELECT event_id, user_id, event_type, value, ts FROM $EV e"""))
 
+  private val q46 = Q("q46_window_sliding", (s, dir) => {
+    // Sliding windows (beyond reference parity — Flink HOP): size 10m slide 5m,
+    // each row lands in exactly 2 windows.
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("window.end").cast("timestamp_ntz").as("window_end"),
+        col("event_type"), col("cnt"))
+  }, Some(s"""
+    WITH offs AS (SELECT unnest([0, 1]) AS k),
+    assigned AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes' AS window_start,
+             event_type
+      FROM $EV e CROSS JOIN offs)
+    SELECT window_start, window_start + INTERVAL '10 minutes' AS window_end,
+           event_type, COUNT(*) AS cnt
+    FROM assigned GROUP BY 1, 2, 3"""))
+
+  private val q47 = Q("q47_window_session", (s, dir) => {
+    // Session windows (beyond reference parity): 30-min inactivity gap per user.
+    t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("session_window.end").cast("timestamp_ntz").as("session_end"),
+        col("user_id"), col("cnt"))
+  }, Some(s"""
+    WITH e AS (SELECT user_id, ts, event_id FROM $EV x),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    grouped AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked)
+    SELECT MIN(ts) AS session_start, MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id, COUNT(*) AS cnt
+    FROM grouped GROUP BY user_id, sess"""))
+
+  private val q48 = Q("q48_distinct_agg", (s, dir) => {
+    t(s, dir, "events").groupBy("event_type").agg(
+      countDistinct(col("user_id")).as("unique_users"),
+      count(lit(1)).as("total_events"),
+      min("value").as("min_value"),
+      max("value").as("max_value"))
+  }, Some("""
+    SELECT event_type, COUNT(DISTINCT user_id) AS unique_users, COUNT(*) AS total_events,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY event_type"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45)
+    q41, q42, q43, q44, q45, q46, q47, q48)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
