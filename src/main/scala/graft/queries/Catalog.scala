@@ -600,7 +600,7 @@ object Catalog {
     SELECT event_type, COUNT(*) AS event_count,
            CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total_value,
            MAX(value) AS max_value
-    FROM events GROUP BY event_type"""))
+    FROM events GROUP BY event_type"""), headline = true)
 
   private val q42 = Q("q42_winnow_fingerprints", (s, dir) => {
     // Winnowing fingerprint overlap (rows-only: xxhash64 is engine-local;
@@ -653,7 +653,7 @@ object Catalog {
            c.value AS claim_amount, w.window_time, w.total_amount
     FROM $EV c JOIN w ON c.event_type = w.city
      AND c.ts >= w.window_time - INTERVAL '6' HOUR
-     AND c.ts <= w.window_time"""))
+     AND c.ts <= w.window_time"""), headline = true)
 
   private val q45 = Q("q45_kafka_serde_roundtrip", (s, dir) => {
     // S1/S2 payload serde: rows → Kafka (key, json value) → parsed back.
@@ -688,7 +688,7 @@ object Catalog {
       FROM $EV e CROSS JOIN offs)
     SELECT window_start, window_start + INTERVAL '10 minutes' AS window_end,
            event_type, COUNT(*) AS cnt
-    FROM assigned GROUP BY 1, 2, 3"""))
+    FROM assigned GROUP BY 1, 2, 3"""), headline = true)
 
   private val q47 = Q("q47_window_session", (s, dir) => {
     // Session windows (beyond reference parity): 30-min inactivity gap per user.
@@ -712,7 +712,7 @@ object Catalog {
       FROM marked)
     SELECT MIN(ts) AS session_start, MAX(ts) + INTERVAL '30 minutes' AS session_end,
            user_id, COUNT(*) AS cnt
-    FROM grouped GROUP BY user_id, sess"""))
+    FROM grouped GROUP BY user_id, sess"""), headline = true)
 
   private val q48 = Q("q48_distinct_agg", (s, dir) => {
     t(s, dir, "events").groupBy("event_type").agg(
@@ -725,13 +725,33 @@ object Catalog {
            MIN(value) AS min_value, MAX(value) AS max_value
     FROM events GROUP BY event_type"""))
 
+  private val q49 = Q("q49_rollup", (s, dir) => {
+    // Multi-level aggregation (beyond reference parity): ROLLUP over two dims.
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), Scalars.sumMoney(col("l_quantity")).as("sum_qty"))
+  }, Some("""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+
+  private val q50 = Q("q50_skew_salted_join", (s, dir) => {
+    // Salted equi-join (skew-proof layout) — answer-identical to a plain join.
+    val events = t(s, dir, "events")
+    val dim = events.select(col("event_type").as("et")).distinct()
+      .withColumn("type_label", upper(col("et")))
+    graft.operators.SkewedJoin(events, dim, "event_type", "et", saltBuckets = 8)
+      .select(col("event_id"), col("event_type"), col("type_label"))
+  }, Some("""
+    SELECT event_id, event_type, upper(event_type) AS type_label FROM events"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48)
+    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
