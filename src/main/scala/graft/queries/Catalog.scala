@@ -745,13 +745,63 @@ object Catalog {
   }, Some("""
     SELECT event_id, event_type, upper(event_type) AS type_label FROM events"""))
 
+  private val q51 = Q("q51_text_clean", (s, dir) => {
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      graft.llmops.Curation.cleanText(col("text")).as("clean"),
+      length(graft.llmops.Curation.cleanText(col("text"))).cast("long").as("clean_len"))
+  }, Some("""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(text, '[\x00-\x1f]', ' ', 'g'), '\s+', ' ', 'g')) AS clean,
+           length(trim(regexp_replace(regexp_replace(text, '[\x00-\x1f]', ' ', 'g'), '\s+', ' ', 'g'))) AS clean_len
+    FROM documents"""))
+
+  private val q52 = Q("q52_hash_sample_split", (s, dir) => {
+    // Deterministic content-hash sampling + train/valid/test assignment —
+    // reproducible across engines (md5-prefix bucket), unlike seeded sample().
+    graft.llmops.Curation.split(
+      graft.llmops.Curation.sample(t(s, dir, "documents"), "text", 50),
+      "text", trainPct = 40, validPct = 5)
+      .select(col("doc_id"),
+        graft.llmops.Curation.hashBucket(col("text")).as("bucket"),
+        col("split"))
+  }, Some("""
+    WITH b AS (SELECT doc_id, ('0x' || substring(md5(text), 1, 8))::BIGINT % 100 AS bucket FROM documents)
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 40 THEN 'train' WHEN bucket < 45 THEN 'valid' ELSE 'test' END AS split
+    FROM b WHERE bucket < 50"""))
+
+  private val q53 = Q("q53_token_packing", (s, dir) => {
+    // Token-budget packing for training batches: consecutive docs chunked at
+    // a 512-token budget over a deterministic global order.
+    graft.llmops.Curation.packByTokenBudget(
+      t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id", budget = 512)
+      .select("doc_id", "n_tokens", "cum_tokens", "pack_id")
+  }, Some("""
+    WITH tok AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          FROM tok)
+    SELECT doc_id, n_tokens, cum_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 512) AS BIGINT) AS pack_id
+    FROM c"""))
+
+  private val q54 = Q("q54_curation_pipeline", (s, dir) => {
+    // End-to-end corpus curation (rows-only: LSH stage is engine-local; every
+    // component is oracle-checked individually — q18/q27/q28/q20/q38).
+    graft.llmops.Curation.curate(t(s, dir, "documents"), "text", "doc_id",
+      lang = "en", minQuality = 0.3, jaccardThreshold = 0.5)
+      .select(col("doc_id"), col("lang_pred"), round(col("quality"), 4).as("quality"))
+  }, None, headline = true)
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
+    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
+    q51, q52, q53, q54)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llmops.Curation
+
+class CurationSpec extends SparkSpec {
+
+  test("hash sampling is deterministic and consistent for duplicate content") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta")).toDF("id", "text")
+    val b = df.select(col("id"), Curation.hashBucket(col("text")).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) == b(2L), "identical content must land in the same bucket")
+    val s1 = Curation.sample(graft.core.Tables(spark, sfDir, "documents"), "text", 30).count()
+    val s2 = Curation.sample(graft.core.Tables(spark, sfDir, "documents"), "text", 30).count()
+    assert(s1 == s2 && s1 > 0)
+  }
+
+  test("split fractions are roughly honored and partition the sample") {
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val split = Curation.split(docs, "text", 80, 10)
+    val counts = split.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    assert(counts.keySet == Set("train", "valid", "test"))
+    assert(counts("train") / total > 0.6, s"train share too low: $counts")
+    assert(counts("train") + counts("valid") + counts("test") == docs.count())
+  }
+
+  test("cleanText collapses whitespace and strips control chars") {
+    import spark.implicits._
+    val r = Seq("  a\t\tbc   d  ").toDF("t")
+      .select(Curation.cleanText(col("t"))).head().getString(0)
+    assert(r == "a b c d")
+  }
+
+  test("token packing respects order and budget accounting") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toLong, Seq.fill(100)("tok").mkString(" "))).toDF("doc_id", "text")
+    val packed = Curation.packByTokenBudget(df, "text", "doc_id", budget = 250)
+      .orderBy("doc_id").collect()
+    // 100 tokens each, budget 250 → packs of docs {1,2,3},{4,5},{6,7,8}... pack_id = floor(prev_cum/250)
+    assert(packed.map(_.getAs[Long]("pack_id")).toSeq == Seq(0L, 0L, 0L, 1L, 1L, 2L, 2L, 2L, 3L, 3L))
+    assert(packed.last.getAs[Long]("cum_tokens") == 1000L)
+  }
+
+  test("curate: output is exact- and near-dup free, language/quality filtered") {
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val out = Curation.curate(docs, "text", "doc_id", lang = "en", minQuality = 0.0, jaccardThreshold = 0.5)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.size < docs.count())
+    // no surviving near-dup pairs among the survivors
+    val remaining = graft.llmops.Dedup.minHashLsh(
+      docs.join(out.select("doc_id"), Seq("doc_id"), "leftsemi"), "text", "doc_id", threshold = 0.5).count()
+    assert(remaining == 0, "curated corpus must contain no verified near-dup pairs")
+    assert(out.select("lang_pred").collect().forall(_.getString(0) == "en"))
+  }
+}
