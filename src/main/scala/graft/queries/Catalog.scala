@@ -794,6 +794,50 @@ object Catalog {
       .select(col("doc_id"), col("lang_pred"), round(col("quality"), 4).as("quality"))
   }, None, headline = true)
 
+  private val q55 = Q("q55_pivot", (s, dir) => {
+    // Pivot (conditional aggregation): events per user bucketed by type.
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "purchase", "signup", "error", "view"))
+      .count()
+      .na.fill(0L)
+  }, Some("""
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'error') AS error,
+           COUNT(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY user_id"""))
+
+  private val q56 = Q("q56_set_ops", (s, dir) => {
+    // UNION / INTERSECT / EXCEPT over key sets.
+    val big = t(s, dir, "events").filter(col("value") > 150.0).select("user_id").distinct()
+    val buyers = t(s, dir, "events").filter(col("event_type") === "purchase").select("user_id").distinct()
+    big.intersect(buyers).withColumn("set_kind", lit("both"))
+      .unionByName(big.exceptAll(buyers).distinct().withColumn("set_kind", lit("big_only")))
+  }, Some("""
+    WITH big AS (SELECT DISTINCT user_id FROM events WHERE value > 150.0),
+    buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT user_id, 'both' AS set_kind FROM (SELECT * FROM big INTERSECT SELECT * FROM buyers)
+    UNION ALL
+    SELECT user_id, 'big_only' AS set_kind FROM (SELECT * FROM big EXCEPT SELECT * FROM buyers)"""))
+
+  private val q57 = Q("q57_arg_minmax", (s, dir) => {
+    // min_by/max_by (arg-extrema) per group with deterministic tie handling:
+    // value ties broken by taking the extremum of the id among tied rows via
+    // struct-ordering (max of (value, id) pairs).
+    t(s, dir, "events").groupBy("event_type").agg(
+      max(struct(col("value"), col("event_id"))).getField("event_id").as("max_value_event"),
+      min(struct(col("value"), col("event_id"))).getField("event_id").as("min_value_event"),
+      max("value").as("max_value"))
+  }, Some("""
+    SELECT event_type,
+           (MAX({'v': value, 'i': event_id})).i AS max_value_event,
+           (MIN({'v': value, 'i': event_id})).i AS min_value_event,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -801,7 +845,7 @@ object Catalog {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54)
+    q51, q52, q53, q54, q55, q56, q57)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
