@@ -68,7 +68,7 @@ object StreamingOps {
     * MERGE or a compacted Kafka topic keyed on the PK.
     */
   def upsertParquet(df: DataFrame, path: String, keyCols: Seq[String], orderCol: String): DataStreamWriter[org.apache.spark.sql.Row] =
-    df.writeStream.outputMode("update").foreachBatch { (batch: DataFrame, _: Long) =>
+    df.writeStream.outputMode("update").foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val existing =
         try Some(spark.read.parquet(path)) catch { case _: Exception => None }
@@ -77,9 +77,15 @@ object StreamingOps {
         .partitionBy(keyCols.map(col): _*)
         .orderBy(col(orderCol).desc)
       val merged = all.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-      merged.cache().count() // materialise before overwriting the input path
-      merged.write.mode("overwrite").parquet(path)
-      merged.unpersist()
+      // Write-aside + atomic swap: writing directly over `path` while `merged`
+      // still reads from it would corrupt the sink if any cached block were
+      // recomputed mid-overwrite. The rename pair is metadata-only.
+      val tmp = s"${path}__staging_$batchId"
+      merged.write.mode("overwrite").parquet(tmp)
+      val hadoopPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(hadoopPath, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), hadoopPath)
       ()
     }
 }
