@@ -98,6 +98,38 @@ object AgentRuntime {
       }
     }(Encoders.row(schema))
   }
+
+  /** Bounded-concurrency variant of [[runOnColumn]]: `concurrency` agent loops
+    * in flight per task, order-preserving. Agent runs are latency-bound
+    * (model + tool round-trips, 30 s/call in the reference) — overlapping them
+    * is the difference between a partition of N rows costing N·latency and
+    * ~N/concurrency·latency. Same window-of-futures shape as
+    * MlPredict.generateConcurrent.
+    */
+  def runOnColumnConcurrent(df: DataFrame, agent: AgentDefinition, promptCol: String,
+                            prefix: String = "agent", concurrency: Int = 8): DataFrame = {
+    val schema: StructType = df.schema
+      .add(s"${prefix}_status", StringType)
+      .add(s"${prefix}_response", StringType)
+    val idx = df.schema.fieldIndex(promptCol)
+    df.mapPartitions { it =>
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val out = it
+        .map(r => (r, Future(run(agent, Option(r.getString(idx)).getOrElse("")))))
+        .grouped(concurrency)
+        .flatMap(_.map { case (r, f) =>
+          val res = Await.result(f, Duration.Inf)
+          Row.fromSeq(r.toSeq :+ res.status :+ res.response)
+        })
+      new Iterator[Row] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) pool.shutdown(); h }
+        def next(): Row = out.next()
+      }
+    }(Encoders.row(schema))
+  }
 }
 
 // ------------------------------------------------------------------ catalogs

@@ -88,6 +88,28 @@ object Labs {
         col("response"))
   }
 
+  /** Streaming Lab2 embed-insert (the reference's continuous
+    * `INSERT INTO queries_embed SELECT query, embedding FROM queries,
+    * LATERAL TABLE(ML_PREDICT(...))`, terraform/lab2-vector-search/main.tf:253):
+    * a file-stream of documents continuously embedded and appended to the
+    * vector-store staging sink. The embed UDF runs row-local inside the
+    * streaming micro-batch — no state, pure append.
+    */
+  def lab2EmbedStreaming(spark: SparkSession, dir: String, sinkPath: String,
+                         checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(docsSchema).parquet(s"$dir/")
+      .filter(col("doc_id").isNotNull)
+    MlPredict.embed(stream, "local-embed-64", "text")
+      .select(col("doc_id"), col("text").as("chunk"), col("embedding"))
+      .writeStream
+      .format("parquet")
+      .option("path", sinkPath)
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .start()
+  }
+
   // ------------------------------------------------------------------- lab 3
 
   /** Lab3 fleet: 5-min windows per zone (event_type), anomaly-detect the count
