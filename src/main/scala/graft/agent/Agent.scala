@@ -100,35 +100,27 @@ object AgentRuntime {
   }
 
   /** Bounded-concurrency variant of [[runOnColumn]]: `concurrency` agent loops
-    * in flight per task, order-preserving. Agent runs are latency-bound
+    * in flight per task, order-preserving (sliding window, pool released via
+    * task-completion listener, per-run timeout). Agent runs are latency-bound
     * (model + tool round-trips, 30 s/call in the reference) — overlapping them
     * is the difference between a partition of N rows costing N·latency and
-    * ~N/concurrency·latency. Same window-of-futures shape as
-    * MlPredict.generateConcurrent.
+    * ~N/concurrency·avg-latency. A model/tool exception becomes a FAILED row,
+    * not a task failure. Shared machinery: core.ConcurrentPartitions.
     */
   def runOnColumnConcurrent(df: DataFrame, agent: AgentDefinition, promptCol: String,
-                            prefix: String = "agent", concurrency: Int = 8): DataFrame = {
+                            prefix: String = "agent", concurrency: Int = 8,
+                            timeout: scala.concurrent.duration.FiniteDuration =
+                              graft.core.ConcurrentPartitions.DefaultTimeout): DataFrame = {
     val schema: StructType = df.schema
       .add(s"${prefix}_status", StringType)
       .add(s"${prefix}_response", StringType)
     val idx = df.schema.fieldIndex(promptCol)
-    df.mapPartitions { it =>
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val out = it
-        .map(r => (r, Future(run(agent, Option(r.getString(idx)).getOrElse("")))))
-        .grouped(concurrency)
-        .flatMap(_.map { case (r, f) =>
-          val res = Await.result(f, Duration.Inf)
-          Row.fromSeq(r.toSeq :+ res.status :+ res.response)
-        })
-      new Iterator[Row] {
-        def hasNext: Boolean = { val h = out.hasNext; if (!h) pool.shutdown(); h }
-        def next(): Row = out.next()
-      }
-    }(Encoders.row(schema))
+    graft.core.ConcurrentPartitions.mapConcurrent(df, schema, concurrency, timeout) { r =>
+      val res =
+        try run(agent, Option(r.getString(idx)).getOrElse(""))
+        catch { case e: Exception => AgentResult("FAILED", s"agent error: ${e.getMessage}") }
+      Seq(res.status, res.response)
+    }
   }
 }
 

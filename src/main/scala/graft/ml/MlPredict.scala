@@ -44,30 +44,22 @@ object MlPredict {
   }
 
   /** Bounded-concurrency per-partition generation: `concurrency` in-flight
-    * model calls per task, input order preserved. This is the physical shape
-    * for latency-bound remote providers (reference: 30 s/call tool timeouts,
-    * LAB1-Walkthrough.md:146) — a partition of N rows completes in
-    * ~N/concurrency · latency instead of N · latency, with no driver
-    * involvement and backpressure from the fixed window size.
+    * model calls per task, input order preserved (sliding window, no batch
+    * barrier). The physical shape for latency-bound remote providers
+    * (reference: 30 s/call tool timeouts, LAB1-Walkthrough.md:146) — a
+    * partition of N rows completes in ~N/concurrency · avg-latency with no
+    * driver involvement; per-call `timeout` fails the task instead of
+    * wedging the stage. Shared machinery: core.ConcurrentPartitions.
     */
   def generateConcurrent(df: DataFrame, modelName: String, inCol: String,
-                         outCol: String = "response", concurrency: Int = 8): DataFrame = {
+                         outCol: String = "response", concurrency: Int = 8,
+                         timeout: scala.concurrent.duration.FiniteDuration =
+                           graft.core.ConcurrentPartitions.DefaultTimeout): DataFrame = {
     val model = ModelCatalog.textGen(modelName)
     val schema = df.schema.add(outCol, StringType)
     val idx = df.schema.fieldIndex(inCol)
-    df.mapPartitions { it =>
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val out = it
-        .map(r => (r, Future(model.generate(Option(r.getString(idx)).getOrElse("")))))
-        .grouped(concurrency) // sliding window of in-flight futures
-        .flatMap(_.map { case (r, f) => Row.fromSeq(r.toSeq :+ Await.result(f, Duration.Inf)) })
-      new Iterator[Row] {
-        def hasNext: Boolean = { val h = out.hasNext; if (!h) pool.shutdown(); h }
-        def next(): Row = out.next()
-      }
-    }(Encoders.row(schema))
+    graft.core.ConcurrentPartitions.mapConcurrent(df, schema, concurrency, timeout) { r =>
+      Seq(model.generate(Option(r.getString(idx)).getOrElse("")))
+    }
   }
 }

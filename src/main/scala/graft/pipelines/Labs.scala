@@ -98,8 +98,8 @@ object Labs {
   def lab2EmbedStreaming(spark: SparkSession, dir: String, sinkPath: String,
                          checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val stream = spark.readStream.schema(docsSchema).parquet(s"$dir/")
-      .filter(col("doc_id").isNotNull)
+    val stream = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
     MlPredict.embed(stream, "local-embed-64", "text")
       .select(col("doc_id"), col("text").as("chunk"), col("embedding"))
       .writeStream
@@ -163,8 +163,8 @@ object Labs {
     import graft.streaming.{StreamingAnomaly, StreamingOps}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(rawSchema).parquet(s"$dir/")
-      .filter(col("event_id").isNotNull)
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val windowed = StreamingOps.tumble(stream, "ts", "5 seconds", "5 minutes", col("event_type"))(
       "request_count" -> count(lit(1)))
@@ -208,8 +208,11 @@ object Labs {
   def lab1PriceMatchStreaming(spark: SparkSession, dir: String, sinkPath: String,
                               checkpointPath: String, limitPerBatch: Int = 20): org.apache.spark.sql.streaming.StreamingQuery = {
     val ordersSchema = spark.read.parquet(s"$dir/orders.parquet").schema
-    val orders = spark.readStream.schema(ordersSchema).parquet(s"$dir/")
-      .filter(col("o_orderkey").isNotNull)
+    // ingest only the orders file: the file source needs a directory path, so
+    // select the table via pathGlobFilter instead of null-filtering every
+    // other table's rows each micro-batch
+    val orders = spark.readStream.schema(ordersSchema)
+      .option("pathGlobFilter", "orders.parquet").parquet(dir)
     val c = Tables(spark, dir, "customer")
     val n = Tables(spark, dir, "nation")
     val enriched = orders
@@ -260,8 +263,8 @@ object Labs {
     import graft.streaming.{StreamingAnomaly, StreamingOps}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(rawSchema).parquet(s"$dir/")
-      .filter(col("event_id").isNotNull)
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val windowed = StreamingOps.tumble(stream, "ts", "5 seconds", "6 hours", col("event_type"))(
       "total_amount" -> Scalars.sumMoney(col("value")))
