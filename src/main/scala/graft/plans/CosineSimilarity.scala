@@ -80,16 +80,45 @@ object CosineSimilarity {
   }
 }
 
-/** SparkSessionExtensions installer: exposes the native function to SQL as
-  * `cosine_similarity(a, b)`. Wire with
-  * `.withExtensions(new GraftExtensions)` or
+/** SparkSessionExtensions installer: exposes graft's function surface to SQL.
+  * Wire with `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * `cosine_similarity` is a native expression; the rest are Column-composition
+  * functions lifted to Expression builders through the Bridge — they expand to
+  * the same codegen'd expression trees the DataFrame API produces.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("cosine_similarity"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def lift1(name: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
+    import org.apache.spark.sql.graft.Bridge
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (children: Seq[Expression]) => Bridge.resolvedExpression(f(Bridge.column(children.head))))
   }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    lift1("graft_quality_score", graft.functions.Text.qualityScore),
+    lift1("graft_lang_id", graft.functions.Text.langId),
+    lift1("graft_token_count", c => graft.functions.Text.tokenCount(c).cast("long")),
+    lift1("graft_hash_bucket", graft.llmops.Curation.hashBucket),
+    lift1("graft_money_fmt", graft.functions.Scalars.moneyFmt),
+    lift1("graft_clean_text", graft.llmops.Curation.cleanText))
+
+  /** Register into an already-built session (getOrCreate ignores
+    * withExtensions when a session exists in the JVM).
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

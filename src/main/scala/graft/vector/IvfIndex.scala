@@ -86,7 +86,26 @@ object IvfIndex {
       TopK.explodeRanked(agg, "nn", Seq(col(qidCol)))
         .select(col(qidCol), col("rank"), col("id").as("nid"), col("score").as("sim"))
     }
+
+    /** Persist the index: corpus partitioned by list_id (so loads prune to the
+      * probed lists), centroids alongside. This is the 100 TB layout — the
+      * one-time partitionBy write buys every subsequent query a scan of
+      * nProbes/nLists of the corpus via partition pruning.
+      */
+    def save(path: String): Unit = {
+      assigned.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/assigned")
+      centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    }
   }
+
+  /** Load a saved index. `search` on the result joins on the partition column,
+    * and a probed-list filter reaches the scan as a PartitionFilter — only the
+    * probed lists' files are read.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Ivf =
+    Ivf(
+      centroids = spark.read.parquet(s"$path/centroids"),
+      assigned = spark.read.parquet(s"$path/assigned"))
 
   /** Route each query row to its nProbes nearest centroid list ids. */
   private[vector] def probeLists(queries: DataFrame, centroids: DataFrame,

@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column's node tree into a real catalyst Expression
+    * (UnresolvedFunction nodes included, which the analyzer then resolves).
+    * `ExpressionUtils.expression` instead wraps the node lazily in a
+    * ColumnNodeExpression, which fails codegen if it reaches execution —
+    * necessary for FunctionBuilder-injected composite functions.
+    */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

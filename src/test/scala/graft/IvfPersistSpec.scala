@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.vector.IvfIndex
+
+class IvfPersistSpec extends SparkSpec {
+
+  test("saved IVF index round-trips and probed search prunes partitions") {
+    val emb = graft.core.Tables(spark, sfDir, "embeddings")
+    val ivf = IvfIndex.build(emb.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", nLists = 8, iterations = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/index"
+    ivf.save(dir)
+
+    val loaded = IvfIndex.load(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val live = ivf.search(queries, "qid", "qvec", k = 3, nProbes = 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val persisted = loaded.search(queries, "qid", "qvec", k = 3, nProbes = 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(persisted == live, "persisted index must reproduce the live index's results")
+
+    // partition pruning: a probed-list filter must appear as a PartitionFilter,
+    // reading only those lists' files
+    val pruned = loaded.assigned.filter(col("list_id").isin(0L, 1L))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("list_id"),
+      s"list filter must prune partitions:\n${scan.linesIterator.take(8).mkString("\n")}")
+    assert(pruned.select(countDistinct("list_id")).head().getLong(0) <= 2)
+  }
+}
+
+class SqlFunctionsSpec extends SparkSpec {
+  test("graft function pack works through a SQL-only session") {
+    // getOrCreate ignores withExtensions when the shared suite session exists,
+    // so register into it — same builders the extension installs
+    val s2 = spark
+    graft.plans.GraftExtensions.registerAll(s2)
+    try {
+      graft.core.Tables(s2, sfDir, "documents").limit(20).createOrReplaceTempView("docs_v")
+      val rows = s2.sql("""
+        SELECT doc_id,
+               graft_quality_score(text) AS q,
+               graft_lang_id(text) AS lang,
+               graft_token_count(text) AS toks,
+               graft_hash_bucket(text) AS bucket,
+               graft_money_fmt(CAST(doc_id AS DOUBLE) + 0.5) AS money,
+               graft_clean_text('  a   b ') AS cleaned
+        FROM docs_v""").collect()
+      assert(rows.length == 20)
+      assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+      assert(rows.forall(r => Set("en", "es", "de")(r.getString(2))))
+      assert(rows.forall(r => r.getLong(3) > 0))
+      assert(rows.forall(r => r.getLong(4) >= 0 && r.getLong(4) < 100))
+      assert(rows.forall(_.getString(6) == "a b"))
+      assert(rows.head.getString(5).endsWith(".50"))
+    } finally () // shared-context session; do not stop (same JVM SparkContext)
+  }
+}
