@@ -115,10 +115,26 @@ object GraftExtensions {
     lift1("graft_clean_text", graft.llmops.Curation.cleanText))
 
   /** Register into an already-built session (getOrCreate ignores
-    * withExtensions when a session exists in the JVM).
+    * withExtensions when a session exists in the JVM). Also registers the
+    * model-invocation UDFs, which need a live session.
     */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    registerModelUdfs(spark)
+  }
+
+  /** ML_PREDICT's SQL form. The reference's `LATERAL TABLE(ML_PREDICT('m', x))`
+    * is 1-row-in/1-row-out at every observed call site (SURVEY.md §2.3 J3), so
+    * a scalar function is the faithful SQL surface — no parser extension
+    * needed: `SELECT ml_predict('local-textgen', text) FROM docs`.
+    * Models resolve from the ModelCatalog inside the executor.
+    */
+  def registerModelUdfs(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("ml_predict", (model: String, text: String) =>
+      graft.ml.ModelCatalog.textGen(model).generate(Option(text).getOrElse("")))
+    spark.udf.register("ml_embed", (model: String, text: String) =>
+      graft.ml.ModelCatalog.embedding(model).embed(Option(text).getOrElse("")))
+  }
 }

@@ -56,6 +56,13 @@ class SqlFunctionsSpec extends SparkSpec {
       assert(rows.forall(r => r.getLong(4) >= 0 && r.getLong(4) < 100))
       assert(rows.forall(_.getString(6) == "a b"))
       assert(rows.head.getString(5).endsWith(".50"))
+      // ML_PREDICT's SQL surface: scalar model invocation with catalog dispatch
+      val ml = s2.sql("""
+        SELECT ml_predict('local-textgen', text) AS resp,
+               size(ml_embed('local-embed-64', text)) AS dim
+        FROM docs_v LIMIT 3""").collect()
+      assert(ml.forall(_.getString(0).startsWith("[local-textgen]")))
+      assert(ml.forall(_.getInt(1) == 64))
     } finally () // shared-context session; do not stop (same JVM SparkContext)
   }
 }
