@@ -24,8 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object AnomalyDetector {
 
-  case class Config(minTrainingSize: Int, maxTrainingSize: Int, confidencePercentage: Double) {
+  /** `enableStl` mirrors the reference's `'enableStl' = FALSE` config key
+    * (LAB4-Walkthrough.md:185-190). Every observed reference call sets it
+    * FALSE; the seasonal-decomposition path is unimplemented here, so TRUE is
+    * rejected fast and loudly rather than silently ignored.
+    */
+  case class Config(minTrainingSize: Int, maxTrainingSize: Int, confidencePercentage: Double,
+                    enableStl: Boolean = false) {
     require(minTrainingSize >= 2, "need >=2 history rows for a stddev")
+    require(!enableStl,
+      "enableStl=TRUE (STL seasonal decomposition) is not implemented; every reference call site sets FALSE (LAB4-Walkthrough.md:185-190)")
     val z: Double = Gaussian.invCdf(0.5 + confidencePercentage / 200.0)
   }
 

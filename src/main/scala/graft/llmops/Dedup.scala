@@ -56,6 +56,8 @@ object Dedup {
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleSize: Int = 3, numHashes: Int = 16, numBands: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
+    require(numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be divisible by numBands ($numBands) — trailing hashes would be silently ignored")
     val rowsPerBand = numHashes / numBands
     val sig = minHashSignatures(df, textCol, idCol, shingleSize, numHashes)
     val banded = sig.select(col("doc_id"),
@@ -136,6 +138,11 @@ object Dedup {
     * exact quarter), verify Hamming distance on candidates.
     */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+    // 4 quarters guarantee recall only when at most 3 bits differ (pigeonhole:
+    // ≤3 flipped bits leave ≥1 of 4 quarters untouched); larger radii would
+    // silently miss pairs whose flips straddle all four quarters.
+    require(maxHamming <= 3,
+      s"maxHamming ($maxHamming) > 3 breaks the 4-quarter recall guarantee; band on more pieces instead")
     val sig = simHashSignatures(df, textCol, idCol)
     val banded = sig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),

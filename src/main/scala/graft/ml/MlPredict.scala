@@ -38,6 +38,10 @@ object MlPredict {
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         val outs = model.generateBatch(batch.map(r => Option(r.getString(idx)).getOrElse("")))
+        // lazyZip would silently drop rows (or misalign) on a short/long
+        // provider response — fail the task loudly instead
+        require(outs.size == batch.size,
+          s"model '${model.name}' returned ${outs.size} outputs for a batch of ${batch.size}")
         batch.lazyZip(outs).map { (r, o) => Row.fromSeq(r.toSeq :+ o) }
       }
     }(Encoders.row(schema))

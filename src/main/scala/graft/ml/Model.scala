@@ -75,6 +75,10 @@ object ModelCatalog {
   def registerEmbedding(m: EmbeddingModel): Unit = embedders.put(m.name, m)
   def registerTextGen(m: TextGenModel): Unit = textgens.put(m.name, m)
   def registerChat(m: ChatModel): Unit = chats.put(m.name, m)
+  /** Driver-side immutable snapshots for capture in executor-bound closures
+    * (the TrieMap itself is JVM-local; see GraftExtensions.registerModelUdfs). */
+  def textGenSnapshot: Map[String, TextGenModel] = textgens.toMap
+  def embeddingSnapshot: Map[String, EmbeddingModel] = embedders.toMap
   def embedding(name: String): EmbeddingModel = embedders.getOrElse(name, sys.error(s"no embedding model '$name'"))
   def textGen(name: String): TextGenModel = textgens.getOrElse(name, sys.error(s"no textgen model '$name'"))
   def chat(name: String): ChatModel = chats.getOrElse(name, sys.error(s"no chat model '$name'"))

@@ -129,12 +129,22 @@ object GraftExtensions {
     * is 1-row-in/1-row-out at every observed call site (SURVEY.md §2.3 J3), so
     * a scalar function is the faithful SQL surface — no parser extension
     * needed: `SELECT ml_predict('local-textgen', text) FROM docs`.
-    * Models resolve from the ModelCatalog inside the executor.
+    *
+    * The model registry is snapshotted on the DRIVER here and the (Serializable)
+    * models ship inside the UDF closure — executors on a real cluster have
+    * their own JVM-local ModelCatalog that never saw runtime registrations, so
+    * resolving by name inside the task would fail anywhere but local mode.
+    * After a `CREATE MODEL` (catalog registration), call this again to refresh
+    * the snapshot; graft.sql.SqlFrontend does so automatically.
     */
   def registerModelUdfs(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val textgens = graft.ml.ModelCatalog.textGenSnapshot
+    val embedders = graft.ml.ModelCatalog.embeddingSnapshot
     spark.udf.register("ml_predict", (model: String, text: String) =>
-      graft.ml.ModelCatalog.textGen(model).generate(Option(text).getOrElse("")))
+      textgens.getOrElse(model, sys.error(s"no textgen model '$model'"))
+        .generate(Option(text).getOrElse("")))
     spark.udf.register("ml_embed", (model: String, text: String) =>
-      graft.ml.ModelCatalog.embedding(model).embed(Option(text).getOrElse("")))
+      embedders.getOrElse(model, sys.error(s"no embedding model '$model'"))
+        .embed(Option(text).getOrElse("")))
   }
 }

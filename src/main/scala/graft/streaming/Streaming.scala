@@ -77,15 +77,29 @@ object StreamingOps {
         .partitionBy(keyCols.map(col): _*)
         .orderBy(col(orderCol).desc)
       val merged = all.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-      // Write-aside + atomic swap: writing directly over `path` while `merged`
-      // still reads from it would corrupt the sink if any cached block were
-      // recomputed mid-overwrite. The rename pair is metadata-only.
+      // Write-aside + swap: writing directly over `path` while `merged` still
+      // reads from it would corrupt the sink if any cached block were
+      // recomputed mid-overwrite. Swap order is crash-safe: current → backup,
+      // staging → current, drop backup. A crash between the two renames leaves
+      // the backup recoverable (vs delete-then-rename, which loses the sink);
+      // unchecked rename booleans would let a failed swap pass silently, so
+      // both are asserted and a failure fails the batch → checkpoint retries.
       val tmp = s"${path}__staging_$batchId"
       merged.write.mode("overwrite").parquet(tmp)
-      val hadoopPath = new org.apache.hadoop.fs.Path(path)
-      val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(hadoopPath, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), hadoopPath)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cur = new org.apache.hadoop.fs.Path(path)
+      val stg = new org.apache.hadoop.fs.Path(tmp)
+      val bak = new org.apache.hadoop.fs.Path(s"${path}__backup")
+      fs.delete(bak, true) // stale backup from a previous crash, superseded
+      val hadCurrent = fs.exists(cur)
+      if (hadCurrent && !fs.rename(cur, bak))
+        sys.error(s"upsertParquet: failed to move $cur aside to $bak")
+      if (!fs.rename(stg, cur)) {
+        if (hadCurrent) fs.rename(bak, cur) // restore; ignore result, original error wins
+        sys.error(s"upsertParquet: failed to move staging $stg into place at $cur")
+      }
+      fs.delete(bak, true)
       ()
     }
 }

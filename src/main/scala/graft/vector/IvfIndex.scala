@@ -34,9 +34,7 @@ object IvfIndex {
       val arr = v.toArray
       var best = -1L; var bestSim = Double.MinValue
       bc.value.foreach { case (id, c) =>
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < arr.length) { dot += arr(i).toDouble * c(i); na += arr(i).toDouble * arr(i); nb += c(i).toDouble * c(i); i += 1 }
-        val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+        val sim = IvfIndex.safeCosine(arr, c)
         if (sim > bestSim || (sim == bestSim && id < best)) { bestSim = sim; best = id }
       }
       best
@@ -115,12 +113,22 @@ object IvfIndex {
     val bc = queries.sparkSession.sparkContext.broadcast(cents)
     val probes = udf((v: Seq[Float]) => {
       val arr = v.toArray
-      bc.value.map { case (id, c) =>
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < arr.length) { dot += arr(i).toDouble * c(i); na += arr(i).toDouble * arr(i); nb += c(i).toDouble * c(i); i += 1 }
-        (dot / (math.sqrt(na) * math.sqrt(nb)), id)
-      }.sortBy { case (s, id) => (-s, id) }.take(nProbes).map(_._2)
+      bc.value.map { case (id, c) => (IvfIndex.safeCosine(arr, c), id) }
+        .sortBy { case (s, id) => (-s, id) }.take(nProbes).map(_._2)
     })
     queries.withColumn("list_id", explode(probes(col(qvecCol))))
+  }
+
+  /** Cosine with a zero-norm guard: a zero vector (or zero centroid) would
+    * yield NaN, which fails every `>` comparison — assign() would emit
+    * list_id = -1 (a nonexistent list: the row becomes unsearchable) and probe
+    * ordering would be garbage. -1.0 keeps such rows deterministically routed
+    * to a real list (lowest id wins the tie-break).
+    */
+  private[vector] def safeCosine(a: Array[Float], c: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, c.length)
+    while (i < n) { dot += a(i).toDouble * c(i); na += a(i).toDouble * a(i); nb += c(i).toDouble * c(i); i += 1 }
+    if (na * nb == 0.0) -1.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 }

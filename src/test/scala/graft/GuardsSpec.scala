@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.anomaly.AnomalyDetector
+import graft.llmops.Dedup
+import graft.ml.{MlPredict, ModelCatalog, TextGenModel}
+import graft.vector.IvfIndex
+
+/** Fail-fast guards added after the round-1 review (ADVICE.md): parameter
+  * combinations that would silently corrupt results must throw instead.
+  */
+class GuardsSpec extends SparkSpec {
+
+  test("minHashLsh rejects numHashes not divisible by numBands") {
+    import spark.implicits._
+    val df = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minHashLsh(df, "text", "doc_id", numHashes = 16, numBands = 5)
+    }
+    assert(e.getMessage.contains("divisible"))
+  }
+
+  test("simHashPairs rejects maxHamming > 3 (quarter-band recall bound)") {
+    import spark.implicits._
+    val df = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(df, "text", "doc_id", maxHamming = 4)
+    }
+    assert(e.getMessage.contains("recall"))
+  }
+
+  test("anomaly Config rejects enableStl=TRUE explicitly") {
+    val e = intercept[IllegalArgumentException] {
+      AnomalyDetector.Config(minTrainingSize = 5, maxTrainingSize = 20,
+        confidencePercentage = 95.0, enableStl = true)
+    }
+    assert(e.getMessage.contains("enableStl"))
+    // FALSE (the only value the reference ever sets) still constructs
+    AnomalyDetector.Config(5, 20, 95.0, enableStl = false)
+  }
+
+  test("IVF assign routes a zero-norm vector to a real list, not -1") {
+    import spark.implicits._
+    val centroids = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("list_id", "centroid")
+    val df = Seq((10L, Array(0f, 0f)), (11L, Array(0.9f, 0.1f))).toDF("vid", "emb")
+    val out = IvfIndex.assign(df, centroids, "emb").select("vid", "list_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(10L) >= 0L, "zero-norm vector must land in an existing list")
+    assert(out(11L) == 0L)
+  }
+
+  test("generateBatched fails loudly when the provider returns a wrong-size batch") {
+    import spark.implicits._
+    ModelCatalog.registerTextGen(new TextGenModel {
+      val name = "short-batch"
+      def generate(p: String): String = p
+      override def generateBatch(ps: Seq[String]): Seq[String] = ps.drop(1).map(generate)
+    })
+    val df = Seq("a", "b", "c").toDF("text").coalesce(1)
+    val e = intercept[Exception] {
+      MlPredict.generateBatched(df, "short-batch", "text", batchSize = 3).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("ml_predict SQL UDF carries runtime-registered models in its closure") {
+    import spark.implicits._
+    ModelCatalog.registerTextGen(new TextGenModel {
+      val name = "closure-model"
+      def generate(p: String): String = s"closure:$p"
+    })
+    // re-register → snapshot picks up the new model; the closure (not an
+    // executor-local registry lookup) must resolve it
+    graft.plans.GraftExtensions.registerModelUdfs(spark)
+    val out = Seq("x").toDF("t").selectExpr("ml_predict('closure-model', t) AS r")
+      .as[String].head()
+    assert(out == "closure:x")
+  }
+}
