@@ -55,15 +55,16 @@ object Dedup {
     */
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleSize: Int = 3, numHashes: Int = 16, numBands: Int = 4,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % numBands == 0,
       s"numHashes ($numHashes) must be divisible by numBands ($numBands) — trailing hashes would be silently ignored")
     val rowsPerBand = numHashes / numBands
     val sig = minHashSignatures(df, textCol, idCol, shingleSize, numHashes)
-    val banded = sig.select(col("doc_id"),
+    val banded0 = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
       .select(col("doc_id"), col("pos").as("band"), hash(col("col")).as("bucket"))
+    val banded = capBuckets(banded0, Seq("band", "bucket"), maxBucketSize)
     // per-bucket self-join (shuffle keyed on (band, bucket)); ids only
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
@@ -137,17 +138,19 @@ object Dedup {
     * within Hamming distance `maxHamming` ≤ 3 of each other share at least one
     * exact quarter), verify Hamming distance on candidates.
     */
-  def simHashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3): DataFrame = {
+  def simHashPairs(df: DataFrame, textCol: String, idCol: String, maxHamming: Int = 3,
+                   maxBucketSize: Int = 10000): DataFrame = {
     // 4 quarters guarantee recall only when at most 3 bits differ (pigeonhole:
     // ≤3 flipped bits leave ≥1 of 4 quarters untouched); larger radii would
     // silently miss pairs whose flips straddle all four quarters.
     require(maxHamming <= 3,
       s"maxHamming ($maxHamming) > 3 breaks the 4-quarter recall guarantee; band on more pieces instead")
     val sig = simHashSignatures(df, textCol, idCol)
-    val banded = sig.select(col("doc_id"), col("sig"),
+    val banded0 = sig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         q => call_function("shiftright", col("sig"), q * 16).bitwiseAND(0xFFFFL))))
       .select(col("doc_id"), col("sig"), col("pos").as("quarter"), col("col").as("qbits"))
+    val banded = capBuckets(banded0, Seq("quarter", "qbits"), maxBucketSize)
     val a = banded.select(col("quarter"), col("qbits"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("quarter"), col("qbits"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("quarter", "qbits")).filter(col("id_a") < col("id_b"))
@@ -156,9 +159,11 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding near-dup: pairs with cosine ≥ threshold. Inverted-index-free
-    * exact variant (broadcast one side); for web-scale use LSH bucketing on
-    * random hyperplanes first.
+  /** Embedding near-dup, exact variant: ALL pairs with cosine ≥ threshold via
+    * a broadcast self-join — O(N²) comparisons. This is the ORACLE for
+    * [[embeddingNearDupLsh]] and is only the right plan when one side fits in
+    * an executor (the correctness suite's bounded subsets); at corpus scale
+    * use the LSH variant.
     */
   def embeddingNearDup(df: DataFrame, embCol: String, idCol: String, threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
@@ -166,5 +171,78 @@ object Dedup {
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), Vectors.cosine(col("emb_a"), col("emb_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Embedding near-dup at scale: random-hyperplane LSH (SimHash for vectors).
+    *
+    * Each embedding gets `numBands · bitsPerBand` sign bits against seeded
+    * Gaussian hyperplanes (broadcast once, dot products row-local); bits are
+    * banded and docs sharing any band bucket become candidates; candidates are
+    * verified with EXACT cosine, so precision is 1 — only recall is
+    * probabilistic. Ids-only flow through the bucket join; embeddings are
+    * joined back just for the verified candidate set.
+    *
+    * Recall tuning (p = 1 − arccos(threshold)/π is the per-bit agreement
+    * probability): recall ≈ 1 − (1 − p^bitsPerBand)^numBands.
+    *   - near-dup thresholds (≥0.8): the 8/16 defaults give recall > 0.94;
+    *   - looser thresholds (~0.35): use shorter bands — (4, 32) ⇒ ~0.99.
+    * Shorter bands mean coarser buckets (2^bitsPerBand per band), so pair
+    * `maxBucketSize` guards against candidate blow-up either way.
+    */
+  def embeddingNearDupLsh(df: DataFrame, embCol: String, idCol: String, threshold: Double,
+                          bitsPerBand: Int = 8, numBands: Int = 16, seed: Int = 42,
+                          maxBucketSize: Int = 10000): DataFrame = {
+    require(bitsPerBand >= 1 && bitsPerBand <= 63, s"bitsPerBand out of range: $bitsPerBand")
+    val dim = df.select(size(col(embCol))).head().getInt(0)
+    val numPlanes = bitsPerBand * numBands
+    val rnd = new java.util.Random(seed)
+    val planes = Array.fill(numPlanes, dim)(rnd.nextGaussian().toFloat)
+    val bc = df.sparkSession.sparkContext.broadcast(planes)
+    val bpb = bitsPerBand
+    val bucketsUdf = udf((emb: Seq[Float]) => {
+      val e = emb.toArray
+      val ps = bc.value
+      val out = new Array[Long](ps.length / bpb)
+      var j = 0
+      while (j < ps.length) {
+        val p = ps(j)
+        var dot = 0.0; var i = 0
+        val n = math.min(e.length, p.length)
+        while (i < n) { dot += e(i).toDouble * p(i); i += 1 }
+        if (dot >= 0) out(j / bpb) |= (1L << (j % bpb))
+        j += 1
+      }
+      out
+    })
+
+    val banded = df.select(col(idCol).as("doc_id"), col(embCol).as("emb"))
+      .withColumn("__bk", bucketsUdf(col("emb")))
+      .select(col("doc_id"), posexplode(col("__bk")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
+    val a = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+    val b = capped.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val embs = df.select(col(idCol).as("doc_id"), col(embCol).as("emb"))
+    pairs
+      .join(embs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("emb", "emb_a"), "id_a")
+      .join(embs.withColumnRenamed("doc_id", "id_b").withColumnRenamed("emb", "emb_b"), "id_b")
+      .select(col("id_a"), col("id_b"), Vectors.cosine(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Hot-bucket guard shared by the LSH variants: a bucket bigger than `cap`
+    * (boilerplate-heavy corpora — headers, licence blocks — collapse many docs
+    * into one band signature) would contribute O(cap²) candidate pairs; such
+    * buckets are dropped entirely. The docs they contain almost always share
+    * OTHER, smaller buckets in the remaining bands, so recall degrades
+    * gracefully while the candidate count stays bounded by cap²·buckets.
+    */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    require(cap >= 2, s"maxBucketSize must be >= 2, got $cap")
+    val counts = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bucket_n"))
+    banded.join(counts.filter(col("__bucket_n") <= cap), keys).drop("__bucket_n")
   }
 }

@@ -28,22 +28,64 @@ object Tumble {
 }
 
 /** Event-time interval join (reference: LAB4-Walkthrough.md:231-235 — equi-key
-  * plus a bounded time range).
+  * plus a bounded time range), as a BUCKETED range join.
   *
-  * Plan shape: an equi-join on `key` (shuffle or broadcast hash join — Catalyst
-  * picks, AQE can switch at runtime) with the range condition applied as a
-  * post-join filter. At 100 TB the equi-key carries the partitioning, so state
-  * and shuffle scale with key cardinality, not the time range.
+  * A plain equi-join on the business key alone is a scale trap when that key is
+  * low-cardinality (lab4 joins on `city` — 5 distinct values): every row hashes
+  * to ≤5 reducers and each left row multiplies against ALL of its key's right
+  * rows before the range filter prunes. The fix is a composite equi-key
+  * (key, time-bucket) with bucket width = the range span:
+  *
+  *   - each LEFT row lands in exactly one bucket (`floor(ts / span)`);
+  *   - each RIGHT row is replicated to every bucket its match-range
+  *     `[ts+lower, ts+upper]` overlaps — at most 2 when width = span, so the
+  *     fan-out is a constant ×2, not range-dependent;
+  *   - the exact range predicate stays as a residual filter.
+  *
+  * Each (left,right) pair can meet in at most one bucket (the left's), so no
+  * dedup is needed. The shuffle now spreads over key-cardinality × time-buckets
+  * partitions and each probe only sees right rows within ±1 span — the plan
+  * survives both key skew and long histories at 100 TB.
   */
 object IntervalJoin {
 
   /** left.key = right.key AND left.ts BETWEEN right.ts + lower AND right.ts + upper */
   def apply(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
             leftTs: String, rightTs: String, lowerBound: String, upperBound: String): DataFrame = {
-    val cond = left(leftKey) === right(rightKey) &&
-      left(leftTs) >= right(rightTs) + expr(s"INTERVAL $lowerBound") &&
-      left(leftTs) <= right(rightTs) + expr(s"INTERVAL $upperBound")
-    left.join(right, cond, "inner")
+    val lo = expr(s"INTERVAL $lowerBound")
+    val hi = expr(s"INTERVAL $upperBound")
+    val span = intervalMicros(upperBound) - intervalMicros(lowerBound)
+    require(span >= 0, s"upperBound $upperBound must be >= lowerBound $lowerBound")
+    val width = math.max(span, 1L)
+    def bucket(c: Column): Column = floor(unix_micros(c.cast("timestamp")) / width)
+
+    val lb = left.withColumn("__ij_bucket", bucket(col(leftTs)))
+    val rb = right.withColumn("__ij_bucket",
+      explode(sequence(bucket(col(rightTs) + lo), bucket(col(rightTs) + hi))))
+    lb.join(rb,
+        lb(leftKey) === rb(rightKey) && lb("__ij_bucket") === rb("__ij_bucket") &&
+          lb(leftTs) >= rb(rightTs) + lo &&
+          lb(leftTs) <= rb(rightTs) + hi,
+        "inner")
+      .drop(lb("__ij_bucket")).drop(rb("__ij_bucket"))
+  }
+
+  /** `'N' UNIT` interval literal → microseconds (driver-side, for the bucket
+    * width; the residual predicate still uses Spark's own interval arithmetic).
+    */
+  private[graft] def intervalMicros(s: String): Long = {
+    val m = "'\\s*(-?\\d+)\\s*'\\s+(\\w+)".r.findFirstMatchIn(s.trim)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse interval literal: $s"))
+    val n = m.group(1).toLong
+    val unit = m.group(2).toUpperCase match {
+      case "DAY" | "DAYS"                 => 86400000000L
+      case "HOUR" | "HOURS"               => 3600000000L
+      case "MINUTE" | "MINUTES"           => 60000000L
+      case "SECOND" | "SECONDS"           => 1000000L
+      case "MILLISECOND" | "MILLISECONDS" => 1000L
+      case u => throw new IllegalArgumentException(s"unsupported interval unit: $u")
+    }
+    n * unit
   }
 }
 

@@ -773,9 +773,11 @@ object Catalog {
 
   private val q53 = Q("q53_token_packing", (s, dir) => {
     // Token-budget packing for training batches: consecutive docs chunked at
-    // a 512-token budget over a deterministic global order.
+    // a 512-token budget over a deterministic global order. The input is
+    // scattered across 32 partitions first — the distributed prefix sum must
+    // produce the same hash regardless of incoming layout.
     graft.llmops.Curation.packByTokenBudget(
-      t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id", budget = 512)
+      t(s, dir, "documents").select("doc_id", "text").repartition(32), "text", "doc_id", budget = 512)
       .select("doc_id", "n_tokens", "cum_tokens", "pack_id")
   }, Some("""
     WITH tok AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
@@ -838,6 +840,35 @@ object Catalog {
            MAX(value) AS max_value
     FROM events GROUP BY event_type"""))
 
+  private val q58 = Q("q58_avro_serde_roundtrip", (s, dir) => {
+    // S1/S2 payload serde, Avro edition: rows → Confluent-framed Avro-binary
+    // values (magic + schema id + avro body, the reference's actual wire
+    // format — scripts/publish_lab3_data.py:96-122) → decoded back. The
+    // round-trip must be the identity, so the oracle is the source itself
+    // (same contract as q45's JSON edition).
+    import org.apache.spark.sql.types._
+    val base = t(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      col("ts").cast("timestamp_ntz").as("ts"))
+    val wire = graft.streaming.AvroSerde.toAvroValue(base, Some("event_id"), schemaId = 7)
+    graft.streaming.AvroSerde.fromAvroValue(wire, StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts", TimestampNTZType))))
+  }, Some(s"""
+    SELECT event_id, user_id, event_type, value, ts FROM $EV e"""))
+
+  private val q59 = Q("q59_embed_neardup_lsh", (s, dir) => {
+    // Scale path for q30: random-hyperplane LSH candidates + exact-cosine
+    // verification over the FULL embeddings table (no vec_id bound — the
+    // O(N²) oracle variant needs one, this one doesn't). Rows-only: recall is
+    // probabilistic; the ≥0.9-recall-vs-exact contract is spec-verified
+    // (DedupSpec) at the same parameters.
+    graft.llmops.Dedup.embeddingNearDupLsh(
+      t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      "embedding", "vec_id", threshold = 0.35, bitsPerBand = 4, numBands = 32)
+  }, None)
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -845,7 +876,7 @@ object Catalog {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -40,18 +40,36 @@ object StreamingOps {
   /** Streaming interval join (J2): equi-key + event-time range, watermarks on
     * both sides bound the state — the Spark-native equivalent of Flink's
     * interval join (state scales with key cardinality × range, not history).
+    *
+    * Same bucketed composite key as the batch [[graft.operators.IntervalJoin]]:
+    * joining on (key, span-sized time bucket) instead of the bare key spreads
+    * a low-cardinality business key (lab4's 5 cities) across many state
+    * partitions, and each probe only scans state within ±1 bucket. The right
+    * side replicates to ≤2 buckets (width = span), the range predicate stays
+    * residual — results are identical, and the watermark still evicts state.
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    leftTs: String, rightTs: String,
                    delay: String, lowerBound: String, upperBound: String): DataFrame = {
+    val lo = expr(s"INTERVAL $lowerBound")
+    val hi = expr(s"INTERVAL $upperBound")
+    val span = graft.operators.IntervalJoin.intervalMicros(upperBound) -
+      graft.operators.IntervalJoin.intervalMicros(lowerBound)
+    require(span >= 0, s"upperBound $upperBound must be >= lowerBound $lowerBound")
+    val width = math.max(span, 1L)
+    def bucket(c: Column): Column = floor(unix_micros(c) / width)
+
     val l = left.withColumn(leftTs, col(leftTs).cast("timestamp")).withWatermark(leftTs, delay)
+      .withColumn("__ij_bucket", bucket(col(leftTs)))
     val r = right.withColumn(rightTs, col(rightTs).cast("timestamp")).withWatermark(rightTs, delay)
+      .withColumn("__ij_bucket", explode(sequence(bucket(col(rightTs) + lo), bucket(col(rightTs) + hi))))
     l.join(r,
-      l(leftKey) === r(rightKey) &&
-        l(leftTs) >= r(rightTs) + expr(s"INTERVAL $lowerBound") &&
-        l(leftTs) <= r(rightTs) + expr(s"INTERVAL $upperBound"),
-      "inner")
+        l(leftKey) === r(rightKey) && l("__ij_bucket") === r("__ij_bucket") &&
+          l(leftTs) >= r(rightTs) + lo &&
+          l(leftTs) <= r(rightTs) + hi,
+        "inner")
+      .drop(l("__ij_bucket")).drop(r("__ij_bucket"))
   }
 
   /** Stream-static enrichment (J1): the reference's customers/products dims are

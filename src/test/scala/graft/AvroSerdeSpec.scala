@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.{AvroSerde, KafkaIO}
+
+/** Byte-exact Avro wire-format verification (VERDICT round-2 item 1).
+  *
+  * `Wire` below is an INDEPENDENT re-implementation of the Avro binary
+  * encoding rules (zigzag varints, UTF-8 length-prefixed strings,
+  * little-endian IEEE doubles, union branch indices, array blocks) — so
+  * comparing `AvroSerde` output against `Wire` output cross-checks the avro
+  * library path against the spec itself, the same guarantee a captured
+  * reference frame would give (the reference's frames are produced by the
+  * standard Avro encoder too: scripts/publish_lab3_data.py:96-122).
+  */
+class AvroSerdeSpec extends SparkSpec {
+
+  private object Wire {
+    def varint(u0: Long): Array[Byte] = {
+      var u = u0
+      val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      while ((u & ~0x7fL) != 0) { b += ((u & 0x7f) | 0x80).toByte; u >>>= 7 }
+      b += u.toByte
+      b.toArray
+    }
+    def zig(n: Long): Array[Byte] = varint((n << 1) ^ (n >> 63))
+    def str(s: String): Array[Byte] = {
+      val bs = s.getBytes("UTF-8"); zig(bs.length.toLong) ++ bs
+    }
+    def dbl(d: Double): Array[Byte] =
+      ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putDouble(d).array()
+    def flt(f: Float): Array[Byte] =
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putFloat(f).array()
+  }
+
+  // Lab3 ride_requests_value schema: all fields required, ts = timestamp-millis
+  // (scripts/publish_lab3_data.py:67-86).
+  private val rideSchema = StructType(Seq(
+    StructField("request_id", StringType, nullable = false),
+    StructField("customer_email", StringType, nullable = false),
+    StructField("pickup_zone", StringType, nullable = false),
+    StructField("drop_off_zone", StringType, nullable = false),
+    StructField("price", DoubleType, nullable = false),
+    StructField("number_of_passengers", IntegerType, nullable = false),
+    StructField("request_ts", TimestampType, nullable = false)))
+
+  test("lab3 ride_requests frame is byte-exact against an independent spec encoder") {
+    val tsMillis = 1700000000123L
+    val row = Row("r-1", "kai@example.com", "Z-7", "Z-2", 12.5, 2,
+      new java.sql.Timestamp(tsMillis))
+    val expected =
+      Wire.str("r-1") ++ Wire.str("kai@example.com") ++ Wire.str("Z-7") ++
+        Wire.str("Z-2") ++ Wire.dbl(12.5) ++ Wire.zig(2L) ++ Wire.zig(tsMillis)
+
+    val codec = AvroSerde.codec(rideSchema, timestampMillis = true)
+    val encoded = codec.encode(row)
+    assert(encoded.toSeq == expected.toSeq, "encoder must match the Avro spec byte-for-byte")
+
+    val back = codec.decode(expected)
+    assert(back.getString(0) == "r-1" && back.getString(1) == "kai@example.com")
+    assert(back.getDouble(4) == 12.5 && back.getInt(5) == 2)
+    assert(back.getTimestamp(6).getTime == tsMillis)
+  }
+
+  // Lab4 claims_value shape: nullable ["null","string"] unions with default
+  // null (scripts/lab4_datagen.py:100-123).
+  private val claimSchema = StructType(Seq(
+    StructField("claim_id", StringType, nullable = false),
+    StructField("applicant_name", StringType, nullable = true),
+    StructField("claim_amount", StringType, nullable = false)))
+
+  test("lab4 nullable-union fields encode branch indices per the spec") {
+    val codec = AvroSerde.codec(claimSchema)
+
+    val withNull = codec.encode(Row("c-9", null, "1200.00"))
+    val expNull = Wire.str("c-9") ++ Wire.zig(0L) ++ Wire.str("1200.00")
+    assert(withNull.toSeq == expNull.toSeq, "null takes union branch 0")
+
+    val withVal = codec.encode(Row("c-9", "Ada", "1200.00"))
+    val expVal = Wire.str("c-9") ++ Wire.zig(1L) ++ Wire.str("Ada") ++ Wire.str("1200.00")
+    assert(withVal.toSeq == expVal.toSeq, "non-null takes union branch 1")
+
+    val back = codec.decode(expNull)
+    assert(back.isNullAt(1) && back.getString(2) == "1200.00")
+  }
+
+  test("ARRAY<FLOAT> embeddings encode as one avro array block") {
+    val st = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("emb", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val codec = AvroSerde.codec(st)
+    val encoded = codec.encode(Row(42L, Seq(1.0f, -0.5f, 0.25f)))
+    val expected = Wire.zig(42L) ++ Wire.zig(3L) ++
+      Wire.flt(1.0f) ++ Wire.flt(-0.5f) ++ Wire.flt(0.25f) ++ Wire.zig(0L)
+    assert(encoded.toSeq == expected.toSeq)
+    val back = codec.decode(encoded)
+    assert(back.getSeq[Float](1) == Seq(1.0f, -0.5f, 0.25f))
+  }
+
+  test("confluent-framed DataFrame round-trip is the identity (micros timestamps, nulls)") {
+    import spark.implicits._
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("note", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = false),
+      StructField("ts", TimestampNTZType, nullable = false)))
+    val rows = Seq(
+      Row(1L, "alpha", 0.125, java.time.LocalDateTime.of(2024, 3, 1, 12, 30, 15, 123456000)),
+      Row(2L, null, -3.5, java.time.LocalDateTime.of(2024, 3, 1, 0, 0, 0, 1000)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), st)
+
+    val wire = AvroSerde.toAvroValue(df, Some("id"), schemaId = 99)
+    assert(wire.columns.toSeq == Seq("key", "value"))
+    // every frame carries the magic byte + the schema id
+    val frames = wire.select("value").as[Array[Byte]].collect()
+    frames.foreach { f => assert(KafkaIO.confluentUnframe(f)._1 == 99) }
+
+    val back = AvroSerde.fromAvroValue(wire, st)
+    val orig = df.collect().map(_.toSeq).toSet
+    val got = back.collect().map(_.toSeq).toSet
+    assert(got == orig, "decode(encode(x)) must equal x, µs precision included")
+  }
+}

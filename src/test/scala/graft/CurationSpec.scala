@@ -44,6 +44,27 @@ class CurationSpec extends SparkSpec {
     assert(packed.last.getAs[Long]("cum_tokens") == 1000L)
   }
 
+  test("token packing is layout-independent and never single-partitions the corpus") {
+    import spark.implicits._
+    val docs = graft.core.Tables(spark, sfDir, "documents").select("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.packByTokenBudget(df, "text", "doc_id", budget = 512)
+        .select("doc_id", "n_tokens", "cum_tokens", "pack_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // same answer from a 1-partition and a scattered-32-partition layout
+    assert(run(docs.coalesce(1)) == run(docs.repartition(32)))
+    // the distributed prefix sum spreads work across a pinned 8-way range
+    // layout (old plan: Window.orderBy → everything through one task) and
+    // still matches the 1-partition answer
+    val pinned = Curation.packByTokenBudget(docs.repartition(32), "text", "doc_id", 512,
+      numPartitions = 8)
+    assert(pinned.rdd.getNumPartitions == 8,
+      s"packing must stay distributed, got ${pinned.rdd.getNumPartitions} partition(s)")
+    assert(pinned.select("doc_id", "n_tokens", "cum_tokens", "pack_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet ==
+      run(docs.coalesce(1)))
+  }
+
   test("curate: output is exact- and near-dup free, language/quality filtered") {
     val docs = graft.core.Tables(spark, sfDir, "documents")
     val out = Curation.curate(docs, "text", "doc_id", lang = "en", minQuality = 0.0, jaccardThreshold = 0.5)

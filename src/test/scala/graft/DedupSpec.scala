@@ -46,6 +46,43 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.embeddingNearDup(df, "embedding", "vec_id", 0.99).collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
+
+  test("hyperplane-LSH near-dup: recall >= 0.9 vs the exact oracle, precision 1") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // testdata near-dups live around cosine 0.35-0.5 → short bands, many of
+    // them: p = 1 - acos(0.35)/π ≈ 0.614, recall ≈ 1-(1-p^4)^32 ≈ 0.99
+    val exact = Dedup.embeddingNearDup(embs, "embedding", "vec_id", 0.35)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(embs, "embedding", "vec_id", 0.35,
+      bitsPerBand = 4, numBands = 32)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dup embeddings")
+    assert(lsh.subsetOf(exact), "exact-cosine verification means LSH can miss but never add")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 (${exact.size} exact, ${lsh.size} found)")
+  }
+
+  test("hot-bucket cap bounds candidates on a boilerplate-heavy corpus") {
+    import spark.implicits._
+    // 40 docs sharing one boilerplate text → every band bucket has size 40;
+    // cap 10 drops them all, so NO pairs materialise (graceful, bounded)
+    val boiler = (1L to 40L).map(i => (i, "common header common header common header legal notice"))
+    // identical pair → every band bucket matches (deterministic candidate)
+    val distinctive = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val df = (boiler ++ distinctive).toDF("doc_id", "text")
+    val capped = Dedup.minHashLsh(df, "text", "doc_id", 3, 16, 4, 0.2, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the boilerplate cluster (40·39/2 = 780 pairs) is suppressed…
+    assert(capped.forall { case (a, b) => a >= 100L && b >= 100L },
+      s"capped run must not emit boilerplate pairs, got $capped")
+    // …while the small near-dup pair in its own bucket survives
+    assert(capped.contains((100L, 101L)))
+    // uncapped control: the hot bucket floods the candidate set
+    val uncapped = Dedup.minHashLsh(df, "text", "doc_id", 3, 16, 4, 0.2)
+    assert(uncapped.count() > 700)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -1,15 +1,46 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicInteger
+
 import org.apache.spark.sql.functions._
+
+/** Counts embed() invocations (JVM-local — valid under local[*] where driver
+  * and executors share the process). Used to prove the RAG corpus is embedded
+  * exactly once, not once per micro-batch.
+  */
+object CountingEmbed {
+  val calls = new AtomicInteger(0)
+}
 
 class StreamingPipelineSpec extends SparkSpec {
 
   test("streaming lab3 produces enriched surges consistent with the batch pipeline") {
+    graft.ml.ModelCatalog.registerEmbedding(new graft.ml.EmbeddingModel {
+      private val inner = graft.ml.LocalHashEmbedding("counting-embed")
+      val name = "counting-embed"
+      val dim = 64
+      def embed(text: String): Array[Float] = { CountingEmbed.calls.incrementAndGet(); inner.embed(text) }
+    })
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    CountingEmbed.calls.set(0)
+
     val tmp = java.nio.file.Files.createTempDirectory("lab3s").toString
-    val q = graft.pipelines.Labs.lab3FleetStreaming(spark, sfDir, s"$tmp/sink", s"$tmp/ckpt")
+    val q = graft.pipelines.Labs.lab3FleetStreaming(spark, sfDir, s"$tmp/sink", s"$tmp/ckpt",
+      embedModel = "counting-embed")
+    // store hoisted out of foreachBatch: the corpus embed runs at setup time,
+    // before any micro-batch...
+    val afterSetup = CountingEmbed.calls.get()
+    assert(afterSetup >= nDocs, s"store must be built before the stream starts ($afterSetup < $nDocs)")
     try {
       q.processAllAvailable()
     } finally q.stop()
+
+    // ...and the stream itself only embeds the (tiny) surge queries — a
+    // per-batch rebuild would re-embed all nDocs documents here
+    val surgeCount = spark.read.parquet(s"$tmp/sink").count()
+    val duringStream = CountingEmbed.calls.get() - afterSetup
+    assert(duringStream <= surgeCount,
+      s"stream must not re-embed the corpus: $duringStream embeds for $surgeCount surges")
 
     val streamed = spark.read.parquet(s"$tmp/sink")
     assert(streamed.count() > 0, "streaming pipeline must emit surges")
