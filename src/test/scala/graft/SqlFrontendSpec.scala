@@ -1,0 +1,140 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.BeforeAndAfterAll
+
+import graft.agent.AgentCatalog
+import graft.sql.SqlFrontend
+
+/** The reference's own walkthrough SQL is the fixture (the reference tests the
+  * same way — testing/e2e/test_sql_extraction.py:13-32): statements are
+  * extracted verbatim from LAB1-Walkthrough.md and executed through
+  * [[SqlFrontend]], with the remote sides (OpenAI-compatible model endpoint,
+  * MCP streamable-HTTP server) played by in-process stubs.
+  */
+class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private val mapper = new ObjectMapper()
+  private var server: HttpServer = _
+  private var base: String = _
+  private val mcpCalls = new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.setExecutor(Executors.newFixedThreadPool(8))
+    // OpenAI-compatible chat endpoint (CREATE MODEL target)
+    server.createContext("/v1/chat/completions", (ex: HttpExchange) => {
+      val body = mapper.readTree(ex.getRequestBody.readAllBytes())
+      val msgs = body.path("messages")
+      val userPrompt = (0 until msgs.size())
+        .find(i => msgs.path(i).path("role").asText() == "user")
+        .map(i => msgs.path(i).path("content").asText()).getOrElse("")
+      // scripted agent behavior over the wire: first turn calls http_get,
+      // second turn closes with a verdict (same protocol as ScriptedChatModel)
+      val toolTurns = (0 until msgs.size()).count(i => msgs.path(i).path("role").asText() == "tool")
+      val content =
+        if (userPrompt.startsWith("Price-match") && toolTurns == 0) "TOOL:http_get competitor-url"
+        else if (userPrompt.startsWith("Price-match")) "Analysis complete. Decision: PRICE_MATCH"
+        else s"stub-answer: ${userPrompt.take(40)}"
+      val root = mapper.createObjectNode()
+      val msg = root.putArray("choices").addObject().putObject("message")
+      msg.put("role", "assistant"); msg.put("content", content)
+      val bytes = mapper.writeValueAsString(root).getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length); ex.getResponseBody.write(bytes); ex.close()
+    })
+    // MCP streamable-HTTP endpoint (CREATE TOOL target): JSON-RPC tools/call
+    server.createContext("/mcp", (ex: HttpExchange) => {
+      val body = mapper.readTree(ex.getRequestBody.readAllBytes())
+      assert(body.path("method").asText() == "tools/call")
+      val tool = body.path("params").path("name").asText()
+      mcpCalls.computeIfAbsent(tool, _ => new AtomicInteger(0)).incrementAndGet()
+      val root = mapper.createObjectNode()
+      root.put("jsonrpc", "2.0"); root.put("id", body.path("id").asInt())
+      val item = root.putObject("result").putArray("content").addObject()
+      item.put("type", "text"); item.put("text", s"$tool-result price=19.99")
+      val bytes = mapper.writeValueAsString(root).getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length); ex.getResponseBody.write(bytes); ex.close()
+    })
+    server.start()
+    base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+
+  override def afterAll(): Unit = { server.stop(0); super.afterAll() }
+
+  private lazy val walkthrough =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/LAB1-Walkthrough.md")), "UTF-8")
+
+  private def sqlBlocks: Seq[String] =
+    "(?s)```sql\\s*(.*?)```".r.findAllMatchIn(walkthrough).map(_.group(1).trim).toSeq
+
+  test("walkthrough CREATE TOOL + CREATE AGENT execute verbatim over a live MCP stub") {
+    // the terraform-provisioned connection the walkthrough assumes
+    SqlFrontend.execute(spark,
+      s"CREATE CONNECTION `remote-mcp-connection` WITH ('type'='MCP_SERVER', 'endpoint'='$base/mcp')")
+    // the model the agent DDL names, served by the OpenAI-compatible stub
+    SqlFrontend.execute(spark,
+      "CREATE CONNECTION bedrock_conn WITH ('type'='bedrock', 'endpoint'='" + base + "/v1')")
+    SqlFrontend.execute(spark,
+      "CREATE MODEL remote_mcp_model INPUT (prompt STRING) OUTPUT (response STRING) " +
+        "WITH ('provider'='bedrock', 'task'='text_generation', 'bedrock.connection'='bedrock_conn')")
+
+    val createTool = sqlBlocks.find(_.toUpperCase.startsWith("CREATE TOOL"))
+      .getOrElse(fail("walkthrough must contain CREATE TOOL"))
+    val createAgent = sqlBlocks.find(_.toUpperCase.startsWith("CREATE AGENT"))
+      .getOrElse(fail("walkthrough must contain CREATE AGENT"))
+    SqlFrontend.execute(spark, createTool)
+    SqlFrontend.execute(spark, createAgent)
+
+    val agent = AgentCatalog.resolve("price_match_agent")
+    assert(agent.tools.keySet == Set("http_get", "send_email"), s"got ${agent.tools.keySet}")
+    assert(agent.maxIterations == 10 && agent.maxConsecutiveFailures == 2)
+    assert(agent.systemPrompt.contains("price matching assistant"))
+
+    // run the agent: model turn 1 → MCP http_get over real HTTP → final verdict
+    mcpCalls.clear()
+    val res = graft.agent.AgentRuntime.run(agent, "Price-match check for order 42 at price 29.95")
+    assert(res.status == "SUCCESS", s"agent must close: $res")
+    assert(res.response.contains("PRICE_MATCH"))
+    assert(mcpCalls.containsKey("http_get") && mcpCalls.get("http_get").get() == 1,
+      s"the MCP stub must have served the tool call, saw $mcpCalls")
+  }
+
+  test("walkthrough LATERAL TABLE(ML_PREDICT(...)) test query runs after rewrite") {
+    SqlFrontend.execute(spark,
+      "CREATE CONNECTION bedrock_conn2 WITH ('type'='bedrock', 'endpoint'='" + base + "/v1')")
+    SqlFrontend.execute(spark,
+      "CREATE MODEL llm_textgen_model INPUT (prompt STRING) OUTPUT (response STRING) " +
+        "WITH ('provider'='bedrock', 'task'='text_generation', 'bedrock.connection'='bedrock_conn2')")
+    val q = sqlBlocks.find(b => b.toUpperCase.contains("LATERAL TABLE(ML_PREDICT"))
+      .getOrElse(fail("walkthrough must contain the LATERAL ML_PREDICT test query"))
+    val rows = SqlFrontend.execute(spark, q).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("question").contains("Colorado"))
+    assert(rows(0).getAs[String]("response").startsWith("stub-answer:"))
+  }
+
+  test("SET / DESCRIBE / DROP and CTAS round-trip through the registries") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("src_tbl")
+    SqlFrontend.execute(spark, "CREATE TABLE derived_tbl AS SELECT id, upper(v) AS vv FROM src_tbl")
+    assert(spark.sql("SELECT * FROM derived_tbl").count() == 2)
+    val desc = SqlFrontend.execute(spark, "DESCRIBE derived_tbl").collect()
+    assert(desc.map(_.getString(0)).toSet == Set("id", "vv"))
+    SqlFrontend.execute(spark, "SET 'sql.state-ttl' = '1 h'")
+    assert(graft.sources.TableRegistry.get("sql.state-ttl").contains("1 h"))
+    SqlFrontend.execute(spark, "DROP TABLE derived_tbl")
+    assert(!graft.sources.TableRegistry.exists("derived_tbl"))
+  }
+
+  test("statement splitter respects quoted semicolons") {
+    val stmts = SqlFrontend.splitStatements("SET 'a' = 'x;y'; SELECT 1")
+    assert(stmts == Seq("SET 'a' = 'x;y'", "SELECT 1"))
+  }
+}
