@@ -59,10 +59,17 @@ object Generators {
     */
   def orders(spark: SparkSession, customers: DataFrame, custKey: String,
              products: DataFrame, prodKey: String, prodPrice: String,
-             n: Long, start: Timestamp, spanSeconds: Long): DataFrame = {
-    val custIds = customers.select(col(custKey)).orderBy(custKey).limit(100000)
+             n: Long, start: Timestamp, spanSeconds: Long,
+             maxDimRows: Int = 10000): DataFrame = {
+    // Dimension collect is DELIBERATELY driver-side and hard-capped: the FK
+    // pools are fixture-sized by contract (the reference's generators embed
+    // 100 customers / 17 products — data-gen/generators/orders.json). The cap
+    // keeps a misconfigured call from turning the generator into a driver OOM;
+    // generating against genuinely large dims would need a broadcast-join
+    // design instead, which event fixtures don't warrant.
+    val custIds = customers.select(col(custKey)).orderBy(custKey).limit(maxDimRows)
       .collect().map(_.get(0))
-    val prodRows = products.select(col(prodKey), col(prodPrice)).orderBy(prodKey).limit(100000)
+    val prodRows = products.select(col(prodKey), col(prodPrice)).orderBy(prodKey).limit(maxDimRows)
       .collect().map(r => (r.get(0), r.getDouble(1)))
     val bc = spark.sparkContext.broadcast((custIds, prodRows))
     import spark.implicits._

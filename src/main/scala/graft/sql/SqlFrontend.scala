@@ -46,17 +46,31 @@ object SqlFrontend {
       case CreateAgentRe(name, model, prompt, tools, props) =>
         createAgent(spark, unqualify(name), unqualify(model), prompt, tools, parseProps(Option(props).getOrElse("")))
       case CtasRe(name, select) =>
-        val df = spark.sql(rewriteLateral(select))
+        val df = spark.sql(rewrite(spark, select))
         TableRegistry.createTableAs(spark, unqualify(name), df)
         df.createOrReplaceTempView(unqualify(name))
         status(spark, "TABLE", unqualify(name))
+      case CreateVectorTableRe(name, _, props) if parseProps(props).get("connector").exists(connectorIsVector) =>
+        createVectorTable(spark, unqualify(name), parseProps(props))
+      case InsertRe(name, select) =>
+        // INSERT INTO t SELECT … (continuous statements in the reference are
+        // standing inserts; batch semantics here = append to the registered
+        // table, terraform/lab2-vector-search/main.tf:238-263)
+        val df = spark.sql(rewrite(spark, select))
+        val tgt = unqualify(name)
+        val merged =
+          if (TableRegistry.exists(tgt)) TableRegistry.resolve(tgt).load(spark).unionByName(df)
+          else df
+        TableRegistry.createTableAs(spark, tgt, merged)
+        merged.createOrReplaceTempView(tgt)
+        status(spark, "INSERT", tgt)
       case SetRe(k, v) =>
         TableRegistry.set(k, v); status(spark, "SET", s"$k=$v")
       case DropRe(kind, name) => drop(spark, kind.toUpperCase, unqualify(name))
       case DescribeRe(name) =>
         import spark.implicits._
         TableRegistry.describe(unqualify(name)).toDF("col_name", "data_type")
-      case other => spark.sql(rewriteLateral(other))
+      case other => spark.sql(rewrite(spark, other))
     }
   }
 
@@ -72,7 +86,11 @@ object SqlFrontend {
     ("(?is)^CREATE\\s+AGENT\\s+(\\S+)\\s+USING\\s+MODEL\\s+(\\S+)\\s+USING\\s+PROMPT\\s+'((?:[^']|'')*)'" +
       "\\s+USING\\s+TOOLS\\s+([`\\w,\\s.-]+?)(?:\\s+COMMENT\\s+'(?:[^']|'')*')?(?:\\s+WITH\\s*\\((.*)\\))?$").r
   private val CtasRe =
-    "(?is)^CREATE\\s+TABLE\\s+(\\S+)\\s+AS\\s+(SELECT.*)$".r
+    "(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\S+)\\s+AS\\s+(SELECT.*)$".r
+  private val CreateVectorTableRe =
+    "(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\S+)\\s*\\(([^)]*)\\)\\s*WITH\\s*\\((.*)\\)$".r
+  private val InsertRe =
+    "(?is)^INSERT\\s+INTO\\s+(\\S+)\\s+(SELECT.*)$".r
   private val SetRe = "(?is)^SET\\s+'([^']+)'\\s*=\\s*'([^']*)'$".r
   private val DropRe = "(?is)^DROP\\s+(TABLE|MODEL|TOOL|AGENT|CONNECTION)\\s+(?:IF\\s+EXISTS\\s+)?(\\S+)$".r
   private val DescribeRe = "(?is)^DESCRIBE\\s+(\\S+)$".r
@@ -103,6 +121,31 @@ object SqlFrontend {
   }
 
   // ---------------------------------------------------------------- dispatch
+
+  private def connectorIsVector(c: String): Boolean =
+    Set("mongodb", "cosmosdb", "azure-cosmos")(c.toLowerCase)
+
+  /** External vector table (terraform/lab2-vector-search/main.tf:215): builds a
+    * [[graft.vector.RemoteVectorStore]] from the `<connector>.*` options —
+    * database, collection, index, embedding_column, and the ANN breadth
+    * `numCandidates` — resolving the endpoint through the named connection.
+    */
+  private def createVectorTable(spark: SparkSession, name: String, props: Map[String, String]): DataFrame = {
+    val connector = props("connector").toLowerCase
+    def opt(key: String, default: => String): String =
+      props.getOrElse(s"$connector.$key".toLowerCase, default)
+    val endpoint = props.get(s"$connector.connection")
+      .map(c => ConnectionCatalog.resolve(unqualify(c)).endpoint)
+      .getOrElse(opt("endpoint", sys.error(s"vector table '$name' needs a connection or endpoint")))
+    graft.vector.VectorTableCatalog.register(name, graft.vector.RemoteVectorStore(
+      endpoint = endpoint,
+      database = opt("database", "default"),
+      collection = opt("collection", name),
+      index = opt("index", s"${name}_index"),
+      embeddingColumn = opt("embedding_column", "embedding"),
+      numCandidates = opt("numcandidates", "500").toInt))
+    status(spark, "VECTOR TABLE", name)
+  }
 
   private def createConnection(spark: SparkSession, name: String, props: Map[String, String]): DataFrame = {
     ConnectionCatalog.register(ConnectionCatalog.Connection(
@@ -188,6 +231,48 @@ object SqlFrontend {
   }
 
   // ----------------------------------------------------------- TVF rewriting
+
+  /** All statement-text rewrites that turn Flink TVF shapes into the engine's
+    * scalar-function forms before `spark.sql`.
+    */
+  private[graft] def rewrite(spark: SparkSession, sql: String): String =
+    rewriteVectorSearch(spark, rewriteLateral(sql))
+
+  private val VsaLateralRe =
+    ("(?is),\\s*LATERAL\\s+TABLE\\s*\\(\\s*VECTOR_SEARCH_AGG\\s*\\(\\s*([\\w.`-]+)\\s*,\\s*" +
+      "DESCRIPTOR\\s*\\(\\s*\\w+\\s*\\)\\s*,\\s*([\\w.]+)\\s*,\\s*(\\d+)\\s*\\)\\s*\\)\\s*(?:AS\\s+)?(\\w+)").r
+
+  /** `FROM qe, LATERAL TABLE(VECTOR_SEARCH_AGG(tbl, DESCRIPTOR(emb),
+    * qe.embedding, k)) AS vs` (terraform/lab2-vector-search/main.tf:292) →
+    * drop the lateral, register a per-(table,k) search UDF over the resolved
+    * [[graft.vector.VectorTableCatalog]] store, and substitute
+    * `vs.search_results[N]…` references. Flink's array indexing is 1-based,
+    * Spark's 0-based — indices shift during substitution; the reference's
+    * `document_id` field maps onto the store's `doc_id`.
+    */
+  private def rewriteVectorSearch(spark: SparkSession, sql: String): String = {
+    var cur = sql
+    var m = VsaLateralRe.findFirstMatchIn(cur)
+    while (m.isDefined) {
+      val mm = m.get
+      val (table, qvec, k, alias) = (unqualify(mm.group(1)), mm.group(2), mm.group(3).toInt, mm.group(4))
+      val store = graft.vector.VectorTableCatalog.resolve(table)
+      val fname = s"__vsa_${table}_$k"
+      spark.udf.register(fname, (q: Seq[Float]) => store.search(q.toArray, k))
+      cur = cur.substring(0, mm.start) + cur.substring(mm.end)
+      // vs.search_results[N].field → __vsa(qe.embedding)[N-1].field (index
+      // base shift + document_id → doc_id), then any bare vs.search_results
+      val indexed = ("(?i)\\b" + java.util.regex.Pattern.quote(alias) + "\\.search_results\\[(\\d+)\\]\\.(\\w+)").r
+      cur = indexed.replaceAllIn(cur, rm => {
+        val field = if (rm.group(2).equalsIgnoreCase("document_id")) "doc_id" else rm.group(2)
+        s"$fname($qvec)[${rm.group(1).toInt - 1}].$field"
+      })
+      cur = ("(?i)\\b" + java.util.regex.Pattern.quote(alias) + "\\.search_results\\b").r
+        .replaceAllIn(cur, s"$fname($qvec)")
+      m = VsaLateralRe.findFirstMatchIn(cur)
+    }
+    cur
+  }
 
   private val LateralRe =
     ("(?is),\\s*LATERAL\\s+TABLE\\s*\\(\\s*ML_PREDICT\\s*\\(\\s*'([\\w.-]+)'\\s*,\\s*([\\w.]+)\\s*" +

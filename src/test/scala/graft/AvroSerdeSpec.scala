@@ -102,6 +102,27 @@ class AvroSerdeSpec extends SparkSpec {
     assert(back.getSeq[Float](1) == Seq(1.0f, -0.5f, 0.25f))
   }
 
+  test("avro serde composes with a structured stream (memory source → frame → unframe → sink)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    mem.addData((1L, "alpha", 1.5), (2L, "beta", -2.5))
+    val df = mem.toDF().toDF("id", "note", "score")
+    val schema = df.schema
+    val wire = AvroSerde.toAvroValue(df, Some("id"), schemaId = 5)
+    val back = AvroSerde.fromAvroValue(wire, schema)
+    val q = back.writeStream.format("memory").queryName("avro_stream_rt").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData((3L, "gamma", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("avro_stream_rt").as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "alpha", 1.5), (2L, "beta", -2.5), (3L, "gamma", 0.0)),
+      s"streaming round-trip must be the identity, got $got")
+  }
+
   test("confluent-framed DataFrame round-trip is the identity (micros timestamps, nulls)") {
     import spark.implicits._
     val st = StructType(Seq(

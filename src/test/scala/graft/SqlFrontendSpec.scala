@@ -61,9 +61,34 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
       val bytes = mapper.writeValueAsString(root).getBytes("UTF-8")
       ex.sendResponseHeaders(200, bytes.length); ex.getResponseBody.write(bytes); ex.close()
     })
+    // Atlas-like vector search endpoint (CREATE TABLE connector=mongodb target):
+    // exact cosine over a tiny in-memory collection, honoring limit
+    server.createContext("/vectordb", (ex: HttpExchange) => {
+      val body = mapper.readTree(ex.getRequestBody.readAllBytes())
+      lastVectorRequest = body
+      val q = (0 until body.path("queryVector").size()).map(i => body.path("queryVector").path(i).asDouble())
+      val corpus = Seq((10L, "doc-ten", Seq(1.0, 0.0)), (11L, "doc-eleven", Seq(0.6, 0.8)),
+        (12L, "doc-twelve", Seq(0.0, 1.0)))
+      def cos(a: Seq[Double], b: Seq[Double]) = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val root = mapper.createObjectNode()
+      val arr = root.putArray("results")
+      corpus.map { case (id, chunk, v) => (id, chunk, cos(q, v)) }
+        .sortBy { case (id, _, s) => (-s, id) }
+        .take(body.path("limit").asInt())
+        .foreach { case (id, chunk, s) =>
+          val o = arr.addObject(); o.put("doc_id", id); o.put("chunk", chunk); o.put("score", s)
+        }
+      val bytes = mapper.writeValueAsString(root).getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length); ex.getResponseBody.write(bytes); ex.close()
+    })
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
   }
+
+  @volatile private var lastVectorRequest: com.fasterxml.jackson.databind.JsonNode = _
 
   override def afterAll(): Unit = { server.stop(0); super.afterAll() }
 
@@ -131,6 +156,71 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     assert(graft.sources.TableRegistry.get("sql.state-ttl").contains("1 h"))
     SqlFrontend.execute(spark, "DROP TABLE derived_tbl")
     assert(!graft.sources.TableRegistry.exists("derived_tbl"))
+  }
+
+  test("CREATE TABLE connector=mongodb registers a live remote vector store honoring numCandidates") {
+    SqlFrontend.execute(spark,
+      s"CREATE CONNECTION `mongodb-connection` WITH ('type'='MONGODB', 'endpoint'='$base/vectordb')")
+    // the reference's lab2 DDL shape (terraform/lab2-vector-search/main.tf:215)
+    SqlFrontend.execute(spark,
+      "CREATE TABLE IF NOT EXISTS documents_vectordb_lab2 ( document_id STRING, chunk STRING, " +
+        "embedding ARRAY<FLOAT> ) WITH ( 'connector' = 'mongodb', " +
+        "'mongodb.connection' = 'mongodb-connection', 'mongodb.database' = 'graftdb', " +
+        "'mongodb.collection' = 'docs', 'mongodb.index' = 'emb_idx', " +
+        "'mongodb.embedding_column' = 'embedding', 'mongodb.numCandidates' = '500' )")
+
+    val store = graft.vector.VectorTableCatalog.resolve("documents_vectordb_lab2")
+    val hits = store.search(Array(1f, 0f), 2)
+    assert(hits.map(_.doc_id) == Seq(10L, 11L), s"got $hits")
+    assert(hits.head.chunk == "doc-ten" && hits.head.score > 0.99)
+    // the table's configured ANN breadth travels on every request
+    assert(lastVectorRequest.path("numCandidates").asInt() == 500)
+    assert(lastVectorRequest.path("limit").asInt() == 2)
+    assert(lastVectorRequest.path("index").asText() == "emb_idx")
+    assert(lastVectorRequest.path("path").asText() == "embedding")
+
+    // same trait → drives VECTOR_SEARCH_AGG unchanged
+    import spark.implicits._
+    val queries = Seq((1L, Seq(0.0f, 1.0f))).toDF("query_id", "embedding")
+    val out = graft.vector.VectorSearchAgg(spark, queries, store, "embedding", 1)
+      .selectExpr("search_results[0].doc_id AS d").as[Long].head()
+    assert(out == 12L)
+  }
+
+  test("lab2 search_results CTAS with VECTOR_SEARCH_AGG runs verbatim from terraform") {
+    SqlFrontend.execute(spark,
+      s"CREATE CONNECTION `mongodb-connection` WITH ('type'='MONGODB', 'endpoint'='$base/vectordb')")
+    SqlFrontend.execute(spark,
+      "CREATE TABLE IF NOT EXISTS documents_vectordb_lab2 ( document_id STRING, chunk STRING, " +
+        "embedding ARRAY<FLOAT> ) WITH ( 'connector' = 'mongodb', " +
+        "'mongodb.connection' = 'mongodb-connection', 'mongodb.numCandidates' = '500' )")
+    import spark.implicits._
+    Seq(("what is doc ten", Seq(1.0f, 0.0f)), ("what is doc twelve", Seq(0.0f, 1.0f)))
+      .toDF("query", "embedding").createOrReplaceTempView("queries_embed")
+
+    // the exact statement the reference submits (no terraform interpolation in it)
+    val tf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/terraform/lab2-vector-search/main.tf")), "UTF-8")
+    val stmt = "statement = \"(CREATE TABLE IF NOT EXISTS search_results[^\"]*)\"".r
+      .findFirstMatchIn(tf).map(_.group(1))
+      .getOrElse(fail("terraform must contain the search_results CTAS"))
+
+    SqlFrontend.execute(spark, stmt)
+    val out = spark.table("search_results").orderBy("query").collect()
+    assert(out.length == 2)
+    val first = out.head // "what is doc ten" → nearest is doc 10
+    assert(first.getAs[Long]("document_id_1") == 10L && first.getAs[String]("chunk_1") == "doc-ten")
+    assert(first.getAs[Double]("score_1") > first.getAs[Double]("score_3"),
+      "ranks must order by descending score")
+    assert(out(1).getAs[Long]("document_id_1") == 12L)
+  }
+
+  test("INSERT INTO appends through the registry") {
+    import spark.implicits._
+    Seq((1L, "x")).toDF("id", "v").createOrReplaceTempView("ins_src")
+    SqlFrontend.execute(spark, "CREATE TABLE ins_tgt AS SELECT id, v FROM ins_src")
+    SqlFrontend.execute(spark, "INSERT INTO ins_tgt SELECT id + 1 AS id, 'y' AS v FROM ins_src")
+    assert(spark.table("ins_tgt").count() == 2)
   }
 
   test("statement splitter respects quoted semicolons") {
