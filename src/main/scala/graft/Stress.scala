@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-2 scale-stress main (companion to the generator-driven stress in
+  * BASELINE.md): exercises the two new scale paths at volumes where the naive
+  * plans stop working, on generated data (no testdata dependency).
+  *
+  *   1. Bucketed interval join under extreme key skew: N events across only 5
+  *      business keys joined to per-key windows. The plain 5-key equi-join
+  *      puts everything through ≤5 reducers; the composite (key, time-bucket)
+  *      key spreads it across buckets.
+  *   2. Hyperplane-LSH embedding near-dup on a corpus where the exact O(N²)
+  *      plan would score billions of pairs.
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.Stress"
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    // 1. skewed interval join: 4M claims over 5 cities spanning 60 days,
+    //    joined to 6h-window aggregates (claims within window_time-6h..window_time)
+    val nClaims = 4000000L
+    val cities = array((0 until 5).map(i => lit(s"city_$i")): _*)
+    val claims = spark.range(nClaims)
+      .select(col("id").as("claim_id"),
+        element_at(cities, (pmod(col("id"), lit(5)) + 1).cast("int")).as("claim_city"),
+        timestamp_seconds(lit(1700000000L) + pmod(col("id") * 2654435761L, lit(86400L * 60))).as("claim_ts"),
+        (pmod(col("id") * 40503L, lit(100000)).cast("double") / 100.0).as("claim_amount"))
+    val windows = operators.Tumble(claims, "claim_ts", "6 hours", col("claim_city"))(
+      "total_amount" -> functions.Scalars.sumMoney(col("claim_amount")))
+      .select(col("claim_city").as("city"), col("window_time"), col("total_amount"))
+    val joined = operators.IntervalJoin(claims, windows, "claim_city", "city",
+      "claim_ts", "window_time", "'-6' HOUR", "'0' HOUR")
+    val joinRows = timed(s"bucketed interval join, $nClaims claims x 5 keys")(joined.count())
+    println(s"[stress] interval-join output rows: $joinRows")
+
+    // 2. hyperplane LSH near-dup: 100k 64-dim embeddings, 1% planted near-dups
+    //    (exact all-pairs would be 5e9 cosine evaluations)
+    val nVecs = 100000L
+    val dim = 64
+    val base = spark.range(nVecs).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(dim)),
+        j => ((pmod(xxhash64(col("id"), j), lit(2000)).cast("double") - 1000.0) / 1000.0).cast("float")).as("embedding"))
+    // planted near-dups: ids ending in 99 copy the vector of id-1 (cosine ~1)
+    val planted = base.withColumn("embedding",
+      when(pmod(col("vec_id"), lit(100)) === 99,
+        transform(sequence(lit(1), lit(dim)),
+          j => ((pmod(xxhash64(col("vec_id") - 1, j), lit(2000)).cast("double") - 1000.0) / 1000.0).cast("float")))
+        .otherwise(col("embedding")))
+    val dups = timed(s"hyperplane-LSH near-dup, $nVecs x $dim-dim")(
+      llmops.Dedup.embeddingNearDupLsh(planted, "embedding", "vec_id", threshold = 0.95)
+        .count())
+    val expected = nVecs / 100
+    println(s"[stress] near-dup pairs found: $dups (planted $expected)")
+    require(dups >= (expected * 9) / 10, s"LSH must recover >=90% of planted dups, got $dups/$expected")
+
+    spark.stop()
+  }
+}

@@ -25,17 +25,78 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
-  /** MinHash signatures via explode + hash aggregation: one row per (doc,
-    * shingle), then `numHashes` `min(xxhash64(shingle, seed))` aggregates in a
-    * single groupBy. Strictly linear work, map-side partial aggregation, and
-    * every expression codegen'd — unlike a nested higher-order-function
-    * formulation, which re-evaluates the shingle array per seed (measured 16×
-    * slower at sf0.1).
+  /** Row-local helpers reproducing the engine's hash/tokenize semantics
+    * bit-for-bit inside UDFs (catalyst's XXH64 with the same seeding chain as
+    * the `xxhash64` SQL function), so signature stages need NO shuffle at all:
+    * a signature depends only on its own row. The earlier explode + hash-agg
+    * formulation (already 16× faster than nested HOFs) still shuffled every
+    * (doc, shingle) pair; this one ships one row per doc.
+    */
+  private[graft] object RowHash {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+
+    /** Same bytes Spark hashes for a STRING: UTF-8, seed 42. */
+    def utf8(s: String, seed: Long = 42L): Long = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, seed)
+    }
+    /** `xxhash64(str, lit(i))` chains: bytes with seed 42, then the INT
+      * literal via hashInt (an Int `lit` hashes as int, not long).
+      */
+    def chainInt(strHash: Long, i: Int): Long = XXH64.hashInt(i, strHash)
+
+    /** Mirrors Text.tokens: split(trim(c), "\\s+") with Spark's -1 limit. */
+    def tokens(text: String): Array[String] =
+      (if (text == null) "" else text).trim.split("\\s+", -1)
+
+    /** Mirrors Text.shinglesFromTokens incl. the short-doc single-shingle
+      * case (try_element_at nulls are skipped by concat_ws).
+      */
+    def shingles(toks: Array[String], n: Int): Array[String] = {
+      val count = math.max(toks.length - (n - 1), 1)
+      Array.tabulate(count) { k =>
+        val from = k
+        val until = math.min(k + n, toks.length)
+        toks.slice(from, until).mkString(" ")
+      }
+    }
+  }
+
+  /** MinHash signatures, row-local: per doc, one pass over its shingles
+    * computing all `numHashes` chained-hash minima in registers. Zero shuffle
+    * (the explode+agg history is in BASELINE.md: 113 s → 1.9 s → this).
+    * Identical output to the aggregation formulation (spec-checked).
     */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int, numHashes: Int): DataFrame = {
-    // tokens materialized as an attribute BEFORE the shingle HOF — lambdas
-    // re-evaluate derived expressions per element (no CSE), attributes are free
+    val n = numHashes
+    val sz = shingleSize
+    val sigUdf = udf((text: String) => {
+      val sh = RowHash.shingles(RowHash.tokens(text), sz)
+      val sig = Array.fill(n)(Long.MaxValue)
+      var i = 0
+      while (i < sh.length) {
+        val base = RowHash.utf8(sh(i))
+        var j = 0
+        while (j < n) {
+          val h = RowHash.chainInt(base, j)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+        i += 1
+      }
+      sig
+    })
+    df.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
+  }
+
+  /** The explode + hash-aggregation formulation, kept as the independent
+    * oracle for the row-local path (and the shape to fall back to if rows
+    * were ever too wide to hash in one task).
+    */
+  private[graft] def minHashSignaturesAgg(df: DataFrame, textCol: String, idCol: String,
+                                           shingleSize: Int, numHashes: Int): DataFrame = {
     val exploded = df
       .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), explode(Text.shinglesFromTokens(col("__toks"), shingleSize)).as("shingle"))
@@ -70,14 +131,15 @@ object Dedup {
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // join texts back onto the candidate set for exact verification
-    val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // distinct shingle sets computed ONCE per doc (a doc in many candidate
+    // pairs would otherwise re-tokenize per pair), then joined onto the
+    // candidate set for exact verification
+    val shSets = df
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), array_distinct(Text.shinglesFromTokens(col("__toks"), shingleSize)).as("__sh"))
     pairs
-      .join(docs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
-      .join(docs.withColumnRenamed("doc_id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
-      .withColumn("__ta", Text.tokens(col("text_a"))).withColumn("__tb", Text.tokens(col("text_b")))
-      .withColumn("__sa", array_distinct(Text.shinglesFromTokens(col("__ta"), shingleSize)))
-      .withColumn("__sb", array_distinct(Text.shinglesFromTokens(col("__tb"), shingleSize)))
+      .join(shSets.select(col("doc_id").as("id_a"), col("__sh").as("__sa")), "id_a")
+      .join(shSets.select(col("doc_id").as("id_b"), col("__sh").as("__sb")), "id_b")
       .withColumn("__common", size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
       .withColumn("jaccard", col("__common") / (size(col("__sa")) + size(col("__sb")) - col("__common")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -102,7 +164,12 @@ object Dedup {
     val sh = df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), array_distinct(Text.shinglesFromTokens(col("__toks"), shingleSize)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    // the index joins on the shingle's 64-bit hash, not the string — an
+    // 8-byte fixed shuffle key instead of variable-length text (collisions
+    // between distinct shingles of overlapping docs are ~2^-64 — and the
+    // oracle would catch one)
+    val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("__s"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("__s")).as("shingle"))
     val a = inv.select(col("shingle"), col("doc_id").as("id_a"), col("n_sh").as("n_a"))
     val b = inv.select(col("shingle"), col("doc_id").as("id_b"), col("n_sh").as("n_b"))
     a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
@@ -114,13 +181,38 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash signatures via explode + aggregation: bit i of the
-    * signature is set when the sum over tokens of sign(bit i of xxhash64(token))
-    * is positive. One groupBy with 64 codegen'd conditional-sum aggregates —
-    * linear work, map-side combine (the nested-HOF formulation is O(64·tokens)
-    * interpreted per row).
+  /** 64-bit SimHash signatures, row-local: bit i of the signature is set when
+    * the sum over tokens of sign(bit i of xxhash64(token)) is positive. One
+    * UDF pass per doc with the 64 bit-votes in a local array — zero shuffle
+    * (the explode + 64-conditional-sum-aggregates formulation is kept below as
+    * the spec oracle). Hash chain matches the SQL `xxhash64` exactly.
     */
   def simHashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sigUdf = udf((text: String) => {
+      val toks = RowHash.tokens(text)
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < toks.length) {
+        val h = RowHash.utf8(toks(i))
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    })
+    df.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
+  }
+
+  /** Aggregation formulation of [[simHashSignatures]] — the independent
+    * oracle for the row-local path.
+    */
+  private[graft] def simHashSignaturesAgg(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val exploded = df
       .select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))

@@ -46,7 +46,7 @@ object SqlFrontend {
       case CreateAgentRe(name, model, prompt, tools, props) =>
         createAgent(spark, unqualify(name), unqualify(model), prompt, tools, parseProps(Option(props).getOrElse("")))
       case CtasRe(name, select) =>
-        val df = spark.sql(rewrite(spark, select))
+        val df = parseSql(spark, select)
         TableRegistry.createTableAs(spark, unqualify(name), df)
         df.createOrReplaceTempView(unqualify(name))
         status(spark, "TABLE", unqualify(name))
@@ -56,7 +56,7 @@ object SqlFrontend {
         // INSERT INTO t SELECT … (continuous statements in the reference are
         // standing inserts; batch semantics here = append to the registered
         // table, terraform/lab2-vector-search/main.tf:238-263)
-        val df = spark.sql(rewrite(spark, select))
+        val df = parseSql(spark, select)
         val tgt = unqualify(name)
         val merged =
           if (TableRegistry.exists(tgt)) TableRegistry.resolve(tgt).load(spark).unionByName(df)
@@ -70,7 +70,23 @@ object SqlFrontend {
       case DescribeRe(name) =>
         import spark.implicits._
         TableRegistry.describe(unqualify(name)).toDF("col_name", "data_type")
-      case other => spark.sql(rewrite(spark, other))
+      case other => parseSql(spark, other)
+    }
+  }
+
+  /** Parse query text with Flink/standard-SQL string-literal semantics:
+    * backslashes stay literal (the walkthrough regexes — `'\*{0,2}…'`,
+    * LAB1-Walkthrough.md:203-205 — depend on it). Spark's default literal
+    * parser strips them; the legacy flag is scoped to this one parse.
+    */
+  private def parseSql(spark: SparkSession, text: String): DataFrame = {
+    val key = "spark.sql.parser.escapedStringLiterals"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try spark.sql(rewrite(spark, text))
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
     }
   }
 
@@ -85,8 +101,12 @@ object SqlFrontend {
   private val CreateAgentRe =
     ("(?is)^CREATE\\s+AGENT\\s+(\\S+)\\s+USING\\s+MODEL\\s+(\\S+)\\s+USING\\s+PROMPT\\s+'((?:[^']|'')*)'" +
       "\\s+USING\\s+TOOLS\\s+([`\\w,\\s.-]+?)(?:\\s+COMMENT\\s+'(?:[^']|'')*')?(?:\\s+WITH\\s*\\((.*)\\))?$").r
+  // CTAS may carry a constraint block and table options before AS
+  // (LAB3-Walkthrough.md:455-459: `CREATE TABLE completed_actions (PRIMARY KEY
+  // (pickup_zone) NOT ENFORCED) WITH ('changelog.mode'='append') AS SELECT …`)
   private val CtasRe =
-    "(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\S+)\\s+AS\\s+(SELECT.*)$".r
+    ("(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\S+)\\s*" +
+      "(?:\\((?:[^()]|\\([^()]*\\))*\\)\\s*)?(?:WITH\\s*\\((?:'[^']*'|[^)'])*\\)\\s*)?AS\\s+(SELECT.*)$").r
   private val CreateVectorTableRe =
     "(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\S+)\\s*\\(([^)]*)\\)\\s*WITH\\s*\\((.*)\\)$".r
   private val InsertRe =
@@ -236,7 +256,175 @@ object SqlFrontend {
     * scalar-function forms before `spark.sql`.
     */
   private[graft] def rewrite(spark: SparkSession, sql: String): String =
-    rewriteVectorSearch(spark, rewriteLateral(sql))
+    rewriteToolInvoke(spark,
+      rewriteRunAgent(spark, rewriteVectorSearch(spark, rewriteLateral(sql))))
+
+  // ------------------------------------------------- balanced-call utilities
+
+  /** Split the argument list of a call: `s(openIdx)` must be '('; returns the
+    * top-level comma-separated args (trimmed) and the index just past the
+    * matching ')'. Respects single-quoted strings, nested parens, and
+    * `MAP[...]` brackets.
+    */
+  private[graft] def balancedArgs(s: String, openIdx: Int): (Seq[String], Int) = {
+    require(s.charAt(openIdx) == '(', s"expected '(' at $openIdx")
+    val args = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    var i = openIdx
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { cur += c; if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true; cur += c
+        case '(' | '[' => depth += 1; if (depth > 1) cur += c
+        case ')' | ']' =>
+          depth -= 1
+          if (depth == 0 && c == ')') {
+            if (cur.toString.trim.nonEmpty) args += cur.toString.trim
+            return (args.toSeq, i + 1)
+          } else cur += c
+        case ',' if depth == 1 => args += cur.toString.trim; cur.clear()
+        case other => cur += other
+      }
+      i += 1
+    }
+    sys.error(s"unbalanced parentheses in call starting at $openIdx")
+  }
+
+  /** Strip a surrounding `'…'` or `` `…` `` from an identifier/literal arg. */
+  private def unquoteArg(a: String): String = {
+    val t = a.trim
+    if ((t.startsWith("'") && t.endsWith("'")) || (t.startsWith("`") && t.endsWith("`")))
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** Split `SELECT <list> FROM <rest>` at the first top-level FROM. */
+  private def topLevelSelectFrom(sql: String): (String, String) = {
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    val upper = sql.toUpperCase
+    while (i < sql.length - 4) {
+      val c = sql.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case _ =>
+          if (depth == 0 && upper.startsWith("FROM", i) &&
+              (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1))) &&
+              (i + 4 >= sql.length || !Character.isLetterOrDigit(sql.charAt(i + 4)))) {
+            val sel = sql.substring(0, i).replaceFirst("(?is)^\\s*SELECT\\s+", "")
+            return (sel, sql.substring(i + 4))
+          }
+      }
+      i += 1
+    }
+    sys.error("no top-level FROM found")
+  }
+
+  private val ReservedAfterLateral =
+    Set("WHERE", "GROUP", "ORDER", "WITH", "ON", "JOIN", "LIMIT", "HAVING", "UNION")
+
+  private val RunAgentStartRe = "(?is),\\s*LATERAL\\s+TABLE\\s*\\(\\s*AI_RUN_AGENT\\s*\\(".r
+
+  /** `FROM t [alias], LATERAL TABLE(AI_RUN_AGENT('agent', <prompt expr…>))
+    * [AS] r` (LAB1-Walkthrough.md:195-214, LAB3-Walkthrough.md:460-470,
+    * LAB4-Walkthrough.md:410-425) → a per-agent scalar UDF returning the
+    * (status, response) struct, appended in a subquery so `r.status` /
+    * `r.response` (or bare `status`/`response` when un-aliased, the lab3
+    * form) resolve naturally. Multiple prompt args concatenate with a space.
+    * The agent definition resolves on the DRIVER at rewrite time and ships in
+    * the UDF closure (executor registries never see runtime registrations).
+    */
+  private def rewriteRunAgent(spark: SparkSession, sql: String): String = {
+    val m = RunAgentStartRe.findFirstMatchIn(sql).getOrElse(return sql)
+    val (args, afterArgs) = balancedArgs(sql, m.end - 1)
+    require(args.size >= 2, s"AI_RUN_AGENT needs (agent, prompt…), got ${args.size} args")
+    // optional `[AS] alias` and optional TVF column list `(status, response)`
+    // after the closing paren (lab1: `as agent_result(status, response)`)
+    val tail = sql.substring(afterArgs)
+    val tailM = ("(?is)^\\s*\\)\\s*(?:(?:AS\\s+)?([A-Za-z_]\\w*)" +
+      "(\\s*\\(\\s*\\w+(?:\\s*,\\s*\\w+)*\\s*\\))?)?").r.findFirstMatchIn(tail)
+      .getOrElse(sys.error("malformed LATERAL TABLE(AI_RUN_AGENT(...))"))
+    val aliasOpt = Option(tailM.group(1)).filterNot(a => ReservedAfterLateral(a.toUpperCase))
+    val colList = Option(tailM.group(2)).map(_.replaceAll("[()\\s]", "").split(",").toSeq)
+    val consumed =
+      if (aliasOpt.isDefined) tailM.end
+      else tailM.end - Option(tailM.group(1)).map(_.length).getOrElse(0)
+
+    val agentName = unqualify(unquoteArg(args.head))
+    // prompt = the non-MAP args after the name (extras like a session key
+    // concatenate into the prompt; MAP[...] args are invocation options)
+    val promptArgs = args.tail.filterNot(_.toUpperCase.startsWith("MAP["))
+    val promptExpr =
+      if (promptArgs.size == 1) promptArgs.head
+      else promptArgs.map(a => s"CAST($a AS STRING)").mkString("CONCAT(", ", ' ', ", ")")
+    val agentDef = AgentCatalog.resolve(agentName)
+    val fname = s"__ai_run_agent_${agentName.replaceAll("\\W", "_")}"
+    spark.udf.register(fname, (prompt: String) =>
+      AgentRuntime.run(agentDef, if (prompt == null) "" else prompt))
+
+    val without = sql.substring(0, m.start) + sql.substring(afterArgs + consumed)
+    val (sel, rest) = topLevelSelectFrom(without)
+    // the outer subquery takes over the from-item's alias (or its bare table
+    // name) so qualified references in the select list — `pmi.order_id` —
+    // keep resolving after the wrap
+    val outerAlias = "(?s)^\\s*[\\w.`]+(?:\\s+(?:AS\\s+)?(\\w+))?\\s*;?\\s*$".r.findFirstMatchIn(rest)
+      .map(rm => Option(rm.group(1)).getOrElse(unqualify(rest.trim.stripSuffix(";").trim.split("\\s+").head)))
+      .getOrElse("__graft_ar")
+    val restClean = rest.replaceAll(";\\s*$", "")
+    val call = s"$fname($promptExpr)"
+    val rewritten = (aliasOpt, colList) match {
+      case (Some(alias), Some(cols)) =>
+        // positional rename of the (status, response) struct fields
+        val fields = Seq("status", "response")
+        val named = cols.zip(fields).map { case (c, f) => s"'$c', __g0.$f" }.mkString(", ")
+        s"SELECT $sel FROM (SELECT *, named_struct($named) AS $alias " +
+          s"FROM (SELECT *, $call AS __g0 FROM $restClean) __g1) $outerAlias"
+      case (Some(alias), None) =>
+        s"SELECT $sel FROM (SELECT *, $call AS $alias FROM $restClean) $outerAlias"
+      case _ =>
+        s"SELECT $sel FROM (SELECT *, __g0.status AS status, __g0.response AS response " +
+          s"FROM (SELECT *, $call AS __g0 FROM $restClean) __g1) $outerAlias"
+    }
+    rewriteRunAgent(spark, rewritten) // a second lateral, if any
+  }
+
+  private val ToolInvokeStartRe = "(?i)AI_TOOL_INVOKE\\s*\\(".r
+
+  /** Scalar `AI_TOOL_INVOKE('model', 'prompt', MAP[…], MAP['tool','desc',…],
+    * MAP[…])` (LAB1-Walkthrough.md:80-91): one model turn + at most one tool
+    * execution. Rewrites to a per-model UDF over [[AgentRuntime.invokeOnce]]
+    * with the allowed tools taken from the tools MAP's keys.
+    */
+  private def rewriteToolInvoke(spark: SparkSession, sql: String): String = {
+    val m = ToolInvokeStartRe.findFirstMatchIn(sql).getOrElse(return sql)
+    val (args, end) = balancedArgs(sql, m.end - 1)
+    require(args.size >= 2, s"AI_TOOL_INVOKE needs (model, prompt, …), got ${args.size}")
+    val model = unqualify(unquoteArg(args.head))
+    // the tools map is the MAP[...] arg with content (observed arg order:
+    // on_error MAP[], tools MAP[...], options MAP[...] — tools come first)
+    val toolKeys = args.drop(2)
+      .filter(a => a.toUpperCase.startsWith("MAP["))
+      .map(a => "'([^']*)'".r.findAllMatchIn(a).map(_.group(1)).toSeq)
+      .find(_.nonEmpty).getOrElse(Seq.empty)
+      .grouped(2).map(_.head).toSeq
+    val agentDef = AgentDefinition(
+      name = s"tool_invoke_$model",
+      model = ModelCatalog.chat(model),
+      systemPrompt = "",
+      tools = ToolCatalog.resolveAll(toolKeys))
+    val fname = s"__ai_tool_invoke_${model.replaceAll("\\W", "_")}"
+    spark.udf.register(fname, (prompt: String) =>
+      AgentRuntime.invokeOnce(agentDef, if (prompt == null) "" else prompt).response)
+    val rewritten = sql.substring(0, m.start) + s"$fname(${args(1)})" + sql.substring(end)
+    rewriteToolInvoke(spark, rewritten)
+  }
 
   private val VsaLateralRe =
     ("(?is),\\s*LATERAL\\s+TABLE\\s*\\(\\s*VECTOR_SEARCH_AGG\\s*\\(\\s*([\\w.`-]+)\\s*,\\s*" +

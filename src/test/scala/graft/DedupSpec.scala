@@ -47,6 +47,21 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("row-local minhash/simhash signatures equal the aggregation oracles bit-for-bit") {
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val fast = Dedup.minHashSignatures(docs, "text", "doc_id", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = Dedup.minHashSignaturesAgg(docs, "text", "doc_id", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fast.nonEmpty && fast == agg, "minhash UDF must reproduce xxhash64 chain exactly")
+
+    val fastSim = Dedup.simHashSignatures(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aggSim = Dedup.simHashSignaturesAgg(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fastSim == aggSim, "simhash UDF must reproduce xxhash64 exactly")
+  }
+
   test("hyperplane-LSH near-dup: recall >= 0.9 vs the exact oracle, precision 1") {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))

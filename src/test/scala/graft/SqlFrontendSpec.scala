@@ -41,6 +41,11 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
       val content =
         if (userPrompt.startsWith("Price-match") && toolTurns == 0) "TOOL:http_get competitor-url"
         else if (userPrompt.startsWith("Price-match")) "Analysis complete. Decision: PRICE_MATCH"
+        else if (userPrompt.startsWith("COMPETITOR URL") && toolTurns == 0) "TOOL:http_get competitor-url"
+        else if (userPrompt.startsWith("COMPETITOR URL"))
+          "Competitor Price:\n19.99\n\nDecision:\nPRICE_MATCH\n\nSummary:\nPrice matched and email sent."
+        else if (userPrompt.contains("send_email tool") && toolTurns == 0) "TOOL:send_email {\"to\":\"test\"}"
+        else if (userPrompt.contains("send_email tool")) "Email sent successfully."
         else s"stub-answer: ${userPrompt.take(40)}"
       val root = mapper.createObjectNode()
       val msg = root.putArray("choices").addObject().putObject("message")
@@ -185,6 +190,92 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     val out = graft.vector.VectorSearchAgg(spark, queries, store, "embedding", 1)
       .selectExpr("search_results[0].doc_id AS d").as[Long].head()
     assert(out == 12L)
+  }
+
+  test("lab1 price_match_results CTAS with AI_RUN_AGENT runs verbatim over the stubs") {
+    // prerequisites the walkthrough assumes: connection, model, tool, agent
+    SqlFrontend.execute(spark,
+      s"CREATE CONNECTION `remote-mcp-connection` WITH ('type'='MCP_SERVER', 'endpoint'='$base/mcp')")
+    SqlFrontend.execute(spark,
+      "CREATE CONNECTION bedrock_conn3 WITH ('type'='bedrock', 'endpoint'='" + base + "/v1')")
+    SqlFrontend.execute(spark,
+      "CREATE MODEL remote_mcp_model INPUT (prompt STRING) OUTPUT (response STRING) " +
+        "WITH ('provider'='bedrock', 'task'='text_generation', 'bedrock.connection'='bedrock_conn3')")
+    SqlFrontend.execute(spark, sqlBlocks.find(_.toUpperCase.startsWith("CREATE TOOL")).get)
+    SqlFrontend.execute(spark, sqlBlocks.find(_.toUpperCase.startsWith("CREATE AGENT")).get)
+
+    import spark.implicits._
+    Seq((1L, "blue kayak", "kai@example.com", 129.99),
+        (2L, "red canoe", "ada@example.com", 349.50))
+      .toDF("order_id", "product_name", "customer_email", "order_price")
+      .createOrReplaceTempView("enriched_orders")
+
+    val ctas = sqlBlocks.find(b => b.toUpperCase.contains("AI_RUN_AGENT") &&
+        b.toUpperCase.startsWith("CREATE TABLE"))
+      .getOrElse(fail("walkthrough must contain the price_match_results CTAS"))
+    mcpCalls.clear()
+    SqlFrontend.execute(spark, ctas)
+    val out = spark.table("price_match_results").orderBy("order_id").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[String]("agent_status") == "SUCCESS"))
+    assert(out.forall(_.getAs[String]("decision") == "PRICE_MATCH"))
+    // SQL TRIM strips spaces, not the newline the section format carries
+    assert(out.head.getAs[String]("competitor_price").trim == "19.99")
+    assert(out.forall(_.getAs[String]("raw_response").nonEmpty))
+    // each order's agent loop hit the MCP stub for its http_get
+    assert(mcpCalls.get("http_get").get() >= 2, s"saw $mcpCalls")
+  }
+
+  test("lab1 AI_TOOL_INVOKE test query runs verbatim and invokes the tool over MCP") {
+    SqlFrontend.execute(spark,
+      s"CREATE CONNECTION `remote-mcp-connection` WITH ('type'='MCP_SERVER', 'endpoint'='$base/mcp')")
+    SqlFrontend.execute(spark,
+      "CREATE CONNECTION bedrock_conn4 WITH ('type'='bedrock', 'endpoint'='" + base + "/v1')")
+    SqlFrontend.execute(spark,
+      "CREATE MODEL remote_mcp_model INPUT (prompt STRING) OUTPUT (response STRING) " +
+        "WITH ('provider'='bedrock', 'task'='text_generation', 'bedrock.connection'='bedrock_conn4')")
+    SqlFrontend.execute(spark, sqlBlocks.find(_.toUpperCase.startsWith("CREATE TOOL")).get)
+
+    val q = sqlBlocks.find(_.toUpperCase.contains("AI_TOOL_INVOKE"))
+      .getOrElse(fail("walkthrough must contain the AI_TOOL_INVOKE test query"))
+    mcpCalls.clear()
+    val row = SqlFrontend.execute(spark, q).collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[String]("response") == "Email sent successfully.")
+    assert(mcpCalls.get("send_email").get() == 1, s"saw $mcpCalls")
+  }
+
+  test("lab3 completed_actions CTAS (un-aliased AI_RUN_AGENT, constraint block) runs verbatim") {
+    // the walkthrough's agent, stood in by a deterministic chat producing the
+    // three labeled sections its REGEXP_EXTRACTs parse
+    graft.agent.AgentCatalog.register(graft.agent.AgentDefinition(
+      name = "boat_dispatch_agent",
+      model = new graft.ml.ChatModel {
+        val name = "dispatch-stub"
+        def chat(system: String, messages: Seq[graft.ml.Message]): String =
+          "Dispatch Summary:\nDispatched 3 boats to the surge zone.\n\n" +
+            "Dispatch JSON:\n{\"boats\": 3}\n\nAPI Response:\n{\"status\": \"ok\"}"
+      },
+      systemPrompt = "", tools = Map.empty))
+    import spark.implicits._
+    Seq(("Z-7", "2024-03-01 12:00:00", 42L, "storm surge"))
+      .toDF("pickup_zone", "window_time", "request_count", "anomaly_reason")
+      .createOrReplaceTempView("anomalies_enriched")
+
+    val md = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/LAB3-Walkthrough.md")), "UTF-8")
+    // fences anchored to line starts: the SQL itself contains inline ```json
+    // inside its regex literals
+    val ctas = "(?sm)^```sql\\s*\\n(.*?)^```".r.findAllMatchIn(md).map(_.group(1).trim)
+      .find(b => b.toUpperCase.contains("AI_RUN_AGENT") && b.toUpperCase.startsWith("CREATE TABLE"))
+      .getOrElse(fail("LAB3 walkthrough must contain the completed_actions CTAS"))
+    SqlFrontend.execute(spark, ctas)
+    val out = spark.table("completed_actions").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("dispatch_summary").contains("Dispatched 3 boats"))
+    assert(out(0).getAs[String]("dispatch_json").trim == "{\"boats\": 3}")
+    assert(out(0).getAs[String]("api_response").trim == "{\"status\": \"ok\"}")
+    assert(out(0).getAs[String]("raw_response").nonEmpty)
   }
 
   test("lab2 search_results CTAS with VECTOR_SEARCH_AGG runs verbatim from terraform") {
