@@ -50,8 +50,8 @@ object SqlFrontend {
         TableRegistry.createTableAs(spark, unqualify(name), df)
         df.createOrReplaceTempView(unqualify(name))
         status(spark, "TABLE", unqualify(name))
-      case CreateVectorTableRe(name, _, props) if parseProps(props).get("connector").exists(connectorIsVector) =>
-        createVectorTable(spark, unqualify(name), parseProps(props))
+      case CreateVectorTableRe(name, cols, props) if parseProps(props).get("connector").exists(connectorIsVector) =>
+        createVectorTable(spark, unqualify(name), cols, parseProps(props))
       case InsertRe(name, select) =>
         // INSERT INTO t SELECT … (continuous statements in the reference are
         // standing inserts; batch semantics here = append to the registered
@@ -64,6 +64,12 @@ object SqlFrontend {
         TableRegistry.createTableAs(spark, tgt, merged)
         merged.createOrReplaceTempView(tgt)
         status(spark, "INSERT", tgt)
+      case AlterWatermarkRe(name, wmCol, delayN, delayUnit) =>
+        val tgt = unqualify(name)
+        if (!TableRegistry.exists(tgt))
+          TableRegistry.createTable(TableRegistry.TableDef(tgt, None, load = s => s.table(tgt)))
+        TableRegistry.alterWatermark(tgt, wmCol, s"$delayN ${delayUnit.toLowerCase}")
+        status(spark, "ALTER TABLE", tgt)
       case SetRe(k, v) =>
         TableRegistry.set(k, v); status(spark, "SET", s"$k=$v")
       case DropRe(kind, name) => drop(spark, kind.toUpperCase, unqualify(name))
@@ -106,11 +112,16 @@ object SqlFrontend {
   // (pickup_zone) NOT ENFORCED) WITH ('changelog.mode'='append') AS SELECT …`)
   private val CtasRe =
     ("(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\S+)\\s*" +
-      "(?:\\((?:[^()]|\\([^()]*\\))*\\)\\s*)?(?:WITH\\s*\\((?:'[^']*'|[^)'])*\\)\\s*)?AS\\s+(SELECT.*)$").r
+      "(?:\\((?:[^()]|\\([^()]*\\))*\\)\\s*)?(?:WITH\\s*\\((?:'[^']*'|[^)'])*\\)\\s*)?AS\\s+((?:SELECT|WITH).*)$").r
   private val CreateVectorTableRe =
     "(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\S+)\\s*\\(([^)]*)\\)\\s*WITH\\s*\\((.*)\\)$".r
   private val InsertRe =
     "(?is)^INSERT\\s+INTO\\s+(\\S+)\\s+(SELECT.*)$".r
+  // ALTER TABLE t MODIFY (WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)
+  // (LAB3-Walkthrough.md:494-495)
+  private val AlterWatermarkRe =
+    ("(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+MODIFY\\s*\\(\\s*WATERMARK\\s+FOR\\s+(\\w+)\\s+AS\\s+" +
+      "\\w+\\s*-\\s*INTERVAL\\s+'(\\d+)'\\s+(\\w+)\\s*\\)$").r
   private val SetRe = "(?is)^SET\\s+'([^']+)'\\s*=\\s*'([^']*)'$".r
   private val DropRe = "(?is)^DROP\\s+(TABLE|MODEL|TOOL|AGENT|CONNECTION)\\s+(?:IF\\s+EXISTS\\s+)?(\\S+)$".r
   private val DescribeRe = "(?is)^DESCRIBE\\s+(\\S+)$".r
@@ -150,21 +161,54 @@ object SqlFrontend {
     * database, collection, index, embedding_column, and the ANN breadth
     * `numCandidates` — resolving the endpoint through the named connection.
     */
-  private def createVectorTable(spark: SparkSession, name: String, props: Map[String, String]): DataFrame = {
+  private def createVectorTable(spark: SparkSession, name: String, colSpec: String,
+                                props: Map[String, String]): DataFrame = {
     val connector = props("connector").toLowerCase
     def opt(key: String, default: => String): String =
       props.getOrElse(s"$connector.$key".toLowerCase, default)
     val endpoint = props.get(s"$connector.connection")
       .map(c => ConnectionCatalog.resolve(unqualify(c)).endpoint)
       .getOrElse(opt("endpoint", sys.error(s"vector table '$name' needs a connection or endpoint")))
+    val embCol = opt("embedding_column", "embedding")
+    // result shape = declared columns minus the embedding vector, plus score
+    val resultSchema = parseColumns(colSpec).filterNot(_.name == embCol) match {
+      case Seq() => None
+      case fields => Some(org.apache.spark.sql.types.StructType(
+        fields :+ org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType)))
+    }
     graft.vector.VectorTableCatalog.register(name, graft.vector.RemoteVectorStore(
       endpoint = endpoint,
       database = opt("database", "default"),
-      collection = opt("collection", name),
+      collection = opt("collection", opt("container", name)),
       index = opt("index", s"${name}_index"),
-      embeddingColumn = opt("embedding_column", "embedding"),
-      numCandidates = opt("numcandidates", "500").toInt))
+      embeddingColumn = embCol,
+      numCandidates = opt("numcandidates", "500").toInt), resultSchema)
     status(spark, "VECTOR TABLE", name)
+  }
+
+  /** `name TYPE, name TYPE, …` → struct fields (the vector-table DDL column
+    * vocabulary: primitives + ARRAY<STRING|FLOAT>).
+    */
+  private[graft] def parseColumns(spec: String): Seq[org.apache.spark.sql.types.StructField] = {
+    import org.apache.spark.sql.types._
+    def typ(t: String): DataType = t.trim.toUpperCase.replaceAll("\\s+", "") match {
+      case "STRING" | "VARCHAR"     => StringType
+      case "INT" | "INTEGER"        => IntegerType
+      case "BIGINT"                 => LongType
+      case "FLOAT"                  => FloatType
+      case "DOUBLE"                 => DoubleType
+      case "BOOLEAN"                => BooleanType
+      case "ARRAY<STRING>"          => ArrayType(StringType)
+      case "ARRAY<FLOAT>"           => ArrayType(FloatType)
+      case "ARRAY<DOUBLE>"          => ArrayType(DoubleType)
+      case other => throw new IllegalArgumentException(s"unsupported column type: $other")
+    }
+    spec.split(",").map(_.trim).filter(_.nonEmpty)
+      .filterNot(_.toUpperCase.startsWith("PRIMARY"))
+      .map { c =>
+        val parts = c.split("\\s+", 2)
+        org.apache.spark.sql.types.StructField(unqualify(parts(0)), typ(parts(1)))
+      }.toSeq
   }
 
   private def createConnection(spark: SparkSession, name: String, props: Map[String, String]): DataFrame = {
@@ -257,7 +301,79 @@ object SqlFrontend {
     */
   private[graft] def rewrite(spark: SparkSession, sql: String): String =
     rewriteToolInvoke(spark,
-      rewriteRunAgent(spark, rewriteVectorSearch(spark, rewriteLateral(sql))))
+      rewriteRunAgent(spark,
+        rewriteVectorSearch(spark,
+          rewriteDetectAnomalies(rewriteTumble(rewriteLateral(sql))))))
+
+  private val TumbleRe =
+    ("(?is)FROM\\s+TABLE\\s*\\(\\s*TUMBLE\\s*\\(\\s*TABLE\\s+([\\w.`]+)\\s*,\\s*" +
+      "DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*INTERVAL\\s+'(\\d+)'\\s+(\\w+)\\s*\\)\\s*\\)").r
+
+  /** `FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '5' MINUTE))`
+    * (LAB3-Walkthrough.md:108-110, LAB4-Walkthrough.md:135-140) → a subquery
+    * appending Flink's window_start / window_end / window_time (= end − 1 ms,
+    * the window's event-time attribute) from Spark's epoch-aligned `window()`.
+    */
+  private[graft] def rewriteTumble(sql: String): String =
+    TumbleRe.replaceAllIn(sql, m => {
+      val (tbl, ts, n, unit) = (m.group(1), m.group(2), m.group(3), m.group(4).toLowerCase)
+      java.util.regex.Matcher.quoteReplacement(
+        s"FROM (SELECT *, __w.start AS window_start, __w.end AS window_end, " +
+          s"timestampadd(MILLISECOND, -1, __w.end) AS window_time " +
+          s"FROM (SELECT *, window($ts, '$n $unit') AS __w FROM $tbl) __graft_w0) __graft_w")
+    })
+
+  private val DetectAnomaliesRe = "(?is)ML_DETECT_ANOMALIES\\s*\\(".r
+
+  /** `ML_DETECT_ANOMALIES(v, ts, JSON_OBJECT('minTrainingSize' VALUE …, …))
+    * OVER (PARTITION BY k ORDER BY t RANGE …)` (LAB3-Walkthrough.md:119-132,
+    * LAB4-Walkthrough.md:150-163) → the engine's z-band detector expressed as
+    * inline SQL window functions over decimal-exact sums — the SAME
+    * formulation `AnomalyDetector.detectBatch` uses (and q08's DuckDB oracle
+    * verifies), with the trailing-history frame
+    * `ROWS BETWEEN maxTrainingSize PRECEDING AND 1 PRECEDING` and warm-up
+    * gating on minTrainingSize. Config keys (incl. the enableStl rejection)
+    * go through [[graft.anomaly.AnomalyDetector.Config]].
+    */
+  private[graft] def rewriteDetectAnomalies(sql: String): String = {
+    val m = DetectAnomaliesRe.findFirstMatchIn(sql).getOrElse(return sql)
+    val (args, afterArgs) = balancedArgs(sql, m.end - 1)
+    require(args.size >= 2, s"ML_DETECT_ANOMALIES needs (value, ts[, config]), got ${args.size}")
+    val cfgText = args.drop(2).mkString(" ")
+    def key(name: String, default: String): String =
+      s"(?i)'$name'\\s+VALUE\\s+([\\w.]+)".r.findFirstMatchIn(cfgText).map(_.group(1)).getOrElse(default)
+    val cfg = graft.anomaly.AnomalyDetector.Config(
+      minTrainingSize = key("minTrainingSize", "2").toInt,
+      maxTrainingSize = key("maxTrainingSize", "1000").toInt,
+      confidencePercentage = key("confidencePercentage", "95.0").toDouble,
+      enableStl = key("enableStl", "false").toBoolean)
+
+    val overM = ("(?is)^\\s*OVER\\s*\\(\\s*PARTITION\\s+BY\\s+(.*?)\\s+ORDER\\s+BY\\s+(\\S+)" +
+      "(?:\\s+RANGE\\s+BETWEEN\\s+UNBOUNDED\\s+PRECEDING\\s+AND\\s+CURRENT\\s+ROW)?\\s*\\)").r
+      .findFirstMatchIn(sql.substring(afterArgs))
+      .getOrElse(sys.error("ML_DETECT_ANOMALIES requires an OVER (PARTITION BY … ORDER BY …) clause"))
+    val (part, ord) = (overM.group(1), overM.group(2))
+    val w = s"(PARTITION BY $part ORDER BY $ord ROWS BETWEEN ${cfg.maxTrainingSize} PRECEDING AND 1 PRECEDING)"
+
+    val vx = s"CAST(${args.head} AS DOUBLE)"
+    val s1 = s"CAST(SUM(CAST($vx AS DECIMAL(27,6))) OVER $w AS DOUBLE)"
+    val s2 = s"CAST(SUM(CAST($vx * $vx AS DECIMAL(38,8))) OVER $w AS DOUBLE)"
+    val n = s"CAST(COUNT($vx) OVER $w AS DOUBLE)"
+    val forecast = s"($s1 / $n)"
+    val sd = s"SQRT(GREATEST(($s2 - $s1 * $s1 / $n) / ($n - 1), 0.0))"
+    val upper = s"($forecast + ${cfg.z} * $sd)"
+    val lower = s"($forecast - ${cfg.z} * $sd)"
+    val warm = s"($n >= ${cfg.minTrainingSize})"
+    val struct =
+      s"named_struct(" +
+        s"'forecast_value', CASE WHEN $warm THEN $forecast END, " +
+        s"'upper_bound', CASE WHEN $warm THEN $upper END, " +
+        s"'lower_bound', CASE WHEN $warm THEN $lower END, " +
+        s"'is_anomaly', CASE WHEN $warm THEN ($vx > $upper OR $vx < $lower) ELSE false END)"
+
+    val rewritten = sql.substring(0, m.start) + struct + sql.substring(afterArgs + overM.end)
+    rewriteDetectAnomalies(rewritten)
+  }
 
   // ------------------------------------------------- balanced-call utilities
 
@@ -445,14 +561,26 @@ object SqlFrontend {
       val mm = m.get
       val (table, qvec, k, alias) = (unqualify(mm.group(1)), mm.group(2), mm.group(3).toInt, mm.group(4))
       val store = graft.vector.VectorTableCatalog.resolve(table)
+      val declared = graft.vector.VectorTableCatalog.resultSchema(table)
       val fname = s"__vsa_${table}_$k"
-      spark.udf.register(fname, (q: Seq[Float]) => store.search(q.toArray, k))
+      declared match {
+        case Some(schema) =>
+          // schema-driven: results in the table's DECLARED column shape, so
+          // `.pages` / `.fraud_categories` / any metadata field just works
+          val remote = store.asInstanceOf[graft.vector.RemoteVectorStore]
+          spark.udf.register(fname,
+            udfForSchema(remote, k, schema))
+        case None =>
+          spark.udf.register(fname, (q: Seq[Float]) => store.search(q.toArray, k))
+      }
       cur = cur.substring(0, mm.start) + cur.substring(mm.end)
-      // vs.search_results[N].field → __vsa(qe.embedding)[N-1].field (index
-      // base shift + document_id → doc_id), then any bare vs.search_results
+      // vs.search_results[N].field → __vsa(qe.embedding)[N-1].field (Flink's
+      // 1-based indexing shifts; without a declared schema the legacy
+      // document_id → doc_id mapping applies), then bare vs.search_results
       val indexed = ("(?i)\\b" + java.util.regex.Pattern.quote(alias) + "\\.search_results\\[(\\d+)\\]\\.(\\w+)").r
       cur = indexed.replaceAllIn(cur, rm => {
-        val field = if (rm.group(2).equalsIgnoreCase("document_id")) "doc_id" else rm.group(2)
+        val field =
+          if (declared.isEmpty && rm.group(2).equalsIgnoreCase("document_id")) "doc_id" else rm.group(2)
         s"$fname($qvec)[${rm.group(1).toInt - 1}].$field"
       })
       cur = ("(?i)\\b" + java.util.regex.Pattern.quote(alias) + "\\.search_results\\b").r
@@ -462,29 +590,54 @@ object SqlFrontend {
     cur
   }
 
+  private def udfForSchema(remote: graft.vector.RemoteVectorStore, k: Int,
+                           schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(
+      new org.apache.spark.sql.api.java.UDF1[scala.collection.Seq[Float], Seq[org.apache.spark.sql.Row]] {
+        override def call(q: scala.collection.Seq[Float]): Seq[org.apache.spark.sql.Row] =
+          remote.searchRows(q.toArray, k, schema)
+      },
+      org.apache.spark.sql.types.ArrayType(schema))
+
   private val LateralRe =
     ("(?is),\\s*LATERAL\\s+TABLE\\s*\\(\\s*ML_PREDICT\\s*\\(\\s*'([\\w.-]+)'\\s*,\\s*([\\w.]+)\\s*" +
-      "(?:,\\s*MAP\\s*\\[[^\\]]*\\]\\s*)?\\)\\s*\\)\\s*(?:AS\\s+)?(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)").r
+      "(?:,\\s*MAP\\s*\\[[^\\]]*\\]\\s*)?\\)\\s*\\)\\s*(?:(?:AS\\s+)?(\\w+))?(?:\\s*\\(\\s*(\\w+)\\s*\\))?").r
 
-  /** `FROM t, LATERAL TABLE(ML_PREDICT('m', c [, MAP[...]])) AS r(out)` →
+  /** `FROM t, LATERAL TABLE(ML_PREDICT('m', c [, MAP[...]])) AS r[(out)]` →
     * drop the lateral clause and substitute the output column with the scalar
     * `ml_predict('m', c)` (or `ml_embed` when `m` names an embedding model).
-    * Iterates so chained laterals all rewrite.
+    * Without a column list the output takes the model's declared OUTPUT name
+    * (`embedding` for embedding models, `response` for textgen — the names
+    * every reference CREATE MODEL uses, terraform/core/main.tf:461-563;
+    * lab4 references `e.embedding`, LAB4-Walkthrough.md:250-254). Iterates so
+    * chained laterals all rewrite.
     */
   private[graft] def rewriteLateral(sql: String): String = {
     var cur = sql
     var m = LateralRe.findFirstMatchIn(cur)
     while (m.isDefined) {
       val mm = m.get
-      val (model, arg, alias, outCol) = (mm.group(1), mm.group(2), mm.group(3), mm.group(4))
-      val fn = if (ModelCatalog.embeddingSnapshot.contains(unqualify(model))) "ml_embed" else "ml_predict"
-      val expr = s"$fn('${unqualify(model)}', $arg) AS $outCol"
-      val without = cur.substring(0, mm.start) + cur.substring(mm.end)
-      // first standalone reference (optionally alias-qualified) becomes the call
-      val ref = ("(?i)\\b(?:" + java.util.regex.Pattern.quote(alias) + "\\.)?" + outCol + "\\b").r
+      val (model, arg) = (mm.group(1), mm.group(2))
+      // a "keyword alias" means there was no alias — don't consume it
+      val alias = Option(mm.group(3)).filterNot(a => ReservedAfterLateral(a.toUpperCase))
+      val isEmbed = ModelCatalog.embeddingSnapshot.contains(unqualify(model))
+      val fn = if (isEmbed) "ml_embed" else "ml_predict"
+      val outCol = Option(mm.group(4)).getOrElse(if (isEmbed) "embedding" else "response")
+      val call = s"$fn('${unqualify(model)}', $arg)"
+      val keywordLen = Option(mm.group(3)).filter(a => ReservedAfterLateral(a.toUpperCase))
+        .map(_.length).getOrElse(0)
+      val without = cur.substring(0, mm.start) + cur.substring(mm.end - keywordLen)
+      // first standalone reference (optionally alias-qualified) becomes the
+      // call; keep the column name unless the site aliases it itself
+      // (`e.embedding AS narrative_embedding`, LAB4-Walkthrough.md:250-254)
+      val aliasPrefix = alias.map(a => "(?:" + java.util.regex.Pattern.quote(a) + "\\.)?").getOrElse("")
+      val ref = ("(?i)\\b" + aliasPrefix + outCol + "\\b").r
       cur = ref.findFirstMatchIn(without) match {
-        case Some(r) => without.substring(0, r.start) + expr + without.substring(r.end)
-        case None    => without
+        case Some(r) =>
+          val hasOwnAlias = without.substring(r.end).matches("(?is)^\\s+AS\\b.*")
+          val expr = if (hasOwnAlias) call else s"$call AS $outCol"
+          without.substring(0, r.start) + expr + without.substring(r.end)
+        case None => without
       }
       m = LateralRe.findFirstMatchIn(cur)
     }

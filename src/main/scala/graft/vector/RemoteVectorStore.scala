@@ -31,7 +31,7 @@ final case class RemoteVectorStore(endpoint: String,
 
   private def cfg = HttpConfig(endpoint, model = s"vectordb:$database.$collection", timeout = timeout)
 
-  override def search(query: Array[Float], k: Int): Seq[ScoredDoc] = {
+  private def rawResults(query: Array[Float], k: Int): com.fasterxml.jackson.databind.JsonNode = {
     val m = Http.mapper
     val body = m.createObjectNode()
     body.put("database", database)
@@ -42,21 +42,65 @@ final case class RemoteVectorStore(endpoint: String,
     query.foreach(qv.add)
     body.put("limit", k)
     body.put("numCandidates", math.max(numCandidates, k))
-    val resp = Http.postJson(cfg, "", body)
-    val results = resp.path("results")
+    Http.postJson(cfg, "", body).path("results")
+  }
+
+  override def search(query: Array[Float], k: Int): Seq[ScoredDoc] = {
+    val results = rawResults(query, k)
     (0 until results.size()).map { i =>
       val r = results.path(i)
       ScoredDoc(r.path("doc_id").asLong(), r.path("chunk").asText(), r.path("score").asDouble())
     }
   }
+
+  /** Schema-driven search: results shaped by the table's DECLARED columns
+    * (lab4's fema_policies_vectordb carries pages / section_reference / title
+    * / fraud_categories / … beyond (id, chunk, score) —
+    * terraform/lab4-pubsec-fraud-agents/main.tf:164-181). Each declared field
+    * is pulled from the JSON result by name and converted per its type.
+    */
+  def searchRows(query: Array[Float], k: Int,
+                 schema: org.apache.spark.sql.types.StructType): Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.types._
+    val results = rawResults(query, k)
+    (0 until results.size()).map { i =>
+      val r = results.path(i)
+      val vals = schema.fields.map { f =>
+        val node = r.path(f.name)
+        if (node.isMissingNode || node.isNull) null
+        else f.dataType match {
+          case StringType  => node.asText()
+          case IntegerType => node.asInt()
+          case LongType    => node.asLong()
+          case FloatType   => node.floatValue()
+          case DoubleType  => node.asDouble()
+          case BooleanType => node.asBoolean()
+          case ArrayType(StringType, _) => (0 until node.size()).map(j => node.path(j).asText())
+          case ArrayType(FloatType, _)  => (0 until node.size()).map(j => node.path(j).floatValue())
+          case ArrayType(DoubleType, _) => (0 until node.size()).map(j => node.path(j).asDouble())
+          case other => throw new IllegalArgumentException(s"unsupported vector-table field type: $other")
+        }
+      }
+      org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+    }
+  }
 }
 
 /** Vector-table registry: `CREATE TABLE ... 'connector'='mongodb'` lands here
-  * so `VECTOR_SEARCH_AGG(tableName, …)` can resolve the store by name.
+  * so `VECTOR_SEARCH_AGG(tableName, …)` can resolve the store by name. A
+  * declared column schema (minus the embedding column, plus `score`) rides
+  * along when the DDL provides one — the SQL rewrite then returns results in
+  * exactly the declared shape.
   */
 object VectorTableCatalog {
   private val stores = scala.collection.concurrent.TrieMap[String, VectorStore]()
-  def register(name: String, store: VectorStore): Unit = stores.put(name, store)
+  private val schemas = scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.types.StructType]()
+  def register(name: String, store: VectorStore,
+               resultSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    stores.put(name, store)
+    resultSchema.foreach(schemas.put(name, _))
+  }
   def resolve(name: String): VectorStore = stores.getOrElse(name, sys.error(s"no vector table '$name'"))
-  def drop(name: String): Unit = stores.remove(name)
+  def resultSchema(name: String): Option[org.apache.spark.sql.types.StructType] = schemas.get(name)
+  def drop(name: String): Unit = { stores.remove(name); schemas.remove(name) }
 }

@@ -6,6 +6,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.scalatest.BeforeAndAfterAll
 
 import graft.agent.AgentCatalog
@@ -85,7 +86,28 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
         .take(body.path("limit").asInt())
         .foreach { case (id, chunk, s) =>
           val o = arr.addObject(); o.put("doc_id", id); o.put("chunk", chunk); o.put("score", s)
+          // declared-schema fields (lab2 document_id STRING; lab4 metadata)
+          o.put("document_id", id.toString)
+          o.put("pages", s"p$id"); o.put("section_reference", s"SR-$id"); o.put("title", s"Title $id")
+          val fc = o.putArray("fraud_categories"); fc.add("misrepresentation"); fc.add(s"cat-$id")
+          val pk = o.putArray("policy_keywords"); pk.add("flood"); pk.add("damage")
+          o.put("char_count", chunk.length)
         }
+      val bytes = mapper.writeValueAsString(root).getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length); ex.getResponseBody.write(bytes); ex.close()
+    })
+    // OpenAI-compatible embeddings endpoint (embedding CREATE MODELs)
+    server.createContext("/v1/embeddings", (ex: HttpExchange) => {
+      val body = mapper.readTree(ex.getRequestBody.readAllBytes())
+      val texts = body.path("input")
+      val root = mapper.createObjectNode()
+      val data = root.putArray("data")
+      (0 until texts.size()).foreach { i =>
+        val item = data.addObject()
+        item.put("index", i)
+        val emb = item.putArray("embedding")
+        emb.add(texts.get(i).asText().length.toFloat); emb.add(i.toFloat)
+      }
       val bytes = mapper.writeValueAsString(root).getBytes("UTF-8")
       ex.sendResponseHeaders(200, bytes.length); ex.getResponseBody.write(bytes); ex.close()
     })
@@ -278,6 +300,50 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     assert(out(0).getAs[String]("raw_response").nonEmpty)
   }
 
+  test("lab3 TUMBLE + ML_DETECT_ANOMALIES SQL runs verbatim and matches the native operators") {
+    val rides = graft.sources.Generators.rideRequests(spark,
+      zones = Seq("French Quarter", "Garden District", "Marigny"), surgeZone = "French Quarter",
+      baseStart = java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), hours = 30,
+      ratePerZonePerHour = 60, surgeMultiplier = 12, surgeStartHour = 26, surgeHours = 1)
+    rides.createOrReplaceTempView("ride_requests")
+
+    val md = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/LAB3-Walkthrough.md")), "UTF-8")
+    val blocks = "(?sm)^```sql\\s*\\n(.*?)^```".r.findAllMatchIn(md).map(_.group(1).trim).toSeq
+
+    // the visualization query (WITH windowed_traffic AS ... ML_DETECT_ANOMALIES ...)
+    val vizSql = blocks.find(b => b.toUpperCase.startsWith("WITH") && b.contains("ML_DETECT_ANOMALIES"))
+      .getOrElse(fail("LAB3 walkthrough must contain the windowed anomaly query"))
+    val viz = SqlFrontend.execute(spark, vizSql)
+      .selectExpr("pickup_zone", "window_time", "request_count",
+        "anomaly_result.is_anomaly AS is_anomaly", "round(anomaly_result.upper_bound, 6) AS ub")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getBoolean(3), Option(r.get(4)))).toSet
+
+    // native twin: Tumble + detectBatch with the SQL's config (286/7000/99.999)
+    val cfg = graft.anomaly.AnomalyDetector.Config(286, 7000, 99.999)
+    val windowed = graft.operators.Tumble(rides, "request_ts", "5 minutes", col("pickup_zone"))(
+      "request_count" -> count(lit(1)))
+    val native = graft.anomaly.AnomalyDetector.detectBatch(windowed, col("request_count"),
+      Seq(col("pickup_zone")), Seq(col("window_start")), cfg)
+      .selectExpr("pickup_zone", "CAST(window_time AS TIMESTAMP) AS window_time", "request_count",
+        "is_anomaly", "round(upper_bound, 6) AS ub")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getBoolean(3), Option(r.get(4)))).toSet
+    assert(viz.nonEmpty && viz == native,
+      s"SQL-text anomaly detection must equal the native operators (sql=${viz.size}, native=${native.size})")
+
+    // the continuous-job CTAS (anomalies_per_zone), verbatim
+    val ctas = blocks.find(b => b.toUpperCase.startsWith("CREATE TABLE") && b.contains("ML_DETECT_ANOMALIES"))
+      .getOrElse(fail("LAB3 walkthrough must contain the anomalies_per_zone CTAS"))
+    SqlFrontend.execute(spark, ctas)
+    val surges = spark.table("anomalies_per_zone").collect()
+    assert(surges.nonEmpty, "the planted surge must be detected")
+    assert(surges.forall(_.getAs[Boolean]("is_surge")))
+    assert(surges.exists(_.getAs[String]("pickup_zone") == "French Quarter"),
+      "the surging zone must be among the flagged rows")
+  }
+
   test("lab2 search_results CTAS with VECTOR_SEARCH_AGG runs verbatim from terraform") {
     SqlFrontend.execute(spark,
       s"CREATE CONNECTION `mongodb-connection` WITH ('type'='MONGODB', 'endpoint'='$base/vectordb')")
@@ -300,10 +366,11 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     val out = spark.table("search_results").orderBy("query").collect()
     assert(out.length == 2)
     val first = out.head // "what is doc ten" → nearest is doc 10
-    assert(first.getAs[Long]("document_id_1") == 10L && first.getAs[String]("chunk_1") == "doc-ten")
+    // document_id is STRING per the table's declared schema
+    assert(first.getAs[String]("document_id_1") == "10" && first.getAs[String]("chunk_1") == "doc-ten")
     assert(first.getAs[Double]("score_1") > first.getAs[Double]("score_3"),
       "ranks must order by descending score")
-    assert(out(1).getAs[Long]("document_id_1") == 12L)
+    assert(out(1).getAs[String]("document_id_1") == "12")
   }
 
   test("INSERT INTO appends through the registry") {
@@ -312,6 +379,86 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     SqlFrontend.execute(spark, "CREATE TABLE ins_tgt AS SELECT id, v FROM ins_src")
     SqlFrontend.execute(spark, "INSERT INTO ins_tgt SELECT id + 1 AS id, 'y' AS v FROM ins_src")
     assert(spark.table("ins_tgt").count() == 2)
+  }
+
+  test("lab4 anomaly -> investigate -> RAG-policies SQL chain runs verbatim") {
+    // deterministic claims: 3 cities x 40 six-hour windows x 5 claims, with a
+    // 12x amount spike planted in Naples after the 8-window warm-up
+    val claims = spark.range(600).selectExpr(
+      "concat('c-', id) AS claim_id",
+      "concat('Applicant ', pmod(id, 37)) AS applicant_name",
+      "element_at(array('Naples', 'Tampa', 'Miami'), CAST(pmod(id, 3) + 1 AS INT)) AS city",
+      "concat('Storm damage to roof and interior, claim ', id) AS claim_narrative",
+      """CAST(CASE WHEN pmod(id, 3) = 0 AND CAST(id / 15 AS INT) = 35
+           THEN 12000 + pmod(id * 7, 500) ELSE 1000 + pmod(id * 7, 500) END AS STRING) AS claim_amount""",
+      "CAST(800 + pmod(id * 11, 400) AS STRING) AS damage_assessed",
+      "'true' AS has_insurance", "CAST(500 + pmod(id, 100) AS STRING) AS insurance_amount",
+      "'yes' AS is_primary_residence", "'2024-02-20' AS assessment_date",
+      "'2024-02-15' AS disaster_date", "'adjuster' AS assessment_source",
+      "'no' AS shared_account", "'no' AS shared_phone",
+      "CAST(pmod(id, 4) AS STRING) AS previous_claims_count", "'2023-05-01' AS last_claim_date",
+      "timestampadd(MINUTE, CAST(pmod(id, 15) * 17 AS INT), " +
+        "timestampadd(HOUR, CAST(id / 15 AS INT) * 6, TIMESTAMP '2024-02-01 00:00:00')) AS claim_timestamp")
+    claims.createOrReplaceTempView("claims")
+
+    val md = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/LAB4-Walkthrough.md")), "UTF-8")
+    val blocks = "(?sm)^```sql\\s*\\n(.*?)^```".r.findAllMatchIn(md).map(_.group(1).trim).toSeq
+
+    // stage 1: SET + claims_anomalies_by_city CTAS (TUMBLE + ML_DETECT_ANOMALIES)
+    SqlFrontend.executeAll(spark,
+      blocks.find(_.contains("CREATE TABLE claims_anomalies_by_city AS")).getOrElse(fail("missing lab4 anomaly CTAS")))
+    val anomalies = spark.table("claims_anomalies_by_city").collect()
+    assert(anomalies.nonEmpty, "the planted Naples spike must be flagged")
+    assert(anomalies.exists(_.getAs[String]("city") == "Naples"))
+    assert(anomalies.forall(_.getAs[Boolean]("is_anomaly")))
+
+    // stage 2: interval join back to raw claims, bounded queue
+    SqlFrontend.executeAll(spark,
+      blocks.find(_.contains("CREATE TABLE claims_to_investigate AS")).getOrElse(fail("missing lab4 investigate CTAS")))
+    val invest = spark.table("claims_to_investigate").collect()
+    assert(invest.nonEmpty && invest.length <= 10)
+    assert(invest.forall(_.getAs[String]("claim_narrative").nonEmpty))
+
+    // stage 3: embed narratives + policy RAG over the cosmosdb vector table,
+    // DDL taken verbatim from the lab4 terraform
+    SqlFrontend.execute(spark,
+      s"CREATE CONNECTION `cosmosdb-connection-lab4` WITH ('type'='COSMOSDB', 'endpoint'='$base/vectordb')")
+    SqlFrontend.execute(spark,
+      "CREATE CONNECTION bedrock_conn5 WITH ('type'='bedrock', 'endpoint'='" + base + "/v1')")
+    SqlFrontend.execute(spark,
+      "CREATE MODEL llm_embedding_model INPUT (text STRING) OUTPUT (embedding ARRAY<FLOAT>) " +
+        "WITH ('provider'='bedrock', 'task'='embedding', 'bedrock.connection'='bedrock_conn5', 'dim'='2')")
+    val tf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/terraform/lab4-pubsec-fraud-agents/main.tf")), "UTF-8")
+    val femaDdl = "(?s)(CREATE TABLE IF NOT EXISTS fema_policies_vectordb.*?\\)\\s*;)".r
+      .findFirstMatchIn(tf).map(_.group(1))
+      .getOrElse(fail("lab4 terraform must contain the fema_policies_vectordb DDL"))
+    SqlFrontend.execute(spark, femaDdl)
+    SqlFrontend.executeAll(spark,
+      blocks.find(_.contains("claims_to_investigate_with_policies")).getOrElse(fail("missing lab4 RAG CTAS")))
+    val withPolicies = spark.table("claims_to_investigate_with_policies").collect()
+    assert(withPolicies.length == invest.length)
+    val r = withPolicies.head
+    assert(r.getAs[String]("policy_chunk_1").nonEmpty)
+    assert(r.getAs[String]("policy_section_1").startsWith("SR-"))
+    assert(r.getAs[scala.collection.Seq[String]]("policy_fraud_cats_1").contains("misrepresentation"))
+    assert(r.getAs[Double]("policy_score_1") >= r.getAs[Double]("policy_score_3"),
+      "policy ranks must descend by score")
+  }
+
+  test("ALTER TABLE MODIFY WATERMARK runs verbatim from the lab3 troubleshooting section") {
+    import spark.implicits._
+    Seq(("r1", java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+      .toDF("request_id", "request_ts").createOrReplaceTempView("ride_requests")
+    val md = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/LAB3-Walkthrough.md")), "UTF-8")
+    val alter = "(?sm)^```sql[^\\n]*\\n(ALTER TABLE.*?)^```".r.findFirstMatchIn(md).map(_.group(1).trim)
+      .getOrElse(fail("LAB3 walkthrough must contain the ALTER TABLE watermark statement"))
+    SqlFrontend.execute(spark, alter)
+    val t = graft.sources.TableRegistry.resolve("ride_requests")
+    assert(t.watermarkCol.contains("request_ts"))
+    assert(t.watermarkDelay.contains("5 second"))
   }
 
   test("statement splitter respects quoted semicolons") {
