@@ -858,6 +858,35 @@ object Catalog {
   }, Some(s"""
     SELECT event_id, user_id, event_type, value, ts FROM $EV e"""))
 
+  private val q60 = Q("q60_sql_text_anomaly", (s, dir) => {
+    // The statement-text front-end inside the oracle gate: the lab3-shaped
+    // windowed-anomaly pipeline as FLINK SQL TEXT (TUMBLE TVF +
+    // ML_DETECT_ANOMALIES OVER + JSON_OBJECT config — LAB3-Walkthrough.md:97-132)
+    // through sql.SqlFrontend, against the same DuckDB oracle as q08.
+    t(s, dir, "events").createOrReplaceTempView("events_sql")
+    graft.sql.SqlFrontend.execute(s, """
+      WITH windowed AS (
+        SELECT window_start, window_end, window_time, event_type,
+               COUNT(*) AS request_count
+        FROM TABLE(TUMBLE(TABLE events_sql, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start, window_end, window_time, event_type)
+      SELECT CAST(window_start AS TIMESTAMP_NTZ) AS window_start, event_type, request_count,
+             anomaly_result.forecast_value AS forecast_value,
+             anomaly_result.upper_bound AS upper_bound,
+             anomaly_result.lower_bound AS lower_bound,
+             anomaly_result.is_anomaly AS is_anomaly
+      FROM (
+        SELECT window_start, event_type, request_count,
+               ML_DETECT_ANOMALIES(
+                   CAST(request_count AS DOUBLE),
+                   window_time,
+                   JSON_OBJECT('minTrainingSize' VALUE 8, 'maxTrainingSize' VALUE 50,
+                               'confidencePercentage' VALUE 95.0, 'enableStl' VALUE FALSE)
+               ) OVER (PARTITION BY event_type ORDER BY window_time
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anomaly_result
+        FROM windowed) det""")
+  }, Some(anomalySql(anomalyCfg.z)))
+
   private val q59 = Q("q59_embed_neardup_lsh", (s, dir) => {
     // Scale path for q30: random-hyperplane LSH candidates + exact-cosine
     // verification over the FULL embeddings table (no vec_id bound — the
@@ -876,7 +905,7 @@ object Catalog {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
