@@ -18,9 +18,16 @@ import graft.ml.{Http, HttpConfig}
   * Serializable: tools execute inside tasks (the agent loop runs in
   * mapPartitions); only the endpoint + config ship in the closure.
   */
+/** NOTE on retries: tools are side-effecting (lab1's set includes
+  * `send_email`), so the default is NO transport-level retry — a lost
+  * response must not re-send the email. The agent loop already handles tool
+  * failure at the protocol level (ERROR observation → model decides, bounded
+  * by max_consecutive_failures), which is the reference's own recovery path.
+  * Set `maxRetries` explicitly for tools known to be idempotent.
+  */
 final case class McpHttpTool(name: String, endpoint: String,
                              requestTimeout: FiniteDuration = 30.seconds,
-                             maxRetries: Int = 2,
+                             maxRetries: Int = 0,
                              description: String = "remote MCP tool") extends Tool {
 
   private def cfg = HttpConfig(endpoint, model = s"mcp:$name",

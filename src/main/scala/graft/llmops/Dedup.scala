@@ -285,7 +285,17 @@ object Dedup {
                           bitsPerBand: Int = 8, numBands: Int = 16, seed: Int = 42,
                           maxBucketSize: Int = 10000): DataFrame = {
     require(bitsPerBand >= 1 && bitsPerBand <= 63, s"bitsPerBand out of range: $bitsPerBand")
-    val dim = df.select(size(col(embCol))).head().getInt(0)
+    // dimension probe: first non-null embedding; an empty (or all-null)
+    // corpus short-circuits to an empty pair set instead of throwing
+    val dimRow = df.select(size(col(embCol)).as("__d")).filter(col("__d").isNotNull).head(1)
+    if (dimRow.isEmpty) {
+      import org.apache.spark.sql.types._
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType),
+          StructField("cosine", DoubleType))))
+    }
+    val dim = dimRow.head.getInt(0)
     val numPlanes = bitsPerBand * numBands
     val rnd = new java.util.Random(seed)
     val planes = Array.fill(numPlanes, dim)(rnd.nextGaussian().toFloat)

@@ -54,7 +54,16 @@ object IntervalJoin {
             leftTs: String, rightTs: String, lowerBound: String, upperBound: String): DataFrame = {
     val lo = expr(s"INTERVAL $lowerBound")
     val hi = expr(s"INTERVAL $upperBound")
-    val span = intervalMicros(upperBound) - intervalMicros(lowerBound)
+    // MONTH/YEAR and compound interval literals have no fixed micros width —
+    // fall back to the plain (unbucketed) equi-join rather than rejecting
+    // bounds Spark's own interval arithmetic accepts
+    val spanOpt = scala.util.Try(intervalMicros(upperBound) - intervalMicros(lowerBound)).toOption
+    if (spanOpt.isEmpty)
+      return left.join(right,
+        left(leftKey) === right(rightKey) &&
+          left(leftTs) >= right(rightTs) + lo && left(leftTs) <= right(rightTs) + hi,
+        "inner")
+    val span = spanOpt.get
     require(span >= 0, s"upperBound $upperBound must be >= lowerBound $lowerBound")
     val width = math.max(span, 1L)
     def bucket(c: Column): Column = floor(unix_micros(c.cast("timestamp")) / width)

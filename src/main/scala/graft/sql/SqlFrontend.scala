@@ -46,7 +46,10 @@ object SqlFrontend {
       case CreateAgentRe(name, model, prompt, tools, props) =>
         createAgent(spark, unqualify(name), unqualify(model), prompt, tools, parseProps(Option(props).getOrElse("")))
       case CtasRe(name, select) =>
-        val df = parseSql(spark, select)
+        // CTAS semantics are a one-time SNAPSHOT: materialize before
+        // registering, or a query with agent/model calls would re-execute
+        // them (fresh responses, duplicated tool side effects) on every read
+        val df = parseSql(spark, select).localCheckpoint(true)
         TableRegistry.createTableAs(spark, unqualify(name), df)
         df.createOrReplaceTempView(unqualify(name))
         status(spark, "TABLE", unqualify(name))
@@ -54,15 +57,24 @@ object SqlFrontend {
         createVectorTable(spark, unqualify(name), cols, parseProps(props))
       case InsertRe(name, select) =>
         // INSERT INTO t SELECT … (continuous statements in the reference are
-        // standing inserts; batch semantics here = append to the registered
-        // table, terraform/lab2-vector-search/main.tf:238-263)
+        // standing inserts; batch semantics here = append). A VECTOR table
+        // target routes the rows to the remote collection over HTTP — the
+        // reference's `INSERT INTO documents_vectordb SELECT …, embedding`
+        // flow (terraform/lab2-vector-search/main.tf:238-263); anything else
+        // appends to the local registry (snapshotted, like CTAS).
         val df = parseSql(spark, select)
         val tgt = unqualify(name)
-        val merged =
-          if (TableRegistry.exists(tgt)) TableRegistry.resolve(tgt).load(spark).unionByName(df)
-          else df
-        TableRegistry.createTableAs(spark, tgt, merged)
-        merged.createOrReplaceTempView(tgt)
+        scala.util.Try(graft.vector.VectorTableCatalog.resolve(tgt)).toOption match {
+          case Some(remote: graft.vector.RemoteVectorStore) =>
+            insertIntoVectorTable(df, remote)
+          case _ =>
+            val snap = df.localCheckpoint(true)
+            val merged =
+              if (TableRegistry.exists(tgt)) TableRegistry.resolve(tgt).load(spark).unionByName(snap)
+              else snap
+            TableRegistry.createTableAs(spark, tgt, merged)
+            merged.createOrReplaceTempView(tgt)
+        }
         status(spark, "INSERT", tgt)
       case AlterWatermarkRe(name, wmCol, delayN, delayUnit) =>
         val tgt = unqualify(name)
@@ -137,18 +149,48 @@ object SqlFrontend {
   private[graft] def unqualify(name: String): String =
     name.replace("`", "").split('.').last.trim
 
-  /** Split on ';' outside single-quoted strings. */
+  /** Split on ';' outside single-quoted strings, with `--` line comments
+    * (outside strings) stripped FIRST — a comment may contain ';', and a
+    * statement may legitimately start after a leading comment line.
+    */
   private[graft] def splitStatements(script: String): Seq[String] = {
+    val sb = new StringBuilder
+    var inQuote = false
+    var inComment = false
+    var i = 0
+    while (i < script.length) {
+      val c = script.charAt(i)
+      if (inComment) { if (c == '\n') { inComment = false; sb += c } }
+      else if (inQuote) { sb += c; if (c == '\'') inQuote = false }
+      else if (c == '\'') { inQuote = true; sb += c }
+      else if (c == '-' && i + 1 < script.length && script.charAt(i + 1) == '-') { inComment = true; i += 1 }
+      else sb += c
+      i += 1
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
-    var inQuote = false
-    script.foreach {
+    inQuote = false
+    sb.toString.foreach {
       case '\'' => inQuote = !inQuote; cur += '\''
       case ';' if !inQuote => out += cur.toString; cur.clear()
       case c => cur += c
     }
     if (cur.toString.trim.nonEmpty) out += cur.toString
-    out.toSeq.map(_.trim).filter(s => s.nonEmpty && !s.startsWith("--"))
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Rows → remote vector collection: id = the first column that is neither
+    * the chunk text nor the embedding; batched per partition via VectorSink.
+    */
+  private def insertIntoVectorTable(df: DataFrame, remote: graft.vector.RemoteVectorStore): Unit = {
+    val embCol = remote.embeddingColumn
+    val cols = df.columns
+    require(cols.contains(embCol), s"INSERT into vector table needs an '$embCol' column, got ${cols.mkString(",")}")
+    val chunkCol = cols.find(_.equalsIgnoreCase("chunk"))
+      .getOrElse(sys.error("INSERT into vector table needs a 'chunk' column"))
+    val idCol = cols.find(c => c != embCol && c != chunkCol)
+      .getOrElse(sys.error("INSERT into vector table needs an id column"))
+    graft.vector.VectorSink.writeBatch(df, remote, idCol, chunkCol, embCol)
   }
 
   // ---------------------------------------------------------------- dispatch
@@ -489,9 +531,13 @@ object SqlFrontend {
     val (sel, rest) = topLevelSelectFrom(without)
     // the outer subquery takes over the from-item's alias (or its bare table
     // name) so qualified references in the select list — `pmi.order_id` —
-    // keep resolving after the wrap
-    val outerAlias = "(?s)^\\s*[\\w.`]+(?:\\s+(?:AS\\s+)?(\\w+))?\\s*;?\\s*$".r.findFirstMatchIn(rest)
-      .map(rm => Option(rm.group(1)).getOrElse(unqualify(rest.trim.stripSuffix(";").trim.split("\\s+").head)))
+    // keep resolving after the wrap; a prefix match so trailing WHERE/GROUP
+    // clauses (which stay INSIDE the wrap) don't defeat the alias detection
+    val outerAlias = "(?s)^\\s*([\\w.`]+)(?:\\s+(?:AS\\s+)?(\\w+))?".r.findFirstMatchIn(rest)
+      .map { rm =>
+        Option(rm.group(2)).filterNot(a => ReservedAfterLateral(a.toUpperCase))
+          .getOrElse(unqualify(rm.group(1)))
+      }
       .getOrElse("__graft_ar")
     val restClean = rest.replaceAll(";\\s*$", "")
     val call = s"$fname($promptExpr)"

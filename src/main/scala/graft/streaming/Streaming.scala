@@ -87,39 +87,54 @@ object StreamingOps {
     */
   def upsertParquet(df: DataFrame, path: String, keyCols: Seq[String], orderCol: String): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.outputMode("update").foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      val existing =
-        try Some(spark.read.parquet(path)) catch { case _: Exception => None }
-      val all = existing.map(_.unionByName(batch)).getOrElse(batch)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keyCols.map(col): _*)
-        .orderBy(col(orderCol).desc)
-      val merged = all.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-      // Write-aside + swap: writing directly over `path` while `merged` still
-      // reads from it would corrupt the sink if any cached block were
-      // recomputed mid-overwrite. Swap order is crash-safe: current → backup,
-      // staging → current, drop backup. A crash between the two renames leaves
-      // the backup recoverable (vs delete-then-rename, which loses the sink);
-      // unchecked rename booleans would let a failed swap pass silently, so
-      // both are asserted and a failure fails the batch → checkpoint retries.
-      val tmp = s"${path}__staging_$batchId"
-      merged.write.mode("overwrite").parquet(tmp)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val cur = new org.apache.hadoop.fs.Path(path)
-      val stg = new org.apache.hadoop.fs.Path(tmp)
-      val bak = new org.apache.hadoop.fs.Path(s"${path}__backup")
-      fs.delete(bak, true) // stale backup from a previous crash, superseded
-      val hadCurrent = fs.exists(cur)
-      if (hadCurrent && !fs.rename(cur, bak))
-        sys.error(s"upsertParquet: failed to move $cur aside to $bak")
-      if (!fs.rename(stg, cur)) {
-        if (hadCurrent) fs.rename(bak, cur) // restore; ignore result, original error wins
-        sys.error(s"upsertParquet: failed to move staging $stg into place at $cur")
-      }
-      fs.delete(bak, true)
-      ()
+      upsertBatch(batch, path, keyCols, orderCol, batchId)
     }
+
+  /** One upsert micro-batch (the foreachBatch body; separated so crash
+    * recovery is testable).
+    *
+    * Write-aside + swap: writing directly over `path` while the merge still
+    * reads from it would corrupt the sink if any cached block were recomputed
+    * mid-overwrite. Swap order is crash-safe: current → backup, staging →
+    * current, drop backup — AND the batch first RECOVERS from a previous
+    * crash: if `path` is missing but a backup exists, the crash happened
+    * between the two renames, so the backup (the full sink history) is
+    * restored before merging; deleting it blindly would discard every prior
+    * upsert on the checkpoint retry. Rename results are checked so a failed
+    * swap fails the batch and the checkpoint retries.
+    */
+  private[graft] def upsertBatch(batch: DataFrame, path: String, keyCols: Seq[String],
+                                 orderCol: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(s"${path}__backup")
+    // crash recovery: a missing current + surviving backup = interrupted swap
+    if (!fs.exists(cur) && fs.exists(bak) && !fs.rename(bak, cur))
+      sys.error(s"upsertParquet: failed to restore $bak after an interrupted swap")
+
+    val existing =
+      try Some(spark.read.parquet(path)) catch { case _: Exception => None }
+    val all = existing.map(_.unionByName(batch)).getOrElse(batch)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol).desc)
+    val merged = all.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val tmp = s"${path}__staging_$batchId"
+    merged.write.mode("overwrite").parquet(tmp)
+    val stg = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(bak, true) // stale backup from an ALREADY-RECOVERED crash only
+    val hadCurrent = fs.exists(cur)
+    if (hadCurrent && !fs.rename(cur, bak))
+      sys.error(s"upsertParquet: failed to move $cur aside to $bak")
+    if (!fs.rename(stg, cur)) {
+      if (hadCurrent) fs.rename(bak, cur) // restore; ignore result, original error wins
+      sys.error(s"upsertParquet: failed to move staging $stg into place at $cur")
+    }
+    fs.delete(bak, true)
+    ()
+  }
 }
 
 /** Kafka source/sink facades (S1/S2). The connector jar

@@ -53,6 +53,30 @@ final case class RemoteVectorStore(endpoint: String,
     }
   }
 
+  /** Sink side (S6 — the reference's mongodb/cosmosdb sink connector writing
+    * embedded documents into the vector collection,
+    * terraform/lab2-vector-search/main.tf:238-263): POST a batch of documents
+    * as JSON. Executes inside tasks (foreachPartition), so inserts are
+    * partition-parallel with per-batch bounding; the server is expected to
+    * upsert by `doc_id`.
+    */
+  def insert(docs: Seq[ScoredDocUpsert]): Int = {
+    if (docs.isEmpty) return 0
+    val m = Http.mapper
+    val body = m.createObjectNode()
+    body.put("database", database)
+    body.put("collection", collection)
+    val arr = body.putArray("documents")
+    docs.foreach { d =>
+      val o = arr.addObject()
+      o.put("doc_id", d.doc_id)
+      o.put("chunk", d.chunk)
+      val e = o.putArray(embeddingColumn)
+      d.embedding.foreach(e.add)
+    }
+    Http.postJson(cfg, "/insert", body).path("inserted").asInt(docs.size)
+  }
+
   /** Schema-driven search: results shaped by the table's DECLARED columns
     * (lab4's fema_policies_vectordb carries pages / section_reference / title
     * / fraud_categories / … beyond (id, chunk, score) —
@@ -85,6 +109,9 @@ final case class RemoteVectorStore(endpoint: String,
     }
   }
 }
+
+/** One document headed for a remote vector collection. */
+final case class ScoredDocUpsert(doc_id: Long, chunk: String, embedding: Array[Float])
 
 /** Vector-table registry: `CREATE TABLE ... 'connector'='mongodb'` lands here
   * so `VECTOR_SEARCH_AGG(tableName, …)` can resolve the store by name. A

@@ -71,7 +71,11 @@ object VectorSearchAgg {
   def distributed(queries: DataFrame, corpus: DataFrame, queryVecCol: String, k: Int,
                   idCol: String = "doc_id", chunkCol: String = "chunk",
                   embCol: String = "embedding", outCol: String = "search_results"): DataFrame = {
-    val q = queries.withColumn("__qid", monotonically_increasing_id())
+    // the surrogate id is NOT deterministic across re-evaluations (its value
+    // depends on partition layout), and `q` feeds two plan branches — cache
+    // pins one assignment so both branches agree (an uncached re-run after a
+    // shuffle in the lineage could attach results to the wrong query rows)
+    val q = queries.withColumn("__qid", monotonically_increasing_id()).cache()
     val qs = q.select(col("__qid"), col(queryVecCol).as("__qvec"))
     val sims = corpus
       .join(broadcast(qs))

@@ -50,6 +50,41 @@ class GuardsSpec extends SparkSpec {
     assert(out(11L) == 0L)
   }
 
+  test("hyperplane-LSH near-dup returns an empty pair set on an empty corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDupLsh(empty, "embedding", "vec_id", 0.5)
+    assert(out.columns.toSeq == Seq("id_a", "id_b", "cosine"))
+    assert(out.count() == 0)
+  }
+
+  test("interval join falls back to the unbucketed plan for month-unit bounds") {
+    import spark.implicits._
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-02-15 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))).toDF("k", "lts")
+    val right = Seq((1L, java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))).toDF("k2", "rts")
+    val out = graft.operators.IntervalJoin(left, right, "k", "k2", "lts", "rts", "'0' MONTH", "'2' MONTH")
+    assert(out.count() == 1, "month-unit interval bounds must still join correctly")
+  }
+
+  test("upsert sink recovers the full history after an interrupted swap") {
+    import graft.streaming.StreamingOps
+    val dir = java.nio.file.Files.createTempDirectory("upsert-crash").toString
+    val path = s"$dir/sink"
+    import spark.implicits._
+    // batch 0 establishes the sink
+    StreamingOps.upsertBatch(Seq((1L, "v1", 10L)).toDF("k", "v", "ord"), path, Seq("k"), "ord", 0L)
+    // simulate a crash between rename(cur→bak) and rename(stg→cur)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path), new org.apache.hadoop.fs.Path(s"${path}__backup")))
+    // the checkpoint retry of batch 1 must restore the backup, not erase it
+    StreamingOps.upsertBatch(Seq((2L, "v2", 11L)).toDF("k", "v", "ord"), path, Seq("k"), "ord", 1L)
+    val rows = spark.read.parquet(path).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "v1", 2L -> "v2"),
+      s"history must survive the interrupted swap, got $rows")
+  }
+
   test("generateBatched fails loudly when the provider returns a wrong-size batch") {
     import spark.implicits._
     ModelCatalog.registerTextGen(new TextGenModel {

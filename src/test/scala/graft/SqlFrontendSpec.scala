@@ -96,6 +96,18 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
       val bytes = mapper.writeValueAsString(root).getBytes("UTF-8")
       ex.sendResponseHeaders(200, bytes.length); ex.getResponseBody.write(bytes); ex.close()
     })
+    // remote vector-collection insert endpoint (S6 sink)
+    server.createContext("/vectordb/insert", (ex: HttpExchange) => {
+      val body = mapper.readTree(ex.getRequestBody.readAllBytes())
+      val docs = body.path("documents")
+      (0 until docs.size()).foreach { i =>
+        insertedDocs.put(docs.path(i).path("doc_id").asLong(), docs.path(i).path("chunk").asText())
+      }
+      val root = mapper.createObjectNode()
+      root.put("inserted", docs.size())
+      val bytes = mapper.writeValueAsString(root).getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length); ex.getResponseBody.write(bytes); ex.close()
+    })
     // OpenAI-compatible embeddings endpoint (embedding CREATE MODELs)
     server.createContext("/v1/embeddings", (ex: HttpExchange) => {
       val body = mapper.readTree(ex.getRequestBody.readAllBytes())
@@ -116,6 +128,7 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
   }
 
   @volatile private var lastVectorRequest: com.fasterxml.jackson.databind.JsonNode = _
+  private val insertedDocs = new java.util.concurrent.ConcurrentHashMap[Long, String]()
 
   override def afterAll(): Unit = { server.stop(0); super.afterAll() }
 
@@ -246,6 +259,12 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     assert(out.forall(_.getAs[String]("raw_response").nonEmpty))
     // each order's agent loop hit the MCP stub for its http_get
     assert(mcpCalls.get("http_get").get() >= 2, s"saw $mcpCalls")
+    // CTAS is a snapshot: re-reading the table must NOT re-run the agents
+    val callsAfterCtas = mcpCalls.get("http_get").get()
+    spark.table("price_match_results").collect()
+    spark.table("price_match_results").collect()
+    assert(mcpCalls.get("http_get").get() == callsAfterCtas,
+      "reads of a CTAS table must not re-execute agent calls")
   }
 
   test("lab1 AI_TOOL_INVOKE test query runs verbatim and invokes the tool over MCP") {
@@ -461,8 +480,56 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     assert(t.watermarkDelay.contains("5 second"))
   }
 
-  test("statement splitter respects quoted semicolons") {
+  test("streaming embed-insert sinks into the remote vector collection over HTTP") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = graft.vector.RemoteVectorStore(s"$base/vectordb", "graftdb", "docs", "idx")
+    insertedDocs.clear()
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "alpha doc"), (2L, "beta doc"))
+    val embedded = graft.ml.MlPredict.embed(
+      mem.toDF().toDF("doc_id", "chunk"), "local-embed-64", "chunk")
+    val tmp = java.nio.file.Files.createTempDirectory("vsink").toString
+    val q = graft.vector.VectorSink.writeStream(embedded, store,
+      "doc_id", "chunk", "embedding", s"$tmp/ckpt").start()
+    try {
+      q.processAllAvailable()
+      mem.addData((3L, "gamma doc"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(insertedDocs.size() == 3, s"all docs must land remotely, got $insertedDocs")
+    assert(insertedDocs.get(2L) == "beta doc" && insertedDocs.get(3L) == "gamma doc")
+  }
+
+  test("statement splitter respects quoted semicolons and line comments") {
     val stmts = SqlFrontend.splitStatements("SET 'a' = 'x;y'; SELECT 1")
     assert(stmts == Seq("SET 'a' = 'x;y'", "SELECT 1"))
+    // a leading comment must not swallow the statement after it, and a
+    // semicolon inside a comment must not split
+    val commented = SqlFrontend.splitStatements(
+      "-- set up; carefully\nSELECT 1 -- trailing; note\n+ 2; SELECT 3")
+    assert(commented == Seq("SELECT 1 \n+ 2", "SELECT 3"), s"got $commented")
+    // quotes keep comment markers literal
+    val quoted = SqlFrontend.splitStatements("SELECT '--not a comment'; SELECT 2")
+    assert(quoted == Seq("SELECT '--not a comment'", "SELECT 2"))
+  }
+
+  test("INSERT INTO a vector table routes documents to the remote collection") {
+    SqlFrontend.execute(spark,
+      s"CREATE CONNECTION `mongodb-connection` WITH ('type'='MONGODB', 'endpoint'='$base/vectordb')")
+    SqlFrontend.execute(spark,
+      "CREATE TABLE IF NOT EXISTS docs_vdb_ins ( document_id STRING, chunk STRING, " +
+        "embedding ARRAY<FLOAT> ) WITH ( 'connector' = 'mongodb', " +
+        "'mongodb.connection' = 'mongodb-connection' )")
+    import spark.implicits._
+    Seq((21L, "inserted one", Seq(1.0f, 0.0f)), (22L, "inserted two", Seq(0.0f, 1.0f)))
+      .toDF("document_id", "chunk", "embedding").createOrReplaceTempView("ins_vec_src")
+    insertedDocs.clear()
+    SqlFrontend.execute(spark, "INSERT INTO docs_vdb_ins SELECT document_id, chunk, embedding FROM ins_vec_src")
+    assert(insertedDocs.size() == 2, s"docs must land remotely, got $insertedDocs")
+    assert(insertedDocs.get(21L) == "inserted one" && insertedDocs.get(22L) == "inserted two")
   }
 }
