@@ -517,6 +517,32 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     assert(quoted == Seq("SELECT '--not a comment'", "SELECT 2"))
   }
 
+  test("lab2 INSERT INTO queries_embed runs verbatim from terraform (embed lateral, no column list)") {
+    SqlFrontend.execute(spark,
+      "CREATE CONNECTION bedrock_conn6 WITH ('type'='bedrock', 'endpoint'='" + base + "/v1')")
+    SqlFrontend.execute(spark,
+      "CREATE MODEL llm_embedding_model INPUT (text STRING) OUTPUT (embedding ARRAY<FLOAT>) " +
+        "WITH ('provider'='bedrock', 'task'='embedding', 'bedrock.connection'='bedrock_conn6', 'dim'='2')")
+    import spark.implicits._
+    Seq("how do i configure flink", "what is a watermark").toDF("query")
+      .createOrReplaceTempView("queries")
+    spark.catalog.dropTempView("queries_embed")
+    graft.sources.TableRegistry.dropTable("queries_embed")
+
+    val tf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/terraform/lab2-vector-search/main.tf")), "UTF-8")
+    val stmt = "statement = \"(INSERT INTO queries_embed[^\"]*)\"".r
+      .findFirstMatchIn(tf).map(_.group(1))
+      .getOrElse(fail("lab2 terraform must contain the queries_embed INSERT"))
+    SqlFrontend.execute(spark, stmt)
+    val out = spark.table("queries_embed").collect()
+    assert(out.length == 2)
+    // stub embedding = [len(text), index-in-request]
+    assert(out.forall(_.getAs[scala.collection.Seq[Float]]("embedding").length == 2))
+    assert(out.map(_.getAs[String]("query")).toSet ==
+      Set("how do i configure flink", "what is a watermark"))
+  }
+
   test("INSERT INTO a vector table routes documents to the remote collection") {
     SqlFrontend.execute(spark,
       s"CREATE CONNECTION `mongodb-connection` WITH ('type'='MONGODB', 'endpoint'='$base/vectordb')")
