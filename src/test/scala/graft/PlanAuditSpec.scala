@@ -1,0 +1,52 @@
+package graft
+
+/** Physical-plan regression guards: the properties that make the headline
+  * queries scale are pinned here, so a refactor that silently loses a
+  * pushdown, a broadcast, or the composite join key fails fast — not at the
+  * next benchmark.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.queries.Catalog.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q01: filter and column pruning reach the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,5.0)]"),
+      "the quantity filter must be pushed into the scan")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,"),
+      "only the referenced columns may be read")
+    assert(!p.contains("l_comment"), "unused wide columns must be pruned")
+  }
+
+  test("q03: both dimension joins broadcast — the fact side never shuffles") {
+    val p = plan("q03_enrich_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, "customer and nation must both broadcast")
+    assert(!p.contains("SortMergeJoin"), "no sort-merge shuffle for broadcast-able dims")
+  }
+
+  test("q44: the interval join's equi-key carries the composite (city, time-bucket)") {
+    val p = plan("q44_window_interval_join")
+    assert(p.contains("__ij_bucket"), "the bucketed range join must keep the time bucket in the key")
+    // the bucket participates in the JOIN KEY, not just a filter
+    assert("(?s)Join \\[claim_city[^\\]]*__ij_bucket".r.findFirstIn(p).isDefined ||
+      "BroadcastHashJoin \\[claim_city#\\d+, __ij_bucket".r.findFirstIn(p).isDefined,
+      s"composite equi-key expected in:\n${p.linesIterator.filter(_.contains("Join")).mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), "never a cartesian fallback")
+  }
+
+  test("q17: knn reduces map-side through the bounded top-k aggregator") {
+    val p = plan("q17_knn_cosine")
+    assert(p.contains("partial_topkagg"),
+      "candidates must be reduced map-side (partial aggregation) before the per-query shuffle")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "queries broadcast against the corpus — the corpus side never moves")
+  }
+
+  test("q02: predicate pushdown on the orders scan") {
+    val p = plan("q02_filter_project")
+    // (the plan string truncates long filter lists — match prefixes)
+    assert(p.contains("EqualTo(o_orderstatus,O)") && p.contains("GreaterThan(o_total"),
+      "both predicates must be pushed to the scan")
+  }
+}
