@@ -85,6 +85,23 @@ object IvfIndex {
         .select(col(qidCol), col("rank"), col("id").as("nid"), col("score").as("sim"))
     }
 
+    /** Reference-vocabulary entry point: the ANN breadth knob the reference's
+      * vector tables configure is `numCandidates` (e.g.
+      * `'mongodb.numCandidates' = '500'`,
+      * terraform/lab2-vector-search/main.tf:215). For IVF that translates to
+      * probing enough lists to cover ≥ numCandidates vectors on average —
+      * clamped to [1, nLists], and always ≥ enough to return k.
+      */
+    def searchNumCandidates(queries: DataFrame, qidCol: String, qvecCol: String,
+                            k: Int, numCandidates: Int = 500): DataFrame = {
+      val total = math.max(assigned.count(), 1L)
+      val lists = math.max(centroids.count(), 1L)
+      val avgPerList = math.max(total / lists, 1L)
+      val wanted = math.max(numCandidates.toLong, k.toLong)
+      val nProbes = math.min(lists, math.max(1L, (wanted + avgPerList - 1) / avgPerList)).toInt
+      search(queries, qidCol, qvecCol, k, nProbes)
+    }
+
     /** Persist the index: corpus partitioned by list_id (so loads prune to the
       * probed lists), centroids alongside. This is the 100 TB layout — the
       * one-time partitionBy write buys every subsequent query a scan of

@@ -30,6 +30,22 @@ class IvfPersistSpec extends SparkSpec {
       s"list filter must prune partitions:\n${scan.linesIterator.take(8).mkString("\n")}")
     assert(pruned.select(countDistinct("list_id")).head().getLong(0) <= 2)
   }
+
+  test("numCandidates breadth maps onto probes: full breadth equals exact knn") {
+    val emb = graft.core.Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 200).select(col("vec_id"), col("embedding"))
+    val ivf = IvfIndex.build(emb, "vec_id", "embedding", nLists = 4, iterations = 1)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // numCandidates >= corpus size → every list probed → identical to exact
+    val wide = ivf.searchNumCandidates(queries, "qid", "qvec", k = 3, numCandidates = 200)
+      .select("qid", "rank", "nid").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = ivf.search(queries, "qid", "qvec", k = 3, nProbes = 4)
+      .select("qid", "rank", "nid").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(wide == exact)
+    // tiny breadth still returns k results (clamped to >= 1 probe)
+    assert(ivf.searchNumCandidates(queries, "qid", "qvec", k = 2, numCandidates = 1).count() > 0)
+  }
 }
 
 class SqlFunctionsSpec extends SparkSpec {
