@@ -290,9 +290,10 @@ object Dedup {
     val dimRow = df.select(size(col(embCol)).as("__d")).filter(col("__d").isNotNull).head(1)
     if (dimRow.isEmpty) {
       import org.apache.spark.sql.types._
+      val idType = df.schema(idCol).dataType // schema must match the non-empty path
       return df.sparkSession.createDataFrame(
         df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType),
+        StructType(Seq(StructField("id_a", idType), StructField("id_b", idType),
           StructField("cosine", DoubleType))))
     }
     val dim = dimRow.head.getInt(0)

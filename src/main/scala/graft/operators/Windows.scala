@@ -54,16 +54,12 @@ object IntervalJoin {
             leftTs: String, rightTs: String, lowerBound: String, upperBound: String): DataFrame = {
     val lo = expr(s"INTERVAL $lowerBound")
     val hi = expr(s"INTERVAL $upperBound")
-    // MONTH/YEAR and compound interval literals have no fixed micros width —
-    // fall back to the plain (unbucketed) equi-join rather than rejecting
-    // bounds Spark's own interval arithmetic accepts
-    val spanOpt = scala.util.Try(intervalMicros(upperBound) - intervalMicros(lowerBound)).toOption
-    if (spanOpt.isEmpty)
-      return left.join(right,
-        left(leftKey) === right(rightKey) &&
-          left(leftTs) >= right(rightTs) + lo && left(leftTs) <= right(rightTs) + hi,
-        "inner")
-    val span = spanOpt.get
+    // Bucketing stays correct for ANY width ≥ the true span: the right side
+    // replicates to every bucket its real (Spark-arithmetic) match range
+    // overlaps, so variable-length units just use a conservative upper bound
+    // (month ≤ 31 d, year ≤ 366 d) — replication stays ≤ 2 and results are
+    // unchanged. No fallback to the unbucketed skew-trap plan.
+    val span = intervalMicros(upperBound) - intervalMicros(lowerBound)
     require(span >= 0, s"upperBound $upperBound must be >= lowerBound $lowerBound")
     val width = math.max(span, 1L)
     def bucket(c: Column): Column = floor(unix_micros(c.cast("timestamp")) / width)
@@ -80,13 +76,18 @@ object IntervalJoin {
   }
 
   /** `'N' UNIT` interval literal → microseconds (driver-side, for the bucket
-    * width; the residual predicate still uses Spark's own interval arithmetic).
+    * width; the residual predicate still uses Spark's own interval
+    * arithmetic). Variable-length units map to their MAXIMUM length — an
+    * upper bound is all the bucket width needs for correctness.
     */
   private[graft] def intervalMicros(s: String): Long = {
     val m = "'\\s*(-?\\d+)\\s*'\\s+(\\w+)".r.findFirstMatchIn(s.trim)
       .getOrElse(throw new IllegalArgumentException(s"cannot parse interval literal: $s"))
     val n = m.group(1).toLong
     val unit = m.group(2).toUpperCase match {
+      case "YEAR" | "YEARS"               => 366L * 86400000000L // upper bound
+      case "MONTH" | "MONTHS"             => 31L * 86400000000L  // upper bound
+      case "WEEK" | "WEEKS"               => 7L * 86400000000L
       case "DAY" | "DAYS"                 => 86400000000L
       case "HOUR" | "HOURS"               => 3600000000L
       case "MINUTE" | "MINUTES"           => 60000000L

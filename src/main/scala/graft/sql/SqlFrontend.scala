@@ -49,7 +49,7 @@ object SqlFrontend {
         // CTAS semantics are a one-time SNAPSHOT: materialize before
         // registering, or a query with agent/model calls would re-execute
         // them (fresh responses, duplicated tool side effects) on every read
-        val df = parseSql(spark, select).localCheckpoint(true)
+        val df = materialize(spark, unqualify(name), parseSql(spark, select))
         TableRegistry.createTableAs(spark, unqualify(name), df)
         df.createOrReplaceTempView(unqualify(name))
         status(spark, "TABLE", unqualify(name))
@@ -68,9 +68,10 @@ object SqlFrontend {
           case Some(remote: graft.vector.RemoteVectorStore) =>
             insertIntoVectorTable(df, remote)
           case _ =>
-            val snap = df.localCheckpoint(true)
+            val snap = materialize(spark, tgt, df)
             val merged =
-              if (TableRegistry.exists(tgt)) TableRegistry.resolve(tgt).load(spark).unionByName(snap)
+              if (TableRegistry.exists(tgt))
+                materialize(spark, tgt, TableRegistry.resolve(tgt).load(spark).unionByName(snap))
               else snap
             TableRegistry.createTableAs(spark, tgt, merged)
             merged.createOrReplaceTempView(tgt)
@@ -90,6 +91,19 @@ object SqlFrontend {
         TableRegistry.describe(unqualify(name)).toDF("col_name", "data_type")
       case other => parseSql(spark, other)
     }
+  }
+
+  /** CTAS/INSERT snapshot: written to a session-scoped warehouse directory
+    * and read back. Disk-backed — no executor-storage pinning (a
+    * localCheckpoint would grow block-manager memory per statement and die
+    * with a lost executor), reads recompute from files, side effects run
+    * exactly once at statement time.
+    */
+  private def materialize(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/" +
+      s"${spark.sparkContext.applicationId}/${name}_${System.nanoTime()}"
+    df.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
   }
 
   /** Parse query text with Flink/standard-SQL string-literal semantics:
@@ -188,9 +202,12 @@ object SqlFrontend {
     require(cols.contains(embCol), s"INSERT into vector table needs an '$embCol' column, got ${cols.mkString(",")}")
     val chunkCol = cols.find(_.equalsIgnoreCase("chunk"))
       .getOrElse(sys.error("INSERT into vector table needs a 'chunk' column"))
-    val idCol = cols.find(c => c != embCol && c != chunkCol)
-      .getOrElse(sys.error("INSERT into vector table needs an id column"))
-    graft.vector.VectorSink.writeBatch(df, remote, idCol, chunkCol, embCol)
+    val idCandidates = cols.filter(c => c != embCol && c != chunkCol)
+    // exactly (id, chunk, embedding): extra columns would be silently dropped
+    // — fail loudly so the caller projects explicitly
+    require(idCandidates.length == 1,
+      s"INSERT into vector table expects exactly (id, chunk, $embCol); got ${cols.mkString(", ")}")
+    graft.vector.VectorSink.writeBatch(df, remote, idCandidates.head, chunkCol, embCol)
   }
 
   // ---------------------------------------------------------------- dispatch
@@ -307,7 +324,11 @@ object SqlFrontend {
     val timeout = props.get("request_timeout").map(_.trim.toInt.seconds).getOrElse(30.seconds)
     val allowed = props.getOrElse("allowed_tools", "").split(",").map(_.trim).filter(_.nonEmpty).toSeq
     require(allowed.nonEmpty, s"tool '$name' lists no allowed_tools")
-    val members = allowed.map(t => McpHttpTool(t, conn.endpoint, requestTimeout = timeout))
+    // 'max_retries' is a graft extension knob: transport retries default to 0
+    // (tools are side-effecting); opt idempotent tool sets back in via DDL
+    val retries = props.getOrElse("max_retries", "0").toInt
+    val members = allowed.map(t =>
+      McpHttpTool(t, conn.endpoint, requestTimeout = timeout, maxRetries = retries))
     members.foreach(ToolCatalog.register)
     ToolGroupCatalog.register(name, members.map(_.name))
     status(spark, "TOOL", name)
@@ -486,7 +507,8 @@ object SqlFrontend {
   }
 
   private val ReservedAfterLateral =
-    Set("WHERE", "GROUP", "ORDER", "WITH", "ON", "JOIN", "LIMIT", "HAVING", "UNION")
+    Set("WHERE", "GROUP", "ORDER", "WITH", "ON", "JOIN", "LIMIT", "HAVING", "UNION",
+      "LEFT", "RIGHT", "INNER", "CROSS", "FULL", "NATURAL", "OUTER")
 
   private val RunAgentStartRe = "(?is),\\s*LATERAL\\s+TABLE\\s*\\(\\s*AI_RUN_AGENT\\s*\\(".r
 

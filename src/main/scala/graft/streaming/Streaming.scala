@@ -114,8 +114,10 @@ object StreamingOps {
     if (!fs.exists(cur) && fs.exists(bak) && !fs.rename(bak, cur))
       sys.error(s"upsertParquet: failed to restore $bak after an interrupted swap")
 
-    val existing =
-      try Some(spark.read.parquet(path)) catch { case _: Exception => None }
+    // "sink absent" is decided by an existence check, NOT by catching read
+    // errors — a transient read failure on an existing sink must fail the
+    // batch (checkpoint retries) rather than silently restart history
+    val existing = if (fs.exists(cur)) Some(spark.read.parquet(path)) else None
     val all = existing.map(_.unionByName(batch)).getOrElse(batch)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)

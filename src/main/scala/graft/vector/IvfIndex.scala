@@ -71,6 +71,11 @@ object IvfIndex {
 
   final case class Ivf(centroids: DataFrame, assigned: DataFrame) {
 
+    // index invariants, computed once per Ivf (a per-search count() would
+    // re-run the whole assignment lineage over the corpus)
+    private lazy val nVectors: Long = math.max(assigned.count(), 1L)
+    private lazy val nLists: Long = math.max(centroids.count(), 1L)
+
     /** Approximate top-k: probe `nProbes` lists per query. */
     def search(queries: DataFrame, qidCol: String, qvecCol: String,
                k: Int, nProbes: Int): DataFrame = {
@@ -94,11 +99,9 @@ object IvfIndex {
       */
     def searchNumCandidates(queries: DataFrame, qidCol: String, qvecCol: String,
                             k: Int, numCandidates: Int = 500): DataFrame = {
-      val total = math.max(assigned.count(), 1L)
-      val lists = math.max(centroids.count(), 1L)
-      val avgPerList = math.max(total / lists, 1L)
+      val avgPerList = math.max(nVectors / nLists, 1L)
       val wanted = math.max(numCandidates.toLong, k.toLong)
-      val nProbes = math.min(lists, math.max(1L, (wanted + avgPerList - 1) / avgPerList)).toInt
+      val nProbes = math.min(nLists, math.max(1L, (wanted + avgPerList - 1) / avgPerList)).toInt
       search(queries, qidCol, qvecCol, k, nProbes)
     }
 

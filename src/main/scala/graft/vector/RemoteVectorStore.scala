@@ -110,8 +110,11 @@ final case class RemoteVectorStore(endpoint: String,
   }
 }
 
-/** One document headed for a remote vector collection. */
-final case class ScoredDocUpsert(doc_id: Long, chunk: String, embedding: Array[Float])
+/** One document headed for a remote vector collection. Ids are strings — the
+  * reference's vector tables declare `document_id STRING`
+  * (terraform/lab2-vector-search/main.tf:215); numeric ids stringify.
+  */
+final case class ScoredDocUpsert(doc_id: String, chunk: String, embedding: Array[Float])
 
 /** Vector-table registry: `CREATE TABLE ... 'connector'='mongodb'` lands here
   * so `VECTOR_SEARCH_AGG(tableName, …)` can resolve the store by name. A

@@ -27,15 +27,18 @@ object VectorSink {
         writeBatch(batch, store, idCol, chunkCol, embCol, batchSize)
       }
 
-  /** Batch variant (also the foreachBatch body). */
+  /** Batch variant (also the foreachBatch body). Ids travel as strings — the
+    * reference's collections declare `document_id STRING`; numeric ids
+    * stringify losslessly.
+    */
   def writeBatch(df: DataFrame, store: RemoteVectorStore,
                  idCol: String, chunkCol: String, embCol: String,
                  batchSize: Int = 256): Unit =
-    df.select(col(idCol).cast("long"), col(chunkCol), col(embCol))
+    df.select(col(idCol).cast("string"), col(chunkCol), col(embCol))
       .foreachPartition { (it: Iterator[Row]) =>
         it.grouped(batchSize).foreach { g =>
           store.insert(g.map(r =>
-            ScoredDocUpsert(r.getLong(0), r.getString(1), r.getSeq[Float](2).toArray)))
+            ScoredDocUpsert(r.getString(0), r.getString(1), r.getSeq[Float](2).toArray)))
         }
       }
 }

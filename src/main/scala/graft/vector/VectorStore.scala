@@ -72,10 +72,11 @@ object VectorSearchAgg {
                   idCol: String = "doc_id", chunkCol: String = "chunk",
                   embCol: String = "embedding", outCol: String = "search_results"): DataFrame = {
     // the surrogate id is NOT deterministic across re-evaluations (its value
-    // depends on partition layout), and `q` feeds two plan branches — cache
-    // pins one assignment so both branches agree (an uncached re-run after a
-    // shuffle in the lineage could attach results to the wrong query rows)
-    val q = queries.withColumn("__qid", monotonically_increasing_id()).cache()
+    // depends on partition layout), and `q` feeds two plan branches —
+    // localCheckpoint PINS one assignment (cache would be best-effort: an
+    // evicted block recomputes with fresh ids and attaches results to the
+    // wrong query rows). The query side is the small side by construction.
+    val q = queries.withColumn("__qid", monotonically_increasing_id()).localCheckpoint(true)
     val qs = q.select(col("__qid"), col(queryVecCol).as("__qvec"))
     val sims = corpus
       .join(broadcast(qs))

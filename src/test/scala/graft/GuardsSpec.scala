@@ -58,13 +58,15 @@ class GuardsSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
-  test("interval join falls back to the unbucketed plan for month-unit bounds") {
+  test("interval join buckets month-unit bounds with a conservative width") {
     import spark.implicits._
     val left = Seq((1L, java.sql.Timestamp.valueOf("2024-02-15 00:00:00")),
       (1L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))).toDF("k", "lts")
     val right = Seq((1L, java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))).toDF("k2", "rts")
     val out = graft.operators.IntervalJoin(left, right, "k", "k2", "lts", "rts", "'0' MONTH", "'2' MONTH")
     assert(out.count() == 1, "month-unit interval bounds must still join correctly")
+    // and the plan keeps the composite bucketed key (no skew-trap fallback)
+    assert(out.queryExecution.executedPlan.toString.contains("__ij_bucket"))
   }
 
   test("upsert sink recovers the full history after an interrupted swap") {
