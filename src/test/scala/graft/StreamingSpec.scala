@@ -13,6 +13,54 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("streaming sliding windows assign each row to both overlapping windows") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(Timestamp, String)]
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "zone")
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("zone"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("zone"), col("cnt"))
+    val q = df.writeStream.format("memory").queryName("slide_sink").outputMode("append").start()
+    try {
+      mem.addData((ts("2024-03-01 00:07:00"), "a"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-03-01 01:00:00"), "a")) // watermark closes both windows
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("slide_sink")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2))).toSet
+    // 00:07 lands in [00:00,00:10) and [00:05,00:15)
+    assert(got.contains(("2024-03-01 00:00:00.0", 1L)) && got.contains(("2024-03-01 00:05:00.0", 1L)),
+      s"each event must appear in exactly its two overlapping windows, got $got")
+  }
+
+  test("streaming session windows merge rows within the gap and close on watermark") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(Timestamp, String)]
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "user")
+      .withWatermark("ts", "5 seconds")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").as("ss"), col("user"), col("cnt"))
+    val q = df.writeStream.format("memory").queryName("sess_sink").outputMode("append").start()
+    try {
+      // two rows 4 min apart merge; a third 30 min later starts a new session
+      mem.addData((ts("2024-03-01 00:00:00"), "u1"), (ts("2024-03-01 00:04:00"), "u1"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-03-01 00:34:00"), "u1"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-03-01 02:00:00"), "u1")) // close everything
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_sink")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2))).toSet
+    assert(got.contains(("2024-03-01 00:00:00.0", 2L)), s"merged session expected in $got")
+    assert(got.contains(("2024-03-01 00:34:00.0", 1L)), s"separate later session expected in $got")
+  }
+
   test("streaming tumble emits a window only after the watermark passes its end") {
     implicit val sq = spark.sqlContext
     implicit val enc = Encoders.product[(Timestamp, String, Double)]
