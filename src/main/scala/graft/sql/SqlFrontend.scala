@@ -44,7 +44,8 @@ object SqlFrontend {
       case CreateModelRe(name, _, output, props) => createModel(spark, unqualify(name), output, parseProps(props))
       case CreateToolRe(name, conn, props) => createTool(spark, unqualify(name), unqualify(conn), parseProps(props))
       case CreateAgentRe(name, model, prompt, tools, props) =>
-        createAgent(spark, unqualify(name), unqualify(model), prompt, tools, parseProps(Option(props).getOrElse("")))
+        createAgent(spark, unqualify(name), unqualify(model), prompt,
+          Option(tools).getOrElse(""), parseProps(Option(props).getOrElse("")))
       case CtasRe(name, select) =>
         // CTAS semantics are a one-time SNAPSHOT: materialize before
         // registering, or a query with agent/model calls would re-execute
@@ -130,9 +131,15 @@ object SqlFrontend {
     "(?is)^CREATE\\s+MODEL\\s+(\\S+)\\s+INPUT\\s*\\(([^)]*)\\)\\s*OUTPUT\\s*\\(([^)]*)\\)\\s*WITH\\s*\\((.*)\\)$".r
   private val CreateToolRe =
     "(?is)^CREATE\\s+TOOL\\s+(\\S+)\\s+USING\\s+CONNECTION\\s+(\\S+)\\s+WITH\\s*\\((.*)\\)$".r
+  // USING TOOLS is optional — lab4's fraud agent is tool-less
+  // (LAB4-Walkthrough.md:330-384). The quoted-string pattern is the linear
+  // "runs of non-quotes, optionally joined by doubled quotes" form — the
+  // per-character alternation (?:[^']|'')* recurses once per character and
+  // overflows the stack on lab4's ~50-line prompt.
+  private val QuotedBody = "[^']*(?:''[^']*)*"
   private val CreateAgentRe =
-    ("(?is)^CREATE\\s+AGENT\\s+(\\S+)\\s+USING\\s+MODEL\\s+(\\S+)\\s+USING\\s+PROMPT\\s+'((?:[^']|'')*)'" +
-      "\\s+USING\\s+TOOLS\\s+([`\\w,\\s.-]+?)(?:\\s+COMMENT\\s+'(?:[^']|'')*')?(?:\\s+WITH\\s*\\((.*)\\))?$").r
+    (s"(?is)^CREATE\\s+AGENT\\s+(\\S+)\\s+USING\\s+MODEL\\s+(\\S+)\\s+USING\\s+PROMPT\\s+'($QuotedBody)'" +
+      s"(?:\\s+USING\\s+TOOLS\\s+([`\\w,\\s.-]+?))?(?:\\s+COMMENT\\s+'$QuotedBody')?(?:\\s+WITH\\s*\\((.*)\\))?$$").r
   // CTAS may carry a constraint block and table options before AS
   // (LAB3-Walkthrough.md:455-459: `CREATE TABLE completed_actions (PRIMARY KEY
   // (pickup_zone) NOT ENFORCED) WITH ('changelog.mode'='append') AS SELECT …`)

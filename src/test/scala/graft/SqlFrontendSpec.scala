@@ -47,6 +47,9 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
           "Competitor Price:\n19.99\n\nDecision:\nPRICE_MATCH\n\nSummary:\nPrice matched and email sent."
         else if (userPrompt.contains("send_email tool") && toolTurns == 0) "TOOL:send_email {\"to\":\"test\"}"
         else if (userPrompt.contains("send_email tool")) "Email sent successfully."
+        else if (userPrompt.startsWith("CLAIM FOR REVIEW"))
+          "Verdict:\nAPPROVE\n\nIssues Found:\nNone significant.\n\n" +
+            "Policy Basis:\nIAPPG 1.2 applies.\n\nSummary:\nClaim appears legitimate."
         else s"stub-answer: ${userPrompt.take(40)}"
       val root = mapper.createObjectNode()
       val msg = root.putArray("choices").addObject().putObject("message")
@@ -464,6 +467,28 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     assert(r.getAs[scala.collection.Seq[String]]("policy_fraud_cats_1").contains("misrepresentation"))
     assert(r.getAs[Double]("policy_score_1") >= r.getAs[Double]("policy_score_3"),
       "policy ranks must descend by score")
+
+    // stage 4: the tool-less fraud agent, DDL verbatim from the walkthrough
+    SqlFrontend.execute(spark,
+      "CREATE MODEL llm_textgen_model INPUT (prompt STRING) OUTPUT (response STRING) " +
+        "WITH ('provider'='bedrock', 'task'='text_generation', 'bedrock.connection'='bedrock_conn5')")
+    val createAgent = blocks.find(_.toUpperCase.startsWith("CREATE AGENT"))
+      .getOrElse(fail("missing lab4 CREATE AGENT"))
+    SqlFrontend.execute(spark, createAgent)
+    val agent = graft.agent.AgentCatalog.resolve("claims_fraud_investigation_agent")
+    assert(agent.tools.isEmpty && agent.maxIterations == 10)
+    assert(agent.systemPrompt.contains("OUTPUT RULES"))
+
+    // stage 5: claims_reviewed CTAS (un-aliased AI_RUN_AGENT over the giant
+    // CONCAT prompt), verbatim
+    SqlFrontend.executeAll(spark,
+      blocks.find(_.contains("CREATE TABLE claims_reviewed")).getOrElse(fail("missing claims_reviewed CTAS")))
+    val reviewed = spark.table("claims_reviewed").collect()
+    assert(reviewed.length == invest.length)
+    assert(reviewed.forall(_.getAs[String]("verdict") == "APPROVE"))
+    assert(reviewed.forall(_.getAs[String]("issues_found").contains("None significant")))
+    assert(reviewed.forall(_.getAs[String]("policy_basis").contains("IAPPG")))
+    assert(reviewed.forall(_.getAs[String]("summary").contains("legitimate")))
   }
 
   test("ALTER TABLE MODIFY WATERMARK runs verbatim from the lab3 troubleshooting section") {
