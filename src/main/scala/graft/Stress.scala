@@ -70,6 +70,22 @@ object Stress {
     println(s"[stress] near-dup pairs found: $dups (planted $expected)")
     require(dups >= (expected * 9) / 10, s"LSH must recover >=90% of planted dups, got $dups/$expected")
 
+    // 3. distributed token packing: 5M docs through the two-pass prefix sum,
+    //    scattered across 64 partitions (the round-1 plan moved everything
+    //    through ONE task's global window)
+    val nDocs = 5000000L
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      trim(expr("repeat('tok ', CAST(pmod(id, 7) + 1 AS INT))")).as("text"))
+      .repartition(64)
+    val packed = timed(s"distributed token packing, $nDocs docs")(
+      llmops.Curation.packByTokenBudget(docs, "text", "doc_id", budget = 4096)
+        .agg(max("cum_tokens"), sum("n_tokens"), max("pack_id")).head())
+    val (cumMax, tokSum, lastPack) = (packed.getLong(0), packed.getLong(1), packed.getLong(2))
+    val independentTotal = spark.range(nDocs).select(sum(pmod(col("id"), lit(7)) + 1)).head().getLong(0)
+    println(s"[stress] packed $nDocs docs into ${lastPack + 1} packs, $cumMax tokens")
+    require(cumMax == tokSum && cumMax == independentTotal,
+      s"global prefix sum must be exact: cum=$cumMax sum=$tokSum expected=$independentTotal")
+
     spark.stop()
   }
 }

@@ -41,13 +41,22 @@ private[graft] object Http {
   /** POST JSON, return parsed body. Bounded retries with exponential backoff
     * on transient failures; non-retryable HTTP errors throw immediately.
     */
-  def postJson(cfg: HttpConfig, path: String, body: JsonNode): JsonNode = {
+  def postJson(cfg: HttpConfig, path: String, body: JsonNode): JsonNode =
+    sendJson(cfg, path, Some(body))
+
+  /** GET JSON with the same retry machinery (reads are always idempotent). */
+  def getJson(cfg: HttpConfig, path: String): JsonNode = sendJson(cfg, path, None)
+
+  private def sendJson(cfg: HttpConfig, path: String, body: Option[JsonNode]): JsonNode = {
     val builder = HttpRequest.newBuilder()
       .uri(URI.create(cfg.endpoint.stripSuffix("/") + path))
       .timeout(Duration.ofMillis(cfg.timeout.toMillis))
       .header("Content-Type", "application/json")
     cfg.apiKey.foreach(k => builder.header("Authorization", s"Bearer $k"))
-    val req = builder.POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(body))).build()
+    val req = body match {
+      case Some(b) => builder.POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(b))).build()
+      case None    => builder.GET().build()
+    }
 
     var attempt = 0
     var lastErr: Throwable = null

@@ -123,6 +123,48 @@ class AvroSerdeSpec extends SparkSpec {
       s"streaming round-trip must be the identity, got $got")
   }
 
+  test("schema-registry publish flow: register once, frame with the assigned id, resolve back") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val registrations = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stored = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      val json =
+        if (path.contains("/versions")) {
+          val id = 40 + registrations.incrementAndGet()
+          stored.put(id, mapper.readTree(ex.getRequestBody.readAllBytes()).path("schema").asText())
+          s"""{"id": $id}"""
+        } else {
+          val id = path.split("/").last.toInt
+          mapper.writeValueAsString(mapper.createObjectNode().put("schema", stored.get(id)))
+        }
+      val bytes = json.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length); ex.getResponseBody.write(bytes); ex.close()
+    })
+    server.start()
+    try {
+      import spark.implicits._
+      val client = graft.streaming.SchemaRegistryClient(s"http://127.0.0.1:${server.getAddress.getPort}")
+      val df = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "note")
+
+      val (id1, wire) = graft.streaming.SchemaRegistry.toAvroValueRegistered(df, Some("id"), "notes-value", client)
+      val (id2, _) = graft.streaming.SchemaRegistry.toAvroValueRegistered(df, Some("id"), "notes-value", client)
+      assert(id1 == id2 && registrations.get() == 1, "same (subject, schema) must register exactly once")
+
+      // every frame carries the registry-assigned id
+      val frames = wire.select("value").as[Array[Byte]].collect()
+      frames.foreach(f => assert(KafkaIO.confluentUnframe(f)._1 == id1))
+
+      // consume side: the id resolves to the exact writer schema
+      val resolved = new org.apache.avro.Schema.Parser().parse(client.getById(id1))
+      assert(resolved == AvroSerde.avroSchema(df.schema))
+      val back = AvroSerde.fromAvroValue(wire, df.schema)
+      assert(back.as[(Long, String)].collect().toSet == Set((1L, "alpha"), (2L, "beta")))
+    } finally server.stop(0)
+  }
+
   test("confluent-framed DataFrame round-trip is the identity (micros timestamps, nulls)") {
     import spark.implicits._
     val st = StructType(Seq(
