@@ -77,13 +77,21 @@ object AvroSerde {
   }
 
   /** Row ↔ Avro-binary codec for one schema. Serializable; closes over JSON
-    * schema text + the Spark schema only.
+    * schema text + the Spark schema only. When `writerJson` is given (consume
+    * side with a registry-resolved writer schema), decoding applies standard
+    * Avro schema RESOLUTION: bytes written with the writer schema are read
+    * into the reader schema — new nullable fields take their defaults,
+    * removed fields are skipped.
     */
-  final class RowCodec(val sparkSchema: StructType, val schemaJson: String) extends Serializable {
+  final class RowCodec(val sparkSchema: StructType, val schemaJson: String,
+                       val writerJson: Option[String] = None) extends Serializable {
 
     @transient private lazy val schema: Schema = new Schema.Parser().parse(schemaJson)
     @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
-    @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+    @transient private lazy val reader = writerJson match {
+      case Some(w) => new GenericDatumReader[GenericRecord](new Schema.Parser().parse(w), schema)
+      case None    => new GenericDatumReader[GenericRecord](schema)
+    }
 
     def encode(row: Row): Array[Byte] = {
       val rec = toRecord(row, sparkSchema, schema)

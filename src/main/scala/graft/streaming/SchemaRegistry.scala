@@ -61,4 +61,30 @@ object SchemaRegistry {
     val id = client.register(subject, schemaJson)
     (id, AvroSerde.toAvroValue(df, keyCol, id, timestampMillis))
   }
+
+  /** Consume-side composition: each frame's schema id resolves to its WRITER
+    * schema through the registry (cached per executor after the first hit),
+    * and the Avro reader applies standard schema resolution against the
+    * target — so topics whose producers evolved their schema (new nullable
+    * fields with defaults, dropped fields) decode into one target shape, the
+    * exact contract of the reference's AvroDeserializer consumers.
+    */
+  def fromAvroValueResolving(df: org.apache.spark.sql.DataFrame,
+                             targetSchema: org.apache.spark.sql.types.StructType,
+                             client: SchemaRegistryClient,
+                             timestampMillis: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct, udf}
+    val readerJson = AvroSerde.avroSchema(targetSchema, timestampMillis = timestampMillis).toString
+    val dec = udf(new org.apache.spark.sql.api.java.UDF1[org.apache.spark.sql.Row, org.apache.spark.sql.Row] {
+      @transient private lazy val codecByWriter =
+        scala.collection.concurrent.TrieMap.empty[Int, AvroSerde.RowCodec]
+      override def call(framed: org.apache.spark.sql.Row): org.apache.spark.sql.Row = {
+        val (id, body) = KafkaIO.confluentUnframe(framed.getAs[Array[Byte]](0))
+        val codec = codecByWriter.getOrElseUpdate(id,
+          new AvroSerde.RowCodec(targetSchema, readerJson, writerJson = Some(client.getById(id))))
+        codec.decode(body)
+      }
+    }, targetSchema)
+    df.select(dec(struct(col("value"))).as("r")).select("r.*")
+  }
 }

@@ -162,6 +162,23 @@ class AvroSerdeSpec extends SparkSpec {
       assert(resolved == AvroSerde.avroSchema(df.schema))
       val back = AvroSerde.fromAvroValue(wire, df.schema)
       assert(back.as[(Long, String)].collect().toSet == Set((1L, "alpha"), (2L, "beta")))
+
+      // schema EVOLUTION on the consume side: a v2 producer adds a nullable
+      // field; frames from both schema versions decode into the v2 target
+      // via registry-resolved writer schemas (v1 rows default the new field)
+      val dfV2 = Seq((3L, "gamma", 0.5)).toDF("id", "note", "score")
+      val (idV2, wireV2) = graft.streaming.SchemaRegistry.toAvroValueRegistered(
+        dfV2, Some("id"), "notes-value", client)
+      assert(idV2 != id1, "an evolved schema must get its own id")
+      val target = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("note", org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType, nullable = true)))
+      val mixed = graft.streaming.SchemaRegistry.fromAvroValueResolving(
+        wire.unionByName(wireV2), target, client)
+        .collect().map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+      assert(mixed == Set((1L, "alpha", None), (2L, "beta", None), (3L, "gamma", Some(0.5))),
+        s"both schema generations must decode into the target shape, got $mixed")
     } finally server.stop(0)
   }
 
