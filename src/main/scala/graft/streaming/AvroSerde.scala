@@ -87,10 +87,19 @@ object AvroSerde {
                        val writerJson: Option[String] = None) extends Serializable {
 
     @transient private lazy val schema: Schema = new Schema.Parser().parse(schemaJson)
+    @transient private lazy val writerSchema: Option[Schema] =
+      writerJson.map(new Schema.Parser().parse(_))
     @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
-    @transient private lazy val reader = writerJson match {
-      case Some(w) => new GenericDatumReader[GenericRecord](new Schema.Parser().parse(w), schema)
-      case None    => new GenericDatumReader[GenericRecord](schema)
+    @transient private lazy val reader = writerSchema match {
+      case Some(w) =>
+        // record NAMES only gate matching, fields drive resolution — alias the
+        // reader to whatever name the producer registered so real-world
+        // subjects (e.g. 'ClaimRecord') resolve instead of AvroTypeException
+        if (w.getType == Schema.Type.RECORD && schema.getType == Schema.Type.RECORD &&
+            w.getFullName != schema.getFullName)
+          schema.addAlias(w.getName, w.getNamespace)
+        new GenericDatumReader[GenericRecord](w, schema)
+      case None => new GenericDatumReader[GenericRecord](schema)
     }
 
     def encode(row: Row): Array[Byte] = {
@@ -107,6 +116,18 @@ object AvroSerde {
       val rec = reader.read(null, dec)
       fromRecord(rec, sparkSchema, schema)
     }
+
+    /** The WRITER's schema for a top-level field: resolution passes raw longs
+      * through, so timestamp logical types (millis vs micros) must be
+      * interpreted per the schema the bytes were WRITTEN with — a millis
+      * writer decoded with a micros reader would land in 1970. Fields absent
+      * from the writer came from reader defaults → reader schema applies.
+      */
+    private def fieldSchemaForDecode(name: String, readerField: Schema): Schema =
+      writerSchema
+        .flatMap(w => Option(if (w.getType == Schema.Type.RECORD) w.getField(name) else null))
+        .map(f => nonNull(f.schema()))
+        .getOrElse(readerField)
 
     private def toRecord(row: Row, st: StructType, sch: Schema): GenericRecord = {
       val rec = new GenericData.Record(sch)
@@ -152,11 +173,16 @@ object AvroSerde {
 
     private def fromRecord(rec: GenericRecord, st: StructType, sch: Schema): Row = {
       val vals = new Array[Any](st.length)
+      val topLevel = sch eq schema
       var i = 0
       while (i < st.length) {
         val f = st.fields(i)
         val raw = rec.get(i)
-        vals(i) = if (raw == null) null else fromDatum(raw, f.dataType, nonNull(sch.getFields.get(i).schema()))
+        val fieldSch = nonNull(sch.getFields.get(i).schema())
+        vals(i) =
+          if (raw == null) null
+          else fromDatum(raw, f.dataType,
+            if (topLevel) fieldSchemaForDecode(f.name, fieldSch) else fieldSch)
         i += 1
       }
       new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(vals, st)
@@ -216,11 +242,23 @@ object AvroSerde {
     */
   def fromAvroValue(df: DataFrame, st: StructType, timestampMillis: Boolean = false): DataFrame = {
     val c = codec(st, timestampMillis)
+    decodeFrames(df, st, _ => c)
+  }
+
+  /** Shared frame-decoding plumbing: unframe, look up a codec for the frame's
+    * schema id, decode. Null Kafka values (compaction tombstones) yield a
+    * null row — all-null columns downstream — instead of an executor NPE.
+    */
+  private[streaming] def decodeFrames(df: DataFrame, st: StructType,
+                                      codecFor: Int => RowCodec): DataFrame = {
     val dec = udf(new UDF1[Row, Row] {
       override def call(framed: Row): Row = {
         val bytes = framed.getAs[Array[Byte]](0)
-        val (_, body) = KafkaIO.confluentUnframe(bytes)
-        c.decode(body)
+        if (bytes == null) null
+        else {
+          val (id, body) = KafkaIO.confluentUnframe(bytes)
+          codecFor(id).decode(body)
+        }
       }
     }, st)
     df.select(dec(struct(col("value"))).as("r")).select("r.*")

@@ -16,35 +16,39 @@ import graft.ml.{Http, HttpConfig}
   */
 final case class SchemaRegistryClient(baseUrl: String,
                                       timeout: FiniteDuration = 10.seconds) {
-
-  @transient private lazy val idBySchema =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Int]
-  @transient private lazy val schemaById =
-    scala.collection.concurrent.TrieMap.empty[Int, String]
+  import SchemaRegistryClient.{idBySchema, schemaById}
 
   private def cfg = HttpConfig(baseUrl, model = "schema-registry", timeout = timeout)
 
   /** Register (idempotently) and return the schema id for a subject. */
   def register(subject: String, schemaJson: String): Int =
-    idBySchema.getOrElseUpdate((subject, schemaJson), {
+    idBySchema.getOrElseUpdate((baseUrl, subject, schemaJson), {
       val m = Http.mapper
       val body = m.createObjectNode()
       body.put("schema", schemaJson)
       val resp = Http.postJson(cfg, s"/subjects/$subject/versions", body)
       val id = resp.path("id").asInt(-1)
       require(id >= 0, s"schema registry returned no id for subject '$subject'")
-      schemaById.put(id, schemaJson)
+      schemaById.put((baseUrl, id), schemaJson)
       id
     })
 
   /** Resolve a schema by the id carried in a Confluent frame. */
   def getById(id: Int): String =
-    schemaById.getOrElseUpdate(id, {
+    schemaById.getOrElseUpdate((baseUrl, id), {
       val resp = Http.getJson(cfg, s"/schemas/ids/$id")
       val schema = resp.path("schema").asText("")
       require(schema.nonEmpty, s"schema registry has no schema for id $id")
       schema
     })
+}
+
+object SchemaRegistryClient {
+  // JVM-level caches keyed by registry url: task-deserialized client
+  // instances share them, so an executor fetches each schema id ONCE, not
+  // once per task/micro-batch partition (the registry is immutable per id)
+  private val idBySchema = scala.collection.concurrent.TrieMap.empty[(String, String, String), Int]
+  private val schemaById = scala.collection.concurrent.TrieMap.empty[(String, Int), String]
 }
 
 object SchemaRegistry {
@@ -73,18 +77,10 @@ object SchemaRegistry {
                              targetSchema: org.apache.spark.sql.types.StructType,
                              client: SchemaRegistryClient,
                              timestampMillis: Boolean = false): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, struct, udf}
     val readerJson = AvroSerde.avroSchema(targetSchema, timestampMillis = timestampMillis).toString
-    val dec = udf(new org.apache.spark.sql.api.java.UDF1[org.apache.spark.sql.Row, org.apache.spark.sql.Row] {
-      @transient private lazy val codecByWriter =
-        scala.collection.concurrent.TrieMap.empty[Int, AvroSerde.RowCodec]
-      override def call(framed: org.apache.spark.sql.Row): org.apache.spark.sql.Row = {
-        val (id, body) = KafkaIO.confluentUnframe(framed.getAs[Array[Byte]](0))
-        val codec = codecByWriter.getOrElseUpdate(id,
-          new AvroSerde.RowCodec(targetSchema, readerJson, writerJson = Some(client.getById(id))))
-        codec.decode(body)
-      }
-    }, targetSchema)
-    df.select(dec(struct(col("value"))).as("r")).select("r.*")
+    val codecByWriter = scala.collection.concurrent.TrieMap.empty[Int, AvroSerde.RowCodec]
+    AvroSerde.decodeFrames(df, targetSchema, id =>
+      codecByWriter.getOrElseUpdate(id,
+        new AvroSerde.RowCodec(targetSchema, readerJson, writerJson = Some(client.getById(id)))))
   }
 }

@@ -179,6 +179,23 @@ class AvroSerdeSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
       assert(mixed == Set((1L, "alpha", None), (2L, "beta", None), (3L, "gamma", Some(0.5))),
         s"both schema generations must decode into the target shape, got $mixed")
+
+      // logical-type evolution: a timestamp-MILLIS writer decodes correctly
+      // into a micros-target reader — the writer schema, resolved by frame
+      // id, drives the interpretation (a reader-side read of the raw millis
+      // long as micros would land in 1970)
+      val tsSchema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("ts", TimestampNTZType, nullable = false)))
+      val when = java.time.LocalDateTime.of(2024, 5, 1, 10, 30, 15, 123000000)
+      val tsDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(9L, when)), 1), tsSchema)
+      val (_, wireMs) = graft.streaming.SchemaRegistry.toAvroValueRegistered(
+        tsDf, Some("id"), "ts-value", client, timestampMillis = true)
+      val backTs = graft.streaming.SchemaRegistry.fromAvroValueResolving(wireMs, tsSchema, client)
+        .collect().head
+      assert(backTs.getAs[java.time.LocalDateTime]("ts") == when,
+        s"millis-writer frame must decode to the original instant, got ${backTs.get(1)}")
     } finally server.stop(0)
   }
 
