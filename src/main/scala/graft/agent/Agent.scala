@@ -130,6 +130,7 @@ object ToolCatalog {
   private val tools = scala.collection.concurrent.TrieMap[String, Tool]()
   def register(t: Tool): Unit = tools.put(t.name, t)
   def resolve(name: String): Tool = tools.getOrElse(name, sys.error(s"no tool '$name'"))
+  def get(name: String): Option[Tool] = tools.get(name)
   def resolveAll(names: Seq[String]): Map[String, Tool] = names.map(n => n -> resolve(n)).toMap
 }
 
@@ -137,6 +138,7 @@ object AgentCatalog {
   private val agents = scala.collection.concurrent.TrieMap[String, AgentDefinition]()
   def register(a: AgentDefinition): Unit = agents.put(a.name, a)
   def resolve(name: String): AgentDefinition = agents.getOrElse(name, sys.error(s"no agent '$name'"))
+  def get(name: String): Option[AgentDefinition] = agents.get(name)
 }
 
 /** Connection registry (CREATE CONNECTION analog — MCP/MongoDB/Bedrock/… are

@@ -79,6 +79,11 @@ object ModelCatalog {
     * (the TrieMap itself is JVM-local; see GraftExtensions.registerModelUdfs). */
   def textGenSnapshot: Map[String, TextGenModel] = textgens.toMap
   def embeddingSnapshot: Map[String, EmbeddingModel] = embedders.toMap
+  /** The task kinds a name is registered under (DESCRIBE MODEL surface). */
+  def kindsOf(name: String): Seq[String] =
+    (if (textgens.contains(name)) Seq("text_generation") else Nil) ++
+      (if (embedders.contains(name)) Seq("embedding") else Nil) ++
+      (if (chats.contains(name)) Seq("chat") else Nil)
   def embedding(name: String): EmbeddingModel = embedders.getOrElse(name, sys.error(s"no embedding model '$name'"))
   def textGen(name: String): TextGenModel = textgens.getOrElse(name, sys.error(s"no textgen model '$name'"))
   def chat(name: String): ChatModel = chats.getOrElse(name, sys.error(s"no chat model '$name'"))

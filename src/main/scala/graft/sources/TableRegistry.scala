@@ -20,7 +20,8 @@ object TableRegistry {
                             primaryKey: Seq[String] = Seq.empty,
                             changelogMode: String = "append",
                             options: Map[String, String] = Map.empty,
-                            load: SparkSession => DataFrame)
+                            load: SparkSession => DataFrame,
+                            loadStream: Option[SparkSession => DataFrame] = None)
 
   private val tables = scala.collection.concurrent.TrieMap[String, TableDef]()
   private val sessionConf = scala.collection.concurrent.TrieMap[String, String]()
@@ -64,6 +65,35 @@ object TableRegistry {
     (t.watermarkCol, t.watermarkDelay) match {
       case (Some(c), Some(d)) if df.isStreaming => df.withWatermark(c, d)
       case _                                    => df
+    }
+  }
+
+  /** A table is a STREAM table when it carries a continuous loader — the
+    * analog of the reference's topic-backed tables, every one of which is a
+    * continuously-growing Kafka topic. A streaming CTAS/INSERT over such a
+    * table becomes a standing statement (graft.sql.StreamPlanner).
+    */
+  def isStream(name: String): Boolean = tables.get(name).exists(_.loadStream.isDefined)
+  def streamTableNames: Seq[String] = tables.values.filter(_.loadStream.isDefined).map(_.name).toSeq
+
+  /** Tables whose backing files grow while a standing statement runs — reads
+    * must re-resolve the file listing each query (SqlFrontend.parseSql).
+    */
+  def refreshOnRead: Seq[String] =
+    tables.values.filter(_.options.get("graft.refresh-on-read").contains("true")).map(_.name).toSeq
+
+  /** Continuous scan: the stream loader with the declared watermark applied.
+    * Event time is cast to TIMESTAMP first — watermarks reject TIMESTAMP_NTZ,
+    * and the UTC session makes the cast wall-clock-neutral.
+    */
+  def scanStream(spark: SparkSession, name: String): DataFrame = {
+    val t = resolve(name)
+    val loader = t.loadStream.getOrElse(sys.error(s"table '$name' is not a stream table"))
+    val df = loader(spark)
+    (t.watermarkCol, t.watermarkDelay) match {
+      case (Some(c), Some(d)) =>
+        df.withColumn(c, org.apache.spark.sql.functions.col(c).cast("timestamp")).withWatermark(c, d)
+      case _ => df
     }
   }
 

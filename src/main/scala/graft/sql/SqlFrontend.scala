@@ -46,19 +46,32 @@ object SqlFrontend {
       case CreateAgentRe(name, model, prompt, tools, props) =>
         createAgent(spark, unqualify(name), unqualify(model), prompt,
           Option(tools).getOrElse(""), parseProps(Option(props).getOrElse("")))
+      case CtasRe(name, select) if StreamPlanner.referencesStream(select) =>
+        // the reference's CTAS over a topic-backed table is a STANDING
+        // continuous statement (PENDING → RUNNING until stopped —
+        // testing/helpers/flink_sql_helper.py:98-136): start a StreamingQuery
+        StreamPlanner.startCtas(spark, unqualify(name), select, sql)
+        status(spark, "TABLE", unqualify(name))
       case CtasRe(name, select) =>
-        // CTAS semantics are a one-time SNAPSHOT: materialize before
+        // CTAS over bounded tables is a one-time SNAPSHOT: materialize before
         // registering, or a query with agent/model calls would re-execute
         // them (fresh responses, duplicated tool side effects) on every read
         val df = materialize(spark, unqualify(name), parseSql(spark, select))
         TableRegistry.createTableAs(spark, unqualify(name), df)
         df.createOrReplaceTempView(unqualify(name))
+        StatementCatalog.recordCompleted(unqualify(name), sql)
         status(spark, "TABLE", unqualify(name))
       case CreateVectorTableRe(name, cols, props) if parseProps(props).get("connector").exists(connectorIsVector) =>
         createVectorTable(spark, unqualify(name), cols, parseProps(props))
+      case InsertRe(name, select) if StreamPlanner.referencesStream(select) =>
+        // a standing INSERT INTO … SELECT over a stream table (the reference's
+        // continuous `INSERT INTO queries_embed SELECT …`,
+        // terraform/lab2-vector-search/main.tf:253)
+        StreamPlanner.startInsert(spark, unqualify(name), select, sql)
+        status(spark, "INSERT", unqualify(name))
       case InsertRe(name, select) =>
-        // INSERT INTO t SELECT … (continuous statements in the reference are
-        // standing inserts; batch semantics here = append). A VECTOR table
+        // INSERT INTO t SELECT … (bounded batch semantics = append snapshot;
+        // stream-sourced inserts take the standing branch above). A VECTOR table
         // target routes the rows to the remote collection over HTTP — the
         // reference's `INSERT INTO documents_vectordb SELECT …, embedding`
         // flow (terraform/lab2-vector-search/main.tf:238-263); anything else
@@ -77,6 +90,7 @@ object SqlFrontend {
             TableRegistry.createTableAs(spark, tgt, merged)
             merged.createOrReplaceTempView(tgt)
         }
+        StatementCatalog.recordCompleted(s"insert-into-$tgt", sql)
         status(spark, "INSERT", tgt)
       case AlterWatermarkRe(name, wmCol, delayN, delayUnit) =>
         val tgt = unqualify(name)
@@ -86,7 +100,13 @@ object SqlFrontend {
         status(spark, "ALTER TABLE", tgt)
       case SetRe(k, v) =>
         TableRegistry.set(k, v); status(spark, "SET", s"$k=$v")
+      case ShowStatementsRe() =>
+        // the statement-lifecycle surface (`confluent flink statement list` /
+        // the harness's get_statement_status — flink_sql_helper.py:98-160)
+        import spark.implicits._
+        StatementCatalog.list.toDF("name", "status", "kind", "statement")
       case DropRe(kind, name) => drop(spark, kind.toUpperCase, unqualify(name))
+      case DescribeTypedRe(kind, name) => describeObject(spark, kind.toUpperCase, unqualify(name))
       case DescribeRe(name) =>
         import spark.implicits._
         TableRegistry.describe(unqualify(name)).toDF("col_name", "data_type")
@@ -112,7 +132,13 @@ object SqlFrontend {
     * LAB1-Walkthrough.md:203-205 — depend on it). Spark's default literal
     * parser strips them; the legacy flag is scoped to this one parse.
     */
-  private def parseSql(spark: SparkSession, text: String): DataFrame = {
+  private[graft] def parseSql(spark: SparkSession, text: String): DataFrame = {
+    // continuously-written standing-statement sinks re-resolve their parquet
+    // file listing on every read (a stored temp-view plan would pin the file
+    // index from view-creation time and never see new micro-batch output)
+    TableRegistry.refreshOnRead
+      .filter(t => ("(?i)\\b" + java.util.regex.Pattern.quote(t) + "\\b").r.findFirstIn(text).isDefined)
+      .foreach(t => TableRegistry.resolve(t).load(spark).createOrReplaceTempView(t))
     val key = "spark.sql.parser.escapedStringLiterals"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
@@ -156,7 +182,12 @@ object SqlFrontend {
     ("(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+MODIFY\\s*\\(\\s*WATERMARK\\s+FOR\\s+(\\w+)\\s+AS\\s+" +
       "\\w+\\s*-\\s*INTERVAL\\s+'(\\d+)'\\s+(\\w+)\\s*\\)$").r
   private val SetRe = "(?is)^SET\\s+'([^']+)'\\s*=\\s*'([^']*)'$".r
+  private val ShowStatementsRe = "(?is)^SHOW\\s+STATEMENTS$".r
   private val DropRe = "(?is)^DROP\\s+(TABLE|MODEL|TOOL|AGENT|CONNECTION)\\s+(?:IF\\s+EXISTS\\s+)?(\\S+)$".r
+  // the reference harness issues both forms: bare `DESCRIBE t` for tables and
+  // `DESCRIBE AGENT|TOOL|MODEL name` for the typed objects ("DESCRIBE TABLE
+  // foo is invalid" — testing/helpers/flink_sql_helper.py:276-281)
+  private val DescribeTypedRe = "(?is)^DESCRIBE\\s+(AGENT|TOOL|MODEL|CONNECTION)\\s+(\\S+)$".r
   private val DescribeRe = "(?is)^DESCRIBE\\s+(\\S+)$".r
 
   /** `'k' = 'v'` pairs inside a WITH(...) clause; keys lower-cased (the
@@ -355,9 +386,46 @@ object SqlFrontend {
     status(spark, "AGENT", name)
   }
 
+  /** `DESCRIBE AGENT|TOOL|MODEL|CONNECTION name` → (property, value) rows.
+    * Fails (the harness's FAILED statement analog) when the object does not
+    * exist; succeeding with rows is its COMPLETED analog.
+    */
+  private def describeObject(spark: SparkSession, kind: String, name: String): DataFrame = {
+    import spark.implicits._
+    val rows: Seq[(String, String)] = kind match {
+      case "AGENT" =>
+        val a = AgentCatalog.get(name).getOrElse(sys.error(s"no agent '$name'"))
+        Seq("name" -> a.name, "model" -> a.model.name,
+          "tools" -> a.tools.keys.toSeq.sorted.mkString(","),
+          "max_iterations" -> a.maxIterations.toString,
+          "max_consecutive_failures" -> a.maxConsecutiveFailures.toString,
+          "prompt" -> a.systemPrompt)
+      case "TOOL" =>
+        ToolGroupCatalog.members(name) match {
+          case Some(ms) => ("name" -> name) +: ms.map("member" -> _)
+          case None =>
+            val t = ToolCatalog.get(name).getOrElse(sys.error(s"no tool '$name'"))
+            Seq("name" -> t.name, "description" -> t.description)
+        }
+      case "MODEL" =>
+        val kinds = ModelCatalog.kindsOf(name)
+        require(kinds.nonEmpty, s"no model '$name'")
+        ("name" -> name) +: kinds.map("task" -> _)
+      case "CONNECTION" =>
+        val c = ConnectionCatalog.resolve(name)
+        Seq("name" -> c.name, "type" -> c.connType, "endpoint" -> c.endpoint)
+    }
+    rows.toDF("property", "value")
+  }
+
   private def drop(spark: SparkSession, kind: String, name: String): DataFrame = {
     kind match {
-      case "TABLE" => TableRegistry.dropTable(name); spark.catalog.dropTempView(name)
+      case "TABLE" =>
+        // dropping a standing statement's sink table stops its continuous
+        // query first (the reference's drop-stops-job semantics)
+        StatementCatalog.stop(name)
+        StatementCatalog.stop(s"insert-into-$name")
+        TableRegistry.dropTable(name); spark.catalog.dropTempView(name)
       case "TOOL"  => ToolGroupCatalog.dropGroup(name)
       case _       => () // MODEL/AGENT/CONNECTION registries keep last-write-wins
     }
@@ -375,7 +443,7 @@ object SqlFrontend {
         rewriteVectorSearch(spark,
           rewriteDetectAnomalies(rewriteTumble(rewriteLateral(sql))))))
 
-  private val TumbleRe =
+  private[graft] val TumbleRe =
     ("(?is)FROM\\s+TABLE\\s*\\(\\s*TUMBLE\\s*\\(\\s*TABLE\\s+([\\w.`]+)\\s*,\\s*" +
       "DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*INTERVAL\\s+'(\\d+)'\\s+(\\w+)\\s*\\)\\s*\\)").r
 
@@ -409,14 +477,7 @@ object SqlFrontend {
     val m = DetectAnomaliesRe.findFirstMatchIn(sql).getOrElse(return sql)
     val (args, afterArgs) = balancedArgs(sql, m.end - 1)
     require(args.size >= 2, s"ML_DETECT_ANOMALIES needs (value, ts[, config]), got ${args.size}")
-    val cfgText = args.drop(2).mkString(" ")
-    def key(name: String, default: String): String =
-      s"(?i)'$name'\\s+VALUE\\s+([\\w.]+)".r.findFirstMatchIn(cfgText).map(_.group(1)).getOrElse(default)
-    val cfg = graft.anomaly.AnomalyDetector.Config(
-      minTrainingSize = key("minTrainingSize", "2").toInt,
-      maxTrainingSize = key("maxTrainingSize", "1000").toInt,
-      confidencePercentage = key("confidencePercentage", "95.0").toDouble,
-      enableStl = key("enableStl", "false").toBoolean)
+    val cfg = parseAnomalyCfg(args.drop(2).mkString(" "))
 
     val overM = ("(?is)^\\s*OVER\\s*\\(\\s*PARTITION\\s+BY\\s+(.*?)\\s+ORDER\\s+BY\\s+(\\S+)" +
       "(?:\\s+RANGE\\s+BETWEEN\\s+UNBOUNDED\\s+PRECEDING\\s+AND\\s+CURRENT\\s+ROW)?\\s*\\)").r
@@ -443,6 +504,20 @@ object SqlFrontend {
 
     val rewritten = sql.substring(0, m.start) + struct + sql.substring(afterArgs + overM.end)
     rewriteDetectAnomalies(rewritten)
+  }
+
+  /** `JSON_OBJECT('minTrainingSize' VALUE …, …)` config text → detector
+    * config (shared by the batch OVER-window rewrite above and the streaming
+    * stage in [[StreamPlanner]]; enableStl=TRUE is rejected by Config).
+    */
+  private[graft] def parseAnomalyCfg(cfgText: String): graft.anomaly.AnomalyDetector.Config = {
+    def key(name: String, default: String): String =
+      s"(?i)'$name'\\s+VALUE\\s+([\\w.]+)".r.findFirstMatchIn(cfgText).map(_.group(1)).getOrElse(default)
+    graft.anomaly.AnomalyDetector.Config(
+      minTrainingSize = key("minTrainingSize", "2").toInt,
+      maxTrainingSize = key("maxTrainingSize", "1000").toInt,
+      confidencePercentage = key("confidencePercentage", "95.0").toDouble,
+      enableStl = key("enableStl", "false").toBoolean)
   }
 
   // ------------------------------------------------- balanced-call utilities
@@ -488,7 +563,7 @@ object SqlFrontend {
   }
 
   /** Split `SELECT <list> FROM <rest>` at the first top-level FROM. */
-  private def topLevelSelectFrom(sql: String): (String, String) = {
+  private[graft] def topLevelSelectFrom(sql: String): (String, String) = {
     var depth = 0
     var inQuote = false
     var i = 0
@@ -732,6 +807,7 @@ object ToolGroupCatalog {
   private val groups = scala.collection.concurrent.TrieMap[String, Seq[String]]()
   def register(name: String, members: Seq[String]): Unit = groups.put(name, members)
   def dropGroup(name: String): Unit = groups.remove(name)
+  def members(name: String): Option[Seq[String]] = groups.get(name)
   /** A name expands to its group, or to itself when it's a direct tool. */
   def expand(name: String): Seq[String] = groups.getOrElse(name, Seq(name))
 }

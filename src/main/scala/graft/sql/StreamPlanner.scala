@@ -1,0 +1,262 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.TableRegistry
+import graft.streaming.StreamingAnomaly
+
+/** Standing-statement planner: a CTAS/INSERT whose FROM chain reaches a
+  * STREAM table (a [[TableRegistry]] entry with a continuous loader — the
+  * analog of the reference's topic-backed tables) becomes a continuous
+  * [[org.apache.spark.sql.streaming.StreamingQuery]], not a snapshot. This is
+  * the reference's primary entry path: every lab pipeline stage is a
+  * `CREATE TABLE … AS SELECT` that stays RUNNING until stopped
+  * (testing/helpers/flink_sql_helper.py:98-136; e.g. `anomalies_per_zone`,
+  * LAB3-Walkthrough.md:144-199).
+  *
+  * Planning strategy — per ';'-statement, per WITH-stage:
+  *   1. every referenced stream table becomes a watermarked streaming scan
+  *      registered under a mangled temp view;
+  *   2. `TABLE(TUMBLE(…))` rewrites to a GROUP BY over the `window()` struct
+  *      itself (NOT its projected start/end fields — the event-time metadata
+  *      that lets append mode close windows lives on the struct attribute);
+  *      `window_time` projects `__w.end - 1 ms` (Flink's window_time value);
+  *   3. an `ML_DETECT_ANOMALIES(…) OVER (PARTITION BY k ORDER BY t …)` stage
+  *      (unbounded OVER windows don't exist on streams) routes to the stateful
+  *      [[StreamingAnomaly.withPayload]] operator: the stage's input rows ride
+  *      through the flatMapGroupsWithState operator as a JSON payload column
+  *      and are re-expanded by schema afterwards, so passthrough columns
+  *      survive; the surrounding SELECT list then runs over the re-expanded
+  *      view with the call replaced by the detection struct;
+  *   4. everything else is streaming-compatible SQL and goes to `spark.sql`
+  *      through the shared Flink-literal / TVF rewrites.
+  *
+  * The sink is an append parquet directory registered back into
+  * [[TableRegistry]] with refresh-on-read (each read re-lists files, seeing
+  * new micro-batch output), and the query lands in [[StatementCatalog]] as a
+  * RUNNING statement; `DROP TABLE` stops it.
+  *
+  * Scale: the plan is the same one the DataFrame twins use — watermarked
+  * shuffle-partitioned window aggregation, per-key bounded state in the
+  * anomaly operator, append-only sink. Nothing driver-side grows with input.
+  */
+object StreamPlanner {
+
+  /** Micros-preserving JSON serde for the payload round-trip (Spark's to_json
+    * default truncates timestamps to millis).
+    */
+  private val jsonOpts = Map(
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+  private val counter = new java.util.concurrent.atomic.AtomicLong()
+
+  private def nameRe(name: String) =
+    ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+
+  /** Does this SELECT text reference any registered stream table? */
+  def referencesStream(select: String): Boolean =
+    TableRegistry.streamTableNames.exists(t => nameRe(t).findFirstIn(select).isDefined)
+
+  /** `CREATE TABLE name AS <select over a stream>` → standing statement. */
+  def startCtas(spark: SparkSession, name: String, select: String, fullSql: String): Unit = {
+    StatementCatalog.stop(name) // re-submitting replaces the prior statement
+    start(spark, name, name, select, fullSql, priorLoad = None)
+  }
+
+  /** `INSERT INTO name SELECT <over a stream>` → standing insert. New rows
+    * append to a fresh sink directory; reads union the table's prior contents
+    * (if any) with the continuously-growing sink.
+    */
+  def startInsert(spark: SparkSession, name: String, select: String, fullSql: String): Unit = {
+    val stmt = s"insert-into-$name"
+    StatementCatalog.stop(stmt)
+    val prior = if (TableRegistry.exists(name)) Some(TableRegistry.resolve(name)) else None
+    start(spark, name, stmt, select, fullSql, priorLoad = prior.map(_.load))
+  }
+
+  private def start(spark: SparkSession, table: String, stmt: String, select: String,
+                    fullSql: String, priorLoad: Option[SparkSession => DataFrame]): Unit = {
+    val result = plan(spark, select)
+    val schema = result.schema
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_streams/" +
+      s"${spark.sparkContext.applicationId}/${table}_${counter.incrementAndGet()}"
+    val sinkDir = s"$base/sink"
+    val query = result.writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", s"$base/checkpoint")
+      .outputMode("append")
+      .queryName(stmt)
+      .start()
+    val load: SparkSession => DataFrame = priorLoad match {
+      case Some(prev) => s => prev(s).unionByName(readSink(s, sinkDir, schema))
+      case None       => s => readSink(s, sinkDir, schema)
+    }
+    TableRegistry.createTable(TableRegistry.TableDef(table, Some(schema),
+      options = Map("graft.refresh-on-read" -> "true", "graft.sink-path" -> sinkDir),
+      load = load))
+    StatementCatalog.recordStanding(stmt, fullSql, query)
+  }
+
+  /** An append sink that may not have produced files yet: empty-but-typed
+    * until the first micro-batch commits.
+    */
+  private def readSink(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasFiles = fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    if (hasFiles) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  // ------------------------------------------------------------------ planning
+
+  /** Plan the SELECT text into a streaming DataFrame (see object doc). */
+  private[graft] def plan(spark: SparkSession, select: String): DataFrame = {
+    val (ctes, finalSelect) = splitWith(select)
+    var views = Map.empty[String, String]
+    TableRegistry.streamTableNames
+      .filter(t => nameRe(t).findFirstIn(select).isDefined)
+      .foreach { t =>
+        val v = s"__graft_src_${t}_${counter.incrementAndGet()}"
+        TableRegistry.scanStream(spark, t).createOrReplaceTempView(v)
+        views += t -> v
+      }
+    def stage(body: String): DataFrame = {
+      val substituted = views.foldLeft(body) { case (acc, (n, v)) =>
+        nameRe(n).replaceAllIn(acc, java.util.regex.Matcher.quoteReplacement(v))
+      }
+      val tumbled = rewriteTumbleStreaming(substituted)
+      if ("(?i)ML_DETECT_ANOMALIES".r.findFirstIn(tumbled).isDefined)
+        anomalyStage(spark, tumbled)
+      else SqlFrontend.parseSql(spark, tumbled)
+    }
+    ctes.foreach { case (n, body) =>
+      val v = s"__graft_cte_${n}_${counter.incrementAndGet()}"
+      stage(body).createOrReplaceTempView(v)
+      views += n -> v
+    }
+    stage(finalSelect)
+  }
+
+  /** `WITH a AS (…), b AS (…) SELECT …` → (Seq(a → body, b → body), select).
+    * Quote-aware balanced-paren scan; no WITH → no CTEs.
+    */
+  private[graft] def splitWith(text: String): (Seq[(String, String)], String) = {
+    val t = text.trim
+    if (!t.toUpperCase.startsWith("WITH") || t.length < 5 || Character.isLetterOrDigit(t.charAt(4)))
+      return (Seq.empty, t)
+    var i = 4
+    val ctes = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def skipWs(): Unit = while (i < t.length && t.charAt(i).isWhitespace) i += 1
+    var more = true
+    while (more) {
+      skipWs()
+      val nameStart = i
+      while (i < t.length && (t.charAt(i).isLetterOrDigit || t.charAt(i) == '_')) i += 1
+      val name = t.substring(nameStart, i)
+      require(name.nonEmpty, s"expected CTE name at offset $nameStart")
+      skipWs()
+      require(t.regionMatches(true, i, "AS", 0, 2), s"expected AS after CTE '$name'")
+      i += 2
+      skipWs()
+      require(i < t.length && t.charAt(i) == '(', s"expected ( after CTE '$name' AS")
+      var depth = 0
+      var j = i
+      var inQuote = false
+      var end = -1
+      while (end < 0 && j < t.length) {
+        val c = t.charAt(j)
+        if (inQuote) { if (c == '\'') inQuote = false }
+        else c match {
+          case '\'' => inQuote = true
+          case '('  => depth += 1
+          case ')'  => depth -= 1; if (depth == 0) end = j
+          case _    => ()
+        }
+        j += 1
+      }
+      require(end > 0, s"unbalanced parentheses in CTE '$name'")
+      ctes += name -> t.substring(i + 1, end).trim
+      i = end + 1
+      skipWs()
+      if (i < t.length && t.charAt(i) == ',') i += 1 else more = false
+    }
+    (ctes.toSeq, t.substring(i).trim)
+  }
+
+  /** Streaming twin of SqlFrontend.rewriteTumble: rewrite the TUMBLE TVF so
+    * the aggregation groups by the `window()` STRUCT (whose attribute carries
+    * the event-time watermark tag append mode needs), projecting Flink's
+    * window_start / window_end / window_time from it. Handles the TVF
+    * projection idiom the reference uses (bare window_* select items +
+    * GROUP BY window_start, window_end, window_time, keys).
+    */
+  private[graft] def rewriteTumbleStreaming(sql: String): String = {
+    val m = SqlFrontend.TumbleRe.findFirstMatchIn(sql).getOrElse(return sql)
+    val (tbl, ts, n, unit) = (m.group(1), m.group(2), m.group(3), m.group(4).toLowerCase)
+    var out = sql.substring(0, m.start) +
+      s"FROM (SELECT *, window($ts, '$n $unit') AS __w FROM $tbl) __graft_w" +
+      sql.substring(m.end)
+    // group by the struct, not its fields
+    val gbRe = "(?is)GROUP\\s+BY\\s+(.*?)(?=\\b(?:HAVING|ORDER|LIMIT|WINDOW)\\b|$)".r
+    out = gbRe.replaceAllIn(out, gm => {
+      val keys = gm.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+      val kept = keys.filterNot(k => Set("WINDOW_START", "WINDOW_END", "WINDOW_TIME")(k.toUpperCase))
+      java.util.regex.Matcher.quoteReplacement(("__w" +: kept).mkString("GROUP BY ", ", ", " "))
+    })
+    // bare select-item references become projections of the struct
+    out = out.replaceAll("(?i)\\bwindow_start\\b", "__w.start AS window_start")
+    out = out.replaceAll("(?i)\\bwindow_end\\b", "__w.end AS window_end")
+    // NOT window_time(__w): Spark's MISSING_AGGREGATION check rejects the
+    // WindowTime expression over a grouped struct attribute. The manual
+    // end-1ms form is the same value (Flink's window_time contract) and the
+    // downstream stateful op (flatMapGroupsWithState, NoTimeout) needs no
+    // event-time metadata on it.
+    out = out.replaceAll("(?i)\\bwindow_time\\b",
+      "__w.end - INTERVAL '1' MILLISECOND AS window_time")
+    out
+  }
+
+  /** One stage whose select list carries `ML_DETECT_ANOMALIES(v, ts, cfg)
+    * OVER (PARTITION BY k ORDER BY t …) AS alias`: run the stage's FROM as a
+    * streaming input, push it through the stateful detector with the whole
+    * input row as a JSON payload, re-expand, and evaluate the stage's select
+    * list with the call replaced by the detection struct.
+    */
+  private def anomalyStage(spark: SparkSession, stageSql: String): DataFrame = {
+    val m = "(?is)ML_DETECT_ANOMALIES\\s*\\(".r.findFirstMatchIn(stageSql)
+      .getOrElse(sys.error("anomalyStage without ML_DETECT_ANOMALIES"))
+    val (args, afterArgs) = SqlFrontend.balancedArgs(stageSql, m.end - 1)
+    require(args.size >= 2, s"ML_DETECT_ANOMALIES needs (value, ts[, config]), got ${args.size}")
+    val cfg = SqlFrontend.parseAnomalyCfg(args.drop(2).mkString(" "))
+    val overM = ("(?is)^\\s*OVER\\s*\\(\\s*PARTITION\\s+BY\\s+(.*?)\\s+ORDER\\s+BY\\s+(\\S+)" +
+      "(?:\\s+RANGE\\s+BETWEEN\\s+UNBOUNDED\\s+PRECEDING\\s+AND\\s+CURRENT\\s+ROW)?\\s*\\)").r
+      .findFirstMatchIn(stageSql.substring(afterArgs))
+      .getOrElse(sys.error("streaming ML_DETECT_ANOMALIES requires OVER (PARTITION BY … ORDER BY …)"))
+    val (part, ord) = (overM.group(1), overM.group(2))
+
+    val (_, fromPart) = SqlFrontend.topLevelSelectFrom(stageSql)
+    val input = SqlFrontend.parseSql(spark, s"SELECT * FROM $fromPart")
+    val det = StreamingAnomaly.withPayload(input,
+      expr(part), expr(ord), expr(args.head),
+      to_json(struct(input.columns.map(col).toIndexedSeq: _*), jsonOpts), cfg)
+    val expanded = det.toDF()
+      .select(
+        from_json(col("payload"), input.schema, jsonOpts).as("__r"),
+        struct(col("forecast_value"), col("upper_bound"), col("lower_bound"), col("is_anomaly"))
+          .as("__graft_anom"))
+      .select("__r.*", "__graft_anom")
+    val v = s"__graft_det_${counter.incrementAndGet()}"
+    expanded.createOrReplaceTempView(v)
+    // the stage's own select list, with the call → the struct and the FROM
+    // (incl. any WHERE tail, already applied to `input`) → the expanded view
+    val replaced = stageSql.substring(0, m.start) + "__graft_anom" +
+      stageSql.substring(afterArgs + overM.end)
+    val (sel, _) = SqlFrontend.topLevelSelectFrom(replaced)
+    SqlFrontend.parseSql(spark, s"SELECT $sel FROM $v")
+  }
+}

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -30,27 +30,46 @@ import graft.anomaly.AnomalyDetector
 object StreamingAnomaly {
 
   case class Point(key: String, ts: Timestamp, value: Double)
+  case class PointP(key: String, ts: Timestamp, value: Double, payload: String)
   case class Detection(key: String, ts: Timestamp, value: Double,
                        forecast_value: Option[Double], upper_bound: Option[Double],
                        lower_bound: Option[Double], is_anomaly: Boolean)
+  case class DetectionP(key: String, ts: Timestamp, value: Double, payload: String,
+                        forecast_value: Option[Double], upper_bound: Option[Double],
+                        lower_bound: Option[Double], is_anomaly: Boolean)
   case class BufferState(values: List[Double])
 
   def apply(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
             cfg: AnomalyDetector.Config): Dataset[Detection] = {
-    implicit val pointEnc = Encoders.product[Point]
     implicit val detEnc = Encoders.product[Detection]
+    withPayload(df, col(keyCol), col(tsCol), col(valueCol), lit(""), cfg)
+      .map(d => Detection(d.key, d.ts, d.value,
+        d.forecast_value, d.upper_bound, d.lower_bound, d.is_anomaly))
+  }
+
+  /** Same detector, carrying an opaque per-row `payload` through the stateful
+    * operator untouched — the SQL front-end packs the input row as JSON here
+    * so a standing `SELECT …, ML_DETECT_ANOMALIES(…) OVER …` keeps its
+    * passthrough columns (a JSON round-trip per WINDOWED row, not per event —
+    * the stage's input is already the tumbled aggregate stream).
+    */
+  def withPayload(df: DataFrame, keyExpr: Column, tsExpr: Column, valueExpr: Column,
+                  payloadExpr: Column, cfg: AnomalyDetector.Config): Dataset[DetectionP] = {
+    implicit val pointEnc = Encoders.product[PointP]
+    implicit val detEnc = Encoders.product[DetectionP]
     implicit val stateEnc = Encoders.product[BufferState]
     implicit val keyEnc = Encoders.STRING
 
     val points = df.select(
-      col(keyCol).cast("string").as("key"),
-      col(tsCol).cast("timestamp").as("ts"),
-      col(valueCol).cast("double").as("value")).as[Point]
+      keyExpr.cast("string").as("key"),
+      tsExpr.cast("timestamp").as("ts"),
+      valueExpr.cast("double").as("value"),
+      payloadExpr.cast("string").as("payload")).as[PointP]
 
     points
       .groupByKey(_.key)
-      .flatMapGroupsWithState[BufferState, Detection](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: String, rows: Iterator[Point], state: GroupState[BufferState]) =>
+      .flatMapGroupsWithState[BufferState, DetectionP](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[PointP], state: GroupState[BufferState]) =>
           var buf = state.getOption.map(_.values).getOrElse(Nil)
           val out = rows.toSeq.sortBy(_.ts.getTime).map { p =>
             val det =
@@ -60,9 +79,9 @@ object StreamingAnomaly {
                 val variance = buf.map(x => (x - mean) * (x - mean)).sum / (n - 1)
                 val sd = math.sqrt(variance)
                 val (lo, hi) = (mean - cfg.z * sd, mean + cfg.z * sd)
-                Detection(key, p.ts, p.value, Some(mean), Some(hi), Some(lo),
+                DetectionP(key, p.ts, p.value, p.payload, Some(mean), Some(hi), Some(lo),
                   p.value > hi || p.value < lo)
-              } else Detection(key, p.ts, p.value, None, None, None, is_anomaly = false)
+              } else DetectionP(key, p.ts, p.value, p.payload, None, None, None, is_anomaly = false)
             buf = (buf :+ p.value).takeRight(cfg.maxTrainingSize)
             det
           }

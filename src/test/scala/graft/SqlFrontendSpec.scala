@@ -201,6 +201,45 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     assert(!graft.sources.TableRegistry.exists("derived_tbl"))
   }
 
+  test("DESCRIBE AGENT|TOOL|MODEL name (the harness's two-token form) describes each kind") {
+    // the harness issues exactly `DESCRIBE {obj_type} {obj_name}` for
+    // AGENT/TOOL/MODEL and bare `DESCRIBE {obj_name}` for tables
+    // (testing/helpers/flink_sql_helper.py:276-281)
+    SqlFrontend.execute(spark,
+      s"CREATE CONNECTION desc_conn WITH ('type'='mcp', 'endpoint'='$base/mcp')")
+    SqlFrontend.execute(spark,
+      "CREATE MODEL desc_model INPUT (prompt STRING) OUTPUT (response STRING) " +
+        "WITH ('provider'='local', 'task'='text_generation')")
+    SqlFrontend.execute(spark,
+      "CREATE TOOL desc_tool USING CONNECTION desc_conn WITH ('type'='mcp', 'allowed_tools'='get_price')")
+    SqlFrontend.execute(spark,
+      "CREATE AGENT desc_agent USING MODEL desc_model USING PROMPT 'You check things.' " +
+        "USING TOOLS desc_tool WITH ('max_iterations' = '5')")
+
+    def props(sql: String): Map[String, String] =
+      SqlFrontend.execute(spark, sql).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    val agent = props("DESCRIBE AGENT desc_agent")
+    assert(agent("name") == "desc_agent" && agent("model") == "desc_model")
+    assert(agent("tools") == "get_price" && agent("max_iterations") == "5")
+    val tool = props("DESCRIBE TOOL desc_tool")
+    assert(tool("name") == "desc_tool")
+    val model = props("DESCRIBE MODEL desc_model")
+    assert(model("name") == "desc_model")
+    val conn = props("DESCRIBE CONNECTION desc_conn")
+    assert(conn("type") == "mcp")
+    // a missing object is the FAILED-statement analog: the call must throw
+    intercept[RuntimeException](SqlFrontend.execute(spark, "DESCRIBE AGENT no_such_agent"))
+    intercept[Exception](SqlFrontend.execute(spark, "DESCRIBE MODEL no_such_model"))
+    // and the bare table form still routes to the table registry
+    import spark.implicits._
+    Seq((1L, "x")).toDF("id", "v").createOrReplaceTempView("desc_tbl_src")
+    SqlFrontend.execute(spark, "CREATE TABLE desc_tbl AS SELECT * FROM desc_tbl_src")
+    assert(SqlFrontend.execute(spark, "DESCRIBE desc_tbl").collect()
+      .map(_.getString(0)).toSet == Set("id", "v"))
+    SqlFrontend.execute(spark, "DROP TABLE desc_tbl")
+  }
+
   test("CREATE TABLE connector=mongodb registers a live remote vector store honoring numCandidates") {
     SqlFrontend.execute(spark,
       s"CREATE CONNECTION `mongodb-connection` WITH ('type'='MONGODB', 'endpoint'='$base/vectordb')")

@@ -1,0 +1,181 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.BeforeAndAfterAll
+
+import graft.sql.{SqlFrontend, StatementCatalog}
+import graft.sources.TableRegistry
+
+/** One ride event, shaped exactly like Generators.rideRequests' rows (the
+  * MemoryStream feed for the standing-statement specs).
+  */
+case class RideEvent(request_id: String, customer_email: String, pickup_zone: String,
+                     drop_off_zone: String, price: Double, number_of_passengers: Int,
+                     request_ts: Timestamp)
+
+/** The reference's primary entry path is a CONTINUOUS statement: every lab
+  * pipeline stage is a `CREATE TABLE … AS SELECT` that stays RUNNING until
+  * stopped (testing/helpers/flink_sql_helper.py:98-136). These specs run the
+  * walkthroughs' statement text verbatim against a STREAM-registered table and
+  * require the standing result to equal the batch snapshot of the same text.
+  */
+class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private def lab3Blocks: Seq[String] = {
+    val md = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/LAB3-Walkthrough.md")), "UTF-8")
+    "(?sm)^```sql\\s*\\n(.*?)^```".r.findAllMatchIn(md).map(_.group(1).trim).toSeq
+  }
+
+  private def cleanup(): Unit = {
+    StatementCatalog.reset()
+    Seq("anomalies_per_zone", "ride_requests").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+  }
+
+  test("lab3 anomalies_per_zone CTAS over a STREAM table runs as a standing statement " +
+    "and matches the batch snapshot; DROP TABLE stops it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    cleanup()
+
+    val rides = graft.sources.Generators.rideRequests(spark,
+      zones = Seq("French Quarter", "Garden District", "Marigny"), surgeZone = "French Quarter",
+      baseStart = Timestamp.valueOf("2024-03-01 00:00:00"), hours = 30,
+      ratePerZonePerHour = 60, surgeMultiplier = 12, surgeStartHour = 26, surgeHours = 1)
+
+    val mem = MemoryStream[RideEvent]
+    TableRegistry.createTable(TableRegistry.TableDef("ride_requests", Some(rides.schema),
+      watermarkCol = Some("request_ts"), watermarkDelay = Some("10 minutes"),
+      load = _ => rides, loadStream = Some(_ => mem.toDF())))
+
+    // the exact statement text from the walkthrough (docs-are-the-fixture)
+    val ctas = lab3Blocks.find(b =>
+        b.toUpperCase.startsWith("CREATE TABLE") && b.contains("ML_DETECT_ANOMALIES"))
+      .getOrElse(fail("LAB3 walkthrough must contain the anomalies_per_zone CTAS"))
+    SqlFrontend.execute(spark, ctas)
+
+    // standing semantics: RUNNING immediately, sink empty until data flows
+    assert(StatementCatalog.status("anomalies_per_zone") == "RUNNING")
+    val q = StatementCatalog.get("anomalies_per_zone").collect {
+      case StatementCatalog.Standing(_, _, query) => query
+    }.getOrElse(fail("CTAS over a stream table must register a standing statement"))
+    assert(SqlFrontend.execute(spark, "SELECT * FROM anomalies_per_zone").isEmpty)
+
+    import spark.implicits._
+    val events = rides.as[RideEvent].collect().sortBy(_.request_ts.getTime).toSeq
+    mem.addData(events)
+    q.processAllAvailable()
+    // A late sentinel (non-surge zone, beyond the data span) advances the
+    // watermark deterministically so every surge window is closed and emitted;
+    // its own window stays above the watermark and is never emitted.
+    mem.addData(Seq(RideEvent("req-sentinel", "s@example.com", "Marigny", "Marigny",
+      9.0, 1, Timestamp.valueOf("2024-03-02 06:00:00"))))
+    q.processAllAvailable()
+
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[String]("pickup_zone"), r.getAs[Timestamp]("window_time"),
+      r.getAs[Long]("request_count"), r.getAs[Long]("total_passengers"),
+      Option(r.getAs[java.math.BigDecimal]("total_revenue")).map(_.toPlainString),
+      r.getAs[Long]("expected_requests"),
+      math.round(r.getAs[Double]("upper_bound") * 1e6),
+      math.round(r.getAs[Double]("lower_bound") * 1e6),
+      r.getAs[Boolean]("is_surge"))
+
+    // reads go through the front-end like the walkthrough's
+    // `SELECT * FROM anomalies_per_zone` and see the growing sink
+    val streamed = SqlFrontend.execute(spark, "SELECT * FROM anomalies_per_zone")
+      .collect().map(key).toSet
+    assert(streamed.nonEmpty, "the planted surge must be detected by the standing statement")
+    assert(streamed.forall(_._9), "every emitted row passes the is_surge filter")
+    assert(streamed.exists(_._1 == "French Quarter"), "the surging zone must be flagged")
+
+    // drop-stops-job semantics
+    SqlFrontend.execute(spark, "DROP TABLE anomalies_per_zone")
+    assert(!q.isActive, "DROP TABLE must stop the standing query")
+    assert(StatementCatalog.status("anomalies_per_zone") == "STOPPED")
+
+    // batch twin: the SAME verbatim text over the SAME rows as a bounded table
+    TableRegistry.dropTable("ride_requests")
+    rides.createOrReplaceTempView("ride_requests")
+    SqlFrontend.execute(spark, ctas)
+    val batch = spark.table("anomalies_per_zone").collect().map(key).toSet
+    assert(streamed == batch,
+      s"standing result (${streamed.size} rows) must equal the batch snapshot (${batch.size} rows)")
+    cleanup()
+  }
+
+  test("standing INSERT INTO … SELECT over a stream appends to prior table contents") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    StatementCatalog.reset()
+    import spark.implicits._
+
+    // a bounded table with prior contents…
+    Seq(("seed-1", 10.0)).toDF("request_id", "price").createOrReplaceTempView("ride_prices")
+    SqlFrontend.execute(spark, "CREATE TABLE ride_prices AS SELECT * FROM ride_prices")
+    // …and a stream source feeding a standing INSERT
+    val mem = MemoryStream[RideEvent]
+    TableRegistry.createTable(TableRegistry.TableDef("rides_src", None,
+      watermarkCol = Some("request_ts"), watermarkDelay = Some("1 minute"),
+      load = _ => mem.toDF(), loadStream = Some(_ => mem.toDF())))
+
+    SqlFrontend.execute(spark,
+      "INSERT INTO ride_prices SELECT request_id, price FROM rides_src WHERE price > 5.0")
+    assert(StatementCatalog.status("insert-into-ride_prices") == "RUNNING")
+    val q = StatementCatalog.get("insert-into-ride_prices").collect {
+      case StatementCatalog.Standing(_, _, query) => query
+    }.get
+
+    def ride(id: String, price: Double) = RideEvent(id, "u@example.com", "Z", "Z",
+      price, 1, Timestamp.valueOf("2024-03-01 00:00:00"))
+    mem.addData(Seq(ride("ins-1", 6.0), ride("ins-2", 4.0), ride("ins-3", 7.5)))
+    q.processAllAvailable()
+
+    val rows = SqlFrontend.execute(spark, "SELECT request_id, price FROM ride_prices")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(rows == Set(("seed-1", 10.0), ("ins-1", 6.0), ("ins-3", 7.5)),
+      s"prior rows union filtered stream rows, got $rows")
+
+    // DROP TABLE on the target stops the standing insert too
+    SqlFrontend.execute(spark, "DROP TABLE ride_prices")
+    assert(!q.isActive)
+    TableRegistry.dropTable("rides_src")
+    StatementCatalog.reset()
+  }
+
+  test("SHOW STATEMENTS surfaces the lifecycle the way the harness polls it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    StatementCatalog.reset()
+    import spark.implicits._
+
+    Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("stmt_src")
+    SqlFrontend.execute(spark, "CREATE TABLE stmt_batch AS SELECT * FROM stmt_src")
+
+    val mem = MemoryStream[RideEvent]
+    TableRegistry.createTable(TableRegistry.TableDef("stmt_stream_src", None,
+      watermarkCol = Some("request_ts"), watermarkDelay = Some("1 minute"),
+      load = _ => mem.toDF(), loadStream = Some(_ => mem.toDF())))
+    SqlFrontend.execute(spark,
+      "CREATE TABLE stmt_standing AS SELECT request_id, price FROM stmt_stream_src")
+
+    val listed = SqlFrontend.execute(spark, "SHOW STATEMENTS")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(listed("stmt_batch") == (("COMPLETED", "BATCH")))
+    assert(listed("stmt_standing") == (("RUNNING", "STREAMING")))
+
+    // the harness's wait_for_status(STOPPED) analog after a drop
+    SqlFrontend.execute(spark, "DROP TABLE stmt_standing")
+    assert(StatementCatalog.status("stmt_standing") == "STOPPED")
+    assert(StatementCatalog.status("no_such_statement") == "NOT_FOUND")
+
+    SqlFrontend.execute(spark, "DROP TABLE stmt_batch")
+    TableRegistry.dropTable("stmt_stream_src")
+    StatementCatalog.reset()
+  }
+}
