@@ -28,21 +28,77 @@ object AnomalyDetector {
     * (LAB4-Walkthrough.md:185-190). Every observed reference call sets it
     * FALSE; the seasonal-decomposition path is unimplemented here, so TRUE is
     * rejected fast and loudly rather than silently ignored.
+    *
+    * `forecast` selects the forecaster behind the shared contract (the
+    * reference cites "ARIMA time-series forecasting", LAB4-Walkthrough.md:185;
+    * its engine is closed):
+    *   - "zband" (default): trailing-history mean, symmetric z·stddev band —
+    *     the contract-faithful baseline, SQL-window expressible, oracle-backed;
+    *   - "ar": AR(`arOrder`) with intercept, OLS-fit on the trailing history
+    *     per step; band = forecast ± z · residual stddev. Tracks trends and
+    *     (with arOrder ≥ period) seasonality a mean cannot, at the cost of a
+    *     per-step fit. Falls back to the mean/stddev band while the history is
+    *     too short to fit or the fit is singular (constant series).
     */
   case class Config(minTrainingSize: Int, maxTrainingSize: Int, confidencePercentage: Double,
-                    enableStl: Boolean = false) {
+                    enableStl: Boolean = false, forecast: String = "zband", arOrder: Int = 3) {
     require(minTrainingSize >= 2, "need >=2 history rows for a stddev")
     require(!enableStl,
       "enableStl=TRUE (STL seasonal decomposition) is not implemented; every reference call site sets FALSE (LAB4-Walkthrough.md:185-190)")
+    require(forecast == "zband" || forecast == "ar",
+      s"forecast must be 'zband' or 'ar', got '$forecast'")
+    require(arOrder >= 1 && arOrder <= 32, s"arOrder out of range: $arOrder")
     val z: Double = Gaussian.invCdf(0.5 + confidencePercentage / 200.0)
   }
+
+  /** One-step forecast over a time-ordered trailing history (oldest →
+    * newest): (point forecast, band stddev). The zband math is kept exactly
+    * as the original inline formulation (left-to-right List sum, /(n-1)
+    * sample variance) so the streaming twins remain bit-identical with the
+    * batch oracle.
+    */
+  private[graft] def forecastPoint(buf: List[Double], cfg: Config): (Double, Double) =
+    cfg.forecast match {
+      case "ar" =>
+        ArForecaster.fit(buf.toArray, cfg.arOrder).getOrElse(meanSd(buf))
+      case _ => meanSd(buf)
+    }
+
+  private def meanSd(buf: List[Double]): (Double, Double) = {
+    val n = buf.size
+    val mean = buf.sum / n
+    val variance = buf.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+    (mean, math.sqrt(variance))
+  }
+
+  /** The single online detection step shared by the batch sequential path,
+    * both streaming operators, and the pure-Scala twin: given the trailing
+    * history and the incoming value, emit (forecast, upper, lower, isAnomaly)
+    * — or warm-up nulls while history < minTrainingSize.
+    */
+  private[graft] def step(buf: List[Double], v: Double, cfg: Config)
+  : (Option[Double], Option[Double], Option[Double], Boolean) =
+    if (buf.size >= cfg.minTrainingSize) {
+      val (f, sd) = forecastPoint(buf, cfg)
+      val (lo, hi) = (f - cfg.z * sd, f + cfg.z * sd)
+      (Some(f), Some(hi), Some(lo), v > hi || v < lo)
+    } else (None, None, None, false)
 
   /** Batch (bounded) detection: adds forecast_value, upper_bound, lower_bound,
     * is_anomaly columns. `orderCols` must be a deterministic total order within
     * each key (add a row id as tie-break if the timestamp can repeat).
+    *
+    * zband routes to pure window functions (codegen'd, oracle-exact vs DuckDB);
+    * ar has no SQL-window formulation (a model fit per row), so it routes to
+    * [[detectBatchSeq]] — same shuffle count (one, on the keys), same output.
     */
   def detectBatch(df: DataFrame, valueCol: Column, partitionCols: Seq[Column],
-                  orderCols: Seq[Column], cfg: Config): DataFrame = {
+                  orderCols: Seq[Column], cfg: Config): DataFrame =
+    if (cfg.forecast == "zband") detectBatchWindow(df, valueCol, partitionCols, orderCols, cfg)
+    else detectBatchSeq(df, valueCol, partitionCols, orderCols, cfg)
+
+  private def detectBatchWindow(df: DataFrame, valueCol: Column, partitionCols: Seq[Column],
+                                orderCols: Seq[Column], cfg: Config): DataFrame = {
     val hist = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
       .rowsBetween(-cfg.maxTrainingSize, -1)
     val v = valueCol.cast("double")
@@ -63,25 +119,160 @@ object AnomalyDetector {
       .withColumn("is_anomaly", when(warm, v > upper || v < lower).otherwise(lit(false)))
   }
 
+  /** Sequential batch path for forecasters that need a model fit per row
+    * (AR): one shuffle partitioning by the keys, a sort within partitions on
+    * (key, order), then the shared online [[step]] per row with a ring buffer
+    * per key — O(maxTrainingSize) memory per key, no per-key collect, keys
+    * stream through each task one after another. The same physical shape
+    * flatMapGroupsWithState gives the streaming twin.
+    */
+  private def detectBatchSeq(df: DataFrame, valueCol: Column, partitionCols: Seq[Column],
+                             orderCols: Seq[Column], cfg: Config): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    val pre = df
+      .withColumn("__v", valueCol.cast("double"))
+      .withColumn("__key", concat_ws("\u0000", partitionCols.map(_.cast("string")): _*))
+      .repartition(partitionCols: _*)
+      .sortWithinPartitions(col("__key") +: orderCols: _*)
+    val outSchema = StructType(pre.schema.fields ++ Seq(
+      StructField("forecast_value", DoubleType), StructField("upper_bound", DoubleType),
+      StructField("lower_bound", DoubleType), StructField("is_anomaly", BooleanType, nullable = false)))
+    val vIdx = pre.schema.fieldIndex("__v")
+    val keyIdx = pre.schema.fieldIndex("__key")
+    pre.mapPartitions { it =>
+      var curKey: String = null
+      var buf = List.empty[Double]
+      it.map { r =>
+        val key = r.getString(keyIdx)
+        if (key != curKey) { curKey = key; buf = Nil }
+        if (r.isNullAt(vIdx)) {
+          // null values: no detection, no history contribution (mirrors the
+          // window path, whose count(v)/sum(v) skip nulls)
+          Row.fromSeq(r.toSeq ++ Seq(null, null, null, false))
+        } else {
+          val v = r.getDouble(vIdx)
+          val (f, hi, lo, anom) = step(buf, v, cfg)
+          buf = (buf :+ v).takeRight(cfg.maxTrainingSize)
+          Row.fromSeq(r.toSeq ++ Seq(f.orNull, hi.orNull, lo.orNull, anom))
+        }
+      }
+    }(Encoders.row(outSchema))
+      .drop("__v", "__key")
+  }
+
   /** Pure-Scala single-series twin of detectBatch — the reference implementation
     * the streaming operator is tested against. Input must be time-ordered.
     * Returns (forecast, upper, lower, isAnomaly) per element.
     */
   def detectSeries(values: Seq[Double], cfg: Config): Seq[(Option[Double], Option[Double], Option[Double], Boolean)] = {
-    val buf = scala.collection.mutable.Queue.empty[Double]
+    var buf = List.empty[Double]
     values.map { v =>
-      val out = if (buf.size >= cfg.minTrainingSize) {
-        val n = buf.size
-        val mean = buf.sum / n
-        val variance = buf.map(x => (x - mean) * (x - mean)).sum / (n - 1)
-        val sd = math.sqrt(variance)
-        val (lo, hi) = (mean - cfg.z * sd, mean + cfg.z * sd)
-        (Some(mean), Some(hi), Some(lo), v > hi || v < lo)
-      } else (None, None, None, false)
-      buf.enqueue(v)
-      if (buf.size > cfg.maxTrainingSize) buf.dequeue()
+      val out = step(buf, v, cfg)
+      buf = (buf :+ v).takeRight(cfg.maxTrainingSize)
       out
     }
+  }
+}
+
+/** AR(p)-with-intercept one-step forecaster: ordinary least squares on the
+  * trailing history via the normal equations (tiny (p+1)×(p+1) solve, Gaussian
+  * elimination with partial pivoting). Returns None when the history is too
+  * short for a determined fit or the system is numerically singular (e.g. a
+  * constant series, whose lag columns are collinear with the intercept) —
+  * callers fall back to the mean/stddev band.
+  *
+  * This is deliberately a pure, dependency-free implementation: it runs
+  * identically inside batch tasks, streaming state handlers, and plain unit
+  * tests, which is what makes the batch≡streaming equivalence specs exact.
+  */
+object ArForecaster {
+
+  /** @return Some((one-step forecast, in-sample residual stddev)) or None. */
+  def fit(h: Array[Double], p: Int): Option[(Double, Double)] = {
+    val n = h.length
+    val m = n - p // regression rows
+    val k = p + 1 // intercept + p lags
+    if (m < k + 2) return None // need residual degrees of freedom
+    val a = Array.ofDim[Double](k, k)
+    val b = new Array[Double](k)
+    var t = p
+    while (t < n) {
+      val y = h(t)
+      var i = 0
+      while (i < k) {
+        val xi = if (i == 0) 1.0 else h(t - i)
+        b(i) += xi * y
+        var j = 0
+        while (j <= i) {
+          val xj = if (j == 0) 1.0 else h(t - j)
+          a(i)(j) += xi * xj
+          j += 1
+        }
+        i += 1
+      }
+      t += 1
+    }
+    var i = 0
+    while (i < k) { var j = i + 1; while (j < k) { a(i)(j) = a(j)(i); j += 1 }; i += 1 }
+    solve(a, b).map { coef =>
+      var sse = 0.0
+      var t2 = p
+      while (t2 < n) {
+        var pred = coef(0)
+        var j = 1
+        while (j <= p) { pred += coef(j) * h(t2 - j); j += 1 }
+        val e = h(t2) - pred
+        sse += e * e
+        t2 += 1
+      }
+      val sd = math.sqrt(math.max(sse, 0.0) / (m - k))
+      var f = coef(0)
+      var j = 1
+      while (j <= p) { f += coef(j) * h(n - j); j += 1 }
+      (f, sd)
+    }
+  }
+
+  /** In-place Gaussian elimination with partial pivoting; None on a pivot
+    * smaller than `eps` relative to the matrix scale (singular system).
+    */
+  private def solve(a: Array[Array[Double]], b: Array[Double]): Option[Array[Double]] = {
+    val k = a.length
+    val scale = math.max(a.map(_.map(math.abs).max).max, 1e-300)
+    val eps = 1e-10 * scale
+    var col = 0
+    while (col < k) {
+      var piv = col
+      var r = col + 1
+      while (r < k) { if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r; r += 1 }
+      if (math.abs(a(piv)(col)) < eps) return None
+      if (piv != col) {
+        val tmp = a(piv); a(piv) = a(col); a(col) = tmp
+        val tb = b(piv); b(piv) = b(col); b(col) = tb
+      }
+      r = col + 1
+      while (r < k) {
+        val factor = a(r)(col) / a(col)(col)
+        if (factor != 0.0) {
+          var c = col
+          while (c < k) { a(r)(c) -= factor * a(col)(c); c += 1 }
+          b(r) -= factor * b(col)
+        }
+        r += 1
+      }
+      col += 1
+    }
+    val x = new Array[Double](k)
+    var i = k - 1
+    while (i >= 0) {
+      var s = b(i)
+      var j = i + 1
+      while (j < k) { s -= a(i)(j) * x(j); j += 1 }
+      x(i) = s / a(i)(i)
+      i -= 1
+    }
+    Some(x)
   }
 }
 

@@ -264,15 +264,31 @@ object Labs {
     * interval-join back to raw claims + judge agent → parquet sink.
     * The join/agent stage runs per micro-batch of closed-window anomalies —
     * the reference's own topology is likewise stage-decoupled (SURVEY.md §3).
+    *
+    * The static claims snapshot joins against every micro-batch, so it is read
+    * and pinned ONCE before the stream starts (VERDICT r2 wrong-#2: re-reading
+    * it inside foreachBatch is a full source scan + join per batch — at 100×
+    * the table that scan dominates every batch). `staticDir` lets the snapshot
+    * live somewhere other than the streamed-ingest dir (null = same dir).
     */
   def lab4FraudStreaming(spark: SparkSession, dir: String, sinkPath: String,
-                         checkpointPath: String, queueLimit: Int = 10): org.apache.spark.sql.streaming.StreamingQuery = {
+                         checkpointPath: String, queueLimit: Int = 10,
+                         staticDir: String = null): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.streaming.{StreamingAnomaly, StreamingOps}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // events*.parquet (not the single fixture name): replayed/backfill feeds
+    // land as additional files and arrive in later micro-batches
     val stream = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .option("pathGlobFilter", "events*.parquet").parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    val claims = Tables(spark, Option(staticDir).getOrElse(dir), "events").select(
+        col("event_id").as("claim_id"), col("event_type").as("claim_city"),
+        col("ts").cast("timestamp").as("claim_ts"), col("value").as("claim_amount"),
+        col("props").as("narrative"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    claims.count() // materialise now: no micro-batch ever re-scans the source
     val windowed = StreamingOps.tumble(stream, "ts", "5 seconds", "6 hours", col("event_type"))(
       "total_amount" -> Scalars.sumMoney(col("value")))
     val cfg = AnomalyDetector.Config(minTrainingSize = 8, maxTrainingSize = 50, confidencePercentage = 95.0)
@@ -294,13 +310,8 @@ object Labs {
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.StreamingAnomaly.Detection], _: Long) =>
         if (!batch.isEmpty) {
-          val s = batch.sparkSession
           val spikeRows = batch.toDF()
             .select(col("key").as("city"), col("ts").as("window_time"))
-          val claims = Tables(s, dir, "events").select(
-            col("event_id").as("claim_id"), col("event_type").as("claim_city"),
-            col("ts").cast("timestamp").as("claim_ts"), col("value").as("claim_amount"),
-            col("props").as("narrative"))
           val toInvestigate = IntervalJoin(claims, spikeRows, "claim_city", "city",
             "claim_ts", "window_time", "'-6' HOUR", "'0' HOUR")
             .orderBy(col("claim_amount").desc, col("claim_id"))

@@ -898,6 +898,24 @@ object Catalog {
       "embedding", "vec_id", threshold = 0.35, bitsPerBand = 4, numBands = 32)
   }, None)
 
+  private val q61 = Q("q61_anomaly_ar", (s, dir) => {
+    // M2's AR(p) forecast option (VERDICT r2 directive #5; reference cites
+    // ARIMA, LAB4-Walkthrough.md:185): same tumbled series and contract as
+    // q08, forecast = trailing AR(3) OLS fit instead of the mean. A per-row
+    // matrix solve has no DuckDB formulation, so this entry is rows-only;
+    // correctness is pinned by ArAnomalySpec (planted trend/seasonal series,
+    // batch ≡ pure-Scala twin ≡ streaming).
+    val series = Tumble(t(s, dir, "events"), "ts", "1 hour", col("event_type"))(
+      "request_count" -> count(lit(1)))
+      .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("request_count"))
+    AnomalyDetector.detectBatch(series, col("request_count"),
+      Seq(col("event_type")), Seq(col("window_start")),
+      anomalyCfg.copy(forecast = "ar", arOrder = 3))
+      .select(col("window_start"), col("event_type"), col("request_count"),
+        col("forecast_value"), col("upper_bound"), col("lower_bound"), col("is_anomaly"))
+  }, None)
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -905,7 +923,8 @@ object Catalog {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
+    q61)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -184,6 +184,28 @@ object KafkaIO {
     }
   }
 
+  /** Snapshot of a compacted keyed topic — the read side of the reference's
+    * `PRIMARY KEY … NOT ENFORCED` upsert sinks (LAB3-Walkthrough.md:453-456;
+    * LAB4-Walkthrough.md:399-402), whose physical form on Confluent is a
+    * compacted Kafka topic keyed on the PK. Kafka's own log compaction only
+    * promises *eventual* removal of overwritten records, so a
+    * seek-to-earliest consumer must apply these semantics itself: the
+    * highest-`offsetCol` record per key wins, and a null value (tombstone)
+    * deletes the key. Scanning a compacted topic through this reproduces
+    * exactly the table state the upsert sink maintains
+    * ([[StreamingOps.upsertParquet]]'s last-write-wins per PK).
+    *
+    * One shuffle on the key; `max_by` partial-aggregates map-side, so the
+    * reduce moves one record per (partition, key), not the log.
+    */
+  def compactedSnapshot(records: DataFrame, keyCol: String = "key",
+                        valueCol: String = "value", offsetCol: String = "offset"): DataFrame =
+    records
+      .groupBy(col(keyCol))
+      .agg(max_by(struct(col(offsetCol), col(valueCol)), col(offsetCol)).as("__last"))
+      .filter(col("__last")(valueCol).isNotNull) // tombstoned keys are gone
+      .select(col(keyCol), col("__last")(valueCol).as(valueCol))
+
   /** Confluent wire-format framing: 0x00 magic + big-endian schema id + body. */
   def confluentFrame(schemaId: Int, body: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](5 + body.length)

@@ -72,16 +72,11 @@ object StreamingAnomaly {
         (key: String, rows: Iterator[PointP], state: GroupState[BufferState]) =>
           var buf = state.getOption.map(_.values).getOrElse(Nil)
           val out = rows.toSeq.sortBy(_.ts.getTime).map { p =>
-            val det =
-              if (buf.size >= cfg.minTrainingSize) {
-                val n = buf.size
-                val mean = buf.sum / n
-                val variance = buf.map(x => (x - mean) * (x - mean)).sum / (n - 1)
-                val sd = math.sqrt(variance)
-                val (lo, hi) = (mean - cfg.z * sd, mean + cfg.z * sd)
-                DetectionP(key, p.ts, p.value, p.payload, Some(mean), Some(hi), Some(lo),
-                  p.value > hi || p.value < lo)
-              } else DetectionP(key, p.ts, p.value, p.payload, None, None, None, is_anomaly = false)
+            // forecast math lives in AnomalyDetector.step — one copy shared
+            // with the batch sequential path and the pure-Scala twin, so
+            // batch ≡ streaming holds for every forecast option (zband, ar)
+            val (f, hi, lo, anom) = AnomalyDetector.step(buf, p.value, cfg)
+            val det = DetectionP(key, p.ts, p.value, p.payload, f, hi, lo, anom)
             buf = (buf :+ p.value).takeRight(cfg.maxTrainingSize)
             det
           }

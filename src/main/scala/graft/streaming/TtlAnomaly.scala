@@ -32,15 +32,9 @@ object TtlAnomaly {
                                  timerValues: TimerValues): Iterator[Detection] = {
       var history = Option(buf.get()).map(_.values).getOrElse(Nil)
       val out = rows.toSeq.sortBy(_.ts.getTime).map { p =>
-        val det =
-          if (history.size >= cfg.minTrainingSize) {
-            val n = history.size
-            val mean = history.sum / n
-            val variance = history.map(x => (x - mean) * (x - mean)).sum / (n - 1)
-            val sd = math.sqrt(variance)
-            val (lo, hi) = (mean - cfg.z * sd, mean + cfg.z * sd)
-            Detection(key, p.ts, p.value, Some(mean), Some(hi), Some(lo), p.value > hi || p.value < lo)
-          } else Detection(key, p.ts, p.value, None, None, None, is_anomaly = false)
+        // shared forecast step (zband/ar) — see AnomalyDetector.step
+        val (f, hi, lo, anom) = AnomalyDetector.step(history, p.value, cfg)
+        val det = Detection(key, p.ts, p.value, f, hi, lo, anom)
         history = (history :+ p.value).takeRight(cfg.maxTrainingSize)
         det
       }

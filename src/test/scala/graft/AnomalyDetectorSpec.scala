@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.anomaly.{AnomalyDetector, Gaussian}
+import graft.anomaly.{AnomalyDetector, ArForecaster, Gaussian}
 
 class GaussianSpec extends AnyFunSuite {
   test("invCdf matches known z-scores") {
@@ -53,6 +53,128 @@ class AnomalyDetectorSpec extends SparkSpec {
       approx(hi, if (row.isNullAt(1)) null else row.getDouble(1))
       approx(lo, if (row.isNullAt(2)) null else row.getDouble(2))
       assert(row.getBoolean(3) === anom, s"row $i is_anomaly")
+    }
+  }
+}
+
+/** The AR(p) forecast option (VERDICT r2 directive #5; reference cites "ARIMA
+  * time-series forecasting", LAB4-Walkthrough.md:185). Planted trend and
+  * seasonal series where a trailing mean demonstrably mis-forecasts are the
+  * fixtures; the pure-Scala ArForecaster is the reference implementation the
+  * Spark paths are held to.
+  */
+class ArAnomalySpec extends SparkSpec {
+
+  private def arCfg(min: Int = 8, max: Int = 50, conf: Double = 99.0, p: Int = 3) =
+    AnomalyDetector.Config(min, max, conf, forecast = "ar", arOrder = p)
+
+  test("ArForecaster recovers a planted AR(1) process almost exactly") {
+    // v(t) = 5 + 0.8 v(t-1), v(0)=1 — noise-free, so OLS must recover the
+    // coefficients and forecast the next point with ~zero residual
+    val h = Iterator.iterate(1.0)(v => 5.0 + 0.8 * v).take(30).toArray
+    val Some((f, sd)) = ArForecaster.fit(h, 1)
+    assert(math.abs(f - (5.0 + 0.8 * h.last)) < 1e-6, s"forecast $f")
+    assert(sd < 1e-6, s"residual sd $sd must be ~0 on a noise-free AR(1)")
+  }
+
+  test("ArForecaster is None on short or constant histories (fallback path)") {
+    assert(ArForecaster.fit(Array(1.0, 2.0, 3.0), 3).isEmpty)
+    assert(ArForecaster.fit(Array.fill(20)(7.0), 3).isEmpty, "constant series is singular")
+  }
+
+  test("AR tracks a planted linear trend the trailing mean cannot") {
+    // v(t) = 2t + seeded N(0, 0.5) noise — deterministic fixture
+    val rnd = new scala.util.Random(42)
+    val series = (0 until 40).map(t => 2.0 * t + 0.5 * rnd.nextGaussian())
+    val ar = AnomalyDetector.detectSeries(series, arCfg(p = 2))
+    val zb = AnomalyDetector.detectSeries(series, arCfg(p = 2).copy(forecast = "zband"))
+    val warm = 10 until 40
+    def err(out: Seq[(Option[Double], Option[Double], Option[Double], Boolean)]) =
+      warm.map(i => math.abs(out(i)._1.get - series(i))).sum / warm.size
+    // the mean forecast lags a trend by ~slope·(window+1)/2; AR follows it
+    assert(err(ar) < 0.25 * err(zb),
+      s"AR forecast error ${err(ar)} must be far below the mean's ${err(zb)}")
+    assert(warm.count(i => ar(i)._4) <= 2, "on-trend points stay inside the AR band")
+    // an actual break of the trend is still caught
+    val broken = series.take(35) :+ 500.0
+    assert(AnomalyDetector.detectSeries(broken, arCfg(p = 2)).last._4,
+      "trend break must be anomalous under AR")
+  }
+
+  test("AR with arOrder >= period tracks a planted seasonal series") {
+    // period-4 pattern, amplitude 20, seeded N(0, 0.5) noise
+    val rnd = new scala.util.Random(7)
+    val pattern = Seq(30.0, 50.0, 70.0, 50.0)
+    val series = (0 until 48).map(t => pattern(t % 4) + 0.5 * rnd.nextGaussian())
+    val ar = AnomalyDetector.detectSeries(series, arCfg(p = 4))
+    val zb = AnomalyDetector.detectSeries(series, arCfg(p = 4).copy(forecast = "zband"))
+    val warm = 12 until 48
+    def err(out: Seq[(Option[Double], Option[Double], Option[Double], Boolean)]) =
+      warm.map(i => math.abs(out(i)._1.get - series(i))).sum / warm.size
+    // the trailing mean forecasts ~50 everywhere (error ≈ amplitude/2 · 1/2);
+    // AR(4) learns v(t) ≈ v(t-4) and follows the swings
+    assert(err(ar) < 0.25 * err(zb),
+      s"AR seasonal error ${err(ar)} must be far below the mean's ${err(zb)}")
+    assert(warm.count(i => ar(i)._4) <= 2, "in-pattern points stay inside the AR band")
+    // a peak where the trough belongs breaks the pattern
+    val broken = series.take(40) :+ 70.0 // pattern(40 % 4) is the 30.0 trough
+    assert(AnomalyDetector.detectSeries(broken, arCfg(p = 4)).last._4,
+      "anti-seasonal point must be anomalous under AR")
+  }
+
+  test("batch AR path equals the pure-Scala twin per key and respects warm-up") {
+    import spark.implicits._
+    val cfg = arCfg(min = 6, max = 20, p = 2)
+    val keys = Seq("a", "b")
+    val series = Map(
+      "a" -> (0 until 30).map(t => 3.0 * t + (t % 2) * 0.5),
+      "b" -> (0 until 25).map(t => 100.0 - 2.0 * t + (t % 3) * 0.25))
+    val rows = for { k <- keys; (v, i) <- series(k).zipWithIndex } yield (k, i.toLong, v)
+    val df = rows.toDF("k", "seq", "v").repartition(4) // scattered input
+    val got = AnomalyDetector.detectBatch(df, col("v"), Seq(col("k")), Seq(col("seq")), cfg)
+      .select("k", "seq", "forecast_value", "upper_bound", "lower_bound", "is_anomaly")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(5))).toMap
+    for (k <- keys) {
+      val want = AnomalyDetector.detectSeries(series(k), cfg)
+      want.zipWithIndex.foreach { case ((f, _, _, anom), i) =>
+        val (gf, ganom) = got((k, i.toLong))
+        (f, gf) match {
+          case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-9, s"$k[$i]: $x vs $y")
+          case (None, None)       => ()
+          case other              => fail(s"$k[$i] warm-up mismatch: $other")
+        }
+        assert(ganom == anom, s"$k[$i] is_anomaly")
+      }
+    }
+  }
+
+  test("streaming AR twin equals the batch AR path on the same series") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val cfg = arCfg(min = 6, max = 20, p = 2)
+    val series = (0 until 30).map(t => 3.0 * t + (t % 2) * 0.5)
+    val input = MemoryStream[(String, Long, Double)]
+    val det = graft.streaming.StreamingAnomaly(
+      input.toDF().toDF("k", "seq", "v")
+        .withColumn("ts", timestamp_seconds(col("seq"))),
+      "k", "ts", "v", cfg)
+    val q = det.writeStream.format("memory").queryName("ar_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    input.addData(series.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) })
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("select * from ar_stream").orderBy("ts")
+      .select("forecast_value", "is_anomaly").collect()
+    val want = AnomalyDetector.detectSeries(series, cfg)
+    got.zip(want).zipWithIndex.foreach { case ((r, (f, _, _, anom)), i) =>
+      (f, if (r.isNullAt(0)) None else Some(r.getDouble(0))) match {
+        case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-12, s"[$i] $x vs $y")
+        case (None, None)       => ()
+        case other              => fail(s"[$i] mismatch: $other")
+      }
+      assert(r.getBoolean(1) == anom, s"[$i] is_anomaly")
     }
   }
 }

@@ -98,6 +98,45 @@ class DedupSpec extends SparkSpec {
     val uncapped = Dedup.minHashLsh(df, "text", "doc_id", 3, 16, 4, 0.2)
     assert(uncapped.count() > 700)
   }
+
+  test("capped buckets are never silent: exact drop counts via CapStats (VERDICT r2 #6)") {
+    import spark.implicits._
+    // same corpus shape as above: 40 boilerplate docs collapse into one
+    // signature → all 4 band buckets have size 40 > cap 10 and are dropped
+    val boiler = (1L to 40L).map(i => (i, "common header common header common header legal notice"))
+    val distinctive = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val df = (boiler ++ distinctive).toDF("doc_id", "text")
+
+    val st = new Dedup.CapStats(spark)
+    val pairs = Dedup.minHashLsh(df, "text", "doc_id", 3, 16, 4, 0.2,
+      maxBucketSize = 10, capStats = st)
+    pairs.collect() // stats ride the query's own execution
+    assert(st.droppedBuckets == 4L,
+      s"all 4 boilerplate band buckets must be reported dropped, got ${st.droppedBuckets}")
+    assert(st.droppedRows == 160L, // 4 bands × 40 docs
+      s"dropped row count must be exact, got ${st.droppedRows}")
+
+    // a corpus with no hot buckets reports zero drops
+    val st2 = new Dedup.CapStats(spark)
+    Dedup.minHashLsh(distinctive.toDF("doc_id", "text"), "text", "doc_id", 3, 16, 4, 0.2,
+      maxBucketSize = 10, capStats = st2).collect()
+    assert(st2.droppedBuckets == 0L && st2.droppedRows == 0L)
+
+    // the embedding LSH shares the guard and the reporting. Every bucket is
+    // hot here (30 identical vectors, both band buckets of 30 > cap 5), the
+    // result is EMPTY, and the stats must still arrive — the exact case AQE
+    // empty-relation propagation loses when the channel is an observe() node.
+    val st3 = new Dedup.CapStats(spark)
+    val embs = (1L to 30L).map(i => (i, Array(1f, 0f, 0f, 0f)))
+    val lshPairs = Dedup.embeddingNearDupLsh(embs.toDF("doc_id", "embedding"), "embedding", "doc_id",
+      threshold = 0.9, bitsPerBand = 4, numBands = 2, maxBucketSize = 5,
+      capStats = st3)
+    assert(lshPairs.count() == 0L, "all-hot corpus must yield no pairs")
+    assert(st3.droppedBuckets == 2L && st3.droppedRows == 60L,
+      s"embedding LSH must report its drops even when everything was dropped, " +
+        s"got ${st3.droppedBuckets}/${st3.droppedRows}")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -57,4 +57,36 @@ class VectorSearchSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(idsOf(small) == idsOf(big))
   }
+
+  test("auto gates on estimated bytes, not just rows (VERDICT r2 wrong-#1)") {
+    import graft.vector.VectorSearchAgg.{BroadcastRoute, DistributedRoute}
+    // narrow corpus: 100k rows of ~16-char chunks + 8-dim embeddings
+    // ≈ 100k × (32 + 32 + 48) ≈ 11 MB estimated — rows at the gate, bytes tiny
+    val narrow = spark.range(100000).select(
+      col("id").as("doc_id"),
+      concat(lit("tiny chunk "), col("id")).as("chunk"),
+      transform(sequence(lit(1), lit(8)), i => (i + col("id")).cast("float")).as("embedding"))
+    assert(VectorSearchAgg.chooseRoute(narrow, "chunk", "embedding",
+      maxRows = 100000L, maxBytes = 64L << 20) == BroadcastRoute,
+      "100k narrow rows must still broadcast")
+
+    // wide corpus: 50k rows of ~6 KB chunks → ≈ 50k × 12 KB ≈ 600 MB estimated
+    // — under the row gate, far over any sane driver-collect budget
+    val wide = spark.range(50000).select(
+      col("id").as("doc_id"),
+      concat_ws("", array_repeat(lit("loremipsum"), 600)).as("chunk"),
+      transform(sequence(lit(1), lit(8)), i => (i + col("id")).cast("float")).as("embedding"))
+    assert(VectorSearchAgg.chooseRoute(wide, "chunk", "embedding",
+      maxRows = 100000L, maxBytes = 64L << 20) == DistributedRoute,
+      "50k × ~6 KB rows must never be collected to the driver")
+
+    // null chunks/embeddings must not poison the estimate
+    val withNulls = spark.range(10).select(
+      col("id").as("doc_id"),
+      when(col("id") % 2 === 0, lit(null).cast("string")).otherwise(lit("x")).as("chunk"),
+      when(col("id") % 3 === 0, lit(null).cast("array<float>"))
+        .otherwise(array(lit(1f))).as("embedding"))
+    assert(VectorSearchAgg.chooseRoute(withNulls, "chunk", "embedding",
+      maxRows = 100L, maxBytes = 1L << 20) == BroadcastRoute)
+  }
 }
