@@ -21,9 +21,12 @@ OFF = 10_000_000  # key offset per replica, far above any sf0.1 key
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
 
-def rep(table, select_i):
+# ROW_GROUP_SIZE keeps multiple row groups per file so Spark's byte-range
+# splits can parallelise a single-file scan (one 122880-row group would pin
+# a 50k-doc table to one task regardless of maxPartitionBytes).
+def rep(table, select_i, rgs=32768):
     sql = " UNION ALL ".join(select_i(i) for i in range(N))
-    con.execute(f"COPY ({sql}) TO '{DST}/{table}.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY ({sql}) TO '{DST}/{table}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE {rgs})")
     n = con.execute(f"SELECT count(*) FROM '{DST}/{table}.parquet'").fetchone()[0]
     print(f"{table}: {n} rows")
 
@@ -51,8 +54,8 @@ rep("events", lambda i:
 
 rep("documents", lambda i:
     f"SELECT doc_id + {i*OFF} AS doc_id, * EXCLUDE (doc_id) "
-    f"FROM '{SRC}/documents.parquet'")
+    f"FROM '{SRC}/documents.parquet'", rgs=2048)
 
 rep("embeddings", lambda i:
     f"SELECT vec_id + {i*OFF} AS vec_id, * EXCLUDE (vec_id) "
-    f"FROM '{SRC}/embeddings.parquet'")
+    f"FROM '{SRC}/embeddings.parquet'", rgs=2048)

@@ -15,6 +15,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Bench data arrives as ONE parquet file per table (the sf1 replica is a
+      // single 184 MB lineitem); the default 128 MB maxPartitionBytes would
+      // scan it with ~2 tasks on 32 cores, serializing every downstream agg.
+      // On a real cluster tables are many files and this knob is moot; here it
+      // restores scan parallelism (splits land on row-group boundaries).
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -25,9 +25,15 @@ import org.apache.spark.sql.functions._
 object AnomalyDetector {
 
   /** `enableStl` mirrors the reference's `'enableStl' = FALSE` config key
-    * (LAB4-Walkthrough.md:185-190). Every observed reference call sets it
-    * FALSE; the seasonal-decomposition path is unimplemented here, so TRUE is
-    * rejected fast and loudly rather than silently ignored.
+    * (LAB4-Walkthrough.md:185-190) — seasonal decomposition ahead of the
+    * forecaster. Every observed reference call sets it FALSE; when TRUE here,
+    * the trailing history is decomposed with a classical additive
+    * seasonal-trend split ([[StlLite]]) and the residual is forecast by the
+    * configured `forecast` model, with the next seasonal component added back.
+    * The closed reference engine infers the period from the timestamps; this
+    * engine takes it explicitly — `seasonalPeriod` must be ≥ 2 when
+    * enableStl=TRUE (rejected fast and loudly otherwise, never silently
+    * ignored).
     *
     * `forecast` selects the forecaster behind the shared contract (the
     * reference cites "ARIMA time-series forecasting", LAB4-Walkthrough.md:185;
@@ -41,10 +47,11 @@ object AnomalyDetector {
     *     too short to fit or the fit is singular (constant series).
     */
   case class Config(minTrainingSize: Int, maxTrainingSize: Int, confidencePercentage: Double,
-                    enableStl: Boolean = false, forecast: String = "zband", arOrder: Int = 3) {
+                    enableStl: Boolean = false, forecast: String = "zband", arOrder: Int = 3,
+                    seasonalPeriod: Int = 0) {
     require(minTrainingSize >= 2, "need >=2 history rows for a stddev")
-    require(!enableStl,
-      "enableStl=TRUE (STL seasonal decomposition) is not implemented; every reference call site sets FALSE (LAB4-Walkthrough.md:185-190)")
+    require(!enableStl || seasonalPeriod >= 2,
+      "enableStl=TRUE needs seasonalPeriod >= 2: the reference's closed engine infers the period from timestamps (LAB4-Walkthrough.md:185-190); here it is explicit")
     require(forecast == "zband" || forecast == "ar",
       s"forecast must be 'zband' or 'ar', got '$forecast'")
     require(arOrder >= 1 && arOrder <= 32, s"arOrder out of range: $arOrder")
@@ -58,6 +65,11 @@ object AnomalyDetector {
     * batch oracle.
     */
   private[graft] def forecastPoint(buf: List[Double], cfg: Config): (Double, Double) =
+    if (cfg.enableStl)
+      StlLite.fit(buf.toArray, cfg.seasonalPeriod, cfg).getOrElse(inner(buf, cfg))
+    else inner(buf, cfg)
+
+  private def inner(buf: List[Double], cfg: Config): (Double, Double) =
     cfg.forecast match {
       case "ar" =>
         ArForecaster.fit(buf.toArray, cfg.arOrder).getOrElse(meanSd(buf))
@@ -94,7 +106,8 @@ object AnomalyDetector {
     */
   def detectBatch(df: DataFrame, valueCol: Column, partitionCols: Seq[Column],
                   orderCols: Seq[Column], cfg: Config): DataFrame =
-    if (cfg.forecast == "zband") detectBatchWindow(df, valueCol, partitionCols, orderCols, cfg)
+    if (cfg.forecast == "zband" && !cfg.enableStl)
+      detectBatchWindow(df, valueCol, partitionCols, orderCols, cfg)
     else detectBatchSeq(df, valueCol, partitionCols, orderCols, cfg)
 
   private def detectBatchWindow(df: DataFrame, valueCol: Column, partitionCols: Seq[Column],
@@ -188,8 +201,26 @@ object AnomalyDetector {
   */
 object ArForecaster {
 
-  /** @return Some((one-step forecast, in-sample residual stddev)) or None. */
+  /** @return Some((one-step forecast, in-sample residual stddev)) or None.
+    *
+    * A singular system at order `p` retries at `p-1` down to 1: perfectly
+    * collinear lag columns are not noise but structure (an exact linear trend
+    * makes every order above 1 rank-deficient, while AR(1)+intercept fits it
+    * exactly), so reducing the order recovers the fit instead of discarding
+    * it. None only when even order 1 is singular (constant series) or the
+    * history is too short.
+    */
   def fit(h: Array[Double], p: Int): Option[(Double, Double)] = {
+    var order = p
+    while (order >= 1) {
+      val r = fitOrder(h, order)
+      if (r.isDefined) return r
+      order -= 1
+    }
+    None
+  }
+
+  private def fitOrder(h: Array[Double], p: Int): Option[(Double, Double)] = {
     val n = h.length
     val m = n - p // regression rows
     val k = p + 1 // intercept + p lags
@@ -273,6 +304,83 @@ object ArForecaster {
       i -= 1
     }
     Some(x)
+  }
+}
+
+/** Classical additive seasonal-trend decomposition over the trailing history
+  * (the `enableStl` path of the reference's ML_DETECT_ANOMALIES,
+  * LAB4-Walkthrough.md:185-190; the closed engine cites STL — this is the
+  * moving-average classical variant, adequate for the band contract):
+  *
+  *  1. trend via centered moving average of window `period` (even periods use
+  *     the standard 2×period half-weighted ends);
+  *  2. seasonal(j) = mean of detrended points at phase j, centered to sum 0;
+  *  3. the deseasonalized series (observed − seasonal) goes to the configured
+  *     inner forecaster (mean or AR) for the point forecast and residual sd;
+  *  4. one-step forecast = inner forecast + seasonal(next phase).
+  *
+  * Pure and dependency-free like [[ArForecaster]] so batch tasks, streaming
+  * state handlers, and unit tests run the identical code. Returns None when
+  * the history holds fewer than two full periods — callers fall back to the
+  * non-seasonal forecaster, mirroring the warm-up contract.
+  */
+object StlLite {
+
+  def fit(h: Array[Double], period: Int, cfg: AnomalyDetector.Config): Option[(Double, Double)] = {
+    val n = h.length
+    if (period < 2 || n < 2 * period) return None
+    val half = period / 2
+    val even = period % 2 == 0
+    // centered MA trend, defined on [half, n-half)
+    val lo = half
+    val hi = n - half
+    if (hi <= lo) return None
+    val detrended = new Array[Double](n)
+    val hasTrend = new Array[Boolean](n)
+    var t = lo
+    while (t < hi) {
+      var s = 0.0
+      if (even) {
+        s = 0.5 * h(t - half) + 0.5 * h(t + half)
+        var i = t - half + 1
+        while (i < t + half) { s += h(i); i += 1 }
+      } else {
+        var i = t - half
+        while (i <= t + half) { s += h(i); i += 1 }
+      }
+      detrended(t) = h(t) - s / period
+      hasTrend(t) = true
+      t += 1
+    }
+    // phase means of detrended points, centered to sum zero
+    val seas = new Array[Double](period)
+    val cnt = new Array[Int](period)
+    t = 0
+    while (t < n) {
+      if (hasTrend(t)) { seas(t % period) += detrended(t); cnt(t % period) += 1 }
+      t += 1
+    }
+    var j = 0
+    while (j < period) {
+      if (cnt(j) == 0) return None // a phase never covered by the MA window
+      seas(j) /= cnt(j)
+      j += 1
+    }
+    val mean = seas.sum / period
+    j = 0
+    while (j < period) { seas(j) -= mean; j += 1 }
+    // deseasonalize the FULL history and forecast it with the inner model
+    val deseason = Array.tabulate(n)(i => h(i) - seas(i % period))
+    val innerFit = cfg.forecast match {
+      case "ar" => ArForecaster.fit(deseason, cfg.arOrder)
+      case _    => None
+    }
+    val (f0, sd) = innerFit.getOrElse {
+      val m = deseason.sum / n
+      val v = deseason.map(x => (x - m) * (x - m)).sum / (n - 1)
+      (m, math.sqrt(v))
+    }
+    Some((f0 + seas(n % period), sd))
   }
 }
 

@@ -37,19 +37,27 @@ object Tables {
 
   /** Load one table from a scale-factor directory.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark cannot read
-    * natively; we read it as nanos-since-epoch (spark.sql.legacy.parquet.nanosAsLong)
-    * and truncate to microseconds. DuckDB's `CAST(ts AS TIMESTAMP)` performs the
-    * same ns→µs truncation, so oracle SQL over `events` must wrap `ts` that way.
-    * The result is kept timezone-naive (TIMESTAMP_NTZ) to match the naive source
-    * column; the whole engine runs with session timezone UTC.
+    * `events.ts` in the driver fixture is parquet TIMESTAMP(NANOS), which Spark
+    * cannot read natively; we read it as nanos-since-epoch
+    * (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds.
+    * DuckDB's `CAST(ts AS TIMESTAMP)` performs the same ns→µs truncation, so
+    * oracle SQL over `events` must wrap `ts` that way. Replicated bench data
+    * (scripts/gen_sf1.py) comes back as TIMESTAMP(MICROS) instead — DuckDB's
+    * parquet writer downcasts even an explicit TIMESTAMP_NS — so the loader
+    * branches on the arriving type rather than assuming nanos. The result is
+    * kept timezone-naive (TIMESTAMP_NTZ) to match the naive source column; the
+    * whole engine runs with session timezone UTC.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read
-        .parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        case _ => // already a timestamp (micros)
+          raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }

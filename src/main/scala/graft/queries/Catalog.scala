@@ -916,6 +916,29 @@ object Catalog {
         col("forecast_value"), col("upper_bound"), col("lower_bound"), col("is_anomaly"))
   }, None)
 
+  private val q62 = Q("q62_compacted_upserts", (s, dir) => {
+    // Upsert-table snapshot from a keyed log — the read side of the
+    // reference's `PRIMARY KEY … NOT ENFORCED` sinks (S1/S2,
+    // LAB3-Walkthrough.md:453-456), whose physical form is a compacted Kafka
+    // topic. events is reshaped into a log of ~500 keys × ~N writes each with
+    // low-value records as tombstones; last write per key wins and a key whose
+    // final record is a tombstone disappears from the snapshot.
+    val log = t(s, dir, "events").select(
+      concat(col("event_type"), lit("#"), (col("event_id") % 500).cast("string")).as("key"),
+      when(col("value") >= 10.0, col("value")).as("value"), // null = tombstone
+      col("event_id").as("off"))
+    graft.streaming.KafkaIO.compactedSnapshot(log, offsetCol = "off")
+  }, Some("""
+    WITH log AS (
+      SELECT event_type || '#' || CAST(event_id % 500 AS VARCHAR) AS key,
+             CASE WHEN value >= 10.0 THEN value END AS value,
+             event_id AS off
+      FROM events),
+    last AS (SELECT key, max(off) AS mo FROM log GROUP BY key)
+    SELECT l.key AS key, l.value AS value
+    FROM log l JOIN last t ON l.key = t.key AND l.off = t.mo
+    WHERE l.value IS NOT NULL"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -924,7 +947,7 @@ object Catalog {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61)
+    q61, q62)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -478,6 +478,13 @@ object SqlFrontend {
     val (args, afterArgs) = balancedArgs(sql, m.end - 1)
     require(args.size >= 2, s"ML_DETECT_ANOMALIES needs (value, ts[, config]), got ${args.size}")
     val cfg = parseAnomalyCfg(args.drop(2).mkString(" "))
+    // this rewrite IS the z-band window formulation; a seasonal or AR config
+    // has no SQL-window form — fail loudly rather than mis-evaluate (the
+    // DataFrame API, AnomalyDetector.detectBatch, runs those)
+    require(cfg.forecast == "zband" && !cfg.enableStl,
+      s"the SQL OVER-window rewrite supports forecast='zband' with enableStl=FALSE only " +
+        s"(got forecast='${cfg.forecast}', enableStl=${cfg.enableStl}); " +
+        "use AnomalyDetector.detectBatch for the AR/seasonal forecasters")
 
     val overM = ("(?is)^\\s*OVER\\s*\\(\\s*PARTITION\\s+BY\\s+(.*?)\\s+ORDER\\s+BY\\s+(\\S+)" +
       "(?:\\s+RANGE\\s+BETWEEN\\s+UNBOUNDED\\s+PRECEDING\\s+AND\\s+CURRENT\\s+ROW)?\\s*\\)").r
@@ -508,16 +515,22 @@ object SqlFrontend {
 
   /** `JSON_OBJECT('minTrainingSize' VALUE …, …)` config text → detector
     * config (shared by the batch OVER-window rewrite above and the streaming
-    * stage in [[StreamPlanner]]; enableStl=TRUE is rejected by Config).
+    * stage in [[StreamPlanner]]). enableStl=TRUE requires a seasonalPeriod
+    * key (our explicit form of the period the reference's closed engine
+    * infers from timestamps); Config rejects the combination otherwise.
+    * forecast/arOrder are engine extensions reachable from SQL text too.
     */
   private[graft] def parseAnomalyCfg(cfgText: String): graft.anomaly.AnomalyDetector.Config = {
     def key(name: String, default: String): String =
-      s"(?i)'$name'\\s+VALUE\\s+([\\w.]+)".r.findFirstMatchIn(cfgText).map(_.group(1)).getOrElse(default)
+      s"(?i)'$name'\\s+VALUE\\s+'?([\\w.]+)'?".r.findFirstMatchIn(cfgText).map(_.group(1)).getOrElse(default)
     graft.anomaly.AnomalyDetector.Config(
       minTrainingSize = key("minTrainingSize", "2").toInt,
       maxTrainingSize = key("maxTrainingSize", "1000").toInt,
       confidencePercentage = key("confidencePercentage", "95.0").toDouble,
-      enableStl = key("enableStl", "false").toBoolean)
+      enableStl = key("enableStl", "false").toBoolean,
+      forecast = key("forecast", "zband").toLowerCase,
+      arOrder = key("arOrder", "3").toInt,
+      seasonalPeriod = key("seasonalPeriod", "0").toInt)
   }
 
   // ------------------------------------------------- balanced-call utilities

@@ -178,3 +178,94 @@ class ArAnomalySpec extends SparkSpec {
     }
   }
 }
+
+/** The enableStl seasonal path (reference config key, LAB4-Walkthrough.md:
+  * 185-190): classical additive decomposition ahead of the configured
+  * forecaster. Fixtures are strongly seasonal series where the non-seasonal
+  * band either misses a phase-breaking point (swing-inflated sd) or
+  * false-alarms on in-pattern peaks.
+  */
+class StlAnomalySpec extends SparkSpec {
+
+  private def stlCfg(p: Int = 4, forecast: String = "zband") =
+    AnomalyDetector.Config(minTrainingSize = 8, maxTrainingSize = 50,
+      confidencePercentage = 99.0, enableStl = true, forecast = forecast,
+      seasonalPeriod = p)
+
+  // period-4 sawtooth, amplitude 40, tiny deterministic jitter
+  private val pattern = Array(10.0, 30.0, 50.0, 30.0)
+  private val series: Seq[Double] =
+    (0 until 40).map(t => pattern(t % 4) + (t % 3) * 0.3)
+
+  test("Config rejects enableStl without a seasonalPeriod") {
+    val e = intercept[IllegalArgumentException] {
+      AnomalyDetector.Config(8, 50, 99.0, enableStl = true)
+    }
+    assert(e.getMessage.contains("seasonalPeriod"))
+  }
+
+  test("STL tracks the seasonal pattern; the plain band cannot") {
+    val stl = AnomalyDetector.detectSeries(series, stlCfg())
+    val warm = stl.drop(8)
+    assert(warm.count(_._4) == 0, "in-pattern points stay inside the STL band")
+    // band is tight: forecast within 2 of the actual at every warm point
+    warm.zip(series.drop(8)).foreach { case ((f, _, _, _), v) =>
+      assert(math.abs(f.get - v) < 2.0, s"forecast ${f.get} vs actual $v")
+    }
+
+    // a phase-breaking point: a 50-peak where the 10-trough belongs
+    val broken = series :+ 50.0 // position 40 -> phase 0 -> expected ~10
+    assert(AnomalyDetector.detectSeries(broken, stlCfg()).last._4,
+      "anti-seasonal point must be anomalous under STL")
+    val plain = stlCfg().copy(enableStl = false, seasonalPeriod = 0)
+    assert(!AnomalyDetector.detectSeries(broken, plain).last._4,
+      "the swing-inflated plain band misses the same point")
+  }
+
+  test("STL composes with the AR inner forecaster on trend + season") {
+    // upward trend + period-4 season: mean inner forecaster lags the trend,
+    // AR inner follows it
+    val ts = (0 until 40).map(t => 1.5 * t + pattern(t % 4))
+    val det = AnomalyDetector.detectSeries(ts, stlCfg(forecast = "ar"))
+    // first emissions (8-15) fit AR on very short deseasonalized histories —
+    // judge the settled region, four full periods in
+    det.drop(16).zip(ts.drop(16)).foreach { case ((f, _, _, anom), v) =>
+      assert(math.abs(f.get - v) < 6.0, s"AR+STL forecast ${f.get} vs $v")
+      assert(!anom)
+    }
+    // the mean inner forecaster lags a 1.5/step trend by construction: its
+    // settled forecasts sit well below the actuals
+    val meanDet = AnomalyDetector.detectSeries(ts, stlCfg(forecast = "zband"))
+    val lag = meanDet.drop(16).zip(ts.drop(16)).map { case ((f, _, _, _), v) => v - f.get }
+    assert(lag.forall(_ > 6.0), s"mean inner forecaster should lag the trend, lags=${lag.take(4)}")
+  }
+
+  test("shorter than two periods falls back to the non-seasonal forecaster") {
+    val short = series.take(9) // minTrainingSize 8 < 2*period when period=5
+    val stl = AnomalyDetector.detectSeries(short, stlCfg(p = 5))
+    val plain = AnomalyDetector.detectSeries(short,
+      stlCfg(p = 5).copy(enableStl = false, seasonalPeriod = 0))
+    assert(stl == plain, "under 2 full periods STL must equal the plain band")
+  }
+
+  test("batch STL path equals the pure-Scala twin") {
+    import spark.implicits._
+    val cfg = stlCfg()
+    val rows = series.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+    val df = rows.toDF("k", "seq", "v").repartition(4)
+    val got = AnomalyDetector.detectBatch(df, col("v"), Seq(col("k")), Seq(col("seq")), cfg)
+      .select("seq", "forecast_value", "is_anomaly")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getBoolean(2))).toMap
+    val want = AnomalyDetector.detectSeries(series, cfg)
+    want.zipWithIndex.foreach { case ((f, _, _, anom), i) =>
+      val (gf, ganom) = got(i.toLong)
+      (f, gf) match {
+        case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-9, s"[$i]: $x vs $y")
+        case (None, None)       => ()
+        case other              => fail(s"[$i] warm-up mismatch: $other")
+      }
+      assert(ganom == anom, s"[$i] is_anomaly")
+    }
+  }
+}

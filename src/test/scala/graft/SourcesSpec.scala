@@ -26,6 +26,25 @@ class TableRegistrySpec extends SparkSpec {
     assert(!TableRegistry.exists("rides"))
   }
 
+  test("Tables loads events from both TIMESTAMP(NANOS) fixtures and micros replicas") {
+    import spark.implicits._
+    // driver fixture: nanos-as-long path
+    val fixture = graft.core.Tables(spark, sfDir, "events")
+    assert(fixture.schema("ts").dataType == TimestampNTZType)
+    val fixtureMax = fixture.agg(max("ts")).head.getAs[java.time.LocalDateTime](0)
+
+    // replica shape (scripts/gen_sf1.py): DuckDB downcasts to TIMESTAMP(MICROS);
+    // the loader must branch on the arriving type, not assume nanos
+    val tmp = java.nio.file.Files.createTempDirectory("microsevents").toString
+    fixture.limit(100).write.mode("overwrite").parquet(s"$tmp/stage")
+    val micros = spark.read.parquet(s"$tmp/stage")
+    micros.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val loaded = graft.core.Tables(spark, tmp, "events")
+    assert(loaded.schema("ts").dataType == TimestampNTZType)
+    assert(loaded.count() == 100)
+    assert(!loaded.agg(max("ts")).head.getAs[java.time.LocalDateTime](0).isAfter(fixtureMax))
+  }
+
   test("CTAS registers a queryable definition; SET/get round-trips") {
     TableRegistry.createTableAs(spark, "doc_counts",
       graft.core.Tables(spark, sfDir, "documents").groupBy("lang").count())
