@@ -73,6 +73,32 @@ object Text {
       (lit(1.0) - least(digitRatio * 4.0, lit(1.0))) * 0.1
   }
 
+  /** Mean token length over a materialized token array (Gopher-style signal;
+    * Rae et al. 2021 §A1.1 filters docs outside [3, 10]). Single aggregate
+    * HOF pass — row-local, no shuffle.
+    */
+  def meanWordLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+
+  /** Fraction of tokens containing at least one lowercase letter (the Gopher
+    * "80% of words must contain an alphabetic character" signal).
+    */
+  def alphaWordRatio(toks: Column): Column =
+    size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+
+  /** Duplicate-n-gram fraction: 1 − distinct/total over token n-grams
+    * (n = 1 is duplicate-word fraction). The Gopher repetition family — a high
+    * fraction marks boilerplate/spam that exact and MinHash dedup both miss
+    * because it repeats *within* one document, not across documents.
+    */
+  def dupNgramFrac(toks: Column, n: Int): Column = {
+    val grams = if (n == 1) toks else shinglesFromTokens(toks, n)
+    lit(1.0) - size(array_distinct(grams)).cast("double") /
+      greatest(size(grams), lit(1)).cast("double")
+  }
+
   /** Token n-gram shingles (incl. duplicates) from a MATERIALIZED token array
     * column. `toks` must be a bound attribute (a column produced by a prior
     * select/withColumn), not a derived expression: Catalyst does not CSE

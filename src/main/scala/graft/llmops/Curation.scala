@@ -37,6 +37,33 @@ object Curation {
   def cleanText(c: Column): Column =
     trim(regexp_replace(regexp_replace(c, "[\\x00-\\x1f]", " "), "\\s+", " "))
 
+  /** PII patterns shared by redaction and counting. Conservative syntax only
+    * (char classes, bounded quantifiers, \b, non-capturing groups) so the Java
+    * (Spark) and RE2 (DuckDB oracle) regex engines match identically — no
+    * lookaround, no backreferences.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ip" -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
+    "phone" -> "\\b\\d{3}-\\d{4}\\b")
+
+  /** Redact PII spans in place (`<EMAIL>`/`<IP>`/`<PHONE>`), applied in the
+    * fixed [[piiPatterns]] order so earlier redactions can't create later
+    * matches (emails contain dots that could read as partial IPs — email runs
+    * first; `<IP>` leaves no digits for the phone pass). Row-local, codegen'd
+    * — the standard pre-training privacy scrub runs at full scan speed.
+    */
+  def piiRedact(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (kind, pat)) =>
+      regexp_replace(acc, pat, s"<${kind.toUpperCase}>")
+    }
+
+  /** Per-kind PII match count (for corpus audit metrics / doc-level filters). */
+  def piiCount(c: Column, kind: String): Column = {
+    val pat = piiPatterns.toMap.apply(kind)
+    regexp_count(c, lit(pat)).cast("long")
+  }
+
   /** Pack documents into token-budgeted chunks: order by `orderCol`, running
     * token total, `pack_id = floor((cumsum - tokens) / budget)` — every pack
     * holds consecutive docs whose combined tokens stay ~within budget.

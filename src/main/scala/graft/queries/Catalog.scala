@@ -939,6 +939,200 @@ object Catalog {
     FROM log l JOIN last t ON l.key = t.key AND l.off = t.mo
     WHERE l.value IS NOT NULL"""))
 
+  private val q63 = Q("q63_gopher_quality", (s, dir) => {
+    // Gopher-style document quality gate (Rae et al. 2021 §A1.1): word count,
+    // mean word length, alphabetic-word ratio, stopword evidence → keep flag.
+    // Pure Column expressions over a materialized token array — row-local,
+    // codegen'd, scan-speed at 100 TB.
+    val toks = Text.tokens(col("text")).as("toks")
+    t(s, dir, "documents").select(col("doc_id"), toks)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("word_count"),
+        Text.meanWordLen(col("toks")).as("mean_word_len"),
+        Text.alphaWordRatio(col("toks")).as("alpha_ratio"),
+        Text.wordHits(col("toks"), Text.enStopwords).cast("long").as("stop_hits"))
+      .withColumn("keep",
+        col("word_count").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("alpha_ratio") >= 0.8 && col("stop_hits") >= 2)
+  }, Some("""
+    WITH sig AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+    s2 AS (
+      SELECT doc_id,
+             len(toks) AS word_count,
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_word_len,
+             CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+               / CAST(greatest(len(toks), 1) AS DOUBLE) AS alpha_ratio,
+             CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS BIGINT) AS stop_hits
+      FROM sig)
+    SELECT doc_id, word_count, mean_word_len, alpha_ratio, stop_hits,
+           (word_count BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND alpha_ratio >= 0.8 AND stop_hits >= 2) AS keep
+    FROM s2"""))
+
+  private val q64 = Q("q64_repetition_filter", (s, dir) => {
+    // Within-document repetition signals (the Gopher dup-n-gram family):
+    // boilerplate that repeats inside one doc evades cross-doc dedup entirely.
+    // Token array materialized once; each fraction is one HOF chain over it.
+    t(s, dir, "documents").select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        Text.dupNgramFrac(col("toks"), 1).as("dup_word_frac"),
+        Text.dupNgramFrac(col("toks"), 2).as("dup_2gram_frac"),
+        Text.dupNgramFrac(col("toks"), 3).as("dup_3gram_frac"))
+  }, Some("""
+    WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, toks,
+        list_transform(range(1, greatest(len(toks)-1, 1)+1), i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+        list_transform(range(1, greatest(len(toks)-2, 1)+1), i -> array_to_string(toks[i:i+2], ' ')) AS g3
+      FROM tk)
+    SELECT doc_id,
+      1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS dup_word_frac,
+      1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(greatest(len(g2), 1) AS DOUBLE) AS dup_2gram_frac,
+      1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(greatest(len(g3), 1) AS DOUBLE) AS dup_3gram_frac
+    FROM g"""))
+
+  private val q65 = Q("q65_pii_redact", (s, dir) => {
+    // PII scrub over a deterministically constructed PII-bearing column (the
+    // synthetic documents contain none): redacted text + per-kind counts.
+    // Patterns restricted to Java∩RE2-identical syntax (Curation.piiPatterns).
+    val src = t(s, dir, "customer").select(
+      col("c_custkey").as("cust_id"),
+      concat(
+        col("c_name"), lit(" contact "),
+        lower(translate(col("c_name"), " ", ".")), lit("@example.com from 10."),
+        (col("c_custkey") % 256).cast("string"), lit(".0."),
+        (col("c_custkey") % 100).cast("string"), lit(" phone 555-"),
+        lpad((col("c_custkey") % 10000).cast("string"), 4, "0")).as("txt"))
+    src.select(
+      col("cust_id"),
+      graft.llmops.Curation.piiRedact(col("txt")).as("redacted"),
+      graft.llmops.Curation.piiCount(col("txt"), "email").as("n_email"),
+      graft.llmops.Curation.piiCount(col("txt"), "ip").as("n_ip"),
+      graft.llmops.Curation.piiCount(col("txt"), "phone").as("n_phone"))
+  }, Some("""
+    WITH src AS (
+      SELECT c_custkey,
+        c_name || ' contact ' || lower(replace(c_name, ' ', '.')) || '@example.com from 10.' ||
+        CAST(c_custkey % 256 AS VARCHAR) || '.0.' || CAST(c_custkey % 100 AS VARCHAR) ||
+        ' phone 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS txt
+      FROM customer)
+    SELECT c_custkey AS cust_id,
+      regexp_replace(regexp_replace(regexp_replace(txt,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted,
+      CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(txt, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+      CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phone
+    FROM src"""))
+
+  private val q66 = Q("q66_window_suite", (s, dir) => {
+    // The OVER-window function family beyond the reference's single
+    // ML_DETECT_ANOMALIES use (W2): ranking, ntile, cume_dist, lag/lead, and
+    // a decimal-exact running sum — all one shuffle on the partition key.
+    val byRow = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byDate = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"))
+    t(s, dir, "orders").select(
+      col("o_orderkey").as("order_id"),
+      col("o_custkey").as("customer_id"),
+      row_number().over(byRow).as("rn"),
+      rank().over(byDate).as("rnk"),
+      dense_rank().over(byDate).as("drnk"),
+      ntile(4).over(byRow).as("quartile"),
+      cume_dist().over(byDate).as("cdist"),
+      lag(col("o_totalprice"), 1).over(byRow).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(byRow).as("next_price"),
+      sum(col("o_totalprice").cast("decimal(25,2)"))
+        .over(byRow.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("running_spend"))
+  }, Some("""
+    SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+      row_number() OVER w AS rn,
+      rank()       OVER w2 AS rnk,
+      dense_rank() OVER w2 AS drnk,
+      ntile(4)     OVER w AS quartile,
+      cume_dist()  OVER w2 AS cdist,
+      lag(o_totalprice)  OVER w AS prev_price,
+      lead(o_totalprice) OVER w AS next_price,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate)"""))
+
+  private val q67 = Q("q67_percentiles", (s, dir) => {
+    // Exact interpolated percentiles per group (both engines: lo + f·(hi−lo)
+    // over the sorted group) — the distribution-shape profile a corpus audit
+    // reports next to counts and means.
+    t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      percentile(col("l_quantity"), lit(0.25)).as("p25"),
+      percentile(col("l_quantity"), lit(0.5)).as("p50"),
+      percentile(col("l_quantity"), lit(0.75)).as("p75"),
+      percentile(col("l_extendedprice"), lit(0.9)).as("price_p90"))
+  }, Some("""
+    SELECT l_returnflag,
+      quantile_cont(l_quantity, 0.25) AS p25,
+      quantile_cont(l_quantity, 0.5)  AS p50,
+      quantile_cont(l_quantity, 0.75) AS p75,
+      quantile_cont(l_extendedprice, 0.9) AS price_p90
+    FROM lineitem GROUP BY l_returnflag"""))
+
+  private val q68 = Q("q68_asof_join", (s, dir) => {
+    // As-of enrichment: each event picks up the latest order at-or-before its
+    // timestamp per user (operators.AsOfJoin: union + keyed running last —
+    // one shuffle, zero replication). Right side pre-reduced to one row per
+    // (customer, date) so "latest" is well-defined in both engines.
+    val ev = t(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("ts").cast("timestamp_ntz").as("ts"))
+    val ord = t(s, dir, "orders")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("last_order_id"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("last_order_price"))
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp_ntz").as("last_order_date"),
+        col("last_order_id"), col("last_order_price"))
+    graft.operators.AsOfJoin(ev, ord, "user_id", "o_custkey", "ts", "last_order_date",
+      Seq("last_order_id", "last_order_date", "last_order_price"))
+  }, Some("""
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    ord AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_order_id,
+             max_by(o_totalprice, o_orderkey) AS last_order_price
+      FROM orders GROUP BY o_custkey, o_orderdate)
+    SELECT e.event_id, e.user_id, e.ts,
+           o.last_order_id, o.o_orderdate AS last_order_date, o.last_order_price
+    FROM ev e ASOF JOIN ord o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"""))
+
+  private val q69 = Q("q69_unnest_ordinality", (s, dir) => {
+    // UNNEST WITH ORDINALITY / posexplode — the ARRAY<ROW> flattening the
+    // reference's search_results handling implies (§2.7 collection ops).
+    t(s, dir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+      .select(col("doc_id"), col("pos").cast("int").as("pos"), col("col").as("tok"))
+  }, Some("""
+    SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok AS tok
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents WHERE doc_id < 50) t,
+         LATERAL (SELECT unnest(toks) AS tok, generate_subscripts(toks, 1) - 1 AS pos) u"""))
+
+  private val q70 = Q("q70_approx_sketches", (s, dir) => {
+    // Sketch aggregates — what a 100 TB profile actually runs instead of
+    // exact DISTINCT (q48) and exact percentiles (q67): HLL++ distinct and
+    // KLL-style approximate quantiles, both mergeable map-side partials with
+    // O(sketch) not O(group) memory. Sketch internals differ across engines,
+    // so this is rows-only; the error contract vs the exact answers is pinned
+    // by SketchSpec (HLL within 5% rsd ×3, percentile within accuracy bound).
+    t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("median_price_approx"))
+  }, None)
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -947,7 +1141,7 @@ object Catalog {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62)
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

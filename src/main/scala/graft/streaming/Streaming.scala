@@ -72,6 +72,25 @@ object StreamingOps {
       .drop(l("__ij_bucket")).drop(r("__ij_bucket"))
   }
 
+  /** Streaming exact dedup — the continuous twin of
+    * [[graft.llmops.Dedup.exact]]: first arrival of each content fingerprint
+    * wins, duplicates within the watermark horizon are dropped, and — the
+    * scale property — per-key dedup state is EVICTED once the watermark
+    * passes (`dropDuplicatesWithinWatermark`), so state is bounded by the
+    * dedup horizon, not the full stream history. An unbounded-state
+    * `dropDuplicates` would OOM any long-running 100 TB ingest; a bounded
+    * horizon matches how streaming pipelines actually define "duplicate"
+    * (same content arriving within N minutes/hours — e.g. re-published docs,
+    * producer retries).
+    */
+  def dedupWithinWatermark(df: DataFrame, textCol: String, tsCol: String,
+                           delay: String): DataFrame =
+    df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withColumn("__fp", graft.functions.Text.fingerprint(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Stream-static enrichment (J1): the reference's customers/products dims are
     * near-static, so a stream-static broadcast join is both faithful and
     * state-free (SURVEY.md §7.4 item 2) — no TTL bookkeeping at all.
