@@ -50,8 +50,8 @@ object AnomalyDetector {
                     enableStl: Boolean = false, forecast: String = "zband", arOrder: Int = 3,
                     seasonalPeriod: Int = 0) {
     require(minTrainingSize >= 2, "need >=2 history rows for a stddev")
-    require(!enableStl || seasonalPeriod >= 2,
-      "enableStl=TRUE needs seasonalPeriod >= 2: the reference's closed engine infers the period from timestamps (LAB4-Walkthrough.md:185-190); here it is explicit")
+    require(!enableStl || seasonalPeriod >= 2 || seasonalPeriod == 0,
+      "enableStl=TRUE needs seasonalPeriod >= 2, or 0 for auto-inference from the series cadence (the reference's closed engine infers it from timestamps, LAB4-Walkthrough.md:185-190)")
     require(forecast == "zband" || forecast == "ar",
       s"forecast must be 'zband' or 'ar', got '$forecast'")
     require(arOrder >= 1 && arOrder <= 32, s"arOrder out of range: $arOrder")
@@ -64,10 +64,44 @@ object AnomalyDetector {
     * sample variance) so the streaming twins remain bit-identical with the
     * batch oracle.
     */
-  private[graft] def forecastPoint(buf: List[Double], cfg: Config): (Double, Double) =
-    if (cfg.enableStl)
-      StlLite.fit(buf.toArray, cfg.seasonalPeriod, cfg).getOrElse(inner(buf, cfg))
+  private[graft] def forecastPoint(buf: List[Double], cfg: Config,
+                                   inferredPeriod: Int = 0): (Double, Double) = {
+    val period = if (cfg.seasonalPeriod > 0) cfg.seasonalPeriod else inferredPeriod
+    if (cfg.enableStl && period >= 2)
+      StlLite.fit(buf.toArray, period, cfg).getOrElse(inner(buf, cfg))
     else inner(buf, cfg)
+  }
+
+  /** seasonalPeriod = 0 with enableStl means AUTO: infer the period from the
+    * series cadence the way the reference's closed engine does "from
+    * timestamps" (LAB4-Walkthrough.md:185-190). The input to
+    * ML_DETECT_ANOMALIES is always a windowed series, so the cadence is the
+    * window width; the natural season of an intra-day cadence is the day
+    * (hourly → 24, 5-min → 288, 6-h → 4) and of a daily-or-coarser cadence
+    * the week (daily → 7). Returns 0 when the delta divides neither — the
+    * caller keeps trying subsequent deltas and STL stays off (inner
+    * forecaster only) until one resolves.
+    */
+  def inferPeriod(deltaMicros: Long): Int = {
+    val day = 86400000000L
+    val week = 7L * day
+    if (deltaMicros <= 0) 0
+    else if (day % deltaMicros == 0 && day / deltaMicros >= 2) (day / deltaMicros).toInt
+    else if (week % deltaMicros == 0 && week / deltaMicros >= 2) (week / deltaMicros).toInt
+    else 0
+  }
+
+  /** Shared auto-period tracker for the batch-sequential and streaming paths:
+    * fold each row's event-time micros through (lastTsMicros, period) state.
+    * No-op unless the config is in auto mode and the period is unresolved.
+    * Both paths fold the same time-ordered sequence, so the inferred period —
+    * and therefore every detection — stays bit-identical batch ≡ streaming.
+    */
+  private[graft] def advancePeriod(lastTsMicros: Long, period: Int, tsMicros: Long,
+                                   cfg: Config): (Long, Int) =
+    if (!cfg.enableStl || cfg.seasonalPeriod != 0 || period > 0) (tsMicros, period)
+    else if (lastTsMicros == Long.MinValue) (tsMicros, 0)
+    else (tsMicros, inferPeriod(tsMicros - lastTsMicros))
 
   private def inner(buf: List[Double], cfg: Config): (Double, Double) =
     cfg.forecast match {
@@ -88,10 +122,11 @@ object AnomalyDetector {
     * history and the incoming value, emit (forecast, upper, lower, isAnomaly)
     * — or warm-up nulls while history < minTrainingSize.
     */
-  private[graft] def step(buf: List[Double], v: Double, cfg: Config)
+  private[graft] def step(buf: List[Double], v: Double, cfg: Config,
+                          inferredPeriod: Int = 0)
   : (Option[Double], Option[Double], Option[Double], Boolean) =
     if (buf.size >= cfg.minTrainingSize) {
-      val (f, sd) = forecastPoint(buf, cfg)
+      val (f, sd) = forecastPoint(buf, cfg, inferredPeriod)
       val (lo, hi) = (f - cfg.z * sd, f + cfg.z * sd)
       (Some(f), Some(hi), Some(lo), v > hi || v < lo)
     } else (None, None, None, false)
@@ -146,6 +181,9 @@ object AnomalyDetector {
     val pre = df
       .withColumn("__v", valueCol.cast("double"))
       .withColumn("__key", concat_ws("\u0000", partitionCols.map(_.cast("string")): _*))
+      // auto-STL infers the season from the event-time cadence; the order
+      // column IS the event time in every ML_DETECT_ANOMALIES use
+      .withColumn("__ts", unix_micros(orderCols.head.cast("timestamp")))
       .repartition(partitionCols: _*)
       .sortWithinPartitions(col("__key") +: orderCols: _*)
     val outSchema = StructType(pre.schema.fields ++ Seq(
@@ -153,35 +191,49 @@ object AnomalyDetector {
       StructField("lower_bound", DoubleType), StructField("is_anomaly", BooleanType, nullable = false)))
     val vIdx = pre.schema.fieldIndex("__v")
     val keyIdx = pre.schema.fieldIndex("__key")
+    val tsIdx = pre.schema.fieldIndex("__ts")
     pre.mapPartitions { it =>
       var curKey: String = null
       var buf = List.empty[Double]
+      var lastTs = Long.MinValue
+      var period = 0
       it.map { r =>
         val key = r.getString(keyIdx)
-        if (key != curKey) { curKey = key; buf = Nil }
+        if (key != curKey) { curKey = key; buf = Nil; lastTs = Long.MinValue; period = 0 }
         if (r.isNullAt(vIdx)) {
           // null values: no detection, no history contribution (mirrors the
           // window path, whose count(v)/sum(v) skip nulls)
           Row.fromSeq(r.toSeq ++ Seq(null, null, null, false))
         } else {
           val v = r.getDouble(vIdx)
-          val (f, hi, lo, anom) = step(buf, v, cfg)
+          if (!r.isNullAt(tsIdx)) {
+            val st = advancePeriod(lastTs, period, r.getLong(tsIdx), cfg)
+            lastTs = st._1; period = st._2
+          }
+          val (f, hi, lo, anom) = step(buf, v, cfg, period)
           buf = (buf :+ v).takeRight(cfg.maxTrainingSize)
           Row.fromSeq(r.toSeq ++ Seq(f.orNull, hi.orNull, lo.orNull, anom))
         }
       }
     }(Encoders.row(outSchema))
-      .drop("__v", "__key")
+      .drop("__v", "__key", "__ts")
   }
 
   /** Pure-Scala single-series twin of detectBatch — the reference implementation
     * the streaming operator is tested against. Input must be time-ordered.
     * Returns (forecast, upper, lower, isAnomaly) per element.
     */
-  def detectSeries(values: Seq[Double], cfg: Config): Seq[(Option[Double], Option[Double], Option[Double], Boolean)] = {
+  def detectSeries(values: Seq[Double], cfg: Config): Seq[(Option[Double], Option[Double], Option[Double], Boolean)] =
+    detectSeries(values, cfg, inferredPeriod = 0)
+
+  /** Twin with an explicit auto-inferred period (what a timestamped path
+    * would have resolved) — pure series carry no timestamps to infer from.
+    */
+  def detectSeries(values: Seq[Double], cfg: Config, inferredPeriod: Int)
+  : Seq[(Option[Double], Option[Double], Option[Double], Boolean)] = {
     var buf = List.empty[Double]
     values.map { v =>
-      val out = step(buf, v, cfg)
+      val out = step(buf, v, cfg, inferredPeriod)
       buf = (buf :+ v).takeRight(cfg.maxTrainingSize)
       out
     }

@@ -49,11 +49,30 @@ object Tumble {
   */
 object IntervalJoin {
 
-  /** left.key = right.key AND left.ts BETWEEN right.ts + lower AND right.ts + upper */
+  /** left.key = right.key AND left.ts BETWEEN right.ts + lower AND right.ts + upper
+    *
+    * `bucketed = false` opts out of the composite-key layout, like
+    * `broadcast()` lets a caller declare a size property the planner can't
+    * see: on a quasi-unique key (a PK-FK join where each left row matches
+    * ≤ a handful of right rows) there is no skew to spread and no long
+    * per-key history to prune, so the bucket explode + wider join key is
+    * pure overhead — measured 2.3× slower at 6M×1.5M rows on `l_orderkey`.
+    * Keep the default for low-cardinality business keys (zones, cities),
+    * where bucketing is the difference between ≤2× replication and
+    * every-window-per-key replication through ≤|keys| reducers.
+    */
   def apply(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
-            leftTs: String, rightTs: String, lowerBound: String, upperBound: String): DataFrame = {
+            leftTs: String, rightTs: String, lowerBound: String, upperBound: String,
+            bucketed: Boolean = true): DataFrame = {
     val lo = expr(s"INTERVAL $lowerBound")
     val hi = expr(s"INTERVAL $upperBound")
+    if (!bucketed) {
+      return left.join(right,
+        left(leftKey) === right(rightKey) &&
+          left(leftTs) >= right(rightTs) + lo &&
+          left(leftTs) <= right(rightTs) + hi,
+        "inner")
+    }
     // Bucketing stays correct for ANY width ≥ the true span: the right side
     // replicates to every bucket its real (Spark-arithmetic) match range
     // overlaps, so variable-length units just use a conservative upper bound

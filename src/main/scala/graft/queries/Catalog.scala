@@ -91,7 +91,11 @@ object Catalog {
   private val q04 = Q("q04_interval_join", (s, dir) => {
     val l = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
     val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
-    IntervalJoin(l, o, "l_orderkey", "o_orderkey", "l_shipdate", "o_orderdate", "'0' DAY", "'30' DAY")
+    // bucketed = false: l_orderkey is a quasi-unique PK-FK key (≤7 lines per
+    // order, no skew) — the plain equi-join + residual range is 2.3× faster
+    // at sf1; q44 (low-cardinality zone key) keeps the bucketed layout.
+    IntervalJoin(l, o, "l_orderkey", "o_orderkey", "l_shipdate", "o_orderdate", "'0' DAY", "'30' DAY",
+      bucketed = false)
       .select(
         col("l_orderkey").as("order_id"),
         col("l_linenumber").cast("long").as("line_number"),
@@ -1133,6 +1137,109 @@ object Catalog {
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("median_price_approx"))
   }, None)
 
+  private val q74 = Q("q74_anomaly_stl_auto", (s, dir) => {
+    // M2's enableStl path with seasonalPeriod = 0 (AUTO): the period is
+    // inferred from the series cadence (6-h tumble → day/6h = 4), the way the
+    // reference's closed engine infers it "from timestamps"
+    // (LAB4-Walkthrough.md:185-190). Rows-only like q61 (per-row decomposition
+    // + fit has no DuckDB formulation); correctness pinned by the
+    // auto-period specs (batch ≡ pure twin ≡ streaming, phase-break caught).
+    val series = Tumble(t(s, dir, "events"), "ts", "6 hours", col("event_type"))(
+      "request_count" -> count(lit(1)))
+      .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("request_count"))
+    AnomalyDetector.detectBatch(series, col("request_count"),
+      Seq(col("event_type")), Seq(col("window_start")),
+      anomalyCfg.copy(enableStl = true, seasonalPeriod = 0, forecast = "ar"))
+      .select(col("window_start"), col("event_type"), col("request_count"),
+        col("forecast_value"), col("upper_bound"), col("lower_bound"), col("is_anomaly"))
+  }, None)
+
+  private val q75 = Q("q75_pq_ann", (s, dir) => {
+    // Product-quantized ANN over the embeddings table: codebook from a
+    // bounded deterministic sample, corpus encoded to m-byte codes (32×
+    // smaller than the float vectors), ADC candidate search, exact-cosine
+    // rerank of the short list. Rows-only (driver-side codebook has no SQL
+    // formulation); the recall-vs-exact contract is PqIndexSpec's.
+    val emb = t(s, dir, "embeddings").select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    val cb = graft.vector.PqIndex.train(emb, "nvec", m = 8, ks = 16, iterations = 3)
+    val encoded = graft.vector.PqIndex.encode(emb, "nvec", cb)
+    val queries = emb.filter(col("nid") < 20).select(col("nid").as("qid"), col("nvec").as("qvec"))
+    graft.vector.PqIndex.searchRerank(queries, "qid", "qvec", encoded, "nid", "nvec", cb, k = 3)
+  }, None)
+
+  private val q71 = Q("q71_outer_join", (s, dir) => {
+    // Left outer join with null-side handling (beyond reference parity —
+    // §2.3 notes the labs use inner joins only): customers without orders
+    // survive with zeroed aggregates. Dim side broadcast; fact side never
+    // shuffles for the join, and the pre-aggregation happens BEFORE the join
+    // so the outer join sees one row per customer, not one per order.
+    val c = t(s, dir, "customer")
+    val byCust = t(s, dir, "orders").groupBy("o_custkey").agg(
+      count(lit(1)).as("order_cnt"),
+      Scalars.sumMoney(col("o_totalprice")).as("total_spend"))
+    c.join(byCust, c("c_custkey") === byCust("o_custkey"), "left")
+      .select(
+        c("c_custkey").as("customer_id"),
+        c("c_name").as("customer_name"),
+        coalesce(col("order_cnt"), lit(0L)).as("order_cnt"),
+        coalesce(col("total_spend"), lit(0.0)).as("total_spend"))
+  }, Some("""
+    SELECT c.c_custkey AS customer_id, c.c_name AS customer_name,
+           COALESCE(o.order_cnt, 0) AS order_cnt,
+           COALESCE(o.total_spend, 0.0) AS total_spend
+    FROM customer c LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS order_cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total_spend
+      FROM orders GROUP BY o_custkey) o
+    ON c.c_custkey = o.o_custkey"""))
+
+  private val q72 = Q("q72_semi_anti_join", (s, dir) => {
+    // Semi + anti joins — existence tests that never replicate the probe
+    // side (a semi join shuffles each left row once and emits ≤1 copy,
+    // where an equivalent IN-join + distinct would replicate then dedup).
+    // Suppliers partitioned by whether any of their lines moved at max discount.
+    val su = t(s, dir, "supplier")
+    val deep = t(s, dir, "lineitem")
+      .filter(col("l_discount") >= 0.1)
+      .select(col("l_suppkey"))
+    val semi = su.join(deep, su("s_suppkey") === deep("l_suppkey"), "left_semi")
+      .select(col("s_suppkey").as("supp_id"), col("s_name").as("supp_name"),
+        lit("discounted").as("bucket"))
+    val anti = su.join(deep, su("s_suppkey") === deep("l_suppkey"), "left_anti")
+      .select(col("s_suppkey").as("supp_id"), col("s_name").as("supp_name"),
+        lit("full_price").as("bucket"))
+    semi.unionByName(anti)
+  }, Some("""
+    SELECT s_suppkey AS supp_id, s_name AS supp_name, 'discounted' AS bucket
+    FROM supplier WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.1)
+    UNION ALL
+    SELECT s_suppkey AS supp_id, s_name AS supp_name, 'full_price' AS bucket
+    FROM supplier WHERE s_suppkey NOT IN (
+      SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.1)"""))
+
+  private val q73 = Q("q73_having_grouping_sets", (s, dir) => {
+    // GROUPING SETS + HAVING (the grouping-analytics surface q49's ROLLUP
+    // started): per-(flag,status) and per-flag totals in one pass over the
+    // scan — Spark expands the sets map-side, one shuffle, not one job per
+    // set — with a post-aggregation filter and grouping() markers so the
+    // set each row came from is explicit.
+    val li = t(s, dir, "lineitem")
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), Scalars.sumMoney(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_linestatus")).cast("long").as("is_flag_total"))
+      .filter(col("cnt") > 1000)
+  }, Some("""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS is_flag_total
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))
+    HAVING COUNT(*) > 1000"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1141,7 +1248,8 @@ object Catalog {
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
+    q71, q72, q73, q74, q75)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -37,7 +37,13 @@ object StreamingAnomaly {
   case class DetectionP(key: String, ts: Timestamp, value: Double, payload: String,
                         forecast_value: Option[Double], upper_bound: Option[Double],
                         lower_bound: Option[Double], is_anomaly: Boolean)
-  case class BufferState(values: List[Double])
+  /** Ring buffer plus the auto-STL period tracker (lastTsMicros/period are
+    * inert unless the config is `enableStl` with `seasonalPeriod = 0` — see
+    * AnomalyDetector.advancePeriod).
+    */
+  case class BufferState(values: List[Double],
+                         lastTsMicros: Long = Long.MinValue,
+                         period: Int = 0)
 
   def apply(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
             cfg: AnomalyDetector.Config): Dataset[Detection] = {
@@ -71,16 +77,22 @@ object StreamingAnomaly {
       .flatMapGroupsWithState[BufferState, DetectionP](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[PointP], state: GroupState[BufferState]) =>
           var buf = state.getOption.map(_.values).getOrElse(Nil)
+          var lastTs = state.getOption.map(_.lastTsMicros).getOrElse(Long.MinValue)
+          var period = state.getOption.map(_.period).getOrElse(0)
           val out = rows.toSeq.sortBy(_.ts.getTime).map { p =>
             // forecast math lives in AnomalyDetector.step — one copy shared
             // with the batch sequential path and the pure-Scala twin, so
-            // batch ≡ streaming holds for every forecast option (zband, ar)
-            val (f, hi, lo, anom) = AnomalyDetector.step(buf, p.value, cfg)
+            // batch ≡ streaming holds for every forecast option (zband, ar,
+            // stl incl. auto-period: advancePeriod folds the same time-ordered
+            // sequence here and in detectBatchSeq)
+            val st = AnomalyDetector.advancePeriod(lastTs, period, p.ts.getTime * 1000L, cfg)
+            lastTs = st._1; period = st._2
+            val (f, hi, lo, anom) = AnomalyDetector.step(buf, p.value, cfg, period)
             val det = DetectionP(key, p.ts, p.value, p.payload, f, hi, lo, anom)
             buf = (buf :+ p.value).takeRight(cfg.maxTrainingSize)
             det
           }
-          state.update(BufferState(buf))
+          state.update(BufferState(buf, lastTs, period))
           out.iterator
       }
   }

@@ -30,15 +30,21 @@ object TtlAnomaly {
 
     override def handleInputRows(key: String, rows: Iterator[Point],
                                  timerValues: TimerValues): Iterator[Detection] = {
-      var history = Option(buf.get()).map(_.values).getOrElse(Nil)
+      val prior = Option(buf.get())
+      var history = prior.map(_.values).getOrElse(Nil)
+      var lastTs = prior.map(_.lastTsMicros).getOrElse(Long.MinValue)
+      var period = prior.map(_.period).getOrElse(0)
       val out = rows.toSeq.sortBy(_.ts.getTime).map { p =>
-        // shared forecast step (zband/ar) — see AnomalyDetector.step
-        val (f, hi, lo, anom) = AnomalyDetector.step(history, p.value, cfg)
+        // shared forecast step (zband/ar/stl incl. auto-period) — see
+        // AnomalyDetector.step / advancePeriod
+        val st = AnomalyDetector.advancePeriod(lastTs, period, p.ts.getTime * 1000L, cfg)
+        lastTs = st._1; period = st._2
+        val (f, hi, lo, anom) = AnomalyDetector.step(history, p.value, cfg, period)
         val det = Detection(key, p.ts, p.value, f, hi, lo, anom)
         history = (history :+ p.value).takeRight(cfg.maxTrainingSize)
         det
       }
-      buf.update(BufferState(history))
+      buf.update(BufferState(history, lastTs, period))
       out.iterator
     }
   }

@@ -197,11 +197,55 @@ class StlAnomalySpec extends SparkSpec {
   private val series: Seq[Double] =
     (0 until 40).map(t => pattern(t % 4) + (t % 3) * 0.3)
 
-  test("Config rejects enableStl without a seasonalPeriod") {
+  test("Config: enableStl accepts an explicit period >= 2 or 0 (auto); rejects 1/negative") {
+    AnomalyDetector.Config(8, 50, 99.0, enableStl = true) // seasonalPeriod = 0 → auto
     val e = intercept[IllegalArgumentException] {
-      AnomalyDetector.Config(8, 50, 99.0, enableStl = true)
+      AnomalyDetector.Config(8, 50, 99.0, enableStl = true, seasonalPeriod = 1)
     }
     assert(e.getMessage.contains("seasonalPeriod"))
+    intercept[IllegalArgumentException] {
+      AnomalyDetector.Config(8, 50, 99.0, enableStl = true, seasonalPeriod = -3)
+    }
+  }
+
+  test("inferPeriod maps the series cadence to its natural season") {
+    val hour = 3600000000L
+    assert(AnomalyDetector.inferPeriod(hour) == 24) // hourly → day
+    assert(AnomalyDetector.inferPeriod(5 * 60 * 1000000L) == 288) // 5-min → day
+    assert(AnomalyDetector.inferPeriod(6 * hour) == 4) // 6-h → day
+    assert(AnomalyDetector.inferPeriod(24 * hour) == 7) // daily → week
+    assert(AnomalyDetector.inferPeriod(7 * 3600000000L) == 24) // 7h divides the week
+    assert(AnomalyDetector.inferPeriod(13 * hour) == 0) // divides nothing → off
+    assert(AnomalyDetector.inferPeriod(0L) == 0)
+  }
+
+  test("auto period: batch infers the season from timestamps and matches the explicit twin") {
+    import spark.implicits._
+    val auto = stlCfg().copy(seasonalPeriod = 0) // period-4 season, 6-h cadence → inferred 4
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = series.zipWithIndex.map { case (v, i) =>
+      ("k", new java.sql.Timestamp(base + i * 6L * 3600 * 1000), v)
+    }
+    val df = rows.toDF("k", "ts", "v").repartition(4)
+    val got = AnomalyDetector.detectBatch(df, col("v"), Seq(col("k")), Seq(col("ts")), auto)
+      .select("ts", "forecast_value", "is_anomaly")
+      .collect().map(r => r.getTimestamp(0).getTime ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getBoolean(2))).toMap
+    // the explicit-period pure twin (seasonalPeriod = 4 == what auto infers)
+    val want = AnomalyDetector.detectSeries(series, stlCfg())
+    series.indices.foreach { i =>
+      val k = base + i * 6L * 3600 * 1000
+      assert(got(k) == ((want(i)._1, want(i)._4)), s"row $i: ${got(k)} vs ${want(i)}")
+    }
+    // and it genuinely used STL: the anti-seasonal break is caught
+    val broken = series :+ 50.0
+    val rows2 = broken.zipWithIndex.map { case (v, i) =>
+      ("k", new java.sql.Timestamp(base + i * 6L * 3600 * 1000), v)
+    }
+    val last = AnomalyDetector.detectBatch(rows2.toDF("k", "ts", "v"), col("v"),
+      Seq(col("k")), Seq(col("ts")), auto)
+      .orderBy("ts").collect().last
+    assert(last.getAs[Boolean]("is_anomaly"), "auto-period STL must flag the phase break")
   }
 
   test("STL tracks the seasonal pattern; the plain band cannot") {

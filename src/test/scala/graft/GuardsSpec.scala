@@ -30,12 +30,14 @@ class GuardsSpec extends SparkSpec {
     assert(e.getMessage.contains("recall"))
   }
 
-  test("anomaly Config rejects enableStl=TRUE explicitly") {
+  test("anomaly Config: enableStl=TRUE constructs (auto period); a degenerate period is rejected") {
+    // auto mode (seasonalPeriod = 0): period inferred from the series cadence
+    AnomalyDetector.Config(minTrainingSize = 5, maxTrainingSize = 20,
+      confidencePercentage = 95.0, enableStl = true)
     val e = intercept[IllegalArgumentException] {
-      AnomalyDetector.Config(minTrainingSize = 5, maxTrainingSize = 20,
-        confidencePercentage = 95.0, enableStl = true)
+      AnomalyDetector.Config(5, 20, 95.0, enableStl = true, seasonalPeriod = 1)
     }
-    assert(e.getMessage.contains("enableStl"))
+    assert(e.getMessage.contains("seasonalPeriod"))
     // FALSE (the only value the reference ever sets) still constructs
     AnomalyDetector.Config(5, 20, 95.0, enableStl = false)
   }

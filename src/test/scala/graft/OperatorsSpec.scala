@@ -34,6 +34,22 @@ class IntervalJoinSpec extends SparkSpec {
     val out = IntervalJoin(left, right, "k", "k2", "lts", "rts", "'0' DAY", "'30' DAY")
     assert(out.count() == 1)
   }
+
+  test("bucketed and unbucketed plans return identical rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 500).map(i =>
+      ((rnd.nextInt(4) + 1).toLong, i.toLong, new Timestamp(1700000000000L + rnd.nextInt(2000000) * 1000L)))
+      .toDF("k", "lid", "lts")
+    val right = (1 to 80).map(i =>
+      ((rnd.nextInt(5) + 1).toLong, i.toLong, new Timestamp(1700000000000L + rnd.nextInt(2000000) * 1000L)))
+      .toDF("k2", "rid", "rts")
+    def run(b: Boolean) =
+      IntervalJoin(left, right, "k", "k2", "lts", "rts", "'0' HOUR", "'48' HOUR", bucketed = b)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val bucketedRows = run(true)
+    assert(bucketedRows == run(false) && bucketedRows.nonEmpty)
+  }
 }
 
 class TopKSpec extends SparkSpec {

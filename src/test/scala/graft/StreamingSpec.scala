@@ -136,6 +136,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming auto-period STL infers the season from timestamps and matches the twin") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Double)]
+    // period-4 sawtooth on a 6-hour cadence → auto infers period 4 (day/6h)
+    val pattern = Array(10.0, 30.0, 50.0, 30.0)
+    val values = (0 until 24).map(t => pattern(t % 4) + (t % 3) * 0.3) :+ 50.0 // final phase break
+    val cfg = AnomalyDetector.Config(minTrainingSize = 8, maxTrainingSize = 50,
+      confidencePercentage = 99.0, enableStl = true) // seasonalPeriod = 0 → auto
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val det = StreamingAnomaly(mem.toDF().toDF("key", "ts", "value"), "key", "ts", "value", cfg)
+    val q = det.writeStream.format("memory").queryName("stl_auto_out").outputMode("append").start()
+    try {
+      val points = values.zipWithIndex.map { case (v, i) =>
+        ("k1", new Timestamp(base + i * 6L * 3600 * 1000), v)
+      }
+      val (first, second) = points.splitAt(10) // period must survive the state round-trip
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(second: _*); q.processAllAvailable()
+      val got = spark.table("stl_auto_out").orderBy("ts")
+        .select("forecast_value", "is_anomaly").collect()
+      // pure twin with the period auto would infer
+      val want = AnomalyDetector.detectSeries(values, cfg, inferredPeriod = 4)
+      got.zip(want).foreach { case (row, (f, _, _, anom)) =>
+        assert((if (row.isNullAt(0)) None else Some(row.getDouble(0))) == f)
+        assert(row.getBoolean(1) == anom)
+      }
+      assert(got.last.getBoolean(1), "the anti-seasonal break must be flagged")
+      assert(got.init.count(_.getBoolean(1)) == 0, "in-pattern points stay inside the band")
+    } finally q.stop()
+  }
+
   test("streaming interval join matches batch semantics") {
     implicit val sq = spark.sqlContext
     implicit val encL = Encoders.product[(Long, Timestamp)]
