@@ -114,6 +114,44 @@ object Curation {
     spark.createDataFrame(packed, schema)
   }
 
+  /** Deterministic stratified sampling: per-stratum keep rates (percent) over
+    * the same content-hash bucket as [[sample]], so the draw is reproducible
+    * across runs/engines AND consistent with the unstratified sample — a doc
+    * kept at 50% is still kept at any rate ≥ 50. Strata absent from `rates`
+    * fall back to `defaultPct`. Row-local filter: no shuffle, scan speed.
+    * Output adds `stratum` and `bucket` columns.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: Column, keyCol: String,
+                       rates: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPct): Column) {
+      case (acc, (k, pct)) => when(stratumCol === k, pct).otherwise(acc)
+    }
+    df.withColumn("stratum", stratumCol)
+      .withColumn("bucket", hashBucket(col(keyCol)))
+      .filter(col("bucket") < rate)
+  }
+
+  /** Domain mixture weighting (the DoReMi/SlimPajama-style recipe step):
+    * given a target token share per domain and a total training budget,
+    * compute per-domain token counts and the repeat weight (and whole-epoch
+    * count) each domain needs to hit its share. One map-side-combined
+    * hash-agg — a single shuffle of |domains| rows no matter the corpus size;
+    * the output is the driver-sized mixing table a sampler consumes.
+    */
+  def mixtureWeights(df: DataFrame, domainCol: Column, textCol: String,
+                     targets: Map[String, Double], budgetTokens: Long): DataFrame = {
+    val share = targets.foldLeft(lit(0.0): Column) {
+      case (acc, (k, s)) => when(col("domain") === k, s).otherwise(acc)
+    }
+    df.select(domainCol.as("domain"), Text.tokenCount(col(textCol)).cast("long").as("__tok"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("domain_tokens"))
+      .withColumn("target_share", share)
+      .withColumn("target_tokens", round(col("target_share") * budgetTokens).cast("long"))
+      .withColumn("weight", col("target_tokens").cast("double") / col("domain_tokens").cast("double"))
+      .withColumn("epochs", ceil(col("weight")).cast("long"))
+  }
+
   /** The composed curation flow a 100 TB pre-training pipeline runs:
     * exact dedup → near-dup removal (MinHash LSH, keep the lowest id of each
     * verified pair) → language filter → quality threshold. Returns the

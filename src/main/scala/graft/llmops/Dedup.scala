@@ -367,6 +367,78 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Benchmark decontamination: per corpus doc, the fraction of its DISTINCT
+    * token n-grams that appear anywhere in a benchmark/eval set, flagged
+    * `contaminated` at `threshold` — the standard pre-training hygiene filter
+    * ("n-gram overlap with the test set") run before any eval-adjacent corpus
+    * ships to training.
+    *
+    * Scale shape: benchmark suites are tiny (MBs) next to a 100 TB corpus, so
+    * the bench side reduces to DISTINCT 64-bit shingle hashes (xxhash64 — the
+    * same engine hash the LSH family uses) and ships to every executor as one
+    * broadcast sorted array; the corpus side then NEVER shuffles — one scan,
+    * row-local shingling + binary-search probes, one output row per doc. A
+    * bench set above `broadcastMaxShingles` distinct shingles falls back to a
+    * distributed inverted-index left join keyed on the 8-byte hash (counts
+    * identical, spec-pinned); that path shuffles (doc, shingle-hash) pairs
+    * once and is the shape for decontaminating against another full corpus.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, textCol: String, idCol: String,
+                    shingleSize: Int = 3, threshold: Double = 0.5,
+                    broadcastMaxShingles: Long = 50L * 1000 * 1000,
+                    forceDistributed: Boolean = false): DataFrame = {
+    val sz = shingleSize
+    val benchHashes = bench
+      .select(Text.tokens(col(textCol)).as("__toks"))
+      .select(explode(Text.shinglesFromTokens(col("__toks"), sz)).as("__shingle"))
+      .select(xxhash64(col("__shingle")).as("__h")).distinct()
+
+    val nBench = benchHashes.count()
+    if (forceDistributed || nBench > broadcastMaxShingles) {
+      // inverted-index path: distinct (doc, hash) pairs left-joined against
+      // the bench hash set; matched = count of survivors, docs with zero
+      // matches kept by the left join
+      val corpusSh = corpus
+        .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__toks"))
+        .select(col("doc_id"),
+          array_distinct(Text.shinglesFromTokens(col("__toks"), sz)).as("__sh"))
+      val inv = corpusSh
+        .select(col("doc_id"), size(col("__sh")).cast("long").as("n_ngrams"),
+          explode(col("__sh")).as("__shingle"))
+        .select(col("doc_id"), col("n_ngrams"), xxhash64(col("__shingle")).as("__h"))
+      inv.join(benchHashes.withColumn("__hit", lit(1L)), Seq("__h"), "left")
+        .groupBy("doc_id")
+        .agg(first(col("n_ngrams")).as("n_ngrams"),
+          coalesce(sum(col("__hit")), lit(0L)).as("matched"))
+        .withColumn("overlap", col("matched").cast("double") / col("n_ngrams").cast("double"))
+        .withColumn("contaminated", col("overlap") >= threshold)
+    } else {
+      val sorted = benchHashes.collect().map(_.getLong(0)).sorted
+      val bc = corpus.sparkSession.sparkContext.broadcast(sorted)
+      val statsUdf = udf((text: String) => {
+        val set = bc.value
+        val sh = RowHash.shingles(RowHash.tokens(text), sz)
+        val seen = new java.util.HashSet[Long](sh.length * 2)
+        var n = 0L; var matched = 0L
+        var i = 0
+        while (i < sh.length) {
+          val h = RowHash.utf8(sh(i))
+          if (seen.add(h)) {
+            n += 1
+            if (java.util.Arrays.binarySearch(set, h) >= 0) matched += 1
+          }
+          i += 1
+        }
+        (n, matched)
+      })
+      corpus
+        .select(col(idCol).as("doc_id"), statsUdf(col(textCol)).as("__st"))
+        .select(col("doc_id"), col("__st._1").as("n_ngrams"), col("__st._2").as("matched"))
+        .withColumn("overlap", col("matched").cast("double") / col("n_ngrams").cast("double"))
+        .withColumn("contaminated", col("overlap") >= threshold)
+    }
+  }
+
   /** Hot-bucket guard shared by the LSH variants: a bucket bigger than `cap`
     * (boilerplate-heavy corpora — headers, licence blocks — collapse many docs
     * into one band signature) would contribute O(cap²) candidate pairs; such

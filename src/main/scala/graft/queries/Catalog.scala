@@ -1240,6 +1240,64 @@ object Catalog {
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))
     HAVING COUNT(*) > 1000"""))
 
+  private val q76 = Q("q76_decontam", (s, dir) => {
+    // Benchmark decontamination: eval set = every 10th doc; flag corpus docs
+    // whose distinct trigram sets are ≥50% contained in the benchmark set.
+    val docs = t(s, dir, "documents")
+    graft.llmops.Dedup.decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+      "text", "doc_id", shingleSize = 3, threshold = 0.5)
+  }, Some("""
+    WITH c AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents WHERE doc_id % 10 <> 0),
+         b AS (SELECT string_split_regex(trim(text), '\s+') AS t FROM documents WHERE doc_id % 10 = 0),
+         cs AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2, 1)+1),
+                     i -> array_to_string(t[i:i+2], ' '))) AS s FROM c),
+         bs AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 1)+1),
+                     i -> array_to_string(t[i:i+2], ' ')))) AS shingle FROM b),
+         inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM cs),
+         m AS (SELECT i.doc_id, any_value(i.n) AS n, count(b2.shingle) AS matched
+               FROM inv i LEFT JOIN bs b2 ON i.shingle = b2.shingle GROUP BY i.doc_id)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_ngrams, CAST(matched AS BIGINT) AS matched,
+           CAST(matched AS DOUBLE) / CAST(n AS DOUBLE) AS overlap,
+           (CAST(matched AS DOUBLE) / CAST(n AS DOUBLE)) >= 0.5 AS contaminated
+    FROM m"""))
+
+  private val q77 = Q("q77_stratified_sample", (s, dir) => {
+    // Deterministic stratified sampling: keep 10% of short docs, 50% of
+    // medium, all long — the corpus-rebalancing step of a data recipe.
+    val stratum = when(length(col("text")) < 200, "short")
+      .when(length(col("text")) < 500, "medium").otherwise("long")
+    graft.llmops.Curation.stratifiedSample(t(s, dir, "documents"), stratum, "text",
+      Map("short" -> 10, "medium" -> 50, "long" -> 100))
+      .select(col("doc_id"), col("stratum"), col("bucket"))
+  }, Some("""
+    WITH b AS (SELECT doc_id,
+        CASE WHEN length(text) < 200 THEN 'short' WHEN length(text) < 500 THEN 'medium' ELSE 'long' END AS stratum,
+        ('0x' || substring(md5(text), 1, 8))::BIGINT % 100 AS bucket FROM documents)
+    SELECT doc_id, stratum, bucket FROM b
+    WHERE bucket < CASE stratum WHEN 'short' THEN 10 WHEN 'medium' THEN 50 ELSE 100 END"""))
+
+  private val q78 = Q("q78_mixture_weights", (s, dir) => {
+    // Domain-mixture weighting: per-domain token mass → repeat weights/epochs
+    // to hit a 40/30/20/10 share of a 1M-token budget.
+    val domain = when(col("doc_id") % 4 === 0, "web")
+      .when(col("doc_id") % 4 === 1, "books")
+      .when(col("doc_id") % 4 === 2, "code").otherwise("wiki")
+    graft.llmops.Curation.mixtureWeights(t(s, dir, "documents"), domain, "text",
+      Map("web" -> 0.4, "books" -> 0.3, "code" -> 0.2, "wiki" -> 0.1),
+      budgetTokens = 1000000L)
+  }, Some("""
+    WITH d AS (SELECT CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'web' WHEN 1 THEN 'books' WHEN 2 THEN 'code' ELSE 'wiki' END AS domain,
+                      len(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+         a AS (SELECT domain, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS domain_tokens FROM d GROUP BY domain),
+         w AS (SELECT *, CASE domain WHEN 'web' THEN CAST(0.4 AS DOUBLE) WHEN 'books' THEN CAST(0.3 AS DOUBLE)
+                              WHEN 'code' THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.1 AS DOUBLE) END AS target_share FROM a),
+         tt AS (SELECT *, CAST(round(target_share * 1000000) AS BIGINT) AS target_tokens FROM w)
+    SELECT domain, n_docs, domain_tokens, target_share, target_tokens,
+           CAST(target_tokens AS DOUBLE) / CAST(domain_tokens AS DOUBLE) AS weight,
+           CAST(ceil(CAST(target_tokens AS DOUBLE) / CAST(domain_tokens AS DOUBLE)) AS BIGINT) AS epochs
+    FROM tt"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1249,7 +1307,7 @@ object Catalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75)
+    q71, q72, q73, q74, q75, q76, q77, q78)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
