@@ -439,6 +439,45 @@ object Dedup {
     }
   }
 
+  /** Resolve pairwise duplicate edges into clusters: connected components by
+    * min-label propagation, the step that turns any of the pair-producing
+    * operators above into actual keep/drop decisions (keep `cluster_id`, drop
+    * the rest — without it, A~B and B~C dedup to nothing because A~C was never
+    * emitted as a pair).
+    *
+    * Iterative: each round every node takes the min label among itself and its
+    * neighbours — one join + one min-agg, both shuffling on node id. Rounds
+    * needed = component diameter; near-dup components are tiny cliques/chains,
+    * so convergence is typically ≤ 3-4 rounds regardless of corpus size. Each
+    * round is localCheckpoint-ed to cut lineage; the loop stops at the first
+    * round that changes no label (an O(|V|) count per round, distributed).
+    *
+    * Output: (id, cluster_id) for every id that appears in a pair, where
+    * cluster_id = min id of the component. Singletons never enter the edge
+    * list and are implicitly their own cluster.
+    */
+  def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val prop = edges.join(labels, edges("id_a") === labels("id"))
+        .select(col("id_b").as("id"), col("label"))
+      val next = labels.union(prop).groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "__old"), "id")
+        .filter(col("label") =!= col("__old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Hot-bucket guard shared by the LSH variants: a bucket bigger than `cap`
     * (boilerplate-heavy corpora — headers, licence blocks — collapse many docs
     * into one band signature) would contribute O(cap²) candidate pairs; such

@@ -1298,6 +1298,45 @@ object Catalog {
            CAST(ceil(CAST(target_tokens AS DOUBLE) / CAST(domain_tokens AS DOUBLE)) AS BIGINT) AS epochs
     FROM tt"""))
 
+  private val q79 = Q("q79_scd2_build", (s, dir) => {
+    // SCD type-2 dimension from the event change log: per user, collapse
+    // consecutive identical event_types, derive validity intervals.
+    graft.operators.Scd2(
+      t(s, dir, "events").select("event_id", "user_id", "ts", "event_type"),
+      "user_id", "event_type", "ts", "event_id")
+  }, Some(s"""
+    WITH d AS (SELECT user_id, event_type, ts, event_id,
+                      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM $EV),
+         c AS (SELECT * FROM d WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM c"""))
+
+  private val q80 = Q("q80_dedup_clusters", (s, dir) => {
+    // Near-dup pairs → connected components: the keep/drop resolution step
+    // (cluster_id = min id of each component; DuckDB oracle = recursive CTE
+    // transitive closure over the same oracle-checked pair set as q30).
+    val pairs = graft.llmops.Dedup.embeddingNearDup(
+      t(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding")),
+      "embedding", "vec_id", threshold = 0.35).select("id_a", "id_b")
+    graft.llmops.Dedup.clusters(pairs)
+  }, Some("""
+    WITH RECURSIVE
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 300),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35),
+      edges AS (SELECT id_a, id_b FROM p UNION SELECT id_b AS id_a, id_a AS id_b FROM p),
+      reach(id, label) AS (
+        SELECT id_a AS id, id_a AS label FROM edges
+        UNION
+        SELECT e2.id_a AS id, r.label FROM edges e2 JOIN reach r ON e2.id_b = r.id
+      )
+    SELECT id, min(label) AS cluster_id FROM reach GROUP BY id"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1307,7 +1346,7 @@ object Catalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -65,6 +65,50 @@ class MixingSpec extends SparkSpec {
     assert(keptMedium.join(plain, Seq("doc_id"), "left_anti").count() == 0)
   }
 
+  test("clusters resolves chains and separate components to min labels") {
+    import spark.implicits._
+    // chain 1-2-3 (1~3 never emitted as a pair — the case pair-dropping alone
+    // gets wrong) plus an unrelated component {10,11}
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val m = Dedup.clusters(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusters: every real near-dup pair lands in one component") {
+    val pairs = Dedup.embeddingNearDup(
+      graft.core.Tables(spark, sfDir, "embeddings")
+        .filter(col("vec_id") < 300).select(col("vec_id"), col("embedding")),
+      "embedding", "vec_id", threshold = 0.35).select("id_a", "id_b").cache()
+    val labels = Dedup.clusters(pairs)
+    val a = labels.withColumnRenamed("id", "id_a").withColumnRenamed("cluster_id", "ca")
+    val b = labels.withColumnRenamed("id", "id_b").withColumnRenamed("cluster_id", "cb")
+    val joined = pairs.join(a, "id_a").join(b, "id_b")
+    assert(joined.count() == pairs.count(), "every pair id must be labelled")
+    assert(joined.filter(col("ca") =!= col("cb")).count() == 0,
+      "pair endpoints must share a cluster")
+    assert(labels.filter(col("cluster_id") > col("id")).count() == 0,
+      "cluster_id is the component min")
+  }
+
+  test("scd2 collapses unchanged states and derives validity intervals") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    val log = Seq(
+      (1L, 100L, ts(1), "A"), (2L, 100L, ts(2), "A"), (3L, 100L, ts(3), "B"),
+      (4L, 100L, ts(4), "A"), (5L, 200L, ts(1), "X"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.operators.Scd2(log, "user_id", "event_type", "ts", "event_id")
+      .orderBy("user_id", "valid_from").collect()
+    val u1 = out.filter(_.getAs[Long]("user_id") == 100L)
+    assert(u1.map(_.getAs[String]("state")).toSeq == Seq("A", "B", "A"))
+    assert(u1(0).getAs[java.sql.Timestamp]("valid_to") == ts(3), "A's interval closes when B starts")
+    assert(u1(1).getAs[java.sql.Timestamp]("valid_to") == ts(4))
+    assert(u1(2).getAs[java.sql.Timestamp]("valid_to") == null && u1(2).getAs[Boolean]("is_current"))
+    val u2 = out.filter(_.getAs[Long]("user_id") == 200L)
+    assert(u2.length == 1 && u2(0).getAs[Boolean]("is_current"))
+  }
+
   test("mixtureWeights computes the mixing table exactly") {
     import spark.implicits._
     val df = Seq(
