@@ -49,4 +49,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("EqualTo(o_orderstatus,O)") && p.contains("GreaterThan(o_total"),
       "both predicates must be pushed to the scan")
   }
+
+  test("q79: SCD2's two window passes share one exchange and one sort") {
+    val p = plan("q79_scd2_build")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"both windows must reuse a single (user_id) exchange:\n${p.linesIterator.filter(_.contains("Exchange")).mkString("\n")}")
+    assert("\\bSort \\[".r.findAllIn(p).size == 1,
+      "both windows must reuse a single (user_id, ts, event_id) sort")
+  }
+
+  test("q76: decontamination's corpus scan is shuffle-free on the broadcast path") {
+    val p = plan("q76_decontam")
+    assert(!p.contains("Exchange"),
+      s"the corpus side must not shuffle — bench hashes ship as a broadcast array:\n$p")
+  }
 }
