@@ -1,0 +1,41 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Corpus-level term statistics: document frequency and per-doc
+  * characteristic terms (tf·idf keyword extraction).
+  */
+object CorpusStats {
+
+  /** Top-k characteristic terms per document by tf·idf.
+    *
+    * idf is the RATIONAL form N/df, not log(N/df): the ranking inside a doc
+    * is identical (log is monotone), and rational arithmetic on integers is
+    * bit-reproducible across engines, so the DuckDB oracle can hash-match —
+    * transcendentals are where cross-engine float equality goes to die.
+    *
+    * Scale shape: tf is a (doc, token)-keyed map-side-combined agg over the
+    * exploded scan; df is a vocab-sized agg OF tf (not of the corpus — tf is
+    * already one row per (doc, token)); the join back to tf shuffles on token
+    * (vocab-partitioned, the standard inverted layout); the final top-k is a
+    * per-doc window bounded by each doc's own vocabulary. Ties break on the
+    * token string so the cut is deterministic.
+    */
+  def tfIdfTopTerms(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame = {
+    val n = df.count()
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(Text.tokens(lower(col(textCol)))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .withColumn("score", (col("tf") * n).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "token", "tf", "df", "score", "rank")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over event logs: ordered funnels and cohort
+  * retention. Both are user-keyed — every stage shuffles on the SAME user
+  * key, so co-partitioning carries through the plan and each step is a
+  * hash-agg or co-located join, never a replication.
+  */
+object Behavior {
+
+  /** Ordered funnel: for each user, the earliest time of each stage such that
+    * stage i+1 STRICTLY follows the user's committed stage-i time (the
+    * classic "view → click → purchase within ordering" funnel). One row per
+    * user who reached stage 1; later-stage columns are null until reached;
+    * `stage` names the furthest stage reached.
+    *
+    * Each stage is: filter to the stage's events (pushed to the scan), join
+    * to the previous stage's per-user commit times, keep strictly-later
+    * events, min per user. All joins/aggs key on `userCol` — at 100 TB this
+    * is |stages| user-keyed hash-aggs over ever-shrinking inputs, no
+    * replication anywhere.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+             stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, s"a funnel needs >= 2 stages, got $stages")
+    def stageTs(i: Int) = s"${stages(i)}_ts"
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as(stageTs(0)))
+    val perStage = stages.indices.tail.foldLeft(List(first)) { (acc, i) =>
+      val prev = acc.head
+      val reached = events.filter(col(typeCol) === stages(i))
+        .join(prev.select(col(userCol), col(stageTs(i - 1))), userCol)
+        .filter(col(tsCol) > col(stageTs(i - 1)))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(stageTs(i)))
+      reached :: acc
+    }.reverse
+    val joined = perStage.tail.foldLeft(perStage.head) { (acc, s) =>
+      acc.join(s, Seq(userCol), "left")
+    }
+    val stage = stages.indices.reverse.tail.foldLeft(lit(stages.last): Column) {
+      (acc, i) => when(col(stageTs(i + 1)).isNull, stages(i)).otherwise(acc)
+    }
+    joined.withColumn("stage", stage)
+  }
+
+  /** Weekly cohort retention: users grouped by the week they first appeared;
+    * for each (cohort week, weeks since) cell, the count of distinct cohort
+    * users active that week. Two user-keyed aggs + one co-located join +
+    * one (cohort, week) agg — the fixed recipe of every retention dashboard,
+    * here as one declarative plan.
+    */
+  def weeklyRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firstSeen = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    val active = events
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("active_week"))
+      .distinct()
+    active.join(firstSeen, userCol)
+      .withColumn("week_no", (datediff(col("active_week"), col("cohort_week")) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_no"))
+      .agg(countDistinct(col(userCol)).as("active_users"))
+  }
+}

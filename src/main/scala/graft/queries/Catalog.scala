@@ -1337,6 +1337,54 @@ object Catalog {
       )
     SELECT id, min(label) AS cluster_id FROM reach GROUP BY id"""))
 
+  private val q81 = Q("q81_tfidf_terms", (s, dir) => {
+    // Per-doc characteristic terms: top-3 by rational tf·idf with a
+    // deterministic token tie-break.
+    graft.llmops.CorpusStats.tfIdfTopTerms(t(s, dir, "documents"), "text", "doc_id", k = 3)
+  }, Some("""
+    WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+         tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n FROM documents),
+         sc AS (SELECT doc_id, tf.token, tf, df, CAST(tf * n AS DOUBLE) / df AS score
+                FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM sc)
+    SELECT doc_id, token, tf, df, score, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3"""))
+
+  private val q82 = Q("q82_funnel", (s, dir) => {
+    // Ordered view → click → purchase funnel over the event log; one row per
+    // user who viewed, later stages strictly ordered and nullable.
+    graft.operators.Behavior.funnel(
+      t(s, dir, "events"), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+  }, Some(s"""
+    WITH e AS (SELECT * FROM $EV),
+         v AS (SELECT user_id, min(ts) AS view_ts FROM e WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(ts) AS click_ts FROM e JOIN v USING (user_id)
+               WHERE event_type = 'click' AND ts > view_ts GROUP BY 1),
+         p AS (SELECT e.user_id, min(ts) AS purchase_ts FROM e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND ts > click_ts GROUP BY 1)
+    SELECT v.user_id, view_ts, click_ts, purchase_ts,
+           CASE WHEN purchase_ts IS NOT NULL THEN 'purchase'
+                WHEN click_ts IS NOT NULL THEN 'click'
+                ELSE 'view' END AS stage
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""))
+
+  private val q83 = Q("q83_retention", (s, dir) => {
+    // Weekly cohort retention: distinct active users per (first-seen week,
+    // weeks-since) cell.
+    graft.operators.Behavior.weeklyRetention(t(s, dir, "events"), "user_id", "ts")
+  }, Some(s"""
+    WITH e AS (SELECT * FROM $EV),
+         f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week FROM e GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM e),
+         j AS (SELECT a.user_id, cohort_week,
+                      CAST(date_diff('day', cohort_week, active_week) / 7 AS BIGINT) AS week_no
+               FROM a JOIN f USING (user_id))
+    SELECT cohort_week, week_no, COUNT(DISTINCT user_id) AS active_users
+    FROM j GROUP BY 1, 2"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1346,7 +1394,8 @@ object Catalog {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
-    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80)
+    q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
+    q81, q82, q83)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

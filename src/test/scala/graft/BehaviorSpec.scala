@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Behavior
+import graft.llmops.CorpusStats
+
+class BehaviorSpec extends SparkSpec {
+
+  private def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-05 00:$m%02d:00")
+
+  test("funnel enforces strict ordering across stages") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1 completes in order
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // user 2 clicks BEFORE viewing — click must not count; purchase after
+      // the view but with no ordered click must not count either
+      (2L, "click", ts(1)), (2L, "view", ts(2)), (2L, "purchase", ts(3)),
+      // user 3 clicks at the exact view instant — strictness drops it
+      (3L, "view", ts(5)), (3L, "click", ts(5)),
+      // user 4 never views — excluded entirely
+      (4L, "click", ts(1))).toDF("user_id", "event_type", "ts")
+    val out = Behavior.funnel(events, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L).getAs[String]("stage") == "purchase")
+    assert(out(2L).getAs[String]("stage") == "view")
+    assert(out(2L).getAs[java.sql.Timestamp]("click_ts") == null)
+    assert(out(3L).getAs[String]("stage") == "view")
+  }
+
+  test("weeklyRetention buckets users by first-seen week") {
+    import spark.implicits._
+    val day = (d: Int) => java.sql.Timestamp.valueOf(f"2026-01-$d%02d 12:00:00")
+    // weeks (Mon-based): Jan 5-11 = w0 for both users; Jan 12-18 = next week
+    val events = Seq(
+      (1L, day(5)), (1L, day(6)), (1L, day(13)), // cohort w(Jan5), active w0 and w1
+      (2L, day(7))).toDF("user_id", "ts")        // cohort w(Jan5), active w0 only
+    val cells = Behavior.weeklyRetention(events, "user_id", "ts")
+      .collect().map(r => (r.getAs[Long]("week_no"), r.getAs[Long]("active_users"))).toMap
+    assert(cells == Map(0L -> 2L, 1L -> 1L))
+  }
+
+  test("tfIdfTopTerms ranks rare terms above common ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common zebra"),
+      (2L, "common yak yak"),
+      (3L, "common plain")).toDF("doc_id", "text")
+    val out = CorpusStats.tfIdfTopTerms(docs, "text", "doc_id", k = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // 'common' has df=3; each rare term df=1 → rare wins despite lower tf
+    assert(out(1L).getAs[String]("token") == "zebra")
+    assert(out(2L).getAs[String]("token") == "yak")
+    assert(out(2L).getAs[Long]("tf") == 2L)
+    assert(out(3L).getAs[String]("token") == "plain")
+    assert(out(1L).getAs[Double]("score") == 3.0) // tf 1 · N 3 / df 1
+  }
+}
