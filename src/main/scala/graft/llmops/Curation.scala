@@ -152,6 +152,27 @@ object Curation {
       .withColumn("epochs", ceil(col("weight")).cast("long"))
   }
 
+  /** Leakage-safe train/valid/test split: near-duplicate documents must never
+    * straddle the split boundary (a test doc whose near-twin sits in train
+    * leaks the answer), so the split key is the doc's DEDUP CLUSTER, not the
+    * doc: pair edges → [[Dedup.clusters]] → every member of a component hashes
+    * the same `cluster_id`, singletons hash their own id. Built from two
+    * already-audited pieces — the component resolution and the deterministic
+    * md5 bucket — composed with one left join.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       trainPct: Int, validPct: Int): DataFrame = {
+    val labels = Dedup.clusters(pairs)
+      .withColumnRenamed("id", idCol)
+    val keyed = df.join(labels, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    keyed.withColumn("bucket", hashBucket(col("cluster_id").cast("string")))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + validPct, "valid")
+          .otherwise("test"))
+  }
+
   /** The composed curation flow a 100 TB pre-training pipeline runs:
     * exact dedup → near-dup removal (MinHash LSH, keep the lowest id of each
     * verified pair) → language filter → quality threshold. Returns the

@@ -1385,6 +1385,37 @@ object Catalog {
     SELECT cohort_week, week_no, COUNT(DISTINCT user_id) AS active_users
     FROM j GROUP BY 1, 2"""))
 
+  private val q84 = Q("q84_leakage_safe_split", (s, dir) => {
+    // Cluster-aware split: near-dup components (q80's pair set) share a split
+    // assignment, so no test doc has a train-side near-twin.
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+    val pairs = graft.llmops.Dedup.embeddingNearDup(
+      emb.select(col("vec_id"), col("embedding")),
+      "embedding", "vec_id", threshold = 0.35).select("id_a", "id_b")
+    graft.llmops.Curation.leakageSafeSplit(
+      emb.select(col("vec_id")), "vec_id", pairs, trainPct = 80, validPct = 10)
+  }, Some("""
+    WITH RECURSIVE
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 300),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35),
+      edges AS (SELECT id_a, id_b FROM p UNION SELECT id_b AS id_a, id_a AS id_b FROM p),
+      reach(id, label) AS (
+        SELECT id_a AS id, id_a AS label FROM edges
+        UNION
+        SELECT e2.id_a AS id, r.label FROM edges e2 JOIN reach r ON e2.id_b = r.id
+      ),
+      cl AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+      k AS (SELECT vec_id, COALESCE(cl.cluster_id, vec_id) AS cluster_id
+            FROM e LEFT JOIN cl ON e.vec_id = cl.id),
+      b AS (SELECT vec_id, cluster_id,
+                   ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+            FROM k)
+    SELECT vec_id, cluster_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
+    FROM b"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1395,7 +1426,7 @@ object Catalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83)
+    q81, q82, q83, q84)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -43,6 +43,40 @@ class BehaviorSpec extends SparkSpec {
     assert(cells == Map(0L -> 2L, 1L -> 1L))
   }
 
+  test("streaming funnel commits match the batch funnel across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[(Long, String, java.sql.Timestamp)]
+    val fixture = Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      (2L, "click", ts(1)), (2L, "view", ts(2)), (2L, "purchase", ts(3)),
+      (3L, "view", ts(5)), (3L, "click", ts(5)),
+      (4L, "click", ts(1)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = graft.streaming.StreamingFunnel(
+      mem.toDF().toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+    val q = stream.writeStream.format("memory").queryName("funnel_sink")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = fixture.splitAt(4) // split mid-user-1 across triggers
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val commits = spark.table("funnel_sink")
+      .collect().map(r => (r.getAs[String]("user"), r.getAs[String]("stage")) -> r.getAs[java.sql.Timestamp]("ts")).toMap
+    val batch = Behavior.funnel(
+      fixture.toDF("user_id", "event_type", "ts"), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase")).collect()
+    for (r <- batch; stage <- Seq("view", "click", "purchase")) {
+      val u = r.getAs[Long]("user_id").toString
+      val expected = Option(r.getAs[java.sql.Timestamp](s"${stage}_ts"))
+      assert(commits.get((u, stage)) == expected,
+        s"user $u stage $stage: streaming ${commits.get((u, stage))} vs batch $expected")
+    }
+    assert(commits.keySet.map(_._1) == Set("1", "2", "3"), "user 4 never enters the funnel")
+  }
+
   test("tfIdfTopTerms ranks rare terms above common ones") {
     import spark.implicits._
     val docs = Seq(

@@ -109,6 +109,32 @@ class MixingSpec extends SparkSpec {
     assert(u2.length == 1 && u2(0).getAs[Boolean]("is_current"))
   }
 
+  test("leakage-safe split never puts a near-dup pair across the boundary") {
+    import spark.implicits._
+    val emb = graft.core.Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 300)
+    val pairs = Dedup.embeddingNearDup(
+      emb.select(col("vec_id"), col("embedding")), "embedding", "vec_id", 0.35)
+      .select("id_a", "id_b").cache()
+    assert(pairs.count() > 0, "fixture must contain near-dups")
+    val split = Curation.leakageSafeSplit(emb.select(col("vec_id")), "vec_id", pairs, 80, 10)
+    val s = split.select(col("vec_id"), col("split"))
+    val leaked = pairs
+      .join(s.withColumnRenamed("vec_id", "id_a").withColumnRenamed("split", "sa"), "id_a")
+      .join(s.withColumnRenamed("vec_id", "id_b").withColumnRenamed("split", "sb"), "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(leaked == 0, "near-dup pairs must share a split")
+    // whereas the naive per-doc split DOES leak on this fixture (the property
+    // is non-vacuous: same corpus, same rates, doc-keyed hash)
+    val naive = Curation.split(emb.select(col("vec_id").cast("string").as("k"), col("vec_id")), "k", 80, 10)
+      .select(col("vec_id"), col("split"))
+    val naiveLeaked = pairs
+      .join(naive.withColumnRenamed("vec_id", "id_a").withColumnRenamed("split", "sa"), "id_a")
+      .join(naive.withColumnRenamed("vec_id", "id_b").withColumnRenamed("split", "sb"), "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(naiveLeaked > 0, "fixture should make the naive split leak; if not, strengthen it")
+  }
+
   test("mixtureWeights computes the mixing table exactly") {
     import spark.implicits._
     val df = Seq(
