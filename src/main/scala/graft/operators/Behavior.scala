@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral analytics over event logs: ordered funnels and cohort
@@ -43,6 +44,27 @@ object Behavior {
       (acc, i) => when(col(stageTs(i + 1)).isNull, stages(i)).otherwise(acc)
     }
     joined.withColumn("stage", stage)
+  }
+
+  /** Sessionization (gaps-and-islands): assign each event a per-user session
+    * sequence number, where a gap larger than `gapSeconds` starts a new
+    * session. The batch complement of the streaming `session_window` agg
+    * (q47): that one emits one row per closed session, this one labels every
+    * EVENT with its session — the form downstream per-event features join
+    * against. One shuffle: both window passes (gap flag, running sum) share
+    * the (user, ts, tie) sort.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 tieBreak: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieBreak))
+    val prev = lag(col(tsCol), 1).over(w)
+    // cast: event tables load timestamps as NTZ; the session tz is UTC, so
+    // the micros are the same instant either way
+    val isNew = when(prev.isNull ||
+      unix_micros(col(tsCol).cast("timestamp")) - unix_micros(prev.cast("timestamp")) > gapSeconds * 1000000L,
+      1L).otherwise(0L)
+    events.withColumn("session_seq",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
   /** Weekly cohort retention: users grouped by the week they first appeared;

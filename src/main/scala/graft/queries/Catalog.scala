@@ -1416,6 +1416,39 @@ object Catalog {
            CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
     FROM b"""))
 
+  private val q85 = Q("q85_sessionize", (s, dir) => {
+    // Gaps-and-islands session labelling: a >6h silence starts a new session.
+    graft.operators.Behavior.sessionize(
+      t(s, dir, "events").select("event_id", "user_id", "ts"),
+      "user_id", "ts", "event_id", gapSeconds = 6 * 3600)
+  }, Some(s"""
+    WITH e AS (SELECT event_id, user_id, ts FROM $EV),
+         g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS is_new
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id, ts,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+    FROM g"""))
+
+  private val q86 = Q("q86_rolling_window", (s, dir) => {
+    // 7-day rolling per-user activity: event count + decimal-exact value sum
+    // over an event-time RANGE frame (q07's running window is row-cumulative;
+    // this one is time-bounded — state a stream would keep per key).
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts").cast("timestamp")))
+      .rangeBetween(-7L * 86400 * 1000000, Window.currentRow)
+    t(s, dir, "events").select(
+      col("event_id"), col("user_id"), col("ts"),
+      count(lit(1)).over(w).as("n_7d"),
+      sum(col("value").cast("decimal(25,2)")).over(w).cast("double").as("sum_7d"))
+  }, Some(s"""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_7d,
+           CAST(SUM(CAST(value AS DECIMAL(25,2))) OVER w AS DOUBLE) AS sum_7d
+    FROM $EV
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1426,7 +1459,7 @@ object Catalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84)
+    q81, q82, q83, q84, q85, q86)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -77,6 +77,20 @@ class BehaviorSpec extends SparkSpec {
     assert(commits.keySet.map(_._1) == Set("1", "2", "3"), "user 4 never enters the funnel")
   }
 
+  test("sessionize starts a new session exactly past the gap") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-05 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    val events = Seq(
+      (1L, 100L, at(0)), (2L, 100L, at(10)),       // session 1
+      (3L, 100L, at(10 + 3601)),                   // 3601 s later → session 2
+      (4L, 100L, at(10 + 3601 + 3600)),            // exactly 3600 s → SAME session
+      (5L, 200L, at(5))).toDF("event_id", "user_id", "ts")
+    val out = graft.operators.Behavior.sessionize(events, "user_id", "ts", "event_id", 3600)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_seq")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
   test("tfIdfTopTerms ranks rare terms above common ones") {
     import spark.implicits._
     val docs = Seq(
