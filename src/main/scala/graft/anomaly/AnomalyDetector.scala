@@ -180,7 +180,12 @@ object AnomalyDetector {
     import org.apache.spark.sql.{Encoders, Row}
     val pre = df
       .withColumn("__v", valueCol.cast("double"))
-      .withColumn("__key", concat_ws("\u0000", partitionCols.map(_.cast("string")): _*))
+      // null partition values get an explicit sentinel: concat_ws SKIPS nulls,
+      // so ("a", null, "b") and ("a", "b", null) would otherwise collide into
+      // one key and interleave their series -- the window path partitions on
+      // the real columns and keeps them apart (null = its own group)
+      .withColumn("__key", concat_ws("\u0000",
+        partitionCols.map(c => coalesce(c.cast("string"), lit("\u0001null"))): _*))
       // auto-STL infers the season from the event-time cadence; the order
       // column IS the event time in every ML_DETECT_ANOMALIES use
       .withColumn("__ts", unix_micros(orderCols.head.cast("timestamp")))
@@ -188,32 +193,45 @@ object AnomalyDetector {
       .sortWithinPartitions(col("__key") +: orderCols: _*)
     val outSchema = StructType(pre.schema.fields ++ Seq(
       StructField("forecast_value", DoubleType), StructField("upper_bound", DoubleType),
-      StructField("lower_bound", DoubleType), StructField("is_anomaly", BooleanType, nullable = false)))
+      StructField("lower_bound", DoubleType), StructField("is_anomaly", BooleanType)))
     val vIdx = pre.schema.fieldIndex("__v")
     val keyIdx = pre.schema.fieldIndex("__key")
     val tsIdx = pre.schema.fieldIndex("__ts")
     pre.mapPartitions { it =>
       var curKey: String = null
-      var buf = List.empty[Double]
+      // trailing frame of the last maxTrainingSize ROWS — a null value
+      // OCCUPIES a slot but contributes no history, and a warm null row gets
+      // (forecast, bounds, is_anomaly = null): exactly the window path's
+      // ROWS-frame + count(v)-skips-nulls + null-comparison semantics, so the
+      // forecast option never changes what a null row does
+      var slots = List.empty[Option[Double]]
       var lastTs = Long.MinValue
       var period = 0
       it.map { r =>
         val key = r.getString(keyIdx)
-        if (key != curKey) { curKey = key; buf = Nil; lastTs = Long.MinValue; period = 0 }
-        if (r.isNullAt(vIdx)) {
-          // null values: no detection, no history contribution (mirrors the
-          // window path, whose count(v)/sum(v) skip nulls)
-          Row.fromSeq(r.toSeq ++ Seq(null, null, null, false))
-        } else {
-          val v = r.getDouble(vIdx)
-          if (!r.isNullAt(tsIdx)) {
-            val st = advancePeriod(lastTs, period, r.getLong(tsIdx), cfg)
-            lastTs = st._1; period = st._2
-          }
-          val (f, hi, lo, anom) = step(buf, v, cfg, period)
-          buf = (buf :+ v).takeRight(cfg.maxTrainingSize)
-          Row.fromSeq(r.toSeq ++ Seq(f.orNull, hi.orNull, lo.orNull, anom))
+        if (key != curKey) { curKey = key; slots = Nil; lastTs = Long.MinValue; period = 0 }
+        if (!r.isNullAt(tsIdx)) {
+          val st = advancePeriod(lastTs, period, r.getLong(tsIdx), cfg)
+          lastTs = st._1; period = st._2
         }
+        val history = slots.flatten
+        val out =
+          if (r.isNullAt(vIdx)) {
+            val res =
+              if (history.size >= cfg.minTrainingSize) {
+                val (f, sd) = forecastPoint(history, cfg, period)
+                Seq(Double.box(f), Double.box(f + cfg.z * sd), Double.box(f - cfg.z * sd), null)
+              } else Seq(null, null, null, Boolean.box(false))
+            slots = (slots :+ None).takeRight(cfg.maxTrainingSize)
+            res
+          } else {
+            val v = r.getDouble(vIdx)
+            val (f, hi, lo, anom) = step(history, v, cfg, period)
+            slots = (slots :+ Some(v)).takeRight(cfg.maxTrainingSize)
+            Seq(f.map(Double.box).orNull, hi.map(Double.box).orNull,
+              lo.map(Double.box).orNull, Boolean.box(anom))
+          }
+        Row.fromSeq(r.toSeq ++ out)
       }
     }(Encoders.row(outSchema))
       .drop("__v", "__key", "__ts")

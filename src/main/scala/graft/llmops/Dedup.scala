@@ -388,18 +388,25 @@ object Dedup {
                     broadcastMaxShingles: Long = 50L * 1000 * 1000,
                     forceDistributed: Boolean = false): DataFrame = {
     val sz = shingleSize
+    // persisted: the hash set is consumed twice (size probe + collect-or-join)
+    // and the scan+explode+distinct behind it is the expensive part
     val benchHashes = bench
       .select(Text.tokens(col(textCol)).as("__toks"))
       .select(explode(Text.shinglesFromTokens(col("__toks"), sz)).as("__shingle"))
       .select(xxhash64(col("__shingle")).as("__h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val nBench = benchHashes.count()
-    if (forceDistributed || nBench > broadcastMaxShingles) {
+    // short-circuit: the size probe is itself a full bench scan+distinct, so
+    // an explicit distributed request must not pay it
+    if (forceDistributed || benchHashes.count() > broadcastMaxShingles) {
       // inverted-index path: distinct (doc, hash) pairs left-joined against
       // the bench hash set; matched = count of survivors, docs with zero
-      // matches kept by the left join
+      // matches kept by the left join. Null/empty corpus text coalesces to ""
+      // (one degenerate shingle) to match the broadcast UDF's null handling —
+      // explode over a null token array would silently DROP the doc here.
       val corpusSh = corpus
-        .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__toks"))
+        .select(col(idCol).as("doc_id"),
+          Text.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
         .select(col("doc_id"),
           array_distinct(Text.shinglesFromTokens(col("__toks"), sz)).as("__sh"))
       val inv = corpusSh
@@ -414,6 +421,7 @@ object Dedup {
         .withColumn("contaminated", col("overlap") >= threshold)
     } else {
       val sorted = benchHashes.collect().map(_.getLong(0)).sorted
+      benchHashes.unpersist() // materialized into the broadcast array
       val bc = corpus.sparkSession.sparkContext.broadcast(sorted)
       val statsUdf = udf((text: String) => {
         val set = bc.value
@@ -475,6 +483,14 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // never return half-propagated labels: a component silently split across
+    // labels is exactly the wrongness downstream leakage-safe splits exist to
+    // prevent. Diameter > maxIterations is pathological (boilerplate chains);
+    // the caller raises the cap knowingly rather than shipping a wrong answer.
+    if (!converged)
+      throw new IllegalStateException(
+        s"Dedup.clusters did not converge in $maxIterations rounds — component diameter exceeds " +
+          s"the cap; raise maxIterations")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

@@ -42,28 +42,34 @@ object AsOfJoin {
     require(!leftCols.exists(rightCols.contains),
       s"left/right column collision: ${leftCols.intersect(rightCols).mkString(", ")}")
 
+    // the payload rides as ONE struct, not per-column last() calls: a struct
+    // is never null for a right row even when its fields are, so the carried
+    // value is always a whole right row — per-column carries would stitch
+    // fields from DIFFERENT right rows whenever a payload value is null (and
+    // a null in rightCols.head would drop a legitimately matched left row)
+    val payloadType = org.apache.spark.sql.types.StructType(rightCols.map(rightSchema(_)))
     val taggedLeft = left
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .select(Seq(col("__k"), col("__t"), col("__side")) ++
-        leftCols.map(col) ++
-        rightCols.map(c => lit(null).cast(rightSchema(c).dataType).as(c)): _*)
+        leftCols.map(col) :+
+        lit(null).cast(payloadType).as("__payload"): _*)
     val taggedRight = right
       .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(Seq(col("__k"), col("__t"), col("__side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(col): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("__payload"): _*)
 
     // right (0) sorts before left (1) at equal time → `<=` as-of semantics
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = taggedLeft.unionByName(taggedRight)
-      .select(Seq(col("__side")) ++ leftCols.map(col) ++
-        rightCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .select(Seq(col("__side")) ++ leftCols.map(col) :+
+        last(col("__payload"), ignoreNulls = true).over(w).as("__payload"): _*)
 
     carried
-      .filter(col("__side") === 1 && col(rightCols.head).isNotNull)
-      .drop("__side")
+      .filter(col("__side") === 1 && col("__payload").isNotNull)
+      .select(leftCols.map(col) ++ rightCols.map(c => col("__payload")(c).as(c)): _*)
   }
 }

@@ -20,9 +20,14 @@ object Scd2 {
   def apply(log: DataFrame, keyCol: String, attrCol: String, tsCol: String,
             tieBreak: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieBreak))
+    // null-safe change test: a transition TO null is a real state change and
+    // consecutive nulls are no change — `=!=` would erase the null period and
+    // emit duplicate intervals. The first row per key has no lag marker to
+    // distinguish from a null attribute, hence the explicit row_number check.
     log
+      .withColumn("__rn", row_number().over(w))
       .withColumn("__prev", lag(col(attrCol), 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(attrCol)))
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)

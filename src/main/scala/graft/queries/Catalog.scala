@@ -1306,9 +1306,10 @@ object Catalog {
       "user_id", "event_type", "ts", "event_id")
   }, Some(s"""
     WITH d AS (SELECT user_id, event_type, ts, event_id,
+                      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
                       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
                FROM $EV),
-         c AS (SELECT * FROM d WHERE prev IS NULL OR prev <> event_type)
+         c AS (SELECT * FROM d WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
     SELECT user_id, event_type AS state, ts AS valid_from,
            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current

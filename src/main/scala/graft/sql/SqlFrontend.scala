@@ -567,6 +567,32 @@ object SqlFrontend {
     sys.error(s"unbalanced parentheses in call starting at $openIdx")
   }
 
+  /** Split on top-level commas only (paren- and quote-aware) — for GROUP BY
+    * key lists, select lists, and composite PARTITION BY keys, where a naive
+    * `split(",")` would cut through `concat(a, b)`.
+    */
+  private[graft] def splitTopLevelCommas(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var inQuote = false
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
   /** Strip a surrounding `'…'` or `` `…` `` from an identifier/literal arg. */
   private def unquoteArg(a: String): String = {
     val t = a.trim

@@ -201,24 +201,42 @@ object StreamPlanner {
     var out = sql.substring(0, m.start) +
       s"FROM (SELECT *, window($ts, '$n $unit') AS __w FROM $tbl) __graft_w" +
       sql.substring(m.end)
-    // group by the struct, not its fields
+    // group by the struct, not its fields (paren-aware split: a composite key
+    // like concat(a, b) must not be cut at its inner comma)
     val gbRe = "(?is)GROUP\\s+BY\\s+(.*?)(?=\\b(?:HAVING|ORDER|LIMIT|WINDOW)\\b|$)".r
     out = gbRe.replaceAllIn(out, gm => {
-      val keys = gm.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+      val keys = SqlFrontend.splitTopLevelCommas(gm.group(1)).map(_.trim).filter(_.nonEmpty)
       val kept = keys.filterNot(k => Set("WINDOW_START", "WINDOW_END", "WINDOW_TIME")(k.toUpperCase))
       java.util.regex.Matcher.quoteReplacement(("__w" +: kept).mkString("GROUP BY ", ", ", " "))
     })
-    // bare select-item references become projections of the struct
-    out = out.replaceAll("(?i)\\bwindow_start\\b", "__w.start AS window_start")
-    out = out.replaceAll("(?i)\\bwindow_end\\b", "__w.end AS window_end")
-    // NOT window_time(__w): Spark's MISSING_AGGREGATION check rejects the
-    // WindowTime expression over a grouped struct attribute. The manual
-    // end-1ms form is the same value (Flink's window_time contract) and the
-    // downstream stateful op (flatMapGroupsWithState, NoTimeout) needs no
+    // window_* references become struct projections. The `AS window_*` alias
+    // is injected ONLY for bare select-list items (the TVF projection idiom);
+    // occurrences inside larger expressions — HOUR(window_start), ORDER BY
+    // tails — substitute the bare struct field, where an injected alias would
+    // be a parse error.
+    // window_time is NOT window_time(__w): Spark's MISSING_AGGREGATION check
+    // rejects the WindowTime expression over a grouped struct attribute. The
+    // manual end-1ms form is the same value (Flink's window_time contract) and
+    // the downstream stateful op (flatMapGroupsWithState, NoTimeout) needs no
     // event-time metadata on it.
-    out = out.replaceAll("(?i)\\bwindow_time\\b",
-      "__w.end - INTERVAL '1' MILLISECOND AS window_time")
-    out
+    val exprOf = Map(
+      "window_start" -> "__w.start",
+      "window_end" -> "__w.end",
+      "window_time" -> "(__w.end - INTERVAL '1' MILLISECOND)")
+    def refs(s: String): String = exprOf.foldLeft(s) { case (acc, (name, e)) =>
+      acc.replaceAll("(?i)\\b" + name + "\\b", java.util.regex.Matcher.quoteReplacement(e))
+    }
+    val (sel, fromPart) = SqlFrontend.topLevelSelectFrom(out)
+    val BareAs = "(?is)^(window_start|window_end|window_time)(?:\\s+AS\\s+(\\w+))?$".r
+    val items = SqlFrontend.splitTopLevelCommas(sel).map { item =>
+      item.trim match {
+        case BareAs(name, alias) =>
+          val nm = name.toLowerCase
+          s"${exprOf(nm)} AS ${if (alias != null) alias else nm}"
+        case _ => refs(item)
+      }
+    }
+    s"SELECT ${items.mkString(", ")} FROM ${refs(fromPart)}"
   }
 
   /** One stage whose select list carries `ML_DETECT_ANOMALIES(v, ts, cfg)
@@ -238,11 +256,19 @@ object StreamPlanner {
       .findFirstMatchIn(stageSql.substring(afterArgs))
       .getOrElse(sys.error("streaming ML_DETECT_ANOMALIES requires OVER (PARTITION BY … ORDER BY …)"))
     val (part, ord) = (overM.group(1), overM.group(2))
+    // composite PARTITION BY: one state key from all parts (null-sentineled —
+    // concat_ws skips nulls), matching the batch rewrite which splices the
+    // same text into its own PARTITION BY and handles multiple keys natively
+    val parts = SqlFrontend.splitTopLevelCommas(part).map(_.trim).filter(_.nonEmpty)
+    val keyExpr =
+      if (parts.size == 1) expr(parts.head)
+      else concat_ws("\u0000",
+        parts.map(p => coalesce(expr(p).cast("string"), lit("\u0001null"))): _*)
 
     val (_, fromPart) = SqlFrontend.topLevelSelectFrom(stageSql)
     val input = SqlFrontend.parseSql(spark, s"SELECT * FROM $fromPart")
     val det = StreamingAnomaly.withPayload(input,
-      expr(part), expr(ord), expr(args.head),
+      keyExpr, expr(ord), expr(args.head),
       to_json(struct(input.columns.map(col).toIndexedSeq: _*), jsonOpts), cfg)
     val expanded = det.toDF()
       .select(

@@ -18,6 +18,14 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object StreamingOps {
 
+  /** Event-time micros from a Timestamp WITHOUT sub-millisecond truncation:
+    * `getTime * 1000` drops the µs component (getTime is millis), which would
+    * make streaming strict-ordering tests and auto-STL cadence deltas diverge
+    * from the batch paths' `unix_micros`. Same formula as the Avro encoder.
+    */
+  def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+
   /** Watermarked tumbling aggregation (streaming W1/A1/A2). Late rows beyond
     * `delay` are dropped, as in the reference (scripts/publish_lab3_data.py:357-361).
     */

@@ -79,13 +79,13 @@ object StreamingAnomaly {
           var buf = state.getOption.map(_.values).getOrElse(Nil)
           var lastTs = state.getOption.map(_.lastTsMicros).getOrElse(Long.MinValue)
           var period = state.getOption.map(_.period).getOrElse(0)
-          val out = rows.toSeq.sortBy(_.ts.getTime).map { p =>
+          val out = rows.toSeq.sortBy(p => StreamingOps.tsMicros(p.ts)).map { p =>
             // forecast math lives in AnomalyDetector.step — one copy shared
             // with the batch sequential path and the pure-Scala twin, so
             // batch ≡ streaming holds for every forecast option (zband, ar,
             // stl incl. auto-period: advancePeriod folds the same time-ordered
             // sequence here and in detectBatchSeq)
-            val st = AnomalyDetector.advancePeriod(lastTs, period, p.ts.getTime * 1000L, cfg)
+            val st = AnomalyDetector.advancePeriod(lastTs, period, StreamingOps.tsMicros(p.ts), cfg)
             lastTs = st._1; period = st._2
             val (f, hi, lo, anom) = AnomalyDetector.step(buf, p.value, cfg, period)
             val det = DetectionP(key, p.ts, p.value, p.payload, f, hi, lo, anom)

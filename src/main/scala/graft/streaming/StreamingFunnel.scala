@@ -45,9 +45,9 @@ object StreamingFunnel {
             .map(_.committedMicros.toArray)
             .getOrElse(Array.fill(stages.size)(Long.MinValue))
           val out = Seq.newBuilder[StageCommit]
-          rows.toSeq.sortBy(_.ts.getTime).foreach { ev =>
+          rows.toSeq.sortBy(ev => StreamingOps.tsMicros(ev.ts)).foreach { ev =>
             stageIdx.get(ev.typ).foreach { i =>
-              val micros = ev.ts.getTime * 1000L
+              val micros = StreamingOps.tsMicros(ev.ts)
               val prevOk = i == 0 || (committed(i - 1) != Long.MinValue && micros > committed(i - 1))
               if (committed(i) == Long.MinValue && prevOk) {
                 committed(i) = micros

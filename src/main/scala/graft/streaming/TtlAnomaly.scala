@@ -34,10 +34,10 @@ object TtlAnomaly {
       var history = prior.map(_.values).getOrElse(Nil)
       var lastTs = prior.map(_.lastTsMicros).getOrElse(Long.MinValue)
       var period = prior.map(_.period).getOrElse(0)
-      val out = rows.toSeq.sortBy(_.ts.getTime).map { p =>
+      val out = rows.toSeq.sortBy(p => StreamingOps.tsMicros(p.ts)).map { p =>
         // shared forecast step (zband/ar/stl incl. auto-period) — see
         // AnomalyDetector.step / advancePeriod
-        val st = AnomalyDetector.advancePeriod(lastTs, period, p.ts.getTime * 1000L, cfg)
+        val st = AnomalyDetector.advancePeriod(lastTs, period, StreamingOps.tsMicros(p.ts), cfg)
         lastTs = st._1; period = st._2
         val (f, hi, lo, anom) = AnomalyDetector.step(history, p.value, cfg, period)
         val det = Detection(key, p.ts, p.value, f, hi, lo, anom)

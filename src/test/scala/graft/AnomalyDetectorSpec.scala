@@ -177,6 +177,35 @@ class ArAnomalySpec extends SparkSpec {
       assert(r.getBoolean(1) == anom, s"[$i] is_anomaly")
     }
   }
+
+  test("seq path mirrors the window path on null values and null key columns") {
+    import spark.implicits._
+    // two composite keys that a null-skipping key builder would collide:
+    // ("a", null) and (null, "a") — constant series far apart, so a collision
+    // (interleaved histories) or frame drift (nulls not occupying slots)
+    // changes the output. Constant histories make AR fall back to the mean
+    // band, so forecast='ar' (seq path) must equal 'zband' (window path)
+    // row for row, including the null-value rows.
+    val rows = (1 to 9).flatMap { i =>
+      val v1 = if (i == 5) Option.empty[Double] else Option(5.0)
+      val v2 = if (i == 6) Option.empty[Double] else Option(50.0)
+      Seq((Option("a"), Option.empty[String], java.sql.Timestamp.valueOf(f"2026-01-01 00:0$i:00"), v1),
+        (Option.empty[String], Option("a"), java.sql.Timestamp.valueOf(f"2026-01-01 00:0$i:00"), v2))
+    }
+    val df = rows.toDF("k1", "k2", "ts", "v")
+    val cfg = AnomalyDetector.Config(3, 5, 99.0)
+    def run(c: AnomalyDetector.Config) =
+      AnomalyDetector.detectBatch(df, col("v"), Seq(col("k1"), col("k2")), Seq(col("ts")), c)
+        .select("k1", "k2", "ts", "v", "forecast_value", "upper_bound", "lower_bound", "is_anomaly")
+        .orderBy("k1", "k2", "ts").collect().toSeq
+    val window = run(cfg)
+    val seq = run(cfg.copy(forecast = "ar"))
+    assert(window == seq, s"window:\n${window.mkString("\n")}\nseq:\n${seq.mkString("\n")}")
+    // and the warm null-value rows carry bounds with a null is_anomaly
+    val nullRows = seq.filter(_.isNullAt(3))
+    assert(nullRows.nonEmpty && nullRows.forall(r => !r.isNullAt(5) && r.isNullAt(7)),
+      s"warm null-value rows must keep bounds and a null is_anomaly: ${nullRows.mkString(";")}")
+  }
 }
 
 /** The enableStl seasonal path (reference config key, LAB4-Walkthrough.md:

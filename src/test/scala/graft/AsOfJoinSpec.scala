@@ -54,6 +54,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("null payload fields never stitch values from different right rows") {
+    import spark.implicits._
+    // R1(a=1, b=2) then R2(a=null, b=3): a left row after R2 must see R2 whole
+    // — (null, 3) — not (1, 3); and a null in the FIRST payload column must
+    // not drop the match
+    val right = Seq(
+      (10L, ts("2024-01-01 01:00:00"), Option(1L), Option(2L)),
+      (10L, ts("2024-01-01 02:00:00"), Option.empty[Long], Option(3L)))
+      .toDF("rk", "rt", "a", "b")
+    val left = Seq((100L, 10L, ts("2024-01-01 03:00:00"))).toDF("event_id", "k", "t")
+    val out = AsOfJoin(left, right, "k", "rk", "t", "rt", Seq("a", "b")).collect()
+    assert(out.length == 1, "a null first payload column must not drop the match")
+    assert(out.head.isNullAt(out.head.fieldIndex("a")))
+    assert(out.head.getAs[Long]("b") == 3L)
+  }
+
   test("plan: no join node at all — union + one window exchange") {
     import spark.implicits._
     val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("event_id", "k", "t")

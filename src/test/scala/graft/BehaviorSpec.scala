@@ -77,6 +77,27 @@ class BehaviorSpec extends SparkSpec {
     assert(commits.keySet.map(_._1) == Set("1", "2", "3"), "user 4 never enters the funnel")
   }
 
+  test("streaming funnel keeps sub-millisecond strictness (micros, not getTime)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[(Long, String, java.sql.Timestamp)]
+    val view = java.sql.Timestamp.valueOf("2026-01-05 00:00:00")
+    val click = java.sql.Timestamp.valueOf("2026-01-05 00:00:00")
+    click.setNanos(500000) // same millisecond, 500µs later — strictly after
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.StreamingFunnel(
+      mem.toDF().toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", Seq("view", "click"))
+      .writeStream.format("memory").queryName("funnel_us_sink").outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, "view", view), (1L, "click", click)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stages = spark.table("funnel_us_sink").collect().map(_.getAs[String]("stage")).toSet
+    assert(stages == Set("view", "click"),
+      s"a click 500µs after the view must commit (batch does) — got $stages")
+  }
+
   test("sessionize starts a new session exactly past the gap") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2026-01-05 00:00:00")

@@ -109,6 +109,35 @@ class MixingSpec extends SparkSpec {
     assert(u2.length == 1 && u2(0).getAs[Boolean]("is_current"))
   }
 
+  test("scd2 treats null states as real states, not erased periods") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    val log = Seq(
+      (1L, 100L, ts(1), Option("A")), (2L, 100L, ts(2), Option.empty[String]),
+      (3L, 100L, ts(3), Option.empty[String]), (4L, 100L, ts(4), Option("A")))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.operators.Scd2(log, "user_id", "event_type", "ts", "event_id")
+      .orderBy("valid_from").collect()
+    // A → null (one interval, not two) → A: three intervals, null period kept
+    assert(out.map(_.getAs[String]("state")).toSeq == Seq("A", null, "A"))
+    assert(out(0).getAs[java.sql.Timestamp]("valid_to") == ts(2))
+    assert(out(1).getAs[java.sql.Timestamp]("valid_to") == ts(4))
+    assert(out(2).getAs[Boolean]("is_current"))
+  }
+
+  test("decontaminate paths agree on null-text docs") {
+    import spark.implicits._
+    val corpus = Seq((1L, Option("alpha beta gamma")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")
+    def run(forced: Boolean) =
+      Dedup.decontaminate(corpus, bench, "text", "doc_id", shingleSize = 3,
+        threshold = 0.5, forceDistributed = forced).orderBy("doc_id").collect().toSeq
+    val b = run(forced = false)
+    assert(b.map(_.getAs[Long]("doc_id")) == Seq(1L, 2L), "null-text docs must not vanish")
+    assert(b == run(forced = true))
+  }
+
   test("leakage-safe split never puts a near-dup pair across the boundary") {
     import spark.implicits._
     val emb = graft.core.Tables(spark, sfDir, "embeddings")

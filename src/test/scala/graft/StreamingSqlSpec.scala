@@ -178,4 +178,24 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     TableRegistry.dropTable("stmt_stream_src")
     StatementCatalog.reset()
   }
+
+  test("tumble rewrite handles window_* inside expressions and composite GROUP BY keys") {
+    val sql = "SELECT zone, HOUR(window_start) AS h, window_time, count(*) AS c " +
+      "FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '5' MINUTES)) " +
+      "GROUP BY window_start, window_time, concat(zone, '-'), zone"
+    val out = graft.sql.StreamPlanner.rewriteTumbleStreaming(sql)
+    // expression position: bare struct field, NO alias injection inside HOUR()
+    assert(out.contains("HOUR(__w.start) AS h"), out)
+    // bare select item: projected AND aliased
+    assert(out.contains("(__w.end - INTERVAL '1' MILLISECOND) AS window_time"), out)
+    // paren-aware GROUP BY split: concat(zone, '-') survives whole
+    assert(out.contains("GROUP BY __w, concat(zone, '-'), zone"), out)
+    assert(!out.contains("__w.start AS window_start)"),
+      s"no alias may be injected inside an expression: $out")
+  }
+
+  test("splitTopLevelCommas respects parens and quotes") {
+    assert(SqlFrontend.splitTopLevelCommas("a, concat(b, c), 'x,y', d(e(f,g))")
+      .map(_.trim) == Seq("a", "concat(b, c)", "'x,y'", "d(e(f,g))"))
+  }
 }
