@@ -1450,6 +1450,20 @@ object Catalog {
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)"""))
 
+  private val q87 = Q("q87_bloom_prefilter_join", (s, dir) => {
+    // Bloom-prefiltered fact⋈dim join: identical rows to the plain join (the
+    // oracle), with the fact shuffle cut to ~selectivity+fpp before the join.
+    val dims = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name")
+    graft.operators.BloomJoin(
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      dims, "o_custkey", "c_custkey")
+      .select("o_orderkey", "c_name", "o_totalprice")
+  }, Some("""
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1460,7 +1474,7 @@ object Catalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86)
+    q81, q82, q83, q84, q85, q86, q87)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -112,6 +112,22 @@ class BehaviorSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("bloom prefilter join equals the plain join and actually cuts the probe side") {
+    val orders = graft.core.Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val dims = graft.core.Tables(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey", "c_name")
+    val bloomed = graft.operators.BloomJoin(orders, dims, "o_custkey", "c_custkey")
+      .select("o_orderkey", "c_name").collect().toSet
+    val plain = orders.join(dims, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name").collect().toSet
+    assert(bloomed == plain, "bloom false positives must be removed by the exact join")
+    val cut = graft.operators.BloomJoin.prefilter(orders, dims, "o_custkey", "c_custkey").count()
+    val total = orders.count()
+    assert(cut < total, s"the prefilter must drop rows ($cut of $total survived)")
+    assert(cut >= plain.size, "the prefilter may never drop a truly matching row")
+  }
+
   test("tfIdfTopTerms ranks rare terms above common ones") {
     import spark.implicits._
     val docs = Seq(
