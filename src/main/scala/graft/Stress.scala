@@ -86,6 +86,30 @@ object Stress {
     require(cumMax == tokSum && cumMax == independentTotal,
       s"global prefix sum must be exact: cum=$cumMax sum=$tokSum expected=$independentTotal")
 
+    // 4. benchmark decontamination at corpus scale: 2M docs probed against a
+    //    20k-doc benchmark set, 2% planted verbatim copies. The corpus scan is
+    //    shuffle-free (plan-guarded at small scale); this is the volume check.
+    val nCorpus = 2000000L
+    val nBench = 20000L
+    def tokensFor(prefix: String, idCol: org.apache.spark.sql.Column) =
+      concat_ws(" ", transform(sequence(lit(0), lit(9)),
+        k => concat(lit(prefix), idCol, lit("_"), k)))
+    val benchDocs = spark.range(nBench)
+      .select(col("id").as("doc_id"), tokensFor("b", col("id")).as("text"))
+    val corpusDocs = spark.range(nCorpus)
+      .select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(50)) === 0, tokensFor("b", pmod(col("id"), lit(nBench))))
+          .otherwise(tokensFor("c", col("id"))).as("text"))
+    val decon = timed(s"decontamination, $nCorpus docs vs $nBench bench docs")(
+      llmops.Dedup.decontaminate(corpusDocs, benchDocs, "text", "doc_id",
+          shingleSize = 3, threshold = 0.5)
+        .agg(sum(when(col("contaminated"), 1L).otherwise(0L)),
+          sum(when(col("contaminated") && col("overlap") < 1.0, 1L).otherwise(0L))).head())
+    val (flagged, partial) = (decon.getLong(0), decon.getLong(1))
+    println(s"[stress] contaminated flagged: $flagged (planted ${nCorpus / 50}), non-exact: $partial")
+    require(flagged == nCorpus / 50 && partial == 0,
+      s"exactly the planted copies must be flagged: $flagged / ${nCorpus / 50}, partial $partial")
+
     spark.stop()
   }
 }

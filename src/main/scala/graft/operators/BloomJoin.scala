@@ -27,6 +27,12 @@ object BloomJoin {
                 expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.types._
     val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+    for ((df, k) <- Seq((left, leftKey), (right, rightKey))) {
+      val t = df.schema(k).dataType
+      if (!integral(t) && t != StringType)
+        throw new IllegalArgumentException(
+          s"BloomJoin supports integral or string keys, got $t for '$k'")
+    }
     // both sides hash through the SAME representation (long or UTF-8 string);
     // null right keys never enter the sketch (they can't equi-join anyway)
     val keyed = right.select(

@@ -103,6 +103,32 @@ class GuardsSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("clusters refuses to return half-propagated labels at the iteration cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a diameter-4 chain with maxIterations=1 cannot converge
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      graft.llmops.Dedup.clusters(chain, maxIterations = 1).collect()
+    }
+    assert(e.getMessage.contains("maxIterations"))
+    // and the same graph converges fine with room to run
+    val ok = graft.llmops.Dedup.clusters(chain, maxIterations = 10)
+    assert(ok.filter(col("cluster_id") =!= 1L).count() == 0)
+  }
+
+  test("bloom join rejects unsupported key types and ambiguous key names") {
+    import spark.implicits._
+    val l = Seq((Array[Byte](1), 1L)).toDF("k", "v")
+    val r = Seq((Array[Byte](1), 2L)).toDF("rk", "w")
+    intercept[IllegalArgumentException] {
+      graft.operators.BloomJoin(l, r, "k", "rk")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.BloomJoin(l.toDF("k", "v"), r.toDF("k", "w"), "k", "k")
+    }
+  }
+
   test("ml_predict SQL UDF carries runtime-registered models in its closure") {
     import spark.implicits._
     ModelCatalog.registerTextGen(new TextGenModel {
