@@ -22,6 +22,13 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // session-wide on purpose (also set lazily by Tables for sessions built
+      // elsewhere): TIMESTAMP(NANOS) parquet columns surface as nanos longs
+      // instead of failing, and the flag must stay set while any events scan
+      // is alive (it is consulted at execution, not plan time). Consequence a
+      // caller should know: an unrelated NANOS parquet read in the same
+      // session also decodes as LongType rather than erroring.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -388,16 +388,17 @@ object Dedup {
                     broadcastMaxShingles: Long = 50L * 1000 * 1000,
                     forceDistributed: Boolean = false): DataFrame = {
     val sz = shingleSize
-    // persisted: the hash set is consumed twice (size probe + collect-or-join)
-    // and the scan+explode+distinct behind it is the expensive part
-    val benchHashes = bench
+    val benchRaw = bench
       .select(Text.tokens(col(textCol)).as("__toks"))
       .select(explode(Text.shinglesFromTokens(col("__toks"), sz)).as("__shingle"))
       .select(xxhash64(col("__shingle")).as("__h")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // forced: single consumer (the join) — no probe, no materialization.
+    // auto: the hash set is consumed twice (size probe + collect-or-join);
+    // localCheckpoint materializes it ONCE and its blocks are GC-cleaned with
+    // the DataFrame, unlike persist() which would pin the distributed path's
+    // copy in the block manager for the application lifetime
+    val benchHashes = if (forceDistributed) benchRaw else benchRaw.localCheckpoint()
 
-    // short-circuit: the size probe is itself a full bench scan+distinct, so
-    // an explicit distributed request must not pay it
     if (forceDistributed || benchHashes.count() > broadcastMaxShingles) {
       // inverted-index path: distinct (doc, hash) pairs left-joined against
       // the bench hash set; matched = count of survivors, docs with zero
@@ -421,7 +422,6 @@ object Dedup {
         .withColumn("contaminated", col("overlap") >= threshold)
     } else {
       val sorted = benchHashes.collect().map(_.getLong(0)).sorted
-      benchHashes.unpersist() // materialized into the broadcast array
       val bc = corpus.sparkSession.sparkContext.broadcast(sorted)
       val statsUdf = udf((text: String) => {
         val set = bc.value

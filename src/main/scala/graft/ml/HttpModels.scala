@@ -126,6 +126,12 @@ final case class OpenAiEmbedding(name: String, cfg: HttpConfig, dim: Int) extend
     val out = new Array[Array[Float]](texts.size)
     data.forEach { item =>
       val idx = item.path("index").asInt()
+      // a permuted-but-valid index set is what the field exists for; anything
+      // else (out of range, duplicate) must fail HERE with model context, not
+      // as a bare AIOOBE or a silent null embedding row downstream
+      require(idx >= 0 && idx < out.length,
+        s"model '$name' returned index $idx for a batch of ${texts.size}")
+      require(out(idx) == null, s"model '$name' returned index $idx twice")
       val emb = item.path("embedding")
       val v = new Array[Float](emb.size())
       var i = 0

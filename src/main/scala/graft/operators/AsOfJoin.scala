@@ -41,6 +41,10 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(rightCols.contains),
       s"left/right column collision: ${leftCols.intersect(rightCols).mkString(", ")}")
+    val reserved = Set("__k", "__t", "__side", "__payload")
+    val clash = (leftCols ++ rightCols).filter(reserved)
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} collide with AsOfJoin's working columns — rename them first")
 
     // the payload rides as ONE struct, not per-column last() calls: a struct
     // is never null for a right row even when its fields are, so the carried

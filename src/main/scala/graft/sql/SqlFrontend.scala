@@ -82,10 +82,14 @@ object SqlFrontend {
           case Some(remote: graft.vector.RemoteVectorStore) =>
             insertIntoVectorTable(df, remote)
           case _ =>
+            // only the DELTA hits disk; the registered table is the lazy
+            // union of the (already disk-backed) prior contents and the new
+            // snapshot. N inserts = N parquet dirs read once each — the
+            // rewrite-the-whole-table formulation did O(N²) write volume.
             val snap = materialize(spark, tgt, df)
             val merged =
               if (TableRegistry.exists(tgt))
-                materialize(spark, tgt, TableRegistry.resolve(tgt).load(spark).unionByName(snap))
+                TableRegistry.resolve(tgt).load(spark).unionByName(snap)
               else snap
             TableRegistry.createTableAs(spark, tgt, merged)
             merged.createOrReplaceTempView(tgt)
@@ -120,11 +124,21 @@ object SqlFrontend {
     * with a lost executor), reads recompute from files, side effects run
     * exactly once at statement time.
     */
+  private val warehouseCleanup = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def materialize(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/" +
-      s"${spark.sparkContext.applicationId}/${name}_${System.nanoTime()}"
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/" +
+      spark.sparkContext.applicationId
+    if (warehouseCleanup.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(new java.io.File(root))))
+    val dir = s"$root/${name}_${System.nanoTime()}"
     df.write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   /** Parse query text with Flink/standard-SQL string-literal semantics:
@@ -304,6 +318,8 @@ object SqlFrontend {
       .filterNot(_.toUpperCase.startsWith("PRIMARY"))
       .map { c =>
         val parts = c.split("\\s+", 2)
+        require(parts.length == 2,
+          s"column entry '$c' has a name but no type in: $spec")
         org.apache.spark.sql.types.StructField(unqualify(parts(0)), typ(parts(1)))
       }.toSeq
   }
@@ -653,10 +669,15 @@ object SqlFrontend {
       "(\\s*\\(\\s*\\w+(?:\\s*,\\s*\\w+)*\\s*\\))?)?").r.findFirstMatchIn(tail)
       .getOrElse(sys.error("malformed LATERAL TABLE(AI_RUN_AGENT(...))"))
     val aliasOpt = Option(tailM.group(1)).filterNot(a => ReservedAfterLateral(a.toUpperCase))
-    val colList = Option(tailM.group(2)).map(_.replaceAll("[()\\s]", "").split(",").toSeq)
+    // a reserved "alias" (WHERE/GROUP/…) means there was no alias: neither it
+    // NOR a parenthesized group the column-list regex swallowed (`WHERE
+    // (flag)`) belongs to the lateral — resume at the keyword itself, not
+    // `end - keyword.length`, which would delete the swallowed group
+    val colList = aliasOpt.flatMap(_ => Option(tailM.group(2)))
+      .map(_.replaceAll("[()\\s]", "").split(",").toSeq)
     val consumed =
       if (aliasOpt.isDefined) tailM.end
-      else tailM.end - Option(tailM.group(1)).map(_.length).getOrElse(0)
+      else Option(tailM.group(1)).map(_ => tailM.start(1)).getOrElse(tailM.end)
 
     val agentName = unqualify(unquoteArg(args.head))
     // prompt = the non-MAP args after the name (extras like a session key
@@ -751,7 +772,9 @@ object SqlFrontend {
       val (table, qvec, k, alias) = (unqualify(mm.group(1)), mm.group(2), mm.group(3).toInt, mm.group(4))
       val store = graft.vector.VectorTableCatalog.resolve(table)
       val declared = graft.vector.VectorTableCatalog.resultSchema(table)
-      val fname = s"__vsa_${table}_$k"
+      // sanitized: the table-name group admits '-' and '.' (hyphenated topic
+      // names), which would make the UDF name unparseable in the spliced SQL
+      val fname = s"__vsa_${table.replaceAll("\\W", "_")}_$k"
       declared match {
         case Some(schema) =>
           // schema-driven: results in the table's DECLARED column shape, so
@@ -811,11 +834,15 @@ object SqlFrontend {
       val alias = Option(mm.group(3)).filterNot(a => ReservedAfterLateral(a.toUpperCase))
       val isEmbed = ModelCatalog.embeddingSnapshot.contains(unqualify(model))
       val fn = if (isEmbed) "ml_embed" else "ml_predict"
-      val outCol = Option(mm.group(4)).getOrElse(if (isEmbed) "embedding" else "response")
+      // a reserved "alias" carries no column list either — anything the list
+      // group swallowed after the keyword belongs to the outer query
+      val outCol = alias.flatMap(_ => Option(mm.group(4)))
+        .getOrElse(if (isEmbed) "embedding" else "response")
       val call = s"$fn('${unqualify(model)}', $arg)"
-      val keywordLen = Option(mm.group(3)).filter(a => ReservedAfterLateral(a.toUpperCase))
-        .map(_.length).getOrElse(0)
-      val without = cur.substring(0, mm.start) + cur.substring(mm.end - keywordLen)
+      val reserved = Option(mm.group(3)).exists(a => ReservedAfterLateral(a.toUpperCase))
+      val without =
+        if (reserved) cur.substring(0, mm.start) + cur.substring(mm.start(3))
+        else cur.substring(0, mm.start) + cur.substring(mm.end)
       // first standalone reference (optionally alias-qualified) becomes the
       // call; keep the column name unless the site aliases it itself
       // (`e.embedding AS narrative_embedding`, LAB4-Walkthrough.md:250-254)

@@ -114,20 +114,20 @@ object AvroSerde {
     def decode(bytes: Array[Byte]): Row = {
       val dec = DecoderFactory.get().binaryDecoder(bytes, null)
       val rec = reader.read(null, dec)
-      fromRecord(rec, sparkSchema, schema)
+      fromRecord(rec, sparkSchema, schema, writerSchema)
     }
 
-    /** The WRITER's schema for a top-level field: resolution passes raw longs
-      * through, so timestamp logical types (millis vs micros) must be
-      * interpreted per the schema the bytes were WRITTEN with — a millis
-      * writer decoded with a micros reader would land in 1970. Fields absent
-      * from the writer came from reader defaults → reader schema applies.
+    /** The WRITER's schema for a field (at ANY nesting depth): resolution
+      * passes raw longs through, so timestamp logical types (millis vs
+      * micros) must be interpreted per the schema the bytes were WRITTEN
+      * with — a millis writer decoded with a micros reader would land in
+      * 1970. Fields absent from the writer came from reader defaults → None
+      * (reader schema applies).
       */
-    private def fieldSchemaForDecode(name: String, readerField: Schema): Schema =
-      writerSchema
+    private def writerField(wOpt: Option[Schema], name: String): Option[Schema] =
+      wOpt
         .flatMap(w => Option(if (w.getType == Schema.Type.RECORD) w.getField(name) else null))
         .map(f => nonNull(f.schema()))
-        .getOrElse(readerField)
 
     private def toRecord(row: Row, st: StructType, sch: Schema): GenericRecord = {
       val rec = new GenericData.Record(sch)
@@ -171,9 +171,9 @@ object AvroSerde {
       case _ => false
     }
 
-    private def fromRecord(rec: GenericRecord, st: StructType, sch: Schema): Row = {
+    private def fromRecord(rec: GenericRecord, st: StructType, sch: Schema,
+                           wOpt: Option[Schema]): Row = {
       val vals = new Array[Any](st.length)
-      val topLevel = sch eq schema
       var i = 0
       while (i < st.length) {
         val f = st.fields(i)
@@ -181,14 +181,18 @@ object AvroSerde {
         val fieldSch = nonNull(sch.getFields.get(i).schema())
         vals(i) =
           if (raw == null) null
-          else fromDatum(raw, f.dataType,
-            if (topLevel) fieldSchemaForDecode(f.name, fieldSch) else fieldSch)
+          else fromDatum(raw, f.dataType, fieldSch, writerField(wOpt, f.name))
         i += 1
       }
       new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(vals, st)
     }
 
-    private def fromDatum(v: AnyRef, dt: DataType, sch: Schema): Any = (dt, v) match {
+    /** `wOpt` = the writer's schema for this value, threaded through EVERY
+      * nesting level (records, arrays) so millis-vs-micros interpretation is
+      * always the writer's — a nested timestamp-millis field decoded per the
+      * reader's micros type would be silently 1000× off.
+      */
+    private def fromDatum(v: AnyRef, dt: DataType, sch: Schema, wOpt: Option[Schema]): Any = (dt, v) match {
       case (StringType, s) => s.toString // Utf8 or String
       case (IntegerType, i: java.lang.Integer) => i.intValue()
       case (LongType, l: java.lang.Long)       => l.longValue()
@@ -199,18 +203,19 @@ object AvroSerde {
         val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
       case (DateType, i: java.lang.Integer) => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
       case (TimestampType, l: java.lang.Long) =>
-        val micros = if (isMillis(sch)) l * 1000L else l.longValue()
+        val micros = if (isMillis(wOpt.getOrElse(sch))) l * 1000L else l.longValue()
         val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000L))
         t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
         t
       case (TimestampNTZType, l: java.lang.Long) =>
-        val micros = if (isMillis(sch)) l * 1000L else l.longValue()
+        val micros = if (isMillis(wOpt.getOrElse(sch))) l * 1000L else l.longValue()
         LocalDateTime.ofEpochSecond(Math.floorDiv(micros, 1000000L),
           (Math.floorMod(micros, 1000000L) * 1000L).toInt, ZoneOffset.UTC)
       case (ArrayType(elem, _), xs: java.util.Collection[_]) =>
         val es = nonNull(sch.getElementType)
-        xs.asScala.map(x => if (x == null) null else fromDatum(x.asInstanceOf[AnyRef], elem, es)).toSeq
-      case (st: StructType, r: GenericRecord) => fromRecord(r, st, sch)
+        val wes = wOpt.filter(_.getType == Schema.Type.ARRAY).map(w => nonNull(w.getElementType))
+        xs.asScala.map(x => if (x == null) null else fromDatum(x.asInstanceOf[AnyRef], elem, es, wes)).toSeq
+      case (st: StructType, r: GenericRecord) => fromRecord(r, st, sch, wOpt)
       case (other, x) => throw new IllegalArgumentException(s"cannot decode ${x.getClass} as $other")
     }
   }

@@ -265,4 +265,26 @@ class AvroSerdeSpec extends SparkSpec {
     val survivors = snapshot.select("value").as[Array[Byte]].collect()
     survivors.foreach(f => assert(KafkaIO.confluentUnframe(f)._1 == 12))
   }
+
+  test("NESTED timestamp units follow the writer schema, not the reader's") {
+    // a millis writer with the timestamp one struct level down: the unit
+    // resolution must recurse — interpreting the raw millis long per the
+    // reader's micros type would put the instant near 1970
+    val inner = StructType(Seq(
+      StructField("ts", TimestampNTZType, nullable = false),
+      StructField("label", StringType, nullable = false)))
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("meta", inner, nullable = false)))
+    val when = java.time.LocalDateTime.of(2024, 5, 1, 10, 30, 15, 123000000) // exact millis
+    val row = org.apache.spark.sql.Row(5L, org.apache.spark.sql.Row(when, "x"))
+    val millisCodec = AvroSerde.codec(st, timestampMillis = true)
+    val bytes = millisCodec.encode(row)
+    val microsReader = new AvroSerde.RowCodec(st,
+      AvroSerde.avroSchema(st, timestampMillis = false).toString,
+      writerJson = Some(AvroSerde.avroSchema(st, timestampMillis = true).toString))
+    val back = microsReader.decode(bytes)
+    val got = back.getStruct(1).getAs[java.time.LocalDateTime]("ts")
+    assert(got == when, s"nested millis-writer timestamp must decode to the instant, got $got")
+  }
 }

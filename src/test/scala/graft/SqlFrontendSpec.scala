@@ -622,4 +622,26 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     assert(insertedDocs.size() == 2, s"docs must land remotely, got $insertedDocs")
     assert(insertedDocs.get(21L) == "inserted one" && insertedDocs.get(22L) == "inserted two")
   }
+
+  test("a reserved keyword after a lateral never swallows the clause that follows it") {
+    // the alias group matches WHERE and the column-list group matches (flag);
+    // neither belongs to the lateral — the rewrite must resume AT the keyword
+    val out = SqlFrontend.rewriteLateral(
+      "SELECT o.id FROM t o, LATERAL TABLE(ML_PREDICT('m', o.txt)) WHERE (flag)")
+    assert(out.contains("WHERE (flag)"), s"WHERE ( must survive: $out")
+    assert(!out.toUpperCase.contains("LATERAL"), out)
+  }
+
+  test("repeated INSERT INTO appends deltas without rewriting the table") {
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("ins_delta_src1")
+    Seq((2L, "b")).toDF("id", "v").createOrReplaceTempView("ins_delta_src2")
+    SqlFrontend.execute(spark, "CREATE TABLE ins_delta AS SELECT * FROM ins_delta_src1")
+    SqlFrontend.execute(spark, "INSERT INTO ins_delta SELECT * FROM ins_delta_src2")
+    SqlFrontend.execute(spark, "INSERT INTO ins_delta SELECT 3L AS id, 'c' AS v")
+    val rows = spark.table("ins_delta").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    SqlFrontend.execute(spark, "DROP TABLE ins_delta")
+  }
 }
