@@ -37,4 +37,27 @@ object Vectors {
     val d = zip_with(toDoubleArr(a), toDoubleArr(b), (x, y) => x - y)
     aggregate(transform(d, x => x * x), lit(0.0), _ + _)
   }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dims with a sparse
+    * ±1 matrix (Achlioptas 2003 — database-friendly random projections): the
+    * 100 TB scan-bandwidth lever for embedding pipelines (64→16 dims = 4×
+    * less shuffle/storage for ANN candidate generation, with pairwise
+    * distances preserved to 1±ε whp). Row-local codegen HOFs, zero shuffle.
+    *
+    * The projection entry sign(j,k) is a deterministic integer mix
+    * (((j·73856093 + k·19349663) mod 1000003) mod 2 → ±1) rather than a
+    * seeded PRNG so any engine — and the DuckDB oracle — reproduces the
+    * matrix from the formula alone. Accumulation is double, left-to-right,
+    * scaled by 1/√outDim (exact for power-of-4 dims, e.g. 16 → 0.25) and
+    * `+0.0`-normalised so signed zeros can't diverge across engines.
+    */
+  def jlProject(v: Column, outDim: Int): Column = {
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    transform(sequence(lit(0), lit(outDim - 1)), k =>
+      aggregate(sequence(lit(0), size(v) - 1), lit(0.0), (acc, j) =>
+        acc + element_at(v, j + 1).cast("double") *
+          when(((j.cast("long") * lit(73856093L) + k.cast("long") * lit(19349663L)) % 1000003L % 2) === 0,
+            lit(1.0)).otherwise(lit(-1.0))) * lit(scale) + lit(0.0))
+  }
 }

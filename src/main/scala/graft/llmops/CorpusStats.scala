@@ -38,4 +38,18 @@ object CorpusStats {
       .filter(col("rank") <= k)
       .select("doc_id", "token", "tf", "df", "score", "rank")
   }
+
+  /** Corpus-wide heavy-hitter n-grams by document frequency — the discovery
+    * step for boilerplate mining (what should [[Dedup.lineDedup]]'s cap or a
+    * blocklist target?). Per-doc distinct shingles are row-local; the count
+    * aggregate map-side combines before its one shuffle, and the top-k is a
+    * TakeOrderedAndProject (k rows per partition to the driver, never a full
+    * sort). Ties break on the n-gram string so the cut is deterministic.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int = 3, k: Int = 25): DataFrame =
+    df.select(array_distinct(
+        Text.shinglesFromTokens(Text.tokens(coalesce(col(textCol), lit(""))), n)).as("__sh"))
+      .select(explode(col("__sh")).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram")).limit(k)
 }

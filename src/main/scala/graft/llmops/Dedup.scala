@@ -494,6 +494,86 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** C4-style span-level dedup (Raffel et al. 2020 §2.2 "we discarded all but
+    * one of any three-sentence span occurring more than once"): the corpus'
+    * pseudo-lines are consecutive `chunkWords`-token chunks of each document
+    * (this corpus has no sentence boundaries), and every chunk whose text
+    * occurs at more than one (doc, position) corpus-wide is removed everywhere
+    * EXCEPT its globally-first occurrence — winner = min (doc_id, chunk_idx).
+    * Documents are re-assembled from their surviving chunks in order (possibly
+    * to the empty string); the doc-level complement of [[exact]], catching the
+    * boilerplate spans cross-doc whole-text dedup can't see.
+    *
+    * 100 TB shape: chunking/hashing is row-local (codegen HOFs); the only
+    * required shuffle is the duplicate-count aggregate over 8-byte chunk
+    * hashes (map-side combined — no chunk text ever shuffles). The hot set
+    * (chunks seen ≥2 times) is the boilerplate vocabulary, tiny next to the
+    * corpus; under `broadcastMaxLines` it broadcasts as a hash→winner map and
+    * each doc rewrites ROW-LOCALLY (zero corpus shuffle). Above it, the
+    * fallback joins ids-only (doc, idx, hash) triples against the hot set,
+    * reduces to a per-doc dropped-index list, and joins that back — the corpus
+    * text still moves through at most ONE exchange (and none when AQE
+    * broadcasts the per-doc drop lists). Paths are output-identical (spec).
+    *
+    * Chunk identity is xxhash64 of the chunk text (the C4 trick at scale); a
+    * 64-bit collision would conflate two distinct spans — negligible below
+    * ~10^9 distinct chunks.
+    */
+  def lineDedup(docs: DataFrame, textCol: String, idCol: String,
+                chunkWords: Int = 20, broadcastMaxLines: Long = 10L * 1000 * 1000,
+                forceJoin: Boolean = false): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    val n = chunkWords
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      Text.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+    val chunked = toks.select(col("doc_id"),
+      transform(
+        sequence(lit(0), greatest(ceil(size(col("__t")) / lit(n.toDouble)).cast("int") - 1, lit(0))),
+        i => concat_ws(" ", slice(col("__t"), i * n + 1, lit(n)))).as("__chunks"))
+    val idLines = chunked.select(col("doc_id"),
+      posexplode(transform(col("__chunks"), c => xxhash64(c))).as(Seq("chunk_idx", "__h")))
+    val hotRaw = idLines
+      .groupBy("__h")
+      .agg(count(lit(1)).as("__cnt"), min(struct(col("doc_id"), col("chunk_idx"))).as("__w"))
+      .filter(col("__cnt") >= 2)
+      .select(col("__h"), col("__w"))
+    // two consumers in the auto path (size probe + collect-or-join) — same
+    // localCheckpoint reasoning as decontaminate
+    val hot = if (forceJoin) hotRaw else hotRaw.localCheckpoint()
+
+    if (!forceJoin && hot.count() <= broadcastMaxLines) {
+      val hotMap = new java.util.HashMap[java.lang.Long, (Long, Int)](64)
+      hot.collect().foreach { r =>
+        val w = r.getStruct(1)
+        hotMap.put(r.getLong(0), (w.getLong(0), w.getInt(1)))
+      }
+      val bc = docs.sparkSession.sparkContext.broadcast(hotMap)
+      val rebuild = udf { (docId: Long, chunks: Seq[String]) =>
+        val m = bc.value
+        val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        chunks.foreach { c =>
+          val w = m.get(RowHash.utf8(c): java.lang.Long)
+          if (w == null || w == ((docId, i))) kept += c
+          i += 1
+        }
+        kept.mkString(" ")
+      }
+      chunked.select(col("doc_id"), rebuild(col("doc_id"), col("__chunks")).as(textCol))
+    } else {
+      // dropped occurrences = hot-line placements that are not the winner;
+      // grouped per doc they form a tiny drop-list side that AQE can broadcast
+      val drops = idLines.join(hot, "__h")
+        .filter(struct(col("doc_id"), col("chunk_idx")) =!= col("__w"))
+        .groupBy("doc_id").agg(collect_set(col("chunk_idx")).as("__drop"))
+      chunked.join(drops, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          concat_ws(" ",
+            filter(col("__chunks"),
+              (_, i) => !array_contains(coalesce(col("__drop"), array()), i))).as(textCol))
+    }
+  }
+
   /** Hot-bucket guard shared by the LSH variants: a bucket bigger than `cap`
     * (boilerplate-heavy corpora — headers, licence blocks — collapse many docs
     * into one band signature) would contribute O(cap²) candidate pairs; such

@@ -1464,6 +1464,50 @@ object Catalog {
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE c_mktsegment = 'BUILDING'"""))
 
+  private val q88 = Q("q88_line_dedup", (s, dir) => {
+    // C4-style span dedup: every duplicated 20-word chunk is removed
+    // everywhere except its globally-first (doc, position) occurrence;
+    // docs re-assemble from their surviving chunks.
+    graft.llmops.Dedup.lineDedup(t(s, dir, "documents"), "text", "doc_id", chunkWords = 20)
+  }, Some("""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(coalesce(text,'')), '\s+') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_idx,
+             array_to_string(t[(u.i*20+1):(u.i*20+20)], ' ') AS line
+      FROM toks, UNNEST(range(0, greatest(CAST(ceil(len(t)/20.0) AS BIGINT), 1))) AS u(i)),
+    marked AS (
+      SELECT doc_id, chunk_idx, line,
+             count(*) OVER (PARTITION BY line) AS cnt,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks),
+    kept AS (SELECT doc_id, chunk_idx, line FROM marked WHERE cnt = 1 OR rn = 1)
+    SELECT d.doc_id, coalesce(string_agg(k.line, ' ' ORDER BY k.chunk_idx), '') AS text
+    FROM toks d LEFT JOIN kept k USING (doc_id) GROUP BY d.doc_id"""))
+
+  private val q89 = Q("q89_top_ngrams", (s, dir) => {
+    // Heavy-hitter trigram mining by document frequency — the boilerplate
+    // discovery step feeding lineDedup caps / blocklists.
+    graft.llmops.CorpusStats.topNgrams(t(s, dir, "documents"), "text", n = 3, k = 25)
+  }, Some("""
+    WITH toks AS (SELECT string_split_regex(trim(coalesce(text,'')), '\s+') AS t FROM documents),
+    sh AS (SELECT unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 1)+1),
+             i -> array_to_string(t[i:i+2], ' ')))) AS ngram FROM toks)
+    SELECT ngram, count(*) AS df FROM sh GROUP BY ngram ORDER BY df DESC, ngram LIMIT 25"""))
+
+  private val q90 = Q("q90_jl_project", (s, dir) => {
+    // Johnson–Lindenstrauss ±1 projection 64→16 dims: the embedding
+    // compression step ahead of ANN; deterministic matrix, bit-exact oracle
+    // (unnested to scalar rows — the gate hash-compares scalar cells).
+    t(s, dir, "embeddings").select(col("vec_id"),
+      posexplode(graft.functions.Vectors.jlProject(col("embedding"), 16)).as(Seq("dim", "value")))
+  }, Some("""
+    SELECT vec_id, CAST(u.k AS INTEGER) AS dim,
+           list_reduce(list_transform(range(0, len(embedding)), j ->
+             CAST(embedding[CAST(j AS INTEGER)+1] AS DOUBLE) *
+             (CASE WHEN ((j*73856093 + u.k*19349663) % 1000003) % 2 = 0 THEN 1.0 ELSE -1.0 END)),
+           (a, b) -> a + b) * 0.25 + 0.0 AS value
+    FROM embeddings, UNNEST(range(0, 16)) AS u(k)"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1474,7 +1518,7 @@ object Catalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

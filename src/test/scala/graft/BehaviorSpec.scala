@@ -143,4 +143,17 @@ class BehaviorSpec extends SparkSpec {
     assert(out(3L).getAs[String]("token") == "plain")
     assert(out(1L).getAs[Double]("score") == 3.0) // tf 1 · N 3 / df 1
   }
+
+  test("topNgrams counts document frequency, not occurrences, and cuts deterministically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // trigram "a b c" appears 3x within the doc
+      (2L, "a b c x y z"),
+      (3L, "x y z only here")).toDF("doc_id", "text")
+    val out = CorpusStats.topNgrams(docs, "text", n = 3, k = 2)
+      .collect().map(r => (r.getAs[String]("ngram"), r.getAs[Long]("df"))).toSeq
+    // "a b c": docs 1,2 → df 2 (within-doc repeats counted once);
+    // "x y z": docs 2,3 → df 2; tie broken by the ngram string ascending
+    assert(out == Seq(("a b c", 2L), ("x y z", 2L)))
+  }
 }

@@ -41,4 +41,35 @@ class CosineExprSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("cosine") || e.getMessage.contains("ARRAY<FLOAT>"))
   }
+
+  test("jlProject: exact basis-vector norms, approximate distance preservation") {
+    import spark.implicits._
+    // ±1 matrix scaled by 1/√16 = 0.25: every basis vector maps to a vector of
+    // EXACTLY unit norm (16 · 0.25² = 1, all doubles exact)
+    val basis = (0 until 64).map(i => (i.toLong, Array.tabulate(64)(j => if (j == i) 1.0f else 0.0f)))
+    val pb = basis.toDF("id", "v")
+      .select(col("id"), Vectors.jlProject(col("v"), 16).as("p")).collect()
+      .map(r => r.getSeq[Double](1)).toSeq
+    pb.foreach { p =>
+      assert(p.length == 16)
+      assert(p.map(x => x * x).sum == 1.0) // exact, not approximate
+    }
+    // distance preservation on real embeddings: JL with 16 dims is coarse, so
+    // assert a loose-but-meaningful band on pairwise L2 ratios
+    val emb = graft.core.Tables(spark, sfDir, "embeddings").limit(12)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    def proj(v: Array[Double]): Array[Double] =
+      Array.tabulate(16)(k => 0.25 * v.indices.map(j =>
+        v(j) * (if (((j.toLong * 73856093L + k.toLong * 19349663L) % 1000003L) % 2 == 0) 1.0 else -1.0)).sum)
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum)
+    val ratios = for {
+      i <- emb.indices; j <- emb.indices if i < j
+      d = l2(emb(i), emb(j)) if d > 1e-9
+    } yield l2(proj(emb(i)), proj(emb(j))) / d
+    assert(ratios.nonEmpty)
+    assert(ratios.forall(r => r > 0.2 && r < 2.2),
+      s"JL distance ratios out of band: min=${ratios.min} max=${ratios.max}")
+  }
 }

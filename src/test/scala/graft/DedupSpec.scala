@@ -140,6 +140,35 @@ class DedupSpec extends SparkSpec {
 }
 
 class MultimodalSpec extends SparkSpec {
+  test("lineDedup keeps only the globally-first occurrence of a duplicated chunk") {
+    import spark.implicits._
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ") // exactly one 20-word chunk
+    val u1 = (1 to 20).map(i => s"u$i").mkString(" ")
+    val u2 = (1 to 20).map(i => s"v$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$boiler $u1"), // winner occurrence of boiler
+      (2L, s"$u2 $boiler"), // loses: later doc
+      (3L, boiler), // gutted entirely -> empty text
+      (4L, s"$u1 $u1")) // within-doc repeat: second copy dropped
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df, "text", "doc_id", chunkWords = 20)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // u1 is duplicated corpus-wide too (docs 1 and 4): doc 1 position 1 wins
+    assert(out == Seq((1L, s"$boiler $u1"), (2L, u2), (3L, ""), (4L, "")))
+  }
+
+  test("lineDedup broadcast and join paths are output-identical (and non-vacuous)") {
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val bcast = asSet(Dedup.lineDedup(docs, "text", "doc_id"))
+    val join = asSet(Dedup.lineDedup(docs, "text", "doc_id", forceJoin = true))
+    assert(bcast == join)
+    val original = docs.select(col("doc_id"),
+      concat_ws(" ", graft.functions.Text.tokens(col("text"))).as("text"))
+    assert(bcast != asSet(original), "testdata must contain duplicated chunks for this spec to bite")
+  }
+
   test("image feature extraction preserves schema contract and determinism") {
     val docs = graft.core.Tables(spark, sfDir, "documents").limit(20)
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
