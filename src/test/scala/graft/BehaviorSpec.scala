@@ -144,6 +144,36 @@ class BehaviorSpec extends SparkSpec {
     assert(out(1L).getAs[Double]("score") == 3.0) // tf 1 · N 3 / df 1
   }
 
+  test("streaming sessionize labels equal the batch operator across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[(Long, Long, java.sql.Timestamp)]
+    val ts = (sec: Int) => java.sql.Timestamp.valueOf(f"2026-01-01 00:${sec / 60}%02d:${sec % 60}%02d")
+    // user 100: events at 0s, 30s (same session, gap == threshold), 61s (new
+    // session: gap 31 > 30), 200s (third session); user 200: one event
+    val fixture = Seq(
+      (1L, 100L, ts(0)), (2L, 100L, ts(30)), (3L, 100L, ts(61)),
+      (4L, 100L, ts(200)), (5L, 200L, ts(10)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = graft.streaming.StreamingSessionize(
+      mem.toDF().toDF("event_id", "user_id", "ts"),
+      "user_id", "ts", "event_id", gapSeconds = 30)
+      .writeStream.format("memory").queryName("sess_sink").outputMode("append").start()
+    try {
+      val (b1, b2) = fixture.splitAt(3) // split mid-key across triggers
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_sink").collect()
+      .map(r => (r.getAs[String]("user"), r.getAs[Long]("tie"), r.getAs[Long]("session_seq"))).toSet
+    val batch = Behavior.sessionize(
+      fixture.toDF("event_id", "user_id", "ts"), "user_id", "ts", "event_id", gapSeconds = 30)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id").toString, r.getAs[Long]("event_id"), r.getAs[Long]("session_seq"))).toSet
+    assert(streamed == batch, s"streaming labels must equal batch:\n$streamed\nvs\n$batch")
+    assert(batch.map(_._3).max == 3L, "fixture must exercise multiple sessions")
+  }
+
   test("topNgrams counts document frequency, not occurrences, and cuts deterministically") {
     import spark.implicits._
     val docs = Seq(
