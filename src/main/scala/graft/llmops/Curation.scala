@@ -152,6 +152,34 @@ object Curation {
       .withColumn("epochs", ceil(col("weight")).cast("long"))
   }
 
+  /** Materialize the [[mixtureWeights]] recipe into the actual training list:
+    * each doc appears `floor(weight)` whole epochs plus one extra copy for a
+    * deterministic `frac(weight)` fraction of its domain (content-hash bucket,
+    * the same md5 idiom as [[sample]] — reproducible across runs, engines and
+    * layouts; duplicate texts decide identically). Domains with weight < 1 are
+    * SUBSAMPLED by the same rule (floor = 0, only the fractional keep fires).
+    *
+    * Scale shape: the weights table is |domains| rows — broadcast; the rest is
+    * a row-local decision + a per-doc epoch explode. No corpus shuffle at all.
+    * Output: (id, domain, epoch 1..copies) — epoch-major consumers repartition
+    * downstream as needed.
+    */
+  def applyMixture(df: DataFrame, domainCol: Column, textCol: String, idCol: String,
+                   targets: Map[String, Double], budgetTokens: Long): DataFrame = {
+    val w = mixtureWeights(df, domainCol, textCol, targets, budgetTokens)
+      .select(col("domain"), col("weight"))
+    val fracPct = floor((col("weight") - floor(col("weight"))) * 100).cast("long")
+    df.select(col(idCol), domainCol.as("domain"), col(textCol).as("__text"))
+      .join(broadcast(w), "domain")
+      .withColumn("__copies",
+        floor(col("weight")).cast("long") +
+          when(hashBucket(col("__text")) < fracPct, 1L).otherwise(0L))
+      .withColumn("epoch",
+        explode(when(col("__copies") >= 1, sequence(lit(1L), col("__copies")))
+          .otherwise(array())))
+      .select(col(idCol), col("domain"), col("epoch"))
+  }
+
   /** Leakage-safe train/valid/test split: near-duplicate documents must never
     * straddle the split boundary (a test doc whose near-twin sits in train
     * leaks the answer), so the split key is the doc's DEDUP CLUSTER, not the

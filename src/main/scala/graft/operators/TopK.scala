@@ -38,6 +38,19 @@ object TopK {
     udaf(new TopKAgg(k), inEnc)
   }
 
+  /** Per-group top-k rows as a first-class operator: the bounded-aggregator
+    * alternative to `row_number() OVER (PARTITION BY ...) <= k`. The window
+    * form shuffles and SORTS every row of every group; this one ships at most
+    * k rows per group out of each input partition (map-side partial) and never
+    * sorts a whole group. Output: groupCols + (rank 1-based, score, id),
+    * deterministic ties (score DESC, id ASC).
+    */
+  def perGroup(df: DataFrame, groupCols: Seq[String], scoreCol: Column, idCol: Column,
+               k: Int): DataFrame =
+    explodeRanked(
+      df.groupBy(groupCols.map(col): _*).agg(topK(k)(scoreCol, idCol).as("__topk")),
+      "__topk", groupCols.map(col))
+
   /** Expand a top-k array column to (rank, score, id) rows; rank is 1-based. */
   def explodeRanked(df: DataFrame, topkCol: String, keep: Seq[Column]): DataFrame =
     df.select(keep :+ posexplode(col(topkCol)): _*)

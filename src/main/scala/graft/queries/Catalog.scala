@@ -1508,6 +1508,46 @@ object Catalog {
            (a, b) -> a + b) * 0.25 + 0.0 AS value
     FROM embeddings, UNNEST(range(0, 16)) AS u(k)"""))
 
+  private val q91 = Q("q91_apply_mixture", (s, dir) => {
+    // Materialized mixture sampling: with a 20k-token budget the 40/30/20/10
+    // shares straddle weight=1 — 'web' repeats into a second epoch while
+    // 'wiki' subsamples to ~30%; every copy decision is content-hash
+    // deterministic.
+    val domain = when(col("doc_id") % 4 === 0, "web")
+      .when(col("doc_id") % 4 === 1, "books")
+      .when(col("doc_id") % 4 === 2, "code").otherwise("wiki")
+    graft.llmops.Curation.applyMixture(t(s, dir, "documents"), domain, "text", "doc_id",
+      Map("web" -> 0.4, "books" -> 0.3, "code" -> 0.2, "wiki" -> 0.1),
+      budgetTokens = 20000L)
+  }, Some("""
+    WITH d AS (SELECT doc_id, text,
+                      CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'web' WHEN 1 THEN 'books' WHEN 2 THEN 'code' ELSE 'wiki' END AS domain,
+                      len(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+         a AS (SELECT domain, CAST(SUM(tok) AS BIGINT) AS domain_tokens FROM d GROUP BY domain),
+         w AS (SELECT domain, CAST(target_tokens AS DOUBLE) / CAST(domain_tokens AS DOUBLE) AS weight
+               FROM (SELECT *, CAST(round(CASE domain WHEN 'web' THEN CAST(0.4 AS DOUBLE) WHEN 'books' THEN CAST(0.3 AS DOUBLE)
+                                          WHEN 'code' THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.1 AS DOUBLE) END * 20000) AS BIGINT) AS target_tokens FROM a)),
+         docs AS (SELECT d.doc_id, d.domain,
+                         CAST(floor(weight) AS BIGINT) +
+                         CASE WHEN (('0x' || substring(md5(d.text), 1, 8))::BIGINT % 100) <
+                                   CAST(floor((weight - floor(weight)) * 100) AS BIGINT)
+                              THEN 1 ELSE 0 END AS copies
+                  FROM d JOIN w USING (domain))
+    SELECT doc_id, domain, CAST(u.e AS BIGINT) AS epoch
+    FROM docs, UNNEST(range(1, copies + 1)) AS u(e)"""))
+
+  private val q92 = Q("q92_topk_per_group", (s, dir) => {
+    // Per-customer top-2 orders by price through the bounded TopKAgg — the
+    // O(groups·k)-shuffle form of row_number()<=k (see TopK scaladoc).
+    graft.operators.TopK.perGroup(
+      t(s, dir, "orders"), Seq("o_custkey"), col("o_totalprice"), col("o_orderkey"), k = 2)
+  }, Some("""
+    SELECT o_custkey,
+           CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+           o_totalprice AS score, o_orderkey AS id
+    FROM orders
+    QUALIFY rank <= 2"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1518,7 +1558,8 @@ object Catalog {
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
+    q91, q92)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

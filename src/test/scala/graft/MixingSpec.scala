@@ -216,4 +216,30 @@ class MixingSpec extends SparkSpec {
     assert(m("books").getAs[Double]("weight") == 12.5)
     assert(m("books").getAs[Long]("epochs") == 13L)
   }
+
+  test("applyMixture repeats heavy domains and subsamples light ones by the stated rule") {
+    import spark.implicits._
+    // web: 2 docs x 4 tokens = 8; books: 2 docs x 4 = 8. budget 16 at
+    // 0.75/0.25 -> web target 12 (weight 1.5), books target 4 (weight 0.5)
+    val df = Seq(
+      (0L, "a b c d"), (4L, "e f g h"), // web
+      (1L, "i j k l"), (5L, "m n o p")) // books
+      .toDF("doc_id", "text")
+    val domain = when(col("doc_id") % 4 === 0, "web").otherwise("books")
+    val out = Curation.applyMixture(df, domain, "text", "doc_id",
+      Map("web" -> 0.75, "books" -> 0.25), budgetTokens = 16L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")))
+    val copies = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // replicate the stated rule exactly: floor(w) + (md5 bucket < floor(frac*100))
+    val buckets = df.select(col("doc_id"), Curation.hashBucket(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(0L, 4L).foreach { id =>
+      val expect = 1L + (if (buckets(id) < 50) 1L else 0L)
+      assert(copies.getOrElse(id, Nil) == (1L to expect), s"web doc $id")
+    }
+    Seq(1L, 5L).foreach { id =>
+      val expect = if (buckets(id) < 50) 1L else 0L
+      assert(copies.getOrElse(id, Nil) == (1L to expect), s"books doc $id (0 copies must vanish)")
+    }
+  }
 }

@@ -63,6 +63,22 @@ class TopKSpec extends SparkSpec {
     assert(out.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"), r.getAs[Long]("id"))).toSeq ==
       Seq((1L, 1L, 9L), (1L, 2L, 11L), (2L, 1L, 1L)))
   }
+
+  test("TopK.perGroup equals the window formulation and aggregates map-side") {
+    val orders = graft.core.Tables(spark, sfDir, "orders")
+    val agg = TopK.perGroup(orders, Seq("o_custkey"), col("o_totalprice"), col("o_orderkey"), k = 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val win = orders
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2)
+      .select(col("o_custkey"), col("rank"), col("o_totalprice").as("score"), col("o_orderkey").as("id"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("rank"), r.getAs[Double]("score"), r.getAs[Long]("id"))).toSet
+    assert(key(agg) == key(win))
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("partial_topkagg"), "per-group top-k must reduce map-side, not window-sort")
+  }
 }
 
 class FunctionsSpec extends SparkSpec {
