@@ -1548,6 +1548,27 @@ object Catalog {
     FROM orders
     QUALIFY rank <= 2"""))
 
+  private val q93 = Q("q93_lm_quality", (s, dir) => {
+    // Bigram-LM quality scoring (the perplexity-filter analog): self-trained
+    // add-1 model, mean conditional probability per doc — rational arithmetic
+    // with an order-pinned fold, so the oracle hash-matches bit-for-bit.
+    val docs = t(s, dir, "documents")
+    graft.llmops.CorpusStats.bigramLmScore(docs, docs, "text", "doc_id")
+  }, Some("""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(coalesce(text,''))), '\s+') AS t FROM documents),
+    big AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos, t[CAST(u.i AS INTEGER)] AS w1, t[CAST(u.i AS INTEGER)+1] AS w2
+            FROM toks, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+    bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+    ctx AS (SELECT w1, count(*) AS cc FROM big GROUP BY w1),
+    vocab AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)),
+    scored AS (SELECT b.doc_id, b.pos, CAST(bc.c + 1 AS DOUBLE) / CAST(ctx.cc + vocab.v AS DOUBLE) AS p
+               FROM big b JOIN bc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab),
+    agg AS (SELECT doc_id, count(*) AS n_bigrams, list_reduce(list(p ORDER BY pos), (a, b) -> a + b) AS s
+            FROM scored GROUP BY doc_id)
+    SELECT t.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           a.s / a.n_bigrams AS score
+    FROM toks t LEFT JOIN agg a USING (doc_id)"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1559,7 +1580,7 @@ object Catalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92)
+    q91, q92, q93)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -174,6 +174,28 @@ class BehaviorSpec extends SparkSpec {
     assert(batch.map(_._3).max == 3L, "fixture must exercise multiple sessions")
   }
 
+  test("bigramLmScore: broadcast and join paths are bit-identical; scores rank fluency") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the dog sat on the mat")).toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, "the cat sat on the mat"), // in-distribution
+      (11L, "mat the on sat cat the"), // scrambled: unseen bigrams
+      (12L, "x")) // too short: null score
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        Option(r.getAs[java.lang.Double]("score")).map(_.doubleValue()))).toSet
+    val bcast = rows(CorpusStats.bigramLmScore(probe, ref, "text", "doc_id"))
+    val join = rows(CorpusStats.bigramLmScore(probe, ref, "text", "doc_id", forceJoin = true))
+    assert(bcast == join, s"paths must be bit-identical:\n$bcast\nvs\n$join")
+    val byId = bcast.map(t => t._1 -> t).toMap
+    assert(byId(10L)._3.get > byId(11L)._3.get, "fluent text must outscore scrambled text")
+    assert(byId(12L)._2 == 0L && byId(12L)._3.isEmpty, "sub-bigram docs score null")
+  }
+
   test("topNgrams counts document frequency, not occurrences, and cuts deterministically") {
     import spark.implicits._
     val docs = Seq(

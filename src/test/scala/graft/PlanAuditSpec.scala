@@ -63,4 +63,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"the corpus side must not shuffle — bench hashes ship as a broadcast array:\n$p")
   }
+
+  test("q88: line dedup's broadcast path rewrites docs without joining the corpus") {
+    val p = plan("q88_line_dedup")
+    // the only plan join allowed is none: hot chunks probe as a broadcast map
+    // inside the rebuild UDF; the count-agg job runs eagerly before planning
+    assert(!p.contains("Join"), s"corpus rewrite must be join-free:\n$p")
+    assert(!p.contains("Exchange"), "corpus rows must not shuffle on the broadcast path")
+  }
+
+  test("q91: mixture weights broadcast; the corpus never shuffles") {
+    val p = plan("q91_apply_mixture")
+    assert(p.contains("BroadcastHashJoin"), "the |domains|-row weights table must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus side of the weights join must stay in place")
+  }
+
+  test("q92: per-group top-k aggregates map-side, never window-sorts") {
+    val p = plan("q92_topk_per_group")
+    assert(p.contains("partial_topkagg"), "map-side partial bounded aggregation required")
+    assert(!p.contains("Window"), "no window-sort formulation")
+  }
 }
