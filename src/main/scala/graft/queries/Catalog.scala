@@ -1569,6 +1569,14 @@ object Catalog {
            a.s / a.n_bigrams AS score
     FROM toks t LEFT JOIN agg a USING (doc_id)"""))
 
+  private val q94 = Q("q94_bpe_tokenize", (s, dir) => {
+    // Learned-BPE token stats (rows-only: the merge loop is iterative, no SQL
+    // oracle; BpeSpec pins hand-computed merges, determinism, round-trips).
+    val docs = t(s, dir, "documents")
+    val merges = graft.llmops.Bpe.train(docs, "text", numMerges = 200)
+    graft.llmops.Bpe.encodeStats(docs, "text", "doc_id", merges)
+  }, None)
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1580,7 +1588,7 @@ object Catalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93)
+    q91, q92, q93, q94)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
