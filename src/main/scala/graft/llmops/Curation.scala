@@ -152,6 +152,34 @@ object Curation {
       .withColumn("epochs", ceil(col("weight")).cast("long"))
   }
 
+  /** Overlapping token-window chunking — the document-preparation step ahead
+    * of embedding/RAG indexing (the reference's lab pipelines embed bounded
+    * chunks, not whole docs). Chunk i covers tokens [i·stride+1, i·stride+size]
+    * with stride = size − overlap, so consecutive chunks share `overlap`
+    * tokens and no token is lost. Row-local (one bound-attribute HOF + one
+    * posexplode), zero shuffle; n_chunks = max(⌈(len − overlap)/stride⌉, 1).
+    */
+  def chunkForRag(df: DataFrame, textCol: String, idCol: String,
+                  chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = df.select(col(idCol).as("doc_id"),
+      graft.functions.Text.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+    toks.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            greatest(ceil((size(col("__t")) - overlapTokens) / lit(stride.toDouble)).cast("int") - 1,
+              lit(0))),
+          i => struct(
+            concat_ws(" ", slice(col("__t"), i * stride + 1, lit(chunkTokens))).as("chunk_text"),
+            least(lit(chunkTokens), size(col("__t")) - i * stride).as("n_tokens"))))
+          .as(Seq("chunk_idx", "ch")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("ch.chunk_text").as("chunk_text"), col("ch.n_tokens").cast("long").as("n_tokens"))
+  }
+
   /** Materialize the [[mixtureWeights]] recipe into the actual training list:
     * each doc appears `floor(weight)` whole epochs plus one extra copy for a
     * deterministic `frac(weight)` fraction of its domain (content-hash bucket,

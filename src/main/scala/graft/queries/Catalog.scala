@@ -1577,6 +1577,19 @@ object Catalog {
     graft.llmops.Bpe.encodeStats(docs, "text", "doc_id", merges)
   }, None)
 
+  private val q95 = Q("q95_rag_chunking", (s, dir) => {
+    // Overlapping 40-token / 10-overlap chunking ahead of embedding — the
+    // doc-prep step of the reference's RAG labs, as data.
+    graft.llmops.Curation.chunkForRag(t(s, dir, "documents"), "text", "doc_id",
+      chunkTokens = 40, overlapTokens = 10)
+  }, Some("""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(coalesce(text,'')), '\s+') AS t FROM documents),
+    c AS (SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_idx,
+                 array_to_string(t[(CAST(u.i AS INTEGER)*30+1):(CAST(u.i AS INTEGER)*30+40)], ' ') AS chunk_text,
+                 least(40, len(t) - CAST(u.i AS INTEGER)*30) AS n_tokens
+          FROM toks, UNNEST(range(0, greatest(CAST(ceil((len(t) - 10)/30.0) AS BIGINT), 1))) AS u(i))
+    SELECT doc_id, chunk_idx, chunk_text, CAST(n_tokens AS BIGINT) AS n_tokens FROM c"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1588,7 +1601,7 @@ object Catalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94)
+    q91, q92, q93, q94, q95)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -76,4 +76,23 @@ class CurationSpec extends SparkSpec {
     assert(remaining == 0, "curated corpus must contain no verified near-dup pairs")
     assert(out.select("lang_pred").collect().forall(_.getString(0) == "en"))
   }
+
+  test("chunkForRag: full coverage, exact overlap, short docs -> one chunk") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val words100 = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, words100), (2L, "a b c"), (3L, "")).toDF("doc_id", "text")
+    val out = Curation.chunkForRag(df, "text", "doc_id", chunkTokens = 40, overlapTokens = 10)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    val d1 = out(1L).sortBy(_.getAs[Int]("chunk_idx"))
+      .map(r => (r.getAs[String]("chunk_text").split(" "), r.getAs[Long]("n_tokens")))
+    assert(d1.length == 3) // ceil((100-10)/30) = 3
+    assert(d1(0)._1.head == "w1" && d1(0)._1.last == "w40" && d1(0)._2 == 40L)
+    assert(d1(1)._1.head == "w31" && d1(1)._1.last == "w70", "10-token overlap")
+    assert(d1(2)._1.head == "w61" && d1(2)._1.last == "w100")
+    // every token appears in at least one chunk
+    assert(d1.flatMap(_._1).toSet == (1 to 100).map(i => s"w$i").toSet)
+    assert(out(2L).length == 1 && out(2L)(0).getAs[Long]("n_tokens") == 3L)
+    assert(out(3L).length == 1, "empty docs keep one degenerate chunk")
+  }
 }
