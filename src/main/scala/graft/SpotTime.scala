@@ -13,15 +13,7 @@ object SpotTime {
     require(args.length >= 2, "usage: SpotTime <sfDir> <queryName> [queryName ...]")
     val sfDir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", "8m") // see Bench scaladoc
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Bench.session(cpus)
     args.drop(1).foreach { name =>
       val q = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
       q(spark, sfDir).count() // warm-up: JIT, codegen, parquet footers

@@ -54,10 +54,14 @@ object Vectors {
   def jlProject(v: Column, outDim: Int): Column = {
     require(outDim >= 1, s"outDim must be >= 1, got $outDim")
     val scale = 1.0 / math.sqrt(outDim.toDouble)
+    // empty input guard: sequence(0, -1) would yield [0, -1] (Spark's
+    // descending default) and element_at(v, 0) throws — project to zeros
     transform(sequence(lit(0), lit(outDim - 1)), k =>
-      aggregate(sequence(lit(0), size(v) - 1), lit(0.0), (acc, j) =>
-        acc + element_at(v, j + 1).cast("double") *
-          when(((j.cast("long") * lit(73856093L) + k.cast("long") * lit(19349663L)) % 1000003L % 2) === 0,
-            lit(1.0)).otherwise(lit(-1.0))) * lit(scale) + lit(0.0))
+      when(size(v) > 0,
+        aggregate(sequence(lit(0), size(v) - 1), lit(0.0), (acc, j) =>
+          acc + element_at(v, j + 1).cast("double") *
+            when(((j.cast("long") * lit(73856093L) + k.cast("long") * lit(19349663L)) % 1000003L % 2) === 0,
+              lit(1.0)).otherwise(lit(-1.0))) * lit(scale) + lit(0.0))
+        .otherwise(lit(0.0)))
   }
 }

@@ -109,13 +109,20 @@ object Bpe {
     val ranks: Map[(String, String), Int] =
       merges.map(m => (m.left, m.right) -> m.rank).toMap
     val bc = df.sparkSession.sparkContext.broadcast(ranks)
+    // per-task type cache: the closure deserializes once per task, so the
+    // map amortizes the greedy merge loop across the partition's massive
+    // token/type repetition (natural corpora re-encode 'the' billions of
+    // times); memory is bounded by the partition's TYPE vocabulary
+    val cache = new java.util.HashMap[String, Int]()
     val statsUdf = udf { text: String =>
       val words = graft.llmops.Dedup.RowHash.tokens(
         if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
       var bpe = 0L
       var chars = 0L
       words.foreach { w =>
-        bpe += encodeWord(w, bc.value).length
+        var n = cache.getOrDefault(w, -1)
+        if (n < 0) { n = encodeWord(w, bc.value).length; cache.put(w, n) }
+        bpe += n
         chars += w.length
       }
       (bpe, words.length.toLong, chars)

@@ -33,28 +33,35 @@ object Winnowing {
                    k: Int = 3, w: Int = 4): DataFrame = {
     val (kk, ww) = (k, w)
     val fpUdf = udf { text: String =>
-      val sh = Dedup.RowHash.shingles(Dedup.RowHash.tokens(text), kk)
-      val h = new Array[Long](sh.length)
-      var i = 0
-      while (i < sh.length) { h(i) = Dedup.RowHash.utf8(sh(i)); i += 1 }
-      val nWin = math.max(h.length - (ww - 1), 1)
-      val seen = new java.util.LinkedHashSet[java.lang.Long]()
-      var s = 0
-      while (s < nWin) {
-        var m = Long.MaxValue
-        var j = s
-        val e = math.min(s + ww, h.length)
-        while (j < e) { if (h(j) < m) m = h(j); j += 1 }
-        seen.add(m)
-        s += 1
-      }
-      val out = new Array[Long](seen.size())
-      val it = seen.iterator()
-      var x = 0
-      while (it.hasNext) { out(x) = it.next(); x += 1 }
-      out
+      // null text emits NO fingerprints, matching the HOF oracle (whose
+      // explode drops the doc) — null and empty-string docs must not pair
+      if (text == null) Array.empty[Long]
+      else fingerprintWord(text, kk, ww)
     }
     df.select(col(idCol).as("doc_id"), explode(fpUdf(col(textCol))).as("fingerprint"))
+  }
+
+  private def fingerprintWord(text: String, kk: Int, ww: Int): Array[Long] = {
+    val sh = Dedup.RowHash.shingles(Dedup.RowHash.tokens(text), kk)
+    val h = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { h(i) = Dedup.RowHash.utf8(sh(i)); i += 1 }
+    val nWin = math.max(h.length - (ww - 1), 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var s = 0
+    while (s < nWin) {
+      var m = Long.MaxValue
+      var j = s
+      val e = math.min(s + ww, h.length)
+      while (j < e) { if (h(j) < m) m = h(j); j += 1 }
+      seen.add(m)
+      s += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = it.next(); x += 1 }
+    out
   }
 
   /** The declarative formulation — the oracle [[fingerprints]] is spec-checked

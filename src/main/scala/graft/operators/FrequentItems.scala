@@ -58,7 +58,10 @@ object FrequentItems {
     */
   def frequent(df: DataFrame, itemCol: Column, m: Int): DataFrame = {
     val agg = udaf(new MisraGriesAgg(m), ExpressionEncoder[String]())
+    // null items are skipped: Catalyst MapType (the partial buffer) forbids
+    // null keys, and a null n-gram carries no frequency signal anyway
     df.select(itemCol.cast("string").as("__item"))
+      .filter(col("__item").isNotNull)
       .agg(agg(col("__item")).as("__mg"))
       .select(explode(col("__mg")).as("e"))
       .select(col("e._1").as("item"), col("e._2").as("est_count"))

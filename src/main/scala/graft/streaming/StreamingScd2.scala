@@ -23,13 +23,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingScd2 {
 
-  case class Change(key: String, attr: Option[String], ts: Timestamp)
+  case class Change(key: String, attr: Option[String], ts: Timestamp, tie: Long)
   case class ClosedInterval(key: String, state: Option[String],
                             valid_from: Timestamp, valid_to: Timestamp)
   /** attrSet distinguishes "no state yet" from "open interval with null attr". */
   case class OpenState(attrSet: Boolean, attr: Option[String], fromMicros: Long)
 
-  def apply(df: DataFrame, keyCol: String, attrCol: String, tsCol: String): Dataset[ClosedInterval] = {
+  def apply(df: DataFrame, keyCol: String, attrCol: String, tsCol: String,
+            tieCol: String): Dataset[ClosedInterval] = {
     implicit val chEnc = Encoders.product[Change]
     implicit val outEnc = Encoders.product[ClosedInterval]
     implicit val stEnc = Encoders.product[OpenState]
@@ -43,13 +44,16 @@ object StreamingScd2 {
 
     df.select(col(keyCol).cast("string").as("key"),
         col(attrCol).cast("string").as("attr"),
-        col(tsCol).cast("timestamp").as("ts")).as[Change]
+        col(tsCol).cast("timestamp").as("ts"),
+        col(tieCol).cast("long").as("tie")).as[Change]
       .groupByKey(_.key)
       .flatMapGroupsWithState[OpenState, ClosedInterval](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[Change], state: GroupState[OpenState]) =>
           var open = state.getOption.getOrElse(OpenState(attrSet = false, None, Long.MinValue))
           val out = Seq.newBuilder[ClosedInterval]
-          rows.toSeq.sortBy(c => StreamingOps.tsMicros(c.ts)).foreach { c =>
+          // (ts, tie) order mirrors the batch operator's window sort — equal
+          // timestamps resolve identically in both, not by iterator order
+          rows.toSeq.sortBy(c => (StreamingOps.tsMicros(c.ts), c.tie)).foreach { c =>
             val micros = StreamingOps.tsMicros(c.ts)
             if (!open.attrSet) {
               open = OpenState(attrSet = true, c.attr, micros)

@@ -133,11 +133,14 @@ class MixingSpec extends SparkSpec {
     val fixture = Seq(
       (1L, 100L, ts(1), Option("A")), (2L, 100L, ts(2), Option("A")),
       (3L, 100L, ts(3), Option.empty[String]), (4L, 100L, ts(4), Option("B")),
-      (5L, 200L, ts(1), Option("X")))
+      (5L, 200L, ts(1), Option("X")),
+      // same-instant changes: the (ts, tie) sort must resolve P-then-Q in
+      // both engines, not by arrival/iterator order
+      (6L, 300L, ts(5), Option("P")), (7L, 300L, ts(5), Option("Q")))
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp, Option[String])]
     val q = graft.streaming.StreamingScd2(
       mem.toDF().toDF("event_id", "user_id", "ts", "event_type"),
-      "user_id", "event_type", "ts")
+      "user_id", "event_type", "ts", "event_id")
       .writeStream.format("memory").queryName("scd2_sink").outputMode("append").start()
     try {
       val (b1, b2) = fixture.splitAt(3) // split mid-key across triggers
