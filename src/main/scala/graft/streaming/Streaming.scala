@@ -99,6 +99,33 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming twin of [[graft.llmops.Dedup.lineDedup]] (C4-style span dedup)
+    * for continuous ingest: each arriving doc explodes into its `chunkWords`
+    * pseudo-lines ROW-LOCALLY, and a chunk whose text was already seen within
+    * the watermark horizon is dropped — ARRIVAL-first-wins, the streaming
+    * analogue of the batch operator's global (doc, position) winner (a stream
+    * cannot know a later "smaller" doc id; the horizon bounds the dedup
+    * state exactly like [[dedupWithinWatermark]]). Emits the SURVIVING
+    * (doc_id, chunk_idx, line, ts) rows append-only; reassembly is the
+    * consumer's concern (a batch compaction or the sink's doc grouping) —
+    * a per-doc re-agg inside the stream would need its own watermark window
+    * for no semantic gain.
+    */
+  def lineDedupStream(df: DataFrame, textCol: String, idCol: String, tsCol: String,
+                      delay: String, chunkWords: Int = 20): DataFrame = {
+    val n = chunkWords
+    val toks = df.select(col(idCol).as("doc_id"), col(tsCol).cast("timestamp").as("ts"),
+      graft.functions.Text.tokens(coalesce(col(textCol), lit(""))).as("__t"))
+    toks.select(col("doc_id"), col("ts"),
+        posexplode(transform(
+          sequence(lit(0), greatest(ceil(size(col("__t")) / lit(n.toDouble)).cast("int") - 1, lit(0))),
+          i => concat_ws(" ", slice(col("__t"), i * n + 1, lit(n))))).as(Seq("chunk_idx", "line")))
+      .withColumn("__h", xxhash64(col("line")))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+  }
+
   /** Stream-static enrichment (J1): the reference's customers/products dims are
     * near-static, so a stream-static broadcast join is both faithful and
     * state-free (SURVEY.md §7.4 item 2) — no TTL bookkeeping at all.

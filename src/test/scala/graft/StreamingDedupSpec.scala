@@ -42,4 +42,28 @@ class StreamingDedupSpec extends SparkSpec {
     // fingerprint helper column must not leak into the output schema
     assert(!spark.table("dedup_sink").columns.contains("__fp"))
   }
+
+  test("lineDedupStream drops repeated chunks across docs and micro-batches, arrival-first") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, Timestamp, String)]
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    val u1 = (1 to 20).map(i => s"u$i").mkString(" ")
+    val u2 = (1 to 20).map(i => s"v$i").mkString(" ")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = StreamingOps.lineDedupStream(
+      mem.toDF().toDF("doc_id", "ts", "text"), "text", "doc_id", "ts", "10 minutes")
+    val q = df.writeStream.format("memory").queryName("linededup_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-03-01 00:00:00"), s"$boiler $u1"))
+      q.processAllAvailable()
+      // later batch: boiler chunk repeats (dropped), u2 is fresh (kept)
+      mem.addData((2L, ts("2024-03-01 00:00:05"), s"$u2 $boiler"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("linededup_sink").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"), r.getAs[String]("line"))).toSet
+    assert(kept == Set((1L, 0, boiler), (1L, 1, u1), (2L, 0, u2)),
+      s"arrival-first chunk dedup violated: $kept")
+  }
 }
