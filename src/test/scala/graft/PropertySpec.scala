@@ -104,4 +104,78 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("chunkForRag: covers every token, overlaps exactly, token accounting closes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (0 until 60).map { i =>
+      val len = 1 + (i * 37) % 120
+      (i.toLong, (1 to len).map(j => s"w$j").mkString(" "))
+    }
+    for ((size, overlap) <- Seq((40, 10), (20, 0), (15, 14), (1, 0))) {
+      val out = graft.llmops.Curation
+        .chunkForRag(docs.toDF("doc_id", "text"), "text", "doc_id", size, overlap)
+        .collect().groupBy(_.getAs[Long]("doc_id"))
+      docs.foreach { case (id, text) =>
+        val len = text.split(" ").length
+        val chunks = out(id).sortBy(_.getAs[Int]("chunk_idx"))
+          .map(r => (r.getAs[String]("chunk_text").split(" ").toSeq, r.getAs[Long]("n_tokens")))
+        // coverage: concatenating de-overlapped chunks reproduces the doc
+        val stride = size - overlap
+        val rebuilt = chunks.head._1 ++ chunks.tail.flatMap(_._1.drop(overlap))
+        assert(rebuilt == text.split(" ").toSeq, s"coverage broken: doc $id size=$size ov=$overlap")
+        // accounting: Σ n_tokens = len + overlap · (chunks − 1)
+        assert(chunks.map(_._2).sum == len + overlap.toLong * (chunks.length - 1))
+        chunks.foreach { case (c, n) => assert(c.length.toLong == n) }
+        // every chunk but the last is full
+        chunks.dropRight(1).foreach { case (c, _) => assert(c.length == size) }
+      }
+    }
+  }
+
+  test("lineDedup: no surviving chunk text appears twice corpus-wide") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val chunkOf = (tag: String) => (1 to 20).map(j => s"$tag$j").mkString(" ")
+    val docs = (0 until 40).map { i =>
+      // every third doc shares the boilerplate chunk; the rest are unique
+      val parts = (if (i % 3 == 0) Seq(chunkOf("shared")) else Nil) :+ chunkOf(s"u$i")
+      (i.toLong, parts.mkString(" "))
+    }
+    val out = graft.llmops.Dedup
+      .lineDedup(docs.toDF("doc_id", "text"), "text", "doc_id", chunkWords = 20)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val allChunks = out.flatMap { case (_, text) =>
+      text.split(" ").grouped(20).map(_.mkString(" ")).filter(_.nonEmpty)
+    }
+    assert(allChunks.distinct.length == allChunks.length,
+      "a duplicated chunk survived in two places")
+    // the winner (doc 0) keeps the shared chunk; every later sharer lost it
+    val byId = out.toMap
+    assert(byId(0L).startsWith("shared1 "))
+    assert((3 until 40 by 3).forall(i => byId(i.toLong) == chunkOf(s"u$i")))
+  }
+
+  test("jlProject is linear: proj(a + b) == proj(a) + proj(b) up to float error") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pairs = (0 until 60).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val out = pairs.toDF("id", "a", "b")
+      .select(col("id"),
+        graft.functions.Vectors.jlProject(col("a"), 16).as("pa"),
+        graft.functions.Vectors.jlProject(col("b"), 16).as("pb"),
+        graft.functions.Vectors.jlProject(
+          zip_with(col("a"), col("b"), (x, y) => x + y), 16).as("pab"))
+      .collect()
+    out.foreach { r =>
+      val (pa, pb, pab) = (r.getSeq[Double](1), r.getSeq[Double](2), r.getSeq[Double](3))
+      pa.indices.foreach { k =>
+        assert(math.abs(pa(k) + pb(k) - pab(k)) < 1e-5,
+          s"linearity violated at dim $k: ${pa(k)} + ${pb(k)} vs ${pab(k)}")
+      }
+    }
+  }
 }
