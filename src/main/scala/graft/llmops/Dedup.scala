@@ -494,6 +494,20 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Finish the dedup decision for a WHOLE corpus: every id gets its
+    * component's `cluster_id` (its own id when it appears in no pair) and the
+    * keep/drop verdict — keep exactly the component minimum. Composes with any
+    * pair producer ([[embeddingNearDup]], [[embeddingNearDupLsh]],
+    * [[minHashLsh]], [[ngramJaccardPairs]]...); [[clusters]] supplies the
+    * components, and the left join keeps singletons without ever enumerating
+    * them as pairs. One labels-sized join against the id scan.
+    */
+  def resolveKeepers(ids: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    ids.select(col(idCol).as("id"))
+      .join(clusters(pairs), Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+      .withColumn("keep", col("id") === col("cluster_id"))
+
   /** C4-style span-level dedup (Raffel et al. 2020 §2.2 "we discarded all but
     * one of any three-sentence span occurring more than once"): the corpus'
     * pseudo-lines are consecutive `chunkWords`-token chunks of each document

@@ -1590,6 +1590,32 @@ object Catalog {
           FROM toks, UNNEST(range(0, greatest(CAST(ceil((len(t) - 10)/30.0) AS BIGINT), 1))) AS u(i))
     SELECT doc_id, chunk_idx, chunk_text, CAST(n_tokens AS BIGINT) AS n_tokens FROM c"""))
 
+  private val q96 = Q("q96_semantic_keepers", (s, dir) => {
+    // End-to-end semantic dedup verdicts: exact near-dup pairs → connected
+    // components → keep = component min; singletons keep themselves. (The
+    // LSH pair producer swaps in for 100 TB — spec-pinned recall path.)
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = graft.llmops.Dedup.embeddingNearDup(emb, "embedding", "vec_id", threshold = 0.35)
+      .select("id_a", "id_b")
+    graft.llmops.Dedup.resolveKeepers(emb, "vec_id", pairs)
+  }, Some("""
+    WITH RECURSIVE
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 300),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35),
+      edges AS (SELECT id_a, id_b FROM p UNION SELECT id_b AS id_a, id_a AS id_b FROM p),
+      reach(id, label) AS (
+        SELECT id_a AS id, id_a AS label FROM edges
+        UNION
+        SELECT e2.id_a AS id, r.label FROM edges e2 JOIN reach r ON e2.id_b = r.id
+      ),
+      comp AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+    SELECT e.vec_id AS id, coalesce(comp.cluster_id, e.vec_id) AS cluster_id,
+           coalesce(comp.cluster_id, e.vec_id) = e.vec_id AS keep
+    FROM e LEFT JOIN comp ON e.vec_id = comp.id"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1601,7 +1627,7 @@ object Catalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95)
+    q91, q92, q93, q94, q95, q96)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -140,6 +140,25 @@ class DedupSpec extends SparkSpec {
 }
 
 class MultimodalSpec extends SparkSpec {
+  test("resolveKeepers: chains collapse to the min, singletons keep themselves, LSH only widens") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b") // chain; 4 is a singleton
+    val out = Dedup.resolveKeepers(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false), 4L -> (4L, true)))
+
+    // recall-degraded pairs can only split components -> keep a SUPERSET
+    val emb = graft.core.Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 300).select(col("vec_id"), col("embedding"))
+    val exact = Dedup.embeddingNearDup(emb, "embedding", "vec_id", 0.35).select("id_a", "id_b")
+    val lsh = Dedup.embeddingNearDupLsh(emb, "embedding", "vec_id", 0.35).select("id_a", "id_b")
+    def keepSet(p: org.apache.spark.sql.DataFrame) = Dedup.resolveKeepers(emb, "vec_id", p)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    val (ke, kl) = (keepSet(exact), keepSet(lsh))
+    assert(ke.subsetOf(kl), s"exact keepers must survive under LSH pairs: ${ke -- kl}")
+  }
+
   test("lineDedup keeps only the globally-first occurrence of a duplicated chunk") {
     import spark.implicits._
     val boiler = (1 to 20).map(i => s"b$i").mkString(" ") // exactly one 20-word chunk
