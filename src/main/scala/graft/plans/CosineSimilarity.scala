@@ -112,7 +112,21 @@ object GraftExtensions {
     lift1("graft_token_count", c => graft.functions.Text.tokenCount(c).cast("long")),
     lift1("graft_hash_bucket", graft.llmops.Curation.hashBucket),
     lift1("graft_money_fmt", graft.functions.Scalars.moneyFmt),
-    lift1("graft_clean_text", graft.llmops.Curation.cleanText))
+    lift1("graft_clean_text", graft.llmops.Curation.cleanText),
+    // jl_project's outDim must be a literal (it shapes the output type):
+    // SELECT graft_jl_project(embedding, 16) FROM embeddings
+    (new FunctionIdentifier("graft_jl_project"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_jl_project"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.graft.Bridge
+        val dim = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_jl_project(vec, outDim): outDim must be an INT literal, got $other")
+        }
+        Bridge.resolvedExpression(
+          graft.functions.Vectors.jlProject(Bridge.column(children.head), dim))
+      }))
 
   /** Register into an already-built session (getOrCreate ignores
     * withExtensions when a session exists in the JVM). Also registers the

@@ -72,6 +72,13 @@ class SqlFunctionsSpec extends SparkSpec {
       assert(rows.forall(r => r.getLong(4) >= 0 && r.getLong(4) < 100))
       assert(rows.forall(_.getString(6) == "a b"))
       assert(rows.head.getString(5).endsWith(".50"))
+      graft.core.Tables(s2, sfDir, "embeddings").limit(5).createOrReplaceTempView("emb_v")
+      val jl = s2.sql("SELECT graft_jl_project(embedding, 16) AS p FROM emb_v").collect()
+      assert(jl.length == 5 && jl.forall(_.getSeq[Double](0).length == 16))
+      val bad = intercept[Exception] {
+        s2.sql("SELECT graft_jl_project(embedding, CAST(vec_id AS INT)) FROM emb_v").collect()
+      }
+      assert(bad.getMessage.contains("INT literal"), bad.getMessage)
       // ML_PREDICT's SQL surface: scalar model invocation with catalog dispatch
       val ml = s2.sql("""
         SELECT ml_predict('local-textgen', text) AS resp,
