@@ -110,6 +110,26 @@ object Stress {
     require(flagged == nCorpus / 50 && partial == 0,
       s"exactly the planted copies must be flagged: $flagged / ${nCorpus / 50}, partial $partial")
 
+    // 5. C4-style span dedup at corpus scale: 2M docs of 40 tokens (two
+    //    20-token chunks); every 4th doc leads with a shared boilerplate
+    //    chunk. The hot set is ONE chunk + each doc's unique tail — the
+    //    broadcast path must rewrite 2M docs with zero corpus shuffle.
+    val nLine = 2000000L
+    def chunk(prefix: String, idc: org.apache.spark.sql.Column) =
+      concat_ws(" ", transform(sequence(lit(0), lit(19)), k => concat(lit(prefix), idc, lit("_"), k)))
+    val lineDocs = spark.range(nLine).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        when(pmod(col("id"), lit(4)) === 0, chunk("boiler", lit(0))).otherwise(chunk("u", col("id"))),
+        chunk("tail", col("id"))).as("text"))
+    val deduped = timed(s"C4 span dedup, $nLine docs (broadcast hot set)")(
+      llmops.Dedup.lineDedup(lineDocs, "text", "doc_id", chunkWords = 20)
+        .agg(sum(when(pmod(col("doc_id"), lit(4)) === 0 && !col("text").startsWith("boiler"),
+          1L).otherwise(0L))).head().getLong(0))
+    // every boilerplate doc except the winner lost its first chunk
+    val expectLosers = nLine / 4 - 1
+    println(s"[stress] docs that lost their boilerplate chunk: $deduped (expected $expectLosers)")
+    require(deduped == expectLosers, s"span dedup must strip exactly the non-winners: $deduped vs $expectLosers")
+
     spark.stop()
   }
 }
