@@ -152,6 +152,26 @@ object Curation {
       .withColumn("epochs", ceil(col("weight")).cast("long"))
   }
 
+  /** Per-group winsorization: clamp a value column to its group's [loP, hiP]
+    * exact interpolated percentiles — the outlier-taming step for score/reward
+    * columns before they feed mixtures or filters (a hard filter discards the
+    * row; winsorizing keeps it at the boundary). Bounds are one |groups|-row
+    * agg broadcast back; the clamp is comparison-only (no arithmetic), so
+    * values pass through bit-identically — cross-engine-exact given the
+    * percentile contract (same as q67).
+    */
+  def winsorize(df: DataFrame, valueCol: Column, groupCol: Column,
+                loP: Double, hiP: Double, outCol: String): DataFrame = {
+    require(loP >= 0 && hiP <= 1 && loP <= hiP, s"bad percentile range [$loP, $hiP]")
+    val keyed = df.withColumn("__wgrp", groupCol)
+    val bounds = keyed.groupBy("__wgrp").agg(
+      percentile(valueCol, lit(loP)).as("__wlo"),
+      percentile(valueCol, lit(hiP)).as("__whi"))
+    keyed.join(broadcast(bounds), "__wgrp")
+      .withColumn(outCol, least(greatest(valueCol, col("__wlo")), col("__whi")))
+      .drop("__wgrp", "__wlo", "__whi")
+  }
+
   /** Overlapping token-window chunking — the document-preparation step ahead
     * of embedding/RAG indexing (the reference's lab pipelines embed bounded
     * chunks, not whole docs). Chunk i covers tokens [i·stride+1, i·stride+size]

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-engine data reconciliation: order-independent content checksums.
+  *
+  * The migration question this engine exists for — "did the Spark rewrite
+  * produce EXACTLY the reference's table?" — needs an equality check that (a)
+  * never collects either side, (b) is independent of row order and
+  * partitioning, and (c) can be computed by BOTH engines from the same SQL
+  * semantics. Per group: row count + an order-independent SUM of per-row
+  * md5-prefix hashes (sum is commutative, so any partitioning/ordering gives
+  * the same total; DECIMAL(38) so a 2^60-bit hash summed over billions of
+  * rows cannot wrap — a LONG sum would overflow engine-dependently).
+  *
+  * Rows hash as md5 of the U+0001-joined STRING images of the listed columns
+  * — pass columns already rendered to strings deterministically (keys, flags,
+  * decimals via [[graft.functions.Scalars.moneyFmt]]); raw DOUBLE→string
+  * rendering differs across engines and is the caller's responsibility to
+  * canonicalize. One map-side-combined agg; |groups| rows shuffle.
+  */
+object Reconcile {
+
+  def rowHash(cols: Seq[Column]): Column =
+    conv(substring(md5(concat_ws("\u0001", cols: _*)), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+
+  def checksum(df: DataFrame, groupCol: Column, cols: Seq[Column]): DataFrame =
+    df.groupBy(groupCol.as("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(rowHash(cols)).as("content_sum"))
+}

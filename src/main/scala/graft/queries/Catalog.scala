@@ -1616,6 +1616,36 @@ object Catalog {
            coalesce(comp.cluster_id, e.vec_id) = e.vec_id AS keep
     FROM e LEFT JOIN comp ON e.vec_id = comp.id"""))
 
+  private val q97 = Q("q97_table_checksum", (s, dir) => {
+    // Cross-engine reconciliation checksum: per-group row count + order-
+    // independent md5-prefix hash sum — "is the migrated table EXACTLY the
+    // reference's?" without collecting either side.
+    val li = t(s, dir, "lineitem")
+    graft.operators.Reconcile.checksum(li, col("l_returnflag"),
+      Seq(col("l_orderkey").cast("string"), col("l_partkey").cast("string"),
+        col("l_suppkey").cast("string"), col("l_linestatus")))
+  }, Some("""
+    SELECT l_returnflag AS grp, COUNT(*) AS n_rows,
+           SUM(CAST(('0x' || substring(md5(concat_ws(chr(1),
+                 CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR),
+                 CAST(l_suppkey AS VARCHAR), l_linestatus)), 1, 15)) AS BIGINT)::DECIMAL(38,0)) AS content_sum
+    FROM lineitem GROUP BY l_returnflag"""))
+
+  private val q98 = Q("q98_winsorize", (s, dir) => {
+    // Per-group winsorization of prices to [p05, p95] — comparison-only
+    // clamp, bit-exact against quantile_cont bounds.
+    graft.llmops.Curation.winsorize(
+      t(s, dir, "lineitem").select(col("l_returnflag").as("grp"), col("l_extendedprice").as("price")),
+      col("price"), col("grp"), 0.05, 0.95, "clamped")
+  }, Some("""
+    WITH b AS (SELECT l_returnflag AS grp,
+                      quantile_cont(l_extendedprice, 0.05) AS lo,
+                      quantile_cont(l_extendedprice, 0.95) AS hi
+               FROM lineitem GROUP BY 1)
+    SELECT l.l_returnflag AS grp, l.l_extendedprice AS price,
+           least(greatest(l.l_extendedprice, b.lo), b.hi) AS clamped
+    FROM lineitem l JOIN b ON l.l_returnflag = b.grp"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1627,7 +1657,7 @@ object Catalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96)
+    q91, q92, q93, q94, q95, q96, q97, q98)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -77,6 +77,22 @@ class CurationSpec extends SparkSpec {
     assert(out.select("lang_pred").collect().forall(_.getString(0) == "en"))
   }
 
+  test("winsorize clamps to the exact interpolated group percentiles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = ((1 to 100).map(v => ("a", v.toDouble)) :+ ("b" -> 1000.0) :+ ("b" -> 2000.0))
+      .toDF("g", "v")
+    val out = Curation.winsorize(df, col("v"), col("g"), 0.05, 0.95, "w")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val a = out.filter(_._1 == "a")
+    // quantile_cont on 1..100: p05 = 1 + 0.05·99 = 5.95, p95 = 95.05
+    assert(a.filter(_._2 <= 5).forall(_._3 == 5.95))
+    assert(a.filter(_._2 >= 96).forall(_._3 == 95.05))
+    assert(a.filter(t => t._2 > 5.95 && t._2 < 95.05).forall(t => t._3 == t._2), "interior passes through")
+    // two-value group: p05 = 1050, p95 = 1950
+    assert(out.filter(_._1 == "b").map(_._3).sorted.toSeq == Seq(1050.0, 1950.0))
+  }
+
   test("chunkForRag: full coverage, exact overlap, short docs -> one chunk") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

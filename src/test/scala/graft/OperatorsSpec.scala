@@ -81,6 +81,27 @@ class TopKSpec extends SparkSpec {
   }
 }
 
+class ReconcileSpec extends SparkSpec {
+  import graft.operators.Reconcile
+
+  test("checksum is layout-independent and detects single-cell drift") {
+    val li = graft.core.Tables(spark, sfDir, "lineitem")
+    val cols = Seq(col("l_orderkey").cast("string"), col("l_partkey").cast("string"),
+      col("l_suppkey").cast("string"), col("l_linestatus"))
+    def sums(df: org.apache.spark.sql.DataFrame) = Reconcile.checksum(df, col("l_returnflag"), cols)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    val base = sums(li)
+    // same rows, radically different layout -> identical checksums
+    assert(sums(li.repartition(17, col("l_partkey")).sortWithinPartitions("l_orderkey")) == base)
+    // one cell changed in one row -> that group's checksum moves, count doesn't
+    val drifted = sums(li.withColumn("l_linestatus",
+      when(col("l_orderkey") === li.select(min("l_orderkey")).first().getLong(0), lit("X"))
+        .otherwise(col("l_linestatus"))))
+    assert(drifted != base)
+    assert(drifted.map(t => (t._1, t._2)) == base.map(t => (t._1, t._2)), "row counts unchanged")
+  }
+}
+
 class FunctionsSpec extends SparkSpec {
   test("cosine of identical vectors is 1; orthogonal is 0") {
     import spark.implicits._
