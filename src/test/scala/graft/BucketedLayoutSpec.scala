@@ -43,6 +43,49 @@ class BucketedLayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-order clustering shrinks per-file bounding boxes on BOTH dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val orders = graft.core.Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+    graft.sources.ZOrderLayout.write(orders, s"$dir/z", "o_custkey", "o_totalprice", files = 16)
+    // baseline: single-column range sort — b-dimension spans every file
+    orders.repartitionByRange(16, col("o_custkey")).sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/single")
+
+    val frame = orders.agg(
+      min("o_custkey").cast("double"), max("o_custkey").cast("double"),
+      min("o_totalprice"), max("o_totalprice")).head()
+    val (aLo, aHi, bLo, bHi) = (frame.getDouble(0), frame.getDouble(1), frame.getDouble(2), frame.getDouble(3))
+    def avgExtents(path: String): (Double, Double) = {
+      val files = new java.io.File(path).listFiles().filter(_.getName.startsWith("part-"))
+      assert(files.length >= 8, s"expected many files, got ${files.length}")
+      val ext = files.map { f =>
+        val s = spark.read.parquet(f.getAbsolutePath).agg(
+          min("o_custkey").cast("double"), max("o_custkey").cast("double"),
+          min("o_totalprice"), max("o_totalprice")).head()
+        (((s.getDouble(1) - s.getDouble(0)) / (aHi - aLo)),
+          ((s.getDouble(3) - s.getDouble(2)) / (bHi - bLo)))
+      }
+      (ext.map(_._1).sum / ext.length, ext.map(_._2).sum / ext.length)
+    }
+    // the point of z-order: at the SAME file count, the single-column sort
+    // leaves dimension b unprunable (every file spans ~its full range) while
+    // the Morton layout bounds BOTH dimensions — a predicate on either column
+    // now skips most files (the trade: a-pruning degrades 1/16 -> ~1/4)
+    val (zA, zB) = avgExtents(s"$dir/z")
+    val (sA, sB) = avgExtents(s"$dir/single")
+    assert(sB > 0.8, s"baseline must leave b unprunable (got $sB)")
+    assert(zB < 0.5 * sB, s"z-order must bound the b dimension: z=$zB single=$sB")
+    assert(zA < 0.5, s"z-order must still bound the a dimension usefully: z=$zA (single=$sA)")
+    // layout change must not change content: reconciliation checksum equal
+    val cols = Seq(col("o_orderkey").cast("string"), col("o_custkey").cast("string"))
+    def sum(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Reconcile.checksum(df, lit("all"), cols)
+        .head().getDecimal(2)
+    assert(sum(spark.read.parquet(s"$dir/z")) == sum(orders))
+  }
+
   test("partitioned layout prunes non-matching partitions at the file index") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val docs = graft.core.Tables(spark, sfDir, "documents")
