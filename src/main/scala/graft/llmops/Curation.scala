@@ -267,4 +267,56 @@ object Curation {
       .withColumn("quality", Text.qualityScore(col(textCol)))
       .filter(col("lang_pred") === lang && col("quality") >= minQuality)
   }
+
+  /** The FULL modern pre-training recipe as one declarative DAG, composing
+    * this round's operators end-to-end (each individually oracle/spec-audited;
+    * this is the flagship "a reference user's whole pipeline in one call"):
+    *
+    *  1. normalize ([[cleanText]]) and gate on language + heuristic quality;
+    *  2. C4 span dedup ([[Dedup.lineDedup]] — strips cross-doc boilerplate
+    *     inside surviving docs, re-gating docs a stripped chunk left empty);
+    *  3. near-dup VERDICTS ([[Dedup.minHashLsh]] → [[Dedup.resolveKeepers]] —
+    *     whole components collapse to their min id, not just pair losers);
+    *  4. benchmark decontamination ([[Dedup.decontaminate]] vs `bench`);
+    *  5. model-based quality ([[CorpusStats.bigramLmScore]] self-trained on
+    *     the survivors — corpus-relative fluency floor);
+    *  6. leakage-safe split ([[leakageSafeSplit]] keyed on the SAME near-dup
+    *     components as step 3, so no near-twin straddles train/test).
+    *
+    * Output: (id, text, lang_pred, quality, lm_score, split). Every stage is
+    * the scale-shaped variant (broadcast hot sets, banded LSH, component
+    * joins); nothing here collects the corpus.
+    */
+  def curateFull(df: DataFrame, bench: DataFrame, textCol: String, idCol: String,
+                 lang: String = "en", minQuality: Double = 0.0,
+                 jaccardThreshold: Double = 0.5, minLmScore: Double = 0.0,
+                 trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val gated = df
+      .withColumn(textCol, cleanText(col(textCol)))
+      .withColumn("lang_pred", Text.langId(col(textCol)))
+      .withColumn("quality", Text.qualityScore(col(textCol)))
+      .filter(col("lang_pred") === lang && col("quality") >= minQuality)
+    val spanned = Dedup.lineDedup(gated.select(col(idCol), col(textCol)), textCol, "doc_id")
+      .withColumnRenamed("doc_id", idCol)
+      .filter(length(trim(col(textCol))) > 0)
+    val pairs = Dedup.minHashLsh(spanned, textCol, idCol, threshold = jaccardThreshold)
+      .select("id_a", "id_b")
+    val kept = spanned
+      .join(Dedup.resolveKeepers(spanned, idCol, pairs).filter(col("keep"))
+        .select(col("id").as(idCol)), Seq(idCol), "leftsemi")
+    val clean = kept.join(
+      Dedup.decontaminate(kept, bench, textCol, idCol)
+        .filter(col("contaminated")).select(col("doc_id").as(idCol)),
+      Seq(idCol), "leftanti")
+    val scored = clean.join(
+      CorpusStats.bigramLmScore(clean, clean, textCol, idCol)
+        .select(col("doc_id").as(idCol), col("score").as("lm_score")),
+      Seq(idCol), "left")
+      .filter(col("lm_score").isNull || col("lm_score") >= minLmScore)
+    val withMeta = scored
+      .join(gated.select(col(idCol), col("lang_pred"), col("quality")), Seq(idCol))
+    leakageSafeSplit(withMeta, idCol, pairs, trainPct, validPct)
+      .select(col(idCol), col(textCol), col("lang_pred"), col("quality"),
+        col("lm_score"), col("split"))
+  }
 }

@@ -1646,6 +1646,16 @@ object Catalog {
            least(greatest(l.l_extendedprice, b.lo), b.hi) AS clamped
     FROM lineitem l JOIN b ON l.l_returnflag = b.grp"""))
 
+  private val q99 = Q("q99_full_recipe", (s, dir) => {
+    // The whole modern curation recipe in one DAG (rows-only composite —
+    // every stage is individually oracle/spec-audited; CurationSpec pins the
+    // end-to-end invariants). Benchmark set = every 10th doc, like q76.
+    val docs = t(s, dir, "documents")
+    graft.llmops.Curation.curateFull(
+      docs.filter(col("doc_id") % 10 =!= 0), docs.filter(col("doc_id") % 10 === 0),
+      "text", "doc_id", lang = "en", minQuality = 0.2, jaccardThreshold = 0.5)
+  }, None)
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1657,7 +1667,7 @@ object Catalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

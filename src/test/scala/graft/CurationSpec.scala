@@ -77,6 +77,30 @@ class CurationSpec extends SparkSpec {
     assert(out.select("lang_pred").collect().forall(_.getString(0) == "en"))
   }
 
+  test("curateFull: end-to-end invariants hold on testdata") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val out = Curation.curateFull(docs.filter(col("doc_id") % 10 =!= 0), bench,
+      "text", "doc_id", lang = "en", minQuality = 0.2, jaccardThreshold = 0.5)
+      .localCheckpoint()
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length < docs.count())
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length, "ids unique")
+    assert(rows.forall(_.getAs[String]("lang_pred") == "en"))
+    assert(rows.forall(_.getAs[Double]("quality") >= 0.2))
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "valid", "test")))
+    // no verified near-dup pair survives
+    assert(graft.llmops.Dedup.minHashLsh(out, "text", "doc_id", threshold = 0.5).count() == 0)
+    // nothing contaminated vs the bench set survives
+    val contam = graft.llmops.Dedup.decontaminate(out, bench, "text", "doc_id")
+      .filter(col("contaminated")).count()
+    assert(contam == 0, s"$contam contaminated docs leaked through")
+    // no duplicated 20-word chunk survives anywhere in the output corpus
+    val chunks = rows.flatMap(r => r.getAs[String]("text").split(" ").grouped(20).map(_.mkString(" ")))
+    assert(chunks.distinct.length == chunks.length, "span dedup must hold end-to-end")
+  }
+
   test("winsorize clamps to the exact interpolated group percentiles") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
