@@ -237,9 +237,16 @@ object Curation {
     * md5 bucket — composed with one left join.
     */
   def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
-                       trainPct: Int, validPct: Int): DataFrame = {
-    val labels = Dedup.clusters(pairs)
-      .withColumnRenamed("id", idCol)
+                       trainPct: Int, validPct: Int): DataFrame =
+    leakageSafeSplitWithLabels(df, idCol, Dedup.clusters(pairs), trainPct, validPct)
+
+  /** [[leakageSafeSplit]] with the component labels already resolved — so a
+    * pipeline that also ran [[Dedup.resolveKeepers]] pays the label
+    * propagation ONCE for both decisions (see [[curateFull]]).
+    */
+  def leakageSafeSplitWithLabels(df: DataFrame, idCol: String, labels0: DataFrame,
+                                 trainPct: Int, validPct: Int): DataFrame = {
+    val labels = labels0.withColumnRenamed("id", idCol)
     val keyed = df.join(labels, Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
     keyed.withColumn("bucket", hashBucket(col("cluster_id").cast("string")))
@@ -296,18 +303,27 @@ object Curation {
       .withColumn("lang_pred", Text.langId(col(textCol)))
       .withColumn("quality", Text.qualityScore(col(textCol)))
       .filter(col("lang_pred") === lang && col("quality") >= minQuality)
+    // multiple downstream consumers (signatures, keeper join, decontaminate,
+    // LM training) would each re-derive the span-dedup chain — materialize it
+    // once; localCheckpoint's blocks free with the DataFrame (the
+    // decontaminate precedent)
     val spanned = Dedup.lineDedup(gated.select(col(idCol), col(textCol)), textCol, "doc_id")
       .withColumnRenamed("doc_id", idCol)
       .filter(length(trim(col(textCol))) > 0)
+      .localCheckpoint()
     val pairs = Dedup.minHashLsh(spanned, textCol, idCol, threshold = jaccardThreshold)
-      .select("id_a", "id_b")
+      .select("id_a", "id_b").localCheckpoint()
+    // ONE label propagation serves both the keep/drop verdicts (step 3) and
+    // the cluster-keyed split (step 6)
+    val labels = Dedup.clusters(pairs)
     val kept = spanned
-      .join(Dedup.resolveKeepers(spanned, idCol, pairs).filter(col("keep"))
+      .join(Dedup.resolveKeepersWithLabels(spanned, idCol, labels).filter(col("keep"))
         .select(col("id").as(idCol)), Seq(idCol), "leftsemi")
     val clean = kept.join(
       Dedup.decontaminate(kept, bench, textCol, idCol)
         .filter(col("contaminated")).select(col("doc_id").as(idCol)),
       Seq(idCol), "leftanti")
+      .localCheckpoint()
     val scored = clean.join(
       CorpusStats.bigramLmScore(clean, clean, textCol, idCol)
         .select(col("doc_id").as(idCol), col("score").as("lm_score")),
@@ -315,7 +331,7 @@ object Curation {
       .filter(col("lm_score").isNull || col("lm_score") >= minLmScore)
     val withMeta = scored
       .join(gated.select(col(idCol), col("lang_pred"), col("quality")), Seq(idCol))
-    leakageSafeSplit(withMeta, idCol, pairs, trainPct, validPct)
+    leakageSafeSplitWithLabels(withMeta, idCol, labels, trainPct, validPct)
       .select(col(idCol), col(textCol), col("lang_pred"), col("quality"),
         col("lm_score"), col("split"))
   }

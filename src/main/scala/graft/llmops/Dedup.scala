@@ -515,8 +515,15 @@ object Dedup {
     * them as pairs. One labels-sized join against the id scan.
     */
   def resolveKeepers(ids: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    resolveKeepersWithLabels(ids, idCol, clusters(pairs))
+
+  /** [[resolveKeepers]] against already-resolved component labels — pipelines
+    * that need both keep/drop verdicts AND cluster-keyed decisions (e.g.
+    * leakage-safe splits) run the propagation loop once.
+    */
+  def resolveKeepersWithLabels(ids: DataFrame, idCol: String, labels: DataFrame): DataFrame =
     ids.select(col(idCol).as("id"))
-      .join(clusters(pairs), Seq("id"), "left")
+      .join(labels, Seq("id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
       .withColumn("keep", col("id") === col("cluster_id"))
 
