@@ -158,7 +158,9 @@ object Curation {
     * row; winsorizing keeps it at the boundary). Bounds are one |groups|-row
     * agg broadcast back; the clamp is comparison-only (no arithmetic), so
     * values pass through bit-identically — cross-engine-exact given the
-    * percentile contract (same as q67).
+    * percentile contract (same as q67). Null group keys form their own group
+    * (null-safe join, no rows dropped); null VALUES pass through as null
+    * rather than being clamped to a fabricated bound.
     */
   def winsorize(df: DataFrame, valueCol: Column, groupCol: Column,
                 loP: Double, hiP: Double, outCol: String): DataFrame = {
@@ -167,9 +169,12 @@ object Curation {
     val bounds = keyed.groupBy("__wgrp").agg(
       percentile(valueCol, lit(loP)).as("__wlo"),
       percentile(valueCol, lit(hiP)).as("__whi"))
-    keyed.join(broadcast(bounds), "__wgrp")
-      .withColumn(outCol, least(greatest(valueCol, col("__wlo")), col("__whi")))
-      .drop("__wgrp", "__wlo", "__whi")
+      .withColumnRenamed("__wgrp", "__wgrp_b")
+    keyed.join(broadcast(bounds), col("__wgrp") <=> col("__wgrp_b"))
+      .withColumn(outCol,
+        when(valueCol.isNull, lit(null))
+          .otherwise(least(greatest(valueCol, col("__wlo")), col("__whi"))))
+      .drop("__wgrp", "__wgrp_b", "__wlo", "__whi")
   }
 
   /** Overlapping token-window chunking — the document-preparation step ahead
@@ -298,17 +303,20 @@ object Curation {
                  lang: String = "en", minQuality: Double = 0.0,
                  jaccardThreshold: Double = 0.5, minLmScore: Double = 0.0,
                  trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    // gated feeds BOTH the span-dedup chain and the final metadata join —
+    // checkpoint so clean/lang-ID/quality scan the input corpus once
     val gated = df
       .withColumn(textCol, cleanText(col(textCol)))
       .withColumn("lang_pred", Text.langId(col(textCol)))
       .withColumn("quality", Text.qualityScore(col(textCol)))
       .filter(col("lang_pred") === lang && col("quality") >= minQuality)
+      .localCheckpoint()
     // multiple downstream consumers (signatures, keeper join, decontaminate,
     // LM training) would each re-derive the span-dedup chain — materialize it
     // once; localCheckpoint's blocks free with the DataFrame (the
     // decontaminate precedent)
-    val spanned = Dedup.lineDedup(gated.select(col(idCol), col(textCol)), textCol, "doc_id")
-      .withColumnRenamed("doc_id", idCol)
+    val spanned = Dedup.lineDedup(gated.select(col(idCol), col(textCol)), textCol, idCol)
+      .withColumnRenamed("doc_id", idCol) // lineDedup's output id is always "doc_id"
       .filter(length(trim(col(textCol))) > 0)
       .localCheckpoint()
     val pairs = Dedup.minHashLsh(spanned, textCol, idCol, threshold = jaccardThreshold)

@@ -165,15 +165,10 @@ object Dedup {
     // 2^-64 collisions, and array_intersect over longs at a fraction of the
     // UTF8 compare cost — 250k sf1 candidate pairs verify ~2× faster)
     val shHashUdf = udf { text: String =>
-      val sh = RowHash.shingles(RowHash.tokens(text), shingleSize)
-      val seen = new java.util.LinkedHashSet[java.lang.Long]()
-      var i = 0
-      while (i < sh.length) { seen.add(RowHash.utf8(sh(i))); i += 1 }
-      val out = new Array[Long](seen.size())
-      val it = seen.iterator()
-      var x = 0
-      while (it.hasNext) { out(x) = it.next(); x += 1 }
-      out
+      // null text -> null set -> null jaccard -> pair filtered out, matching
+      // the Column formulation this UDF replaced (Text.tokens propagates null)
+      if (text == null) null
+      else shingleHashSet(text, shingleSize)
     }
     val shSets = df.select(col(idCol).as("doc_id"), shHashUdf(col(textCol)).as("__sh"))
     pairs
@@ -183,6 +178,21 @@ object Dedup {
       .withColumn("jaccard", col("__common") / (size(col("__sa")) + size(col("__sb")) - col("__common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Distinct shingle hashes of one doc (insertion order) — the imperative
+    * core of the LSH verification's hashed sets.
+    */
+  private def shingleHashSet(text: String, shingleSize: Int): Array[Long] = {
+    val sh = RowHash.shingles(RowHash.tokens(text), shingleSize)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < sh.length) { seen.add(RowHash.utf8(sh(i))); i += 1 }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = it.next(); x += 1 }
+    out
   }
 
   /** Exact token-n-gram Jaccard between two text columns (row-local). */

@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * the same total; DECIMAL(38) so a 2^60-bit hash summed over billions of
   * rows cannot wrap — a LONG sum would overflow engine-dependently).
   *
-  * Rows hash as md5 of the U+0001-joined STRING images of the listed columns
-  * — pass columns already rendered to strings deterministically (keys, flags,
+  * Rows hash as md5 of the U+0001-joined STRING images of the listed columns,
+  * with NULL cells rendered as a U+0002 sentinel — `concat_ws` alone SKIPS
+  * nulls, which would make ('x', NULL) and (NULL, 'x') hash identically and
+  * hide cross-column drift (DuckDB twin of the row image:
+  * `concat_ws(chr(1), coalesce(c1, chr(2)), ...)`).
+  * Pass columns already rendered to strings deterministically (keys, flags,
   * decimals via [[graft.functions.Scalars.moneyFmt]]); raw DOUBLE→string
   * rendering differs across engines and is the caller's responsibility to
   * canonicalize. One map-side-combined agg; |groups| rows shuffle.
@@ -23,7 +27,8 @@ import org.apache.spark.sql.functions._
 object Reconcile {
 
   def rowHash(cols: Seq[Column]): Column =
-    conv(substring(md5(concat_ws("\u0001", cols: _*)), 1, 15), 16, 10)
+    conv(substring(md5(concat_ws("\u0001",
+      cols.map(c => coalesce(c, lit("\u0002"))): _*)), 1, 15), 16, 10)
       .cast("decimal(38,0)")
 
   def checksum(df: DataFrame, groupCol: Column, cols: Seq[Column]): DataFrame =

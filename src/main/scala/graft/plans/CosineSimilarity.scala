@@ -119,6 +119,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_jl_project"),
       (children: Seq[Expression]) => {
         import org.apache.spark.sql.graft.Bridge
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_jl_project(vec, outDim) takes 2 arguments, got ${children.length}")
         val dim = children(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(

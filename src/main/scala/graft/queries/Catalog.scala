@@ -1627,8 +1627,8 @@ object Catalog {
   }, Some("""
     SELECT l_returnflag AS grp, COUNT(*) AS n_rows,
            SUM(CAST(('0x' || substring(md5(concat_ws(chr(1),
-                 CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR),
-                 CAST(l_suppkey AS VARCHAR), l_linestatus)), 1, 15)) AS BIGINT)::DECIMAL(38,0)) AS content_sum
+                 coalesce(CAST(l_orderkey AS VARCHAR), chr(2)), coalesce(CAST(l_partkey AS VARCHAR), chr(2)),
+                 coalesce(CAST(l_suppkey AS VARCHAR), chr(2)), coalesce(l_linestatus, chr(2)))), 1, 15)) AS BIGINT)::DECIMAL(38,0)) AS content_sum
     FROM lineitem GROUP BY l_returnflag"""))
 
   private val q98 = Q("q98_winsorize", (s, dir) => {

@@ -44,6 +44,8 @@ object ZOrderLayout {
             files: Int): (Double, Double, Double, Double) = {
     val r = df.agg(min(col(aCol)).cast("double"), max(col(aCol)).cast("double"),
       min(col(bCol)).cast("double"), max(col(bCol)).cast("double")).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"ZOrderLayout.write: empty input or all-null cluster column ($aCol/$bCol) — nothing to scale")
     val frame = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     df.withColumn("__z", zValue(col(aCol), col(bCol), frame._1, frame._2, frame._3, frame._4))
       .repartitionByRange(files, col("__z"))

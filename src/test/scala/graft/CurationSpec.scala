@@ -117,6 +117,20 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(_._1 == "b").map(_._3).sorted.toSeq == Seq(1050.0, 1950.0))
   }
 
+  test("winsorize keeps null-keyed groups and passes null values through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((Option("a"), Option(1.0)), (Option("a"), Option(10.0)),
+      (Option.empty[String], Option(5.0)), (Option("a"), Option.empty[Double]))
+      .toDF("g", "v")
+    val out = Curation.winsorize(df, col("v"), col("g"), 0.05, 0.95, "w").collect()
+    assert(out.length == 4, "no row may be dropped")
+    val nullGroup = out.filter(_.isNullAt(0))
+    assert(nullGroup.length == 1 && nullGroup.head.getDouble(2) == 5.0)
+    val nullValue = out.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(nullValue.length == 1 && nullValue.head.isNullAt(2), "null values stay null")
+  }
+
   test("chunkForRag: full coverage, exact overlap, short docs -> one chunk") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -140,6 +140,16 @@ class DedupSpec extends SparkSpec {
 }
 
 class MultimodalSpec extends SparkSpec {
+  test("minhash verification never pairs null-text docs (null jaccard drops out)") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Option("real words here again and again today")),
+      (4L, Option("real words here again and again today"))).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLsh(df, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 4L)), s"only the real duplicate pair may verify: $pairs")
+  }
+
   test("resolveKeepers: chains collapse to the min, singletons keep themselves, LSH only widens") {
     import spark.implicits._
     val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")

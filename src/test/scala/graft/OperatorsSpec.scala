@@ -100,6 +100,15 @@ class ReconcileSpec extends SparkSpec {
     assert(drifted != base)
     assert(drifted.map(t => (t._1, t._2)) == base.map(t => (t._1, t._2)), "row counts unchanged")
   }
+
+  test("checksum distinguishes a value moving between nullable columns") {
+    import spark.implicits._
+    val ab = Seq((Option("x"), Option.empty[String])).toDF("c1", "c2")
+    val ba = Seq((Option.empty[String], Option("x"))).toDF("c1", "c2")
+    def s(df: org.apache.spark.sql.DataFrame) =
+      Reconcile.checksum(df, lit("g"), Seq(col("c1"), col("c2"))).head().getDecimal(2)
+    assert(s(ab) != s(ba), "('x', NULL) and (NULL, 'x') must hash differently")
+  }
 }
 
 class FunctionsSpec extends SparkSpec {
