@@ -1656,6 +1656,31 @@ object Catalog {
       "text", "doc_id", lang = "en", minQuality = 0.2, jaccardThreshold = 0.5)
   }, None)
 
+  private val q100 = Q("q100_session_stats", (s, dir) => {
+    // Per-session rollup of the q85 labelling: duration, event count, bounce
+    // flag — the session-table every product-analytics pipeline materializes.
+    graft.operators.Behavior.sessionize(
+      t(s, dir, "events").select("event_id", "user_id", "ts"),
+      "user_id", "ts", "event_id", gapSeconds = 6 * 3600)
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts")).cast("timestamp")) -
+          unix_micros(min(col("ts")).cast("timestamp"))).as("duration_us"),
+        (count(lit(1)) === 1).as("is_bounce"))
+  }, Some(s"""
+    WITH e AS (SELECT event_id, user_id, ts FROM $EV),
+         g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS is_new
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sl AS (SELECT user_id, ts,
+                       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+                FROM g)
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+           COUNT(*) = 1 AS is_bounce
+    FROM sl GROUP BY user_id, session_seq"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1667,7 +1692,8 @@ object Catalog {
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70,
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99,
+    q100)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
