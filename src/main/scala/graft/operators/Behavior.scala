@@ -24,16 +24,25 @@ object Behavior {
     * replication anywhere.
     */
   def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
-             stages: Seq[String]): DataFrame = {
+             stages: Seq[String], maxGapSeconds: Long = 0L): DataFrame = {
     require(stages.size >= 2, s"a funnel needs >= 2 stages, got $stages")
+    require(maxGapSeconds >= 0, s"maxGapSeconds must be >= 0, got $maxGapSeconds")
     def stageTs(i: Int) = s"${stages(i)}_ts"
+    // conversion-window bound: stage i+1 must land within `maxGapSeconds` of
+    // the committed stage-i time (0 = unbounded — the pure ordering funnel).
+    // micros via cast, NTZ-safe (see sessionize)
+    def withinGap(cur: Column, prev: Column): Column =
+      if (maxGapSeconds == 0L) lit(true)
+      else unix_micros(cur.cast("timestamp")) - unix_micros(prev.cast("timestamp")) <=
+        maxGapSeconds * 1000000L
     val first = events.filter(col(typeCol) === stages.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as(stageTs(0)))
     val perStage = stages.indices.tail.foldLeft(List(first)) { (acc, i) =>
       val prev = acc.head
       val reached = events.filter(col(typeCol) === stages(i))
         .join(prev.select(col(userCol), col(stageTs(i - 1))), userCol)
-        .filter(col(tsCol) > col(stageTs(i - 1)))
+        .filter(col(tsCol) > col(stageTs(i - 1)) &&
+          withinGap(col(tsCol), col(stageTs(i - 1))))
         .groupBy(col(userCol)).agg(min(col(tsCol)).as(stageTs(i)))
       reached :: acc
     }.reverse

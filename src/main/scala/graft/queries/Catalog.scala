@@ -1681,6 +1681,28 @@ object Catalog {
            COUNT(*) = 1 AS is_bounce
     FROM sl GROUP BY user_id, session_seq"""))
 
+  private val q101 = Q("q101_funnel_windowed", (s, dir) => {
+    // The q82 funnel with a 24h conversion window per step: a click only
+    // counts within a day of the committed view, a purchase within a day of
+    // that click — the form conversion dashboards actually use.
+    graft.operators.Behavior.funnel(
+      t(s, dir, "events"), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), maxGapSeconds = 24 * 3600)
+  }, Some(s"""
+    WITH e AS (SELECT * FROM $EV),
+         v AS (SELECT user_id, min(ts) AS view_ts FROM e WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(ts) AS click_ts FROM e JOIN v USING (user_id)
+               WHERE event_type = 'click' AND ts > view_ts
+                 AND epoch_us(ts) - epoch_us(view_ts) <= 86400000000 GROUP BY 1),
+         p AS (SELECT e.user_id, min(ts) AS purchase_ts FROM e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND ts > click_ts
+                 AND epoch_us(ts) - epoch_us(click_ts) <= 86400000000 GROUP BY 1)
+    SELECT v.user_id, view_ts, click_ts, purchase_ts,
+           CASE WHEN purchase_ts IS NOT NULL THEN 'purchase'
+                WHEN click_ts IS NOT NULL THEN 'click'
+                ELSE 'view' END AS stage
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1693,7 +1715,7 @@ object Catalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100)
+    q100, q101)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

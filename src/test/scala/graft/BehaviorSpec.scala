@@ -144,6 +144,24 @@ class BehaviorSpec extends SparkSpec {
     assert(out(1L).getAs[Double]("score") == 3.0) // tf 1 · N 3 / df 1
   }
 
+  test("windowed funnel: conversion exactly at the gap counts, one second past does not") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def plus(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000)
+    val events = Seq(
+      (1L, 100L, t0, "view"), (2L, 100L, plus(3600), "click"), // inside window
+      (3L, 200L, t0, "view"), (4L, 200L, plus(3601), "click")) // 1s past it
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Behavior.funnel(events, "user_id", "event_type", "ts",
+      Seq("view", "click"), maxGapSeconds = 3600)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[String]("stage")).toMap
+    assert(out == Map(100L -> "click", 200L -> "view"))
+    // unbounded default keeps the old semantics
+    val unbounded = Behavior.funnel(events, "user_id", "event_type", "ts", Seq("view", "click"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[String]("stage")).toMap
+    assert(unbounded == Map(100L -> "click", 200L -> "click"))
+  }
+
   test("streaming sessionize labels equal the batch operator across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
