@@ -118,6 +118,23 @@ object CorpusStats {
     }
   }
 
+  /** The corpus DATASHEET in one pass: per-language doc/token volumes, mean
+    * tokens (rational division — oracle-exact), interpolated length
+    * percentiles, and the exact-dup count (docs minus distinct fingerprints).
+    * Everything is a map-side-combined aggregate over one scan; |languages|
+    * rows come out. The numbers every dataset card / ingest report leads
+    * with, as a single declarative plan.
+    */
+  def profile(df: DataFrame, textCol: String, langCol: String): DataFrame =
+    df.groupBy(col(langCol).as("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(Text.tokenCount(col(textCol)).cast("long")).as("total_tokens"),
+      (sum(Text.tokenCount(col(textCol)).cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_tokens"),
+      percentile(length(col(textCol)), lit(0.5)).as("len_p50"),
+      percentile(length(col(textCol)), lit(0.9)).as("len_p90"),
+      (count(lit(1)) - countDistinct(Text.fingerprint(col(textCol)))).as("exact_dup_docs"))
+
   /** Corpus-wide heavy-hitter n-grams by document frequency — the discovery
     * step for boilerplate mining (what should [[Dedup.lineDedup]]'s cap or a
     * blocklist target?). Per-doc distinct shingles are row-local; the count

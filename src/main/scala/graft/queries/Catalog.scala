@@ -1703,6 +1703,39 @@ object Catalog {
                 ELSE 'view' END AS stage
     FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""))
 
+  private val q102 = Q("q102_corpus_profile", (s, dir) => {
+    // The corpus datasheet: per-language volumes, mean/percentile lengths,
+    // exact-dup counts — one scan, one agg.
+    graft.llmops.CorpusStats.profile(t(s, dir, "documents"), "text", "lang")
+  }, Some("""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           quantile_cont(length(text), 0.5) AS len_p50,
+           quantile_cont(length(text), 0.9) AS len_p90,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS exact_dup_docs
+    FROM documents GROUP BY lang"""))
+
+  private val q103 = Q("q103_expectations", (s, dir) => {
+    // Declarative data-quality gate: four expectations over orders, one scan.
+    import graft.operators.Expectations.{Rule, check}
+    check(t(s, dir, "orders"), Seq(
+      Rule("orderkey_nonnull", col("o_orderkey").isNotNull, 1.0),
+      Rule("totalprice_positive", col("o_totalprice") > 0, 1.0),
+      Rule("status_in_enum", col("o_orderstatus").isin("F", "O", "P"), 1.0),
+      Rule("priority_urgent_majority", col("o_orderpriority") === "1-URGENT", 0.5)))
+  }, Some("""
+    WITH r AS (SELECT
+        AVG(CASE WHEN o_orderkey IS NOT NULL THEN 1.0 ELSE 0.0 END) AS r0,
+        AVG(CASE WHEN o_totalprice > 0 THEN 1.0 ELSE 0.0 END) AS r1,
+        AVG(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1.0 ELSE 0.0 END) AS r2,
+        AVG(CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END) AS r3
+      FROM orders)
+    SELECT 'orderkey_nonnull' AS rule, r0 AS pass_rate, CAST(1.0 AS DOUBLE) AS min_pass_rate, r0 >= 1.0 AS passed FROM r
+    UNION ALL SELECT 'totalprice_positive', r1, CAST(1.0 AS DOUBLE), r1 >= 1.0 FROM r
+    UNION ALL SELECT 'status_in_enum', r2, CAST(1.0 AS DOUBLE), r2 >= 1.0 FROM r
+    UNION ALL SELECT 'priority_urgent_majority', r3, CAST(0.5 AS DOUBLE), r3 >= 0.5 FROM r"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1715,7 +1748,7 @@ object Catalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101)
+    q100, q101, q102, q103)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

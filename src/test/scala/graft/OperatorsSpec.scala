@@ -111,6 +111,21 @@ class ReconcileSpec extends SparkSpec {
   }
 }
 
+class ExpectationsSpec extends SparkSpec {
+  import graft.operators.Expectations.{Rule, check}
+
+  test("expectations evaluate in one agg; null predicates count as failures") {
+    import spark.implicits._
+    val df = Seq(Option(5), Option(-1), Option.empty[Int]).toDF("v")
+    val out = check(df, Seq(
+      Rule("positive", col("v") > 0, 0.3), // 1/3 pass (null row FAILS)
+      Rule("nonnull", col("v").isNotNull, 1.0)))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(3))).toMap
+    assert(math.abs(out("positive")._1 - 1.0 / 3) < 1e-15 && out("positive")._2)
+    assert(out("nonnull")._1 == 2.0 / 3 && !out("nonnull")._2)
+  }
+}
+
 class FunctionsSpec extends SparkSpec {
   test("cosine of identical vectors is 1; orthogonal is 0") {
     import spark.implicits._
