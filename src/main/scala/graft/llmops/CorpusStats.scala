@@ -129,11 +129,14 @@ object CorpusStats {
     df.groupBy(col(langCol).as("lang")).agg(
       count(lit(1)).as("n_docs"),
       sum(Text.tokenCount(col(textCol)).cast("long")).as("total_tokens"),
-      (sum(Text.tokenCount(col(textCol)).cast("long")).cast("double") /
-        count(lit(1)).cast("double")).as("avg_tokens"),
       percentile(length(col(textCol)), lit(0.5)).as("len_p50"),
       percentile(length(col(textCol)), lit(0.9)).as("len_p90"),
-      (count(lit(1)) - countDistinct(Text.fingerprint(col(textCol)))).as("exact_dup_docs"))
+      // null-text docs are skipped consistently with the other text stats:
+      // count(textCol) counts non-null only, matching countDistinct's skip
+      (count(col(textCol)) - countDistinct(Text.fingerprint(col(textCol)))).as("exact_dup_docs"))
+      .withColumn("avg_tokens", col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"), col("avg_tokens"),
+        col("len_p50"), col("len_p90"), col("exact_dup_docs"))
 
   /** Corpus-wide heavy-hitter n-grams by document frequency — the discovery
     * step for boilerplate mining (what should [[Dedup.lineDedup]]'s cap or a

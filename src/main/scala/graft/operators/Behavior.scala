@@ -26,7 +26,11 @@ object Behavior {
   def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
              stages: Seq[String], maxGapSeconds: Long = 0L): DataFrame = {
     require(stages.size >= 2, s"a funnel needs >= 2 stages, got $stages")
-    require(maxGapSeconds >= 0, s"maxGapSeconds must be >= 0, got $maxGapSeconds")
+    require(stages.distinct.size == stages.size,
+      s"stage names must be distinct (they name the <stage>_ts columns), got $stages")
+    require(maxGapSeconds >= 0 && maxGapSeconds <= Long.MaxValue / 1000000L,
+      s"maxGapSeconds must be in [0, ${Long.MaxValue / 1000000L}] (micros must not overflow), " +
+        s"got $maxGapSeconds; 0 already means unbounded")
     def stageTs(i: Int) = s"${stages(i)}_ts"
     // conversion-window bound: stage i+1 must land within `maxGapSeconds` of
     // the committed stage-i time (0 = unbounded — the pure ordering funnel).

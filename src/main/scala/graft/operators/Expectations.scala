@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   *
   * Pass rates are exact cross-engine: the mean of 0/1 doubles is an integer
   * sum over a count — no float-order sensitivity.
+  *
+  * Zero input rows FAIL CLOSED: the pass rate of an empty frame is 0.0, so
+  * every rule with a positive threshold fails (a broken ingest that delivered
+  * nothing must not sail through a NULL verdict), while `minPassRate = 0.0`
+  * rules still pass.
   */
 object Expectations {
 
@@ -26,9 +31,10 @@ object Expectations {
     }
     val agged = df.agg(rateAggs.head, rateAggs.tail: _*)
     val verdicts = rules.zipWithIndex.map { case (r, i) =>
-      struct(lit(r.name).as("rule"), col(s"__r$i").as("pass_rate"),
+      val rate = coalesce(col(s"__r$i"), lit(0.0))
+      struct(lit(r.name).as("rule"), rate.as("pass_rate"),
         lit(r.minPassRate).as("min_pass_rate"),
-        (col(s"__r$i") >= r.minPassRate).as("passed"))
+        (rate >= r.minPassRate).as("passed"))
     }
     agged.select(explode(array(verdicts: _*)).as("v"))
       .select(col("v.rule"), col("v.pass_rate"), col("v.min_pass_rate"), col("v.passed"))

@@ -1713,7 +1713,7 @@ object Catalog {
            CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE) / COUNT(*) AS avg_tokens,
            quantile_cont(length(text), 0.5) AS len_p50,
            quantile_cont(length(text), 0.9) AS len_p90,
-           COUNT(*) - COUNT(DISTINCT md5(text)) AS exact_dup_docs
+           COUNT(text) - COUNT(DISTINCT md5(text)) AS exact_dup_docs
     FROM documents GROUP BY lang"""))
 
   private val q103 = Q("q103_expectations", (s, dir) => {

@@ -124,6 +124,17 @@ class ExpectationsSpec extends SparkSpec {
     assert(math.abs(out("positive")._1 - 1.0 / 3) < 1e-15 && out("positive")._2)
     assert(out("nonnull")._1 == 2.0 / 3 && !out("nonnull")._2)
   }
+
+  test("expectations fail closed on zero input rows") {
+    import spark.implicits._
+    val empty = Seq.empty[Int].toDF("v")
+    val out = check(empty, Seq(
+      Rule("must_hold", col("v") > 0, 1.0),
+      Rule("vacuous", col("v") > 0, 0.0)))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(3))).toMap
+    assert(out("must_hold") == (0.0, false), "a broken empty ingest must FAIL the gate")
+    assert(out("vacuous") == (0.0, true))
+  }
 }
 
 class FunctionsSpec extends SparkSpec {
