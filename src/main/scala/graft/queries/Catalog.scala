@@ -1736,6 +1736,28 @@ object Catalog {
     UNION ALL SELECT 'status_in_enum', r2, CAST(1.0 AS DOUBLE), r2 >= 1.0 FROM r
     UNION ALL SELECT 'priority_urgent_majority', r3, CAST(0.5 AS DOUBLE), r3 >= 0.5 FROM r"""))
 
+  private val q104 = Q("q104_overlap_join", (s, dir) => {
+    // Range-x-range overlap join: same-customer order pairs whose 30-day
+    // validity windows overlap — bucketed equi-join with the canonical-bucket
+    // dedup, never a per-key cartesian.
+    val iv = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate").cast("timestamp").as("start"),
+      (col("o_orderdate").cast("timestamp") + expr("INTERVAL 30 DAYS")).as("end"))
+    val a = iv.select(col("o_orderkey").as("a_key"), col("o_custkey").as("a_cust"),
+      col("start").as("a_start"), col("end").as("a_end"))
+    val b = iv.select(col("o_orderkey").as("b_key"), col("o_custkey").as("b_cust"),
+      col("start").as("b_start"), col("end").as("b_end"))
+    graft.operators.OverlapJoin(a, b, "a_cust", "b_cust",
+      "a_start", "a_end", "b_start", "b_end", bucketWidthSeconds = 30L * 86400)
+      .filter(col("a_key") < col("b_key"))
+      .select(col("a_cust"), col("a_key"), col("b_key"))
+  }, Some("""
+    WITH iv AS (SELECT o_orderkey AS k, o_custkey AS c, CAST(o_orderdate AS TIMESTAMP) AS s,
+                       CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY AS e FROM orders)
+    SELECT a.c AS a_cust, a.k AS a_key, b.k AS b_key
+    FROM iv a JOIN iv b
+      ON a.c = b.c AND a.k < b.k AND a.s <= b.e AND b.s <= a.e"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1748,7 +1770,7 @@ object Catalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103)
+    q100, q101, q102, q103, q104)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -81,6 +81,32 @@ class TopKSpec extends SparkSpec {
   }
 }
 
+class OverlapJoinSpec extends SparkSpec {
+  import java.sql.Timestamp
+
+  test("bucketed overlap join equals the naive inequality join, without a cartesian") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def iv(n: Int, tag: String) = (1 to n).map { i =>
+      val s = 1700000000000L + rnd.nextInt(5000000) * 1000L
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, new Timestamp(s),
+        new Timestamp(s + (rnd.nextInt(200000) + 1) * 1000L))
+    }.toDF(s"${tag}_key", s"${tag}_k", s"${tag}_s", s"${tag}_e")
+    val (a, b) = (iv(300, "a"), iv(120, "b"))
+    val fast = graft.operators.OverlapJoin(a, b, "a_k", "b_k", "a_s", "a_e", "b_s", "b_e",
+      bucketWidthSeconds = 100000)
+      .select("a_key", "b_key").as[(Long, Long)].collect().toSet
+    val naive = a.join(b, col("a_k") === col("b_k") &&
+        col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select("a_key", "b_key").as[(Long, Long)].collect().toSet
+    assert(fast == naive && fast.nonEmpty, s"${fast.size} vs ${naive.size}")
+    val p = graft.operators.OverlapJoin(a, b, "a_k", "b_k", "a_s", "a_e", "b_s", "b_e", 100000)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"overlap join must stay an equi-join:\n$p")
+  }
+}
+
 class ReconcileSpec extends SparkSpec {
   import graft.operators.Reconcile
 
