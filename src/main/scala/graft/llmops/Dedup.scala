@@ -567,7 +567,16 @@ object Dedup {
                 forceJoin: Boolean = false): DataFrame = {
     require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
     val n = chunkWords
-    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+    // The winner struct and the broadcast rebuild map key on a LONG doc id; a
+    // non-castable id would otherwise become NULL here (under ANSI-off) and
+    // the rebuild would null every doc's text — fail loudly per offending row
+    // instead, uniformly across ANSI configs (row-local check, rides the same
+    // projection; ADVICE r3 #1).
+    val docId = col(idCol).try_cast("long")
+    val checkedId = when(docId.isNull,
+      raise_error(concat(lit(s"lineDedup: id column '$idCol' must be non-null and castable to BIGINT, got: "),
+        coalesce(col(idCol).cast("string"), lit("NULL"))))).otherwise(docId)
+    val toks = docs.select(checkedId.as("doc_id"),
       Text.tokens(coalesce(col(textCol), lit(""))).as("__t"))
     val chunked = toks.select(col("doc_id"),
       transform(

@@ -33,9 +33,11 @@ object Winnowing {
                    k: Int = 3, w: Int = 4): DataFrame = {
     val (kk, ww) = (k, w)
     val fpUdf = udf { text: String =>
-      // null text emits NO fingerprints, matching the HOF oracle (whose
-      // explode drops the doc) — null and empty-string docs must not pair
-      if (text == null) Array.empty[Long]
+      // null AND zero-token (empty/whitespace) text emits NO fingerprints —
+      // the tokenizer would otherwise yield the single empty token, whose
+      // shingle hash pairs every blank doc with every other (ADVICE r3 #4);
+      // the HOF oracle filters identically
+      if (text == null || text.trim.isEmpty) Array.empty[Long]
       else fingerprintWord(text, kk, ww)
     }
     df.select(col(idCol).as("doc_id"), explode(fpUdf(col(textCol))).as("fingerprint"))
@@ -69,7 +71,11 @@ object Winnowing {
     */
   private[graft] def fingerprintsHof(df: DataFrame, textCol: String, idCol: String,
                                      k: Int = 3, w: Int = 4): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__toks"))
+    // NOT trim(): Spark's trim strips only U+0020, but the zero-token class
+    // includes tabs/newlines (Java String.trim in the UDF path strips <= 0x20)
+    val toks = df.filter(col(textCol).isNotNull &&
+        regexp_replace(col(textCol), "\\s+", "") =!= "")
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__toks"))
     val grams = toks.select(col("doc_id"),
       transform(Text.shinglesFromTokens(col("__toks"), k), s => xxhash64(s)).as("__h"))
     // window-min over the materialized hash array attribute

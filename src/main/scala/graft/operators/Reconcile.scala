@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   * decimals via [[graft.functions.Scalars.moneyFmt]]); raw DOUBLE→string
   * rendering differs across engines and is the caller's responsibility to
   * canonicalize. One map-side-combined agg; |groups| rows shuffle.
+  *
+  * `content_sum` is surfaced as its plain-digit STRING image: the DECIMAL(38)
+  * total exceeds float64's exact-integer range (2^53), so any consumer that
+  * round-trips the column through a double (pandas, JSON, a quick CSV diff)
+  * silently corrupts it and reports spurious drift. A digit string is exact
+  * in every engine and every transport.
   */
 object Reconcile {
 
@@ -33,5 +39,6 @@ object Reconcile {
 
   def checksum(df: DataFrame, groupCol: Column, cols: Seq[Column]): DataFrame =
     df.groupBy(groupCol.as("grp"))
-      .agg(count(lit(1)).as("n_rows"), sum(rowHash(cols)).as("content_sum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(rowHash(cols)).cast("string").as("content_sum"))
 }

@@ -23,12 +23,15 @@ object StreamingFunnel {
 
   case class Event(user: String, typ: String, ts: Timestamp)
   case class StageCommit(user: String, stage: String, stage_index: Int, ts: Timestamp)
-  /** committedMicros(i) = event-time micros of stage i's commit, -Long.Max when open. */
+  /** committedMicros(i) = event-time micros of stage i's commit, Long.MinValue when open. */
   case class FunnelState(committedMicros: List[Long])
 
   def apply(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
             stages: Seq[String]): Dataset[StageCommit] = {
     require(stages.size >= 2, s"a funnel needs >= 2 stages, got $stages")
+    // same contract as the batch Behavior.funnel: a duplicated stage name
+    // would silently keep only the last index in stageIdx (ADVICE r3 #3)
+    require(stages.distinct.size == stages.size, s"stages must be distinct, got $stages")
     implicit val evEnc = Encoders.product[Event]
     implicit val outEnc = Encoders.product[StageCommit]
     implicit val stEnc = Encoders.product[FunnelState]

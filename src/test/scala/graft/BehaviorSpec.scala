@@ -77,6 +77,19 @@ class BehaviorSpec extends SparkSpec {
     assert(commits.keySet.map(_._1) == Set("1", "2", "3"), "user 4 never enters the funnel")
   }
 
+  test("streaming funnel rejects duplicate stage names like the batch twin") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[(Long, String, java.sql.Timestamp)]
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp)]
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingFunnel(
+        mem.toDF().toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", Seq("view", "click", "view"))
+    }
+    assert(ex.getMessage.contains("distinct"))
+  }
+
   test("streaming funnel keeps sub-millisecond strictness (micros, not getTime)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

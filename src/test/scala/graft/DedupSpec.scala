@@ -186,6 +186,16 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Seq((1L, s"$boiler $u1"), (2L, u2), (3L, ""), (4L, "")))
   }
 
+  test("lineDedup fails loudly on an id that does not cast to BIGINT") {
+    import spark.implicits._
+    val df = Seq(("doc-a", "some words here"), ("doc-b", "other words there"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] { Dedup.lineDedup(df, "text", "doc_id").count() }
+    def mentions(t: Throwable): Boolean =
+      t != null && (t.toString.contains("castable to BIGINT") || mentions(t.getCause))
+    assert(mentions(ex), s"expected the lineDedup id guard, got: $ex")
+  }
+
   test("lineDedup broadcast and join paths are output-identical (and non-vacuous)") {
     val docs = graft.core.Tables(spark, sfDir, "documents")
     def asSet(df: org.apache.spark.sql.DataFrame) =

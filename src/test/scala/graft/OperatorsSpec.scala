@@ -105,6 +105,24 @@ class OverlapJoinSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"overlap join must stay an equi-join:\n$p")
   }
+
+  test("inverted intervals fail loudly; NULL-bounded intervals drop, not match") {
+    import spark.implicits._
+    def df(rows: Seq[(Long, Long, Option[Timestamp], Option[Timestamp])], tag: String) =
+      rows.toDF(s"${tag}_key", s"${tag}_k", s"${tag}_s", s"${tag}_e")
+    val t0 = new Timestamp(1700000000000L)
+    val t1 = new Timestamp(1700000060000L)
+    val ok = df(Seq((1L, 1L, Some(t0), Some(t1))), "b")
+    val inverted = df(Seq((1L, 1L, Some(t1), Some(t0))), "a")
+    val ex = intercept[Exception] {
+      graft.operators.OverlapJoin(inverted, ok, "a_k", "b_k", "a_s", "a_e", "b_s", "b_e", 60).count()
+    }
+    assert(ex.toString.contains("inverted interval") ||
+      Option(ex.getCause).exists(_.toString.contains("inverted interval")), ex.toString)
+    val nullBound = df(Seq((1L, 1L, None, Some(t1)), (2L, 1L, Some(t0), None)), "a")
+    assert(graft.operators.OverlapJoin(nullBound, ok, "a_k", "b_k", "a_s", "a_e", "b_s", "b_e", 60)
+      .count() == 0, "NULL-bounded intervals must produce no pairs")
+  }
 }
 
 class ReconcileSpec extends SparkSpec {
@@ -115,7 +133,7 @@ class ReconcileSpec extends SparkSpec {
     val cols = Seq(col("l_orderkey").cast("string"), col("l_partkey").cast("string"),
       col("l_suppkey").cast("string"), col("l_linestatus"))
     def sums(df: org.apache.spark.sql.DataFrame) = Reconcile.checksum(df, col("l_returnflag"), cols)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
     val base = sums(li)
     // same rows, radically different layout -> identical checksums
     assert(sums(li.repartition(17, col("l_partkey")).sortWithinPartitions("l_orderkey")) == base)
@@ -132,7 +150,7 @@ class ReconcileSpec extends SparkSpec {
     val ab = Seq((Option("x"), Option.empty[String])).toDF("c1", "c2")
     val ba = Seq((Option.empty[String], Option("x"))).toDF("c1", "c2")
     def s(df: org.apache.spark.sql.DataFrame) =
-      Reconcile.checksum(df, lit("g"), Seq(col("c1"), col("c2"))).head().getDecimal(2)
+      Reconcile.checksum(df, lit("g"), Seq(col("c1"), col("c2"))).head().getString(2)
     assert(s(ab) != s(ba), "('x', NULL) and (NULL, 'x') must hash differently")
   }
 }

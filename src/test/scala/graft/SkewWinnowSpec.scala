@@ -57,6 +57,21 @@ class WinnowingSpec extends SparkSpec {
       s"drops must be visible: ${stats.droppedBuckets} buckets / ${stats.droppedRows} rows")
   }
 
+  test("null, empty, and whitespace-only docs emit no fingerprints in either path") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String]), (2L, Some("")), (3L, Some("   \t ")),
+      (4L, Some("real words appear here now")))
+      .toDF("doc_id", "text")
+    val udfIds = Winnowing.fingerprints(df, "text", "doc_id", 3, 4)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val hofIds = Winnowing.fingerprintsHof(df, "text", "doc_id", 3, 4)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(udfIds == Set(4L) && hofIds == Set(4L),
+      s"blank docs must not fingerprint (udf=$udfIds hof=$hofIds)")
+    val pairs = Winnowing.sharedFingerprintPairs(df, "text", "doc_id", 3, 4, 1)
+    assert(pairs.count() == 0, "blank docs must not pair with each other")
+  }
+
   test("UDF fingerprints equal the declarative HOF oracle on testdata") {
     val docs = graft.core.Tables(spark, sfDir, "documents").limit(200)
     def asSet(df: org.apache.spark.sql.DataFrame) =
