@@ -204,25 +204,50 @@ object Dedup {
   }
 
   /** All-pairs exact n-gram Jaccard over a (small or pre-filtered) corpus —
-    * the quadratic oracle LSH approximates. Self-joins on a shared shingle so
-    * only pairs with ≥1 common shingle are scored (an inverted-index join,
-    * not a cross product).
+    * the quadratic oracle LSH approximates. Inverted-index formulation: one
+    * shuffle groups (doc, shingle-hash) postings per shingle, and shingles
+    * with document frequency 1 — the overwhelming majority of any natural
+    * corpus — are dropped BEFORE any pairing (they cannot contribute a pair).
+    * Pairs then emit row-locally from each postings list (element × strict
+    * successors via posexplode + slice, so per-row array size stays O(df),
+    * never O(df²)), normalized by struct least/greatest so the (id_a, id_b)
+    * key is order-independent. vs the previous two-sided self-join on the
+    * index: one index shuffle instead of two, and the df=1 mass never reaches
+    * the exchange (measured 1.23 s → see BASELINE.md at sf0.1).
+    *
+    * The index keys on the shingle's 64-bit hash, not the string — an 8-byte
+    * fixed shuffle key instead of variable-length text (collisions between
+    * distinct shingles of overlapping docs are ~2^-64 — and the oracle would
+    * catch one).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), array_distinct(Text.shinglesFromTokens(col("__toks"), shingleSize)).as("sh"))
+    val sz = shingleSize
+    // imperative per-doc DISTINCT shingle hashes (RowHash mirrors the
+    // tokens→shingles→xxhash64 HOF chain bit-for-bit, spec-pinned): the doc
+    // never materializes string shingle arrays in the plan — only 8-byte
+    // hashes leave the row (same reasoning as CorpusStats.topNgrams, where
+    // the HOF formulation measured 40-70× slower at sf1)
+    val hashUdf = udf { text: String =>
+      if (text == null) null else shingleHashSet(text, sz)
+    }
+    val sh = df.select(col(idCol).as("doc_id"), hashUdf(col(textCol)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    // the index joins on the shingle's 64-bit hash, not the string — an
-    // 8-byte fixed shuffle key instead of variable-length text (collisions
-    // between distinct shingles of overlapping docs are ~2^-64 — and the
-    // oracle would catch one)
-    val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("__s"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("__s")).as("shingle"))
-    val a = inv.select(col("shingle"), col("doc_id").as("id_a"), col("n_sh").as("n_a"))
-    val b = inv.select(col("shingle"), col("doc_id").as("id_b"), col("n_sh").as("n_b"))
-    a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
+    val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      .select(col("shingle"), struct(col("doc_id"), col("n_sh")).as("__p"))
+    val postings = inv.groupBy("shingle").agg(collect_list(col("__p")).as("__ps"))
+      .filter(size(col("__ps")) >= 2)
+    val pairs = postings
+      .select(col("__ps"), posexplode(col("__ps")).as(Seq("__i", "__a")))
+      .select(col("__a"),
+        explode(slice(col("__ps"), col("__i") + lit(2), size(col("__ps")))).as("__b"))
+    pairs
+      .select(least(col("__a"), col("__b")).as("__lo"), greatest(col("__a"), col("__b")).as("__hi"))
+      // strict inequality also reproduces the join form's null-id semantics:
+      // a NULL doc_id never pairs
+      .filter(col("__lo.doc_id") < col("__hi.doc_id"))
+      .groupBy(col("__lo.doc_id").as("id_a"), col("__hi.doc_id").as("id_b"),
+        col("__lo.n_sh").as("n_a"), col("__hi.n_sh").as("n_b"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
