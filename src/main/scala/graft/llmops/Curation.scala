@@ -37,6 +37,46 @@ object Curation {
   def cleanText(c: Column): Column =
     trim(regexp_replace(regexp_replace(c, "[\\x00-\\x1f]", " "), "\\s+", " "))
 
+  /** FineWeb-style RELATIVE quality gate: keep each group's top `frac` of
+    * rows by score. The cut is the group's own (1 − frac) quantile rather
+    * than a global absolute threshold, so a clean domain isn't starved and a
+    * noisy one can't flood the kept set — the form recent web-corpus recipes
+    * actually apply per source/domain.
+    *
+    * Scale shape: ONE |groups|-row exact-percentile aggregate (map-side
+    * combined) broadcast back, then a comparison-only filter — never a
+    * per-group sort or window over the corpus. NULL scores drop (SQL WHERE
+    * semantics against the threshold). The kept rows carry the group
+    * threshold in `thrCol` for auditability.
+    */
+  def keepTopFraction(df: DataFrame, scoreCol: Column, groupCol: Column,
+                      frac: Double, thrCol: String = "q_thr"): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
+    val keyed = df.withColumn("__qgrp", groupCol)
+    val thr = keyed.groupBy("__qgrp")
+      .agg(percentile(scoreCol, lit(1 - frac)).as("__qthr"))
+      .withColumnRenamed("__qgrp", "__qgrp_b")
+    keyed.join(broadcast(thr), col("__qgrp") <=> col("__qgrp_b"))
+      .filter(scoreCol >= col("__qthr"))
+      .withColumn(thrCol, col("__qthr"))
+      .drop("__qgrp", "__qgrp_b", "__qthr")
+  }
+
+  /** CCNet-style text normalization: Unicode NFC composition, lowercase,
+    * whitespace collapse, trim — the canonical form under which dedup and
+    * n-gram statistics should run (composed vs decomposed accents, case, and
+    * spacing variants of the same content must hash identically). Row-local;
+    * NFC needs a JVM UDF (java.text.Normalizer), the rest stays codegen'd.
+    * DuckDB twin: `trim(regexp_replace(lower(nfc_normalize(t)), '\s+', ' ', 'g'))`.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(nfcUdf(c)), "\\s+", " "))
+
+  private val nfcUdf = udf { s: String =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  }
+
   /** PII patterns shared by redaction and counting. Conservative syntax only
     * (char classes, bounded quantifiers, \b, non-capturing groups) so the Java
     * (Spark) and RE2 (DuckDB oracle) regex engines match identically — no

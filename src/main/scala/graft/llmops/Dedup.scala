@@ -156,8 +156,11 @@ object Dedup {
     // Only side a is capped — see capBuckets: identical output, one plan copy.
     val a = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
     val b = banded0.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+    // localCheckpoint: three consumers below (two verification joins + the
+    // candidate-id semi-join filter) — without it the whole signature+bucket
+    // pipeline would re-execute per consumer (and CapStats would double-count)
     val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b").distinct().localCheckpoint()
     // distinct shingle sets computed ONCE per doc (a doc in many candidate
     // pairs would otherwise re-tokenize per pair), then joined onto the
     // candidate set for exact verification. Sets are 8-byte xxhash64 values,
@@ -170,7 +173,19 @@ object Dedup {
       if (text == null) null
       else shingleHashSet(text, shingleSize)
     }
-    val shSets = df.select(col(idCol).as("doc_id"), shHashUdf(col(textCol)).as("__sh"))
+    // hashed shingle sets ONLY for docs the LSH actually shortlisted: the
+    // candidate ids semi-join-filter the corpus BEFORE the per-doc shingle
+    // UDF, so on a natural (sparse-candidate) corpus the expensive set
+    // construction never runs for the docs no bucket paired. No broadcast
+    // hint: the checkpointed pairs give AQE accurate stats, so a small
+    // candidate set broadcasts on its own while a near-dup-dense corpus
+    // (where candIds ~ the whole corpus) degrades to a shuffle semi join
+    // instead of an oversized driver broadcast.
+    val candIds = pairs.select(col("id_a").as("doc_id"))
+      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val shSets = df.select(col(idCol).as("doc_id"), col(textCol).as("__txt"))
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shHashUdf(col("__txt")).as("__sh"))
     pairs
       .join(shSets.select(col("doc_id").as("id_a"), col("__sh").as("__sa")), "id_a")
       .join(shSets.select(col("doc_id").as("id_b"), col("__sh").as("__sb")), "id_b")

@@ -1758,6 +1758,42 @@ object Catalog {
     FROM iv a JOIN iv b
       ON a.c = b.c AND a.k < b.k AND a.s <= b.e AND b.s <= a.e"""))
 
+  private val q105 = Q("q105_quality_gate_rel", (s, dir) => {
+    // FineWeb-style relative quality gate: keep each language's top half by
+    // quality score — the threshold is the group's own median, so no absolute
+    // cutoff starves clean domains or floods noisy ones. One |langs|-row
+    // percentile agg + comparison filter; never a per-group sort.
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), Text.qualityScore(col("text")).as("quality"))
+    graft.llmops.Curation.keepTopFraction(scored, col("quality"), col("lang"), 0.5)
+  }, Some("""
+    WITH d AS (SELECT doc_id, lang, text, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    m AS (SELECT doc_id, lang, text, t,
+                 greatest(len(t), 1)::DOUBLE AS n,
+                 greatest(length(text), 1)::DOUBLE AS chars,
+                 len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], x)))::DOUBLE AS stops,
+                 len(list_distinct(t))::DOUBLE AS uniq,
+                 (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE AS punct,
+                 (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE AS digits
+          FROM d),
+    sc AS (SELECT doc_id, lang,
+                  least(stops / n * 2.0, 1.0) * 0.3 + (uniq / n) * 0.3 + least(n / 64.0, 1.0) * 0.2 +
+                  (1.0 - least(punct / chars * 4.0, 1.0)) * 0.1 +
+                  (1.0 - least(digits / chars * 4.0, 1.0)) * 0.1 AS quality
+           FROM m),
+    th AS (SELECT lang, quantile_cont(quality, 0.5) AS q_thr FROM sc GROUP BY lang)
+    SELECT sc.doc_id, sc.lang, sc.quality, th.q_thr
+    FROM sc JOIN th USING (lang) WHERE sc.quality >= th.q_thr"""))
+
+  private val q106 = Q("q106_normalize_text", (s, dir) => {
+    // CCNet-style canonical text form ahead of dedup/statistics: NFC, lower,
+    // whitespace collapse. Row-local scan-speed transform.
+    t(s, dir, "documents").select(col("doc_id"),
+      graft.llmops.Curation.normalizeText(col("text")).as("norm_text"))
+  }, Some("""
+    SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text
+    FROM documents"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1770,7 +1806,7 @@ object Catalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104)
+    q100, q101, q102, q103, q104, q105, q106)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

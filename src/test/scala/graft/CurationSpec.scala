@@ -27,6 +27,38 @@ class CurationSpec extends SparkSpec {
     assert(counts("train") + counts("valid") + counts("test") == docs.count())
   }
 
+  test("keepTopFraction: per-group median cut keeps each group's own top half") {
+    import spark.implicits._
+    // group a scores 1..8, group b scores 101..108 — an absolute threshold
+    // would keep all of b and none of a; the relative gate keeps half of each
+    val df = ((1 to 8).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 8).map(i => ("b", 100L + i, 100.0 + i))).toDF("grp", "id", "score")
+    val kept = Curation.keepTopFraction(df, col("score"), col("grp"), 0.5)
+    val byGrp = kept.groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp == Map("a" -> 4L, "b" -> 4L), s"half of each group: $byGrp")
+    val minKeptA = kept.filter(col("grp") === "a").agg(min("score")).head().getDouble(0)
+    assert(minKeptA == 5.0, s"a's cut is its own median-interpolated threshold, got $minKeptA")
+    // null scores drop; a null group key still gates against its own stratum
+    val withNull = (df.collect().map(r => (r.getString(0), r.getLong(1), Option(r.getDouble(2)))).toSeq :+
+      (("a", 99L, Option.empty[Double]))).toDF("grp", "id", "score")
+    assert(Curation.keepTopFraction(withNull, col("score"), col("grp"), 0.5)
+      .filter(col("id") === 99L).count() == 0, "null scores never pass the gate")
+  }
+
+  test("normalizeText: NFC composes, case folds, whitespace collapses") {
+    import spark.implicits._
+    val composed = "café latte"            // é as single codepoint
+    val decomposed = "café   LATTE"        // e + combining acute, extra ws
+    val df = Seq((1L, Some(composed)), (2L, Some(decomposed)), (3L, Some(" a\tb\nc ")),
+      (4L, Option.empty[String])).toDF("id", "text")
+    val out = df.select(col("id"), Curation.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) == out(2L) && out(1L).contains("café latte"),
+      s"accent/case/spacing variants must normalize identically: $out")
+    assert(out(3L).contains("a b c"))
+    assert(out(4L).isEmpty, "null passes through as null")
+  }
+
   test("cleanText collapses whitespace and strips control chars") {
     import spark.implicits._
     val r = Seq("  a\t\tbc   d  ").toDF("t")
