@@ -156,11 +156,8 @@ object Dedup {
     // Only side a is capped — see capBuckets: identical output, one plan copy.
     val a = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
     val b = banded0.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
-    // localCheckpoint: three consumers below (two verification joins + the
-    // candidate-id semi-join filter) — without it the whole signature+bucket
-    // pipeline would re-execute per consumer (and CapStats would double-count)
     val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct().localCheckpoint()
+      .select("id_a", "id_b").distinct()
     // distinct shingle sets computed ONCE per doc (a doc in many candidate
     // pairs would otherwise re-tokenize per pair), then joined onto the
     // candidate set for exact verification. Sets are 8-byte xxhash64 values,
@@ -173,41 +170,62 @@ object Dedup {
       if (text == null) null
       else shingleHashSet(text, shingleSize)
     }
-    // hashed shingle sets ONLY for docs the LSH actually shortlisted: the
-    // candidate ids semi-join-filter the corpus BEFORE the per-doc shingle
-    // UDF, so on a natural (sparse-candidate) corpus the expensive set
-    // construction never runs for the docs no bucket paired. No broadcast
-    // hint: the checkpointed pairs give AQE accurate stats, so a small
-    // candidate set broadcasts on its own while a near-dup-dense corpus
-    // (where candIds ~ the whole corpus) degrades to a shuffle semi join
-    // instead of an oversized driver broadcast.
-    val candIds = pairs.select(col("id_a").as("doc_id"))
-      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
-    val shSets = df.select(col(idCol).as("doc_id"), col(textCol).as("__txt"))
-      .join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shHashUdf(col("__txt")).as("__sh"))
+    // note: a candidate-only variant (semi-join the corpus on the pair ids
+    // before this UDF) was measured SLOWER at both bench points — the extra
+    // checkpoint barrier + semi-join stage outweigh the skipped hashing when
+    // candidates are plentiful (sf1 fixture) or the corpus is small (sf0.1);
+    // the full-corpus set pass keeps the plan one straight-line DAG
+    val shSets = df.select(col(idCol).as("doc_id"), shHashUdf(col(textCol)).as("__sh"))
     pairs
       .join(shSets.select(col("doc_id").as("id_a"), col("__sh").as("__sa")), "id_a")
       .join(shSets.select(col("doc_id").as("id_b"), col("__sh").as("__sb")), "id_b")
-      .withColumn("__common", size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
+      // sortedIntersectSize: the sets are sorted at construction, so the
+      // intersection is a linear merge — no per-pair hash-set build the way
+      // array_intersect would (a doc in many pairs pays per PAIR, not per doc)
+      .withColumn("__common", sortedIntersectSize(col("__sa"), col("__sb")).cast("double"))
       .withColumn("jaccard", col("__common") / (size(col("__sa")) + size(col("__sb")) - col("__common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Distinct shingle hashes of one doc (insertion order) — the imperative
-    * core of the LSH verification's hashed sets.
+  /** Distinct shingle hashes of one doc, SORTED — the imperative core of the
+    * LSH verification's hashed sets. Sorted so pairwise intersection sizes
+    * are linear merges ([[sortedIntersectSize]]); both consumers (postings
+    * explode, set intersection) are order-insensitive.
     */
   private def shingleHashSet(text: String, shingleSize: Int): Array[Long] = {
     val sh = RowHash.shingles(RowHash.tokens(text), shingleSize)
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val seen = new java.util.HashSet[java.lang.Long]()
     var i = 0
     while (i < sh.length) { seen.add(RowHash.utf8(sh(i))); i += 1 }
     val out = new Array[Long](seen.size())
     val it = seen.iterator()
     var x = 0
     while (it.hasNext) { out(x) = it.next(); x += 1 }
+    java.util.Arrays.sort(out)
     out
+  }
+
+  /** |a ∩ b| for two SORTED long arrays — linear merge, zero allocation.
+    * None on a null side (null text), matching array_intersect's null-in
+    * null-out so a null-text doc still never passes the jaccard filter.
+    */
+  private val sortedIntersectSize = udf { (a: Seq[Long], b: Seq[Long]) =>
+    if (a == null || b == null) None
+    else {
+      var i = 0
+      var j = 0
+      var n = 0
+      val (la, lb) = (a.length, b.length)
+      while (i < la && j < lb) {
+        val x = a(i)
+        val y = b(j)
+        if (x == y) { n += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      Some(n)
+    }
   }
 
   /** Exact token-n-gram Jaccard between two text columns (row-local). */
