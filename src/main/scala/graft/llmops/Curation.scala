@@ -43,18 +43,25 @@ object Curation {
     * noisy one can't flood the kept set — the form recent web-corpus recipes
     * actually apply per source/domain.
     *
-    * Scale shape: ONE |groups|-row exact-percentile aggregate (map-side
-    * combined) broadcast back, then a comparison-only filter — never a
-    * per-group sort or window over the corpus. NULL scores drop (SQL WHERE
-    * semantics against the threshold). The kept rows carry the group
-    * threshold in `thrCol` for auditability.
+    * Scale shape: ONE |groups|-row percentile aggregate broadcast back, then
+    * a comparison-only filter — never a per-group sort or window over the
+    * corpus. Note the exact percentile's aggregation buffer holds one entry
+    * per DISTINCT score in the group — effectively O(rows) for continuous
+    * double scores — so at corpus scale pass `approxAccuracy > 0` to use
+    * `percentile_approx` (GK sketch, bounded buffer, mergeable partials);
+    * the exact default is what the DuckDB oracle can reproduce bit-for-bit.
+    * NULL scores drop (SQL WHERE semantics against the threshold). The kept
+    * rows carry the group threshold in `thrCol` for auditability.
     */
   def keepTopFraction(df: DataFrame, scoreCol: Column, groupCol: Column,
-                      frac: Double, thrCol: String = "q_thr"): DataFrame = {
+                      frac: Double, thrCol: String = "q_thr",
+                      approxAccuracy: Int = 0): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
     val keyed = df.withColumn("__qgrp", groupCol)
+    val thrAgg = if (approxAccuracy <= 0) percentile(scoreCol, lit(1 - frac))
+      else percentile_approx(scoreCol, lit(1 - frac), lit(approxAccuracy))
     val thr = keyed.groupBy("__qgrp")
-      .agg(percentile(scoreCol, lit(1 - frac)).as("__qthr"))
+      .agg(thrAgg.as("__qthr"))
       .withColumnRenamed("__qgrp", "__qgrp_b")
     keyed.join(broadcast(thr), col("__qgrp") <=> col("__qgrp_b"))
       .filter(scoreCol >= col("__qthr"))

@@ -71,9 +71,22 @@ object Dedup {
       */
     def chainInt(strHash: Long, i: Int): Long = XXH64.hashInt(i, strHash)
 
-    /** Mirrors Text.tokens: split(trim(c), "\\s+") with Spark's -1 limit. */
-    def tokens(text: String): Array[String] =
-      (if (text == null) "" else text).trim.split("\\s+", -1)
+    /** Mirrors Text.tokens: split(trim(c), "\\s+") with Spark's -1 limit.
+      * NOT Java String.trim: Spark's `trim` (and DuckDB's) strips ONLY
+      * U+0020, so a leading/trailing tab or newline survives the trim and
+      * the split then yields a leading/trailing EMPTY token — "x y\n"
+      * tokenizes to [x, y, ""] in every declarative path and must do so
+      * here too, or every UDF-vs-HOF equality and the DuckDB oracles break
+      * on whitespace-edged docs.
+      */
+    def tokens(text: String): Array[String] = {
+      val t = if (text == null) "" else text
+      var s = 0
+      var e = t.length
+      while (s < e && t.charAt(s) == ' ') s += 1
+      while (e > s && t.charAt(e - 1) == ' ') e -= 1
+      t.substring(s, e).split("\\s+", -1)
+    }
 
     /** Mirrors Text.shinglesFromTokens incl. the short-doc single-shingle
       * case (try_element_at nulls are skipped by concat_ws).
@@ -254,7 +267,8 @@ object Dedup {
     * catch one).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        shingleSize: Int = 3, threshold: Double = 0.5,
+                        maxDocsPerShingle: Int = 0, capStats: CapStats = null): DataFrame = {
     val sz = shingleSize
     // imperative per-doc DISTINCT shingle hashes (RowHash mirrors the
     // tokens→shingles→xxhash64 HOF chain bit-for-bit, spec-pinned): the doc
@@ -268,8 +282,23 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")))
     val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
       .select(col("shingle"), struct(col("doc_id"), col("n_sh")).as("__p"))
-    val postings = inv.groupBy("shingle").agg(collect_list(col("__p")).as("__ps"))
+    val postingsAll = inv.groupBy("shingle").agg(collect_list(col("__p")).as("__ps"))
       .filter(size(col("__ps")) >= 2)
+    // optional hot-shingle cap (default OFF — the exact oracle semantics):
+    // a shingle shared by n docs materializes an n-entry postings row and
+    // O(n²) pairs (empty docs all share the single empty-token shingle, a
+    // licence header shares its whole run). maxDocsPerShingle > 0 drops such
+    // postings with the same never-silent CapStats contract as the LSH paths.
+    val postings = if (maxDocsPerShingle <= 0) postingsAll
+    else Option(capStats).fold(postingsAll.filter(size(col("__ps")) <= maxDocsPerShingle)) { st =>
+      val (bAcc, rAcc) = (st.buckets, st.rows)
+      val capL = maxDocsPerShingle
+      val keep = udf { n: Int =>
+        if (n > capL) { bAcc.add(1L); rAcc.add(n.toLong) }
+        n <= capL
+      }.asNondeterministic()
+      postingsAll.filter(keep(size(col("__ps"))))
+    }
     val pairs = postings
       .select(col("__ps"), posexplode(col("__ps")).as(Seq("__i", "__a")))
       .select(col("__a"),

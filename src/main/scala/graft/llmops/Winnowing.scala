@@ -33,11 +33,14 @@ object Winnowing {
                    k: Int = 3, w: Int = 4): DataFrame = {
     val (kk, ww) = (k, w)
     val fpUdf = udf { text: String =>
-      // null AND zero-token (empty/whitespace) text emits NO fingerprints —
-      // the tokenizer would otherwise yield the single empty token, whose
-      // shingle hash pairs every blank doc with every other (ADVICE r3 #4);
-      // the HOF oracle filters identically
-      if (text == null || text.trim.isEmpty) Array.empty[Long]
+      // null AND whitespace-only text emits NO fingerprints — the tokenizer
+      // would otherwise yield the single empty token, whose shingle hash
+      // pairs every blank doc with every other (ADVICE r3 #4). "Whitespace"
+      // is the regex \s class exactly (NOT Java String.trim's <= 0x20 sweep),
+      // so this guard and the HOF oracle's regexp filter classify every doc
+      // identically — control-char-only docs are tokens in both paths
+      // (cleanText strips them upstream when that matters).
+      if (text == null || text.matches("\\s*")) Array.empty[Long]
       else fingerprintWord(text, kk, ww)
     }
     df.select(col(idCol).as("doc_id"), explode(fpUdf(col(textCol))).as("fingerprint"))

@@ -1783,7 +1783,8 @@ object Catalog {
            FROM m),
     th AS (SELECT lang, quantile_cont(quality, 0.5) AS q_thr FROM sc GROUP BY lang)
     SELECT sc.doc_id, sc.lang, sc.quality, th.q_thr
-    FROM sc JOIN th USING (lang) WHERE sc.quality >= th.q_thr"""))
+    FROM sc JOIN th ON sc.lang IS NOT DISTINCT FROM th.lang
+    WHERE sc.quality >= th.q_thr"""))
 
   private val q106 = Q("q106_normalize_text", (s, dir) => {
     // CCNet-style canonical text form ahead of dedup/statistics: NFC, lower,

@@ -45,6 +45,24 @@ class CurationSpec extends SparkSpec {
       .filter(col("id") === 99L).count() == 0, "null scores never pass the gate")
   }
 
+  test("keepTopFraction: approx scale path differs from exact only at the boundary score") {
+    import spark.implicits._
+    // percentile_approx returns an ACTUAL data value where exact percentile
+    // interpolates between two — so on coarse scores the approx cut can only
+    // admit extra rows AT its own threshold value, never drop a clear keeper
+    val df = (1 to 400).map(i => ("d" + i % 3, i.toLong, (i % 10).toDouble)).toDF("grp", "id", "score")
+    def kept(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "score", "q_thr").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = kept(Curation.keepTopFraction(df, col("score"), col("grp"), 0.3))
+    val approx = kept(Curation.keepTopFraction(df, col("score"), col("grp"), 0.3, approxAccuracy = 10000))
+    assert(exact.keySet.subsetOf(approx.keySet) && exact.nonEmpty,
+      s"approx (data-value threshold <= interpolated) must not drop exact keepers: ${exact.size} vs ${approx.size}")
+    val extra = approx.keySet -- exact.keySet
+    assert(extra.forall(id => approx(id)._1 == approx(id)._2),
+      s"extra approx rows must sit exactly at the approx threshold: ${extra.take(5).map(approx)}")
+  }
+
   test("normalizeText: NFC composes, case folds, whitespace collapses") {
     import spark.implicits._
     val composed = "café latte"            // é as single codepoint

@@ -48,7 +48,14 @@ class DedupSpec extends SparkSpec {
   }
 
   test("row-local minhash/simhash signatures equal the aggregation oracles bit-for-bit") {
+    import spark.implicits._
+    // whitespace-edged docs bite: Spark/DuckDB trim strips ONLY spaces, so a
+    // trailing \n or \t survives and split emits an edge EMPTY token — the
+    // imperative tokens must reproduce that, not Java-trim it away
+    val edges = Seq((900001L, "x y z\n"), (900002L, "\tx y z"), (900003L, "x y z "),
+      (900004L, " \t "), (900005L, "")).toDF("doc_id", "text")
     val docs = graft.core.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).union(edges)
     val fast = Dedup.minHashSignatures(docs, "text", "doc_id", 3, 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     val agg = Dedup.minHashSignaturesAgg(docs, "text", "doc_id", 3, 16)
@@ -60,6 +67,26 @@ class DedupSpec extends SparkSpec {
     val aggSim = Dedup.simHashSignaturesAgg(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fastSim == aggSim, "simhash UDF must reproduce xxhash64 exactly")
+  }
+
+  test("ngramJaccardPairs: whitespace-edged twins pair exactly; hot-shingle cap is loud") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = (Seq((1L, "alpha beta gamma delta\n"), (2L, "\talpha beta gamma delta"))
+      ++ (3L to 10L).map(i => (i, boiler))).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // docs 1 and 2 differ only in edge whitespace: trim strips spaces only,
+    // so each has ONE edge empty token ("\n" left, "\t" right) at opposite
+    // ends -> shingle sets differ at the edges but share the interior; the
+    // boilerplate docs 3..10 are identical (jaccard 1.0) and pair fully
+    assert(pairs((3L, 4L)) == 1.0 && pairs.size >= 28, s"got ${pairs.size}: $pairs")
+    val stats = new Dedup.CapStats(spark)
+    val capped = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5,
+      maxDocsPerShingle = 4, capStats = stats)
+    assert(capped.count() < pairs.size, "hot shingles must stop pairing under the cap")
+    assert(stats.droppedBuckets > 0 && stats.droppedRows > 0,
+      s"drops must be visible: ${stats.droppedBuckets}/${stats.droppedRows}")
   }
 
   test("hyperplane-LSH near-dup: recall >= 0.9 vs the exact oracle, precision 1") {

@@ -60,15 +60,16 @@ class WinnowingSpec extends SparkSpec {
   test("null, empty, and whitespace-only docs emit no fingerprints in either path") {
     import spark.implicits._
     val df = Seq((1L, Option.empty[String]), (2L, Some("")), (3L, Some("   \t ")),
-      (4L, Some("real words appear here now")))
+      (4L, Some("real words appear here now")), (5L, Some("\n\r\n")), (6L, Some("\u000B\u000C")),
+      (7L, Some("\u0001\u0001"))) // ctrl chars are NOT \\s: a token in BOTH paths
       .toDF("doc_id", "text")
     val udfIds = Winnowing.fingerprints(df, "text", "doc_id", 3, 4)
       .select("doc_id").distinct().as[Long].collect().toSet
     val hofIds = Winnowing.fingerprintsHof(df, "text", "doc_id", 3, 4)
       .select("doc_id").distinct().as[Long].collect().toSet
-    assert(udfIds == Set(4L) && hofIds == Set(4L),
-      s"blank docs must not fingerprint (udf=$udfIds hof=$hofIds)")
-    val pairs = Winnowing.sharedFingerprintPairs(df, "text", "doc_id", 3, 4, 1)
+    assert(udfIds == Set(4L, 7L) && hofIds == Set(4L, 7L),
+      s"whitespace-only docs must not fingerprint, ctrl-char docs must, identically (udf=$udfIds hof=$hofIds)")
+    val pairs = Winnowing.sharedFingerprintPairs(df.filter(col("doc_id") =!= 7L), "text", "doc_id", 3, 4, 1)
     assert(pairs.count() == 0, "blank docs must not pair with each other")
   }
 
