@@ -113,6 +113,7 @@ object GraftExtensions {
     lift1("graft_hash_bucket", graft.llmops.Curation.hashBucket),
     lift1("graft_money_fmt", graft.functions.Scalars.moneyFmt),
     lift1("graft_clean_text", graft.llmops.Curation.cleanText),
+    lift1("graft_normalize_text", graft.llmops.Curation.normalizeText),
     // jl_project's outDim must be a literal (it shapes the output type):
     // SELECT graft_jl_project(embedding, 16) FROM embeddings
     (new FunctionIdentifier("graft_jl_project"),

@@ -63,7 +63,8 @@ class SqlFunctionsSpec extends SparkSpec {
                graft_token_count(text) AS toks,
                graft_hash_bucket(text) AS bucket,
                graft_money_fmt(CAST(doc_id AS DOUBLE) + 0.5) AS money,
-               graft_clean_text('  a   b ') AS cleaned
+               graft_clean_text('  a   b ') AS cleaned,
+               graft_normalize_text('Cafe\u0301   LATTE') AS norm
         FROM docs_v""").collect()
       assert(rows.length == 20)
       assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
@@ -71,6 +72,7 @@ class SqlFunctionsSpec extends SparkSpec {
       assert(rows.forall(r => r.getLong(3) > 0))
       assert(rows.forall(r => r.getLong(4) >= 0 && r.getLong(4) < 100))
       assert(rows.forall(_.getString(6) == "a b"))
+      assert(rows.forall(_.getString(7) == "caf\u00e9 latte"), "NFC + lower + ws collapse through SQL")
       assert(rows.head.getString(5).endsWith(".50"))
       graft.core.Tables(s2, sfDir, "embeddings").limit(5).createOrReplaceTempView("emb_v")
       val jl = s2.sql("SELECT graft_jl_project(embedding, 16) AS p FROM emb_v").collect()
