@@ -1795,6 +1795,23 @@ object Catalog {
     SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text
     FROM documents"""))
 
+  private val q107 = Q("q107_resample_ffill", (s, dir) => {
+    // Gap-filled hourly grid per user with forward-filled latest observation
+    // (the time_bucket_gapfill staple): grid generated row-locally from a
+    // |keys|-row span agg, fill = AsOfJoin's one-shuffle running last.
+    // Observations pre-reduced per (user, ts) so "latest" is well-defined.
+    val ev = t(s, dir, "events").filter(col("user_id") < 20)
+      .groupBy(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"))
+      .agg(max("value").as("value"))
+    graft.operators.Resample.gridFill(ev, "user_id", "ts", 3600, Seq("ts", "value"))
+  }, Some("""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS value
+               FROM events WHERE user_id < 20 GROUP BY 1, 2),
+    b AS (SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM e GROUP BY 1),
+    g AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 3600 SECOND)) AS grid_ts FROM b)
+    SELECT g.user_id, g.grid_ts, e.ts, e.value
+    FROM g ASOF JOIN e ON g.user_id = e.user_id AND g.grid_ts >= e.ts"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1807,7 +1824,7 @@ object Catalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105, q106)
+    q100, q101, q102, q103, q104, q105, q106, q107)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

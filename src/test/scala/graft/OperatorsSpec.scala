@@ -125,6 +125,30 @@ class OverlapJoinSpec extends SparkSpec {
   }
 }
 
+class ResampleSpec extends SparkSpec {
+  import java.sql.Timestamp
+
+  test("gridFill: dense step grid per key, forward-filled, gaps carry the last observation") {
+    import spark.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-05 10:$m%02d:00")
+    // key a: obs at :00 (v=1) and :07 (v=9) -> 2-min grid 00,02,04,06 fill 1; 07? grid is
+    // 00,02,04,06 and ends < :07? sequence(00, 07, 2m) = 00,02,04,06 — mx :07 not aligned
+    val obs = Seq(("a", ts(0), 1.0), ("a", ts(7), 9.0), ("b", ts(4), 5.0))
+      .toDF("k", "ts", "v")
+    val out = graft.operators.Resample.gridFill(obs, "k", "ts", 120, Seq("ts", "v"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2.getTime))
+    val a = out.filter(_._1 == "a")
+    assert(a.map(_._2) sameElements Array(ts(0), ts(2), ts(4), ts(6)),
+      s"grid = min..max step 2m (end unaligned drops): ${a.mkString(", ")}")
+    assert(a.forall(t => t._3 == ts(0) && t._4 == 1.0),
+      s"every grid point before :07 forward-fills the :00 observation: ${a.mkString(", ")}")
+    val b = out.filter(_._1 == "b")
+    assert(b.length == 1 && b.head._2 == ts(4) && b.head._4 == 5.0,
+      "single-observation key yields its one anchored grid point")
+  }
+}
+
 class ReconcileSpec extends SparkSpec {
   import graft.operators.Reconcile
 
