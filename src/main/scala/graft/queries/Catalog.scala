@@ -1812,6 +1812,33 @@ object Catalog {
     SELECT g.user_id, g.grid_ts, e.ts, e.value
     FROM g ASOF JOIN e ON g.user_id = e.user_id AND g.grid_ts >= e.ts"""))
 
+  private val q108 = Q("q108_resample_linear", (s, dir) => {
+    // Linear-interpolated hourly resampling: each grid point between two
+    // observations takes the straight-line value; on-observation points carry
+    // the raw value. One lead() shuffle, grid points emitted row-locally by
+    // the interval that knows both endpoints.
+    val ev = t(s, dir, "events").filter(col("user_id") < 20)
+      .groupBy(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"))
+      .agg(max("value").as("value"))
+    graft.operators.Resample.gridLinear(ev, "user_id", "ts", "value", 3600)
+      .select(col("user_id"), col("grid_ts").cast("timestamp_ntz").as("grid_ts"), col("value"))
+  }, Some("""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS value
+               FROM events WHERE user_id < 20 GROUP BY 1, 2),
+    b AS (SELECT user_id, min(ts) AS mn, max(ts) AS mx FROM e GROUP BY 1),
+    g AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 3600 SECOND)) AS grid_ts FROM b),
+    p AS (SELECT g.user_id, g.grid_ts, e.ts AS t0, e.value AS v0
+          FROM g ASOF JOIN e ON g.user_id = e.user_id AND g.grid_ts >= e.ts),
+    n AS (SELECT p.user_id, p.grid_ts, p.t0, p.v0, e.ts AS t1, e.value AS v1
+          FROM p ASOF JOIN e ON p.user_id = e.user_id AND p.grid_ts <= e.ts)
+    SELECT user_id, grid_ts,
+           CASE WHEN grid_ts = t0 THEN v0
+                WHEN grid_ts = t1 THEN v1
+                ELSE v0 + (v1 - v0) * (CAST(epoch_us(grid_ts) - epoch_us(t0) AS DOUBLE)
+                                       / CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE))
+           END AS value
+    FROM n"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1824,7 +1851,7 @@ object Catalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105, q106, q107)
+    q100, q101, q102, q103, q104, q105, q106, q107, q108)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

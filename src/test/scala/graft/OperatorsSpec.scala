@@ -147,6 +147,29 @@ class ResampleSpec extends SparkSpec {
     assert(b.length == 1 && b.head._2 == ts(4) && b.head._4 == 5.0,
       "single-observation key yields its one anchored grid point")
   }
+
+  test("gridLinear: straight-line values between observations, raw values on them") {
+    import spark.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-05 10:$m%02d:00")
+    // a: 0.0@:00 -> 8.0@:08 -> 2.0@:10; 2-min grid
+    val obs = Seq(("a", ts(0), 0.0), ("a", ts(8), 8.0), ("a", ts(10), 2.0),
+      ("c", ts(3), 7.0)).toDF("k", "ts", "v")
+    val out = graft.operators.Resample.gridLinear(obs, "k", "ts", "v", 120)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2.getTime))
+    val a = out.filter(_._1 == "a").map(t => t._2 -> t._3)
+    assert(a sameElements Array(ts(0) -> 0.0, ts(2) -> 2.0, ts(4) -> 4.0,
+      ts(6) -> 6.0, ts(8) -> 8.0, ts(10) -> 2.0),
+      s"interp at 2/4/6, raw at 0/8/10: ${a.mkString(", ")}")
+    assert(out.filter(_._1 == "c") sameElements Array(("c", ts(3), 7.0)),
+      "single-observation key anchors its own point")
+    // an interval shorter than the step contributes no aligned points and
+    // must not make sequence() throw
+    val tight = Seq(("d", ts(0), 1.0), ("d", new Timestamp(ts(0).getTime + 30000), 2.0))
+      .toDF("k", "ts", "v")
+    val d = graft.operators.Resample.gridLinear(tight, "k", "ts", "v", 120).collect()
+    assert(d.length == 1 && d.head.getDouble(2) == 1.0, s"only the anchor: ${d.toSeq}")
+  }
 }
 
 class ReconcileSpec extends SparkSpec {
