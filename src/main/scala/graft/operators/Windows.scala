@@ -27,6 +27,91 @@ object Tumble {
   }
 }
 
+/** Cumulating-window aggregation — Flink's CUMULATE TVF (the fourth member of
+  * the window-TVF family next to TUMBLE/HOP/SESSION; the reference engine's
+  * SQL dialect ships it even though the walkthrough labs only use TUMBLE).
+  * Windows share a `maxSize`-aligned start and expand by `step`:
+  * `[w0, w0+step), [w0, w0+2·step), …, [w0, w0+maxSize)` — the "dashboard
+  * counter that resets every maxSize" shape.
+  *
+  * Scale design — slice decomposition, the same trick Flink's own runtime
+  * uses: a naive plan explodes EVERY fact row into its ~maxSize/step
+  * cumulative windows before aggregating, multiplying the one full-data
+  * shuffle by the expansion factor. Instead:
+  *
+  *   1. aggregate per `step` slice first (an ordinary tumble — ONE full-data
+  *      shuffle with map-side partials, identical cost to `Tumble`);
+  *   2. explode each |slices × keys|-row PARTIAL into the cumulative windows
+  *      that contain its slice — replication happens on the tiny
+  *      intermediate, never the fact table;
+  *   3. merge the partials per (window_start, window_end, keys).
+  *
+  * The caller therefore supplies the aggregation split into its slice phase
+  * and its merge phase (sum→sum, count→sum of counts, min→min, …) — the
+  * standard partial/final decomposition every algebraic aggregate has.
+  * Holistic aggregates (exact percentiles) have no such split; use a
+  * row-exploded `Tumble` for those and accept the replication.
+  */
+object Cumulate {
+
+  /** @param step     slice / emission period, e.g. "1 hour"
+    * @param maxSize  full window span; must be an integral multiple of step
+    * @param slice    phase-1 aggregates evaluated per (step-slice, keys)
+    * @param merge    phase-2 aggregates over the slice columns, per
+    *                 (window_start, window_end, keys)
+    */
+  def apply(df: DataFrame, tsCol: String, step: String, maxSize: String, keys: String*)(
+      slice: Seq[(String, Column)], merge: Seq[(String, Column)]): DataFrame = {
+    val stepUs = durationMicros(step)
+    val maxUs = durationMicros(maxSize)
+    require(maxUs % stepUs == 0 && maxUs > 0,
+      s"maxSize ($maxSize) must be a positive integral multiple of step ($step)")
+
+    val keyCols = keys.map(col)
+    // unix_micros below rejects TIMESTAMP_NTZ; the session runs UTC so the
+    // cast is wall-clock-neutral (same normalization as StreamingOps.tumble).
+    val sliced = df
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .groupBy(window(col(tsCol), step) +: keyCols: _*)
+      .agg(slice.head._2.as(slice.head._1), slice.tail.map { case (n, c) => c.as(n) }: _*)
+      .select(col("window.start").as("__slice_start") +: col("window.end").as("__slice_end") +:
+        (keys ++ slice.map(_._1)).map(col): _*)
+
+    // maxSize-aligned window start in pure integer micros (pmod keeps
+    // pre-epoch timestamps aligned too; no double rounding at 2^53).
+    val u = unix_micros(col("__slice_start"))
+    val exploded = sliced
+      .withColumn("window_start", timestamp_micros(u - pmod(u, lit(maxUs))))
+      .withColumn("window_end", explode(sequence(
+        col("__slice_end"),
+        timestamp_micros(unix_micros(col("window_start")) + lit(maxUs)),
+        expr(s"INTERVAL $stepUs MICROSECOND"))))
+
+    exploded
+      .groupBy(col("window_start") +: col("window_end") +: keyCols: _*)
+      .agg(merge.head._2.as(merge.head._1), merge.tail.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("window_time", col("window_end") - expr("INTERVAL 1 MILLISECOND"))
+  }
+
+  /** "N unit" Spark-style duration → microseconds (fixed-length units only —
+    * a cumulate step/maxSize is a fixed grid by definition).
+    */
+  private[graft] def durationMicros(s: String): Long = {
+    val m = "(?i)^\\s*(\\d+)\\s+(\\w+)\\s*$".r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse duration: $s"))
+    val unit = m.group(2).toUpperCase match {
+      case "WEEK" | "WEEKS"               => 7L * 86400000000L
+      case "DAY" | "DAYS"                 => 86400000000L
+      case "HOUR" | "HOURS"               => 3600000000L
+      case "MINUTE" | "MINUTES"           => 60000000L
+      case "SECOND" | "SECONDS"           => 1000000L
+      case "MILLISECOND" | "MILLISECONDS" => 1000L
+      case u => throw new IllegalArgumentException(s"unsupported duration unit: $u")
+    }
+    m.group(1).toLong * unit
+  }
+}
+
 /** Event-time interval join (reference: LAB4-Walkthrough.md:231-235 — equi-key
   * plus a bounded time range), as a BUCKETED range join.
   *

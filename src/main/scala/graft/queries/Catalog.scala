@@ -1839,6 +1839,37 @@ object Catalog {
            END AS value
     FROM n"""))
 
+  private val q109 = Q("q109_window_cumulate", (s, dir) => {
+    // CUMULATE window TVF (Flink's fourth window TVF; beyond the labs'
+    // TUMBLE-only usage): 6-hour windows expanding hourly. Slice-decomposed —
+    // the one full-data shuffle is an ordinary hourly tumble; only the
+    // |slices × keys| partials explode into their cumulative windows.
+    graft.operators.Cumulate(t(s, dir, "events"), "ts", "1 hour", "6 hours", "event_type")(
+      slice = Seq(
+        "cnt_p" -> count(lit(1)),
+        "sum_p" -> sum(col("value").cast("decimal(25,2)"))),
+      merge = Seq(
+        "cnt" -> sum(col("cnt_p")),
+        "total_value" -> sum(col("sum_p")).cast("double")))
+      .select(
+        col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("window_end").cast("timestamp_ntz").as("window_end"),
+        col("event_type"), col("cnt"), col("total_value"))
+  }, Some(s"""
+    WITH x AS (
+      SELECT event_type, ts, value,
+             make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS window_start
+      FROM $EV e),
+    ex AS (
+      SELECT event_type, ts, value, window_start,
+             unnest(generate_series(window_start + INTERVAL '1 hour',
+                                    window_start + INTERVAL '6 hours',
+                                    INTERVAL '1 hour')) AS window_end
+      FROM x)
+    SELECT window_start, window_end, event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total_value
+    FROM ex WHERE ts < window_end GROUP BY 1, 2, 3"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1851,7 +1882,7 @@ object Catalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105, q106, q107, q108)
+    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -457,7 +457,7 @@ object SqlFrontend {
     rewriteToolInvoke(spark,
       rewriteRunAgent(spark,
         rewriteVectorSearch(spark,
-          rewriteDetectAnomalies(rewriteTumble(rewriteLateral(sql))))))
+          rewriteDetectAnomalies(rewriteCumulate(rewriteHop(rewriteTumble(rewriteLateral(sql))))))))
 
   private[graft] val TumbleRe =
     ("(?is)FROM\\s+TABLE\\s*\\(\\s*TUMBLE\\s*\\(\\s*TABLE\\s+([\\w.`]+)\\s*,\\s*" +
@@ -475,6 +475,63 @@ object SqlFrontend {
         s"FROM (SELECT *, __w.start AS window_start, __w.end AS window_end, " +
           s"timestampadd(MILLISECOND, -1, __w.end) AS window_time " +
           s"FROM (SELECT *, window($ts, '$n $unit') AS __w FROM $tbl) __graft_w0) __graft_w")
+    })
+
+  private[graft] val CumulateRe =
+    ("(?is)FROM\\s+TABLE\\s*\\(\\s*CUMULATE\\s*\\(\\s*TABLE\\s+([\\w.`]+)\\s*,\\s*" +
+      "DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*INTERVAL\\s+'(\\d+)'\\s+(\\w+)\\s*,\\s*" +
+      "INTERVAL\\s+'(\\d+)'\\s+(\\w+)\\s*\\)\\s*\\)").r
+
+  /** `FROM TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' HOUR,
+    * INTERVAL '6' HOUR))` — Flink's cumulating window TVF. The TVF contract
+    * is row-level (each input row appears once per cumulative window that
+    * contains it), so the rewrite is the row-exploded form; the DataFrame
+    * operator [[graft.operators.Cumulate]] is the slice-decomposed scale path
+    * for the aggregate-over-TVF shape.
+    */
+  private[graft] def rewriteCumulate(sql: String): String =
+    CumulateRe.replaceAllIn(sql, m => {
+      val (tbl, ts) = (m.group(1), m.group(2))
+      val stepUs = graft.operators.Cumulate.durationMicros(s"${m.group(3)} ${m.group(4)}")
+      val maxUs = graft.operators.Cumulate.durationMicros(s"${m.group(5)} ${m.group(6)}")
+      require(maxUs % stepUs == 0 && maxUs > 0,
+        s"CUMULATE max_size must be a positive integral multiple of step (got step=$stepUs us, max=$maxUs us)")
+      java.util.regex.Matcher.quoteReplacement(
+        s"FROM (SELECT *, timestampadd(MILLISECOND, -1, window_end) AS window_time " +
+          s"FROM (SELECT *, timestamp_micros(unix_micros(CAST($ts AS TIMESTAMP)) - " +
+          s"pmod(unix_micros(CAST($ts AS TIMESTAMP)), $maxUs)) AS window_start FROM $tbl) __graft_c0 " +
+          s"LATERAL VIEW explode(sequence(window_start + INTERVAL $stepUs MICROSECOND, " +
+          s"window_start + INTERVAL $maxUs MICROSECOND, INTERVAL $stepUs MICROSECOND)) " +
+          s"__graft_c1 AS window_end " +
+          s"WHERE CAST($ts AS TIMESTAMP) < window_end) __graft_c")
+    })
+
+  private[graft] val HopRe =
+    ("(?is)FROM\\s+TABLE\\s*\\(\\s*HOP\\s*\\(\\s*TABLE\\s+([\\w.`]+)\\s*,\\s*" +
+      "DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*INTERVAL\\s+'(\\d+)'\\s+(\\w+)\\s*,\\s*" +
+      "INTERVAL\\s+'(\\d+)'\\s+(\\w+)\\s*\\)\\s*\\)").r
+
+  /** `FROM TABLE(HOP(TABLE t, DESCRIPTOR(ts), INTERVAL '5' MINUTE,
+    * INTERVAL '10' MINUTE))` — Flink's hopping (sliding) window TVF, args
+    * (slide, size). Each row lands in exactly size/slide windows whose
+    * slide-aligned starts cover it; size must be an integral multiple of
+    * slide (Flink's own constraint), so no residual containment filter is
+    * needed.
+    */
+  private[graft] def rewriteHop(sql: String): String =
+    HopRe.replaceAllIn(sql, m => {
+      val (tbl, ts) = (m.group(1), m.group(2))
+      val slideUs = graft.operators.Cumulate.durationMicros(s"${m.group(3)} ${m.group(4)}")
+      val sizeUs = graft.operators.Cumulate.durationMicros(s"${m.group(5)} ${m.group(6)}")
+      require(sizeUs % slideUs == 0 && sizeUs > 0,
+        s"HOP size must be a positive integral multiple of slide (got slide=$slideUs us, size=$sizeUs us)")
+      java.util.regex.Matcher.quoteReplacement(
+        s"FROM (SELECT *, window_start + INTERVAL $sizeUs MICROSECOND AS window_end, " +
+          s"timestampadd(MILLISECOND, -1, window_start + INTERVAL $sizeUs MICROSECOND) AS window_time " +
+          s"FROM (SELECT *, timestamp_micros(unix_micros(CAST($ts AS TIMESTAMP)) - " +
+          s"pmod(unix_micros(CAST($ts AS TIMESTAMP)), $slideUs)) AS __graft_h_a FROM $tbl) __graft_h0 " +
+          s"LATERAL VIEW explode(sequence(__graft_h_a - INTERVAL ${sizeUs - slideUs} MICROSECOND, " +
+          s"__graft_h_a, INTERVAL $slideUs MICROSECOND)) __graft_h1 AS window_start) __graft_h")
     })
 
   private val DetectAnomaliesRe = "(?is)ML_DETECT_ANOMALIES\\s*\\(".r

@@ -45,6 +45,53 @@ object StreamingOps {
       .drop("window")
   }
 
+  /** Streaming CUMULATE window TVF (twin of [[graft.operators.Cumulate]]):
+    * expanding windows `[w0, w0+k·step)` sharing a maxSize-aligned start,
+    * each emitted once, append-mode, when it can no longer change.
+    *
+    * Shape: each row explodes to the cumulative window ends that contain it,
+    * the end becomes the row's event time, and ONE tumbling aggregation of
+    * width `step` over those ends does the rest — each cumulative window's
+    * rows land in exactly the tumble slot `[end, end+step)`. The watermark
+    * moves to the exploded column with `delay + maxSize` slack: a window end
+    * leads its row's true event time by at most `maxSize`, so this bound
+    * admits every row a `delay` watermark on the raw time would have admitted
+    * (never drops more than Flink's own bounded-delay contract; it only holds
+    * windows open slightly longer). The row-explode (×maxSize/step) happens
+    * on the micro-batch, not on state — state is one slot per open
+    * (window, key), same as any windowed agg. The batch slice decomposition
+    * has no streaming analog without chained stateful aggregation, which
+    * would buy nothing here: the shuffle per trigger is bounded by the
+    * trigger's input, not history.
+    */
+  def cumulate(df: DataFrame, tsCol: String, delay: String, step: String, maxSize: String,
+               keys: Column*)(aggs: (String, Column)*): DataFrame = {
+    val stepUs = graft.operators.Cumulate.durationMicros(step)
+    val maxUs = graft.operators.Cumulate.durationMicros(maxSize)
+    require(maxUs % stepUs == 0 && maxUs > 0,
+      s"maxSize ($maxSize) must be a positive integral multiple of step ($step)")
+    val delayUs = graft.operators.Cumulate.durationMicros(delay)
+
+    val u = unix_micros(col(tsCol).cast("timestamp"))
+    val w0 = u - pmod(u, lit(maxUs))
+    val exploded = df
+      .withColumn("__cum_ws", timestamp_micros(w0))
+      .withColumn("__cum_we", explode(sequence(
+        // first end strictly after ts: w0 + (floor((ts-w0)/step)+1)·step
+        timestamp_micros(w0 + (floor((u - w0) / lit(stepUs)).cast("long") + 1) * lit(stepUs)),
+        timestamp_micros(w0 + lit(maxUs)),
+        expr(s"INTERVAL $stepUs MICROSECOND"))))
+      .withWatermark("__cum_we", s"${(delayUs + maxUs) / 1000} milliseconds")
+
+    val grouped = exploded
+      .groupBy(window(col("__cum_we"), step) +: col("__cum_ws").as("window_start") +: keys: _*)
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    grouped
+      .withColumn("window_end", col("window.start"))
+      .withColumn("window_time", col("window.start") - expr("INTERVAL 1 MILLISECOND"))
+      .drop("window")
+  }
+
   /** Streaming interval join (J2): equi-key + event-time range, watermarks on
     * both sides bound the state — the Spark-native equivalent of Flink's
     * interval join (state scales with key cardinality × range, not history).

@@ -25,6 +25,68 @@ class TumbleSpec extends SparkSpec {
   }
 }
 
+class CumulateSpec extends SparkSpec {
+  import graft.operators.Cumulate
+
+  test("expanding windows share the maxSize-aligned start; counts accumulate") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 00:10:00")), // slice [00:00, 01:00)
+      ("a", Timestamp.valueOf("2024-01-01 02:30:00")), // slice [02:00, 03:00)
+      ("b", Timestamp.valueOf("2024-01-01 05:59:59"))).toDF("k", "ts")
+    val out = Cumulate(df, "ts", "1 hour", "6 hours", "k")(
+      slice = Seq("c" -> count(lit(1))), merge = Seq("cnt" -> sum(col("c"))))
+      .orderBy("k", "window_end").collect()
+    // 'a' first event covers ends 01:00..06:00 (6 windows), all starting 00:00;
+    // from 03:00 on the second event joins (cnt 2). 'b' only the 06:00 end.
+    val a = out.filter(_.getAs[String]("k") == "a")
+    assert(a.length == 6)
+    assert(a.forall(_.getAs[Timestamp]("window_start") == Timestamp.valueOf("2024-01-01 00:00:00")))
+    assert(a.map(r => (r.getAs[Timestamp]("window_end").toString, r.getAs[Long]("cnt"))).toSeq == Seq(
+      ("2024-01-01 01:00:00.0", 1L), ("2024-01-01 02:00:00.0", 1L), ("2024-01-01 03:00:00.0", 2L),
+      ("2024-01-01 04:00:00.0", 2L), ("2024-01-01 05:00:00.0", 2L), ("2024-01-01 06:00:00.0", 2L)))
+    val b = out.filter(_.getAs[String]("k") == "b")
+    assert(b.length == 1 && b.head.getAs[Long]("cnt") == 1L &&
+      b.head.getAs[Timestamp]("window_end") == Timestamp.valueOf("2024-01-01 06:00:00"))
+    assert(a.head.getAs[Timestamp]("window_time") == Timestamp.valueOf("2024-01-01 00:59:59.999"))
+  }
+
+  test("slice-decomposed plan equals the naive row-exploded formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 2000).map { i =>
+      (s"k${rnd.nextInt(3)}", new Timestamp(1700000000000L + rnd.nextInt(86400) * 1000L),
+        rnd.nextInt(1000) / 100.0)
+    }.toDF("k", "ts", "v")
+    val fast = Cumulate(df, "ts", "30 minutes", "3 hours", "k")(
+      slice = Seq("c" -> count(lit(1)), "s" -> sum(col("v").cast("decimal(25,2)"))),
+      merge = Seq("cnt" -> sum(col("c")), "sv" -> sum(col("s")).cast("double")))
+      .select("k", "window_start", "window_end", "cnt", "sv")
+    // naive: every ROW explodes into each cumulative window containing it
+    val maxUs = 3L * 3600000000L
+    val naive = df
+      .withColumn("window_start", timestamp_micros(unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(maxUs))))
+      .withColumn("window_end", explode(sequence(
+        col("window_start") + expr("INTERVAL 30 MINUTE"),
+        col("window_start") + expr("INTERVAL 3 HOUR"),
+        expr("INTERVAL 30 MINUTE"))))
+      .filter(col("ts") < col("window_end"))
+      .groupBy("k", "window_start", "window_end")
+      .agg(count(lit(1)).as("cnt"), sum(col("v").cast("decimal(25,2)")).cast("double").as("sv"))
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    assert(fast.count() > 0)
+  }
+
+  test("maxSize must be an integral multiple of step") {
+    import spark.implicits._
+    val df = Seq(("a", Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("k", "ts")
+    assertThrows[IllegalArgumentException] {
+      Cumulate(df, "ts", "45 minutes", "2 hours", "k")(
+        slice = Seq("c" -> count(lit(1))), merge = Seq("cnt" -> sum(col("c"))))
+    }
+  }
+}
+
 class IntervalJoinSpec extends SparkSpec {
   test("keeps rows inside [right+lower, right+upper] only") {
     import spark.implicits._

@@ -6,7 +6,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, lit, sum, window}
 import org.scalatest.BeforeAndAfterAll
 
 import graft.agent.AgentCatalog
@@ -359,6 +359,55 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     assert(out(0).getAs[String]("dispatch_json").trim == "{\"boats\": 3}")
     assert(out(0).getAs[String]("api_response").trim == "{\"status\": \"ok\"}")
     assert(out(0).getAs[String]("raw_response").nonEmpty)
+  }
+
+  test("CUMULATE and HOP window TVFs rewrite to the native window semantics") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val ev = (1 to 500).map { i =>
+      (s"t${rnd.nextInt(3)}", new java.sql.Timestamp(1700000000000L + rnd.nextInt(43200) * 1000L))
+    }.toDF("etype", "ets")
+    ev.createOrReplaceTempView("cum_events")
+
+    // CUMULATE(step 30m, max 2h) — SQL result must equal the slice-decomposed operator
+    val cumSql = SqlFrontend.execute(spark,
+      """SELECT window_start, window_end, etype, COUNT(*) AS cnt
+        |FROM TABLE(CUMULATE(TABLE cum_events, DESCRIPTOR(ets), INTERVAL '30' MINUTE, INTERVAL '2' HOUR))
+        |GROUP BY window_start, window_end, etype""".stripMargin)
+    val cumNative = graft.operators.Cumulate(ev, "ets", "30 minutes", "2 hours", "etype")(
+      slice = Seq("c" -> count(lit(1))), merge = Seq("cnt" -> sum(col("c"))))
+      .select("window_start", "window_end", "etype", "cnt")
+    assert(cumSql.exceptAll(cumNative).isEmpty && cumNative.exceptAll(cumSql).isEmpty)
+    assert(cumSql.count() > 0)
+
+    // window_time rides along per-row like Flink's TVF contract
+    val wt = SqlFrontend.execute(spark,
+      """SELECT window_end, window_time
+        |FROM TABLE(CUMULATE(TABLE cum_events, DESCRIPTOR(ets), INTERVAL '30' MINUTE, INTERVAL '2' HOUR))
+        |LIMIT 1""".stripMargin).collect().head
+    assert(wt.getTimestamp(1).getTime == wt.getTimestamp(0).getTime - 1)
+
+    // HOP(slide 15m, size 30m) — must equal Spark's native sliding window
+    val hopSql = SqlFrontend.execute(spark,
+      """SELECT window_start, window_end, etype, COUNT(*) AS cnt
+        |FROM TABLE(HOP(TABLE cum_events, DESCRIPTOR(ets), INTERVAL '15' MINUTE, INTERVAL '30' MINUTE))
+        |GROUP BY window_start, window_end, etype""".stripMargin)
+    val hopNative = ev
+      .groupBy(window(col("ets"), "30 minutes", "15 minutes"), col("etype"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("etype"), col("cnt"))
+    assert(hopSql.exceptAll(hopNative).isEmpty && hopNative.exceptAll(hopSql).isEmpty)
+
+    // Flink's integral-multiple constraints fail loudly
+    assertThrows[IllegalArgumentException] {
+      SqlFrontend.execute(spark,
+        "SELECT * FROM TABLE(CUMULATE(TABLE cum_events, DESCRIPTOR(ets), INTERVAL '45' MINUTE, INTERVAL '2' HOUR))")
+    }
+    assertThrows[IllegalArgumentException] {
+      SqlFrontend.execute(spark,
+        "SELECT * FROM TABLE(HOP(TABLE cum_events, DESCRIPTOR(ets), INTERVAL '20' MINUTE, INTERVAL '30' MINUTE))")
+    }
   }
 
   test("lab3 TUMBLE + ML_DETECT_ANOMALIES SQL runs verbatim and matches the native operators") {

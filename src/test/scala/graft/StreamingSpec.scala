@@ -36,6 +36,41 @@ class StreamingSpec extends SparkSpec {
       s"each event must appear in exactly its two overlapping windows, got $got")
   }
 
+  test("streaming cumulate equals batch Cumulate on closed windows; holds open ones") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(Timestamp, String, Double)]
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamingOps.cumulate(mem.toDF().toDF("ts", "k", "v"),
+      "ts", "5 seconds", "30 minutes", "2 hours", col("k"))(
+      "cnt" -> count(lit(1)), "sv" -> sum(col("v").cast("decimal(25,2)")).cast("double"))
+    val q = agg.writeStream.format("memory").queryName("cum_sink").outputMode("append").start()
+    val main = Seq(
+      (ts("2024-03-01 00:10:00"), "a", 1.5),
+      (ts("2024-03-01 00:40:00"), "a", 2.0),
+      (ts("2024-03-01 01:55:00"), "b", 4.0))
+    try {
+      mem.addData(main: _*)
+      q.processAllAvailable()
+      assert(spark.table("cum_sink").count() == 0,
+        "cumulative windows must stay open until the watermark passes their end")
+      mem.addData((ts("2024-03-02 12:00:00"), "z", 0.0)) // advances watermark past day 1
+      q.processAllAvailable()
+    } finally q.stop()
+
+    import spark.implicits._
+    val batch = graft.operators.Cumulate(
+      main.toDF("ts", "k", "v"), "ts", "30 minutes", "2 hours", "k")(
+      slice = Seq("c" -> count(lit(1)), "s" -> sum(col("v").cast("decimal(25,2)"))),
+      merge = Seq("cnt" -> sum(col("c")), "sv" -> sum(col("s")).cast("double")))
+      .select("window_start", "window_end", "window_time", "k", "cnt", "sv")
+    val streamed = spark.table("cum_sink")
+      .filter(col("window_start") < ts("2024-03-02 00:00:00")) // sentinel's own windows excluded
+      .select("window_start", "window_end", "window_time", "k", "cnt", "sv")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "closed streaming cumulate windows must equal the batch operator")
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+  }
+
   test("streaming session windows merge rows within the gap and close on watermark") {
     implicit val sq = spark.sqlContext
     implicit val enc = Encoders.product[(Timestamp, String)]
