@@ -457,7 +457,7 @@ object SqlFrontend {
     rewriteToolInvoke(spark,
       rewriteRunAgent(spark,
         rewriteVectorSearch(spark,
-          rewriteDetectAnomalies(rewriteCumulate(rewriteHop(rewriteTumble(rewriteLateral(sql))))))))
+          rewriteDetectAnomalies(rewriteCumulate(rewriteHop(rewriteTumble(rewriteTemporalJoin(spark, rewriteLateral(sql)))))))))
 
   private[graft] val TumbleRe =
     ("(?is)FROM\\s+TABLE\\s*\\(\\s*TUMBLE\\s*\\(\\s*TABLE\\s+([\\w.`]+)\\s*,\\s*" +
@@ -475,6 +475,50 @@ object SqlFrontend {
         s"FROM (SELECT *, __w.start AS window_start, __w.end AS window_end, " +
           s"timestampadd(MILLISECOND, -1, __w.end) AS window_time " +
           s"FROM (SELECT *, window($ts, '$n $unit') AS __w FROM $tbl) __graft_w0) __graft_w")
+    })
+
+  private[graft] val TemporalJoinRe =
+    ("(?is)(LEFT\\s+)?JOIN\\s+([\\w.`]+)\\s+FOR\\s+SYSTEM_TIME\\s+AS\\s+OF\\s+([\\w.`]+)" +
+      "(?:\\s+(?:AS\\s+)?(?!ON\\b)(\\w+))?\\s+ON\\s+(.*?)" +
+      "(?=\\s+(?:WHERE|GROUP|HAVING|ORDER|LIMIT|UNION|JOIN|LEFT|RIGHT|INNER|FULL|CROSS)\\b|\\s*\\z)").r
+
+  /** Flink temporal table join: `JOIN rates FOR SYSTEM_TIME AS OF o.order_ts
+    * AS r ON r.currency = o.currency` — each left row joins the version of
+    * the right table valid at the left row's event time. Flink requires the
+    * versioned side to declare a PRIMARY KEY and an event-time attribute;
+    * this rewrite takes both from [[graft.sources.TableRegistry]] (where
+    * CREATE TABLE's constraint block and WATERMARK clause put them) and fails
+    * with Flink's own complaint when they're missing.
+    *
+    * Rewrite shape: the versioned side becomes an inline SCD2 — ONE window
+    * (`LEAD(ts) OVER (PARTITION BY pk ORDER BY ts)`) turns the change log
+    * into validity intervals — and the original ON clause gains the interval
+    * residual. Both aliases survive, so outer column references resolve
+    * untouched. The probe side replicates only per matched-key VERSION (the
+    * join stays an equi-join on the caller's own keys); for unkeyed as-of
+    * lookups or very long per-key histories, [[graft.operators.AsOfJoin]]'s
+    * union + running-last plan is the zero-replication operator path.
+    */
+  private[graft] def rewriteTemporalJoin(spark: SparkSession, sql: String): String =
+    TemporalJoinRe.replaceAllIn(sql, m => {
+      val (leftKw, tbl, timeExpr) = (Option(m.group(1)).getOrElse(""), m.group(2), m.group(3))
+      val alias = Option(m.group(4)).getOrElse(tbl)
+      val cond = m.group(5).trim
+      val short = unqualify(tbl)
+      require(graft.sources.TableRegistry.exists(short),
+        s"temporal join: versioned table '$tbl' is not registered")
+      val t = graft.sources.TableRegistry.resolve(short)
+      require(t.primaryKey.nonEmpty && t.watermarkCol.isDefined,
+        s"Temporal Table Join requires primary key and row time attribute in versioned table, " +
+          s"but no primary key or row time attribute can be found in table '$tbl'")
+      val wm = t.watermarkCol.get
+      val pk = t.primaryKey.mkString(", ")
+      t.load(spark).createOrReplaceTempView(short) // registry table → resolvable relation
+      java.util.regex.Matcher.quoteReplacement(
+        s"${leftKw}JOIN (SELECT *, LEAD($wm) OVER (PARTITION BY $pk ORDER BY $wm) " +
+          s"AS __graft_valid_to FROM $tbl) AS $alias " +
+          s"ON ($cond) AND $timeExpr >= $alias.$wm " +
+          s"AND ($alias.__graft_valid_to IS NULL OR $timeExpr < $alias.__graft_valid_to)")
     })
 
   private[graft] val CumulateRe =

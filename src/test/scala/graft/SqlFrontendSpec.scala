@@ -361,6 +361,56 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     assert(out(0).getAs[String]("raw_response").nonEmpty)
   }
 
+  test("FOR SYSTEM_TIME AS OF temporal join picks the version valid at the probe's time") {
+    import spark.implicits._
+    val rates = Seq(
+      ("EUR", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.05),
+      ("EUR", java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1.10),
+      ("GBP", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.25)).toDF("currency", "rate_ts", "rate")
+    graft.sources.TableRegistry.createTable(graft.sources.TableRegistry.TableDef(
+      "fx_rates", None, watermarkCol = Some("rate_ts"), watermarkDelay = Some("5 seconds"),
+      primaryKey = Seq("currency"), load = _ => rates))
+    Seq(
+      (1L, "EUR", java.sql.Timestamp.valueOf("2024-01-01 06:00:00"), 100.0),
+      (2L, "EUR", java.sql.Timestamp.valueOf("2024-01-01 18:00:00"), 100.0),
+      (3L, "GBP", java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 50.0),
+      (4L, "JPY", java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 10.0), // no version at all
+      (5L, "EUR", java.sql.Timestamp.valueOf("2023-12-31 00:00:00"), 7.0)) // before first version
+      .toDF("order_id", "currency", "order_ts", "amount").createOrReplaceTempView("fx_orders")
+    try {
+      val out = SqlFrontend.execute(spark,
+        """SELECT o.order_id, r.rate, o.amount * r.rate AS converted
+          |FROM fx_orders o
+          |JOIN fx_rates FOR SYSTEM_TIME AS OF o.order_ts AS r
+          |ON r.currency = o.currency
+          |ORDER BY o.order_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // order 1 at 06:00 sees the 00:00 EUR rate; order 2 at 18:00 the 12:00 rate;
+      // JPY and the pre-history order drop (inner temporal join)
+      assert(out == Seq((1L, 1.05), (2L, 1.10), (3L, 1.25)))
+
+      val left = SqlFrontend.execute(spark,
+        """SELECT o.order_id, r.rate
+          |FROM fx_orders o
+          |LEFT JOIN fx_rates FOR SYSTEM_TIME AS OF o.order_ts AS r
+          |ON r.currency = o.currency
+          |ORDER BY o.order_id""".stripMargin).collect()
+      assert(left.length == 5 && left(3).isNullAt(1) && left(4).isNullAt(1))
+
+      // Flink's versioned-table requirement enforced
+      graft.sources.TableRegistry.createTable(graft.sources.TableRegistry.TableDef(
+        "fx_rates_nopk", None, load = _ => rates))
+      val e = intercept[IllegalArgumentException] {
+        SqlFrontend.execute(spark,
+          "SELECT * FROM fx_orders o JOIN fx_rates_nopk FOR SYSTEM_TIME AS OF o.order_ts AS r ON r.currency = o.currency")
+      }
+      assert(e.getMessage.contains("primary key and row time attribute"))
+    } finally {
+      graft.sources.TableRegistry.dropTable("fx_rates")
+      graft.sources.TableRegistry.dropTable("fx_rates_nopk")
+    }
+  }
+
   test("CUMULATE and HOP window TVFs rewrite to the native window semantics") {
     import spark.implicits._
     val rnd = new scala.util.Random(19)
