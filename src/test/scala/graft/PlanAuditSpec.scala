@@ -43,6 +43,19 @@ class PlanAuditSpec extends SparkSpec {
       "queries broadcast against the corpus — the corpus side never moves")
   }
 
+  test("q109: cumulate explodes slice partials, never the fact rows") {
+    val p = plan("q109_window_cumulate")
+    val aggs = "HashAggregate".r.findAllMatchIn(p).map(_.start).toSeq
+    val gen = "Generate explode".r.findFirstMatchIn(p).map(_.start)
+      .getOrElse(fail("the cumulative-window explode must be present"))
+    // plans print top-down: merge aggregates (phase 3) above the explode,
+    // slice aggregates (phase 1) below it — an explode BELOW the last
+    // aggregate pair would mean fact rows are being replicated
+    assert(aggs.size == 4, s"expected 2 partial/final aggregate pairs, got ${aggs.size}")
+    assert(aggs.count(_ < gen) == 2 && aggs.count(_ > gen) == 2,
+      "the explode must sit between the slice aggregation and the merge aggregation")
+  }
+
   test("q02: predicate pushdown on the orders scan") {
     val p = plan("q02_filter_project")
     // (the plan string truncates long filter lists — match prefixes)
