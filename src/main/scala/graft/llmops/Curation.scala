@@ -84,6 +84,48 @@ object Curation {
     else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
   }
 
+  /** Tracking query parameters stripped by URL canonicalization — the
+    * standard web-crawl set (analytics campaign tags and click ids carry no
+    * content identity; two fetches of one page differ only here).
+    */
+  val trackingParamRe: String = "^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid)="
+
+  /** URL canonicalization — the web-pipeline dedup key (crawl dedup keeps one
+    * fetch per canonical URL before any content hashing): lowercase scheme
+    * and host, drop the default port (:80 http / :443 https), default the
+    * empty path to "/", drop the fragment, drop tracking parameters
+    * ([[trackingParamRe]]), and sort the surviving query parameters
+    * byte-wise (param ORDER is not content identity; sorting makes the
+    * canonical form deterministic). Everything is row-local and codegen'd
+    * (regexp extracts + one single-level HOF chain over a BOUND query-string
+    * attribute — the intermediate parts are materialized as columns first,
+    * so no upstream expression re-evaluates per array element).
+    *
+    * DuckDB twin (oracle): same regexps, `list_sort`/`list_filter`/
+    * `array_to_string` — byte-wise ASCII sorting matches `sort_array`.
+    */
+  def canonicalizeUrls(df: DataFrame, urlCol: String, outCol: String): DataFrame = {
+    val u = trim(col(urlCol))
+    val parts = df
+      .withColumn("__cu_scheme", lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
+      .withColumn("__cu_hostport", lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)))
+      .withColumn("__cu_path", regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+      .withColumn("__cu_query", regexp_extract(u, "\\?([^#]*)", 1))
+    val host = when(col("__cu_scheme") === "http", regexp_replace(col("__cu_hostport"), ":80$", ""))
+      .when(col("__cu_scheme") === "https", regexp_replace(col("__cu_hostport"), ":443$", ""))
+      .otherwise(col("__cu_hostport"))
+    val path = when(col("__cu_path") === "", "/").otherwise(col("__cu_path"))
+    // functions.split is shadowed by Curation.split (the train/test splitter)
+    val kept = sort_array(filter(org.apache.spark.sql.functions.split(col("__cu_query"), "&"),
+      p => !(p rlike trackingParamRe) && p =!= ""))
+    val q = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&"))).otherwise("")
+    parts
+      .withColumn(outCol,
+        when(col("__cu_scheme") === "" || col("__cu_hostport") === "", lit(null).cast("string"))
+          .otherwise(concat(col("__cu_scheme"), lit("://"), host, path, q)))
+      .drop("__cu_scheme", "__cu_hostport", "__cu_path", "__cu_query")
+  }
+
   /** PII patterns shared by redaction and counting. Conservative syntax only
     * (char classes, bounded quantifiers, \b, non-capturing groups) so the Java
     * (Spark) and RE2 (DuckDB oracle) regex engines match identically — no

@@ -1870,6 +1870,61 @@ object Catalog {
            CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total_value
     FROM ex WHERE ts < window_end GROUP BY 1, 2, 3"""))
 
+  private val q110 = Q("q110_url_canonical", (s, dir) => {
+    // Web-crawl URL canonicalization + URL-level dedup (the crawl pipeline's
+    // first dedup key, before any content hashing): case, default ports,
+    // fragments, tracking params, and param order all collapse; keeper =
+    // first doc per canonical URL. URLs synthesized deterministically from
+    // doc_id in BOTH engines — the canonicalizer is the thing under test.
+    val m = pmod(col("doc_id"), lit(5))
+    val urls = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .withColumn("url",
+        when(m === 0, concat(lit("HTTP://WWW.Example.COM:80/"), col("source"),
+          lit("/page"), col("doc_id").cast("string"), lit("?utm_source=feed&b=2&a=1#sec")))
+        .when(m === 1, concat(lit("https://Example.com:443/"), col("source"),
+          lit("?z=26&utm_campaign=x&y=25")))
+        .when(m === 2, concat(lit("http://example.com/"), col("source"),
+          lit("/page"), col("doc_id").cast("string")))
+        .when(m === 3, lit("https://tracker.example.com/p?gclid=g1&fbclid=f1"))
+        .otherwise(lit("http://example.com:8080?b=2&a=1&utm_medium=m")))
+    graft.llmops.Curation.canonicalizeUrls(urls, "url", "canon_url")
+      .withColumn("keeper", col("doc_id") === expr("min(doc_id) OVER (PARTITION BY canon_url)"))
+      .select("doc_id", "url", "canon_url", "keeper")
+  }, Some("""
+    WITH urls AS (
+      SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN 'HTTP://WWW.Example.COM:80/' || source || '/page' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&b=2&a=1#sec'
+          WHEN 1 THEN 'https://Example.com:443/' || source || '?z=26&utm_campaign=x&y=25'
+          WHEN 2 THEN 'http://example.com/' || source || '/page' || CAST(doc_id AS VARCHAR)
+          WHEN 3 THEN 'https://tracker.example.com/p?gclid=g1&fbclid=f1'
+          ELSE 'http://example.com:8080?b=2&a=1&utm_medium=m'
+        END AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+        regexp_extract(url, '\?([^#]*)', 1) AS qry
+      FROM urls),
+    kept AS (
+      SELECT *, list_sort(list_filter(string_split(qry, '&'),
+               p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid)=') AND p <> '')) AS keep_params
+      FROM parts),
+    canon AS (
+      SELECT doc_id, url,
+        scheme || '://' ||
+        CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+             ELSE hostport END ||
+        CASE WHEN pth = '' THEN '/' ELSE pth END ||
+        CASE WHEN len(keep_params) > 0 THEN '?' || array_to_string(keep_params, '&') ELSE '' END AS canon_url
+      FROM kept)
+    SELECT doc_id, url, canon_url,
+           doc_id = MIN(doc_id) OVER (PARTITION BY canon_url) AS keeper
+    FROM canon"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1882,7 +1937,7 @@ object Catalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109)
+    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -77,6 +77,26 @@ class CurationSpec extends SparkSpec {
     assert(out(4L).isEmpty, "null passes through as null")
   }
 
+  test("canonicalizeUrls: ports, case, fragments, tracking params, param order") {
+    import spark.implicits._
+    val in = Seq(
+      ("a", "HTTP://WWW.Example.COM:80/Path/X?b=2&utm_source=s&a=1#frag"),
+      ("b", "https://example.com:443"),                    // empty path -> "/"
+      ("c", "http://example.com:8080/p?a=1"),              // non-default port survives
+      ("d", "https://example.com/p?utm_campaign=x&gclid=1"), // all params dropped -> no '?'
+      ("e", "not a url"),                                  // unparseable -> null
+      ("f", null.asInstanceOf[String]))
+      .toDF("id", "url")
+    val out = graft.llmops.Curation.canonicalizeUrls(in, "url", "canon")
+      .orderBy("id").collect().map(_.getAs[String]("canon")).toSeq
+    assert(out == Seq(
+      "http://www.example.com/Path/X?a=1&b=2", // path case preserved, params sorted
+      "https://example.com/",
+      "http://example.com:8080/p?a=1",
+      "https://example.com/p",
+      null, null))
+  }
+
   test("cleanText collapses whitespace and strips control chars") {
     import spark.implicits._
     val r = Seq("  a\t\tbc   d  ").toDF("t")
