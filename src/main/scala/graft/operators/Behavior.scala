@@ -97,4 +97,40 @@ object Behavior {
       .groupBy(col("cohort_week"), col("week_no"))
       .agg(countDistinct(col(userCol)).as("active_users"))
   }
+
+  /** Consecutive event-sequence detection — the MATCH_RECOGNIZE/CEP primitive
+    * (`PATTERN (A B C)` with STRICT contiguity, the default in Flink's
+    * MATCH_RECOGNIZE): a match is `pattern.size` CONSECUTIVE events of the
+    * user's time-ordered stream whose types equal the pattern, with the whole
+    * span inside `withinSeconds` (0 = unbounded). Contrast with [[funnel]],
+    * which is the SKIP-TILL-NEXT relaxation (other events may intervene).
+    *
+    * One shuffle on the user key; each row sees only its next
+    * `pattern.size - 1` events through `lead()` over one (user, ts, tie)
+    * sort — no self-joins, no per-user explode, state O(pattern) per row.
+    * Overlapping matches all emit (AFTER MATCH SKIP TO NEXT ROW semantics);
+    * ties order deterministically by `tieCol`.
+    */
+  def sequenceMatch(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+                    tieCol: String, pattern: Seq[String], withinSeconds: Long = 0L): DataFrame = {
+    require(pattern.nonEmpty, "pattern must name at least one event type")
+    require(withinSeconds >= 0 && withinSeconds <= Long.MaxValue / 1000000L,
+      s"withinSeconds must be in [0, ${Long.MaxValue / 1000000L}], got $withinSeconds")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val n = pattern.size
+    val matched = events
+      .withColumn("__sm_end_ts", lead(col(tsCol), n - 1).over(w))
+      .withColumn("__sm_ok",
+        pattern.zipWithIndex.map { case (p, i) =>
+          (if (i == 0) col(typeCol) else lead(col(typeCol), i).over(w)) === p
+        }.reduce(_ && _))
+      .filter(col("__sm_ok"))
+    val bounded =
+      if (withinSeconds == 0) matched
+      else matched.filter(
+        unix_micros(col("__sm_end_ts").cast("timestamp")) -
+          unix_micros(col(tsCol).cast("timestamp")) <= withinSeconds * 1000000L)
+    bounded.select(col(userCol), col(tsCol).as("match_start_ts"),
+      col("__sm_end_ts").as("match_end_ts"), col(tieCol).as("start_tie"))
+  }
 }

@@ -1925,6 +1925,27 @@ object Catalog {
            doc_id = MIN(doc_id) OVER (PARTITION BY canon_url) AS keeper
     FROM canon"""))
 
+  private val q111 = Q("q111_sequence_match", (s, dir) => {
+    // MATCH_RECOGNIZE-style CEP: strictly-consecutive view→click→purchase per
+    // user within 24h (funnel's SKIP-TILL-NEXT sibling with STRICT contiguity).
+    // One user-keyed shuffle; lead() sees the next 2 events — no self-joins.
+    graft.operators.Behavior.sequenceMatch(t(s, dir, "events"),
+      "user_id", "event_type", "ts", "event_id", Seq("view", "click", "purchase"), 86400)
+      .select(col("user_id"),
+        col("match_start_ts").cast("timestamp_ntz").as("match_start_ts"),
+        col("match_end_ts").cast("timestamp_ntz").as("match_end_ts"), col("start_tie"))
+  }, Some(s"""
+    WITH led AS (
+      SELECT user_id, ts, event_id, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+             lead(ts, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS end_ts
+      FROM $EV e)
+    SELECT user_id, ts AS match_start_ts, end_ts AS match_end_ts, event_id AS start_tie
+    FROM led
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+      AND epoch_us(end_ts) - epoch_us(ts) <= 86400000000"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1937,7 +1958,7 @@ object Catalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110)
+    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -31,6 +31,39 @@ class BehaviorSpec extends SparkSpec {
     assert(out(3L).getAs[String]("stage") == "view")
   }
 
+  test("sequenceMatch: strict contiguity, overlap emission, exact within-bound") {
+    import spark.implicits._
+    def ev(u: String, t: String, ts: String, id: Long) =
+      (u, t, java.sql.Timestamp.valueOf(ts), id)
+    val df = Seq(
+      // u1: A B C consecutive — matches
+      ev("u1", "A", "2024-01-01 00:00:00", 1), ev("u1", "B", "2024-01-01 00:01:00", 2),
+      ev("u1", "C", "2024-01-01 00:02:00", 3),
+      // u2: A x B C — the intervening x breaks strict contiguity (funnel would match)
+      ev("u2", "A", "2024-01-01 00:00:00", 4), ev("u2", "x", "2024-01-01 00:00:30", 5),
+      ev("u2", "B", "2024-01-01 00:01:00", 6), ev("u2", "C", "2024-01-01 00:02:00", 7),
+      // u3: A A B B — overlapping A B at positions 2-3 only (A A breaks at 1-2)
+      ev("u3", "A", "2024-01-01 00:00:00", 8), ev("u3", "A", "2024-01-01 00:01:00", 9),
+      ev("u3", "B", "2024-01-01 00:02:00", 10), ev("u3", "B", "2024-01-01 00:03:00", 11),
+      // u4: A B C but spanning 2h01m — outside a 2h bound, inside unbounded
+      ev("u4", "A", "2024-01-01 00:00:00", 12), ev("u4", "B", "2024-01-01 01:00:00", 13),
+      ev("u4", "C", "2024-01-01 02:01:00", 14),
+      // u5: A B C spanning exactly 2h — the bound is inclusive
+      ev("u5", "A", "2024-01-01 00:00:00", 15), ev("u5", "B", "2024-01-01 01:00:00", 16),
+      ev("u5", "C", "2024-01-01 02:00:00", 17))
+      .toDF("u", "t", "ts", "id")
+
+    def users(pattern: Seq[String], within: Long) =
+      graft.operators.Behavior.sequenceMatch(df, "u", "t", "ts", "id", pattern, within)
+        .select("u").as[String].collect().toSeq.sorted
+    assert(users(Seq("A", "B", "C"), 0) == Seq("u1", "u4", "u5"), "u2's gap event must break the match")
+    assert(users(Seq("A", "B", "C"), 7200) == Seq("u1", "u5"), "the within bound is inclusive at exactly 2h")
+    assert(users(Seq("A", "B"), 0) == Seq("u1", "u3", "u4", "u5"), "u3 matches A->B once, at 00:01")
+    val u3 = graft.operators.Behavior.sequenceMatch(df, "u", "t", "ts", "id", Seq("A", "B"))
+      .filter($"u" === "u3").collect()
+    assert(u3.length == 1 && u3.head.getAs[Long]("start_tie") == 9L)
+  }
+
   test("weeklyRetention buckets users by first-seen week") {
     import spark.implicits._
     val day = (d: Int) => java.sql.Timestamp.valueOf(f"2026-01-$d%02d 12:00:00")
