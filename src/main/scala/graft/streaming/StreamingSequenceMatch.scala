@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of [[graft.operators.Behavior.sequenceMatch]] (the
+  * MATCH_RECOGNIZE STRICT-contiguity primitive): a match is `pattern.size`
+  * consecutive events of one user's time-ordered stream, and it is fully
+  * determined the moment its LAST event arrives — so each match emits in that
+  * event's micro-batch, immutably, which is exactly append mode.
+  *
+  * State per key is the trailing `pattern.size − 1` (type, ts, tie) events —
+  * O(pattern), never an event buffer. Within a trigger rows process in
+  * (ts, tie) order; cross-trigger ordering is the source's responsibility
+  * (same contract as StreamingAnomaly/StreamingFunnel/StreamingScd2).
+  */
+object StreamingSequenceMatch {
+
+  case class Ev(key: String, typ: String, ts: Timestamp, tie: Long)
+  case class Match(key: String, match_start_ts: Timestamp, match_end_ts: Timestamp, start_tie: Long)
+  case class Trail(types: Seq[String], tsMicros: Seq[Long], ties: Seq[Long])
+
+  def apply(df: DataFrame, keyCol: String, typeCol: String, tsCol: String, tieCol: String,
+            pattern: Seq[String], withinSeconds: Long = 0L): Dataset[Match] = {
+    require(pattern.nonEmpty, "pattern must name at least one event type")
+    require(withinSeconds >= 0 && withinSeconds <= Long.MaxValue / 1000000L,
+      s"withinSeconds must be in [0, ${Long.MaxValue / 1000000L}], got $withinSeconds")
+    val n = pattern.size
+    val withinUs = withinSeconds * 1000000L
+    implicit val evEnc = Encoders.product[Ev]
+    implicit val outEnc = Encoders.product[Match]
+    implicit val stEnc = Encoders.product[Trail]
+    implicit val keyEnc = Encoders.STRING
+
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+
+    df.select(col(keyCol).cast("string").as("key"), col(typeCol).cast("string").as("typ"),
+        col(tsCol).cast("timestamp").as("ts"), col(tieCol).cast("long").as("tie")).as[Ev]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Trail, Match](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Ev], state: GroupState[Trail]) =>
+          var trail = state.getOption.getOrElse(Trail(Nil, Nil, Nil))
+          val out = Seq.newBuilder[Match]
+          rows.toSeq.sortBy(e => (StreamingOps.tsMicros(e.ts), e.tie)).foreach { e =>
+            val ts = StreamingOps.tsMicros(e.ts)
+            val types = trail.types :+ e.typ
+            val tss = trail.tsMicros :+ ts
+            val ties = trail.ties :+ e.tie
+            if (types.length >= n && types.takeRight(n) == pattern &&
+                (withinUs == 0L || ts - tss(tss.length - n) <= withinUs))
+              out += Match(key, toTs(tss(tss.length - n)), toTs(ts), ties(ties.length - n))
+            trail = Trail(types.takeRight(n - 1), tss.takeRight(n - 1), ties.takeRight(n - 1))
+          }
+          state.update(trail)
+          out.result().iterator
+      }
+  }
+}

@@ -71,6 +71,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == batch.count() && batch.count() > 0)
   }
 
+  test("streaming sequenceMatch equals batch, including matches spanning micro-batches") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, String, Timestamp, Long)]
+    val mem = MemoryStream[(String, String, Timestamp, Long)]
+    val pattern = Seq("A", "B", "C")
+    val matches = graft.streaming.StreamingSequenceMatch(
+      mem.toDF().toDF("u", "t", "ts", "id"), "u", "t", "ts", "id", pattern, 7200)
+    val q = matches.writeStream.format("memory").queryName("seq_sink").outputMode("append").start()
+    val rows = Seq(
+      ("u1", "A", ts("2024-01-01 00:00:00"), 1L), ("u1", "B", ts("2024-01-01 00:01:00"), 2L),
+      ("u1", "C", ts("2024-01-01 00:02:00"), 3L),   // in-batch match
+      ("u2", "A", ts("2024-01-01 00:00:00"), 4L), ("u2", "B", ts("2024-01-01 00:01:00"), 5L),
+      // u2's C arrives in the NEXT micro-batch — the trail must carry over
+      ("u2", "C", ts("2024-01-01 00:05:00"), 6L),
+      // u3: gap event breaks contiguity across the boundary
+      ("u3", "A", ts("2024-01-01 00:00:00"), 7L), ("u3", "B", ts("2024-01-01 00:01:00"), 8L),
+      ("u3", "x", ts("2024-01-01 00:02:00"), 9L), ("u3", "C", ts("2024-01-01 00:03:00"), 10L),
+      // u4: valid shape but outside the 2h bound
+      ("u4", "A", ts("2024-01-01 00:00:00"), 11L), ("u4", "B", ts("2024-01-01 00:30:00"), 12L),
+      ("u4", "C", ts("2024-01-01 02:00:01"), 13L))
+    try {
+      val (b1, b2) = rows.splitAt(5)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    import spark.implicits._
+    val batch = graft.operators.Behavior.sequenceMatch(
+      rows.toDF("u", "t", "ts", "id"), "u", "t", "ts", "id", pattern, 7200)
+      .select(col("u").as("key"), col("match_start_ts"), col("match_end_ts"), col("start_tie"))
+    val streamed = spark.table("seq_sink")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streaming sequence matches must equal the batch operator")
+    assert(streamed.count() == 2 &&
+      streamed.select("key").as[String].collect().toSet == Set("u1", "u2"))
+  }
+
   test("streaming session windows merge rows within the gap and close on watermark") {
     implicit val sq = spark.sqlContext
     implicit val enc = Encoders.product[(Timestamp, String)]
