@@ -126,6 +126,30 @@ object Curation {
       .drop("__cu_scheme", "__cu_hostport", "__cu_path", "__cu_query")
   }
 
+  /** The parent-domain suffix chain of a hostname: `a.b.example.com` →
+    * `[a.b.example.com, b.example.com, example.com, com]`. Row-local codegen
+    * HOFs over one bound split — the shape blocklist matching needs (an exact
+    * equi-match per suffix instead of a LIKE scan per blocklist row).
+    */
+  def hostSuffixes(host: Column): Column = {
+    val parts = org.apache.spark.sql.functions.split(host, "\\.")
+    transform(sequence(lit(0), size(parts) - 1),
+      i => array_join(slice(parts, i + 1, size(parts) - i), "."))
+  }
+
+  /** Domain-blocklist verdict (crawl curation's URL-level safety gate): TRUE
+    * when the host or ANY parent domain is on the blocklist. The blocklist is
+    * configuration-sized (it ships with the pipeline, like
+    * [[trackingParamRe]]) and rides as a literal array into codegen —
+    * row-local, zero shuffle, no join. For a corpus-derived blocklist too big
+    * for a literal, explode [[hostSuffixes]] and broadcast-anti-join instead;
+    * the verdict is identical.
+    */
+  def domainBlocked(host: Column, blocklist: Seq[String]): Column = {
+    require(blocklist.nonEmpty, "empty blocklist: nothing to match")
+    arrays_overlap(hostSuffixes(host), lit(blocklist.map(_.toLowerCase).toArray))
+  }
+
   /** PII patterns shared by redaction and counting. Conservative syntax only
     * (char classes, bounded quantifiers, \b, non-capturing groups) so the Java
     * (Spark) and RE2 (DuckDB oracle) regex engines match identically — no

@@ -1946,6 +1946,24 @@ object Catalog {
     WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
       AND epoch_us(end_ts) - epoch_us(ts) <= 86400000000"""))
 
+  private val q112 = Q("q112_domain_blocklist", (s, dir) => {
+    // Crawl-pipeline domain gate: host or ANY parent domain on the blocklist
+    // blocks the doc. Hosts synthesized deterministically in both engines;
+    // the suffix-chain match is row-local codegen (no join, no shuffle).
+    val host = concat(col("source"), lit(".m"),
+      pmod(col("doc_id"), lit(4)).cast("string"), lit(".example.com"))
+    t(s, dir, "documents").select(col("doc_id"), host.as("host"))
+      .withColumn("blocked", graft.llmops.Curation.domainBlocked(col("host"),
+        Seq("m2.example.com", "src3.m1.example.com")))
+  }, Some("""
+    WITH h AS (
+      SELECT doc_id, source || '.m' || CAST(doc_id % 4 AS VARCHAR) || '.example.com' AS host
+      FROM documents)
+    SELECT doc_id, host,
+           EXISTS (SELECT 1 FROM (VALUES ('m2.example.com'), ('src3.m1.example.com')) bl(d)
+                   WHERE h.host = bl.d OR h.host LIKE '%.' || bl.d) AS blocked
+    FROM h"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1958,7 +1976,7 @@ object Catalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111)
+    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -97,6 +97,21 @@ class CurationSpec extends SparkSpec {
       null, null))
   }
 
+  test("domainBlocked matches the host and every parent domain, nothing else") {
+    import spark.implicits._
+    val hosts = Seq("a.b.spam.com", "spam.com", "notspam.com", "spam.com.evil.org", "x.ok.net")
+      .toDF("host")
+    val got = hosts.withColumn("b",
+      graft.llmops.Curation.domainBlocked(col("host"), Seq("spam.com", "ok.net")))
+      .as[(String, Boolean)].collect().toMap
+    assert(got == Map(
+      "a.b.spam.com" -> true,      // parent domain
+      "spam.com" -> true,          // exact
+      "notspam.com" -> false,      // suffix of the STRING but not of the domain chain
+      "spam.com.evil.org" -> false, // blocked name in the middle, not a suffix
+      "x.ok.net" -> true))
+  }
+
   test("cleanText collapses whitespace and strips control chars") {
     import spark.implicits._
     val r = Seq("  a\t\tbc   d  ").toDF("t")
