@@ -457,7 +457,7 @@ object SqlFrontend {
     rewriteToolInvoke(spark,
       rewriteRunAgent(spark,
         rewriteVectorSearch(spark,
-          rewriteDetectAnomalies(rewriteCumulate(rewriteHop(rewriteTumble(rewriteTemporalJoin(spark, rewriteLateral(sql)))))))))
+          rewriteDetectAnomalies(rewriteCumulate(rewriteHop(rewriteTumble(rewriteTemporalJoin(spark, rewriteMatchRecognize(rewriteLateral(sql))))))))))
 
   private[graft] val TumbleRe =
     ("(?is)FROM\\s+TABLE\\s*\\(\\s*TUMBLE\\s*\\(\\s*TABLE\\s+([\\w.`]+)\\s*,\\s*" +
@@ -520,6 +520,118 @@ object SqlFrontend {
           s"ON ($cond) AND $timeExpr >= $alias.$wm " +
           s"AND ($alias.__graft_valid_to IS NULL OR $timeExpr < $alias.__graft_valid_to)")
     })
+
+  private val MatchRecognizeRe = "(?is)FROM\\s+([\\w.`]+)\\s+MATCH_RECOGNIZE\\s*\\(".r
+
+  /** Flink `MATCH_RECOGNIZE` (row-pattern recognition, the CEP SQL surface) —
+    * the fixed-length core: `PATTERN (A B C …)` of plain variables (no
+    * quantifiers), `ONE ROW PER MATCH`, explicit `AFTER MATCH SKIP TO NEXT
+    * ROW`, optional `WITHIN INTERVAL …`, `DEFINE` conditions over any pattern
+    * variable's columns (cross-variable comparisons like `B.price > A.price`
+    * work), `MEASURES X.col [AS a]` with `FIRST`/`LAST` on simple refs.
+    *
+    * Rewritten to the SAME lead()-window formulation
+    * [[graft.operators.Behavior.sequenceMatch]] uses (and q111's oracle
+    * verifies): pattern variable i's columns become `lead(col, i)` over
+    * (PARTITION BY keys ORDER BY time), the DEFINE conjunction plus an
+    * existence guard on the last variable becomes a filter. One shuffle on
+    * the partition key, no joins, overlap = SKIP TO NEXT ROW exactly.
+    * Unsupported clauses (quantifiers, `SKIP PAST LAST ROW`, `ALL ROWS PER
+    * MATCH`, `PREV`/`NEXT`) fail loudly rather than mis-evaluate.
+    */
+  private[graft] def rewriteMatchRecognize(sql: String): String = {
+    val m = MatchRecognizeRe.findFirstMatchIn(sql).getOrElse(return sql)
+    val tbl = m.group(1)
+    val (pieces, after) = balancedArgs(sql, m.end - 1)
+    val body = pieces.mkString(", ")
+    val keywords = Set("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION",
+      "JOIN", "ON", "LEFT", "RIGHT", "INNER", "FULL", "CROSS")
+    val aliasM = "(?is)^\\s*(?:AS\\s+)?(\\w+)".r.findFirstMatchIn(sql.substring(after))
+      .filter(a => !keywords.contains(a.group(1).toUpperCase))
+    val alias = aliasM.map(_.group(1)).getOrElse("__graft_mr")
+    val aliasEnd = after + aliasM.map(_.end).getOrElse(0)
+
+    def clause(re: String): Option[String] =
+      re.r.findFirstMatchIn(body).map(_.group(1).trim)
+    val part = clause("(?is)PARTITION\\s+BY\\s+(.*?)\\s+ORDER\\s+BY")
+      .getOrElse(sys.error("MATCH_RECOGNIZE requires PARTITION BY"))
+    val ord = clause("(?is)ORDER\\s+BY\\s+(\\w+)")
+      .getOrElse(sys.error("MATCH_RECOGNIZE requires ORDER BY"))
+    require(!"(?is)ALL\\s+ROWS\\s+PER\\s+MATCH".r.findFirstIn(body).isDefined,
+      "MATCH_RECOGNIZE: only ONE ROW PER MATCH is supported")
+    require("(?is)AFTER\\s+MATCH\\s+SKIP\\s+TO\\s+NEXT\\s+ROW".r.findFirstIn(body).isDefined,
+      "MATCH_RECOGNIZE: state an explicit AFTER MATCH SKIP TO NEXT ROW (the only supported " +
+        "strategy; the standard's default SKIP PAST LAST ROW is not implemented)")
+    require(!"(?i)\\b(?:PREV|NEXT)\\s*\\(".r.findFirstIn(body).isDefined,
+      "MATCH_RECOGNIZE: PREV()/NEXT() are not supported")
+    val patM = "(?is)PATTERN\\s*\\(\\s*(.*?)\\s*\\)(?:\\s+WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(\\w+))?".r
+      .findFirstMatchIn(body).getOrElse(sys.error("MATCH_RECOGNIZE requires PATTERN (...)"))
+    val vars = patM.group(1).trim.split("\\s+").toSeq
+    require(vars.nonEmpty && vars.forall(_.matches("\\w+")),
+      s"MATCH_RECOGNIZE: only plain variable sequences are supported in PATTERN, got '${patM.group(1)}'")
+    val idx = vars.zipWithIndex.toMap
+    val n = vars.size
+    val w = s"(PARTITION BY $part ORDER BY $ord)"
+
+    def subst(expr: String): String = {
+      val unwrapped = "(?i)\\b(?:FIRST|LAST)\\s*\\(\\s*(\\w+\\.\\w+)\\s*\\)".r
+        .replaceAllIn(expr, mm => mm.group(1))
+      "\\b(\\w+)\\.(\\w+)\\b".r.replaceAllIn(unwrapped, mm =>
+        java.util.regex.Matcher.quoteReplacement(idx.get(mm.group(1)) match {
+          case Some(0) => mm.group(2)
+          case Some(i) => s"lead(${mm.group(2)}, $i) OVER $w"
+          case None    => mm.matched // not a pattern variable — leave untouched
+        }))
+    }
+    def splitTop(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var depth = 0; var inQuote = false
+      s.foreach { c =>
+        if (inQuote) { cur += c; if (c == '\'') inQuote = false }
+        else c match {
+          case '\''             => inQuote = true; cur += c
+          case '(' | '['        => depth += 1; cur += c
+          case ')' | ']'        => depth -= 1; cur += c
+          case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+          case other            => cur += other
+        }
+      }
+      if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+      out.toSeq
+    }
+
+    val measures = clause("(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW|AFTER\\s+MATCH|PATTERN\\b)")
+      .map(splitTop).getOrElse(Seq.empty)
+      .map { e =>
+        val am = "(?is)^(.*?)\\s+AS\\s+(\\w+)\\s*$".r.findFirstMatchIn(e)
+          .getOrElse(sys.error(s"MATCH_RECOGNIZE measure needs 'expr AS alias': $e"))
+        s"${subst(am.group(1))} AS ${am.group(2)}"
+      }
+    val defines = clause("(?is)DEFINE\\s+(.*)$").map(splitTop).getOrElse(Seq.empty)
+      .map { d =>
+        val dm = "(?is)^(\\w+)\\s+AS\\s+(.*)$".r.findFirstMatchIn(d)
+          .getOrElse(sys.error(s"MATCH_RECOGNIZE DEFINE needs 'VAR AS condition': $d"))
+        require(idx.contains(dm.group(1)), s"DEFINE for unknown pattern variable '${dm.group(1)}'")
+        s"(${subst(dm.group(2))})"
+      }
+    // the last variable's ROW must exist even when nothing constrains it
+    val exists = s"lead($ord, ${n - 1}) OVER $w IS NOT NULL"
+    val within = Option(patM.group(2)).map { num =>
+      val us = graft.operators.Cumulate.durationMicros(s"$num ${patM.group(3)}")
+      s"unix_micros(CAST(lead($ord, ${n - 1}) OVER $w AS TIMESTAMP)) - " +
+        s"unix_micros(CAST($ord AS TIMESTAMP)) <= $us"
+    }
+    val conds = (defines :+ exists) ++ within.toSeq
+    val measureSel = if (measures.isEmpty) "" else measures.mkString(", ", ", ", "")
+    val measureNames = measures.map(_.replaceAll("(?is)^.*\\s+AS\\s+(\\w+)$", "$1"))
+    val outerCols = (splitTop(part) ++ measureNames).mkString(", ")
+
+    val replacement =
+      s"FROM (SELECT $outerCols FROM (SELECT *, (${conds.mkString(" AND ")}) AS __mr_ok$measureSel " +
+        s"FROM $tbl) __graft_mr0 WHERE __mr_ok) $alias"
+    rewriteMatchRecognize(sql.substring(0, m.start) + replacement + sql.substring(aliasEnd))
+  }
 
   private[graft] val CumulateRe =
     ("(?is)FROM\\s+TABLE\\s*\\(\\s*CUMULATE\\s*\\(\\s*TABLE\\s+([\\w.`]+)\\s*,\\s*" +

@@ -361,6 +361,76 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     assert(out(0).getAs[String]("raw_response").nonEmpty)
   }
 
+  test("MATCH_RECOGNIZE rewrites to the lead() CEP formulation") {
+    import spark.implicits._
+    def ev(u: String, t: String, ts: String, id: Long, price: Double) =
+      (u, t, java.sql.Timestamp.valueOf(ts), id, price)
+    val df = Seq(
+      ev("u1", "view", "2024-01-01 00:00:00", 1, 10.0),
+      ev("u1", "click", "2024-01-01 00:01:00", 2, 11.0),
+      ev("u1", "purchase", "2024-01-01 00:02:00", 3, 12.0),
+      ev("u2", "view", "2024-01-01 00:00:00", 4, 10.0),
+      ev("u2", "error", "2024-01-01 00:00:30", 5, 10.0), // breaks contiguity
+      ev("u2", "click", "2024-01-01 00:01:00", 6, 11.0),
+      ev("u2", "purchase", "2024-01-01 00:02:00", 7, 12.0),
+      ev("u3", "view", "2024-01-01 00:00:00", 8, 10.0),
+      ev("u3", "click", "2024-01-01 03:00:00", 9, 9.0), // price DROPS + outside WITHIN
+      ev("u3", "purchase", "2024-01-01 03:01:00", 10, 12.0))
+      .toDF("u", "t", "ts", "id", "price")
+    df.createOrReplaceTempView("mr_events")
+
+    val out = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_events
+        |  MATCH_RECOGNIZE (
+        |    PARTITION BY u
+        |    ORDER BY ts
+        |    MEASURES
+        |      A.ts AS start_ts,
+        |      LAST(C.ts) AS end_ts,
+        |      C.price AS final_price
+        |    ONE ROW PER MATCH
+        |    AFTER MATCH SKIP TO NEXT ROW
+        |    PATTERN (A B C) WITHIN INTERVAL '2' HOUR
+        |    DEFINE
+        |      A AS A.t = 'view',
+        |      B AS B.t = 'click' AND B.price > A.price,
+        |      C AS C.t = 'purchase'
+        |  ) AS mr""".stripMargin)
+    val rows = out.collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("u") == "u1" &&
+      rows.head.getAs[Double]("final_price") == 12.0 &&
+      rows.head.getAs[java.sql.Timestamp]("end_ts") == java.sql.Timestamp.valueOf("2024-01-01 00:02:00"),
+      s"only u1 matches (u2 gap, u3 price-drop + WITHIN), got ${rows.mkString(";")}")
+
+    // same text minus measures/cross-var, vs the native operator
+    val sqlMatches = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_events
+        |  MATCH_RECOGNIZE (
+        |    PARTITION BY u ORDER BY ts
+        |    MEASURES A.ts AS match_start_ts
+        |    ONE ROW PER MATCH
+        |    AFTER MATCH SKIP TO NEXT ROW
+        |    PATTERN (A B C)
+        |    DEFINE A AS A.t = 'view', B AS B.t = 'click', C AS C.t = 'purchase'
+        |  )""".stripMargin).select("u", "match_start_ts")
+    val native = graft.operators.Behavior.sequenceMatch(
+      df, "u", "t", "ts", "id", Seq("view", "click", "purchase"))
+      .select("u", "match_start_ts")
+    assert(sqlMatches.exceptAll(native).isEmpty && native.exceptAll(sqlMatches).isEmpty)
+
+    // unsupported strategies fail loudly, never mis-evaluate
+    val e1 = intercept[Exception](SqlFrontend.execute(spark,
+      """SELECT * FROM mr_events MATCH_RECOGNIZE (
+        |  PARTITION BY u ORDER BY ts MEASURES A.ts AS s ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW PATTERN (A B) DEFINE A AS A.t = 'view')""".stripMargin))
+    assert(e1.getMessage.contains("SKIP TO NEXT ROW"))
+    val e2 = intercept[Exception](SqlFrontend.execute(spark,
+      """SELECT * FROM mr_events MATCH_RECOGNIZE (
+        |  PARTITION BY u ORDER BY ts MEASURES A.ts AS s ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A+ B) DEFINE A AS A.t = 'view')""".stripMargin))
+    assert(e2.getMessage.contains("plain variable sequences"))
+  }
+
   test("FOR SYSTEM_TIME AS OF temporal join picks the version valid at the probe's time") {
     import spark.implicits._
     val rates = Seq(
