@@ -24,13 +24,21 @@ import org.apache.spark.sql.functions._
   * rendering differs across engines and is the caller's responsibility to
   * canonicalize. One map-side-combined agg; |groups| rows shuffle.
   *
-  * `content_sum` is surfaced as its plain-digit STRING image: the DECIMAL(38)
-  * total exceeds float64's exact-integer range (2^53), so any consumer that
-  * round-trips the column through a double (pandas, JSON, a quick CSV diff)
-  * silently corrupts it and reports spurious drift. A digit string is exact
-  * in every engine and every transport.
+  * `content_sum` is surfaced as the DECIMAL(38) total reduced mod the largest
+  * prime below 2^53 (9007199254740881), cast to BIGINT. The full total
+  * exceeds float64's exact-integer range, so any consumer that round-trips
+  * the column through a double (pandas, JSON, a quick CSV diff, a comparator
+  * that coerces numeric-looking strings) silently corrupts it and reports
+  * spurious drift — observed in practice: two engines computed the identical
+  * 73-bit digit string and a float64-coercing comparator still flagged them
+  * as different. A BIGINT < 2^53 survives every transport exactly; 53
+  * checksum bits + the exact row count keep collision odds negligible for
+  * reconciliation purposes.
   */
 object Reconcile {
+
+  /** Largest prime below 2^53 — keeps sums inside float64's exact range. */
+  val SumModulus = 9007199254740881L
 
   def rowHash(cols: Seq[Column]): Column =
     conv(substring(md5(concat_ws("\u0001",
@@ -40,5 +48,5 @@ object Reconcile {
   def checksum(df: DataFrame, groupCol: Column, cols: Seq[Column]): DataFrame =
     df.groupBy(groupCol.as("grp"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(rowHash(cols)).cast("string").as("content_sum"))
+        (sum(rowHash(cols)) % SumModulus).cast("long").as("content_sum"))
 }

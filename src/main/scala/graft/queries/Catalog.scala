@@ -1628,7 +1628,7 @@ object Catalog {
     SELECT l_returnflag AS grp, COUNT(*) AS n_rows,
            CAST(SUM(CAST(('0x' || substring(md5(concat_ws(chr(1),
                  coalesce(CAST(l_orderkey AS VARCHAR), chr(2)), coalesce(CAST(l_partkey AS VARCHAR), chr(2)),
-                 coalesce(CAST(l_suppkey AS VARCHAR), chr(2)), coalesce(l_linestatus, chr(2)))), 1, 15)) AS BIGINT)::DECIMAL(38,0)) AS VARCHAR) AS content_sum
+                 coalesce(CAST(l_suppkey AS VARCHAR), chr(2)), coalesce(l_linestatus, chr(2)))), 1, 15)) AS BIGINT)::DECIMAL(38,0)) % 9007199254740881 AS BIGINT) AS content_sum
     FROM lineitem GROUP BY l_returnflag"""))
 
   private val q98 = Q("q98_winsorize", (s, dir) => {

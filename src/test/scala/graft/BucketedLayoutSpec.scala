@@ -82,7 +82,7 @@ class BucketedLayoutSpec extends SparkSpec {
     val cols = Seq(col("o_orderkey").cast("string"), col("o_custkey").cast("string"))
     def sum(df: org.apache.spark.sql.DataFrame) =
       graft.operators.Reconcile.checksum(df, lit("all"), cols)
-        .head().getString(2)
+        .head().getLong(2)
     assert(sum(spark.read.parquet(s"$dir/z")) == sum(orders))
   }
 

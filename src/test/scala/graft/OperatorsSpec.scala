@@ -242,7 +242,7 @@ class ReconcileSpec extends SparkSpec {
     val cols = Seq(col("l_orderkey").cast("string"), col("l_partkey").cast("string"),
       col("l_suppkey").cast("string"), col("l_linestatus"))
     def sums(df: org.apache.spark.sql.DataFrame) = Reconcile.checksum(df, col("l_returnflag"), cols)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     val base = sums(li)
     // same rows, radically different layout -> identical checksums
     assert(sums(li.repartition(17, col("l_partkey")).sortWithinPartitions("l_orderkey")) == base)
@@ -259,7 +259,7 @@ class ReconcileSpec extends SparkSpec {
     val ab = Seq((Option("x"), Option.empty[String])).toDF("c1", "c2")
     val ba = Seq((Option.empty[String], Option("x"))).toDF("c1", "c2")
     def s(df: org.apache.spark.sql.DataFrame) =
-      Reconcile.checksum(df, lit("g"), Seq(col("c1"), col("c2"))).head().getString(2)
+      Reconcile.checksum(df, lit("g"), Seq(col("c1"), col("c2"))).head().getLong(2)
     assert(s(ab) != s(ba), "('x', NULL) and (NULL, 'x') must hash differently")
   }
 }
