@@ -523,21 +523,33 @@ object SqlFrontend {
 
   private val MatchRecognizeRe = "(?is)FROM\\s+([\\w.`]+)\\s+MATCH_RECOGNIZE\\s*\\(".r
 
-  /** Flink `MATCH_RECOGNIZE` (row-pattern recognition, the CEP SQL surface) —
-    * the fixed-length core: `PATTERN (A B C …)` of plain variables (no
-    * quantifiers), `ONE ROW PER MATCH`, explicit `AFTER MATCH SKIP TO NEXT
-    * ROW`, optional `WITHIN INTERVAL …`, `DEFINE` conditions over any pattern
-    * variable's columns (cross-variable comparisons like `B.price > A.price`
-    * work), `MEASURES X.col [AS a]` with `FIRST`/`LAST` on simple refs.
+  /** Flink `MATCH_RECOGNIZE` (row-pattern recognition, the CEP SQL surface):
+    * `PATTERN` sequences of variables with BOUNDED quantifiers (`A`, `A?`,
+    * `A{m}`, `A{m,n}`), `ONE ROW PER MATCH`, explicit `AFTER MATCH SKIP TO
+    * NEXT ROW`, optional `WITHIN INTERVAL …`, `DEFINE` conditions over any
+    * pattern variable's columns (cross-variable comparisons like
+    * `B.price > A.price` work), `MEASURES X.col [AS a]` with `FIRST`/`LAST`.
     *
     * Rewritten to the SAME lead()-window formulation
     * [[graft.operators.Behavior.sequenceMatch]] uses (and q111's oracle
-    * verifies): pattern variable i's columns become `lead(col, i)` over
-    * (PARTITION BY keys ORDER BY time), the DEFINE conjunction plus an
-    * existence guard on the last variable becomes a filter. One shuffle on
-    * the partition key, no joins, overlap = SKIP TO NEXT ROW exactly.
-    * Unsupported clauses (quantifiers, `SKIP PAST LAST ROW`, `ALL ROWS PER
-    * MATCH`, `PREV`/`NEXT`) fail loudly rather than mis-evaluate.
+    * verifies): a quantified pattern expands into its fixed-length
+    * alternatives (bounded, so the product is finite and enumerable), each
+    * alternative's DEFINE conjunction becomes a predicate over `lead(col, k)`
+    * offsets, and ONE `CASE WHEN alt₁ … WHEN alt₂ …` tries alternatives in
+    * GREEDY order (leftmost quantifier longest first — the SQL-standard
+    * default; matches are decided per starting row, so SKIP TO NEXT ROW is
+    * exact). All alternatives share one window spec → one shuffle + one sort,
+    * no joins, no explode; Catalyst computes each distinct (col, offset) lead
+    * once. Inside `DEFINE v`, `v.col` and `LAST(v.col)` are the current
+    * candidate row and `FIRST(v.col)` the variable's first occurrence —
+    * Flink's running semantics; a reference to a variable with zero
+    * occurrences in an alternative is NULL (⇒ that alternative cannot match,
+    * exactly Flink's absent-optional behavior).
+    *
+    * UNBOUNDED quantifiers (`A+`, `A*`, `A{m,}`) and the clauses whose
+    * semantics this formulation cannot reproduce (`SKIP PAST LAST ROW`,
+    * `ALL ROWS PER MATCH`, `PREV`/`NEXT`) fail loudly rather than
+    * mis-evaluate — state the bound (`A{1,8}`) and the rewrite takes it.
     */
   private[graft] def rewriteMatchRecognize(sql: String): String = {
     val m = MatchRecognizeRe.findFirstMatchIn(sql).getOrElse(return sql)
@@ -566,22 +578,73 @@ object SqlFrontend {
       "MATCH_RECOGNIZE: PREV()/NEXT() are not supported")
     val patM = "(?is)PATTERN\\s*\\(\\s*(.*?)\\s*\\)(?:\\s+WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(\\w+))?".r
       .findFirstMatchIn(body).getOrElse(sys.error("MATCH_RECOGNIZE requires PATTERN (...)"))
-    val vars = patM.group(1).trim.split("\\s+").toSeq
-    require(vars.nonEmpty && vars.forall(_.matches("\\w+")),
-      s"MATCH_RECOGNIZE: only plain variable sequences are supported in PATTERN, got '${patM.group(1)}'")
-    val idx = vars.zipWithIndex.toMap
-    val n = vars.size
+    val TokenRe = "(\\w+)(?:(\\?)|\\{(\\d+)(?:(,)(\\d+)?)?\\})?".r
+    val varSpecs: Seq[(String, Int, Int)] = patM.group(1).trim.split("\\s+").toSeq.map {
+      case TokenRe(name, q, lo, comma, hi) =>
+        if (q != null) (name, 0, 1)
+        else if (lo == null) (name, 1, 1)
+        else if (comma == null) (name, lo.toInt, lo.toInt)
+        else if (hi == null) sys.error(s"MATCH_RECOGNIZE: unbounded quantifier '$name{$lo,}' — " +
+          "this rewrite enumerates fixed-length alternatives; state an upper bound, e.g. {" + lo + ",8}")
+        else (name, lo.toInt, hi.toInt)
+      case tok => sys.error(s"MATCH_RECOGNIZE: unsupported pattern token '$tok' — " +
+        "use plain variables with bounded quantifiers (A, A?, A{m}, A{m,n}); " +
+        "for A+ or A* state the bound explicitly (A{1,8}, A{0,8})")
+    }
+    varSpecs.foreach { case (nm, lo, hi) =>
+      require(lo <= hi, s"MATCH_RECOGNIZE: empty quantifier range {$lo,$hi} on '$nm'") }
+    require(varSpecs.nonEmpty, "MATCH_RECOGNIZE requires a non-empty PATTERN")
+    require(varSpecs.map(_._1).distinct.size == varSpecs.size,
+      s"MATCH_RECOGNIZE: duplicate pattern variable in '${patM.group(1)}'")
+    val varNames = varSpecs.map(_._1)
+    val idx = varNames.zipWithIndex.toMap
     val w = s"(PARTITION BY $part ORDER BY $ord)"
 
-    def subst(expr: String): String = {
-      val unwrapped = "(?i)\\b(?:FIRST|LAST)\\s*\\(\\s*(\\w+\\.\\w+)\\s*\\)".r
-        .replaceAllIn(expr, mm => mm.group(1))
-      "\\b(\\w+)\\.(\\w+)\\b".r.replaceAllIn(unwrapped, mm =>
-        java.util.regex.Matcher.quoteReplacement(idx.get(mm.group(1)) match {
-          case Some(0) => mm.group(2)
-          case Some(i) => s"lead(${mm.group(2)}, $i) OVER $w"
-          case None    => mm.matched // not a pattern variable — leave untouched
-        }))
+    // every bounded-count assignment, greedy order: leftmost quantifier
+    // longest first (descending lexicographic), zero-length matches excluded
+    val expansions: Seq[Seq[Int]] = varSpecs
+      .map { case (_, lo, hi) => (hi to lo by -1).toSeq }
+      .foldLeft(Seq(Seq.empty[Int]))((acc, counts) => acc.flatMap(pfx => counts.map(pfx :+ _)))
+      .filter(_.sum > 0)
+    require(expansions.nonEmpty, "MATCH_RECOGNIZE: pattern admits only the empty match")
+    require(expansions.size <= 256,
+      s"MATCH_RECOGNIZE: quantifier ranges expand to ${expansions.size} alternatives (cap 256) — " +
+        "tighten the bounds")
+
+    /** Column ref at absolute row offset k from the match start. */
+    def at(colName: String, k: Int): String =
+      if (k == 0) colName else s"lead($colName, $k) OVER $w"
+
+    /** Substitute pattern-variable refs for one expansion. `self` = the
+      * (variable, occurrence-offset) currently being DEFINEd, if any. */
+    def subst(expr: String, offsets: Map[String, Seq[Int]],
+              self: Option[(String, Int)]): String = {
+      val marked = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*\\)".r
+        .replaceAllIn(expr, mm => java.util.regex.Matcher.quoteReplacement {
+          val (kind, v, c) = (mm.group(1).toUpperCase, mm.group(2), mm.group(3))
+          if (!idx.contains(v)) mm.matched
+          else self match {
+            case Some((sv, off)) if sv == v =>
+              if (kind == "LAST") at(c, off) // running LAST includes the candidate row
+              else at(c, offsets(v).headOption.getOrElse(off))
+            case _ => offsets.getOrElse(v, Nil) match {
+              case Nil => "NULL"
+              case occ => at(c, if (kind == "FIRST") occ.head else occ.last)
+            }
+          }
+        })
+      "\\b(\\w+)\\.(\\w+)\\b".r.replaceAllIn(marked, mm =>
+        java.util.regex.Matcher.quoteReplacement {
+          val (v, c) = (mm.group(1), mm.group(2))
+          if (!idx.contains(v)) mm.matched
+          else self match {
+            case Some((sv, off)) if sv == v => at(c, off)
+            case _ => offsets.getOrElse(v, Nil) match {
+              case Nil => "NULL"
+              case occ => at(c, occ.last)
+            }
+          }
+        })
     }
     def splitTop(s: String): Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -601,35 +664,53 @@ object SqlFrontend {
       out.toSeq
     }
 
-    val measures = clause("(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW|AFTER\\s+MATCH|PATTERN\\b)")
+    val measureSrc = clause("(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW|AFTER\\s+MATCH|PATTERN\\b)")
       .map(splitTop).getOrElse(Seq.empty)
       .map { e =>
         val am = "(?is)^(.*?)\\s+AS\\s+(\\w+)\\s*$".r.findFirstMatchIn(e)
           .getOrElse(sys.error(s"MATCH_RECOGNIZE measure needs 'expr AS alias': $e"))
-        s"${subst(am.group(1))} AS ${am.group(2)}"
+        (am.group(1), am.group(2))
       }
-    val defines = clause("(?is)DEFINE\\s+(.*)$").map(splitTop).getOrElse(Seq.empty)
+    val defineSrc: Map[String, String] = clause("(?is)DEFINE\\s+(.*)$")
+      .map(splitTop).getOrElse(Seq.empty)
       .map { d =>
         val dm = "(?is)^(\\w+)\\s+AS\\s+(.*)$".r.findFirstMatchIn(d)
           .getOrElse(sys.error(s"MATCH_RECOGNIZE DEFINE needs 'VAR AS condition': $d"))
         require(idx.contains(dm.group(1)), s"DEFINE for unknown pattern variable '${dm.group(1)}'")
-        s"(${subst(dm.group(2))})"
-      }
-    // the last variable's ROW must exist even when nothing constrains it
-    val exists = s"lead($ord, ${n - 1}) OVER $w IS NOT NULL"
-    val within = Option(patM.group(2)).map { num =>
-      val us = graft.operators.Cumulate.durationMicros(s"$num ${patM.group(3)}")
-      s"unix_micros(CAST(lead($ord, ${n - 1}) OVER $w AS TIMESTAMP)) - " +
-        s"unix_micros(CAST($ord AS TIMESTAMP)) <= $us"
-    }
-    val conds = (defines :+ exists) ++ within.toSeq
-    val measureSel = if (measures.isEmpty) "" else measures.mkString(", ", ", ", "")
-    val measureNames = measures.map(_.replaceAll("(?is)^.*\\s+AS\\s+(\\w+)$", "$1"))
-    val outerCols = (splitTop(part) ++ measureNames).mkString(", ")
+        dm.group(1) -> dm.group(2)
+      }.toMap
 
+    val withinMicros = Option(patM.group(2))
+      .map(num => graft.operators.Cumulate.durationMicros(s"$num ${patM.group(3)}"))
+
+    // one WHEN branch per alternative: its DEFINEs at their absolute offsets,
+    // the existence guard on the final row, the WITHIN bound, its measures
+    val branches = expansions.map { counts =>
+      val starts = counts.scanLeft(0)(_ + _)
+      val offsets: Map[String, Seq[Int]] = varNames.zipWithIndex.map { case (v, i) =>
+        v -> (starts(i) until starts(i + 1))
+      }.toMap
+      val len = counts.sum
+      val defineConds = varNames.flatMap { v =>
+        defineSrc.get(v).toSeq.flatMap(cond =>
+          offsets(v).map(off => s"(${subst(cond, offsets, Some((v, off)))})"))
+      }
+      val exists = s"${at(ord, len - 1)} IS NOT NULL"
+      val within = withinMicros.map(us =>
+        s"unix_micros(CAST(${at(ord, len - 1)} AS TIMESTAMP)) - " +
+          s"unix_micros(CAST($ord AS TIMESTAMP)) <= $us")
+      val cond = ((defineConds :+ exists) ++ within.toSeq).mkString(" AND ")
+      val fields =
+        if (measureSrc.isEmpty) "'__len', " + len
+        else measureSrc.map { case (e, a) => s"'$a', ${subst(e, offsets, None)}" }.mkString(", ")
+      s"WHEN ($cond) THEN named_struct($fields)"
+    }
+
+    val measureNames = measureSrc.map(_._2)
+    val outerCols = (splitTop(part) ++ measureNames.map(a => s"__mr.$a AS $a")).mkString(", ")
     val replacement =
-      s"FROM (SELECT $outerCols FROM (SELECT *, (${conds.mkString(" AND ")}) AS __mr_ok$measureSel " +
-        s"FROM $tbl) __graft_mr0 WHERE __mr_ok) $alias"
+      s"FROM (SELECT $outerCols FROM (SELECT *, CASE ${branches.mkString(" ")} END AS __mr " +
+        s"FROM $tbl) __graft_mr0 WHERE __mr IS NOT NULL) $alias"
     rewriteMatchRecognize(sql.substring(0, m.start) + replacement + sql.substring(aliasEnd))
   }
 

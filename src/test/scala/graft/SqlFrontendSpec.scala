@@ -428,7 +428,72 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
       """SELECT * FROM mr_events MATCH_RECOGNIZE (
         |  PARTITION BY u ORDER BY ts MEASURES A.ts AS s ONE ROW PER MATCH
         |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A+ B) DEFINE A AS A.t = 'view')""".stripMargin))
-    assert(e2.getMessage.contains("plain variable sequences"))
+    assert(e2.getMessage.contains("bounded quantifiers"), e2.getMessage)
+    val e3 = intercept[Exception](SqlFrontend.execute(spark,
+      """SELECT * FROM mr_events MATCH_RECOGNIZE (
+        |  PARTITION BY u ORDER BY ts MEASURES A.ts AS s ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A{2,} B) DEFINE A AS A.t = 'view')""".stripMargin))
+    assert(e3.getMessage.contains("unbounded quantifier"), e3.getMessage)
+  }
+
+  test("MATCH_RECOGNIZE bounded quantifiers expand greedily") {
+    import spark.implicits._
+    def ev(u: String, t: String, ts: String, price: Double) =
+      (u, t, java.sql.Timestamp.valueOf(ts), price)
+    // u1: view click click purchase  — B{1,2} should greedily take BOTH clicks
+    // u2: view purchase              — B{1,2} cannot match (no click)
+    // u3: view click purchase        — one click
+    val df = Seq(
+      ev("u1", "view", "2024-01-01 00:00:00", 1.0),
+      ev("u1", "click", "2024-01-01 00:01:00", 2.0),
+      ev("u1", "click", "2024-01-01 00:02:00", 3.0),
+      ev("u1", "purchase", "2024-01-01 00:03:00", 4.0),
+      ev("u2", "view", "2024-01-01 00:00:00", 1.0),
+      ev("u2", "purchase", "2024-01-01 00:01:00", 2.0),
+      ev("u3", "view", "2024-01-01 00:00:00", 1.0),
+      ev("u3", "click", "2024-01-01 00:01:00", 5.0),
+      ev("u3", "purchase", "2024-01-01 00:02:00", 6.0))
+      .toDF("u", "t", "ts", "price")
+    df.createOrReplaceTempView("mrq_events")
+
+    val out = SqlFrontend.execute(spark,
+      """SELECT * FROM mrq_events
+        |  MATCH_RECOGNIZE (
+        |    PARTITION BY u ORDER BY ts
+        |    MEASURES FIRST(B.price) AS first_click, LAST(B.price) AS last_click,
+        |             C.ts AS purchase_ts
+        |    ONE ROW PER MATCH
+        |    AFTER MATCH SKIP TO NEXT ROW
+        |    PATTERN (A B{1,2} C)
+        |    DEFINE A AS A.t = 'view', B AS B.t = 'click', C AS C.t = 'purchase'
+        |  )""".stripMargin)
+      .collect().map(r => (r.getAs[String]("u"),
+        r.getAs[Double]("first_click"), r.getAs[Double]("last_click"))).sortBy(_._1)
+    // u1 greedy: B×2 (prices 2.0, 3.0); u3: B×1 (5.0); u2: no match
+    assert(out.toSeq == Seq(("u1", 2.0, 3.0), ("u3", 5.0, 5.0)), out.mkString(";"))
+
+    // optional variable: absent B yields NULL measures, match still emits
+    val opt = SqlFrontend.execute(spark,
+      """SELECT * FROM mrq_events
+        |  MATCH_RECOGNIZE (
+        |    PARTITION BY u ORDER BY ts
+        |    MEASURES A.ts AS start_ts, B.price AS click_price
+        |    ONE ROW PER MATCH
+        |    AFTER MATCH SKIP TO NEXT ROW
+        |    PATTERN (A B? C)
+        |    DEFINE A AS A.t = 'view', B AS B.t = 'click', C AS C.t = 'purchase'
+        |  )""".stripMargin)
+      .collect().map(r => (r.getAs[String]("u"), Option(r.get(r.fieldIndex("click_price")))))
+      .sortBy(_._1)
+    // u1: view click [click] purchase — A B C needs contiguity: B=click then C
+    //     must be next row; greedy B present picks (view,click,?) — row after
+    //     first click is 'click' not purchase, so B-present fails at start row;
+    //     B-absent needs purchase right after view — also fails at start row.
+    //     Start row 2 (click) fails A. So u1 emits NOTHING from row 0... but
+    //     SKIP TO NEXT ROW tries every start: no match for u1.
+    // u2: view purchase — B absent: matches, click_price NULL
+    // u3: view click purchase — B present: matches, 5.0
+    assert(opt.toSeq == Seq(("u2", None), ("u3", Some(5.0))), opt.mkString(";"))
   }
 
   test("FOR SYSTEM_TIME AS OF temporal join picks the version valid at the probe's time") {
