@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -160,5 +160,65 @@ object CorpusStats {
     df.select(explode(shUdf(col(textCol))).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("ngram")).limit(k)
+  }
+
+  /** Distribution drift between two corpora over their token distributions —
+    * the "did this month's crawl shift under us?" / "does the eval slice
+    * match the training mix?" check a recipe runs before retraining.
+    *
+    * Measures (one output row):
+    *  - `tvd` — total variation distance, ½·Σ|pₐ−p_b| (rational ops only);
+    *  - `bc` / `hellinger` — Bhattacharyya coefficient Σ√(pₐ·p_b) and
+    *    H = √(1−BC) (multiply + √ are IEEE correctly-rounded, so
+    *    cross-engine bit equality holds — unlike ln);
+    *  - `chi2` — symmetrised χ², Σ(pₐ−p_b)²/(pₐ+p_b);
+    *  - `kl_ab` / `kl_ba` / `js` — KL and Jensen–Shannon divergences. These
+    *    need ln, whose last-ulp rounding is NOT specified by IEEE and
+    *    genuinely differs across libm implementations — deterministic within
+    *    Spark, but not oracle-hashable across engines (the tfIdfTopTerms
+    *    scaladoc's transcendentals rule). Drift gates should threshold on
+    *    tvd/hellinger; KL is reported because recipes conventionally log it.
+    *
+    * Laplace +1 smoothing over the union vocabulary keeps every probability
+    * finite. Per-token terms are doubles from exact-rounded ops, summed as
+    * DECIMAL(38,18) — decimal addition is associative, so the total is
+    * independent of partitioning/order (doubles summed in shuffle order are
+    * not; the established float-determinism pattern from token packing).
+    *
+    * Scale shape: two map-side-combined token-count aggs (vocab-sized, NOT
+    * corpus-sized), one vocab-keyed full outer join, one 1-row total agg
+    * broadcast back, one final 1-row agg. Nothing corpus-sized shuffles.
+    */
+  def tokenDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame) = df
+      .select(explode(Text.tokens(lower(coalesce(col(textCol), lit(""))))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val joined = counts(a).as("a")
+      .join(counts(b).as("b"), col("a.token") === col("b.token"), "full_outer")
+      .select(coalesce(col("a.cnt"), lit(0L)).as("cnt_a"),
+        coalesce(col("b.cnt"), lit(0L)).as("cnt_b"))
+    val totals = joined.agg(sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"),
+      count(lit(1)).as("vocab"))
+    val t = joined.crossJoin(broadcast(totals))
+    val pa = (col("cnt_a") + 1).cast("double") / (col("tot_a") + col("vocab")).cast("double")
+    val pb = (col("cnt_b") + 1).cast("double") / (col("tot_b") + col("vocab")).cast("double")
+    val mid = (pa + pb) / 2.0
+    def dsum(c: Column) = sum(c.cast("decimal(38,18)")).cast("double")
+    t.agg(
+        first(col("vocab")).as("vocab"),
+        first(col("tot_a")).as("tot_a"),
+        first(col("tot_b")).as("tot_b"),
+        dsum(abs(pa - pb)).as("__tv2"),
+        dsum(sqrt(pa * pb)).as("bc"),
+        dsum((pa - pb) * (pa - pb) / (pa + pb)).as("chi2"),
+        dsum(pa * log(pa / pb)).as("kl_ab"),
+        dsum(pb * log(pb / pa)).as("kl_ba"),
+        dsum(pa * log(pa / mid) + pb * log(pb / mid)).as("__js2"))
+      .select(col("vocab"), col("tot_a"), col("tot_b"),
+        (col("__tv2") * 0.5).as("tvd"),
+        col("bc"), sqrt(lit(1.0) - col("bc")).as("hellinger"),
+        col("chi2"), col("kl_ab"), col("kl_ba"),
+        (col("__js2") * 0.5).as("js"))
   }
 }

@@ -244,6 +244,39 @@ object Curation {
       .filter(col("bucket") < rate)
   }
 
+  /** EXACT-count stratified sampling: exactly min(n, |stratum|) rows per
+    * stratum — the "give me exactly 10k eval docs per language" form that
+    * rate-based [[stratifiedSample]] can't deliver (a percentage draw has
+    * binomial wobble). The draw is a deterministic hash order (60-bit md5
+    * prefix of the id's string image — engine-portable, the Reconcile row
+    * image), so it is reproducible across runs, layouts, and engines.
+    *
+    * Routed through the bounded [[graft.operators.TopK]] aggregator: each
+    * input partition ships at most max-n rows per stratum (map-side partial),
+    * O(strata·n) shuffle — never a per-group sort or a corpus-wide window.
+    * Hash ties at double precision break on id ascending (TopKAgg's
+    * ordering), keeping the cut deterministic.
+    *
+    * Output: `stratum`, `rank` (1-based within stratum), `score` (the hash
+    * as double), `id`. Strata absent from `counts` fall back to `defaultN`
+    * (0 = drop the stratum).
+    */
+  def exactStratifiedSample(df: DataFrame, stratumCol: Column, idCol: String,
+                            counts: Map[String, Int], defaultN: Int = 0): DataFrame = {
+    require(counts.values.forall(_ >= 0) && defaultN >= 0, "sample counts must be >= 0")
+    val kMax = (counts.values ++ Seq(defaultN)).max
+    require(kMax > 0, "at least one stratum must keep rows")
+    val score = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double")
+    val ranked = graft.operators.TopK.perGroup(
+      df.withColumn("stratum", stratumCol).withColumn("__score", score),
+      Seq("stratum"), col("__score"), col(idCol), kMax)
+    val n = counts.foldLeft(lit(defaultN): Column) {
+      case (acc, (k, c)) => when(col("stratum") === k, c).otherwise(acc)
+    }
+    ranked.filter(col("rank") <= n)
+  }
+
   /** Domain mixture weighting (the DoReMi/SlimPajama-style recipe step):
     * given a target token share per domain and a total training budget,
     * compute per-domain token counts and the repeat weight (and whole-epoch

@@ -1964,6 +1964,96 @@ object Catalog {
                    WHERE h.host = bl.d OR h.host LIKE '%.' || bl.d) AS blocked
     FROM h"""))
 
+  private val q113 = Q("q113_exact_stratified_sample", (s, dir) => {
+    // Exact-count stratified sampling: exactly 20/10/5 docs per length
+    // stratum, deterministic hash order — the eval-set construction step.
+    val stratum = when(length(col("text")) < 200, "short")
+      .when(length(col("text")) < 500, "medium").otherwise("long")
+    graft.llmops.Curation.exactStratifiedSample(t(s, dir, "documents"), stratum, "doc_id",
+      Map("short" -> 20, "medium" -> 10, "long" -> 5))
+  }, Some("""
+    WITH b AS (SELECT doc_id,
+        CASE WHEN length(text) < 200 THEN 'short' WHEN length(text) < 500 THEN 'medium' ELSE 'long' END AS stratum,
+        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) AS score
+      FROM documents)
+    SELECT stratum, CAST(row_number() OVER (PARTITION BY stratum ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+           score, doc_id AS id
+    FROM b
+    QUALIFY rank <= CASE stratum WHEN 'short' THEN 20 WHEN 'medium' THEN 10 ELSE 5 END"""))
+
+  private val q114 = Q("q114_contiguous_ids", (s, dir) => {
+    // Dense global 0..N-1 ids over a total order WITHOUT the single-task
+    // window — two-pass distributed prefix sum (the packing pattern).
+    graft.operators.Ids.contiguousRowIds(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Seq("o_totalprice", "o_orderkey"))
+  }, Some("""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS BIGINT) AS row_id
+    FROM orders"""))
+
+  private val q115 = Q("q115_corpus_divergence", (s, dir) => {
+    // Token-distribution drift between two corpus halves: rational/sqrt
+    // measures only (tvd, bc, hellinger, chi2) — the ln-based columns are
+    // deliberately excluded from the oracle surface (libm last-ulp rounding
+    // is engine-specific; see tokenDivergence scaladoc).
+    val docs = t(s, dir, "documents")
+    graft.llmops.CorpusStats.tokenDivergence(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1), "text")
+      .select("vocab", "tot_a", "tot_b", "tvd", "bc", "hellinger", "chi2")
+  }, Some("""
+    WITH ta AS (SELECT unnest(string_split_regex(trim(lower(coalesce(text,''))), '\s+')) AS token
+                FROM documents WHERE doc_id % 2 = 0),
+         tb AS (SELECT unnest(string_split_regex(trim(lower(coalesce(text,''))), '\s+')) AS token
+                FROM documents WHERE doc_id % 2 = 1),
+         ca AS (SELECT token, count(*) AS cnt FROM ta WHERE token <> '' GROUP BY token),
+         cb AS (SELECT token, count(*) AS cnt FROM tb WHERE token <> '' GROUP BY token),
+         j AS (SELECT coalesce(ca.cnt, 0) AS cnt_a, coalesce(cb.cnt, 0) AS cnt_b
+               FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+         tot AS (SELECT SUM(cnt_a) AS tot_a, SUM(cnt_b) AS tot_b, COUNT(*) AS vocab FROM j),
+         p AS (SELECT CAST(cnt_a + 1 AS DOUBLE) / CAST(tot_a + vocab AS DOUBLE) AS pa,
+                      CAST(cnt_b + 1 AS DOUBLE) / CAST(tot_b + vocab AS DOUBLE) AS pb
+               FROM j, tot)
+    SELECT CAST(vocab AS BIGINT) AS vocab, CAST(tot_a AS BIGINT) AS tot_a, CAST(tot_b AS BIGINT) AS tot_b,
+           CAST(SUM(CAST(abs(pa - pb) AS DECIMAL(38,18))) AS DOUBLE) * 0.5 AS tvd,
+           CAST(SUM(CAST(sqrt(pa * pb) AS DECIMAL(38,18))) AS DOUBLE) AS bc,
+           sqrt(1.0 - CAST(SUM(CAST(sqrt(pa * pb) AS DECIMAL(38,18))) AS DOUBLE)) AS hellinger,
+           CAST(SUM(CAST((pa - pb) * (pa - pb) / (pa + pb) AS DECIMAL(38,18))) AS DOUBLE) AS chi2
+    FROM p, tot GROUP BY vocab, tot_a, tot_b"""))
+
+  private val q116 = Q("q116_snapshot_diff", (s, dir) => {
+    // Keyed snapshot diff: orders vs a deterministically mutated version —
+    // removals (key%7=0), price changes (key%5=0), synthetic adds (key%11=0
+    // re-keyed past the max) — the audit run when Reconcile checksums
+    // disagree.
+    val old = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val changed = old.filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+    val added = old.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+    graft.operators.SnapshotDiff.diff(old, changed.unionByName(added),
+      Seq("o_orderkey"), Seq("o_custkey", "o_totalprice"))
+  }, Some("""
+    WITH old AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+         chg AS (SELECT o_orderkey, o_custkey,
+                        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+                 FROM orders WHERE o_orderkey % 7 <> 0
+                 UNION ALL
+                 SELECT o_orderkey + 100000000, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 11 = 0),
+         d AS (SELECT coalesce(old.o_orderkey, chg.o_orderkey) AS o_orderkey,
+                      old.o_orderkey IS NOT NULL AS op, chg.o_orderkey IS NOT NULL AS np,
+                      concat_ws(',',
+                        CASE WHEN old.o_custkey IS DISTINCT FROM chg.o_custkey THEN 'o_custkey' END,
+                        CASE WHEN old.o_totalprice IS DISTINCT FROM chg.o_totalprice THEN 'o_totalprice' END) AS cc
+               FROM old FULL OUTER JOIN chg ON old.o_orderkey = chg.o_orderkey)
+    SELECT o_orderkey,
+           CASE WHEN NOT op THEN 'added' WHEN NOT np THEN 'removed'
+                WHEN cc <> '' THEN 'changed' ELSE 'unchanged' END AS status,
+           CASE WHEN NOT op OR NOT np THEN '' ELSE cc END AS changed_cols
+    FROM d
+    WHERE NOT (op AND np AND cc = '')"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -1976,7 +2066,8 @@ object Catalog {
     q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112)
+    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
+    q111, q112, q113, q114, q115, q116)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
