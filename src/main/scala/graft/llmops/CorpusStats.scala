@@ -194,10 +194,14 @@ object CorpusStats {
       .select(explode(Text.tokens(lower(coalesce(col(textCol), lit(""))))).as("token"))
       .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("cnt"))
+    // two consumers (the totals agg and the per-token term scan) would each
+    // recompute the corpus-scan → count-agg → vocab-join chain; materialize
+    // the vocab-sized table once (the lineDedup/decontaminate precedent)
     val joined = counts(a).as("a")
       .join(counts(b).as("b"), col("a.token") === col("b.token"), "full_outer")
       .select(coalesce(col("a.cnt"), lit(0L)).as("cnt_a"),
         coalesce(col("b.cnt"), lit(0L)).as("cnt_b"))
+      .localCheckpoint()
     val totals = joined.agg(sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"),
       count(lit(1)).as("vocab"))
     val t = joined.crossJoin(broadcast(totals))

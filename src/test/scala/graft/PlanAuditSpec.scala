@@ -97,4 +97,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_topkagg"), "map-side partial bounded aggregation required")
     assert(!p.contains("Window"), "no window-sort formulation")
   }
+
+  test("q113: exact sampling ships O(strata·k) through the bounded aggregator") {
+    val p = plan("q113_exact_stratified_sample")
+    assert(p.contains("partial_topkagg"), "map-side partial bounded aggregation required")
+    assert(!p.contains("Window"), "no per-stratum window sort")
+  }
+
+  test("q115: divergence computes the vocab join once and broadcasts the totals") {
+    val p = plan("q115_corpus_divergence")
+    // both consumers must read the materialized vocab table, not rebuild the
+    // corpus-scan → count-agg → join chain (which would scan the corpus twice)
+    assert(!p.contains("SortMergeJoin FullOuter"),
+      s"vocab join must be materialized ahead of the totals broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row totals must broadcast back")
+  }
+
+  test("q116: snapshot diff is one full-outer join, nothing re-reads") {
+    val p = plan("q116_snapshot_diff")
+    assert(p.contains("FullOuter"), "keyed diff is a full outer join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "diff must join on the key, never cross")
+  }
 }
