@@ -32,6 +32,20 @@ object Vectors {
     */
   def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** L2 normalization to the unit sphere — native fused expression
+    * (graft.plans.L2Normalize): the HOF form `transform(v, x / norm(v))`
+    * re-evaluates the norm PER ELEMENT once CollapseProject inlines it
+    * (the documented O(d²) trap); the native expression is one two-pass
+    * loop. Zero vectors pass through unchanged (no direction, no NaN).
+    */
+  def l2Normalize(v: Column): Column = graft.plans.L2Normalize(v)
+
+  /** Mean pooling ARRAY<ARRAY<FLOAT>> → ARRAY<FLOAT> (token embeddings to a
+    * document embedding); native expression, null tokens skipped, all-null
+    * pools to NULL, ragged inputs fail loudly.
+    */
+  def meanPool(vs: Column): Column = graft.plans.MeanPool(vs)
+
   /** Squared L2 distance, same codegen-friendly shape. */
   def l2sq(a: Column, b: Column): Column = {
     val d = zip_with(toDoubleArr(a), toDoubleArr(b), (x, y) => x - y)

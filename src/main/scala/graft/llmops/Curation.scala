@@ -277,6 +277,33 @@ object Curation {
     ranked.filter(col("rank") <= n)
   }
 
+  /** Quantile binning (feature discretization): assign each row the bucket
+    * of its value among its group's k-quantiles — the featurization /
+    * heuristic-calibration step ("which quality quartile is this doc in?").
+    *
+    * ONE |groups|-row exact-percentile agg (native `percentile` with a
+    * fraction array — interpolated, bit-matching DuckDB's quantile_cont, the
+    * q67 precedent) broadcast back to the corpus; the bucket is a
+    * comparison-only fold over the k−1 thresholds — never a per-group sort
+    * or ntile window over the data. Bucket b ∈ [0, k−1]: count of thresholds
+    * strictly below the value, so values ON a threshold take the lower
+    * bucket, and every engine agrees because the thresholds are bit-equal.
+    * The fold's HOF lambda touches only BOUND attributes (value, thresholds
+    * array) — no derived re-evaluation (the BASELINE HOF rule).
+    */
+  def quantileBin(df: DataFrame, valueCol: Column, groupCol: Column, k: Int): DataFrame = {
+    require(k >= 2, s"quantileBin needs k >= 2 buckets, got $k")
+    val fracs = (1 until k).map(_.toDouble / k)
+    val cuts = df.select(groupCol.as("grp"), valueCol.cast("double").as("__v"))
+      .groupBy("grp")
+      .agg(percentile(col("__v"), typedLit(fracs)).as("__cuts"))
+    df.select(groupCol.as("grp"), valueCol.cast("double").as("v"))
+      .join(broadcast(cuts), "grp")
+      .withColumn("bucket",
+        aggregate(col("__cuts"), lit(0L), (acc, t) => acc + when(col("v") > t, 1L).otherwise(0L)))
+      .drop("__cuts")
+  }
+
   /** Domain mixture weighting (the DoReMi/SlimPajama-style recipe step):
     * given a target token share per domain and a total training budget,
     * compute per-domain token counts and the repeat weight (and whole-epoch

@@ -107,6 +107,12 @@ object GraftExtensions {
     (new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (new FunctionIdentifier("graft_l2_normalize"),
+      new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2_normalize"),
+      (children: Seq[Expression]) => L2Normalize(children.head)),
+    (new FunctionIdentifier("graft_mean_pool"),
+      new ExpressionInfo(classOf[MeanPool].getName, "graft_mean_pool"),
+      (children: Seq[Expression]) => MeanPool(children.head)),
     lift1("graft_quality_score", graft.functions.Text.qualityScore),
     lift1("graft_lang_id", graft.functions.Text.langId),
     lift1("graft_token_count", c => graft.functions.Text.tokenCount(c).cast("long")),

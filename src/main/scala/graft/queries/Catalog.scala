@@ -2054,6 +2054,53 @@ object Catalog {
     FROM d
     WHERE NOT (op AND np AND cc = '')"""))
 
+  private val q117 = Q("q117_l2_normalize", (s, dir) => {
+    // Unit-sphere normalization through the native fused expression —
+    // unnested to scalar rows for the hash gate (q90 pattern). Bit-exact:
+    // left-to-right double squares, IEEE sqrt/divide, exact float narrow.
+    t(s, dir, "embeddings").select(col("vec_id"),
+      posexplode(graft.functions.Vectors.l2Normalize(col("embedding"))).as(Seq("dim", "value")))
+  }, Some("""
+    SELECT vec_id, CAST(u.k AS INTEGER) AS dim,
+           CAST(CASE WHEN nrm > 0 THEN CAST(embedding[CAST(u.k AS INTEGER)+1] AS DOUBLE) / nrm
+                     ELSE CAST(embedding[CAST(u.k AS INTEGER)+1] AS DOUBLE) END AS FLOAT) AS value
+    FROM (SELECT vec_id, embedding,
+                 sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                  (a, b) -> a + b)) AS nrm
+          FROM embeddings), UNNEST(range(0, len(embedding))) u(k)"""))
+
+  private val q118 = Q("q118_mean_pool", (s, dir) => {
+    // Token-to-document mean pooling: 50 synthetic "documents" of ~160
+    // token vectors each (vec_id mod 50), pooled through the native
+    // expression; vec_id order pins the per-dim addition order so the
+    // DuckDB left fold is bit-identical.
+    t(s, dir, "embeddings")
+      .groupBy((col("vec_id") % 50).as("gid"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+      .select(col("gid"),
+        posexplode(graft.functions.Vectors.meanPool(
+          transform(col("vs"), _.getField("embedding")))).as(Seq("dim", "value")))
+  }, Some("""
+    WITH g AS (SELECT vec_id % 50 AS gid, list(embedding ORDER BY vec_id) AS vs,
+                      COUNT(*) AS cnt FROM embeddings GROUP BY 1)
+    SELECT gid, CAST(u.k AS INTEGER) AS dim,
+           CAST(list_reduce(list_transform(vs, v -> CAST(v[CAST(u.k AS INTEGER)+1] AS DOUBLE)),
+                            (a, b) -> a + b) / cnt AS FLOAT) AS value
+    FROM g, UNNEST(range(0, len(vs[1]))) u(k)"""))
+
+  private val q119 = Q("q119_quantile_bin", (s, dir) => {
+    // Per-group quartile discretization of prices — threshold agg broadcast
+    // back, comparison-only bucket fold (never an ntile window).
+    graft.llmops.Curation.quantileBin(
+      t(s, dir, "lineitem"), col("l_extendedprice"), col("l_returnflag"), k = 4)
+  }, Some("""
+    WITH c AS (SELECT l_returnflag AS grp,
+                      quantile_cont(CAST(l_extendedprice AS DOUBLE), [0.25, 0.5, 0.75]) AS cuts
+               FROM lineitem GROUP BY 1)
+    SELECT l.l_returnflag AS grp, CAST(l.l_extendedprice AS DOUBLE) AS v,
+           CAST(len(list_filter(c.cuts, t -> CAST(l.l_extendedprice AS DOUBLE) > t)) AS BIGINT) AS bucket
+    FROM lineitem l JOIN c ON l.l_returnflag = c.grp"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2067,7 +2114,7 @@ object Catalog {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

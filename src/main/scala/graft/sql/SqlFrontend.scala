@@ -109,6 +109,14 @@ object SqlFrontend {
         // the harness's get_statement_status — flink_sql_helper.py:98-160)
         import spark.implicits._
         StatementCatalog.list.toDF("name", "status", "kind", "statement")
+      case ExplainRe(query) =>
+        // the user-facing plan surface (Flink's EXPLAIN [PLAN FOR]): the
+        // query goes through the SAME rewrite pipeline as execution, so what
+        // the user reads is the plan that would actually run
+        import spark.implicits._
+        parseSql(spark, query).queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          .split("\n").toSeq.toDF("plan")
       case DropRe(kind, name) => drop(spark, kind.toUpperCase, unqualify(name))
       case DescribeTypedRe(kind, name) => describeObject(spark, kind.toUpperCase, unqualify(name))
       case DescribeRe(name) =>
@@ -197,6 +205,8 @@ object SqlFrontend {
       "\\w+\\s*-\\s*INTERVAL\\s+'(\\d+)'\\s+(\\w+)\\s*\\)$").r
   private val SetRe = "(?is)^SET\\s+'([^']+)'\\s*=\\s*'([^']*)'$".r
   private val ShowStatementsRe = "(?is)^SHOW\\s+STATEMENTS$".r
+  // Flink accepts both `EXPLAIN <query>` and `EXPLAIN PLAN FOR <query>`
+  private val ExplainRe = "(?is)^EXPLAIN\\s+(?:PLAN\\s+FOR\\s+)?(.+)$".r
   private val DropRe = "(?is)^DROP\\s+(TABLE|MODEL|TOOL|AGENT|CONNECTION)\\s+(?:IF\\s+EXISTS\\s+)?(\\S+)$".r
   // the reference harness issues both forms: bare `DESCRIBE t` for tables and
   // `DESCRIBE AGENT|TOOL|MODEL name` for the typed objects ("DESCRIBE TABLE

@@ -436,6 +436,24 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     assert(e3.getMessage.contains("unbounded quantifier"), e3.getMessage)
   }
 
+  test("EXPLAIN surfaces the post-rewrite plan") {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").createOrReplaceTempView("ex_t")
+    val plain = SqlFrontend.execute(spark, "EXPLAIN SELECT id FROM ex_t WHERE id > 1")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plain.contains("Physical Plan"), plain.take(200))
+    // Flink's other accepted form, and proof the rewrite pipeline applies:
+    // a TUMBLE TVF explains as the rewritten window plan instead of erroring
+    Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("ts", "v").createOrReplaceTempView("ex_s")
+    val tvf = SqlFrontend.execute(spark,
+      """EXPLAIN PLAN FOR SELECT window_start, COUNT(*) AS n
+        |FROM TABLE(TUMBLE(TABLE ex_s, DESCRIPTOR(ts), INTERVAL '5' MINUTE))
+        |GROUP BY window_start""".stripMargin)
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(tvf.contains("Physical Plan") && tvf.toLowerCase.contains("window"), tvf.take(300))
+  }
+
   test("MATCH_RECOGNIZE bounded quantifiers expand greedily") {
     import spark.implicits._
     def ev(u: String, t: String, ts: String, price: Double) =
