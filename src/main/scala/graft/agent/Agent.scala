@@ -132,6 +132,7 @@ object ToolCatalog {
   def resolve(name: String): Tool = tools.getOrElse(name, sys.error(s"no tool '$name'"))
   def get(name: String): Option[Tool] = tools.get(name)
   def resolveAll(names: Seq[String]): Map[String, Tool] = names.map(n => n -> resolve(n)).toMap
+  def names: Seq[String] = tools.keys.toSeq.sorted
 }
 
 object AgentCatalog {
@@ -139,6 +140,7 @@ object AgentCatalog {
   def register(a: AgentDefinition): Unit = agents.put(a.name, a)
   def resolve(name: String): AgentDefinition = agents.getOrElse(name, sys.error(s"no agent '$name'"))
   def get(name: String): Option[AgentDefinition] = agents.get(name)
+  def names: Seq[String] = agents.keys.toSeq.sorted
 }
 
 /** Connection registry (CREATE CONNECTION analog — MCP/MongoDB/Bedrock/… are
@@ -149,6 +151,7 @@ object ConnectionCatalog {
   private val conns = scala.collection.concurrent.TrieMap[String, Connection]()
   def register(c: Connection): Unit = conns.put(c.name, c)
   def resolve(name: String): Connection = conns.getOrElse(name, sys.error(s"no connection '$name'"))
+  def names: Seq[String] = conns.keys.toSeq.sorted
 }
 
 // --------------------------------------------------- deterministic test impls

@@ -84,6 +84,7 @@ object ModelCatalog {
     (if (textgens.contains(name)) Seq("text_generation") else Nil) ++
       (if (embedders.contains(name)) Seq("embedding") else Nil) ++
       (if (chats.contains(name)) Seq("chat") else Nil)
+  def names: Seq[String] = (textgens.keys ++ embedders.keys ++ chats.keys).toSeq.distinct.sorted
   def embedding(name: String): EmbeddingModel = embedders.getOrElse(name, sys.error(s"no embedding model '$name'"))
   def textGen(name: String): TextGenModel = textgens.getOrElse(name, sys.error(s"no textgen model '$name'"))
   def chat(name: String): ChatModel = chats.getOrElse(name, sys.error(s"no chat model '$name'"))

@@ -48,6 +48,7 @@ object TableRegistry {
   def dropTable(name: String): Boolean = tables.remove(name).isDefined
   def exists(name: String): Boolean = tables.contains(name)
   def resolve(name: String): TableDef = tables.getOrElse(name, sys.error(s"no table '$name'"))
+  def names: Seq[String] = tables.keys.toSeq.sorted
 
   /** DESCRIBE: name, type, nullable per column plus graft metadata. */
   def describe(name: String): Seq[(String, String)] = {

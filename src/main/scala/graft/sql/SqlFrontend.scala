@@ -109,6 +109,13 @@ object SqlFrontend {
         // the harness's get_statement_status — flink_sql_helper.py:98-160)
         import spark.implicits._
         StatementCatalog.list.toDF("name", "status", "kind", "statement")
+      case CreateTableHeadRe() =>
+        // declared-schema CREATE TABLE (terraform/topic-table form): columns +
+        // PRIMARY KEY + WATERMARK land in the registry; the table starts as
+        // an empty relation that INSERT INTO / standing statements fill
+        createDeclaredTable(spark, sql)
+      case ShowRe(kind) => showObjects(spark, kind.toUpperCase)
+      case ShowCreateRe(name) => showCreateTable(spark, unqualify(name))
       case ExplainRe(query) =>
         // the user-facing plan surface (Flink's EXPLAIN [PLAN FOR]): the
         // query goes through the SAME rewrite pipeline as execution, so what
@@ -196,6 +203,11 @@ object SqlFrontend {
       "(?:\\((?:[^()]|\\([^()]*\\))*\\)\\s*)?(?:WITH\\s*\\((?:'[^']*'|[^)'])*\\)\\s*)?AS\\s+((?:SELECT|WITH).*)$").r
   private val CreateVectorTableRe =
     "(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(\\S+)\\s*\\(([^)]*)\\)\\s*WITH\\s*\\((.*)\\)$".r
+  // any remaining CREATE TABLE with a declared column list (nested parens —
+  // TIMESTAMP(3), DECIMAL(10,2) — break the simpler regexes above, so this
+  // one only anchors the head and the body is parsed with balancedArgs)
+  private val CreateTableHeadRe =
+    "(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?[\\w.`]+\\s*\\(.*$".r
   private val InsertRe =
     "(?is)^INSERT\\s+INTO\\s+(\\S+)\\s+(SELECT.*)$".r
   // ALTER TABLE t MODIFY (WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)
@@ -204,7 +216,9 @@ object SqlFrontend {
     ("(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+MODIFY\\s*\\(\\s*WATERMARK\\s+FOR\\s+(\\w+)\\s+AS\\s+" +
       "\\w+\\s*-\\s*INTERVAL\\s+'(\\d+)'\\s+(\\w+)\\s*\\)$").r
   private val SetRe = "(?is)^SET\\s+'([^']+)'\\s*=\\s*'([^']*)'$".r
-  private val ShowStatementsRe = "(?is)^SHOW\\s+STATEMENTS$".r
+  private val ShowStatementsRe = "(?is)^SHOW\\s+(?:STATEMENTS|JOBS)$".r
+  private val ShowRe = "(?is)^SHOW\\s+(TABLES|VIEWS|MODELS|TOOLS|AGENTS|CONNECTIONS|FUNCTIONS)$".r
+  private val ShowCreateRe = "(?is)^SHOW\\s+CREATE\\s+TABLE\\s+([\\w.`]+)$".r
   // Flink accepts both `EXPLAIN <query>` and `EXPLAIN PLAN FOR <query>`
   private val ExplainRe = "(?is)^EXPLAIN\\s+(?:PLAN\\s+FOR\\s+)?(.+)$".r
   private val DropRe = "(?is)^DROP\\s+(TABLE|MODEL|TOOL|AGENT|CONNECTION)\\s+(?:IF\\s+EXISTS\\s+)?(\\S+)$".r
@@ -310,8 +324,30 @@ object SqlFrontend {
   /** `name TYPE, name TYPE, …` → struct fields (the vector-table DDL column
     * vocabulary: primitives + ARRAY<STRING|FLOAT>).
     */
+  /** Split on top-level commas only (parens/brackets/quotes protected) —
+    * DECIMAL(10,2), ARRAY<...>, and quoted literals stay whole.
+    */
+  private[graft] def topLevelSplit(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inQuote = false
+    s.foreach { c =>
+      if (inQuote) { cur += c; if (c == '\'') inQuote = false }
+      else c match {
+        case '\''              => inQuote = true; cur += c
+        case '(' | '[' | '<'   => depth += 1; cur += c
+        case ')' | ']' | '>'   => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+        case other             => cur += other
+      }
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.toSeq
+  }
+
   private[graft] def parseColumns(spec: String): Seq[org.apache.spark.sql.types.StructField] = {
     import org.apache.spark.sql.types._
+    val DecimalRe = "DECIMAL\\((\\d+),(\\d+)\\)".r
     def typ(t: String): DataType = t.trim.toUpperCase.replaceAll("\\s+", "") match {
       case "STRING" | "VARCHAR"     => StringType
       case "INT" | "INTEGER"        => IntegerType
@@ -319,13 +355,21 @@ object SqlFrontend {
       case "FLOAT"                  => FloatType
       case "DOUBLE"                 => DoubleType
       case "BOOLEAN"                => BooleanType
+      case "BYTES" | "BINARY"       => BinaryType
       case "ARRAY<STRING>"          => ArrayType(StringType)
       case "ARRAY<FLOAT>"           => ArrayType(FloatType)
       case "ARRAY<DOUBLE>"          => ArrayType(DoubleType)
+      case DecimalRe(p, sc)         => DecimalType(p.toInt, sc.toInt)
+      // Flink TIMESTAMP(p) is wall-clock (NTZ); TIMESTAMP_LTZ(p) is instant.
+      // The session runs UTC (known-hard #6), where Spark's TimestampType
+      // matches LTZ exactly; plain TIMESTAMP maps to it too because every
+      // lab pipeline compares within one table's convention.
+      case ts if ts.startsWith("TIMESTAMP_NTZ") => TimestampNTZType
+      case ts if ts.startsWith("TIMESTAMP")     => TimestampType
       case other => throw new IllegalArgumentException(s"unsupported column type: $other")
     }
-    spec.split(",").map(_.trim).filter(_.nonEmpty)
-      .filterNot(_.toUpperCase.startsWith("PRIMARY"))
+    topLevelSplit(spec).filter(_.nonEmpty)
+      .filterNot(c => c.toUpperCase.startsWith("PRIMARY") || c.toUpperCase.startsWith("WATERMARK"))
       .map { c =>
         val parts = c.split("\\s+", 2)
         require(parts.length == 2,
@@ -416,6 +460,88 @@ object SqlFrontend {
     * Fails (the harness's FAILED statement analog) when the object does not
     * exist; succeeding with rows is its COMPLETED analog.
     */
+  /** Declared-schema `CREATE TABLE t (cols…, PRIMARY KEY…, WATERMARK…) WITH
+    * (props)` — the terraform/topic-table DDL form
+    * (terraform/lab1-tool-calling/main.tf:233-241: every reference table is
+    * declared this way). Registers schema + PRIMARY KEY + WATERMARK metadata
+    * (the inputs the temporal join and streaming planner read) and exposes
+    * the table as an initially-empty relation that `INSERT INTO` snapshots
+    * and standing statements fill. No live broker binds here — the connector
+    * options are carried verbatim so `KafkaIO` can bind them on a cluster.
+    */
+  private def createDeclaredTable(spark: SparkSession, sql: String): DataFrame = {
+    val head = "(?is)^CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?([\\w.`]+)\\s*\\(".r
+      .findFirstMatchIn(sql).get
+    val name = unqualify(head.group(1))
+    val (entries, after) = balancedArgs(sql, sql.indexOf('(', head.end - 1))
+    val body = entries.mkString(", ")
+    val rest = sql.substring(after).trim
+    val props: Map[String, String] =
+      "(?is)^WITH\\s*\\((.*)\\)$".r.findFirstMatchIn(rest).map(m => parseProps(m.group(1)))
+        .getOrElse {
+          require(rest.isEmpty, s"CREATE TABLE $name: unparsed trailer '$rest'")
+          Map.empty
+        }
+    val schema = org.apache.spark.sql.types.StructType(parseColumns(body))
+    val pk = "(?i)PRIMARY\\s+KEY\\s*\\(([^)]*)\\)".r.findFirstMatchIn(body)
+      .map(_.group(1).split(",").map(c => unqualify(c.trim)).toSeq).getOrElse(Seq.empty)
+    val wm = ("(?is)WATERMARK\\s+FOR\\s+(\\w+)\\s+AS\\s+\\w+\\s*-\\s*" +
+      "INTERVAL\\s+'(\\d+)'\\s+(\\w+)").r.findFirstMatchIn(body)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    TableRegistry.createTable(TableRegistry.TableDef(name, Some(schema),
+      watermarkCol = wm.map(_.group(1)),
+      watermarkDelay = wm.map(m => s"${m.group(2)} ${m.group(3).toLowerCase}"),
+      primaryKey = pk,
+      options = props,
+      load = s => empty))
+    empty.createOrReplaceTempView(name)
+    status(spark, "TABLE", name)
+  }
+
+  /** SHOW TABLES/VIEWS/MODELS/TOOLS/AGENTS/CONNECTIONS/FUNCTIONS — the
+    * catalog-browsing surface a SQL workspace session leans on. TABLES merges
+    * the graft registry with the session's temp views (a CTAS lands in both);
+    * FUNCTIONS lists the installed graft SQL pack.
+    */
+  private def showObjects(spark: SparkSession, kind: String): DataFrame = {
+    import spark.implicits._
+    def one(colName: String, values: Seq[String]) = values.distinct.sorted.toDF(colName)
+    kind match {
+      case "TABLES" | "VIEWS" =>
+        val views = spark.catalog.listTables().collect().map(_.name).toSeq
+        one(if (kind == "TABLES") "table_name" else "view_name",
+          graft.sources.TableRegistry.names ++ views)
+      case "MODELS" => one("model_name", graft.ml.ModelCatalog.names)
+      case "TOOLS" => one("tool_name", graft.agent.ToolCatalog.names)
+      case "AGENTS" => one("agent_name", graft.agent.AgentCatalog.names)
+      case "CONNECTIONS" => one("connection_name", graft.agent.ConnectionCatalog.names)
+      case "FUNCTIONS" =>
+        one("function_name", graft.plans.GraftExtensions.functions.map(_._1.funcName))
+    }
+  }
+
+  /** SHOW CREATE TABLE — reconstruct Flink-flavored DDL from the registry's
+    * TableDef (columns, WATERMARK, PRIMARY KEY NOT ENFORCED, WITH options).
+    */
+  private def showCreateTable(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val t = TableRegistry.resolve(name)
+    val cols = t.schema.map(_.fields.toSeq.map(f => s"  `${f.name}` ${f.dataType.sql}"))
+      .getOrElse(Seq.empty)
+    val wm = t.watermarkCol.map(c =>
+      s"  WATERMARK FOR `$c` AS `$c` - INTERVAL '${t.watermarkDelay.getOrElse("0 seconds")}'")
+    val pk = if (t.primaryKey.nonEmpty)
+      Seq(s"  PRIMARY KEY (${t.primaryKey.map(k => s"`$k`").mkString(", ")}) NOT ENFORCED")
+    else Seq.empty
+    val body = (cols ++ wm.toSeq ++ pk).mkString(",\n")
+    val withOpts = if (t.options.nonEmpty)
+      t.options.toSeq.sorted.map { case (k, v) => s"  '$k' = '$v'" }
+        .mkString(" WITH (\n", ",\n", "\n)")
+    else ""
+    Seq(s"CREATE TABLE `$name` (\n$body\n)$withOpts").toDF("create_statement")
+  }
+
   private def describeObject(spark: SparkSession, kind: String, name: String): DataFrame = {
     import spark.implicits._
     val rows: Seq[(String, String)] = kind match {

@@ -436,6 +436,31 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     assert(e3.getMessage.contains("unbounded quantifier"), e3.getMessage)
   }
 
+  test("SHOW family lists every catalog kind; SHOW CREATE TABLE reconstructs DDL") {
+    SqlFrontend.executeAll(spark,
+      """CREATE CONNECTION show_conn WITH ('type' = 'mcp_server', 'endpoint' = 'http://localhost:1');
+        |CREATE MODEL show_model INPUT (t STRING) OUTPUT (r STRING)
+        |  WITH ('provider' = 'local', 'task' = 'text_generation', 'local.model' = 'local-textgen');
+        |CREATE TABLE show_src (id BIGINT, ts TIMESTAMP, v DOUBLE,
+        |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)
+        |  WITH ('connector' = 'datagen')""".stripMargin)
+    def names(sql: String): Seq[String] =
+      SqlFrontend.execute(spark, sql).collect().map(_.getString(0)).toSeq
+    assert(names("SHOW TABLES").contains("show_src"))
+    assert(names("SHOW MODELS").contains("show_model"))
+    assert(names("SHOW CONNECTIONS").contains("show_conn"))
+    assert(names("SHOW FUNCTIONS").contains("graft_l2_normalize"))
+    assert(names("SHOW FUNCTIONS").contains("cosine_similarity"))
+    // agents/tools surface registered definitions
+    assert(names("SHOW AGENTS").isEmpty || names("SHOW AGENTS").forall(_.nonEmpty))
+    val ddl = names("SHOW CREATE TABLE show_src").head
+    assert(ddl.contains("CREATE TABLE `show_src`") && ddl.contains("`id` BIGINT") &&
+      ddl.contains("WATERMARK FOR `ts`"), ddl)
+    // SHOW JOBS is the Flink spelling of the statement-lifecycle listing
+    val jobs = SqlFrontend.execute(spark, "SHOW JOBS")
+    assert(jobs.columns.toSeq == Seq("name", "status", "kind", "statement"))
+  }
+
   test("EXPLAIN surfaces the post-rewrite plan") {
     import spark.implicits._
     Seq((1L, "a"), (2L, "b")).toDF("id", "s").createOrReplaceTempView("ex_t")
