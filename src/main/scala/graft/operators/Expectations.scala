@@ -39,4 +39,22 @@ object Expectations {
     agged.select(explode(array(verdicts: _*)).as("v"))
       .select(col("v.rule"), col("v.pass_rate"), col("v.min_pass_rate"), col("v.passed"))
   }
+
+  /** Row-level quarantine routing — [[check]]'s sibling for pipelines that
+    * must KEEP flowing: instead of a table-level verdict, every row is
+    * tagged with the rules it violates (`violations`, comma-joined sorted
+    * names, '' when clean) so the caller splits `filter(col("violations") ===
+    * "")` → main path, rest → quarantine sink with the reason attached (the
+    * dead-letter-queue discipline). Row-local projection, zero shuffle, scan
+    * speed; NULL predicates count as violations, matching [[check]].
+    *
+    * `minPassRate` deliberately plays no role here: routing is per-row;
+    * rate thresholds are a table-level gate ([[check]]).
+    */
+  def quarantine(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "no rules given")
+    val tags = rules.sortBy(_.name).map(r =>
+      when(!coalesce(r.predicate, lit(false)), lit(r.name)))
+    df.withColumn("violations", concat_ws(",", tags: _*))
+  }
 }

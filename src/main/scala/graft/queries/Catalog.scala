@@ -2101,6 +2101,24 @@ object Catalog {
            CAST(len(list_filter(c.cuts, t -> CAST(l.l_extendedprice AS DOUBLE) > t)) AS BIGINT) AS bucket
     FROM lineitem l JOIN c ON l.l_returnflag = c.grp"""))
 
+  private val q120 = Q("q120_quarantine", (s, dir) => {
+    // Row-level dead-letter routing: every row tagged with its violated
+    // rules; '' = clean main path, anything else = quarantine with reason.
+    import graft.operators.Expectations.Rule
+    graft.operators.Expectations.quarantine(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+      Seq(Rule("min_length", length(col("text")) >= lit(200), 1.0),
+        Rule("western_lang", col("lang").isin("en", "de", "fr", "es"), 1.0),
+        Rule("id_positive", col("doc_id") > 0, 1.0)))
+      .select(col("doc_id"), col("lang"), length(col("text")).as("len"), col("violations"))
+  }, Some("""
+    SELECT doc_id, lang, length(text) AS len,
+           concat_ws(',',
+             CASE WHEN NOT coalesce(doc_id > 0, false) THEN 'id_positive' END,
+             CASE WHEN NOT coalesce(length(text) >= 200, false) THEN 'min_length' END,
+             CASE WHEN NOT coalesce(lang IN ('en','de','fr','es'), false) THEN 'western_lang' END) AS violations
+    FROM documents"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2114,7 +2132,7 @@ object Catalog {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

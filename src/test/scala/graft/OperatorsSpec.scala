@@ -265,7 +265,23 @@ class ReconcileSpec extends SparkSpec {
 }
 
 class ExpectationsSpec extends SparkSpec {
-  import graft.operators.Expectations.{Rule, check}
+  import graft.operators.Expectations.{Rule, check, quarantine}
+
+  test("quarantine tags each row with its violated rules, sorted; null predicate = violation") {
+    import spark.implicits._
+    val df = Seq((1, Option(5)), (2, Option(-1)), (3, Option.empty[Int])).toDF("id", "v")
+    val out = quarantine(df, Seq(
+      Rule("positive", col("v") > 0, 1.0),
+      Rule("small_id", col("id") < 3, 1.0)))
+      .collect().map(r => r.getInt(0) -> r.getString(2)).toMap
+    assert(out(1) == "")
+    assert(out(2) == "positive")
+    assert(out(3) == "positive,small_id", "null predicate violates; names sort")
+    // the clean/quarantine split covers the input exactly
+    val q = quarantine(df, Seq(Rule("positive", col("v") > 0, 1.0)))
+    assert(q.filter(col("violations") === "").count() +
+      q.filter(col("violations") =!= "").count() == df.count())
+  }
 
   test("expectations evaluate in one agg; null predicates count as failures") {
     import spark.implicits._
