@@ -34,4 +34,55 @@ object Scd2 {
       .select(col(keyCol), col(attrCol).as("state"),
         col("valid_from"), col("valid_to"), col("is_current"))
   }
+
+  /** Incremental SCD2 maintenance — the MERGE step: fold a batch of new
+    * change events into an existing SCD2 table without rebuilding untouched
+    * keys.
+    *
+    * Only keys PRESENT in `changes` rebuild: their interval starts are a
+    * sufficient change-log statistic (each interval start IS the state-change
+    * event), so touched histories re-derive from
+    * interval-starts ∪ new changes through the same [[apply]] — collapse and
+    * interval semantics stay identical by construction. Untouched keys pass
+    * through byte-identical. Work scales with the touched slice, not the
+    * dimension: one semi/anti join pair on the key + one [[apply]] over
+    * |touched history| rows.
+    *
+    * CONTRACT: per key, changes must be event-time-append-only — at or after
+    * everything already folded in. A change EARLIER than its key's last
+    * state change would need raw events the table no longer holds (collapsed
+    * duplicate runs are invisible in interval starts), so that case FAILS
+    * LOUDLY rather than merging a silently-wrong history. The guard
+    * (ts < max current valid_from) is the strongest check the table itself
+    * supports; events that changed nothing between the last state change and
+    * the batch are — as in any warehouse MERGE — assumed absent.
+    *
+    * Reconstructed interval-start rows carry a NULL tie-break (nulls sort
+    * first: at an equal timestamp the established state precedes the new
+    * arrival, deterministically).
+    */
+  def applyChanges(current: DataFrame, changes: DataFrame, keyCol: String,
+                   attrCol: String, tsCol: String, tieBreak: String): DataFrame = {
+    val tieType = changes.schema(tieBreak).dataType
+    val touchedKeys = changes.select(col(keyCol)).distinct()
+    val touchedCur = current.join(touchedKeys, Seq(keyCol), "leftsemi")
+    val untouched = current.join(touchedKeys, Seq(keyCol), "leftanti")
+    // fail loudly on out-of-order changes (see contract above): row-local
+    // check against the broadcastable per-key high-water mark
+    val hwm = touchedCur.groupBy(keyCol).agg(max(col("valid_from")).as("__hwm"))
+    val checked = changes.join(broadcast(hwm), Seq(keyCol), "left")
+      .withColumn(tsCol,
+        when(col("__hwm").isNotNull && col(tsCol) < col("__hwm"),
+          raise_error(concat(
+            lit(s"Scd2.applyChanges: change for key "), col(keyCol).cast("string"),
+            lit(" at "), col(tsCol).cast("string"),
+            lit(" precedes the key's last state change at "), col("__hwm").cast("string"),
+            lit(" — rebuild from the raw log instead"))))
+          .otherwise(col(tsCol)))
+      .select(col(keyCol), col(attrCol), col(tsCol), col(tieBreak))
+    val replayed = touchedCur.select(col(keyCol), col("state").as(attrCol),
+      col("valid_from").as(tsCol), lit(null).cast(tieType).as(tieBreak))
+    untouched.unionByName(
+      apply(replayed.unionByName(checked), keyCol, attrCol, tsCol, tieBreak))
+  }
 }

@@ -2119,6 +2119,29 @@ object Catalog {
              CASE WHEN NOT coalesce(lang IN ('en','de','fr','es'), false) THEN 'western_lang' END) AS violations
     FROM documents"""))
 
+  private val q121 = Q("q121_scd2_merge", (s, dir) => {
+    // Incremental SCD2 maintenance: build from the first half of the change
+    // log, MERGE the second half in, and the result must equal the oracle's
+    // one-shot build over the FULL log — the strongest incremental-
+    // correctness statement the operator can make (a global ts split keeps
+    // every key event-time-append-only, the applyChanges contract).
+    val ev = t(s, dir, "events").select("event_id", "user_id", "ts", "event_type")
+    val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+    val current = graft.operators.Scd2(
+      ev.filter(col("ts") < cut), "user_id", "event_type", "ts", "event_id")
+    graft.operators.Scd2.applyChanges(current, ev.filter(col("ts") >= cut),
+      "user_id", "event_type", "ts", "event_id")
+  }, Some(s"""
+    WITH d AS (SELECT user_id, event_type, ts, event_id,
+                      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM $EV),
+         c AS (SELECT * FROM d WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM c"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2132,7 +2155,7 @@ object Catalog {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -103,6 +103,46 @@ class DivergenceSpec extends SparkSpec {
   }
 }
 
+class Scd2MergeSpec extends SparkSpec {
+  import graft.operators.Scd2
+  import java.sql.Timestamp
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("applyChanges folds new events in; untouched keys pass through; equals full rebuild") {
+    import spark.implicits._
+    val early = Seq(
+      (1L, "u1", ts("2024-01-01 00:00:00"), "a"),
+      (2L, "u1", ts("2024-01-02 00:00:00"), "b"),
+      (3L, "u2", ts("2024-01-01 12:00:00"), "x")).toDF("event_id", "user_id", "ts", "state0")
+    val late = Seq(
+      (4L, "u1", ts("2024-01-03 00:00:00"), "b"), // no state change: collapses
+      (5L, "u1", ts("2024-01-04 00:00:00"), "c"),
+      (6L, "u3", ts("2024-01-05 00:00:00"), "new")).toDF("event_id", "user_id", "ts", "state0")
+    val current = Scd2(early, "user_id", "state0", "ts", "event_id")
+    val merged = Scd2.applyChanges(current, late, "user_id", "state0", "ts", "event_id")
+    val full = Scd2(early.unionByName(late), "user_id", "state0", "ts", "event_id")
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    // untouched key u2 kept its row; new key u3 appeared
+    val byKey = merged.collect().groupBy(_.getString(0))
+    assert(byKey("u2").length == 1 && byKey("u3").length == 1 && byKey("u1").length == 3)
+  }
+
+  test("applyChanges fails loudly on out-of-order changes") {
+    import spark.implicits._
+    val early = Seq((1L, "u1", ts("2024-01-05 00:00:00"), "a"))
+      .toDF("event_id", "user_id", "ts", "state0")
+    val stale = Seq((2L, "u1", ts("2024-01-01 00:00:00"), "b"))
+      .toDF("event_id", "user_id", "ts", "state0")
+    val current = Scd2(early, "user_id", "state0", "ts", "event_id")
+    val e = intercept[Exception](
+      Scd2.applyChanges(current, stale, "user_id", "state0", "ts", "event_id").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("precedes the key's last state change")), msgs(e).toString)
+  }
+}
+
 class ExactSampleSpec extends SparkSpec {
   import graft.llmops.Curation
 
