@@ -1,0 +1,137 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of the QUANTIFIED MATCH_RECOGNIZE rewrite
+  * ([[graft.sql.SqlFrontend]] `PATTERN (A B{1,2} C?)`) over literal event
+  * types: bounded quantifiers expand to fixed type-sequences tried in GREEDY
+  * order (leftmost quantifier longest first — identical to the SQL CASE), and
+  * every stream position is an independent match start (AFTER MATCH SKIP TO
+  * NEXT ROW).
+  *
+  * The streaming subtlety fixed patterns don't have: when a SHORT alternative
+  * completes, a greedy-earlier LONGER one may still be completable by future
+  * events, so the start is UNDECIDED until every greedy-earlier alternative
+  * is either fully matched or broken by an arrived event. A start is
+  * guaranteed decided once `maxLen` events exist from it, so state per key is
+  * the trailing ≤ maxLen (type, ts, tie) events plus one undecided flag each —
+  * O(maxLen), never an event-history buffer. Matches therefore emit in the
+  * micro-batch of their DECIDING event (≥ their last matched event), append
+  * mode, immutably — the same rows the batch/SQL form produces on the closed
+  * stream, which the spec pins.
+  *
+  * Contract boundary (same as Flink CEP): a start whose shorter alternative
+  * matched but whose longer one is still open emits only when a further event
+  * (or nothing — if the stream truly ends mid-decision the tail stays
+  * undecided) breaks the longer candidate. The `within` bound applies per
+  * alternative in exact event-time micros; an alternative whose events
+  * arrived but violate the bound is broken, not open.
+  */
+object StreamingSequenceMatchQ {
+
+  /** One pattern token: `typ` repeated between `min` and `max` times. */
+  case class QTok(typ: String, min: Int, max: Int) {
+    require(min >= 0 && max >= min, s"bad quantifier {$min,$max}")
+  }
+  case class Ev(key: String, typ: String, ts: Timestamp, tie: Long)
+  case class QMatch(key: String, match_start_ts: Timestamp, match_end_ts: Timestamp,
+                    start_tie: Long, matched_len: Int)
+  case class Buf(types: Seq[String], tsMicros: Seq[Long], ties: Seq[Long],
+                 undecided: Seq[Boolean])
+
+  /** Greedy-ordered fixed type-sequences of a quantified pattern. */
+  private[streaming] def expansions(pattern: Seq[QTok]): Seq[Seq[String]] = {
+    val seqs = pattern
+      .map(t => (t.max to t.min by -1).map(c => Seq.fill(c)(t.typ)))
+      .foldLeft(Seq(Seq.empty[String]))((acc, alts) => acc.flatMap(p => alts.map(p ++ _)))
+      .filter(_.nonEmpty)
+    require(seqs.nonEmpty, "pattern admits only the empty match")
+    require(seqs.size <= 256, s"quantifiers expand to ${seqs.size} alternatives (cap 256)")
+    seqs.distinct // duplicate type-sequences behave identically; keep greedy order
+  }
+
+  def apply(df: DataFrame, keyCol: String, typeCol: String, tsCol: String, tieCol: String,
+            pattern: Seq[QTok], withinSeconds: Long = 0L): Dataset[QMatch] = {
+    val exps = expansions(pattern)
+    val maxLen = exps.map(_.size).max
+    require(withinSeconds >= 0 && withinSeconds <= Long.MaxValue / 1000000L,
+      s"withinSeconds out of range: $withinSeconds")
+    val withinUs = withinSeconds * 1000000L
+    implicit val evEnc = Encoders.product[Ev]
+    implicit val outEnc = Encoders.product[QMatch]
+    implicit val stEnc = Encoders.product[Buf]
+    implicit val keyEnc = Encoders.STRING
+
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+
+    df.select(col(keyCol).cast("string").as("key"), col(typeCol).cast("string").as("typ"),
+        col(tsCol).cast("timestamp").as("ts"), col(tieCol).cast("long").as("tie")).as[Ev]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Buf, QMatch](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Ev], state: GroupState[Buf]) =>
+          var buf = state.getOption.getOrElse(Buf(Nil, Nil, Nil, Nil))
+          val out = Seq.newBuilder[QMatch]
+          rows.toSeq.sortBy(e => (StreamingOps.tsMicros(e.ts), e.tie)).foreach { e =>
+            val types = (buf.types :+ e.typ).toIndexedSeq
+            val tss = (buf.tsMicros :+ StreamingOps.tsMicros(e.ts)).toIndexedSeq
+            val ties = (buf.ties :+ e.tie).toIndexedSeq
+            val undecided = (buf.undecided :+ true).toArray
+            var p = 0
+            while (p < types.length) {
+              if (undecided(p)) {
+                val avail = types.length - p
+                // once the NEWEST event is already past the within bound from
+                // this start, every not-yet-complete alternative is doomed too
+                // (its end would be even later) — the start decides NOW
+                // instead of waiting for a type-breaking event, which also
+                // bounds state age by the within horizon
+                val futureViolated = withinUs > 0L && tss(types.length - 1) - tss(p) > withinUs
+                var open = false
+                var winner = -1
+                val it = exps.iterator
+                while (!open && winner < 0 && it.hasNext) {
+                  val ex = it.next()
+                  if (avail >= ex.size) {
+                    var ok = true
+                    var i = 0
+                    while (ok && i < ex.size) { ok = types(p + i) == ex(i); i += 1 }
+                    if (ok && (withinUs == 0L || tss(p + ex.size - 1) - tss(p) <= withinUs))
+                      winner = ex.size
+                    // else: broken (type mismatch, or within violated with
+                    // all its events already arrived) — try the next one
+                  } else {
+                    var prefix = true
+                    var i = 0
+                    while (prefix && i < avail) { prefix = types(p + i) == ex(i); i += 1 }
+                    if (prefix && !futureViolated) open = true // completable by future events
+                  }
+                }
+                if (winner >= 0) {
+                  out += QMatch(key, toTs(tss(p)), toTs(tss(p + winner - 1)), ties(p), winner)
+                  undecided(p) = false
+                } else if (!open) undecided(p) = false // every alternative broken
+              }
+              p += 1
+            }
+            // drop the decided prefix: events BEFORE the oldest undecided
+            // start are never needed again (matches begin AT a start)
+            val keepFrom = undecided.indexOf(true) match {
+              case -1 => types.length
+              case i  => i
+            }
+            buf = Buf(types.drop(keepFrom), tss.drop(keepFrom), ties.drop(keepFrom),
+              undecided.drop(keepFrom).toSeq)
+          }
+          state.update(buf)
+          out.result().iterator
+      }
+  }
+}

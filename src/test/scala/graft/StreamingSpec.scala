@@ -285,4 +285,60 @@ class StreamingSpec extends SparkSpec {
     assert(id == 100007 && out.toSeq == body.toSeq)
     intercept[IllegalArgumentException](KafkaIO.confluentUnframe(Array[Byte](1, 2, 3, 4, 5, 6)))
   }
+
+  test("streaming quantified sequence match equals SQL MATCH_RECOGNIZE; decides across micro-batches") {
+    import graft.streaming.StreamingSequenceMatchQ
+    import graft.streaming.StreamingSequenceMatchQ.QTok
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, String, Timestamp, Long)]
+    val mem = MemoryStream[(String, String, Timestamp, Long)]
+    val pattern = Seq(QTok("A", 1, 1), QTok("B", 1, 2), QTok("C", 0, 1))
+    val matches = StreamingSequenceMatchQ(
+      mem.toDF().toDF("u", "t", "ts", "id"), "u", "t", "ts", "id", pattern, 7200)
+    val q = matches.writeStream.format("memory").queryName("seqq_sink").outputMode("append").start()
+    val b1 = Seq(
+      ("u1", "A", ts("2024-01-01 00:00:00"), 1L), ("u1", "B", ts("2024-01-01 00:01:00"), 2L),
+      ("u1", "B", ts("2024-01-01 00:02:00"), 3L), ("u1", "C", ts("2024-01-01 00:03:00"), 4L),
+      // u2: A B matched, but A B B / A B C still open -> UNDECIDED this batch
+      ("u2", "A", ts("2024-01-01 00:00:00"), 5L), ("u2", "B", ts("2024-01-01 00:01:00"), 6L),
+      // u3: no B at all -> no match
+      ("u3", "A", ts("2024-01-01 00:00:00"), 7L), ("u3", "C", ts("2024-01-01 00:01:00"), 8L),
+      // u4: shape ok but B beyond the 2h within bound; longer branches stay
+      // open until the sentinel breaks them
+      ("u4", "A", ts("2024-01-01 00:00:00"), 9L), ("u4", "B", ts("2024-01-01 02:30:00"), 10L))
+    val b2 = Seq( // sentinels break every open candidate -> decisions emit NOW
+      ("u2", "x", ts("2024-01-01 00:05:00"), 11L),
+      ("u4", "x", ts("2024-01-01 03:00:00"), 12L))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      val afterB1 = spark.table("seqq_sink").collect().map(_.getString(0)).toSet
+      assert(afterB1 == Set("u1"), s"u2 must stay undecided while a longer alternative is open: $afterB1")
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    import spark.implicits._
+    val streamed = spark.table("seqq_sink")
+      .select(col("key"), col("match_start_ts"), col("match_end_ts"), col("matched_len"))
+    val got = streamed.collect().map(r => (r.getString(0), r.getInt(3))).toSet
+    // u1 greedy takes B B C (len 4); u2 settles on A B (len 2) at the sentinel;
+    // u4's within violation kills every alternative
+    assert(got == Set(("u1", 4), ("u2", 2)), got.toString)
+
+    // the SQL MATCH_RECOGNIZE over the closed stream agrees on (key, start)
+    (b1 ++ b2).toDF("u", "t", "ts", "id").createOrReplaceTempView("seqq_events")
+    val sqlRows = graft.sql.SqlFrontend.execute(spark,
+      """SELECT * FROM seqq_events
+        |  MATCH_RECOGNIZE (
+        |    PARTITION BY u ORDER BY ts
+        |    MEASURES A.ts AS match_start_ts
+        |    ONE ROW PER MATCH
+        |    AFTER MATCH SKIP TO NEXT ROW
+        |    PATTERN (A B{1,2} C?) WITHIN INTERVAL '2' HOUR
+        |    DEFINE A AS A.t = 'A', B AS B.t = 'B', C AS C.t = 'C'
+        |  )""".stripMargin)
+      .select(col("u").as("key"), col("match_start_ts"))
+    val streamedStarts = streamed.select("key", "match_start_ts")
+    assert(streamedStarts.exceptAll(sqlRows).isEmpty && sqlRows.exceptAll(streamedStarts).isEmpty,
+      "closed-stream quantified matches must equal the SQL rewrite")
+  }
 }
