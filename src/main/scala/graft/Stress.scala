@@ -130,6 +130,48 @@ object Stress {
     println(s"[stress] docs that lost their boilerplate chunk: $deduped (expected $expectLosers)")
     require(deduped == expectLosers, s"span dedup must strip exactly the non-winners: $deduped vs $expectLosers")
 
+    // 6. dense contiguous ids at 50M rows through the two-pass prefix sum
+    //    (the row_number() window formulation funnels all 50M through one
+    //    task). Exactness: ids are a permutation of 0..N-1 AND follow the
+    //    order key (spot-checked via an order-vs-id inversion count of 0).
+    val nIds = 50000000L
+    val idsIn = spark.range(nIds).select(
+      pmod(col("id") * 2654435761L, lit(nIds)).as("sort_key"), col("id").as("orig"))
+      .repartition(64)
+    val ids = operators.Ids.contiguousRowIds(idsIn, Seq("sort_key", "orig"), numPartitions = 64)
+    val idStats = timed(s"contiguous ids, $nIds rows")(
+      ids.agg(count(lit(1)), min("row_id"), max("row_id"), countDistinct("row_id"),
+        sum(when(col("row_id") === col("sort_key"), 1L).otherwise(0L))).head())
+    println(s"[stress] ids: n=${idStats.getLong(0)} min=${idStats.getLong(1)} " +
+      s"max=${idStats.getLong(2)} distinct=${idStats.getLong(3)} fixpoints=${idStats.getLong(4)}")
+    require(idStats.getLong(0) == nIds && idStats.getLong(1) == 0 &&
+      idStats.getLong(2) == nIds - 1 && idStats.getLong(3) == nIds,
+      "row ids must be a dense permutation of 0..N-1")
+    // sort_key is itself a permutation of 0..N-1 (2654435761 is odd, gcd=1),
+    // and orig is a unique tiebreak — so row_id must EQUAL sort_key everywhere
+    require(idStats.getLong(4) == nIds,
+      s"row ids must follow the total order exactly: ${idStats.getLong(4)} of $nIds matched")
+
+    // 7. keyed snapshot diff at 10M x 10M: one full-outer sort-merge join;
+    //    planted deltas must come back exactly.
+    val nDiff = 10000000L
+    val oldSnap = spark.range(nDiff).select(col("id").as("k"),
+      pmod(col("id") * 31L, lit(1000)).as("v"))
+    val newSnap = spark.range(nDiff).filter(pmod(col("id"), lit(101)) =!= 0) // removals
+      .select(col("id").as("k"),
+        when(pmod(col("id"), lit(97)) === 0, pmod(col("id") * 31L, lit(1000)) + 1)
+          .otherwise(pmod(col("id") * 31L, lit(1000))).as("v")) // changes
+      .unionByName(spark.range(nDiff, nDiff + 1000).select(col("id").as("k"), lit(0L).as("v")))
+    val diffCounts = timed(s"snapshot diff, $nDiff x $nDiff rows")(
+      operators.SnapshotDiff.diff(oldSnap, newSnap, Seq("k"), Seq("v"))
+        .groupBy("status").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val expRemoved = (nDiff + 100) / 101
+    val expChanged = spark.range(nDiff)
+      .filter(pmod(col("id"), lit(97)) === 0 && pmod(col("id"), lit(101)) =!= 0).count()
+    println(s"[stress] diff: $diffCounts (expect removed=$expRemoved changed=$expChanged added=1000)")
+    require(diffCounts("removed") == expRemoved && diffCounts("added") == 1000L &&
+      diffCounts("changed") == expChanged, s"diff counts off: $diffCounts")
+
     spark.stop()
   }
 }

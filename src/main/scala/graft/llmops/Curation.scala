@@ -290,13 +290,25 @@ object Curation {
     * bucket, and every engine agrees because the thresholds are bit-equal.
     * The fold's HOF lambda touches only BOUND attributes (value, thresholds
     * array) — no derived re-evaluation (the BASELINE HOF rule).
+    *
+    * SCALE RULE: `exact = true` uses native `percentile`, whose aggregation
+    * buffer holds EVERY value of a group in memory — correct and
+    * oracle-matching up to ~10M rows per group, a scale-killer beyond. At
+    * 100 TB pass `exact = false`: `percentile_approx` (t-digest) keeps a
+    * bounded mergeable sketch per group with map-side partials; thresholds
+    * shift within the sketch's rank-error bound, bucket semantics are
+    * unchanged (the q70 sketch-vs-exact contract, spec-pinned here too).
     */
-  def quantileBin(df: DataFrame, valueCol: Column, groupCol: Column, k: Int): DataFrame = {
+  def quantileBin(df: DataFrame, valueCol: Column, groupCol: Column, k: Int,
+                  exact: Boolean = true, approxAccuracy: Int = 10000): DataFrame = {
     require(k >= 2, s"quantileBin needs k >= 2 buckets, got $k")
     val fracs = (1 until k).map(_.toDouble / k)
+    val cutAgg =
+      if (exact) percentile(col("__v"), typedLit(fracs))
+      else percentile_approx(col("__v"), typedLit(fracs), lit(approxAccuracy))
     val cuts = df.select(groupCol.as("grp"), valueCol.cast("double").as("__v"))
       .groupBy("grp")
-      .agg(percentile(col("__v"), typedLit(fracs)).as("__cuts"))
+      .agg(cutAgg.as("__cuts"))
     df.select(groupCol.as("grp"), valueCol.cast("double").as("v"))
       .join(broadcast(cuts), "grp")
       .withColumn("bucket",

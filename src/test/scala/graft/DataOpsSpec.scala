@@ -103,6 +103,24 @@ class DivergenceSpec extends SparkSpec {
   }
 }
 
+class QuantileBinSpec extends SparkSpec {
+
+  test("approx binning stays within sketch tolerance of exact; both cover all rows") {
+    val li = graft.core.Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("p"), col("l_orderkey"), col("l_linenumber"))
+    val exact = graft.llmops.Curation.quantileBin(li, col("p"), col("g"), 4)
+    val approx = graft.llmops.Curation.quantileBin(li, col("p"), col("g"), 4, exact = false)
+    val n = li.count()
+    assert(exact.count() == n && approx.count() == n, "binning must keep every row")
+    assert(exact.select("bucket").distinct().count() == 4)
+    // the sketch's rank error moves only rows near the cuts: demand 99% agreement
+    val together = exact.withColumnRenamed("bucket", "be")
+      .join(approx.withColumnRenamed("bucket", "ba"), Seq("grp", "v"))
+    val agree = together.filter(col("be") === col("ba")).count().toDouble / together.count()
+    assert(agree > 0.99, s"approx buckets must track exact, agreement=$agree")
+  }
+}
+
 class Scd2MergeSpec extends SparkSpec {
   import graft.operators.Scd2
   import java.sql.Timestamp
