@@ -657,7 +657,7 @@ object SqlFrontend {
           s"AND ($alias.__graft_valid_to IS NULL OR $timeExpr < $alias.__graft_valid_to)")
     })
 
-  private val MatchRecognizeRe = "(?is)FROM\\s+([\\w.`]+)\\s+MATCH_RECOGNIZE\\s*\\(".r
+  private[graft] val MatchRecognizeRe = "(?is)FROM\\s+([\\w.`]+)\\s+MATCH_RECOGNIZE\\s*\\(".r
 
   /** Flink `MATCH_RECOGNIZE` (row-pattern recognition, the CEP SQL surface):
     * `PATTERN` sequences of variables with BOUNDED quantifiers (`A`, `A?`,

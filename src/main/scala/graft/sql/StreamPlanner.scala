@@ -132,6 +132,8 @@ object StreamPlanner {
       val tumbled = rewriteTumbleStreaming(substituted)
       if ("(?i)ML_DETECT_ANOMALIES".r.findFirstIn(tumbled).isDefined)
         anomalyStage(spark, tumbled)
+      else if ("(?i)MATCH_RECOGNIZE".r.findFirstIn(tumbled).isDefined)
+        matchRecognizeStage(spark, tumbled)
       else SqlFrontend.parseSql(spark, tumbled)
     }
     ctes.foreach { case (n, body) =>
@@ -237,6 +239,115 @@ object StreamPlanner {
       }
     }
     s"SELECT ${items.mkString(", ")} FROM ${refs(fromPart)}"
+  }
+
+  /** One stage whose FROM carries `MATCH_RECOGNIZE` — the standing-CEP form:
+    * route to [[graft.streaming.StreamingSequenceMatchQ]] (per-key O(maxLen)
+    * state, greedy cross-batch decisions) instead of the batch lead()-window
+    * rewrite, which streams can't run (unbounded window functions).
+    *
+    * Supported subset — the literal-type CEP core, loud errors otherwise:
+    * single PARTITION BY column; DEFINEs of the form `V AS V.col = 'lit'`
+    * (every pattern variable defined, all on ONE column — that column IS the
+    * event-type column); bounded quantifiers; `WITHIN` in whole seconds;
+    * MEASURES limited to the first variable's ORDER BY ref (AS alias →
+    * match start) and the last variable's (→ match end). Cross-variable
+    * price-style predicates need the batch form or the DataFrame operator.
+    */
+  private def matchRecognizeStage(spark: SparkSession, stageSql: String): DataFrame = {
+    import graft.streaming.StreamingSequenceMatchQ
+    import graft.streaming.StreamingSequenceMatchQ.QTok
+    val m = SqlFrontend.MatchRecognizeRe.findFirstMatchIn(stageSql)
+      .getOrElse(sys.error("matchRecognizeStage without FROM … MATCH_RECOGNIZE"))
+    val tbl = m.group(1)
+    val (pieces, after) = SqlFrontend.balancedArgs(stageSql, stageSql.indexOf('(', m.end - 1))
+    val body = pieces.mkString(", ")
+    def clause(re: String): Option[String] = re.r.findFirstMatchIn(body).map(_.group(1).trim)
+    val part = clause("(?is)PARTITION\\s+BY\\s+(.*?)\\s+ORDER\\s+BY")
+      .getOrElse(sys.error("MATCH_RECOGNIZE requires PARTITION BY"))
+    require(part.matches("\\w+"),
+      s"streaming MATCH_RECOGNIZE supports a single partition column, got '$part'")
+    val ord = clause("(?is)ORDER\\s+BY\\s+(\\w+)")
+      .getOrElse(sys.error("MATCH_RECOGNIZE requires ORDER BY"))
+    require("(?is)AFTER\\s+MATCH\\s+SKIP\\s+TO\\s+NEXT\\s+ROW".r.findFirstIn(body).isDefined,
+      "MATCH_RECOGNIZE: state an explicit AFTER MATCH SKIP TO NEXT ROW")
+    val patM = "(?is)PATTERN\\s*\\(\\s*(.*?)\\s*\\)(?:\\s+WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(\\w+))?".r
+      .findFirstMatchIn(body).getOrElse(sys.error("MATCH_RECOGNIZE requires PATTERN (...)"))
+    val TokenRe = "(\\w+)(?:(\\?)|\\{(\\d+)(?:(,)(\\d+)?)?\\})?".r
+    val tokens: Seq[(String, Int, Int)] = patM.group(1).trim.split("\\s+").toSeq.map {
+      case TokenRe(name, q, lo, comma, hi) =>
+        if (q != null) (name, 0, 1)
+        else if (lo == null) (name, 1, 1)
+        else if (comma == null) (name, lo.toInt, lo.toInt)
+        else if (hi == null) sys.error(s"unbounded quantifier '$name{$lo,}' — state an upper bound")
+        else (name, lo.toInt, hi.toInt)
+      case tok => sys.error(s"unsupported pattern token '$tok'")
+    }
+    val DefineRe = "(?is)^(\\w+)\\s+AS\\s+(\\w+)\\.(\\w+)\\s*=\\s*'([^']*)'\\s*$".r
+    val defines: Map[String, (String, String)] = clause("(?is)DEFINE\\s+(.*)$")
+      .map(SqlFrontend.splitTopLevelCommas(_).map(_.trim)).getOrElse(Seq.empty)
+      .map {
+        case DefineRe(v, v2, c, lit) =>
+          require(v == v2, s"streaming DEFINE must constrain its own variable: '$v AS $v2.$c'")
+          v -> (c, lit)
+        case other => sys.error(s"streaming MATCH_RECOGNIZE supports only literal type DEFINEs " +
+          s"(V AS V.col = 'lit'); got '$other' — use the batch form for richer predicates")
+      }.toMap
+    val typeCols = defines.values.map(_._1).toSet
+    require(typeCols.size == 1,
+      s"streaming MATCH_RECOGNIZE DEFINEs must all test ONE column, got $typeCols")
+    tokens.foreach { case (v, _, _) =>
+      require(defines.contains(v), s"pattern variable '$v' has no DEFINE — its type is " +
+        "unconstrained, which the typed streaming operator cannot express") }
+    val typeCol = typeCols.head
+    val qtoks = tokens.map { case (v, lo, hi) => QTok(defines(v)._2, lo, hi) }
+    val withinSeconds = Option(patM.group(2)).map { num =>
+      val us = graft.operators.Cumulate.durationMicros(s"$num ${patM.group(3)}")
+      require(us % 1000000L == 0, s"WITHIN must be whole seconds, got $us micros")
+      us / 1000000L
+    }.getOrElse(0L)
+
+    // MEASURES → the operator's match_start_ts / match_end_ts columns
+    val firstVar = tokens.head._1
+    val lastVar = tokens.last._1
+    val MeasRe = "(?is)^(?:(FIRST|LAST)\\s*\\(\\s*)?(\\w+)\\.(\\w+)\\s*\\)?\\s+AS\\s+(\\w+)\\s*$".r
+    val measures: Seq[(String, String)] = clause(
+      "(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW|AFTER\\s+MATCH|PATTERN\\b)")
+      .map(SqlFrontend.splitTopLevelCommas(_).map(_.trim)).getOrElse(Seq.empty)
+      .map {
+        case MeasRe(kind, v, c, alias) if c == ord =>
+          // FIRST(first.ord) / bare first.ord → match start; LAST(last.ord) /
+          // bare last.ord → match end. Anything else (middle variables,
+          // FIRST of a quantified tail, …) is not representable in the
+          // operator's (start, end) output and errors.
+          val src = (v, Option(kind).map(_.toUpperCase)) match {
+            case (`firstVar`, None) if v != lastVar      => "match_start_ts"
+            case (`firstVar`, Some("FIRST"))             => "match_start_ts"
+            case (`lastVar`, None | Some("LAST"))        => "match_end_ts"
+            case _ => sys.error(s"streaming MEASURES: '${Option(kind).getOrElse("")}($v.$c)' maps " +
+              "to neither the first variable's start nor the last variable's end")
+          }
+          src -> alias
+        case other => sys.error(s"streaming MATCH_RECOGNIZE supports MEASURES over the ORDER BY " +
+          s"column of the first/last pattern variable only; got '$other'")
+      }
+
+    val input = SqlFrontend.parseSql(spark, s"SELECT * FROM $tbl")
+      .withColumn("__tie", lit(0L))
+    val matched = StreamingSequenceMatchQ(input, part, typeCol, ord, "__tie",
+      qtoks, withinSeconds).toDF()
+    val projected = matched.select(
+      col("key").as(part) +: measures.map { case (src, alias) => col(src).as(alias) }: _*)
+    // the stage's outer SELECT runs over the matched view (alias consumed)
+    val keywords = Set("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION",
+      "JOIN", "ON", "LEFT", "RIGHT", "INNER", "FULL", "CROSS")
+    val aliasM = "(?is)^\\s*(?:AS\\s+)?(\\w+)".r.findFirstMatchIn(stageSql.substring(after))
+      .filter(a => !keywords.contains(a.group(1).toUpperCase))
+    val aliasEnd = after + aliasM.map(_.end).getOrElse(0)
+    val v = s"__graft_mrs_${counter.incrementAndGet()}"
+    projected.createOrReplaceTempView(v)
+    val replaced = stageSql.substring(0, m.start) + s"FROM $v" + stageSql.substring(aliasEnd)
+    SqlFrontend.parseSql(spark, replaced)
   }
 
   /** One stage whose select list carries `ML_DETECT_ANOMALIES(v, ts, cfg)

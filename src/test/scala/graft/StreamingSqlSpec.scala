@@ -198,4 +198,72 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     assert(SqlFrontend.splitTopLevelCommas("a, concat(b, c), 'x,y', d(e(f,g))")
       .map(_.trim) == Seq("a", "concat(b, c)", "'x,y'", "d(e(f,g))"))
   }
+
+  test("MATCH_RECOGNIZE CTAS over a STREAM table runs as a standing CEP statement") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(String, String, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("funnel_matches", "click_events").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    val schema = mem.toDF().toDF("u", "t", "ts", "v").schema
+    TableRegistry.createTable(TableRegistry.TableDef("click_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
+
+    SqlFrontend.execute(spark,
+      """CREATE TABLE funnel_matches AS
+        |SELECT * FROM click_events
+        |  MATCH_RECOGNIZE (
+        |    PARTITION BY u
+        |    ORDER BY ts
+        |    MEASURES A.ts AS start_ts, LAST(C.ts) AS end_ts
+        |    ONE ROW PER MATCH
+        |    AFTER MATCH SKIP TO NEXT ROW
+        |    PATTERN (A B{1,2} C) WITHIN INTERVAL '1' HOUR
+        |    DEFINE A AS A.t = 'view', B AS B.t = 'click', C AS C.t = 'purchase'
+        |  )""".stripMargin)
+    assert(StatementCatalog.status("funnel_matches") == "RUNNING")
+    val q = StatementCatalog.get("funnel_matches").collect {
+      case StatementCatalog.Standing(_, _, query) => query
+    }.getOrElse(fail("MATCH_RECOGNIZE CTAS over a stream must register a standing statement"))
+
+    def ev(u: String, t: String, s: String) = (u, t, Timestamp.valueOf(s), 1.0)
+    try {
+      mem.addData(
+        ev("u1", "view", "2024-01-01 00:00:00"), ev("u1", "click", "2024-01-01 00:01:00"),
+        ev("u1", "click", "2024-01-01 00:02:00"), ev("u1", "purchase", "2024-01-01 00:03:00"),
+        ev("u2", "view", "2024-01-01 00:00:00"), ev("u2", "purchase", "2024-01-01 00:01:00"))
+      q.processAllAvailable()
+      val got = SqlFrontend.execute(spark, "SELECT u, start_ts, end_ts FROM funnel_matches")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
+      assert(got.toSeq == Seq(("u1", Timestamp.valueOf("2024-01-01 00:00:00"),
+        Timestamp.valueOf("2024-01-01 00:03:00"))), got.mkString(";"))
+    } finally {
+      SqlFrontend.execute(spark, "DROP TABLE funnel_matches")
+      assert(StatementCatalog.status("funnel_matches") == "STOPPED")
+      TableRegistry.dropTable("click_events")
+      StatementCatalog.reset()
+    }
+
+    // unsupported subsets fail loudly at submission, not silently mis-match
+    TableRegistry.createTable(TableRegistry.TableDef("click_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
+    val e = intercept[Exception](SqlFrontend.execute(spark,
+      """CREATE TABLE bad_matches AS
+        |SELECT * FROM click_events MATCH_RECOGNIZE (
+        |  PARTITION BY u ORDER BY ts MEASURES A.ts AS s ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A B)
+        |  DEFINE A AS A.t = 'view', B AS B.v > A.v)""".stripMargin))
+    assert(e.getMessage.contains("literal type DEFINEs"), e.getMessage)
+    TableRegistry.dropTable("click_events")
+    StatementCatalog.reset()
+  }
 }
