@@ -309,11 +309,13 @@ object Curation {
     val cuts = df.select(groupCol.as("grp"), valueCol.cast("double").as("__v"))
       .groupBy("grp")
       .agg(cutAgg.as("__cuts"))
+    // null-safe threshold join (the winsorize precedent): a NULL stratum is
+    // a group like any other — a plain equi-join would silently drop its rows
     df.select(groupCol.as("grp"), valueCol.cast("double").as("v"))
-      .join(broadcast(cuts), "grp")
+      .join(broadcast(cuts.withColumnRenamed("grp", "__grp_b")), col("grp") <=> col("__grp_b"))
       .withColumn("bucket",
         aggregate(col("__cuts"), lit(0L), (acc, t) => acc + when(col("v") > t, 1L).otherwise(0L)))
-      .drop("__cuts")
+      .drop("__cuts", "__grp_b")
   }
 
   /** Domain mixture weighting (the DoReMi/SlimPajama-style recipe step):
@@ -348,12 +350,19 @@ object Curation {
     * rather than being clamped to a fabricated bound.
     */
   def winsorize(df: DataFrame, valueCol: Column, groupCol: Column,
-                loP: Double, hiP: Double, outCol: String): DataFrame = {
+                loP: Double, hiP: Double, outCol: String,
+                exact: Boolean = true, approxAccuracy: Int = 10000): DataFrame = {
     require(loP >= 0 && hiP <= 1 && loP <= hiP, s"bad percentile range [$loP, $hiP]")
+    // exact native `percentile` buffers every group value in its agg buffer —
+    // the quantileBin scale rule applies: at 100 TB pass exact = false for
+    // the bounded mergeable t-digest (bounds shift within rank error; the
+    // clamp semantics are unchanged)
+    def pct(p: Double) =
+      if (exact) percentile(valueCol, lit(p))
+      else percentile_approx(valueCol, lit(p), lit(approxAccuracy))
     val keyed = df.withColumn("__wgrp", groupCol)
     val bounds = keyed.groupBy("__wgrp").agg(
-      percentile(valueCol, lit(loP)).as("__wlo"),
-      percentile(valueCol, lit(hiP)).as("__whi"))
+      pct(loP).as("__wlo"), pct(hiP).as("__whi"))
       .withColumnRenamed("__wgrp", "__wgrp_b")
     keyed.join(broadcast(bounds), col("__wgrp") <=> col("__wgrp_b"))
       .withColumn(outCol,

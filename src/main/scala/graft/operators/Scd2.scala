@@ -48,12 +48,13 @@ object Scd2 {
     * dimension: one semi/anti join pair on the key + one [[apply]] over
     * |touched history| rows.
     *
-    * CONTRACT: per key, changes must be event-time-append-only — at or after
-    * everything already folded in. A change EARLIER than its key's last
-    * state change would need raw events the table no longer holds (collapsed
-    * duplicate runs are invisible in interval starts), so that case FAILS
+    * CONTRACT: per key, changes must be event-time STRICTLY AFTER everything
+    * already folded in. A change at-or-before the key's last state change
+    * would need raw events the table no longer holds (collapsed duplicate
+    * runs are invisible in interval starts, and ordering against the
+    * boundary event needs its discarded tie-break), so that case FAILS
     * LOUDLY rather than merging a silently-wrong history. The guard
-    * (ts < max current valid_from) is the strongest check the table itself
+    * (ts <= max current valid_from) is the strongest check the table itself
     * supports; events that changed nothing between the last state change and
     * the batch are — as in any warehouse MERGE — assumed absent.
     *
@@ -70,13 +71,16 @@ object Scd2 {
     // fail loudly on out-of-order changes (see contract above): row-local
     // check against the broadcastable per-key high-water mark
     val hwm = touchedCur.groupBy(keyCol).agg(max(col("valid_from")).as("__hwm"))
+    // STRICTLY-after guard: a change AT the boundary timestamp is ambiguous
+    // too — ordering it against the (discarded) raw event that set the state
+    // needs that event's tie-break, which the table no longer holds
     val checked = changes.join(broadcast(hwm), Seq(keyCol), "left")
       .withColumn(tsCol,
-        when(col("__hwm").isNotNull && col(tsCol) < col("__hwm"),
+        when(col("__hwm").isNotNull && col(tsCol) <= col("__hwm"),
           raise_error(concat(
             lit(s"Scd2.applyChanges: change for key "), col(keyCol).cast("string"),
             lit(" at "), col(tsCol).cast("string"),
-            lit(" precedes the key's last state change at "), col("__hwm").cast("string"),
+            lit(" is at or before the key's last state change at "), col("__hwm").cast("string"),
             lit(" — rebuild from the raw log instead"))))
           .otherwise(col(tsCol)))
       .select(col(keyCol), col(attrCol), col(tsCol), col(tieBreak))

@@ -38,10 +38,20 @@ object Compaction {
     val conf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(inDir)
     val fs = path.getFileSystem(conf)
-    val files = fs.listStatus(path).filter { s =>
+    val entries = fs.listStatus(path).filterNot { s =>
       val n = s.getPath.getName
-      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      n.startsWith("_") || n.startsWith(".")
     }
+    // a partitionBy layout has data in SUBDIRECTORIES: sizing from top-level
+    // files would read bytes=0 and collapse the table into one task/file —
+    // fail loudly; compact each leaf partition directory instead
+    val subdirs = entries.filter(_.isDirectory)
+    require(subdirs.isEmpty,
+      s"Compaction.compact: $inDir contains subdirectories " +
+        s"(${subdirs.take(3).map(_.getPath.getName).mkString(", ")}…) — a partitioned " +
+        "layout must be compacted per leaf partition directory")
+    val files = entries.filter(_.isFile)
+    require(files.nonEmpty, s"Compaction.compact: no data files in $inDir")
     val bytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(inDir)

@@ -485,7 +485,7 @@ object SqlFrontend {
     val schema = org.apache.spark.sql.types.StructType(parseColumns(body))
     val pk = "(?i)PRIMARY\\s+KEY\\s*\\(([^)]*)\\)".r.findFirstMatchIn(body)
       .map(_.group(1).split(",").map(c => unqualify(c.trim)).toSeq).getOrElse(Seq.empty)
-    val wm = ("(?is)WATERMARK\\s+FOR\\s+(\\w+)\\s+AS\\s+\\w+\\s*-\\s*" +
+    val wm = ("(?is)WATERMARK\\s+FOR\\s+`?(\\w+)`?\\s+AS\\s+`?\\w+`?\\s*-\\s*" +
       "INTERVAL\\s+'(\\d+)'\\s+(\\w+)").r.findFirstMatchIn(body)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -529,8 +529,14 @@ object SqlFrontend {
     val t = TableRegistry.resolve(name)
     val cols = t.schema.map(_.fields.toSeq.map(f => s"  `${f.name}` ${f.dataType.sql}"))
       .getOrElse(Seq.empty)
-    val wm = t.watermarkCol.map(c =>
-      s"  WATERMARK FOR `$c` AS `$c` - INTERVAL '${t.watermarkDelay.getOrElse("0 seconds")}'")
+    // Flink interval syntax — INTERVAL '5' SECOND, number and unit apart —
+    // so the emitted DDL round-trips through createDeclaredTable (and Flink)
+    // instead of silently losing the watermark on re-execution
+    val wm = t.watermarkCol.map { c =>
+      val parts = t.watermarkDelay.getOrElse("0 seconds").split("\\s+", 2)
+      val unit = if (parts.length > 1) parts(1).toUpperCase else "SECONDS"
+      s"  WATERMARK FOR $c AS $c - INTERVAL '${parts(0)}' $unit"
+    }
     val pk = if (t.primaryKey.nonEmpty)
       Seq(s"  PRIMARY KEY (${t.primaryKey.map(k => s"`$k`").mkString(", ")}) NOT ENFORCED")
     else Seq.empty
@@ -678,9 +684,11 @@ object SqlFrontend {
     * no joins, no explode; Catalyst computes each distinct (col, offset) lead
     * once. Inside `DEFINE v`, `v.col` and `LAST(v.col)` are the current
     * candidate row and `FIRST(v.col)` the variable's first occurrence —
-    * Flink's running semantics; a reference to a variable with zero
-    * occurrences in an alternative is NULL (⇒ that alternative cannot match,
-    * exactly Flink's absent-optional behavior).
+    * Flink's RUNNING semantics: only earlier-offset occurrences are visible,
+    * so a forward reference (`DEFINE B AS B.x > C.x` with C later in the
+    * pattern) and a reference to an absent optional variable are both NULL —
+    * the condition can never hold, exactly as the standard prescribes.
+    * MEASURES see the FULL match (final semantics).
     *
     * UNBOUNDED quantifiers (`A+`, `A*`, `A{m,}`) and the clauses whose
     * semantics this formulation cannot reproduce (`SKIP PAST LAST ROW`,
@@ -752,9 +760,21 @@ object SqlFrontend {
       if (k == 0) colName else s"lead($colName, $k) OVER $w"
 
     /** Substitute pattern-variable refs for one expansion. `self` = the
-      * (variable, occurrence-offset) currently being DEFINEd, if any. */
+      * (variable, occurrence-offset) currently being DEFINEd, if any.
+      *
+      * DEFINE uses RUNNING semantics (Flink/standard): while classifying a
+      * row as `v`, only occurrences at STRICTLY EARLIER offsets (plus the
+      * candidate row itself for `v`'s own refs) are visible; a reference to
+      * a variable with nothing matched yet — any forward reference — is
+      * NULL, which makes the condition unsatisfiable, exactly as the
+      * standard prescribes. MEASURES (`self = None`) see the full match.
+      */
     def subst(expr: String, offsets: Map[String, Seq[Int]],
               self: Option[(String, Int)]): String = {
+      def visible(v: String): Seq[Int] = self match {
+        case Some((_, off)) => offsets.getOrElse(v, Nil).filter(_ < off)
+        case None           => offsets.getOrElse(v, Nil)
+      }
       val marked = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*\\)".r
         .replaceAllIn(expr, mm => java.util.regex.Matcher.quoteReplacement {
           val (kind, v, c) = (mm.group(1).toUpperCase, mm.group(2), mm.group(3))
@@ -762,8 +782,8 @@ object SqlFrontend {
           else self match {
             case Some((sv, off)) if sv == v =>
               if (kind == "LAST") at(c, off) // running LAST includes the candidate row
-              else at(c, offsets(v).headOption.getOrElse(off))
-            case _ => offsets.getOrElse(v, Nil) match {
+              else at(c, visible(v).headOption.getOrElse(off))
+            case _ => visible(v) match {
               case Nil => "NULL"
               case occ => at(c, if (kind == "FIRST") occ.head else occ.last)
             }
@@ -775,30 +795,15 @@ object SqlFrontend {
           if (!idx.contains(v)) mm.matched
           else self match {
             case Some((sv, off)) if sv == v => at(c, off)
-            case _ => offsets.getOrElse(v, Nil) match {
+            case _ => visible(v) match {
               case Nil => "NULL"
               case occ => at(c, occ.last)
             }
           }
         })
     }
-    def splitTop(s: String): Seq[String] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      val cur = new StringBuilder
-      var depth = 0; var inQuote = false
-      s.foreach { c =>
-        if (inQuote) { cur += c; if (c == '\'') inQuote = false }
-        else c match {
-          case '\''             => inQuote = true; cur += c
-          case '(' | '['        => depth += 1; cur += c
-          case ')' | ']'        => depth -= 1; cur += c
-          case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
-          case other            => cur += other
-        }
-      }
-      if (cur.toString.trim.nonEmpty) out += cur.toString.trim
-      out.toSeq
-    }
+    def splitTop(s: String): Seq[String] =
+      splitTopLevelCommas(s).map(_.trim).filter(_.nonEmpty)
 
     val measureSrc = clause("(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW|AFTER\\s+MATCH|PATTERN\\b)")
       .map(splitTop).getOrElse(Seq.empty)

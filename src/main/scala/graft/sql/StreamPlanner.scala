@@ -308,24 +308,29 @@ object StreamPlanner {
     }.getOrElse(0L)
 
     // MEASURES → the operator's match_start_ts / match_end_ts columns
-    val firstVar = tokens.head._1
-    val lastVar = tokens.last._1
+    val (firstVar, firstMin, firstMax) = tokens.head
+    val (lastVar, lastMin, _) = tokens.last
     val MeasRe = "(?is)^(?:(FIRST|LAST)\\s*\\(\\s*)?(\\w+)\\.(\\w+)\\s*\\)?\\s+AS\\s+(\\w+)\\s*$".r
     val measures: Seq[(String, String)] = clause(
       "(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW|AFTER\\s+MATCH|PATTERN\\b)")
       .map(SqlFrontend.splitTopLevelCommas(_).map(_.trim)).getOrElse(Seq.empty)
       .map {
         case MeasRe(kind, v, c, alias) if c == ord =>
-          // FIRST(first.ord) / bare first.ord → match start; LAST(last.ord) /
-          // bare last.ord → match end. Anything else (middle variables,
-          // FIRST of a quantified tail, …) is not representable in the
-          // operator's (start, end) output and errors.
+          // FIRST(first.ord) → match start (first var must be mandatory);
+          // bare first.ord additionally needs max=1 — the standard's bare ref
+          // is the LAST occurrence, which equals the start only unquantified.
+          // LAST(last.ord) / bare last.ord → match end (last var mandatory —
+          // an absent optional's measure would be NULL, not the end).
+          // Anything else is not representable in (start, end) and errors.
           val src = (v, Option(kind).map(_.toUpperCase)) match {
-            case (`firstVar`, None) if v != lastVar      => "match_start_ts"
-            case (`firstVar`, Some("FIRST"))             => "match_start_ts"
-            case (`lastVar`, None | Some("LAST"))        => "match_end_ts"
+            case (`firstVar`, Some("FIRST")) if firstMin >= 1 => "match_start_ts"
+            case (`firstVar`, None) if firstMin >= 1 && firstMax == 1 && v != lastVar =>
+              "match_start_ts"
+            case (`lastVar`, None | Some("LAST")) if lastMin >= 1 => "match_end_ts"
             case _ => sys.error(s"streaming MEASURES: '${Option(kind).getOrElse("")}($v.$c)' maps " +
-              "to neither the first variable's start nor the last variable's end")
+              "to neither the first variable's start nor the last variable's end " +
+              "(quantified/optional variables need FIRST(...) on a mandatory first " +
+              "variable or LAST(...) on a mandatory last variable)")
           }
           src -> alias
         case other => sys.error(s"streaming MATCH_RECOGNIZE supports MEASURES over the ORDER BY " +
@@ -336,9 +341,14 @@ object StreamPlanner {
       .withColumn("__tie", lit(0L))
     val matched = StreamingSequenceMatchQ(input, part, typeCol, ord, "__tie",
       qtoks, withinSeconds).toDF()
+    // restore the partition column's ORIGINAL type (the operator keys on its
+    // string image) so downstream joins/schemas see what the source declared
+    val keyType = input.schema(part).dataType
     val projected = matched.select(
-      col("key").as(part) +: measures.map { case (src, alias) => col(src).as(alias) }: _*)
-    // the stage's outer SELECT runs over the matched view (alias consumed)
+      col("key").cast(keyType).as(part) +:
+        measures.map { case (src, alias) => col(src).as(alias) }: _*)
+    // the stage's outer SELECT runs over the matched view, with the user's
+    // table alias RE-ATTACHED so qualified refs (mr.start_ts) still resolve
     val keywords = Set("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION",
       "JOIN", "ON", "LEFT", "RIGHT", "INNER", "FULL", "CROSS")
     val aliasM = "(?is)^\\s*(?:AS\\s+)?(\\w+)".r.findFirstMatchIn(stageSql.substring(after))
@@ -346,7 +356,8 @@ object StreamPlanner {
     val aliasEnd = after + aliasM.map(_.end).getOrElse(0)
     val v = s"__graft_mrs_${counter.incrementAndGet()}"
     projected.createOrReplaceTempView(v)
-    val replaced = stageSql.substring(0, m.start) + s"FROM $v" + stageSql.substring(aliasEnd)
+    val aliasStr = aliasM.map(a => s" ${a.group(1)}").getOrElse("")
+    val replaced = stageSql.substring(0, m.start) + s"FROM $v$aliasStr" + stageSql.substring(aliasEnd)
     SqlFrontend.parseSql(spark, replaced)
   }
 

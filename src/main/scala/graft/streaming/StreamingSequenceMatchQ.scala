@@ -30,6 +30,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * undecided) breaks the longer candidate. The `within` bound applies per
   * alternative in exact event-time micros; an alternative whose events
   * arrived but violate the bound is broken, not open.
+  *
+  * Ordering contract (the StreamingSequenceMatch/StreamingAnomaly family
+  * contract): rows sort by (ts, tie) WITHIN a trigger; cross-trigger
+  * event-time order is the source's responsibility. A later trigger
+  * delivering an EARLIER event appends behind already-buffered rows and will
+  * not match patterns spanning it — batch equivalence holds for in-order
+  * sources (per-key ordered topics), not for late data.
   */
 object StreamingSequenceMatchQ {
 

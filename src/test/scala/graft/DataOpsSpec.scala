@@ -113,6 +113,14 @@ class QuantileBinSpec extends SparkSpec {
     val n = li.count()
     assert(exact.count() == n && approx.count() == n, "binning must keep every row")
     assert(exact.select("bucket").distinct().count() == 4)
+    // a NULL stratum is a group like any other: its rows must survive the
+    // null-safe threshold join, not vanish
+    import spark.implicits._
+    val withNulls = Seq((Option("g"), 1.0), (Option.empty[String], 2.0),
+      (Option.empty[String], 5.0), (Option("g"), 9.0)).toDF("s", "p")
+    val binned = graft.llmops.Curation.quantileBin(withNulls, col("p"), col("s"), 2)
+    assert(binned.count() == 4, "NULL-group rows must be binned, not dropped")
+    assert(binned.filter(col("grp").isNull).count() == 2)
     // the sketch's rank error moves only rows near the cuts: demand 99% agreement
     val together = exact.withColumnRenamed("bucket", "be")
       .join(approx.withColumnRenamed("bucket", "ba"), Seq("grp", "v"))
@@ -153,11 +161,18 @@ class Scd2MergeSpec extends SparkSpec {
     val stale = Seq((2L, "u1", ts("2024-01-01 00:00:00"), "b"))
       .toDF("event_id", "user_id", "ts", "state0")
     val current = Scd2(early, "user_id", "state0", "ts", "event_id")
-    val e = intercept[Exception](
-      Scd2.applyChanges(current, stale, "user_id", "state0", "ts", "event_id").collect())
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("precedes the key's last state change")), msgs(e).toString)
+    val e = intercept[Exception](
+      Scd2.applyChanges(current, stale, "user_id", "state0", "ts", "event_id").collect())
+    assert(msgs(e).exists(_.contains("at or before the key's last state change")), msgs(e).toString)
+    // a change AT the boundary timestamp is ambiguous (tie against the
+    // discarded raw event) and must be rejected too
+    val boundary = Seq((3L, "u1", ts("2024-01-05 00:00:00"), "c"))
+      .toDF("event_id", "user_id", "ts", "state0")
+    val e2 = intercept[Exception](
+      Scd2.applyChanges(current, boundary, "user_id", "state0", "ts", "event_id").collect())
+    assert(msgs(e2).exists(_.contains("at or before")), msgs(e2).toString)
   }
 }
 

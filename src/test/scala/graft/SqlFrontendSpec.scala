@@ -418,6 +418,17 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
       .select("u", "match_start_ts")
     assert(sqlMatches.exceptAll(native).isEmpty && native.exceptAll(sqlMatches).isEmpty)
 
+    // RUNNING semantics in DEFINE: a forward reference sees nothing matched
+    // yet -> NULL -> the pattern can never match (the standard's behavior),
+    // instead of peeking at the future row
+    val fwd = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_events MATCH_RECOGNIZE (
+        |  PARTITION BY u ORDER BY ts MEASURES A.ts AS s ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A B C)
+        |  DEFINE A AS A.t = 'view', B AS B.t = 'click' AND B.price < C.price,
+        |         C AS C.t = 'purchase')""".stripMargin)
+    assert(fwd.isEmpty, "forward DEFINE references must be NULL (running semantics)")
+
     // unsupported strategies fail loudly, never mis-evaluate
     val e1 = intercept[Exception](SqlFrontend.execute(spark,
       """SELECT * FROM mr_events MATCH_RECOGNIZE (
@@ -455,7 +466,13 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     assert(names("SHOW AGENTS").isEmpty || names("SHOW AGENTS").forall(_.nonEmpty))
     val ddl = names("SHOW CREATE TABLE show_src").head
     assert(ddl.contains("CREATE TABLE `show_src`") && ddl.contains("`id` BIGINT") &&
-      ddl.contains("WATERMARK FOR `ts`"), ddl)
+      ddl.contains("WATERMARK FOR ts AS ts - INTERVAL '5' SECOND"), ddl)
+    // the emitted DDL must ROUND-TRIP: re-executing it (renamed) keeps the
+    // watermark rather than silently dropping it
+    SqlFrontend.execute(spark, ddl.replace("`show_src`", "show_src_rt"))
+    val rt = graft.sources.TableRegistry.resolve("show_src_rt")
+    assert(rt.watermarkCol.contains("ts") && rt.watermarkDelay.contains("5 second"),
+      s"watermark must survive the DDL round-trip: ${rt.watermarkCol}/${rt.watermarkDelay}")
     // SHOW JOBS is the Flink spelling of the statement-lifecycle listing
     val jobs = SqlFrontend.execute(spark, "SHOW JOBS")
     assert(jobs.columns.toSeq == Seq("name", "status", "kind", "statement"))
