@@ -133,4 +133,41 @@ object Behavior {
     bounded.select(col(userCol), col(tsCol).as("match_start_ts"),
       col("__sm_end_ts").as("match_end_ts"), col(tieCol).as("start_tie"))
   }
+
+  /** [[sequenceMatch]] with BOUNDED quantifiers — the DataFrame twin of the
+    * SQL `MATCH_RECOGNIZE` quantifier rewrite and of
+    * [[graft.streaming.StreamingSequenceMatchQ]] (whose expansion order this
+    * REUSES, so all three surfaces share one greedy semantics): the pattern
+    * expands into fixed type-sequences tried leftmost-longest-first, compiled
+    * into ONE when-chain over shared lead() windows — one shuffle, one sort,
+    * every start row decided independently (SKIP TO NEXT ROW). Output adds
+    * `matched_len` (the winning alternative's length).
+    */
+  def sequenceMatchQ(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+                     tieCol: String,
+                     pattern: Seq[graft.streaming.StreamingSequenceMatchQ.QTok],
+                     withinSeconds: Long = 0L): DataFrame = {
+    require(withinSeconds >= 0 && withinSeconds <= Long.MaxValue / 1000000L,
+      s"withinSeconds must be in [0, ${Long.MaxValue / 1000000L}], got $withinSeconds")
+    val exps = graft.streaming.StreamingSequenceMatchQ.expansions(pattern)
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    def at(c: String, k: Int) = if (k == 0) col(c) else lead(col(c), k).over(w)
+    val winner = exps.map { ex =>
+      val types = ex.zipWithIndex.map { case (p, i) => at(typeCol, i) === p }.reduce(_ && _)
+      val endTs = at(tsCol, ex.size - 1)
+      val exists = endTs.isNotNull
+      val within =
+        if (withinSeconds == 0) lit(true)
+        else unix_micros(endTs.cast("timestamp")) - unix_micros(col(tsCol).cast("timestamp")) <=
+          withinSeconds * 1000000L
+      when(types && exists && within,
+        struct(endTs.as("end_ts"), lit(ex.size).as("len")))
+    }.reduce((a, b) => coalesce(a, b))
+    events
+      .withColumn("__smq", winner)
+      .filter(col("__smq").isNotNull)
+      .select(col(userCol), col(tsCol).as("match_start_ts"),
+        col("__smq.end_ts").as("match_end_ts"), col(tieCol).as("start_tie"),
+        col("__smq.len").as("matched_len"))
+  }
 }

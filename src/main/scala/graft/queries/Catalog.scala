@@ -2142,6 +2142,39 @@ object Catalog {
            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
     FROM c"""))
 
+  private val q122 = Q("q122_sequence_match_q", (s, dir) => {
+    // Quantified CEP through the DataFrame API (the MATCH_RECOGNIZE
+    // quantifier twin): view{1,2} click per user within 10 min, greedy —
+    // two views preferred when both alternatives fit.
+    import graft.streaming.StreamingSequenceMatchQ.QTok
+    graft.operators.Behavior.sequenceMatchQ(t(s, dir, "events"),
+      "user_id", "event_type", "ts", "event_id",
+      Seq(QTok("view", 1, 2), QTok("click", 1, 1)), 600)
+      .select(col("user_id"),
+        col("match_start_ts").cast("timestamp_ntz").as("match_start_ts"),
+        col("match_end_ts").cast("timestamp_ntz").as("match_end_ts"),
+        col("start_tie"), col("matched_len"))
+  }, Some(s"""
+    WITH led AS (
+      SELECT user_id, ts, event_id, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+             lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ts1,
+             lead(ts, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ts2
+      FROM $EV e),
+    m AS (
+      SELECT *,
+             (event_type = 'view' AND t1 = 'view' AND t2 = 'click' AND ts2 IS NOT NULL
+              AND epoch_us(ts2) - epoch_us(ts) <= 600000000) AS m3,
+             (event_type = 'view' AND t1 = 'click' AND ts1 IS NOT NULL
+              AND epoch_us(ts1) - epoch_us(ts) <= 600000000) AS m2
+      FROM led)
+    SELECT user_id, ts AS match_start_ts,
+           CASE WHEN m3 THEN ts2 ELSE ts1 END AS match_end_ts,
+           event_id AS start_tie,
+           CAST(CASE WHEN m3 THEN 3 ELSE 2 END AS INTEGER) AS matched_len
+    FROM m WHERE m3 OR m2"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2155,7 +2188,7 @@ object Catalog {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

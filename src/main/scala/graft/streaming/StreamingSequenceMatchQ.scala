@@ -50,8 +50,9 @@ object StreamingSequenceMatchQ {
   case class Buf(types: Seq[String], tsMicros: Seq[Long], ties: Seq[Long],
                  undecided: Seq[Boolean])
 
-  /** Greedy-ordered fixed type-sequences of a quantified pattern. */
-  private[streaming] def expansions(pattern: Seq[QTok]): Seq[Seq[String]] = {
+  /** Greedy-ordered fixed type-sequences of a quantified pattern (shared
+    * with the batch twin [[graft.operators.Behavior.sequenceMatchQ]]). */
+  private[graft] def expansions(pattern: Seq[QTok]): Seq[Seq[String]] = {
     val seqs = pattern
       .map(t => (t.max to t.min by -1).map(c => Seq.fill(c)(t.typ)))
       .foldLeft(Seq(Seq.empty[String]))((acc, alts) => acc.flatMap(p => alts.map(p ++ _)))

@@ -340,5 +340,12 @@ class StreamingSpec extends SparkSpec {
     val streamedStarts = streamed.select("key", "match_start_ts")
     assert(streamedStarts.exceptAll(sqlRows).isEmpty && sqlRows.exceptAll(streamedStarts).isEmpty,
       "closed-stream quantified matches must equal the SQL rewrite")
+
+    // third surface: the batch DataFrame operator agrees column-for-column
+    val batchQ = graft.operators.Behavior.sequenceMatchQ(
+      (b1 ++ b2).toDF("u", "t", "ts", "id"), "u", "t", "ts", "id", pattern, 7200)
+      .select(col("u").as("key"), col("match_start_ts"), col("match_end_ts"), col("matched_len"))
+    assert(streamed.exceptAll(batchQ).isEmpty && batchQ.exceptAll(streamed).isEmpty,
+      "batch sequenceMatchQ must equal the streaming operator on the closed stream")
   }
 }
