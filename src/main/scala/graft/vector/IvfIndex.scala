@@ -114,6 +114,49 @@ object IvfIndex {
       assigned.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/assigned")
       centroids.write.mode("overwrite").parquet(s"$path/centroids")
     }
+
+    /** Incremental ADD — index maintenance without a retrain: new vectors
+      * assign to the EXISTING centroids (broadcast, row-local) and append to
+      * their lists. Centroids deliberately do not move: a retrain would
+      * re-shuffle the whole corpus for a marginal recall change, and drift
+      * only matters once the data distribution shifts — watch [[listStats]]
+      * imbalance and rebuild when it degrades (the FAISS operational rule).
+      */
+    def add(newVectors: DataFrame, idCol: String, embCol: String): Ivf = {
+      val fresh = IvfIndex.assign(
+          newVectors.select(col(idCol).as("nid"), col(embCol).as("nvec")), centroids, "nvec")
+        .select(col("nid"), col("nvec"), col("list_id"))
+      Ivf(centroids, assigned.unionByName(fresh))
+    }
+
+    /** Incremental REMOVE: drop ids from the lists (anti-join on the
+      * broadcastable id set). The in-memory twin of a delete-file/compaction
+      * pass on the saved layout.
+      */
+    def remove(ids: DataFrame, idCol: String): Ivf =
+      Ivf(centroids, assigned.join(broadcast(ids.select(col(idCol).as("nid"))),
+        Seq("nid"), "leftanti"))
+
+    /** Per-list occupancy — the drift/imbalance signal that schedules a
+      * rebuild (max/mean creeping up = centroids no longer fit the data).
+      */
+    def listStats: DataFrame =
+      assigned.groupBy("list_id").agg(count(lit(1)).as("n"))
+  }
+
+  /** Append new vectors to a SAVED index layout in place: assign against the
+    * stored centroids, then append the new rows into the partitionBy(list_id)
+    * directory — only the touched lists gain files; nothing rewrites. This is
+    * the 100 TB maintenance path ([[Ivf.save]]'s layout contract holds:
+    * subsequent loads prune to probed lists, now including the appended
+    * rows).
+    */
+  def appendToSaved(spark: SparkSession, path: String, newVectors: DataFrame,
+                    idCol: String, embCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    assign(newVectors.select(col(idCol).as("nid"), col(embCol).as("nvec")), centroids, "nvec")
+      .select(col("nid"), col("nvec"), col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/assigned")
   }
 
   /** Load a saved index. `search` on the result joins on the partition column,
