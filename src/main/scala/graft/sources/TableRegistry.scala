@@ -100,6 +100,7 @@ object TableRegistry {
 
   /** SET 'key' = 'value' (observed: sql.state-ttl — LAB1-Walkthrough.md:120). */
   def set(key: String, value: String): Unit = sessionConf.put(key, value)
+  def unset(key: String): Unit = sessionConf.remove(key): Unit
   def get(key: String): Option[String] = sessionConf.get(key)
   def clearConf(): Unit = sessionConf.clear()
 }

@@ -104,6 +104,8 @@ object SqlFrontend {
         status(spark, "ALTER TABLE", tgt)
       case SetRe(k, v) =>
         TableRegistry.set(k, v); status(spark, "SET", s"$k=$v")
+      case ResetRe(k) =>
+        TableRegistry.unset(k); status(spark, "RESET", k)
       case ShowStatementsRe() =>
         // the statement-lifecycle surface (`confluent flink statement list` /
         // the harness's get_statement_status — flink_sql_helper.py:98-160)
@@ -216,6 +218,7 @@ object SqlFrontend {
     ("(?is)^ALTER\\s+TABLE\\s+(\\S+)\\s+MODIFY\\s*\\(\\s*WATERMARK\\s+FOR\\s+(\\w+)\\s+AS\\s+" +
       "\\w+\\s*-\\s*INTERVAL\\s+'(\\d+)'\\s+(\\w+)\\s*\\)$").r
   private val SetRe = "(?is)^SET\\s+'([^']+)'\\s*=\\s*'([^']*)'$".r
+  private val ResetRe = "(?is)^RESET\\s+'([^']+)'$".r
   private val ShowStatementsRe = "(?is)^SHOW\\s+(?:STATEMENTS|JOBS)$".r
   private val ShowRe = "(?is)^SHOW\\s+(TABLES|VIEWS|MODELS|TOOLS|AGENTS|CONNECTIONS|FUNCTIONS)$".r
   private val ShowCreateRe = "(?is)^SHOW\\s+CREATE\\s+TABLE\\s+([\\w.`]+)$".r
@@ -599,7 +602,7 @@ object SqlFrontend {
     rewriteToolInvoke(spark,
       rewriteRunAgent(spark,
         rewriteVectorSearch(spark,
-          rewriteDetectAnomalies(rewriteCumulate(rewriteHop(rewriteTumble(rewriteTemporalJoin(spark, rewriteMatchRecognize(rewriteLateral(sql))))))))))
+          rewriteDetectAnomalies(rewriteSession(rewriteCumulate(rewriteHop(rewriteTumble(rewriteTemporalJoin(spark, rewriteMatchRecognize(rewriteLateral(sql)))))))))))
 
   private[graft] val TumbleRe =
     ("(?is)FROM\\s+TABLE\\s*\\(\\s*TUMBLE\\s*\\(\\s*TABLE\\s+([\\w.`]+)\\s*,\\s*" +
@@ -867,6 +870,58 @@ object SqlFrontend {
     * operator [[graft.operators.Cumulate]] is the slice-decomposed scale path
     * for the aggregate-over-TVF shape.
     */
+  private[graft] val SessionRe =
+    ("(?is)FROM\\s+TABLE\\s*\\(\\s*SESSION\\s*\\(\\s*(?:DATA\\s*=>\\s*)?TABLE\\s+([\\w.`]+)" +
+      "(?:\\s+PARTITION\\s+BY\\s+(?:\\(([^)]*)\\)|([\\w.`]+)))?\\s*,\\s*" +
+      "DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*INTERVAL\\s+'(\\d+)'\\s+(\\w+)\\s*\\)\\s*\\)").r
+
+  /** Flink `SESSION` window TVF (the fourth window TVF, FLIP-145 syntax):
+    * `TABLE(SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts), gap))`.
+    *
+    * Unlike TUMBLE/HOP/CUMULATE, a row's session isn't row-local — it
+    * depends on its neighbors — so the rewrite can't precompute per-row
+    * window columns; it targets Spark's native `session_window` GROUPING
+    * construct instead: the TVF's partition keys and gap become
+    * `GROUP BY session_window(ts, gap), keys`, and `window_start`/`window_end`
+    * /`window_time` references project from the session struct (window_time =
+    * end − 1 ms, the house convention). The outer GROUP BY must carry the
+    * partition keys, as Flink requires anyway. Works batch AND streaming
+    * (session_window is watermark-mergeable in append mode).
+    */
+  private[graft] def rewriteSession(sql: String): String = {
+    val m = SessionRe.findFirstMatchIn(sql).getOrElse(return sql)
+    val tbl = m.group(1)
+    val (ts, n, unit) = (m.group(4), m.group(5), m.group(6).toLowerCase)
+    val sw = s"session_window($ts, '$n $unit')"
+    var out = sql.substring(0, m.start) + s"FROM $tbl" + sql.substring(m.end)
+    val gbRe = "(?is)GROUP\\s+BY\\s+(.*?)(?=\\b(?:HAVING|ORDER|LIMIT|WINDOW)\\b|$)".r
+    out = gbRe.replaceAllIn(out, gm => {
+      val keys = splitTopLevelCommas(gm.group(1)).map(_.trim).filter(_.nonEmpty)
+      val kept = keys.filterNot(k =>
+        Set("WINDOW_START", "WINDOW_END", "WINDOW_TIME")(k.toUpperCase))
+      java.util.regex.Matcher.quoteReplacement(
+        (sw +: kept).mkString("GROUP BY ", ", ", " "))
+    })
+    val exprOf = Map(
+      "window_start" -> "session_window.start",
+      "window_end" -> "session_window.end",
+      "window_time" -> "timestampadd(MILLISECOND, -1, session_window.end)")
+    def refs(s: String): String = exprOf.foldLeft(s) { case (acc, (name, e)) =>
+      acc.replaceAll("(?i)\\b" + name + "\\b", java.util.regex.Matcher.quoteReplacement(e))
+    }
+    val (sel, fromPart) = topLevelSelectFrom(out)
+    val BareAs = "(?is)^(window_start|window_end|window_time)(?:\\s+AS\\s+(\\w+))?$".r
+    val items = splitTopLevelCommas(sel).map { item =>
+      item.trim match {
+        case BareAs(name, alias) =>
+          val nm = name.toLowerCase
+          s"${exprOf(nm)} AS ${if (alias != null) alias else nm}"
+        case other => refs(other)
+      }
+    }
+    rewriteSession(s"SELECT ${items.mkString(", ")} FROM ${refs(fromPart)}")
+  }
+
   private[graft] def rewriteCumulate(sql: String): String =
     CumulateRe.replaceAllIn(sql, m => {
       val (tbl, ts) = (m.group(1), m.group(2))

@@ -6,7 +6,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.apache.spark.sql.functions.{col, count, lit, sum, window}
+import org.apache.spark.sql.functions.{col, count, lit, max, session_window, sum, window}
 import org.scalatest.BeforeAndAfterAll
 
 import graft.agent.AgentCatalog
@@ -476,6 +476,39 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     // SHOW JOBS is the Flink spelling of the statement-lifecycle listing
     val jobs = SqlFrontend.execute(spark, "SHOW JOBS")
     assert(jobs.columns.toSeq == Seq("name", "status", "kind", "statement"))
+  }
+
+  test("SESSION window TVF rewrites to native session_window; RESET clears conf") {
+    import spark.implicits._
+    def ev(u: String, ts: String) = (u, java.sql.Timestamp.valueOf(ts))
+    val df = Seq(
+      ev("u1", "2024-01-01 00:00:00"), ev("u1", "2024-01-01 00:10:00"), // one session (gap 30m)
+      ev("u1", "2024-01-01 02:00:00"),                                   // new session
+      ev("u2", "2024-01-01 00:00:00")).toDF("u", "ts")
+    df.createOrReplaceTempView("sess_tvf_src")
+    val out = SqlFrontend.execute(spark,
+      """SELECT window_start, window_end, u, COUNT(*) AS cnt
+        |FROM TABLE(SESSION(TABLE sess_tvf_src PARTITION BY u, DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+        |GROUP BY window_start, window_end, u""".stripMargin)
+    val native = df.groupBy(session_window(col("ts"), "30 minutes"), col("u"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").as("window_start"),
+        col("session_window.end").as("window_end"), col("u"), col("cnt"))
+    assert(out.exceptAll(native).isEmpty && native.exceptAll(out).isEmpty,
+      "SESSION TVF must equal the native session_window formulation")
+    assert(out.count() == 3)
+    // window_time convention: end - 1 ms, usable inside expressions
+    val wt = SqlFrontend.execute(spark,
+      """SELECT window_time, COUNT(*) AS cnt
+        |FROM TABLE(SESSION(TABLE sess_tvf_src PARTITION BY u, DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+        |GROUP BY window_start, window_end, window_time, u""".stripMargin)
+    assert(wt.select(max("window_time")).head().getTimestamp(0).getNanos % 1000000000L != 0,
+      "window_time must be end - 1ms")
+
+    SqlFrontend.execute(spark, "SET 'graft.test.key' = 'v1'")
+    assert(graft.sources.TableRegistry.get("graft.test.key").contains("v1"))
+    SqlFrontend.execute(spark, "RESET 'graft.test.key'")
+    assert(graft.sources.TableRegistry.get("graft.test.key").isEmpty)
   }
 
   test("EXPLAIN surfaces the post-rewrite plan") {
