@@ -106,6 +106,11 @@ object SqlFrontend {
         TableRegistry.set(k, v); status(spark, "SET", s"$k=$v")
       case ResetRe(k) =>
         TableRegistry.unset(k); status(spark, "RESET", k)
+      case BareResetRe() =>
+        // Flink's bare RESET clears ALL session properties — intercept before
+        // Spark's RESET (which would clear Spark conf and leave the registry's
+        // properties stale, silently)
+        TableRegistry.clearConf(); status(spark, "RESET", "ALL")
       case ShowStatementsRe() =>
         // the statement-lifecycle surface (`confluent flink statement list` /
         // the harness's get_statement_status — flink_sql_helper.py:98-160)
@@ -219,6 +224,7 @@ object SqlFrontend {
       "\\w+\\s*-\\s*INTERVAL\\s+'(\\d+)'\\s+(\\w+)\\s*\\)$").r
   private val SetRe = "(?is)^SET\\s+'([^']+)'\\s*=\\s*'([^']*)'$".r
   private val ResetRe = "(?is)^RESET\\s+'([^']+)'$".r
+  private val BareResetRe = "(?is)^RESET$".r
   private val ShowStatementsRe = "(?is)^SHOW\\s+(?:STATEMENTS|JOBS)$".r
   private val ShowRe = "(?is)^SHOW\\s+(TABLES|VIEWS|MODELS|TOOLS|AGENTS|CONNECTIONS|FUNCTIONS)$".r
   private val ShowCreateRe = "(?is)^SHOW\\s+CREATE\\s+TABLE\\s+([\\w.`]+)$".r
@@ -875,33 +881,84 @@ object SqlFrontend {
       "(?:\\s+PARTITION\\s+BY\\s+(?:\\(([^)]*)\\)|([\\w.`]+)))?\\s*,\\s*" +
       "DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*INTERVAL\\s+'(\\d+)'\\s+(\\w+)\\s*\\)\\s*\\)").r
 
+  /** Positions of `keyword` at paren-depth 0 outside quotes. */
+  private def topLevelIndexOf(sql: String, keyword: String): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val re = ("(?i)" + keyword).r
+    var depth = 0; var inQuote = false; var i = 0
+    val hits = re.findAllMatchIn(sql).map(_.start).toSet
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case _ => if (depth == 0 && hits(i)) out += i
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
   /** Flink `SESSION` window TVF (the fourth window TVF, FLIP-145 syntax):
     * `TABLE(SESSION(TABLE t [PARTITION BY k], DESCRIPTOR(ts), gap))`.
     *
     * Unlike TUMBLE/HOP/CUMULATE, a row's session isn't row-local — it
     * depends on its neighbors — so the rewrite can't precompute per-row
     * window columns; it targets Spark's native `session_window` GROUPING
-    * construct instead: the TVF's partition keys and gap become
-    * `GROUP BY session_window(ts, gap), keys`, and `window_start`/`window_end`
-    * /`window_time` references project from the session struct (window_time =
-    * end − 1 ms, the house convention). The outer GROUP BY must carry the
-    * partition keys, as Flink requires anyway. Works batch AND streaming
-    * (session_window is watermark-mergeable in append mode).
+    * construct: the gap becomes `GROUP BY session_window(ts, gap), keys`,
+    * and `window_start`/`window_end`/`window_time` project from the session
+    * struct (window_time = end − 1 ms, the house convention). Works batch
+    * AND streaming (session_window is watermark-mergeable in append mode).
+    *
+    * Scope discipline (this is a text rewrite, so the envelope is explicit
+    * and violations are LOUD, never silent):
+    *  - a leading `WITH` recurses per CTE body, so only the stage owning the
+    *    TVF is touched;
+    *  - only the single top-level GROUP BY of that stage is rewritten —
+    *    subquery aggregations are out of reach by depth;
+    *  - every TVF PARTITION BY key must appear in that GROUP BY (dropping
+    *    one would silently merge sessions across keys — error instead);
+    *  - `window_*` references are substituted ONLY in the stage's select
+    *    list and its post-GROUP-BY tail (HAVING/ORDER); a pre-aggregation
+    *    `window_*` (e.g. in WHERE) isn't expressible over a grouping
+    *    construct and errors with the outer-query workaround.
     */
   private[graft] def rewriteSession(sql: String): String = {
     val m = SessionRe.findFirstMatchIn(sql).getOrElse(return sql)
+    if (sql.trim.toUpperCase.startsWith("WITH")) {
+      // recurse per stage: only the CTE (or final select) owning the TVF
+      // is rewritten, everything else passes through verbatim
+      val (ctes, fin) = StreamPlanner.splitWith(sql)
+      return ctes.map { case (nm, body) => s"$nm AS (${rewriteSession(body)})" }
+        .mkString("WITH ", ", ", "\n") + rewriteSession(fin)
+    }
     val tbl = m.group(1)
+    val partKeys = (Option(m.group(2)).toSeq.flatMap(_.split(",").toSeq) ++
+      Option(m.group(3)).toSeq).map(_.trim).filter(_.nonEmpty)
     val (ts, n, unit) = (m.group(4), m.group(5), m.group(6).toLowerCase)
     val sw = s"session_window($ts, '$n $unit')"
-    var out = sql.substring(0, m.start) + s"FROM $tbl" + sql.substring(m.end)
-    val gbRe = "(?is)GROUP\\s+BY\\s+(.*?)(?=\\b(?:HAVING|ORDER|LIMIT|WINDOW)\\b|$)".r
-    out = gbRe.replaceAllIn(out, gm => {
-      val keys = splitTopLevelCommas(gm.group(1)).map(_.trim).filter(_.nonEmpty)
-      val kept = keys.filterNot(k =>
-        Set("WINDOW_START", "WINDOW_END", "WINDOW_TIME")(k.toUpperCase))
-      java.util.regex.Matcher.quoteReplacement(
-        (sw +: kept).mkString("GROUP BY ", ", ", " "))
-    })
+    val out = sql.substring(0, m.start) + s"FROM $tbl" + sql.substring(m.end)
+
+    val gbPositions = topLevelIndexOf(out, "GROUP\\s+BY")
+    require(gbPositions.size == 1,
+      s"SESSION TVF needs exactly one top-level GROUP BY in its stage, found ${gbPositions.size}")
+    val gbStart = gbPositions.head
+    val afterKeysRe = "(?is)^GROUP\\s+BY\\s+(.*?)(?=\\b(?:HAVING|ORDER|LIMIT|WINDOW)\\b|$)".r
+    val gbM = afterKeysRe.findFirstMatchIn(out.substring(gbStart)).get
+    val keys = splitTopLevelCommas(gbM.group(1)).map(_.trim).filter(_.nonEmpty)
+    val kept = keys.filterNot(k =>
+      Set("WINDOW_START", "WINDOW_END", "WINDOW_TIME")(k.toUpperCase))
+    def lastSeg(s: String) = s.split("\\.").last.replace("`", "").trim
+    partKeys.foreach { k =>
+      require(kept.exists(g => lastSeg(g).equalsIgnoreCase(lastSeg(k))),
+        s"SESSION TVF PARTITION BY key '$k' must appear in the GROUP BY — omitting it would " +
+          "silently merge sessions across keys; group by it (aggregate across keys in an outer query)")
+    }
+    val newGb = (sw +: kept).mkString("GROUP BY ", ", ", " ")
+    val tail = out.substring(gbStart + gbM.end) // HAVING/ORDER/LIMIT tail
+
     val exprOf = Map(
       "window_start" -> "session_window.start",
       "window_end" -> "session_window.end",
@@ -909,7 +966,16 @@ object SqlFrontend {
     def refs(s: String): String = exprOf.foldLeft(s) { case (acc, (name, e)) =>
       acc.replaceAll("(?i)\\b" + name + "\\b", java.util.regex.Matcher.quoteReplacement(e))
     }
-    val (sel, fromPart) = topLevelSelectFrom(out)
+    val head = out.substring(0, gbStart)
+    val (sel, fromPart) = topLevelSelectFrom(head)
+    // pre-aggregation window_* (WHERE over the TVF's output columns) cannot
+    // be expressed over a grouping construct — reject rather than mis-plan;
+    // depth-0 only, so a TUMBLE-rewritten subquery's aliases are untouched
+    topLevelIndexOf(fromPart, "\\bWINDOW_(?:START|END|TIME)\\b").headOption.foreach { i =>
+      sys.error("SESSION TVF: window_start/window_end/window_time cannot be referenced before " +
+        s"aggregation (at '…${fromPart.substring(i, math.min(i + 30, fromPart.length))}…') — " +
+        "filter in an outer query instead")
+    }
     val BareAs = "(?is)^(window_start|window_end|window_time)(?:\\s+AS\\s+(\\w+))?$".r
     val items = splitTopLevelCommas(sel).map { item =>
       item.trim match {
@@ -919,7 +985,8 @@ object SqlFrontend {
         case other => refs(other)
       }
     }
-    rewriteSession(s"SELECT ${items.mkString(", ")} FROM ${refs(fromPart)}")
+    rewriteSession(
+      s"SELECT ${items.mkString(", ")} FROM $fromPart $newGb${refs(tail)}")
   }
 
   private[graft] def rewriteCumulate(sql: String): String =

@@ -139,9 +139,13 @@ object IvfIndex {
 
     /** Per-list occupancy — the drift/imbalance signal that schedules a
       * rebuild (max/mean creeping up = centroids no longer fit the data).
+      * EVERY list reports, including drained ones (n = 0) — an empty list is
+      * the strongest degradation signal and must not vanish from the report.
       */
     def listStats: DataFrame =
-      assigned.groupBy("list_id").agg(count(lit(1)).as("n"))
+      centroids.select("list_id")
+        .join(assigned.groupBy("list_id").agg(count(lit(1)).as("n")), Seq("list_id"), "left")
+        .select(col("list_id"), coalesce(col("n"), lit(0L)).as("n"))
   }
 
   /** Append new vectors to a SAVED index layout in place: assign against the

@@ -509,6 +509,52 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     assert(graft.sources.TableRegistry.get("graft.test.key").contains("v1"))
     SqlFrontend.execute(spark, "RESET 'graft.test.key'")
     assert(graft.sources.TableRegistry.get("graft.test.key").isEmpty)
+    // bare RESET clears ALL registry session properties (Flink's form)
+    SqlFrontend.execute(spark, "SET 'graft.test.a' = '1'")
+    SqlFrontend.execute(spark, "SET 'graft.test.b' = '2'")
+    SqlFrontend.execute(spark, "RESET")
+    assert(graft.sources.TableRegistry.get("graft.test.a").isEmpty &&
+      graft.sources.TableRegistry.get("graft.test.b").isEmpty)
+  }
+
+  test("SESSION TVF scope discipline: subqueries untouched, keys enforced, pre-agg refs rejected") {
+    import spark.implicits._
+    def ev(u: String, ts: String) = (u, java.sql.Timestamp.valueOf(ts))
+    Seq(ev("u1", "2024-01-01 00:00:00"), ev("u1", "2024-01-01 00:10:00"),
+      ev("u2", "2024-01-01 00:05:00")).toDF("u", "ts").createOrReplaceTempView("sc_events")
+    Seq("u1").toDF("u").createOrReplaceTempView("sc_vip")
+
+    // an IN-subquery with its own GROUP BY must NOT receive the session_window
+    val sub = SqlFrontend.execute(spark,
+      """SELECT window_start, u, COUNT(*) AS cnt
+        |FROM TABLE(SESSION(TABLE sc_events PARTITION BY u, DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+        |WHERE u IN (SELECT u FROM sc_vip GROUP BY u)
+        |GROUP BY window_start, window_end, u""".stripMargin).collect()
+    assert(sub.length == 1 && sub.head.getAs[String]("u") == "u1" && sub.head.getAs[Long]("cnt") == 2)
+
+    // dropping a PARTITION BY key from the GROUP BY would merge sessions
+    // across keys — loud error, not silent global sessions
+    val e1 = intercept[Exception](SqlFrontend.execute(spark,
+      """SELECT window_start, COUNT(*) AS cnt
+        |FROM TABLE(SESSION(TABLE sc_events PARTITION BY u, DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+        |GROUP BY window_start, window_end""".stripMargin))
+    assert(e1.getMessage.contains("must appear in the GROUP BY"), e1.getMessage)
+
+    // window_* before aggregation is not expressible over a grouping construct
+    val e2 = intercept[Exception](SqlFrontend.execute(spark,
+      """SELECT u, COUNT(*) AS cnt
+        |FROM TABLE(SESSION(TABLE sc_events PARTITION BY u, DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+        |WHERE window_time < TIMESTAMP '2024-01-02 00:00:00'
+        |GROUP BY window_start, window_end, u""".stripMargin))
+    assert(e2.getMessage.contains("before"), e2.getMessage)
+
+    // a WITH prefix recurses per stage: only the TVF-owning stage rewrites
+    val cte = SqlFrontend.execute(spark,
+      """WITH vips AS (SELECT u FROM sc_vip GROUP BY u)
+        |SELECT window_start, e.u, COUNT(*) AS cnt
+        |FROM TABLE(SESSION(TABLE sc_events PARTITION BY u, DESCRIPTOR(ts), INTERVAL '30' MINUTE)) e
+        |GROUP BY window_start, window_end, e.u""".stripMargin)
+    assert(cte.count() == 2, "CTE prefix must not garble the rewrite")
   }
 
   test("EXPLAIN surfaces the post-rewrite plan") {
