@@ -28,6 +28,8 @@ object Multimodal {
   /** Decode/feature kernels. Replace the fakes with real codecs in production. */
   trait MediaCodec extends Serializable {
     def imageFeatures(bytes: Array[Byte]): (Int, Int, Array[Float]) // (width, height, feature vec)
+    /** Bounded-box resize: returns (resized bytes, new width, new height). */
+    def imageResize(bytes: Array[Byte], maxW: Int, maxH: Int): (Array[Byte], Int, Int)
     def audioDurationMs(bytes: Array[Byte]): Long
     def videoFrameSample(bytes: Array[Byte], everyNthFrame: Int): Seq[Array[Byte]]
   }
@@ -43,6 +45,15 @@ object Multimodal {
       val ht = (math.floorMod(h(bytes, 2), 1080) + 1).toInt
       val feat = Array.tabulate(8)(i => (math.floorMod(h(bytes, 10 + i), 2000) / 1000.0f) - 1f)
       (w, ht, feat)
+    }
+    def imageResize(bytes: Array[Byte], maxW: Int, maxH: Int): (Array[Byte], Int, Int) = {
+      // fake resize preserves the REAL contract: aspect-ratio-preserving
+      // bounded box, output no larger than input, deterministic bytes
+      val (w, ht, _) = imageFeatures(bytes)
+      val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / ht))
+      val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (ht * scale).toInt))
+      val outLen = math.max(1, math.min(bytes.length, (bytes.length * scale).toInt))
+      (bytes.take(outLen), nw, nh)
     }
     def audioDurationMs(bytes: Array[Byte]): Long = math.floorMod(h(bytes, 3), 600000L)
     def videoFrameSample(bytes: Array[Byte], everyNthFrame: Int): Seq[Array[Byte]] =
@@ -65,6 +76,71 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](idx)
           val (w, h, feat) = codec.imageFeatures(if (bytes == null) Array.emptyByteArray else bytes)
           Row.fromSeq(r.toSeq :+ w :+ h :+ feat.toSeq)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Bounded-box image resize: binary in, binary out plus the new dimensions.
+    * Same batch discipline as [[extractImageFeatures]]; the resized bytes
+    * REPLACE the content column (the common "thumbnail for the embedding
+    * model" shape — never carry both payloads through the pipeline).
+    */
+  def resizeImages(df: DataFrame, contentCol: String, maxW: Int, maxH: Int,
+                   codec: MediaCodec = FakeCodec, batchSize: Int = 16): DataFrame = {
+    require(maxW >= 1 && maxH >= 1, s"bad bounding box ${maxW}x$maxH")
+    val schema = df.schema.add("width", IntegerType).add("height", IntegerType)
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](idx)
+          val (out, w, h) = codec.imageResize(
+            if (bytes == null) Array.emptyByteArray else bytes, maxW, maxH)
+          Row.fromSeq(r.toSeq.updated(idx, out) :+ w :+ h)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Audio feature extraction: duration appended, batch-bounded like the
+    * image path (a real codec parses headers/frames per batch).
+    */
+  def extractAudioFeatures(df: DataFrame, contentCol: String, codec: MediaCodec = FakeCodec,
+                           batchSize: Int = 16): DataFrame = {
+    val schema = df.schema.add("duration_ms", LongType)
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](idx)
+          Row.fromSeq(r.toSeq :+
+            codec.audioDurationMs(if (bytes == null) Array.emptyByteArray else bytes))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Video frame sampling: each video row explodes into its sampled frames —
+    * (original columns minus the video payload) + (frame_idx, frame BINARY).
+    * The video bytes are consumed IN the scan stage and never emitted: only
+    * the (much smaller) frames flow downstream, preserving the family's
+    * media-never-shuffles rule.
+    */
+  def sampleVideoFrames(df: DataFrame, contentCol: String, everyNthFrame: Int,
+                        codec: MediaCodec = FakeCodec, batchSize: Int = 16): DataFrame = {
+    require(everyNthFrame >= 1, s"everyNthFrame must be >= 1, got $everyNthFrame")
+    val idx = df.schema.fieldIndex(contentCol)
+    val kept = df.schema.fields.zipWithIndex.filter(_._2 != idx)
+    val schema = StructType(kept.map(_._1))
+      .add("frame_idx", IntegerType).add("frame", BinaryType)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](idx)
+          val base = kept.map { case (_, i) => r.get(i) }.toSeq
+          codec.videoFrameSample(if (bytes == null) Array.emptyByteArray else bytes, everyNthFrame)
+            .zipWithIndex.map { case (frame, i) => Row.fromSeq(base :+ i :+ frame) }
         }
       }
     }(Encoders.row(schema))

@@ -2175,6 +2175,27 @@ object Catalog {
            CAST(CASE WHEN m3 THEN 3 ELSE 2 END AS INTEGER) AS matched_len
     FROM m WHERE m3 OR m2"""))
 
+  private val q123 = Q("q123_media_pipeline", (s, dir) => {
+    // Full multimodal pass, one operator per modality (rows-only: the codec
+    // is the documented deterministic stub): images resize then featurize,
+    // audio extracts duration, video explodes to sampled frames; media bytes
+    // are consumed in the scan stage, only compact rows flow out.
+    import graft.llmops.Multimodal
+    val media = Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
+    val images = Multimodal.extractImageFeatures(
+        Multimodal.resizeImages(media.filter(col("media_type") === "image"), "content", 512, 512)
+          .drop("width", "height"), // featurize re-measures the resized payload
+        "content")
+      .select(col("media_id"), col("media_type"), col("width").cast("long").as("metric"))
+    val audio = Multimodal.extractAudioFeatures(
+        media.filter(col("media_type") === "audio"), "content")
+      .select(col("media_id"), col("media_type"), col("duration_ms").as("metric"))
+    val video = Multimodal.sampleVideoFrames(
+        media.filter(col("media_type") === "video"), "content", everyNthFrame = 10)
+      .groupBy("media_id", "media_type").agg(count(lit(1)).as("metric"))
+    images.unionByName(audio).unionByName(video)
+  }, None)
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2188,7 +2209,7 @@ object Catalog {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

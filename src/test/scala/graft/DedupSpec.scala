@@ -248,6 +248,43 @@ class MultimodalSpec extends SparkSpec {
       .select("media_id", "width", "height").orderBy("media_id").collect()
     assert(rows.map(_.toSeq).toSeq == rows2.map(_.toSeq).toSeq)
   }
+
+  test("resize bounds the box and replaces the payload; audio and frame-sample plumb through") {
+    val docs = graft.core.Tables(spark, sfDir, "documents").limit(30)
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+
+    val resized = Multimodal.resizeImages(media, "content", 512, 512)
+    val rs = resized.select("media_id", "width", "height", "content").collect()
+    assert(rs.forall(r => r.getInt(1) <= 512 && r.getInt(2) <= 512 &&
+      r.getInt(1) >= 1 && r.getInt(2) >= 1))
+    // payload replaced, never enlarged (the thumbnail contract)
+    val origSizes = media.select("media_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).length).toMap
+    assert(rs.forall(r => r.getAs[Array[Byte]](3).length <= origSizes(r.getLong(0))))
+    // aspect-ratio preserved within integer truncation
+    val dims = Multimodal.extractImageFeatures(media, "content")
+      .select("media_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    rs.foreach { r =>
+      val (w0, h0) = dims(r.getLong(0))
+      val scale = math.min(1.0, math.min(512.0 / w0, 512.0 / h0))
+      assert(r.getInt(1) == math.max(1, (w0 * scale).toInt) &&
+        r.getInt(2) == math.max(1, (h0 * scale).toInt))
+    }
+
+    val audio = Multimodal.extractAudioFeatures(media.filter(col("media_type") === "audio"), "content")
+    assert(audio.select("duration_ms").collect().forall(r => r.getLong(0) >= 0))
+    assert(audio.count() == media.filter(col("media_type") === "audio").count())
+
+    val frames = Multimodal.sampleVideoFrames(
+      media.filter(col("media_type") === "video"), "content", everyNthFrame = 10)
+    assert(frames.schema.fieldNames.toSeq ==
+      Seq("media_id", "media_type", "meta", "frame_idx", "frame"),
+      "video payload column must NOT survive into the frame rows")
+    val nVideos = media.filter(col("media_type") === "video").count()
+    assert(frames.count() == nVideos * 3, "stub emits 3 frames per video")
+    assert(frames.select("frame_idx").distinct().count() == 3)
+  }
 }
 
 class PipelinesSpec extends SparkSpec {
