@@ -73,9 +73,13 @@ object Multimodal {
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val bytes = r.getAs[Array[Byte]](idx)
-          val (w, h, feat) = codec.imageFeatures(if (bytes == null) Array.emptyByteArray else bytes)
-          Row.fromSeq(r.toSeq :+ w :+ h :+ feat.toSeq)
+          // NULL media stays NULL-marked: fabricating dims for missing bytes
+          // would erase the `content IS NULL` dead-letter signal downstream
+          if (r.isNullAt(idx)) Row.fromSeq(r.toSeq :+ null :+ null :+ null)
+          else {
+            val (w, h, feat) = codec.imageFeatures(r.getAs[Array[Byte]](idx))
+            Row.fromSeq(r.toSeq :+ w :+ h :+ feat.toSeq)
+          }
         }
       }
     }(Encoders.row(schema))
@@ -94,10 +98,12 @@ object Multimodal {
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val bytes = r.getAs[Array[Byte]](idx)
-          val (out, w, h) = codec.imageResize(
-            if (bytes == null) Array.emptyByteArray else bytes, maxW, maxH)
-          Row.fromSeq(r.toSeq.updated(idx, out) :+ w :+ h)
+          // NULL payload passes through NULL (see extractImageFeatures)
+          if (r.isNullAt(idx)) Row.fromSeq(r.toSeq :+ null :+ null)
+          else {
+            val (out, w, h) = codec.imageResize(r.getAs[Array[Byte]](idx), maxW, maxH)
+            Row.fromSeq(r.toSeq.updated(idx, out) :+ w :+ h)
+          }
         }
       }
     }(Encoders.row(schema))
@@ -113,9 +119,8 @@ object Multimodal {
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val bytes = r.getAs[Array[Byte]](idx)
-          Row.fromSeq(r.toSeq :+
-            codec.audioDurationMs(if (bytes == null) Array.emptyByteArray else bytes))
+          if (r.isNullAt(idx)) Row.fromSeq(r.toSeq :+ null)
+          else Row.fromSeq(r.toSeq :+ codec.audioDurationMs(r.getAs[Array[Byte]](idx)))
         }
       }
     }(Encoders.row(schema))
@@ -137,10 +142,13 @@ object Multimodal {
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.flatMap { r =>
-          val bytes = r.getAs[Array[Byte]](idx)
-          val base = kept.map { case (_, i) => r.get(i) }.toSeq
-          codec.videoFrameSample(if (bytes == null) Array.emptyByteArray else bytes, everyNthFrame)
-            .zipWithIndex.map { case (frame, i) => Row.fromSeq(base :+ i :+ frame) }
+          // NULL video has nothing to sample: zero frame rows, not fabricated ones
+          if (r.isNullAt(idx)) Seq.empty[Row]
+          else {
+            val base = kept.map { case (_, i) => r.get(i) }.toSeq
+            codec.videoFrameSample(r.getAs[Array[Byte]](idx), everyNthFrame)
+              .zipWithIndex.map { case (frame, i) => Row.fromSeq(base :+ i :+ frame) }
+          }
         }
       }
     }(Encoders.row(schema))

@@ -2181,7 +2181,11 @@ object Catalog {
     // audio extracts duration, video explodes to sampled frames; media bytes
     // are consumed in the scan stage, only compact rows flow out.
     import graft.llmops.Multimodal
+    // three modality branches consume the same synthetic table — materialize
+    // once (the curateFull localCheckpoint precedent) instead of scanning
+    // documents three times
     val media = Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
+      .localCheckpoint()
     val images = Multimodal.extractImageFeatures(
         Multimodal.resizeImages(media.filter(col("media_type") === "image"), "content", 512, 512)
           .drop("width", "height"), // featurize re-measures the resized payload

@@ -250,7 +250,8 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("resize bounds the box and replaces the payload; audio and frame-sample plumb through") {
-    val docs = graft.core.Tables(spark, sfDir, "documents").limit(30)
+    // deterministic slice (limit() without order may pick different rows per action)
+    val docs = graft.core.Tables(spark, sfDir, "documents").filter(col("doc_id") < 30)
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
 
     val resized = Multimodal.resizeImages(media, "content", 512, 512)
@@ -284,6 +285,25 @@ class MultimodalSpec extends SparkSpec {
     val nVideos = media.filter(col("media_type") === "video").count()
     assert(frames.count() == nVideos * 3, "stub emits 3 frames per video")
     assert(frames.select("frame_idx").distinct().count() == 3)
+  }
+
+  test("NULL media stays NULL-marked through every operator (dead-letter signal preserved)") {
+    import spark.implicits._
+    val withNull = Seq(
+      (1L, Option("payload".getBytes("UTF-8"))),
+      (2L, Option.empty[Array[Byte]])).toDF("media_id", "content")
+    val feat = Multimodal.extractImageFeatures(withNull, "content")
+      .orderBy("media_id").collect()
+    assert(!feat(0).isNullAt(2) && feat(1).isNullAt(2) && feat(1).isNullAt(4),
+      "null content must yield null dims/features, never fabricated ones")
+    val rs = Multimodal.resizeImages(withNull, "content", 100, 100)
+      .orderBy("media_id").collect()
+    assert(rs(1).isNullAt(1) && rs(1).isNullAt(2),
+      "null content must survive resize as null (the IS NULL filter still works)")
+    val au = Multimodal.extractAudioFeatures(withNull, "content").orderBy("media_id").collect()
+    assert(!au(0).isNullAt(2) && au(1).isNullAt(2))
+    assert(Multimodal.sampleVideoFrames(withNull.filter(col("media_id") === 2), "content", 5).isEmpty,
+      "null video has nothing to sample")
   }
 }
 
