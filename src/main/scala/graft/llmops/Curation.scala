@@ -318,6 +318,47 @@ object Curation {
       .drop("__cuts", "__grp_b")
   }
 
+  /** Group-wise z-score normalization — the standardization step ahead of
+    * model features or anomaly thresholds ("how unusual is this price FOR
+    * ITS GROUP?").
+    *
+    * ONE |groups|-row moment agg (sum, sum-of-squares, count — all
+    * map-side-combined; inputs cast to DECIMAL so the sums are exact and
+    * order-independent, the float-determinism house pattern) broadcast back;
+    * the score is row-local: (x − mean) / stddev with the SAMPLE variance
+    * (n−1), matching SQL `stddev`. Every arithmetic step after the exact
+    * decimal sums is a single IEEE-exact-rounded double op (divide, subtract,
+    * multiply, sqrt), so the DuckDB oracle hash-matches bit-for-bit. A
+    * single-row or zero-variance group has no spread: `z` is NULL there
+    * (never a division blow-up), matching SQL stddev semantics.
+    */
+  def zScore(df: DataFrame, valueCol: Column, groupCol: Column): DataFrame = {
+    val keyed = df.select(groupCol.as("grp"), valueCol.cast("decimal(28,8)").as("__v"))
+    val moments = keyed.groupBy("grp").agg(
+      count(lit(1)).as("__n"),
+      sum(col("__v")).cast("decimal(38,8)").as("__s"),
+      sum((col("__v") * col("__v")).cast("decimal(38,16)")).as("__ss"))
+    keyed.join(broadcast(moments.withColumnRenamed("grp", "__grp_b")),
+        col("grp") <=> col("__grp_b"))
+      // big decimals (18+ significant digits) reach double THROUGH THEIR DIGIT
+      // STRING: direct decimal->double rounding is engine-specific at the last
+      // ulp, but string->double is correctly rounded in both JVM and DuckDB —
+      // measured: the direct cast cost q124 a 1-ulp hash mismatch
+      .withColumn("__sd", col("__s").cast("string").cast("double"))
+      .withColumn("__ssd", col("__ss").cast("string").cast("double"))
+      .withColumn("__mean", col("__sd") / col("__n").cast("double"))
+      .withColumn("__var",
+        // guarded INSIDE the expression: under ANSI a single-row group's
+        // n-1 = 0 divisor throws before any outer when() could mask it
+        when(col("__n") > 1,
+          (col("__ssd") - col("__sd") * col("__sd") / col("__n").cast("double")) /
+            (col("__n").cast("double") - 1.0)))
+      .withColumn("z",
+        when(col("__n") > 1 && col("__var") > 0,
+          (col("__v").cast("double") - col("__mean")) / sqrt(col("__var"))))
+      .select(col("grp"), col("__v").cast("double").as("v"), col("z"))
+  }
+
   /** Domain mixture weighting (the DoReMi/SlimPajama-style recipe step):
     * given a target token share per domain and a total training budget,
     * compute per-domain token counts and the repeat weight (and whole-epoch

@@ -2200,6 +2200,29 @@ object Catalog {
     images.unionByName(audio).unionByName(video)
   }, None)
 
+  private val q124 = Q("q124_zscore", (s, dir) => {
+    // Group-wise standardization: exact decimal moments broadcast back,
+    // row-local score — bit-exact vs the oracle (every post-sum op is one
+    // IEEE-exact-rounded double step; see zScore scaladoc).
+    graft.llmops.Curation.zScore(
+      t(s, dir, "lineitem"), col("l_extendedprice"), col("l_returnflag"))
+  }, Some("""
+    WITH m AS (SELECT l_returnflag AS grp, COUNT(*) AS n,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DECIMAL(38,8)) AS s,
+                      SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,8)) *
+                               CAST(l_extendedprice AS DECIMAL(28,8)) AS DECIMAL(38,16))) AS ss
+               FROM lineitem GROUP BY 1)
+    SELECT l.l_returnflag AS grp, CAST(CAST(l.l_extendedprice AS DECIMAL(28,8)) AS DOUBLE) AS v,
+           CASE WHEN m.n > 1 AND
+                     (CAST(CAST(m.ss AS VARCHAR) AS DOUBLE) - CAST(CAST(m.s AS VARCHAR) AS DOUBLE) * CAST(CAST(m.s AS VARCHAR) AS DOUBLE) / CAST(m.n AS DOUBLE))
+                       / (CAST(m.n AS DOUBLE) - 1.0) > 0
+                THEN (CAST(CAST(l.l_extendedprice AS DECIMAL(28,8)) AS DOUBLE) -
+                      CAST(CAST(m.s AS VARCHAR) AS DOUBLE) / CAST(m.n AS DOUBLE))
+                     / sqrt((CAST(CAST(m.ss AS VARCHAR) AS DOUBLE) - CAST(CAST(m.s AS VARCHAR) AS DOUBLE) * CAST(CAST(m.s AS VARCHAR) AS DOUBLE) / CAST(m.n AS DOUBLE))
+                            / (CAST(m.n AS DOUBLE) - 1.0))
+           END AS z
+    FROM lineitem l JOIN m ON l.l_returnflag = m.grp"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2213,7 +2236,8 @@ object Catalog {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
+    q124)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

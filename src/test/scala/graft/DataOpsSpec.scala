@@ -129,6 +129,30 @@ class QuantileBinSpec extends SparkSpec {
   }
 }
 
+class ZScoreSpec extends SparkSpec {
+
+  test("zScore standardizes per group; degenerate groups yield NULL; layout-independent") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 7.0), ("c", 5.0), ("c", 5.0))
+      .toDF("g", "p")
+    val out = graft.llmops.Curation.zScore(df, col("p"), col("g"))
+    val byGroup = out.collect().groupBy(_.getString(0))
+    // group a: mean 2, sample sd 1 -> z = -1, 0, 1
+    assert(byGroup("a").map(r => r.getDouble(2)).sorted.toSeq == Seq(-1.0, 0.0, 1.0))
+    // single-row and zero-variance groups: no spread -> NULL z, rows kept
+    assert(byGroup("b").length == 1 && byGroup("b").head.isNullAt(2))
+    assert(byGroup("c").length == 2 && byGroup("c").forall(_.isNullAt(2)))
+    // standardized: each non-degenerate group has mean ~0 and sd ~1
+    val li = graft.core.Tables(spark, sfDir, "lineitem")
+    val z = graft.llmops.Curation.zScore(li, col("l_extendedprice"), col("l_returnflag"))
+    val stats = z.groupBy("grp").agg(avg("z").as("m"), stddev(col("z")).as("sd")).collect()
+    assert(stats.forall(r => math.abs(r.getDouble(1)) < 1e-9 && math.abs(r.getDouble(2) - 1.0) < 1e-9))
+    // decimal moments make the result layout-independent bit-for-bit
+    val z2 = graft.llmops.Curation.zScore(li.repartition(13), col("l_extendedprice"), col("l_returnflag"))
+    assert(z.exceptAll(z2).isEmpty && z2.exceptAll(z).isEmpty)
+  }
+}
+
 class Scd2MergeSpec extends SparkSpec {
   import graft.operators.Scd2
   import java.sql.Timestamp

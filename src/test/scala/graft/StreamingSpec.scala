@@ -286,6 +286,25 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException](KafkaIO.confluentUnframe(Array[Byte](1, 2, 3, 4, 5, 6)))
   }
 
+  test("quarantine routing works unchanged on a stream (stateless row-local tagging)") {
+    import graft.operators.Expectations.{Rule, quarantine}
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, Option[Int])]
+    val mem = MemoryStream[(Long, Option[Int])]
+    val tagged = quarantine(mem.toDF().toDF("id", "v"),
+      Seq(Rule("positive", col("v") > 0, 1.0)))
+    val q = tagged.writeStream.format("memory").queryName("quar_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, Some(5)), (2L, Some(-1)), (3L, None))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("quar_sink").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "", 2L -> "positive", 3L -> "positive"),
+      s"streaming rows must tag exactly like batch: $got")
+  }
+
   test("streaming quantified sequence match equals SQL MATCH_RECOGNIZE; decides across micro-batches") {
     import graft.streaming.StreamingSequenceMatchQ
     import graft.streaming.StreamingSequenceMatchQ.QTok
