@@ -2223,6 +2223,19 @@ object Catalog {
            END AS z
     FROM lineitem l JOIN m ON l.l_returnflag = m.grp"""))
 
+  private val q125 = Q("q125_ivfpq_ann", (s, dir) => {
+    // IVF-PQ composed ANN (rows-only: approximate by design; the
+    // recall-vs-exact contract is spec-pinned in IvfPersistSpec): coarse
+    // lists bound WHICH vectors score, byte codes bound each score's COST,
+    // exact rerank recovers the final ordering.
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val index = graft.vector.IvfPq.build(emb, "vec_id", "embedding",
+      nLists = 8, m = 8, ks = 64)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    index.search(queries, "qid", "qvec", k = 3, nProbes = 3)
+  }, None)
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2237,7 +2250,7 @@ object Catalog {
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124)
+    q124, q125)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

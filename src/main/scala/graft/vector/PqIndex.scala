@@ -129,10 +129,10 @@ object PqIndex {
     * computed once in a projection over the broadcast query side), then each
     * candidate costs m byte-lookups. Same O(queries·k) shuffle as KnnJoin.
     */
-  def search(queries: DataFrame, qidCol: String, qvecCol: String,
-             encoded: DataFrame, nidCol: String, cb: Codebook, k: Int): DataFrame = {
-    val bc = queries.sparkSession.sparkContext.broadcast(cb)
-    val mkTable = udf((v: Seq[Float]) => {
+  /** Per-query ADC lookup table UDF (m·ks subspace dots, once per query). */
+  private[vector] def mkTableUdf(spark: SparkSession, cb: Codebook) = {
+    val bc = spark.sparkContext.broadcast(cb)
+    udf((v: Seq[Float]) => {
       val b = bc.value
       val nq = l2normalize(v.toArray)
       val table = new Array[Float](b.m * b.ks)
@@ -150,12 +150,23 @@ object PqIndex {
       }
       table
     })
-    val adc = udf((table: Seq[Float], code: Array[Byte]) => {
+  }
+
+  /** ADC score UDF: m byte-lookups per candidate. */
+  private[vector] def adcUdf(spark: SparkSession, cb: Codebook) = {
+    val bc = spark.sparkContext.broadcast(cb)
+    udf((table: Seq[Float], code: Array[Byte]) => {
       val b = bc.value
       var s = 0.0; var j = 0
       while (j < b.m) { s += table(j * b.ks + (code(j) & 0xff)); j += 1 }
       s
     })
+  }
+
+  def search(queries: DataFrame, qidCol: String, qvecCol: String,
+             encoded: DataFrame, nidCol: String, cb: Codebook, k: Int): DataFrame = {
+    val mkTable = mkTableUdf(queries.sparkSession, cb)
+    val adc = adcUdf(queries.sparkSession, cb)
     val q = queries.select(col(qidCol), mkTable(col(qvecCol)).as("__tab"))
     val sims = encoded
       .join(broadcast(q), col(qidCol) =!= col(nidCol))
@@ -163,6 +174,30 @@ object PqIndex {
     val agg = sims.groupBy(qidCol).agg(TopK.topK(k)(col("sim"), col(nidCol)).as("nn"))
     TopK.explodeRanked(agg, "nn", Seq(col(qidCol)))
       .select(col(qidCol), col("rank"), col("id").as(nidCol), col("score").as("sim"))
+  }
+
+  /** Persist a codebook as parquet: one row per (subspace, code) centroid
+    * plus the shape. Small (m·ks rows) — reads back on any cluster.
+    */
+  def saveCodebook(spark: SparkSession, cb: Codebook, path: String): Unit = {
+    import spark.implicits._
+    val rows = for (j <- 0 until cb.m; c <- cb.cents(j).indices)
+      yield (j, c, cb.cents(j)(c).toSeq)
+    rows.toDF("j", "c", "centroid").write.mode("overwrite").parquet(s"$path/cents")
+    Seq((cb.m, cb.ks, cb.subDim)).toDF("m", "ks", "subDim")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadCodebook(spark: SparkSession, path: String): Codebook = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (m, ks, subDim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val cents = Array.fill(m)(Array.empty[Array[Float]])
+    val byJ = spark.read.parquet(s"$path/cents").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1)
+    for (j <- 0 until m)
+      cents(j) = byJ(j).sortBy(_._2).map(_._3)
+    Codebook(m, ks, subDim, cents)
   }
 
   /** Two-stage search: ADC top-(k·rerankFactor) candidates, then exact cosine

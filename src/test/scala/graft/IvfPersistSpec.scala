@@ -68,6 +68,47 @@ class IvfPersistSpec extends SparkSpec {
     assert(grown.listStats.agg(sum("n")).head().getLong(0) == emb.count())
   }
 
+  test("IVF-PQ: full-probe rerank recovers exact knn; saved layout searches identically") {
+    import graft.vector.IvfPq
+    val emb = graft.core.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val index = IvfPq.build(emb, "vec_id", "embedding", nLists = 4, m = 8, ks = 64)
+    // compression contract: every code is exactly m bytes
+    assert(index.encoded.select(length(col("pq_code"))).distinct().head().getInt(0) == 8)
+
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // the house ANN contract (PqIndexSpec): recall thresholds vs exact, not
+    // equality — the ADC shortlist is an approximation by design
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "nid").collect()
+        .groupBy(_.getLong(0)).map { case (q, a) => q -> a.map(_.getLong(1)).toSet }
+    val exact = hits(graft.vector.KnnJoin(queries,
+      emb.select(col("vec_id").as("nid"), col("embedding").as("nvec")), k = 3))
+    val got = hits(index.search(queries, "qid", "qvec", k = 3, nProbes = 4, rerankFactor = 16))
+    val recall = exact.map { case (q, want) =>
+      (got.getOrElse(q, Set.empty) & want).size.toDouble / want.size }.sum / exact.size
+    assert(recall >= 0.8, s"full-probe IVF-PQ recall@3 too low: $recall")
+    // (ks=16 measured 0.47 on this near-dup-dense fixture — identical through
+    // plain PqIndex.searchRerank, so the codebook resolution, not the IVF
+    // composition, is the recall lever; ks=64 measures 0.93)
+
+    // persisted layout: identical results, probed-list partition pruning holds
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/index"
+    index.save(dir)
+    val loaded = IvfPq.load(spark, dir)
+    val fromDisk = hits(loaded.search(queries, "qid", "qvec", k = 3, nProbes = 4, rerankFactor = 16))
+    assert(fromDisk == got, "saved layout must search identically to the live index")
+    val scan = loaded.encoded.filter(col("list_id") === 0L)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("list_id"),
+      "probed-list filters must prune the saved layout's partitions")
+
+    // restricted probing still returns k ranked rows per query (the ANN path)
+    val narrow = index.search(queries, "qid", "qvec", k = 3, nProbes = 1)
+    assert(narrow.groupBy("qid").count().collect().forall(_.getLong(1) == 3))
+  }
+
   test("numCandidates breadth maps onto probes: full breadth equals exact knn") {
     val emb = graft.core.Tables(spark, sfDir, "embeddings")
       .filter(col("vec_id") < 200).select(col("vec_id"), col("embedding"))
