@@ -38,20 +38,35 @@ object IvfPq {
     def search(queries: DataFrame, qidCol: String, qvecCol: String,
                k: Int, nProbes: Int, rerankFactor: Int = 4): DataFrame = {
       val spark = queries.sparkSession
-      val mkTable = PqIndex.mkTableUdf(spark, cb)
-      val adc = PqIndex.adcUdf(spark, cb)
-      val probed = IvfIndex.probeLists(queries, centroids, qidCol, qvecCol, nProbes)
-        .select(col(qidCol), col("list_id"), mkTable(col(qvecCol)).as("__tab"))
+      val bcCb = PqIndex.broadcastCodebook(spark, cb)
+      val mkTable = PqIndex.mkTableUdf(bcCb)
+      val adc = PqIndex.adcUdf(bcCb)
+      // routing (qid, list_id) and the per-query ADC table travel as TWO
+      // broadcast relations joined after the list fan-out: the m·ks-float
+      // table is built once per query and broadcast once per query, not
+      // rebuilt/recopied nProbes times inside an exploded projection.
+      val lidType = encoded.schema("list_id").dataType // saved layouts infer Int; live is Long
+      val probes = IvfIndex.probeLists(queries, centroids, qidCol, qvecCol, nProbes)
+        .select(col(qidCol), col("list_id").cast(lidType).as("list_id"))
+      val tabs = queries.select(col(qidCol), mkTable(col(qvecCol)).as("__tab"))
+      // static probed-list pruning: collect the ≤ min(nLists, queries·nProbes)
+      // probed ids (re-running the cheap routing job) and filter with literals,
+      // so a saved partitionBy(list_id) layout prunes at plan time instead of
+      // hoping dynamic-partition-pruning heuristics fire on a udf lineage.
+      val probedIds = probes.select("list_id").distinct().collect().map(_.get(0))
       val cand = encoded.select(col("nid"), col("list_id"), col("pq_code"))
-        .join(broadcast(probed), Seq("list_id"))
+        .filter(col("list_id").isInCollection(probedIds))
+        .join(broadcast(probes), Seq("list_id"))
         .filter(col(qidCol) =!= col("nid"))
+        .join(broadcast(tabs), Seq(qidCol))
         .select(col(qidCol), col("nid"), adc(col("__tab"), col("pq_code")).as("sim"))
       val shortlist = TopK.explodeRanked(
           cand.groupBy(qidCol).agg(TopK.topK(k * rerankFactor)(col("sim"), col("nid")).as("nn")),
           "nn", Seq(col(qidCol)))
         .select(col(qidCol), col("id").as("nid"))
-      val exact = shortlist
-        .join(encoded.select(col("nid"), col("nvec")), "nid")
+      val exact = broadcast(shortlist) // O(queries·k·factor) ids — never sort-merge the corpus
+        .join(encoded.filter(col("list_id").isInCollection(probedIds)) // rerank ids all live in probed lists
+          .select(col("nid"), col("nvec")), "nid")
         .join(broadcast(queries.select(col(qidCol), col(qvecCol))), qidCol)
         .select(col(qidCol), col("nid"),
           Vectors.cosine(col(qvecCol), col("nvec")).as("sim"))
@@ -75,9 +90,12 @@ object IvfPq {
     * codes attached to every assigned row.
     */
   def build(corpus: DataFrame, idCol: String, embCol: String,
-            nLists: Int, m: Int, ks: Int = 256, iterations: Int = 2): Index = {
+            nLists: Int, m: Int, ks: Int = 256, iterations: Int = 2,
+            pqIterations: Int = 4, pqSampleSize: Int = 8192): Index = {
     val ivf = IvfIndex.build(corpus, idCol, embCol, nLists, iterations)
-    val cb = PqIndex.train(corpus, embCol, m, ks)
+    // the PQ codebook (not the coarse centroids) is the recall lever — its
+    // training knobs are first-class, not hidden defaults
+    val cb = PqIndex.train(corpus, embCol, m, ks, pqSampleSize, pqIterations)
     Index(ivf.centroids, cb, PqIndex.encode(ivf.assigned, "nvec", cb))
   }
 

@@ -125,13 +125,16 @@ object PqIndex {
     df.withColumn("pq_code", enc(col(embCol)))
   }
 
-  /** ADC top-k over an encoded corpus: per-query lookup table (m·ks dots,
-    * computed once in a projection over the broadcast query side), then each
-    * candidate costs m byte-lookups. Same O(queries·k) shuffle as KnnJoin.
+  /** One codebook broadcast shared by every UDF of a search call — callers
+    * broadcast once and hand the handle to [[mkTableUdf]]/[[adcUdf]], instead
+    * of each factory shipping (and never freeing) its own copy.
     */
+  private[vector] def broadcastCodebook(spark: SparkSession, cb: Codebook)
+      : org.apache.spark.broadcast.Broadcast[Codebook] =
+    spark.sparkContext.broadcast(cb)
+
   /** Per-query ADC lookup table UDF (m·ks subspace dots, once per query). */
-  private[vector] def mkTableUdf(spark: SparkSession, cb: Codebook) = {
-    val bc = spark.sparkContext.broadcast(cb)
+  private[vector] def mkTableUdf(bc: org.apache.spark.broadcast.Broadcast[Codebook]) = {
     udf((v: Seq[Float]) => {
       val b = bc.value
       val nq = l2normalize(v.toArray)
@@ -153,8 +156,7 @@ object PqIndex {
   }
 
   /** ADC score UDF: m byte-lookups per candidate. */
-  private[vector] def adcUdf(spark: SparkSession, cb: Codebook) = {
-    val bc = spark.sparkContext.broadcast(cb)
+  private[vector] def adcUdf(bc: org.apache.spark.broadcast.Broadcast[Codebook]) = {
     udf((table: Seq[Float], code: Array[Byte]) => {
       val b = bc.value
       var s = 0.0; var j = 0
@@ -163,10 +165,15 @@ object PqIndex {
     })
   }
 
+  /** ADC top-k over an encoded corpus: per-query lookup table (m·ks dots,
+    * computed once in a projection over the broadcast query side), then each
+    * candidate costs m byte-lookups. Same O(queries·k) shuffle as KnnJoin.
+    */
   def search(queries: DataFrame, qidCol: String, qvecCol: String,
              encoded: DataFrame, nidCol: String, cb: Codebook, k: Int): DataFrame = {
-    val mkTable = mkTableUdf(queries.sparkSession, cb)
-    val adc = adcUdf(queries.sparkSession, cb)
+    val bc = broadcastCodebook(queries.sparkSession, cb)
+    val mkTable = mkTableUdf(bc)
+    val adc = adcUdf(bc)
     val q = queries.select(col(qidCol), mkTable(col(qvecCol)).as("__tab"))
     val sims = encoded
       .join(broadcast(q), col(qidCol) =!= col(nidCol))

@@ -97,16 +97,23 @@ class IvfPersistSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/index"
     index.save(dir)
     val loaded = IvfPq.load(spark, dir)
+    // pruning is asserted on the ACTUAL search path: the static isInCollection
+    // filter over the probed ids must surface as a PartitionFilter on the
+    // saved layout's scan (not just on a hand-written literal filter)
+    val diskSearch = loaded.search(queries, "qid", "qvec", k = 3, nProbes = 2, rerankFactor = 16)
+    val searchPlan = diskSearch.queryExecution.executedPlan.toString
+    assert(searchPlan.contains("PartitionFilters: [") && searchPlan.contains("list_id"),
+      s"search over a saved layout must plan probed-list partition pruning:\n" +
+        searchPlan.linesIterator.filter(_.contains("Scan")).take(6).mkString("\n"))
     val fromDisk = hits(loaded.search(queries, "qid", "qvec", k = 3, nProbes = 4, rerankFactor = 16))
     assert(fromDisk == got, "saved layout must search identically to the live index")
-    val scan = loaded.encoded.filter(col("list_id") === 0L)
-      .queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters") && scan.contains("list_id"),
-      "probed-list filters must prune the saved layout's partitions")
 
-    // restricted probing still returns k ranked rows per query (the ANN path)
+    // restricted probing still returns k ranked rows for EVERY query — a qid
+    // dropping out of the output entirely must fail, not slip past forall
     val narrow = index.search(queries, "qid", "qvec", k = 3, nProbes = 1)
-    assert(narrow.groupBy("qid").count().collect().forall(_.getLong(1) == 3))
+    val perQ = narrow.groupBy("qid").count().collect()
+    assert(perQ.length == 5, s"all 5 queries must return rows, got ${perQ.length}")
+    assert(perQ.forall(_.getLong(1) == 3))
   }
 
   test("numCandidates breadth maps onto probes: full breadth equals exact knn") {
