@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy entity resolution: candidate pairs come only from equal
+  * blocking keys, scored with edit distance.
+  *
+  * The reference's enrichment joins assume clean keys; real corpus/CRM data
+  * needs approximate matching (same entity, slightly different string). The
+  * classic scalable shape is blocking + pairwise scoring:
+  *
+  *   - BLOCKING bounds the quadratic blow-up: a self-join on the raw table is
+  *     O(n²) pairs; equal-block pairs are Σ|block|² — the caller picks a key
+  *     that keeps blocks small (a token, a phonetic code, an LSH bucket). At
+  *     100 TB the block join is one hash shuffle on the key, and a skewed
+  *     block (one giant key) is visible in `groupBy(block).count()` and fixed
+  *     by refining the key, not by a bigger cluster.
+  *   - SCORING uses Spark's threshold'd `levenshtein(l, r, max)` which
+  *     early-exits once distance exceeds `max` — O(maxDist·min(len)) per pair
+  *     instead of O(len²), the standard banded-DP trick.
+  *
+  * Pairs are emitted once (`a_id < b_id`), with `dist` in [minDist, maxDist].
+  * `minDist = 1` excludes exact duplicates (those are exact-dedup's job).
+  */
+object FuzzyMatch {
+
+  /** Self-match `df` on `blockExpr`-equal rows with name edit distance in
+    * [minDist, maxDist]. Output: (a_id, b_id, a_name, b_name, dist).
+    */
+  def selfMatch(df: DataFrame, idCol: String, nameCol: String, blockExpr: Column,
+                maxDist: Int = 2, minDist: Int = 1): DataFrame = {
+    require(maxDist >= minDist && minDist >= 0, s"bad distance band [$minDist, $maxDist]")
+    // blockExpr may reference any input column — evaluate it before pruning
+    val keyed = df.withColumn("__blk", blockExpr).select(col(idCol), col(nameCol), col("__blk"))
+    val a = keyed.select(col("__blk"), col(idCol).as("a_id"), col(nameCol).as("a_name"))
+    val b = keyed.select(col("__blk"), col(idCol).as("b_id"), col(nameCol).as("b_name"))
+    a.join(b, Seq("__blk"))
+      .filter(col("a_id") < col("b_id"))
+      // 3-arg levenshtein returns -1 past the threshold — the band filter
+      // drops those rows AND the exact-equal (dist 0) ones in one pass
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name"), maxDist))
+      .filter(col("dist") >= minDist && col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"), col("dist"))
+  }
+}

@@ -2236,6 +2236,22 @@ object Catalog {
     index.search(queries, "qid", "qvec", k = 3, nProbes = 3)
   }, None)
 
+  private val q126 = Q("q126_fuzzy_match", (s, dir) => {
+    // Blocked fuzzy entity resolution: candidate pairs come only from
+    // equal-suffix blocks (bounds the quadratic), scored with threshold'd
+    // edit distance (early-exits past maxDist). minDist=1 excludes exact
+    // duplicates — those are exact-dedup's job.
+    graft.operators.FuzzyMatch.selfMatch(
+      t(s, dir, "customer"), "c_custkey", "c_name",
+      blockExpr = substring(col("c_name"), 16, 3), maxDist = 2, minDist = 1)
+  }, Some("""
+    WITH k AS (SELECT c_custkey, c_name, substr(c_name, 16, 3) AS blk FROM customer)
+    SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+           a.c_name AS a_name, b.c_name AS b_name,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM k a JOIN k b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) BETWEEN 1 AND 2"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2250,7 +2266,7 @@ object Catalog {
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125)
+    q124, q125, q126)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
