@@ -39,6 +39,79 @@ object CorpusStats {
       .select("doc_id", "token", "tf", "df", "score", "rank")
   }
 
+  /** BM25 sparse retrieval: top-k documents per query — the lexical half of
+    * every RAG stack (the dense half is [[graft.vector.VectorStore]]/IVF).
+    *
+    * Okapi BM25 with the Lucene idf variant ln(1 + (N−df+0.5)/(df+0.5))
+    * (always positive) by default; `logIdf = false` drops the ln and uses the
+    * rational ratio directly — ranking-equivalent per term (ln is monotone)
+    * and bit-reproducible across engines, which is what the DuckDB oracle
+    * hashes (the tfIdfTopTerms transcendentals rule). Per-(query, doc) scores
+    * fold the per-term contributions in TOKEN order (the bigramLmScore
+    * pattern: float addition is not associative, and contributions here are
+    * too large for the cross-engine double→DECIMAL(38,18) trick — that cast
+    * is only bit-identical across engines for |x| small enough that x·10¹⁸
+    * stays exact in double). Ranking orders by score with a doc-id tie-break.
+    *
+    * Scale shape: the corpus is touched exactly once (tokenize → per-(doc,
+    * token) tf with doc length carried, map-side combined). The query
+    * vocabulary — tiny — broadcasts, SEMI-pruning the postings to query-term
+    * rows before anything else joins: df, query fan-out, and scoring all run
+    * on that pruned set, so nothing corpus-sized ever shuffles. Per-query
+    * top-k is a window over each query's candidate set. `maxDfFraction`
+    * drops stopword-grade terms (df > fraction·N) the way production BM25
+    * does — at 100 TB the posting list of "the" is the skew key, and its
+    * idf ≈ 0 contribution is noise anyway.
+    */
+  def bm25TopK(docs: DataFrame, docIdCol: String, textCol: String,
+               queries: DataFrame, qIdCol: String, qTextCol: String,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+               logIdf: Boolean = true, maxDfFraction: Double = 1.0): DataFrame = {
+    require(k >= 1 && k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k=$k k1=$k1 b=$b")
+    val toks = docs.select(col(docIdCol).as("doc_id"), Text.tokens(lower(col(textCol))).as("__t"))
+    val statsRow = toks.agg(count(lit(1)), sum(size(col("__t")))).first()
+    require(statsRow.getLong(0) > 0, "bm25TopK: empty corpus")
+    val nd = lit(statsRow.getLong(0).toDouble)
+    val ld = lit(statsRow.getLong(1).toDouble)
+
+    val tf = toks
+      .select(col("doc_id"), size(col("__t")).as("dl"), explode(col("__t")).as("token"))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val qterms = queries.select(col(qIdCol).as("query_id"),
+        explode(array_distinct(Text.tokens(lower(col(qTextCol))))).as("token"))
+    // prune the corpus-sized postings to the query vocabulary FIRST — the
+    // broadcast semi join is the only corpus-wide operation after the tf agg
+    val posts = tf.join(broadcast(qterms.select("token").distinct()), Seq("token"), "left_semi")
+    val dfq0 = posts.groupBy("token").agg(count(lit(1)).as("df"))
+    val dfq = if (maxDfFraction >= 1.0) dfq0
+              else dfq0.filter(col("df").cast("double") <= lit(maxDfFraction) * nd)
+
+    // every float op below is IEEE correctly-rounded on deterministic inputs;
+    // the oracle mirrors the exact same expression tree, parens and all
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    val dfd = col("df").cast("double")
+    val k1c = lit(k1)
+    val bC = lit(b)
+    val tfc = (tfd * (k1c + lit(1.0))) /
+      ((tfd + (k1c * (lit(1.0) - bC))) + ((((k1c * bC) * dld) * nd) / ld))
+    val idfRational = ((nd - dfd) + lit(0.5)) / (dfd + lit(0.5))
+    val idf = if (logIdf) log(lit(1.0) + idfRational) else idfRational
+
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    posts.join(broadcast(qterms), "token")
+      .join(broadcast(dfq), "token")
+      .withColumn("contrib", tfc * idf)
+      .groupBy("query_id", "doc_id")
+      // token-ordered fold (tokens are unique per (query, doc) so the sort is
+      // total); single-level HOF over a bound array — the fast shape
+      .agg(sort_array(collect_list(struct(col("token"), col("contrib")))).as("__tc"))
+      .withColumn("score", aggregate(col("__tc"), lit(0.0), (acc, x) => acc + x.getField("contrib")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
   /** Statistical language-model quality scoring (the CCNet/KenLM-style
     * perplexity filter, re-expressed relationally): train an add-1-smoothed
     * bigram model on `ref`, score every `corpus` doc by its MEAN bigram

@@ -2252,6 +2252,42 @@ object Catalog {
     FROM k a JOIN k b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
     WHERE levenshtein(a.c_name, b.c_name) BETWEEN 1 AND 2"""))
 
+  private val q127 = Q("q127_bm25_topk", (s, dir) => {
+    // BM25 sparse retrieval, rational-idf mode (ln is ranking-equivalent per
+    // term but not cross-engine hashable; the ln path is spec-verified). The
+    // oracle mirrors the operator's exact IEEE expression tree and sums
+    // contributions as DECIMAL(38,18) on both sides.
+    val docs = t(s, dir, "documents")
+    graft.llmops.CorpusStats.bm25TopK(
+      docs, "doc_id", "text",
+      queries = docs.filter(col("doc_id") < 5).select(col("doc_id"), col("text")),
+      qIdCol = "doc_id", qTextCol = "text", k = 10, logIdf = false)
+  }, Some("""
+    WITH dt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+         st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, CAST(SUM(len(t)) AS DOUBLE) AS ld FROM dt),
+         tf AS (SELECT doc_id, CAST(dl AS DOUBLE) AS dld, token, CAST(COUNT(*) AS DOUBLE) AS tfd
+                FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM dt)
+                GROUP BY 1, 2, 3),
+         qt AS (SELECT DISTINCT doc_id AS query_id, unnest(t) AS token FROM dt WHERE doc_id < 5),
+         dfq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS dfd FROM tf
+                 WHERE token IN (SELECT token FROM qt) GROUP BY 1),
+         -- constants cast to DOUBLE: DuckDB parses bare 1.2/0.75 as DECIMAL
+         -- and folds (1.2*(1.0-0.75)) exactly to 0.300, which is NOT the
+         -- double(1.2)*double(0.25) the Spark side computes
+         sc AS (SELECT qt.query_id, tf.doc_id, token,
+                       ((tfd * (1.2::DOUBLE + 1.0::DOUBLE)) /
+                        ((tfd + (1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE))) +
+                         ((((1.2::DOUBLE * 0.75::DOUBLE) * dld) * nd) / ld)))
+                       * (((nd - dfd) + 0.5::DOUBLE) / (dfd + 0.5::DOUBLE)) AS contrib
+                FROM tf JOIN qt USING (token) JOIN dfq USING (token) CROSS JOIN st),
+         ag AS (SELECT query_id, doc_id,
+                       list_reduce(list(contrib ORDER BY token), (a, b) -> a + b) AS score
+                FROM sc GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id, score,
+                      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+               FROM ag)
+    SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2266,7 +2302,7 @@ object Catalog {
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126)
+    q124, q125, q126, q127)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

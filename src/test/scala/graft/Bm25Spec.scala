@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llmops.CorpusStats
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox"),
+    (3L, "lazy dog sleeps all day the"),
+    (4L, "quick quick quick fox"),
+    (5L, "an entirely different subject matter here")
+  ).toDF("doc_id", "text")
+
+  /** Independent reference BM25 (plain Scala, Lucene idf). */
+  private def refScores(docs: Seq[(Long, String)], query: String,
+                        k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    val toks = docs.map { case (id, t) => id -> t.trim.toLowerCase.split("\\s+").toSeq }.toMap
+    val n = docs.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    val qts = query.trim.toLowerCase.split("\\s+").distinct
+    toks.flatMap { case (id, ts) =>
+      val dl = ts.size.toDouble
+      val s = qts.map { term =>
+        val tf = ts.count(_ == term).toDouble
+        if (tf == 0) 0.0
+        else {
+          val df = toks.values.count(_.contains(term)).toDouble
+          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl)) * idf
+        }
+      }.sum
+      if (s > 0) Some(id -> s) else None
+    }
+  }
+
+  test("ln-idf scores match an independent implementation") {
+    val queries = Seq((100L, "quick fox"), (101L, "lazy dog")).toDF("qid", "qtext")
+    val out = CorpusStats.bm25TopK(corpus, "doc_id", "text", queries, "qid", "qtext", k = 10)
+      .select("query_id", "doc_id", "score").as[(Long, Long, Double)].collect()
+    val docs = corpus.as[(Long, String)].collect().toSeq
+    val exp = Map(100L -> refScores(docs, "quick fox"), 101L -> refScores(docs, "lazy dog"))
+    assert(out.map(r => (r._1, r._2)).toSet ==
+      exp.toSeq.flatMap { case (q, m) => m.keys.map(q -> _) }.toSet,
+      "candidate sets differ")
+    out.foreach { case (q, d, s) =>
+      assert(math.abs(s - exp(q)(d)) < 1e-9, s"score mismatch for query $q doc $d")
+    }
+  }
+
+  test("ranking is score-desc with doc-id tie-break, capped at k") {
+    val queries = Seq((1L, "quick fox lazy dog the")).toDF("qid", "qtext")
+    val out = CorpusStats.bm25TopK(corpus, "doc_id", "text", queries, "qid", "qtext", k = 3)
+      .orderBy("rank").as[(Long, Long, Double, Long)].collect()
+    assert(out.length == 3)
+    assert(out.map(_._4).toSeq == Seq(1L, 2L, 3L))
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && a._2 < b._2) })
+  }
+
+  test("maxDfFraction drops stopword-grade terms: an all-stopword query returns nothing") {
+    // "the" appears in 3/5 docs (df/N = 0.6)
+    val queries = Seq((1L, "the")).toDF("qid", "qtext")
+    val kept = CorpusStats.bm25TopK(corpus, "doc_id", "text", queries, "qid", "qtext", k = 10)
+    assert(kept.count() == 3)
+    val dropped = CorpusStats.bm25TopK(corpus, "doc_id", "text", queries, "qid", "qtext",
+      k = 10, maxDfFraction = 0.5)
+    assert(dropped.count() == 0)
+  }
+
+  test("rational mode: a distinctive doc retrieves itself at rank 1") {
+    val queries = corpus.filter(col("doc_id") === 5L).select(col("doc_id").as("q"), col("text"))
+    val out = CorpusStats.bm25TopK(corpus, "doc_id", "text", queries, "q", "text",
+      k = 1, logIdf = false).select("query_id", "doc_id").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((5L, 5L)))
+  }
+}
