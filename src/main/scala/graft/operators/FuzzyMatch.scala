@@ -43,4 +43,43 @@ object FuzzyMatch {
       .filter(col("dist") >= minDist && col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"), col("dist"))
   }
+
+  /** Sorted-neighborhood matching, the OTHER classic ER blocking: sort the
+    * corpus on a key, compare each row only to the `windowSize−1` rows after
+    * it. Complements [[selfMatch]] — equal-key blocking misses pairs whose
+    * keys differ slightly; sorted neighborhoods catch "adjacent after
+    * sorting" pairs without any exact key agreeing.
+    *
+    * Candidate count is exactly (windowSize−1)·N — linear, not quadratic.
+    * The global order comes from [[Ids.contiguousRowIds]] (distributed
+    * range-sort + two-pass prefix sum — no single-task window), each row is
+    * replicated windowSize−1 times with its target position, and the pairing
+    * is one integer equi-join on position: every step shuffles on keys with
+    * full cardinality. `sortCols` must be a total order (add a unique
+    * tie-break column, e.g. the id) or neighbor sets are nondeterministic —
+    * the contiguousRowIds caveat.
+    *
+    * Output: (a_id, b_id, a_name, b_name, gap, dist) where `gap` ∈
+    * [1, windowSize−1] is the sort-distance and `dist` ∈ [minDist, maxDist]
+    * the edit distance; `a` precedes `b` in sort order.
+    */
+  def sortedNeighborhood(df: DataFrame, idCol: String, nameCol: String,
+                         sortCols: Seq[String], windowSize: Int,
+                         maxDist: Int = 2, minDist: Int = 1): DataFrame = {
+    require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
+    require(maxDist >= minDist && minDist >= 0, s"bad distance band [$minDist, $maxDist]")
+    val keep = (Seq(idCol, nameCol) ++ sortCols).distinct.map(col)
+    val ranked = Ids.contiguousRowIds(df.select(keep: _*), sortCols, "__rn")
+      .select(col(idCol), col(nameCol), col("__rn"))
+    val a = ranked
+      .select(col(idCol).as("a_id"), col(nameCol).as("a_name"), col("__rn"),
+        explode(sequence(lit(1), lit(windowSize - 1))).as("gap"))
+      .withColumn("__target", col("__rn") + col("gap"))
+    val b = ranked.select(col(idCol).as("b_id"), col(nameCol).as("b_name"),
+      col("__rn").as("__target"))
+    a.join(b, "__target")
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name"), maxDist))
+      .filter(col("dist") >= minDist && col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"), col("gap"), col("dist"))
+  }
 }

@@ -2288,6 +2288,99 @@ object Catalog {
                FROM ag)
     SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10"""))
 
+  private val q128 = Q("q128_hybrid_rrf", (s, dir) => {
+    // Hybrid retrieval: BM25 sparse ranks ⊕ dense cosine ranks fused by RRF.
+    // doc_id and vec_id are the same id space (TESTDATA), so the fusion is a
+    // genuine lexical+semantic ensemble over one corpus.
+    import graft.llmops.{CorpusStats, Retrieval}
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val sparse = CorpusStats.bm25TopK(docs, "doc_id", "text",
+        queries = docs.filter(col("doc_id") < 5).select(col("doc_id"), col("text")),
+        qIdCol = "doc_id", qTextCol = "text", k = 10, logIdf = false)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    // retrieval, not dedup: the query's own doc is a legitimate (best) hit
+    val sims = corpus.crossJoin(broadcast(q))
+      .select(col("qid"), col("nid"), Vectors.cosine(col("qvec"), col("nvec")).as("sim"))
+    val denseAgg = sims.groupBy("qid").agg(TopK.topK(10)(col("sim"), col("nid")).as("nn"))
+    val dense = TopK.explodeRanked(denseAgg, "nn", Seq(col("qid")))
+      .select(col("qid").as("query_id"), col("id").as("doc_id"), col("rank"))
+    Retrieval.rrf(Seq(sparse, dense), k0 = 60, k = 10)
+  }, Some("""
+    WITH dt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+         st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, CAST(SUM(len(t)) AS DOUBLE) AS ld FROM dt),
+         tf AS (SELECT doc_id, CAST(dl AS DOUBLE) AS dld, token, CAST(COUNT(*) AS DOUBLE) AS tfd
+                FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM dt)
+                GROUP BY 1, 2, 3),
+         qt AS (SELECT DISTINCT doc_id AS query_id, unnest(t) AS token FROM dt WHERE doc_id < 5),
+         dfq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS dfd FROM tf
+                 WHERE token IN (SELECT token FROM qt) GROUP BY 1),
+         sc AS (SELECT qt.query_id, tf.doc_id, token,
+                       ((tfd * (1.2::DOUBLE + 1.0::DOUBLE)) /
+                        ((tfd + (1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE))) +
+                         ((((1.2::DOUBLE * 0.75::DOUBLE) * dld) * nd) / ld)))
+                       * (((nd - dfd) + 0.5::DOUBLE) / (dfd + 0.5::DOUBLE)) AS contrib
+                FROM tf JOIN qt USING (token) JOIN dfq USING (token) CROSS JOIN st),
+         bm AS (SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY
+                         list_reduce(list(contrib ORDER BY token), (a, b) -> a + b) DESC, doc_id)
+                         AS brank
+                FROM sc GROUP BY query_id, doc_id),
+         bmk AS (SELECT * FROM bm WHERE brank <= 10),
+         qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+         cv AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+         ds AS (SELECT qid, nid,
+                       list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS sim
+                FROM qv CROSS JOIN cv),
+         dn AS (SELECT qid AS query_id, nid AS doc_id,
+                       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS drank
+                FROM ds),
+         dnk AS (SELECT * FROM dn WHERE drank <= 10),
+         fused AS (SELECT COALESCE(b.query_id, d.query_id) AS query_id,
+                          COALESCE(b.doc_id, d.doc_id) AS doc_id,
+                          (COALESCE(1.0::DOUBLE / (60.0::DOUBLE + CAST(brank AS DOUBLE)), 0.0::DOUBLE)
+                           + COALESCE(1.0::DOUBLE / (60.0::DOUBLE + CAST(drank AS DOUBLE)), 0.0::DOUBLE)) AS score
+                   FROM bmk b FULL OUTER JOIN dnk d
+                     ON b.query_id = d.query_id AND b.doc_id = d.doc_id),
+         r AS (SELECT query_id, doc_id, score,
+                      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+               FROM fused)
+    SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10"""))
+
+  private val q129 = Q("q129_sorted_neighborhood", (s, dir) => {
+    // The other classic ER blocking: linear candidate generation from sort
+    // adjacency (no exact key agreement needed), distributed row numbering
+    // instead of a single-task global window.
+    graft.operators.FuzzyMatch.sortedNeighborhood(
+      t(s, dir, "customer"), "c_custkey", "c_name",
+      sortCols = Seq("c_name"), windowSize = 5, maxDist = 2, minDist = 1)
+  }, Some("""
+    WITH r AS (SELECT c_custkey AS id, c_name AS name,
+                      row_number() OVER (ORDER BY c_name) - 1 AS rn FROM customer),
+         p AS (SELECT a.id AS a_id, b.id AS b_id, a.name AS a_name, b.name AS b_name,
+                      CAST(b.rn - a.rn AS INTEGER) AS gap,
+                      CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+               FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4)
+    SELECT a_id, b_id, a_name, b_name, gap, dist FROM p WHERE dist BETWEEN 1 AND 2"""))
+
+  private val q130 = Q("q130_k_anonymity", (s, dir) => {
+    // Re-identification screening: equivalence classes over the declared
+    // quasi-identifiers that break k-anonymity (size < 8) or l-diversity
+    // (< 5 distinct sensitive values).
+    graft.operators.Privacy.violations(
+      t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 8,
+      sensitiveCol = Some("c_acctbal"), l = 5)
+  }, Some("""
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size,
+           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS distinct_sensitive,
+           COUNT(*) < 8 AS k_violation,
+           COUNT(DISTINCT c_acctbal) < 5 AS l_violation
+    FROM customer GROUP BY 1, 2
+    HAVING COUNT(*) < 8 OR COUNT(DISTINCT c_acctbal) < 5"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2302,7 +2395,7 @@ object Catalog {
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127)
+    q124, q125, q126, q127, q128, q129, q130)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -37,4 +37,60 @@ class FuzzyMatchSpec extends SparkSpec {
       FuzzyMatch.selfMatch(people, "id", "name", col("blk"), maxDist = 1, minDist = 2)
     }
   }
+
+  test("sortedNeighborhood: pairs come from sort adjacency, not key equality") {
+    // sorted by name: anna(5) < anne(6) < bob(1) < bobb(2) < bpbb(3) < zed(4)
+    val df = Seq(
+      (1L, "bob"), (2L, "bobb"), (3L, "bpbb"), (4L, "zed"), (5L, "anna"), (6L, "anne")
+    ).toDF("id", "name")
+    val out = FuzzyMatch.sortedNeighborhood(df, "id", "name",
+      sortCols = Seq("name"), windowSize = 3, maxDist = 2, minDist = 1)
+      .select("a_id", "b_id", "gap", "dist").as[(Long, Long, Int, Int)].collect().toSet
+    // window 3 → gaps 1..2 over sort positions; band [1,2]:
+    //  anna-anne d1 g1; anna-bob d? (4) out; anne-bob d3 out (threshold -1);
+    //  bob-bobb d1 g1; bob-bpbb d2 g2; bobb-bpbb d1 g1; bpbb-zed d4 out
+    assert(out == Set((5L, 6L, 1, 1), (1L, 2L, 1, 1), (1L, 3L, 2, 2), (2L, 3L, 1, 1)))
+  }
+
+  test("sortedNeighborhood: windowSize bounds candidate gap") {
+    val df = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "aaba"), (4L, "abaa")).toDF("id", "name")
+    val wide = FuzzyMatch.sortedNeighborhood(df, "id", "name", Seq("name"), windowSize = 4,
+      maxDist = 3, minDist = 1)
+    assert(wide.count() == 6) // all C(4,2) pairs within gap<=3, dist<=3
+    val narrow = FuzzyMatch.sortedNeighborhood(df, "id", "name", Seq("name"), windowSize = 2,
+      maxDist = 3, minDist = 1)
+    assert(narrow.select("a_id", "b_id").as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (2L, 3L), (3L, 4L)))
+  }
+}
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows = Seq(
+    // (zip, age_band, diagnosis)
+    ("02138", "20s", "flu"), ("02138", "20s", "flu"), ("02138", "20s", "flu"),
+    ("02139", "30s", "flu"), ("02139", "30s", "cold"), ("02139", "30s", "covid"),
+    ("02140", "40s", "flu")
+  ).toDF("zip", "age_band", "diagnosis")
+
+  test("k-anonymity and l-diversity violations are flagged per equivalence class") {
+    val out = graft.operators.Privacy.violations(rows, Seq("zip", "age_band"), k = 3,
+      sensitiveCol = Some("diagnosis"), l = 2)
+      .select("zip", "group_size", "distinct_sensitive", "k_violation", "l_violation")
+      .as[(String, Long, Long, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    // 02138: size 3 (k ok) but 1 diagnosis → l violation only
+    assert(out("02138") == ("02138", 3L, 1L, false, true))
+    // 02139: size 3, 3 diagnoses → compliant, absent
+    assert(!out.contains("02139"))
+    // 02140: size 1 → both violations
+    assert(out("02140") == ("02140", 1L, 1L, true, true))
+  }
+
+  test("without a sensitive column only k-anonymity is checked") {
+    val out = graft.operators.Privacy.violations(rows, Seq("zip"), k = 4)
+      .select("zip", "group_size", "l_violation").as[(String, Long, Boolean)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet == Set(("02138", 3L), ("02139", 3L), ("02140", 1L)))
+    assert(out.forall(!_._3))
+  }
 }
