@@ -395,6 +395,37 @@ object Dedup {
     * an executor (the correctness suite's bounded subsets); at corpus scale
     * use the LSH variant.
     */
+  /** Cluster-then-pairwise semantic dedup (the SemDeDup recipe, Abbas et al.
+    * 2023): k-means the embedding space (reusing [[graft.vector.IvfIndex]]'s
+    * distributed Lloyd build — centroids broadcast, assignment row-local),
+    * then compare pairs only WITHIN a cluster with exact cosine. The third
+    * member of the near-dup family: [[embeddingNearDup]] is the exact oracle
+    * (quadratic), [[embeddingNearDupLsh]] trades recall per-band, this trades
+    * recall at cluster BOUNDARIES (a pair split across clusters is never
+    * compared) for a candidate set that shrinks as clusters sharpen.
+    * Precision is 1 either way — every emitted pair passed exact cosine.
+    *
+    * Scale shape: the corpus never self-joins — only cluster-local candidate
+    * pairs do, and `maxClusterSize` caps any degenerate cluster (observable
+    * via `capStats`, the LSH hot-bucket contract). Output matches
+    * [[embeddingNearDup]]: (id_a, id_b, cosine).
+    */
+  def semanticDedup(df: DataFrame, embCol: String, idCol: String, threshold: Double,
+                    nClusters: Int = 256, iterations: Int = 2,
+                    maxClusterSize: Int = 10000, capStats: CapStats = null): DataFrame = {
+    require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
+    val assigned = graft.vector.IvfIndex
+      .build(df, idCol, embCol, nLists = nClusters, iterations = iterations)
+      .assigned // (nid, nvec, list_id)
+    val capped = capBuckets(assigned, Seq("list_id"), maxClusterSize, capStats)
+    val a = capped.select(col("list_id"), col("nid").as("id_a"), col("nvec").as("emb_a"))
+    val b = capped.select(col("list_id"), col("nid").as("id_b"), col("nvec").as("emb_b"))
+    a.join(b, Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Vectors.cosine(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   def embeddingNearDup(df: DataFrame, embCol: String, idCol: String, threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
     val b = df.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))

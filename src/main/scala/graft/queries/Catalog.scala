@@ -2381,6 +2381,16 @@ object Catalog {
     FROM customer GROUP BY 1, 2
     HAVING COUNT(*) < 8 OR COUNT(DISTINCT c_acctbal) < 5"""))
 
+  private val q131 = Q("q131_semantic_dedup", (s, dir) => {
+    // Third near-dup family member (SemDeDup): k-means cluster routing +
+    // exact within-cluster cosine. Rows-only: cluster boundaries make recall
+    // data-dependent; the pairs⊆exact + planted-recall contract is
+    // spec-verified (SemanticDedupSpec) at these parameters.
+    graft.llmops.Dedup.semanticDedup(
+      t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      "embedding", "vec_id", threshold = 0.35, nClusters = 16)
+  }, None)
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2395,7 +2405,7 @@ object Catalog {
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127, q128, q129, q130)
+    q124, q125, q126, q127, q128, q129, q130, q131)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
