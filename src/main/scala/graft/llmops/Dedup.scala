@@ -593,45 +593,88 @@ object Dedup {
     * the rest — without it, A~B and B~C dedup to nothing because A~C was never
     * emitted as a pair).
     *
-    * Iterative: each round every node takes the min label among itself and its
-    * neighbours — one join + one min-agg, both shuffling on node id. Rounds
-    * needed = component diameter; near-dup components are tiny cliques/chains,
-    * so convergence is typically ≤ 3-4 rounds regardless of corpus size. Each
-    * round is localCheckpoint-ed to cut lineage; the loop stops at the first
-    * round that changes no label (an O(|V|) count per round, distributed).
+    * Alternating large-star/small-star (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14): each round rewires every node's
+    * strictly-larger (large-star) or smaller-or-equal (small-star) neighbours
+    * to the minimum of its closed neighbourhood. Converges in O(log² n)
+    * rounds INDEPENDENT of component diameter — min-label propagation (the
+    * former implementation here) needs diameter rounds, and a boilerplate
+    * chain A~B~C~…~Z at corpus scale has diameter in the thousands, which is
+    * exactly the case where dedup needs components most. Per round: one
+    * min-agg + one |V|-row join, both shuffling on node id — no collect_list
+    * adjacency (a hub node's neighbourhood never materialises in one task, so
+    * near-dup hubs can't OOM a reducer). Each round localCheckpoint-ed to cut
+    * lineage.
+    *
+    * Convergence = the canonical (larger→smaller) edge set reaches a fixed
+    * point, detected by a one-row count+hash-sum aggregate per round
+    * (collision odds ≈ rounds·2⁻⁶⁴ — astronomically safer than the wrongness
+    * budget of any sampling step downstream). At the fixed point every edge
+    * points directly at its component minimum.
     *
     * Output: (id, cluster_id) for every id that appears in a pair, where
     * cluster_id = min id of the component. Singletons never enter the edge
-    * list and are implicitly their own cluster.
+    * list and are implicitly their own cluster. Ids need only be orderable
+    * (longs, strings — min is well-defined either way).
     */
   def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    // canonical form: every edge directed larger → smaller, self-loops gone
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("a"), least(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct().localCheckpoint()
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    val allIds = edges.select(col("a").as("id")).union(edges.select(col("b").as("id")))
+      .distinct().localCheckpoint()
+
+    def signature(e: DataFrame): (Long, BigDecimal) = {
+      // decimal sum: ANSI-safe (a long sum of 2⁶³-scale hashes overflows)
+      val row = e.agg(count(lit(1)), sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
+      (row.getLong(0), if (row.isNullAt(1)) BigDecimal(0) else BigDecimal(row.getDecimal(1)))
+    }
+
+    // large-star over the symmetric adjacency: node u's neighbours v > u
+    // rewire to m(u) = min(Γ(u) ∪ {u}); output is canonical (v > m) already.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+
+    // small-star over the canonical edges (all neighbours ≤ u by construction):
+    // they rewire to m(u) = min neighbour, and u itself links to m(u).
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("a").agg(min("b").as("m"))
+      e.join(mins, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .union(mins.select(col("a"), col("m").as("b")))
+        .distinct()
+    }
+
+    var sig = signature(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
-      val prop = edges.join(labels, edges("id_a") === labels("id"))
-        .select(col("id_b").as("id"), col("label"))
-      val next = labels.union(prop).groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "__old"), "id")
-        .filter(col("label") =!= col("__old")).count()
-      labels = next
-      converged = changed == 0
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val next = signature(edges)
+      converged = next == sig
+      sig = next
       iter += 1
     }
     // never return half-propagated labels: a component silently split across
     // labels is exactly the wrongness downstream leakage-safe splits exist to
-    // prevent. Diameter > maxIterations is pathological (boilerplate chains);
-    // the caller raises the cap knowingly rather than shipping a wrong answer.
+    // prevent. maxIterations bounds log²-many rounds, so hitting it means a
+    // bug or an adversarial graph — fail loudly, never ship a wrong answer.
     if (!converged)
       throw new IllegalStateException(
-        s"Dedup.clusters did not converge in $maxIterations rounds — component diameter exceeds " +
-          s"the cap; raise maxIterations")
-    labels.select(col("id"), col("label").as("cluster_id"))
+        s"Dedup.clusters did not converge in $maxIterations star rounds; raise maxIterations")
+    // fixed point: every non-root points straight at its component min
+    allIds.join(edges.select(col("a").as("id"), col("b").as("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
   /** Finish the dedup decision for a WHOLE corpus: every id gets its

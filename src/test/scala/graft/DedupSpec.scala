@@ -196,6 +196,38 @@ class MultimodalSpec extends SparkSpec {
     assert(ke.subsetOf(kl), s"exact keepers must survive under LSH pairs: ${ke -- kl}")
   }
 
+  test("clusters: alternating-star converges on a 2000-link chain within the default round cap") {
+    import spark.implicits._
+    // diameter-2000 path graph — min-label propagation needs ~2000 rounds and
+    // would hit the cap; the star algorithm is O(log² n) rounds regardless of
+    // diameter. Shuffled edge order so convergence can't ride on input order.
+    val links = scala.util.Random.shuffle((0L until 2000L).map(i => (i, i + 1)).toList)
+    val chain = links.toDF("id_a", "id_b")
+    val out = Dedup.clusters(chain).collect()
+    assert(out.length == 2001)
+    assert(out.forall(_.getLong(1) == 0L), "every chain node must label to the min id 0")
+  }
+
+  test("clusters ≡ local union-find on random graphs (components exact, label = component min)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 400
+      val edges = (1 to 300).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // independent oracle: classic union-find over the same edges
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .filter(o => find(o.toInt) == find(id.toInt)).min).toMap
+      val got = Dedup.clusters(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: star labels diverge from union-find")
+    }
+  }
+
   test("lineDedup keeps only the globally-first occurrence of a duplicated chunk") {
     import spark.implicits._
     val boiler = (1 to 20).map(i => s"b$i").mkString(" ") // exactly one 20-word chunk
