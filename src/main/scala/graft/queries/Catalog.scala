@@ -2391,6 +2391,26 @@ object Catalog {
       "embedding", "vec_id", threshold = 0.35, nClusters = 16)
   }, None)
 
+  private val q132 = Q("q132_incremental_rollup", (s, dir) => {
+    // Incremental view maintenance: the per-type metrics rollup absorbs the
+    // event log in two delta batches (split on event_id parity — arbitrary,
+    // any partition works because the state is mergeable); finish() off the
+    // merged state must equal the one-shot aggregate over everything. Only
+    // |keys| + |delta| rows shuffle per merge — history is never rescanned.
+    val ev = t(s, dir, "events")
+    val spec = graft.operators.MaterializedAgg.Spec(
+      keys = Seq("event_type"), sumCols = Seq("value"),
+      minCols = Seq("value"), maxCols = Seq("value"))
+    val saved = graft.operators.MaterializedAgg.init(ev.filter(col("event_id") % 2 === 0), spec)
+    val merged = graft.operators.MaterializedAgg.merge(saved, ev.filter(col("event_id") % 2 === 1), spec)
+    graft.operators.MaterializedAgg.finish(merged, spec)
+  }, Some(s"""
+    SELECT event_type, COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(25,2))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM $EV GROUP BY 1"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2405,7 +2425,7 @@ object Catalog {
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127, q128, q129, q130, q131)
+    q124, q125, q126, q127, q128, q129, q130, q131, q132)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
