@@ -59,12 +59,27 @@ object Tables {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/events.parquet")
-      raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-        case _ => // already a timestamp (micros)
-          raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
-      }
+      raw.withColumn("ts", normalizeEventTs(raw.schema))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** The one place that knows how an events `ts` column arrives from parquet.
+    *
+    * Fixture generators have shipped it two ways: TIMESTAMP(NANOS), which Spark
+    * surfaces as a nanos-since-epoch long under
+    * `spark.sql.legacy.parquet.nanosAsLong`, and TIMESTAMP(MICROS) which
+    * arrives as a native timestamp (NTZ or LTZ depending on `isAdjustedToUTC`).
+    * Both normalize to TIMESTAMP_NTZ at microsecond precision — the same
+    * truncation DuckDB's `CAST(ts AS TIMESTAMP)` applies, so oracles agree.
+    * Batch and streaming readers MUST both go through this helper: the
+    * streaming readers know their schema upfront (`rawSchema`), so the branch
+    * works identically there.
+    */
+  def normalizeEventTs(schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case _ => // already a timestamp (micros), NTZ or LTZ
+        col("ts").cast("timestamp_ntz")
+    }
 }

@@ -166,7 +166,7 @@ object Labs {
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", Tables.normalizeEventTs(rawSchema).cast("timestamp"))
     val windowed = StreamingOps.tumble(stream, "ts", "5 seconds", "5 minutes", col("event_type"))(
       "request_count" -> count(lit(1)))
     val cfg = AnomalyDetector.Config(minTrainingSize = 8, maxTrainingSize = 50, confidencePercentage = 99.9)
@@ -281,7 +281,7 @@ object Labs {
     // land as additional files and arrive in later micro-batches
     val stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events*.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", Tables.normalizeEventTs(rawSchema).cast("timestamp"))
 
     val claims = Tables(spark, Option(staticDir).getOrElse(dir), "events").select(
         col("event_id").as("claim_id"), col("event_type").as("claim_city"),

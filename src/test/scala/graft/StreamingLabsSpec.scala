@@ -53,15 +53,23 @@ class StreamingLabsSpec extends SparkSpec {
       // feed a fresh micro-batch holding an anomalous 6-h window for
       // 'purchase' (the zone with the latest fixture events, so the spike's
       // 6-h lookback overlaps static claims) plus closer rows that push the
-      // watermark past the window end
-      def nanos(s: String): Long = java.time.Instant.parse(s).toEpochMilli * 1000000L
-      val big = (1 to 24).map(i => (900000L + i, nanos("2024-01-30T23:27:00Z") + i * 60L * 1000000000L,
+      // watermark past the window end. The replay file must carry ts in the
+      // SAME parquet flavor as the fixture (nanos-long vs timestamp[us]) or
+      // the file-stream's fixed schema rejects it at read time.
+      def micros(s: String): Long = java.time.Instant.parse(s).toEpochMilli * 1000L
+      val big = (1 to 24).map(i => (900000L + i, micros("2024-01-30T23:27:00Z") + i * 60L * 1000000L,
         1L, "purchase", 12000.0, "late-surge"))
-      val closers = (1 to 3).map(i => (910000L + i, nanos("2024-01-31T00:01:00Z") + i * 1000000000L,
+      val closers = (1 to 3).map(i => (910000L + i, micros("2024-01-31T00:01:00Z") + i * 1000000L,
         1L, "purchase", 5.0, "closer"))
       import spark.implicits._
       val staging = s"$tmp/staging"
-      (big ++ closers).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val fixtureTsIsLong = spark.read.parquet(s"$streamDir/events.parquet")
+        .schema("ts").dataType == org.apache.spark.sql.types.LongType
+      val raw = (big ++ closers).toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      val replay =
+        if (fixtureTsIsLong) raw.withColumn("ts", col("us") * 1000L)
+        else raw.withColumn("ts", timestamp_micros(col("us")).cast("timestamp_ntz"))
+      replay.select("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(staging)
       val part = Files.list(Paths.get(staging)).toArray.map(_.toString)
         .find(p => p.endsWith(".parquet")).get
