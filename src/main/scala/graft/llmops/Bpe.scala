@@ -127,7 +127,8 @@ object Bpe {
       }
       (bpe, words.length.toLong, chars)
     }
-    df.select(col(idCol).as("doc_id"), statsUdf(col(textCol)).as("__s"))
+    graft.core.Parallelism.defend(df)
+      .select(col(idCol).as("doc_id"), statsUdf(col(textCol)).as("__s"))
       .select(col("doc_id"), col("__s._1").as("n_bpe_tokens"),
         col("__s._2").as("n_words"), col("__s._3").as("n_chars"))
   }

@@ -126,7 +126,9 @@ object Dedup {
       }
       sig
     })
-    df.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
+    // per-row-expensive UDF: spread a non-splittable scan layout first
+    graft.core.Parallelism.defend(df)
+      .select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
   }
 
   /** The explode + hash-aggregation formulation, kept as the independent
@@ -278,7 +280,8 @@ object Dedup {
     val hashUdf = udf { text: String =>
       if (text == null) null else shingleHashSet(text, sz)
     }
-    val sh = df.select(col(idCol).as("doc_id"), hashUdf(col(textCol)).as("sh"))
+    val sh = graft.core.Parallelism.defend(df)
+      .select(col(idCol).as("doc_id"), hashUdf(col(textCol)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
     val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
       .select(col("shingle"), struct(col("doc_id"), col("n_sh")).as("__p"))
@@ -342,7 +345,9 @@ object Dedup {
       while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
       sig
     })
-    df.select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
+    // per-row-expensive UDF: spread a non-splittable scan layout first
+    graft.core.Parallelism.defend(df)
+      .select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
   }
 
   /** Aggregation formulation of [[simHashSignatures]] — the independent

@@ -15,7 +15,11 @@ import org.apache.spark.sql.types._
   *
   * Scale design: media bytes never pass through a shuffle — feature extraction
   * happens in the scan stage (mapPartitions directly over the source), and only
-  * compact features/metadata flow downstream.
+  * compact features/metadata flow downstream. ONE sanctioned exception: when
+  * the source layout is non-splittable (single parquet row group — see
+  * [[graft.core.Parallelism.defend]]), the kernels round-robin the payload
+  * once before decoding; serial decode of a 1-split source is strictly worse
+  * than one redistribution pass, and on healthy layouts the defense is a no-op.
   */
 object Multimodal {
 
@@ -70,7 +74,8 @@ object Multimodal {
       .add("width", IntegerType).add("height", IntegerType)
       .add("features", ArrayType(FloatType))
     val idx = df.schema.fieldIndex(contentCol)
-    df.mapPartitions { it =>
+    val in = graft.core.Parallelism.defend(df)
+    in.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           // NULL media stays NULL-marked: fabricating dims for missing bytes
@@ -95,7 +100,8 @@ object Multimodal {
     require(maxW >= 1 && maxH >= 1, s"bad bounding box ${maxW}x$maxH")
     val schema = df.schema.add("width", IntegerType).add("height", IntegerType)
     val idx = df.schema.fieldIndex(contentCol)
-    df.mapPartitions { it =>
+    val in = graft.core.Parallelism.defend(df)
+    in.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           // NULL payload passes through NULL (see extractImageFeatures)
@@ -116,7 +122,8 @@ object Multimodal {
                            batchSize: Int = 16): DataFrame = {
     val schema = df.schema.add("duration_ms", LongType)
     val idx = df.schema.fieldIndex(contentCol)
-    df.mapPartitions { it =>
+    val in = graft.core.Parallelism.defend(df)
+    in.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           if (r.isNullAt(idx)) Row.fromSeq(r.toSeq :+ null)
@@ -139,7 +146,8 @@ object Multimodal {
     val kept = df.schema.fields.zipWithIndex.filter(_._2 != idx)
     val schema = StructType(kept.map(_._1))
       .add("frame_idx", IntegerType).add("frame", BinaryType)
-    df.mapPartitions { it =>
+    val in = graft.core.Parallelism.defend(df)
+    in.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.flatMap { r =>
           // NULL video has nothing to sample: zero frame rows, not fabricated ones

@@ -43,7 +43,8 @@ object Winnowing {
       if (text == null || text.matches("\\s*")) Array.empty[Long]
       else fingerprintWord(text, kk, ww)
     }
-    df.select(col(idCol).as("doc_id"), explode(fpUdf(col(textCol))).as("fingerprint"))
+    graft.core.Parallelism.defend(df)
+      .select(col(idCol).as("doc_id"), explode(fpUdf(col(textCol))).as("fingerprint"))
   }
 
   private def fingerprintWord(text: String, kk: Int, ww: Int): Array[Long] = {
