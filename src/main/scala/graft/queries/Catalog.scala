@@ -499,8 +499,9 @@ object Catalog {
     SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35"""))
 
   private val q31 = Q("q31_multimodal_features", (s, dir) => {
-    // Binary media column plumbing: schema/batching real, codec a deterministic
-    // stub (environment has no image libs) — see graft.llmops.Multimodal.
+    // Binary media column plumbing with the REAL JDK codec (javax.imageio):
+    // image rows decode actual PNGs; audio/video payloads are not images and
+    // surface as dead-letter NULL dims — see graft.llmops.Multimodal.
     val media = graft.llmops.Multimodal.syntheticMedia(t(s, dir, "documents"), "doc_id", "text")
     graft.llmops.Multimodal.extractImageFeatures(media, "content")
       .select(col("media_id"), col("media_type"), col("width"), col("height"),
@@ -2176,10 +2177,11 @@ object Catalog {
     FROM m WHERE m3 OR m2"""))
 
   private val q123 = Q("q123_media_pipeline", (s, dir) => {
-    // Full multimodal pass, one operator per modality (rows-only: the codec
-    // is the documented deterministic stub): images resize then featurize,
-    // audio extracts duration, video explodes to sampled frames; media bytes
-    // are consumed in the scan stage, only compact rows flow out.
+    // Full multimodal pass, one operator per modality (rows-only; real JDK
+    // codec for image decode/resize and WAV duration, video frames the one
+    // declared stub): images resize then featurize, audio extracts duration,
+    // video explodes to sampled frames; media bytes are consumed in the scan
+    // stage, only compact rows flow out.
     import graft.llmops.Multimodal
     // three modality branches consume the same synthetic table — materialize
     // once (the curateFull localCheckpoint precedent) instead of scanning

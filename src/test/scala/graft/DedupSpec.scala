@@ -272,12 +272,17 @@ class MultimodalSpec extends SparkSpec {
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
     assert(media.schema.fieldNames.toSeq == Seq("media_id", "media_type", "content", "meta"))
     val out = Multimodal.extractImageFeatures(media, "content")
-    val rows = out.select("media_id", "width", "height").orderBy("media_id").collect()
+    val rows = out.select("media_id", "media_type", "width", "height")
+      .orderBy("media_id").collect()
     assert(rows.length == 20)
-    assert(rows.forall(r => r.getInt(1) > 0 && r.getInt(2) > 0))
+    // real codec: PNG rows decode to real dims; audio/video payloads are not
+    // images and land in the dead-letter NULL state, never fabricated dims
+    assert(rows.filter(_.getString(1) == "image")
+      .forall(r => r.getInt(2) >= 16 && r.getInt(3) >= 16))
+    assert(rows.filter(_.getString(1) != "image").forall(_.isNullAt(2)))
     // deterministic: run twice, same output
     val rows2 = Multimodal.extractImageFeatures(media, "content")
-      .select("media_id", "width", "height").orderBy("media_id").collect()
+      .select("media_id", "media_type", "width", "height").orderBy("media_id").collect()
     assert(rows.map(_.toSeq).toSeq == rows2.map(_.toSeq).toSeq)
   }
 
@@ -286,16 +291,18 @@ class MultimodalSpec extends SparkSpec {
     val docs = graft.core.Tables(spark, sfDir, "documents").filter(col("doc_id") < 30)
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
 
-    val resized = Multimodal.resizeImages(media, "content", 512, 512)
+    val imgMedia = media.filter(col("media_type") === "image")
+    val resized = Multimodal.resizeImages(imgMedia, "content", 512, 512)
     val rs = resized.select("media_id", "width", "height", "content").collect()
+    assert(rs.nonEmpty)
     assert(rs.forall(r => r.getInt(1) <= 512 && r.getInt(2) <= 512 &&
       r.getInt(1) >= 1 && r.getInt(2) >= 1))
     // payload replaced, never enlarged (the thumbnail contract)
-    val origSizes = media.select("media_id", "content").collect()
+    val origSizes = imgMedia.select("media_id", "content").collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).length).toMap
     assert(rs.forall(r => r.getAs[Array[Byte]](3).length <= origSizes(r.getLong(0))))
     // aspect-ratio preserved within integer truncation
-    val dims = Multimodal.extractImageFeatures(media, "content")
+    val dims = Multimodal.extractImageFeatures(imgMedia, "content")
       .select("media_id", "width", "height").collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
     rs.foreach { r =>
@@ -321,18 +328,22 @@ class MultimodalSpec extends SparkSpec {
 
   test("NULL media stays NULL-marked through every operator (dead-letter signal preserved)") {
     import spark.implicits._
+    // FakeCodec here on purpose: it "decodes" any bytes, so the spec isolates
+    // the NULL-content marker from the undecodable-bytes dead-letter (which
+    // has its own spec in MediaCodecSpec)
     val withNull = Seq(
       (1L, Option("payload".getBytes("UTF-8"))),
       (2L, Option.empty[Array[Byte]])).toDF("media_id", "content")
-    val feat = Multimodal.extractImageFeatures(withNull, "content")
+    val feat = Multimodal.extractImageFeatures(withNull, "content", Multimodal.FakeCodec)
       .orderBy("media_id").collect()
     assert(!feat(0).isNullAt(2) && feat(1).isNullAt(2) && feat(1).isNullAt(4),
       "null content must yield null dims/features, never fabricated ones")
-    val rs = Multimodal.resizeImages(withNull, "content", 100, 100)
+    val rs = Multimodal.resizeImages(withNull, "content", 100, 100, Multimodal.FakeCodec)
       .orderBy("media_id").collect()
     assert(rs(1).isNullAt(1) && rs(1).isNullAt(2),
       "null content must survive resize as null (the IS NULL filter still works)")
-    val au = Multimodal.extractAudioFeatures(withNull, "content").orderBy("media_id").collect()
+    val au = Multimodal.extractAudioFeatures(withNull, "content", Multimodal.FakeCodec)
+      .orderBy("media_id").collect()
     assert(!au(0).isNullAt(2) && au(1).isNullAt(2))
     assert(Multimodal.sampleVideoFrames(withNull.filter(col("media_id") === 2), "content", 5).isEmpty,
       "null video has nothing to sample")
