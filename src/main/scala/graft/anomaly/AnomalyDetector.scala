@@ -44,17 +44,27 @@ object AnomalyDetector {
     *     per step; band = forecast ± z · residual stddev. Tracks trends and
     *     (with arOrder ≥ period) seasonality a mean cannot, at the cost of a
     *     per-step fit. Falls back to the mean/stddev band while the history is
-    *     too short to fit or the fit is singular (constant series).
+    *     too short to fit or the fit is singular (constant series);
+    *   - "arima": ARIMA(arOrder, dOrder, 0) — the reference names ARIMA
+    *     outright (LAB4-Walkthrough.md:185). `dOrder = 1` (default) first
+    *     differences the history, fits AR(p) in differenced space, and
+    *     integrates the one-step forecast back (forecast = last + Δ̂); the
+    *     band stddev is the differenced-space residual sd, which IS the
+    *     integrated one-step error sd (integration adds a known constant).
+    *     This is the correct model for genuinely integrated series (random
+    *     walks), where a plain AR fit's small-sample coefficient bias pulls
+    *     forecasts toward the window mean and flags ordinary steps.
     */
   case class Config(minTrainingSize: Int, maxTrainingSize: Int, confidencePercentage: Double,
                     enableStl: Boolean = false, forecast: String = "zband", arOrder: Int = 3,
-                    seasonalPeriod: Int = 0) {
+                    seasonalPeriod: Int = 0, dOrder: Int = 1) {
     require(minTrainingSize >= 2, "need >=2 history rows for a stddev")
     require(!enableStl || seasonalPeriod >= 2 || seasonalPeriod == 0,
       "enableStl=TRUE needs seasonalPeriod >= 2, or 0 for auto-inference from the series cadence (the reference's closed engine infers it from timestamps, LAB4-Walkthrough.md:185-190)")
-    require(forecast == "zband" || forecast == "ar",
-      s"forecast must be 'zband' or 'ar', got '$forecast'")
+    require(forecast == "zband" || forecast == "ar" || forecast == "arima",
+      s"forecast must be 'zband', 'ar' or 'arima', got '$forecast'")
     require(arOrder >= 1 && arOrder <= 32, s"arOrder out of range: $arOrder")
+    require(dOrder == 0 || dOrder == 1, s"dOrder must be 0 or 1, got $dOrder")
     val z: Double = Gaussian.invCdf(0.5 + confidencePercentage / 200.0)
   }
 
@@ -107,6 +117,8 @@ object AnomalyDetector {
     cfg.forecast match {
       case "ar" =>
         ArForecaster.fit(buf.toArray, cfg.arOrder).getOrElse(meanSd(buf))
+      case "arima" =>
+        ArimaForecaster.fit(buf.toArray, cfg.arOrder, cfg.dOrder).getOrElse(meanSd(buf))
       case _ => meanSd(buf)
     }
 
@@ -377,6 +389,45 @@ object ArForecaster {
   }
 }
 
+/** ARIMA(p, d, 0) one-step forecaster over the trailing history — the `d`
+  * integration term the reference's named engine has and plain AR lacks
+  * (LAB4-Walkthrough.md:185). d = 1: forecast the FIRST DIFFERENCES with
+  * AR(p)+intercept and integrate back (ŷ_{n+1} = y_n + Δ̂); since the
+  * integration step adds the known last observation, the differenced-space
+  * residual sd equals the integrated one-step forecast sd, so the band uses
+  * it directly. When the AR fit on the differences is singular (e.g. an exact
+  * linear trend: constant differences), the drift model takes over — mean
+  * difference + its sd — which fits exactly the series that broke the AR fit.
+  * None only when the differenced history is too short even for a mean/sd
+  * (< 3 points); callers fall back to the undifferenced mean band, matching
+  * the other forecasters' warm-up contract.
+  *
+  * Pure and dependency-free like [[ArForecaster]]: batch tasks, streaming
+  * state handlers, and unit tests run the identical code, which is what keeps
+  * batch ≡ streaming bit-identical.
+  */
+object ArimaForecaster {
+
+  def fit(h: Array[Double], p: Int, d: Int): Option[(Double, Double)] = {
+    require(d == 0 || d == 1, s"only d in {0,1} is supported, got $d")
+    if (d == 0) return ArForecaster.fit(h, p)
+    val n = h.length
+    if (n < 4) return None // need >= 3 differences for a variance
+    val w = new Array[Double](n - 1)
+    var i = 0
+    while (i < n - 1) { w(i) = h(i + 1) - h(i); i += 1 }
+    val (fw, sd) = ArForecaster.fit(w, p).getOrElse {
+      // drift model: List-sum left-to-right like meanSd so the streaming twin
+      // folds identically
+      val m = w.length
+      val mean = w.sum / m
+      val variance = w.map(x => (x - mean) * (x - mean)).sum / (m - 1)
+      (mean, math.sqrt(variance))
+    }
+    Some((h(n - 1) + fw, sd))
+  }
+}
+
 /** Classical additive seasonal-trend decomposition over the trailing history
   * (the `enableStl` path of the reference's ML_DETECT_ANOMALIES,
   * LAB4-Walkthrough.md:185-190; the closed engine cites STL — this is the
@@ -442,8 +493,9 @@ object StlLite {
     // deseasonalize the FULL history and forecast it with the inner model
     val deseason = Array.tabulate(n)(i => h(i) - seas(i % period))
     val innerFit = cfg.forecast match {
-      case "ar" => ArForecaster.fit(deseason, cfg.arOrder)
-      case _    => None
+      case "ar"    => ArForecaster.fit(deseason, cfg.arOrder)
+      case "arima" => ArimaForecaster.fit(deseason, cfg.arOrder, cfg.dOrder)
+      case _       => None
     }
     val (f0, sd) = innerFit.getOrElse {
       val m = deseason.sum / n

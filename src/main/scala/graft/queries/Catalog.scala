@@ -2413,6 +2413,22 @@ object Catalog {
            MIN(value) AS min_value, MAX(value) AS max_value
     FROM $EV GROUP BY 1"""))
 
+  private val q133 = Q("q133_anomaly_arima", (s, dir) => {
+    // ARIMA(p, 1, 0) over the hourly per-type request series — the `d`
+    // integration term for genuinely integrated series (rows-only: a model
+    // fit per row has no DuckDB formulation; correctness pinned by
+    // ArimaAnomalySpec: planted walks/trends, batch ≡ twin ≡ streaming).
+    val series = Tumble(t(s, dir, "events"), "ts", "1 hour", col("event_type"))(
+      "request_count" -> count(lit(1)))
+      .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("request_count"))
+    AnomalyDetector.detectBatch(series, col("request_count"),
+      Seq(col("event_type")), Seq(col("window_start")),
+      anomalyCfg.copy(forecast = "arima", arOrder = 3, dOrder = 1))
+      .select(col("window_start"), col("event_type"), col("request_count"),
+        col("forecast_value"), col("upper_bound"), col("lower_bound"), col("is_anomaly"))
+  }, None)
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2427,7 +2443,7 @@ object Catalog {
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127, q128, q129, q130, q131, q132)
+    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

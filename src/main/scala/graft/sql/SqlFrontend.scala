@@ -1103,7 +1103,8 @@ object SqlFrontend {
       enableStl = key("enableStl", "false").toBoolean,
       forecast = key("forecast", "zband").toLowerCase,
       arOrder = key("arOrder", "3").toInt,
-      seasonalPeriod = key("seasonalPeriod", "0").toInt)
+      seasonalPeriod = key("seasonalPeriod", "0").toInt,
+      dOrder = key("dOrder", "1").toInt)
   }
 
   // ------------------------------------------------- balanced-call utilities

