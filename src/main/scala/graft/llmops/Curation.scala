@@ -506,7 +506,11 @@ object Curation {
              lang: String = "en", minQuality: Double = 0.0,
              jaccardThreshold: Double = 0.5): DataFrame = {
     val keeperIds = Dedup.exact(df, textCol, idCol).select(col(idCol))
-    val exactDeduped = df.join(keeperIds, Seq(idCol), "leftsemi")
+    // four LSH branches (both signature sides, both shingle-set sides) consume
+    // exactDeduped — materialize the semi-join once (the curateFull
+    // localCheckpoint precedent) instead of re-running scan+fingerprint+agg
+    // per branch
+    val exactDeduped = df.join(keeperIds, Seq(idCol), "leftsemi").localCheckpoint()
     val nearDupLosers = Dedup.minHashLsh(exactDeduped, textCol, idCol, threshold = jaccardThreshold)
       .select(col("id_b").as(idCol)).distinct()
     exactDeduped.join(nearDupLosers, Seq(idCol), "leftanti")
