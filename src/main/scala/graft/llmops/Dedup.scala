@@ -131,6 +131,32 @@ object Dedup {
       .select(col(idCol).as("doc_id"), sigUdf(col(textCol)).as("sig"))
   }
 
+  /** LSH band buckets of every row: (doc_id, band, bucket) — the banding
+    * stage of [[minHashLsh]], shared with the streaming ingestion dedup
+    * ([[graft.streaming.StreamingNearDup]]) so both produce bit-identical
+    * bucket keys.
+    */
+  private[graft] def bandedBuckets(df: DataFrame, textCol: String, idCol: String,
+                                   shingleSize: Int, numHashes: Int, numBands: Int): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sig = minHashSignatures(df, textCol, idCol, shingleSize, numHashes)
+    sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select(col("doc_id"), col("pos").as("band"), hash(col("col")).as("bucket"))
+  }
+
+  /** (doc_id, sh): per-doc SORTED distinct shingle-hash sets — the exact
+    * verification payload of [[minHashLsh]], shared with the streaming
+    * ingestion dedup.
+    */
+  private[graft] def shingleSets(df: DataFrame, textCol: String, idCol: String,
+                                 shingleSize: Int): DataFrame = {
+    val sz = shingleSize
+    val shUdf = udf { text: String => if (text == null) null else shingleHashSet(text, sz) }
+    df.select(col(idCol).as("doc_id"), shUdf(col(textCol)).as("sh"))
+  }
+
   /** The explode + hash-aggregation formulation, kept as the independent
     * oracle for the row-local path (and the shape to fall back to if rows
     * were ever too wide to hash in one task).
@@ -160,12 +186,7 @@ object Dedup {
                  capStats: CapStats = null): DataFrame = {
     require(numHashes % numBands == 0,
       s"numHashes ($numHashes) must be divisible by numBands ($numBands) — trailing hashes would be silently ignored")
-    val rowsPerBand = numHashes / numBands
-    val sig = minHashSignatures(df, textCol, idCol, shingleSize, numHashes)
-    val banded0 = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-        b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-      .select(col("doc_id"), col("pos").as("band"), hash(col("col")).as("bucket"))
+    val banded0 = bandedBuckets(df, textCol, idCol, shingleSize, numHashes, numBands)
     val capped = capBuckets(banded0, Seq("band", "bucket"), maxBucketSize, capStats)
     // per-bucket self-join (shuffle keyed on (band, bucket)); ids only.
     // Only side a is capped — see capBuckets: identical output, one plan copy.
@@ -208,7 +229,7 @@ object Dedup {
     * are linear merges ([[sortedIntersectSize]]); both consumers (postings
     * explode, set intersection) are order-insensitive.
     */
-  private def shingleHashSet(text: String, shingleSize: Int): Array[Long] = {
+  private[graft] def shingleHashSet(text: String, shingleSize: Int): Array[Long] = {
     val sh = RowHash.shingles(RowHash.tokens(text), shingleSize)
     val seen = new java.util.HashSet[java.lang.Long]()
     var i = 0
@@ -225,7 +246,7 @@ object Dedup {
     * None on a null side (null text), matching array_intersect's null-in
     * null-out so a null-text doc still never passes the jaccard filter.
     */
-  private val sortedIntersectSize = udf { (a: Seq[Long], b: Seq[Long]) =>
+  private[graft] val sortedIntersectSize = udf { (a: Seq[Long], b: Seq[Long]) =>
     if (a == null || b == null) None
     else {
       var i = 0

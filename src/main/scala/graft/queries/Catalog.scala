@@ -2429,6 +2429,23 @@ object Catalog {
         col("forecast_value"), col("upper_bound"), col("lower_bound"), col("is_anomaly"))
   }, None)
 
+  private val q134 = Q("q134_streaming_neardup", (s, dir) => {
+    // Continuous ingestion dedup: the documents table arrives as two delta
+    // batches (id parity split); each batch dedups within itself and against
+    // the signature store of everything kept so far (rows-only: greedy
+    // online semantics are order-dependent by design — see
+    // StreamingNearDupSpec for the batch-vs-online divergence contract).
+    import graft.streaming.StreamingNearDup
+    val tmp = java.nio.file.Files.createTempDirectory("q134").toString
+    val docs = t(s, dir, "documents")
+    StreamingNearDup.applyBatch(s, docs.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id", s"$tmp/store", s"$tmp/sink", 0L)
+    StreamingNearDup.applyBatch(s, docs.filter(col("doc_id") % 2 === 1),
+      "text", "doc_id", s"$tmp/store", s"$tmp/sink", 1L)
+    StreamingNearDup.keptDocs(s, s"$tmp/store", s"$tmp/sink")
+      .select(col("doc_id")).orderBy("doc_id")
+  }, None)
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2443,7 +2460,7 @@ object Catalog {
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133)
+    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
