@@ -78,4 +78,42 @@ object Vectors {
               lit(1.0)).otherwise(lit(-1.0))) * lit(scale) + lit(0.0))
         .otherwise(lit(0.0)))
   }
+
+  /** Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    * q_i = floor(x_i/scale + 0.5) as TINYINT — the storage/bandwidth lever
+    * for embedding tables (4× smaller than FLOAT, the standard serving-side
+    * compression ahead of PQ). Returns STRUCT(scale DOUBLE, q ARRAY<TINYINT>).
+    *
+    * floor(x + 0.5) is written out instead of round() because both engines
+    * (and the DuckDB oracle) define it identically — round()'s half-even vs
+    * half-away tie rules differ across engines. By construction |x_i/scale|
+    * ≤ 127 so no clamp is needed (the extremes land on ±127 exactly). A zero
+    * or empty vector quantizes to scale 0 with all-zero codes.
+    *
+    * Cosine over int8 codes needs NO dequantization: the two scales cancel,
+    * so [[int8Cosine]] ranks identically to cosine over `q` directly —
+    * quantization error comes only from the rounding, not the arithmetic.
+    */
+  def int8Quantize(v: Column): Column = {
+    val absmax = array_max(transform(v, x => abs(x.cast("double"))))
+    val scale = when(absmax > 0, absmax / lit(127.0)).otherwise(lit(0.0))
+    struct(
+      scale.as("scale"),
+      transform(v, x =>
+        when(absmax > 0, floor(x.cast("double") / scale + lit(0.5)).cast("tinyint"))
+          .otherwise(lit(0).cast("tinyint"))).as("q"))
+  }
+
+  /** Cosine similarity over two int8 code arrays (scales cancel — see
+    * [[int8Quantize]]); same fused native expression as [[cosine]].
+    */
+  def int8Cosine(qa: Column, qb: Column): Column =
+    cosine(transform(qa, _.cast("float")), transform(qb, _.cast("float")))
+
+  /** Reconstruct the float vector from (scale, q) — for consumers that need
+    * magnitudes (dot products, L2), where the scale does NOT cancel.
+    */
+  def int8Dequantize(quantized: Column): Column =
+    transform(quantized.getField("q"),
+      x => (x.cast("double") * quantized.getField("scale")).cast("float"))
 }

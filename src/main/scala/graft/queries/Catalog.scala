@@ -2446,6 +2446,47 @@ object Catalog {
       .select(col("doc_id")).orderBy("doc_id")
   }, None)
 
+  private val q135 = Q("q135_int8_quantize", (s, dir) => {
+    // Symmetric per-vector int8 quantization (4x storage/bandwidth for
+    // embedding tables) — unnested to scalar rows for the hash gate (q117
+    // pattern). floor(x/scale + 0.5) spelled out so both engines round
+    // identically; scales and codes are pure double arithmetic.
+    val qz = t(s, dir, "embeddings")
+      .select(col("vec_id"), graft.functions.Vectors.int8Quantize(col("embedding")).as("__z"))
+    qz.select(col("vec_id"), col("__z.scale").as("scale"),
+        posexplode(col("__z.q")).as(Seq("dim", "qv")))
+      .select(col("vec_id"), col("scale"), col("dim"), col("qv").cast("int").as("qval"))
+  }, Some("""
+    WITH a AS (SELECT vec_id, embedding,
+                      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax
+               FROM embeddings),
+    b AS (SELECT vec_id, embedding, absmax,
+                 CASE WHEN absmax > 0 THEN absmax / 127.0 ELSE 0.0 END AS scale
+          FROM a)
+    SELECT vec_id, scale, CAST(u.k AS INTEGER) AS dim,
+           CAST(CASE WHEN absmax > 0
+                     THEN floor(CAST(embedding[CAST(u.k AS INTEGER)+1] AS DOUBLE) / scale + 0.5)
+                     ELSE 0 END AS INTEGER) AS qval
+    FROM b, UNNEST(range(0, len(embedding))) u(k)"""))
+
+  private val q136 = Q("q136_ann_int8", (s, dir) => {
+    // knn over int8 CODES only (scales cancel in cosine — no dequantization
+    // in the hot path): the q17 broadcast + bounded-TopKAgg plan on vectors
+    // a quarter the size. Rows-only: rounding perturbs near-ties, so ranks
+    // differ from exact float knn by design; Int8QuantizeSpec pins recall.
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), graft.functions.Vectors.int8Quantize(col("embedding")).getField("q").as("q"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
+    val corpus = emb.select(col("vec_id").as("nid"), col("q").as("nq"))
+    val sims = corpus.join(broadcast(queries), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        graft.functions.Vectors.int8Cosine(col("qq"), col("nq")).as("sim"))
+    val agg = sims.groupBy("qid").agg(TopK.topK(3)(col("sim"), col("nid")).as("nn"))
+    TopK.explodeRanked(agg, "nn", Seq(col("qid")))
+      .select(col("qid"), col("rank"), col("id").as("nid"))
+  }, None)
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2460,7 +2501,7 @@ object Catalog {
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
+    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
