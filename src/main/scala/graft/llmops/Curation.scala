@@ -582,4 +582,32 @@ object Curation {
       .select(col(idCol), col(textCol), col("lang_pred"), col("quality"),
         col("lm_score"), col("split"))
   }
+
+  /** Seeded global training-order shuffle + sharding — the LAST step of every
+    * pre-training data pipeline: the curated corpus must reach the trainer in
+    * a reproducible pseudo-random order, split into N shards a loader can
+    * consume independently.
+    *
+    * The permutation is a deterministic hash order (md5 over seed⊕id — the
+    * [[sample]]/[[leakageSafeSplit]] cross-engine idiom): same seed ⇒ same
+    * order on any engine, layout, or cluster size; a different seed ⇒ an
+    * uncorrelated order. Shard = hash bucket (so shards are themselves
+    * random), `shard_pos` = rank within the shard by the same hash.
+    *
+    * Scale shape: one row-local hash projection + ONE shuffle partitioned by
+    * shard with an in-partition sort (`shard_pos` never windows over the
+    * whole corpus — rank is per shard). Writing `partitionBy(shard)` keeps
+    * loaders reading only their shard's files.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, seed: Long, numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val h = md5(concat_ws(" ", lit(seed.toString), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"), lit(numShards)).cast("int"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

@@ -2487,6 +2487,22 @@ object Catalog {
       .select(col("qid"), col("rank"), col("id").as("nid"))
   }, None)
 
+  private val q137 = Q("q137_shuffle_shards", (s, dir) => {
+    // Seeded global training-order shuffle + sharding — the pipeline's final
+    // step. Deterministic md5 permutation (cross-engine), shard = hash
+    // bucket, shard_pos = in-shard rank; one shuffle total.
+    graft.llmops.Curation.shuffleShards(
+        t(s, dir, "documents").select("doc_id"), "doc_id", seed = 42L, numShards = 8)
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+  }, Some("""
+    WITH h AS (SELECT doc_id, md5('42' || ' ' || CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+    b AS (SELECT doc_id, hh,
+                 CAST((('0x' || substring(hh, 1, 8))::BIGINT % 8) AS INTEGER) AS shard
+          FROM h)
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS shard_pos
+    FROM b"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2501,7 +2517,8 @@ object Catalog {
     q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
+    q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
+    q137)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -235,3 +235,33 @@ class CurationSpec extends SparkSpec {
     assert(out(3L).length == 1, "empty docs keep one degenerate chunk")
   }
 }
+
+/** Seeded global shuffle + sharding — determinism, balance, in-shard ranks. */
+class ShuffleShardsSpec extends SparkSpec {
+  test("same seed reproduces the permutation; different seeds decorrelate") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("doc_id")
+    def order(seed: Long): Seq[Long] =
+      graft.llmops.Curation.shuffleShards(df, "doc_id", seed, 4)
+        .orderBy("shard", "shard_pos").select("doc_id").collect().map(_.getLong(0)).toSeq
+    val a = order(42L)
+    assert(a == order(42L), "same seed must reproduce bit-identically")
+    val b = order(43L)
+    assert(a != b, "different seed must permute differently")
+    assert(a.sorted == b.sorted, "both are permutations of the same ids")
+    assert(a != (1L to 2000L), "hash order must not be insertion order")
+  }
+
+  test("shards are balanced and shard_pos is a contiguous 1..n rank per shard") {
+    import spark.implicits._
+    val out = graft.llmops.Curation.shuffleShards((1L to 2000L).toDF("doc_id"), "doc_id", 7L, 8)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    val byShard = out.groupBy(_._1)
+    assert(byShard.keySet == (0 until 8).toSet)
+    byShard.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq, "contiguous rank")
+    }
+    val sizes = byShard.values.map(_.length)
+    assert(sizes.max < sizes.min * 2, s"hash sharding must balance, got $sizes")
+  }
+}
