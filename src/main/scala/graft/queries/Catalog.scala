@@ -2503,6 +2503,39 @@ object Catalog {
            row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS shard_pos
     FROM b"""))
 
+  private val q138 = Q("q138_quality_classifier", (s, dir) => {
+    // Model-based quality scoring (the learned CCNet/DCLM-style filter) with
+    // a FIXED literal weight vector so the linear logit is pure rational
+    // arithmetic the oracle reproduces bit-for-bit (training itself is
+    // spec-covered: QualityClassifierSpec separates real docs from corrupted
+    // negatives at >=0.9 holdout accuracy). Scoring is one row-local
+    // codegen'd projection — weights are literals in the plan, no broadcast.
+    val m = graft.llmops.QualityClassifier.Model(
+      Array(0.1, 0.05, 3.0, 1.0, 2.0, -4.0, -4.0, -2.0), -2.0)
+    graft.llmops.QualityClassifier.score(t(s, dir, "documents"), "text", m)
+      .select(col("doc_id"), col("quality_logit"))
+  }, Some("""
+    WITH d AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    m AS (SELECT doc_id, text, t,
+                 greatest(len(t), 1)::DOUBLE AS n,
+                 greatest(length(text), 1)::DOUBLE AS chars,
+                 list_transform(range(1, greatest(len(t)-1, 1)+1), i -> array_to_string(t[i:i+1], ' ')) AS g2
+          FROM d),
+    f AS (SELECT doc_id,
+                 chars / (chars + 300.0) AS f1,
+                 CAST(list_reduce(list_transform(t, x -> length(x)), (a, b) -> a + b) AS DOUBLE) / n AS f2,
+                 len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], x)))::DOUBLE / n AS f3,
+                 len(list_distinct(t))::DOUBLE / n AS f4,
+                 len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE / greatest(len(t), 1)::DOUBLE AS f5,
+                 (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE / chars AS f6,
+                 (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / chars AS f7,
+                 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(greatest(len(g2), 1) AS DOUBLE) AS f8
+          FROM m)
+    SELECT doc_id,
+           ((((((((-2.0 + f1 * 0.1) + f2 * 0.05) + f3 * 3.0) + f4 * 1.0) + f5 * 2.0)
+             + f6 * -4.0) + f7 * -4.0) + f8 * -2.0) AS quality_logit
+    FROM f"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2518,7 +2551,7 @@ object Catalog {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-    q137)
+    q137, q138)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
