@@ -1,6 +1,7 @@
 package graft.llmops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Text, Vectors}
@@ -811,6 +812,103 @@ object Dedup {
             filter(col("__chunks"),
               (_, i) => !array_contains(coalesce(col("__drop"), array()), i))).as(textCol))
     }
+  }
+
+  /** Exact duplicated-substring spans — the ExactSubstr dedup of Lee et al.
+    * 2021 ("Deduplicating Training Data Makes Language Models Better"),
+    * re-expressed as distributed windows over fixed-length gram hashes
+    * instead of a single-node suffix array. Every `minLen`-char sliding
+    * window of every document is hashed; an occurrence is REDUNDANT when the
+    * identical gram occurs at any other (doc, pos) corpus-wide and this
+    * occurrence is not the canonical globally-first one (min (doc_id, pos) —
+    * so exactly one copy of every duplicated substring survives, like the
+    * suffix-array method's keep-first policy). Overlapping-or-adjacent
+    * redundant windows then merge into maximal spans: the ≥ `minLen`
+    * duplicated substrings a suffix array would report, at single-character
+    * resolution. Returns one row per maximal span:
+    * (doc_id, span_start, span_end), 1-based inclusive character offsets.
+    *
+    * 100 TB shape: |corpus chars| intermediate rows, but each carries only
+    * (doc_id, pos, hash) — the text never shuffles; the gram is hashed inside
+    * the scan-side projection ([[graft.core.Parallelism.defend]]ed, since the
+    * gram hashing is the per-row-expensive stage). Two linear shuffles: by
+    * gram hash (duplicate count + occurrence rank share one exchange — same
+    * partition key) and by doc for the island merge. The published suffix
+    * array needs O(corpus) memory on one node and shards at ~100 GB; this
+    * trades a constant factor of extra hashing for horizontal scale with no
+    * global sort. Collision honesty: a 64-bit gram-hash collision conflates
+    * two distinct substrings (false-positive span). Fine to ~10^9 distinct
+    * grams; beyond that (any real 100 TB run) pass `hashWidth = 128` — md5
+    * gram keys, 2× the shuffle key width, same plan shape.
+    */
+  def exactSubstringSpans(docs: DataFrame, textCol: String, idCol: String,
+                          minLen: Int = 40, hashWidth: Int = 64): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(hashWidth == 64 || hashWidth == 128, s"hashWidth must be 64 or 128, got $hashWidth")
+    val L = minLen
+    val base = graft.core.Parallelism.defend(docs)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .where(col("__text").isNotNull && length(col("__text")) >= L)
+    // stop of the sequence is >= 1 by the length filter, so it never flips
+    // into Spark's descending-sequence mode
+    val pos = base.select(col("doc_id"), col("__text"),
+      explode(sequence(lit(1L), (length(col("__text")) - lit(L - 1)).cast("long"))).as("p"))
+    val gram = col("__text").substr(col("p").cast("int"), lit(L))
+    val grams = pos.select(col("doc_id"), col("p"),
+      (if (hashWidth == 64) xxhash64(gram) else md5(gram).cast("string")).as("__h"))
+    val byHash = Window.partitionBy("__h")
+    val byHashOrd = byHash.orderBy(col("doc_id"), col("p"))
+    val red = grams
+      .withColumn("__c", count(lit(1)).over(byHash))
+      .withColumn("__rn", row_number().over(byHashOrd))
+      .where(col("__c") > 1 && col("__rn") > 1)
+      .select(col("doc_id"), col("p"))
+    // gaps-and-islands: a window starts a new span iff it neither overlaps
+    // nor touches the furthest char covered so far ([p, p+L-1] vs max end)
+    val prevEnd = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = Window.partitionBy("doc_id").orderBy("p")
+    red
+      .withColumn("__brk",
+        when(col("p") > coalesce(max(col("p")).over(prevEnd), lit(Long.MinValue / 2)) + L, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__brk")).over(cum))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("p")).as("span_start"), max(col("p")).as("__maxp"))
+      .select(col("doc_id"), col("span_start"), (col("__maxp") + lit(L - 1)).as("span_end"))
+  }
+
+  /** Rewrite documents with their [[exactSubstringSpans]] cut out (the
+    * destructive half of ExactSubstr dedup): each doc keeps the bytes outside
+    * its spans, concatenated in order — the globally-first occurrence of
+    * every duplicated substring survives somewhere in the corpus by the
+    * keeper policy above. Docs with no spans pass through verbatim via the
+    * left join. Spans arrive already disjoint and doc-bounded (construction
+    * guarantees both); the per-doc span list is tiny (≤ |text|/minLen rows),
+    * so the collect_list is bounded and the rewrite is row-local.
+    */
+  def cutSpans(docs: DataFrame, textCol: String, idCol: String,
+               spans: DataFrame): DataFrame = {
+    val perDoc = spans.groupBy(col("doc_id").as("__sd_id"))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").cast("long"), col("span_end").cast("long")))).as("__spans"))
+    val cut = udf { (text: String, sp: Seq[Row]) =>
+      if (text == null) null
+      else if (sp == null) text
+      else {
+        val sb = new StringBuilder
+        var cursor = 1L
+        sp.foreach { r =>
+          val s = r.getLong(0); val e = r.getLong(1)
+          if (s > cursor) sb.append(text.substring(cursor.toInt - 1, s.toInt - 1))
+          cursor = math.max(cursor, e + 1)
+        }
+        if (cursor <= text.length) sb.append(text.substring(cursor.toInt - 1))
+        sb.toString
+      }
+    }
+    docs.join(perDoc, docs(idCol) === col("__sd_id"), "left")
+      .select(docs.columns.map(docs(_)) :+ cut(col(textCol), col("__spans")).as("dedup_text"): _*)
   }
 
   /** Hot-bucket guard shared by the LSH variants: a bucket bigger than `cap`

@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,5 +43,41 @@ object Retrieval {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** Cross-encoder-style reranking — the final stage of a retrieval stack:
+    * re-score each (query, candidate) pair with `score`, an expression
+    * computed JOINTLY over the pair (unlike the bi-encoder retrievers whose
+    * query and doc representations never meet before the distance), and keep
+    * the top `k` per query by the new score, ties broken on doc_id for
+    * determinism. Emits dense `rank` 1..k and keeps every input column.
+    *
+    * Scale shape: input is already top-k'-per-query sized (|queries|·k' rows
+    * regardless of corpus size — the entire point of retrieve-then-rerank is
+    * that the expensive joint scorer never touches the corpus). For a learned
+    * scorer pass an [[graft.ml.MlPredict]]-derived column: the model-call
+    * budget is exactly |queries|·k'. [[lexicalScore]] is the zero-model
+    * scorer (and the oracle-expressible stand-in).
+    */
+  def rerank(candidates: DataFrame, score: Column, k: Int = 10,
+             queryIdCol: String = "query_id", docIdCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"rerank: k must be >= 1, got $k")
+    val w = Window.partitionBy(queryIdCol).orderBy(col("score").desc, col(docIdCol))
+    candidates.withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Joint token-overlap scorer for [[rerank]]: Jaccard over the pair's
+    * distinct lowercased whitespace tokens. Row-local codegen builtins only —
+    * and exactly expressible in ANSI SQL, so reranked output stays
+    * oracle-checkable end to end.
+    */
+  def lexicalScore(queryText: Column, docText: Column): Column = {
+    val qt = array_distinct(split(trim(lower(queryText)), "\\s+"))
+    val dt = array_distinct(split(trim(lower(docText)), "\\s+"))
+    val inter = size(array_intersect(qt, dt)).cast("double")
+    val uni = size(array_union(qt, dt)).cast("double")
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
   }
 }

@@ -2536,6 +2536,90 @@ object Catalog {
              + f6 * -4.0) + f7 * -4.0) + f8 * -2.0) AS quality_logit
     FROM f"""))
 
+  private val q139 = Q("q139_exact_substring_spans", (s, dir) => {
+    // ExactSubstr dedup (Lee et al. 2021, the suffix-array method) as
+    // distributed gram-hash windows: maximal >=40-char substrings duplicated
+    // anywhere in the corpus, minus each substring's globally-first
+    // occurrence. Character-resolution spans; the destructive rewrite is
+    // Dedup.cutSpans (spec-covered — string surgery has no tractable SQL
+    // oracle, the span set itself does).
+    graft.llmops.Dedup.exactSubstringSpans(
+        t(s, dir, "documents"), "text", "doc_id", minLen = 40)
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }, Some("""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, greatest(length(text)-39, 0)+1)) AS p
+      FROM documents WHERE length(text) >= 40),
+    grams AS (SELECT doc_id, CAST(p AS BIGINT) AS p, substr(text, p, 40) AS g FROM pos),
+    marked AS (
+      SELECT doc_id, p,
+             count(*) OVER (PARTITION BY g) AS c,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+      FROM grams),
+    red AS (SELECT doc_id, p FROM marked WHERE c > 1 AND rn > 1),
+    isl AS (
+      SELECT doc_id, p,
+        CASE WHEN p > coalesce(max(p) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -4611686018427387904) + 40
+             THEN 1 ELSE 0 END AS brk
+      FROM red),
+    isl2 AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM isl)
+    SELECT doc_id, min(p) AS span_start, max(p) + 39 AS span_end
+    FROM isl2 GROUP BY doc_id, island"""))
+
+  private val q140 = Q("q140_rerank", (s, dir) => {
+    // Retrieve-then-rerank: BM25 top-10 candidates per query re-scored
+    // JOINTLY over the pair (token-set Jaccard cross scorer) and cut to
+    // top-5 — the final stage of the q127/q128 retrieval stack. A learned
+    // MlPredict-backed scorer rides the same rerank() (spec-covered); the
+    // lexical scorer keeps the full stack oracle-checkable.
+    val docs = t(s, dir, "documents")
+    val cands = graft.llmops.CorpusStats.bm25TopK(
+        docs, "doc_id", "text",
+        queries = docs.filter(col("doc_id") < 5).select(col("doc_id"), col("text")),
+        qIdCol = "doc_id", qTextCol = "text", k = 10, logIdf = false)
+      .select(col("query_id"), col("doc_id"))
+    val qtext = docs.select(col("doc_id").as("query_id"), col("text").as("__qt"))
+    val dtext = docs.select(col("doc_id"), col("text").as("__dt"))
+    val paired = cands.join(broadcast(qtext), "query_id").join(dtext, "doc_id")
+    graft.llmops.Retrieval.rerank(paired,
+        graft.llmops.Retrieval.lexicalScore(col("__qt"), col("__dt")), k = 5)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }, Some("""
+    WITH dt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+         st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, CAST(SUM(len(t)) AS DOUBLE) AS ld FROM dt),
+         tf AS (SELECT doc_id, CAST(dl AS DOUBLE) AS dld, token, CAST(COUNT(*) AS DOUBLE) AS tfd
+                FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS token FROM dt)
+                GROUP BY 1, 2, 3),
+         qt AS (SELECT DISTINCT doc_id AS query_id, unnest(t) AS token FROM dt WHERE doc_id < 5),
+         dfq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS dfd FROM tf
+                 WHERE token IN (SELECT token FROM qt) GROUP BY 1),
+         sc AS (SELECT qt.query_id, tf.doc_id, token,
+                       ((tfd * (1.2::DOUBLE + 1.0::DOUBLE)) /
+                        ((tfd + (1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE))) +
+                         ((((1.2::DOUBLE * 0.75::DOUBLE) * dld) * nd) / ld)))
+                       * (((nd - dfd) + 0.5::DOUBLE) / (dfd + 0.5::DOUBLE)) AS contrib
+                FROM tf JOIN qt USING (token) JOIN dfq USING (token) CROSS JOIN st),
+         ag AS (SELECT query_id, doc_id,
+                       list_reduce(list(contrib ORDER BY token), (a, b) -> a + b) AS score
+                FROM sc GROUP BY 1, 2),
+         r AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+               FROM ag),
+         cand AS (SELECT query_id, doc_id FROM r WHERE rank <= 10),
+         tok AS (SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS tt
+                 FROM documents),
+         jac AS (SELECT c.query_id, c.doc_id,
+                        CAST(len(list_intersect(q.tt, d.tt)) AS DOUBLE) /
+                        CAST(len(list_distinct(list_concat(q.tt, d.tt))) AS DOUBLE) AS score
+                 FROM cand c
+                 JOIN tok q ON q.doc_id = c.query_id
+                 JOIN tok d ON d.doc_id = c.doc_id),
+         rr AS (SELECT query_id, doc_id, score,
+                       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+                FROM jac)
+    SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank FROM rr WHERE rank <= 5"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2551,7 +2635,7 @@ object Catalog {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-    q137, q138)
+    q137, q138, q139, q140)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -45,4 +45,56 @@ class RetrievalSpec extends SparkSpec {
   test("rrf: empty list seq rejected") {
     intercept[IllegalArgumentException] { Retrieval.rrf(Seq.empty) }
   }
+
+  test("rerank + lexicalScore: exact Jaccards, dense ranks, k cap, queries independent") {
+    import org.apache.spark.sql.functions.col
+    val cands = Seq(
+      (1L, 10L, "a b", "b a"),     // jaccard 1.0 (order-insensitive)
+      (1L, 20L, "a b", "a b c d"), // 2/4 = 0.5
+      (1L, 30L, "a b", "x y"),     // 0.0 — cut by k=2
+      (2L, 10L, "zz", "zz"))       // second query unaffected by the first
+      .toDF("query_id", "doc_id", "qt", "dt")
+    val out = Retrieval.rerank(cands, Retrieval.lexicalScore(col("qt"), col("dt")), k = 2)
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(out == Set((1L, 10L, 1.0, 1L), (1L, 20L, 0.5, 2L), (2L, 10L, 1.0, 1L)))
+  }
+
+  test("rerank: ties break on doc_id; pre-existing score/rank columns are replaced") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val cands = Seq((1L, 5L, "a", "a", 99.0, 9L), (1L, 3L, "a", "a", -1.0, 1L))
+      .toDF("query_id", "doc_id", "qt", "dt", "score", "rank")
+    val out = Retrieval.rerank(cands, Retrieval.lexicalScore(col("qt"), col("dt")), k = 10)
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    // equal scores → lower doc_id first; stale retriever score/rank gone
+    assert(out.toSeq == Seq((1L, 3L, 1.0, 1L), (1L, 5L, 1.0, 2L)))
+  }
+
+  test("rerank: a model-backed joint scorer rides the same operator") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    import graft.functions.Vectors
+    import graft.ml.MlPredict
+    val pairs = Seq(
+      (1L, 10L, "apple banana", "apple banana cherry"),
+      (1L, 20L, "apple banana", "unrelated words entirely"))
+      .toDF("query_id", "doc_id", "qtext", "dtext")
+    // joint encoding: the model sees the PAIR (query [SEP] doc) — the
+    // cross-encoder contract; budget = |pairs| embed calls, never the corpus
+    val withPair = pairs.withColumn("pair", concat_ws(" [SEP] ", col("qtext"), col("dtext")))
+    val enc = MlPredict.embed(
+      MlPredict.embed(withPair, "local-embed-64", "pair", "pvec"),
+      "local-embed-64", "qtext", "qvec")
+    val out = Retrieval.rerank(enc, Vectors.cosine(col("pvec"), col("qvec")), k = 1)
+    val rows = out.select("query_id", "doc_id", "rank", "qtext").collect()
+    assert(rows.length == 1 && rows.head.getLong(2) == 1L)
+    assert(rows.head.getString(3) == "apple banana") // input columns survive
+  }
+
+  test("rerank: k must be positive") {
+    import org.apache.spark.sql.functions.lit
+    intercept[IllegalArgumentException] {
+      Retrieval.rerank(list((1L, 10L, 1L)), lit(1.0), k = 0)
+    }
+  }
 }
