@@ -94,7 +94,15 @@ object Vectors {
     * so [[int8Cosine]] ranks identically to cosine over `q` directly —
     * quantization error comes only from the rounding, not the arithmetic.
     */
-  def int8Quantize(v: Column): Column = {
+  def int8Quantize(v: Column): Column = graft.plans.Int8Quantize(v)
+
+  /** Composable-functions formulation of [[int8Quantize]] — kept as the
+    * cross-check reference for the native expression. Do NOT use on hot
+    * paths: `absmax` inlines into the code lambda under CollapseProject and
+    * re-evaluates per element — the same O(d²) trap [[l2Normalize]] documents
+    * (measured 21 s vs sub-second to quantize 20k×64-dim at sf1).
+    */
+  private[graft] def int8QuantizeHof(v: Column): Column = {
     val absmax = array_max(transform(v, x => abs(x.cast("double"))))
     val scale = when(absmax > 0, absmax / lit(127.0)).otherwise(lit(0.0))
     struct(
@@ -105,10 +113,11 @@ object Vectors {
   }
 
   /** Cosine similarity over two int8 code arrays (scales cancel — see
-    * [[int8Quantize]]); same fused native expression as [[cosine]].
+    * [[int8Quantize]]); fused native kernel over the bytes directly
+    * (graft.plans.Int8Cosine) — bit-identical to casting codes to float and
+    * running [[cosine]], without the two per-pair array copies.
     */
-  def int8Cosine(qa: Column, qb: Column): Column =
-    cosine(transform(qa, _.cast("float")), transform(qb, _.cast("float")))
+  def int8Cosine(qa: Column, qb: Column): Column = graft.plans.Int8Cosine(qa, qb)
 
   /** Reconstruct the float vector from (scale, q) — for consumers that need
     * magnitudes (dot products, L2), where the scale does NOT cancel.

@@ -113,6 +113,12 @@ object GraftExtensions {
     (new FunctionIdentifier("graft_mean_pool"),
       new ExpressionInfo(classOf[MeanPool].getName, "graft_mean_pool"),
       (children: Seq[Expression]) => MeanPool(children.head)),
+    (new FunctionIdentifier("graft_int8_quantize"),
+      new ExpressionInfo(classOf[Int8Quantize].getName, "graft_int8_quantize"),
+      (children: Seq[Expression]) => Int8Quantize(children.head)),
+    (new FunctionIdentifier("graft_int8_cosine"),
+      new ExpressionInfo(classOf[Int8Cosine].getName, "graft_int8_cosine"),
+      (children: Seq[Expression]) => Int8Cosine(children(0), children(1))),
     lift1("graft_quality_score", graft.functions.Text.qualityScore),
     lift1("graft_lang_id", graft.functions.Text.langId),
     lift1("graft_token_count", c => graft.functions.Text.tokenCount(c).cast("long")),

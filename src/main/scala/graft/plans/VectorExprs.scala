@@ -151,3 +151,136 @@ object MeanPool {
     Bridge.column(MeanPool(Bridge.expression(v)))
   }
 }
+
+/** Native symmetric int8 quantization: ARRAY<FLOAT> →
+  * STRUCT<scale: DOUBLE, q: ARRAY<TINYINT>>, scale = max|x|/127,
+  * code = floor(x/scale + 0.5) (the all-zero vector quantizes to scale 0,
+  * all-zero codes).
+  *
+  * The HOF formulation hit the documented re-evaluation trap at its worst:
+  * `absmax` (itself an O(d) transform + array_max) appears inside the code
+  * lambda, so CollapseProject inlining re-ran it PER ELEMENT — O(d²) work and
+  * ~2d transient arrays per row (measured 21 s to quantize 20k×64-dim at sf1;
+  * this expression: two plain passes, one output allocation). Double math is
+  * kept operation-for-operation identical to the HOF form — abs/max in
+  * double, one divide by the shared scale, floor(+0.5), narrow to byte — so
+  * the q135 oracle still hashes and codes stay in [-127, 127].
+  *
+  * CodegenFallback for the MeanPool reason: the row cost IS the two-pass
+  * primitive loop; per-row interpreter dispatch is noise.
+  */
+case class Int8Quantize(child: Expression) extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.{ByteType, DoubleType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"int8_quantize expects ARRAY<FLOAT>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(ByteType, containsNull = false), nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "int8_quantize"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var absmax = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val a = math.abs(x.getFloat(i).toDouble)
+      if (a > absmax) absmax = a
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    val scale = if (n > 0 && absmax > 0.0) {
+      val s = absmax / 127.0
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(x.getFloat(i).toDouble / s + 0.5).toLong.toByte
+        i += 1
+      }
+      s
+    } else 0.0
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, UnsafeArrayData.fromPrimitiveArray(out)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Int8Quantize {
+  def apply(v: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(Int8Quantize(Bridge.expression(v)))
+  }
+}
+
+/** Native cosine over int8 CODE arrays — the scale-cancelling knn hot-path
+  * kernel ([[graft.functions.Vectors.int8Quantize]]). Same fused
+  * zero-allocation loop as [[CosineSimilarity]]; byte → double widening is
+  * exact, so it is bit-identical to casting the codes to float and running
+  * the float kernel (the previous formulation — which allocated two
+  * transformed copies per PAIR on the O(queries·corpus) join).
+  */
+case class Int8Cosine(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{ByteType, DoubleType}
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(ByteType, _), ArrayType(ByteType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"int8_cosine expects two ARRAY<TINYINT> arguments, got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "int8_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getByte(i).toDouble
+      val yi = y.getByte(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getByte($i);
+         |  double $yi = (double) $b.getByte($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Int8Cosine {
+  def apply(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(Int8Cosine(Bridge.expression(a), Bridge.expression(b)))
+  }
+}

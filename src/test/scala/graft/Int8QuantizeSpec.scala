@@ -8,6 +8,27 @@ import graft.functions.Vectors
   */
 class Int8QuantizeSpec extends SparkSpec {
 
+  test("native Int8Quantize is bit-identical to the HOF reference on real embeddings") {
+    val emb = core.Tables(spark, sfDir, "embeddings")
+    val both = emb.select(col("vec_id"),
+        Vectors.int8Quantize(col("embedding")).as("n"),
+        Vectors.int8QuantizeHof(col("embedding")).as("h"))
+      .withColumn("same",
+        col("n.scale") === col("h.scale") && col("n.q") === col("h.q"))
+    assert(both.filter(!col("same")).isEmpty)
+    // edge vectors the testdata may not contain: empty and all-zero
+    import spark.implicits._
+    val edge = Seq((1L, Seq.empty[Float]), (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(Vectors.int8Quantize(col("embedding")).as("n"),
+        Vectors.int8QuantizeHof(col("embedding")).as("h"))
+      .collect()
+    edge.foreach { r =>
+      assert(r.getStruct(0).getDouble(0) == 0.0)
+      assert(r.getStruct(0) == r.getStruct(1))
+    }
+  }
+
   test("reconstruction error is bounded by scale/2 per element; extremes hit ±127") {
     import spark.implicits._
     val df = Seq(
