@@ -829,9 +829,11 @@ object Dedup {
     * (doc_id, span_start, span_end), 1-based inclusive character offsets.
     *
     * 100 TB shape: |corpus chars| intermediate rows, but each carries only
-    * (doc_id, pos, hash) — the text never shuffles; the gram is hashed inside
-    * the scan-side projection ([[graft.core.Parallelism.defend]]ed, since the
-    * gram hashing is the per-row-expensive stage). Two linear shuffles: by
+    * (doc_id, pos, hash) — the text never enters a KEYED shuffle (plan-
+    * guarded); the gram is hashed inside the scan-side projection
+    * ([[graft.core.Parallelism.defend]]ed — on a degenerate non-splittable
+    * layout the defense round-robins the raw docs once, one row per doc,
+    * which is its documented cost everywhere). Two linear keyed shuffles: by
     * gram hash (duplicate count + occurrence rank share one exchange — same
     * partition key) and by doc for the island merge. The published suffix
     * array needs O(corpus) memory on one node and shards at ~100 GB; this

@@ -626,6 +626,14 @@ object SqlFrontend {
   private[graft] val GraftRrfRe =
     ("(?is)TABLE\\s*\\(\\s*GRAFT_RRF\\s*\\(\\s*TABLE\\s+([\\w.`]+)\\s*,\\s*TABLE\\s+([\\w.`]+)\\s*" +
       "(?:,\\s*(\\d+)\\s*)?(?:,\\s*(\\d+)\\s*)?\\)\\s*\\)").r
+  private[graft] val GraftExactSubstrRe =
+    ("(?is)TABLE\\s*\\(\\s*GRAFT_EXACT_SUBSTRINGS\\s*\\(\\s*TABLE\\s+([\\w.`]+)\\s*,\\s*" +
+      "DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*" +
+      "(?:,\\s*(\\d+)\\s*)?\\)\\s*\\)").r
+  private[graft] val GraftRerankRe =
+    ("(?is)TABLE\\s*\\(\\s*GRAFT_RERANK\\s*\\(\\s*TABLE\\s+([\\w.`]+)\\s*,\\s*" +
+      "DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*" +
+      "(?:,\\s*(\\d+)\\s*)?\\)\\s*\\)").r
 
   /** SQL surface for the training-data operators (engine extension — the
     * DataFrame API is primary, VERDICT r4 missing-#4). Each TVF resolves its
@@ -642,7 +650,13 @@ object SqlFrontend {
     *     TABLE queries, DESCRIPTOR(qid), DESCRIPTOR(qtext) [, k]))` →
     *     (query_id, doc_id, score, rank);
     *   - `TABLE(GRAFT_RRF(TABLE a, TABLE b [, k0 [, k]]))` → reciprocal-rank
-    *     fusion of two (query_id, doc_id, rank) lists.
+    *     fusion of two (query_id, doc_id, rank) lists;
+    *   - `TABLE(GRAFT_EXACT_SUBSTRINGS(TABLE t, DESCRIPTOR(id),
+    *     DESCRIPTOR(text) [, minLen]))` → the ExactSubstr duplicated-span set
+    *     (doc_id, span_start, span_end), minLen default 40;
+    *   - `TABLE(GRAFT_RERANK(TABLE pairs, DESCRIPTOR(queryText),
+    *     DESCRIPTOR(docText) [, k]))` → joint lexical rerank of a candidate
+    *     table carrying query_id/doc_id and the two pair-text columns.
     */
   private[graft] def rewriteLlmops(spark: SparkSession, sql: String): String = {
     def view(df: org.apache.spark.sql.DataFrame): String = {
@@ -694,6 +708,26 @@ object SqlFrontend {
       val k = Option(mm.group(4)).map(_.toInt).getOrElse(10)
       cur = cur.substring(0, mm.start) + view(graft.llmops.Retrieval.rrf(lists, k0, k)) + cur.substring(mm.end)
       m = GraftRrfRe.findFirstMatchIn(cur)
+    }
+    m = GraftExactSubstrRe.findFirstMatchIn(cur)
+    while (m.isDefined) {
+      val mm = m.get
+      val df = spark.table(unqualify(mm.group(1)))
+      val minLen = Option(mm.group(4)).map(_.toInt).getOrElse(40)
+      val spans = graft.llmops.Dedup.exactSubstringSpans(df, mm.group(3), mm.group(2), minLen)
+      cur = cur.substring(0, mm.start) + view(spans) + cur.substring(mm.end)
+      m = GraftExactSubstrRe.findFirstMatchIn(cur)
+    }
+    m = GraftRerankRe.findFirstMatchIn(cur)
+    while (m.isDefined) {
+      val mm = m.get
+      import org.apache.spark.sql.functions.col
+      val pairs = spark.table(unqualify(mm.group(1)))
+      val k = Option(mm.group(4)).map(_.toInt).getOrElse(10)
+      val out = graft.llmops.Retrieval.rerank(pairs,
+        graft.llmops.Retrieval.lexicalScore(col(mm.group(2)), col(mm.group(3))), k)
+      cur = cur.substring(0, mm.start) + view(out) + cur.substring(mm.end)
+      m = GraftRerankRe.findFirstMatchIn(cur)
     }
     cur
   }

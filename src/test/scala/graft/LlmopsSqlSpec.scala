@@ -71,4 +71,35 @@ class LlmopsSqlSpec extends SparkSpec {
     // doc 11 is in both lists -> fused rank 1
     assert(got.head().getLong(1) == 11L)
   }
+
+  test("GRAFT_EXACT_SUBSTRINGS returns the engine's span set and composes with the outer query") {
+    docs
+    val got = SqlFrontend.execute(spark,
+      "SELECT doc_id, span_start, span_end " +
+        "FROM TABLE(GRAFT_EXACT_SUBSTRINGS(TABLE sqldocs, DESCRIPTOR(doc_id), DESCRIPTOR(text), 40)) " +
+        "WHERE span_end - span_start >= 39 ORDER BY doc_id, span_start")
+    val want = graft.llmops.Dedup.exactSubstringSpans(docs, "text", "doc_id", 40)
+      .filter(col("span_end") - col("span_start") >= 39)
+      .orderBy("doc_id", "span_start")
+    assert(got.collect().map(_.toSeq).toSeq == want.collect().map(_.toSeq).toSeq)
+    assert(got.count() > 0, "testdata should contain planted >=40-char duplicates")
+  }
+
+  test("GRAFT_RERANK rescoring equals the engine's rerank verbatim") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 10L, "a b", "b a"),
+      (1L, 20L, "a b", "a b c d"),
+      (1L, 30L, "a b", "x y"))
+      .toDF("query_id", "doc_id", "qt", "dt")
+    pairs.createOrReplaceTempView("sqlpairs")
+    val got = SqlFrontend.execute(spark,
+      "SELECT query_id, doc_id, score, rank " +
+        "FROM TABLE(GRAFT_RERANK(TABLE sqlpairs, DESCRIPTOR(qt), DESCRIPTOR(dt), 2)) ORDER BY rank")
+    val want = graft.llmops.Retrieval.rerank(pairs,
+        graft.llmops.Retrieval.lexicalScore(col("qt"), col("dt")), 2)
+      .select("query_id", "doc_id", "score", "rank").orderBy("rank")
+    assert(got.collect().map(_.toSeq).toSeq == want.collect().map(_.toSeq).toSeq)
+    assert(got.head().getLong(1) == 10L) // the exact-overlap doc wins
+  }
 }

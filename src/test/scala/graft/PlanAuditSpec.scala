@@ -120,4 +120,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "diff must join on the key, never cross")
   }
+
+  test("q139: document text never key-shuffles — hash exchanges carry only ids, positions, hashes") {
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val df = graft.queries.Catalog.queries("q139_exact_substring_spans")(spark, sfDir)
+    val exchanges = df.queryExecution.sparkPlan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, "the gram-hash and island windows must shuffle")
+    exchanges.foreach { e =>
+      e.outputPartitioning match {
+        // Parallelism.defend's round-robin legitimately redistributes the
+        // raw docs ONCE (its documented cost on a non-splittable layout,
+        // one row per doc) — every keyed exchange downstream is per-GRAM
+        // and must carry 24-byte (doc_id, p, hash) rows, never the text
+        case _: RoundRobinPartitioning => ()
+        case _ =>
+          assert(!e.output.exists(_.dataType == StringType),
+            s"a keyed exchange carries a string column — the text (or grams) leaked " +
+              s"into a shuffle: ${e.output.map(a => s"${a.name}:${a.dataType.simpleString}")}")
+      }
+    }
+    // the island-merge groupBy must reuse the doc window's partitioning: a
+    // subset hash partitioning satisfies the grouping's clustered
+    // distribution, so only defend's round-robin + the two window exchanges
+    // may appear
+    assert(exchanges.size <= 3, s"unexpected extra shuffles:\n${df.queryExecution.sparkPlan}")
+  }
 }
