@@ -66,4 +66,36 @@ class StreamingDedupSpec extends SparkSpec {
     assert(kept == Set((1L, 0, boiler), (1L, 1, u1), (2L, 0, u2)),
       s"arrival-first chunk dedup violated: $kept")
   }
+
+  test("decontaminate runs on a STREAMING corpus — the broadcast path is row-local — and matches batch") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[(Long, String)]
+    import spark.implicits._
+    import graft.llmops.Dedup
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("bench_id", "text")
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // verbatim copy
+      (2L, "completely unrelated content about spark plans"),
+      (3L, "a quick brown fox jumps over something else"))   // partial overlap
+    val mem = MemoryStream[(Long, String)]
+    val out = Dedup.decontaminate(mem.toDF().toDF("doc_id", "text"), bench, "text", "doc_id")
+    val q = out.writeStream.format("memory").queryName("decontam_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows(0), rows(1))
+      q.processAllAvailable()
+      mem.addData(rows(2)) // later micro-batch probes the same broadcast set
+      q.processAllAvailable()
+    } finally q.stop()
+    val cols = Seq("doc_id", "n_ngrams", "matched", "overlap", "contaminated")
+    val got = spark.table("decontam_sink").orderBy("doc_id")
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSeq
+    val want = Dedup.decontaminate(rows.toDF("doc_id", "text"), bench, "text", "doc_id")
+      .orderBy("doc_id").select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSeq
+    assert(got == want, s"stream output must equal the batch run:\n$got\nvs\n$want")
+    val flags = got.map(r => r.head -> r.last).toMap
+    assert(flags(1L) == true && flags(2L) == false,
+      s"the verbatim copy must flag, the unrelated doc must not: $flags")
+  }
 }
