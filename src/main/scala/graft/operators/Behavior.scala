@@ -170,4 +170,30 @@ object Behavior {
         col("__smq.end_ts").as("match_end_ts"), col(tieCol).as("start_tie"),
         col("__smq.len").as("matched_len"))
   }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next_type | prev_type) estimated from adjacent pairs. The behavioral
+    * summary behind next-action prediction and anomalous-flow detection.
+    *
+    * One user-keyed window (lag over ts + tie — each partition is one user's
+    * bounded history, the same shuffle key every Behavior op uses), then a
+    * map-side-combined count to |types|² rows; the per-prev totals join is
+    * over that tiny aggregate, never the event log. `prob` is one double
+    * division of two exact longs — deterministic across engines.
+    *
+    * Output: (prev_type, next_type, n, prob).
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("prev_type").agg(sum("n").as("__tot"))
+    pairs.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("__tot").cast("double")).as("prob"))
+  }
 }

@@ -2620,6 +2620,98 @@ object Catalog {
                 FROM jac)
     SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank FROM rr WHERE rank <= 5"""))
 
+  private val q141 = Q("q141_total_sort", (s, dir) => {
+    // Total-order sort with exact global positions + contiguous equal-width
+    // shards (the terasort/training-order layout). Distributed two-pass
+    // prefix count over a range shuffle — bit-identical to the single-task
+    // row_number window the oracle uses.
+    graft.operators.Layout.totalSort(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        Seq(col("n_chars").desc, col("doc_id")), numShards = 8, numPartitions = 4)
+      .select(col("doc_id"), col("n_chars"), col("global_pos"), col("shard"))
+  }, Some("""
+    WITH r AS (SELECT doc_id, n_chars,
+                      row_number() OVER (ORDER BY n_chars DESC, doc_id) AS global_pos,
+                      COUNT(*) OVER () AS n
+               FROM documents)
+    SELECT doc_id, n_chars, CAST(global_pos AS BIGINT) AS global_pos,
+           CAST(((global_pos - 1) * 8) // n AS BIGINT) AS shard FROM r"""))
+
+  private val q142 = Q("q142_markov_transitions", (s, dir) => {
+    // First-order Markov transition matrix over per-user event sequences:
+    // the behavioral model behind next-action prediction / anomalous-flow
+    // scoring. One user-keyed lag window + a |types|^2-row count.
+    graft.operators.Behavior.transitionMatrix(
+      t(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+  }, Some(s"""
+    WITH sq AS (SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+                FROM $EV),
+    c AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+          FROM sq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    t2 AS (SELECT prev_type, SUM(n) AS tot FROM c GROUP BY 1)
+    SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+           CAST(c.n AS DOUBLE) / CAST(t2.tot AS DOUBLE) AS prob
+    FROM c JOIN t2 USING (prev_type)"""))
+
+  private val q143 = Q("q143_zorder_layout", (s, dir) => {
+    // Z-order clustering value over (user_id, hour-of-day): interleaved-bit
+    // locality so files sorted by zval carry tight min/max stats on BOTH
+    // columns (the OPTIMIZE ZORDER pattern). Pure integer bucketing from one
+    // broadcast min/max agg — engine-exact.
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), hour(col("ts")).as("hr"))
+    ev.withColumn("zval",
+        graft.operators.Layout.zValue(ev, Seq(col("user_id"), col("hr")), bits = 8))
+      .select(col("event_id"), col("user_id"), col("hr").cast("int").as("hr"), col("zval"))
+  }, Some {
+    val terms = (0 until 8).flatMap { b =>
+      Seq(s"(((bx >> $b) & 1) << ${2 * b + 1})", s"(((b2 >> $b) & 1) << ${2 * b})")
+    }.mkString(" + ")
+    s"""
+    WITH src AS (SELECT event_id, user_id, hour(CAST(ts AS TIMESTAMP)) AS hr FROM events),
+    c AS (SELECT MIN(user_id) AS mnx, MAX(user_id) AS mxx,
+                 MIN(hr) AS mny, MAX(hr) AS mxy FROM src),
+    b AS (SELECT event_id, user_id, hr,
+                 ((user_id - mnx) * 256) // (mxx - mnx + 1) AS bx,
+                 ((hr - mny) * 256) // (mxy - mny + 1) AS b2
+          FROM src CROSS JOIN c)
+    SELECT event_id, user_id, CAST(hr AS INTEGER) AS hr,
+           CAST($terms AS BIGINT) AS zval FROM b"""
+  })
+
+  private val q144 = Q("q144_pagerank", (s, dir) => {
+    // Fixed-point integer PageRank (5 rounds, damping .85) over the
+    // customer -> supplier purchase graph — the crawl-graph quality
+    // weighting a corpus-curation stack ranks domains with. Integer
+    // arithmetic end-to-end makes the iterative result hash-exact vs the
+    // oracle's unrolled CTE chain.
+    val edges = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst")).distinct()
+    graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5)
+  }, Some {
+    val iter = (k: Int) => s"""
+    r$k AS (SELECT nd.node,
+                   ((15 * (1000000000000000 // k0.n)) // 100)
+                   + COALESCE(SUM((85 * (r.rank_fp // d.outdeg)) // 100), 0) AS rank_fp
+            FROM nodes nd CROSS JOIN k0
+            LEFT JOIN edges e ON e.dst = nd.node
+            LEFT JOIN r${k - 1} r ON r.node = e.src
+            LEFT JOIN deg d ON d.src = e.src
+            GROUP BY nd.node, k0.n)"""
+    s"""
+    WITH edges AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+                   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+    k0 AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT node, (1000000000000000 // n) AS rank_fp FROM nodes CROSS JOIN k0),
+    ${(1 to 5).map(iter).mkString(",")}
+    SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp,
+           CAST(rank_fp AS DOUBLE) / 1000000000000000.0 AS rank FROM r5"""
+  })
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2635,7 +2727,7 @@ object Catalog {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-    q137, q138, q139, q140)
+    q137, q138, q139, q140, q141, q142, q143, q144)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
