@@ -1,0 +1,89 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Data Selection with Importance Resampling (Xie et al. 2023,
+  * arXiv:2302.03169): score every raw-corpus document by how much more
+  * likely its hashed n-gram features are under a small TARGET corpus (the
+  * "data I wish I had more of") than under the raw corpus itself, then keep
+  * a weighted/top-k resample. The scalable stand-in for "train a classifier
+  * against the target" curation — no model, two counting passes.
+  *
+  *  - Features: unigrams + bigrams hashed into `buckets` (xxhash64 —
+  *    row-local, no vocabulary is ever collected);
+  *  - per-corpus bucket distributions with add-1 smoothing:
+  *    `p[b] = (c_b + 1) / (n + buckets)`;
+  *  - `log_weight(doc) = Σ_grams ( ln p_target[b(g)] − ln p_raw[b(g)] )`,
+  *    and `avg_log_weight` normalizes out document length.
+  *
+  * Scale shape: each distribution is ONE map-side-combined count to
+  * `buckets` rows, broadcast back as a plain double array inside a
+  * row-local scoring UDF — the raw corpus is scanned once for stats and
+  * once for scoring, nothing about it is collected, and no shuffle carries
+  * text. Scoring is floating-point (ln), so this family is spec-verified
+  * (planted-distribution recovery in DsirSpec) rather than hash-gated like
+  * the counting operators.
+  */
+object Dsir {
+
+  private def gramBuckets(textCol: Column, buckets: Int): Column = {
+    // Text.tokens("") yields [""] (split semantics) — drop empties so an
+    // empty doc has zero grams, not one phantom feature
+    val toks = filter(Text.tokens(lower(textCol)), t => length(t) > 0)
+    val unis = transform(toks, t => pmod(xxhash64(t), lit(buckets)))
+    val bis = when(size(toks) >= 2,
+      transform(slice(toks, lit(1), size(toks) - 1),
+        (t, i) => pmod(xxhash64(concat_ws(" ", t, element_at(toks, i + 2))), lit(buckets))))
+      .otherwise(array().cast("array<bigint>"))
+    concat(unis, bis)
+  }
+
+  /** `buckets`-row distribution table (bucket, p) for one corpus. */
+  private def bucketLogProbs(df: DataFrame, textCol: String, buckets: Int): Array[Double] = {
+    val counts = df
+      .select(explode(gramBuckets(col(textCol), buckets)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val total = counts.valuesIterator.sum
+    Array.tabulate(buckets)(b =>
+      math.log((counts.getOrElse(b, 0L) + 1).toDouble / (total + buckets).toDouble))
+  }
+
+  /** Score `raw` against `target`: adds `n_grams`, `log_weight`,
+    * `avg_log_weight` (length-normalized — use this one to rank).
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                        buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = raw.sparkSession
+    val lpT = spark.sparkContext.broadcast(bucketLogProbs(target, textCol, buckets))
+    val lpR = spark.sparkContext.broadcast(bucketLogProbs(raw, textCol, buckets))
+    val score = udf { (bs: Seq[Long]) =>
+      var s = 0.0
+      bs.foreach { b => s += lpT.value(b.toInt) - lpR.value(b.toInt) }
+      s
+    }
+    raw
+      .withColumn("__b", gramBuckets(col(textCol), buckets))
+      .withColumn("n_grams", size(col("__b")).cast("long"))
+      .withColumn("log_weight", score(col("__b")))
+      .withColumn("avg_log_weight",
+        when(col("n_grams") > 0, col("log_weight") / col("n_grams").cast("double"))
+          .otherwise(lit(Double.NegativeInfinity)))
+      .drop("__b")
+  }
+
+  /** Keep the `k` raw documents most target-like by `avg_log_weight`
+    * (deterministic id tie-break), via the bounded map-side top-k aggregator
+    * — O(k) shuffle, never a corpus sort.
+    */
+  def resampleTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    val agg = scored.agg(graft.operators.TopK.topK(k)(
+      col("avg_log_weight"), col(idCol)).as("top"))
+    graft.operators.TopK.explodeRanked(agg, "top", Nil)
+      .select(col("id").as(idCol), col("rank"), col("score").as("avg_log_weight"))
+  }
+}

@@ -72,6 +72,14 @@ object Layout {
     * statistics prune scans on ANY of the clustered columns — the reason
     * OPTIMIZE ZORDER exists.
     *
+    * This is the ENGINE-EXACT n-column form (pure integer bucketing —
+    * reproducible bit-for-bit across engines/layouts, the form the q143
+    * oracle checks); [[graft.sources.ZOrderLayout]] owns the file-layout
+    * write pass (16-bit double scaling is fine there — only footer stats
+    * consume the value). Materialize a layout from THIS value with
+    * `repartitionByRange + sortWithinPartitions` on it, or use
+    * ZOrderLayout.write.
+    *
     * Bucketing is `((x - min) * 2^bits) div (max - min + 1)` — pure integer
     * arithmetic on the casted-to-long inputs, reproducible across engines
     * (no quantile estimation: one tiny min/max agg is broadcast back as
@@ -109,16 +117,4 @@ object Layout {
     }.reduce(_ + _)
   }
 
-  /** Materialize a Z-ordered layout: range-partition + sort on the zval so
-    * each output file covers a compact z-range (→ tight min/max stats on all
-    * clustered columns). One range shuffle; write with `partitionBy`/plain
-    * parquet afterwards.
-    */
-  def clusterByZ(df: DataFrame, cols: Seq[Column], bits: Int = 8,
-                 numFiles: Int = 0): DataFrame = {
-    val z = df.withColumn("zval", zValue(df, cols, bits))
-    (if (numFiles > 0) z.repartitionByRange(numFiles, col("zval"))
-     else z.repartitionByRange(col("zval")))
-      .sortWithinPartitions("zval")
-  }
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch CDC application — the MERGE INTO / "apply this changelog to that
+  * snapshot" operator. [[Scd2]] keeps full history (validity intervals);
+  * this produces the NEW CURRENT SNAPSHOT: last change per key wins, deletes
+  * drop the row, inserts/updates upsert it, untouched base rows pass
+  * through. The batch twin of the streaming upsert sink's compacted-topic
+  * semantics.
+  */
+object Merge {
+
+  /** Apply `changes` (base's columns + `opCol` ∈ I/U/D + `seqCol`) to
+    * `base`. The highest-`seqCol` change per key decides the key's fate —
+    * (key, seq) must be unique per key or the winner is ambiguous (the
+    * changelog's offset/LSN naturally is). I and U are both upserts: a
+    * changelog replayed from before the base snapshot must converge, not
+    * error on "insert of existing key".
+    *
+    * Scale shape: one window + one anti-join + one union, every stage keyed
+    * on the SAME key columns, so the whole plan is one shuffle of the
+    * changelog plus one of the base; at real scale changes ≪ base and AQE
+    * broadcasts the touched-key side of the anti-join — the base is never
+    * shuffled at all.
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                     opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    require(keyCols.nonEmpty, "applyChangelog needs at least one key column")
+    val dataCols = changes.columns.filterNot(c => c == opCol || c == seqCol)
+    require(dataCols.sorted.sameElements(base.columns.sorted),
+      s"changes must carry exactly base's columns plus $opCol/$seqCol: " +
+        s"base=${base.columns.mkString(",")} changes=${changes.columns.mkString(",")}")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    val latest = changes.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    val untouched = base.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val upserts = latest.filter(col(opCol) =!= "D")
+      .select(base.columns.map(col).toIndexedSeq: _*)
+    untouched.unionByName(upserts)
+  }
+}

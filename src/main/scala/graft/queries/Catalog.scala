@@ -2712,6 +2712,71 @@ object Catalog {
            CAST(rank_fp AS DOUBLE) / 1000000000000000.0 AS rank FROM r5"""
   })
 
+  private val q145 = Q("q145_zonemap_pruned_read", (s, dir) => {
+    // Externalized file-level zone maps over a Z-ordered layout: build the
+    // |files|-row min/max index once, answer a two-column range query by
+    // opening ONLY intersecting files (driver-side lookup — zero footer
+    // fetches for skipped files). Result provably equals the full scan; the
+    // file-skipping itself is pinned by ZoneMapSpec.
+    val tmp = java.nio.file.Files.createTempDirectory("q145").toString
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), hour(col("ts")).as("hr"), col("value"))
+    graft.sources.ZOrderLayout.write(ev, s"$tmp/zorder", "user_id", "hr", files = 8)
+    val idx = graft.sources.ZoneMapIndex.build(s, s"$tmp/zorder", Seq("user_id", "hr"))
+    graft.sources.ZoneMapIndex.prunedRead(s, s"$tmp/zorder", idx,
+        Map("user_id" -> (100L, 200L), "hr" -> (5, 10)))
+      .select(col("event_id"), col("user_id"), col("hr").cast("int").as("hr"), col("value"))
+  }, Some(s"""
+    SELECT event_id, user_id, CAST(hour(ts) AS INTEGER) AS hr, value
+    FROM $EV
+    WHERE user_id BETWEEN 100 AND 200 AND hour(ts) BETWEEN 5 AND 10"""))
+
+  private val q146 = Q("q146_merge_apply", (s, dir) => {
+    // CDC MERGE: apply a synthesized I/U/D changelog (highest-seq change per
+    // key wins) to the orders snapshot — updates reprice %3 keys, deletes
+    // %5 keys (seq 2 beats the %15 overlap's update), inserts fresh keys.
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+    val ups = base.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+      .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+    val dels = base.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("op", lit("D")).withColumn("seq", lit(2L))
+    val ins = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+    graft.operators.Merge.applyChangelog(
+      base, ups.unionByName(dels).unionByName(ins), Seq("o_orderkey"))
+  }, Some("""
+    WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+    ch AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice, o_orderstatus,
+             'U' AS op, 1 AS seq FROM base WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 'D', 2
+      FROM base WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_totalprice, o_orderstatus, 'I', 1
+      FROM base WHERE o_orderkey % 7 = 0),
+    latest AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+               FROM ch)
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest WHERE rn = 1)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM latest WHERE rn = 1 AND op <> 'D'"""))
+
+  private val q147 = Q("q147_dsir_importance", (s, dir) => {
+    // DSIR importance resampling: hashed-ngram log-likelihood ratio of each
+    // raw doc under a target slice (lang='en' docs) vs the raw corpus, top
+    // 100 kept. Rows-only: ln() is not bit-portable across engines — the
+    // planted-distribution recovery contract lives in DsirSpec.
+    val docs = t(s, dir, "documents")
+    val scored = graft.llmops.Dsir.importanceWeights(
+      docs, docs.filter(col("lang") === "en"), "text", buckets = 2048)
+    graft.llmops.Dsir.resampleTopK(scored, "doc_id", k = 100)
+  }, None)
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2727,7 +2792,7 @@ object Catalog {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -54,7 +54,8 @@ class LayoutSpec extends SparkSpec {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
     val df = (1 to 4096).map(_ => (rnd.nextInt(1000), rnd.nextInt(1000))).toDF("x", "y")
-    val clustered = Layout.clusterByZ(df, Seq(col("x"), col("y")), bits = 8, numFiles = 16)
+    val clustered = df.withColumn("zval", Layout.zValue(df, Seq(col("x"), col("y")), bits = 8))
+      .repartitionByRange(16, col("zval")).sortWithinPartitions("zval")
     val spans = clustered.withColumn("pid", spark_partition_id())
       .groupBy("pid")
       .agg(((max("x") - min("x")) + (max("y") - min("y"))).as("span"))

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Merge
+
+class MergeSpec extends SparkSpec {
+
+  test("applyChangelog: last change per key wins — update, delete, insert, pass-through") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "name", "amt")
+    val changes = Seq(
+      (2L, "b2", 21.0, "U", 1L),  // plain update
+      (3L, "c", 30.0, "D", 1L),   // delete
+      (4L, "d2", 41.0, "U", 1L),  // update then delete: seq 2 wins
+      (4L, "d", 40.0, "D", 2L),
+      (5L, "e", 50.0, "I", 1L),   // insert
+      (6L, "f0", 0.0, "D", 1L),   // delete then REINSERT: seq 2 wins
+      (6L, "f", 60.0, "I", 2L))
+      .toDF("k", "name", "amt", "op", "seq")
+    val out = Merge.applyChangelog(base, changes, Seq("k"))
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b2", 21.0), (5L, "e", 50.0), (6L, "f", 60.0)))
+  }
+
+  test("applyChangelog converges when replaying a changelog over its own result (idempotent)") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "amt")
+    val changes = Seq((1L, "a2", 11.0, "U", 1L), (3L, "c", 30.0, "I", 1L))
+      .toDF("k", "name", "amt", "op", "seq")
+    val once = Merge.applyChangelog(base, changes, Seq("k"))
+    val twice = Merge.applyChangelog(once, changes, Seq("k"))
+    assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
+  }
+
+  test("applyChangelog rejects a changelog whose data columns diverge from base") {
+    import spark.implicits._
+    val base = Seq((1L, "a")).toDF("k", "name")
+    val bad = Seq((1L, 9.9, "U", 1L)).toDF("k", "amt", "op", "seq")
+    val e = intercept[IllegalArgumentException](
+      Merge.applyChangelog(base, bad, Seq("k")))
+    assert(e.getMessage.contains("base's columns"))
+  }
+}
