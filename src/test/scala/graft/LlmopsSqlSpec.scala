@@ -102,4 +102,34 @@ class LlmopsSqlSpec extends SparkSpec {
     assert(got.collect().map(_.toSeq).toSeq == want.collect().map(_.toSeq).toSeq)
     assert(got.head().getLong(1) == 10L) // the exact-overlap doc wins
   }
+
+  test("GRAFT_PAGERANK equals the engine's fixed-point ranks and composes with the outer query") {
+    import spark.implicits._
+    val edges = ((1L to 9L).map(i => (i, 0L)) :+ (0L, 1L)).toDF("s", "d")
+    edges.createOrReplaceTempView("sqledges")
+    val got = SqlFrontend.execute(spark,
+      "SELECT node, rank_fp FROM TABLE(GRAFT_PAGERANK(TABLE sqledges, DESCRIPTOR(s), DESCRIPTOR(d), 4)) " +
+        "ORDER BY rank_fp DESC, node LIMIT 2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = graft.operators.Graph.pageRank(edges, "s", "d", 4)
+      .orderBy(col("rank_fp").desc, col("node")).limit(2)
+      .select("node", "rank_fp").as[(Long, Long)].collect().toSeq
+    // at 4 (even) rounds the 0<->1 cycle is in its node-1-high phase — the
+    // convergence ordering itself is GraphSpec's business; here we pin
+    // SQL == engine and that the cycle pair owns the top-2
+    assert(got == want && got.map(_._1).toSet == Set(0L, 1L))
+  }
+
+  test("GRAFT_MERGE applies the changelog exactly like the engine") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val ch = Seq((2L, "b2", "U", 1L), (3L, "c", "I", 1L), (1L, "a", "D", 1L))
+      .toDF("k", "v", "op", "seq")
+    base.createOrReplaceTempView("sqlbase")
+    ch.createOrReplaceTempView("sqlch")
+    val got = SqlFrontend.execute(spark,
+      "SELECT k, v FROM TABLE(GRAFT_MERGE(TABLE sqlbase, TABLE sqlch, DESCRIPTOR(k))) ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((2L, "b2"), (3L, "c")))
+  }
 }
