@@ -43,8 +43,20 @@ object Dsir {
 
   /** `buckets`-row distribution table (bucket, p) for one corpus. */
   private def bucketLogProbs(df: DataFrame, textCol: String, buckets: Int): Array[Double] = {
-    val counts = df
+    // tokenize+hash is per-row-expensive: don't inherit a 1-row-group scan
+    // layout (see Parallelism)
+    val counts = graft.core.Parallelism.defend(df)
       .select(explode(gramBuckets(col(textCol), buckets)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val total = counts.valuesIterator.sum
+    Array.tabulate(buckets)(b =>
+      math.log((counts.getOrElse(b, 0L) + 1).toDouble / (total + buckets).toDouble))
+  }
+
+  private def bucketLogProbsFromGrams(withB: DataFrame, buckets: Int): Array[Double] = {
+    val counts = withB
+      .select(explode(col("__b")).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
     val total = counts.valuesIterator.sum
@@ -54,20 +66,28 @@ object Dsir {
 
   /** Score `raw` against `target`: adds `n_grams`, `log_weight`,
     * `avg_log_weight` (length-normalized — use this one to rank).
+    *
+    * The raw corpus needs its grams twice (distribution stats, then
+    * scoring); `materializeGrams=true` (default) localCheckpoints the hashed
+    * gram arrays (~text-sized) so tokenize+hash runs ONCE. At a scale where
+    * caching ~the corpus is worse than re-scanning it, pass false to trade a
+    * second scan for zero cache footprint.
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, textCol: String,
-                        buckets: Int = 4096): DataFrame = {
+                        buckets: Int = 4096, materializeGrams: Boolean = true): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val spark = raw.sparkSession
+    val withBLazy = graft.core.Parallelism.defend(raw)
+      .withColumn("__b", gramBuckets(col(textCol), buckets))
+    val withB = if (materializeGrams) withBLazy.localCheckpoint() else withBLazy
     val lpT = spark.sparkContext.broadcast(bucketLogProbs(target, textCol, buckets))
-    val lpR = spark.sparkContext.broadcast(bucketLogProbs(raw, textCol, buckets))
+    val lpR = spark.sparkContext.broadcast(bucketLogProbsFromGrams(withB, buckets))
     val score = udf { (bs: Seq[Long]) =>
       var s = 0.0
       bs.foreach { b => s += lpT.value(b.toInt) - lpR.value(b.toInt) }
       s
     }
-    raw
-      .withColumn("__b", gramBuckets(col(textCol), buckets))
+    withB
       .withColumn("n_grams", size(col("__b")).cast("long"))
       .withColumn("log_weight", score(col("__b")))
       .withColumn("avg_log_weight",

@@ -147,4 +147,32 @@ class PlanAuditSpec extends SparkSpec {
     // may appear
     assert(exchanges.size <= 3, s"unexpected extra shuffles:\n${df.queryExecution.sparkPlan}")
   }
+
+  test("q141: total sort numbers rows across MANY partitions — never a one-task window") {
+    // the range shuffle lives inside the numbered RDD (the result plan is a
+    // Scan ExistingRDD), so audit the physical layout, not the plan string
+    val df = graft.queries.Catalog.queries("q141_total_sort")(spark, sfDir)
+    assert(df.queryExecution.executedPlan.toString.contains("Scan ExistingRDD"),
+      "totalSort must come back as the numbered RDD, not a window plan")
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "the single-task row_number window is the anti-pattern")
+    assert(df.rdd.getNumPartitions > 1,
+      "positions must be produced in parallel partitions")
+  }
+
+  test("q142: transition matrix is one user-keyed window + tiny-aggregate broadcast") {
+    val p = plan("q142_markov_transitions")
+    assert(p.contains("Window"), "lag must be a keyed window")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-prev totals join is |types| rows — it must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no corpus-scale join exists in this plan")
+  }
+
+  test("q143: z-values are a row-local projection — the only exchange is min/max's scalar agg") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = graft.queries.Catalog.queries("q143_zorder_layout")(spark, sfDir)
+    val shuffles = df.queryExecution.executedPlan.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.isEmpty,
+      s"the interleave must fuse into the scan projection:\n${df.queryExecution.sparkPlan}")
+  }
 }
