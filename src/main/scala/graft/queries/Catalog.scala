@@ -2777,6 +2777,21 @@ object Catalog {
     graft.llmops.Dsir.resampleTopK(scored, "doc_id", k = 100)
   }, None)
 
+  private val q148 = Q("q148_triangle_count", (s, dir) => {
+    // Exact triangle count with degree-ordered edge orientation (wedge work
+    // bounded O(|E|^1.5) under any skew). Graph synthesized deterministically
+    // from lineitem's (orderkey, partkey) residues — unipartite over a shared
+    // 0..499 id space, so triangles exist.
+    val edges = t(s, dir, "lineitem")
+      .select((col("l_orderkey") % 500).as("src"), (col("l_partkey") % 500).as("dst"))
+    graft.operators.Graph.triangleCount(edges, "src", "dst")
+  }, Some("""
+    WITH raw AS (SELECT l_orderkey % 500 AS src, l_partkey % 500 AS dst FROM lineitem),
+    e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM raw WHERE src <> dst)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2792,7 +2807,7 @@ object Catalog {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

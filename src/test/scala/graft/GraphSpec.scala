@@ -47,6 +47,28 @@ class GraphSpec extends SparkSpec {
     assert(total > 0.5 && total <= 1.0 + 1e-9, s"mass $total") // dangling loss only
   }
 
+  test("triangleCount is exact on known graphs and matches a naive reference on random ones") {
+    import spark.implicits._
+    // K4 has C(4,3) = 4 triangles; pendants, duplicate edges, reversed
+    // duplicates and self-loops must not change that
+    val k4 = (for (a <- 0 to 3; b <- 0 to 3 if a < b) yield (a.toLong, b.toLong))
+    val noisy = k4 ++ k4.map(_.swap) ++ Seq((0L, 0L), (3L, 9L), (9L, 3L))
+    assert(Graph.triangleCount(noisy.toDF("src", "dst"), "src", "dst")
+      .head().getLong(0) == 4L)
+
+    val rnd = new scala.util.Random(21)
+    val edges = (1 to 600).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val set = canon.toSet
+    val naive = (for {
+      (a, b) <- canon; c <- 0L until 30L
+      if c > b && set((a, c)) && set((b, c))
+    } yield 1).size
+    assert(Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst")
+      .head().getLong(0) == naive.toLong)
+  }
+
   test("transitionMatrix probabilities are exact count ratios summing to 1 per prev") {
     import spark.implicits._
     val ev = Seq(
