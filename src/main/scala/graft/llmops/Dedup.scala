@@ -342,6 +342,74 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT Jaccard similarity self-join with AllPairs/PPJoin prefix
+    * filtering (Bayardo et al., WWW'07) — the exact-threshold scale path,
+    * where [[minHashLsh]] trades recall for speed and [[ngramJaccardPairs]]
+    * indexes every shingle.
+    *
+    * The theorem: under any GLOBAL total order over shingles, if
+    * `J(A,B) >= t` the order-smallest shared shingle lies within the first
+    * `|X| - floor(t*|X|) + 1` shingles of BOTH docs (at least
+    * `ceil(t*|X|)` shared elements sit at-or-after it in each set) — so only
+    * each doc's PREFIX needs indexing. The order CHOICE is the whole
+    * algorithm: ascending document frequency puts the corpus's RAREST
+    * shingles in every prefix, so each postings row stays tiny and pair
+    * generation never squares a hot shingle (a hash-ordered prefix keeps
+    * stopword trigrams and measured 92 s where this form runs in seconds on
+    * the ×10-clone fixture). Candidates pass a length filter
+    * (`t*max(n) <= min(n)`), dedupe, and verify by exact sorted-merge
+    * intersection over the hash-sorted sets — output == the full-index
+    * operator's, no recall loss, spec-pinned. `floor` (not ceil) keeps the
+    * prefix one longer than optimal rather than risk a float-rounding false
+    * negative.
+    *
+    * Scale shape: one df agg over prefix-relevant shingles, one
+    * (shingle-keyed) df join + one doc-keyed window to pick each doc's
+    * df-smallest prefix, the (small-postings) pair join, then the id-keyed
+    * verification joins. Shuffles carry (doc_id, shingle-hash, df) triples —
+    * never text.
+    */
+  def jaccardJoinPrefix(df: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val withN = shingleSets(graft.core.Parallelism.defend(df), textCol, idCol, shingleSize)
+      .withColumn("n_sh", size(col("sh"))).filter(col("n_sh") > 0)
+      .localCheckpoint() // exploded twice (df + prefix) and verified against
+    val exploded = withN.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val dfTable = exploded.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    // per-doc prefix: the p df-smallest shingles, p = n - floor(t*n) + 1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("__df"), col("shingle"))
+    val prefix = exploded.join(dfTable, "shingle")
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <=
+        col("n_sh") - floor(lit(threshold) * col("n_sh").cast("double")).cast("int") + lit(1))
+      .select(col("shingle"), col("doc_id"), col("n_sh"), col("__r"))
+    val a = prefix.select(col("shingle"), col("doc_id").as("id_a"),
+      col("n_sh").as("n_a"), col("__r").as("__pa"))
+    val b = prefix.select(col("shingle"), col("doc_id").as("id_b"),
+      col("n_sh").as("n_b"), col("__r").as("__pb"))
+    val cands = a.join(b, "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .filter(greatest(col("n_a"), col("n_b")).cast("double") * lit(threshold) <=
+        least(col("n_a"), col("n_b")).cast("double") + lit(1e-9))
+      // PPJoin positional filter: a match at prefix positions (pa, pb) caps
+      // the intersection at min(n_a-pa, n_b-pb)+1, and J >= t needs
+      // |A∩B| >= t/(1+t)*(n_a+n_b); prune row-locally before the distinct
+      .filter((least(col("n_a") - col("__pa"), col("n_b") - col("__pb")) + lit(1)).cast("double") >=
+        lit(threshold / (1.0 + threshold)) * (col("n_a") + col("n_b")).cast("double") - lit(1e-9))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(withN.select(col("doc_id").as("id_a"), col("sh").as("__sa")), "id_a")
+      .join(withN.select(col("doc_id").as("id_b"), col("sh").as("__sb")), "id_b")
+      .withColumn("__common", sortedIntersectSize(col("__sa"), col("__sb")).cast("double"))
+      .withColumn("jaccard",
+        col("__common") / (size(col("__sa")) + size(col("__sb")) - col("__common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** 64-bit SimHash signatures, row-local: bit i of the signature is set when
     * the sum over tokens of sign(bit i of xxhash64(token)) is positive. One
     * UDF pass per doc with the 64 bit-votes in a local array — zero shuffle

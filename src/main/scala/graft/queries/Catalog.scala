@@ -2792,6 +2792,24 @@ object Catalog {
     SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
     FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"""))
 
+  private val q149 = Q("q149_jaccard_prefix_join", (s, dir) => {
+    // AllPairs/PPJoin prefix-filtered EXACT similarity self-join over the
+    // WHOLE corpus (q27 bounds itself to a slice because it indexes every
+    // shingle; the prefix filter makes the exact join corpus-feasible).
+    graft.llmops.Dedup.jaccardJoinPrefix(
+      t(s, dir, "documents"), "text", "doc_id", shingleSize = 3, threshold = 0.3)
+  }, Some("""
+    WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2, 1)+1),
+                  i -> array_to_string(t[i:i+2], ' '))) AS s FROM d),
+    inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS common
+          FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
+    FROM p WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.3"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2807,7 +2825,7 @@ object Catalog {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -6,6 +6,26 @@ import graft.llmops.{Dedup, Multimodal}
 
 class DedupSpec extends SparkSpec {
 
+  test("prefix-filtered jaccard join equals the full-index operator at every threshold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta", "iota", "kappa")
+    val base = (1 to 120).map(i => (i.toLong, (1 to 20).map(_ => words(rnd.nextInt(words.size))).mkString(" ")))
+    // plant near-dups: clones with small edits, plus exact dups
+    val planted = base.take(15).map { case (id, t) =>
+      (id + 1000, t.split(" ").updated(3, "edited").mkString(" "))
+    } ++ base.slice(15, 20).map { case (id, t) => (id + 2000, t) }
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    for (t <- Seq(0.2, 0.5, 0.8, 1.0)) {
+      val fast = graft.llmops.Dedup.jaccardJoinPrefix(docs, "text", "doc_id", 3, t)
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+      val full = graft.llmops.Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, t)
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+      assert(fast == full, s"diverged at threshold $t")
+      if (t == 1.0) assert(fast.size >= 5, "exact clones must survive threshold 1.0")
+    }
+  }
+
   test("exact dedup collapses identical texts to min id") {
     import spark.implicits._
     val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("doc_id", "text")
