@@ -2810,6 +2810,22 @@ object Catalog {
            CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
     FROM p WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.3"""))
 
+  private val q150 = Q("q150_cusum_changepoints", (s, dir) => {
+    // CUSUM mean-shift detection over the hourly per-type request series —
+    // the changepoint complement to the q08/q133 band detectors (rows-only:
+    // the max(0, ...) recurrence has no SQL-window form; CusumSpec pins the
+    // defining shift fixture and batch ≡ streaming).
+    val series = Tumble(t(s, dir, "events"), "ts", "1 hour", col("event_type"))(
+      "request_count" -> count(lit(1)))
+      .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("request_count"))
+    graft.anomaly.Cusum.detectBatch(series, col("request_count"),
+        Seq(col("event_type")), Seq(col("window_start")),
+        graft.anomaly.Cusum.Config(warmup = 48, k = 0.5, h = 5.0))
+      .select(col("window_start"), col("event_type"), col("request_count"),
+        col("s_pos"), col("s_neg"), col("is_changepoint"))
+  }, None)
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2825,7 +2841,8 @@ object Catalog {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
-    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
+    q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
+    q150)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
