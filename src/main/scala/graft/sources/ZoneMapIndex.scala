@@ -38,6 +38,37 @@ object ZoneMapIndex {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Incremental maintenance: stat ONLY files the existing index has not
+    * seen (ingest appended new files; old ones are immutable) and return the
+    * merged index. The scan is pruned at the source — `_metadata.file_path`
+    * filters push into the file index, so already-indexed files are never
+    * opened. This is the write-time shape: each ingest batch folds its own
+    * files' stats in, and `build` remains the one-off retrofit.
+    */
+  def buildIncremental(spark: SparkSession, dir: String, cols: Seq[String],
+                       existing: DataFrame): DataFrame = {
+    val known = existing.select("file").collect().map(_.getString(0)).toSet
+    // explicit listing diff, not a _metadata filter: metadata predicates are
+    // not guaranteed to prune the file index, and a listing is the cheap op
+    // here (the index itself exists to avoid opening files)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val unseen = fs.listStatus(path)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+      .filterNot(known.contains)
+    if (unseen.isEmpty) existing
+    else {
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      val fresh = spark.read.parquet(unseen.toIndexedSeq: _*)
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+      existing.unionByName(fresh)
+    }
+  }
+
   /** Files whose zones intersect EVERY `col -> (lo, hi)` range (inclusive;
     * a file survives unless `max < lo` or `min > hi`). Driver-side over the
     * |files|-row index — bounded by design.

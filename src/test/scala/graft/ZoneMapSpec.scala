@@ -36,6 +36,29 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("incremental build stats only unseen files and merges to the full index") {
+    import spark.implicits._
+    withDir { dir =>
+      val part1 = (1 to 2000).map(i => (i.toLong, i.toLong % 97)).toDF("id", "x")
+      part1.repartition(4).write.parquet(s"$dir/t")
+      val idx1 = ZoneMapIndex.build(spark, s"$dir/t", Seq("x")).localCheckpoint()
+      val part2 = (2001 to 3000).map(i => (i.toLong, 500L + i % 13)).toDF("id", "x")
+      part2.repartition(2).write.mode("append").parquet(s"$dir/t")
+
+      val merged = ZoneMapIndex.buildIncremental(spark, s"$dir/t", Seq("x"), idx1)
+      val full = ZoneMapIndex.build(spark, s"$dir/t", Seq("x"))
+      assert(merged.orderBy("file").collect().toSeq == full.orderBy("file").collect().toSeq)
+      // the incremental pass must not open already-indexed files: the fresh
+      // rows it contributed carry exactly the 2 appended files' paths
+      val known = idx1.select("file").as[String].collect().toSet
+      val freshRows = merged.select("file").as[String].collect().filterNot(known)
+      assert(freshRows.length == 2,
+        s"only the 2 appended files may be statted, got ${freshRows.length}")
+      // and the new zone (x >= 500) prunes to exactly the appended files
+      assert(ZoneMapIndex.prune(merged, Map("x" -> (500L, 600L))).size == 2)
+    }
+  }
+
   test("z-ordered layout prunes on the SECOND column too; disjoint range opens zero files") {
     import spark.implicits._
     withDir { dir =>
