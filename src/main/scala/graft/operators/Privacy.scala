@@ -42,4 +42,37 @@ object Privacy {
         sensitiveCol.map(_ => col("distinct_sensitive") < l).getOrElse(lit(false)))
       .filter(col("k_violation") || col("l_violation"))
   }
+
+  /** ε-differentially-private count release (Dwork 2006): per-group counts
+    * plus Laplace(1/ε) noise — counting queries have sensitivity 1, so the
+    * released histogram is ε-DP regardless of group sizes. The publish step
+    * after [[violations]]-style screening when aggregate stats must leave
+    * the trust boundary.
+    *
+    * The noise draw is DETERMINISTIC given (seed, group key): u from the
+    * md5 of the key image (uniform in (0,1) to 2⁻⁵³), inverse-CDF Laplace
+    * `−(1/ε)·sign(u−½)·ln(1−2|u−½|)`. Reruns, retries, and re-partitionings
+    * release the SAME noisy value — re-running can't average the noise away
+    * (the classic DP deployment failure) because the randomness is keyed to
+    * the data, not the run. One map-side-combined count; the noise is a
+    * row-local projection on |groups| rows. Released counts are also
+    * clamped at 0 and rounded (post-processing — ε unaffected).
+    */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+               seed: Long): DataFrame = {
+    require(groupCols.nonEmpty, "dpCounts: no group columns")
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    val keyImage = concat_ws("",
+      lit(seed.toString) +: groupCols.map(c => coalesce(col(c).cast("string"), lit("null"))): _*)
+    // 52 hex chars hold > 53 bits: take 13 nibbles → uniform on [0, 2^52)
+    val u = (conv(substring(md5(keyImage), 1, 13), 16, 10).cast("double") + lit(0.5)) /
+      lit(4503599627370496.0) // 2^52 → u ∈ (0,1), never exactly 0/1
+    val centered = u - lit(0.5)
+    val noise = -signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered)) / lit(epsilon)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("true_count"))
+      .withColumn("dp_count",
+        greatest(round(col("true_count") + noise).cast("long"), lit(0L)))
+      .drop("true_count")
+  }
 }

@@ -2826,6 +2826,14 @@ object Catalog {
         col("s_pos"), col("s_neg"), col("is_changepoint"))
   }, None)
 
+  private val q151 = Q("q151_dp_counts", (s, dir) => {
+    // ε-DP histogram release over (nation, segment) — the publish step after
+    // the q130 screening (rows-only: ln() is not bit-portable; determinism,
+    // 1/ε scaling and clamping are pinned by PrivacySpec).
+    graft.operators.Privacy.dpCounts(
+      t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), epsilon = 0.5, seed = 7L)
+  }, None)
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2842,7 +2850,7 @@ object Catalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150)
+    q150, q151)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

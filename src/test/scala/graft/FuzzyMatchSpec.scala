@@ -93,4 +93,24 @@ class PrivacySpec extends SparkSpec {
     assert(out.map(r => (r._1, r._2)).toSet == Set(("02138", 3L), ("02139", 3L), ("02140", 1L)))
     assert(out.forall(!_._3))
   }
+
+  test("dpCounts: deterministic across layouts and reruns, noise scales as 1/epsilon, clamped at 0") {
+    val big = (1 to 500).map(i => (s"g${i % 50}", i)).toDF("g", "x")
+    def release(eps: Double, seed: Long, parts: Int) =
+      graft.operators.Privacy.dpCounts(big.repartition(parts), Seq("g"), eps, seed)
+        .as[(String, Long)].collect().toMap
+    // keyed randomness: identical release on rerun AND on a different layout
+    assert(release(0.5, 7L, 2) == release(0.5, 7L, 11))
+    // a different seed draws different noise somewhere
+    assert(release(0.5, 7L, 4) != release(0.5, 8L, 4))
+    // 1/eps scaling: mean absolute deviation from the true count (10 per
+    // group) shrinks by ~20x from eps=0.1 to eps=2 (clamping mutes the
+    // low-eps side, so assert a loose but real separation)
+    def mad(eps: Double) = release(eps, 7L, 4).values.map(v => math.abs(v - 10.0)).sum / 50.0
+    assert(mad(0.1) > mad(2.0) * 4, s"mad(0.1)=${mad(0.1)} mad(2.0)=${mad(2.0)}")
+    // tight noise at high eps: every released count near truth
+    assert(release(20.0, 7L, 4).values.forall(v => math.abs(v - 10L) <= 1))
+    // clamping: tiny groups + huge noise never release negatives
+    assert(release(0.01, 7L, 4).values.forall(_ >= 0L))
+  }
 }
