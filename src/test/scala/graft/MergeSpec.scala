@@ -34,6 +34,28 @@ class MergeSpec extends SparkSpec {
     assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
   }
 
+  test("applyChangelog over an empty base equals the compacted-topic snapshot (tombstone = D)") {
+    import spark.implicits._
+    // the same changelog, in both vocabularies: a compacted Kafka topic's
+    // null-value tombstone IS the CDC 'D'; last-write-per-key IS highest-seq
+    val records = Seq(
+      (1L, Option("a1"), 10L), (1L, Option("a2"), 20L),        // update chain
+      (2L, Option("b"), 11L), (2L, Option.empty[String], 21L), // tombstoned
+      (3L, Option.empty[String], 12L), (3L, Option("c"), 22L)) // resurrected
+      .toDF("key", "value", "offset")
+    val kafka = graft.streaming.KafkaIO.compactedSnapshot(records)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+
+    val base = Seq.empty[(Long, String)].toDF("key", "value")
+    val changes = records.select(col("key"),
+      coalesce(col("value"), lit("")).as("value"),
+      when(col("value").isNull, "D").otherwise("U").as("op"),
+      col("offset").as("seq"))
+    val merged = Merge.applyChangelog(base, changes, Seq("key"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(merged == kafka && kafka == Seq((1L, "a2"), (3L, "c")))
+  }
+
   test("applyChangelog rejects a changelog whose data columns diverge from base") {
     import spark.implicits._
     val base = Seq((1L, "a")).toDF("k", "name")
