@@ -45,12 +45,14 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.count() max 1L
     val base = (15L * (Scale / n)) / 100L
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    // outdeg rides the edge list (one join, before the loop) — each round
+    // then pays exactly one src-keyed join + one dst-keyed partial-agg shuffle
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(outdeg, "src").localCheckpoint()
 
     var ranks = nodes.withColumn("rank_fp", lit(Scale / n))
     for (_ <- 1 to iters) {
-      val contrib = e.join(ranks, e("src") === ranks("node"))
-        .join(outdeg, "src")
+      val contrib = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst"),
           expr("(85 * (rank_fp DIV outdeg)) DIV 100").as("c"))
         .groupBy("dst").agg(sum("c").as("inflow"))

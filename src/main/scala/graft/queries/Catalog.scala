@@ -2834,6 +2834,45 @@ object Catalog {
       t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), epsilon = 0.5, seed = 7L)
   }, None)
 
+  private val q152 = Q("q152_negative_samples", (s, dir) => {
+    // Deterministic uniform negative sampling for contrastive training: 5
+    // negatives per anchor, drawn by a (anchor, candidate)-keyed md5 —
+    // reproducible across runs/layouts/engines, O(anchors·k) shuffle via the
+    // bounded TopK aggregator.
+    val docs = t(s, dir, "documents")
+    graft.llmops.Contrastive.negativeSamples(
+      docs, "doc_id", docs.filter(col("doc_id") < 50), "doc_id", k = 5)
+  }, Some("""
+    WITH a AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id < 50),
+    c AS (SELECT anchor_id, d.doc_id AS cid,
+                 ('0x' || substring(md5(CAST(anchor_id AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT AS h
+          FROM a CROSS JOIN documents d WHERE d.doc_id <> anchor_id),
+    r AS (SELECT anchor_id, cid,
+                 row_number() OVER (PARTITION BY anchor_id ORDER BY h, cid) AS rank
+          FROM c)
+    SELECT anchor_id, cid AS neg_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"""))
+
+  private val q153 = Q("q153_hard_negatives", (s, dir) => {
+    // ANCE/DPR hard-negative mining: per anchor vector, the 3 most similar
+    // corpus vectors with a DIFFERENT label — the q17 broadcast+TopKAgg plan
+    // with the label-mismatch predicate in the join.
+    val emb = t(s, dir, "embeddings")
+    graft.llmops.Contrastive.hardNegatives(
+      emb, "vec_id", "embedding", "label",
+      emb.filter(col("vec_id") < 20), "vec_id", "embedding", "label", k = 3)
+      .select(col("anchor_id"), col("neg_id"), col("sim"), col("rank"))
+  }, Some("""
+    WITH a AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av, label AS al
+               FROM embeddings WHERE vec_id < 20),
+    s AS (SELECT anchor_id, vec_id AS neg_id,
+                 list_dot_product(av, cv) / (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(cv, cv))) AS sim
+          FROM a JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label AS cl FROM embeddings)
+            ON anchor_id <> vec_id AND al <> cl),
+    r AS (SELECT anchor_id, neg_id, sim,
+                 row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neg_id ASC) AS rank
+          FROM s)
+    SELECT anchor_id, neg_id, sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2850,7 +2889,7 @@ object Catalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151)
+    q150, q151, q152, q153)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
