@@ -380,6 +380,34 @@ object Curation {
       .withColumn("epochs", ceil(col("weight")).cast("long"))
   }
 
+  /** Temperature-smoothed mixture shares (the multilingual/low-resource
+    * sampling move, mBERT/XLM-R style): target_share_i ∝ p_i^α where p_i is
+    * the domain's empirical token share and α ∈ (0, 1] flattens the
+    * distribution (α = 1 keeps it; α → 0 approaches uniform — low-resource
+    * domains get oversampled). Feed the result's (domain → target_share) map
+    * into [[mixtureWeights]] to get repeat weights against a budget.
+    *
+    * Same |domains|-row single-shuffle shape as mixtureWeights. The α = 0.5
+    * path (temperature 2, the most common setting) computes p^α as the
+    * IEEE-correctly-rounded `sqrt`, so it is engine-exact and oracle-backed;
+    * other α use `pow`, whose last-ulp behavior is libm-specific —
+    * spec-covered, not hash-gated.
+    */
+  def temperatureShares(df: DataFrame, domainCol: Column, textCol: String,
+                        alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val agg = df
+      .select(domainCol.as("domain"), Text.tokenCount(col(textCol)).cast("long").as("__tok"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("domain_tokens"))
+    val total = agg.agg(sum("domain_tokens")).head().getLong(0) max 1L
+    val p = col("domain_tokens").cast("double") / lit(total.toDouble)
+    val smoothed = if (alpha == 0.5) sqrt(p) else pow(p, lit(alpha))
+    val withS = agg.withColumn("p", p).withColumn("__s", smoothed)
+    val z = withS.agg(sum(col("__s").cast("decimal(38,18)")).cast("double")).head().getDouble(0)
+    withS.withColumn("target_share", col("__s") / lit(z)).drop("__s")
+  }
+
   /** Per-group winsorization: clamp a value column to its group's [loP, hiP]
     * exact interpolated percentiles — the outlier-taming step for score/reward
     * columns before they feed mixtures or filters (a hard filter discards the

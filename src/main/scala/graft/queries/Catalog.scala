@@ -2873,6 +2873,23 @@ object Catalog {
           FROM s)
     SELECT anchor_id, neg_id, sim, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3"""))
 
+  private val q154 = Q("q154_temperature_mixture", (s, dir) => {
+    // Temperature-smoothed language shares (alpha = 0.5 = temperature 2 —
+    // the mBERT/XLM-R low-resource oversampling move): p^0.5 via
+    // correctly-rounded sqrt, normalizer decimal-summed → engine-exact.
+    graft.llmops.Curation.temperatureShares(
+      t(s, dir, "documents"), col("lang"), "text", alpha = 0.5)
+  }, Some("""
+    WITH d AS (SELECT lang AS domain, len(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+    a AS (SELECT domain, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS domain_tokens FROM d GROUP BY domain),
+    t0 AS (SELECT CAST(SUM(domain_tokens) AS BIGINT) AS total FROM a),
+    w AS (SELECT a.*, CAST(domain_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS p,
+                 sqrt(CAST(domain_tokens AS DOUBLE) / CAST(total AS DOUBLE)) AS sm
+          FROM a CROSS JOIN t0),
+    z AS (SELECT CAST(SUM(CAST(sm AS DECIMAL(38,18))) AS DOUBLE) AS zn FROM w)
+    SELECT domain, n_docs, domain_tokens, p, sm / zn AS target_share
+    FROM w CROSS JOIN z"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2889,7 +2906,7 @@ object Catalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152, q153)
+    q150, q151, q152, q153, q154)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

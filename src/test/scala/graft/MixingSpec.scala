@@ -9,6 +9,24 @@ import graft.llmops.{Curation, Dedup}
   */
 class MixingSpec extends SparkSpec {
 
+  test("temperatureShares flattens toward uniform as alpha drops; alpha=1 keeps the empirical shares") {
+    import spark.implicits._
+    // 90/9/1 token split across three domains
+    val docs = (Seq.fill(90)("big") ++ Seq.fill(9)("mid") ++ Seq.fill(1)("tiny"))
+      .zipWithIndex.map { case (d, i) => (i.toLong, d, "w w w w w") }
+      .toDF("id", "domain", "text")
+    def shares(alpha: Double) =
+      graft.llmops.Curation.temperatureShares(docs, org.apache.spark.sql.functions.col("domain"), "text", alpha)
+        .select("domain", "target_share").as[(String, Double)].collect().toMap
+    val s1 = shares(1.0)
+    assert(math.abs(s1("big") - 0.9) < 1e-12 && math.abs(s1("tiny") - 0.01) < 1e-12)
+    val s05 = shares(0.5)
+    assert(s05("big") < s1("big") && s05("tiny") > s1("tiny"), "alpha<1 must flatten")
+    val s01 = shares(0.1)
+    assert(s01("tiny") > s05("tiny"), "lower alpha flattens more")
+    Seq(s1, s05, s01).foreach(s => assert(math.abs(s.values.sum - 1.0) < 1e-9))
+  }
+
   test("decontaminate flags planted contamination; clean docs stay clean") {
     import spark.implicits._
     val corpus = Seq(
