@@ -2890,6 +2890,46 @@ object Catalog {
     SELECT domain, n_docs, domain_tokens, p, sm / zn AS target_share
     FROM w CROSS JOIN z"""))
 
+  private val q155 = Q("q155_curriculum_order", (s, dir) => {
+    // Curriculum data ordering: quality-score every doc (q138's fixed-weight
+    // classifier), total-order easiest-first (highest logit), cut contiguous
+    // equal-width shards — the "train on clean data first" layout, fully
+    // oracle-checked end to end through the composed operators.
+    val m = graft.llmops.QualityClassifier.Model(
+      Array(0.1, 0.05, 3.0, 1.0, 2.0, -4.0, -4.0, -2.0), -2.0)
+    val scored = graft.llmops.QualityClassifier.score(t(s, dir, "documents"), "text", m)
+      .select(col("doc_id"), col("quality_logit"))
+    graft.operators.Layout.totalSort(scored,
+        Seq(col("quality_logit").desc, col("doc_id")), numShards = 4, numPartitions = 4)
+      .select(col("doc_id"), col("quality_logit"), col("global_pos"), col("shard"))
+  }, Some("""
+    WITH d AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    m AS (SELECT doc_id, text, t,
+                 greatest(len(t), 1)::DOUBLE AS n,
+                 greatest(length(text), 1)::DOUBLE AS chars,
+                 list_transform(range(1, greatest(len(t)-1, 1)+1), i -> array_to_string(t[i:i+1], ' ')) AS g2
+          FROM d),
+    f AS (SELECT doc_id,
+                 chars / (chars + 300.0) AS f1,
+                 CAST(list_reduce(list_transform(t, x -> length(x)), (a, b) -> a + b) AS DOUBLE) / n AS f2,
+                 len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], x)))::DOUBLE / n AS f3,
+                 len(list_distinct(t))::DOUBLE / n AS f4,
+                 len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE / greatest(len(t), 1)::DOUBLE AS f5,
+                 (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))::DOUBLE / chars AS f6,
+                 (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / chars AS f7,
+                 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(greatest(len(g2), 1) AS DOUBLE) AS f8
+          FROM m),
+    sc AS (SELECT doc_id,
+                  ((((((((-2.0 + f1 * 0.1) + f2 * 0.05) + f3 * 3.0) + f4 * 1.0) + f5 * 2.0)
+                    + f6 * -4.0) + f7 * -4.0) + f8 * -2.0) AS quality_logit
+           FROM f),
+    r AS (SELECT doc_id, quality_logit,
+                 row_number() OVER (ORDER BY quality_logit DESC, doc_id) AS global_pos,
+                 COUNT(*) OVER () AS nn
+          FROM sc)
+    SELECT doc_id, quality_logit, CAST(global_pos AS BIGINT) AS global_pos,
+           CAST(((global_pos - 1) * 4) // nn AS BIGINT) AS shard FROM r"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2906,7 +2946,7 @@ object Catalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152, q153, q154)
+    q150, q151, q152, q153, q154, q155)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -641,6 +641,10 @@ object SqlFrontend {
   private[graft] val GraftMergeRe =
     ("(?is)TABLE\\s*\\(\\s*GRAFT_MERGE\\s*\\(\\s*TABLE\\s+([\\w.`]+)\\s*,\\s*" +
       "TABLE\\s+([\\w.`]+)\\s*,\\s*DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*\\)\\s*\\)").r
+  private[graft] val GraftSimJoinRe =
+    ("(?is)TABLE\\s*\\(\\s*GRAFT_SIMJOIN\\s*\\(\\s*TABLE\\s+([\\w.`]+)\\s*,\\s*" +
+      "DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*,\\s*DESCRIPTOR\\s*\\(\\s*(\\w+)\\s*\\)\\s*" +
+      "(?:,\\s*([0-9.]+)\\s*)?\\)\\s*\\)").r
 
   /** SQL surface for the training-data operators (engine extension — the
     * DataFrame API is primary, VERDICT r4 missing-#4). Each TVF resolves its
@@ -669,7 +673,11 @@ object SqlFrontend {
     *     default 5;
     *   - `TABLE(GRAFT_MERGE(TABLE base, TABLE changes, DESCRIPTOR(key)))` →
     *     the merged snapshot; `changes` carries base's columns plus
-    *     `op` (I/U/D) and `seq`.
+    *     `op` (I/U/D) and `seq`;
+    *   - `TABLE(GRAFT_SIMJOIN(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text)
+    *     [, threshold]))` → EXACT Jaccard similarity self-join
+    *     (AllPairs/PPJoin prefix-filtered), (id_a, id_b, jaccard),
+    *     threshold default 0.5.
     */
   private[graft] def rewriteLlmops(spark: SparkSession, sql: String): String = {
     def view(df: org.apache.spark.sql.DataFrame): String = {
@@ -759,6 +767,16 @@ object SqlFrontend {
       val out = graft.operators.Merge.applyChangelog(base, changes, Seq(mm.group(3)))
       cur = cur.substring(0, mm.start) + view(out) + cur.substring(mm.end)
       m = GraftMergeRe.findFirstMatchIn(cur)
+    }
+    m = GraftSimJoinRe.findFirstMatchIn(cur)
+    while (m.isDefined) {
+      val mm = m.get
+      val df = spark.table(unqualify(mm.group(1)))
+      val threshold = Option(mm.group(4)).map(_.toDouble).getOrElse(0.5)
+      val out = graft.llmops.Dedup.jaccardJoinPrefix(df, mm.group(3), mm.group(2),
+        threshold = threshold)
+      cur = cur.substring(0, mm.start) + view(out) + cur.substring(mm.end)
+      m = GraftSimJoinRe.findFirstMatchIn(cur)
     }
     cur
   }

@@ -132,4 +132,16 @@ class LlmopsSqlSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq
     assert(got == Seq((2L, "b2"), (3L, "c")))
   }
+
+  test("GRAFT_SIMJOIN equals the engine's prefix-filtered exact join") {
+    docs
+    val got = SqlFrontend.execute(spark,
+      "SELECT id_a, id_b FROM TABLE(GRAFT_SIMJOIN(TABLE sqldocs, DESCRIPTOR(doc_id), DESCRIPTOR(text), 0.8)) " +
+        "ORDER BY id_a, id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = graft.llmops.Dedup.jaccardJoinPrefix(docs, "text", "doc_id", threshold = 0.8)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
 }
