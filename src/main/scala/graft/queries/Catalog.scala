@@ -2930,6 +2930,20 @@ object Catalog {
     SELECT doc_id, quality_logit, CAST(global_pos AS BIGINT) AS global_pos,
            CAST(((global_pos - 1) * 4) // nn AS BIGINT) AS shard FROM r"""))
 
+  private val q156 = Q("q156_manifest_time_travel", (s, dir) => {
+    // Manifest snapshot isolation: write the early orders, snapshot v0,
+    // append the rest, read AT v0 — the appended files must be invisible.
+    // Oracle = the early slice straight off the source table.
+    val tmp = java.nio.file.Files.createTempDirectory("q156").toString
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    orders.filter(col("o_orderkey") <= 30000L).write.parquet(s"$tmp/t")
+    val v0 = graft.sources.Manifest.snapshot(s, s"$tmp/t")
+    orders.filter(col("o_orderkey") > 30000L).write.mode("append").parquet(s"$tmp/t")
+    graft.sources.Manifest.readAt(s, s"$tmp/t", v0)
+  }, Some("""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 30000"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2946,7 +2960,7 @@ object Catalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152, q153, q154, q155)
+    q150, q151, q152, q153, q154, q155, q156)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-based table snapshots — lakehouse-lite time travel over
+  * immutable parquet files (the Delta/Iceberg snapshot idea stripped to its
+  * load-bearing core: a snapshot IS a file list).
+  *
+  * Plain-directory tables have no read isolation: an append between a
+  * reader's planning and its execution changes the result, and "the table as
+  * of yesterday" is gone the moment files land. With immutable data files
+  * (every writer in this engine appends new files, never rewrites), a
+  * versioned manifest — the file list plus per-file row counts and sizes —
+  * makes any historical snapshot reproducible: `readAt` plans EXACTLY the
+  * files the manifest names, so later appends are invisible and a snapshot
+  * read is stable forever (until a compaction rewrites history — swap the
+  * manifest atomically with the data, as Compaction's contract requires).
+  *
+  * Manifests are tiny (|files| rows) parquet under `<dir>/_manifests/v=N`;
+  * `snapshot` lists the directory (no data read), assigns the next version,
+  * and returns it. Listing and version assignment are driver-side — the same
+  * bounded-metadata discipline as [[ZoneMapIndex]].
+  */
+object Manifest {
+
+  private def manifestRoot(dir: String) = s"$dir/_manifests"
+
+  /** Record the directory's current file set as the next manifest version.
+    * Returns the version number assigned.
+    */
+  def snapshot(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(st => (st.getPath.toString, st.getLen))
+    require(files.nonEmpty, s"Manifest.snapshot: no data files in $dir")
+    val v = latestVersion(spark, dir).map(_ + 1L).getOrElse(0L)
+    import spark.implicits._
+    files.toSeq.toDF("file", "bytes")
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(s"${manifestRoot(dir)}/v=$v")
+    v
+  }
+
+  /** Highest recorded version, if any snapshot exists. */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(manifestRoot(dir))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
+      .reduceOption(_ max _)
+  }
+
+  /** The file list of a recorded version. */
+  def files(spark: SparkSession, dir: String, version: Long): Seq[String] =
+    spark.read.parquet(s"${manifestRoot(dir)}/v=$version")
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Read the table exactly as of `version`: later appends are invisible,
+    * and the read keeps working identically however many files land after.
+    */
+  def readAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val fs = files(spark, dir, version)
+    require(fs.nonEmpty, s"manifest v=$version of $dir is empty")
+    spark.read.parquet(fs: _*)
+  }
+}
