@@ -69,4 +69,62 @@ object Manifest {
     require(fs.nonEmpty, s"manifest v=$version of $dir is empty")
     spark.read.parquet(fs: _*)
   }
+
+  /** The table as of the newest manifest — the committed view. Files present
+    * in the directory but in no manifest (crashed attempts, in-flight
+    * writes) are invisible, which is the isolation a bare directory read
+    * cannot give.
+    */
+  def readLatest(spark: SparkSession, dir: String): DataFrame = {
+    val v = latestVersion(spark, dir)
+      .getOrElse(sys.error(s"Manifest.readLatest: no manifest under $dir"))
+    readAt(spark, dir, v)
+  }
+
+  /** EXACTLY-ONCE streaming table commit for `foreachBatch` over
+    * at-least-once delivery: append `batch`'s files, then publish manifest
+    * `v=batchId` = (previous manifest's files) ∪ (files this append
+    * created).
+    *
+    *  - Idempotent: a re-delivered batchId whose manifest already exists is
+    *    a no-op — the duplicate work never happened as far as readers know.
+    *  - Crash-safe: a batch that died after writing data but before
+    *    publishing its manifest leaves ORPHAN files; they are in no
+    *    manifest (the retry's listing-before excludes them from ITS
+    *    manifest too), so `readLatest` never sees them. The manifest itself
+    *    is staged and renamed — readers never observe a half-written one.
+    *  - Single-writer: foreachBatch invocations of one query are serial;
+    *    concurrent writers need a lock service this deliberately omits.
+    *
+    * Returns true when the batch was applied, false on an idempotent skip.
+    */
+  def appendCommit(batch: DataFrame, dir: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mdir = new org.apache.hadoop.fs.Path(s"${manifestRoot(dir)}/v=$batchId")
+    val fs = mdir.getFileSystem(conf)
+    if (fs.exists(mdir)) return false // re-delivered batch: already committed
+    require(latestVersion(spark, dir).forall(_ < batchId),
+      s"appendCommit: batchId $batchId is not monotone vs existing manifests")
+
+    val dataPath = new org.apache.hadoop.fs.Path(dir)
+    def listing(): Set[String] =
+      if (!fs.exists(dataPath)) Set.empty
+      else fs.listStatus(dataPath)
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(_.getPath.toString).toSet
+    val before = listing()
+    batch.write.mode("append").parquet(dir)
+    val created = (listing() -- before).toSeq.sorted
+    val carried = latestVersion(spark, dir).map(files(spark, dir, _)).getOrElse(Nil)
+
+    import spark.implicits._
+    val staging = new org.apache.hadoop.fs.Path(s"${manifestRoot(dir)}/.staging_v=$batchId")
+    (carried ++ created).map(f => (f, 0L)).toDF("file", "bytes")
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    if (!fs.rename(staging, mdir))
+      sys.error(s"appendCommit: failed to publish manifest v=$batchId")
+    true
+  }
 }
