@@ -359,6 +359,36 @@ object Curation {
       .select(col("grp"), col("__v").cast("double").as("v"), col("z"))
   }
 
+  /** Robust standardization: (x − median) / MAD per group, where MAD is the
+    * median absolute deviation. The outlier-proof twin of [[zScore]] — a
+    * single 10⁶× wild value drags a mean/stddev score of every row in its
+    * group, but moves a median/MAD score of none of them; the right scale
+    * for reward/score columns with heavy tails. (The 1.4826 normal-
+    * consistency constant is deliberately NOT baked in — multiply downstream
+    * if a σ-comparable scale is wanted.)
+    *
+    * Two |groups|-row exact-percentile aggs (median, then median of
+    * |x − median| after a broadcast join back) — the same bounded shape as
+    * quantileBin; exact interpolated percentile matches DuckDB
+    * `quantile_cont` bit-wise (the q67 contract). Degenerate groups
+    * (MAD = 0) yield null scores rather than ±∞.
+    */
+  def robustZScore(df: DataFrame, valueCol: Column, groupCol: Column): DataFrame = {
+    val keyed = df.select(groupCol.as("grp"), valueCol.cast("double").as("__v"))
+    val med = keyed.groupBy("grp")
+      .agg(percentile(col("__v"), lit(0.5)).as("__med"))
+    val withMed = keyed.join(broadcast(med.withColumnRenamed("grp", "__g1")),
+        col("grp") <=> col("__g1"))
+      .withColumn("__ad", abs(col("__v") - col("__med")))
+    val mad = withMed.groupBy("grp")
+      .agg(percentile(col("__ad"), lit(0.5)).as("__mad"))
+    withMed.join(broadcast(mad.withColumnRenamed("grp", "__g2")),
+        col("grp") <=> col("__g2"))
+      .withColumn("robust_z",
+        when(col("__mad") > 0, (col("__v") - col("__med")) / col("__mad")))
+      .select(col("grp"), col("__v").as("v"), col("robust_z"))
+  }
+
   /** Domain mixture weighting (the DoReMi/SlimPajama-style recipe step):
     * given a target token share per domain and a total training budget,
     * compute per-domain token counts and the repeat weight (and whole-epoch

@@ -2944,6 +2944,19 @@ object Catalog {
   }, Some("""
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 30000"""))
 
+  private val q157 = Q("q157_robust_zscore", (s, dir) => {
+    // Median/MAD robust standardization per return flag — the outlier-proof
+    // twin of q124's mean/stddev z-score.
+    graft.llmops.Curation.robustZScore(
+      t(s, dir, "lineitem"), col("l_extendedprice"), col("l_returnflag"))
+  }, Some("""
+    WITH k AS (SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+    m AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM k GROUP BY grp),
+    a AS (SELECT k.grp, v, med, abs(v - med) AS ad FROM k JOIN m USING (grp)),
+    d AS (SELECT grp, quantile_cont(ad, 0.5) AS mad FROM a GROUP BY grp)
+    SELECT a.grp, v, CASE WHEN mad > 0 THEN (v - med) / mad END AS robust_z
+    FROM a JOIN d USING (grp)"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2960,7 +2973,7 @@ object Catalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152, q153, q154, q155, q156)
+    q150, q151, q152, q153, q154, q155, q156, q157)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -6,6 +6,30 @@ import graft.llmops.Curation
 
 class CurationSpec extends SparkSpec {
 
+  test("robustZScore shrugs off the outlier that drags every mean/stddev z-score") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val clean = (1 to 100).map(i => ("g", i.toDouble))
+    val dirty = clean :+ (("g", 1e9)) // one wild reward value
+    def robust(rows: Seq[(String, Double)]) =
+      graft.llmops.Curation.robustZScore(rows.toDF("g", "v"), col("v"), col("g"))
+        .select("v", "robust_z").as[(Double, Option[Double])].collect().toMap
+    val (rc, rd) = (robust(clean), robust(dirty))
+    // every clean row's robust score is unchanged by the outlier (the
+    // median moves half a step: 50.5 -> 51 — scores shift, but stay bounded)
+    clean.map(_._2).foreach { v =>
+      assert(math.abs(rc(v).get - rd(v).get) < 0.05, s"v=$v moved ${rc(v)} -> ${rd(v)}")
+    }
+    assert(rd(1e9).get > 1e6, "the outlier itself scores as the extreme it is")
+
+    val z = graft.llmops.Curation.zScore(dirty.toDF("g", "v"), col("v"), col("g"))
+      .select("v", "z").as[(Double, Option[Double])].collect().toMap
+    // the classical z-score collapses: the outlier inflates sd so much every
+    // clean row looks identical (z ~ -0.0995 for all of them)
+    assert(math.abs(z(1.0).get - z(100.0).get) < 1e-4,
+      "without robustness the clean rows' scores are crushed together")
+  }
+
   test("hash sampling is deterministic and consistent for duplicate content") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta")).toDF("id", "text")
