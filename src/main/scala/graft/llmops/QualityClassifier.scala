@@ -36,9 +36,16 @@ object QualityClassifier {
     "len_sat", "mean_word_len", "stopword_ratio", "uniq_ratio",
     "alpha_word_ratio", "punct_ratio", "digit_ratio", "dup_2gram_frac")
 
-  /** ARRAY<DOUBLE> of [[featureNames]] signals for one text column. */
-  def features(c: Column): Column = {
-    val toks = Text.tokens(c)
+  /** ARRAY<DOUBLE> of [[featureNames]] signals for one text column.
+    *
+    * `toks` MUST be a bound attribute (a column that already exists on the
+    * row), not an inline `Text.tokens(c)` expression: four of the features
+    * are HOFs whose lambdas reference it, Catalyst does not CSE inside
+    * lambdas, and an inline token expression re-splits the text PER ELEMENT
+    * — the measured cost was 75 s where the bound form runs in ~3 s at sf1
+    * (the shinglesFromTokens/int8Quantize lesson, third sighting).
+    */
+  def features(c: Column, toks: Column): Column = {
     val n = greatest(size(toks), lit(1)).cast("double")
     val chars = greatest(length(c), lit(1)).cast("double")
     array(
@@ -57,10 +64,13 @@ object QualityClassifier {
 
   /** Append the feature vector as `featuresCol` (default "features"). The
     * token array materializes as a bound attribute first — the HOF-lambda CSE
-    * rule (Text.shinglesFromTokens doc).
+    * rule (Text.shinglesFromTokens doc); CollapseProject leaves the binding
+    * alone because it is referenced by multiple feature expressions.
     */
   def featurize(df: DataFrame, textCol: String, featuresCol: String = "features"): DataFrame =
-    df.withColumn(featuresCol, features(col(textCol)))
+    df.withColumn("__qc_toks", Text.tokens(col(textCol)))
+      .withColumn(featuresCol, features(col(textCol), col("__qc_toks")))
+      .drop("__qc_toks")
 
   /** Plain fitted model: nothing mllib-typed escapes [[train]]. */
   case class Model(weights: Array[Double], intercept: Double) {
@@ -95,11 +105,9 @@ object QualityClassifier {
   /** Score a corpus: appends `quality_logit` (rank on this) and
     * `quality_prob` (sigmoid, for absolute thresholds).
     */
-  def score(df: DataFrame, textCol: String, m: Model): DataFrame = {
-    val withF = df.withColumn("__qf", features(col(textCol)))
-    withF
+  def score(df: DataFrame, textCol: String, m: Model): DataFrame =
+    featurize(df, textCol, "__qf")
       .withColumn("quality_logit", logit(col("__qf"), m))
       .withColumn("quality_prob", lit(1.0) / (lit(1.0) + exp(-col("quality_logit"))))
       .drop("__qf")
-  }
 }
