@@ -16,10 +16,27 @@ object SpotTime {
     val spark = Bench.session(cpus)
     args.drop(1).foreach { name =>
       val q = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
-      q(spark, sfDir).count() // warm-up: JIT, codegen, parquet footers
+      // FULL materialization, not count(): count() lets Catalyst prune every
+      // projected column the row count doesn't need, and a per-row-expensive
+      // projection then never runs — q138's scoring measured 0.12 s by
+      // count() and 70+ s for real (the q155 lesson). Hashing a struct of
+      // every column forces the whole row; map-typed outputs (unhashable)
+      // fall back to count with a warning tag.
+      import org.apache.spark.sql.functions.{col, count, lit, struct, sum, xxhash64}
+      def consume(): (Long, String) = {
+        val df = q(spark, sfDir)
+        try {
+          val r = df.select(count(lit(1)).as("n"),
+            sum(xxhash64(struct(df.columns.map(col): _*)).cast("decimal(38,0)")).as("h")).head()
+          (r.getLong(0), "")
+        } catch { case _: org.apache.spark.sql.AnalysisException =>
+          (q(spark, sfDir).count(), " [count-only: unhashable column]")
+        }
+      }
+      consume() // warm-up: JIT, codegen, parquet footers
       val t0 = System.nanoTime()
-      val rows = q(spark, sfDir).count()
-      println(f"[spot] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+      val (rows, tag) = consume()
+      println(f"[spot] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)$tag")
     }
     spark.stop()
   }
