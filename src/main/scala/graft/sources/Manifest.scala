@@ -81,6 +81,40 @@ object Manifest {
     readAt(spark, dir, v)
   }
 
+  /** [[snapshot]] carrying [[ZoneMapIndex]]-style per-file min/max stats for
+    * `cols` — one data pass (at write time the writer knows these for free;
+    * as a retrofit it costs the scan). The manifest then serves BOTH
+    * isolation and skipping: [[prunedReadAt]] time-travels to the version
+    * AND opens only the files whose zones intersect the predicate — the
+    * Delta/Iceberg "snapshot = file list + stats" design in one table.
+    */
+  def snapshotWithStats(spark: SparkSession, dir: String, cols: Seq[String]): Long = {
+    val v = latestVersion(spark, dir).map(_ + 1L).getOrElse(0L)
+    ZoneMapIndex.build(spark, dir, cols)
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(s"${manifestRoot(dir)}/v=$v")
+    v
+  }
+
+  /** Time-travel + zone-skip in one read: `version`'s file set, cut to the
+    * files intersecting every range, exact predicate re-applied. Requires a
+    * [[snapshotWithStats]] manifest covering the predicate columns.
+    */
+  def prunedReadAt(spark: SparkSession, dir: String, version: Long,
+                   ranges: Map[String, (Any, Any)]): DataFrame = {
+    val manifest = spark.read.parquet(s"${manifestRoot(dir)}/v=$version")
+    ranges.keys.foreach { c =>
+      require(manifest.columns.contains(s"min_$c"),
+        s"manifest v=$version has no stats for '$c' — snapshotWithStats must cover it")
+    }
+    val kept = ZoneMapIndex.prune(manifest, ranges)
+    val residual = ranges.map { case (c, (lo, hi)) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    if (kept.isEmpty) spark.read.parquet(dir).filter(lit(false))
+    else spark.read.parquet(kept: _*).filter(residual)
+  }
+
   /** EXACTLY-ONCE streaming table commit for `foreachBatch` over
     * at-least-once delivery: append `batch`'s files, then publish manifest
     * `v=batchId` = (previous manifest's files) ∪ (files this append

@@ -61,6 +61,28 @@ class ManifestSpec extends SparkSpec {
     assert(e.getMessage.contains("monotone"))
   }
 
+  test("snapshotWithStats: time-travel AND zone-skip through one manifest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("manifest4").toString + "/t"
+    val part1 = (1 to 4000).map(i => (i.toLong, (i % 500).toLong)).toDF("id", "x")
+    part1.repartitionByRange(8, col("x")).sortWithinPartitions("x").write.parquet(dir)
+    val v0 = Manifest.snapshotWithStats(spark, dir, Seq("x"))
+    // later appends: in-range values the v0 read must NOT see
+    (4001 to 5000).map(i => (i.toLong, 100L)).toDF("id", "x")
+      .write.mode("append").parquet(dir)
+
+    val got = Manifest.prunedReadAt(spark, dir, v0, Map("x" -> (90L, 130L)))
+    assert(got.inputFiles.length < 8, "the range must skip files")
+    val want = part1.filter(col("x").between(90, 130)).select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(got.select("id").as[Long].collect().sorted.toSeq == want,
+      "pruned time-travel read must equal the frozen slice, appends invisible")
+
+    val e = intercept[IllegalArgumentException](
+      Manifest.prunedReadAt(spark, dir, v0, Map("id" -> (1L, 2L), "x" -> (1L, 2L), "nope" -> (0, 1))))
+    assert(e.getMessage.contains("no stats"))
+  }
+
   test("appendCommit drives a real foreachBatch stream with exactly-once table commits") {
     implicit val sq = spark.sqlContext
     implicit val enc = org.apache.spark.sql.Encoders.product[Tuple1[Long]]
