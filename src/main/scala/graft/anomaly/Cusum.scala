@@ -44,7 +44,11 @@ object Cusum {
     * ANY deviation via the sd=0 guard (z = ±∞ clamps through max()).
     */
   private[graft] def step(st: State, v: Double, cfg: Config): (State, Double, Double, Boolean, Boolean) = {
-    if (st.n < cfg.warmup) {
+    // a NaN observation must not poison the recurrences (max(0, NaN) = NaN
+    // would stick forever and silently disable the key): skip it entirely —
+    // no state change, no alarm, sums reported as they stand
+    if (v.isNaN) (st, st.sPos, st.sNeg, false, st.n >= cfg.warmup)
+    else if (st.n < cfg.warmup) {
       val n1 = st.n + 1
       val s1 = st.sum + v
       val q1 = st.sumSq + v * v
@@ -75,8 +79,9 @@ object Cusum {
                   orderCols: Seq[Column], cfg: Config): DataFrame = {
     val pre = df
       .withColumn("__v", valueCol.cast("double"))
-      .withColumn("__key", concat_ws("\u0000",
-        partitionCols.map(c => coalesce(c.cast("string"), lit("\u0001null"))): _*))
+      // collision-free length-prefixed key image (a separator encoding can
+      // merge two crafted keys - state would never reset between their series)
+      .withColumn("__key", graft.core.KeyImage.of(partitionCols))
       .repartition(partitionCols: _*)
       .sortWithinPartitions(col("__key") +: orderCols: _*)
     val outSchema = StructType(pre.schema.fields ++ Seq(
@@ -103,13 +108,17 @@ object Cusum {
       .drop("__v", "__key")
   }
 
-  case class Ev(key: String, tie: Long, ts: java.sql.Timestamp, v: Double)
-  case class Out(key: String, tie: Long, ts: java.sql.Timestamp, v: Double,
-                 s_pos: Double, s_neg: Double, is_changepoint: Boolean, warm: Boolean)
+  case class Ev(key: String, tie: Long, ts: java.sql.Timestamp, v: Option[Double])
+  case class Out(key: String, tie: Long, ts: java.sql.Timestamp, v: Option[Double],
+                 s_pos: Option[Double], s_neg: Option[Double],
+                 is_changepoint: Option[Boolean], warm: Boolean)
 
   /** Streaming twin: the same step over flatMapGroupsWithState — in-batch
     * rows time-ordered, state carried across micro-batches, bit-identical
-    * to [[detectBatch]] on ordered arrivals.
+    * to [[detectBatch]] on ordered arrivals. A null value row passes through
+    * with null sums and unchanged state — exactly the batch path's
+    * null-row semantics (an Option-typed Ev so deserialization cannot
+    * crash the query on a null metric).
     */
   def detectStream(df: DataFrame, keyCol: String, valueCol: String, tsCol: String,
                    tieCol: String, cfg: Config) = {
@@ -125,9 +134,14 @@ object Cusum {
           var st = state.getOption.getOrElse(Empty)
           val out = Seq.newBuilder[Out]
           rows.toSeq.sortBy(e => (graft.streaming.StreamingOps.tsMicros(e.ts), e.tie)).foreach { e =>
-            val (next, sPos, sNeg, alarm, warm) = step(st, e.v, cfg)
-            st = next
-            out += Out(key, e.tie, e.ts, e.v, sPos, sNeg, alarm, warm)
+            e.v match {
+              case Some(x) =>
+                val (next, sPos, sNeg, alarm, warm) = step(st, x, cfg)
+                st = next
+                out += Out(key, e.tie, e.ts, e.v, Some(sPos), Some(sNeg), Some(alarm), warm)
+              case None =>
+                out += Out(key, e.tie, e.ts, None, None, None, None, st.n >= cfg.warmup)
+            }
           }
           state.update(st)
           out.result().iterator

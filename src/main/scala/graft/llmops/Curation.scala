@@ -426,15 +426,21 @@ object Curation {
   def temperatureShares(df: DataFrame, domainCol: Column, textCol: String,
                         alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    // the |domains|-row agg is consumed three times (total, normalizer,
+    // result) — checkpoint it so the corpus-scale tokenize pass runs ONCE
     val agg = df
       .select(domainCol.as("domain"), Text.tokenCount(col(textCol)).cast("long").as("__tok"))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("domain_tokens"))
-    val total = agg.agg(sum("domain_tokens")).head().getLong(0) max 1L
+      .localCheckpoint()
+    // null-tolerant reads: an empty frame aggregates to a NULL sum
+    val totalRow = agg.agg(sum("domain_tokens")).head()
+    val total = (if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)) max 1L
     val p = col("domain_tokens").cast("double") / lit(total.toDouble)
     val smoothed = if (alpha == 0.5) sqrt(p) else pow(p, lit(alpha))
     val withS = agg.withColumn("p", p).withColumn("__s", smoothed)
-    val z = withS.agg(sum(col("__s").cast("decimal(38,18)")).cast("double")).head().getDouble(0)
+    val zRow = withS.agg(sum(col("__s").cast("decimal(38,18)")).cast("double")).head()
+    val z = if (zRow.isNullAt(0) || zRow.getDouble(0) == 0.0) 1.0 else zRow.getDouble(0)
     withS.withColumn("target_share", col("__s") / lit(z)).drop("__s")
   }
 

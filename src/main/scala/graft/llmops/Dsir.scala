@@ -31,8 +31,10 @@ object Dsir {
 
   private def gramBuckets(textCol: Column, buckets: Int): Column = {
     // Text.tokens("") yields [""] (split semantics) — drop empties so an
-    // empty doc has zero grams, not one phantom feature
-    val toks = filter(Text.tokens(lower(textCol)), t => length(t) > 0)
+    // empty doc has zero grams, not one phantom feature. NULL text coalesces
+    // to "" for the same zero-gram outcome (a null array would NPE the
+    // scoring UDF).
+    val toks = filter(Text.tokens(lower(coalesce(textCol, lit("")))), t => length(t) > 0)
     val unis = transform(toks, t => pmod(xxhash64(t), lit(buckets)))
     val bis = when(size(toks) >= 2,
       transform(slice(toks, lit(1), size(toks) - 1),

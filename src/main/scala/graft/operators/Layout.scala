@@ -85,8 +85,8 @@ object Layout {
     * (no quantile estimation: one tiny min/max agg is broadcast back as
     * literals). Skewed columns therefore get skewed buckets; for rank-even
     * buckets feed a pre-ranked column instead. The projection itself is
-    * row-local codegen — zero shuffle until [[clusterByZ]] materializes the
-    * layout.
+    * row-local codegen — zero shuffle until a `repartitionByRange(zval)` (or
+    * ZOrderLayout.write) materializes the layout.
     *
     * Cap: `bits * cols.size <= 62` (zval stays a positive long).
     */

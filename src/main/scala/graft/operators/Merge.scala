@@ -36,7 +36,15 @@ object Merge {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
     val latest = changes.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
     val untouched = base.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val upserts = latest.filter(col(opCol) =!= "D")
+    // a null/unknown op would otherwise become a SILENT DELETE (the key is
+    // anti-joined away, and `op =!= 'D'` evaluates null → never re-inserted);
+    // validate inside the filter so every winning change is checked at run
+    // time, malformed changelogs fail loudly
+    val opOk = col(opCol).isin("I", "U", "D")
+    val upserts = latest
+      .filter(when(opOk, col(opCol) =!= "D").otherwise(raise_error(concat(
+        lit(s"applyChangelog: $opCol must be I/U/D, got "),
+        coalesce(col(opCol), lit("NULL")))).cast("boolean")))
       .select(base.columns.map(col).toIndexedSeq: _*)
     untouched.unionByName(upserts)
   }

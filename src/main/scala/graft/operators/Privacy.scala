@@ -62,8 +62,10 @@ object Privacy {
                seed: Long): DataFrame = {
     require(groupCols.nonEmpty, "dpCounts: no group columns")
     require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
-    val keyImage = concat_ws("",
-      lit(seed.toString) +: groupCols.map(c => coalesce(col(c).cast("string"), lit("null"))): _*)
+    // collision-FREE image (length-prefixed KeyImage): separator/sentinel
+    // encodings let crafted group values share a noise draw, and two groups
+    // with byte-identical noise leak their exact count difference
+    val keyImage = graft.core.KeyImage.of(lit(seed.toString) +: groupCols.map(col))
     // 52 hex chars hold > 53 bits: take 13 nibbles → uniform on [0, 2^52)
     val u = (conv(substring(md5(keyImage), 1, 13), 16, 10).cast("double") + lit(0.5)) /
       lit(4503599627370496.0) // 2^52 → u ∈ (0,1), never exactly 0/1

@@ -40,10 +40,12 @@ object ZoneMapIndex {
 
   /** Incremental maintenance: stat ONLY files the existing index has not
     * seen (ingest appended new files; old ones are immutable) and return the
-    * merged index. The scan is pruned at the source — `_metadata.file_path`
-    * filters push into the file index, so already-indexed files are never
-    * opened. This is the write-time shape: each ingest batch folds its own
-    * files' stats in, and `build` remains the one-off retrofit.
+    * merged index. The unseen set comes from an explicit listing diff and
+    * the scan is constructed over exactly those paths — already-indexed
+    * files are never opened (a `_metadata.file_path` predicate is NOT
+    * guaranteed to prune the file index, so it is not relied on). This is
+    * the write-time shape: each ingest batch folds its own files' stats in,
+    * and `build` remains the one-off retrofit.
     */
   def buildIncremental(spark: SparkSession, dir: String, cols: Seq[String],
                        existing: DataFrame): DataFrame = {

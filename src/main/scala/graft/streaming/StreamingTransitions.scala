@@ -39,7 +39,13 @@ object StreamingTransitions {
     df.select(col(userCol).cast("string").as("user"),
         col(tieCol).cast("long").as("tie"),
         col(tsCol).cast("timestamp").as("ts"),
-        col(typeCol).cast("string").as("etype")).as[Ev]
+        col(typeCol).cast("string").as("etype"))
+      // tie/ts are primitives in Ev: a null would kill the query at
+      // deserialization. Such rows carry no orderable position — drop them
+      // (the batch lag-window orders them NULLS FIRST instead; both
+      // treatments are arbitrary, this one cannot crash)
+      .filter(col("tie").isNotNull && col("ts").isNotNull)
+      .as[Ev]
       .groupByKey(_.user)
       .flatMapGroupsWithState[LastEv, Pair](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: String, rows: Iterator[Ev], state: GroupState[LastEv]) =>

@@ -56,6 +56,16 @@ class CusumSpec extends SparkSpec {
     assert(down.getLong(0) >= 100 && down.getDouble(1) > 5.0)
   }
 
+  test("a NaN observation is skipped, never poisons state — a later shift still alarms") {
+    val cfg = Cusum.Config(warmup = 50, k = 0.5, h = 5.0)
+    val vals = series(shiftAt = 100, shiftSigma = 2.0).updated(70, Double.NaN).updated(30, Double.NaN)
+    val out = Cusum.detectBatch(toDf(vals), col("v"), Seq(col("key")), Seq(col("tie")), cfg)
+      .filter(col("is_changepoint")).orderBy("tie").select("tie")
+      .collect().map(_.getLong(0))
+    assert(out.nonEmpty && out.head >= 100 && out.head <= 120,
+      s"NaN mid-warmup and mid-run must not disable detection, alarms=${out.take(3).mkString(",")}")
+  }
+
   test("streaming twin is bit-identical to batch across micro-batch splits") {
     implicit val sq = spark.sqlContext
     implicit val enc = Encoders.product[(String, Timestamp, Long, Double)]

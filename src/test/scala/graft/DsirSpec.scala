@@ -44,11 +44,12 @@ class DsirSpec extends SparkSpec {
   test("weights are length-normalized and empty docs sink to the bottom") {
     import spark.implicits._
     val raw = Seq((1L, "def return import"), (2L, "def return import def return import"),
-      (3L, "")).toDF("doc_id", "text")
+      (3L, ""), (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val target = Seq((9L, "def return import class")).toDF("doc_id", "text")
     val s = Dsir.importanceWeights(raw, target, "text", buckets = 64)
       .select("doc_id", "avg_log_weight").as[(Long, Double)].collect().toMap
     assert(math.abs(s(1L) - s(2L)) < 0.7) // same distribution, ~same per-gram score
     assert(s(3L) == Double.NegativeInfinity)
+    assert(s(4L) == Double.NegativeInfinity) // null text: zero grams, no NPE
   }
 }

@@ -113,4 +113,20 @@ class PrivacySpec extends SparkSpec {
     // clamping: tiny groups + huge noise never release negatives
     assert(release(0.01, 7L, 4).values.forall(_ >= 0L))
   }
+
+  test("dpCounts: boundary-ambiguous group keys draw INDEPENDENT noise (no shared draw leaks)") {
+    // ("ab","c") vs ("a","bc") collide under any separator-concat key image;
+    // a shared draw makes the two released counts' difference noise-free
+    val df = (Seq.fill(40)(("ab", "c")) ++ Seq.fill(40)(("a", "bc"))).toDF("g1", "g2")
+    val out = graft.operators.Privacy.dpCounts(df, Seq("g1", "g2"), epsilon = 0.3, seed = 5L)
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // equal true counts + independent noise: released values differ (a
+    // shared draw would force exact equality for ANY seed — check several)
+    val diverged = (1L to 6L).exists { seed =>
+      val o = graft.operators.Privacy.dpCounts(df, Seq("g1", "g2"), 0.3, seed)
+        .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      o(("ab", "c")) != o(("a", "bc"))
+    }
+    assert(diverged, s"boundary-colliding keys always released identical counts: $out")
+  }
 }

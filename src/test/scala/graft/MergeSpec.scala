@@ -56,6 +56,19 @@ class MergeSpec extends SparkSpec {
     assert(merged == kafka && kafka == Seq((1L, "a2"), (3L, "c")))
   }
 
+  test("a null or unknown op fails loudly instead of becoming a silent delete") {
+    import spark.implicits._
+    val base = Seq((1L, "a")).toDF("k", "v")
+    for (badOp <- Seq(null.asInstanceOf[String], "X", "d")) {
+      val ch = Seq((1L, "a2", badOp, 1L)).toDF("k", "v", "op", "seq")
+      val e = intercept[Exception](
+        Merge.applyChangelog(base, ch, Seq("k")).collect())
+      assert(e.getMessage.contains("must be I/U/D") ||
+        Option(e.getCause).exists(_.getMessage.contains("must be I/U/D")),
+        s"op=$badOp: ${e.getMessage}")
+    }
+  }
+
   test("applyChangelog rejects a changelog whose data columns diverge from base") {
     import spark.implicits._
     val base = Seq((1L, "a")).toDF("k", "name")

@@ -25,6 +25,11 @@ class MixingSpec extends SparkSpec {
     val s01 = shares(0.1)
     assert(s01("tiny") > s05("tiny"), "lower alpha flattens more")
     Seq(s1, s05, s01).foreach(s => assert(math.abs(s.values.sum - 1.0) < 1e-9))
+    // empty input: empty result, no NPE from the null aggregate reads
+    val none = graft.llmops.Curation.temperatureShares(
+      docs.filter(org.apache.spark.sql.functions.lit(false)),
+      org.apache.spark.sql.functions.col("domain"), "text", 0.5)
+    assert(none.count() == 0)
   }
 
   test("decontaminate flags planted contamination; clean docs stay clean") {
