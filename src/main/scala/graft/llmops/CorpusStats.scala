@@ -84,10 +84,14 @@ object CorpusStats {
     // at 100 TB you would materialize tf as a table once per corpus snapshot
     // and serve every query wave from it — this persist is that shape scoped
     // to one session.
+    // localCheckpoint, not persist: a persist has no unpersist hook here (the
+    // returned DataFrame still references it) and every call would leak a
+    // postings-sized cache entry for the session; checkpoint blocks are
+    // GC-released with the DataFrame
     val tf = toks
       .select(col("doc_id"), size(col("__t")).as("dl"), explode_outer(col("__t")).as("token"))
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val statsRow = tf.groupBy("doc_id").agg(first("dl").as("__dl"))
       .agg(count(lit(1)), sum("__dl")).first()
     require(statsRow.getLong(0) > 0, "bm25TopK: empty corpus")

@@ -274,10 +274,14 @@ object Multimodal {
     */
   def syntheticMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val payloadUdf = udf { (id: Long, text: String, mediaType: String) =>
-      mediaType match {
+      // null text stays a NULL payload: the fixture must keep producing the
+      // dead-letter rows the NULL-marker operator paths exist for (the
+      // pre-codec encode(text) did, and the real-codec rewrite must too)
+      if (text == null) null
+      else mediaType match {
         case "image" => SyntheticPayloads.png(id, text)
         case "audio" => SyntheticPayloads.wav(id)
-        case _ => (if (text == null) "" else text).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       }
     }
     docs.select(

@@ -191,9 +191,13 @@ object Behavior {
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col(typeCol).as("next_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy("prev_type").agg(sum("n").as("__tot"))
-    pairs.join(broadcast(totals), "prev_type")
+    // per-prev totals as a window over the |types|²-row aggregate — a
+    // broadcast-join formulation plans the totals as a SEPARATE subplan and
+    // re-scans the event log + re-runs the lag window for it (the bm25TopK
+    // exchange-reuse lesson); the window shares the aggregate's one plan
+    val tw = Window.partitionBy("prev_type")
+    pairs
       .select(col("prev_type"), col("next_type"), col("n"),
-        (col("n").cast("double") / col("__tot").cast("double")).as("prob"))
+        (col("n").cast("double") / sum("n").over(tw).cast("double")).as("prob"))
   }
 }

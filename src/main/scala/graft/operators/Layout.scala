@@ -45,18 +45,27 @@ object Layout {
                   else df.repartitionByRange(order: _*))
       .sortWithinPartitions(order: _*)
 
-    val rowRdd = ranged.rdd // one RDD: both passes share the sort shuffle
+    // one INTERNAL-row RDD: both passes share the sort shuffle, and the
+    // counting pass never pays catalyst→Scala conversion (the .rdd form
+    // deserialized every field of every row just to call it.size)
+    val rowRdd = ranged.queryExecution.toRdd
     val counts = rowRdd
-      .mapPartitionsWithIndex { (pid, it) => Iterator((pid, it.size.toLong)) }
+      .mapPartitionsWithIndex { (pid, it) =>
+        var c = 0L; while (it.hasNext) { it.next(); c += 1 }; Iterator((pid, c))
+      }
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val n = offsets.last max 1L
 
     var schema = ranged.schema.add("global_pos", LongType, nullable = false)
     if (numShards > 0) schema = schema.add("shard", LongType, nullable = false)
+    val baseSchema = ranged.schema
     val numbered = rowRdd.mapPartitionsWithIndex { (pid, it) =>
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(baseSchema)
       var pos = offsets(pid)
-      it.map { r =>
+      it.map { ir =>
+        val r = conv(ir).asInstanceOf[Row]
         pos += 1L
         val base = r.toSeq :+ pos
         Row.fromSeq(if (numShards > 0) base :+ ((pos - 1L) * numShards) / n else base)

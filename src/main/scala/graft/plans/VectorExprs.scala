@@ -190,7 +190,19 @@ case class Int8Quantize(child: Expression) extends UnaryExpression
     var absmax = Double.NegativeInfinity
     var i = 0
     while (i < n) {
-      val a = math.abs(x.getFloat(i).toDouble)
+      // fail LOUDLY on NaN / null elements: Java's `>` skips NaN where the
+      // spec-pinned HOF twin's array_max treats NaN as greatest (and ANSI
+      // cast then errors), and ArrayData.getFloat silently reads a null slot
+      // as 0.0f — either input would make the two paths diverge, so neither
+      // is a valid embedding here
+      if (x.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"int8_quantize: null element at index $i — not a valid embedding")
+      val f = x.getFloat(i)
+      if (java.lang.Float.isNaN(f))
+        throw new IllegalArgumentException(
+          s"int8_quantize: NaN element at index $i — not a valid embedding")
+      val a = math.abs(f.toDouble)
       if (a > absmax) absmax = a
       i += 1
     }

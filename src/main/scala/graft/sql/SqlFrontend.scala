@@ -698,6 +698,12 @@ object SqlFrontend {
         case "exact" =>
           df.join(Dedup.exact(df, text, id).select(id), Seq(id), "left_semi")
         case "minhash" | "simhash" =>
+          // simhash's radius is a hamming distance, not a jaccard threshold
+          // — silently ignoring a supplied threshold would misrepresent the
+          // result, so reject it (the DataFrame API exposes maxHamming)
+          require(method == "minhash" || mm.group(5) == null,
+            "GRAFT_DEDUP: 'simhash' takes no threshold (its radius is a hamming " +
+              "distance — use Dedup.simHashPairs(maxHamming) from the DataFrame API)")
           val pairs =
             if (method == "minhash") Dedup.minHashLsh(df, text, id, threshold = threshold)
             else Dedup.simHashPairs(df, text, id)

@@ -92,8 +92,13 @@ object StreamingNearDup {
       .localCheckpoint() // consumed by banding, sets, anti-join, and the sink write
 
     // ---- 2. against-store dedup: bucket-join candidates, exact verification
+    // banded buckets AND shingle sets are checkpointed over batchKept so the
+    // signature/shingle UDF work runs ONCE — step 3 reuses both (filtered to
+    // the survivors) instead of recomputing them over `kept`
     val newBanded = Dedup.bandedBuckets(batchKept, textCol, idCol,
       cfg.shingleSize, cfg.numHashes, cfg.numBands).localCheckpoint()
+    val newSets = Dedup.shingleSets(batchKept, textCol, idCol, cfg.shingleSize)
+      .localCheckpoint()
     val priorSigDirs = stateDirs(root, "sigs_b", batchId)
     val dropIds: DataFrame =
       if (priorSigDirs.isEmpty) spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
@@ -110,7 +115,6 @@ object StreamingNearDup {
           .join(store.select(col("band"), col("bucket"), col("doc_id").as("old_id")),
             Seq("band", "bucket"))
           .select("new_id", "old_id").distinct()
-        val newSets = Dedup.shingleSets(batchKept, textCol, idCol, cfg.shingleSize)
         val oldSets = spark.read.parquet(stateDirs(root, "sh_b", batchId): _*)
         candidates
           .join(newSets.select(col("doc_id").as("new_id"), col("sh").as("__sa")), "new_id")
@@ -125,11 +129,17 @@ object StreamingNearDup {
       .localCheckpoint()
 
     // ---- 3. land survivors + append their state (overwrite = re-delivery-safe)
+    // state comes from the checkpointed step-2 artifacts semi-joined to the
+    // survivors — the per-row signature/shingle work is never re-run. Sort
+    // bucket-major: the read path prunes on bucket alone, so bucket must be
+    // the monotone column for row-group min/max pruning (a band-major sort
+    // re-widens the bucket range at every band boundary).
+    val keptIds = kept.select(col(idCol).as("doc_id"))
     kept.write.mode("overwrite").parquet(s"$sinkDir/batch_$batchId")
-    Dedup.bandedBuckets(kept, textCol, idCol, cfg.shingleSize, cfg.numHashes, cfg.numBands)
-      .repartition(col("bucket")).sortWithinPartitions("band", "bucket")
+    newBanded.join(keptIds, Seq("doc_id"), "left_semi")
+      .repartition(col("bucket")).sortWithinPartitions("bucket", "band")
       .write.mode("overwrite").parquet(s"$storeDir/sigs_b$batchId")
-    Dedup.shingleSets(kept, textCol, idCol, cfg.shingleSize)
+    newSets.join(keptIds, Seq("doc_id"), "left_semi")
       .write.mode("overwrite").parquet(s"$storeDir/sh_b$batchId")
 
     // ---- 4. atomic pointer swap (readers never see a half-applied batch)
