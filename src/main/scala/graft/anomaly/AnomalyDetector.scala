@@ -196,8 +196,9 @@ object AnomalyDetector {
       // so ("a", null, "b") and ("a", "b", null) would otherwise collide into
       // one key and interleave their series -- the window path partitions on
       // the real columns and keeps them apart (null = its own group)
-      .withColumn("__key", concat_ws("\u0000",
-        partitionCols.map(c => coalesce(c.cast("string"), lit("\u0001null"))): _*))
+      // collision-free length-prefixed key image (KeyImage): a separator
+      // encoding can merge two crafted keys and interleave their series
+      .withColumn("__key", graft.core.KeyImage.of(partitionCols))
       // auto-STL infers the season from the event-time cadence; the order
       // column IS the event time in every ML_DETECT_ANOMALIES use
       .withColumn("__ts", unix_micros(orderCols.head.cast("timestamp")))

@@ -160,12 +160,14 @@ class PlanAuditSpec extends SparkSpec {
       "positions must be produced in parallel partitions")
   }
 
-  test("q142: transition matrix is one user-keyed window + tiny-aggregate broadcast") {
+  test("q142: transition matrix is one event scan — totals window the aggregate, never a join subplan") {
     val p = plan("q142_markov_transitions")
     assert(p.contains("Window"), "lag must be a keyed window")
-    assert(p.contains("BroadcastHashJoin"),
-      "the per-prev totals join is |types| rows — it must broadcast")
-    assert(!p.contains("SortMergeJoin"), "no corpus-scale join exists in this plan")
+    // the totals were once a broadcast join whose subplan re-planned the
+    // whole scan+lag (2.33 s -> 0.77 s at sf1 when windowed instead)
+    assert(!p.contains("Join"), "no join may exist — a totals subplan re-scans the log")
+    assert("FileScan|Scan parquet".r.findAllIn(p).size <= 1,
+      "the event log must be planned exactly once")
   }
 
   test("q143: z-values are a row-local projection — the only exchange is min/max's scalar agg") {
