@@ -126,8 +126,13 @@ object Cusum {
     implicit val outEnc = Encoders.product[Out]
     implicit val stEnc = Encoders.product[State]
     implicit val keyEnc = Encoders.STRING
-    df.select(col(keyCol).cast("string").as("key"), col(tieCol).cast("long").as("tie"),
-        col(tsCol).cast("timestamp").as("ts"), col(valueCol).cast("double").as("v")).as[Ev]
+    // null tie/ts coalesce to minimal sentinels (a null Long field would
+    // kill deserialization; a null ts would NPE the sort) — mirroring the
+    // batch sort's NULLS FIRST placement instead of dropping the row
+    df.select(col(keyCol).cast("string").as("key"),
+        coalesce(col(tieCol).cast("long"), lit(Long.MinValue)).as("tie"),
+        coalesce(col(tsCol).cast("timestamp"), to_timestamp(lit(0))).as("ts"),
+        col(valueCol).cast("double").as("v")).as[Ev]
       .groupByKey(_.key)
       .flatMapGroupsWithState[State, Out](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[Ev], state: GroupState[State]) =>

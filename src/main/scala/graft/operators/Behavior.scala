@@ -177,9 +177,11 @@ object Behavior {
     *
     * One user-keyed window (lag over ts + tie — each partition is one user's
     * bounded history, the same shuffle key every Behavior op uses), then a
-    * map-side-combined count to |types|² rows; the per-prev totals join is
-    * over that tiny aggregate, never the event log. `prob` is one double
-    * division of two exact longs — deterministic across engines.
+    * map-side-combined count to |types|² rows; per-prev totals come from a
+    * WINDOW over that tiny aggregate — a join formulation would re-plan the
+    * event scan + lag window as a separate totals subplan (measured 3×).
+    * `prob` is one double division of two exact longs — deterministic
+    * across engines.
     *
     * Output: (prev_type, next_type, n, prob).
     */

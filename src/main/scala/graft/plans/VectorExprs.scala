@@ -199,9 +199,9 @@ case class Int8Quantize(child: Expression) extends UnaryExpression
         throw new IllegalArgumentException(
           s"int8_quantize: null element at index $i — not a valid embedding")
       val f = x.getFloat(i)
-      if (java.lang.Float.isNaN(f))
+      if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f))
         throw new IllegalArgumentException(
-          s"int8_quantize: NaN element at index $i — not a valid embedding")
+          s"int8_quantize: non-finite element at index $i — not a valid embedding")
       val a = math.abs(f.toDouble)
       if (a > absmax) absmax = a
       i += 1

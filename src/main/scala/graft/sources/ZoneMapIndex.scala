@@ -55,11 +55,20 @@ object ZoneMapIndex {
     // here (the index itself exists to avoid opening files)
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val unseen = fs.listStatus(path)
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-      .map(_.getPath.toString)
-      .filterNot(known.contains)
+    // RECURSIVE listing: partitioned layouts keep data in subdirectories,
+    // and a top-level-only diff would silently treat every nested file as
+    // already indexed (returning a stale index that loses rows, not just
+    // pruning)
+    val unseen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      val inHidden = st.getPath.toString.contains("/_") || st.getPath.toString.contains("/.")
+      if (st.isFile && !name.startsWith("_") && !name.startsWith(".") && !inHidden &&
+        !known.contains(st.getPath.toString))
+        unseen += st.getPath.toString
+    }
     if (unseen.isEmpty) existing
     else {
       val aggs = count(lit(1)).as("n_rows") +:

@@ -696,6 +696,8 @@ object SqlFrontend {
       import graft.llmops.Dedup
       val kept = method match {
         case "exact" =>
+          require(mm.group(5) == null,
+            "GRAFT_DEDUP: 'exact' takes no threshold (identity has no radius)")
           df.join(Dedup.exact(df, text, id).select(id), Seq(id), "left_semi")
         case "minhash" | "simhash" =>
           // simhash's radius is a hamming distance, not a jaccard threshold

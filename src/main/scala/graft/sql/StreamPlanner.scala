@@ -378,14 +378,14 @@ object StreamPlanner {
       .findFirstMatchIn(stageSql.substring(afterArgs))
       .getOrElse(sys.error("streaming ML_DETECT_ANOMALIES requires OVER (PARTITION BY … ORDER BY …)"))
     val (part, ord) = (overM.group(1), overM.group(2))
-    // composite PARTITION BY: one state key from all parts (null-sentineled —
-    // concat_ws skips nulls), matching the batch rewrite which splices the
-    // same text into its own PARTITION BY and handles multiple keys natively
+    // composite PARTITION BY: one collision-free state key from all parts
+    // (KeyImage length-prefixing — the same image the batch sequential
+    // path uses, so batch and streaming agree on exactly which series a
+    // row belongs to even under adversarial key values)
     val parts = SqlFrontend.splitTopLevelCommas(part).map(_.trim).filter(_.nonEmpty)
     val keyExpr =
       if (parts.size == 1) expr(parts.head)
-      else concat_ws("\u0000",
-        parts.map(p => coalesce(expr(p).cast("string"), lit("\u0001null"))): _*)
+      else graft.core.KeyImage.of(parts.map(p => expr(p)))
 
     val (_, fromPart) = SqlFrontend.topLevelSelectFrom(stageSql)
     val input = SqlFrontend.parseSql(spark, s"SELECT * FROM $fromPart")

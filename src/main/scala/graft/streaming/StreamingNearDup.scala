@@ -33,8 +33,10 @@ import graft.llmops.Dedup
   *    is invisible until its re-delivery overwrites it.
   *
   * Scale notes: candidate generation joins the batch's banded buckets
-  * against the store scan; store files are written REPARTITIONED AND SORTED
-  * by (band, bucket), so parquet row-group min/max stats prune the scan to
+  * against the store scan; store files are written repartitioned by bucket
+  * and sorted BUCKET-MAJOR (bucket, band) — the pushed filter prunes on
+  * bucket alone, so bucket must be the monotone column for row-group
+  * min/max stats to prune the scan to
   * the buckets the batch actually touches (the batch's bucket set is pushed
   * as an `isin` filter when small). Per batch the work is
   * O(|batch| + touched buckets), never a corpus rescan; the store itself is

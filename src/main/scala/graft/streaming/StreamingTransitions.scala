@@ -36,15 +36,14 @@ object StreamingTransitions {
     implicit val stEnc = Encoders.product[LastEv]
     implicit val keyEnc = Encoders.STRING
 
+    // null tie/ts coalesce to minimal sentinels rather than dropping the
+    // row: a dropped event would also break the ADJACENCY chain (the next
+    // event would pair with the wrong predecessor), diverging from the
+    // batch lag-window which orders nulls first and keeps every pair
     df.select(col(userCol).cast("string").as("user"),
-        col(tieCol).cast("long").as("tie"),
-        col(tsCol).cast("timestamp").as("ts"),
+        coalesce(col(tieCol).cast("long"), lit(Long.MinValue)).as("tie"),
+        coalesce(col(tsCol).cast("timestamp"), to_timestamp(lit(0))).as("ts"),
         col(typeCol).cast("string").as("etype"))
-      // tie/ts are primitives in Ev: a null would kill the query at
-      // deserialization. Such rows carry no orderable position — drop them
-      // (the batch lag-window orders them NULLS FIRST instead; both
-      // treatments are arbitrary, this one cannot crash)
-      .filter(col("tie").isNotNull && col("ts").isNotNull)
       .as[Ev]
       .groupByKey(_.user)
       .flatMapGroupsWithState[LastEv, Pair](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
