@@ -59,6 +59,22 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("incremental build sees files in partitioned SUBDIRECTORIES (recursive listing)") {
+    import spark.implicits._
+    withDir { dir =>
+      (1 to 400).map(i => (i.toLong, i % 4, (i % 50).toLong)).toDF("id", "p", "x")
+        .write.partitionBy("p").parquet(s"$dir/t")
+      val idx1 = ZoneMapIndex.build(spark, s"$dir/t", Seq("x")).localCheckpoint()
+      (401 to 500).map(i => (i.toLong, 9, 999L)).toDF("id", "p", "x")
+        .write.partitionBy("p").mode("append").parquet(s"$dir/t")
+      val merged = ZoneMapIndex.buildIncremental(spark, s"$dir/t", Seq("x"), idx1)
+      val full = ZoneMapIndex.build(spark, s"$dir/t", Seq("x"))
+      assert(merged.count() == full.count() && merged.count() > idx1.count(),
+        "nested appended files must enter the incremental index")
+      assert(ZoneMapIndex.prune(merged, Map("x" -> (999L, 999L))).nonEmpty)
+    }
+  }
+
   test("z-ordered layout prunes on the SECOND column too; disjoint range opens zero files") {
     import spark.implicits._
     withDir { dir =>
