@@ -178,4 +178,44 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("merge: applyChangelog equals a naive map fold on random changelogs") {
+    import spark.implicits._
+    val changeGen = Gen.listOfN(30, for {
+      k <- Gen.choose(1L, 8L)
+      op <- Gen.oneOf("I", "U", "D")
+      v <- Gen.alphaStr.map(_.take(4))
+    } yield (k, v, op))
+    forAll(changeGen, 12) { changes =>
+      // unique (key, seq): seq = position in the log, the natural LSN
+      val withSeq = changes.zipWithIndex.map { case ((k, v, op), i) => (k, v, op, i.toLong) }
+      val base = (1L to 5L).map(k => (k, s"base$k"))
+      val naive = withSeq.foldLeft(base.toMap) { case (acc, (k, v, op, _)) =>
+        if (op == "D") acc - k else acc + (k -> v)
+      }
+      val got = graft.operators.Merge.applyChangelog(
+          base.toDF("k", "v"), withSeq.toDF("k", "v", "op", "seq"), Seq("k"))
+        .as[(Long, String)].collect().toMap
+      assert(got == naive, s"log=$withSeq")
+    }
+  }
+
+  test("totalSort: positions are a permutation consistent with the sort key on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dataGen = Gen.listOfN(200, Gen.choose(0, 25))
+    (0 until 8).foreach { i =>
+      val vs = dataGen.pureApply(Gen.Parameters.default, Seed(7L + i))
+      val parts = 1 + i % 7
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val out = graft.operators.Layout.totalSort(df, Seq(col("v"), col("id")),
+          numShards = 3, numPartitions = parts)
+        .select("id", "v", "global_pos").as[(Long, Int, Long)].collect().sortBy(_._3)
+      assert(out.map(_._3).toSeq == (1L to vs.length))
+      out.sliding(2).foreach { case Array((i1, v1, _), (i2, v2, _)) =>
+        assert(v1 < v2 || (v1 == v2 && i1 < i2), "positions must follow (v, id) order")
+      case _ => ()
+      }
+    }
+  }
 }
