@@ -2886,7 +2886,7 @@ object Catalog {
     w AS (SELECT a.*, CAST(domain_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS p,
                  sqrt(CAST(domain_tokens AS DOUBLE) / CAST(total AS DOUBLE)) AS sm
           FROM a CROSS JOIN t0),
-    z AS (SELECT CAST(SUM(CAST(sm AS DECIMAL(38,18))) AS DOUBLE) AS zn FROM w)
+    z AS (SELECT CAST(CAST(SUM(CAST(CAST(sm AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS zn FROM w)
     SELECT domain, n_docs, domain_tokens, p, sm / zn AS target_share
     FROM w CROSS JOIN z"""))
 
