@@ -2016,10 +2016,10 @@ object Catalog {
                       CAST(cnt_b + 1 AS DOUBLE) / CAST(tot_b + vocab AS DOUBLE) AS pb
                FROM j, tot)
     SELECT CAST(vocab AS BIGINT) AS vocab, CAST(tot_a AS BIGINT) AS tot_a, CAST(tot_b AS BIGINT) AS tot_b,
-           CAST(SUM(CAST(abs(pa - pb) AS DECIMAL(38,18))) AS DOUBLE) * 0.5 AS tvd,
-           CAST(SUM(CAST(sqrt(pa * pb) AS DECIMAL(38,18))) AS DOUBLE) AS bc,
-           sqrt(1.0 - CAST(SUM(CAST(sqrt(pa * pb) AS DECIMAL(38,18))) AS DOUBLE)) AS hellinger,
-           CAST(SUM(CAST((pa - pb) * (pa - pb) / (pa + pb) AS DECIMAL(38,18))) AS DOUBLE) AS chi2
+           CAST(CAST(SUM(CAST(CAST(abs(pa - pb) AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) * 0.5 AS tvd,
+           CAST(CAST(SUM(CAST(CAST(sqrt(pa * pb) AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS bc,
+           sqrt(1.0 - CAST(CAST(SUM(CAST(CAST(sqrt(pa * pb) AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)) AS hellinger,
+           CAST(CAST(SUM(CAST(CAST((pa - pb) * (pa - pb) / (pa + pb) AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS chi2
     FROM p, tot GROUP BY vocab, tot_a, tot_b"""))
 
   private val q116 = Q("q116_snapshot_diff", (s, dir) => {
