@@ -2957,6 +2957,39 @@ object Catalog {
     SELECT a.grp, v, CASE WHEN mad > 0 THEN (v - med) / mad END AS robust_z
     FROM a JOIN d USING (grp)"""))
 
+  private val q158 = Q("q158_series_search", (s, dir) => {
+    // Time-series subsequence search: the 10 hourly 8-point windows (across
+    // all event types) whose z-normalized shape best matches a two-hour
+    // spike pattern — left-to-right fold arithmetic keeps the distance
+    // bit-identical to the DuckDB window oracle.
+    val series = Tumble(t(s, dir, "events"), "ts", "1 hour", col("event_type"))(
+      "cnt" -> count(lit(1)))
+      .select(col("event_type"), col("window_start").cast("timestamp_ntz").as("h"),
+        col("cnt").cast("double").as("cnt"))
+    graft.operators.SeriesSearch.topKWindows(series, "event_type", "h", "h", "cnt",
+      Array(-1.0, -1.0, -1.0, 3.0, 3.0, -1.0, -1.0, -1.0), k = 10)
+  }, Some("""
+    WITH se AS (SELECT event_type AS k, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                       CAST(COUNT(*) AS DOUBLE) AS cnt
+                FROM events GROUP BY 1, 2),
+    s2 AS (SELECT k, list(cnt ORDER BY h) AS vs, list(h ORDER BY h) AS hs FROM se GROUP BY k),
+    wins AS (SELECT k, hs[CAST(u.i AS INTEGER)] AS start_tie,
+                    vs[CAST(u.i AS INTEGER):CAST(u.i AS INTEGER)+7] AS win
+             FROM s2, UNNEST(range(1, len(vs)-6)) u(i) WHERE len(vs) >= 8),
+    m AS (SELECT k, start_tie, win,
+                 list_reduce(win, (a, b) -> a + b) / 8.0 AS mu FROM wins),
+    v AS (SELECT k, start_tie, win, mu,
+                 sqrt(list_reduce(list_transform(win, x -> (x - mu) * (x - mu)), (a, b) -> a + b) / 8.0) AS sd
+          FROM m),
+    d AS (SELECT k, start_tie,
+                 list_reduce(list_transform(range(1, 9),
+                   j -> ((win[CAST(j AS INTEGER)] - mu) / sd - ([-1.0, -1.0, -1.0, 3.0, 3.0, -1.0, -1.0, -1.0])[CAST(j AS INTEGER)])
+                      * ((win[CAST(j AS INTEGER)] - mu) / sd - ([-1.0, -1.0, -1.0, 3.0, 3.0, -1.0, -1.0, -1.0])[CAST(j AS INTEGER)])),
+                   (a, b) -> a + b) AS dist
+          FROM v WHERE sd > 0),
+    r AS (SELECT row_number() OVER (ORDER BY dist, k, start_tie) AS rank, k AS key, start_tie, dist FROM d)
+    SELECT CAST(rank AS BIGINT) AS rank, key, start_tie, dist FROM r WHERE rank <= 10"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -2973,7 +3006,7 @@ object Catalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152, q153, q154, q155, q156, q157)
+    q150, q151, q152, q153, q154, q155, q156, q157, q158)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
