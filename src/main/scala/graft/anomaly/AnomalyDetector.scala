@@ -165,8 +165,13 @@ object AnomalyDetector {
     // mean/stddev from decimal-exact sums (order-independent, bit-reproducible
     // across engines) rather than a streaming estimator like stddev_samp whose
     // float result depends on accumulation order.
-    val s1 = sum(v.cast("decimal(27,6)")).over(hist).cast("double")
-    val s2 = sum((v * v).cast("decimal(38,8)")).over(hist).cast("double")
+    // digit-string entry/exit around the decimals (Scalars.digitDecimalSum
+    // rationale): direct double<->decimal casts are engine-specific at the
+    // last ulp, and v*v is a computed double
+    val s1 = sum(v.cast("string").cast("decimal(27,6)")).over(hist)
+      .cast("string").cast("double")
+    val s2 = sum((v * v).cast("string").cast("decimal(38,8)")).over(hist)
+      .cast("string").cast("double")
     val n = count(v).over(hist).cast("double")
     val forecast = s1 / n
     val sd = sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), lit(0.0)))

@@ -26,6 +26,20 @@ object Scalars {
   def avgMoney(c: Column, scale: Int = 6): Column =
     sum(c.cast(s"decimal(25,$scale)")).cast("double") / count(lit(1)).cast("double")
 
+  /** Order-independent decimal summation of COMPUTED doubles that is
+    * bit-identical across engines: values enter AND exit the decimal THROUGH
+    * THEIR DIGIT STRING. Shortest-repr double↔string is identical in the JVM
+    * and DuckDB; their direct double↔decimal casts are NOT — DuckDB's
+    * decimal→double divides int128 by 10^scale in floating point and its
+    * double→decimal rounds the binary expansion differently at deep digits
+    * (a 1-ulp q154 divergence that only appeared at sf0.1). Oracle twin:
+    * `CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(p,s))) AS VARCHAR)
+    * AS DOUBLE)`. Money columns with short exact expansions keep the plain
+    * [[sumMoney]] path.
+    */
+  def digitDecimalSum(c: Column, dt: String = "decimal(38,18)"): Column =
+    sum(c.cast("string").cast(dt)).cast("string").cast("double")
+
   /** 9-arm time-of-day CASE bucketing (reference: LAB3-Walkthrough.md:279-289). */
   def timeOfDayBucket(ts: Column): Column = {
     val h = hour(ts)

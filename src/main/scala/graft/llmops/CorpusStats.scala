@@ -301,11 +301,8 @@ object CorpusStats {
     val pa = (col("cnt_a") + 1).cast("double") / (col("tot_a") + col("vocab")).cast("double")
     val pb = (col("cnt_b") + 1).cast("double") / (col("tot_b") + col("vocab")).cast("double")
     val mid = (pa + pb) / 2.0
-    // enter AND exit the decimal summation via digit strings: direct
-    // double<->decimal casts round engine-specifically at the last ulp (the
-    // q154-at-sf0.1 lesson — same computed-double shape here)
-    def dsum(c: Column) =
-      sum(c.cast("string").cast("decimal(38,18)")).cast("string").cast("double")
+    // digit-string decimal summation (see Scalars.digitDecimalSum for why)
+    def dsum(c: Column) = graft.functions.Scalars.digitDecimalSum(c)
     t.agg(
         first(col("vocab")).as("vocab"),
         first(col("tot_a")).as("tot_a"),

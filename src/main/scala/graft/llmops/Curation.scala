@@ -439,14 +439,9 @@ object Curation {
     val p = col("domain_tokens").cast("double") / lit(total.toDouble)
     val smoothed = if (alpha == 0.5) sqrt(p) else pow(p, lit(alpha))
     val withS = agg.withColumn("p", p).withColumn("__s", smoothed)
-    // the smoothed values reach the decimal summation THROUGH THEIR DIGIT
-    // STRING (the q124 lesson): a direct double→decimal(38,18) cast rounds
-    // the binary expansion engine-specifically at digit 18 (caught as a
-    // last-ulp q154 divergence at sf0.1), while shortest-repr double→string
-    // is identical in JVM and DuckDB and string→decimal parses exactly
-    val zRow = withS.agg(
-      sum(col("__s").cast("string").cast("decimal(38,18)"))
-        .cast("string").cast("double")).head() // decimal exits via digits too
+    // digit-string decimal summation (Scalars.digitDecimalSum): the direct
+    // double<->decimal casts diverged cross-engine at the last ulp at sf0.1
+    val zRow = withS.agg(graft.functions.Scalars.digitDecimalSum(col("__s"))).head()
     val z = if (zRow.isNullAt(0) || zRow.getDouble(0) == 0.0) 1.0 else zRow.getDouble(0)
     withS.withColumn("target_share", col("__s") / lit(z)).drop("__s")
   }

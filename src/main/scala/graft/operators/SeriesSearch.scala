@@ -12,18 +12,22 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape: one key-partitioned window builds each position's length-w
   * value array (ROWS CURRENT..w-1 FOLLOWING collect_list — rows carry w
-  * doubles, the deliberate w× amplification of materialized subsequences),
-  * a row-local scorer z-normalizes the window and folds the distance
-  * LEFT-TO-RIGHT (deterministic — the q93 ordered-fold discipline, so a
-  * DuckDB oracle reproduces it bit-for-bit), and the bounded [[TopK]]
-  * aggregator ships O(k) rows per partition. Flat windows (sd = 0) have no
-  * z-shape and are skipped, not scored as 0/0.
+  * doubles, the deliberate w× amplification of materialized subsequences);
+  * the scorer is pure codegen'd Column folds (aggregate/transform over the
+  * BOUND window attribute — no UDF, no catalyst→Scala serialization, and
+  * every fold is LEFT-TO-RIGHT so a DuckDB oracle reproduces the doubles
+  * bit-for-bit, the q93 discipline); global top-k via orderBy+limit =
+  * TakeOrderedAndProject (O(k) per partition map-side, never a full sort).
+  *
+  * Null metric points are dropped from the series up front (a null cannot
+  * be z-scored; collect_list would silently skip it and shift every window
+  * crossing it — excluding the row keeps the window set well-defined and
+  * documented). Flat windows (sd = 0) have no z-shape and are skipped.
   *
   * The query pattern is compared AS GIVEN (pre-normalize it if scale
-  * invariance on the query side is wanted) — keeping the engine free of a
-  * driver-side normalization whose floating-point steps an oracle could
-  * not see. At real scale with long windows, the MASS/FFT trick replaces
-  * the per-window fold; this operator is the exact small-w form.
+  * invariance on the query side is wanted). At real scale with long
+  * windows, the MASS/FFT trick replaces the per-window fold; this operator
+  * is the exact small-w form.
   */
 object SeriesSearch {
 
@@ -37,39 +41,29 @@ object SeriesSearch {
     require(k >= 1, s"k must be >= 1, got $k")
     val frame = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(tieCol)).rowsBetween(Window.currentRow, w - 1)
-    val q = pattern // serialized into the UDF closure
-    val dist = udf { (win: Seq[Double]) =>
-      // left-to-right folds throughout: bit-reproducible across engines
-      var s = 0.0
-      var i = 0
-      while (i < q.length) { s += win(i); i += 1 }
-      val mean = s / q.length
-      var v = 0.0
-      i = 0
-      while (i < q.length) { val d = win(i) - mean; v += d * d; i += 1 }
-      val sd = math.sqrt(v / q.length)
-      if (sd == 0.0) None
-      else {
-        var d2 = 0.0
-        i = 0
-        while (i < q.length) {
-          val d = (win(i) - mean) / sd - q(i)
-          d2 += d * d
-          i += 1
-        }
-        Some(d2)
-      }
-    }
+    val pat = array(pattern.map(lit).toIndexedSeq: _*)
+    val wd = lit(w.toDouble)
+    // every fold references only BOUND attributes (__win/__mu/__sd are each
+    // used more than once, so CollapseProject cannot inline them into the
+    // lambdas — the lambda-CSE rule)
     val windows = series
+      .filter(col(valueCol).isNotNull)
       .withColumn("__win", collect_list(col(valueCol).cast("double")).over(frame))
       .filter(size(col("__win")) === w)
-      .withColumn("dist", dist(col("__win")))
-      .filter(col("dist").isNotNull)
+      .withColumn("__mu",
+        aggregate(col("__win"), lit(0.0), (acc, x) => acc + x) / wd)
+      .withColumn("__sd", sqrt(
+        aggregate(transform(col("__win"), x => (x - col("__mu")) * (x - col("__mu"))),
+          lit(0.0), (acc, x) => acc + x) / wd))
+      .filter(col("__sd") > 0.0)
+      .withColumn("dist",
+        aggregate(
+          zip_with(col("__win"), pat,
+            (x, q) => ((x - col("__mu")) / col("__sd") - q) * ((x - col("__mu")) / col("__sd") - q)),
+          lit(0.0), (acc, x) => acc + x))
       .select(col(keyCol).as("key"), col(tieCol).as("start_tie"), col("dist"))
-    // global top-k via orderBy+limit = TakeOrderedAndProject: O(k) per
-    // partition map-side, never a full sort (the L1/L2 plan family);
-    // deterministic (dist, key, tie) tie-break. Ranks are a window over the
-    // k survivors only.
+    // global top-k via orderBy+limit = TakeOrderedAndProject; deterministic
+    // (dist, key, tie) tie-break. Ranks are a window over the k survivors.
     val top = windows.orderBy(col("dist"), col("key"), col("start_tie")).limit(k)
     top.withColumn("rank",
         row_number().over(Window.orderBy(col("dist"), col("key"), col("start_tie"))).cast("long"))

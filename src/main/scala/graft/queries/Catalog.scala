@@ -178,8 +178,8 @@ object Catalog {
       FROM $EV e GROUP BY 1, 2),
     hist AS (
       SELECT window_start, event_type, request_count,
-             CAST(SUM(CAST(CAST(request_count AS DOUBLE) AS DECIMAL(27,6))) OVER w AS DOUBLE) AS s1,
-             CAST(SUM(CAST(CAST(request_count AS DOUBLE) * CAST(request_count AS DOUBLE) AS DECIMAL(38,8))) OVER w AS DOUBLE) AS s2,
+             CAST(CAST(SUM(CAST(CAST(CAST(request_count AS DOUBLE) AS VARCHAR) AS DECIMAL(27,6))) OVER w AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(CAST(CAST(request_count AS DOUBLE) * CAST(request_count AS DOUBLE) AS VARCHAR) AS DECIMAL(38,8))) OVER w AS VARCHAR) AS DOUBLE) AS s2,
              CAST(COUNT(request_count) OVER w AS DOUBLE) AS n
       FROM series
       WINDOW w AS (PARTITION BY event_type ORDER BY window_start ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)),

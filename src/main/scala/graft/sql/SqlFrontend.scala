@@ -1246,8 +1246,8 @@ object SqlFrontend {
     val w = s"(PARTITION BY $part ORDER BY $ord ROWS BETWEEN ${cfg.maxTrainingSize} PRECEDING AND 1 PRECEDING)"
 
     val vx = s"CAST(${args.head} AS DOUBLE)"
-    val s1 = s"CAST(SUM(CAST($vx AS DECIMAL(27,6))) OVER $w AS DOUBLE)"
-    val s2 = s"CAST(SUM(CAST($vx * $vx AS DECIMAL(38,8))) OVER $w AS DOUBLE)"
+    val s1 = s"CAST(CAST(SUM(CAST(CAST($vx AS STRING) AS DECIMAL(27,6))) OVER $w AS STRING) AS DOUBLE)"
+    val s2 = s"CAST(CAST(SUM(CAST(CAST($vx * $vx AS STRING) AS DECIMAL(38,8))) OVER $w AS STRING) AS DOUBLE)"
     val n = s"CAST(COUNT($vx) OVER $w AS DOUBLE)"
     val forecast = s"($s1 / $n)"
     val sd = s"SQRT(GREATEST(($s2 - $s1 * $s1 / $n) / ($n - 1), 0.0))"

@@ -195,8 +195,10 @@ class PropertySpec extends SparkSpec {
       }
       val got = graft.operators.Merge.applyChangelog(
           base.toDF("k", "v"), withSeq.toDF("k", "v", "op", "seq"), Seq("k"))
-        .as[(Long, String)].collect().toMap
-      assert(got == naive, s"log=$withSeq")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      // sorted-seq compare, NOT toMap: a map would silently swallow a
+      // duplicate-key regression (base row leaking through beside its upsert)
+      assert(got == naive.toSeq.sortBy(_._1), s"log=$withSeq")
     }
   }
 
