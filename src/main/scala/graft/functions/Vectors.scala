@@ -68,15 +68,23 @@ object Vectors {
   def jlProject(v: Column, outDim: Int): Column = {
     require(outDim >= 1, s"outDim must be >= 1, got $outDim")
     val scale = 1.0 / math.sqrt(outDim.toDouble)
-    // empty input guard: sequence(0, -1) would yield [0, -1] (Spark's
-    // descending default) and element_at(v, 0) throws — project to zeros
+    // The inner fold walks `v` ITSELF with a (sum, index) accumulator — the
+    // previous sequence(0, size(v)-1) index array was invariant across the
+    // outer k lambda and re-materialized per output dim (trap #1 shape;
+    // caught by graft.AuditLambdas). Same left-to-right double accumulation,
+    // bit-identical results; empty v never indexes (fold body never runs),
+    // NULL v propagates to the coalesce → zeros, as before.
     transform(sequence(lit(0), lit(outDim - 1)), k =>
-      when(size(v) > 0,
-        aggregate(sequence(lit(0), size(v) - 1), lit(0.0), (acc, j) =>
-          acc + element_at(v, j + 1).cast("double") *
-            when(((j.cast("long") * lit(73856093L) + k.cast("long") * lit(19349663L)) % 1000003L % 2) === 0,
-              lit(1.0)).otherwise(lit(-1.0))) * lit(scale) + lit(0.0))
-        .otherwise(lit(0.0)))
+      coalesce(
+        aggregate(v,
+          struct(lit(0.0).as("s"), lit(0L).as("j")),
+          (acc, x) => struct(
+            (acc.getField("s") + x.cast("double") *
+              when(((acc.getField("j") * lit(73856093L) + k.cast("long") * lit(19349663L)) % 1000003L % 2) === 0,
+                lit(1.0)).otherwise(lit(-1.0))).as("s"),
+            (acc.getField("j") + 1L).as("j")),
+          acc => acc.getField("s") * lit(scale) + lit(0.0)),
+        lit(0.0)))
   }
 
   /** Symmetric per-vector int8 quantization: scale = max|x| / 127,

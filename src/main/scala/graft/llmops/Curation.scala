@@ -132,9 +132,18 @@ object Curation {
     * equi-match per suffix instead of a LIKE scan per blocklist row).
     */
   def hostSuffixes(host: Column): Column = {
+    // Built by a single right-to-left fold over the reversed label array:
+    // each step prepends `label + "." + previousSuffix`, so the lambda body
+    // references ONLY its own variables (acc, x). The previous
+    // transform-over-indices form referenced the split inside the lambda —
+    // the host re-split per suffix (trap #1; caught by graft.AuditLambdas).
     val parts = org.apache.spark.sql.functions.split(host, "\\.")
-    transform(sequence(lit(0), size(parts) - 1),
-      i => array_join(slice(parts, i + 1, size(parts) - i), "."))
+    aggregate(
+      reverse(parts),
+      array().cast("array<string>"),
+      (acc, x) => concat(
+        array(when(size(acc) === 0, x).otherwise(concat(x, lit("."), element_at(acc, 1)))),
+        acc))
   }
 
   /** Domain-blocklist verdict (crawl curation's URL-level safety gate): TRUE
@@ -620,10 +629,16 @@ object Curation {
     // LM training) would each re-derive the span-dedup chain — materialize it
     // once; localCheckpoint's blocks free with the DataFrame (the
     // decontaminate precedent)
+    // The emptied-doc re-gate goes ABOVE the checkpoint boundary: filtering
+    // before it lets PushDownPredicates substitute the rebuild projection
+    // into the predicate — the rebuild UDF then runs twice per row and the
+    // tokenizer re-inlines INSIDE the chunk lambda (trap #1 via filter
+    // pushdown; caught by graft.AuditLambdas, r6). The checkpoint stores a
+    // few soon-dropped empty rows instead — the right trade.
     val spanned = Dedup.lineDedup(gated.select(col(idCol), col(textCol)), textCol, idCol)
       .withColumnRenamed("doc_id", idCol) // lineDedup's output id is always "doc_id"
-      .filter(length(trim(col(textCol))) > 0)
       .localCheckpoint()
+      .filter(length(trim(col(textCol))) > 0)
     val pairs = Dedup.minHashLsh(spanned, textCol, idCol, threshold = jaccardThreshold)
       .select("id_a", "id_b").localCheckpoint()
     // ONE label propagation serves both the keep/drop verdicts (step 3) and

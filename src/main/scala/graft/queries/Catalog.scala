@@ -2472,8 +2472,12 @@ object Catalog {
   private val q136 = Q("q136_ann_int8", (s, dir) => {
     // knn over int8 CODES only (scales cancel in cosine — no dequantization
     // in the hot path): the q17 broadcast + bounded-TopKAgg plan on vectors
-    // a quarter the size. Rows-only: rounding perturbs near-ties, so ranks
-    // differ from exact float knn by design; Int8QuantizeSpec pins recall.
+    // a quarter the size. Oracle-able (r5 judge directive #2): dot/na/nb are
+    // sums of products of ints <= 127 — exact integers in doubles under ANY
+    // accumulation order — so sim = dot/(sqrt(na)*sqrt(nb)) is two correctly
+    // rounded IEEE ops both engines reproduce bit-for-bit, and the (sim
+    // DESC, nid) tie-break pins the top-3. Int8QuantizeSpec pins recall vs
+    // exact float knn separately.
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), graft.functions.Vectors.int8Quantize(col("embedding")).getField("q").as("q"))
     val queries = emb.filter(col("vec_id") < 20)
@@ -2485,7 +2489,30 @@ object Catalog {
     val agg = sims.groupBy("qid").agg(TopK.topK(3)(col("sim"), col("nid")).as("nn"))
     TopK.explodeRanked(agg, "nn", Seq(col("qid")))
       .select(col("qid"), col("rank"), col("id").as("nid"))
-  }, None)
+  }, Some("""
+    WITH a AS (SELECT vec_id, embedding,
+                      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax
+               FROM embeddings),
+    b AS (SELECT vec_id, embedding, absmax,
+                 CASE WHEN absmax > 0 THEN absmax / 127.0 ELSE 0.0 END AS scale
+          FROM a),
+    codes AS (SELECT vec_id, CAST(u.k AS INTEGER) AS dim,
+                     CAST(CASE WHEN absmax > 0
+                               THEN floor(CAST(embedding[CAST(u.k AS INTEGER)+1] AS DOUBLE) / scale + 0.5)
+                               ELSE 0 END AS BIGINT) AS qval
+              FROM b, UNNEST(range(0, len(embedding))) u(k)),
+    d AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 sum(q.qval * c.qval) AS dot,
+                 sum(q.qval * q.qval) AS na,
+                 sum(c.qval * c.qval) AS nb
+          FROM codes q JOIN codes c ON q.dim = c.dim AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 20
+          GROUP BY 1, 2),
+    s AS (SELECT qid, nid,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS sim
+          FROM d)
+    SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rank, nid
+    FROM s QUALIFY rank <= 3"""))
 
   private val q137 = Q("q137_shuffle_shards", (s, dir) => {
     // Seeded global training-order shuffle + sharding — the pipeline's final
