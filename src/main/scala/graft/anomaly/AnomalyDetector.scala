@@ -195,6 +195,7 @@ object AnomalyDetector {
                              orderCols: Seq[Column], cfg: Config): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.{Encoders, Row}
+    graft.core.KeyImage.requireAtomic(df, partitionCols)
     val pre = df
       .withColumn("__v", valueCol.cast("double"))
       // null partition values get an explicit sentinel: concat_ws SKIPS nulls,

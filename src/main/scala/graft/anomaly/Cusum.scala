@@ -77,6 +77,7 @@ object Cusum {
     */
   def detectBatch(df: DataFrame, valueCol: Column, partitionCols: Seq[Column],
                   orderCols: Seq[Column], cfg: Config): DataFrame = {
+    graft.core.KeyImage.requireAtomic(df, partitionCols)
     val pre = df
       .withColumn("__v", valueCol.cast("double"))
       // collision-free length-prefixed key image (a separator encoding can

@@ -15,8 +15,28 @@ import org.apache.spark.sql.functions._
   * Use wherever a key image feeds hashing or grouping state (deterministic
   * noise keys, sequential-scan group detection). NOT needed when grouping on
   * the real columns — Spark compares those structurally.
+  *
+  * ATOMIC (non-nested) key columns only: the guarantee rests on
+  * cast-to-string being injective per column, and Spark's rendering of
+  * arrays/structs/maps is ambiguous — array("a, b") and array("a", "b")
+  * both print "[a, b]" — so crafted nested keys could still share an image
+  * (r5 advisor finding). Operators that build images from caller-supplied
+  * key columns must call [[requireAtomic]] against their input schema;
+  * nested keys should be encoded element-wise by the caller (e.g.
+  * `to_json(struct(c))`, which escapes unambiguously) before imaging.
   */
 object KeyImage {
+
+  /** Fail fast when any proposed key column has a nested type whose string
+    * rendering would break [[of]]'s injectivity-per-column premise.
+    */
+  def requireAtomic(df: org.apache.spark.sql.DataFrame, cols: Seq[Column]): Unit =
+    df.select(cols: _*).schema.fields.foreach { f =>
+      require(!Set("array", "map", "struct").exists(f.dataType.typeName.startsWith),
+        s"KeyImage requires atomic key columns: '${f.name}' is " +
+          s"${f.dataType.simpleString}, whose string rendering is ambiguous — " +
+          "encode it first (e.g. to_json(struct(col)))")
+    }
 
   def of(cols: Seq[Column]): Column = {
     require(cols.nonEmpty, "KeyImage.of: no columns")

@@ -87,7 +87,13 @@ object CorpusStats {
     // localCheckpoint, not persist: a persist has no unpersist hook here (the
     // returned DataFrame still references it) and every call would leak a
     // postings-sized cache entry for the session; checkpoint blocks are
-    // GC-released with the DataFrame
+    // GC-released with the DataFrame.
+    // Fault-tolerance trade (r5 advisor): localCheckpoint stores blocks
+    // UNREPLICATED on executors and truncates lineage, so on a cluster an
+    // executor loss makes the postings unrecoverable and fails the query
+    // instead of recomputing. Right for local mode / short sessions; a
+    // long-lived cluster deployment should set a reliable checkpoint dir
+    // (sparkContext.setCheckpointDir) and use .checkpoint() here instead.
     val tf = toks
       .select(col("doc_id"), size(col("__t")).as("dl"), explode_outer(col("__t")).as("token"))
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))

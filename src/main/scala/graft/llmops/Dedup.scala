@@ -583,16 +583,46 @@ object Dedup {
       out
     })
 
-    val banded = df.select(col(idCol).as("doc_id"), col(embCol).as("emb"))
-      .withColumn("__bk", bucketsUdf(col("emb")))
-      .select(col("doc_id"), posexplode(col("__bk")))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    // SIGNATURE-IDENTICAL COLLAPSE before banding (round 6 — the sf1 smoke
+    // gate caught the naive form at 430 s on a 10x-cloned 20k-vector table):
+    // vectors with byte-identical signatures collide in EVERY band, so
+    // banding them individually inflates every bucket by the clone
+    // multiplicity and the candidate join goes quadratic in it (400M
+    // candidate rows at sf1). Grouping them under a representative first is
+    // LOSSLESS — member buckets equal rep buckets by construction, so the
+    // final pair set is bit-identical — and the quadratic candidate join
+    // runs on |distinct signatures| rows. Intra-group pairs come straight
+    // off the membership table (they are answer-sized), cross-group pairs
+    // expand from representative pairs. Clone-heavy corpora are the 100 TB
+    // norm (mirrors, boilerplate embeds) — this is the shape that survives.
+    val sigged = df.select(col(idCol).as("doc_id"), col(embCol).as("emb"))
+      .withColumn("__sig", bucketsUdf(col("emb")))
+      .select("doc_id", "__sig")
+      // two consumers (rep agg + membership join) — materialize so the
+      // numPlanes x dim signature UDF runs once per row
+      .localCheckpoint()
+    val reps = sigged.groupBy("__sig").agg(min(col("doc_id")).as("rep"))
+    val members = sigged.join(reps, "__sig").select("doc_id", "rep")
+
+    val intra = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+
+    val banded = reps
+      .select(col("rep"), posexplode(col("__sig")))
+      .select(col("rep"), col("pos").as("band"), col("col").as("bucket"))
     // only side a capped — see capBuckets: identical output, one plan copy
     val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize, capStats)
-    val a = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
-    val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val a = capped.select(col("band"), col("bucket"), col("rep").as("rep_a"))
+    val b = banded.select(col("band"), col("bucket"), col("rep").as("rep_b"))
+    val repPairs = a.join(b, Seq("band", "bucket")).filter(col("rep_a") < col("rep_b"))
+      .select("rep_a", "rep_b").distinct()
+    val cross = repPairs
+      .join(members.select(col("rep").as("rep_a"), col("doc_id").as("__da")), "rep_a")
+      .join(members.select(col("rep").as("rep_b"), col("doc_id").as("__db")), "rep_b")
+      .select(least(col("__da"), col("__db")).as("id_a"),
+        greatest(col("__da"), col("__db")).as("id_b"))
+    val pairs = intra.unionByName(cross)
 
     val embs = df.select(col(idCol).as("doc_id"), col(embCol).as("emb"))
     pairs

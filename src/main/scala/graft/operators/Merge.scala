@@ -33,8 +33,18 @@ object Merge {
     require(dataCols.sorted.sameElements(base.columns.sorted),
       s"changes must carry exactly base's columns plus $opCol/$seqCol: " +
         s"base=${base.columns.mkString(",")} changes=${changes.columns.mkString(",")}")
+    // NULL keys in the changelog fail loudly: a NULL-key change would win
+    // its own window group and union in as an upsert, while the null-UNSAFE
+    // anti-join below never removes the old NULL-key base row — the output
+    // would carry BOTH rows instead of replacing/deleting (r5 advisor
+    // finding). Row-local check riding the changelog scan, same discipline
+    // as the op validation.
+    val keyOk = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val checked = changes.filter(when(keyOk, lit(true)).otherwise(
+      raise_error(lit(s"applyChangelog: change rows must have non-null keys " +
+        s"(${keyCols.mkString(", ")})")).cast("boolean")))
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
-    val latest = changes.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    val latest = checked.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
     val untouched = base.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
     // a null/unknown op would otherwise become a SILENT DELETE (the key is
     // anti-joined away, and `op =!= 'D'` evaluates null → never re-inserted);

@@ -57,11 +57,25 @@ object Privacy {
     * the data, not the run. One map-side-combined count; the noise is a
     * row-local projection on |groups| rows. Released counts are also
     * clamped at 0 and rounded (post-processing — ε unaffected).
+    *
+    * THE SEED IS PART OF THE PRIVACY BUDGET — two obligations the caller
+    * owns (r5 advisor finding):
+    *  1. `seed` must stay SECRET. The noise is a deterministic function of
+    *     (seed, group key); an adversary who knows the seed reconstructs
+    *     the noise and recovers exact counts.
+    *  2. Each distinct dataset VERSION needs a FRESH seed, and each release
+    *     spends ε from the total budget (sequential composition). Releasing
+    *     v1 and v2 of the data under the SAME seed gives both releases
+    *     identical per-group noise, so their difference equals the true
+    *     count difference exactly — the ε-DP guarantee holds per (seed,
+    *     dataset) release, not across same-seed releases. Rerun-stability
+    *     is for RETRIES of one release, never for republishing changed data.
     */
   def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
                seed: Long): DataFrame = {
     require(groupCols.nonEmpty, "dpCounts: no group columns")
     require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    graft.core.KeyImage.requireAtomic(df, groupCols.map(col))
     // collision-FREE image (length-prefixed KeyImage): separator/sentinel
     // encodings let crafted group values share a noise draw, and two groups
     // with byte-identical noise leak their exact count difference

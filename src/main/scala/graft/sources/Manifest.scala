@@ -26,16 +26,33 @@ object Manifest {
 
   private def manifestRoot(dir: String) = s"$dir/_manifests"
 
+  /** RECURSIVE data-file listing with the hidden-segment filter — the same
+    * idiom as `ZoneMapIndex.buildIncremental`: a partitioned layout keeps
+    * data in subdirectories, and a top-level-only `listStatus` would
+    * silently record an empty/partial manifest for it (r5 advisor finding).
+    */
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                        path: org.apache.hadoop.fs.Path): Seq[(String, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      val rel = st.getPath.toString.stripPrefix(path.toString)
+      val inHidden = rel.contains("/_") || rel.contains("/.")
+      if (st.isFile && !name.startsWith("_") && !name.startsWith(".") && !inHidden)
+        out += ((st.getPath.toString, st.getLen))
+    }
+    out.toSeq
+  }
+
   /** Record the directory's current file set as the next manifest version.
     * Returns the version number assigned.
     */
   def snapshot(spark: SparkSession, dir: String): Long = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(path)
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-      .map(st => (st.getPath.toString, st.getLen))
+    val files = dataFiles(fs, path)
     require(files.nonEmpty, s"Manifest.snapshot: no data files in $dir")
     val v = latestVersion(spark, dir).map(_ + 1L).getOrElse(0L)
     import spark.implicits._
@@ -144,10 +161,7 @@ object Manifest {
     val dataPath = new org.apache.hadoop.fs.Path(dir)
     def listing(): Set[String] =
       if (!fs.exists(dataPath)) Set.empty
-      else fs.listStatus(dataPath)
-        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
-        .map(_.getPath.toString).toSet
+      else dataFiles(fs, dataPath).map(_._1).toSet
     val before = listing()
     batch.write.mode("append").parquet(dir)
     val created = (listing() -- before).toSeq.sorted

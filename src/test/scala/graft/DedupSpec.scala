@@ -170,19 +170,35 @@ class DedupSpec extends SparkSpec {
       maxBucketSize = 10, capStats = st2).collect()
     assert(st2.droppedBuckets == 0L && st2.droppedRows == 0L)
 
-    // the embedding LSH shares the guard and the reporting. Every bucket is
-    // hot here (30 identical vectors, both band buckets of 30 > cap 5), the
-    // result is EMPTY, and the stats must still arrive — the exact case AQE
-    // empty-relation propagation loses when the channel is an observe() node.
+    // the embedding LSH collapses signature-identical vectors to a
+    // representative BEFORE banding (round 6): 30 exact clones form one
+    // 1-member-per-bucket rep, so the cap never fires and every true pair
+    // is found — the pre-collapse form dropped all of them as a hot bucket
     val st3 = new Dedup.CapStats(spark)
     val embs = (1L to 30L).map(i => (i, Array(1f, 0f, 0f, 0f)))
     val lshPairs = Dedup.embeddingNearDupLsh(embs.toDF("doc_id", "embedding"), "embedding", "doc_id",
       threshold = 0.9, bitsPerBand = 4, numBands = 2, maxBucketSize = 5,
       capStats = st3)
-    assert(lshPairs.count() == 0L, "all-hot corpus must yield no pairs")
-    assert(st3.droppedBuckets == 2L && st3.droppedRows == 60L,
-      s"embedding LSH must report its drops even when everything was dropped, " +
-        s"got ${st3.droppedBuckets}/${st3.droppedRows}")
+    assert(lshPairs.count() == 435L, "clone collapse must find all 30*29/2 pairs")
+    assert(st3.droppedBuckets == 0L && st3.droppedRows == 0L,
+      s"one representative per bucket — nothing to cap, got ${st3.droppedBuckets}/${st3.droppedRows}")
+
+    // rep-LEVEL caps still fire and still report: many DISTINCT signatures
+    // sharing a band bucket (2-band signatures are distinct, each single
+    // band has only 2^4 = 16 bucket values for ~120 reps)
+    val rnd = new scala.util.Random(7)
+    val spread = (1L to 120L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val st4 = new Dedup.CapStats(spark)
+    Dedup.embeddingNearDupLsh(spread.toDF("doc_id", "embedding"), "embedding", "doc_id",
+      threshold = 0.99, bitsPerBand = 4, numBands = 2, maxBucketSize = 3,
+      capStats = st4).collect()
+    assert(st4.droppedBuckets > 0L && st4.droppedRows > 0L,
+      "distinct-signature hot buckets must be capped AND reported")
+    val st5 = new Dedup.CapStats(spark)
+    Dedup.embeddingNearDupLsh(spread.toDF("doc_id", "embedding"), "embedding", "doc_id",
+      threshold = 0.99, bitsPerBand = 4, numBands = 2, maxBucketSize = 10000,
+      capStats = st5).collect()
+    assert(st5.droppedBuckets == 0L && st5.droppedRows == 0L)
   }
 }
 

@@ -142,4 +142,26 @@ class GuardsSpec extends SparkSpec {
       .as[String].head()
     assert(out == "closure:x")
   }
+
+  test("KeyImage-backed operators reject nested key columns (ambiguous string rendering)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // array("a, b") and array("a", "b") both render "[a, b]" — a crafted
+    // nested key could share a noise draw / state key, so the operators that
+    // image caller-supplied keys must fail fast instead (r5 advisor finding)
+    val df = Seq((Seq("a, b"), 1.0), (Seq("a", "b"), 2.0)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Privacy.dpCounts(df, Seq("k"), epsilon = 1.0, seed = 7L)
+    }
+    assert(e.getMessage.contains("atomic"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.anomaly.Cusum.detectBatch(df, col("v"), Seq(col("k")), Seq(col("v")),
+        graft.anomaly.Cusum.Config())
+    }
+    assert(e2.getMessage.contains("atomic"))
+    // the documented escape hatch works: encode first
+    val ok = graft.operators.Privacy.dpCounts(
+      df.withColumn("k", to_json(col("k"))), Seq("k"), epsilon = 1.0, seed = 7L)
+    assert(ok.count() == 2)
+  }
 }

@@ -77,4 +77,16 @@ class MergeSpec extends SparkSpec {
       Merge.applyChangelog(base, bad, Seq("k")))
     assert(e.getMessage.contains("base's columns"))
   }
+
+  test("a NULL-key change fails loudly instead of duplicating the base row") {
+    import spark.implicits._
+    // the anti-join is null-UNSAFE: without the guard a NULL-key upsert adds
+    // a second NULL-key row while the old one survives the anti-join
+    val base = Seq((Some(1L), "a"), (None: Option[Long], "old")).toDF("k", "v")
+    val changes = Seq((None: Option[Long], "new", "U", 1L)).toDF("k", "v", "op", "seq")
+    val e = intercept[Exception] {
+      graft.operators.Merge.applyChangelog(base, changes, Seq("k")).collect()
+    }
+    assert(e.getMessage.contains("non-null keys"))
+  }
 }
