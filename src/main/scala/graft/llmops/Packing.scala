@@ -51,8 +51,9 @@ object Packing {
     * n_tokens; every sequence except the last holds exactly `seqLen` tokens.
     */
   def packSequences(df: DataFrame, textCol: String, idCol: String, seqLen: Long,
-                    order: Seq[Column] = Nil): DataFrame = {
+                    order: Seq[Column] = Nil, startOffset: Long = 0L): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(startOffset >= 0, s"startOffset must be >= 0, got $startOffset")
     val spark = df.sparkSession
     val ord = if (order.nonEmpty) order else Seq(col(idCol))
     // a SortOrder (col.desc / col.asc_nulls_last) cannot be PROJECTED —
@@ -85,7 +86,7 @@ object Packing {
         var s = 0L; while (it.hasNext) { s += it.next().getLong(ntIdx) }; Iterator((pid, s))
       }
       .collect().sortBy(_._1).map(_._2)
-    val offsets = sums.scanLeft(0L)(_ + _)
+    val offsets = sums.scanLeft(startOffset)(_ + _)
 
     val baseSchema = ranged.schema
     val withOff = StructType(baseSchema.fields :+ StructField("__off", LongType, nullable = false))

@@ -3110,6 +3110,42 @@ FROM n"""))
            CAST(least(off + nt, (seq_id + 1) * 64) - greatest(off, seq_id * 64) AS BIGINT) AS piece_len
     FROM sp"""))
 
+
+  private val q160 = Q("q160_streaming_packing", (s, dir) => {
+    // Streaming twin of q159: the corpus arrives as two micro-batches
+    // (split at the median id — arrival order = id order, the documented
+    // ordering contract) through StreamingPacking's exactly-once offset
+    // carry. The committed placements must equal the one-shot batch map
+    // BIT-FOR-BIT, so this entry shares q159's oracle verbatim — a
+    // DuckDB-gated streaming operator.
+    val docs = t(s, dir, "documents")
+    val mid = docs.agg(org.apache.spark.sql.functions.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY doc_id)"))
+      .head().getDouble(0)
+    val tmp = java.nio.file.Files.createTempDirectory("q160").toString
+    graft.streaming.StreamingPacking.applyBatch(s, docs.filter(col("doc_id") <= mid),
+      "text", "doc_id", s"$tmp/store", s"$tmp/sink", 0L, 64L)
+    graft.streaming.StreamingPacking.applyBatch(s, docs.filter(col("doc_id") > mid),
+      "text", "doc_id", s"$tmp/store", s"$tmp/sink", 1L, 64L)
+    graft.streaming.StreamingPacking.placements(s, s"$tmp/store", s"$tmp/sink")
+  }, Some("""
+    WITH d AS (SELECT doc_id,
+                      CASE WHEN length(trim(text)) > 0
+                           THEN CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                           ELSE 0 END AS nt
+               FROM documents),
+    o AS (SELECT doc_id, nt,
+                 CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+          FROM d),
+    sp AS (SELECT doc_id, nt, off, u.s AS seq_id
+           FROM o, UNNEST(generate_series(CAST(off // 64 AS BIGINT), CAST((off + nt - 1) // 64 AS BIGINT))) u(s)
+           WHERE nt > 0)
+    SELECT doc_id, nt AS n_tokens, seq_id,
+           CAST(greatest(off, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_start,
+           CAST(greatest(off, seq_id * 64) - off AS BIGINT) AS doc_start,
+           CAST(least(off + nt, (seq_id + 1) * 64) - greatest(off, seq_id * 64) AS BIGINT) AS piece_len
+    FROM sp"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -3126,7 +3162,7 @@ FROM n"""))
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152, q153, q154, q155, q156, q157, q158, q159)
+    q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

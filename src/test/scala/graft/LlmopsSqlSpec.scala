@@ -144,4 +144,18 @@ class LlmopsSqlSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == want && got.nonEmpty)
   }
+
+  test("GRAFT_PACK equals the engine's placement map and composes with the outer query") {
+    docs
+    val got = SqlFrontend.execute(spark,
+      "SELECT doc_id, seq_id, seq_start, piece_len " +
+        "FROM TABLE(GRAFT_PACK(TABLE sqldocs, DESCRIPTOR(doc_id), DESCRIPTOR(text), 8)) " +
+        "WHERE piece_len > 0 ORDER BY doc_id, seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = graft.llmops.Packing.packSequences(docs, "text", "doc_id", 8L)
+      .orderBy("doc_id", "seq_id")
+      .select("doc_id", "seq_id", "seq_start", "piece_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
 }
