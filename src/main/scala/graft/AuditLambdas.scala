@@ -19,7 +19,11 @@ object AuditLambdas {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     val hits = mutable.LinkedHashMap.empty[String, Seq[String]]
-    var current = "<init>"
+    // volatile: read on the async listener-bus thread. Attribution of an
+    // internal query to `current` is best-effort — a callback delivered
+    // after the main loop advanced attributes to the NEXT query (the hit
+    // itself is never lost; re-run the named builders to pin it down)
+    @volatile var current = "<init>"
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
         val off = graft.core.PlanAudit.lambdaInvariants(qe.optimizedPlan)

@@ -45,8 +45,9 @@ object Smoke {
               .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
             s""""rc":1,"error":"$msg""""
         }
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""[smoke] {"q":"$name",$res,"sec":$sec%.2f}""")
+      val sec = String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box((System.nanoTime() - t0) / 1e9))
+      println(s"""[smoke] {"q":"$name",$res,"sec":$sec}""")
     }
     println(s"""[smoke] {"summary":true,"ok":$ok,"failed":${failed.size},""" +
       s""""failedNames":[${failed.reverse.map("\"" + _ + "\"").mkString(",")}]}""")

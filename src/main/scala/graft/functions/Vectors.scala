@@ -72,10 +72,13 @@ object Vectors {
     // previous sequence(0, size(v)-1) index array was invariant across the
     // outer k lambda and re-materialized per output dim (trap #1 shape;
     // caught by graft.AuditLambdas). Same left-to-right double accumulation,
-    // bit-identical results; empty v never indexes (fold body never runs),
-    // NULL v propagates to the coalesce → zeros, as before.
+    // bit-identical results. The size guard (cheap per element — array
+    // length lookup, audit-clean) preserves the original null algebra
+    // exactly: NULL v and empty v project to zeros, while a null ELEMENT
+    // nulls the fold and therefore the output dim — a corrupt embedding
+    // must stay visibly null, not silently become the zero vector.
     transform(sequence(lit(0), lit(outDim - 1)), k =>
-      coalesce(
+      when(size(v) > 0,
         aggregate(v,
           struct(lit(0.0).as("s"), lit(0L).as("j")),
           (acc, x) => struct(
@@ -83,8 +86,8 @@ object Vectors {
               when(((acc.getField("j") * lit(73856093L) + k.cast("long") * lit(19349663L)) % 1000003L % 2) === 0,
                 lit(1.0)).otherwise(lit(-1.0))).as("s"),
             (acc.getField("j") + 1L).as("j")),
-          acc => acc.getField("s") * lit(scale) + lit(0.0)),
-        lit(0.0)))
+          acc => acc.getField("s") * lit(scale) + lit(0.0)))
+        .otherwise(lit(0.0)))
   }
 
   /** Symmetric per-vector int8 quantization: scale = max|x| / 127,

@@ -218,12 +218,8 @@ object Curation {
     val nTokIdx = ranged.schema.fieldIndex("n_tokens")
 
     val rowRdd = ranged.rdd // one RDD: both passes share the sort shuffle
-    val totals = rowRdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        var t = 0L; it.foreach(r => t += r.getLong(nTokIdx)); Iterator((pid, t))
-      }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = totals.scanLeft(0L)(_ + _) // offsets(pid) = tokens before pid
+    val offsets = graft.core.PrefixSum.partitionOffsets(
+      rowRdd, (_: org.apache.spark.sql.Row).getLong(nTokIdx)) // offsets(pid) = tokens before pid
 
     val packed = rowRdd.mapPartitionsWithIndex { (pid, it) =>
       var cum = offsets(pid)

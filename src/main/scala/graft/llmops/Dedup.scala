@@ -601,7 +601,30 @@ object Dedup {
       // two consumers (rep agg + membership join) — materialize so the
       // numPlanes x dim signature UDF runs once per row
       .localCheckpoint()
-    val reps = sigged.groupBy("__sig").agg(min(col("doc_id")).as("rep"))
+    // maxBucketSize bounds BOTH quadratic sources, never silently: the
+    // rep-level band buckets (capBuckets below) AND the signature groups
+    // themselves — a group of g members contributes O(g²) intra pairs and
+    // multiplies every cross candidate by g, so a group larger than the cap
+    // is dropped from pair generation entirely and reported through the
+    // same CapStats counters (one bucket + its member rows), exactly the
+    // old per-bucket drop contract. Groups within the cap resolve FULLY —
+    // the pre-collapse form dropped them wholesale once bucket occupancy
+    // crossed the cap.
+    val grouped = sigged.groupBy("__sig")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("__gn"))
+    val keptGroups = Option(capStats).fold(grouped.filter(col("__gn") <= maxBucketSize)) { st =>
+      val (bAcc, rAcc) = (st.buckets, st.rows)
+      val capL = maxBucketSize.toLong
+      val keep = udf { n: Long =>
+        if (n > capL) { bAcc.add(1L); rAcc.add(n) }
+        n <= capL
+      }.asNondeterministic()
+      grouped.filter(keep(col("__gn")))
+    }
+    // |groups| rows; materialized so the accumulator-reporting filter runs
+    // exactly once even though three consumers (membership join, intra
+    // pairs, banding) read it — recomputation would double-count the drops
+    val reps = keptGroups.select("__sig", "rep").localCheckpoint()
     val members = sigged.join(reps, "__sig").select("doc_id", "rep")
 
     val intra = members.as("x").join(members.as("y"),

@@ -81,12 +81,7 @@ object Packing {
 
     val rowRdd = ranged.queryExecution.toRdd
     val ntIdx = ranged.schema.fieldIndex("__nt")
-    val sums = rowRdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        var s = 0L; while (it.hasNext) { s += it.next().getLong(ntIdx) }; Iterator((pid, s))
-      }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = sums.scanLeft(startOffset)(_ + _)
+    val offsets = graft.core.PrefixSum.partitionOffsets(rowRdd, (_: org.apache.spark.sql.catalyst.InternalRow).getLong(ntIdx), startOffset)
 
     val baseSchema = ranged.schema
     val withOff = StructType(baseSchema.fields :+ StructField("__off", LongType, nullable = false))

@@ -45,12 +45,8 @@ object Ids {
     val schema = ranged.schema.add(idName, org.apache.spark.sql.types.LongType, nullable = false)
 
     val rowRdd = ranged.rdd // one RDD: both passes share the sort shuffle
-    val counts = rowRdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        var n = 0L; it.foreach(_ => n += 1); Iterator((pid, n))
-      }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _) // offsets(pid) = rows before pid
+    val offsets = graft.core.PrefixSum.partitionOffsets(
+      rowRdd, (_: org.apache.spark.sql.Row) => 1L) // offsets(pid) = rows before pid
 
     val numbered = rowRdd.mapPartitionsWithIndex { (pid, it) =>
       var next = offsets(pid)

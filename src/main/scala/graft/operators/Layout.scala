@@ -49,12 +49,8 @@ object Layout {
     // counting pass never pays catalyst→Scala conversion (the .rdd form
     // deserialized every field of every row just to call it.size)
     val rowRdd = ranged.queryExecution.toRdd
-    val counts = rowRdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        var c = 0L; while (it.hasNext) { it.next(); c += 1 }; Iterator((pid, c))
-      }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
+    val offsets = graft.core.PrefixSum.partitionOffsets(rowRdd,
+      (_: org.apache.spark.sql.catalyst.InternalRow) => 1L)
     val n = offsets.last max 1L
 
     var schema = ranged.schema.add("global_pos", LongType, nullable = false)

@@ -35,10 +35,14 @@ object Manifest {
                         path: org.apache.hadoop.fs.Path): Seq[(String, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val it = fs.listFiles(path, true)
+    // listFiles returns SCHEME-QUALIFIED paths ('file:/...'); strip the
+    // qualified root or the hidden-segment check runs on the ancestor
+    // directories too and a data dir under ~/.cache would list as empty
+    val rootPrefix = fs.makeQualified(path).toString
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
-      val rel = st.getPath.toString.stripPrefix(path.toString)
+      val rel = st.getPath.toString.stripPrefix(rootPrefix)
       val inHidden = rel.contains("/_") || rel.contains("/.")
       if (st.isFile && !name.startsWith("_") && !name.startsWith(".") && !inHidden)
         out += ((st.getPath.toString, st.getLen))

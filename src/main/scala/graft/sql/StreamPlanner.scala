@@ -389,7 +389,10 @@ object StreamPlanner {
 
     val (_, fromPart) = SqlFrontend.topLevelSelectFrom(stageSql)
     val input = SqlFrontend.parseSql(spark, s"SELECT * FROM $fromPart")
-    if (parts.size > 1) graft.core.KeyImage.requireAtomic(input, parts.map(p => expr(p)))
+    // single-column keys collide the same way: withPayload casts the key
+    // to string for the state key, and nested string renderings are
+    // ambiguous — guard every arity
+    graft.core.KeyImage.requireAtomic(input, parts.map(p => expr(p)))
     val det = StreamingAnomaly.withPayload(input,
       keyExpr, expr(ord), expr(args.head),
       to_json(struct(input.columns.map(col).toIndexedSeq: _*), jsonOpts), cfg)

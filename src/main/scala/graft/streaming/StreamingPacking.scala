@@ -68,10 +68,12 @@ object StreamingPacking {
     val placed = Packing.packSequences(batch, textCol, idCol, seqLen, startOffset = base)
       .localCheckpoint() // two consumers: sink write + token total
     placed.write.mode("overwrite").parquet(s"$sinkDir/batch_$batchId")
-    // end offset = base + all tokens in this batch (including docs whose
-    // pieces were emitted; zero-token docs add nothing by construction)
-    val batchTokens = placed.select(col(idCol), col("n_tokens")).distinct()
-      .agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+    // end offset = base + all tokens this batch PLACED: every row's pieces
+    // sum to its n_tokens, so summing piece_len is exact even when the
+    // batch carries duplicate ids (a distinct on (id, n_tokens) would
+    // collapse them and under-advance the carry); zero-token docs add
+    // nothing by construction
+    val batchTokens = placed.agg(coalesce(sum("piece_len"), lit(0L))).head().getLong(0)
     writeText(new java.io.File(root, s"off_b$batchId"), (base + batchTokens).toString)
 
     val tmp = new java.io.File(root, s".$PTR.tmp")

@@ -171,17 +171,26 @@ class DedupSpec extends SparkSpec {
     assert(st2.droppedBuckets == 0L && st2.droppedRows == 0L)
 
     // the embedding LSH collapses signature-identical vectors to a
-    // representative BEFORE banding (round 6): 30 exact clones form one
-    // 1-member-per-bucket rep, so the cap never fires and every true pair
-    // is found — the pre-collapse form dropped all of them as a hot bucket
+    // representative BEFORE banding (round 6). maxBucketSize bounds BOTH
+    // quadratic sources: a 30-clone group under a cap of 5 is dropped from
+    // pair generation entirely AND reported (the old per-bucket contract —
+    // a group of g members is O(g²) intra pairs, so it must not expand)...
     val st3 = new Dedup.CapStats(spark)
     val embs = (1L to 30L).map(i => (i, Array(1f, 0f, 0f, 0f)))
     val lshPairs = Dedup.embeddingNearDupLsh(embs.toDF("doc_id", "embedding"), "embedding", "doc_id",
       threshold = 0.9, bitsPerBand = 4, numBands = 2, maxBucketSize = 5,
       capStats = st3)
-    assert(lshPairs.count() == 435L, "clone collapse must find all 30*29/2 pairs")
-    assert(st3.droppedBuckets == 0L && st3.droppedRows == 0L,
-      s"one representative per bucket — nothing to cap, got ${st3.droppedBuckets}/${st3.droppedRows}")
+    assert(lshPairs.count() == 0L, "an over-cap clone group must not expand")
+    assert(st3.droppedBuckets == 1L && st3.droppedRows == 30L,
+      s"the dropped group must be reported, got ${st3.droppedBuckets}/${st3.droppedRows}")
+    // ...while a group WITHIN the cap resolves fully — the pre-collapse
+    // form dropped these wholesale once bucket occupancy crossed the cap
+    val st3b = new Dedup.CapStats(spark)
+    val lshPairsOk = Dedup.embeddingNearDupLsh(embs.toDF("doc_id", "embedding"), "embedding", "doc_id",
+      threshold = 0.9, bitsPerBand = 4, numBands = 2, maxBucketSize = 100,
+      capStats = st3b)
+    assert(lshPairsOk.count() == 435L, "an in-cap clone group must find all 30*29/2 pairs")
+    assert(st3b.droppedBuckets == 0L && st3b.droppedRows == 0L)
 
     // rep-LEVEL caps still fire and still report: many DISTINCT signatures
     // sharing a band bucket (2-band signatures are distinct, each single
