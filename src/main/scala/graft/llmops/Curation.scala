@@ -582,7 +582,8 @@ object Curation {
     // localCheckpoint precedent) instead of re-running scan+fingerprint+agg
     // per branch
     val exactDeduped = df.join(keeperIds, Seq(idCol), "leftsemi").localCheckpoint()
-    val nearDupLosers = Dedup.minHashLsh(exactDeduped, textCol, idCol, threshold = jaccardThreshold)
+    val nearDupLosers = Dedup.minHashLsh(exactDeduped, textCol, idCol, threshold = jaccardThreshold,
+      collapseIdentical = false) // input is exact-deduped: no identical sets remain
       .select(col("id_b").as(idCol)).distinct()
     exactDeduped.join(nearDupLosers, Seq(idCol), "leftanti")
       .withColumn("lang_pred", Text.langId(col(textCol)))
@@ -635,7 +636,8 @@ object Curation {
       .withColumnRenamed("doc_id", idCol) // lineDedup's output id is always "doc_id"
       .localCheckpoint()
       .filter(length(trim(col(textCol))) > 0)
-    val pairs = Dedup.minHashLsh(spanned, textCol, idCol, threshold = jaccardThreshold)
+    val pairs = Dedup.minHashLsh(spanned, textCol, idCol, threshold = jaccardThreshold,
+      collapseIdentical = false) // gated+span-deduped input: clones are upstream's job
       .select("id_a", "id_b").localCheckpoint()
     // ONE label propagation serves both the keep/drop verdicts (step 3) and
     // the cluster-keyed split (step 6)

@@ -184,10 +184,72 @@ object Dedup {
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleSize: Int = 3, numHashes: Int = 16, numBands: Int = 4,
                  threshold: Double = 0.5, maxBucketSize: Int = 10000,
-                 capStats: CapStats = null): DataFrame = {
+                 capStats: CapStats = null,
+                 collapseIdentical: Boolean = true): DataFrame = {
     require(numHashes % numBands == 0,
       s"numHashes ($numHashes) must be divisible by numBands ($numBands) — trailing hashes would be silently ignored")
+    // distinct shingle sets computed ONCE per doc (a doc in many candidate
+    // pairs would otherwise re-tokenize per pair). Sets are 8-byte xxhash64
+    // values, not strings (the q27 inverted-index argument: identical
+    // Jaccard up to 2^-64 collisions, and the sorted-merge intersect runs
+    // at a fraction of the UTF8 compare cost).
+    val shHashUdf = udf { text: String =>
+      // null text -> null set -> null jaccard -> pair filtered out, matching
+      // the Column formulation this UDF replaced (Text.tokens propagates null)
+      if (text == null) null
+      else shingleHashSet(text, shingleSize)
+    }
+    val shSets = df.select(col(idCol).as("doc_id"), shHashUdf(col(textCol)).as("__sh"))
+      .localCheckpoint() // consumed by the rep agg, the membership join, verification
+    if (!collapseIdentical) {
+      // direct path — for inputs KNOWN clone-free (e.g. after Dedup.exact,
+      // as in Curation.curate/curateFull): the collapse machinery is three
+      // extra corpus-sized shuffles that can never pay off there (measured
+      // +1 s on q54 / +5 s on q99 at sf1 when left on)
+      val banded0 = bandedBuckets(df, textCol, idCol, shingleSize, numHashes, numBands)
+      val capped = capBuckets(banded0, Seq("band", "bucket"), maxBucketSize, capStats)
+      val a = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      val b = banded0.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+      val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      return pairs
+        .join(shSets.select(col("doc_id").as("id_a"), col("__sh").as("__sa")), "id_a")
+        .join(shSets.select(col("doc_id").as("id_b"), col("__sh").as("__sb")), "id_b")
+        .withColumn("__common", sortedIntersectSize(col("__sa"), col("__sb")).cast("double"))
+        .withColumn("jaccard", col("__common") / (size(col("__sa")) + size(col("__sb")) - col("__common")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
+    // SET-IDENTICAL COLLAPSE before banding (round 6, same as
+    // jaccardJoinPrefix / embeddingNearDupLsh): identical shingle sets have
+    // identical signatures, so clones collide in EVERY band and the bucket
+    // self-join goes quadratic in clone multiplicity. Group them under a
+    // min-id representative: intra-group pairs are jaccard 1.0 exactly (no
+    // verification needed), cross pairs inherit the rep pair's jaccard
+    // bit-for-bit. maxBucketSize bounds BOTH quadratic sources — an
+    // over-cap GROUP drops from pair generation and reports through
+    // CapStats (one bucket + its member rows), exactly like a hot band
+    // bucket; empty sets group with nobody (they never pass any threshold).
+    val nonEmpty = shSets.filter(col("__sh").isNotNull && size(col("__sh")) > 0)
+    val grouped = nonEmpty.groupBy("__sh")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("__gn"))
+    val keptGroups = Option(capStats).fold(grouped.filter(col("__gn") <= maxBucketSize)) { st =>
+      val (bAcc, rAcc) = (st.buckets, st.rows)
+      val capL = maxBucketSize.toLong
+      val keep = udf { n: Long =>
+        if (n > capL) { bAcc.add(1L); rAcc.add(n) }
+        n <= capL
+      }.asNondeterministic()
+      grouped.filter(keep(col("__gn")))
+    }
+    val reps = keptGroups.select("__sh", "rep").localCheckpoint()
+    val members = nonEmpty.join(reps, "__sh").select("doc_id", "rep")
+    val intra = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"), lit(1.0).as("jaccard"))
+
     val banded0 = bandedBuckets(df, textCol, idCol, shingleSize, numHashes, numBands)
+      .join(reps.select(col("rep").as("doc_id")), "doc_id") // reps only
     val capped = capBuckets(banded0, Seq("band", "bucket"), maxBucketSize, capStats)
     // per-bucket self-join (shuffle keyed on (band, bucket)); ids only.
     // Only side a is capped — see capBuckets: identical output, one plan copy.
@@ -195,25 +257,7 @@ object Dedup {
     val b = banded0.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // distinct shingle sets computed ONCE per doc (a doc in many candidate
-    // pairs would otherwise re-tokenize per pair), then joined onto the
-    // candidate set for exact verification. Sets are 8-byte xxhash64 values,
-    // not strings (the q27 inverted-index argument: identical Jaccard up to
-    // 2^-64 collisions, and array_intersect over longs at a fraction of the
-    // UTF8 compare cost — 250k sf1 candidate pairs verify ~2× faster)
-    val shHashUdf = udf { text: String =>
-      // null text -> null set -> null jaccard -> pair filtered out, matching
-      // the Column formulation this UDF replaced (Text.tokens propagates null)
-      if (text == null) null
-      else shingleHashSet(text, shingleSize)
-    }
-    // note: a candidate-only variant (semi-join the corpus on the pair ids
-    // before this UDF) was measured SLOWER at both bench points — the extra
-    // checkpoint barrier + semi-join stage outweigh the skipped hashing when
-    // candidates are plentiful (sf1 fixture) or the corpus is small (sf0.1);
-    // the full-corpus set pass keeps the plan one straight-line DAG
-    val shSets = df.select(col(idCol).as("doc_id"), shHashUdf(col(textCol)).as("__sh"))
-    pairs
+    val repPairs = pairs
       .join(shSets.select(col("doc_id").as("id_a"), col("__sh").as("__sa")), "id_a")
       .join(shSets.select(col("doc_id").as("id_b"), col("__sh").as("__sb")), "id_b")
       // sortedIntersectSize: the sets are sorted at construction, so the
@@ -223,6 +267,12 @@ object Dedup {
       .withColumn("jaccard", col("__common") / (size(col("__sa")) + size(col("__sb")) - col("__common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("doc_id").as("__da")), "id_a")
+      .join(members.select(col("rep").as("id_b"), col("doc_id").as("__db")), "id_b")
+      .select(least(col("__da"), col("__db")).as("id_a"),
+        greatest(col("__da"), col("__db")).as("id_b"), col("jaccard"))
+    cross.unionByName(intra)
   }
 
   /** Distinct shingle hashes of one doc, SORTED — the imperative core of the
@@ -373,8 +423,28 @@ object Dedup {
                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val withN = shingleSets(graft.core.Parallelism.defend(df), textCol, idCol, shingleSize)
+    val withAll = shingleSets(graft.core.Parallelism.defend(df), textCol, idCol, shingleSize)
       .withColumn("n_sh", size(col("sh"))).filter(col("n_sh") > 0)
+      .localCheckpoint() // consumed by the rep agg and the membership join
+    // SET-IDENTICAL COLLAPSE (round 6, the q59 lesson applied to the exact
+    // join): docs with byte-identical shingle sets share every prefix
+    // token, so the candidate join goes quadratic in the clone multiplicity
+    // of every shared shingle. Grouping them under one representative is
+    // LOSSLESS AND EXACT — the group key is the sorted hash array itself
+    // (no fingerprint collisions), intra-group pairs have jaccard exactly
+    // 1.0 (identical sets — no verification needed), and every cross-group
+    // member pair inherits its representative pair's jaccard bit-for-bit
+    // (same sizes, same intersection). PPJoin then runs on |distinct sets|
+    // docs: the x10-clone sf1 corpus drops from 52.5 s to the de-cloned
+    // cost plus an answer-sized expansion.
+    val reps = withAll.groupBy("sh").agg(min(col("doc_id")).as("rep")).localCheckpoint()
+    val membersAll = withAll.select(col("doc_id"), col("sh"))
+      .join(reps, "sh").select("doc_id", "rep").localCheckpoint()
+    val intra = membersAll.as("x").join(membersAll.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    val withN = withAll.join(reps.select(col("rep").as("doc_id")), "doc_id")
       .localCheckpoint() // exploded twice (df + prefix) and verified against
     val exploded = withN.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
     val dfTable = exploded.groupBy("shingle").agg(count(lit(1)).as("__df"))
@@ -400,7 +470,7 @@ object Dedup {
       .filter((least(col("n_a") - col("__pa"), col("n_b") - col("__pb")) + lit(1)).cast("double") >=
         lit(threshold / (1.0 + threshold)) * (col("n_a") + col("n_b")).cast("double") - lit(1e-9))
       .select("id_a", "id_b").distinct()
-    cands
+    val repPairs = cands
       .join(withN.select(col("doc_id").as("id_a"), col("sh").as("__sa")), "id_a")
       .join(withN.select(col("doc_id").as("id_b"), col("sh").as("__sb")), "id_b")
       .withColumn("__common", sortedIntersectSize(col("__sa"), col("__sb")).cast("double"))
@@ -408,6 +478,15 @@ object Dedup {
         col("__common") / (size(col("__sa")) + size(col("__sb")) - col("__common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    // expand verified rep pairs to all member pairs (least/greatest keeps
+    // the id_a < id_b contract; each unordered pair arises exactly once
+    // because the two groups are distinct), then add the intra-group pairs
+    val cross = repPairs
+      .join(membersAll.select(col("rep").as("id_a"), col("doc_id").as("__da")), "id_a")
+      .join(membersAll.select(col("rep").as("id_b"), col("doc_id").as("__db")), "id_b")
+      .select(least(col("__da"), col("__db")).as("id_a"),
+        greatest(col("__da"), col("__db")).as("id_b"), col("jaccard"))
+    cross.unionByName(intra)
   }
 
   /** 64-bit SimHash signatures, row-local: bit i of the signature is set when

@@ -159,9 +159,13 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.minHashLsh(df, "text", "doc_id", 3, 16, 4, 0.2,
       maxBucketSize = 10, capStats = st)
     pairs.collect() // stats ride the query's own execution
-    assert(st.droppedBuckets == 4L,
-      s"all 4 boilerplate band buckets must be reported dropped, got ${st.droppedBuckets}")
-    assert(st.droppedRows == 160L, // 4 bands × 40 docs
+    // set-identical collapse (round 6): the 40 clones are ONE signature
+    // group of 40 > cap 10, dropped at the group level before banding —
+    // one reported bucket carrying its 40 member rows (previously the same
+    // drop surfaced as 4 band buckets x 40 docs)
+    assert(st.droppedBuckets == 1L,
+      s"the over-cap boilerplate group must be reported dropped, got ${st.droppedBuckets}")
+    assert(st.droppedRows == 40L,
       s"dropped row count must be exact, got ${st.droppedRows}")
 
     // a corpus with no hot buckets reports zero drops
