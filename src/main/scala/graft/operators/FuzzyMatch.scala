@@ -27,21 +27,68 @@ object FuzzyMatch {
 
   /** Self-match `df` on `blockExpr`-equal rows with name edit distance in
     * [minDist, maxDist]. Output: (a_id, b_id, a_name, b_name, dist).
+    *
+    * `collapseIdentical` (default on — duplicate entities are the NORM in
+    * the data fuzzy matching exists for) groups rows with identical
+    * (name, block) under a min-id representative: the blocked join and the
+    * edit distance run once per DISTINCT name pair, and member pairs
+    * inherit the representative pair's distance — output identical to the
+    * direct path row for row (q126's oracle pins it). Intra-group pairs
+    * have distance 0 and appear only when `minDist == 0`. On the 10x-clone
+    * sf1 customer table this is 100x fewer levenshtein evaluations
+    * (71.6 -> see BASELINE). Pass false for inputs known duplicate-free.
     */
   def selfMatch(df: DataFrame, idCol: String, nameCol: String, blockExpr: Column,
-                maxDist: Int = 2, minDist: Int = 1): DataFrame = {
+                maxDist: Int = 2, minDist: Int = 1,
+                collapseIdentical: Boolean = true): DataFrame = {
     require(maxDist >= minDist && minDist >= 0, s"bad distance band [$minDist, $maxDist]")
     // blockExpr may reference any input column — evaluate it before pruning
     val keyed = df.withColumn("__blk", blockExpr).select(col(idCol), col(nameCol), col("__blk"))
-    val a = keyed.select(col("__blk"), col(idCol).as("a_id"), col(nameCol).as("a_name"))
-    val b = keyed.select(col("__blk"), col(idCol).as("b_id"), col(nameCol).as("b_name"))
-    a.join(b, Seq("__blk"))
+    if (!collapseIdentical) {
+      val a = keyed.select(col("__blk"), col(idCol).as("a_id"), col(nameCol).as("a_name"))
+      val b = keyed.select(col("__blk"), col(idCol).as("b_id"), col(nameCol).as("b_name"))
+      return a.join(b, Seq("__blk"))
+        .filter(col("a_id") < col("b_id"))
+        // 3-arg levenshtein returns -1 past the threshold — the band filter
+        // drops those rows AND the exact-equal (dist 0) ones in one pass
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name"), maxDist))
+        .filter(col("dist") >= minDist && col("dist") <= maxDist)
+        .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"), col("dist"))
+    }
+    // the group key is (name, block): two rows agreeing on both are
+    // interchangeable in every candidate pair (same block membership, same
+    // distance to everything)
+    val grouped = keyed.groupBy(col(nameCol), col("__blk"))
+      .agg(min(col(idCol)).as("rep")).localCheckpoint()
+    val members = keyed.join(grouped, Seq(nameCol, "__blk"))
+      .select(col(idCol).as("__mid"), col("rep"))
+    val ga = grouped.select(col("__blk"), col("rep").as("a_id"), col(nameCol).as("a_name"))
+    val gb = grouped.select(col("__blk"), col("rep").as("b_id"), col(nameCol).as("b_name"))
+    val repPairs = ga.join(gb, Seq("__blk"))
       .filter(col("a_id") < col("b_id"))
-      // 3-arg levenshtein returns -1 past the threshold — the band filter
-      // drops those rows AND the exact-equal (dist 0) ones in one pass
       .withColumn("dist", levenshtein(col("a_name"), col("b_name"), maxDist))
       .filter(col("dist") >= minDist && col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"), col("dist"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("a_id"), col("__mid").as("__ia")), "a_id")
+      .join(members.select(col("rep").as("b_id"), col("__mid").as("__ib")), "b_id")
+      .withColumn("__swap", col("__ib") < col("__ia"))
+      .select(
+        when(col("__swap"), col("__ib")).otherwise(col("__ia")).as("a_id"),
+        when(col("__swap"), col("__ia")).otherwise(col("__ib")).as("b_id"),
+        when(col("__swap"), col("b_name")).otherwise(col("a_name")).as("a_name"),
+        when(col("__swap"), col("a_name")).otherwise(col("b_name")).as("b_name"),
+        col("dist"))
+    if (minDist > 0) cross
+    else {
+      val m = members.join(grouped.select(col("rep"), col(nameCol).as("__nm")), "rep")
+      val intra = m.as("x").join(m.as("y"),
+          col("x.rep") === col("y.rep") && col("x.__mid") < col("y.__mid"))
+        .select(col("x.__mid").as("a_id"), col("y.__mid").as("b_id"),
+          col("x.__nm").as("a_name"), col("x.__nm").as("b_name"),
+          lit(0).as("dist"))
+      cross.unionByName(intra)
+    }
   }
 
   /** Sorted-neighborhood matching, the OTHER classic ER blocking: sort the

@@ -67,7 +67,9 @@ object Labs {
     */
   def lab2Rag(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val corpus = MlPredict.embed(docs, "local-embed-64", "text")
+    // embedDistinct: the corpus is the embed-cost driver and clone-heavy
+    // corpora re-embed the same text — each distinct text hits the model once
+    val corpus = MlPredict.embedDistinct(docs, "local-embed-64", "text")
       .select(col("doc_id"), col("text").as("chunk"), col("embedding"))
 
     val queries = docs.orderBy("doc_id").limit(nQueries)
