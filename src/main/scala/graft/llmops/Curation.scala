@@ -582,8 +582,12 @@ object Curation {
     // localCheckpoint precedent) instead of re-running scan+fingerprint+agg
     // per branch
     val exactDeduped = df.join(keeperIds, Seq(idCol), "leftsemi").localCheckpoint()
+    // collapse off: exact dedup removed byte-identical texts, so identical
+    // SHINGLE SETS are rare (only whitespace-run/token-multiplicity variants
+    // survive md5 dedup yet shingle identically) — the collapse's three
+    // corpus-sized shuffles measured net-negative on this input (+1 s q54 sf1)
     val nearDupLosers = Dedup.minHashLsh(exactDeduped, textCol, idCol, threshold = jaccardThreshold,
-      collapseIdentical = false) // input is exact-deduped: no identical sets remain
+      collapseIdentical = false)
       .select(col("id_b").as(idCol)).distinct()
     exactDeduped.join(nearDupLosers, Seq(idCol), "leftanti")
       .withColumn("lang_pred", Text.langId(col(textCol)))
@@ -636,8 +640,11 @@ object Curation {
       .withColumnRenamed("doc_id", idCol) // lineDedup's output id is always "doc_id"
       .localCheckpoint()
       .filter(length(trim(col(textCol))) > 0)
+    // collapse off: span dedup empties-and-drops full-document clones (each
+    // chunk keeps one winner), so surviving identical sets are rare and the
+    // collapse machinery measured net-negative here (+5 s q99 sf1)
     val pairs = Dedup.minHashLsh(spanned, textCol, idCol, threshold = jaccardThreshold,
-      collapseIdentical = false) // gated+span-deduped input: clones are upstream's job
+      collapseIdentical = false)
       .select("id_a", "id_b").localCheckpoint()
     // ONE label propagation serves both the keep/drop verdicts (step 3) and
     // the cluster-keyed split (step 6)

@@ -38,9 +38,14 @@ object Dedup {
   final class CapStats(spark: org.apache.spark.sql.SparkSession) extends Serializable {
     private[llmops] val buckets = spark.sparkContext.longAccumulator("graft.lsh.dropped_buckets")
     private[llmops] val rows = spark.sparkContext.longAccumulator("graft.lsh.dropped_rows")
-    /** Band buckets dropped for exceeding maxBucketSize (so far). */
+    /** Hot UNITS dropped for exceeding maxBucketSize (so far). Two unit
+      * kinds share these counters since the round-6 collapse: a BAND BUCKET
+      * (rows = its banded (doc, band) entries) and a SIGNATURE GROUP
+      * (rows = its member documents). Either kind of drop is a recall
+      * event; alert on nonzero, don't unit-convert across kinds.
+      */
     def droppedBuckets: Long = buckets.value
-    /** Banded rows those dropped buckets contained (so far). */
+    /** Rows the dropped units contained (banded entries or member docs). */
     def droppedRows: Long = rows.value
     def reset(): Unit = { buckets.reset(); rows.reset() }
   }
@@ -188,6 +193,11 @@ object Dedup {
                  collapseIdentical: Boolean = true): DataFrame = {
     require(numHashes % numBands == 0,
       s"numHashes ($numHashes) must be divisible by numBands ($numBands) — trailing hashes would be silently ignored")
+    // threshold > 1 would make the collapse path's identity pairs (jaccard
+    // exactly 1.0) diverge from the direct path's empty answer — reject the
+    // meaningless band like jaccardJoinPrefix does
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
     // distinct shingle sets computed ONCE per doc (a doc in many candidate
     // pairs would otherwise re-tokenize per pair). Sets are 8-byte xxhash64
     // values, not strings (the q27 inverted-index argument: identical
@@ -224,32 +234,49 @@ object Dedup {
     // jaccardJoinPrefix / embeddingNearDupLsh): identical shingle sets have
     // identical signatures, so clones collide in EVERY band and the bucket
     // self-join goes quadratic in clone multiplicity. Group them under a
-    // min-id representative: intra-group pairs are jaccard 1.0 exactly (no
-    // verification needed), cross pairs inherit the rep pair's jaccard
-    // bit-for-bit. maxBucketSize bounds BOTH quadratic sources — an
-    // over-cap GROUP drops from pair generation and reports through
-    // CapStats (one bucket + its member rows), exactly like a hot band
-    // bucket; empty sets group with nobody (they never pass any threshold).
+    // min-id representative ([[collapseGroups]] — group cap + CapStats
+    // reporting shared with the family): intra-group pairs are jaccard 1.0
+    // exactly (no verification needed), cross pairs inherit the rep pair's
+    // jaccard bit-for-bit; empty sets group with nobody (they never pass
+    // any threshold).
     val nonEmpty = shSets.filter(col("__sh").isNotNull && size(col("__sh")) > 0)
-    val grouped = nonEmpty.groupBy("__sh")
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("__gn"))
-    val keptGroups = Option(capStats).fold(grouped.filter(col("__gn") <= maxBucketSize)) { st =>
-      val (bAcc, rAcc) = (st.buckets, st.rows)
-      val capL = maxBucketSize.toLong
-      val keep = udf { n: Long =>
-        if (n > capL) { bAcc.add(1L); rAcc.add(n) }
-        n <= capL
-      }.asNondeterministic()
-      grouped.filter(keep(col("__gn")))
-    }
-    val reps = keptGroups.select("__sh", "rep").localCheckpoint()
-    val members = nonEmpty.join(reps, "__sh").select("doc_id", "rep")
+    val (reps, members0) = collapseGroups(nonEmpty, Seq("__sh"), "doc_id",
+      maxBucketSize, capStats)
+    val members = members0.withColumnRenamed("__cg_id", "doc_id")
     val intra = members.as("x").join(members.as("y"),
         col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"), lit(1.0).as("jaccard"))
 
-    val banded0 = bandedBuckets(df, textCol, idCol, shingleSize, numHashes, numBands)
-      .join(reps.select(col("rep").as("doc_id")), "doc_id") // reps only
+    // band the REPRESENTATIVES ONLY, deriving signatures straight from the
+    // checkpointed hash sets: sig_j = min over h in __sh of chainInt(h, j)
+    // — the exact recurrence minHashSignatures runs over the raw shingles
+    // (min is duplicate-insensitive, utf8/seed-42 base hashes identical;
+    // DedupSpec's collapse≡direct test pins output equality end-to-end). The previous form
+    // re-tokenized and re-hashed EVERY clone row through bandedBuckets and
+    // then threw the non-rep signatures away.
+    val nH = numHashes
+    val rowsPerBand = numHashes / numBands
+    val sigFromSet = udf { sh: Seq[Long] =>
+      val sig = Array.fill(nH)(Long.MaxValue)
+      var i = 0
+      while (i < sh.length) {
+        val base = sh(i)
+        var j = 0
+        while (j < nH) {
+          val h = RowHash.chainInt(base, j)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+        i += 1
+      }
+      sig
+    }
+    val banded0 = reps
+      .select(col("rep").as("doc_id"), sigFromSet(col("__sh")).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select(col("doc_id"), col("pos").as("band"), hash(col("col")).as("bucket"))
     val capped = capBuckets(banded0, Seq("band", "bucket"), maxBucketSize, capStats)
     // per-bucket self-join (shuffle keyed on (band, bucket)); ids only.
     // Only side a is capped — see capBuckets: identical output, one plan copy.
@@ -437,9 +464,12 @@ object Dedup {
     // (same sizes, same intersection). PPJoin then runs on |distinct sets|
     // docs: the x10-clone sf1 corpus drops from 52.5 s to the de-cloned
     // cost plus an answer-sized expansion.
-    val reps = withAll.groupBy("sh").agg(min(col("doc_id")).as("rep")).localCheckpoint()
-    val membersAll = withAll.select(col("doc_id"), col("sh"))
-      .join(reps, "sh").select("doc_id", "rep").localCheckpoint()
+    // no group cap here: this operator's contract is EXACTNESS (unlike the
+    // recall-trading LSH paths), so clone groups expand fully — the
+    // expansion is the true answer
+    val (reps, members0) = collapseGroups(withAll.select(col("doc_id"), col("sh"), col("n_sh")),
+      Seq("sh"), "doc_id", Int.MaxValue, null)
+    val membersAll = members0.withColumnRenamed("__cg_id", "doc_id").localCheckpoint()
     val intra = membersAll.as("x").join(membersAll.as("y"),
         col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
@@ -689,22 +719,9 @@ object Dedup {
     // old per-bucket drop contract. Groups within the cap resolve FULLY —
     // the pre-collapse form dropped them wholesale once bucket occupancy
     // crossed the cap.
-    val grouped = sigged.groupBy("__sig")
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("__gn"))
-    val keptGroups = Option(capStats).fold(grouped.filter(col("__gn") <= maxBucketSize)) { st =>
-      val (bAcc, rAcc) = (st.buckets, st.rows)
-      val capL = maxBucketSize.toLong
-      val keep = udf { n: Long =>
-        if (n > capL) { bAcc.add(1L); rAcc.add(n) }
-        n <= capL
-      }.asNondeterministic()
-      grouped.filter(keep(col("__gn")))
-    }
-    // |groups| rows; materialized so the accumulator-reporting filter runs
-    // exactly once even though three consumers (membership join, intra
-    // pairs, banding) read it — recomputation would double-count the drops
-    val reps = keptGroups.select("__sig", "rep").localCheckpoint()
-    val members = sigged.join(reps, "__sig").select("doc_id", "rep")
+    val (reps, members0) = collapseGroups(sigged, Seq("__sig"), "doc_id",
+      maxBucketSize, capStats)
+    val members = members0.withColumnRenamed("__cg_id", "doc_id")
 
     val intra = members.as("x").join(members.as("y"),
         col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
@@ -1137,11 +1154,15 @@ object Dedup {
     * the plan (the stats stage executes exactly once per action, and one join
     * disappears).
     */
-  private[llmops] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int,
-                                 capStats: CapStats): DataFrame = {
+  /** Keep rows whose `nCol` count is within `cap`, reporting every dropped
+    * group through CapStats exactly once (the caller must ensure this frame
+    * is not recomputed by multiple consumers — checkpoint if it is).
+    * The shared core of [[capBuckets]] and [[collapseGroups]]' group cap.
+    */
+  private def capFilter(counts: DataFrame, nCol: Column, cap: Int,
+                        capStats: CapStats): DataFrame = {
     require(cap >= 2, s"maxBucketSize must be >= 2, got $cap")
-    val counts = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bucket_n"))
-    val kept = Option(capStats).fold(counts.filter(col("__bucket_n") <= cap)) { st =>
+    Option(capStats).fold(counts.filter(nCol <= cap)) { st =>
       val (bAcc, rAcc) = (st.buckets, st.rows)
       val capL = cap.toLong
       // nondeterministic stops the optimizer duplicating/reordering the
@@ -1150,8 +1171,34 @@ object Dedup {
         if (n > capL) { bAcc.add(1L); rAcc.add(n) }
         n <= capL
       }.asNondeterministic()
-      counts.filter(keep(col("__bucket_n")))
+      counts.filter(keep(nCol))
     }
-    banded.join(kept, keys).drop("__bucket_n")
+  }
+
+  private[llmops] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int,
+                                 capStats: CapStats): DataFrame = {
+    val counts = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bucket_n"))
+    banded.join(capFilter(counts, col("__bucket_n"), cap, capStats), keys).drop("__bucket_n")
+  }
+
+  /** The identical-key collapse shared by the near-dup family (and
+    * [[graft.operators.FuzzyMatch]]): group rows agreeing on `keyCols`
+    * under a min-`idCol` representative, dropping-and-REPORTING groups
+    * larger than `cap` (a group of g is O(g²) expanded pairs — the same
+    * quadratic the per-bucket cap bounds). Returns
+    * (reps: keyCols + rep  — checkpointed so the reporting filter fires
+    * exactly once, members: (__cg_id, rep)). Rows with a NULL key column
+    * are EXCLUDED: no direct-path candidate join ever pairs them (null
+    * keys don't equi-join), so collapsing them would invent pairs.
+    */
+  private[graft] def collapseGroups(df: DataFrame, keyCols: Seq[String], idCol: String,
+                                    cap: Int, capStats: CapStats): (DataFrame, DataFrame) = {
+    val nonNull = df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    val grouped = nonNull.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("rep"), count(lit(1)).as("__gn"))
+    val reps = capFilter(grouped, col("__gn"), cap, capStats)
+      .select((keyCols.map(col) :+ col("rep")): _*).localCheckpoint()
+    val members = nonNull.join(reps, keyCols).select(col(idCol).as("__cg_id"), col("rep"))
+    (reps, members)
   }
 }

@@ -28,7 +28,8 @@ object MlPredict {
     * equi-join keyed on the text. The production lever for model-call cost
     * on clone-heavy corpora (mirrored pages, boilerplate — and for remote
     * providers each duplicate call is real money): the sf1 10x-clone corpus
-    * embeds 10x fewer rows (q34's corpus stage 65 -> ~8 s). NULL and ""
+    * embeds 10x fewer rows (q34 65.5 -> 53.5 s; the rest of that fixture
+    * is its exact vector search, not the embed). NULL and ""
     * conflate deliberately — [[embed]] maps both through embed(""), so the
     * output is row-identical to the direct path. Cost when inputs are
     * mostly unique: one extra shuffle of (text, vec); prefer plain [[embed]]
@@ -36,12 +37,20 @@ object MlPredict {
     */
   def embedDistinct(df: DataFrame, modelName: String, inCol: String,
                     outCol: String = "embedding"): DataFrame = {
+    require(inCol != outCol, s"embedDistinct: inCol and outCol are both '$inCol'")
     val model = ModelCatalog.embedding(modelName)
     val u = udf((s: String) => model.embed(if (s == null) "" else s))
-    val keyed = df.withColumn("__ek", coalesce(col(inCol).cast("string"), lit("")))
-    val vecs = keyed.select("__ek").distinct().withColumn(outCol, u(col("__ek")))
-    keyed.join(vecs, "__ek").drop("__ek")
-      .select((df.columns.map(col) :+ col(outCol)).toIndexedSeq: _*)
+    // embed() REPLACES a pre-existing outCol in place (withColumn
+    // semantics); reproduce that here — the join would otherwise produce
+    // an ambiguous duplicate column. A stray key-named column is likewise
+    // dropped up front rather than clobbered-then-leaked.
+    val key = "__embed_distinct_key"
+    val base = df.drop(outCol).drop(key)
+    val keyed = base.withColumn(key, coalesce(col(inCol).cast("string"), lit("")))
+    val vecs = keyed.select(key).distinct().withColumn(outCol, u(col(key)))
+    val outCols = (if (df.columns.contains(outCol)) df.columns.filterNot(_ == key)
+                   else df.columns.filterNot(_ == key) :+ outCol).map(col)
+    keyed.join(vecs, key).drop(key).select(outCols.toIndexedSeq: _*)
   }
 
   def generate(df: DataFrame, modelName: String, inCol: String, outCol: String = "response"): DataFrame = {

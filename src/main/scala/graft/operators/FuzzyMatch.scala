@@ -57,11 +57,14 @@ object FuzzyMatch {
     }
     // the group key is (name, block): two rows agreeing on both are
     // interchangeable in every candidate pair (same block membership, same
-    // distance to everything)
-    val grouped = keyed.groupBy(col(nameCol), col("__blk"))
-      .agg(min(col(idCol)).as("rep")).localCheckpoint()
-    val members = keyed.join(grouped, Seq(nameCol, "__blk"))
-      .select(col(idCol).as("__mid"), col("rep"))
+    // distance to everything). graft.llmops.Dedup.collapseGroups supplies
+    // the shared rep/members machinery — and its null-key exclusion is
+    // load-bearing here: a NULL name or block can never pair on the direct
+    // path (null keys don't equi-join; levenshtein(null, x) is null), so
+    // collapsing such rows would invent dist-0 intra pairs.
+    val (grouped, members0) = graft.llmops.Dedup.collapseGroups(
+      keyed, Seq(nameCol, "__blk"), idCol, cap = Int.MaxValue, capStats = null)
+    val members = members0.withColumnRenamed("__cg_id", "__mid")
     val ga = grouped.select(col("__blk"), col("rep").as("a_id"), col(nameCol).as("a_name"))
     val gb = grouped.select(col("__blk"), col("rep").as("b_id"), col(nameCol).as("b_name"))
     val repPairs = ga.join(gb, Seq("__blk"))

@@ -139,7 +139,9 @@ object Labs {
         lit(" with "), col("request_count"), lit(" requests")))
 
     val docs = Tables(spark, dir, "documents")
-    val corpus = MlPredict.embed(docs, "local-embed-64", "text")
+    // embedDistinct: each distinct text hits the model once — the corpus is
+    // the embed-cost driver and clone-heavy corpora re-embed the same text
+    val corpus = MlPredict.embedDistinct(docs, "local-embed-64", "text")
       .select(col("doc_id"), col("text").as("chunk"), col("embedding"))
 
     val enriched = VectorSearchAgg.auto(spark,
@@ -183,7 +185,7 @@ object Labs {
     // closure captures the finished store; per-batch work is only the (tiny)
     // surge-query embeds.
     val docs = Tables(spark, dir, "documents")
-    val corpus = MlPredict.embed(docs, embedModel, "text")
+    val corpus = MlPredict.embedDistinct(docs, embedModel, "text")
       .select(col("doc_id"), col("text").as("chunk"), col("embedding"))
     val store = graft.vector.VectorStore.bruteForce(corpus, "doc_id", "chunk", "embedding")
 

@@ -429,4 +429,22 @@ class PipelinesSpec extends SparkSpec {
     assert(out.length <= 10 && out.nonEmpty)
     assert(out.forall(r => enum5(r.getAs[String]("verdict"))))
   }
+
+  test("minHashLsh collapse path ≡ direct path on a mixed clone/near/far corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def doc(i: Int): String = (1 to 12).map(_ => s"w${rnd.nextInt(30)}").mkString(" ")
+    val uniques = (1 to 60).map(i => (i.toLong, doc(i)))
+    // clones (x3 of the first 20), a near-dup (one token changed), empties/null
+    val clones = (1 to 20).flatMap(i => Seq((100L + i, uniques(i - 1)._2), (200L + i, uniques(i - 1)._2)))
+    val near = Seq((300L, uniques.head._2.replaceFirst("w\\d+", "w999")))
+    val edge = Seq((400L, ""), (401L, null.asInstanceOf[String]))
+    val df = (uniques ++ clones ++ near ++ edge).toDF("doc_id", "text")
+    val a = Dedup.minHashLsh(df, "text", "doc_id", threshold = 0.3)
+      .orderBy("id_a", "id_b").collect()
+    val b = Dedup.minHashLsh(df, "text", "doc_id", threshold = 0.3, collapseIdentical = false)
+      .orderBy("id_a", "id_b").collect()
+    assert(a.length == b.length && a.nonEmpty, s"row counts: ${a.length} vs ${b.length}")
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"diverged: $x vs $y") }
+  }
 }
