@@ -622,12 +622,35 @@ object Dedup {
       .build(df, idCol, embCol, nLists = nClusters, iterations = iterations)
       .assigned // (nid, nvec, list_id)
     val capped = capBuckets(assigned, Seq("list_id"), maxClusterSize, capStats)
-    val a = capped.select(col("list_id"), col("nid").as("id_a"), col("nvec").as("emb_a"))
-    val b = capped.select(col("list_id"), col("nid").as("id_b"), col("nvec").as("emb_b"))
-    a.join(b, Seq("list_id"))
+    // VECTOR-IDENTICAL COLLAPSE inside each cluster (round 6, the LSH
+    // family's collapse applied to the exact within-cluster join): the
+    // collapse runs AFTER training and assignment, so centroids and
+    // cluster routing are untouched — identical vectors share a cluster by
+    // construction, the quadratic join runs on |distinct vectors| rows,
+    // and the output is row-identical (intra pairs RE-COMPUTE cosine(v, v)
+    // rather than assuming 1.0 — sqrt(x)² ≠ x at the last ulp, and a zero
+    // vector's NaN must keep dropping the pair exactly as before).
+    val (reps, members0) = collapseGroups(capped, Seq("nvec", "list_id"), "nid",
+      Int.MaxValue, null) // cluster cap above already bounds group size
+    val members = members0.withColumnRenamed("__cg_id", "nid")
+    val intra = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.nid") < col("y.nid"))
+      .select(col("x.nid").as("id_a"), col("y.nid").as("id_b"), col("x.rep").as("__r"))
+      .join(reps.select(col("rep").as("__r"), col("nvec")), "__r")
+      .select(col("id_a"), col("id_b"), Vectors.cosine(col("nvec"), col("nvec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val a = reps.select(col("list_id"), col("rep").as("id_a"), col("nvec").as("emb_a"))
+    val b = reps.select(col("list_id"), col("rep").as("id_b"), col("nvec").as("emb_b"))
+    val repPairs = a.join(b, Seq("list_id"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), Vectors.cosine(col("emb_a"), col("emb_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("nid").as("__na")), "id_a")
+      .join(members.select(col("rep").as("id_b"), col("nid").as("__nb")), "id_b")
+      .select(least(col("__na"), col("__nb")).as("id_a"),
+        greatest(col("__na"), col("__nb")).as("id_b"), col("cosine"))
+    cross.unionByName(intra)
   }
 
   def embeddingNearDup(df: DataFrame, embCol: String, idCol: String, threshold: Double): DataFrame = {

@@ -220,4 +220,26 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("jlProject imperative kernel ≡ HOF reference bit-for-bit (edges included)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(3)
+    val rows: Seq[(Long, Seq[java.lang.Float])] =
+      (1L to 50L).map(i => (i, Seq.fill(64)(java.lang.Float.valueOf(rnd.nextFloat() * 2 - 1)))) ++
+        Seq((100L, Seq.empty[java.lang.Float]),
+          (101L, null.asInstanceOf[Seq[java.lang.Float]]),
+          (102L, Seq[java.lang.Float](1.0f, null, 2.0f))) // corrupt: null element
+    val df = rows.toDF("id", "v")
+    val got = df.select(col("id"),
+        graft.functions.Vectors.jlProject(col("v"), 16).as("a"),
+        graft.functions.Vectors.jlProjectHof(col("v"), 16).as("b"))
+      .collect()
+    got.foreach { r =>
+      val a = r.getSeq[java.lang.Double](1)
+      val b = r.getSeq[java.lang.Double](2)
+      assert((a == null) == (b == null) && (a == null || a == b),
+        s"id=${r.getLong(0)} diverged: $a vs $b")
+    }
+  }
 }
