@@ -211,11 +211,19 @@ object Dedup {
     }
     val shSets = df.select(col(idCol).as("doc_id"), shHashUdf(col(textCol)).as("__sh"))
       .localCheckpoint() // consumed by the rep agg, the membership join, verification
-    if (!collapseIdentical) {
-      // direct path — for inputs KNOWN clone-free (e.g. after Dedup.exact,
-      // as in Curation.curate/curateFull): the collapse machinery is three
-      // extra corpus-sized shuffles that can never pay off there (measured
-      // +1 s on q54 / +5 s on q99 at sf1 when left on)
+    // Adaptive gate: the collapse only pays when clones exist — on a
+    // mostly-unique corpus its extra shuffles measured +0.7 s at sf0.1
+    // (q28 bench point) for nothing. One scan of the checkpointed sets
+    // (approx_count_distinct, no shuffle) decides; both paths are
+    // output-identical (collapse≡direct spec), so the gate is purely a
+    // physical choice. collapseIdentical=false skips even the probe for
+    // inputs KNOWN clone-free (curate/curateFull after exact/span dedup).
+    val doCollapse = collapseIdentical && {
+      val probe = shSets.agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("__sh")).as("d")).head()
+      probe.getLong(1).toDouble < 0.95 * probe.getLong(0)
+    }
+    if (!doCollapse) {
       val banded0 = bandedBuckets(df, textCol, idCol, shingleSize, numHashes, numBands)
       val capped = capBuckets(banded0, Seq("band", "bucket"), maxBucketSize, capStats)
       val a = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
