@@ -637,7 +637,8 @@ object Dedup {
     // construction, the quadratic join runs on |distinct vectors| rows,
     // and the output is row-identical (intra pairs RE-COMPUTE cosine(v, v)
     // rather than assuming 1.0 — sqrt(x)² ≠ x at the last ulp, and a zero
-    // vector's NaN must keep dropping the pair exactly as before).
+    // vector's NaN pair must keep SURFACING exactly as the direct join
+    // emitted it: Spark orders NaN above every double, so NaN >= t holds).
     val (reps, members0) = collapseGroups(capped, Seq("nvec", "list_id"), "nid",
       Int.MaxValue, null) // cluster cap above already bounds group size
     val members = members0.withColumnRenamed("__cg_id", "nid")

@@ -129,4 +129,24 @@ class PrivacySpec extends SparkSpec {
     }
     assert(diverged, s"boundary-colliding keys always released identical counts: $out")
   }
+
+  test("selfMatch collapse path ≡ direct path, minDist 0 and 1, nulls included") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Customer#01", "b1"), (2L, "Customer#01", "b1"),   // clones, same block
+      (3L, "Customer#02", "b1"), (4L, "Customer#99", "b1"),   // near + far
+      (5L, "Customer#01", "b2"),                              // same name, other block
+      (6L, null.asInstanceOf[String], "b1"), (7L, "Customer#03", null.asInstanceOf[String])
+    ).toDF("id", "name", "blk")
+    for (minD <- Seq(0, 1)) {
+      val a = graft.operators.FuzzyMatch.selfMatch(df, "id", "name", col("blk"),
+        maxDist = 2, minDist = minD).orderBy("a_id", "b_id").collect()
+      val b = graft.operators.FuzzyMatch.selfMatch(df, "id", "name", col("blk"),
+        maxDist = 2, minDist = minD, collapseIdentical = false)
+        .orderBy("a_id", "b_id").collect()
+      assert(a.length == b.length && (minD == 1 || a.nonEmpty),
+        s"minDist=$minD counts: ${a.length} vs ${b.length}")
+      a.zip(b).foreach { case (x, y) => assert(x == y, s"minDist=$minD diverged: $x vs $y") }
+    }
+  }
 }

@@ -51,4 +51,27 @@ class SemanticDedupSpec extends SparkSpec {
     assert(out.count() == 0)
     assert(st.droppedBuckets == 1L && st.droppedRows == 14L)
   }
+
+  test("vector-identical clones resolve fully and carry the COMPUTED self-cosine") {
+    // the round-6 collapse runs after assignment: clones share a cluster by
+    // construction and every clone pair must surface, with cosine equal to
+    // the computed cosine(v, v) (not an assumed literal 1.0 — the collapse
+    // must preserve last-ulp behavior). Zero-vector clones surface with a
+    // NaN cosine: Spark orders NaN ABOVE every double, so `NaN >= t` is
+    // true — the same row the direct within-cluster join always emitted
+    // (callers screening degenerate vectors filter isnan upstream).
+    val base = planted
+    val dups = Seq((200L, {
+      val v = Array.fill(8)(0.0f); v(0) = 1.0f; v
+    }), (201L, { val v = Array.fill(8)(0.0f); v(0) = 1.0f; v }),
+      (300L, Array.fill(8)(0.0f)), (301L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(base.union(dups), "embedding", "vec_id",
+      threshold = 0.9, nClusters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.contains((200L, 201L)), s"clone pair missing: ${out.keys}")
+    val selfCos = out((200L, 201L))
+    assert(selfCos >= 0.999999 && selfCos <= 1.0)
+    assert(out.contains((300L, 301L)) && out((300L, 301L)).isNaN,
+      "zero-vector clones keep their NaN-cosine pair (Spark sorts NaN above all doubles)")
+  }
 }
