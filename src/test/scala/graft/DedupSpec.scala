@@ -447,4 +447,63 @@ class PipelinesSpec extends SparkSpec {
     assert(a.length == b.length && a.nonEmpty, s"row counts: ${a.length} vs ${b.length}")
     a.zip(b).foreach { case (x, y) => assert(x == y, s"diverged: $x vs $y") }
   }
+
+  test("minHashLsh gate contract: with a BINDING cap the two paths drop different units (ADVICE r6)") {
+    import spark.implicits._
+    // The collapse≡direct equivalence holds only when no cap fires. With a
+    // binding maxBucketSize the units differ by design: direct drops whole
+    // band buckets counted in DOCS; collapse caps signature GROUPS and
+    // counts band buckets in REPS. Pin the divergence on a corpus where a
+    // clone group sits exactly AT the cap while its band buckets sit just
+    // above it: 100 clones of `base` + a few docs whose shingle sets are
+    // strict supersets of base's that leave every minhash chain minimum
+    // unchanged — signature-identical (share ALL band buckets with the
+    // clones) yet set-distinct (each its own collapse group).
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val baseSet = Dedup.shingleHashSet(base, 3)
+    def sig(set: Array[Long]): Seq[Long] =
+      (0 until 16).map(j => set.map(h => Dedup.RowHash.chainInt(h, j)).min)
+    val baseSig = sig(baseSet)
+    // deterministic search (xxhash64 is fixed): appending one token adds one
+    // shingle; keep words whose new shingle beats no chain minimum
+    val variants = (1 to 60).map(i => base + s" extra$i")
+      .filter(v => sig(Dedup.shingleHashSet(v, 3)) == baseSig)
+      .take(6)
+    assert(variants.size >= 2, s"hash-search must find superset docs, got ${variants.size}")
+    val n = variants.size
+    val docs = ((1L to 100L).map(i => (i, base)) ++
+      variants.zipWithIndex.map { case (v, i) => (1000L + i, v) }).toDF("doc_id", "text")
+
+    // direct path: every band bucket holds all 100+n signature-identical
+    // docs > cap 100 -> all four buckets dropped, counted in docs -> NO pairs
+    val stDirect = new Dedup.CapStats(spark)
+    val direct = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.5,
+      maxBucketSize = 100, capStats = stDirect, collapseIdentical = false)
+    assert(direct.count() == 0L, "over-cap buckets must suppress every pair on the direct path")
+    assert(stDirect.droppedBuckets == 4L && stDirect.droppedRows == 4L * (100 + n),
+      s"direct drops band buckets in docs: ${stDirect.droppedBuckets}/${stDirect.droppedRows}")
+
+    // collapse path (the probe flips the gate: 100 clones >> 5% margin):
+    // the clone group is exactly AT the cap (kept), rep buckets hold 1+n
+    // reps << cap -> the SAME corpus under the SAME cap resolves fully
+    val stCollapse = new Dedup.CapStats(spark)
+    val collapsed = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.5,
+      maxBucketSize = 100, capStats = stCollapse)
+    val expected = 100L * 99 / 2 + 100L * n + n.toLong * (n - 1) / 2
+    assert(collapsed.count() == expected,
+      s"collapse resolves intra + cross + variant pairs, expected $expected")
+    assert(stCollapse.droppedBuckets == 0L && stCollapse.droppedRows == 0L,
+      s"nothing over cap at group or rep level: ${stCollapse.droppedBuckets}/${stCollapse.droppedRows}")
+
+    // one clone more and the GROUP crosses the cap: dropped as one group of
+    // 101 member docs (vs direct's four band buckets) — capped recall is a
+    // per-path contract, not an accident of the gate
+    val stOver = new Dedup.CapStats(spark)
+    val over = Dedup.minHashLsh(docs.unionByName(Seq((101L, base)).toDF("doc_id", "text")),
+      "text", "doc_id", threshold = 0.5, maxBucketSize = 100, capStats = stOver)
+    assert(over.filter(col("id_a") <= 101L).count() == 0L,
+      "an over-cap clone group must not expand")
+    assert(stOver.droppedBuckets == 1L && stOver.droppedRows == 101L,
+      s"collapse drops signature groups in members: ${stOver.droppedBuckets}/${stOver.droppedRows}")
+  }
 }
