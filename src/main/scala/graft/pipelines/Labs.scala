@@ -118,8 +118,17 @@ object Labs {
   /** Lab3 fleet: 5-min windows per zone (event_type), anomaly-detect the count
     * series, keep surges, embed a query, RAG-enrich, generate a reason
     * (reference: LAB3-Walkthrough.md:99-371).
+    *
+    * `ann = true` routes the RAG search through the IVF index with the
+    * reference's own breadth knob — its vector tables are APPROXIMATE with
+    * `numCandidates = 500` (terraform/lab3-agentic-fleet-management/
+    * main.tf:110-124); `false` (default, the q34 catalog entry) keeps the
+    * exact superset for rows-determinism. Output schema and surge rows are
+    * identical either way; only which chunks enrich each reason can differ,
+    * within the ≥ 0.95 recall gate (VectorSearchSpec).
     */
-  def lab3Fleet(spark: SparkSession, dir: String): DataFrame = {
+  def lab3Fleet(spark: SparkSession, dir: String, ann: Boolean = false,
+                numCandidates: Int = 500): DataFrame = {
     val cfg = AnomalyDetector.Config(minTrainingSize = 8, maxTrainingSize = 50, confidencePercentage = 99.9)
     val windowed = Tumble(Tables(spark, dir, "events"), "ts", "5 minutes", col("event_type"))(
       "request_count" -> count(lit(1)),
@@ -144,8 +153,10 @@ object Labs {
     val corpus = MlPredict.embedDistinct(docs, "local-embed-64", "text")
       .select(col("doc_id"), col("text").as("chunk"), col("embedding"))
 
-    val enriched = VectorSearchAgg.auto(spark,
-      MlPredict.embed(queried, "local-embed-64", "query_text"), corpus, "embedding", 3)
+    val embedded = MlPredict.embed(queried, "local-embed-64", "query_text")
+    val enriched =
+      if (ann) VectorSearchAgg.ann(embedded, corpus, "embedding", 3, numCandidates)
+      else VectorSearchAgg.auto(spark, embedded, corpus, "embedding", 3)
     MlPredict.generate(
       enriched.withColumn("prompt",
         concat(lit("Explain this surge: "), col("query_text"), lit("\nContext: "),
@@ -164,7 +175,8 @@ object Labs {
     */
   def lab3FleetStreaming(spark: SparkSession, dir: String, sinkPath: String,
                          checkpointPath: String,
-                         embedModel: String = "local-embed-64"): org.apache.spark.sql.streaming.StreamingQuery = {
+                         embedModel: String = "local-embed-64",
+                         annCandidates: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.streaming.{StreamingAnomaly, StreamingOps}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -187,7 +199,18 @@ object Labs {
     val docs = Tables(spark, dir, "documents")
     val corpus = MlPredict.embedDistinct(docs, embedModel, "text")
       .select(col("doc_id"), col("text").as("chunk"), col("embedding"))
-    val store = graft.vector.VectorStore.bruteForce(corpus, "doc_id", "chunk", "embedding")
+    // annCandidates = Some(nc): the reference's vector tables are ANN with
+    // numCandidates = 500 (terraform lab3 main.tf:110-124) — prebuild +
+    // pin the IVF index once here (the embed runs exactly once, at pin
+    // time); each micro-batch then only embeds its surge queries and probes.
+    // None keeps the exact broadcast store.
+    val annStore = annCandidates.map { _ =>
+      (graft.vector.VectorSearchAgg.buildIndex(corpus).pinned(),
+        corpus.localCheckpoint())
+    }
+    val exactStore = if (annStore.isEmpty)
+      Some(graft.vector.VectorStore.bruteForce(corpus, "doc_id", "chunk", "embedding"))
+    else None
 
     surges.writeStream
       .outputMode("append")
@@ -197,8 +220,12 @@ object Labs {
           val s = batch.sparkSession
           val queried = batch.toDF().withColumn("query_text",
             concat(lit("surge in "), col("key"), lit(" with "), col("value"), lit(" requests")))
-          val enriched = graft.vector.VectorSearchAgg(s,
-            MlPredict.embed(queried, embedModel, "query_text"), store, "embedding", 3)
+          val embedded = MlPredict.embed(queried, embedModel, "query_text")
+          val enriched = annStore match {
+            case Some((ivf, chunks)) => graft.vector.VectorSearchAgg.annPrepared(
+              embedded, ivf, chunks, "embedding", 3, annCandidates.get)
+            case None => graft.vector.VectorSearchAgg(s, embedded, exactStore.get, "embedding", 3)
+          }
           MlPredict.generate(
             enriched.withColumn("prompt",
               concat(lit("Explain this surge: "), col("query_text"))),
@@ -277,7 +304,8 @@ object Labs {
     */
   def lab4FraudStreaming(spark: SparkSession, dir: String, sinkPath: String,
                          checkpointPath: String, queueLimit: Int = 10,
-                         staticDir: String = null): org.apache.spark.sql.streaming.StreamingQuery = {
+                         staticDir: String = null,
+                         policyAnn: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.streaming.{StreamingAnomaly, StreamingOps}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -309,6 +337,19 @@ object Labs {
       systemPrompt = "Review the claim against the 9-point checklist.",
       tools = Map.empty)
 
+    // policy-RAG store (reference terraform lab4 main.tf:270-290: ANN,
+    // numCandidates = 500): built + pinned ONCE before the stream — the
+    // corpus embed and k-means never run per micro-batch, same argument as
+    // lab3's prebuilt store.
+    val annStore = policyAnn.map { _ =>
+      val corpus = MlPredict.embedDistinct(
+          Tables(spark, Option(staticDir).getOrElse(dir), "documents"),
+          "local-embed-64", "text")
+        .select(col("doc_id"), col("text").as("chunk"), col("embedding"))
+      (graft.vector.VectorSearchAgg.buildIndex(corpus).pinned(),
+        corpus.localCheckpoint())
+    }
+
     spikes.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
@@ -316,13 +357,24 @@ object Labs {
         if (!batch.isEmpty) {
           val spikeRows = batch.toDF()
             .select(col("key").as("city"), col("ts").as("window_time"))
-          val toInvestigate = IntervalJoin(claims, spikeRows, "claim_city", "city",
+          val queued = IntervalJoin(claims, spikeRows, "claim_city", "city",
             "claim_ts", "window_time", "'-6' HOUR", "'0' HOUR")
             .orderBy(col("claim_amount").desc, col("claim_id"))
             .limit(queueLimit)
-            .withColumn("prompt",
-              concat(lit("Claim "), col("claim_id"), lit(" city "), col("claim_city"),
-                lit(" amount "), Scalars.moneyFmt(col("claim_amount"))))
+          val basePrompt = concat(lit("Claim "), col("claim_id"), lit(" city "),
+            col("claim_city"), lit(" amount "), Scalars.moneyFmt(col("claim_amount")))
+          val toInvestigate = annStore match {
+            case Some((ivf, chunks)) =>
+              val embedded = MlPredict.embed(
+                queued.withColumn("__nar", coalesce(col("narrative"), lit(""))),
+                "local-embed-64", "__nar", "narrative_embedding")
+              graft.vector.VectorSearchAgg.annPrepared(
+                  embedded, ivf, chunks, "narrative_embedding", 3, policyAnn.get)
+                .withColumn("prompt", concat(basePrompt, lit(" policy context: "),
+                  concat_ws(" | ", transform(col("search_results"), r => r.getField("chunk")))))
+                .drop("__nar", "narrative_embedding", "search_results")
+            case None => queued.withColumn("prompt", basePrompt)
+          }
           AgentRuntime.runOnColumn(toInvestigate, judge, "prompt")
             .withColumn("verdict", regexp_extract(col("agent_response"), "VERDICT:\\s*(\\w+)", 1))
             .select(col("claim_id"), col("claim_city"), col("claim_amount"),
@@ -340,8 +392,18 @@ object Labs {
     * series, interval-join spikes back to raw claims, bound the queue, run the
     * judge agent, extract the verdict enum
     * (reference: LAB4-Walkthrough.md:126-445).
+    *
+    * `policyAnn = Some(numCandidates)` adds the reference's policy-RAG step
+    * (`claims_to_investigate_with_policies`, LAB4-Walkthrough.md:280-309):
+    * each queued claim's narrative is embedded and searched against the
+    * policy corpus through the ANN path — the reference's fema policy
+    * vectordb is approximate with numCandidates = 500
+    * (terraform/lab4-pubsec-fraud-agents/main.tf:270-290) — and the top
+    * sections are cited into the judge prompt. None (default, the q35
+    * catalog entry) keeps the context-free prompt for rows-determinism.
     */
-  def lab4Fraud(spark: SparkSession, dir: String, queueLimit: Int = 10): DataFrame = {
+  def lab4Fraud(spark: SparkSession, dir: String, queueLimit: Int = 10,
+                policyAnn: Option[Int] = None): DataFrame = {
     val events = Tables(spark, dir, "events")
     val cfg = AnomalyDetector.Config(minTrainingSize = 8, maxTrainingSize = 50, confidencePercentage = 95.0)
     val windowed = Tumble(events, "ts", "6 hours", col("event_type"))(
@@ -369,10 +431,23 @@ object Labs {
       systemPrompt = "Review the claim against the 9-point checklist.",
       tools = Map.empty)
 
-    val prompted = toInvestigate.withColumn("prompt",
-      concat(lit("Claim "), col("claim_id"), lit(" city "), col("claim_city"),
-        lit(" amount "), Scalars.moneyFmt(col("claim_amount")),
-        lit(" narrative "), coalesce(col("narrative"), lit(""))))
+    val basePrompt = concat(lit("Claim "), col("claim_id"), lit(" city "), col("claim_city"),
+      lit(" amount "), Scalars.moneyFmt(col("claim_amount")),
+      lit(" narrative "), coalesce(col("narrative"), lit("")))
+    val prompted = policyAnn match {
+      case Some(nc) =>
+        val corpus = MlPredict.embedDistinct(Tables(spark, dir, "documents"),
+            "local-embed-64", "text")
+          .select(col("doc_id"), col("text").as("chunk"), col("embedding"))
+        val embedded = MlPredict.embed(
+          toInvestigate.withColumn("__nar", coalesce(col("narrative"), lit(""))),
+          "local-embed-64", "__nar", "narrative_embedding")
+        VectorSearchAgg.ann(embedded, corpus, "narrative_embedding", 3, nc)
+          .withColumn("prompt", concat(basePrompt, lit(" policy context: "),
+            concat_ws(" | ", transform(col("search_results"), r => r.getField("chunk")))))
+          .drop("__nar", "narrative_embedding", "search_results")
+      case None => toInvestigate.withColumn("prompt", basePrompt)
+    }
 
     AgentRuntime.runOnColumn(prompted, judge, "prompt")
       .withColumn("verdict", regexp_extract(col("agent_response"), "VERDICT:\\s*(\\w+)", 1))

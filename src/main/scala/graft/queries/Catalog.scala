@@ -3146,6 +3146,16 @@ FROM n"""))
            CAST(least(off + nt, (seq_id + 1) * 64) - greatest(off, seq_id * 64) AS BIGINT) AS piece_len
     FROM sp"""))
 
+  private val q161 = Q("q161_lab3_fleet_ann", (s, dir) =>
+    // q34 with the reference's OWN search semantics: every lab vectordb is
+    // approximate with numCandidates = 500 (terraform lab3
+    // main.tf:110-124) — the IVF-routed VectorSearchAgg.ann. No oracle:
+    // which chunks enrich each reason is index-dependent (recall gated
+    // ≥ 0.95 vs exact by VectorSearchSpec; the surge SET is pinned equal
+    // to q34's there). q34 stays exact — the deliberate oracle-determinism
+    // superset.
+    graft.pipelines.Labs.lab3Fleet(s, dir, ann = true), None)
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -3162,7 +3172,7 @@ FROM n"""))
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
+    q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -25,17 +25,27 @@ import graft.operators.TopK
   */
 object IvfIndex {
 
-  /** Assign each row its nearest centroid id (broadcast centroids, row-local). */
+  /** Assign each row its nearest centroid id (broadcast centroids, row-local).
+    * Centroid norms are precomputed once in the broadcast and the row norm
+    * once per row — the inner loop over nLists centroids is dot-products
+    * only (at auto-sized lists this loop is the whole build cost: 4·√N
+    * centroids × N rows × dim).
+    */
   def assign(df: DataFrame, centroids: DataFrame, embCol: String): DataFrame = {
     val cents = centroids.orderBy("list_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val bc = df.sparkSession.sparkContext.broadcast(cents)
+    val bc = df.sparkSession.sparkContext.broadcast(
+      (cents.map(_._1), cents.map(_._2), cents.map(c => IvfIndex.norm(c._2))))
     val nearest = udf((v: Seq[Float]) => {
       val arr = v.toArray
+      val (ids, vecs, norms) = bc.value
+      val qn = IvfIndex.norm(arr)
       var best = -1L; var bestSim = Double.MinValue
-      bc.value.foreach { case (id, c) =>
-        val sim = IvfIndex.safeCosine(arr, c)
-        if (sim > bestSim || (sim == bestSim && id < best)) { bestSim = sim; best = id }
+      var i = 0
+      while (i < ids.length) {
+        val sim = IvfIndex.guardedCosine(arr, vecs(i), qn, norms(i))
+        if (sim > bestSim || (sim == bestSim && ids(i) < best)) { bestSim = sim; best = ids(i) }
+        i += 1
       }
       best
     })
@@ -44,27 +54,45 @@ object IvfIndex {
 
   /** Full IVF build: k-means with `iterations` Lloyd steps (mean of assigned
     * vectors per list, computed distributedly via posexplode + groupBy).
+    *
+    * `nLists <= 0` sizes the index from the corpus: 4·√N clamped to
+    * [16, 4096] (the FAISS guidance). Finer lists at a FIXED candidate
+    * budget probe more precisely — measured on the lab3 fixture at
+    * numCandidates = 100 (1/5 of the corpus scored), 16 lists → 0.91
+    * recall@3, 64 → 0.99.
+    *
+    * The projected (id, vec) frame is pinned ONCE up front: the build is
+    * inherently multi-pass (each Lloyd step scans the corpus, and [[assign]]
+    * collects the centroid frame), and the caller's corpus lineage is often
+    * expensive — lab3's is a full-corpus ML embed, which pre-pin re-ran on
+    * EVERY pass (the whole build cost 6+ embed passes). The per-iteration
+    * centroid frame (nLists rows) is likewise checkpointed so its collect
+    * never re-runs the previous iteration's corpus-wide aggregation chain.
     */
   def build(corpus: DataFrame, idCol: String, embCol: String,
             nLists: Int, iterations: Int = 2): Ivf = {
-    val spark = corpus.sparkSession
-    var centroids = corpus
+    val vecs = corpus.select(col(idCol), col(embCol)).localCheckpoint()
+    val lists = if (nLists > 0) nLists
+      else math.max(16, math.min(4096, (4.0 * math.sqrt(vecs.count().toDouble)).toInt))
+    var centroids = vecs
       .select(col(embCol).as("centroid"))
       .withColumn("__h", xxhash64(col("centroid").cast("string")))
-      .orderBy("__h").limit(nLists)
+      .orderBy("__h").limit(lists)
       .withColumn("list_id", (row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("__h")) - 1).cast("long"))
       .select("list_id", "centroid")
+      .localCheckpoint()
     for (_ <- 1 to iterations) {
-      val assigned = assign(corpus, centroids, embCol)
+      val assigned = assign(vecs, centroids, embCol)
       // new centroid = element-wise mean of member vectors (distributed)
       val dims = assigned.select(col("list_id"), posexplode(col(embCol)))
         .groupBy("list_id", "pos").agg(avg(col("col").cast("double")).as("m"))
       centroids = dims.groupBy("list_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("centroid"))
+        .localCheckpoint()
     }
-    val assigned = assign(corpus, centroids, embCol)
+    val assigned = assign(vecs, centroids, embCol)
       .select(col(idCol).as("nid"), col(embCol).as("nvec"), col("list_id"))
     Ivf(centroids, assigned)
   }
@@ -76,13 +104,18 @@ object IvfIndex {
     private lazy val nVectors: Long = math.max(assigned.count(), 1L)
     private lazy val nLists: Long = math.max(centroids.count(), 1L)
 
-    /** Approximate top-k: probe `nProbes` lists per query. */
+    /** Approximate top-k: probe `nProbes` lists per query.
+      *
+      * `excludeSelf` (default true) drops the corpus row whose id EQUALS the
+      * query id — the self-knn contract (q36). Callers whose query ids are
+      * surrogates (VectorSearchAgg's `__qid`) must pass false: a surrogate
+      * colliding with a real corpus id would silently hide that neighbor.
+      */
     def search(queries: DataFrame, qidCol: String, qvecCol: String,
-               k: Int, nProbes: Int): DataFrame = {
+               k: Int, nProbes: Int, excludeSelf: Boolean = true): DataFrame = {
       val probed = IvfIndex.probeLists(queries, centroids, qidCol, qvecCol, nProbes)
-      val sims = probed
-        .join(assigned, "list_id")
-        .filter(col(qidCol) =!= col("nid"))
+      val joined = probed.join(assigned, "list_id")
+      val sims = (if (excludeSelf) joined.filter(col(qidCol) =!= col("nid")) else joined)
         .select(col(qidCol), col("nid"),
           Vectors.cosine(col(qvecCol), col("nvec")).as("sim"))
       val agg = sims.groupBy(qidCol).agg(TopK.topK(k)(col("sim"), col("nid")).as("nn"))
@@ -98,12 +131,21 @@ object IvfIndex {
       * clamped to [1, nLists], and always ≥ enough to return k.
       */
     def searchNumCandidates(queries: DataFrame, qidCol: String, qvecCol: String,
-                            k: Int, numCandidates: Int = 500): DataFrame = {
+                            k: Int, numCandidates: Int = 500,
+                            excludeSelf: Boolean = true): DataFrame = {
       val avgPerList = math.max(nVectors / nLists, 1L)
       val wanted = math.max(numCandidates.toLong, k.toLong)
       val nProbes = math.min(nLists, math.max(1L, (wanted + avgPerList - 1) / avgPerList)).toInt
-      search(queries, qidCol, qvecCol, k, nProbes)
+      search(queries, qidCol, qvecCol, k, nProbes, excludeSelf)
     }
+
+    /** Pin both sides for multi-consumer use (a prebuilt store searched per
+      * micro-batch, or one index reused across many query sets): every
+      * search re-reads the checkpointed assignment instead of re-running the
+      * k-means lineage — build (and any upstream embed) executes exactly
+      * once, at pin time.
+      */
+    def pinned(): Ivf = Ivf(centroids.localCheckpoint(), assigned.localCheckpoint())
 
     /** Persist the index: corpus partitioned by list_id (so loads prune to the
       * probed lists), centroids alongside. This is the 100 TB layout — the
@@ -177,10 +219,12 @@ object IvfIndex {
                                  qidCol: String, qvecCol: String, nProbes: Int): DataFrame = {
     val cents = centroids.orderBy("list_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val bc = queries.sparkSession.sparkContext.broadcast(cents)
+    val bc = queries.sparkSession.sparkContext.broadcast(
+      cents.map { case (id, c) => (id, c, IvfIndex.norm(c)) })
     val probes = udf((v: Seq[Float]) => {
       val arr = v.toArray
-      bc.value.map { case (id, c) => (IvfIndex.safeCosine(arr, c), id) }
+      val qn = IvfIndex.norm(arr)
+      bc.value.map { case (id, c, cn) => (IvfIndex.guardedCosine(arr, c, qn, cn), id) }
         .sortBy { case (s, id) => (-s, id) }.take(nProbes).map(_._2)
     })
     queries.withColumn("list_id", explode(probes(col(qvecCol))))
@@ -192,10 +236,24 @@ object IvfIndex {
     * ordering would be garbage. -1.0 keeps such rows deterministically routed
     * to a real list (lowest id wins the tie-break).
     */
-  private[vector] def safeCosine(a: Array[Float], c: Array[Float]): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+  private[vector] def safeCosine(a: Array[Float], c: Array[Float]): Double =
+    guardedCosine(a, c, norm(a), norm(c))
+
+  private[vector] def norm(a: Array[Float]): Double = {
+    var na = 0.0; var i = 0
+    while (i < a.length) { na += a(i).toDouble * a(i); i += 1 }
+    math.sqrt(na)
+  }
+
+  /** [[safeCosine]] with the norms precomputed by the caller (the hot loops
+    * in [[assign]]/[[probeLists]] reuse them across rows/centroids).
+    */
+  private[vector] def guardedCosine(a: Array[Float], c: Array[Float],
+                                    normA: Double, normC: Double): Double = {
+    if (normA == 0.0 || normC == 0.0) return -1.0
+    var dot = 0.0; var i = 0
     val n = math.min(a.length, c.length)
-    while (i < n) { dot += a(i).toDouble * c(i); na += a(i).toDouble * a(i); nb += c(i).toDouble * c(i); i += 1 }
-    if (na * nb == 0.0) -1.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    while (i < n) { dot += a(i).toDouble * c(i); i += 1 }
+    dot / (normA * normC)
   }
 }

@@ -89,4 +89,78 @@ class VectorSearchSpec extends SparkSpec {
     assert(VectorSearchAgg.chooseRoute(withNulls, "chunk", "embedding",
       maxRows = 100L, maxBytes = 1L << 20) == BroadcastRoute)
   }
+
+  private def rankedIds(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.select(col("query_id"), transform(col("search_results"), r => r.getField("doc_id")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  test("ann with numCandidates >= corpus equals the exact search, same shape") {
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val corpus = MlPredict.embed(docs, "local-embed-64", "text")
+      .select(col("doc_id"), col("text").as("chunk"), col("embedding"))
+    val queries = MlPredict.embed(
+      docs.orderBy("doc_id").limit(9).select(col("doc_id").as("query_id"), col("text").as("query")),
+      "local-embed-64", "query").cache()
+    val exact = VectorSearchAgg.distributed(queries, corpus, "embedding", 3)
+    // breadth >= corpus -> every list probed -> ANN degenerates to exact:
+    // identical docs, ranks, scores AND schema (the output-shape contract;
+    // compared against `distributed`, which shares the assembly tail — the
+    // broadcast-store path differs in nullability flags only)
+    val ann = VectorSearchAgg.ann(queries, corpus, "embedding", 3,
+      numCandidates = 1000, nLists = 8)
+    assert(ann.schema == exact.schema, "ann must keep the exact path's schema verbatim")
+    assert(ann.schema.simpleString ==
+      VectorSearchAgg.auto(spark, queries, corpus, "embedding", 3).schema.simpleString)
+    assert(ann.count() == exact.count())
+    assert(rankedIds(ann) == rankedIds(exact),
+      "full-breadth ann must return the exact ranked ids")
+  }
+
+  test("ann recall >= 0.95 vs exact when probing a strict subset of the corpus") {
+    // the lab3/q34 shape: the RAG corpus is the embedded documents table and
+    // the queries are embedded query texts — template-heavy text, so the
+    // embedding space is genuinely clustered (the regime IVF is built for)
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+    val corpus = MlPredict.embed(docs, "local-embed-64", "text")
+      .select(col("doc_id"), col("text").as("chunk"), col("embedding")).cache()
+    val n = corpus.count()
+    val queries = MlPredict.embed(
+      docs.orderBy("doc_id").limit(120)
+        .select(col("doc_id").as("query_id"), col("text").as("query")),
+      "local-embed-64", "query", "qv").cache()
+    val numCandidates = 100
+    assert(numCandidates < n, "the breadth knob must bind for this to test ANN at all")
+    // default AutoLists sizing (what the lab flag uses): 4·√500 ≈ 89 lists,
+    // nc=100 probes ~13 of them — 1/5 of the corpus scored
+    val exact = VectorSearchAgg.auto(spark, queries, corpus, "qv", 3)
+    val ann = VectorSearchAgg.ann(queries, corpus, "qv", 3,
+      numCandidates = numCandidates)
+    val e = rankedIds(exact)
+    val a = rankedIds(ann)
+    val hits = e.keys.toSeq.map { q => (a(q).toSet intersect e(q).toSet).size.toDouble / e(q).size }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.95, f"ANN recall $recall%.3f below the 0.95 gate (${e.size} queries)")
+  }
+
+  test("lab3Fleet ann flag: same surge rows and schema as the exact default") {
+    val exact = graft.pipelines.Labs.lab3Fleet(spark, sfDir)
+    val ann = graft.pipelines.Labs.lab3Fleet(spark, sfDir, ann = true)
+    assert(ann.schema == exact.schema)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("window_start", "zone", "request_count").collect().toSet
+    assert(key(ann) == key(exact) && key(ann).nonEmpty,
+      "the surge set is ANN-independent; only the RAG context may vary")
+  }
+
+  test("lab4Fraud policyAnn flag: same claim queue, verdicts stay in the enum, prompt carries policy context") {
+    val enum5 = Set("APPROVE", "APPROVE_PARTIAL", "REQUEST_DOCS", "DENY_INELIGIBLE", "DENY_FRAUD")
+    val base = graft.pipelines.Labs.lab4Fraud(spark, sfDir)
+    val rag = graft.pipelines.Labs.lab4Fraud(spark, sfDir, policyAnn = Some(500))
+    assert(rag.schema == base.schema)
+    val ids = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("claim_id").collect().map(_.getLong(0)).toSet
+    assert(ids(rag) == ids(base) && ids(rag).nonEmpty,
+      "policy enrichment must not change WHICH claims are queued")
+    assert(rag.collect().forall(r => enum5(r.getAs[String]("verdict"))))
+  }
 }
