@@ -46,6 +46,13 @@ import graft.llmops.Dedup
 object StreamingNearDup {
 
   private val PTR = "_APPLIED"
+
+  /** Test-only fault injection (RecoverySpec): invoked immediately before
+    * the atomic pointer move — the claimed crash window, with the sink and
+    * signature/shingle state dirs already written but the commit pointer
+    * not yet moved. No-op in production.
+    */
+  private[graft] var crashBeforePointer: () => Unit = () => ()
   /** Above this many distinct buckets the isin pushdown costs more than the
     * pruned scan saves — fall back to the plain join (row groups still prune
     * on the sorted layout's min/max).
@@ -145,6 +152,7 @@ object StreamingNearDup {
       .write.mode("overwrite").parquet(s"$storeDir/sh_b$batchId")
 
     // ---- 4. atomic pointer swap (readers never see a half-applied batch)
+    crashBeforePointer()
     val tmp = new java.io.File(root, s".$PTR.tmp")
     val out = new java.io.PrintWriter(tmp)
     try out.print(batchId.toString) finally out.close()

@@ -41,6 +41,13 @@ object StreamingPacking {
 
   private val PTR = "_APPLIED"
 
+  /** Test-only fault injection (RecoverySpec): invoked immediately before
+    * the atomic pointer move — the claimed crash window, with the sink dir
+    * and carry file already written but the commit pointer not yet moved.
+    * No-op in production.
+    */
+  private[graft] var crashBeforePointer: () => Unit = () => ()
+
   def start(stream: DataFrame, textCol: String, idCol: String,
             storeDir: String, sinkDir: String, checkpointDir: String,
             seqLen: Long): StreamingQuery =
@@ -76,6 +83,7 @@ object StreamingPacking {
     val batchTokens = placed.agg(coalesce(sum("piece_len"), lit(0L))).head().getLong(0)
     writeText(new java.io.File(root, s"off_b$batchId"), (base + batchTokens).toString)
 
+    crashBeforePointer()
     val tmp = new java.io.File(root, s".$PTR.tmp")
     writeText(tmp, batchId.toString)
     java.nio.file.Files.move(tmp.toPath, new java.io.File(root, PTR).toPath,

@@ -506,4 +506,32 @@ class PipelinesSpec extends SparkSpec {
     assert(stOver.droppedBuckets == 1L && stOver.droppedRows == 101L,
       s"collapse drops signature groups in members: ${stOver.droppedBuckets}/${stOver.droppedRows}")
   }
+
+  test("all-clones worst case: ONE giant clone group stays bounded by the group cap and reports (VERDICT r6 #6)") {
+    import spark.implicits._
+    // the collapse family's scale killer in its purest form — a corpus that
+    // is a single clone group, larger than the cap. Un-collapsed this is
+    // C(20k, 2) = 200M candidate pairs through every band bucket; the rep
+    // collapse reduces it to ONE group row, the cap drops it at rep level
+    // (g > cap would expand to O(g²) — the exact quadratic the cap exists
+    // to bound), and CapStats carries the full member count.
+    val clones = (1L to 20000L).map(i => (i, "boilerplate legal header repeated across the entire crawl"))
+      .toDF("doc_id", "text").repartition(4)
+    val st = new Dedup.CapStats(spark)
+    val pairs = Dedup.minHashLsh(clones, "text", "doc_id", threshold = 0.5,
+      maxBucketSize = 10000, capStats = st)
+    assert(pairs.count() == 0L, "an over-cap clone corpus must produce zero pairs, not 200M")
+    assert(st.droppedBuckets == 1L && st.droppedRows == 20000L,
+      s"the one dropped group must report all members: ${st.droppedBuckets}/${st.droppedRows}")
+    // at the boundary the answer-size bound takes over: exactly-cap clones
+    // resolve to exactly C(cap, 2) pairs — the answer's own size, and the
+    // quadratic stage runs on ONE rep row
+    val atCap = (1L to 300L).map(i => (i, "boilerplate legal header repeated across the entire crawl"))
+      .toDF("doc_id", "text")
+    val st2 = new Dedup.CapStats(spark)
+    val full = Dedup.minHashLsh(atCap, "text", "doc_id", threshold = 0.5,
+      maxBucketSize = 300, capStats = st2)
+    assert(full.count() == 300L * 299 / 2)
+    assert(st2.droppedBuckets == 0L && st2.droppedRows == 0L)
+  }
 }

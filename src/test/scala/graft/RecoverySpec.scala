@@ -109,4 +109,98 @@ class RecoverySpec extends SparkSpec {
     assert(got(6).getBoolean(2), "changepoint must fire from recovered S⁺ + baseline")
     assert(!got(5).getBoolean(2), "the pre-restart shifted point must NOT yet alarm")
   }
+
+  // --- injected-kill torn-attempt proofs (VERDICT r6 #5): crash EXACTLY
+  // between the sink/state writes and the _APPLIED pointer move, restart,
+  // and the final store must be byte-identical to a never-crashed run.
+
+  test("StreamingPacking: kill between sink write and _APPLIED move; re-delivery converges byte-identically") {
+    import spark.implicits._
+    import graft.streaming.StreamingPacking
+    def docs(from: Int, until: Int) =
+      (from until until).map(i => (i.toLong, ("w " * (i % 7 + 1)).trim)).toDF("doc_id", "text")
+    def runScenario(crashB1: Boolean): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("ptear").toString
+      val (store, sink) = (s"$tmp/store", s"$tmp/sink")
+      StreamingPacking.applyBatch(spark, docs(0, 30), "text", "doc_id", store, sink, 0L, 16L)
+      if (crashB1) {
+        StreamingPacking.crashBeforePointer = () => throw new RuntimeException("injected kill")
+        try {
+          intercept[RuntimeException](
+            StreamingPacking.applyBatch(spark, docs(30, 60), "text", "doc_id", store, sink, 1L, 16L))
+        } finally StreamingPacking.crashBeforePointer = () => ()
+        // the torn attempt DID land its sink dir and carry file...
+        assert(new java.io.File(s"$sink/batch_1").exists, "torn sink write must exist on disk")
+        assert(new java.io.File(s"$store/off_b1").exists, "torn carry file must exist on disk")
+        // ...but is invisible through the pointer
+        assert(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$store/_APPLIED"))).trim == "0",
+          "pointer must still name batch 0")
+        val visible = StreamingPacking.placements(spark, store, sink)
+        assert(visible.agg(max("doc_id")).head().getLong(0) == 29L,
+          "torn batch rows must not be readable")
+        // restart: the stream re-delivers batch 1 (at-least-once)
+        StreamingPacking.applyBatch(spark, docs(30, 60), "text", "doc_id", store, sink, 1L, 16L)
+      } else {
+        StreamingPacking.applyBatch(spark, docs(30, 60), "text", "doc_id", store, sink, 1L, 16L)
+      }
+      tmp
+    }
+    val clean = runScenario(crashB1 = false)
+    val torn = runScenario(crashB1 = true)
+    def finalState(tmp: String): (Seq[String], String, String) = (
+      StreamingPacking.placements(spark, s"$tmp/store", s"$tmp/sink")
+        .orderBy("doc_id", "seq_id").collect().map(_.toString).toSeq,
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$tmp/store/off_b1"))).trim,
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$tmp/store/_APPLIED"))).trim)
+    assert(finalState(torn) == finalState(clean),
+      "placements, carry offset, and pointer must match the never-crashed run exactly")
+  }
+
+  test("StreamingNearDup: kill between state writes and _APPLIED move; re-delivery converges byte-identically") {
+    import spark.implicits._
+    import graft.streaming.StreamingNearDup
+    val b0 = Seq((1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different second document about spark engines"),
+      (3L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")
+    // 11 dups doc 1 (cross-batch drop), 12 is new
+    val b1 = Seq((11L, "the quick brown fox jumps over the lazy dog today"),
+      (12L, "a third topic entirely unrelated to either prior text")).toDF("doc_id", "text")
+    def runScenario(crashB1: Boolean): String = {
+      val tmp = java.nio.file.Files.createTempDirectory("ntear").toString
+      val (store, sink) = (s"$tmp/store", s"$tmp/sink")
+      StreamingNearDup.applyBatch(spark, b0, "text", "doc_id", store, sink, 0L)
+      if (crashB1) {
+        StreamingNearDup.crashBeforePointer = () => throw new RuntimeException("injected kill")
+        try {
+          intercept[RuntimeException](
+            StreamingNearDup.applyBatch(spark, b1, "text", "doc_id", store, sink, 1L))
+        } finally StreamingNearDup.crashBeforePointer = () => ()
+        assert(new java.io.File(s"$sink/batch_1").exists &&
+          new java.io.File(s"$store/sigs_b1").exists &&
+          new java.io.File(s"$store/sh_b1").exists,
+          "torn sink + state writes must exist on disk")
+        val visible = StreamingNearDup.keptDocs(spark, store, sink)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(visible == Set(1L, 2L), s"torn batch must be invisible, saw $visible")
+        StreamingNearDup.applyBatch(spark, b1, "text", "doc_id", store, sink, 1L)
+      } else {
+        StreamingNearDup.applyBatch(spark, b1, "text", "doc_id", store, sink, 1L)
+      }
+      tmp
+    }
+    val clean = runScenario(crashB1 = false)
+    val torn = runScenario(crashB1 = true)
+    def finalState(tmp: String): (Seq[String], Seq[String], Seq[String]) = (
+      StreamingNearDup.keptDocs(spark, s"$tmp/store", s"$tmp/sink")
+        .orderBy("doc_id").collect().map(_.toString).toSeq,
+      spark.read.parquet(s"$tmp/store/sigs_b1")
+        .orderBy("doc_id", "band").collect().map(_.toString).toSeq,
+      spark.read.parquet(s"$tmp/store/sh_b1")
+        .orderBy("doc_id").collect().map(_.toString).toSeq)
+    assert(finalState(torn) == finalState(clean),
+      "kept docs and signature/shingle state must match the never-crashed run exactly")
+  }
 }
