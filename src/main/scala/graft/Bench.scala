@@ -23,6 +23,9 @@ object Bench {
       // On a real cluster tables are many files and this knob is moot; here it
       // restores scan parallelism (splits land on row-group boundaries).
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // see Graft.session: keep TopKAgg-style bounded aggs on the hash path
+      // (the 128-key default silently degrades them to sort-and-spill)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -12,18 +12,26 @@ package graft
   * Times are single-run cold — meant for outlier triage (>10× the sf0.1
   * time beyond the data ratio), not for anchor comparisons.
   *
-  * Usage: runMain graft.Smoke <sfDir> [startAfter]
+  * Usage: runMain graft.Smoke <sfDir> [startAfter | only=qa,qb,...]
+  * (`only=` runs just the named queries — the sf10 heavy-set gate.)
   */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: Smoke <sfDir> [startAfter]")
+    require(args.nonEmpty, "usage: Smoke <sfDir> [startAfter | only=qa,qb,...]")
     val sfDir = args(0)
-    val startAfter = args.lift(1)
+    val selector = args.lift(1)
     val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     import org.apache.spark.sql.functions.{col, count, lit, struct, sum, xxhash64}
     var ok = 0; var failed = List.empty[String]
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .dropWhile(n => startAfter.exists(_ >= n))
+    val names = selector match {
+      case Some(s) if s.startsWith("only=") =>
+        val wanted = s.stripPrefix("only=").split(",").map(_.trim).filter(_.nonEmpty)
+        val missing = wanted.filterNot(SparkEntry.queries.contains)
+        require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
+        wanted.toSeq
+      case startAfter =>
+        SparkEntry.queries.keys.toSeq.sorted.dropWhile(n => startAfter.exists(_ >= n))
+    }
     names.foreach { name =>
       val t0 = System.nanoTime()
       val res =

@@ -29,6 +29,17 @@ object Graft {
       // caller should know: an unrelated NANOS parquet read in the same
       // session also decodes as LongType rather than erroring.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the engine's bounded typed aggregates (TopKAgg and friends) rely on
+      // map-side partial aggregation to keep the shuffle O(groups·k). The
+      // default sort-based fallback kicks in at just 128 DISTINCT KEYS per
+      // task, silently turning a small-memory hash agg (e.g. 30k query
+      // groups × a bounded heap) into a full sort-and-spill of the
+      // pre-aggregation input — at sf10 that spilled the 15B-row exact knn
+      // candidate stream to disk until the device filled. The hash map's
+      // real memory is groups × heap size, which the operators bound by
+      // construction, so the threshold can safely sit far above any
+      // realistic per-task group count.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

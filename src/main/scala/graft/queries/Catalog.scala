@@ -906,10 +906,7 @@ object Catalog {
   private val q61 = Q("q61_anomaly_ar", (s, dir) => {
     // M2's AR(p) forecast option (VERDICT r2 directive #5; reference cites
     // ARIMA, LAB4-Walkthrough.md:185): same tumbled series and contract as
-    // q08, forecast = trailing AR(3) OLS fit instead of the mean. A per-row
-    // matrix solve has no DuckDB formulation, so this entry is rows-only;
-    // correctness is pinned by ArAnomalySpec (planted trend/seasonal series,
-    // batch ≡ pure-Scala twin ≡ streaming).
+    // q08, forecast = trailing AR(3) OLS fit instead of the mean.
     val series = Tumble(t(s, dir, "events"), "ts", "1 hour", col("event_type"))(
       "request_count" -> count(lit(1)))
       .select(col("window_start").cast("timestamp_ntz").as("window_start"),
@@ -919,7 +916,145 @@ object Catalog {
       anomalyCfg.copy(forecast = "ar", arOrder = 3))
       .select(col("window_start"), col("event_type"), col("request_count"),
         col("forecast_value"), col("upper_bound"), col("lower_bound"), col("is_anomaly"))
-  }, None)
+  }, Some(arAnomalySql(anomalyCfg.z)))
+
+  /** DuckDB transcription of the FULL per-row AR pipeline (r6 directive #4,
+    * closing the q136/q150 pattern): trailing-window history list → exact
+    * normal-equation Gram matrix → Gaussian elimination WITH partial
+    * pivoting as a recursive CTE over the flattened augmented matrix →
+    * back-substitution and residual sd as strict left folds → the order
+    * 3→2→1→mean/sd fallback ladder via max_by over successful fits.
+    *
+    * Why this is bit-portable where it looks like it shouldn't be:
+    *  - the Gram entries are sums of products of INTEGER-valued doubles
+    *    (hourly counts), exact in IEEE754 — so the one place the SQL can't
+    *    control evaluation order (list_sum) cannot round;
+    *  - every inexact chain (elimination updates, back-substitution
+    *    residuals, SSE, the forecast dot product) is written as the exact
+    *    operation sequence of ArForecaster.fitOrder/solve — list_reduce is
+    *    a strict left fold, and both engines evaluate each individual
+    *    +,-,*,/,sqrt correctly rounded with no FMA contraction (DuckDB
+    *    interprets per-op vector kernels; the JVM forbids contraction);
+    *  - pivot selection (first-max-wins via list_position on the abs
+    *    column) and the 1e-10-relative singularity gate compare values the
+    *    two sides computed bit-identically, so both take the same branch;
+    *  - e² is written e*e, NOT power(e, 2): libm pow is not correctly
+    *    rounded for integer exponents and was the ONLY 1-ulp divergence the
+    *    first transcription hit (2 of 3385 rows at sf0.01).
+    */
+  private def arAnomalySql(z: Double): String = s"""
+    WITH RECURSIVE series AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+             COUNT(*) AS request_count
+      FROM $EV e GROUP BY 1, 2),
+    hist AS (
+      SELECT window_start, event_type, request_count,
+             COALESCE(list(CAST(request_count AS DOUBLE)) OVER w, []) AS h
+      FROM series
+      WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)),
+    base AS (SELECT *, len(h) AS n FROM hist),
+    orders AS (
+      SELECT window_start, event_type, h, n, po.p AS p, po.p + 1 AS k, po.p + 2 AS w
+      FROM base, (VALUES (3),(2),(1)) po(p)
+      WHERE n >= 8 AND n - po.p >= po.p + 3),
+    gram AS (
+      SELECT window_start, event_type, h, n, p, k, w,
+        list_transform(range(0, k * w), idx ->
+          list_sum(list_transform(range(p, n), t ->
+            (CASE WHEN idx // w = 0 THEN 1.0 ELSE h[t - (idx // w) + 1] END) *
+            (CASE WHEN idx % w = k THEN h[t + 1]
+                  WHEN idx % w = 0 THEN 1.0
+                  ELSE h[t - (idx % w) + 1] END)))) AS mat0
+      FROM orders),
+    grame AS (
+      SELECT *,
+        1e-10 * greatest(list_max(list_transform(range(0, k * w),
+          idx -> CASE WHEN idx % w = k THEN 0.0 ELSE abs(mat0[idx + 1]) END)), 1e-300) AS eps
+      FROM gram),
+    elim AS (
+      SELECT window_start, event_type, p, k, w, eps, 0 AS step, mat0 AS mat, true AS ok
+      FROM grame
+      UNION ALL
+      SELECT window_start, event_type, p, k, w, eps, step + 1,
+        CASE WHEN NOT ok OR mx < eps THEN mat ELSE
+          list_transform(range(0, k * w), idx ->
+            CASE
+              WHEN idx // w < step THEN mat[idx + 1]
+              WHEN idx // w = step THEN mat[piv * w + (idx % w) + 1]
+              WHEN idx % w < step THEN
+                mat[(CASE WHEN idx // w = piv THEN step ELSE idx // w END) * w + (idx % w) + 1]
+              ELSE
+                mat[(CASE WHEN idx // w = piv THEN step ELSE idx // w END) * w + (idx % w) + 1]
+                - (mat[(CASE WHEN idx // w = piv THEN step ELSE idx // w END) * w + step + 1]
+                   / mat[piv * w + step + 1])
+                  * mat[piv * w + (idx % w) + 1]
+            END)
+        END,
+        ok AND mx >= eps
+      FROM (
+        SELECT *, list_max(absl) AS mx,
+               step + list_position(absl, list_max(absl)) - 1 AS piv
+        FROM (
+          SELECT *, list_transform(range(step, k), r -> abs(mat[r * w + step + 1])) AS absl
+          FROM elim WHERE step < k))),
+    solved AS (SELECT * FROM elim WHERE step = k AND ok),
+    backsub AS (
+      SELECT window_start, event_type, p, k, w, k - 1 AS i, CAST([] AS DOUBLE[]) AS xs, mat
+      FROM solved
+      UNION ALL
+      SELECT window_start, event_type, p, k, w, i - 1,
+        list_prepend(
+          list_reduce(
+            list_concat([mat[i * w + k + 1]],
+              list_transform(range(i + 1, k), j -> mat[i * w + j + 1] * xs[j - i])),
+            (a, b) -> a - b)
+          / mat[i * w + i + 1], xs),
+        mat
+      FROM backsub WHERE i >= 0),
+    coefs AS (SELECT window_start, event_type, p, xs AS coef FROM backsub WHERE i = -1),
+    fitted AS (
+      SELECT c.window_start, c.event_type, c.p,
+        list_reduce(
+          list_concat([coef[1]],
+            list_transform(range(1, p + 1), j -> coef[j + 1] * h[o.n - j + 1])),
+          (a, b) -> a + b) AS f,
+        sqrt(greatest(
+          list_reduce(
+            list_transform(
+              list_transform(range(p, o.n), t ->
+                h[t + 1] - list_reduce(
+                  list_concat([coef[1]],
+                    list_transform(range(1, p + 1), j -> coef[j + 1] * h[t - j + 1])),
+                  (a, b) -> a + b)),
+              e -> e * e),
+            (a, b) -> a + b), 0.0)
+          / ((o.n - p) - (p + 1))) AS sd
+      FROM coefs c JOIN base o USING (window_start, event_type)),
+    best AS (
+      SELECT window_start, event_type, max_by(f, p) AS f, max_by(sd, p) AS sd
+      FROM fitted GROUP BY 1, 2),
+    meansd AS (
+      SELECT window_start, event_type,
+        list_reduce(h, (a, b) -> a + b) / n AS f,
+        sqrt(list_reduce(list_transform(h, x ->
+          (x - list_reduce(h, (a, b) -> a + b) / n) * (x - list_reduce(h, (a, b) -> a + b) / n)),
+          (a, b) -> a + b) / (n - 1)) AS sd
+      FROM base WHERE n >= 8),
+    det AS (
+      SELECT b.window_start, b.event_type, b.request_count, b.n,
+             COALESCE(f.f, m.f) AS f, COALESCE(f.sd, m.sd) AS sd
+      FROM base b
+      LEFT JOIN best f USING (window_start, event_type)
+      LEFT JOIN meansd m USING (window_start, event_type))
+    SELECT window_start, event_type, request_count,
+           CASE WHEN n >= 8 THEN f END AS forecast_value,
+           CASE WHEN n >= 8 THEN f + $z * sd END AS upper_bound,
+           CASE WHEN n >= 8 THEN f - $z * sd END AS lower_bound,
+           CASE WHEN n >= 8 THEN CAST(request_count AS DOUBLE) > f + $z * sd
+                              OR CAST(request_count AS DOUBLE) < f - $z * sd
+                ELSE false END AS is_anomaly
+    FROM det"""
 
   private val q62 = Q("q62_compacted_upserts", (s, dir) => {
     // Upsert-table snapshot from a keyed log — the read side of the
