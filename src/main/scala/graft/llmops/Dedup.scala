@@ -185,6 +185,12 @@ object Dedup {
     * Output: (id_a, id_b, jaccard) with id_a < id_b. Only ids flow through the
     * bucket join and pair dedup; texts are joined back for the (small)
     * verified candidate set.
+    *
+    * Laziness (ADVICE r6): with `collapseIdentical = true` (default) the call
+    * runs ONE cheap eager job — the adaptive gate's raw-text count/distinct
+    * probe (no tokenize, no shuffle) — and everything else stays lazy; with
+    * `collapseIdentical = false` the call is fully lazy. Round 6's eager
+    * full-tokenize checkpoint at call time is gone.
     */
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleSize: Int = 3, numHashes: Int = 16, numBands: Int = 4,
@@ -759,43 +765,49 @@ object Dedup {
       out
     })
 
-    // SIGNATURE-IDENTICAL COLLAPSE before banding (round 6 — the sf1 smoke
-    // gate caught the naive form at 430 s on a 10x-cloned 20k-vector table):
-    // vectors with byte-identical signatures collide in EVERY band, so
-    // banding them individually inflates every bucket by the clone
-    // multiplicity and the candidate join goes quadratic in it (400M
-    // candidate rows at sf1). Grouping them under a representative first is
-    // LOSSLESS — member buckets equal rep buckets by construction, so the
-    // final pair set is bit-identical — and the quadratic candidate join
-    // runs on |distinct signatures| rows. Intra-group pairs come straight
-    // off the membership table (they are answer-sized), cross-group pairs
-    // expand from representative pairs. Clone-heavy corpora are the 100 TB
-    // norm (mirrors, boilerplate embeds) — this is the shape that survives.
-    val sigged = df.select(col(idCol).as("doc_id"), col(embCol).as("emb"))
-      .withColumn("__sig", bucketsUdf(col("emb")))
-      .select("doc_id", "__sig")
-      // two consumers (rep agg + membership join) — materialize so the
-      // numPlanes x dim signature UDF runs once per row
-      .localCheckpoint()
+    // VECTOR-IDENTICAL COLLAPSE before banding (round 6 introduced a
+    // signature-keyed collapse here; round 7 re-keys it on the VECTOR — the
+    // sf10 smoke caught the signature form spilling ~85 GB: signature
+    // equality does not imply vector equality, so verification had to run
+    // per EXPANDED pair, and the cross expansion was candidate-sized
+    // (repPairs x g^2 — billions of rows on a 100x-cloned table) instead of
+    // answer-sized. With the vector itself as the group key — the
+    // semanticDedup/jaccardJoinPrefix discipline — rep-level cosines are
+    // the members' cosines bit-for-bit, so verification runs on REP pairs
+    // and only VERIFIED pairs expand. Cap-free, the candidate and output
+    // pair sets are identical to the signature form (identical vectors
+    // share every band bucket either way); the cap now counts groups in
+    // distinct VECTORS and band buckets in vector-reps — the finer, more
+    // faithful unit. Clone-heavy corpora are the 100 TB norm (mirrors,
+    // boilerplate embeds) — this is the shape that survives.
+    val keyed = df.select(col(idCol).as("doc_id"), col(embCol).as("emb"))
+      .localCheckpoint() // consumed by the rep agg and the membership join
     // maxBucketSize bounds BOTH quadratic sources, never silently: the
-    // rep-level band buckets (capBuckets below) AND the signature groups
-    // themselves — a group of g members contributes O(g²) intra pairs and
-    // multiplies every cross candidate by g, so a group larger than the cap
+    // rep-level band buckets (capBuckets below) AND the clone groups
+    // themselves — a group of g members contributes O(g^2) intra pairs and
+    // multiplies every cross answer by g, so a group larger than the cap
     // is dropped from pair generation entirely and reported through the
-    // same CapStats counters (one bucket + its member rows), exactly the
-    // old per-bucket drop contract. Groups within the cap resolve FULLY —
-    // the pre-collapse form dropped them wholesale once bucket occupancy
-    // crossed the cap.
-    val (reps, members0) = collapseGroups(sigged, Seq("__sig"), "doc_id",
+    // same CapStats counters (one bucket + its member rows). Groups within
+    // the cap resolve FULLY.
+    val (reps, members0) = collapseGroups(keyed, Seq("emb"), "doc_id",
       maxBucketSize, capStats)
     val members = members0.withColumnRenamed("__cg_id", "doc_id")
 
+    // intra pairs RE-COMPUTE cosine(v, v) rather than assuming 1.0 — the
+    // semanticDedup argument: sqrt(x)^2 != x at the last ulp, and a zero
+    // vector's NaN must keep surfacing exactly as a direct per-pair join
+    // would emit it (Spark orders NaN above every double, so NaN >= t holds)
     val intra = members.as("x").join(members.as("y"),
         col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"), col("x.rep").as("__r"))
+      .join(reps.select(col("rep").as("__r"), col("emb")), "__r")
+      .select(col("id_a"), col("id_b"), Vectors.cosine(col("emb"), col("emb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
 
+    // signatures computed on REPS ONLY (numPlanes x dim per distinct
+    // vector, not per row)
     val banded = reps
-      .select(col("rep"), posexplode(col("__sig")))
+      .select(col("rep"), posexplode(bucketsUdf(col("emb"))))
       .select(col("rep"), col("pos").as("band"), col("col").as("bucket"))
     // only side a capped — see capBuckets: identical output, one plan copy
     val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize, capStats)
@@ -803,19 +815,21 @@ object Dedup {
     val b = banded.select(col("band"), col("bucket"), col("rep").as("rep_b"))
     val repPairs = a.join(b, Seq("band", "bucket")).filter(col("rep_a") < col("rep_b"))
       .select("rep_a", "rep_b").distinct()
-    val cross = repPairs
+    // verify at REP level — exact cosine over |distinct-vector pairs| —
+    // then expand ONLY the verified pairs through the membership table:
+    // the expansion is the answer's own size
+    val verified = repPairs
+      .join(reps.select(col("rep").as("rep_a"), col("emb").as("emb_a")), "rep_a")
+      .join(reps.select(col("rep").as("rep_b"), col("emb").as("emb_b")), "rep_b")
+      .select(col("rep_a"), col("rep_b"),
+        Vectors.cosine(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val cross = verified
       .join(members.select(col("rep").as("rep_a"), col("doc_id").as("__da")), "rep_a")
       .join(members.select(col("rep").as("rep_b"), col("doc_id").as("__db")), "rep_b")
       .select(least(col("__da"), col("__db")).as("id_a"),
-        greatest(col("__da"), col("__db")).as("id_b"))
-    val pairs = intra.unionByName(cross)
-
-    val embs = df.select(col(idCol).as("doc_id"), col(embCol).as("emb"))
-    pairs
-      .join(embs.withColumnRenamed("doc_id", "id_a").withColumnRenamed("emb", "emb_a"), "id_a")
-      .join(embs.withColumnRenamed("doc_id", "id_b").withColumnRenamed("emb", "emb_b"), "id_b")
-      .select(col("id_a"), col("id_b"), Vectors.cosine(col("emb_a"), col("emb_b")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+        greatest(col("__da"), col("__db")).as("id_b"), col("cosine"))
+    cross.unionByName(intra)
   }
 
   /** Benchmark decontamination: per corpus doc, the fraction of its DISTINCT
