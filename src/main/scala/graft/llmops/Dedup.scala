@@ -664,13 +664,6 @@ object Dedup {
     val assigned = graft.vector.IvfIndex
       .build(df, idCol, embCol, nLists = nClusters, iterations = iterations)
       .assigned // (nid, nvec, list_id)
-    // Checkpoint before the fan-out (ADVICE r6): `members` below feeds FOUR
-    // joins (intra x/y, cross a/b), each of which would otherwise re-run the
-    // cluster-assignment scan AND re-fire capBuckets' accumulator filter,
-    // inflating CapStats — the exact multi-consumer recomputation capFilter's
-    // contract forbids. Same pattern as jaccardJoinPrefix's membersAll.
-    val capped = capBuckets(assigned, Seq("list_id"), maxClusterSize, capStats)
-      .localCheckpoint()
     // VECTOR-IDENTICAL COLLAPSE inside each cluster (round 6, the LSH
     // family's collapse applied to the exact within-cluster join): the
     // collapse runs AFTER training and assignment, so centroids and
@@ -680,9 +673,26 @@ object Dedup {
     // rather than assuming 1.0 — sqrt(x)² ≠ x at the last ulp, and a zero
     // vector's NaN pair must keep SURFACING exactly as the direct join
     // emitted it: Spark orders NaN above every double, so NaN >= t holds).
-    val (reps, members0) = collapseGroups(capped, Seq("nvec", "list_id"), "nid",
-      Int.MaxValue, null) // cluster cap above already bounds group size
+    //
+    // Round 7: the collapse runs BEFORE the cluster cap, and the cap counts
+    // REPS — the sf10 smoke caught the row-counted cap dropping EVERY
+    // cluster of a 100×-cloned corpus (12.5k rows but only 125 distinct
+    // vectors per cluster) for a 0-row answer. Both quadratic sources stay
+    // bounded and reported: clone groups larger than the cap drop at
+    // collapse time (O(g²) intra pairs), clusters larger than the cap IN
+    // DISTINCT VECTORS drop at pair-generation time (O(reps²) cross
+    // candidates — the actual quadratic; raw rows only ever multiply the
+    // answer). Cap-free output is unchanged.
+    val (reps0, members0) = collapseGroups(assigned, Seq("nvec", "list_id"), "nid",
+      maxClusterSize, capStats)
+    // cap clusters in reps; checkpoint before the fan-out (ADVICE r6):
+    // `reps`/`members` feed SIX joins below, which would otherwise re-run
+    // the assignment scan and re-fire the accumulator filters
+    val reps = capBuckets(reps0, Seq("list_id"), maxClusterSize, capStats)
+      .localCheckpoint()
     val members = members0.withColumnRenamed("__cg_id", "nid")
+      .join(reps.select("rep"), Seq("rep"), "left_semi")
+      .localCheckpoint()
     val intra = members.as("x").join(members.as("y"),
         col("x.rep") === col("y.rep") && col("x.nid") < col("y.nid"))
       .select(col("x.nid").as("id_a"), col("y.nid").as("id_b"), col("x.rep").as("__r"))
