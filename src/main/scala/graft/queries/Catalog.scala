@@ -1277,9 +1277,10 @@ object Catalog {
     // M2's enableStl path with seasonalPeriod = 0 (AUTO): the period is
     // inferred from the series cadence (6-h tumble → day/6h = 4), the way the
     // reference's closed engine infers it "from timestamps"
-    // (LAB4-Walkthrough.md:185-190). Rows-only like q61 (per-row decomposition
-    // + fit has no DuckDB formulation); correctness pinned by the
-    // auto-period specs (batch ≡ pure twin ≡ streaming, phase-break caught).
+    // (LAB4-Walkthrough.md:185-190). Oracle-backed since round 7 (the q61
+    // transcription generalized to the decomposition, see stlArAnomalySql);
+    // the auto-period specs additionally pin batch ≡ pure twin ≡ streaming
+    // and the phase-break case.
     val series = Tumble(t(s, dir, "events"), "ts", "6 hours", col("event_type"))(
       "request_count" -> count(lit(1)))
       .select(col("window_start").cast("timestamp_ntz").as("window_start"),
@@ -1289,7 +1290,200 @@ object Catalog {
       anomalyCfg.copy(enableStl = true, seasonalPeriod = 0, forecast = "ar"))
       .select(col("window_start"), col("event_type"), col("request_count"),
         col("forecast_value"), col("upper_bound"), col("lower_bound"), col("is_anomaly"))
-  }, None)
+  }, Some(stlArAnomalySql(anomalyCfg.z)))
+
+  /** The q61 transcription generalized to the FULL auto-STL path: per-row
+    * period inference from the key's ts deltas (first nonzero day/week
+    * cadence quotient — advancePeriod's exact ladder), centered-MA trend
+    * with half-weighted ends at even periods, zero-centered phase means,
+    * deseasonalized history into the AR ladder, seasonal add-back on the
+    * next phase. Deseasonalized values are IRRATIONAL (phase means divide
+    * by counts), so unlike q61/q133 the Gram sums are order-sensitive —
+    * every fold here is a strict left fold in Scala's accumulation order
+    * (per-entry t-ascending, matching ArForecaster.fitOrder's single
+    * t-loop). Bit-exact at sf0.01 on the first transcription (600/600).
+    */
+  private def stlArAnomalySql(z: Double): String = s"""
+    WITH RECURSIVE series AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
+             COUNT(*) AS request_count
+      FROM $EV e
+      GROUP BY 1, 2),
+    -- auto period: first nonzero cadence inference over the key's ts deltas
+    -- (day/delta if it divides with quotient >= 2, else week/delta, else 0)
+    deltas AS (
+      SELECT *, epoch_us(window_start)
+               - lag(epoch_us(window_start)) OVER (PARTITION BY event_type ORDER BY window_start) AS d
+      FROM series),
+    inferred AS (
+      SELECT *, CASE WHEN d IS NULL OR d <= 0 THEN 0
+                     WHEN 86400000000 % d = 0 AND 86400000000 // d >= 2 THEN CAST(86400000000 // d AS INT)
+                     WHEN 604800000000 % d = 0 AND 604800000000 // d >= 2 THEN CAST(604800000000 // d AS INT)
+                     ELSE 0 END AS pinf
+      FROM deltas),
+    hist AS (
+      SELECT window_start, event_type, request_count,
+             COALESCE(list(CAST(request_count AS DOUBLE)) OVER w, []) AS h,
+             COALESCE(list_filter(list(pinf) OVER wall, x -> x > 0)[1], 0) AS period
+      FROM inferred
+      WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING),
+             wall AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    base0 AS (SELECT *, len(h) AS n,
+                     (period >= 2 AND len(h) >= 2 * period) AS stl
+              FROM hist),
+    -- STL: centered-MA trend (even period: half-weighted ends), phase means
+    -- centered to zero, deseasonalized history, next-phase seasonal add-back.
+    -- Every fold is a strict left fold in Scala's accumulation order; at even
+    -- periods the trend sum is an exact multiple of 0.5 and s/P an exact
+    -- multiple at P a power of two, but order-strictness is kept for the
+    -- general case (odd periods divide by P up front).
+    aug AS (
+      SELECT window_start, event_type, request_count, n, period, stl,
+             h, seasC,
+             CASE WHEN stl THEN list_transform(range(0, n), i -> h[i + 1] - seasC[(i % period) + 1])
+                  ELSE h END AS g,
+             CASE WHEN stl THEN seasC[(n % period) + 1] END AS seasAdd
+      FROM (
+        SELECT *,
+          CASE WHEN stl THEN
+            list_transform(seas0, x -> x - list_reduce(seas0, (a, b) -> a + b) / period)
+          END AS seasC
+        FROM (
+          SELECT *,
+            CASE WHEN stl THEN
+              list_transform(range(0, period), j ->
+                list_reduce(
+                  list_transform(
+                    list_filter(range(period // 2, n - period // 2), t -> t % period = j),
+                    t -> detr[t - period // 2 + 1]),
+                  (a, b) -> a + b)
+                / len(list_filter(range(period // 2, n - period // 2), t -> t % period = j)))
+            END AS seas0
+          FROM (
+            SELECT *,
+              CASE WHEN stl THEN
+                list_transform(range(period // 2, n - period // 2), t ->
+                  h[t + 1] -
+                  (CASE WHEN period % 2 = 0 THEN
+                     list_reduce(
+                       list_concat([0.5 * h[t - period // 2 + 1] + 0.5 * h[t + period // 2 + 1]],
+                         list_transform(range(t - period // 2 + 1, t + period // 2), i -> h[i + 1])),
+                       (a, b) -> a + b)
+                   ELSE
+                     list_reduce(
+                       list_transform(range(t - period // 2, t + period // 2 + 1), i -> h[i + 1]),
+                       (a, b) -> a + b)
+                   END) / period)
+              END AS detr
+            FROM base0) d1) d2) d3),
+    orders AS (
+      SELECT window_start, event_type, g, n, po.p AS p, po.p + 1 AS k, po.p + 2 AS wd
+      FROM aug, (VALUES (3),(2),(1)) po(p)
+      WHERE n >= 8 AND n - po.p >= po.p + 3),
+    -- normal-equation Gram over g: per-entry strict left fold in t order
+    -- (Scala accumulates every entry inside one ascending-t loop; deseasonalized
+    -- values are irrational so the order is load-bearing here, unlike q61/q133)
+    gram AS (
+      SELECT window_start, event_type, g, n, p, k, wd,
+        list_transform(range(0, k * wd), idx ->
+          list_reduce(list_transform(range(p, n), t ->
+            (CASE WHEN idx // wd = 0 THEN 1.0 ELSE g[t - (idx // wd) + 1] END) *
+            (CASE WHEN idx % wd = k THEN g[t + 1]
+                  WHEN idx % wd = 0 THEN 1.0
+                  ELSE g[t - (idx % wd) + 1] END)), (a, b) -> a + b)) AS mat0
+      FROM orders),
+    grame AS (
+      SELECT *,
+        1e-10 * greatest(list_max(list_transform(range(0, k * wd),
+          idx -> CASE WHEN idx % wd = k THEN 0.0 ELSE abs(mat0[idx + 1]) END)), 1e-300) AS eps
+      FROM gram),
+    elim AS (
+      SELECT window_start, event_type, p, k, wd, eps, 0 AS step, mat0 AS mat, true AS ok
+      FROM grame
+      UNION ALL
+      SELECT window_start, event_type, p, k, wd, eps, step + 1,
+        CASE WHEN NOT ok OR mx < eps THEN mat ELSE
+          list_transform(range(0, k * wd), idx ->
+            CASE
+              WHEN idx // wd < step THEN mat[idx + 1]
+              WHEN idx // wd = step THEN mat[piv * wd + (idx % wd) + 1]
+              WHEN idx % wd < step THEN
+                mat[(CASE WHEN idx // wd = piv THEN step ELSE idx // wd END) * wd + (idx % wd) + 1]
+              ELSE
+                mat[(CASE WHEN idx // wd = piv THEN step ELSE idx // wd END) * wd + (idx % wd) + 1]
+                - (mat[(CASE WHEN idx // wd = piv THEN step ELSE idx // wd END) * wd + step + 1]
+                   / mat[piv * wd + step + 1])
+                  * mat[piv * wd + (idx % wd) + 1]
+            END)
+        END,
+        ok AND mx >= eps
+      FROM (
+        SELECT *, list_max(absl) AS mx,
+               step + list_position(absl, list_max(absl)) - 1 AS piv
+        FROM (
+          SELECT *, list_transform(range(step, k), r -> abs(mat[r * wd + step + 1])) AS absl
+          FROM elim WHERE step < k))),
+    solved AS (SELECT * FROM elim WHERE step = k AND ok),
+    backsub AS (
+      SELECT window_start, event_type, p, k, wd, k - 1 AS i, CAST([] AS DOUBLE[]) AS xs, mat
+      FROM solved
+      UNION ALL
+      SELECT window_start, event_type, p, k, wd, i - 1,
+        list_prepend(
+          list_reduce(
+            list_concat([mat[i * wd + k + 1]],
+              list_transform(range(i + 1, k), j -> mat[i * wd + j + 1] * xs[j - i])),
+            (a, b) -> a - b)
+          / mat[i * wd + i + 1], xs),
+        mat
+      FROM backsub WHERE i >= 0),
+    coefs AS (SELECT window_start, event_type, p, xs AS coef FROM backsub WHERE i = -1),
+    fitted AS (
+      SELECT c.window_start, c.event_type, c.p,
+        list_reduce(
+          list_concat([coef[1]],
+            list_transform(range(1, p + 1), j -> coef[j + 1] * o.g[o.n - j + 1])),
+          (a, b) -> a + b) AS f0,
+        sqrt(greatest(
+          list_reduce(
+            list_transform(
+              list_transform(range(p, o.n), t ->
+                o.g[t + 1] - list_reduce(
+                  list_concat([coef[1]],
+                    list_transform(range(1, p + 1), j -> coef[j + 1] * o.g[t - j + 1])),
+                  (a, b) -> a + b)),
+              e -> e * e),
+            (a, b) -> a + b), 0.0)
+          / ((o.n - p) - (p + 1))) AS sd
+      FROM coefs c JOIN aug o USING (window_start, event_type)),
+    best AS (
+      SELECT window_start, event_type, max_by(f0, p) AS f0, max_by(sd, p) AS sd
+      FROM fitted GROUP BY 1, 2),
+    meansd AS (
+      SELECT window_start, event_type,
+        list_reduce(g, (a, b) -> a + b) / n AS f0,
+        sqrt(list_reduce(list_transform(g, x ->
+          (x - list_reduce(g, (a, b) -> a + b) / n) * (x - list_reduce(g, (a, b) -> a + b) / n)),
+          (a, b) -> a + b) / (n - 1)) AS sd
+      FROM aug WHERE n >= 8),
+    det AS (
+      SELECT b.window_start, b.event_type, b.request_count, b.n,
+             CASE WHEN b.stl THEN COALESCE(f.f0, m2.f0) + b.seasAdd
+                  ELSE COALESCE(f.f0, m2.f0) END AS f,
+             COALESCE(f.sd, m2.sd) AS sd
+      FROM aug b
+      LEFT JOIN best f USING (window_start, event_type)
+      LEFT JOIN meansd m2 USING (window_start, event_type))
+    SELECT window_start, event_type, request_count,
+           CASE WHEN n >= 8 THEN f END AS forecast_value,
+           CASE WHEN n >= 8 THEN f + $z * sd END AS upper_bound,
+           CASE WHEN n >= 8 THEN f - $z * sd END AS lower_bound,
+           CASE WHEN n >= 8 THEN CAST(request_count AS DOUBLE) > f + $z * sd
+                              OR CAST(request_count AS DOUBLE) < f - $z * sd
+                ELSE false END AS is_anomaly
+    FROM det"""
 
   private val q75 = Q("q75_pq_ann", (s, dir) => {
     // Product-quantized ANN over the embeddings table: codebook from a
@@ -2550,9 +2744,10 @@ object Catalog {
 
   private val q133 = Q("q133_anomaly_arima", (s, dir) => {
     // ARIMA(p, 1, 0) over the hourly per-type request series — the `d`
-    // integration term for genuinely integrated series (rows-only: a model
-    // fit per row has no DuckDB formulation; correctness pinned by
-    // ArimaAnomalySpec: planted walks/trends, batch ≡ twin ≡ streaming).
+    // integration term for genuinely integrated series. Oracle-backed since
+    // round 7 (the q61 transcription over the exact difference series);
+    // ArimaAnomalySpec additionally pins planted walks/trends and
+    // batch ≡ twin ≡ streaming.
     val series = Tumble(t(s, dir, "events"), "ts", "1 hour", col("event_type"))(
       "request_count" -> count(lit(1)))
       .select(col("window_start").cast("timestamp_ntz").as("window_start"),
@@ -2562,7 +2757,136 @@ object Catalog {
       anomalyCfg.copy(forecast = "arima", arOrder = 3, dOrder = 1))
       .select(col("window_start"), col("event_type"), col("request_count"),
         col("forecast_value"), col("upper_bound"), col("lower_bound"), col("is_anomaly"))
-  }, None)
+  }, Some(arimaAnomalySql(anomalyCfg.z)))
+
+  /** q61's bit-portable AR transcription applied to ARIMA(p, 1, 0): first
+    * differences are exact (integer-valued doubles), the same recursive-CTE
+    * elimination fits AR on them, the forecast integrates back as
+    * h[n] + fw (one add, Scala's order), and the singular-fit fallback is
+    * ArimaForecaster's DRIFT model on the differences (mean + sd as strict
+    * left folds) — not q61's mean band on the raw series. Bit-exact at
+    * sf0.01 on the first transcription (3385/3385 rows).
+    */
+  private def arimaAnomalySql(z: Double): String = s"""
+    WITH RECURSIVE series AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+             COUNT(*) AS request_count
+      FROM $EV e
+      GROUP BY 1, 2),
+    hist AS (
+      SELECT window_start, event_type, request_count,
+             COALESCE(list(CAST(request_count AS DOUBLE)) OVER w, []) AS h
+      FROM series
+      WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)),
+    -- first differences: exact (integer-valued doubles)
+    base AS (
+      SELECT *, len(h) AS n,
+             list_transform(range(1, len(h)), i -> h[i + 1] - h[i]) AS w,
+             len(h) - 1 AS m
+      FROM hist),
+    orders AS (
+      SELECT window_start, event_type, h, w, n, m, po.p AS p, po.p + 1 AS k, po.p + 2 AS wd
+      FROM base, (VALUES (3),(2),(1)) po(p)
+      WHERE n >= 8 AND m - po.p >= po.p + 3),
+    gram AS (
+      SELECT window_start, event_type, w, m, p, k, wd,
+        list_transform(range(0, k * wd), idx ->
+          list_sum(list_transform(range(p, m), t ->
+            (CASE WHEN idx // wd = 0 THEN 1.0 ELSE w[t - (idx // wd) + 1] END) *
+            (CASE WHEN idx % wd = k THEN w[t + 1]
+                  WHEN idx % wd = 0 THEN 1.0
+                  ELSE w[t - (idx % wd) + 1] END)))) AS mat0
+      FROM orders),
+    grame AS (
+      SELECT *,
+        1e-10 * greatest(list_max(list_transform(range(0, k * wd),
+          idx -> CASE WHEN idx % wd = k THEN 0.0 ELSE abs(mat0[idx + 1]) END)), 1e-300) AS eps
+      FROM gram),
+    elim AS (
+      SELECT window_start, event_type, p, k, wd, eps, 0 AS step, mat0 AS mat, true AS ok
+      FROM grame
+      UNION ALL
+      SELECT window_start, event_type, p, k, wd, eps, step + 1,
+        CASE WHEN NOT ok OR mx < eps THEN mat ELSE
+          list_transform(range(0, k * wd), idx ->
+            CASE
+              WHEN idx // wd < step THEN mat[idx + 1]
+              WHEN idx // wd = step THEN mat[piv * wd + (idx % wd) + 1]
+              WHEN idx % wd < step THEN
+                mat[(CASE WHEN idx // wd = piv THEN step ELSE idx // wd END) * wd + (idx % wd) + 1]
+              ELSE
+                mat[(CASE WHEN idx // wd = piv THEN step ELSE idx // wd END) * wd + (idx % wd) + 1]
+                - (mat[(CASE WHEN idx // wd = piv THEN step ELSE idx // wd END) * wd + step + 1]
+                   / mat[piv * wd + step + 1])
+                  * mat[piv * wd + (idx % wd) + 1]
+            END)
+        END,
+        ok AND mx >= eps
+      FROM (
+        SELECT *, list_max(absl) AS mx,
+               step + list_position(absl, list_max(absl)) - 1 AS piv
+        FROM (
+          SELECT *, list_transform(range(step, k), r -> abs(mat[r * wd + step + 1])) AS absl
+          FROM elim WHERE step < k))),
+    solved AS (SELECT * FROM elim WHERE step = k AND ok),
+    backsub AS (
+      SELECT window_start, event_type, p, k, wd, k - 1 AS i, CAST([] AS DOUBLE[]) AS xs, mat
+      FROM solved
+      UNION ALL
+      SELECT window_start, event_type, p, k, wd, i - 1,
+        list_prepend(
+          list_reduce(
+            list_concat([mat[i * wd + k + 1]],
+              list_transform(range(i + 1, k), j -> mat[i * wd + j + 1] * xs[j - i])),
+            (a, b) -> a - b)
+          / mat[i * wd + i + 1], xs),
+        mat
+      FROM backsub WHERE i >= 0),
+    coefs AS (SELECT window_start, event_type, p, xs AS coef FROM backsub WHERE i = -1),
+    fitted AS (
+      SELECT c.window_start, c.event_type, c.p,
+        list_reduce(
+          list_concat([coef[1]],
+            list_transform(range(1, p + 1), j -> coef[j + 1] * o.w[o.m - j + 1])),
+          (a, b) -> a + b) AS fw,
+        sqrt(greatest(
+          list_reduce(
+            list_transform(
+              list_transform(range(p, o.m), t ->
+                o.w[t + 1] - list_reduce(
+                  list_concat([coef[1]],
+                    list_transform(range(1, p + 1), j -> coef[j + 1] * o.w[t - j + 1])),
+                  (a, b) -> a + b)),
+              e -> e * e),
+            (a, b) -> a + b), 0.0)
+          / ((o.m - p) - (p + 1))) AS sd
+      FROM coefs c JOIN base o USING (window_start, event_type)),
+    best AS (
+      SELECT window_start, event_type, max_by(fw, p) AS fw, max_by(sd, p) AS sd
+      FROM fitted GROUP BY 1, 2),
+    -- drift fallback on the differences (ArimaForecaster's getOrElse)
+    drift AS (
+      SELECT window_start, event_type,
+        list_reduce(w, (a, b) -> a + b) / m AS fw,
+        sqrt(list_reduce(list_transform(w, x ->
+          (x - list_reduce(w, (a, b) -> a + b) / m) * (x - list_reduce(w, (a, b) -> a + b) / m)),
+          (a, b) -> a + b) / (m - 1)) AS sd
+      FROM base WHERE n >= 8),
+    det AS (
+      SELECT b.window_start, b.event_type, b.request_count, b.n,
+             b.h[b.n] + COALESCE(f.fw, m2.fw) AS f, COALESCE(f.sd, m2.sd) AS sd
+      FROM base b
+      LEFT JOIN best f USING (window_start, event_type)
+      LEFT JOIN drift m2 USING (window_start, event_type))
+    SELECT window_start, event_type, request_count,
+           CASE WHEN n >= 8 THEN f END AS forecast_value,
+           CASE WHEN n >= 8 THEN f + $z * sd END AS upper_bound,
+           CASE WHEN n >= 8 THEN f - $z * sd END AS lower_bound,
+           CASE WHEN n >= 8 THEN CAST(request_count AS DOUBLE) > f + $z * sd
+                              OR CAST(request_count AS DOUBLE) < f - $z * sd
+                ELSE false END AS is_anomaly
+    FROM det"""
 
   private val q134 = Q("q134_streaming_neardup", (s, dir) => {
     // Continuous ingestion dedup: the documents table arrives as two delta
