@@ -159,20 +159,41 @@ object AnomalyDetector {
 
   private def detectBatchWindow(df: DataFrame, valueCol: Column, partitionCols: Seq[Column],
                                 orderCols: Seq[Column], cfg: Config): DataFrame = {
-    val hist = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
-      .rowsBetween(-cfg.maxTrainingSize, -1)
     val v = valueCol.cast("double")
+    // Sliding-frame sums as DIFFERENCES of two growing-frame cumulative sums
+    // (round 7): Spark's WindowExec re-aggregates a [-max, -1] ROWS frame
+    // from scratch on every row (rows leave the frame and sum has no
+    // retraction), so the digit-string decimal chain below ran
+    // O(rows × frame) times — 12 s of lab3's sf1 surge stage against 0.6 s
+    // for everything else. UNBOUNDED PRECEDING frames update incrementally
+    // (O(1)/row), and because decimal arithmetic is EXACT within precision,
+    // cum(-1) − cum(-max-1) equals the direct frame sum bit-for-bit — the
+    // digit-string re-entry to double sees the identical value (q08/q09's
+    // DuckDB oracles, which keep the direct-frame formulation, stay
+    // hash-green). NULL nuance: a non-empty frame of all-NULL values yields
+    // NULL directly but 0 via subtraction — only possible when n = 0, where
+    // the warm gate already nulls every output, so the published columns are
+    // identical.
+    val cumA = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumB = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -(cfg.maxTrainingSize + 1L))
+    def frameSum(e: Column): Column = {
+      val a = sum(e).over(cumA)
+      val b = sum(e).over(cumB)
+      when(b.isNull, a).otherwise(a - b)
+    }
     // mean/stddev from decimal-exact sums (order-independent, bit-reproducible
     // across engines) rather than a streaming estimator like stddev_samp whose
     // float result depends on accumulation order.
     // digit-string entry/exit around the decimals (Scalars.digitDecimalSum
     // rationale): direct double<->decimal casts are engine-specific at the
     // last ulp, and v*v is a computed double
-    val s1 = sum(v.cast("string").cast("decimal(27,6)")).over(hist)
+    val s1 = frameSum(v.cast("string").cast("decimal(27,6)"))
       .cast("string").cast("double")
-    val s2 = sum((v * v).cast("string").cast("decimal(38,8)")).over(hist)
+    val s2 = frameSum((v * v).cast("string").cast("decimal(38,8)"))
       .cast("string").cast("double")
-    val n = count(v).over(hist).cast("double")
+    val n = (count(v).over(cumA) - count(v).over(cumB)).cast("double")
     val forecast = s1 / n
     val sd = sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), lit(0.0)))
     val warm = n >= cfg.minTrainingSize
