@@ -1259,12 +1259,24 @@ object SqlFrontend {
       .findFirstMatchIn(sql.substring(afterArgs))
       .getOrElse(sys.error("ML_DETECT_ANOMALIES requires an OVER (PARTITION BY … ORDER BY …) clause"))
     val (part, ord) = (overM.group(1), overM.group(2))
-    val w = s"(PARTITION BY $part ORDER BY $ord ROWS BETWEEN ${cfg.maxTrainingSize} PRECEDING AND 1 PRECEDING)"
+    // sliding-frame sums as differences of two growing-frame cumulative sums
+    // — the AnomalyDetector.detectBatchWindow rewrite (Spark re-aggregates a
+    // bounded sliding ROWS frame from scratch per row; UNBOUNDED PRECEDING
+    // frames update incrementally, and decimal subtraction is exact so the
+    // digit-string re-entry sees the identical value; the all-NULL-frame
+    // divergence is masked by the warm gate)
+    val wA = s"(PARTITION BY $part ORDER BY $ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    val wB = s"(PARTITION BY $part ORDER BY $ord ROWS BETWEEN UNBOUNDED PRECEDING AND ${cfg.maxTrainingSize + 1} PRECEDING)"
+    def frameSum(e: String): String = {
+      val a = s"SUM($e) OVER $wA"
+      val b = s"SUM($e) OVER $wB"
+      s"(CASE WHEN $b IS NULL THEN $a ELSE $a - $b END)"
+    }
 
     val vx = s"CAST(${args.head} AS DOUBLE)"
-    val s1 = s"CAST(CAST(SUM(CAST(CAST($vx AS STRING) AS DECIMAL(27,6))) OVER $w AS STRING) AS DOUBLE)"
-    val s2 = s"CAST(CAST(SUM(CAST(CAST($vx * $vx AS STRING) AS DECIMAL(38,8))) OVER $w AS STRING) AS DOUBLE)"
-    val n = s"CAST(COUNT($vx) OVER $w AS DOUBLE)"
+    val s1 = s"CAST(CAST(${frameSum(s"CAST(CAST($vx AS STRING) AS DECIMAL(27,6))")} AS STRING) AS DOUBLE)"
+    val s2 = s"CAST(CAST(${frameSum(s"CAST(CAST($vx * $vx AS STRING) AS DECIMAL(38,8))")} AS STRING) AS DOUBLE)"
+    val n = s"CAST(COUNT($vx) OVER $wA - COUNT($vx) OVER $wB AS DOUBLE)"
     val forecast = s"($s1 / $n)"
     val sd = s"SQRT(GREATEST(($s2 - $s1 * $s1 / $n) / ($n - 1), 0.0))"
     val upper = s"($forecast + ${cfg.z} * $sd)"
