@@ -189,9 +189,15 @@ object AnomalyDetector {
     // digit-string entry/exit around the decimals (Scalars.digitDecimalSum
     // rationale): direct double<->decimal casts are engine-specific at the
     // last ulp, and v*v is a computed double
+    // element precision 27, NOT 38: the window sum widens to p+10 = 37 and
+    // the subtraction to 38 — still within Spark's cap, so the SCALE
+    // survives. At p = 38 elements the capped subtraction silently became
+    // DECIMAL(38,7), rounding s2 at the 8th decimal (caught by the
+    // fractional-fixture equivalence spec; invisible on integer series).
+    // 19 integer digits of headroom remain for v² (money squares ≈ 1e8).
     val s1 = frameSum(v.cast("string").cast("decimal(27,6)"))
       .cast("string").cast("double")
-    val s2 = frameSum((v * v).cast("string").cast("decimal(38,8)"))
+    val s2 = frameSum((v * v).cast("string").cast("decimal(27,8)"))
       .cast("string").cast("double")
     val n = (count(v).over(cumA) - count(v).over(cumB)).cast("double")
     val forecast = s1 / n

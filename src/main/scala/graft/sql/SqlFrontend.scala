@@ -1274,8 +1274,10 @@ object SqlFrontend {
     }
 
     val vx = s"CAST(${args.head} AS DOUBLE)"
+    // element precision 27, not 38 — see AnomalyDetector.detectBatchWindow:
+    // at 38 the capped subtraction silently drops to scale 7
     val s1 = s"CAST(CAST(${frameSum(s"CAST(CAST($vx AS STRING) AS DECIMAL(27,6))")} AS STRING) AS DOUBLE)"
-    val s2 = s"CAST(CAST(${frameSum(s"CAST(CAST($vx * $vx AS STRING) AS DECIMAL(38,8))")} AS STRING) AS DOUBLE)"
+    val s2 = s"CAST(CAST(${frameSum(s"CAST(CAST($vx * $vx AS STRING) AS DECIMAL(27,8))")} AS STRING) AS DOUBLE)"
     val n = s"CAST(COUNT($vx) OVER $wA - COUNT($vx) OVER $wB AS DOUBLE)"
     val forecast = s"($s1 / $n)"
     val sd = s"SQRT(GREATEST(($s2 - $s1 * $s1 / $n) / ($n - 1), 0.0))"

@@ -55,6 +55,56 @@ class AnomalyDetectorSpec extends SparkSpec {
       assert(row.getBoolean(3) === anom, s"row $i is_anomaly")
     }
   }
+
+  test("cumulative-difference frame rewrite ≡ direct sliding frame bit-for-bit, nulls included (round 7)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // adversarial series: nulls sprinkled through warm-up AND steady state,
+    // two keys, values chosen so the decimal digit-strings are non-trivial.
+    // The direct [-max, -1] frame is the pre-round-7 formulation — the
+    // rewrite must reproduce it bit-for-bit on every published column (the
+    // only internal divergence, an all-null non-empty frame, is masked by
+    // the warm gate — this fixture includes exactly that window too).
+    val rnd = new scala.util.Random(5)
+    val rows = for (k <- Seq("a", "b"); i <- 0 until 60) yield {
+      val v: java.lang.Double =
+        if (k == "a" && i >= 20 && i < 33) null // a 13-row null run > minTrainingSize
+        else if (rnd.nextInt(10) == 0) null
+        else java.lang.Double.valueOf(10.0 + rnd.nextInt(90) + rnd.nextInt(1000) / 977.0)
+      (k, i.toLong, v)
+    }
+    val df = rows.toDF("k", "seq", "v")
+    val small = cfg.copy(minTrainingSize = 4, maxTrainingSize = 12)
+    val got = AnomalyDetector.detectBatch(df, col("v"), Seq(col("k")), Seq(col("seq")), small)
+      .orderBy("k", "seq")
+      .select("forecast_value", "upper_bound", "lower_bound", "is_anomaly").collect()
+    // the direct sliding-frame formulation, verbatim from the old code path
+    val hist = Window.partitionBy("k").orderBy("seq").rowsBetween(-small.maxTrainingSize, -1)
+    val vd = col("v").cast("double")
+    val s1 = sum(vd.cast("string").cast("decimal(27,6)")).over(hist).cast("string").cast("double")
+    val s2 = sum((vd * vd).cast("string").cast("decimal(38,8)")).over(hist).cast("string").cast("double")
+    val n = count(vd).over(hist).cast("double")
+    val fc = s1 / n
+    val sd = sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), lit(0.0)))
+    val warm = n >= small.minTrainingSize
+    val up = fc + lit(small.z) * sd
+    val lo = fc - lit(small.z) * sd
+    val want = df
+      .withColumn("forecast_value", when(warm, fc))
+      .withColumn("upper_bound", when(warm, up))
+      .withColumn("lower_bound", when(warm, lo))
+      .withColumn("is_anomaly", when(warm, vd > up || vd < lo).otherwise(lit(false)))
+      .orderBy("k", "seq")
+      .select("forecast_value", "upper_bound", "lower_bound", "is_anomaly").collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"row $i diverged: rewrite=$g direct=$w")
+    }
+    // the fixture genuinely exercised warm rows, nulls, and anomalies
+    // (a warm NULL-value row gets is_anomaly = NULL — both formulations)
+    assert(got.count(!_.isNullAt(0)) > 60, "most rows must be warm")
+    assert(got.exists(r => !r.isNullAt(3) && r.getBoolean(3)), "at least one anomaly must fire")
+  }
 }
 
 /** The AR(p) forecast option (VERDICT r2 directive #5; reference cites "ARIMA
