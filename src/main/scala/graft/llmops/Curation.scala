@@ -339,10 +339,18 @@ object Curation {
     */
   def zScore(df: DataFrame, valueCol: Column, groupCol: Column): DataFrame = {
     val keyed = df.select(groupCol.as("grp"), valueCol.cast("decimal(28,8)").as("__v"))
+    // square through (18,8) operands: a (28,8)×(28,8) product exceeds the
+    // precision-38 cap and Spark silently REDUCES ITS SCALE to 6 (trap #3,
+    // the anomaly-path lesson) — exact on ≤3-decimal inputs (why the q124
+    // oracle never saw it) but a latent cross-engine divergence for deeper
+    // fractions. (18,8)×(18,8) → (37,16), uncapped and exact; the narrower
+    // operand bounds |v| at 10^10, failing LOUDLY on overflow instead of
+    // rounding silently. The DuckDB oracle squares through the same casts.
+    val sq = col("__v").cast("decimal(18,8)")
     val moments = keyed.groupBy("grp").agg(
       count(lit(1)).as("__n"),
       sum(col("__v")).cast("decimal(38,8)").as("__s"),
-      sum((col("__v") * col("__v")).cast("decimal(38,16)")).as("__ss"))
+      sum((sq * sq).cast("decimal(38,16)")).as("__ss"))
     keyed.join(broadcast(moments.withColumnRenamed("grp", "__grp_b")),
         col("grp") <=> col("__grp_b"))
       // big decimals (18+ significant digits) reach double THROUGH THEIR DIGIT

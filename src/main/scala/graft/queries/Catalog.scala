@@ -2540,8 +2540,11 @@ object Catalog {
   }, Some("""
     WITH m AS (SELECT l_returnflag AS grp, COUNT(*) AS n,
                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS DECIMAL(38,8)) AS s,
-                      SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,8)) *
-                               CAST(l_extendedprice AS DECIMAL(28,8)) AS DECIMAL(38,16))) AS ss
+                      -- width 19 (int128-backed): width-18 operands overflow
+                      -- DuckDB's int64 multiply; the (19,8)x(19,8) product is
+                      -- computed exactly and equals Spark's exact (18,8) square
+                      SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,8)) *
+                               CAST(l_extendedprice AS DECIMAL(19,8)) AS DECIMAL(38,16))) AS ss
                FROM lineitem GROUP BY 1)
     SELECT l.l_returnflag AS grp, CAST(CAST(l.l_extendedprice AS DECIMAL(28,8)) AS DOUBLE) AS v,
            CASE WHEN m.n > 1 AND

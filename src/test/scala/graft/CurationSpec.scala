@@ -30,6 +30,33 @@ class CurationSpec extends SparkSpec {
       "without robustness the clean rows' scores are crushed together")
   }
 
+  test("zScore squares deep-fraction values exactly (trap #3: the capped product dropped scale to 6)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // values whose SQUARES need 16 fraction digits: the pre-round-7 path
+    // multiplied (28,8) decimals, whose capped product silently rounds at
+    // scale 6 — exact on money-like inputs, wrong here. Reference moments
+    // via exact BigDecimal arithmetic through the same digit-string exit.
+    val vals = Seq(1.12345678, 2.98765432, 7.00000013, 3.14159265, 1.12345678)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val z = graft.llmops.Curation.zScore(df, col("v"), col("g"))
+      .select("v", "z").as[(Double, Option[Double])].collect().toMap
+    val dec = vals.map(v => BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+    val n = dec.size
+    val s = dec.sum
+    val ss = dec.map(d => d * d).sum // exact: scale 16, tiny magnitudes
+    val sd0 = s.toString.toDouble
+    val ssd = ss.toString.toDouble
+    val mean = sd0 / n
+    val variance = (ssd - sd0 * sd0 / n) / (n - 1.0)
+    val sd = math.sqrt(variance)
+    vals.foreach { v =>
+      val vd = BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP).toString.toDouble
+      val want = (vd - mean) / sd
+      assert(z(v).get == want, s"v=$v: ${z(v).get} != $want (exact-square contract)")
+    }
+  }
+
   test("hash sampling is deterministic and consistent for duplicate content") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta")).toDF("id", "text")
