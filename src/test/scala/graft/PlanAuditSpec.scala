@@ -177,4 +177,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles.isEmpty,
       s"the interleave must fuse into the scan projection:\n${df.queryExecution.sparkPlan}")
   }
+
+  test("q08: the anomaly window carries NO bounded sliding frame (round-7 rewrite guard)") {
+    // Spark re-aggregates a bounded [-max, -1] ROWS frame from scratch per
+    // row; the detector's decimal sums must stay differences of incremental
+    // UNBOUNDED PRECEDING frames — a regression here is an O(rows × frame)
+    // digit-string cast storm that only surfaces at sf1+ (12 s of lab3's
+    // surge stage). The window SPEC prints frame bounds in the plan.
+    val p = plan("q08_anomaly_detect")
+    assert(p.contains("unboundedpreceding"), s"expected cumulative frames in:\n$p")
+    assert(!p.toLowerCase.contains("rows between 50 preceding"),
+      "the bounded sliding frame must not reappear")
+    // same guard for the SQL-text rewrite twin
+    val p60 = plan("q60_sql_text_anomaly")
+    assert(!p60.toLowerCase.contains("rows between 50 preceding"),
+      "the SQL-text rewrite must use the cumulative-difference form too")
+  }
+
+  test("engine sessions keep bounded typed aggs on the hash path (sf10 spill guard)") {
+    // the 128-distinct-key default silently degrades ObjectHashAggregate to
+    // sort-based, spilling the full pre-agg input (the sf10 exact-knn stream
+    // filled the disk); both session builders must override it
+    assert(spark.conf.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold").toLong >= 1000000L,
+      "Graft.session must raise the object-agg fallback threshold")
+  }
 }
