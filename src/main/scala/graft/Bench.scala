@@ -55,7 +55,13 @@ object Bench {
     // row counts let a reader sanity-check that timings measure real output
     val rows = results.map { case (k, _, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"sf":"$sfDir"}"""
+    // stdout line is unprefixed (build.sbt: run / outputStrategy := StdoutOutput);
+    // the file copy is belt-and-braces for any runner that scrapes artifacts.
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

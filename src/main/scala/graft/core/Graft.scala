@@ -39,6 +39,21 @@ object Graft {
       // real memory is groups × heap size, which the operators bound by
       // construction, so the threshold can safely sit far above any
       // realistic per-task group count.
+      //
+      // Trade-off (session-global, so it also covers UNBOUNDED object aggs
+      // like collect_list/collect_set/percentile): the valve is raised, not
+      // removed — past 4.19M distinct keys per task the sort-spill still
+      // engages. Below that, memory is keys × per-group buffer, and the
+      // fallback never bounded the per-group buffer anyway (sort-based mode
+      // still materialises each group's full collect_list before emitting).
+      // Catalog audit of unbounded-agg sites: the percentile/quantile aggs
+      // produce |groups|-row outputs with small group counts by construction
+      // (Curation.scala); collect_list sites are per-doc / per-vector bounded
+      // (chunk rewrites, PQ codebooks, series windows) except the inverted-
+      // index postings (Dedup.ngramJaccardPairs), whose per-key buffers are
+      // document-frequency-bounded and hot keys are capped via
+      // maxDocsPerShingle/CapStats. No catalog query runs a high-cardinality
+      // key space with unbounded per-key buffers under this session.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -336,6 +336,9 @@ object Curation {
     * multiply, sqrt), so the DuckDB oracle hash-matches bit-for-bit. A
     * single-row or zero-variance group has no spread: `z` is NULL there
     * (never a division blow-up), matching SQL stddev semantics.
+    *
+    * Input domain: |value| < 1e10 (the (18,8) square operand below). Out-of-
+    * domain rows raise — in BOTH ANSI modes, see the explicit guard.
     */
   def zScore(df: DataFrame, valueCol: Column, groupCol: Column): DataFrame = {
     val keyed = df.select(groupCol.as("grp"), valueCol.cast("decimal(28,8)").as("__v"))
@@ -344,9 +347,17 @@ object Curation {
     // the anomaly-path lesson) — exact on ≤3-decimal inputs (why the q124
     // oracle never saw it) but a latent cross-engine divergence for deeper
     // fractions. (18,8)×(18,8) → (37,16), uncapped and exact; the narrower
-    // operand bounds |v| at 10^10, failing LOUDLY on overflow instead of
-    // rounding silently. The DuckDB oracle squares through the same casts.
-    val sq = col("__v").cast("decimal(18,8)")
+    // operand bounds |v| at 10^10. The overflow guard is EXPLICIT rather than
+    // delegated to the ANSI cast: with ANSI off (an embedding session's
+    // choice, not ours) the overflowing cast yields NULL and the row silently
+    // DROPS OUT of the sum-of-squares — skewed moments, no error. raise_error
+    // keeps the failure loud in both modes. The DuckDB oracle squares through
+    // the same casts (its narrow casts always error, so domains agree).
+    val inDomain = col("__v").isNull ||
+      abs(col("__v")) < lit(new java.math.BigDecimal("10000000000"))
+    val sq = when(inDomain, col("__v").cast("decimal(18,8)"))
+      .otherwise(raise_error(concat(
+        lit("zScore input domain |v| < 1e10 exceeded: "), col("__v").cast("string"))))
     val moments = keyed.groupBy("grp").agg(
       count(lit(1)).as("__n"),
       sum(col("__v")).cast("decimal(38,8)").as("__s"),

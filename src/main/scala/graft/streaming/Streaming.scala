@@ -26,6 +26,45 @@ object StreamingOps {
   def tsMicros(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
 
+  /** Event-time state TTL for the user-keyed behavioral twins — the analog of
+    * the reference's `SET 'sql.state-ttl' = '14 d'` (LAB4-Walkthrough.md:124):
+    * a key whose newest event is more than `ttlSeconds` behind the watermark
+    * has its state EVICTED (dropped, not flushed — Flink TTL semantics; an
+    * open funnel/interval/trail simply disappears), and a later event of the
+    * same key re-enters with FRESH state, exactly as a first-ever event would.
+    * Without a TTL the state store grows monotonically with key cardinality —
+    * users/entities on a 100 TB stream — which is the one structure a
+    * bounded-per-key design can't bound by itself.
+    *
+    * `ttlSeconds == 0` keeps today's NoTimeout behavior. `ttlSeconds > 0`
+    * requires a streaming input; the operator installs the event-time
+    * watermark itself (delay = `ttlWatermarkDelay`), which also engages
+    * Spark's late-row filter — rows older than the watermark are dropped,
+    * consistent with the family's in-order-source contract.
+    */
+  private[streaming] def ttlConf(ttlSeconds: Long): org.apache.spark.sql.streaming.GroupStateTimeout = {
+    require(ttlSeconds >= 0, s"ttlSeconds must be >= 0, got $ttlSeconds")
+    if (ttlSeconds > 0) org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()
+    else org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()
+  }
+
+  /** Arm (or re-arm) the eviction timer after a key processed a batch:
+    * fires when the watermark passes newest-event-time + ttl. Clamped one
+    * past the current watermark because Spark rejects a timeout at or below
+    * it — a key fed only late-ish events evicts at the next watermark move
+    * rather than erroring. No-op when TTL is off (conf is NoTimeout and
+    * setTimeoutTimestamp would throw) or in batch execution of the same
+    * operator (no watermark to evict against).
+    */
+  private[streaming] def armTtl[S](state: org.apache.spark.sql.streaming.GroupState[S],
+                                   ttlSeconds: Long, newestEventMicros: Long): Unit = {
+    if (ttlSeconds <= 0 || newestEventMicros == Long.MinValue) return
+    val wm = try state.getCurrentWatermarkMs()
+    catch { case _: UnsupportedOperationException => return } // batch execution
+    val target = Math.floorDiv(newestEventMicros, 1000L) + ttlSeconds * 1000L
+    state.setTimeoutTimestamp(math.max(target, wm + 1L))
+  }
+
   /** Watermarked tumbling aggregation (streaming W1/A1/A2). Late rows beyond
     * `delay` are dropped, as in the reference (scripts/publish_lab3_data.py:357-361).
     */

@@ -247,13 +247,29 @@ object IvfIndex {
 
   /** [[safeCosine]] with the norms precomputed by the caller (the hot loops
     * in [[assign]]/[[probeLists]] reuse them across rows/centroids).
+    *
+    * All three terms (dot and both norms) are computed over the SAME span:
+    * the caller's precomputed norms are valid only when dims match, so a
+    * length mismatch recomputes both norms over the shared prefix — a
+    * full-array norm against a prefix dot would deflate scores and route
+    * mismatched rows nondeterministically. The guard is on the PRODUCT of
+    * the norms: two denormal norms can multiply to exactly 0.0 even when
+    * neither factor is zero, and dividing by that is Inf, not a score.
     */
   private[vector] def guardedCosine(a: Array[Float], c: Array[Float],
                                     normA: Double, normC: Double): Double = {
-    if (normA == 0.0 || normC == 0.0) return -1.0
-    var dot = 0.0; var i = 0
     val n = math.min(a.length, c.length)
+    val (na, nc) =
+      if (a.length == c.length) (normA, normC)
+      else {
+        var sa = 0.0; var sc = 0.0; var i = 0
+        while (i < n) { sa += a(i).toDouble * a(i); sc += c(i).toDouble * c(i); i += 1 }
+        (math.sqrt(sa), math.sqrt(sc))
+      }
+    val denom = na * nc
+    if (denom == 0.0) return -1.0
+    var dot = 0.0; var i = 0
     while (i < n) { dot += a(i).toDouble * c(i); i += 1 }
-    dot / (normA * normC)
+    dot / denom
   }
 }

@@ -39,6 +39,9 @@ final class BruteForceStore(corpus: Array[(Long, String, Array[Float])]) extends
   private val ord: Ordering[(Double, Long, Int)] =
     Ordering.Tuple3(Ordering.Double.TotalOrdering, Ordering.Long, Ordering.Int)
   override def search(query: Array[Float], k: Int): Seq[ScoredDoc] = {
+    // k <= 0 keeps the pre-heap contract (empty result); without this the
+    // heap.size < k test is never true and peek() returns null into ord.lt
+    if (k <= 0) return Seq.empty
     var qn = 0.0
     var i = 0
     while (i < query.length) { qn += query(i).toDouble * query(i); i += 1 }

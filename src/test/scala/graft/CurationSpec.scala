@@ -57,6 +57,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("zScore raises loudly on out-of-domain input (|v| >= 1e10) instead of ANSI-off NULL-dropping") {
+    import spark.implicits._
+    // without the explicit guard an ANSI-off session turns the overflowing
+    // (18,8) cast into NULL and the row silently leaves the sum-of-squares;
+    // the guard must raise in BOTH modes (advisor round-7 finding)
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 1.1e10)).toDF("g", "v")
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      Seq("true", "false").foreach { mode =>
+        spark.conf.set("spark.sql.ansi.enabled", mode)
+        val e = intercept[Exception] {
+          Curation.zScore(df, col("v"), col("g")).collect()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(msgs(e).exists(_.contains("zScore input domain")),
+          s"ansi=$mode raised, but not through the domain guard: ${msgs(e).headOption}")
+      }
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+    // null values still pass through (skipped by the sums), in-domain rows score
+    val ok = Curation.zScore(
+      Seq(("g", Some(1.0)), ("g", Some(2.0)), ("g", Option.empty[Double])).toDF("g", "v"),
+      col("v"), col("g")).select("z").collect()
+    assert(ok.length == 3)
+  }
+
   test("hash sampling is deterministic and consistent for duplicate content") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta")).toDF("id", "text")

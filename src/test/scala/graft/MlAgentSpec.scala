@@ -49,6 +49,10 @@ class VectorStoreSpec extends SparkSpec {
     val res = store.search(Array(1f, 0f), 2)
     assert(res.map(_.doc_id) == Seq(1L, 3L))
     assert(math.abs(res.head.score - 1.0) < 1e-12)
+    // k <= 0 is the empty result, not an NPE against the empty heap's peek()
+    // (advisor round-7 finding; the pre-heap sortBy/take contract)
+    assert(store.search(Array(1f, 0f), 0) == Seq.empty)
+    assert(store.search(Array(1f, 0f), -3) == Seq.empty)
   }
 
   test("VectorSearchAgg returns ARRAY<ROW(doc_id, chunk, score)> shape") {
