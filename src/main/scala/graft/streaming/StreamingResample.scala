@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, OutputMode}
 
 /** Streaming twin of [[graft.operators.Resample.gridFill]]: per-key dense
   * fixed-step grid rows, forward-filled with the latest observation, emitted
@@ -20,6 +20,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * never an event buffer. Rows within a trigger are processed in event-time
   * order; cross-trigger ordering is the source's responsibility (same
   * contract as [[StreamingAnomaly]]/[[StreamingFunnel]]).
+  *
+  * `ttlSeconds > 0` bounds the store on unbounded key spaces — the
+  * reference's `SET 'sql.state-ttl' = '14 d'` analog (see
+  * [[StreamingOps.ttlConf]]): a key idle past the TTL loses its cursor and
+  * last observation — the grid points between the last emission and the
+  * eviction are never emitted (a dead sensor stops occupying state instead
+  * of forward-filling forever), and the key's next observation RE-ANCHORS a
+  * fresh grid at its own timestamp, exactly as a first-ever observation.
   */
 object StreamingResample {
 
@@ -35,7 +43,8 @@ object StreamingResample {
   }
 
   def apply(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
-            stepSeconds: Long): Dataset[GridRow] = {
+            stepSeconds: Long, ttlSeconds: Long = 0L,
+            ttlWatermarkDelay: String = "0 seconds"): Dataset[GridRow] = {
     require(stepSeconds > 0, s"stepSeconds must be > 0, got $stepSeconds")
     val stepUs = stepSeconds * 1000000L
     implicit val obsEnc = Encoders.product[Obs]
@@ -43,12 +52,16 @@ object StreamingResample {
     implicit val stEnc = Encoders.product[FillState]
     implicit val keyEnc = Encoders.STRING
 
-    df.select(col(keyCol).cast("string").as("k"),
-        col(tsCol).cast("timestamp").as("ts"),
-        col(valueCol).cast("double").as("v")).as[Obs]
+    val sel = df.select(col(keyCol).cast("string").as("k"),
+      col(tsCol).cast("timestamp").as("ts"),
+      col(valueCol).cast("double").as("v"))
+    val src = if (ttlSeconds > 0) sel.withWatermark("ts", ttlWatermarkDelay) else sel
+    src.as[Obs]
       .groupByKey(_.k)
-      .flatMapGroupsWithState[FillState, GridRow](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[FillState, GridRow](OutputMode.Append(), StreamingOps.ttlConf(ttlSeconds)) {
         (k: String, rows: Iterator[Obs], state: GroupState[FillState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           var st = state.getOption.orNull
           val out = Seq.newBuilder[GridRow]
           rows.toSeq.sortBy(o => StreamingOps.tsMicros(o.ts)).foreach { o =>
@@ -74,8 +87,12 @@ object StreamingResample {
             // an out-of-order observation older than the latest is dropped:
             // its grid points already emitted with the then-latest fill
           }
-          if (st != null) state.update(st)
+          if (st != null) {
+            state.update(st)
+            StreamingOps.armTtl(state, ttlSeconds, st.lastTsMicros)
+          }
           out.result().iterator
+          }
       }
   }
 }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, OutputMode}
 
 /** Streaming twin of [[graft.operators.Scd2]]: a continuous change log in,
   * a stream of CLOSED validity intervals out. Each key's state is just the
@@ -20,6 +20,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * transition to null closes the interval and opens a null-state one.
   * Within-trigger rows process in event-time order; cross-trigger ordering is
   * the source's responsibility (same contract as [[StreamingAnomaly]]).
+  *
+  * `ttlSeconds > 0` bounds the store on unbounded key spaces — the
+  * reference's `SET 'sql.state-ttl' = '14 d'` analog (see
+  * [[StreamingOps.ttlConf]]). Eviction DROPS the key's open interval without
+  * emitting it (Flink TTL semantics — expired state is deleted, never
+  * flushed): a key silent past the TTL contributes no ClosedInterval for its
+  * final state, and its next change opens a fresh first interval. That is the
+  * honest cost of bounding the store; size the TTL to the entity churn.
   */
 object StreamingScd2 {
 
@@ -30,7 +38,8 @@ object StreamingScd2 {
   case class OpenState(attrSet: Boolean, attr: Option[String], fromMicros: Long)
 
   def apply(df: DataFrame, keyCol: String, attrCol: String, tsCol: String,
-            tieCol: String): Dataset[ClosedInterval] = {
+            tieCol: String, ttlSeconds: Long = 0L,
+            ttlWatermarkDelay: String = "0 seconds"): Dataset[ClosedInterval] = {
     implicit val chEnc = Encoders.product[Change]
     implicit val outEnc = Encoders.product[ClosedInterval]
     implicit val stEnc = Encoders.product[OpenState]
@@ -42,28 +51,36 @@ object StreamingScd2 {
       t
     }
 
-    df.select(col(keyCol).cast("string").as("key"),
-        col(attrCol).cast("string").as("attr"),
-        col(tsCol).cast("timestamp").as("ts"),
-        col(tieCol).cast("long").as("tie")).as[Change]
+    val sel = df.select(col(keyCol).cast("string").as("key"),
+      col(attrCol).cast("string").as("attr"),
+      col(tsCol).cast("timestamp").as("ts"),
+      col(tieCol).cast("long").as("tie"))
+    val src = if (ttlSeconds > 0) sel.withWatermark("ts", ttlWatermarkDelay) else sel
+    src.as[Change]
       .groupByKey(_.key)
-      .flatMapGroupsWithState[OpenState, ClosedInterval](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[OpenState, ClosedInterval](OutputMode.Append(), StreamingOps.ttlConf(ttlSeconds)) {
         (key: String, rows: Iterator[Change], state: GroupState[OpenState]) =>
-          var open = state.getOption.getOrElse(OpenState(attrSet = false, None, Long.MinValue))
-          val out = Seq.newBuilder[ClosedInterval]
-          // (ts, tie) order mirrors the batch operator's window sort — equal
-          // timestamps resolve identically in both, not by iterator order
-          rows.toSeq.sortBy(c => (StreamingOps.tsMicros(c.ts), c.tie)).foreach { c =>
-            val micros = StreamingOps.tsMicros(c.ts)
-            if (!open.attrSet) {
-              open = OpenState(attrSet = true, c.attr, micros)
-            } else if (open.attr != c.attr) { // null-safe: Option equality
-              out += ClosedInterval(key, open.attr, toTs(open.fromMicros), toTs(micros))
-              open = OpenState(attrSet = true, c.attr, micros)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var open = state.getOption.getOrElse(OpenState(attrSet = false, None, Long.MinValue))
+            val out = Seq.newBuilder[ClosedInterval]
+            var newest = Long.MinValue
+            // (ts, tie) order mirrors the batch operator's window sort — equal
+            // timestamps resolve identically in both, not by iterator order
+            rows.toSeq.sortBy(c => (StreamingOps.tsMicros(c.ts), c.tie)).foreach { c =>
+              val micros = StreamingOps.tsMicros(c.ts)
+              newest = math.max(newest, micros)
+              if (!open.attrSet) {
+                open = OpenState(attrSet = true, c.attr, micros)
+              } else if (open.attr != c.attr) { // null-safe: Option equality
+                out += ClosedInterval(key, open.attr, toTs(open.fromMicros), toTs(micros))
+                open = OpenState(attrSet = true, c.attr, micros)
+              }
             }
+            state.update(open)
+            StreamingOps.armTtl(state, ttlSeconds, newest)
+            out.result().iterator
           }
-          state.update(open)
-          out.result().iterator
       }
   }
 }

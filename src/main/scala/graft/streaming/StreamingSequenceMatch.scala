@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, OutputMode}
 
 /** Streaming twin of [[graft.operators.Behavior.sequenceMatch]] (the
   * MATCH_RECOGNIZE STRICT-contiguity primitive): a match is `pattern.size`
@@ -16,6 +16,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * O(pattern), never an event buffer. Within a trigger rows process in
   * (ts, tie) order; cross-trigger ordering is the source's responsibility
   * (same contract as StreamingAnomaly/StreamingFunnel/StreamingScd2).
+  *
+  * `ttlSeconds > 0` bounds the store on unbounded key spaces — the
+  * reference's `SET 'sql.state-ttl' = '14 d'` analog (see
+  * [[StreamingOps.ttlConf]]): a key idle past the TTL loses its trailing
+  * events, so a pattern spanning the eviction gap will NOT match — the key's
+  * next event starts a fresh trail. With a `within` bound, any TTL ≥ within
+  * is loss-free: a trail older than `within` could never complete anyway.
   */
 object StreamingSequenceMatch {
 
@@ -24,7 +31,8 @@ object StreamingSequenceMatch {
   case class Trail(types: Seq[String], tsMicros: Seq[Long], ties: Seq[Long])
 
   def apply(df: DataFrame, keyCol: String, typeCol: String, tsCol: String, tieCol: String,
-            pattern: Seq[String], withinSeconds: Long = 0L): Dataset[Match] = {
+            pattern: Seq[String], withinSeconds: Long = 0L, ttlSeconds: Long = 0L,
+            ttlWatermarkDelay: String = "0 seconds"): Dataset[Match] = {
     require(pattern.nonEmpty, "pattern must name at least one event type")
     require(withinSeconds >= 0 && withinSeconds <= Long.MaxValue / 1000000L,
       s"withinSeconds must be in [0, ${Long.MaxValue / 1000000L}], got $withinSeconds")
@@ -41,25 +49,33 @@ object StreamingSequenceMatch {
       t
     }
 
-    df.select(col(keyCol).cast("string").as("key"), col(typeCol).cast("string").as("typ"),
-        col(tsCol).cast("timestamp").as("ts"), col(tieCol).cast("long").as("tie")).as[Ev]
+    val sel = df.select(col(keyCol).cast("string").as("key"), col(typeCol).cast("string").as("typ"),
+      col(tsCol).cast("timestamp").as("ts"), col(tieCol).cast("long").as("tie"))
+    val src = if (ttlSeconds > 0) sel.withWatermark("ts", ttlWatermarkDelay) else sel
+    src.as[Ev]
       .groupByKey(_.key)
-      .flatMapGroupsWithState[Trail, Match](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[Trail, Match](OutputMode.Append(), StreamingOps.ttlConf(ttlSeconds)) {
         (key: String, rows: Iterator[Ev], state: GroupState[Trail]) =>
-          var trail = state.getOption.getOrElse(Trail(Nil, Nil, Nil))
-          val out = Seq.newBuilder[Match]
-          rows.toSeq.sortBy(e => (StreamingOps.tsMicros(e.ts), e.tie)).foreach { e =>
-            val ts = StreamingOps.tsMicros(e.ts)
-            val types = trail.types :+ e.typ
-            val tss = trail.tsMicros :+ ts
-            val ties = trail.ties :+ e.tie
-            if (types.length >= n && types.takeRight(n) == pattern &&
-                (withinUs == 0L || ts - tss(tss.length - n) <= withinUs))
-              out += Match(key, toTs(tss(tss.length - n)), toTs(ts), ties(ties.length - n))
-            trail = Trail(types.takeRight(n - 1), tss.takeRight(n - 1), ties.takeRight(n - 1))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var trail = state.getOption.getOrElse(Trail(Nil, Nil, Nil))
+            val out = Seq.newBuilder[Match]
+            var newest = Long.MinValue
+            rows.toSeq.sortBy(e => (StreamingOps.tsMicros(e.ts), e.tie)).foreach { e =>
+              val ts = StreamingOps.tsMicros(e.ts)
+              newest = math.max(newest, ts)
+              val types = trail.types :+ e.typ
+              val tss = trail.tsMicros :+ ts
+              val ties = trail.ties :+ e.tie
+              if (types.length >= n && types.takeRight(n) == pattern &&
+                  (withinUs == 0L || ts - tss(tss.length - n) <= withinUs))
+                out += Match(key, toTs(tss(tss.length - n)), toTs(ts), ties(ties.length - n))
+              trail = Trail(types.takeRight(n - 1), tss.takeRight(n - 1), ties.takeRight(n - 1))
+            }
+            state.update(trail)
+            StreamingOps.armTtl(state, ttlSeconds, newest)
+            out.result().iterator
           }
-          state.update(trail)
-          out.result().iterator
       }
   }
 }

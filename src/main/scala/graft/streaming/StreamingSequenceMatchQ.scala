@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, OutputMode}
 
 /** Streaming twin of the QUANTIFIED MATCH_RECOGNIZE rewrite
   * ([[graft.sql.SqlFrontend]] `PATTERN (A B{1,2} C?)`) over literal event
@@ -37,6 +37,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * delivering an EARLIER event appends behind already-buffered rows and will
   * not match patterns spanning it — batch equivalence holds for in-order
   * sources (per-key ordered topics), not for late data.
+  *
+  * `ttlSeconds > 0` bounds the store on unbounded key spaces — the
+  * reference's `SET 'sql.state-ttl' = '14 d'` analog (see
+  * [[StreamingOps.ttlConf]]): a key idle past the TTL loses its undecided
+  * starts and trailing events (an open long-alternative candidate simply
+  * never emits), and the key's next event starts a fresh buffer. With a
+  * `within` bound, any TTL ≥ within loses no DECIDABLE match — an evicted
+  * start was past its within horizon, where completion was impossible and
+  * the futureViolated rule had already decided or doomed it.
   */
 object StreamingSequenceMatchQ {
 
@@ -63,7 +72,8 @@ object StreamingSequenceMatchQ {
   }
 
   def apply(df: DataFrame, keyCol: String, typeCol: String, tsCol: String, tieCol: String,
-            pattern: Seq[QTok], withinSeconds: Long = 0L): Dataset[QMatch] = {
+            pattern: Seq[QTok], withinSeconds: Long = 0L, ttlSeconds: Long = 0L,
+            ttlWatermarkDelay: String = "0 seconds"): Dataset[QMatch] = {
     val exps = expansions(pattern)
     val maxLen = exps.map(_.size).max
     require(withinSeconds >= 0 && withinSeconds <= Long.MaxValue / 1000000L,
@@ -80,14 +90,20 @@ object StreamingSequenceMatchQ {
       t
     }
 
-    df.select(col(keyCol).cast("string").as("key"), col(typeCol).cast("string").as("typ"),
-        col(tsCol).cast("timestamp").as("ts"), col(tieCol).cast("long").as("tie")).as[Ev]
+    val sel = df.select(col(keyCol).cast("string").as("key"), col(typeCol).cast("string").as("typ"),
+      col(tsCol).cast("timestamp").as("ts"), col(tieCol).cast("long").as("tie"))
+    val srcQ = if (ttlSeconds > 0) sel.withWatermark("ts", ttlWatermarkDelay) else sel
+    srcQ.as[Ev]
       .groupByKey(_.key)
-      .flatMapGroupsWithState[Buf, QMatch](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[Buf, QMatch](OutputMode.Append(), StreamingOps.ttlConf(ttlSeconds)) {
         (key: String, rows: Iterator[Ev], state: GroupState[Buf]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           var buf = state.getOption.getOrElse(Buf(Nil, Nil, Nil, Nil))
           val out = Seq.newBuilder[QMatch]
+          var newest = Long.MinValue
           rows.toSeq.sortBy(e => (StreamingOps.tsMicros(e.ts), e.tie)).foreach { e =>
+            newest = math.max(newest, StreamingOps.tsMicros(e.ts))
             val types = (buf.types :+ e.typ).toIndexedSeq
             val tss = (buf.tsMicros :+ StreamingOps.tsMicros(e.ts)).toIndexedSeq
             val ties = (buf.ties :+ e.tie).toIndexedSeq
@@ -139,7 +155,9 @@ object StreamingSequenceMatchQ {
               undecided.drop(keepFrom).toSeq)
           }
           state.update(buf)
+          StreamingOps.armTtl(state, ttlSeconds, newest)
           out.result().iterator
+          }
       }
   }
 }
