@@ -147,12 +147,29 @@ object Behavior {
                      tieCol: String,
                      pattern: Seq[graft.streaming.StreamingSequenceMatchQ.QTok],
                      withinSeconds: Long = 0L): DataFrame = {
+    val winner = qWinner(userCol, typeCol, tsCol, tieCol, pattern, withinSeconds)
+    events
+      .withColumn("__smq", winner)
+      .filter(col("__smq").isNotNull)
+      .select(col(userCol), col(tsCol).as("match_start_ts"),
+        col("__smq.end_ts").as("match_end_ts"), col(tieCol).as("start_tie"),
+        col("__smq.len").as("matched_len"))
+  }
+
+  /** The per-start-row greedy candidate of [[sequenceMatchQ]] as a Column:
+    * NULL when no alternative matches at this row, else a struct of the
+    * winning alternative's (end_ts, len). Shared by the SKIP TO NEXT ROW and
+    * SKIP PAST LAST ROW surfaces so both decide candidates identically.
+    */
+  private def qWinner(userCol: String, typeCol: String, tsCol: String, tieCol: String,
+                      pattern: Seq[graft.streaming.StreamingSequenceMatchQ.QTok],
+                      withinSeconds: Long): Column = {
     require(withinSeconds >= 0 && withinSeconds <= Long.MaxValue / 1000000L,
       s"withinSeconds must be in [0, ${Long.MaxValue / 1000000L}], got $withinSeconds")
     val exps = graft.streaming.StreamingSequenceMatchQ.expansions(pattern)
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
     def at(c: String, k: Int) = if (k == 0) col(c) else lead(col(c), k).over(w)
-    val winner = exps.map { ex =>
+    exps.map { ex =>
       val types = ex.zipWithIndex.map { case (p, i) => at(typeCol, i) === p }.reduce(_ && _)
       val endTs = at(tsCol, ex.size - 1)
       val exists = endTs.isNotNull
@@ -163,12 +180,77 @@ object Behavior {
       when(types && exists && within,
         struct(endTs.as("end_ts"), lit(ex.size).as("len")))
     }.reduce((a, b) => coalesce(a, b))
-    events
-      .withColumn("__smq", winner)
-      .filter(col("__smq").isNotNull)
+  }
+
+  /** [[sequenceMatchQ]] under the SQL-standard DEFAULT skip strategy, `AFTER
+    * MATCH SKIP PAST LAST ROW`: selected matches never overlap — once a match
+    * is selected, the next candidate may start only AFTER its last row.
+    * (A fixed pattern is `pattern.map(t => QTok(t, 1, 1))`.)
+    *
+    * Candidates are still decided per start row by the same shared lead()
+    * windows as the SKIP TO NEXT ROW twins (greedy longest alternative); the
+    * non-overlap selection is then [[skipPastSelect]]'s per-key linear scan:
+    * scanning (ts, tie)-ordered rows, a candidate is selected iff its start
+    * row is not consumed by the previously selected match, and selecting a
+    * length-L match consumes the following L−1 rows — the standard's cursor
+    * semantics exactly.
+    */
+  def sequenceMatchSkipPast(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+                            tieCol: String,
+                            pattern: Seq[graft.streaming.StreamingSequenceMatchQ.QTok],
+                            withinSeconds: Long = 0L): DataFrame = {
+    val cand = events
+      .withColumn("__smq", qWinner(userCol, typeCol, tsCol, tieCol, pattern, withinSeconds))
+      .select(col(userCol), col(tsCol), col(tieCol), col("__smq"),
+        col("__smq.len").as("__len"))
+    skipPastSelect(cand, Seq(col(userCol)), Seq(col(tsCol), col(tieCol)), "__len")
       .select(col(userCol), col(tsCol).as("match_start_ts"),
         col("__smq.end_ts").as("match_end_ts"), col(tieCol).as("start_tie"),
         col("__smq.len").as("matched_len"))
+  }
+
+  /** Greedy non-overlap selection over per-row match candidates — the engine
+    * half of AFTER MATCH SKIP PAST LAST ROW, factored out so the DataFrame
+    * operator and the SQL MATCH_RECOGNIZE rewrite share one semantics.
+    *
+    * Input: every row of the relation (candidate or not — non-candidates
+    * still occupy positions the cursor must consume), with `lenCol` holding
+    * the candidate's row count at this start (NULL/0 = no candidate).
+    * Output: only the selected match-start rows, original schema.
+    *
+    * Scale shape: ONE hash repartition on the key + one sort within
+    * partitions + a streaming O(1)-state pass. The within-key scan is
+    * inherently sequential — that IS the skip-past contract (each decision
+    * depends on every earlier selection) and is how any MATCH_RECOGNIZE
+    * engine executes it; keys parallelize across partitions, nothing
+    * materializes per key, nothing reaches the driver.
+    */
+  private[graft] def skipPastSelect(df: DataFrame, keyCols: Seq[Column],
+                                    orderCols: Seq[Column], lenCol: String): DataFrame = {
+    graft.core.KeyImage.requireAtomic(df, keyCols)
+    val pre = df
+      // collision-free length-prefixed key image (same reasoning as Cusum:
+      // a separator encoding could merge crafted keys and the cursor would
+      // leak across their series)
+      .withColumn("__spk", graft.core.KeyImage.of(keyCols))
+      .repartition(keyCols: _*)
+      .sortWithinPartitions(col("__spk") +: orderCols: _*)
+    val lenIdx = pre.schema.fieldIndex(lenCol)
+    val keyIdx = pre.schema.fieldIndex("__spk")
+    pre.mapPartitions { it =>
+      var curKey: String = null
+      var consume = 0L
+      it.filter { r =>
+        val key = r.getString(keyIdx)
+        if (key != curKey) { curKey = key; consume = 0L }
+        if (consume > 0L) { consume -= 1L; false }
+        else {
+          val len = if (r.isNullAt(lenIdx)) 0L else r.getAs[Number](lenIdx).longValue()
+          if (len > 0L) { consume = len - 1L; true } else false
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(pre.schema))
+      .drop("__spk")
   }
 
   /** First-order Markov transition matrix over per-user event sequences:

@@ -1263,10 +1263,16 @@ object Catalog {
   private val q70 = Q("q70_approx_sketches", (s, dir) => {
     // Sketch aggregates — what a 100 TB profile actually runs instead of
     // exact DISTINCT (q48) and exact percentiles (q67): HLL++ distinct and
-    // KLL-style approximate quantiles, both mergeable map-side partials with
+    // GK approximate quantiles, both mergeable map-side partials with
     // O(sketch) not O(group) memory. Sketch internals differ across engines,
     // so this is rows-only; the error contract vs the exact answers is pinned
     // by SketchSpec (HLL within 5% rsd ×3, percentile within accuracy bound).
+    // Determinism (SketchSpec, measured): approx_count_distinct is layout-
+    // INDEPENDENT (HLL register merge is a commutative max); percentile_approx
+    // is layout-DEPENDENT — Greenwald-Khanna merge order shifts the reported
+    // element within the rank-error bound when the input is repartitioned —
+    // but bit-stable across reruns of the same plan over the same files,
+    // which is what the driver's repeated rows check executes.
     t(s, dir, "lineitem").groupBy("l_returnflag").agg(
       approx_count_distinct(col("l_orderkey")).as("approx_orders"),
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
@@ -3618,6 +3624,57 @@ FROM n"""))
     // superset.
     graft.pipelines.Labs.lab3Fleet(s, dir, ann = true), None)
 
+  private val q162 = Q("q162_match_skip_past", (s, dir) => {
+    // MATCH_RECOGNIZE under the SQL-standard DEFAULT skip strategy, AFTER
+    // MATCH SKIP PAST LAST ROW (q111's SKIP TO NEXT ROW sibling): selected
+    // view→click matches never overlap — a selected match consumes its rows,
+    // so the next may start only after it. Exercises the full SQL-text path:
+    // candidate CASE over shared lead() windows + the non-overlap selection
+    // (one key repartition + in-order O(1)-state scan, Behavior.skipPastSelect).
+    t(s, dir, "events").createOrReplaceTempView("events_mr_sp")
+    graft.sql.SqlFrontend.execute(s, """
+      SELECT * FROM events_mr_sp MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES
+          FIRST(V.ts) AS match_start_ts,
+          C.ts AS match_end_ts,
+          FIRST(V.event_id) AS start_tie
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (V C) WITHIN INTERVAL '24' HOUR
+        DEFINE V AS V.event_type = 'view', C AS C.event_type = 'click'
+      )""")
+      .select(col("user_id"),
+        col("match_start_ts").cast("timestamp_ntz").as("match_start_ts"),
+        col("match_end_ts").cast("timestamp_ntz").as("match_end_ts"), col("start_tie"))
+  }, Some(s"""
+    WITH RECURSIVE
+      r AS (SELECT user_id, ts, event_id, event_type,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS end_ts
+            FROM $EV e),
+      c AS (SELECT user_id, ts, event_id, rn, end_ts FROM r
+            WHERE event_type = 'view' AND t1 = 'click'
+              AND epoch_us(end_ts) - epoch_us(ts) <= 86400000000),
+      -- greedy non-overlap selection, jumping selected match -> next selected
+      -- match per key (iterations = matches per key, not rows): the recursive
+      -- member picks each key's FIRST candidate at or past the cursor rn + 2
+      sel AS (
+        SELECT user_id, ts, event_id, rn, end_ts
+        FROM (SELECT c.*, row_number() OVER (PARTITION BY user_id ORDER BY rn) AS pk FROM c)
+        WHERE pk = 1
+        UNION ALL
+        SELECT user_id, ts, event_id, rn, end_ts
+        FROM (SELECT c.user_id, c.ts, c.event_id, c.rn, c.end_ts,
+                     row_number() OVER (PARTITION BY c.user_id ORDER BY c.rn) AS pk
+              FROM c JOIN sel s ON c.user_id = s.user_id AND c.rn >= s.rn + 2)
+        WHERE pk = 1
+      )
+    SELECT user_id, ts AS match_start_ts, end_ts AS match_end_ts, event_id AS start_tie
+    FROM sel"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -3634,7 +3691,7 @@ FROM n"""))
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161)
+    q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -608,7 +608,7 @@ object SqlFrontend {
     rewriteToolInvoke(spark,
       rewriteRunAgent(spark,
         rewriteVectorSearch(spark,
-          rewriteDetectAnomalies(rewriteSession(rewriteCumulate(rewriteHop(rewriteTumble(rewriteTemporalJoin(spark, rewriteMatchRecognize(rewriteLateral(rewriteLlmops(spark, sql))))))))))))
+          rewriteDetectAnomalies(rewriteSession(rewriteCumulate(rewriteHop(rewriteTumble(rewriteTemporalJoin(spark, rewriteMatchRecognize(spark, rewriteLateral(rewriteLlmops(spark, sql))))))))))))
 
   // --------------------------------------------------- llmops TVFs (graft_*)
 
@@ -871,10 +871,12 @@ object SqlFrontend {
 
   /** Flink `MATCH_RECOGNIZE` (row-pattern recognition, the CEP SQL surface):
     * `PATTERN` sequences of variables with BOUNDED quantifiers (`A`, `A?`,
-    * `A{m}`, `A{m,n}`), `ONE ROW PER MATCH`, explicit `AFTER MATCH SKIP TO
-    * NEXT ROW`, optional `WITHIN INTERVAL …`, `DEFINE` conditions over any
-    * pattern variable's columns (cross-variable comparisons like
-    * `B.price > A.price` work), `MEASURES X.col [AS a]` with `FIRST`/`LAST`.
+    * `A{m}`, `A{m,n}`), `ONE ROW PER MATCH`, `AFTER MATCH SKIP TO NEXT ROW`
+    * or `AFTER MATCH SKIP PAST LAST ROW` (the latter is ALSO the implicit
+    * default when the clause is absent — the SQL standard's), optional
+    * `WITHIN INTERVAL …`, `DEFINE` conditions over any pattern variable's
+    * columns (cross-variable comparisons like `B.price > A.price` work),
+    * `MEASURES X.col [AS a]` with `FIRST`/`LAST`.
     *
     * Rewritten to the SAME lead()-window formulation
     * [[graft.operators.Behavior.sequenceMatch]] uses (and q111's oracle
@@ -894,12 +896,25 @@ object SqlFrontend {
     * the condition can never hold, exactly as the standard prescribes.
     * MEASURES see the FULL match (final semantics).
     *
+    * SKIP PAST LAST ROW layers a greedy NON-OVERLAP selection on the same
+    * candidate CASE: the per-start candidates (with their row counts) are
+    * computed by the identical window pass, then
+    * [[graft.operators.Behavior.skipPastSelect]] scans each key in order —
+    * a candidate is selected iff its start row is not consumed by the
+    * previously selected match, and a selected length-L match consumes the
+    * next L−1 rows. That selection has an unbounded per-key dependency chain
+    * (every decision depends on all earlier ones), so it is NOT expressible
+    * as one more window — the rewrite registers the selected relation as a
+    * temp view (the [[rewriteTemporalJoin]] precedent) backed by one
+    * repartition + sortWithinPartitions + O(1)-state mapPartitions scan,
+    * which is also how a native MATCH_RECOGNIZE engine executes it.
+    *
     * UNBOUNDED quantifiers (`A+`, `A*`, `A{m,}`) and the clauses whose
-    * semantics this formulation cannot reproduce (`SKIP PAST LAST ROW`,
-    * `ALL ROWS PER MATCH`, `PREV`/`NEXT`) fail loudly rather than
+    * semantics this formulation cannot reproduce (`ALL ROWS PER MATCH`,
+    * `PREV`/`NEXT`, other skip strategies) fail loudly rather than
     * mis-evaluate — state the bound (`A{1,8}`) and the rewrite takes it.
     */
-  private[graft] def rewriteMatchRecognize(sql: String): String = {
+  private[graft] def rewriteMatchRecognize(spark: SparkSession, sql: String): String = {
     val m = MatchRecognizeRe.findFirstMatchIn(sql).getOrElse(return sql)
     val tbl = m.group(1)
     val (pieces, after) = balancedArgs(sql, m.end - 1)
@@ -915,13 +930,22 @@ object SqlFrontend {
       re.r.findFirstMatchIn(body).map(_.group(1).trim)
     val part = clause("(?is)PARTITION\\s+BY\\s+(.*?)\\s+ORDER\\s+BY")
       .getOrElse(sys.error("MATCH_RECOGNIZE requires PARTITION BY"))
-    val ord = clause("(?is)ORDER\\s+BY\\s+(\\w+)")
+    // multi-column ORDER BY: the FIRST column is the event time (row offsets,
+    // WITHIN bounds, end_ts all measure it); trailing columns only break ties
+    // deterministically — same contract as the operators' tieCol
+    val ordList = clause("(?is)ORDER\\s+BY\\s+(\\w+(?:\\s*,\\s*\\w+)*)")
       .getOrElse(sys.error("MATCH_RECOGNIZE requires ORDER BY"))
+    val ordCols = ordList.split(",").map(_.trim).toSeq
+    val ord = ordCols.head
     require(!"(?is)ALL\\s+ROWS\\s+PER\\s+MATCH".r.findFirstIn(body).isDefined,
       "MATCH_RECOGNIZE: only ONE ROW PER MATCH is supported")
-    require("(?is)AFTER\\s+MATCH\\s+SKIP\\s+TO\\s+NEXT\\s+ROW".r.findFirstIn(body).isDefined,
-      "MATCH_RECOGNIZE: state an explicit AFTER MATCH SKIP TO NEXT ROW (the only supported " +
-        "strategy; the standard's default SKIP PAST LAST ROW is not implemented)")
+    val skipToNext = "(?is)AFTER\\s+MATCH\\s+SKIP\\s+TO\\s+NEXT\\s+ROW".r.findFirstIn(body).isDefined
+    val skipPastExplicit = "(?is)AFTER\\s+MATCH\\s+SKIP\\s+PAST\\s+LAST\\s+ROW".r.findFirstIn(body).isDefined
+    require(skipToNext || skipPastExplicit ||
+      !"(?is)AFTER\\s+MATCH".r.findFirstIn(body).isDefined,
+      "MATCH_RECOGNIZE: supported AFTER MATCH strategies are SKIP TO NEXT ROW and " +
+        "SKIP PAST LAST ROW (the default when the clause is absent)")
+    val skipPast = !skipToNext // explicit SKIP PAST LAST ROW, or the standard default
     require(!"(?i)\\b(?:PREV|NEXT)\\s*\\(".r.findFirstIn(body).isDefined,
       "MATCH_RECOGNIZE: PREV()/NEXT() are not supported")
     val patM = "(?is)PATTERN\\s*\\(\\s*(.*?)\\s*\\)(?:\\s+WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(\\w+))?".r
@@ -946,7 +970,7 @@ object SqlFrontend {
       s"MATCH_RECOGNIZE: duplicate pattern variable in '${patM.group(1)}'")
     val varNames = varSpecs.map(_._1)
     val idx = varNames.zipWithIndex.toMap
-    val w = s"(PARTITION BY $part ORDER BY $ord)"
+    val w = s"(PARTITION BY $part ORDER BY $ordList)"
 
     // every bounded-count assignment, greedy order: leftmost quantifier
     // longest first (descending lexicographic), zero-length matches excluded
@@ -1045,18 +1069,36 @@ object SqlFrontend {
         s"unix_micros(CAST(${at(ord, len - 1)} AS TIMESTAMP)) - " +
           s"unix_micros(CAST($ord AS TIMESTAMP)) <= $us")
       val cond = ((defineConds :+ exists) ++ within.toSeq).mkString(" AND ")
-      val fields =
-        if (measureSrc.isEmpty) "'__len', " + len
-        else measureSrc.map { case (e, a) => s"'$a', ${subst(e, offsets, None)}" }.mkString(", ")
+      // '__len' always rides in the struct: the skip-past selection consumes
+      // it, and the measure-less form already exposed it as the one field
+      val fields = (s"'__len', $len" +:
+        measureSrc.map { case (e, a) => s"'$a', ${subst(e, offsets, None)}" }).mkString(", ")
       s"WHEN ($cond) THEN named_struct($fields)"
     }
 
     val measureNames = measureSrc.map(_._2)
-    val outerCols = (splitTop(part) ++ measureNames.map(a => s"__mr.$a AS $a")).mkString(", ")
-    val replacement =
-      s"FROM (SELECT $outerCols FROM (SELECT *, CASE ${branches.mkString(" ")} END AS __mr " +
-        s"FROM $tbl) __graft_mr0 WHERE __mr IS NOT NULL) $alias"
-    rewriteMatchRecognize(sql.substring(0, m.start) + replacement + sql.substring(aliasEnd))
+    require(!measureNames.contains("__len"), "MATCH_RECOGNIZE: '__len' is a reserved measure alias")
+    val partCols = splitTop(part)
+    val candidateSql = s"SELECT *, CASE ${branches.mkString(" ")} END AS __mr FROM $tbl"
+    val replacement = if (!skipPast) {
+      val outerCols = (partCols ++ measureNames.map(a => s"__mr.$a AS $a")).mkString(", ")
+      s"FROM (SELECT $outerCols FROM ($candidateSql) __graft_mr0 WHERE __mr IS NOT NULL) $alias"
+    } else {
+      // non-overlap selection: candidates flow through skipPastSelect's
+      // per-key ordered scan; the selected relation becomes a temp view the
+      // rewritten text references (rewriteTemporalJoin registers views the
+      // same way). EVERY row enters the scan — non-candidates still occupy
+      // row positions a selected match must consume.
+      val cand = spark.sql(s"SELECT *, __mr.__len AS __graft_len FROM ($candidateSql) __graft_mr0")
+      val sel = graft.operators.Behavior.skipPastSelect(
+        cand, partCols.map(org.apache.spark.sql.functions.expr),
+        ordCols.map(org.apache.spark.sql.functions.expr), "__graft_len")
+      val out = sel.selectExpr(partCols ++ measureNames.map(a => s"__mr.$a AS $a"): _*)
+      val view = "__graft_mr_skippast_" + Integer.toHexString(sql.hashCode)
+      out.createOrReplaceTempView(view)
+      s"FROM $view $alias"
+    }
+    rewriteMatchRecognize(spark, sql.substring(0, m.start) + replacement + sql.substring(aliasEnd))
   }
 
   private[graft] val CumulateRe =

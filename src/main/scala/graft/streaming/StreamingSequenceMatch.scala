@@ -23,6 +23,15 @@ import org.apache.spark.sql.streaming.{GroupState, OutputMode}
   * events, so a pattern spanning the eviction gap will NOT match — the key's
   * next event starts a fresh trail. With a `within` bound, any TTL ≥ within
   * is loss-free: a trail older than `within` could never complete anyway.
+  *
+  * `skipPast = true` switches to the SQL-standard default strategy, AFTER
+  * MATCH SKIP PAST LAST ROW (the batch twin is
+  * [[graft.operators.Behavior.sequenceMatchSkipPast]]): a selected match
+  * consumes its rows, so the next match starts strictly after it — in this
+  * end-detection formulation that is exactly CLEARING the trail on emit.
+  * Equivalence with the batch start-order greedy scan holds because fixed
+  * patterns have one length: the earliest-start candidate is also the
+  * earliest-end, and clearing the trail consumes precisely the match's rows.
   */
 object StreamingSequenceMatch {
 
@@ -32,7 +41,7 @@ object StreamingSequenceMatch {
 
   def apply(df: DataFrame, keyCol: String, typeCol: String, tsCol: String, tieCol: String,
             pattern: Seq[String], withinSeconds: Long = 0L, ttlSeconds: Long = 0L,
-            ttlWatermarkDelay: String = "0 seconds"): Dataset[Match] = {
+            ttlWatermarkDelay: String = "0 seconds", skipPast: Boolean = false): Dataset[Match] = {
     require(pattern.nonEmpty, "pattern must name at least one event type")
     require(withinSeconds >= 0 && withinSeconds <= Long.MaxValue / 1000000L,
       s"withinSeconds must be in [0, ${Long.MaxValue / 1000000L}], got $withinSeconds")
@@ -67,10 +76,13 @@ object StreamingSequenceMatch {
               val types = trail.types :+ e.typ
               val tss = trail.tsMicros :+ ts
               val ties = trail.ties :+ e.tie
-              if (types.length >= n && types.takeRight(n) == pattern &&
-                  (withinUs == 0L || ts - tss(tss.length - n) <= withinUs))
+              val hit = types.length >= n && types.takeRight(n) == pattern &&
+                (withinUs == 0L || ts - tss(tss.length - n) <= withinUs)
+              if (hit)
                 out += Match(key, toTs(tss(tss.length - n)), toTs(ts), ties(ties.length - n))
-              trail = Trail(types.takeRight(n - 1), tss.takeRight(n - 1), ties.takeRight(n - 1))
+              trail =
+                if (hit && skipPast) Trail(Nil, Nil, Nil) // match consumed its rows
+                else Trail(types.takeRight(n - 1), tss.takeRight(n - 1), ties.takeRight(n - 1))
             }
             state.update(trail)
             StreamingOps.armTtl(state, ttlSeconds, newest)

@@ -27,6 +27,40 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q70 determinism: HLL is layout-independent; percentile_approx is pinned per layout") {
+    // the driver's rows check re-runs q70 across rounds — this pins why it
+    // can't flap. Measured here (not assumed): HLL++ register-merge is a
+    // commutative max, so approx_count_distinct is identical under ANY
+    // partitioning; percentile_approx's Greenwald-Khanna merge IS layout-
+    // dependent (repartitioning shifts the reported element within the rank-
+    // error bound), but bit-stable across reruns of the same plan over the
+    // same files — which is exactly what the driver re-executes.
+    val li = graft.core.Tables(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy("l_returnflag").agg(
+      approx_count_distinct(col("l_orderkey")).as("hll"),
+      // accuracy 100 on thousands of rows per group forces GK compression —
+      // at the catalog's accuracy=10000 this sf would store values exactly
+      // and the layout dependence would hide until a bigger scale factor
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(100)).as("p50"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val base = agg(li)
+    assert(agg(li) == base, "same plan, same files: bit-stable rerun")
+    val layouts = Seq(li.repartition(17), li.repartition(3, col("l_orderkey")),
+      li.coalesce(1), li.orderBy(desc("l_extendedprice")))
+    layouts.foreach { v =>
+      val a = agg(v)
+      assert(a.map(x => (x._1, x._2)) == base.map(x => (x._1, x._2)),
+        s"HLL must not depend on layout: ${a.mkString("|")} vs ${base.mkString("|")}")
+      // percentile may move under re-layout, but only within the GK rank
+      // error (n/accuracy ranks): pin it to a 5% value envelope here
+      a.zip(base).foreach { case ((f, _, p), (_, _, bp)) =>
+        assert(math.abs(p - bp) / bp < 0.05, s"$f p50 drifted past the error bound: $p vs $bp")
+      }
+    }
+  }
+
   test("sketch aggregates plan map-side partials (mergeable, no raw shuffle)") {
     val plan = graft.queries.Catalog.queries("q70_approx_sketches")(spark, sfDir)
       .queryExecution.executedPlan.toString

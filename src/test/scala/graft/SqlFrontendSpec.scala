@@ -433,8 +433,8 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     val e1 = intercept[Exception](SqlFrontend.execute(spark,
       """SELECT * FROM mr_events MATCH_RECOGNIZE (
         |  PARTITION BY u ORDER BY ts MEASURES A.ts AS s ONE ROW PER MATCH
-        |  AFTER MATCH SKIP PAST LAST ROW PATTERN (A B) DEFINE A AS A.t = 'view')""".stripMargin))
-    assert(e1.getMessage.contains("SKIP TO NEXT ROW"))
+        |  AFTER MATCH SKIP TO FIRST A PATTERN (A B) DEFINE A AS A.t = 'view')""".stripMargin))
+    assert(e1.getMessage.contains("SKIP PAST LAST ROW"))
     val e2 = intercept[Exception](SqlFrontend.execute(spark,
       """SELECT * FROM mr_events MATCH_RECOGNIZE (
         |  PARTITION BY u ORDER BY ts MEASURES A.ts AS s ONE ROW PER MATCH
@@ -445,6 +445,86 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
         |  PARTITION BY u ORDER BY ts MEASURES A.ts AS s ONE ROW PER MATCH
         |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A{2,} B) DEFINE A AS A.t = 'view')""".stripMargin))
     assert(e3.getMessage.contains("unbounded quantifier"), e3.getMessage)
+  }
+
+  test("MATCH_RECOGNIZE SKIP PAST LAST ROW selects non-overlapping matches and is the default") {
+    import spark.implicits._
+    def ev(k: String, t: String, sec: Int, id: Long) =
+      (k, t, new java.sql.Timestamp(1700000000000L + sec * 1000L), id)
+    // k1: x x x x x  — PATTERN (A B) candidates start at every x with a
+    // successor; skip-past greedily takes 1-2 and 3-4 (5 has no successor).
+    // k2: x x y x x — the y breaks row 4's... no: candidates at 1 (covers 2)
+    // and 4 (covers 5); the non-candidate y still occupies a row position.
+    // k3: x x x — selecting 1-2 CONSUMES row 2's candidacy; row 3 alone can't match.
+    val df = (Seq(ev("k1", "x", 0, 1), ev("k1", "x", 1, 2), ev("k1", "x", 2, 3),
+      ev("k1", "x", 3, 4), ev("k1", "x", 4, 5),
+      ev("k2", "x", 0, 6), ev("k2", "x", 1, 7), ev("k2", "y", 2, 8),
+      ev("k2", "x", 3, 9), ev("k2", "x", 4, 10),
+      ev("k3", "x", 0, 11), ev("k3", "x", 1, 12), ev("k3", "x", 2, 13)))
+      .toDF("k", "t", "ts", "id")
+    df.createOrReplaceTempView("mr_sp_events")
+
+    def starts(afterMatch: String): Seq[(String, Long)] =
+      SqlFrontend.execute(spark,
+        s"""SELECT * FROM mr_sp_events MATCH_RECOGNIZE (
+           |  PARTITION BY k ORDER BY ts
+           |  MEASURES A.id AS start_id
+           |  ONE ROW PER MATCH
+           |  $afterMatch
+           |  PATTERN (A B)
+           |  DEFINE A AS A.t = 'x', B AS B.t = 'x')""".stripMargin)
+        .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("start_id")))
+        .sortBy(identity).toSeq
+
+    val expected = Seq(("k1", 1L), ("k1", 3L), ("k2", 6L), ("k2", 9L), ("k3", 11L))
+    assert(starts("AFTER MATCH SKIP PAST LAST ROW") == expected)
+    // absent clause = the SQL standard's default strategy
+    assert(starts("") == expected)
+    // contrast: SKIP TO NEXT ROW keeps the overlapping starts
+    assert(starts("AFTER MATCH SKIP TO NEXT ROW") ==
+      Seq(("k1", 1L), ("k1", 2L), ("k1", 3L), ("k1", 4L), ("k2", 6L), ("k2", 9L),
+        ("k3", 11L), ("k3", 12L)))
+
+    // quantified + greedy: A{1,2} over x,x,x takes len 2 first, then len 1
+    // (FIRST(A.id): a bare A.id is the LAST A occurrence per the standard)
+    val q = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_sp_events MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts
+        |  MEASURES FIRST(A.id) AS start_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A{1,2})
+        |  DEFINE A AS A.t = 'x')""".stripMargin)
+      .filter(col("k") === "k3")
+      .collect().map(_.getAs[Long]("start_id")).sorted.toSeq
+    assert(q == Seq(11L, 13L), s"greedy len-2 then len-1, got $q")
+
+    // all three surfaces agree: SQL text, DataFrame operator, streaming twin
+    import graft.streaming.StreamingSequenceMatchQ.QTok
+    val op = graft.operators.Behavior.sequenceMatchSkipPast(
+      df, "k", "t", "ts", "id", Seq(QTok("x", 1, 1), QTok("x", 1, 1)))
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("start_tie")))
+      .sortBy(identity).toSeq
+    assert(op == expected, s"DataFrame operator disagrees with the SQL rewrite: $op")
+
+    implicit val sq = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[(String, String, java.sql.Timestamp, Long)]
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String, java.sql.Timestamp, Long)]
+    val sq2 = graft.streaming.StreamingSequenceMatch(
+      mem.toDF().toDF("k", "t", "ts", "id"), "k", "t", "ts", "id",
+      pattern = Seq("x", "x"), skipPast = true)
+      .writeStream.format("memory").queryName("mr_sp_stream").outputMode("append").start()
+    try {
+      // split mid-k1 across triggers: non-overlap must hold across batches
+      val rows = df.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getTimestamp(2), r.getLong(3))).sortBy(_._4)
+      val (b1, b2) = rows.splitAt(3)
+      mem.addData(b1.toSeq); sq2.processAllAvailable()
+      mem.addData(b2.toSeq); sq2.processAllAvailable()
+    } finally sq2.stop()
+    val streamed = spark.table("mr_sp_stream").collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("start_tie"))).sortBy(identity).toSeq
+    assert(streamed == expected, s"streaming skip-past disagrees: $streamed")
   }
 
   test("SHOW family lists every catalog kind; SHOW CREATE TABLE reconstructs DDL") {
