@@ -100,21 +100,91 @@ object Winnowing {
     * side only, with exact drop counts through `capStats` (same never-silent
     * contract as the LSH bucket cap). Default off: overlap counts then include
     * every fingerprint.
+    *
+    * IDENTICAL-TEXT COLLAPSE (round 8, the near-dup family's r6 move applied
+    * here after the sf10 gate killed the direct path): clones share their
+    * ENTIRE fingerprint set, so every posting's docs-per-fingerprint scales
+    * with clone multiplicity m and the self-join goes quadratic in m PER
+    * FINGERPRINT (sf10's ×100 replication = ×10⁴ per posting — stage death
+    * before the groupBy ever ran). With `collapseIdentical` (default) docs
+    * group by their fingerprint SET under a min-id rep
+    * ([[Dedup.collapseGroups]]): the index joins REPS only, intra-group
+    * pairs share exactly |set| fingerprints by construction, cross pairs
+    * inherit the rep pair's count bit-for-bit — expansion is answer-sized.
+    * Contract notes (same as the LSH family): under the collapse,
+    * `maxDocsPerFingerprint` counts REPS per fingerprint, not docs, and it
+    * also bounds the clone-group size (both through the never-silent
+    * CapStats); an adaptive probe skips the collapse on clone-free corpora.
     */
   def sharedFingerprintPairs(df: DataFrame, textCol: String, idCol: String,
                              k: Int = 3, w: Int = 4, minShared: Int = 2,
                              maxDocsPerFingerprint: Int = 0,
-                             capStats: Dedup.CapStats = null): DataFrame = {
-    val fp = fingerprints(df, textCol, idCol, k, w)
-    val capped =
+                             capStats: Dedup.CapStats = null,
+                             collapseIdentical: Boolean = true): DataFrame = {
+    val doCollapse = collapseIdentical && {
+      val probe = df.agg(count(col(textCol)).as("n"),
+        approx_count_distinct(xxhash64(col(textCol))).as("d")).head()
+      probe.getLong(1).toDouble < 0.95 * probe.getLong(0)
+    }
+    if (!doCollapse) {
+      val fp = fingerprints(df, textCol, idCol, k, w)
+      val capped =
+        if (maxDocsPerFingerprint > 0)
+          Dedup.capBuckets(fp, Seq("fingerprint"), maxDocsPerFingerprint, capStats)
+        else fp
+      val a = capped.select(col("fingerprint"), col("doc_id").as("id_a"))
+      val b = fp.select(col("fingerprint"), col("doc_id").as("id_b"))
+      return a.join(b, Seq("fingerprint")).filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("shared_fingerprints"))
+        .filter(col("shared_fingerprints") >= minShared)
+    }
+    // per-doc fingerprint SET as one sorted array column (sorted = canonical,
+    // so identical sets group; fingerprints() is already distinct-per-doc);
+    // checkpointed lazily — it feeds the group agg AND the membership join
+    val (kk, ww) = (k, w)
+    val setUdf = udf { text: String =>
+      if (text == null || text.matches("\\s*")) Array.empty[Long]
+      else {
+        val a = fingerprintWord(text, kk, ww)
+        java.util.Arrays.sort(a)
+        a
+      }
+    }
+    val sets = graft.core.Parallelism.defend(df)
+      .select(col(idCol).as("doc_id"), setUdf(col(textCol)).as("__fp"))
+      .localCheckpoint(eager = false)
+    // empty sets group with nobody (blank docs fingerprint nothing)
+    val nonEmpty = sets.filter(size(col("__fp")) > 0)
+    val groupCap = if (maxDocsPerFingerprint > 0) maxDocsPerFingerprint else Int.MaxValue
+    val (reps, members0) = Dedup.collapseGroups(nonEmpty, Seq("__fp"), "doc_id",
+      groupCap, capStats)
+    val members = members0.withColumnRenamed("__cg_id", "doc_id")
+    // intra-group pairs: clones share their whole set — count = |set|
+    val repSize = reps.select(col("rep"), size(col("__fp")).cast("long").as("__n"))
+    val intra = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"), col("x.rep").as("rep"))
+      .join(repSize, "rep")
+      .filter(col("__n") >= minShared)
+      .select(col("id_a"), col("id_b"), col("__n").as("shared_fingerprints"))
+    // inverted index over REPS only
+    val fpReps = reps.select(col("rep").as("doc_id"), explode(col("__fp")).as("fingerprint"))
+    val cappedReps =
       if (maxDocsPerFingerprint > 0)
-        Dedup.capBuckets(fp, Seq("fingerprint"), maxDocsPerFingerprint, capStats)
-      else fp
-    val a = capped.select(col("fingerprint"), col("doc_id").as("id_a"))
-    val b = fp.select(col("fingerprint"), col("doc_id").as("id_b"))
-    a.join(b, Seq("fingerprint")).filter(col("id_a") < col("id_b"))
+        Dedup.capBuckets(fpReps, Seq("fingerprint"), maxDocsPerFingerprint, capStats)
+      else fpReps
+    val a = cappedReps.select(col("fingerprint"), col("doc_id").as("id_a"))
+    val b = fpReps.select(col("fingerprint"), col("doc_id").as("id_b"))
+    val repPairs = a.join(b, Seq("fingerprint")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared_fingerprints"))
       .filter(col("shared_fingerprints") >= minShared)
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("doc_id").as("__da")), "id_a")
+      .join(members.select(col("rep").as("id_b"), col("doc_id").as("__db")), "id_b")
+      .select(least(col("__da"), col("__db")).as("id_a"),
+        greatest(col("__da"), col("__db")).as("id_b"), col("shared_fingerprints"))
+    cross.unionByName(intra)
   }
 }

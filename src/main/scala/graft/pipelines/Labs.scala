@@ -361,8 +361,13 @@ object Labs {
             "claim_ts", "window_time", "'-6' HOUR", "'0' HOUR")
             .orderBy(col("claim_amount").desc, col("claim_id"))
             .limit(queueLimit)
+          // the batch twin's EXACT prompt (narrative included): the judge is
+          // a deterministic function of the prompt, so any text difference
+          // splits stream and batch verdicts on the same claim (caught by
+          // SpotStreamingLabs at sf1 — 8/10 common claims diverged)
           val basePrompt = concat(lit("Claim "), col("claim_id"), lit(" city "),
-            col("claim_city"), lit(" amount "), Scalars.moneyFmt(col("claim_amount")))
+            col("claim_city"), lit(" amount "), Scalars.moneyFmt(col("claim_amount")),
+            lit(" narrative "), coalesce(col("narrative"), lit("")))
           val toInvestigate = annStore match {
             case Some((ivf, chunks)) =>
               val embedded = MlPredict.embed(

@@ -517,6 +517,13 @@ object Catalog {
     graft.pipelines.Labs.lab2Rag(s, dir), None)
 
   private val q34 = Q("q34_lab3_fleet", (s, dir) =>
+    // EXACT top-k search by contract — the deterministic rows-gate form.
+    // PRODUCTION DEFAULT IS THE ANN TWIN (q161, `lab3Fleet(ann = true)`):
+    // the reference's own vectordbs are approximate (numCandidates = 500,
+    // terraform lab3 main.tf:110-124), and at sf10 exact is 443 s vs ANN
+    // 85 s with recall ≥ 0.95 (spec-gated) — a gap asymptotic in corpus
+    // size. Keep exact only where byte-stable replays matter more than
+    // latency.
     graft.pipelines.Labs.lab3Fleet(s, dir), None)
 
   private val q35 = Q("q35_lab4_fraud", (s, dir) =>

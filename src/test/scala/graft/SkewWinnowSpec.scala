@@ -57,6 +57,25 @@ class WinnowingSpec extends SparkSpec {
       s"drops must be visible: ${stats.droppedBuckets} buckets / ${stats.droppedRows} rows")
   }
 
+  test("identical-text collapse equals the direct inverted-index path, pair for pair") {
+    import spark.implicits._
+    // clone-heavy corpus (the sf10 replication regime that killed the direct
+    // path): testdata docs cloned 3x under offset ids, plus blanks
+    val docs = graft.core.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(120)
+    val clones = (1 to 2).map(i => docs.select((col("doc_id") + i * 1000000L).as("doc_id"), col("text")))
+      .foldLeft(docs)(_ unionByName _)
+      .unionByName(Seq((9000001L, ""), (9000002L, "   ")).toDF("doc_id", "text"))
+    def run(collapse: Boolean) =
+      Winnowing.sharedFingerprintPairs(clones, "text", "doc_id", 3, 4, minShared = 2,
+        collapseIdentical = collapse)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val (direct, collapsed) = (run(false), run(true))
+    assert(collapsed == direct,
+      s"collapse path must be pair-for-pair identical: ${collapsed.size} vs ${direct.size} pairs")
+    assert(direct.nonEmpty, "fixture must produce pairs (clones share everything)")
+  }
+
   test("null, empty, and whitespace-only docs emit no fingerprints in either path") {
     import spark.implicits._
     val df = Seq((1L, Option.empty[String]), (2L, Some("")), (3L, Some("   \t ")),
