@@ -103,4 +103,34 @@ object TableRegistry {
   def unset(key: String): Unit = sessionConf.remove(key): Unit
   def get(key: String): Option[String] = sessionConf.get(key)
   def clearConf(): Unit = sessionConf.clear()
+
+  /** The session's `sql.state-ttl` as whole seconds — the knob the reference
+    * sets before its stateful queries (`'1 HOURS'` LAB1-Walkthrough.md:120,
+    * `'14 d'` LAB4-Walkthrough.md:124). The stateful streaming planners read
+    * this and pass it to the operators' event-time TTL (StreamingOps.ttlConf).
+    * None when unset (state unbounded, the operators' default).
+    */
+  def stateTtlSeconds: Option[Long] = get("sql.state-ttl").map(durationSeconds)
+
+  /** Flink-style duration literal → seconds: `'14 d'`, `'1 HOURS'`,
+    * `'30 min'`, `'90 s'` (TimeUtils vocabulary: singular, plural, and short
+    * unit names; case-insensitive; sub-second units are rejected — a state
+    * TTL below one second is a config error, not a wish).
+    */
+  private[graft] def durationSeconds(s: String): Long = {
+    val m = "(?i)^\\s*(\\d+)\\s*([a-z]+)\\s*$".r.findFirstMatchIn(s)
+      .getOrElse(sys.error(s"unparseable duration '$s' (expected '<n> <unit>', e.g. '14 d')"))
+    val n = m.group(1).toLong
+    val perUnit = m.group(2).toLowerCase match {
+      case "s" | "sec" | "secs" | "second" | "seconds" => 1L
+      case "m" | "min" | "mins" | "minute" | "minutes" => 60L
+      case "h" | "hour" | "hours" => 3600L
+      case "d" | "day" | "days" => 86400L
+      case u => sys.error(s"unsupported duration unit '$u' in '$s' (state TTLs are whole seconds)")
+    }
+    Math.multiplyHigh(n, perUnit) match {
+      case 0 => n * perUnit
+      case _ => sys.error(s"duration '$s' overflows")
+    }
+  }
 }

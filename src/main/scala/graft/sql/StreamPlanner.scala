@@ -269,8 +269,15 @@ object StreamPlanner {
       s"streaming MATCH_RECOGNIZE supports a single partition column, got '$part'")
     val ord = clause("(?is)ORDER\\s+BY\\s+(\\w+)")
       .getOrElse(sys.error("MATCH_RECOGNIZE requires ORDER BY"))
-    require("(?is)AFTER\\s+MATCH\\s+SKIP\\s+TO\\s+NEXT\\s+ROW".r.findFirstIn(body).isDefined,
-      "MATCH_RECOGNIZE: state an explicit AFTER MATCH SKIP TO NEXT ROW")
+    // same strategy surface as the batch rewrite: SKIP TO NEXT ROW, SKIP PAST
+    // LAST ROW, or absent = the SQL standard's default (skip past)
+    val skipToNext = "(?is)AFTER\\s+MATCH\\s+SKIP\\s+TO\\s+NEXT\\s+ROW".r.findFirstIn(body).isDefined
+    val skipPastExplicit = "(?is)AFTER\\s+MATCH\\s+SKIP\\s+PAST\\s+LAST\\s+ROW".r.findFirstIn(body).isDefined
+    require(skipToNext || skipPastExplicit ||
+      !"(?is)AFTER\\s+MATCH".r.findFirstIn(body).isDefined,
+      "MATCH_RECOGNIZE: supported AFTER MATCH strategies are SKIP TO NEXT ROW and " +
+        "SKIP PAST LAST ROW (the default when the clause is absent)")
+    val skipPast = !skipToNext
     val patM = "(?is)PATTERN\\s*\\(\\s*(.*?)\\s*\\)(?:\\s+WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(\\w+))?".r
       .findFirstMatchIn(body).getOrElse(sys.error("MATCH_RECOGNIZE requires PATTERN (...)"))
     val TokenRe = "(\\w+)(?:(\\?)|\\{(\\d+)(?:(,)(\\d+)?)?\\})?".r
@@ -339,8 +346,12 @@ object StreamPlanner {
 
     val input = SqlFrontend.parseSql(spark, s"SELECT * FROM $tbl")
       .withColumn("__tie", lit(0L))
+    // the reference bounds stateful queries with SET 'sql.state-ttl' (the
+    // LAB4 sessions run '14 d') — honor it here as the operator's event-time
+    // TTL; unset = unbounded state, the operator default
+    val ttlSeconds = graft.sources.TableRegistry.stateTtlSeconds.getOrElse(0L)
     val matched = StreamingSequenceMatchQ(input, part, typeCol, ord, "__tie",
-      qtoks, withinSeconds).toDF()
+      qtoks, withinSeconds, ttlSeconds = ttlSeconds, skipPast = skipPast).toDF()
     // restore the partition column's ORIGINAL type (the operator keys on its
     // string image) so downstream joins/schemas see what the source declared
     val keyType = input.schema(part).dataType

@@ -46,6 +46,19 @@ import org.apache.spark.sql.streaming.{GroupState, OutputMode}
   * `within` bound, any TTL ≥ within loses no DECIDABLE match — an evicted
   * start was past its within horizon, where completion was impossible and
   * the futureViolated rule had already decided or doomed it.
+  *
+  * `skipPast = true` switches to the SQL-standard DEFAULT strategy, AFTER
+  * MATCH SKIP PAST LAST ROW (batch twin:
+  * [[graft.operators.Behavior.sequenceMatchSkipPast]]): the buffer head IS
+  * the selection cursor. Only the OLDEST unresolved start may decide — a
+  * younger start that already has a complete alternative must wait, because
+  * an older still-open start can later match ACROSS it and consume its rows
+  * (emitting early would produce an overlap the batch scan never selects).
+  * The head resolves to: a greedy winner (emit, drop the match's `len`
+  * buffer entries — the consumption), dead (drop one entry), or open (stop,
+  * wait for events). State stays O(maxLen): the head is guaranteed decided
+  * within `maxLen` events of its position, so the frontier advances and the
+  * buffer never outgrows the same bound as the skip-to-next form.
   */
 object StreamingSequenceMatchQ {
 
@@ -73,7 +86,7 @@ object StreamingSequenceMatchQ {
 
   def apply(df: DataFrame, keyCol: String, typeCol: String, tsCol: String, tieCol: String,
             pattern: Seq[QTok], withinSeconds: Long = 0L, ttlSeconds: Long = 0L,
-            ttlWatermarkDelay: String = "0 seconds"): Dataset[QMatch] = {
+            ttlWatermarkDelay: String = "0 seconds", skipPast: Boolean = false): Dataset[QMatch] = {
     val exps = expansions(pattern)
     val maxLen = exps.map(_.size).max
     require(withinSeconds >= 0 && withinSeconds <= Long.MaxValue / 1000000L,
@@ -102,57 +115,90 @@ object StreamingSequenceMatchQ {
           var buf = state.getOption.getOrElse(Buf(Nil, Nil, Nil, Nil))
           val out = Seq.newBuilder[QMatch]
           var newest = Long.MinValue
+
+          /** Resolve the start at offset `p`: winner length (> 0), 0 = dead
+            * (every alternative broken), -1 = open (a longer alternative is
+            * still completable by future events). The within-horizon rule:
+            * once the NEWEST event is already past the within bound from this
+            * start, every not-yet-complete alternative is doomed too (its end
+            * would be even later) — the start decides NOW instead of waiting
+            * for a type-breaking event, which also bounds state age.
+            */
+          def resolve(types: IndexedSeq[String], tss: IndexedSeq[Long], p: Int): Int = {
+            val avail = types.length - p
+            val futureViolated = withinUs > 0L && tss(types.length - 1) - tss(p) > withinUs
+            var open = false
+            var winner = -1
+            val it = exps.iterator
+            while (!open && winner < 0 && it.hasNext) {
+              val ex = it.next()
+              if (avail >= ex.size) {
+                var ok = true
+                var i = 0
+                while (ok && i < ex.size) { ok = types(p + i) == ex(i); i += 1 }
+                if (ok && (withinUs == 0L || tss(p + ex.size - 1) - tss(p) <= withinUs))
+                  winner = ex.size
+                // else: broken (type mismatch, or within violated with
+                // all its events already arrived) — try the next one
+              } else {
+                var prefix = true
+                var i = 0
+                while (prefix && i < avail) { prefix = types(p + i) == ex(i); i += 1 }
+                if (prefix && !futureViolated) open = true // completable by future events
+              }
+            }
+            if (winner >= 0) winner else if (open) -1 else 0
+          }
+
           rows.toSeq.sortBy(e => (StreamingOps.tsMicros(e.ts), e.tie)).foreach { e =>
             newest = math.max(newest, StreamingOps.tsMicros(e.ts))
-            val types = (buf.types :+ e.typ).toIndexedSeq
-            val tss = (buf.tsMicros :+ StreamingOps.tsMicros(e.ts)).toIndexedSeq
-            val ties = (buf.ties :+ e.tie).toIndexedSeq
-            val undecided = (buf.undecided :+ true).toArray
-            var p = 0
-            while (p < types.length) {
-              if (undecided(p)) {
-                val avail = types.length - p
-                // once the NEWEST event is already past the within bound from
-                // this start, every not-yet-complete alternative is doomed too
-                // (its end would be even later) — the start decides NOW
-                // instead of waiting for a type-breaking event, which also
-                // bounds state age by the within horizon
-                val futureViolated = withinUs > 0L && tss(types.length - 1) - tss(p) > withinUs
-                var open = false
-                var winner = -1
-                val it = exps.iterator
-                while (!open && winner < 0 && it.hasNext) {
-                  val ex = it.next()
-                  if (avail >= ex.size) {
-                    var ok = true
-                    var i = 0
-                    while (ok && i < ex.size) { ok = types(p + i) == ex(i); i += 1 }
-                    if (ok && (withinUs == 0L || tss(p + ex.size - 1) - tss(p) <= withinUs))
-                      winner = ex.size
-                    // else: broken (type mismatch, or within violated with
-                    // all its events already arrived) — try the next one
-                  } else {
-                    var prefix = true
-                    var i = 0
-                    while (prefix && i < avail) { prefix = types(p + i) == ex(i); i += 1 }
-                    if (prefix && !futureViolated) open = true // completable by future events
+            var types = (buf.types :+ e.typ).toIndexedSeq
+            var tss = (buf.tsMicros :+ StreamingOps.tsMicros(e.ts)).toIndexedSeq
+            var ties = (buf.ties :+ e.tie).toIndexedSeq
+            if (skipPast) {
+              // SKIP PAST LAST ROW: the buffer head is the selection cursor.
+              // Only the oldest unresolved start may decide — a younger start
+              // with a complete alternative WAITS (an older open start can
+              // still match across it and consume its rows). Winner: emit and
+              // drop the match's len entries (the consumption); dead: drop
+              // one; open: stop until more events arrive.
+              var walking = true
+              while (walking && types.nonEmpty) {
+                resolve(types, tss, 0) match {
+                  case -1 => walking = false
+                  case 0 =>
+                    types = types.drop(1); tss = tss.drop(1); ties = ties.drop(1)
+                  case len =>
+                    out += QMatch(key, toTs(tss(0)), toTs(tss(len - 1)), ties(0), len)
+                    types = types.drop(len); tss = tss.drop(len); ties = ties.drop(len)
+                }
+              }
+              buf = Buf(types, tss, ties, Seq.fill(types.length)(true))
+            } else {
+              // SKIP TO NEXT ROW: every start decides independently
+              val undecided = (buf.undecided :+ true).toArray
+              var p = 0
+              while (p < types.length) {
+                if (undecided(p)) {
+                  resolve(types, tss, p) match {
+                    case -1 => ()
+                    case 0 => undecided(p) = false // every alternative broken
+                    case winner =>
+                      out += QMatch(key, toTs(tss(p)), toTs(tss(p + winner - 1)), ties(p), winner)
+                      undecided(p) = false
                   }
                 }
-                if (winner >= 0) {
-                  out += QMatch(key, toTs(tss(p)), toTs(tss(p + winner - 1)), ties(p), winner)
-                  undecided(p) = false
-                } else if (!open) undecided(p) = false // every alternative broken
+                p += 1
               }
-              p += 1
+              // drop the decided prefix: events BEFORE the oldest undecided
+              // start are never needed again (matches begin AT a start)
+              val keepFrom = undecided.indexOf(true) match {
+                case -1 => types.length
+                case i  => i
+              }
+              buf = Buf(types.drop(keepFrom), tss.drop(keepFrom), ties.drop(keepFrom),
+                undecided.drop(keepFrom).toSeq)
             }
-            // drop the decided prefix: events BEFORE the oldest undecided
-            // start are never needed again (matches begin AT a start)
-            val keepFrom = undecided.indexOf(true) match {
-              case -1 => types.length
-              case i  => i
-            }
-            buf = Buf(types.drop(keepFrom), tss.drop(keepFrom), ties.drop(keepFrom),
-              undecided.drop(keepFrom).toSeq)
           }
           state.update(buf)
           StreamingOps.armTtl(state, ttlSeconds, newest)

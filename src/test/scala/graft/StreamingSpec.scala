@@ -404,4 +404,75 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batchQ).isEmpty && batchQ.exceptAll(streamed).isEmpty,
       "batch sequenceMatchQ must equal the streaming operator on the closed stream")
   }
+
+  test("streaming quantified SKIP PAST LAST ROW: younger completions wait; equals batch + SQL") {
+    import graft.streaming.StreamingSequenceMatchQ
+    import graft.streaming.StreamingSequenceMatchQ.QTok
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, String, Timestamp, Long)]
+    val mem = MemoryStream[(String, String, Timestamp, Long)]
+    val pattern = Seq(QTok("A", 1, 2)) // greedy len-2 over runs of A
+    val matches = StreamingSequenceMatchQ(
+      mem.toDF().toDF("u", "t", "ts", "id"), "u", "t", "ts", "id", pattern,
+      skipPast = true)
+    val q = matches.writeStream.format("memory").queryName("seqq_sp_sink")
+      .outputMode("append").start()
+    // k1: A A A A A — skip-past greedy = (1,2), (3,4), then 5 stays OPEN
+    //     until the x breaks it → (5,5). The head-cursor rule is load-bearing:
+    //     start 2's own [A,A] completes at event 3, but emitting it would
+    //     overlap start 1's selection.
+    // k2: A x A A — (1,1) decided by the x; (3,4) greedy.
+    // Split mid-run across micro-batches: consumption must carry over.
+    val b1 = Seq(
+      ("k1", "A", ts("2024-01-01 00:00:01"), 1L), ("k1", "A", ts("2024-01-01 00:00:02"), 2L),
+      ("k1", "A", ts("2024-01-01 00:00:03"), 3L),
+      ("k2", "A", ts("2024-01-01 00:00:01"), 6L), ("k2", "x", ts("2024-01-01 00:00:02"), 7L))
+    val b2 = Seq(
+      ("k1", "A", ts("2024-01-01 00:00:04"), 4L), ("k1", "A", ts("2024-01-01 00:00:05"), 5L),
+      ("k1", "x", ts("2024-01-01 00:00:06"), 9L),
+      ("k2", "A", ts("2024-01-01 00:00:03"), 8L), ("k2", "A", ts("2024-01-01 00:00:04"), 10L),
+      ("k2", "x", ts("2024-01-01 00:00:05"), 11L))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      val afterB1 = spark.table("seqq_sp_sink").collect()
+        .map(r => (r.getString(0), r.getAs[Long]("start_tie"))).toSet
+      // k1's (1,2) decided at event 2; start 3 still open. k2's lone A
+      // decided len-1 by the x; the trailing x is dead.
+      assert(afterB1 == Set(("k1", 1L), ("k2", 6L)), s"batch-1 decisions: $afterB1")
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    import spark.implicits._
+    val streamed = spark.table("seqq_sp_sink")
+      .select(col("key"), col("match_start_ts"), col("match_end_ts"), col("matched_len"))
+
+    val df = (b1 ++ b2).toDF("u", "t", "ts", "id")
+    val batch = graft.operators.Behavior.sequenceMatchSkipPast(
+      df, "u", "t", "ts", "id", pattern)
+      .select(col("u").as("key"), col("match_start_ts"), col("match_end_ts"), col("matched_len"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streaming skip-past must equal the batch scan on the closed stream")
+    val starts = streamed.collect().map(r => (r.getString(0), r.getTimestamp(1), r.getInt(3))).toSet
+    assert(starts == Set(
+      ("k1", ts("2024-01-01 00:00:01"), 2), ("k1", ts("2024-01-01 00:00:03"), 2),
+      ("k1", ts("2024-01-01 00:00:05"), 1),
+      ("k2", ts("2024-01-01 00:00:01"), 1), ("k2", ts("2024-01-01 00:00:03"), 2)), starts.toString)
+
+    // SQL surface (batch text form) agrees on (key, start)
+    df.createOrReplaceTempView("seqq_sp_events")
+    val sqlRows = graft.sql.SqlFrontend.execute(spark,
+      """SELECT * FROM seqq_sp_events
+        |  MATCH_RECOGNIZE (
+        |    PARTITION BY u ORDER BY ts, id
+        |    MEASURES FIRST(A.ts) AS match_start_ts
+        |    ONE ROW PER MATCH
+        |    AFTER MATCH SKIP PAST LAST ROW
+        |    PATTERN (A{1,2})
+        |    DEFINE A AS A.t = 'A'
+        |  )""".stripMargin)
+      .select(col("u").as("key"), col("match_start_ts"))
+    val streamedStarts = streamed.select("key", "match_start_ts")
+    assert(streamedStarts.exceptAll(sqlRows).isEmpty && sqlRows.exceptAll(streamedStarts).isEmpty,
+      "closed-stream skip-past matches must equal the SQL rewrite")
+  }
 }

@@ -266,4 +266,76 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     TableRegistry.dropTable("click_events")
     StatementCatalog.reset()
   }
+
+  test("streaming MATCH_RECOGNIZE defaults to SKIP PAST LAST ROW and honors SET sql.state-ttl") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(String, String, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("sp_matches", "sp_events").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    val schema = mem.toDF().toDF("u", "t", "ts", "v").schema
+    TableRegistry.createTable(TableRegistry.TableDef("sp_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
+
+    // the reference's session shape: bound state FIRST, then the query
+    SqlFrontend.execute(spark, "SET 'sql.state-ttl' = '10 min'")
+    // no AFTER MATCH clause: the standard default (SKIP PAST LAST ROW)
+    SqlFrontend.execute(spark,
+      """CREATE TABLE sp_matches AS
+        |SELECT * FROM sp_events
+        |  MATCH_RECOGNIZE (
+        |    PARTITION BY u
+        |    ORDER BY ts
+        |    MEASURES FIRST(A.ts) AS start_ts, LAST(A.ts) AS end_ts
+        |    ONE ROW PER MATCH
+        |    PATTERN (A{1,2})
+        |    DEFINE A AS A.t = 'x'
+        |  )""".stripMargin)
+    val q = StatementCatalog.get("sp_matches").collect {
+      case StatementCatalog.Standing(_, _, query) => query
+    }.getOrElse(fail("standing statement expected"))
+
+    // offset from epoch (initial watermark 0 filters rows AT it)
+    def at(sec: Long) = new Timestamp((1000000L + sec) * 1000L)
+    try {
+      // u1: x x x -> skip-past greedy = len-2 at (0,1) then len-1 at (2);
+      // SKIP TO NEXT ROW would emit THREE matches (starts 0, 1, 2)
+      mem.addData(("u1", "x", at(0), 1.0), ("u1", "x", at(1), 1.0), ("u1", "x", at(2), 1.0),
+        ("u1", "y", at(3), 1.0)) // breaks the tail so the last A decides
+      q.processAllAvailable()
+      val got = SqlFrontend.execute(spark, "SELECT start_ts, end_ts FROM sp_matches").collect()
+        .map(r => (r.getAs[Timestamp]("start_ts"), r.getAs[Timestamp]("end_ts"))).toSet
+      assert(got == Set((at(0), at(1)), (at(2), at(2))),
+        s"skip-past greedy must select (len 2, len 1), got $got")
+
+      // TTL wiring is live: the state-ttl installed an event-time watermark
+      assert(Option(q.lastProgress).exists(p => !p.eventTime.isEmpty),
+        "SET sql.state-ttl must install an event-time watermark on the CEP input")
+      // eviction: u2's lone open A is dropped once the watermark passes
+      // 10 min past it; its next events form a FRESH match (not one
+      // spanning the eviction gap, which len-2 greed would otherwise take)
+      mem.addData(("u2", "x", at(10), 1.0)) // open: [A,A] still completable
+      q.processAllAvailable()
+      mem.addData(("w1", "y", at(5000), 1.0)); q.processAllAvailable()
+      mem.addData(("w2", "y", at(5001), 1.0)); q.processAllAvailable() // u2 evicted (610 < 5000)
+      mem.addData(("u2", "x", at(6000), 1.0), ("u2", "x", at(6001), 1.0), ("u2", "y", at(6002), 1.0))
+      q.processAllAvailable()
+      val u2 = SqlFrontend.execute(spark, "SELECT start_ts, end_ts FROM sp_matches").collect()
+        .map(r => (r.getAs[Timestamp]("start_ts"), r.getAs[Timestamp]("end_ts")))
+        .filter(_._1.getTime >= at(10).getTime).toSet
+      assert(u2 == Set((at(6000), at(6001))),
+        s"the evicted open start must never pair across the gap, got $u2")
+    } finally {
+      SqlFrontend.execute(spark, "DROP TABLE sp_matches")
+      TableRegistry.dropTable("sp_events")
+      SqlFrontend.execute(spark, "RESET 'sql.state-ttl'")
+      StatementCatalog.reset()
+    }
+  }
 }
