@@ -22,6 +22,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (in-batch rows are time-sorted, cross-batch order is arrival order) — the
   * streaming estimate converges to the batch matrix when users' events
   * arrive in order, the usual mapGroupsWithState contract.
+  *
+  * `ttlSeconds > 0` bounds the store on unbounded user spaces — the
+  * reference's `SET 'sql.state-ttl' = '14 d'` analog (see
+  * [[StreamingOps.ttlConf]]): a user idle past the TTL loses their last
+  * event, so NO pair is emitted across the eviction gap (adjacency over a
+  * dead gap is noise for a transition estimate anyway); their next event
+  * starts a fresh chain, exactly like a first-ever event.
   */
 object StreamingTransitions {
 
@@ -30,7 +37,8 @@ object StreamingTransitions {
   case class LastEv(micros: Long, tie: Long, etype: String)
 
   def pairs(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
-            tieCol: String): Dataset[Pair] = {
+            tieCol: String, ttlSeconds: Long = 0L,
+            ttlWatermarkDelay: String = "0 seconds"): Dataset[Pair] = {
     implicit val evEnc = Encoders.product[Ev]
     implicit val outEnc = Encoders.product[Pair]
     implicit val stEnc = Encoders.product[LastEv]
@@ -40,22 +48,26 @@ object StreamingTransitions {
     // row: a dropped event would also break the ADJACENCY chain (the next
     // event would pair with the wrong predecessor), diverging from the
     // batch lag-window which orders nulls first and keeps every pair
-    df.select(col(userCol).cast("string").as("user"),
-        coalesce(col(tieCol).cast("long"), lit(Long.MinValue)).as("tie"),
-        coalesce(col(tsCol).cast("timestamp"), to_timestamp(lit(0))).as("ts"),
-        col(typeCol).cast("string").as("etype"))
-      .as[Ev]
+    val sel = df.select(col(userCol).cast("string").as("user"),
+      coalesce(col(tieCol).cast("long"), lit(Long.MinValue)).as("tie"),
+      coalesce(col(tsCol).cast("timestamp"), to_timestamp(lit(0))).as("ts"),
+      col(typeCol).cast("string").as("etype"))
+    val src = if (ttlSeconds > 0) sel.withWatermark("ts", ttlWatermarkDelay) else sel
+    src.as[Ev]
       .groupByKey(_.user)
-      .flatMapGroupsWithState[LastEv, Pair](OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[LastEv, Pair](OutputMode.Append(), StreamingOps.ttlConf(ttlSeconds)) {
         (user: String, rows: Iterator[Ev], state: GroupState[LastEv]) =>
-          val out = Seq.newBuilder[Pair]
-          var prev = state.getOption
-          rows.toSeq.sortBy(e => (StreamingOps.tsMicros(e.ts), e.tie)).foreach { e =>
-            prev.foreach(p => out += Pair(user, p.etype, e.etype))
-            prev = Some(LastEv(StreamingOps.tsMicros(e.ts), e.tie, e.etype))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = Seq.newBuilder[Pair]
+            var prev = state.getOption
+            rows.toSeq.sortBy(e => (StreamingOps.tsMicros(e.ts), e.tie)).foreach { e =>
+              prev.foreach(p => out += Pair(user, p.etype, e.etype))
+              prev = Some(LastEv(StreamingOps.tsMicros(e.ts), e.tie, e.etype))
+            }
+            prev.foreach { p => state.update(p); StreamingOps.armTtl(state, ttlSeconds, p.micros) }
+            out.result().iterator
           }
-          prev.foreach(state.update)
-          out.result().iterator
       }
   }
 

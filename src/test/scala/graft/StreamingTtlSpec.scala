@@ -174,6 +174,29 @@ class StreamingTtlSpec extends SparkSpec {
       s"eviction must stop the fill and re-anchor, got ${rows.toSet}")
   }
 
+  test("transitions TTL: no pair spans the eviction gap; re-entry chains freshly") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Long, Timestamp, String)]
+    val mem = MemoryStream[(String, Long, Timestamp, String)]
+    val q = graft.streaming.StreamingTransitions.pairs(
+      mem.toDF().toDF("user_id", "event_id", "ts", "event_type"),
+      "user_id", "event_type", "ts", "event_id", ttlSeconds = 100L)
+      .writeStream.format("memory").queryName("ttl_trans").outputMode("append").start()
+    try {
+      push(mem, q, ("u1", 1L, at(0), "view"), ("u1", 2L, at(1), "click"))
+      push(mem, q, ("w1", 90L, at(1000), "view"))
+      push(mem, q, ("w2", 91L, at(1001), "view")) // u1 evicted
+      push(mem, q, ("u1", 3L, at(1100), "purchase")) // fresh chain: NO click->purchase pair
+      push(mem, q, ("u1", 4L, at(1101), "refund"))   // purchase->refund pairs normally
+    } finally q.stop()
+    val pairs = spark.table("ttl_trans").collect()
+      .filter(_.getAs[String]("user") == "u1")
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type"))).toSet
+    assert(pairs == Set(("view", "click"), ("purchase", "refund")),
+      s"the click->purchase pair must not span the eviction gap, got $pairs")
+  }
+
   test("TTL bounds the state store: rows track the live-key window, not every key ever seen") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
