@@ -1094,7 +1094,10 @@ object SqlFrontend {
         cand, partCols.map(org.apache.spark.sql.functions.expr),
         ordCols.map(org.apache.spark.sql.functions.expr), "__graft_len")
       val out = sel.selectExpr(partCols ++ measureNames.map(a => s"__mr.$a AS $a"): _*)
-      val view = "__graft_mr_skippast_" + Integer.toHexString(sql.hashCode)
+      // counter-named like every rewrite-registered view (llmops TVFs,
+      // temporal join): a content-hash name can collide across texts and
+      // silently swap plans under a cached/standing statement
+      val view = "__graft_mr_skippast_" + llmopsViewId.incrementAndGet()
       out.createOrReplaceTempView(view)
       s"FROM $view $alias"
     }
