@@ -3682,6 +3682,44 @@ FROM n"""))
     SELECT user_id, ts AS match_start_ts, end_ts AS match_end_ts, event_id AS start_tie
     FROM sel"""))
 
+  private val q163 = Q("q163_match_prev_rising", (s, dir) => {
+    // The MATCH_RECOGNIZE ticker idiom — rising-value runs per user via
+    // PHYSICAL navigation (`U.value > PREV(U.value)`): S anchors anywhere, U
+    // extends greedily while each row strictly exceeds its predecessor.
+    // PREV compiles to a lead() offset in the same shared window CASE, so
+    // the plan stays one shuffle + one sort.
+    t(s, dir, "events").createOrReplaceTempView("events_mr_nav")
+    graft.sql.SqlFrontend.execute(s, """
+      SELECT * FROM events_mr_nav MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES FIRST(S.ts) AS match_start_ts, LAST(U.ts) AS match_end_ts
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (S U{1,3})
+        DEFINE U AS U.value > PREV(U.value)
+      )""")
+      .select(col("user_id"),
+        col("match_start_ts").cast("timestamp_ntz").as("match_start_ts"),
+        col("match_end_ts").cast("timestamp_ntz").as("match_end_ts"))
+  }, Some(s"""
+    WITH led AS (
+      SELECT user_id, ts,
+             lead(value, 1) OVER w AS v1, lead(value, 2) OVER w AS v2,
+             lead(value, 3) OVER w AS v3,
+             lead(ts, 1) OVER w AS t1, lead(ts, 2) OVER w AS t2,
+             lead(ts, 3) OVER w AS t3, value
+      FROM $EV e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, ts AS match_start_ts,
+           CASE WHEN v1 > value AND v2 > v1 AND v3 > v2 AND t3 IS NOT NULL THEN t3
+                WHEN v1 > value AND v2 > v1 AND t2 IS NOT NULL THEN t2
+                ELSE t1 END AS match_end_ts
+    FROM led
+    WHERE (v1 > value AND v2 > v1 AND v3 > v2 AND t3 IS NOT NULL)
+       OR (v1 > value AND v2 > v1 AND t2 IS NOT NULL)
+       OR (v1 > value AND t1 IS NOT NULL)"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -3698,7 +3736,7 @@ FROM n"""))
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162)
+    q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -909,10 +909,16 @@ object SqlFrontend {
     * repartition + sortWithinPartitions + O(1)-state mapPartitions scan,
     * which is also how a native MATCH_RECOGNIZE engine executes it.
     *
+    * `PREV`/`NEXT` navigate physically inside DEFINE (the ticker-pattern
+    * idiom `B AS B.price > PREV(B.price)`): at candidate offset k they are
+    * the k∓n lead() refs — rows BEFORE the match start included, NULL past
+    * the partition edge, per the standard. DEFINE-only, self-variable-only
+    * (loud errors otherwise — in MEASURES there is no single current row).
+    *
     * UNBOUNDED quantifiers (`A+`, `A*`, `A{m,}`) and the clauses whose
     * semantics this formulation cannot reproduce (`ALL ROWS PER MATCH`,
-    * `PREV`/`NEXT`, other skip strategies) fail loudly rather than
-    * mis-evaluate — state the bound (`A{1,8}`) and the rewrite takes it.
+    * other skip strategies) fail loudly rather than mis-evaluate — state
+    * the bound (`A{1,8}`) and the rewrite takes it.
     */
   private[graft] def rewriteMatchRecognize(spark: SparkSession, sql: String): String = {
     val m = MatchRecognizeRe.findFirstMatchIn(sql).getOrElse(return sql)
@@ -946,8 +952,7 @@ object SqlFrontend {
       "MATCH_RECOGNIZE: supported AFTER MATCH strategies are SKIP TO NEXT ROW and " +
         "SKIP PAST LAST ROW (the default when the clause is absent)")
     val skipPast = !skipToNext // explicit SKIP PAST LAST ROW, or the standard default
-    require(!"(?i)\\b(?:PREV|NEXT)\\s*\\(".r.findFirstIn(body).isDefined,
-      "MATCH_RECOGNIZE: PREV()/NEXT() are not supported")
+    // PREV()/NEXT() are handled inside subst (DEFINE-only physical navigation)
     val patM = "(?is)PATTERN\\s*\\(\\s*(.*?)\\s*\\)(?:\\s+WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(\\w+))?".r
       .findFirstMatchIn(body).getOrElse(sys.error("MATCH_RECOGNIZE requires PATTERN (...)"))
     val TokenRe = "(\\w+)(?:(\\?)|\\{(\\d+)(?:(,)(\\d+)?)?\\})?".r
@@ -1003,8 +1008,32 @@ object SqlFrontend {
         case Some((_, off)) => offsets.getOrElse(v, Nil).filter(_ < off)
         case None           => offsets.getOrElse(v, Nil)
       }
-      val marked = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*\\)".r
+      // PREV/NEXT: PHYSICAL navigation relative to the row being classified
+      // (the standard's row-pattern navigation; Flink restricts it to DEFINE
+      // and so do we — in MEASURES the "current row" is the whole match).
+      // At candidate offset k, PREV(self.col, n) is the partition row k−n —
+      // lead() with a negative offset IS lag(), and a row before the
+      // partition start is NULL, exactly the standard's out-of-range rule.
+      // PREV can therefore see rows BEFORE the match start: physical, not
+      // logical, navigation. Only the variable being DEFINEd may navigate
+      // (other variables' "current row" is ambiguous mid-match) — loud error.
+      val nav = "(?i)\\b(PREV|NEXT)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
         .replaceAllIn(expr, mm => java.util.regex.Matcher.quoteReplacement {
+          val kind = mm.group(1).toUpperCase
+          val (v, c) = (mm.group(2), mm.group(3))
+          val n = Option(mm.group(4)).map(_.toInt).getOrElse(1)
+          if (!idx.contains(v)) mm.matched
+          else self match {
+            case Some((sv, off)) if sv == v =>
+              at(c, if (kind == "PREV") off - n else off + n)
+            case Some(_) => sys.error(s"MATCH_RECOGNIZE: $kind() may only navigate the " +
+              s"variable being DEFINEd, got $kind($v.$c)")
+            case None => sys.error(s"MATCH_RECOGNIZE: $kind() is DEFINE-only " +
+              "(physical navigation has no single current row in MEASURES)")
+          }
+        })
+      val marked = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*\\)".r
+        .replaceAllIn(nav, mm => java.util.regex.Matcher.quoteReplacement {
           val (kind, v, c) = (mm.group(1).toUpperCase, mm.group(2), mm.group(3))
           if (!idx.contains(v)) mm.matched
           else self match {

@@ -527,6 +527,68 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     assert(streamed == expected, s"streaming skip-past disagrees: $streamed")
   }
 
+  test("MATCH_RECOGNIZE PREV/NEXT navigate physically inside DEFINE") {
+    import spark.implicits._
+    def ev(k: String, sec: Int, id: Long, price: Double) =
+      (k, new java.sql.Timestamp(1700000000000L + sec * 1000L), id, price)
+    // k1: 10 11 12 9 — rising run of 2 after the start row
+    val df = Seq(ev("k1", 0, 1, 10.0), ev("k1", 1, 2, 11.0), ev("k1", 2, 3, 12.0),
+      ev("k1", 3, 4, 9.0)).toDF("k", "ts", "id", "price")
+    df.createOrReplaceTempView("mr_nav_events")
+
+    // the ticker idiom: S anchors anywhere, U rows strictly rise over their
+    // physical predecessor (which under strict contiguity is the prior row)
+    val runs = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_nav_events MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(S.id) AS start_id, LAST(U.id) AS end_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (S U{1,2})
+        |  DEFINE U AS U.price > PREV(U.price))""".stripMargin)
+      .collect().map(r => (r.getAs[Long]("start_id"), r.getAs[Long]("end_id"))).toSet
+    // start 1: greedy U{2} = rows 2,3 (11>10, 12>11); start 2: U{1} = row 3
+    // (12>11; the longer option dies at 9>12); starts 3,4: no rise follows
+    assert(runs == Set((1L, 3L), (2L, 3L)), s"got $runs")
+
+    // PREV beyond the partition start is NULL -> the condition never holds
+    val headless = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_nav_events MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(U.id) AS start_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (U)
+        |  DEFINE U AS U.price > PREV(U.price))""".stripMargin)
+      .collect().map(_.getAs[Long]("start_id")).toSet
+    assert(headless == Set(2L, 3L), s"row 1 has no predecessor (NULL), got $headless")
+
+    // NEXT reads forward of the candidate row — even past the match extent
+    val peak = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_nav_events MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(P.id) AS peak_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (P)
+        |  DEFINE P AS P.price > PREV(P.price) AND P.price > NEXT(P.price))""".stripMargin)
+      .collect().map(_.getAs[Long]("peak_id")).toSet
+    assert(peak == Set(3L), s"only row 3 (12) is a local peak, got $peak")
+
+    // loud boundaries: MEASURES navigation and cross-variable navigation
+    val e1 = intercept[Exception](SqlFrontend.execute(spark,
+      """SELECT * FROM mr_nav_events MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id MEASURES PREV(U.price) AS p ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW PATTERN (U) DEFINE U AS U.price > 0)""".stripMargin))
+    assert(e1.getMessage.contains("DEFINE-only"), e1.getMessage)
+    val e2 = intercept[Exception](SqlFrontend.execute(spark,
+      """SELECT * FROM mr_nav_events MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id MEASURES FIRST(A.id) AS s ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A B)
+        |  DEFINE A AS A.price > 0, B AS B.price > PREV(A.price))""".stripMargin))
+    assert(e2.getMessage.contains("variable being DEFINEd"), e2.getMessage)
+  }
+
   test("SHOW family lists every catalog kind; SHOW CREATE TABLE reconstructs DDL") {
     SqlFrontend.executeAll(spark,
       """CREATE CONNECTION show_conn WITH ('type' = 'mcp_server', 'endpoint' = 'http://localhost:1');
