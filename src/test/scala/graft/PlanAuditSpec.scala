@@ -71,6 +71,17 @@ class PlanAuditSpec extends SparkSpec {
       "both windows must reuse a single (user_id, ts, event_id) sort")
   }
 
+  test("q162: skip-past selection reuses the candidate window's exchange — one shuffle total") {
+    val p = plan("q162_match_skip_past")
+    // skipPastSelect's explicit repartition(key) must COLLAPSE into the
+    // window's ENSURE_REQUIREMENTS exchange (same key): at 60M events the
+    // second shuffle would double the network cost for zero movement. The
+    // scan's (__spk, ts, tie) ordering is a cheap LOCAL re-sort on top of
+    // the window's existing (user, ts, tie) sort — two Sorts, one Exchange.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"candidate window and skip-past scan must share one exchange:\n${p.linesIterator.filter(_.contains("Exchange")).mkString("\n")}")
+  }
+
   test("q76: decontamination's corpus scan is shuffle-free on the broadcast path") {
     val p = plan("q76_decontam")
     assert(!p.contains("Exchange"),
