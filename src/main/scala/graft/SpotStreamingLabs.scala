@@ -15,18 +15,29 @@ import org.apache.spark.sql.functions._
   *    two queues share must carry the IDENTICAL verdict (the judge is a
   *    deterministic function of the prompt).
   *
-  * Usage: runMain graft.SpotStreamingLabs <sfDir>
+  * Usage: runMain graft.SpotStreamingLabs <sfDir> [ann]
+  *
+  * `ann` switches both labs to the reference's production search semantics
+  * (numCandidates = 500 approximate vectordbs — terraform lab3
+  * main.tf:110-124, lab4 main.tf:270-290). Surge/queue selection does not
+  * depend on the search path, so the lab3 surge-set parity still holds;
+  * lab4's verdicts DO depend on the retrieved policy context (prompt
+  * content), so ann mode checks the judged CLAIM set + verdict enum rather
+  * than verdict equality against the context-free batch twin.
   */
 object SpotStreamingLabs {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("benchdata/sf1")
+    val ann = args.drop(1).headOption.contains("ann")
+    val nc = if (ann) Some(500) else None
     val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val tmp = java.nio.file.Files.createTempDirectory("labstream").toString
     var failed = false
 
     // ------------------------------------------------------------- lab3
     val t3 = System.nanoTime()
-    val q3 = graft.pipelines.Labs.lab3FleetStreaming(spark, sfDir, s"$tmp/l3sink", s"$tmp/l3ckpt")
+    val q3 = graft.pipelines.Labs.lab3FleetStreaming(spark, sfDir, s"$tmp/l3sink", s"$tmp/l3ckpt",
+      annCandidates = nc)
     try q3.processAllAvailable() finally q3.stop()
     val sec3 = (System.nanoTime() - t3) / 1e9
     val streamed3 = spark.read.parquet(s"$tmp/l3sink")
@@ -45,9 +56,11 @@ object SpotStreamingLabs {
 
     // ------------------------------------------------------------- lab4
     val t4 = System.nanoTime()
-    val q4 = graft.pipelines.Labs.lab4FraudStreaming(spark, sfDir, s"$tmp/l4sink", s"$tmp/l4ckpt")
+    val q4 = graft.pipelines.Labs.lab4FraudStreaming(spark, sfDir, s"$tmp/l4sink", s"$tmp/l4ckpt",
+      policyAnn = nc)
     try q4.processAllAvailable() finally q4.stop()
     val sec4 = (System.nanoTime() - t4) / 1e9
+    val enum5 = Set("APPROVE", "APPROVE_PARTIAL", "REQUEST_DOCS", "DENY_INELIGIBLE", "DENY_FRAUD")
     val streamed4 = spark.read.parquet(s"$tmp/l4sink")
       .select(col("claim_id"), col("verdict"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -55,10 +68,14 @@ object SpotStreamingLabs {
       .select(col("claim_id"), col("verdict"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val common = streamed4.keySet intersect batch4.keySet
-    val verdictDiffs = common.count(id => streamed4(id) != batch4(id))
-    val ok4 = streamed4.nonEmpty && verdictDiffs == 0
+    // with ANN policy context the prompts differ from the context-free batch
+    // twin by design — the deterministic-verdict parity only holds exact-path
+    val verdictDiffs = if (ann) 0 else common.count(id => streamed4(id) != batch4(id))
+    val enumOk = streamed4.values.forall(enum5)
+    val ok4 = streamed4.nonEmpty && verdictDiffs == 0 && enumOk &&
+      (!ann || streamed4.keySet == batch4.keySet)
     if (!ok4) failed = true
-    println(f"""[labstream] {"lab":"lab4FraudStreaming","sec":$sec4%.2f,"streamJudged":${streamed4.size},"batchJudged":${batch4.size},"commonClaims":${common.size},"verdictDiffs":$verdictDiffs,"ok":$ok4}""")
+    println(f"""[labstream] {"lab":"lab4FraudStreaming","ann":$ann,"sec":$sec4%.2f,"streamJudged":${streamed4.size},"batchJudged":${batch4.size},"commonClaims":${common.size},"verdictDiffs":$verdictDiffs,"ok":$ok4}""")
 
     spark.stop()
     if (failed) sys.exit(1)
