@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Row-pattern recognition by a per-key sequential cursor — the execution
+  * shape MATCH_RECOGNIZE needs when the lead()-expansion rewrite cannot apply:
+  * UNBOUNDED quantifiers (`A+`, `A*`, `A{m,}`) admit no fixed-length
+  * alternative set, and `ALL ROWS PER MATCH` emits every matched row rather
+  * than one per start.
+  *
+  * Division of labor (the r8 `skipPastSelect` architecture, generalized):
+  *   - Catalyst evaluates every DEFINE predicate ONCE per row as a boolean
+  *     column (lag/lead physical navigation included) — codegen'd, vectorized,
+  *     pushdown-friendly; the scan never re-evaluates a predicate.
+  *   - The scan itself is ONE hash repartition on the key + one in-partition
+  *     sort on (key, order) — Catalyst collapses it into the DEFINE window's
+  *     own exchange/sort, so the whole operator costs a single shuffle — and
+  *     a streaming `mapPartitions` pass holding only the current match
+  *     attempt's rows. Keys parallelize across partitions; nothing reaches
+  *     the driver.
+  *
+  * Matching is the SQL-standard GREEDY semantics shared with the bounded
+  * rewrite and [[graft.streaming.StreamingSequenceMatchQ]]: quantifier counts
+  * are explored leftmost-longest-first (descending lexicographic), with
+  * backtracking, so for bounded patterns the scan and the CASE-expansion
+  * formulation select identical matches (spec-pinned). `AFTER MATCH SKIP PAST
+  * LAST ROW` (the default) advances the cursor past a selected match —
+  * matches never overlap; `SKIP TO NEXT ROW` advances one row — overlapping
+  * matches all emit.
+  *
+  * The per-key dependency chain is inherently sequential (every skip decision
+  * depends on all earlier ones — `Behavior.skipPastSelect`'s contract);
+  * memory is O(longest match attempt), which a `WITHIN` bound caps in event
+  * time, and an unbounded greedy run (`A+` over an always-true DEFINE) can
+  * stretch to the key's row count — the same bound any CEP engine has.
+  *
+  * DEFINE predicates must be ROW-LOCAL (the variable's own current row plus
+  * PREV/NEXT physical navigation): the boolean is precomputed before the
+  * match exists, so it cannot see FIRST-of-run or other variables' rows.
+  * Cross-variable and FIRST() DEFINEs stay on the bounded lead()-expansion
+  * path, which evaluates them per alternative.
+  *
+  * Reference behavior covered: Flink's MATCH_RECOGNIZE accepts unbounded
+  * quantifiers (confluent docs, flink-sql match_recognize) which the r8
+  * bounded rewrite refused; ALL ROWS PER MATCH goes beyond Flink (ONE ROW
+  * only there) with FINAL measure semantics, documented.
+  */
+object MatchRecognize {
+
+  /** One pattern token: variable `name` repeated [lo, hi] times;
+    * hi = None → unbounded (`+`/`*`/`{m,}`).
+    */
+  case class MrTok(name: String, lo: Int, hi: Option[Int]) {
+    require(lo >= 0, s"quantifier lower bound must be >= 0, got {$lo,} on '$name'")
+    hi.foreach(h => require(h >= lo, s"empty quantifier range {$lo,$h} on '$name'"))
+  }
+
+  /** Epoch micros of an ORDER BY value — needed only under a WITHIN bound. */
+  private[operators] def micros(v: Any): Long = v match {
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+    case t: java.time.LocalDateTime => // TIMESTAMP_NTZ surfaces as LocalDateTime
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+    case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000L
+    case other => sys.error("MATCH_RECOGNIZE WITHIN requires a timestamp ORDER BY column, got " +
+      (if (other == null) "NULL" else other.getClass.getSimpleName))
+  }
+
+  /** Run the pattern over `df`.
+    *
+    * @param keyCols     PARTITION BY columns (atomic — KeyImage contract)
+    * @param orderCols   ORDER BY columns; the FIRST is the event time
+    * @param tsCol       name of the event-time column (WITHIN measures it;
+    *                    unused when `withinMicros` is empty)
+    * @param tokens      the pattern, in order
+    * @param defs        one boolean predicate per token (aligned); row-local —
+    *                    evaluated by Catalyst before the scan. `lit(true)`
+    *                    for an undefined variable.
+    * @param withinMicros every matched row must lie within this many micros
+    *                    of the match's first row
+    * @param skipToNext  true → AFTER MATCH SKIP TO NEXT ROW (overlaps emit);
+    *                    false → SKIP PAST LAST ROW (the standard default)
+    * @param allRows     true → one output row per MATCHED ROW (`__mr_var`
+    *                    carries the classifier); false → one per match (the
+    *                    match's start row)
+    * @param measureCols input columns captured into the per-variable
+    *                    `__mr_first_<v>` / `__mr_last_<v>` structs that
+    *                    MEASURES read (FINAL semantics); empty → no structs
+    * @return df's columns plus the structs, `__mr_len` (match row count) and,
+    *         under `allRows`, `__mr_var`
+    */
+  def scan(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column], tsCol: String,
+           tokens: Seq[MrTok], defs: Seq[Column], withinMicros: Option[Long],
+           skipToNext: Boolean, allRows: Boolean, measureCols: Seq[String]): DataFrame = {
+    require(tokens.nonEmpty, "MATCH_RECOGNIZE requires a non-empty PATTERN")
+    require(tokens.map(_.name).distinct.size == tokens.size,
+      s"duplicate pattern variable in ${tokens.map(_.name).mkString(" ")}")
+    require(defs.size == tokens.size, "one DEFINE predicate per pattern token (lit(true) when absent)")
+    require(tokens.exists(t => t.hi.forall(_ > 0)),
+      "MATCH_RECOGNIZE: pattern admits only the empty match")
+    withinMicros.foreach(w => require(w > 0, s"WITHIN bound must be positive, got $w micros"))
+    graft.core.KeyImage.requireAtomic(df, keyCols)
+    val reserved = ("__mr_spk" +: tokens.indices.map(i => s"__mr_def_$i")).toSet
+    require(!df.columns.exists(reserved), s"input columns collide with ${reserved.mkString(", ")}")
+    val missing = measureCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"MEASURES reference columns absent from the input: ${missing.mkString(", ")}")
+
+    val withDefs = tokens.indices.foldLeft(df)((d, i) => d.withColumn(s"__mr_def_$i", defs(i)))
+    // sort on the REAL key columns (not the image) so Catalyst can collapse
+    // this sort into the DEFINE window's own (key, order) sort; the image is
+    // only the collision-free equality probe for key-change detection
+    val pre = withDefs
+      .withColumn("__mr_spk", graft.core.KeyImage.of(keyCols))
+      .repartition(keyCols: _*)
+      .sortWithinPartitions(keyCols ++ orderCols: _*)
+
+    val inSchema = pre.schema
+    val nOrig = df.schema.fields.length // original columns lead; helpers appended
+    val keyIdx = inSchema.fieldIndex("__mr_spk")
+    val defIdxArr = tokens.indices.map(i => inSchema.fieldIndex(s"__mr_def_$i")).toArray
+    val tsIdx = inSchema.fieldIndex(tsCol)
+    val measureIdxArr = measureCols.map(inSchema.fieldIndex).toArray
+    val hasMeasures = measureCols.nonEmpty
+    val mStruct = StructType(measureCols.map(c => inSchema(inSchema.fieldIndex(c)).copy(nullable = true)))
+    val outSchema = StructType(
+      df.schema.fields.toSeq ++
+        (if (hasMeasures) tokens.flatMap(t => Seq(
+          StructField(s"__mr_first_${t.name}", mStruct, nullable = true),
+          StructField(s"__mr_last_${t.name}", mStruct, nullable = true)))
+        else Nil) ++
+        Seq(StructField("__mr_len", LongType, nullable = false)) ++
+        (if (allRows) Seq(StructField("__mr_var", StringType, nullable = false)) else Nil))
+    val outArity = outSchema.fields.length
+    val lenPos = nOrig + (if (hasMeasures) 2 * tokens.size else 0)
+
+    val n = tokens.size
+    val loArr = tokens.map(_.lo).toArray
+    val hiArr = tokens.map(_.hi.getOrElse(Int.MaxValue)).toArray
+    val nameArr = tokens.map(_.name).toArray
+    val hasWithin = withinMicros.isDefined
+    val withinUs = withinMicros.getOrElse(0L)
+    val skipNext = skipToNext
+    val emitAll = allRows
+
+    pre.mapPartitions { it =>
+      new scala.collection.AbstractIterator[Row] {
+        private val out = scala.collection.mutable.Queue.empty[Row]
+        private var stash: Row = null // first row of the NEXT key, read past the boundary
+        private var curKey: String = null
+        private var keyDone = false
+        private var finished = false
+        // rows of the current key from the cursor on; base = cursor's index
+        private val buf = new java.util.ArrayList[Row]()
+        private var base = 0
+
+        private def bufLen: Int = buf.size - base
+        private def rowAt(j: Int): Row = buf.get(base + j)
+
+        /** Pull rows until index j (cursor-relative) exists or the key ends. */
+        private def ensure(j: Int): Boolean = {
+          while (bufLen <= j && !keyDone) {
+            val r =
+              if (stash != null) { val s = stash; stash = null; s }
+              else if (it.hasNext) it.next()
+              else null
+            if (r == null) keyDone = true
+            else {
+              val k = r.getString(keyIdx)
+              if (curKey == null) curKey = k
+              if (k == curKey) { buf.add(r); () }
+              else { stash = r; keyDone = true }
+            }
+          }
+          bufLen > j
+        }
+
+        /** Advance the cursor k rows; amortized-O(1) front compaction. */
+        private def advance(k: Int): Unit = {
+          base += k
+          if (base >= 1024 && base * 2 >= buf.size) { buf.subList(0, base).clear(); base = 0 }
+        }
+
+        private def defOk(r: Row, t: Int): Boolean = {
+          val i = defIdxArr(t); !r.isNullAt(i) && r.getBoolean(i)
+        }
+
+        /** Greedy leftmost-longest match at the cursor: counts per token, with
+          * backtracking — identical selection order to the bounded rewrite's
+          * descending-lexicographic CASE branches.
+          */
+        private def tryMatch(counts: Array[Int]): Boolean = {
+          val startUs = if (hasWithin) micros(rowAt(0).get(tsIdx)) else 0L
+          def go(t: Int, pos: Int): Boolean = {
+            if (t == n) return pos > 0 // the empty match never selects
+            var c = 0
+            while (c < hiArr(t) && ensure(pos + c) && defOk(rowAt(pos + c), t) &&
+              (!hasWithin || micros(rowAt(pos + c).get(tsIdx)) - startUs <= withinUs)) c += 1
+            while (c >= loArr(t)) {
+              counts(t) = c
+              if (go(t + 1, pos + c)) return true
+              c -= 1
+            }
+            false
+          }
+          go(0, 0)
+        }
+
+        private def projMeasure(r: Row): Row = {
+          val vals = new Array[Any](measureIdxArr.length)
+          var i = 0
+          while (i < measureIdxArr.length) { vals(i) = r.get(measureIdxArr(i)); i += 1 }
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        }
+
+        private def mk(src: Row, structVals: Array[Any], len: Long, cls: String): Row = {
+          val vals = new Array[Any](outArity)
+          var i = 0
+          while (i < nOrig) { vals(i) = src.get(i); i += 1 }
+          if (hasMeasures) {
+            var j = 0
+            while (j < structVals.length) { vals(nOrig + j) = structVals(j); j += 1 }
+          }
+          vals(lenPos) = len
+          if (emitAll) vals(lenPos + 1) = cls
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        }
+
+        private def emit(counts: Array[Int]): Unit = {
+          val len = counts.sum.toLong
+          val structVals = if (hasMeasures) new Array[Any](2 * n) else null
+          if (hasMeasures) {
+            var p = 0; var t = 0
+            while (t < n) {
+              if (counts(t) > 0) {
+                structVals(2 * t) = projMeasure(rowAt(p))
+                structVals(2 * t + 1) = projMeasure(rowAt(p + counts(t) - 1))
+              }
+              p += counts(t); t += 1
+            }
+          }
+          if (!emitAll) out.enqueue(mk(rowAt(0), structVals, len, null))
+          else {
+            var pos = 0; var t = 0
+            while (t < n) {
+              var c = 0
+              while (c < counts(t)) { out.enqueue(mk(rowAt(pos), structVals, len, nameArr(t))); pos += 1; c += 1 }
+              t += 1
+            }
+          }
+        }
+
+        private def pump(): Unit = {
+          while (out.isEmpty && !finished) {
+            if (!ensure(0)) {
+              if (stash == null && !it.hasNext) finished = true
+              else { buf.clear(); base = 0; curKey = null; keyDone = false } // next key
+            } else {
+              val counts = new Array[Int](n)
+              if (tryMatch(counts)) { emit(counts); advance(if (skipNext) 1 else counts.sum) }
+              else advance(1)
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { pump(); out.nonEmpty }
+        override def next(): Row = {
+          pump()
+          if (out.isEmpty) throw new NoSuchElementException("empty scan iterator")
+          out.dequeue()
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -178,12 +178,31 @@ object SqlFrontend {
     val key = "spark.sql.parser.escapedStringLiterals"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
+    val prevScope = ephemeralViews.get()
+    ephemeralViews.set(scala.collection.mutable.Buffer.empty[String])
     try spark.sql(rewrite(spark, text))
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    finally {
+      // rewrite-registered intermediate views (llmops TVFs, MATCH_RECOGNIZE
+      // scan / skip-past relations) are statement-scoped: the analyzed plan
+      // no longer references them, and without this drop repeated executions
+      // of one statement text accumulate views and cached plans for the
+      // session's lifetime (r8 ADVICE)
+      ephemeralViews.get().foreach(v => spark.catalog.dropTempView(v))
+      ephemeralViews.set(prevScope)
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     }
   }
+
+  /** Names of rewrite-registered views created while parsing ONE statement;
+    * null outside a [[parseSql]] scope (direct rewrite calls in specs keep
+    * today's leave-the-view behavior).
+    */
+  private val ephemeralViews = new ThreadLocal[scala.collection.mutable.Buffer[String]]
+  private[graft] def trackEphemeralView(name: String): Unit =
+    Option(ephemeralViews.get()).foreach(_ += name)
 
   // ------------------------------------------------------------------ grammar
 
@@ -690,6 +709,7 @@ object SqlFrontend {
     def view(df: org.apache.spark.sql.DataFrame): String = {
       val name = s"__graft_llmops_${llmopsViewId.incrementAndGet()}"
       df.createOrReplaceTempView(name)
+      trackEphemeralView(name)
       name
     }
     var cur = sql
@@ -915,10 +935,20 @@ object SqlFrontend {
     * the partition edge, per the standard. DEFINE-only, self-variable-only
     * (loud errors otherwise — in MEASURES there is no single current row).
     *
-    * UNBOUNDED quantifiers (`A+`, `A*`, `A{m,}`) and the clauses whose
-    * semantics this formulation cannot reproduce (`ALL ROWS PER MATCH`,
-    * other skip strategies) fail loudly rather than mis-evaluate — state
-    * the bound (`A{1,8}`) and the rewrite takes it.
+    * UNBOUNDED quantifiers (`A+`, `A*`, `A{m,}`) and `ALL ROWS PER MATCH`
+    * route to the NFA CURSOR path instead (r8 verdict directive #1): each
+    * DEFINE compiles to one Catalyst-evaluated boolean column (row-local —
+    * the variable's own row plus PREV/NEXT physical navigation; cross-
+    * variable and FIRST() conditions stay on the bounded path, loudly), and
+    * [[graft.operators.MatchRecognize.scan]] runs the same greedy leftmost-
+    * longest selection as the CASE expansion via a per-key O(attempt)-state
+    * cursor — one repartition + one (key, order) sort shared with the DEFINE
+    * window. MEASURES keep final semantics through per-variable FIRST/LAST
+    * structs the scan emits; `ALL ROWS PER MATCH` emits every matched row
+    * (input columns + measures + `CLASSIFIER()`), with FINAL measure
+    * semantics — a documented deviation from the standard's RUNNING default,
+    * and a capability beyond Flink (ONE ROW only there). Unsupported
+    * remains: other AFTER MATCH strategies — loud, never mis-evaluated.
     */
   private[graft] def rewriteMatchRecognize(spark: SparkSession, sql: String): String = {
     val m = MatchRecognizeRe.findFirstMatchIn(sql).getOrElse(return sql)
@@ -943,8 +973,7 @@ object SqlFrontend {
       .getOrElse(sys.error("MATCH_RECOGNIZE requires ORDER BY"))
     val ordCols = ordList.split(",").map(_.trim).toSeq
     val ord = ordCols.head
-    require(!"(?is)ALL\\s+ROWS\\s+PER\\s+MATCH".r.findFirstIn(body).isDefined,
-      "MATCH_RECOGNIZE: only ONE ROW PER MATCH is supported")
+    val allRowsPerMatch = "(?is)ALL\\s+ROWS\\s+PER\\s+MATCH".r.findFirstIn(body).isDefined
     val skipToNext = "(?is)AFTER\\s+MATCH\\s+SKIP\\s+TO\\s+NEXT\\s+ROW".r.findFirstIn(body).isDefined
     val skipPastExplicit = "(?is)AFTER\\s+MATCH\\s+SKIP\\s+PAST\\s+LAST\\s+ROW".r.findFirstIn(body).isDefined
     require(skipToNext || skipPastExplicit ||
@@ -955,38 +984,29 @@ object SqlFrontend {
     // PREV()/NEXT() are handled inside subst (DEFINE-only physical navigation)
     val patM = "(?is)PATTERN\\s*\\(\\s*(.*?)\\s*\\)(?:\\s+WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(\\w+))?".r
       .findFirstMatchIn(body).getOrElse(sys.error("MATCH_RECOGNIZE requires PATTERN (...)"))
-    val TokenRe = "(\\w+)(?:(\\?)|\\{(\\d+)(?:(,)(\\d+)?)?\\})?".r
-    val varSpecs: Seq[(String, Int, Int)] = patM.group(1).trim.split("\\s+").toSeq.map {
-      case TokenRe(name, q, lo, comma, hi) =>
-        if (q != null) (name, 0, 1)
-        else if (lo == null) (name, 1, 1)
-        else if (comma == null) (name, lo.toInt, lo.toInt)
-        else if (hi == null) sys.error(s"MATCH_RECOGNIZE: unbounded quantifier '$name{$lo,}' — " +
-          "this rewrite enumerates fixed-length alternatives; state an upper bound, e.g. {" + lo + ",8}")
-        else (name, lo.toInt, hi.toInt)
+    // hi = None → UNBOUNDED (`+`, `*`, `{m,}`) — routed to the NFA cursor scan
+    val TokenRe = "(\\w+)(?:(\\?)|([+*])|\\{(\\d+)(?:(,)(\\d+)?)?\\})?".r
+    val varSpecs: Seq[(String, Int, Option[Int])] = patM.group(1).trim.split("\\s+").toSeq.map {
+      case TokenRe(name, q, pm, lo, comma, hi) =>
+        if (q != null) (name, 0, Some(1))
+        else if (pm == "+") (name, 1, None)
+        else if (pm == "*") (name, 0, None)
+        else if (lo == null) (name, 1, Some(1))
+        else if (comma == null) (name, lo.toInt, Some(lo.toInt))
+        else if (hi == null) (name, lo.toInt, None)
+        else (name, lo.toInt, Some(hi.toInt))
       case tok => sys.error(s"MATCH_RECOGNIZE: unsupported pattern token '$tok' — " +
-        "use plain variables with bounded quantifiers (A, A?, A{m}, A{m,n}); " +
-        "for A+ or A* state the bound explicitly (A{1,8}, A{0,8})")
+        "use variables with quantifiers (A, A?, A+, A*, A{m}, A{m,}, A{m,n})")
     }
     varSpecs.foreach { case (nm, lo, hi) =>
-      require(lo <= hi, s"MATCH_RECOGNIZE: empty quantifier range {$lo,$hi} on '$nm'") }
+      hi.foreach(h => require(lo <= h, s"MATCH_RECOGNIZE: empty quantifier range {$lo,$h} on '$nm'")) }
     require(varSpecs.nonEmpty, "MATCH_RECOGNIZE requires a non-empty PATTERN")
     require(varSpecs.map(_._1).distinct.size == varSpecs.size,
       s"MATCH_RECOGNIZE: duplicate pattern variable in '${patM.group(1)}'")
     val varNames = varSpecs.map(_._1)
     val idx = varNames.zipWithIndex.toMap
     val w = s"(PARTITION BY $part ORDER BY $ordList)"
-
-    // every bounded-count assignment, greedy order: leftmost quantifier
-    // longest first (descending lexicographic), zero-length matches excluded
-    val expansions: Seq[Seq[Int]] = varSpecs
-      .map { case (_, lo, hi) => (hi to lo by -1).toSeq }
-      .foldLeft(Seq(Seq.empty[Int]))((acc, counts) => acc.flatMap(pfx => counts.map(pfx :+ _)))
-      .filter(_.sum > 0)
-    require(expansions.nonEmpty, "MATCH_RECOGNIZE: pattern admits only the empty match")
-    require(expansions.size <= 256,
-      s"MATCH_RECOGNIZE: quantifier ranges expand to ${expansions.size} alternatives (cap 256) — " +
-        "tighten the bounds")
+    val unboundedPat = varSpecs.exists(_._3.isEmpty)
 
     /** Column ref at absolute row offset k from the match start. */
     def at(colName: String, k: Int): String =
@@ -1062,7 +1082,7 @@ object SqlFrontend {
     def splitTop(s: String): Seq[String] =
       splitTopLevelCommas(s).map(_.trim).filter(_.nonEmpty)
 
-    val measureSrc = clause("(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW|AFTER\\s+MATCH|PATTERN\\b)")
+    val measureSrc = clause("(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW|ALL\\s+ROWS|AFTER\\s+MATCH|PATTERN\\b)")
       .map(splitTop).getOrElse(Seq.empty)
       .map { e =>
         val am = "(?is)^(.*?)\\s+AS\\s+(\\w+)\\s*$".r.findFirstMatchIn(e)
@@ -1081,53 +1101,162 @@ object SqlFrontend {
     val withinMicros = Option(patM.group(2))
       .map(num => graft.operators.Cumulate.durationMicros(s"$num ${patM.group(3)}"))
 
-    // one WHEN branch per alternative: its DEFINEs at their absolute offsets,
-    // the existence guard on the final row, the WITHIN bound, its measures
-    val branches = expansions.map { counts =>
-      val starts = counts.scanLeft(0)(_ + _)
-      val offsets: Map[String, Seq[Int]] = varNames.zipWithIndex.map { case (v, i) =>
-        v -> (starts(i) until starts(i + 1))
-      }.toMap
-      val len = counts.sum
-      val defineConds = varNames.flatMap { v =>
-        defineSrc.get(v).toSeq.flatMap(cond =>
-          offsets(v).map(off => s"(${subst(cond, offsets, Some((v, off)))})"))
-      }
-      val exists = s"${at(ord, len - 1)} IS NOT NULL"
-      val within = withinMicros.map(us =>
-        s"unix_micros(CAST(${at(ord, len - 1)} AS TIMESTAMP)) - " +
-          s"unix_micros(CAST($ord AS TIMESTAMP)) <= $us")
-      val cond = ((defineConds :+ exists) ++ within.toSeq).mkString(" AND ")
-      // '__len' always rides in the struct: the skip-past selection consumes
-      // it, and the measure-less form already exposed it as the one field
-      val fields = (s"'__len', $len" +:
-        measureSrc.map { case (e, a) => s"'$a', ${subst(e, offsets, None)}" }).mkString(", ")
-      s"WHEN ($cond) THEN named_struct($fields)"
-    }
-
-    val measureNames = measureSrc.map(_._2)
-    require(!measureNames.contains("__len"), "MATCH_RECOGNIZE: '__len' is a reserved measure alias")
     val partCols = splitTop(part)
-    val candidateSql = s"SELECT *, CASE ${branches.mkString(" ")} END AS __mr FROM $tbl"
-    val replacement = if (!skipPast) {
-      val outerCols = (partCols ++ measureNames.map(a => s"__mr.$a AS $a")).mkString(", ")
-      s"FROM (SELECT $outerCols FROM ($candidateSql) __graft_mr0 WHERE __mr IS NOT NULL) $alias"
+    val replacement = if (!unboundedPat && !allRowsPerMatch) {
+      // ------------------------------- bounded, ONE ROW: lead()-expansion CASE
+      // every bounded-count assignment, greedy order: leftmost quantifier
+      // longest first (descending lexicographic), zero-length matches excluded
+      val expansions: Seq[Seq[Int]] = varSpecs
+        .map { case (_, lo, hi) => (hi.get to lo by -1).toSeq }
+        .foldLeft(Seq(Seq.empty[Int]))((acc, counts) => acc.flatMap(pfx => counts.map(pfx :+ _)))
+        .filter(_.sum > 0)
+      require(expansions.nonEmpty, "MATCH_RECOGNIZE: pattern admits only the empty match")
+      require(expansions.size <= 256,
+        s"MATCH_RECOGNIZE: quantifier ranges expand to ${expansions.size} alternatives (cap 256) — " +
+          "tighten the bounds")
+
+      // one WHEN branch per alternative: its DEFINEs at their absolute offsets,
+      // the existence guard on the final row, the WITHIN bound, its measures
+      val branches = expansions.map { counts =>
+        val starts = counts.scanLeft(0)(_ + _)
+        val offsets: Map[String, Seq[Int]] = varNames.zipWithIndex.map { case (v, i) =>
+          v -> (starts(i) until starts(i + 1))
+        }.toMap
+        val len = counts.sum
+        val defineConds = varNames.flatMap { v =>
+          defineSrc.get(v).toSeq.flatMap(cond =>
+            offsets(v).map(off => s"(${subst(cond, offsets, Some((v, off)))})"))
+        }
+        val exists = s"${at(ord, len - 1)} IS NOT NULL"
+        val within = withinMicros.map(us =>
+          s"unix_micros(CAST(${at(ord, len - 1)} AS TIMESTAMP)) - " +
+            s"unix_micros(CAST($ord AS TIMESTAMP)) <= $us")
+        val cond = ((defineConds :+ exists) ++ within.toSeq).mkString(" AND ")
+        // '__len' always rides in the struct: the skip-past selection consumes
+        // it, and the measure-less form already exposed it as the one field
+        val fields = (s"'__len', $len" +:
+          measureSrc.map { case (e, a) => s"'$a', ${subst(e, offsets, None)}" }).mkString(", ")
+        s"WHEN ($cond) THEN named_struct($fields)"
+      }
+
+      val measureNames = measureSrc.map(_._2)
+      require(!measureNames.contains("__len"), "MATCH_RECOGNIZE: '__len' is a reserved measure alias")
+      val candidateSql = s"SELECT *, CASE ${branches.mkString(" ")} END AS __mr FROM $tbl"
+      if (!skipPast) {
+        val outerCols = (partCols ++ measureNames.map(a => s"__mr.$a AS $a")).mkString(", ")
+        s"FROM (SELECT $outerCols FROM ($candidateSql) __graft_mr0 WHERE __mr IS NOT NULL) $alias"
+      } else {
+        // non-overlap selection: candidates flow through skipPastSelect's
+        // per-key ordered scan; the selected relation becomes a temp view the
+        // rewritten text references (rewriteTemporalJoin registers views the
+        // same way). EVERY row enters the scan — non-candidates still occupy
+        // row positions a selected match must consume.
+        val cand = spark.sql(s"SELECT *, __mr.__len AS __graft_len FROM ($candidateSql) __graft_mr0")
+        val sel = graft.operators.Behavior.skipPastSelect(
+          cand, partCols.map(org.apache.spark.sql.functions.expr),
+          ordCols.map(org.apache.spark.sql.functions.expr), "__graft_len")
+        val out = sel.selectExpr(partCols ++ measureNames.map(a => s"__mr.$a AS $a"): _*)
+        // counter-named like every rewrite-registered view (llmops TVFs,
+        // temporal join): a content-hash name can collide across texts and
+        // silently swap plans under a cached/standing statement
+        val view = "__graft_mr_skippast_" + llmopsViewId.incrementAndGet()
+        out.createOrReplaceTempView(view)
+        trackEphemeralView(view)
+        s"FROM $view $alias"
+      }
     } else {
-      // non-overlap selection: candidates flow through skipPastSelect's
-      // per-key ordered scan; the selected relation becomes a temp view the
-      // rewritten text references (rewriteTemporalJoin registers views the
-      // same way). EVERY row enters the scan — non-candidates still occupy
-      // row positions a selected match must consume.
-      val cand = spark.sql(s"SELECT *, __mr.__len AS __graft_len FROM ($candidateSql) __graft_mr0")
-      val sel = graft.operators.Behavior.skipPastSelect(
-        cand, partCols.map(org.apache.spark.sql.functions.expr),
-        ordCols.map(org.apache.spark.sql.functions.expr), "__graft_len")
-      val out = sel.selectExpr(partCols ++ measureNames.map(a => s"__mr.$a AS $a"): _*)
-      // counter-named like every rewrite-registered view (llmops TVFs,
-      // temporal join): a content-hash name can collide across texts and
-      // silently swap plans under a cached/standing statement
-      val view = "__graft_mr_skippast_" + llmopsViewId.incrementAndGet()
+      // -------------- unbounded quantifiers / ALL ROWS: the NFA cursor scan.
+      // DEFINE predicates must be ROW-LOCAL (the variable's own row plus
+      // PREV/NEXT physical navigation): each compiles to ONE boolean column
+      // over the shared (key, order) window — Catalyst evaluates it with
+      // codegen — and [[graft.operators.MatchRecognize.scan]]'s per-key
+      // greedy cursor (the skipPastSelect execution shape) handles unbounded
+      // runs and ALL ROWS emission. Cross-variable or FIRST() DEFINEs need
+      // the bounded lead()-expansion path — state a bound to use them.
+      def localDefine(cond: String, v: String): String = {
+        val nav = "(?i)\\b(PREV|NEXT)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
+          .replaceAllIn(cond, mm => java.util.regex.Matcher.quoteReplacement {
+            val kind = mm.group(1).toUpperCase
+            val (vv, c) = (mm.group(2), mm.group(3))
+            val nn = Option(mm.group(4)).map(_.toInt).getOrElse(1)
+            if (!idx.contains(vv)) mm.matched
+            else if (vv != v) sys.error(s"MATCH_RECOGNIZE: $kind() may only navigate the " +
+              s"variable being DEFINEd, got $kind($vv.$c)")
+            else if (kind == "PREV") s"lag($c, $nn) OVER $w"
+            else s"lead($c, $nn) OVER $w"
+          })
+        val marked = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*\\)".r
+          .replaceAllIn(nav, mm => java.util.regex.Matcher.quoteReplacement {
+            val (kind, vv, c) = (mm.group(1).toUpperCase, mm.group(2), mm.group(3))
+            if (!idx.contains(vv)) mm.matched
+            else if (vv == v && kind == "LAST") c // running LAST = the candidate row
+            else sys.error(s"MATCH_RECOGNIZE: $kind($vv.$c) in DEFINE needs the bounded " +
+              "rewrite — under unbounded quantifiers or ALL ROWS PER MATCH, DEFINE " +
+              "predicates are row-local (the variable's own row plus PREV/NEXT); " +
+              "state an upper bound (e.g. A{1,8}) to use cross-variable or FIRST() conditions")
+          })
+        "\\b(\\w+)\\.(\\w+)\\b".r.replaceAllIn(marked, mm =>
+          java.util.regex.Matcher.quoteReplacement {
+            val (vv, c) = (mm.group(1), mm.group(2))
+            if (!idx.contains(vv)) mm.matched
+            else if (vv == v) c
+            else sys.error(s"MATCH_RECOGNIZE: DEFINE for '$v' references '$vv.$c' — " +
+              "row-local predicates only under unbounded quantifiers / ALL ROWS PER " +
+              "MATCH; state an upper bound to use cross-variable conditions")
+          })
+      }
+      val defs = varSpecs.map { case (nm, _, _) =>
+        defineSrc.get(nm)
+          .map(cond => org.apache.spark.sql.functions.expr(localDefine(cond, nm)))
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+      }
+      // columns the MEASURES read → captured into the per-variable structs
+      val measureColNames = measureSrc.flatMap { case (e, _) =>
+        "\\b(\\w+)\\.(\\w+)\\b".r.findAllMatchIn(e)
+          .filter(mm => idx.contains(mm.group(1))).map(_.group(2)).toSeq
+      }.distinct
+      // MEASURES read the FULL match (final semantics): FIRST/LAST/bare refs
+      // become fields of the scan's __mr_first_<v>/__mr_last_<v> structs;
+      // CLASSIFIER() (ALL ROWS only) is the scan's per-row variable label
+      def scanMeasure(e: String): String = {
+        "(?i)\\b(PREV|NEXT)\\s*\\(\\s*(\\w+)\\.".r.findFirstMatchIn(e)
+          .filter(mm => idx.contains(mm.group(2)))
+          .foreach(mm => sys.error(s"MATCH_RECOGNIZE: ${mm.group(1).toUpperCase}() is " +
+            "DEFINE-only (physical navigation has no single current row in MEASURES)"))
+        val cls = "(?i)\\bCLASSIFIER\\s*\\(\\s*\\)".r.replaceAllIn(e, _ => {
+          require(allRowsPerMatch, "MATCH_RECOGNIZE: CLASSIFIER() requires ALL ROWS PER MATCH")
+          "__mr_var"
+        })
+        val fl = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*\\)".r
+          .replaceAllIn(cls, mm => java.util.regex.Matcher.quoteReplacement {
+            val (kind, vv, c) = (mm.group(1).toLowerCase, mm.group(2), mm.group(3))
+            if (!idx.contains(vv)) mm.matched else s"__mr_${kind}_$vv.$c"
+          })
+        "\\b(\\w+)\\.(\\w+)\\b".r.replaceAllIn(fl, mm =>
+          java.util.regex.Matcher.quoteReplacement {
+            val (vv, c) = (mm.group(1), mm.group(2))
+            if (!idx.contains(vv)) mm.matched else s"__mr_last_$vv.$c"
+          })
+      }
+      measureSrc.foreach { case (_, a) => require(!a.startsWith("__mr_"),
+        s"MATCH_RECOGNIZE: measure alias '$a' uses the reserved __mr_ prefix") }
+      val input = spark.sql(s"SELECT * FROM $tbl")
+      if (allRowsPerMatch) measureSrc.foreach { case (_, a) =>
+        require(!input.columns.contains(a),
+          s"MATCH_RECOGNIZE: ALL ROWS PER MATCH emits every input column; measure alias '$a' collides") }
+      val toks = varSpecs.map { case (nm, lo, hi) => graft.operators.MatchRecognize.MrTok(nm, lo, hi) }
+      val scanned = graft.operators.MatchRecognize.scan(
+        input, partCols.map(org.apache.spark.sql.functions.expr),
+        ordCols.map(org.apache.spark.sql.functions.expr), ord, toks, defs,
+        withinMicros, skipToNext, allRowsPerMatch, measureColNames)
+      val measures = measureSrc.map { case (e, a) => s"${scanMeasure(e)} AS $a" }
+      // ALL ROWS emits every input column (the standard's shape); ONE ROW the
+      // partition key plus measures — both from the match rows the scan kept
+      val baseCols = if (allRowsPerMatch) input.columns.toSeq else partCols
+      val out = scanned.selectExpr(baseCols ++ measures: _*)
+      val view = "__graft_mr_scan_" + llmopsViewId.incrementAndGet()
       out.createOrReplaceTempView(view)
+      trackEphemeralView(view)
       s"FROM $view $alias"
     }
     rewriteMatchRecognize(spark, sql.substring(0, m.start) + replacement + sql.substring(aliasEnd))

@@ -435,16 +435,21 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
         |  PARTITION BY u ORDER BY ts MEASURES A.ts AS s ONE ROW PER MATCH
         |  AFTER MATCH SKIP TO FIRST A PATTERN (A B) DEFINE A AS A.t = 'view')""".stripMargin))
     assert(e1.getMessage.contains("SKIP PAST LAST ROW"))
+    // unbounded quantifiers route to the NFA scan, whose DEFINEs are
+    // row-local: a cross-variable condition under A+ fails loudly with the
+    // state-a-bound hint instead of mis-evaluating
     val e2 = intercept[Exception](SqlFrontend.execute(spark,
       """SELECT * FROM mr_events MATCH_RECOGNIZE (
-        |  PARTITION BY u ORDER BY ts MEASURES A.ts AS s ONE ROW PER MATCH
-        |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A+ B) DEFINE A AS A.t = 'view')""".stripMargin))
-    assert(e2.getMessage.contains("bounded quantifiers"), e2.getMessage)
+        |  PARTITION BY u ORDER BY ts MEASURES FIRST(A.ts) AS s ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A+ B)
+        |  DEFINE A AS A.t = 'view', B AS B.price > A.price)""".stripMargin))
+    assert(e2.getMessage.contains("state an upper bound"), e2.getMessage)
     val e3 = intercept[Exception](SqlFrontend.execute(spark,
       """SELECT * FROM mr_events MATCH_RECOGNIZE (
-        |  PARTITION BY u ORDER BY ts MEASURES A.ts AS s ONE ROW PER MATCH
-        |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A{2,} B) DEFINE A AS A.t = 'view')""".stripMargin))
-    assert(e3.getMessage.contains("unbounded quantifier"), e3.getMessage)
+        |  PARTITION BY u ORDER BY ts MEASURES FIRST(A.ts) AS s ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A{2,} B)
+        |  DEFINE A AS A.t = 'view' AND A.price > FIRST(A.price))""".stripMargin))
+    assert(e3.getMessage.contains("state an upper bound"), e3.getMessage)
   }
 
   test("MATCH_RECOGNIZE SKIP PAST LAST ROW selects non-overlapping matches and is the default") {
