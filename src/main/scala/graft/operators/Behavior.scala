@@ -147,6 +147,9 @@ object Behavior {
                      tieCol: String,
                      pattern: Seq[graft.streaming.StreamingSequenceMatchQ.QTok],
                      withinSeconds: Long = 0L): DataFrame = {
+    if (pattern.exists(_.max == graft.streaming.StreamingSequenceMatchQ.QTok.Unbounded))
+      return scanTyped(events, userCol, typeCol, tsCol, tieCol, pattern, withinSeconds,
+        skipToNext = true)
     val winner = qWinner(userCol, typeCol, tsCol, tieCol, pattern, withinSeconds)
     events
       .withColumn("__smq", winner)
@@ -154,6 +157,31 @@ object Behavior {
       .select(col(userCol), col(tsCol).as("match_start_ts"),
         col("__smq.end_ts").as("match_end_ts"), col(tieCol).as("start_tie"),
         col("__smq.len").as("matched_len"))
+  }
+
+  /** Unbounded-quantifier route for the type-token surfaces: the same
+    * [[graft.operators.MatchRecognize.scan]] NFA cursor the SQL rewrite
+    * uses, with per-token type-equality DEFINEs — output schema identical to
+    * the bounded forms, greedy order identical by the scan's equivalence
+    * spec.
+    */
+  private def scanTyped(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+                        tieCol: String,
+                        pattern: Seq[graft.streaming.StreamingSequenceMatchQ.QTok],
+                        withinSeconds: Long, skipToNext: Boolean): DataFrame = {
+    require(withinSeconds >= 0 && withinSeconds <= Long.MaxValue / 1000000L,
+      s"withinSeconds must be in [0, ${Long.MaxValue / 1000000L}], got $withinSeconds")
+    val unbounded = graft.streaming.StreamingSequenceMatchQ.QTok.Unbounded
+    val toks = pattern.zipWithIndex.map { case (t, i) =>
+      MatchRecognize.MrTok(s"T$i", t.min, if (t.max == unbounded) None else Some(t.max)) }
+    val defs = pattern.map(t => col(typeCol) === t.typ)
+    val within = if (withinSeconds == 0L) None else Some(withinSeconds * 1000000L)
+    val out = MatchRecognize.scan(events, Seq(col(userCol)), Seq(col(tsCol), col(tieCol)),
+      tsCol, toks, defs, within, skipToNext, allRows = false, measureCols = Seq(tsCol))
+    // the match's end is the LAST token that matched at least one row
+    val endTs = coalesce(pattern.indices.reverse.map(i => col(s"__mr_last_T$i.$tsCol")): _*)
+    out.select(col(userCol), col(tsCol).as("match_start_ts"), endTs.as("match_end_ts"),
+      col(tieCol).as("start_tie"), col("__mr_len").cast("int").as("matched_len"))
   }
 
   /** The per-start-row greedy candidate of [[sequenceMatchQ]] as a Column:
@@ -199,6 +227,9 @@ object Behavior {
                             tieCol: String,
                             pattern: Seq[graft.streaming.StreamingSequenceMatchQ.QTok],
                             withinSeconds: Long = 0L): DataFrame = {
+    if (pattern.exists(_.max == graft.streaming.StreamingSequenceMatchQ.QTok.Unbounded))
+      return scanTyped(events, userCol, typeCol, tsCol, tieCol, pattern, withinSeconds,
+        skipToNext = false)
     val cand = events
       .withColumn("__smq", qWinner(userCol, typeCol, tsCol, tieCol, pattern, withinSeconds))
       .select(col(userCol), col(tsCol), col(tieCol), col("__smq"),

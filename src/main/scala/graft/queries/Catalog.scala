@@ -3720,6 +3720,148 @@ FROM n"""))
        OR (v1 > value AND v2 > v1 AND t2 IS NOT NULL)
        OR (v1 > value AND t1 IS NOT NULL)"""))
 
+  /** Shared DuckDB prelude for the unbounded-quantifier MATCH_RECOGNIZE
+    * oracles (q164-q166): per-user row numbers, rising/falling row flags, and
+    * the maximal-run end of every down/up island. The greedy NFA semantics of
+    * `PATTERN (S D+ U+)` reduce to islands here because `value < PREV` and
+    * `value > PREV` are mutually exclusive — shrinking a greedy run can never
+    * create a match the maximal run missed (spec-pinned in
+    * MatchRecognizeScanSpec; the engine itself does full backtracking).
+    */
+  private val MR_RUNS = s"""
+      r AS (SELECT user_id, ts, event_id, value,
+                   row_number() OVER w AS rn,
+                   (value < lag(value) OVER w) AS dflag,
+                   (value > lag(value) OVER w) AS uflag
+            FROM $EV e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      dre AS (SELECT user_id, rn, max(rn) OVER (PARTITION BY user_id, grp) AS run_end
+              FROM (SELECT user_id, rn,
+                           rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+                    FROM r WHERE dflag)),
+      ure AS (SELECT user_id, rn, max(rn) OVER (PARTITION BY user_id, grp) AS run_end
+              FROM (SELECT user_id, rn,
+                           rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+                    FROM r WHERE uflag))"""
+
+  /** q164's candidate + greedy skip-past selection: a candidate starts at any
+    * row whose successor begins a down-run (S anchors, D+ takes the maximal
+    * run to `m`, U+ must start at `m+1` and takes its maximal run to `e`);
+    * the recursive member jumps selected match -> next candidate past its
+    * last row (iterations = matches per key, the q162 shape).
+    */
+  private val MR_TICKER_SEL = """
+      cand AS (SELECT s.user_id, s.rn, s.ts AS start_ts, s.event_id AS start_tie,
+                      d.run_end AS m, u.run_end AS e
+               FROM r s
+               JOIN dre d ON d.user_id = s.user_id AND d.rn = s.rn + 1
+               JOIN ure u ON u.user_id = s.user_id AND u.rn = d.run_end + 1),
+      sel AS (
+        SELECT user_id, rn, start_ts, start_tie, m, e
+        FROM (SELECT cand.*, row_number() OVER (PARTITION BY user_id ORDER BY rn) AS pk FROM cand)
+        WHERE pk = 1
+        UNION ALL
+        SELECT user_id, rn, start_ts, start_tie, m, e
+        FROM (SELECT c.user_id, c.rn, c.start_ts, c.start_tie, c.m, c.e,
+                     row_number() OVER (PARTITION BY c.user_id ORDER BY c.rn) AS pk
+              FROM cand c JOIN sel s ON c.user_id = s.user_id AND c.rn > s.e)
+        WHERE pk = 1)"""
+
+  private val q164 = Q("q164_match_ticker_runs", (s, dir) => {
+    // The MATCH_RECOGNIZE ticker idiom with UNBOUNDED quantifiers (r8
+    // verdict directive #1): falling run then rising run, both greedy-maximal
+    // (`D+ U+`), AFTER MATCH SKIP PAST LAST ROW by default. Runs on the NFA
+    // cursor scan — one repartition + (key, order) sort + per-key O(attempt)
+    // scan; DEFINEs are Catalyst-codegen'd lag() booleans.
+    t(s, dir, "events").createOrReplaceTempView("events_mr_ticker")
+    graft.sql.SqlFrontend.execute(s, """
+      SELECT * FROM events_mr_ticker MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES
+          FIRST(S.ts) AS match_start_ts,
+          FIRST(S.event_id) AS start_tie,
+          LAST(D.value) AS bottom_value,
+          LAST(U.value) AS top_value,
+          LAST(U.ts) AS match_end_ts
+        ONE ROW PER MATCH
+        PATTERN (S D+ U+)
+        DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
+      )""")
+      .select(col("user_id"),
+        col("match_start_ts").cast("timestamp_ntz").as("match_start_ts"),
+        col("match_end_ts").cast("timestamp_ntz").as("match_end_ts"),
+        col("start_tie"), col("bottom_value"), col("top_value"))
+  }, Some(s"""
+    WITH RECURSIVE $MR_RUNS, $MR_TICKER_SEL
+    SELECT sel.user_id, start_ts AS match_start_ts, re.ts AS match_end_ts, start_tie,
+           rm.value AS bottom_value, re.value AS top_value
+    FROM sel
+    JOIN r rm ON rm.user_id = sel.user_id AND rm.rn = sel.m
+    JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e"""))
+
+  private val q165 = Q("q165_match_all_rows", (s, dir) => {
+    // ALL ROWS PER MATCH over the same ticker pattern: one output row per
+    // MATCHED row with its CLASSIFIER() — the per-row shape a downstream
+    // labeling pipeline joins on (beyond Flink, which is ONE ROW only;
+    // measures carry FINAL semantics, documented in the rewrite).
+    t(s, dir, "events").createOrReplaceTempView("events_mr_allrows")
+    graft.sql.SqlFrontend.execute(s, """
+      SELECT * FROM events_mr_allrows MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES CLASSIFIER() AS cls, LAST(U.value) AS final_top
+        ALL ROWS PER MATCH
+        PATTERN (S D+ U+)
+        DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
+      )""")
+      .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_id"), col("value"), col("cls"), col("final_top"))
+  }, Some(s"""
+    WITH RECURSIVE $MR_RUNS, $MR_TICKER_SEL
+    SELECT s.user_id, r.ts, r.event_id, r.value,
+           CASE WHEN r.rn = s.rn THEN 'S' WHEN r.rn <= s.m THEN 'D' ELSE 'U' END AS cls,
+           re.value AS final_top
+    FROM sel s
+    JOIN r ON r.user_id = s.user_id AND r.rn BETWEEN s.rn AND s.e
+    JOIN r re ON re.user_id = s.user_id AND re.rn = s.e"""))
+
+  private val q166 = Q("q166_match_min_run_within", (s, dir) => {
+    // `U{2,}` — unbounded with a floor — under SKIP TO NEXT ROW and a WITHIN
+    // bound: every row anchors an independent greedy rising run, capped in
+    // EVENT TIME at 6h from the anchor; runs shorter than 2 never match.
+    t(s, dir, "events").createOrReplaceTempView("events_mr_minrun")
+    graft.sql.SqlFrontend.execute(s, """
+      SELECT * FROM events_mr_minrun MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES
+          FIRST(S.ts) AS match_start_ts,
+          FIRST(S.event_id) AS start_tie,
+          LAST(U.ts) AS match_end_ts,
+          LAST(U.value) AS peak_value
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (S U{2,}) WITHIN INTERVAL '6' HOUR
+        DEFINE U AS U.value > PREV(U.value)
+      )""")
+      .select(col("user_id"),
+        col("match_start_ts").cast("timestamp_ntz").as("match_start_ts"),
+        col("match_end_ts").cast("timestamp_ntz").as("match_end_ts"),
+        col("start_tie"), col("peak_value"))
+  }, Some(s"""
+    WITH $MR_RUNS,
+      cand AS (
+        SELECT st.user_id, st.rn, st.ts, st.event_id,
+               (SELECT max(r2.rn) FROM r r2
+                WHERE r2.user_id = st.user_id AND r2.rn <= u.run_end
+                  AND epoch_us(r2.ts) - epoch_us(st.ts) <= 21600000000) AS e_eff
+        FROM r st JOIN ure u ON u.user_id = st.user_id AND u.rn = st.rn + 1)
+    SELECT c.user_id, c.ts AS match_start_ts, re.ts AS match_end_ts,
+           c.event_id AS start_tie, re.value AS peak_value
+    FROM cand c
+    JOIN r re ON re.user_id = c.user_id AND re.rn = c.e_eff
+    WHERE c.e_eff >= c.rn + 2"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -3736,7 +3878,8 @@ FROM n"""))
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163)
+    q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
+    q164, q165, q166)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

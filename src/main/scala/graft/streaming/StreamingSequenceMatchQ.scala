@@ -59,12 +59,28 @@ import org.apache.spark.sql.streaming.{GroupState, OutputMode}
   * wait for events). State stays O(maxLen): the head is guaranteed decided
   * within `maxLen` events of its position, so the frontier advances and the
   * buffer never outgrows the same bound as the skip-to-next form.
+  *
+  * UNBOUNDED quantifiers (`QTok(t, m, QTok.Unbounded)` — SQL `A+`/`A{m,}`,
+  * r9): resolution switches from the enumerated alternatives to an NFA that
+  * explores counts greedily with backtracking in the same leftmost-longest
+  * order. A greedy run that reaches the buffer's newest event stays OPEN —
+  * only a breaking event (type mismatch) or the within horizon decides it,
+  * Flink CEP's greedy contract — so the decided-once-maxLen-events state
+  * bound becomes O(longest open run); a `within` bound restores an
+  * event-time cap (and any TTL ≥ within loses no decidable match, as above).
   */
 object StreamingSequenceMatchQ {
 
-  /** One pattern token: `typ` repeated between `min` and `max` times. */
+  /** One pattern token: `typ` repeated between `min` and `max` times;
+    * `max = QTok.Unbounded` is `+` / `{m,}` — the NFA resolver takes over
+    * (see the unbounded paragraph in the class doc).
+    */
   case class QTok(typ: String, min: Int, max: Int) {
     require(min >= 0 && max >= min, s"bad quantifier {$min,$max}")
+  }
+  object QTok {
+    /** `max` sentinel for unbounded quantifiers (`A+` = `QTok(t, 1, Unbounded)`). */
+    val Unbounded: Int = Int.MaxValue
   }
   case class Ev(key: String, typ: String, ts: Timestamp, tie: Long)
   case class QMatch(key: String, match_start_ts: Timestamp, match_end_ts: Timestamp,
@@ -75,6 +91,10 @@ object StreamingSequenceMatchQ {
   /** Greedy-ordered fixed type-sequences of a quantified pattern (shared
     * with the batch twin [[graft.operators.Behavior.sequenceMatchQ]]). */
   private[graft] def expansions(pattern: Seq[QTok]): Seq[Seq[String]] = {
+    require(pattern.forall(_.max != QTok.Unbounded),
+      "unbounded quantifier: expansions enumerate fixed sequences — the unbounded " +
+        "surfaces are the NFA paths (this operator with QTok.Unbounded routes there; " +
+        "batch: graft.operators.MatchRecognize.scan)")
     val seqs = pattern
       .map(t => (t.max to t.min by -1).map(c => Seq.fill(c)(t.typ)))
       .foldLeft(Seq(Seq.empty[String]))((acc, alts) => acc.flatMap(p => alts.map(p ++ _)))
@@ -87,8 +107,15 @@ object StreamingSequenceMatchQ {
   def apply(df: DataFrame, keyCol: String, typeCol: String, tsCol: String, tieCol: String,
             pattern: Seq[QTok], withinSeconds: Long = 0L, ttlSeconds: Long = 0L,
             ttlWatermarkDelay: String = "0 seconds", skipPast: Boolean = false): Dataset[QMatch] = {
-    val exps = expansions(pattern)
-    val maxLen = exps.map(_.size).max
+    // unbounded quantifiers can't enumerate alternatives — the NFA resolver
+    // explores counts greedily (descending) with backtracking instead, in
+    // the SAME leftmost-longest order, so bounded patterns behave identically
+    // on either path
+    val useNfa = pattern.exists(_.max == QTok.Unbounded)
+    val exps = if (useNfa) Seq.empty else expansions(pattern)
+    val nTok = pattern.size
+    require(pattern.nonEmpty, "pattern must name at least one token")
+    require(pattern.exists(_.max > 0), "pattern admits only the empty match")
     require(withinSeconds >= 0 && withinSeconds <= Long.MaxValue / 1000000L,
       s"withinSeconds out of range: $withinSeconds")
     val withinUs = withinSeconds * 1000000L
@@ -124,7 +151,39 @@ object StreamingSequenceMatchQ {
             * would be even later) — the start decides NOW instead of waiting
             * for a type-breaking event, which also bounds state age.
             */
-          def resolve(types: IndexedSeq[String], tss: IndexedSeq[Long], p: Int): Int = {
+          def resolve(types: IndexedSeq[String], tss: IndexedSeq[Long], p: Int): Int =
+            if (useNfa) nfaResolve(types, tss, p) else expResolve(types, tss, p)
+
+          /** NFA form of [[expResolve]] — same outcomes, no enumeration:
+            * counts explored greedily (longest first, backtracking); a run
+            * that reaches the buffer's NEWEST event while greedy wants more
+            * is OPEN (a future event may extend it) unless the within
+            * horizon already dooms every longer candidate — so `A+` decides
+            * only at a breaking event or the within bound, exactly Flink
+            * CEP's greedy contract.
+            */
+          def nfaResolve(types: IndexedSeq[String], tss: IndexedSeq[Long], p: Int): Int = {
+            val len = types.length
+            val futureViolated = withinUs > 0L && tss(len - 1) - tss(p) > withinUs
+            def go(tokI: Int, pos: Int): Int = { // >0 winner len, -1 open, 0 dead
+              if (tokI == nTok) return if (pos > p) pos - p else 0
+              val tok = pattern(tokI)
+              var avail = 0
+              while (pos + avail < len && types(pos + avail) == tok.typ &&
+                (withinUs == 0L || tss(pos + avail) - tss(p) <= withinUs)) avail += 1
+              if (pos + avail == len && avail < tok.max && !futureViolated) return -1
+              var c = math.min(tok.max, avail)
+              while (c >= tok.min) {
+                val r = go(tokI + 1, pos + c)
+                if (r != 0) return r
+                c -= 1
+              }
+              0
+            }
+            go(0, p)
+          }
+
+          def expResolve(types: IndexedSeq[String], tss: IndexedSeq[Long], p: Int): Int = {
             val avail = types.length - p
             val futureViolated = withinUs > 0L && tss(types.length - 1) - tss(p) > withinUs
             var open = false

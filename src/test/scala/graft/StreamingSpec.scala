@@ -405,6 +405,91 @@ class StreamingSpec extends SparkSpec {
       "batch sequenceMatchQ must equal the streaming operator on the closed stream")
   }
 
+  test("streaming UNBOUNDED quantifier (A+): greedy run decides at the breaking event; equals batch + SQL") {
+    import graft.streaming.StreamingSequenceMatchQ
+    import graft.streaming.StreamingSequenceMatchQ.QTok
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, String, Timestamp, Long)]
+    val mem = MemoryStream[(String, String, Timestamp, Long)]
+    val pattern = Seq(QTok("A", 1, QTok.Unbounded)) // A+
+    val matches = StreamingSequenceMatchQ(
+      mem.toDF().toDF("u", "t", "ts", "id"), "u", "t", "ts", "id", pattern,
+      skipPast = true)
+    val q = matches.writeStream.format("memory").queryName("seqq_unb_sink")
+      .outputMode("append").start()
+    // k1: A A A | A A x — the greedy run stays OPEN across the batch split
+    //     (a future event may extend it); the x decides one len-5 match.
+    // k2: A x | A A y — the x decides len-1; then a len-2 run at the y.
+    val b1 = Seq(
+      ("k1", "A", ts("2024-01-01 00:00:01"), 1L), ("k1", "A", ts("2024-01-01 00:00:02"), 2L),
+      ("k1", "A", ts("2024-01-01 00:00:03"), 3L),
+      ("k2", "A", ts("2024-01-01 00:00:01"), 6L), ("k2", "x", ts("2024-01-01 00:00:02"), 7L))
+    val b2 = Seq(
+      ("k1", "A", ts("2024-01-01 00:00:04"), 4L), ("k1", "A", ts("2024-01-01 00:00:05"), 5L),
+      ("k1", "x", ts("2024-01-01 00:00:06"), 9L),
+      ("k2", "A", ts("2024-01-01 00:00:03"), 8L), ("k2", "A", ts("2024-01-01 00:00:04"), 10L),
+      ("k2", "y", ts("2024-01-01 00:00:05"), 11L))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      val afterB1 = spark.table("seqq_unb_sink").collect()
+        .map(r => (r.getString(0), r.getAs[Long]("start_tie"))).toSet
+      assert(afterB1 == Set(("k2", 6L)),
+        s"k1's open greedy run must NOT emit before a breaking event: $afterB1")
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    import spark.implicits._
+    val streamed = spark.table("seqq_unb_sink")
+      .select(col("key"), col("match_start_ts"), col("match_end_ts"), col("matched_len"))
+    val got = streamed.collect().map(r => (r.getString(0), r.getTimestamp(1), r.getInt(3))).toSet
+    assert(got == Set(
+      ("k1", ts("2024-01-01 00:00:01"), 5),
+      ("k2", ts("2024-01-01 00:00:01"), 1), ("k2", ts("2024-01-01 00:00:03"), 2)), got.toString)
+
+    // batch surface (sequenceMatchSkipPast routes unbounded tokens to the
+    // NFA scan) agrees column-for-column on the closed stream
+    val df = (b1 ++ b2).toDF("u", "t", "ts", "id")
+    val batch = graft.operators.Behavior.sequenceMatchSkipPast(
+      df, "u", "t", "ts", "id", pattern)
+      .select(col("u").as("key"), col("match_start_ts"), col("match_end_ts"), col("matched_len"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "batch unbounded skip-past must equal the streaming operator")
+
+    // SQL surface: PATTERN (A+), default skip strategy
+    df.createOrReplaceTempView("seqq_unb_events")
+    val sqlRows = graft.sql.SqlFrontend.execute(spark,
+      """SELECT * FROM seqq_unb_events
+        |  MATCH_RECOGNIZE (
+        |    PARTITION BY u ORDER BY ts, id
+        |    MEASURES FIRST(A.ts) AS match_start_ts, LAST(A.ts) AS match_end_ts
+        |    ONE ROW PER MATCH
+        |    PATTERN (A+)
+        |    DEFINE A AS A.t = 'A'
+        |  )""".stripMargin)
+      .select(col("u").as("key"), col("match_start_ts"), col("match_end_ts"))
+    val streamedSpan = streamed.select("key", "match_start_ts", "match_end_ts")
+    assert(streamedSpan.exceptAll(sqlRows).isEmpty && sqlRows.exceptAll(streamedSpan).isEmpty,
+      "SQL A+ must equal the streaming operator on the closed stream")
+
+    // the WITHIN horizon decides an open run with no breaking event: two As
+    // then a third far past the bound — the start decides at the horizon
+    val mem2 = MemoryStream[(String, String, Timestamp, Long)]
+    val m2 = StreamingSequenceMatchQ(
+      mem2.toDF().toDF("u", "t", "ts", "id"), "u", "t", "ts", "id",
+      Seq(QTok("A", 2, QTok.Unbounded)), withinSeconds = 7200, skipPast = true)
+    val q2 = m2.writeStream.format("memory").queryName("seqq_unb_within")
+      .outputMode("append").start()
+    try {
+      mem2.addData(("w1", "A", ts("2024-01-01 00:00:00"), 1L),
+        ("w1", "A", ts("2024-01-01 00:30:00"), 2L)); q2.processAllAvailable()
+      assert(spark.table("seqq_unb_within").isEmpty, "run still open inside the bound")
+      mem2.addData(("w1", "A", ts("2024-01-01 05:00:00"), 3L)); q2.processAllAvailable()
+      val w = spark.table("seqq_unb_within").collect()
+        .map(r => (r.getString(0), r.getInt(4))).toSet
+      assert(w == Set(("w1", 2)), s"the 5h event is past WITHIN: the open run decides len-2: $w")
+    } finally q2.stop()
+  }
+
   test("streaming quantified SKIP PAST LAST ROW: younger completions wait; equals batch + SQL") {
     import graft.streaming.StreamingSequenceMatchQ
     import graft.streaming.StreamingSequenceMatchQ.QTok
