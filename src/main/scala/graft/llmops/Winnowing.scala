@@ -115,6 +115,15 @@ object Winnowing {
     * `maxDocsPerFingerprint` counts REPS per fingerprint, not docs, and it
     * also bounds the clone-group size (both through the never-silent
     * CapStats); an adaptive probe skips the collapse on clone-free corpora.
+    * CAP-ON COUNTS ARE PATH-DEPENDENT by design (r8 ADVICE, spec-pinned):
+    * intra-clone pairs report the FULL |set| regardless of the cap — clones
+    * share their whole set by construction, and the cap exists to bound
+    * index-join cost, which intra pairs never incur — while the direct path
+    * applies the doc-count cap to every pair's count (a clone group larger
+    * than the cap pairs NOT AT ALL there: each of its fingerprints exceeds
+    * the posting cap). The paths are pair-for-pair identical only with the
+    * cap off; which path runs is data-dependent, so set the cap only with
+    * `collapseIdentical` pinned explicitly if exact counts matter.
     */
   def sharedFingerprintPairs(df: DataFrame, textCol: String, idCol: String,
                              k: Int = 3, w: Int = 4, minShared: Int = 2,

@@ -350,8 +350,13 @@ object StreamPlanner {
     // LAB4 sessions run '14 d') — honor it here as the operator's event-time
     // TTL; unset = unbounded state, the operator default
     val ttlSeconds = graft.sources.TableRegistry.stateTtlSeconds.getOrElse(0L)
+    // watermark delay defaults to the TTL itself — a 0s delay would engage
+    // Spark's late-row filter against cross-key event-time skew (r8 ADVICE);
+    // 'sql.state-ttl-watermark-delay' tunes it explicitly
     val matched = StreamingSequenceMatchQ(input, part, typeCol, ord, "__tie",
-      qtoks, withinSeconds, ttlSeconds = ttlSeconds, skipPast = skipPast).toDF()
+      qtoks, withinSeconds, ttlSeconds = ttlSeconds,
+      ttlWatermarkDelay = graft.sources.TableRegistry.stateTtlWatermarkDelay(ttlSeconds),
+      skipPast = skipPast).toDF()
     // restore the partition column's ORIGINAL type (the operator keys on its
     // string image) so downstream joins/schemas see what the source declared
     val keyType = input.schema(part).dataType

@@ -76,6 +76,38 @@ class WinnowingSpec extends SparkSpec {
     assert(direct.nonEmpty, "fixture must produce pairs (clones share everything)")
   }
 
+  test("cap-on counts are path-dependent by contract: intra-clone pairs ignore the cap") {
+    import spark.implicits._
+    // two clone groups of 3 sharing a boilerplate prefix, cap 4: the shared
+    // boilerplate fingerprints sit in 6 docs (> cap) but at most 2 REPS
+    val boiler = "common header words repeated in every doc alpha beta gamma delta epsilon"
+    val textA = s"$boiler uniqueA tailA wordsA hereA nowA endA"
+    val textB = s"$boiler uniqueB tailB wordsB hereB nowB endB"
+    val docs = ((1L to 3L).map(i => (i, textA)) ++ (4L to 6L).map(i => (i, textB)))
+      .toDF("doc_id", "text")
+    val fpPerDocA = Winnowing.fingerprints(docs.filter(col("doc_id") === 1L),
+      "text", "doc_id", 3, 4).count()
+    def intraA(collapse: Boolean, stats: graft.llmops.Dedup.CapStats) =
+      Winnowing.sharedFingerprintPairs(docs, "text", "doc_id", 3, 4,
+        minShared = 1, maxDocsPerFingerprint = 4, capStats = stats,
+        collapseIdentical = collapse)
+        .filter(col("id_a") === 1L && col("id_b") === 2L)
+        .collect().map(_.getLong(2)).headOption
+
+    // collapse path: the cap counts REPS per fingerprint (≤ 2 here — nothing
+    // capped in the rep index), and intra-clone pairs report the FULL |set|
+    val cStats = new graft.llmops.Dedup.CapStats(spark)
+    assert(intraA(collapse = true, cStats).contains(fpPerDocA),
+      s"intra-clone counts must be the full |set| ($fpPerDocA) under the cap")
+
+    // direct path: the cap counts DOCS per fingerprint — the 6-doc
+    // boilerplate postings drop, so the SAME pair reports a smaller count
+    val dStats = new graft.llmops.Dedup.CapStats(spark)
+    val d = intraA(collapse = false, dStats)
+    assert(d.isDefined && d.get > 0 && d.get < fpPerDocA && dStats.droppedBuckets > 0,
+      s"direct cap-on must subtract the dropped boilerplate postings, visibly (got $d of $fpPerDocA)")
+  }
+
   test("null, empty, and whitespace-only docs emit no fingerprints in either path") {
     import spark.implicits._
     val df = Seq((1L, Option.empty[String]), (2L, Some("")), (3L, Some("   \t ")),

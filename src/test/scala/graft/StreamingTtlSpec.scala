@@ -197,6 +197,25 @@ class StreamingTtlSpec extends SparkSpec {
       s"the click->purchase pair must not span the eviction gap, got $pairs")
   }
 
+  test("TTL watermark delay defaults to the TTL; session key overrides; durations can't wrap") {
+    import graft.sources.TableRegistry
+    // default: delay = the TTL itself — a 0s delay would engage Spark's
+    // late-row filter against cross-key event-time skew (r8 ADVICE medium)
+    TableRegistry.unset("sql.state-ttl-watermark-delay")
+    assert(TableRegistry.stateTtlWatermarkDelay(600L) == "600 seconds")
+    TableRegistry.set("sql.state-ttl-watermark-delay", "2 min")
+    try assert(TableRegistry.stateTtlWatermarkDelay(600L) == "120 seconds")
+    finally TableRegistry.unset("sql.state-ttl-watermark-delay")
+    // products in [2^63, 2^64) have a zero multiplyHigh word but wrap
+    // negative — they must fail the overflow check, not require() later
+    val e = intercept[Exception](
+      TableRegistry.set("sql.state-ttl", "200000000000000 days") match {
+        case _ => TableRegistry.stateTtlSeconds
+      })
+    assert(e.getMessage.contains("overflows"), e.getMessage)
+    TableRegistry.unset("sql.state-ttl")
+  }
+
   test("TTL bounds the state store: rows track the live-key window, not every key ever seen") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -121,9 +121,11 @@ def fingerprint(rel_sql, cols_types):
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = []
+checked = 0
 for name, sql in sorted(oracle.items()):
     if only is not None and name not in only:
         continue
+    checked += 1
     spark_dir = f"{outdir}/{name}"
     if not os.path.isdir(spark_dir):
         print(f"MISSING  {name} (no spark output)", flush=True)
@@ -164,5 +166,8 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f"OK       {name} ({gn} rows, hash-sum match, {time.time()-t0:.0f}s)", flush=True)
 
-print(f"\n{len(oracle) - len(fails)}/{len(oracle)} queries match")
+# report over the queries actually CHECKED (only= restricts the run — the
+# unrestricted totals would over-claim on filtered invocations, r8 ADVICE)
+print(f"\n{checked - len(fails)}/{checked} queries match"
+      + (f" (of {len(oracle)} total)" if checked != len(oracle) else ""))
 sys.exit(1 if fails else 0)
