@@ -22,6 +22,44 @@ import graft.vector.{VectorSearchAgg, VectorStore}
   */
 object Labs {
 
+  /** ONE prompt definition per lab, shared by the batch and streaming twins.
+    *
+    * The r8 scale harness caught lab4's streaming judge prompt silently
+    * omitting the claim narrative the batch prompt carries — with a
+    * deterministic judge that split 8/10 verdicts on the same claims. That is
+    * a bug CLASS, not a bug: any twin that re-states its prompt drifts.
+    * Centralizing the builders makes drift impossible by construction
+    * (r8 verdict directive #6); `LabPromptParitySpec` guards the twins
+    * end-to-end and proves the guard non-vacuous with a broken fixture.
+    * Fixing the class surfaced two live instances: lab1's streaming prompt
+    * omitted the nation, lab3's streaming prompt omitted the time-of-day
+    * bucket AND the retrieved context (computing the enrichment, then
+    * discarding it).
+    */
+  private[graft] object Prompts {
+    import org.apache.spark.sql.Column
+    def lab1(orderId: Column, customerName: Column, nationName: Column,
+             orderPrice: Column): Column =
+      concat(lit("Price-match check for order "), orderId,
+        lit(" customer "), customerName,
+        lit(" nation "), nationName,
+        lit(" at price "), orderPrice)
+    def lab3Query(zone: Column, timeOfDay: Column, requestCount: Column): Column =
+      concat(lit("surge in "), zone, lit(" during "), timeOfDay,
+        lit(" with "), requestCount, lit(" requests"))
+    def lab3(queryText: Column, searchResults: Column): Column =
+      concat(lit("Explain this surge: "), queryText, lit("\nContext: "),
+        concat_ws(" | ", transform(searchResults, r => r.getField("chunk"))))
+    def lab4Base(claimId: Column, claimCity: Column, claimAmount: Column,
+                 narrative: Column): Column =
+      concat(lit("Claim "), claimId, lit(" city "), claimCity,
+        lit(" amount "), Scalars.moneyFmt(claimAmount),
+        lit(" narrative "), coalesce(narrative, lit("")))
+    def lab4Policy(base: Column, searchResults: Column): Column =
+      concat(base, lit(" policy context: "),
+        concat_ws(" | ", transform(searchResults, r => r.getField("chunk"))))
+  }
+
   // ------------------------------------------------------------------- lab 1
 
   /** Lab1 price-match: enrich orders with dims, run the price-match agent per
@@ -50,10 +88,8 @@ object Labs {
         "send_email" -> ScriptedTools.SendEmailTool()))
 
     val prompted = enriched.withColumn("prompt",
-      concat(lit("Price-match check for order "), col("order_id"),
-        lit(" customer "), col("customer_name"),
-        lit(" nation "), col("nation_name"),
-        lit(" at price "), col("order_price")))
+      Prompts.lab1(col("order_id"), col("customer_name"), col("nation_name"),
+        col("order_price")))
 
     AgentRuntime.runOnColumn(prompted, agent, "prompt")
       .withColumn("verdict", regexp_extract(col("agent_response"), "VERDICT:\\s*(\\w+)", 1))
@@ -144,8 +180,7 @@ object Labs {
         Scalars.timeOfDayBucket(col("window_start")).as("time_of_day"))
 
     val queried = surges.withColumn("query_text",
-      concat(lit("surge in "), col("zone"), lit(" during "), col("time_of_day"),
-        lit(" with "), col("request_count"), lit(" requests")))
+      Prompts.lab3Query(col("zone"), col("time_of_day"), col("request_count")))
 
     val docs = Tables(spark, dir, "documents")
     // embedDistinct: each distinct text hits the model once — the corpus is
@@ -158,9 +193,7 @@ object Labs {
       if (ann) VectorSearchAgg.ann(embedded, corpus, "embedding", 3, numCandidates)
       else VectorSearchAgg.auto(spark, embedded, corpus, "embedding", 3)
     MlPredict.generate(
-      enriched.withColumn("prompt",
-        concat(lit("Explain this surge: "), col("query_text"), lit("\nContext: "),
-          concat_ws(" | ", transform(col("search_results"), r => r.getField("chunk"))))),
+      enriched.withColumn("prompt", Prompts.lab3(col("query_text"), col("search_results"))),
       "local-textgen", "prompt", "reason")
       .select("window_start", "zone", "request_count", "upper_bound", "time_of_day", "reason")
   }
@@ -218,8 +251,12 @@ object Labs {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.StreamingAnomaly.Detection], _: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
+          // the batch twin's EXACT query text and prompt (shared builders):
+          // value is the windowed count as a double — cast back to long so
+          // the rendered text matches batch's bigint request_count
           val queried = batch.toDF().withColumn("query_text",
-            concat(lit("surge in "), col("key"), lit(" with "), col("value"), lit(" requests")))
+            Prompts.lab3Query(col("key"), Scalars.timeOfDayBucket(col("ts")),
+              col("value").cast("long")))
           val embedded = MlPredict.embed(queried, embedModel, "query_text")
           val enriched = annStore match {
             case Some((ivf, chunks)) => graft.vector.VectorSearchAgg.annPrepared(
@@ -227,8 +264,7 @@ object Labs {
             case None => graft.vector.VectorSearchAgg(s, embedded, exactStore.get, "embedding", 3)
           }
           MlPredict.generate(
-            enriched.withColumn("prompt",
-              concat(lit("Explain this surge: "), col("query_text"))),
+            enriched.withColumn("prompt", Prompts.lab3(col("query_text"), col("search_results"))),
             "local-textgen", "prompt", "reason")
             .select(col("key").as("zone"), col("ts").as("window_start"),
               col("value").as("request_count"), col("reason"))
@@ -278,9 +314,8 @@ object Labs {
         if (!batch.isEmpty) {
           val bounded = batch.orderBy("order_id").limit(limitPerBatch)
             .withColumn("prompt",
-              concat(lit("Price-match check for order "), col("order_id"),
-                lit(" customer "), col("customer_name"),
-                lit(" at price "), col("order_price")))
+              Prompts.lab1(col("order_id"), col("customer_name"), col("nation_name"),
+                col("order_price")))
           AgentRuntime.runOnColumn(bounded, agent, "prompt")
             .withColumn("verdict", regexp_extract(col("agent_response"), "VERDICT:\\s*(\\w+)", 1))
             .drop("prompt")
@@ -361,13 +396,13 @@ object Labs {
             "claim_ts", "window_time", "'-6' HOUR", "'0' HOUR")
             .orderBy(col("claim_amount").desc, col("claim_id"))
             .limit(queueLimit)
-          // the batch twin's EXACT prompt (narrative included): the judge is
-          // a deterministic function of the prompt, so any text difference
-          // splits stream and batch verdicts on the same claim (caught by
-          // SpotStreamingLabs at sf1 — 8/10 common claims diverged)
-          val basePrompt = concat(lit("Claim "), col("claim_id"), lit(" city "),
-            col("claim_city"), lit(" amount "), Scalars.moneyFmt(col("claim_amount")),
-            lit(" narrative "), coalesce(col("narrative"), lit("")))
+          // the batch twin's EXACT prompt (shared builder — narrative
+          // included): the judge is a deterministic function of the prompt,
+          // so any text difference splits stream and batch verdicts on the
+          // same claim (caught by SpotStreamingLabs at sf1 — 8/10 common
+          // claims diverged before r8 pinned it)
+          val basePrompt = Prompts.lab4Base(col("claim_id"), col("claim_city"),
+            col("claim_amount"), col("narrative"))
           val toInvestigate = annStore match {
             case Some((ivf, chunks)) =>
               val embedded = MlPredict.embed(
@@ -375,8 +410,7 @@ object Labs {
                 "local-embed-64", "__nar", "narrative_embedding")
               graft.vector.VectorSearchAgg.annPrepared(
                   embedded, ivf, chunks, "narrative_embedding", 3, policyAnn.get)
-                .withColumn("prompt", concat(basePrompt, lit(" policy context: "),
-                  concat_ws(" | ", transform(col("search_results"), r => r.getField("chunk")))))
+                .withColumn("prompt", Prompts.lab4Policy(basePrompt, col("search_results")))
                 .drop("__nar", "narrative_embedding", "search_results")
             case None => queued.withColumn("prompt", basePrompt)
           }
@@ -436,9 +470,8 @@ object Labs {
       systemPrompt = "Review the claim against the 9-point checklist.",
       tools = Map.empty)
 
-    val basePrompt = concat(lit("Claim "), col("claim_id"), lit(" city "), col("claim_city"),
-      lit(" amount "), Scalars.moneyFmt(col("claim_amount")),
-      lit(" narrative "), coalesce(col("narrative"), lit("")))
+    val basePrompt = Prompts.lab4Base(col("claim_id"), col("claim_city"),
+      col("claim_amount"), col("narrative"))
     val prompted = policyAnn match {
       case Some(nc) =>
         val corpus = MlPredict.embedDistinct(Tables(spark, dir, "documents"),
@@ -448,8 +481,7 @@ object Labs {
           toInvestigate.withColumn("__nar", coalesce(col("narrative"), lit(""))),
           "local-embed-64", "__nar", "narrative_embedding")
         VectorSearchAgg.ann(embedded, corpus, "narrative_embedding", 3, nc)
-          .withColumn("prompt", concat(basePrompt, lit(" policy context: "),
-            concat_ws(" | ", transform(col("search_results"), r => r.getField("chunk")))))
+          .withColumn("prompt", Prompts.lab4Policy(basePrompt, col("search_results")))
           .drop("__nar", "narrative_embedding", "search_results")
       case None => toInvestigate.withColumn("prompt", basePrompt)
     }
