@@ -106,4 +106,66 @@ class StreamingNearDupSpec extends SparkSpec {
     StreamingNearDup.applyBatch(spark, b, "text", "doc_id", store, sink, 0L)
     assert(StreamingNearDup.keptDocs(spark, store, sink).count() == 2)
   }
+
+  test("compactStore: kept-set identical to the uncompacted store; file count collapses to one pair") {
+    import spark.implicits._
+    // two stores fed identically; A is compacted mid-stream (and again at the
+    // end), B never — every subsequent dedup decision must match
+    val (storeA, sinkA, _) = dirs()
+    val (storeB, sinkB, _) = dirs()
+    def feed(store: String, sink: String, id: Long, rows: Seq[(Long, String)]): Unit =
+      StreamingNearDup.applyBatch(spark, rows.toDF("doc_id", "text"),
+        "text", "doc_id", store, sink, id)
+    val fresh = "fresh unrelated corpus material discussing catalyst optimizer rules " * 5
+    val b0 = Seq((1L, base), (2L, other))
+    val b1 = Seq((3L, fresh))
+    val b2 = Seq((4L, base), (5L, nearDup),
+      (6L, "entirely novel text about shuffle partition tuning strategies " * 5))
+    for ((s, k) <- Seq((storeA, sinkA), (storeB, sinkB))) { feed(s, k, 0L, b0); feed(s, k, 1L, b1) }
+    StreamingNearDup.compactStore(spark, storeA)
+    for ((s, k) <- Seq((storeA, sinkA), (storeB, sinkB))) feed(s, k, 2L, b2)
+    StreamingNearDup.compactStore(spark, storeA)
+    def kept(store: String, sink: String) = StreamingNearDup.keptDocs(spark, store, sink)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (ka, kb) = (kept(storeA, sinkA), kept(storeB, sinkB))
+    assert(ka == kb, s"compacted store changed dedup decisions: $ka vs $kb")
+    assert(!ka.contains(4L) && !ka.contains(5L) && ka.contains(6L),
+      "cross-batch near-dups must still drop through the compacted signatures")
+    // the store is one compacted pair + pointers — no per-batch dirs left
+    val names = new java.io.File(storeA).listFiles().map(_.getName).toSet
+    assert(names == Set("csigs_2", "csh_2", "_APPLIED", "_COMPACTED"),
+      s"store must collapse to one pair: $names")
+  }
+
+  test("retention horizon: evicted signatures stop deduping; the duplicate is re-admitted") {
+    import spark.implicits._
+    val (store, sink, _) = dirs()
+    def feed(id: Long, rows: Seq[(Long, String)]): Unit =
+      StreamingNearDup.applyBatch(spark, rows.toDF("doc_id", "text"),
+        "text", "doc_id", store, sink, id)
+    feed(0L, Seq((1L, base)))
+    feed(1L, Seq((2L, other)))
+    // keep only the newest batch's signatures: batch 0 (doc 1) evicts
+    StreamingNearDup.compactStore(spark, store, retainBatches = Some(1L))
+    feed(2L, Seq((3L, base), (4L, other))) // 4 = exact dup of the in-horizon doc 2
+    val kept = StreamingNearDup.keptDocs(spark, store, sink)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(3L),
+      "doc 1's signatures are past the horizon — its duplicate must be ADMITTED again")
+    assert(!kept.contains(4L),
+      "doc 2 is inside the horizon — its near-dup must still drop")
+
+    // control: the same feed without retention keeps deduping against doc 1
+    val (store2, sink2, _) = dirs()
+    def feed2(id: Long, rows: Seq[(Long, String)]): Unit =
+      StreamingNearDup.applyBatch(spark, rows.toDF("doc_id", "text"),
+        "text", "doc_id", store2, sink2, id)
+    feed2(0L, Seq((1L, base)))
+    feed2(1L, Seq((2L, other)))
+    StreamingNearDup.compactStore(spark, store2)
+    feed2(2L, Seq((3L, base)))
+    val kept2 = StreamingNearDup.keptDocs(spark, store2, sink2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept2.contains(3L), "without retention the compacted store still drops the duplicate")
+  }
 }
