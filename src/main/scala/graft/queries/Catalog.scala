@@ -3850,12 +3850,19 @@ FROM n"""))
         col("start_tie"), col("peak_value"))
   }, Some(s"""
     WITH $MR_RUNS,
+      -- the last row within +6h of each anchor, via a RANGE frame (rn is
+      -- monotone in ts per key, so max rn over the frame IS that row);
+      -- sf10-feasible: one window pass, no correlated subquery
+      tcap AS (SELECT user_id, rn,
+                      max(rn) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN CURRENT ROW AND 21600000000 FOLLOWING) AS t_end
+               FROM r),
       cand AS (
         SELECT st.user_id, st.rn, st.ts, st.event_id,
-               (SELECT max(r2.rn) FROM r r2
-                WHERE r2.user_id = st.user_id AND r2.rn <= u.run_end
-                  AND epoch_us(r2.ts) - epoch_us(st.ts) <= 21600000000) AS e_eff
-        FROM r st JOIN ure u ON u.user_id = st.user_id AND u.rn = st.rn + 1)
+               least(u.run_end, t.t_end) AS e_eff
+        FROM r st
+        JOIN ure u ON u.user_id = st.user_id AND u.rn = st.rn + 1
+        JOIN tcap t ON t.user_id = st.user_id AND t.rn = st.rn)
     SELECT c.user_id, c.ts AS match_start_ts, re.ts AS match_end_ts,
            c.event_id AS start_tie, re.value AS peak_value
     FROM cand c
@@ -3888,4 +3895,15 @@ FROM n"""))
     all.flatMap(q => q.oracle.map(o => q.name -> o.stripMargin.trim)).toMap
 
   def headlineNames: Seq[String] = all.filter(_.headline).map(_.name)
+
+  /** Second BENCH group (r8 verdict directive #8): the headline set was
+    * frozen before rounds 4-8 added the CEP / resample / packing / ANN / MR
+    * families, so the driver couldn't see a regression there. These ride in
+    * BENCH's same JSON line under "group2" — the headline "value" stays
+    * anchor-comparable.
+    */
+  def benchGroup2Names: Seq[String] = Seq(
+    "q109_window_cumulate", "q111_sequence_match", "q122_sequence_match_q",
+    "q107_resample_ffill", "q139_exact_substring_spans", "q161_lab3_fleet_ann",
+    "q162_match_skip_past")
 }
