@@ -177,6 +177,26 @@ class MatchRecognizeScanSpec extends SparkSpec {
     assert(out.select("__mr_len").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("plan guard: the scan shares ONE exchange with its DEFINE window") {
+    // the DEFINE lag() window partitions/sorts on (key | key, order) and the
+    // scan repartitions/sorts identically — Catalyst must collapse them into
+    // a single exchange + a single sort (the q162 plan-guard precedent: if
+    // this regresses, the operator pays a second full shuffle at 100 TB)
+    ticker.createOrReplaceTempView("mr_ticker")
+    val df = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(S.id) AS s_id, LAST(U.v) AS top
+        |  ONE ROW PER MATCH
+        |  PATTERN (S D+ U+)
+        |  DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v))""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    val sorts = "\\bSort\\b".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected ONE shared exchange, got $exchanges:\n${plan.take(3000)}")
+    assert(sorts == 1, s"expected ONE shared sort, got $sorts:\n${plan.take(3000)}")
+  }
+
   test("SQL route drops its ephemeral scan views after the statement") {
     ticker.createOrReplaceTempView("mr_ticker")
     SqlFrontend.execute(spark,
