@@ -87,8 +87,11 @@ object MatchRecognize {
     * @param measureCols input columns captured into the per-variable
     *                    `__mr_first_<v>` / `__mr_last_<v>` structs that
     *                    MEASURES read (FINAL semantics); empty → no structs
-    * @return df's columns plus the structs, `__mr_len` (match row count) and,
-    *         under `allRows`, `__mr_var`
+    * @return df's columns plus the structs, `__mr_len` (match row count),
+    *         `__mr_seq` (the match's 1-based ordinal WITHIN its key, in
+    *         (order) position — deterministic under any parallelism, unlike
+    *         a query-global counter; MATCH_NUMBER() maps here) and, under
+    *         `allRows`, `__mr_var`
     */
   def scan(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column], tsCol: String,
            tokens: Seq[MrTok], defs: Seq[Column], withinMicros: Option[Long],
@@ -129,7 +132,8 @@ object MatchRecognize {
           StructField(s"__mr_first_${t.name}", mStruct, nullable = true),
           StructField(s"__mr_last_${t.name}", mStruct, nullable = true)))
         else Nil) ++
-        Seq(StructField("__mr_len", LongType, nullable = false)) ++
+        Seq(StructField("__mr_len", LongType, nullable = false),
+          StructField("__mr_seq", LongType, nullable = false)) ++
         (if (allRows) Seq(StructField("__mr_var", StringType, nullable = false)) else Nil))
     val outArity = outSchema.fields.length
     val lenPos = nOrig + (if (hasMeasures) 2 * tokens.size else 0)
@@ -213,7 +217,7 @@ object MatchRecognize {
           Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
         }
 
-        private def mk(src: Row, structVals: Array[Any], len: Long, cls: String): Row = {
+        private def mk(src: Row, structVals: Array[Any], len: Long, seq: Long, cls: String): Row = {
           val vals = new Array[Any](outArity)
           var i = 0
           while (i < nOrig) { vals(i) = src.get(i); i += 1 }
@@ -222,11 +226,12 @@ object MatchRecognize {
             while (j < structVals.length) { vals(nOrig + j) = structVals(j); j += 1 }
           }
           vals(lenPos) = len
-          if (emitAll) vals(lenPos + 1) = cls
+          vals(lenPos + 1) = seq
+          if (emitAll) vals(lenPos + 2) = cls
           Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
         }
 
-        private def emit(counts: Array[Int]): Unit = {
+        private def emit(counts: Array[Int], seq: Long): Unit = {
           val len = counts.sum.toLong
           val structVals = if (hasMeasures) new Array[Any](2 * n) else null
           if (hasMeasures) {
@@ -239,25 +244,31 @@ object MatchRecognize {
               p += counts(t); t += 1
             }
           }
-          if (!emitAll) out.enqueue(mk(rowAt(0), structVals, len, null))
+          if (!emitAll) out.enqueue(mk(rowAt(0), structVals, len, seq, null))
           else {
             var pos = 0; var t = 0
             while (t < n) {
               var c = 0
-              while (c < counts(t)) { out.enqueue(mk(rowAt(pos), structVals, len, nameArr(t))); pos += 1; c += 1 }
+              while (c < counts(t)) { out.enqueue(mk(rowAt(pos), structVals, len, seq, nameArr(t))); pos += 1; c += 1 }
               t += 1
             }
           }
         }
 
+        private var matchSeq = 0L // per-key match ordinal, resets with the key
+
         private def pump(): Unit = {
           while (out.isEmpty && !finished) {
             if (!ensure(0)) {
               if (stash == null && !it.hasNext) finished = true
-              else { buf.clear(); base = 0; curKey = null; keyDone = false } // next key
+              else { buf.clear(); base = 0; curKey = null; keyDone = false; matchSeq = 0L } // next key
             } else {
               val counts = new Array[Int](n)
-              if (tryMatch(counts)) { emit(counts); advance(if (skipNext) 1 else counts.sum) }
+              if (tryMatch(counts)) {
+                matchSeq += 1
+                emit(counts, matchSeq)
+                advance(if (skipNext) 1 else counts.sum)
+              }
               else advance(1)
             }
           }

@@ -1102,7 +1102,10 @@ object SqlFrontend {
       .map(num => graft.operators.Cumulate.durationMicros(s"$num ${patM.group(3)}"))
 
     val partCols = splitTop(part)
-    val replacement = if (!unboundedPat && !allRowsPerMatch) {
+    // MATCH_NUMBER() needs the cursor's per-key match ordinal — scan route
+    val usesMatchNumber = measureSrc.exists { case (e, _) =>
+      "(?i)\\bMATCH_NUMBER\\s*\\(".r.findFirstIn(e).isDefined }
+    val replacement = if (!unboundedPat && !allRowsPerMatch && !usesMatchNumber) {
       // ------------------------------- bounded, ONE ROW: lead()-expansion CASE
       // every bounded-count assignment, greedy order: leftmost quantifier
       // longest first (descending lexicographic), zero-length matches excluded
@@ -1223,7 +1226,12 @@ object SqlFrontend {
           .filter(mm => idx.contains(mm.group(2)))
           .foreach(mm => sys.error(s"MATCH_RECOGNIZE: ${mm.group(1).toUpperCase}() is " +
             "DEFINE-only (physical navigation has no single current row in MEASURES)"))
-        val cls = "(?i)\\bCLASSIFIER\\s*\\(\\s*\\)".r.replaceAllIn(e, _ => {
+        // MATCH_NUMBER(): the match's 1-based ordinal WITHIN its partition —
+        // deterministic under any parallelism, unlike the standard's
+        // query-global counter (documented deviation; per-key ordinals are
+        // what downstream joins actually use)
+        val mn = "(?i)\\bMATCH_NUMBER\\s*\\(\\s*\\)".r.replaceAllIn(e, _ => "__mr_seq")
+        val cls = "(?i)\\bCLASSIFIER\\s*\\(\\s*\\)".r.replaceAllIn(mn, _ => {
           require(allRowsPerMatch, "MATCH_RECOGNIZE: CLASSIFIER() requires ALL ROWS PER MATCH")
           "__mr_var"
         })

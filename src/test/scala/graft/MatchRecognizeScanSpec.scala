@@ -177,6 +177,34 @@ class MatchRecognizeScanSpec extends SparkSpec {
     assert(out.select("__mr_len").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("MATCH_NUMBER(): 1-based per-key match ordinal, ONE ROW and ALL ROWS") {
+    Seq(("a", ts(0), 1L, "x"), ("a", ts(1), 2L, "x"), ("a", ts(2), 3L, "y"),
+      ("a", ts(3), 4L, "x"), ("b", ts(0), 5L, "x"))
+      .toDF("k", "ts", "id", "t").createOrReplaceTempView("mr_mn")
+    // skip-past runs of x: key a matches at rows 1-2 (seq 1) and 4 (seq 2);
+    // key b restarts at 1 — the ordinal is per-key, deterministic under
+    // parallelism (documented deviation from the standard's global counter)
+    val one = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_mn MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(A.id) AS start_id, MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  PATTERN (A+)
+        |  DEFINE A AS A.t = 'x')""".stripMargin)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("start_id"), r.getAs[Long]("mn")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(one == Seq(("a", 1L, 1L), ("a", 4L, 2L), ("b", 5L, 1L)), s"got $one")
+    val all = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_mn MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS c
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A+)
+        |  DEFINE A AS A.t = 'x')""".stripMargin)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("mn"))).sorted.toSeq
+    assert(all == Seq((1L, 1L), (2L, 1L), (4L, 2L), (5L, 1L)), s"got $all")
+  }
+
   test("plan guard: the scan shares ONE exchange with its DEFINE window") {
     // the DEFINE lag() window partitions/sorts on (key | key, order) and the
     // scan repartitions/sorts identically — Catalyst must collapse them into
