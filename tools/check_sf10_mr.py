@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""sf10 hash gate for q164/q165 (unbounded MATCH_RECOGNIZE, skip-past) —
+the same-function-feasibly override, q144/q149's discipline.
+
+The catalog oracle's recursive CTE walks selected match -> next candidate,
+so its iteration count is MATCHES PER KEY — fine at sf0.01 (a few per key),
+~1,368 per key at sf10 (the gate run stalled ~1h deep in it). This script
+computes the IDENTICAL greedy non-overlap selection with POINTER DOUBLING:
+
+  next(c)  = the first candidate of c's key starting past c's last row
+             (one ASOF join — smallest rn >= e+1 via the negation trick);
+  jump_2k  = jump_k o jump_k (11 doublings cover 2^11 > max matches/key);
+  selected = nodes reachable from each key's first candidate, built in
+             log steps: reach_{k+1} = reach_k UNION jump_2^k(reach_k).
+
+Selection depends only on (first candidate, next()) — the same chain the
+recursive member walks one step at a time — so the result is equal BY
+CONSTRUCTION, and this script additionally validates itself against the
+recursive-oracle-green dump at sf0.01 before being trusted at sf10.
+
+Usage: python3 tools/check_sf10_mr.py <sfDir> <verifyOutDir>
+(expects dumps for q164_match_ticker_runs and q165_match_all_rows)
+"""
+import os
+import sys
+import time
+
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+con.execute(f"SET threads TO {os.cpu_count()}")
+os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
+
+t0 = time.time()
+con.execute(f"""
+CREATE TEMP TABLE r AS
+SELECT user_id, ts, event_id, value,
+       row_number() OVER w AS rn,
+       (value < lag(value) OVER w) AS dflag,
+       (value > lag(value) OVER w) AS uflag
+FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+      FROM read_parquet('{sfdir}/events.parquet')) e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")
+for flag, tbl in (("dflag", "dre"), ("uflag", "ure")):
+    con.execute(f"""
+CREATE TEMP TABLE {tbl} AS
+SELECT user_id, rn, max(rn) OVER (PARTITION BY user_id, grp) AS run_end
+FROM (SELECT user_id, rn, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM r WHERE {flag})""")
+con.execute("""
+CREATE TEMP TABLE cand AS
+SELECT s.user_id, s.rn, s.ts AS start_ts, s.event_id AS start_tie,
+       d.run_end AS m, u.run_end AS e
+FROM r s
+JOIN dre d ON d.user_id = s.user_id AND d.rn = s.rn + 1
+JOIN ure u ON u.user_id = s.user_id AND u.rn = d.run_end + 1""")
+
+# next(c): smallest candidate rn >= e+1 of the same key. ASOF picks the
+# GREATEST right <= left, so negate both sides to get the smallest >=.
+con.execute("""
+CREATE TEMP TABLE jump AS
+SELECT c.user_id, c.rn, n.rn AS nxt
+FROM cand c ASOF LEFT JOIN cand n
+  ON n.user_id = c.user_id AND -n.rn <= -(c.e + 1)""")
+maxchain = con.execute(
+    "SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM cand GROUP BY user_id)").fetchone()[0]
+k = 0
+while (1 << k) < maxchain:
+    prev = "jump" if k == 0 else f"j{1 << k}"
+    con.execute(f"""
+CREATE TEMP TABLE j{2 << k} AS
+SELECT a.user_id, a.rn, b.nxt
+FROM {prev} a
+JOIN {prev} b ON b.user_id = a.user_id AND b.rn = a.nxt
+WHERE a.nxt IS NOT NULL""")
+    k += 1
+# heads: the first candidate per key is always selected (the cursor starts
+# before it and nothing earlier can consume its anchor); then
+# reach_{p+1} = reach_p UNION jump_{2^p}(reach_p), ascending powers — after
+# the last power every chain node is reached (chain length <= 2^k)
+con.execute("CREATE TEMP TABLE reach AS "
+            "SELECT user_id, min(rn) AS rn FROM cand GROUP BY user_id")
+for p in range(0, k):
+    jt = "jump" if p == 0 else f"j{1 << p}"
+    con.execute(f"""
+INSERT INTO reach
+SELECT j.user_id, j.nxt FROM reach x JOIN {jt} j
+  ON j.user_id = x.user_id AND j.rn = x.rn
+WHERE j.nxt IS NOT NULL""")
+con.execute("CREATE TEMP TABLE sel AS "
+            "SELECT DISTINCT c.user_id, c.rn, c.start_ts, c.start_tie, c.m, c.e "
+            "FROM (SELECT DISTINCT user_id, rn FROM reach) x JOIN cand c USING (user_id, rn)")
+print(f"setup+selection {time.time()-t0:.0f}s; selected =",
+      con.execute("SELECT count(*) FROM sel").fetchone()[0], flush=True)
+
+FINALS = {
+    "q164_match_ticker_runs": """
+        SELECT sel.user_id, start_ts AS match_start_ts, re.ts AS match_end_ts, start_tie,
+               rm.value AS bottom_value, re.value AS top_value
+        FROM sel
+        JOIN r rm ON rm.user_id = sel.user_id AND rm.rn = sel.m
+        JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e""",
+    "q165_match_all_rows": """
+        SELECT s.user_id, r.ts, r.event_id, r.value,
+               CASE WHEN r.rn = s.rn THEN 'S' WHEN r.rn <= s.m THEN 'D' ELSE 'U' END AS cls,
+               re.value AS final_top
+        FROM sel s
+        JOIN r ON r.user_id = s.user_id AND r.rn BETWEEN s.rn AND s.e
+        JOIN r re ON re.user_id = s.user_id AND re.rn = s.e""",
+}
+
+CANON = {"TINYINT": "BIGINT", "SMALLINT": "BIGINT", "INTEGER": "BIGINT",
+         "BIGINT": "BIGINT", "FLOAT": "DOUBLE", "DOUBLE": "DOUBLE",
+         "BOOLEAN": "BOOLEAN", "DATE": "DATE"}
+
+def canon_type(t):
+    t = t.upper()
+    if t.startswith("TIMESTAMP"):
+        return "TIMESTAMP"
+    return CANON.get(t, "VARCHAR")
+
+def fingerprint(rel, cols_types):
+    exprs = ", ".join(f'CAST("{c}" AS {t})' for c, t in cols_types)
+    return con.execute(f"SELECT count(*), sum(CAST(hash({exprs}) AS HUGEINT)) "
+                       f"FROM ({rel})").fetchone()
+
+fails = []
+for name, final in FINALS.items():
+    spark_rel = f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"
+    schema = con.execute(f"DESCRIBE {spark_rel}").fetchall()
+    cols_types = sorted((row[0], canon_type(row[1])) for row in schema)
+    t1 = time.time()
+    gn, gh = fingerprint(spark_rel, cols_types)
+    wn, wh = fingerprint(final, cols_types)
+    if (gn, gh) == (wn, wh):
+        print(f"OK       {name} ({gn} rows, hash-sum match, {time.time()-t1:.0f}s)", flush=True)
+    else:
+        print(f"FAIL     {name}: spark=({gn},{gh}) duckdb=({wn},{wh})", flush=True)
+        fails.append(name)
+print(f"\n{len(FINALS) - len(fails)}/{len(FINALS)} queries match")
+sys.exit(1 if fails else 0)
