@@ -176,8 +176,9 @@ object Behavior {
       MatchRecognize.MrTok(s"T$i", t.min, if (t.max == unbounded) None else Some(t.max)) }
     val defs = pattern.map(t => col(typeCol) === t.typ)
     val within = if (withinSeconds == 0L) None else Some(withinSeconds * 1000000L)
+    val skip = if (skipToNext) MatchRecognize.SkipToNextRow else MatchRecognize.SkipPastLastRow
     val out = MatchRecognize.scan(events, Seq(col(userCol)), Seq(col(tsCol), col(tieCol)),
-      tsCol, toks, defs, within, skipToNext, allRows = false, measureCols = Seq(tsCol))
+      tsCol, toks, defs, within, skip, allRows = false, measureCols = Seq(tsCol))
     // the match's end is the LAST token that matched at least one row
     val endTs = coalesce(pattern.indices.reverse.map(i => col(s"__mr_last_T$i.$tsCol")): _*)
     out.select(col(userCol), col(tsCol).as("match_start_ts"), endTs.as("match_end_ts"),

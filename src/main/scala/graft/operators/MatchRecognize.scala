@@ -57,6 +57,20 @@ object MatchRecognize {
     hi.foreach(h => require(h >= lo, s"empty quantifier range {$lo,$h} on '$name'"))
   }
 
+  /** AFTER MATCH skip strategy — all four of the standard's forms. The
+    * variable-targeted forms resume the cursor AT the named variable's
+    * first/last matched row (matches may overlap); a target that would
+    * re-anchor at the match's own start row, or a variable that matched no
+    * rows, fails loudly (the standard's infinite-loop/empty rules — Flink
+    * throws too). `tokenIdx` is resolved by the caller from the variable
+    * name.
+    */
+  sealed trait Skip
+  case object SkipPastLastRow extends Skip
+  case object SkipToNextRow extends Skip
+  final case class SkipToFirst(tokenIdx: Int) extends Skip
+  final case class SkipToLast(tokenIdx: Int) extends Skip
+
   /** Epoch micros of an ORDER BY value — needed only under a WITHIN bound. */
   private[operators] def micros(v: Any): Long = v match {
     case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
@@ -79,8 +93,8 @@ object MatchRecognize {
     *                    for an undefined variable.
     * @param withinMicros every matched row must lie within this many micros
     *                    of the match's first row
-    * @param skipToNext  true → AFTER MATCH SKIP TO NEXT ROW (overlaps emit);
-    *                    false → SKIP PAST LAST ROW (the standard default)
+    * @param skip        the AFTER MATCH strategy ([[Skip]]); SKIP PAST LAST
+    *                    ROW is the standard default
     * @param allRows     true → one output row per MATCHED ROW (`__mr_var`
     *                    carries the classifier); false → one per match (the
     *                    match's start row)
@@ -95,7 +109,12 @@ object MatchRecognize {
     */
   def scan(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column], tsCol: String,
            tokens: Seq[MrTok], defs: Seq[Column], withinMicros: Option[Long],
-           skipToNext: Boolean, allRows: Boolean, measureCols: Seq[String]): DataFrame = {
+           skip: Skip, allRows: Boolean, measureCols: Seq[String]): DataFrame = {
+    skip match {
+      case SkipToFirst(i) => require(i >= 0 && i < tokens.size, s"skip target out of range: $i")
+      case SkipToLast(i)  => require(i >= 0 && i < tokens.size, s"skip target out of range: $i")
+      case _ => ()
+    }
     require(tokens.nonEmpty, "MATCH_RECOGNIZE requires a non-empty PATTERN")
     require(tokens.map(_.name).distinct.size == tokens.size,
       s"duplicate pattern variable in ${tokens.map(_.name).mkString(" ")}")
@@ -144,7 +163,8 @@ object MatchRecognize {
     val nameArr = tokens.map(_.name).toArray
     val hasWithin = withinMicros.isDefined
     val withinUs = withinMicros.getOrElse(0L)
-    val skipNext = skipToNext
+    val skipMode = skip
+    val nameByIdx = tokens.map(_.name).toArray
     val emitAll = allRows
 
     pre.mapPartitions { it =>
@@ -255,6 +275,35 @@ object MatchRecognize {
           }
         }
 
+        /** Cursor rows to consume after a selected match, per strategy.
+          * Variable-targeted skips resume AT the target row; re-anchoring at
+          * the match's own start (or an empty target) would loop — loud.
+          */
+        private def skipAdvance(counts: Array[Int]): Int = skipMode match {
+          case SkipPastLastRow => counts.sum
+          case SkipToNextRow   => 1
+          case SkipToFirst(i)  =>
+            if (counts(i) == 0) sys.error(s"AFTER MATCH SKIP TO FIRST ${nameByIdx(i)}: " +
+              "the variable matched no rows in the selected match")
+            else {
+              var pos = 0; var t = 0
+              while (t < i) { pos += counts(t); t += 1 }
+              if (pos == 0) sys.error(s"AFTER MATCH SKIP TO FIRST ${nameByIdx(i)} would " +
+                "re-anchor at the match's own start row (infinite loop)")
+              pos
+            }
+          case SkipToLast(i) =>
+            if (counts(i) == 0) sys.error(s"AFTER MATCH SKIP TO LAST ${nameByIdx(i)}: " +
+              "the variable matched no rows in the selected match")
+            else {
+              var pos = 0; var t = 0
+              while (t <= i) { pos += counts(t); t += 1 }
+              if (pos - 1 == 0) sys.error(s"AFTER MATCH SKIP TO LAST ${nameByIdx(i)} would " +
+                "re-anchor at the match's own start row (infinite loop)")
+              pos - 1
+            }
+        }
+
         private var matchSeq = 0L // per-key match ordinal, resets with the key
 
         private def pump(): Unit = {
@@ -267,7 +316,7 @@ object MatchRecognize {
               if (tryMatch(counts)) {
                 matchSeq += 1
                 emit(counts, matchSeq)
-                advance(if (skipNext) 1 else counts.sum)
+                advance(skipAdvance(counts))
               }
               else advance(1)
             }

@@ -3869,6 +3869,38 @@ FROM n"""))
     JOIN r re ON re.user_id = c.user_id AND re.rn = c.e_eff
     WHERE c.e_eff >= c.rn + 2"""))
 
+  private val q167 = Q("q167_match_skip_to_last", (s, dir) => {
+    // The variable-targeted skip strategy (r9 completes the standard's four):
+    // AFTER MATCH SKIP TO LAST U resumes the cursor AT each match's peak row,
+    // so a peak that immediately seeds the next fall re-anchors a new match
+    // the skip-past form consumes away. The oracle is q164's recursive
+    // island+cursor CTE with the jump relaxed to rn >= e (resume AT, not past).
+    t(s, dir, "events").createOrReplaceTempView("events_mr_tolast")
+    graft.sql.SqlFrontend.execute(s, """
+      SELECT * FROM events_mr_tolast MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES
+          FIRST(S.ts) AS match_start_ts,
+          FIRST(S.event_id) AS start_tie,
+          LAST(U.ts) AS match_end_ts,
+          MATCH_NUMBER() AS match_seq
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO LAST U
+        PATTERN (S D+ U+)
+        DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
+      )""")
+      .select(col("user_id"),
+        col("match_start_ts").cast("timestamp_ntz").as("match_start_ts"),
+        col("match_end_ts").cast("timestamp_ntz").as("match_end_ts"),
+        col("start_tie"), col("match_seq"))
+  }, Some(s"""
+    WITH RECURSIVE $MR_RUNS, ${MR_TICKER_SEL.replace("c.rn > s.e", "c.rn >= s.e")}
+    SELECT sel.user_id, start_ts AS match_start_ts, re.ts AS match_end_ts, start_tie,
+           row_number() OVER (PARTITION BY sel.user_id ORDER BY sel.rn) AS match_seq
+    FROM sel
+    JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -3886,7 +3918,7 @@ FROM n"""))
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
-    q164, q165, q166)
+    q164, q165, q166, q167)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -947,8 +947,10 @@ object SqlFrontend {
     * structs the scan emits; `ALL ROWS PER MATCH` emits every matched row
     * (input columns + measures + `CLASSIFIER()`), with FINAL measure
     * semantics — a documented deviation from the standard's RUNNING default,
-    * and a capability beyond Flink (ONE ROW only there). Unsupported
-    * remains: other AFTER MATCH strategies — loud, never mis-evaluated.
+    * and a capability beyond Flink (ONE ROW only there). The
+    * variable-targeted strategies `SKIP TO [FIRST|LAST] <var>` (r9) also run
+    * on the scan — the cursor resumes AT the target row, overlaps allowed,
+    * empty-target/self-loop failing loudly per the standard.
     */
   private[graft] def rewriteMatchRecognize(spark: SparkSession, sql: String): String = {
     val m = MatchRecognizeRe.findFirstMatchIn(sql).getOrElse(return sql)
@@ -976,10 +978,18 @@ object SqlFrontend {
     val allRowsPerMatch = "(?is)ALL\\s+ROWS\\s+PER\\s+MATCH".r.findFirstIn(body).isDefined
     val skipToNext = "(?is)AFTER\\s+MATCH\\s+SKIP\\s+TO\\s+NEXT\\s+ROW".r.findFirstIn(body).isDefined
     val skipPastExplicit = "(?is)AFTER\\s+MATCH\\s+SKIP\\s+PAST\\s+LAST\\s+ROW".r.findFirstIn(body).isDefined
-    require(skipToNext || skipPastExplicit ||
+    // the variable-targeted strategies (SKIP TO [FIRST|LAST] <var>; bare
+    // SKIP TO <var> = LAST, the standard) — routed to the cursor scan
+    val skipToVar: Option[(String, String)] =
+      if (skipToNext || skipPastExplicit) None
+      else "(?is)AFTER\\s+MATCH\\s+SKIP\\s+TO\\s+(?:(FIRST|LAST)\\s+)?(\\w+)".r
+        .findFirstMatchIn(body)
+        .map(m => (Option(m.group(1)).map(_.toUpperCase).getOrElse("LAST"), m.group(2)))
+    require(skipToNext || skipPastExplicit || skipToVar.isDefined ||
       !"(?is)AFTER\\s+MATCH".r.findFirstIn(body).isDefined,
-      "MATCH_RECOGNIZE: supported AFTER MATCH strategies are SKIP TO NEXT ROW and " +
-        "SKIP PAST LAST ROW (the default when the clause is absent)")
+      "MATCH_RECOGNIZE: supported AFTER MATCH strategies are SKIP TO NEXT ROW, " +
+        "SKIP PAST LAST ROW (the default when the clause is absent), and " +
+        "SKIP TO [FIRST|LAST] <variable>")
     val skipPast = !skipToNext // explicit SKIP PAST LAST ROW, or the standard default
     // PREV()/NEXT() are handled inside subst (DEFINE-only physical navigation)
     val patM = "(?is)PATTERN\\s*\\(\\s*(.*?)\\s*\\)(?:\\s+WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(\\w+))?".r
@@ -1007,6 +1017,8 @@ object SqlFrontend {
     val idx = varNames.zipWithIndex.toMap
     val w = s"(PARTITION BY $part ORDER BY $ordList)"
     val unboundedPat = varSpecs.exists(_._3.isEmpty)
+    skipToVar.foreach { case (_, v) => require(idx.contains(v),
+      s"MATCH_RECOGNIZE: AFTER MATCH SKIP TO references unknown pattern variable '$v'") }
 
     /** Column ref at absolute row offset k from the match start. */
     def at(colName: String, k: Int): String =
@@ -1105,7 +1117,7 @@ object SqlFrontend {
     // MATCH_NUMBER() needs the cursor's per-key match ordinal — scan route
     val usesMatchNumber = measureSrc.exists { case (e, _) =>
       "(?i)\\bMATCH_NUMBER\\s*\\(".r.findFirstIn(e).isDefined }
-    val replacement = if (!unboundedPat && !allRowsPerMatch && !usesMatchNumber) {
+    val replacement = if (!unboundedPat && !allRowsPerMatch && !usesMatchNumber && skipToVar.isEmpty) {
       // ------------------------------- bounded, ONE ROW: lead()-expansion CASE
       // every bounded-count assignment, greedy order: leftmost quantifier
       // longest first (descending lexicographic), zero-length matches excluded
@@ -1253,10 +1265,17 @@ object SqlFrontend {
         require(!input.columns.contains(a),
           s"MATCH_RECOGNIZE: ALL ROWS PER MATCH emits every input column; measure alias '$a' collides") }
       val toks = varSpecs.map { case (nm, lo, hi) => graft.operators.MatchRecognize.MrTok(nm, lo, hi) }
+      val scanSkip: graft.operators.MatchRecognize.Skip =
+        if (skipToNext) graft.operators.MatchRecognize.SkipToNextRow
+        else skipToVar match {
+          case Some(("FIRST", v)) => graft.operators.MatchRecognize.SkipToFirst(idx(v))
+          case Some((_, v))       => graft.operators.MatchRecognize.SkipToLast(idx(v))
+          case None               => graft.operators.MatchRecognize.SkipPastLastRow
+        }
       val scanned = graft.operators.MatchRecognize.scan(
         input, partCols.map(org.apache.spark.sql.functions.expr),
         ordCols.map(org.apache.spark.sql.functions.expr), ord, toks, defs,
-        withinMicros, skipToNext, allRowsPerMatch, measureColNames)
+        withinMicros, scanSkip, allRowsPerMatch, measureColNames)
       val measures = measureSrc.map { case (e, a) => s"${scanMeasure(e)} AS $a" }
       // ALL ROWS emits every input column (the standard's shape); ONE ROW the
       // partition key plus measures — both from the match rows the scan kept

@@ -36,7 +36,7 @@ class MatchRecognizeScanSpec extends SparkSpec {
     // SKIP TO NEXT ROW: every start decided independently, greedy longest
     val scanNext = MatchRecognize.scan(events, Seq(col("user_id")),
         Seq(col("ts"), col("event_id")), "ts", toks, defs,
-        withinMicros = None, skipToNext = true, allRows = false, measureCols = Seq("ts"))
+        withinMicros = None, skip = MatchRecognize.SkipToNextRow, allRows = false, measureCols = Seq("ts"))
       .select(col("user_id"), col("ts"), col("event_id"), col("__mr_len"))
     val caseNext = Behavior.sequenceMatchQ(events, "user_id", "event_type", "ts", "event_id", qtoks)
       .select(col("user_id"), col("match_start_ts").as("ts"), col("start_tie").as("event_id"),
@@ -47,7 +47,7 @@ class MatchRecognizeScanSpec extends SparkSpec {
     // SKIP PAST LAST ROW: the sequential consumption must agree too
     val scanPast = MatchRecognize.scan(events, Seq(col("user_id")),
         Seq(col("ts"), col("event_id")), "ts", toks, defs,
-        withinMicros = None, skipToNext = false, allRows = false, measureCols = Seq("ts"))
+        withinMicros = None, skip = MatchRecognize.SkipPastLastRow, allRows = false, measureCols = Seq("ts"))
       .select(col("user_id"), col("ts"), col("event_id"), col("__mr_len"))
     val casePast = Behavior.sequenceMatchSkipPast(events, "user_id", "event_type", "ts", "event_id", qtoks)
       .select(col("user_id"), col("match_start_ts").as("ts"), col("start_tie").as("event_id"),
@@ -170,11 +170,53 @@ class MatchRecognizeScanSpec extends SparkSpec {
     }.toDF("k", "ts", "id", "t").repartition(1)
     val out = MatchRecognize.scan(df, Seq(col("k")), Seq(col("ts"), col("id")), "ts",
       Seq(MrTok("A", 1, None)), Seq(col("t") === "a"),
-      withinMicros = None, skipToNext = false, allRows = false, measureCols = Seq("id"))
+      withinMicros = None, skip = MatchRecognize.SkipPastLastRow, allRows = false, measureCols = Seq("id"))
     // exactly one length-1 match per key (the 'a'); the 'b' row never leaks
     // into a neighboring key's run
     assert(out.count() == 40)
     assert(out.select("__mr_len").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("SKIP TO LAST <var> resumes AT the target row; self-loop targets are loud") {
+    ticker.createOrReplaceTempView("mr_ticker")
+    // skip-past found one match (rows 1-5); SKIP TO LAST U re-anchors AT the
+    // peak row 5, which seeds a second match 5-7 (D run {6}, U run {7})
+    val out = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(S.id) AS start_id, LAST(U.id) AS end_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO LAST U
+        |  PATTERN (S D+ U+)
+        |  DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v)
+        |)""".stripMargin)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("start_id"), r.getAs[Long]("end_id")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(("k1", 1L, 5L), ("k1", 5L, 7L)), s"got $out")
+    // bare SKIP TO <var> = SKIP TO LAST <var> (the standard's shorthand)
+    val bare = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(S.id) AS start_id, LAST(U.id) AS end_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO U
+        |  PATTERN (S D+ U+)
+        |  DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v)
+        |)""".stripMargin)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("start_id"), r.getAs[Long]("end_id")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(bare == out, "bare SKIP TO <var> must equal SKIP TO LAST <var>")
+    // SKIP TO FIRST S re-anchors at the match's own start — the standard's
+    // infinite-loop rule, failing loudly at execution
+    val e = intercept[Exception](SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(S.id) AS start_id ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO FIRST S
+        |  PATTERN (S D+ U+)
+        |  DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v))""".stripMargin).collect())
+    assert(e.getMessage.contains("re-anchor") ||
+      Option(e.getCause).exists(_.getMessage.contains("re-anchor")), e.getMessage)
   }
 
   test("MATCH_NUMBER(): 1-based per-key match ordinal, ONE ROW and ALL ROWS") {

@@ -429,12 +429,12 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
         |         C AS C.t = 'purchase')""".stripMargin)
     assert(fwd.isEmpty, "forward DEFINE references must be NULL (running semantics)")
 
-    // unsupported strategies fail loudly, never mis-evaluate
+    // a SKIP TO target that names no pattern variable fails loudly at parse
     val e1 = intercept[Exception](SqlFrontend.execute(spark,
       """SELECT * FROM mr_events MATCH_RECOGNIZE (
         |  PARTITION BY u ORDER BY ts MEASURES A.ts AS s ONE ROW PER MATCH
-        |  AFTER MATCH SKIP TO FIRST A PATTERN (A B) DEFINE A AS A.t = 'view')""".stripMargin))
-    assert(e1.getMessage.contains("SKIP PAST LAST ROW"))
+        |  AFTER MATCH SKIP TO FIRST Z PATTERN (A B) DEFINE A AS A.t = 'view')""".stripMargin))
+    assert(e1.getMessage.contains("unknown pattern variable"), e1.getMessage)
     // unbounded quantifiers route to the NFA scan, whose DEFINEs are
     // row-local: a cross-variable condition under A+ fails loudly with the
     // state-a-bound hint instead of mis-evaluating
