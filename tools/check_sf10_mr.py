@@ -57,13 +57,17 @@ FROM r s
 JOIN dre d ON d.user_id = s.user_id AND d.rn = s.rn + 1
 JOIN ure u ON u.user_id = s.user_id AND u.rn = d.run_end + 1""")
 
-# next(c): smallest candidate rn >= e+1 of the same key. ASOF picks the
-# GREATEST right <= left, so negate both sides to get the smallest >=.
-con.execute("""
+# next(c): smallest candidate rn past the skip point of the same key —
+# skip-past resumes AFTER the match (rn >= e+1, q164/q165); SKIP TO LAST U
+# resumes AT the peak row (rn >= e, q167). ASOF picks the GREATEST right
+# <= left, so negate both sides to get the smallest >=.
+mode = sys.argv[3] if len(sys.argv) > 3 else "skippast"
+resume = "c.e" if mode == "tolast" else "(c.e + 1)"
+con.execute(f"""
 CREATE TEMP TABLE jump AS
 SELECT c.user_id, c.rn, n.rn AS nxt
 FROM cand c ASOF LEFT JOIN cand n
-  ON n.user_id = c.user_id AND -n.rn <= -(c.e + 1)""")
+  ON n.user_id = c.user_id AND -n.rn <= -{resume}""")
 maxchain = con.execute(
     "SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM cand GROUP BY user_id)").fetchone()[0]
 k = 0
@@ -94,6 +98,14 @@ con.execute("CREATE TEMP TABLE sel AS "
             "FROM (SELECT DISTINCT user_id, rn FROM reach) x JOIN cand c USING (user_id, rn)")
 print(f"setup+selection {time.time()-t0:.0f}s; selected =",
       con.execute("SELECT count(*) FROM sel").fetchone()[0], flush=True)
+
+FINALS_TOLAST = {
+    "q167_match_skip_to_last": """
+        SELECT sel.user_id, start_ts AS match_start_ts, re.ts AS match_end_ts, start_tie,
+               row_number() OVER (PARTITION BY sel.user_id ORDER BY sel.rn) AS match_seq
+        FROM sel
+        JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e""",
+}
 
 FINALS = {
     "q164_match_ticker_runs": """
@@ -127,7 +139,7 @@ def fingerprint(rel, cols_types):
                        f"FROM ({rel})").fetchone()
 
 fails = []
-for name, final in FINALS.items():
+for name, final in (FINALS_TOLAST if mode == "tolast" else FINALS).items():
     spark_rel = f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"
     schema = con.execute(f"DESCRIBE {spark_rel}").fetchall()
     cols_types = sorted((row[0], canon_type(row[1])) for row in schema)
@@ -139,5 +151,6 @@ for name, final in FINALS.items():
     else:
         print(f"FAIL     {name}: spark=({gn},{gh}) duckdb=({wn},{wh})", flush=True)
         fails.append(name)
-print(f"\n{len(FINALS) - len(fails)}/{len(FINALS)} queries match")
+checked = FINALS_TOLAST if mode == "tolast" else FINALS
+print(f"\n{len(checked) - len(fails)}/{len(checked)} queries match")
 sys.exit(1 if fails else 0)
