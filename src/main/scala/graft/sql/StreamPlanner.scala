@@ -280,13 +280,18 @@ object StreamPlanner {
     val skipPast = !skipToNext
     val patM = "(?is)PATTERN\\s*\\(\\s*(.*?)\\s*\\)(?:\\s+WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(\\w+))?".r
       .findFirstMatchIn(body).getOrElse(sys.error("MATCH_RECOGNIZE requires PATTERN (...)"))
-    val TokenRe = "(\\w+)(?:(\\?)|\\{(\\d+)(?:(,)(\\d+)?)?\\})?".r
+    // unbounded quantifiers (`+`/`*`/`{m,}`) ride the operator's NFA resolve
+    // (QTok.Unbounded, r9) — greedy runs stay OPEN until a breaking event or
+    // the within horizon, exactly the batch scan's semantics
+    val TokenRe = "(\\w+)(?:(\\?)|([+*])|\\{(\\d+)(?:(,)(\\d+)?)?\\})?".r
     val tokens: Seq[(String, Int, Int)] = patM.group(1).trim.split("\\s+").toSeq.map {
-      case TokenRe(name, q, lo, comma, hi) =>
+      case TokenRe(name, q, pm, lo, comma, hi) =>
         if (q != null) (name, 0, 1)
+        else if (pm == "+") (name, 1, QTok.Unbounded)
+        else if (pm == "*") (name, 0, QTok.Unbounded)
         else if (lo == null) (name, 1, 1)
         else if (comma == null) (name, lo.toInt, lo.toInt)
-        else if (hi == null) sys.error(s"unbounded quantifier '$name{$lo,}' — state an upper bound")
+        else if (hi == null) (name, lo.toInt, QTok.Unbounded)
         else (name, lo.toInt, hi.toInt)
       case tok => sys.error(s"unsupported pattern token '$tok'")
     }

@@ -267,6 +267,55 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     StatementCatalog.reset()
   }
 
+  test("streaming MATCH_RECOGNIZE accepts unbounded quantifiers (A+): one greedy run per break") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(String, String, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("unb_matches", "unb_events").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    val schema = mem.toDF().toDF("u", "t", "ts", "v").schema
+    TableRegistry.createTable(TableRegistry.TableDef("unb_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
+    SqlFrontend.execute(spark,
+      """CREATE TABLE unb_matches AS
+        |SELECT * FROM unb_events
+        |  MATCH_RECOGNIZE (
+        |    PARTITION BY u
+        |    ORDER BY ts
+        |    MEASURES FIRST(A.ts) AS start_ts, LAST(A.ts) AS end_ts
+        |    ONE ROW PER MATCH
+        |    PATTERN (A+)
+        |    DEFINE A AS A.t = 'x'
+        |  )""".stripMargin)
+    val q = StatementCatalog.get("unb_matches").collect {
+      case StatementCatalog.Standing(_, _, query) => query
+    }.getOrElse(fail("standing statement expected"))
+    def at(sec: Long) = new Timestamp((1000000L + sec) * 1000L)
+    try {
+      // the run stays OPEN across a micro-batch boundary (a{1,n} would have
+      // decided at n events); only the breaking y decides ONE len-3 match
+      mem.addData(("u1", "x", at(0), 1.0), ("u1", "x", at(1), 1.0))
+      q.processAllAvailable()
+      assert(SqlFrontend.execute(spark, "SELECT * FROM unb_matches").isEmpty,
+        "an open greedy run must not emit before a breaking event")
+      mem.addData(("u1", "x", at(2), 1.0), ("u1", "y", at(3), 1.0))
+      q.processAllAvailable()
+      val got = SqlFrontend.execute(spark, "SELECT start_ts, end_ts FROM unb_matches").collect()
+        .map(r => (r.getAs[Timestamp]("start_ts"), r.getAs[Timestamp]("end_ts"))).toSet
+      assert(got == Set((at(0), at(2))), s"A+ must take the whole run as ONE match, got $got")
+    } finally {
+      SqlFrontend.execute(spark, "DROP TABLE unb_matches")
+      TableRegistry.dropTable("unb_events")
+      StatementCatalog.reset()
+    }
+  }
+
   test("streaming MATCH_RECOGNIZE defaults to SKIP PAST LAST ROW and honors SET sql.state-ttl") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
