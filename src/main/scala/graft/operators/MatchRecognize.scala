@@ -81,6 +81,21 @@ object MatchRecognize {
       (if (other == null) "NULL" else other.getClass.getSimpleName))
   }
 
+  /** A double/float/integral/decimal as an EXACT scale-6 decimal, rounded
+    * HALF_UP exactly like Spark's double→decimal cast — so a sequential sum
+    * of these is order-independent and matches `SUM(CAST(x AS DECIMAL(_,6)))`
+    * in any engine.
+    */
+  private[operators] def toDecimal6(v: Any): java.math.BigDecimal = (v match {
+    case b: java.math.BigDecimal => b
+    case b: scala.math.BigDecimal => b.bigDecimal
+    case d: java.lang.Double => java.math.BigDecimal.valueOf(d)
+    case f: java.lang.Float => new java.math.BigDecimal(f.toString)
+    case n: java.lang.Number => java.math.BigDecimal.valueOf(n.longValue)
+    case other => sys.error("SUM over a non-numeric MEASURES column: " +
+      (if (other == null) "NULL" else other.getClass.getSimpleName))
+  }).setScale(6, java.math.RoundingMode.HALF_UP)
+
   /** Run the pattern over `df`.
     *
     * @param keyCols     PARTITION BY columns (atomic — KeyImage contract)
@@ -101,6 +116,17 @@ object MatchRecognize {
     * @param measureCols input columns captured into the per-variable
     *                    `__mr_first_<v>` / `__mr_last_<v>` structs that
     *                    MEASURES read (FINAL semantics); empty → no structs
+    * @param aggSpecs    per token (aligned), the aggregate MEASURES over its
+    *                    matched rows: (fn, col) with fn ∈ cnt|sum|min|max,
+    *                    col = "*" for cnt = the run length. Emitted as an
+    *                    `__mr_agg_<v>` struct (`<fn>_<col>` fields): cnt_*
+    *                    LongType (0 on an empty run); sum_* DecimalType(38,6)
+    *                    — each value rounded HALF_UP to scale 6 exactly like
+    *                    Spark's double→decimal cast, then summed EXACTLY, so
+    *                    the result is order-independent and oracle-comparable
+    *                    (the catalog's money-sum determinism rule); min/max
+    *                    keep the input type; non-cnt fields NULL on an empty
+    *                    run
     * @return df's columns plus the structs, `__mr_len` (match row count),
     *         `__mr_seq` (the match's 1-based ordinal WITHIN its key, in
     *         (order) position — deterministic under any parallelism, unlike
@@ -109,7 +135,16 @@ object MatchRecognize {
     */
   def scan(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column], tsCol: String,
            tokens: Seq[MrTok], defs: Seq[Column], withinMicros: Option[Long],
-           skip: Skip, allRows: Boolean, measureCols: Seq[String]): DataFrame = {
+           skip: Skip, allRows: Boolean, measureCols: Seq[String],
+           aggSpecs: Seq[Seq[(String, String)]] = Seq.empty): DataFrame = {
+    require(aggSpecs.isEmpty || aggSpecs.size == tokens.size,
+      "aggSpecs must align with tokens (or be empty)")
+    val aggs: Seq[Seq[(String, String)]] =
+      if (aggSpecs.isEmpty) tokens.map(_ => Seq.empty) else aggSpecs
+    aggs.flatten.foreach { case (fn, c) =>
+      require(Set("cnt", "sum", "min", "max").contains(fn), s"unknown aggregate '$fn'")
+      require(c == "*" || df.columns.contains(c), s"aggregate over unknown column '$c'")
+      require(fn == "cnt" || c != "*", s"'$fn(*)' is not a thing — name a column") }
     skip match {
       case SkipToFirst(i) => require(i >= 0 && i < tokens.size, s"skip target out of range: $i")
       case SkipToLast(i)  => require(i >= 0 && i < tokens.size, s"skip target out of range: $i")
@@ -145,17 +180,33 @@ object MatchRecognize {
     val measureIdxArr = measureCols.map(inSchema.fieldIndex).toArray
     val hasMeasures = measureCols.nonEmpty
     val mStruct = StructType(measureCols.map(c => inSchema(inSchema.fieldIndex(c)).copy(nullable = true)))
+    def aggFieldType(fn: String, c: String) = fn match {
+      case "cnt" => LongType
+      case "sum" => DecimalType(38, 6)
+      case _     => df.schema(c).dataType
+    }
+    val aggStructTypes: Seq[Option[StructType]] = tokens.indices.map { i =>
+      if (aggs(i).isEmpty) None
+      else Some(StructType(aggs(i).map { case (fn, c) =>
+        StructField(s"${fn}_${if (c == "*") "rows" else c}", aggFieldType(fn, c), nullable = true) }))
+    }
+    val nAggStructs = aggStructTypes.count(_.isDefined)
     val outSchema = StructType(
       df.schema.fields.toSeq ++
         (if (hasMeasures) tokens.flatMap(t => Seq(
           StructField(s"__mr_first_${t.name}", mStruct, nullable = true),
           StructField(s"__mr_last_${t.name}", mStruct, nullable = true)))
         else Nil) ++
+        tokens.indices.flatMap(i => aggStructTypes(i).map(t =>
+          StructField(s"__mr_agg_${tokens(i).name}", t, nullable = false))) ++
         Seq(StructField("__mr_len", LongType, nullable = false),
           StructField("__mr_seq", LongType, nullable = false)) ++
         (if (allRows) Seq(StructField("__mr_var", StringType, nullable = false)) else Nil))
     val outArity = outSchema.fields.length
-    val lenPos = nOrig + (if (hasMeasures) 2 * tokens.size else 0)
+    val lenPos = nOrig + (if (hasMeasures) 2 * tokens.size else 0) + nAggStructs
+    // per token: (fn, input field index or -1 for "*")
+    val aggIdxArr: Array[Array[(String, Int)]] = aggs.map(_.map { case (fn, c) =>
+      (fn, if (c == "*") -1 else inSchema.fieldIndex(c)) }.toArray).toArray
 
     val n = tokens.size
     val loArr = tokens.map(_.lo).toArray
@@ -237,17 +288,75 @@ object MatchRecognize {
           Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
         }
 
-        private def mk(src: Row, structVals: Array[Any], len: Long, seq: Long, cls: String): Row = {
+        private def mk(src: Row, structVals: Array[Any], aggVals: Array[Any],
+                       len: Long, seq: Long, cls: String): Row = {
           val vals = new Array[Any](outArity)
           var i = 0
           while (i < nOrig) { vals(i) = src.get(i); i += 1 }
+          var base = nOrig
           if (hasMeasures) {
             var j = 0
-            while (j < structVals.length) { vals(nOrig + j) = structVals(j); j += 1 }
+            while (j < structVals.length) { vals(base + j) = structVals(j); j += 1 }
+            base += structVals.length
+          }
+          if (aggVals != null) {
+            var j = 0
+            while (j < aggVals.length) { vals(base + j) = aggVals(j); j += 1 }
           }
           vals(lenPos) = len
           vals(lenPos + 1) = seq
           if (emitAll) vals(lenPos + 2) = cls
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        }
+
+        /** Aggregates over one variable's matched run [p, p+c): cnt exact,
+          * sum EXACT decimal over HALF_UP-scale-6 values (order-independent,
+          * the Spark double→decimal cast's rounding), min/max by the column
+          * type's natural order; non-cnt fields NULL on an empty run.
+          */
+        private def computeAgg(i: Int, p: Int, c: Int): Row = {
+          val spec = aggIdxArr(i)
+          val vals = new Array[Any](spec.length)
+          var j = 0
+          while (j < spec.length) {
+            val (fn, colIdx) = spec(j)
+            vals(j) = fn match {
+              case "cnt" if colIdx < 0 => c.toLong
+              case "cnt" =>
+                var nn = 0L; var r = 0
+                while (r < c) { if (!rowAt(p + r).isNullAt(colIdx)) nn += 1; r += 1 }
+                nn
+              case "sum" =>
+                var acc: java.math.BigDecimal = null
+                var r = 0
+                while (r < c) {
+                  val row = rowAt(p + r)
+                  if (!row.isNullAt(colIdx)) {
+                    val d = toDecimal6(row.get(colIdx))
+                    acc = if (acc == null) d else acc.add(d)
+                  }
+                  r += 1
+                }
+                acc
+              case _ =>
+                var best: Any = null
+                var r = 0
+                while (r < c) {
+                  val row = rowAt(p + r)
+                  if (!row.isNullAt(colIdx)) {
+                    val v = row.get(colIdx)
+                    if (best == null) best = v
+                    else {
+                      val cmp = v.asInstanceOf[Comparable[Any]].compareTo(best)
+                      if ((fn == "min" && cmp < 0) || (fn == "max" && cmp > 0)) best = v
+                    }
+                  }
+                  r += 1
+                }
+                best
+            }
+            j += 1
+          }
           Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
         }
 
@@ -264,12 +373,23 @@ object MatchRecognize {
               p += counts(t); t += 1
             }
           }
-          if (!emitAll) out.enqueue(mk(rowAt(0), structVals, len, seq, null))
+          val aggVals: Array[Any] =
+            if (nAggStructs == 0) null
+            else {
+              val av = new Array[Any](nAggStructs)
+              var p = 0; var t = 0; var k = 0
+              while (t < n) {
+                if (aggIdxArr(t).nonEmpty) { av(k) = computeAgg(t, p, counts(t)); k += 1 }
+                p += counts(t); t += 1
+              }
+              av
+            }
+          if (!emitAll) out.enqueue(mk(rowAt(0), structVals, aggVals, len, seq, null))
           else {
             var pos = 0; var t = 0
             while (t < n) {
               var c = 0
-              while (c < counts(t)) { out.enqueue(mk(rowAt(pos), structVals, len, seq, nameArr(t))); pos += 1; c += 1 }
+              while (c < counts(t)) { out.enqueue(mk(rowAt(pos), structVals, aggVals, len, seq, nameArr(t))); pos += 1; c += 1 }
               t += 1
             }
           }

@@ -3901,6 +3901,50 @@ FROM n"""))
     FROM sel
     JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e"""))
 
+  private val q168 = Q("q168_match_aggregates", (s, dir) => {
+    // Aggregate MEASURES over a variable's matched rows (r9 — the standard's
+    // count/sum/min/max/avg surface Flink also exposes): the scan sums each
+    // run EXACTLY over HALF_UP scale-6 decimals (order-independent, the
+    // catalog's money-sum determinism rule), avg = one double division of
+    // the exact sum by the non-null count — both engines compute the same
+    // two operands, so the doubles are bit-equal.
+    t(s, dir, "events").createOrReplaceTempView("events_mr_agg")
+    graft.sql.SqlFrontend.execute(s, """
+      SELECT * FROM events_mr_agg MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES
+          FIRST(S.ts) AS match_start_ts,
+          FIRST(S.event_id) AS start_tie,
+          count(U.*) AS n_up,
+          CAST(sum(U.value) AS DOUBLE) AS sum_up,
+          max(U.value) AS peak,
+          avg(D.value) AS avg_down
+        ONE ROW PER MATCH
+        PATTERN (S D+ U+)
+        DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
+      )""")
+      .select(col("user_id"),
+        col("match_start_ts").cast("timestamp_ntz").as("match_start_ts"),
+        col("start_tie"), col("n_up"), col("sum_up"), col("peak"), col("avg_down"))
+  }, Some(s"""
+    WITH RECURSIVE $MR_RUNS, $MR_TICKER_SEL,
+      ua AS (SELECT s.user_id, s.rn,
+                    COUNT(*) AS n_up,
+                    CAST(SUM(CAST(r.value AS DECIMAL(25,6))) AS DOUBLE) AS sum_up,
+                    MAX(r.value) AS peak
+             FROM sel s JOIN r ON r.user_id = s.user_id AND r.rn BETWEEN s.m + 1 AND s.e
+             GROUP BY s.user_id, s.rn),
+      da AS (SELECT s.user_id, s.rn,
+                    CAST(SUM(CAST(r.value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(r.value) AS avg_down
+             FROM sel s JOIN r ON r.user_id = s.user_id AND r.rn BETWEEN s.rn + 1 AND s.m
+             GROUP BY s.user_id, s.rn)
+    SELECT sel.user_id, start_ts AS match_start_ts, start_tie,
+           ua.n_up, ua.sum_up, ua.peak, da.avg_down
+    FROM sel
+    JOIN ua ON ua.user_id = sel.user_id AND ua.rn = sel.rn
+    JOIN da ON da.user_id = sel.user_id AND da.rn = sel.rn"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -3918,7 +3962,7 @@ FROM n"""))
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
-    q164, q165, q166, q167)
+    q164, q165, q166, q167, q168)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

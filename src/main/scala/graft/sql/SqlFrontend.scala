@@ -1114,10 +1114,14 @@ object SqlFrontend {
       .map(num => graft.operators.Cumulate.durationMicros(s"$num ${patM.group(3)}"))
 
     val partCols = splitTop(part)
-    // MATCH_NUMBER() needs the cursor's per-key match ordinal — scan route
+    // MATCH_NUMBER() and aggregate measures need the cursor — scan route
     val usesMatchNumber = measureSrc.exists { case (e, _) =>
       "(?i)\\bMATCH_NUMBER\\s*\\(".r.findFirstIn(e).isDefined }
-    val replacement = if (!unboundedPat && !allRowsPerMatch && !usesMatchNumber && skipToVar.isEmpty) {
+    val AggRe = "(?i)\\b(count|sum|min|max|avg)\\s*\\(\\s*(\\w+)\\.(\\w+|\\*)\\s*\\)".r
+    val usesAggregates = measureSrc.exists { case (e, _) =>
+      AggRe.findAllMatchIn(e).exists(mm => idx.contains(mm.group(2))) }
+    val replacement = if (!unboundedPat && !allRowsPerMatch && !usesMatchNumber &&
+      !usesAggregates && skipToVar.isEmpty) {
       // ------------------------------- bounded, ONE ROW: lead()-expansion CASE
       // every bounded-count assignment, greedy order: leftmost quantifier
       // longest first (descending lexicographic), zero-length matches excluded
@@ -1233,11 +1237,27 @@ object SqlFrontend {
       // MEASURES read the FULL match (final semantics): FIRST/LAST/bare refs
       // become fields of the scan's __mr_first_<v>/__mr_last_<v> structs;
       // CLASSIFIER() (ALL ROWS only) is the scan's per-row variable label
-      def scanMeasure(e: String): String = {
-        "(?i)\\b(PREV|NEXT)\\s*\\(\\s*(\\w+)\\.".r.findFirstMatchIn(e)
+      def scanMeasure(e0: String): String = {
+        "(?i)\\b(PREV|NEXT)\\s*\\(\\s*(\\w+)\\.".r.findFirstMatchIn(e0)
           .filter(mm => idx.contains(mm.group(2)))
           .foreach(mm => sys.error(s"MATCH_RECOGNIZE: ${mm.group(1).toUpperCase}() is " +
             "DEFINE-only (physical navigation has no single current row in MEASURES)"))
+        // aggregate measures over a variable's matched rows → the scan's
+        // __mr_agg_<v> struct; avg = one deterministic double division of the
+        // exact decimal sum by the non-null count
+        val e = AggRe.replaceAllIn(e0, mm => java.util.regex.Matcher.quoteReplacement {
+          val (fn, v, c) = (mm.group(1).toLowerCase, mm.group(2), mm.group(3))
+          if (!idx.contains(v)) mm.matched
+          else fn match {
+            case "count" => s"__mr_agg_$v.cnt_${if (c == "*") "rows" else c}"
+            case "avg" =>
+              require(c != "*", "MATCH_RECOGNIZE: avg(V.*) — name a column")
+              s"(CAST(__mr_agg_$v.sum_$c AS DOUBLE) / __mr_agg_$v.cnt_$c)"
+            case f =>
+              require(c != "*", s"MATCH_RECOGNIZE: $f(V.*) — name a column")
+              s"__mr_agg_$v.${f}_$c"
+          }
+        })
         // MATCH_NUMBER(): the match's 1-based ordinal WITHIN its partition —
         // deterministic under any parallelism, unlike the standard's
         // query-global counter (documented deviation; per-key ordinals are
@@ -1265,6 +1285,26 @@ object SqlFrontend {
         require(!input.columns.contains(a),
           s"MATCH_RECOGNIZE: ALL ROWS PER MATCH emits every input column; measure alias '$a' collides") }
       val toks = varSpecs.map { case (nm, lo, hi) => graft.operators.MatchRecognize.MrTok(nm, lo, hi) }
+      // aggregate fields each variable's __mr_agg struct must carry
+      val aggSpecs: Seq[Seq[(String, String)]] = {
+        val byVar = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.LinkedHashSet[(String, String)]]
+        measureSrc.foreach { case (e, _) =>
+          AggRe.findAllMatchIn(e).foreach { mm =>
+            val (fn, v, c) = (mm.group(1).toLowerCase, mm.group(2), mm.group(3))
+            if (idx.contains(v)) {
+              val specs = byVar.getOrElseUpdate(v,
+                scala.collection.mutable.LinkedHashSet.empty[(String, String)])
+              fn match {
+                case "count" => specs += (("cnt", c))
+                case "avg"   => specs += (("sum", c)); specs += (("cnt", c))
+                case f       => specs += ((f, c))
+              }
+            }
+          }
+        }
+        varNames.map(v => byVar.get(v).map(_.toSeq).getOrElse(Seq.empty))
+      }
       val scanSkip: graft.operators.MatchRecognize.Skip =
         if (skipToNext) graft.operators.MatchRecognize.SkipToNextRow
         else skipToVar match {
@@ -1275,7 +1315,8 @@ object SqlFrontend {
       val scanned = graft.operators.MatchRecognize.scan(
         input, partCols.map(org.apache.spark.sql.functions.expr),
         ordCols.map(org.apache.spark.sql.functions.expr), ord, toks, defs,
-        withinMicros, scanSkip, allRowsPerMatch, measureColNames)
+        withinMicros, scanSkip, allRowsPerMatch, measureColNames,
+        if (aggSpecs.forall(_.isEmpty)) Seq.empty else aggSpecs)
       val measures = measureSrc.map { case (e, a) => s"${scanMeasure(e)} AS $a" }
       // ALL ROWS emits every input column (the standard's shape); ONE ROW the
       // partition key plus measures — both from the match rows the scan kept

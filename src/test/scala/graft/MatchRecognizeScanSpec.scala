@@ -177,6 +177,40 @@ class MatchRecognizeScanSpec extends SparkSpec {
     assert(out.select("__mr_len").distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("aggregate MEASURES: count/sum/min/max/avg over a variable's run; empty run = 0/NULL") {
+    ticker.createOrReplaceTempView("mr_ticker")
+    // single skip-past match: D run (8,7), U run (9,12)
+    val one = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES count(U.*) AS n_u, CAST(sum(U.v) AS DOUBLE) AS sum_u,
+        |           min(D.v) AS min_d, max(U.v) AS max_u, avg(U.v) AS avg_u
+        |  ONE ROW PER MATCH
+        |  PATTERN (S D+ U+)
+        |  DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v)
+        |)""".stripMargin).collect()
+    assert(one.length == 1)
+    val r = one.head
+    assert(r.getAs[Long]("n_u") == 2L && r.getAs[Double]("sum_u") == 21.0 &&
+      r.getAs[Double]("min_d") == 7.0 && r.getAs[Double]("max_u") == 12.0 &&
+      r.getAs[Double]("avg_u") == 10.5, r.toString)
+
+    // an empty optional run: count = 0, sum NULL (the standard's empty rules)
+    val empty = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(S.id) AS sid, count(D.*) AS n_d, sum(D.v) AS sum_d
+        |  ONE ROW PER MATCH
+        |  PATTERN (S D*)
+        |  DEFINE D AS D.v < PREV(D.v)
+        |)""".stripMargin)
+      .filter(col("k") === "k2").orderBy("sid").collect()
+      .map(x => (x.getAs[Long]("sid"), x.getAs[Long]("n_d"), Option(x.get(x.fieldIndex("sum_d")))))
+    // k2 rises monotonically: every row is a len-1 match with an empty D run
+    assert(empty.toSeq == Seq((8L, 0L, None), (9L, 0L, None), (10L, 0L, None)),
+      empty.mkString(","))
+  }
+
   test("SKIP TO LAST <var> resumes AT the target row; self-loop targets are loud") {
     ticker.createOrReplaceTempView("mr_ticker")
     // skip-past found one match (rows 1-5); SKIP TO LAST U re-anchors AT the

@@ -108,6 +108,22 @@ FINALS_TOLAST = {
 }
 
 FINALS = {
+    "q168_match_aggregates": """
+        WITH ua AS (SELECT s.user_id, s.rn,
+                           COUNT(*) AS n_up,
+                           CAST(SUM(CAST(r.value AS DECIMAL(25,6))) AS DOUBLE) AS sum_up,
+                           MAX(r.value) AS peak
+                    FROM sel s JOIN r ON r.user_id = s.user_id AND r.rn BETWEEN s.m + 1 AND s.e
+                    GROUP BY s.user_id, s.rn),
+             da AS (SELECT s.user_id, s.rn,
+                           CAST(SUM(CAST(r.value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(r.value) AS avg_down
+                    FROM sel s JOIN r ON r.user_id = s.user_id AND r.rn BETWEEN s.rn + 1 AND s.m
+                    GROUP BY s.user_id, s.rn)
+        SELECT sel.user_id, start_ts AS match_start_ts, start_tie,
+               ua.n_up, ua.sum_up, ua.peak, da.avg_down
+        FROM sel
+        JOIN ua ON ua.user_id = sel.user_id AND ua.rn = sel.rn
+        JOIN da ON da.user_id = sel.user_id AND da.rn = sel.rn""",
     "q164_match_ticker_runs": """
         SELECT sel.user_id, start_ts AS match_start_ts, re.ts AS match_end_ts, start_tie,
                rm.value AS bottom_value, re.value AS top_value
