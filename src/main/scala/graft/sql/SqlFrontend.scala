@@ -950,7 +950,14 @@ object SqlFrontend {
     * and a capability beyond Flink (ONE ROW only there). The
     * variable-targeted strategies `SKIP TO [FIRST|LAST] <var>` (r9) also run
     * on the scan — the cursor resumes AT the target row, overlaps allowed,
-    * empty-target/self-loop failing loudly per the standard.
+    * empty-target/self-loop failing loudly per the standard — as do
+    * `MATCH_NUMBER()` (the scan's per-key match ordinal) and aggregate
+    * MEASURES (`count/sum/min/max/avg` over a variable's matched rows; sums
+    * are exact HALF_UP-scale-6 decimals, order-independent). Scope note: any
+    * scan-routed feature therefore requires ROW-LOCAL DEFINEs — combining
+    * one with a cross-variable DEFINE fails with the state-a-bound hint even
+    * on a bounded pattern (the lead()-expansion path computes neither match
+    * ordinals nor per-run aggregates).
     */
   private[graft] def rewriteMatchRecognize(spark: SparkSession, sql: String): String = {
     val m = MatchRecognizeRe.findFirstMatchIn(sql).getOrElse(return sql)
