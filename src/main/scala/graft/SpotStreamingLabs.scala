@@ -71,7 +71,10 @@ object SpotStreamingLabs {
     // claim-id-keyed join: per-claim verdict parity without collecting either
     // result set; counts are the only driver-side values
     val joined = streamed4.as("s").join(batch4.as("b"), Seq("claim_id"))
-    val common = joined.count()
+    // distinct claim_ids, not the raw join cardinality: a duplicated claim_id
+    // on either side would inflate the join count (and the verdictDiffs
+    // denominator) — the reported metric stays stable either way
+    val common = joined.select("claim_id").distinct().count()
     // with ANN policy context the prompts differ from the context-free batch
     // twin by design — the deterministic-verdict parity only holds exact-path
     val verdictDiffs =

@@ -7,12 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media as opaque `BINARY` columns with typed
   * metadata, processed per-partition in bounded batches.
   *
-  * Image and audio kernels are REAL ([[ImageIoCodec]]: JDK-builtin
-  * `javax.imageio` decode/resize, `javax.sound.sampled` audio duration) and
-  * the default for every operator. Video frame sampling remains the one
-  * declared deterministic stub ([[FakeCodec]]) — the JDK has no video API.
-  * [[FakeCodec]] also stays available wholesale for pipeline tests that need
-  * any-bytes "decodes".
+  * ALL THREE kernels are REAL ([[ImageIoCodec]]): JDK-builtin `javax.imageio`
+  * image decode/resize, `javax.sound.sampled` audio duration, and — r10,
+  * closing the last declared stub — MJPEG-AVI video frame sampling via a
+  * hand-rolled RIFF container parser (the AVI 'movi' chunk walk) whose
+  * per-frame payloads are plain JPEGs, decodable by `javax.imageio`
+  * downstream. The JDK has no video *API*, but MJPEG needs none: the
+  * container is RIFF (the same layout the WAV generator below hand-writes)
+  * and every frame is an independent still. [[FakeCodec]] stays available
+  * wholesale for pipeline tests that need any-bytes "decodes".
   *
   * Scale design: media bytes never pass through a shuffle — feature extraction
   * happens in the scan stage (mapPartitions directly over the source), and only
@@ -65,12 +68,14 @@ object Multimodal {
       (0 until 3).map(i => Array[Byte]((h(bytes, 20 + i) % 127).toByte))
   }
 
-  /** Real image/audio codec on JDK built-ins — zero external dependencies
+  /** Real media codec on JDK built-ins — zero external dependencies
     * (VERDICT r4 missing-#2: `javax.imageio` and `javax.sound.sampled` ship
     * with every JDK). PNG/JPEG/BMP/GIF decode + bounded-box resize via
-    * `BufferedImage`; WAV/AIFF/AU duration via `AudioSystem`. Video has no
-    * JDK API, so frame sampling stays the declared deterministic stub
-    * ([[FakeCodec]] delegate) — kept honest rather than faked as real.
+    * `BufferedImage`; WAV/AIFF/AU duration via `AudioSystem`; MJPEG-AVI
+    * frame sampling via [[Riff]]'s container parser (r10 — every sampled
+    * frame is the stored JPEG, returned in its stored encoding exactly like
+    * `ffmpeg -c copy` frame extraction, so downstream image operators decode
+    * only the frames that survive sampling).
     *
     * Undecodable bytes THROW (IllegalArgumentException); the operators below
     * catch per row and emit the same NULL dead-letter marker as NULL content —
@@ -158,9 +163,68 @@ object Multimodal {
       } finally in.close()
     }
 
-    /** No JDK video API — the declared stub stands in (see class doc). */
-    def videoFrameSample(bytes: Array[Byte], everyNthFrame: Int): Seq[Array[Byte]] =
-      FakeCodec.videoFrameSample(bytes, everyNthFrame)
+    /** Frames 0, N, 2N… of an MJPEG-AVI, as their stored JPEG bytes.
+      * Undecodable container bytes THROW like the other kernels (the
+      * operators dead-letter per row).
+      */
+    def videoFrameSample(bytes: Array[Byte], everyNthFrame: Int): Seq[Array[Byte]] = {
+      require(everyNthFrame >= 1, s"everyNthFrame must be >= 1, got $everyNthFrame")
+      val frames = Riff.aviFrames(bytes)
+      (0 until frames.length by everyNthFrame).map(frames)
+    }
+  }
+
+  /** Minimal RIFF/AVI container parsing — the byte-level walk every AVI
+    * reader performs: `RIFF <size> 'AVI '`, then chunks of
+    * `<fourcc><le-size><data, even-padded>`; `LIST` chunks nest (their first
+    * four data bytes are the list type). Video frames live in the `movi`
+    * list as `##dc`/`##db` chunks (`##` = stream number), possibly wrapped
+    * in nested `rec ` lists. MJPEG stores each frame as an independent
+    * JPEG — no inter-frame state, which is exactly why it is parseable
+    * without a video API.
+    */
+  private[graft] object Riff {
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    private def le32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    private def bad(msg: String): Nothing = throw new IllegalArgumentException(s"undecodable video bytes: $msg")
+
+    /** All stored video frames of an AVI, in stream order. */
+    def aviFrames(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+      if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ")
+        bad("not a RIFF/AVI container")
+      val riffEnd = math.min(bytes.length.toLong, 8L + le32(bytes, 4))
+      val out = IndexedSeq.newBuilder[Array[Byte]]
+      def isFrame(id: String): Boolean =
+        id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          (id.endsWith("dc") || id.endsWith("db"))
+      /** Walk chunks in [from, to); descend into LISTs (movi/rec or any —
+        * frame ids are globally unambiguous).
+        */
+      def walk(from: Long, to: Long): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val id = fourcc(bytes, p.toInt)
+          val sz = le32(bytes, p.toInt + 4)
+          val dataStart = p + 8
+          val dataEnd = dataStart + sz
+          if (dataEnd > to) bad(s"chunk '$id' overruns its parent")
+          if (id == "LIST" || id == "RIFF") {
+            if (sz < 4) bad(s"$id chunk too short for a list type")
+            walk(dataStart + 4, dataEnd)
+          } else if (isFrame(id) && sz > 0) {
+            out += java.util.Arrays.copyOfRange(bytes, dataStart.toInt, dataEnd.toInt)
+          }
+          p = dataEnd + (sz & 1) // chunks are even-padded
+        }
+      }
+      walk(12, riffEnd)
+      val frames = out.result()
+      if (frames.isEmpty) bad("no video frame chunks in the container")
+      frames
+    }
   }
 
   /** Image feature extraction: binary in, (width, height, features) appended.
@@ -257,8 +321,14 @@ object Multimodal {
           if (r.isNullAt(idx)) Seq.empty[Row]
           else {
             val base = kept.map { case (_, i) => r.get(i) }.toSeq
-            codec.videoFrameSample(r.getAs[Array[Byte]](idx), everyNthFrame)
-              .zipWithIndex.map { case (frame, i) => Row.fromSeq(base :+ i :+ frame) }
+            scala.util.Try(codec.videoFrameSample(r.getAs[Array[Byte]](idx), everyNthFrame)) match {
+              case scala.util.Success(frames) =>
+                frames.zipWithIndex.map { case (frame, i) => Row.fromSeq(base :+ i :+ frame) }
+              // dead-letter: an undecodable container keeps its row (with NULL
+              // frame marks) — distinguishable from NULL content's zero rows,
+              // same contract as the image/audio kernels
+              case scala.util.Failure(_) => Seq(Row.fromSeq(base :+ null :+ null))
+            }
           }
         }
       }
@@ -268,9 +338,10 @@ object Multimodal {
   /** Synthesize a deterministic media table from the documents table with
     * REAL payloads: image rows carry an actual PNG (pixel pattern seeded by
     * the doc id/text hash), audio rows an actual PCM WAV (duration derived
-    * from the id), video rows the raw text bytes (consumed only by the
-    * declared video stub). Dimensions/durations vary per row so decode
-    * results are distinguishable; everything is bit-deterministic.
+    * from the id), video rows an actual MJPEG-AVI (frame count derived from
+    * the id — [[SyntheticPayloads.aviFrameCount]]). Dimensions/durations/
+    * frame counts vary per row so decode results are distinguishable;
+    * everything is bit-deterministic.
     */
   def syntheticMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val payloadUdf = udf { (id: Long, text: String, mediaType: String) =>
@@ -281,7 +352,7 @@ object Multimodal {
       else mediaType match {
         case "image" => SyntheticPayloads.png(id, text)
         case "audio" => SyntheticPayloads.wav(id)
-        case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        case _ => SyntheticPayloads.aviMjpeg(id, text)
       }
     }
     docs.select(
@@ -345,6 +416,81 @@ object Multimodal {
         .putShort(1).putShort(8) // block align, bits per sample
         .put("data".getBytes("US-ASCII")).putInt(nSamples)
         .put(data)
+      bb.array()
+    }
+
+    /** Frames stored in [[aviMjpeg]]'s container for this id: 6..27, so
+      * `everyNthFrame = 10` samples 1..3 of them — specs and oracles compute
+      * expected counts from the id alone.
+      */
+    def aviFrameCount(id: Long): Int = 6 + math.floorMod(id, 8L).toInt * 3
+
+    /** A real MJPEG-AVI: RIFF('AVI ') with the standard hdrl (avih + one
+      * 'vids'/'MJPG' strl) and a movi list of '00dc' chunks, each an
+      * independent 24x16 JPEG (deterministic pixels seeded by id/text), plus
+      * an idx1 index. Playable layout; [[Riff.aviFrames]] and any AVI reader
+      * walk the same bytes. Frames are tiny on purpose — payload cost stays
+      * O(rows), and q31/q123's per-row codec-bound profile doesn't move.
+      */
+    def aviMjpeg(id: Long, text: String): Array[Byte] = {
+      val n = aviFrameCount(id)
+      val (w, h) = (24, 16)
+      var seed = id * 0x9E3779B97F4A7C15L + (if (text == null) 0 else text.hashCode.toLong)
+      def next(): Int = {
+        seed += 0x9E3779B97F4A7C15L
+        var z = seed
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        ((z ^ (z >>> 31)) & 0xFFFFFF).toInt
+      }
+      val frames: IndexedSeq[Array[Byte]] = (0 until n).map { _ =>
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, next()); x += 1 }; y += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      def pad(len: Int) = len + (len & 1)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val moviData = 4 + frames.map(f => 8 + pad(f.length)).sum
+      val idx1Data = 16 * n
+      val hdrlData = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40)))
+      val riffData = 4 + (8 + hdrlData) + (8 + moviData) + (8 + idx1Data)
+      val bb = java.nio.ByteBuffer.allocate(8 + riffData).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def cc(s: String): Unit = bb.put(s.getBytes(ascii))
+      cc("RIFF"); bb.putInt(riffData); cc("AVI ")
+      cc("LIST"); bb.putInt(hdrlData); cc("hdrl")
+      cc("avih"); bb.putInt(56)
+      bb.putInt(40000) // dwMicroSecPerFrame: 25 fps
+        .putInt(0).putInt(0).putInt(0x10 /* AVIF_HASINDEX */)
+        .putInt(n).putInt(0).putInt(1).putInt(0)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      cc("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); cc("strl")
+      cc("strh"); bb.putInt(56)
+      cc("vids"); cc("MJPG")
+      bb.putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(25) // dwScale/dwRate: 25 fps
+        .putInt(0).putInt(n).putInt(0).putInt(-1 /* default quality */).putInt(0)
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+      cc("strf"); bb.putInt(40)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      cc("MJPG")
+      bb.putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+      cc("LIST"); bb.putInt(moviData); cc("movi")
+      // idx1 offsets are movi-list-relative (from the 'movi' fourcc)
+      val offsets = new Array[Int](n)
+      var rel = 4
+      frames.zipWithIndex.foreach { case (f, i) =>
+        offsets(i) = rel
+        cc("00dc"); bb.putInt(f.length); bb.put(f)
+        if ((f.length & 1) == 1) bb.put(0.toByte)
+        rel += 8 + pad(f.length)
+      }
+      cc("idx1"); bb.putInt(idx1Data)
+      frames.zipWithIndex.foreach { case (f, i) =>
+        cc("00dc"); bb.putInt(0x10 /* AVIIF_KEYFRAME */); bb.putInt(offsets(i)); bb.putInt(f.length)
+      }
       bb.array()
     }
   }

@@ -144,7 +144,25 @@ object MatchRecognize {
     aggs.flatten.foreach { case (fn, c) =>
       require(Set("cnt", "sum", "min", "max").contains(fn), s"unknown aggregate '$fn'")
       require(c == "*" || df.columns.contains(c), s"aggregate over unknown column '$c'")
-      require(fn == "cnt" || c != "*", s"'$fn(*)' is not a thing — name a column") }
+      require(fn == "cnt" || c != "*", s"'$fn(*)' is not a thing — name a column")
+      // fail at plan time, not mid-job: sum needs a numeric external type
+      // (toDecimal6's contract); min/max compare via Comparable, which binary
+      // (Array[Byte]) and nested types don't implement
+      if (fn == "sum") {
+        val dt = df.schema(c).dataType
+        require(dt.isInstanceOf[NumericType],
+          s"SUM MEASURES column '$c' must be numeric, got ${dt.simpleString}")
+      }
+      if (fn == "min" || fn == "max") {
+        val dt = df.schema(c).dataType
+        val orderableAtomic = dt.isInstanceOf[NumericType] || (dt match {
+          case StringType | BooleanType | DateType | TimestampType | TimestampNTZType => true
+          case _ => false
+        })
+        require(orderableAtomic,
+          s"${fn.toUpperCase} MEASURES column '$c' must have an orderable atomic type " +
+            s"(numeric/string/boolean/date/timestamp), got ${dt.simpleString}")
+      } }
     skip match {
       case SkipToFirst(i) => require(i >= 0 && i < tokens.size, s"skip target out of range: $i")
       case SkipToLast(i)  => require(i >= 0 && i < tokens.size, s"skip target out of range: $i")
@@ -158,8 +176,13 @@ object MatchRecognize {
       "MATCH_RECOGNIZE: pattern admits only the empty match")
     withinMicros.foreach(w => require(w > 0, s"WITHIN bound must be positive, got $w micros"))
     graft.core.KeyImage.requireAtomic(df, keyCols)
-    val reserved = ("__mr_spk" +: tokens.indices.map(i => s"__mr_def_$i")).toSet
-    require(!df.columns.exists(reserved), s"input columns collide with ${reserved.mkString(", ")}")
+    // every helper AND output column the scan appends starts with __mr_
+    // (__mr_spk, __mr_def_*, __mr_first_/__mr_last_/__mr_agg_<var>, __mr_len,
+    // __mr_seq, __mr_var) — guard the whole prefix, not an enumerated set, so
+    // an input column can never silently duplicate an appended name
+    val mrClash = df.columns.filter(_.startsWith("__mr_"))
+    require(mrClash.isEmpty,
+      s"input columns collide with MATCH_RECOGNIZE's reserved __mr_ prefix: ${mrClash.mkString(", ")}")
     val missing = measureCols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"MEASURES reference columns absent from the input: ${missing.mkString(", ")}")
 

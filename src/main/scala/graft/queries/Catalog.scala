@@ -2520,10 +2520,10 @@ object Catalog {
 
   private val q123 = Q("q123_media_pipeline", (s, dir) => {
     // Full multimodal pass, one operator per modality (rows-only; real JDK
-    // codec for image decode/resize and WAV duration, video frames the one
-    // declared stub): images resize then featurize, audio extracts duration,
-    // video explodes to sampled frames; media bytes are consumed in the scan
-    // stage, only compact rows flow out.
+    // codec end-to-end — image decode/resize, WAV duration, and r10's
+    // MJPEG-AVI frame sampling): images resize then featurize, audio
+    // extracts duration, video explodes to sampled frames; media bytes are
+    // consumed in the scan stage, only compact rows flow out.
     import graft.llmops.Multimodal
     // three modality branches consume the same synthetic table — materialize
     // once (the curateFull localCheckpoint precedent) instead of scanning

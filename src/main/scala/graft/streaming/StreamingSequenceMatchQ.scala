@@ -112,6 +112,14 @@ object StreamingSequenceMatchQ {
     // the SAME leftmost-longest order, so bounded patterns behave identically
     // on either path
     val useNfa = pattern.exists(_.max == QTok.Unbounded)
+    // an unbounded greedy run with neither a WITHIN horizon nor a state TTL
+    // never has to decide: an unbroken `A+` grows per-key state forever and
+    // emits nothing (documented below) — loud at plan time, not a silent leak
+    if (useNfa && withinSeconds == 0L && ttlSeconds == 0L)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "StreamingSequenceMatchQ: unbounded quantifier with neither withinSeconds nor " +
+          "ttlSeconds — an unbroken greedy run grows per-key state without bound and " +
+          "never emits; set a WITHIN bound (and/or a TTL >= it) to cap state age")
     val exps = if (useNfa) Seq.empty else expansions(pattern)
     val nTok = pattern.size
     require(pattern.nonEmpty, "pattern must name at least one token")

@@ -370,9 +370,16 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.schema.fieldNames.toSeq ==
       Seq("media_id", "media_type", "meta", "frame_idx", "frame"),
       "video payload column must NOT survive into the frame rows")
-    val nVideos = media.filter(col("media_type") === "video").count()
-    assert(frames.count() == nVideos * 3, "stub emits 3 frames per video")
-    assert(frames.select("frame_idx").distinct().count() == 3)
+    // real codec (r10): every Nth stored frame of the MJPEG-AVI — expected
+    // counts computable from the id alone (aviFrameCount)
+    val videoIds = media.filter(col("media_type") === "video")
+      .select("media_id").collect().map(_.getLong(0))
+    val expected = videoIds.map(id =>
+      (Multimodal.SyntheticPayloads.aviFrameCount(id) + 9) / 10).sum.toLong
+    assert(frames.count() == expected,
+      s"every-10th sampling over real AVI containers: expected $expected frame rows")
+    assert(frames.filter(col("frame").isNull).count() == 0,
+      "generated AVIs must all decode — no dead-letter rows here")
   }
 
   test("NULL media stays NULL-marked through every operator (dead-letter signal preserved)") {

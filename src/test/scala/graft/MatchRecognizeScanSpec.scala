@@ -301,6 +301,40 @@ class MatchRecognizeScanSpec extends SparkSpec {
     assert(sorts == 1, s"expected ONE shared sort, got $sorts:\n${plan.take(3000)}")
   }
 
+  test("any __mr_-prefixed input column is rejected loudly (not just the helper names)") {
+    // __mr_len is an OUTPUT name the scan appends — before the prefix guard it
+    // slipped past the enumerated reserved set and produced a duplicate-name
+    // output schema silently
+    val poisoned = ticker.withColumn("__mr_len", lit(1L))
+    val err = intercept[IllegalArgumentException] {
+      MatchRecognize.scan(poisoned, Seq(col("k")), Seq(col("ts"), col("id")), "ts",
+        Seq(MrTok("U", 1, None)), Seq(col("v") > 0), None,
+        MatchRecognize.SkipPastLastRow, allRows = false, measureCols = Seq("v"))
+    }
+    assert(err.getMessage.contains("__mr_"), err.getMessage)
+  }
+
+  test("min/max aggregate MEASURES over a non-orderable column fails at plan time") {
+    // binary doesn't implement Comparable — before the guard this was a raw
+    // mid-job ClassCastException from the cursor's Comparable cast
+    val withBin = ticker.withColumn("payload", encode(col("k"), "UTF-8"))
+    val err = intercept[IllegalArgumentException] {
+      MatchRecognize.scan(withBin, Seq(col("k")), Seq(col("ts"), col("id")), "ts",
+        Seq(MrTok("U", 1, None)), Seq(col("v") > 0), None,
+        MatchRecognize.SkipPastLastRow, allRows = false, measureCols = Seq.empty,
+        aggSpecs = Seq(Seq(("max", "payload"))))
+    }
+    assert(err.getMessage.contains("orderable"), err.getMessage)
+    // and SUM over a string is equally a plan-time error now
+    val err2 = intercept[IllegalArgumentException] {
+      MatchRecognize.scan(ticker, Seq(col("k")), Seq(col("ts"), col("id")), "ts",
+        Seq(MrTok("U", 1, None)), Seq(col("v") > 0), None,
+        MatchRecognize.SkipPastLastRow, allRows = false, measureCols = Seq.empty,
+        aggSpecs = Seq(Seq(("sum", "k"))))
+    }
+    assert(err2.getMessage.contains("numeric"), err2.getMessage)
+  }
+
   test("SQL route drops its ephemeral scan views after the statement") {
     ticker.createOrReplaceTempView("mr_ticker")
     SqlFrontend.execute(spark,

@@ -58,6 +58,49 @@ class MediaCodecSpec extends SparkSpec {
     assert(au.forall(_.isNullAt(2)))
   }
 
+  test("MJPEG-AVI round-trip: container parses, every-Nth frames are real decodable JPEGs") {
+    for (id <- Seq(0L, 5L, 14L, 63L)) {
+      val bytes = SyntheticPayloads.aviMjpeg(id, s"doc $id")
+      val n = SyntheticPayloads.aviFrameCount(id)
+      // all frames, then every-Nth selection
+      val all = ImageIoCodec.videoFrameSample(bytes, 1)
+      assert(all.length == n, s"id=$id: expected $n stored frames, parsed ${all.length}")
+      val sampled = ImageIoCodec.videoFrameSample(bytes, 10)
+      assert(sampled.length == (n + 9) / 10)
+      val expectIdx = (0 until n by 10).map(all)
+      assert(sampled.length == expectIdx.length &&
+        sampled.zip(expectIdx).forall { case (a, b) => a.sameElements(b) },
+        "sampling must keep frames 0, N, 2N…")
+      // each sampled frame is an independent, decodable JPEG at the declared
+      // dimensions — the stored-encoding contract (ffmpeg -c copy shape)
+      sampled.foreach { f =>
+        assert((f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8, "JPEG SOI marker")
+        val (w, h, _) = ImageIoCodec.imageFeatures(f)
+        assert(w == 24 && h == 16)
+      }
+    }
+    // deterministic bytes: same (id, text) → same container
+    assert(SyntheticPayloads.aviMjpeg(9L, "t").sameElements(SyntheticPayloads.aviMjpeg(9L, "t")))
+  }
+
+  test("undecodable video containers are dead-letter rows, not crashes") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](ImageIoCodec.videoFrameSample("nope".getBytes("UTF-8"), 1))
+    // truncated mid-chunk: parser must fail loudly, not return garbage
+    val good = SyntheticPayloads.aviMjpeg(3L, "x")
+    intercept[IllegalArgumentException](ImageIoCodec.videoFrameSample(good.take(200), 1))
+    val mixed = Seq(
+      (1L, SyntheticPayloads.aviMjpeg(1L, "ok")),
+      (2L, "junk video bytes".getBytes("UTF-8"))).toDF("media_id", "content")
+    val frames = Multimodal.sampleVideoFrames(mixed, "content", 10)
+    assert(frames.filter(col("media_id") === 1L).count() ==
+      (SyntheticPayloads.aviFrameCount(1L) + 9) / 10)
+    val dead = frames.filter(col("media_id") === 2L).collect()
+    assert(dead.length == 1 && dead(0).isNullAt(dead(0).fieldIndex("frame")) &&
+      dead(0).isNullAt(dead(0).fieldIndex("frame_idx")),
+      "undecodable container keeps its row with NULL frame marks")
+  }
+
   test("media pipeline over synthetic table runs the real codec end-to-end") {
     val docs = graft.core.Tables(spark, sfDir, "documents").filter(col("doc_id") < 60)
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
