@@ -136,9 +136,24 @@ object MatchRecognize {
   def scan(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column], tsCol: String,
            tokens: Seq[MrTok], defs: Seq[Column], withinMicros: Option[Long],
            skip: Skip, allRows: Boolean, measureCols: Seq[String],
-           aggSpecs: Seq[Seq[(String, String)]] = Seq.empty): DataFrame = {
+           aggSpecs: Seq[Seq[(String, String)]] = Seq.empty,
+           dynDefs: Seq[Option[String]] = Seq.empty): DataFrame = {
     require(aggSpecs.isEmpty || aggSpecs.size == tokens.size,
       "aggSpecs must align with tokens (or be empty)")
+    require(dynDefs.isEmpty || dynDefs.size == tokens.size,
+      "dynDefs must align with tokens (or be empty)")
+    // cross-variable DEFINE conditions (r10): compiled once at plan time
+    // against the INPUT schema (helper columns are appended after it, so
+    // field indices stay valid on the scan's rows), evaluated per tested row
+    // inside the NFA attempt where every earlier variable's placement is
+    // fixed — see MrConditions. AND-composed with the Catalyst-compiled
+    // row-local booleans (lit(true) when the whole condition is dynamic).
+    val varIdxMap: Map[String, Int] = tokens.map(_.name).zipWithIndex.toMap
+    val dynArr: Array[MrConditions.Compiled] =
+      if (dynDefs.isEmpty) new Array[MrConditions.Compiled](tokens.size)
+      else dynDefs.zipWithIndex.map { case (o, i) =>
+        o.map(c => MrConditions.compile(c, df.schema, varIdxMap, tokens(i).name)).orNull
+      }.toArray
     val aggs: Seq[Seq[(String, String)]] =
       if (aggSpecs.isEmpty) tokens.map(_ => Seq.empty) else aggSpecs
     aggs.flatten.foreach { case (fn, c) =>
@@ -283,16 +298,45 @@ object MatchRecognize {
           val i = defIdxArr(t); !r.isNullAt(i) && r.getBoolean(i)
         }
 
+        // cross-variable predicate context: one mutable instance per task,
+        // repointed per tested row (zero allocation in the scan loop)
+        private val dynStarts = new Array[Int](n)
+        private object dynCtx extends MrConditions.Ctx {
+          var curRow: Row = _
+          var self = 0
+          var runStart = 0
+          var countsRef: Array[Int] = _
+          def cur: Row = curRow
+          def rowAt(pos: Int): Row = buf.get(base + pos)
+          def selfTok: Int = self
+          def selfRunStart: Int = runStart
+          def starts: Array[Int] = dynStarts
+          def counts: Array[Int] = countsRef
+        }
+        private def dynOk(r: Row, t: Int, runStart: Int): Boolean = {
+          val d = dynArr(t)
+          d == null || {
+            dynCtx.curRow = r; dynCtx.self = t; dynCtx.runStart = runStart
+            d.holds(dynCtx)
+          }
+        }
+
         /** Greedy leftmost-longest match at the cursor: counts per token, with
           * backtracking — identical selection order to the bounded rewrite's
-          * descending-lexicographic CASE branches.
+          * descending-lexicographic CASE branches. Cross-variable predicates
+          * are sound inside the avail-scan because a row's test depends only
+          * on the run's start and EARLIER tokens' placements, both fixed here
+          * (the prefix property: a valid run's prefixes are valid).
           */
         private def tryMatch(counts: Array[Int]): Boolean = {
           val startUs = if (hasWithin) micros(rowAt(0).get(tsIdx)) else 0L
+          dynCtx.countsRef = counts
           def go(t: Int, pos: Int): Boolean = {
             if (t == n) return pos > 0 // the empty match never selects
+            dynStarts(t) = pos
             var c = 0
             while (c < hiArr(t) && ensure(pos + c) && defOk(rowAt(pos + c), t) &&
+              dynOk(rowAt(pos + c), t, pos) &&
               (!hasWithin || micros(rowAt(pos + c).get(tsIdx)) - startUs <= withinUs)) c += 1
             while (c >= loArr(t)) {
               counts(t) = c

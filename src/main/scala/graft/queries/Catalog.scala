@@ -3749,12 +3749,11 @@ FROM n"""))
     * the recursive member jumps selected match -> next candidate past its
     * last row (iterations = matches per key, the q162 shape).
     */
-  private val MR_TICKER_SEL = """
-      cand AS (SELECT s.user_id, s.rn, s.ts AS start_ts, s.event_id AS start_tie,
-                      d.run_end AS m, u.run_end AS e
-               FROM r s
-               JOIN dre d ON d.user_id = s.user_id AND d.rn = s.rn + 1
-               JOIN ure u ON u.user_id = s.user_id AND u.rn = d.run_end + 1),
+  /** The greedy skip-past cursor selection alone (recursive member jumps
+    * selected match → next candidate past its last row); prepend a `cand`
+    * CTE with columns (user_id, rn, start_ts, start_tie, m, e).
+    */
+  private val MR_SEL = """
       sel AS (
         SELECT user_id, rn, start_ts, start_tie, m, e
         FROM (SELECT cand.*, row_number() OVER (PARTITION BY user_id ORDER BY rn) AS pk FROM cand)
@@ -3765,6 +3764,17 @@ FROM n"""))
                      row_number() OVER (PARTITION BY c.user_id ORDER BY c.rn) AS pk
               FROM cand c JOIN sel s ON c.user_id = s.user_id AND c.rn > s.e)
         WHERE pk = 1)"""
+
+  /** q164-family candidates: S anchors anywhere, D+ takes the maximal falling
+    * run to `m`, U+ the maximal rising run to `e`.
+    */
+  private val MR_TICKER_SEL = s"""
+      cand AS (SELECT s.user_id, s.rn, s.ts AS start_ts, s.event_id AS start_tie,
+                      d.run_end AS m, u.run_end AS e
+               FROM r s
+               JOIN dre d ON d.user_id = s.user_id AND d.rn = s.rn + 1
+               JOIN ure u ON u.user_id = s.user_id AND u.rn = d.run_end + 1),
+      $MR_SEL"""
 
   private val q164 = Q("q164_match_ticker_runs", (s, dir) => {
     // The MATCH_RECOGNIZE ticker idiom with UNBOUNDED quantifiers (r8
@@ -3945,6 +3955,102 @@ FROM n"""))
     JOIN ua ON ua.user_id = sel.user_id AND ua.rn = sel.rn
     JOIN da ON da.user_id = sel.user_id AND da.rn = sel.rn"""))
 
+  private val q169 = Q("q169_match_xvar_cap", (s, dir) => {
+    // Cross-variable DEFINE on the UNBOUNDED scan route (r10 — closes the
+    // scan path's state-a-bound refusal): the rising run is capped by the
+    // START row's value (`U.value < FIRST(S.value)` — partial-recovery
+    // detection, the canonical CEP cross-variable idiom). Row-local parts
+    // (the PREV comparisons) stay Catalyst lag() booleans; only the
+    // cross-variable atom is interpreted, per tested row, against the
+    // attempt's buffered rows (operators/MrConditions).
+    t(s, dir, "events").createOrReplaceTempView("events_mr_xvar")
+    graft.sql.SqlFrontend.execute(s, """
+      SELECT * FROM events_mr_xvar MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES
+          FIRST(S.ts) AS match_start_ts,
+          FIRST(S.event_id) AS start_tie,
+          LAST(D.value) AS bottom_value,
+          LAST(U.value) AS top_value,
+          LAST(U.ts) AS match_end_ts
+        ONE ROW PER MATCH
+        PATTERN (S D+ U+)
+        DEFINE D AS D.value < PREV(D.value),
+               U AS U.value > PREV(U.value) AND U.value < FIRST(S.value)
+      )""")
+      .select(col("user_id"),
+        col("match_start_ts").cast("timestamp_ntz").as("match_start_ts"),
+        col("match_end_ts").cast("timestamp_ntz").as("match_end_ts"),
+        col("start_tie"), col("bottom_value"), col("top_value"))
+  }, Some(s"""
+    WITH RECURSIVE $MR_RUNS,
+      -- rising islands are monotone, so rows below the anchor's value form a
+      -- PREFIX of the island: the capped run end is their max rn (no
+      -- qualifying first row -> U+ unsatisfiable -> no candidate, exactly the
+      -- NFA's backtrack-into-the-fall dead end)
+      cand0 AS (SELECT s.user_id, s.rn, s.ts AS start_ts, s.event_id AS start_tie,
+                       s.value AS sval, d.run_end AS m, u.run_end AS ue
+                FROM r s
+                JOIN dre d ON d.user_id = s.user_id AND d.rn = s.rn + 1
+                JOIN ure u ON u.user_id = s.user_id AND u.rn = d.run_end + 1),
+      cand AS (SELECT c.user_id, c.rn, c.start_ts, c.start_tie, c.m, max(x.rn) AS e
+               FROM cand0 c
+               JOIN r x ON x.user_id = c.user_id AND x.rn BETWEEN c.m + 1 AND c.ue
+                       AND x.value < c.sval
+               GROUP BY c.user_id, c.rn, c.start_ts, c.start_tie, c.m),
+      $MR_SEL
+    SELECT sel.user_id, start_ts AS match_start_ts, re.ts AS match_end_ts, start_tie,
+           rm.value AS bottom_value, re.value AS top_value
+    FROM sel
+    JOIN r rm ON rm.user_id = sel.user_id AND rm.rn = sel.m
+    JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e"""))
+
+  private val q170 = Q("q170_match_self_first", (s, dir) => {
+    // Self-FIRST DEFINE on the scan route: the rising run caps itself
+    // relative to its OWN first row (`U.value < 1.5 * FIRST(U.value)` — the
+    // within-run-growth idiom). FIRST(self) reads the current attempt's run
+    // start; arithmetic is double (value is a double column), bit-equal in
+    // both engines.
+    t(s, dir, "events").createOrReplaceTempView("events_mr_selffirst")
+    graft.sql.SqlFrontend.execute(s, """
+      SELECT * FROM events_mr_selffirst MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES
+          FIRST(S.ts) AS match_start_ts,
+          FIRST(S.event_id) AS start_tie,
+          FIRST(U.value) AS first_up,
+          LAST(U.value) AS top_value,
+          LAST(U.ts) AS match_end_ts
+        ONE ROW PER MATCH
+        PATTERN (S U+)
+        DEFINE U AS U.value > PREV(U.value) AND U.value < 1.5 * FIRST(U.value)
+      )""")
+      .select(col("user_id"),
+        col("match_start_ts").cast("timestamp_ntz").as("match_start_ts"),
+        col("match_end_ts").cast("timestamp_ntz").as("match_end_ts"),
+        col("start_tie"), col("first_up"), col("top_value"))
+  }, Some(s"""
+    WITH RECURSIVE $MR_RUNS,
+      -- the run's first row is fixed at anchor+1, so the self-relative cap is
+      -- again a prefix of the rising island (monotone); f < 1.5*f fails for
+      -- f <= 0, dropping the candidate exactly like the NFA's empty U+
+      cand AS (SELECT s.user_id, s.rn, s.ts AS start_ts, s.event_id AS start_tie,
+                      s.rn AS m, max(x.rn) AS e
+               FROM r s
+               JOIN ure u ON u.user_id = s.user_id AND u.rn = s.rn + 1
+               JOIN r f ON f.user_id = s.user_id AND f.rn = s.rn + 1
+               JOIN r x ON x.user_id = s.user_id AND x.rn BETWEEN s.rn + 1 AND u.run_end
+                       AND x.value < 1.5 * f.value
+               GROUP BY s.user_id, s.rn, s.ts, s.event_id),
+      $MR_SEL
+    SELECT sel.user_id, start_ts AS match_start_ts, re.ts AS match_end_ts, start_tie,
+           rf.value AS first_up, re.value AS top_value
+    FROM sel
+    JOIN r rf ON rf.user_id = sel.user_id AND rf.rn = sel.rn + 1
+    JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -3962,7 +4068,7 @@ FROM n"""))
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
-    q164, q165, q166, q167, q168)
+    q164, q165, q166, q167, q168, q169, q170)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -953,11 +953,15 @@ object SqlFrontend {
     * empty-target/self-loop failing loudly per the standard — as do
     * `MATCH_NUMBER()` (the scan's per-key match ordinal) and aggregate
     * MEASURES (`count/sum/min/max/avg` over a variable's matched rows; sums
-    * are exact HALF_UP-scale-6 decimals, order-independent). Scope note: any
-    * scan-routed feature therefore requires ROW-LOCAL DEFINEs — combining
-    * one with a cross-variable DEFINE fails with the state-a-bound hint even
-    * on a bounded pattern (the lead()-expansion path computes neither match
-    * ordinals nor per-run aggregates).
+    * are exact HALF_UP-scale-6 decimals, order-independent). Cross-variable
+    * and FIRST() DEFINEs compose with ALL scan-routed features too (r10):
+    * they compile to [[graft.operators.MrConditions]]' interpreted predicate
+    * — evaluated against the attempt's buffered rows, where every earlier
+    * variable's placement is fixed — while row-local DEFINEs and PREV/NEXT
+    * navigation stay Catalyst-codegen'd (navigation becomes a lag()/lead()
+    * helper column over the same shared window). The interpreter's condition
+    * surface is the documented subset in MrConditions; anything beyond it
+    * fails at plan time with the bounded-path hint.
     */
   private[graft] def rewriteMatchRecognize(spark: SparkSession, sql: String): String = {
     val m = MatchRecognizeRe.findFirstMatchIn(sql).getOrElse(return sql)
@@ -1192,15 +1196,20 @@ object SqlFrontend {
       }
     } else {
       // -------------- unbounded quantifiers / ALL ROWS: the NFA cursor scan.
-      // DEFINE predicates must be ROW-LOCAL (the variable's own row plus
-      // PREV/NEXT physical navigation): each compiles to ONE boolean column
-      // over the shared (key, order) window — Catalyst evaluates it with
-      // codegen — and [[graft.operators.MatchRecognize.scan]]'s per-key
-      // greedy cursor (the skipPastSelect execution shape) handles unbounded
-      // runs and ALL ROWS emission. Cross-variable or FIRST() DEFINEs need
-      // the bounded lead()-expansion path — state a bound to use them.
-      def localDefine(cond: String, v: String): String = {
-        val nav = "(?i)\\b(PREV|NEXT)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
+      // Row-local DEFINE predicates (the variable's own row plus PREV/NEXT
+      // physical navigation — the common case) each compile to ONE boolean
+      // column over the shared (key, order) window, Catalyst-codegen'd.
+      // CROSS-VARIABLE and FIRST() conditions (r10 — previously a loud
+      // state-a-bound refusal) route to the scan's interpreted predicate
+      // instead ([[graft.operators.MrConditions]]): inside one NFA attempt
+      // every earlier variable's run placement is fixed, so LAST/FIRST/bare
+      // refs are direct reads of buffered rows. PREV/NEXT stays Catalyst
+      // either way — it is rewritten to a precomputed lag()/lead() helper
+      // column over the SAME window (one shared exchange + sort), so the
+      // interpreter never reaches outside the attempt's buffer.
+      val navCols = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      def navRewrite(cond: String, v: String, forDyn: Boolean): String =
+        "(?i)\\b(PREV|NEXT)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
           .replaceAllIn(cond, mm => java.util.regex.Matcher.quoteReplacement {
             val kind = mm.group(1).toUpperCase
             val (vv, c) = (mm.group(2), mm.group(3))
@@ -1208,34 +1217,64 @@ object SqlFrontend {
             if (!idx.contains(vv)) mm.matched
             else if (vv != v) sys.error(s"MATCH_RECOGNIZE: $kind() may only navigate the " +
               s"variable being DEFINEd, got $kind($vv.$c)")
-            else if (kind == "PREV") s"lag($c, $nn) OVER $w"
-            else s"lead($c, $nn) OVER $w"
+            else {
+              val sql = if (kind == "PREV") s"lag($c, $nn) OVER $w" else s"lead($c, $nn) OVER $w"
+              if (!forDyn) sql
+              else { // the interpreter reads it as a bare column of the candidate row
+                val name = s"__graft_mrnav_${navCols.size}"
+                navCols += ((name, sql))
+                name
+              }
+            }
           })
+      /** True when the condition references another variable's rows or the
+        * self run's FIRST — the parts only the attempt's buffer can answer.
+        */
+      def needsDyn(cond: String, v: String): Boolean = {
+        val crossFl = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*\\)".r
+          .findAllMatchIn(cond).exists { mm =>
+            val (kind, vv) = (mm.group(1).toUpperCase, mm.group(2))
+            idx.contains(vv) && (vv != v || kind == "FIRST")
+          }
+        // strip FIRST/LAST(...) and PREV/NEXT(...) arguments before probing
+        // bare qualified refs so their var.col operands don't double-count
+        val bare = "(?i)\\b(?:FIRST|LAST|PREV|NEXT)\\s*\\(\\s*\\w+\\.\\w+\\s*(?:,\\s*\\d+\\s*)?\\)".r
+          .replaceAllIn(cond, " ")
+        crossFl || "\\b(\\w+)\\.(\\w+)\\b".r.findAllMatchIn(bare)
+          .exists(mm => idx.contains(mm.group(1)) && mm.group(1) != v)
+      }
+      def localDefine(cond: String, v: String): String = {
+        val nav = navRewrite(cond, v, forDyn = false)
         val marked = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*\\)".r
           .replaceAllIn(nav, mm => java.util.regex.Matcher.quoteReplacement {
             val (kind, vv, c) = (mm.group(1).toUpperCase, mm.group(2), mm.group(3))
             if (!idx.contains(vv)) mm.matched
             else if (vv == v && kind == "LAST") c // running LAST = the candidate row
-            else sys.error(s"MATCH_RECOGNIZE: $kind($vv.$c) in DEFINE needs the bounded " +
-              "rewrite — under unbounded quantifiers or ALL ROWS PER MATCH, DEFINE " +
-              "predicates are row-local (the variable's own row plus PREV/NEXT); " +
-              "state an upper bound (e.g. A{1,8}) to use cross-variable or FIRST() conditions")
+            else sys.error(s"unreachable: needsDyn routes $kind($vv.$c) to the interpreter")
           })
         "\\b(\\w+)\\.(\\w+)\\b".r.replaceAllIn(marked, mm =>
           java.util.regex.Matcher.quoteReplacement {
             val (vv, c) = (mm.group(1), mm.group(2))
             if (!idx.contains(vv)) mm.matched
             else if (vv == v) c
-            else sys.error(s"MATCH_RECOGNIZE: DEFINE for '$v' references '$vv.$c' — " +
-              "row-local predicates only under unbounded quantifiers / ALL ROWS PER " +
-              "MATCH; state an upper bound to use cross-variable conditions")
+            else sys.error(s"unreachable: needsDyn routes $vv.$c to the interpreter")
           })
       }
-      val defs = varSpecs.map { case (nm, _, _) =>
-        defineSrc.get(nm)
-          .map(cond => org.apache.spark.sql.functions.expr(localDefine(cond, nm)))
-          .getOrElse(org.apache.spark.sql.functions.lit(true))
-      }
+      // (static Catalyst column, interpreted condition) per variable: exactly
+      // one of the pair is live — lit(true) + Some(text) on the dynamic route
+      val defPairs: Seq[(org.apache.spark.sql.Column, Option[String])] =
+        varSpecs.map { case (nm, _, _) =>
+          defineSrc.get(nm) match {
+            case None => (org.apache.spark.sql.functions.lit(true), None)
+            case Some(cond) if needsDyn(cond, nm) =>
+              (org.apache.spark.sql.functions.lit(true), Some(navRewrite(cond, nm, forDyn = true)))
+            case Some(cond) =>
+              (org.apache.spark.sql.functions.expr(localDefine(cond, nm)), None)
+          }
+        }
+      val defs = defPairs.map(_._1)
+      val dynDefs: Seq[Option[String]] =
+        if (defPairs.exists(_._2.isDefined)) defPairs.map(_._2) else Seq.empty
       // columns the MEASURES read → captured into the per-variable structs
       val measureColNames = measureSrc.flatMap { case (e, _) =>
         "\\b(\\w+)\\.(\\w+)\\b".r.findAllMatchIn(e)
@@ -1319,11 +1358,18 @@ object SqlFrontend {
           case Some((_, v))       => graft.operators.MatchRecognize.SkipToLast(idx(v))
           case None               => graft.operators.MatchRecognize.SkipPastLastRow
         }
+      // PREV/NEXT helpers for interpreted DEFINEs ride as input columns over
+      // the same window W — Catalyst collapses their sort into the scan's
+      // (plan-guard spec); they are dropped by the final selectExpr below
+      // (baseCols comes from the PRE-nav `input`)
+      val input2 =
+        if (navCols.isEmpty) input
+        else input.selectExpr("*" +: navCols.toSeq.map { case (nm, e) => s"$e AS $nm" }: _*)
       val scanned = graft.operators.MatchRecognize.scan(
-        input, partCols.map(org.apache.spark.sql.functions.expr),
+        input2, partCols.map(org.apache.spark.sql.functions.expr),
         ordCols.map(org.apache.spark.sql.functions.expr), ord, toks, defs,
         withinMicros, scanSkip, allRowsPerMatch, measureColNames,
-        if (aggSpecs.forall(_.isEmpty)) Seq.empty else aggSpecs)
+        if (aggSpecs.forall(_.isEmpty)) Seq.empty else aggSpecs, dynDefs)
       val measures = measureSrc.map { case (e, a) => s"${scanMeasure(e)} AS $a" }
       // ALL ROWS emits every input column (the standard's shape); ONE ROW the
       // partition key plus measures — both from the match rows the scan kept

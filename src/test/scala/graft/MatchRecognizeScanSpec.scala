@@ -299,6 +299,107 @@ class MatchRecognizeScanSpec extends SparkSpec {
     val sorts = "\\bSort\\b".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected ONE shared exchange, got $exchanges:\n${plan.take(3000)}")
     assert(sorts == 1, s"expected ONE shared sort, got $sorts:\n${plan.take(3000)}")
+
+    // cross-variable route: the PREV nav helper column is a SEPARATE
+    // selectExpr window pass before the scan — CollapseWindow must merge it
+    // into the DEFINE window (same spec), keeping one exchange + one sort +
+    // one Window; a second of any would double the 100 TB shuffle bill
+    val df2 = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(S.id) AS s_id, LAST(U.v) AS top
+        |  ONE ROW PER MATCH
+        |  PATTERN (S D+ U+)
+        |  DEFINE D AS D.v < PREV(D.v),
+        |         U AS U.v > PREV(U.v) AND U.v < FIRST(S.v))""".stripMargin)
+    val plan2 = df2.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan2).size == 1 &&
+      "\\bSort\\b".r.findAllIn(plan2).size == 1 &&
+      "\\bWindow\\b".r.findAllIn(plan2).size == 1,
+      s"cross-var route plan regressed:\n${plan2.take(3000)}")
+  }
+
+  test("cross-variable DEFINE on the unbounded scan route: rise capped by the start row's value") {
+    // U rises only while BELOW the anchor's value (FIRST(S.v) — a cross-
+    // variable reference the scan previously refused): k1's up-run 9,12 is
+    // cut at 9 (12 >= 10), so the match ends at id4, not q164's id5
+    ticker.createOrReplaceTempView("mr_ticker")
+    val rs = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(S.id) AS start_id, LAST(D.v) AS bottom,
+        |           LAST(U.v) AS top, LAST(U.id) AS end_id
+        |  ONE ROW PER MATCH
+        |  PATTERN (S D+ U+)
+        |  DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v) AND U.v < FIRST(S.v)
+        |)""".stripMargin)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("start_id"),
+        r.getAs[Double]("bottom"), r.getAs[Double]("top"), r.getAs[Long]("end_id"))).toSeq
+    assert(rs == Seq(("k1", 1L, 7.0, 9.0, 4L)), s"got ${rs.mkString(", ")}")
+  }
+
+  test("self-FIRST DEFINE on the scan route: run capped relative to its own first row") {
+    ticker.createOrReplaceTempView("mr_ticker")
+    val rs = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(S.id) AS start_id, LAST(U.id) AS end_id
+        |  ONE ROW PER MATCH
+        |  PATTERN (S U+)
+        |  DEFINE U AS U.v > PREV(U.v) AND U.v < 1.5 * FIRST(U.v)
+        |)""".stripMargin)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("start_id"),
+        r.getAs[Long]("end_id"))).sortBy(t => (t._1, t._2)).toSeq
+    // k1: 7→(9,12) capped at 1.5*9=13.5 keeps both, then 11→13; k2: 1→2 only
+    // (3 fails 3 < 1.5*2); each FIRST(U.v) is the run's OWN first row
+    assert(rs == Seq(("k1", 3L, 5L), ("k1", 6L, 7L), ("k2", 8L, 9L)), s"got ${rs.mkString(", ")}")
+  }
+
+  test("cross-variable DEFINE: scan route equals the bounded lead()-CASE on real events") {
+    val events = core.Tables(spark, sfDir, "events")
+    events.createOrReplaceTempView("mr_events_xvar")
+    // bounded pattern so BOTH routes can run it; the MATCH_NUMBER() measure
+    // forces the scan route without changing selection semantics
+    def q(measuresExtra: String) = s"""
+      SELECT * FROM mr_events_xvar MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES FIRST(S.ts) AS start_ts, FIRST(S.event_id) AS start_tie,
+                 LAST(U.ts) AS end_ts$measuresExtra
+        ONE ROW PER MATCH
+        PATTERN (S D{1,3} U{1,2})
+        DEFINE D AS D.value < PREV(D.value),
+               U AS U.value > PREV(U.value) AND U.value < FIRST(S.value)
+      )"""
+    val boundedPath = SqlFrontend.execute(spark, q(""))
+      .select("user_id", "start_ts", "start_tie", "end_ts")
+    val scanPath = SqlFrontend.execute(spark, q(", MATCH_NUMBER() AS mseq"))
+      .select("user_id", "start_ts", "start_tie", "end_ts")
+    assert(boundedPath.exceptAll(scanPath).isEmpty && scanPath.exceptAll(boundedPath).isEmpty,
+      "cross-variable selection diverged between the CASE expansion and the NFA interpreter")
+    assert(scanPath.count() > 0, "equivalence must not be vacuous")
+  }
+
+  test("interpreter surface limits stay loud; empty-run references are NULL (no match)") {
+    ticker.createOrReplaceTempView("mr_ticker")
+    // unsupported function inside a cross-variable condition → plan-time error
+    val err = intercept[RuntimeException](SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id MEASURES FIRST(S.id) AS s ONE ROW PER MATCH
+        |  PATTERN (S U+) DEFINE U AS abs(U.v) > FIRST(S.v))""".stripMargin))
+    assert(err.getMessage.contains("unsupported function"), err.getMessage)
+    // B{0,} matched empty: C's reference to LAST(B.v) is NULL → C can never
+    // classify, exactly the bounded path's forward/absent-reference rule
+    val rs = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(A.id) AS a_id, LAST(C.id) AS c_id ONE ROW PER MATCH
+        |  PATTERN (A B{0,} C)
+        |  DEFINE B AS B.v < PREV(B.v), C AS C.v > LAST(B.v)
+        |)""".stripMargin).collect()
+    // every match must have a non-empty B (k1: A@1 B down to 7 C 9>7): the
+    // B-empty anchors (k2 rising rows) yield NO match despite C rows existing
+    assert(rs.nonEmpty && rs.forall(_.getAs[String]("k") == "k1"),
+      s"empty-B anchors must not match: ${rs.mkString(", ")}")
   }
 
   test("any __mr_-prefixed input column is rejected loudly (not just the helper names)") {
