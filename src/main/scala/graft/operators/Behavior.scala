@@ -173,7 +173,8 @@ object Behavior {
       s"withinSeconds must be in [0, ${Long.MaxValue / 1000000L}], got $withinSeconds")
     val unbounded = graft.streaming.StreamingSequenceMatchQ.QTok.Unbounded
     val toks = pattern.zipWithIndex.map { case (t, i) =>
-      MatchRecognize.MrTok(s"T$i", t.min, if (t.max == unbounded) None else Some(t.max)) }
+      MatchRecognize.MrTok(s"T$i", t.min,
+        if (t.max == unbounded) None else Some(t.max), t.reluctant) }
     val defs = pattern.map(t => col(typeCol) === t.typ)
     val within = if (withinSeconds == 0L) None else Some(withinSeconds * 1000000L)
     val skip = if (skipToNext) MatchRecognize.SkipToNextRow else MatchRecognize.SkipPastLastRow

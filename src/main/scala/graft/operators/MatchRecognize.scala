@@ -25,7 +25,10 @@ import org.apache.spark.sql.types._
   * rewrite and [[graft.streaming.StreamingSequenceMatchQ]]: quantifier counts
   * are explored leftmost-longest-first (descending lexicographic), with
   * backtracking, so for bounded patterns the scan and the CASE-expansion
-  * formulation select identical matches (spec-pinned). `AFTER MATCH SKIP PAST
+  * formulation select identical matches (spec-pinned). RELUCTANT quantifiers
+  * (`A+?`/`A*?`/`A{m,n}?` — Flink's lazy forms, r10) flip that token's
+  * exploration to ascending (shortest-first) while keeping leftmost priority,
+  * on every surface identically. `AFTER MATCH SKIP PAST
   * LAST ROW` (the default) advances the cursor past a selected match —
   * matches never overlap; `SKIP TO NEXT ROW` advances one row — overlapping
   * matches all emit.
@@ -36,11 +39,12 @@ import org.apache.spark.sql.types._
   * time, and an unbounded greedy run (`A+` over an always-true DEFINE) can
   * stretch to the key's row count — the same bound any CEP engine has.
   *
-  * DEFINE predicates must be ROW-LOCAL (the variable's own current row plus
-  * PREV/NEXT physical navigation): the boolean is precomputed before the
-  * match exists, so it cannot see FIRST-of-run or other variables' rows.
-  * Cross-variable and FIRST() DEFINEs stay on the bounded lead()-expansion
-  * path, which evaluates them per alternative.
+  * Row-local DEFINE predicates (the variable's own current row plus PREV/NEXT
+  * physical navigation) are precomputed Catalyst boolean columns — codegen'd,
+  * zero per-row interpretation. Cross-variable and FIRST() DEFINEs (r10) ride
+  * the optional `dynDefs` interpreted predicates ([[MrConditions]]): inside
+  * one attempt every earlier variable's placement is fixed, so they read the
+  * buffered rows directly.
   *
   * Reference behavior covered: Flink's MATCH_RECOGNIZE accepts unbounded
   * quantifiers (confluent docs, flink-sql match_recognize) which the r8
@@ -50,9 +54,10 @@ import org.apache.spark.sql.types._
 object MatchRecognize {
 
   /** One pattern token: variable `name` repeated [lo, hi] times;
-    * hi = None → unbounded (`+`/`*`/`{m,}`).
+    * hi = None → unbounded (`+`/`*`/`{m,}`); `reluctant` → the lazy forms
+    * (`+?`/`*?`/`{m,n}?`): counts explored shortest-first.
     */
-  case class MrTok(name: String, lo: Int, hi: Option[Int]) {
+  case class MrTok(name: String, lo: Int, hi: Option[Int], reluctant: Boolean = false) {
     require(lo >= 0, s"quantifier lower bound must be >= 0, got {$lo,} on '$name'")
     hi.foreach(h => require(h >= lo, s"empty quantifier range {$lo,$h} on '$name'"))
   }
@@ -249,6 +254,7 @@ object MatchRecognize {
     val n = tokens.size
     val loArr = tokens.map(_.lo).toArray
     val hiArr = tokens.map(_.hi.getOrElse(Int.MaxValue)).toArray
+    val relArr = tokens.map(_.reluctant).toArray
     val nameArr = tokens.map(_.name).toArray
     val hasWithin = withinMicros.isDefined
     val withinUs = withinMicros.getOrElse(0L)
@@ -338,10 +344,19 @@ object MatchRecognize {
             while (c < hiArr(t) && ensure(pos + c) && defOk(rowAt(pos + c), t) &&
               dynOk(rowAt(pos + c), t, pos) &&
               (!hasWithin || micros(rowAt(pos + c).get(tsIdx)) - startUs <= withinUs)) c += 1
-            while (c >= loArr(t)) {
-              counts(t) = c
-              if (go(t + 1, pos + c)) return true
-              c -= 1
+            if (relArr(t)) { // reluctant: shortest first (Flink's lazy forms)
+              var k = loArr(t)
+              while (k <= c) {
+                counts(t) = k
+                if (go(t + 1, pos + k)) return true
+                k += 1
+              }
+            } else {
+              while (c >= loArr(t)) {
+                counts(t) = c
+                if (go(t + 1, pos + c)) return true
+                c -= 1
+              }
             }
             false
           }

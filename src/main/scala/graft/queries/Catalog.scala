@@ -4051,6 +4051,45 @@ FROM n"""))
     JOIN r rf ON rf.user_id = sel.user_id AND rf.rn = sel.rn + 1
     JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e"""))
 
+  private val q171 = Q("q171_match_reluctant", (s, dir) => {
+    // RELUCTANT quantifier (Flink's lazy forms, r10): `B{2,}?` takes the
+    // SHORTEST admissible rising run — exactly two rows wherever the island
+    // allows it, where greedy `B{2,}` would consume the whole run. Routed to
+    // the NFA scan (unbounded), counts explored ascending.
+    t(s, dir, "events").createOrReplaceTempView("events_mr_lazy")
+    graft.sql.SqlFrontend.execute(s, """
+      SELECT * FROM events_mr_lazy MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES
+          FIRST(S.ts) AS match_start_ts,
+          FIRST(S.event_id) AS start_tie,
+          LAST(B.ts) AS match_end_ts,
+          LAST(B.value) AS top_value
+        ONE ROW PER MATCH
+        PATTERN (S B{2,}?)
+        DEFINE B AS B.value > PREV(B.value)
+      )""")
+      .select(col("user_id"),
+        col("match_start_ts").cast("timestamp_ntz").as("match_start_ts"),
+        col("match_end_ts").cast("timestamp_ntz").as("match_end_ts"),
+        col("start_tie"), col("top_value"))
+  }, Some(s"""
+    WITH RECURSIVE $MR_RUNS,
+      -- lazy floor-2: the shortest admissible run is EXACTLY two rising rows,
+      -- so a candidate exists wherever the island reaches anchor+2 and ends
+      -- right there (e = rn + 2); the greedy form would take the island end
+      cand AS (SELECT s.user_id, s.rn, s.ts AS start_ts, s.event_id AS start_tie,
+                      s.rn AS m, s.rn + 2 AS e
+               FROM r s
+               JOIN ure u ON u.user_id = s.user_id AND u.rn = s.rn + 1
+               WHERE u.run_end >= s.rn + 2),
+      $MR_SEL
+    SELECT sel.user_id, start_ts AS match_start_ts, re.ts AS match_end_ts, start_tie,
+           re.value AS top_value
+    FROM sel
+    JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -4068,7 +4107,7 @@ FROM n"""))
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
-    q164, q165, q166, q167, q168, q169, q170)
+    q164, q165, q166, q167, q168, q169, q170, q171)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
@@ -4087,5 +4126,9 @@ FROM n"""))
   def benchGroup2Names: Seq[String] = Seq(
     "q109_window_cumulate", "q111_sequence_match", "q122_sequence_match_q",
     "q107_resample_ffill", "q139_exact_substring_spans", "q161_lab3_fleet_ann",
-    "q162_match_skip_past")
+    "q162_match_skip_past",
+    // r10: the interpreted cross-variable CEP path gets its own bench row
+    // (regressions in MrConditions' per-row cost are invisible to q162,
+    // whose DEFINEs are fully Catalyst)
+    "q169_match_xvar_cap")
 }

@@ -1005,21 +1005,25 @@ object SqlFrontend {
     // PREV()/NEXT() are handled inside subst (DEFINE-only physical navigation)
     val patM = "(?is)PATTERN\\s*\\(\\s*(.*?)\\s*\\)(?:\\s+WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(\\w+))?".r
       .findFirstMatchIn(body).getOrElse(sys.error("MATCH_RECOGNIZE requires PATTERN (...)"))
-    // hi = None → UNBOUNDED (`+`, `*`, `{m,}`) — routed to the NFA cursor scan
-    val TokenRe = "(\\w+)(?:(\\?)|([+*])|\\{(\\d+)(?:(,)(\\d+)?)?\\})?".r
-    val varSpecs: Seq[(String, Int, Option[Int])] = patM.group(1).trim.split("\\s+").toSeq.map {
-      case TokenRe(name, q, pm, lo, comma, hi) =>
-        if (q != null) (name, 0, Some(1))
-        else if (pm == "+") (name, 1, None)
-        else if (pm == "*") (name, 0, None)
-        else if (lo == null) (name, 1, Some(1))
-        else if (comma == null) (name, lo.toInt, Some(lo.toInt))
-        else if (hi == null) (name, lo.toInt, None)
-        else (name, lo.toInt, Some(hi.toInt))
-      case tok => sys.error(s"MATCH_RECOGNIZE: unsupported pattern token '$tok' — " +
-        "use variables with quantifiers (A, A?, A+, A*, A{m}, A{m,}, A{m,n})")
-    }
-    varSpecs.foreach { case (nm, lo, hi) =>
+    // hi = None → UNBOUNDED (`+`, `*`, `{m,}`) — routed to the NFA cursor
+    // scan; a trailing `?` (Flink's reluctant forms `+?`/`*?`/`??`/`{m,n}?`)
+    // flips that token's exploration to shortest-first
+    val TokenRe = "(\\w+)(?:(\\?\\??)|([+*]\\??)|\\{(\\d+)(?:(,)(\\d+)?)?\\}(\\?)?)?".r
+    val varSpecs: Seq[(String, Int, Option[Int], Boolean)] =
+      patM.group(1).trim.split("\\s+").toSeq.map {
+        case TokenRe(name, q, pm, lo, comma, hi, lzy) =>
+          if (q != null) (name, 0, Some(1), q == "??")
+          else if (pm != null && pm.startsWith("+")) (name, 1, None, pm == "+?")
+          else if (pm != null) (name, 0, None, pm == "*?")
+          else if (lo == null) (name, 1, Some(1), false)
+          else if (comma == null) (name, lo.toInt, Some(lo.toInt), lzy != null)
+          else if (hi == null) (name, lo.toInt, None, lzy != null)
+          else (name, lo.toInt, Some(hi.toInt), lzy != null)
+        case tok => sys.error(s"MATCH_RECOGNIZE: unsupported pattern token '$tok' — " +
+          "use variables with quantifiers (A, A?, A+, A*, A{m}, A{m,}, A{m,n}, " +
+          "or their reluctant forms A??, A+?, A*?, A{m,n}?)")
+      }
+    varSpecs.foreach { case (nm, lo, hi, _) =>
       hi.foreach(h => require(lo <= h, s"MATCH_RECOGNIZE: empty quantifier range {$lo,$h} on '$nm'")) }
     require(varSpecs.nonEmpty, "MATCH_RECOGNIZE requires a non-empty PATTERN")
     require(varSpecs.map(_._1).distinct.size == varSpecs.size,
@@ -1135,9 +1139,11 @@ object SqlFrontend {
       !usesAggregates && skipToVar.isEmpty) {
       // ------------------------------- bounded, ONE ROW: lead()-expansion CASE
       // every bounded-count assignment, greedy order: leftmost quantifier
-      // longest first (descending lexicographic), zero-length matches excluded
+      // longest first (descending lexicographic) — reluctant tokens ascend
+      // (shortest first) instead; zero-length matches excluded
       val expansions: Seq[Seq[Int]] = varSpecs
-        .map { case (_, lo, hi) => (hi.get to lo by -1).toSeq }
+        .map { case (_, lo, hi, rel) =>
+          (if (rel) lo to hi.get else hi.get to lo by -1).toSeq }
         .foldLeft(Seq(Seq.empty[Int]))((acc, counts) => acc.flatMap(pfx => counts.map(pfx :+ _)))
         .filter(_.sum > 0)
       require(expansions.nonEmpty, "MATCH_RECOGNIZE: pattern admits only the empty match")
@@ -1263,7 +1269,7 @@ object SqlFrontend {
       // (static Catalyst column, interpreted condition) per variable: exactly
       // one of the pair is live — lit(true) + Some(text) on the dynamic route
       val defPairs: Seq[(org.apache.spark.sql.Column, Option[String])] =
-        varSpecs.map { case (nm, _, _) =>
+        varSpecs.map { case (nm, _, _, _) =>
           defineSrc.get(nm) match {
             case None => (org.apache.spark.sql.functions.lit(true), None)
             case Some(cond) if needsDyn(cond, nm) =>
@@ -1330,7 +1336,8 @@ object SqlFrontend {
       if (allRowsPerMatch) measureSrc.foreach { case (_, a) =>
         require(!input.columns.contains(a),
           s"MATCH_RECOGNIZE: ALL ROWS PER MATCH emits every input column; measure alias '$a' collides") }
-      val toks = varSpecs.map { case (nm, lo, hi) => graft.operators.MatchRecognize.MrTok(nm, lo, hi) }
+      val toks = varSpecs.map { case (nm, lo, hi, rel) =>
+        graft.operators.MatchRecognize.MrTok(nm, lo, hi, rel) }
       // aggregate fields each variable's __mr_agg struct must carry
       val aggSpecs: Seq[Seq[(String, String)]] = {
         val byVar = scala.collection.mutable.Map

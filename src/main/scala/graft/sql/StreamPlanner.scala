@@ -283,16 +283,18 @@ object StreamPlanner {
     // unbounded quantifiers (`+`/`*`/`{m,}`) ride the operator's NFA resolve
     // (QTok.Unbounded, r9) — greedy runs stay OPEN until a breaking event or
     // the within horizon, exactly the batch scan's semantics
-    val TokenRe = "(\\w+)(?:(\\?)|([+*])|\\{(\\d+)(?:(,)(\\d+)?)?\\})?".r
-    val tokens: Seq[(String, Int, Int)] = patM.group(1).trim.split("\\s+").toSeq.map {
-      case TokenRe(name, q, pm, lo, comma, hi) =>
-        if (q != null) (name, 0, 1)
-        else if (pm == "+") (name, 1, QTok.Unbounded)
-        else if (pm == "*") (name, 0, QTok.Unbounded)
-        else if (lo == null) (name, 1, 1)
-        else if (comma == null) (name, lo.toInt, lo.toInt)
-        else if (hi == null) (name, lo.toInt, QTok.Unbounded)
-        else (name, lo.toInt, hi.toInt)
+    // trailing `?` = the reluctant (lazy) forms, same grammar as the batch
+    // frontend — shortest-first exploration, early decision in the operator
+    val TokenRe = "(\\w+)(?:(\\?\\??)|([+*]\\??)|\\{(\\d+)(?:(,)(\\d+)?)?\\}(\\?)?)?".r
+    val tokens: Seq[(String, Int, Int, Boolean)] = patM.group(1).trim.split("\\s+").toSeq.map {
+      case TokenRe(name, q, pm, lo, comma, hi, lzy) =>
+        if (q != null) (name, 0, 1, q == "??")
+        else if (pm != null && pm.startsWith("+")) (name, 1, QTok.Unbounded, pm == "+?")
+        else if (pm != null) (name, 0, QTok.Unbounded, pm == "*?")
+        else if (lo == null) (name, 1, 1, false)
+        else if (comma == null) (name, lo.toInt, lo.toInt, lzy != null)
+        else if (hi == null) (name, lo.toInt, QTok.Unbounded, lzy != null)
+        else (name, lo.toInt, hi.toInt, lzy != null)
       case tok => sys.error(s"unsupported pattern token '$tok'")
     }
     val DefineRe = "(?is)^(\\w+)\\s+AS\\s+(\\w+)\\.(\\w+)\\s*=\\s*'([^']*)'\\s*$".r
@@ -308,11 +310,11 @@ object StreamPlanner {
     val typeCols = defines.values.map(_._1).toSet
     require(typeCols.size == 1,
       s"streaming MATCH_RECOGNIZE DEFINEs must all test ONE column, got $typeCols")
-    tokens.foreach { case (v, _, _) =>
+    tokens.foreach { case (v, _, _, _) =>
       require(defines.contains(v), s"pattern variable '$v' has no DEFINE — its type is " +
         "unconstrained, which the typed streaming operator cannot express") }
     val typeCol = typeCols.head
-    val qtoks = tokens.map { case (v, lo, hi) => QTok(defines(v)._2, lo, hi) }
+    val qtoks = tokens.map { case (v, lo, hi, rel) => QTok(defines(v)._2, lo, hi, rel) }
     val withinSeconds = Option(patM.group(2)).map { num =>
       val us = graft.operators.Cumulate.durationMicros(s"$num ${patM.group(3)}")
       require(us % 1000000L == 0, s"WITHIN must be whole seconds, got $us micros")
@@ -320,8 +322,8 @@ object StreamPlanner {
     }.getOrElse(0L)
 
     // MEASURES → the operator's match_start_ts / match_end_ts columns
-    val (firstVar, firstMin, firstMax) = tokens.head
-    val (lastVar, lastMin, _) = tokens.last
+    val (firstVar, firstMin, firstMax, _) = tokens.head
+    val (lastVar, lastMin, _, _) = tokens.last
     val MeasRe = "(?is)^(?:(FIRST|LAST)\\s*\\(\\s*)?(\\w+)\\.(\\w+)\\s*\\)?\\s+AS\\s+(\\w+)\\s*$".r
     val measures: Seq[(String, String)] = clause(
       "(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW|AFTER\\s+MATCH|PATTERN\\b)")

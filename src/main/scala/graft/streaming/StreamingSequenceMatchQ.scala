@@ -73,9 +73,13 @@ object StreamingSequenceMatchQ {
 
   /** One pattern token: `typ` repeated between `min` and `max` times;
     * `max = QTok.Unbounded` is `+` / `{m,}` — the NFA resolver takes over
-    * (see the unbounded paragraph in the class doc).
+    * (see the unbounded paragraph in the class doc); `reluctant` flips the
+    * token's exploration to shortest-first (Flink's lazy `+?`/`*?`/`{m,n}?`),
+    * identically on all three surfaces. A lazy run also DECIDES earlier: the
+    * shortest completion wins as soon as it exists, instead of waiting for a
+    * run break — an open shorter alternative still blocks longer ones.
     */
-  case class QTok(typ: String, min: Int, max: Int) {
+  case class QTok(typ: String, min: Int, max: Int, reluctant: Boolean = false) {
     require(min >= 0 && max >= min, s"bad quantifier {$min,$max}")
   }
   object QTok {
@@ -96,7 +100,8 @@ object StreamingSequenceMatchQ {
         "surfaces are the NFA paths (this operator with QTok.Unbounded routes there; " +
         "batch: graft.operators.MatchRecognize.scan)")
     val seqs = pattern
-      .map(t => (t.max to t.min by -1).map(c => Seq.fill(c)(t.typ)))
+      .map(t => (if (t.reluctant) t.min to t.max else t.max to t.min by -1)
+        .map(c => Seq.fill(c)(t.typ)))
       .foldLeft(Seq(Seq.empty[String]))((acc, alts) => acc.flatMap(p => alts.map(p ++ _)))
       .filter(_.nonEmpty)
     require(seqs.nonEmpty, "pattern admits only the empty match")
@@ -179,14 +184,31 @@ object StreamingSequenceMatchQ {
               var avail = 0
               while (pos + avail < len && types(pos + avail) == tok.typ &&
                 (withinUs == 0L || tss(pos + avail) - tss(p) <= withinUs)) avail += 1
-              if (pos + avail == len && avail < tok.max && !futureViolated) return -1
-              var c = math.min(tok.max, avail)
-              while (c >= tok.min) {
-                val r = go(tokI + 1, pos + c)
-                if (r != 0) return r
-                c -= 1
+              if (tok.reluctant) {
+                // lazy: shortest first. A win or an open at count k blocks
+                // every longer count (a future event can only extend, never
+                // create a SHORTER completion), so the first non-dead result
+                // decides; only if every count <= avail is dead and the run
+                // itself could still grow does the start stay open.
+                var c = tok.min
+                val cap = math.min(tok.max, avail)
+                while (c <= cap) {
+                  val r = go(tokI + 1, pos + c)
+                  if (r != 0) return r
+                  c += 1
+                }
+                if (pos + avail == len && avail < tok.max && !futureViolated) return -1
+                0
+              } else {
+                if (pos + avail == len && avail < tok.max && !futureViolated) return -1
+                var c = math.min(tok.max, avail)
+                while (c >= tok.min) {
+                  val r = go(tokI + 1, pos + c)
+                  if (r != 0) return r
+                  c -= 1
+                }
+                0
               }
-              0
             }
             go(0, p)
           }

@@ -379,6 +379,51 @@ class MatchRecognizeScanSpec extends SparkSpec {
     assert(scanPath.count() > 0, "equivalence must not be vacuous")
   }
 
+  test("reluctant quantifiers: U+? takes the SHORTEST rising run, diverging from greedy") {
+    ticker.createOrReplaceTempView("mr_ticker")
+    def run(quant: String) = SqlFrontend.execute(spark,
+      s"""SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+         |  PARTITION BY k ORDER BY ts, id
+         |  MEASURES FIRST(S.id) AS start_id, LAST(U.id) AS end_id
+         |  ONE ROW PER MATCH
+         |  PATTERN (S U$quant)
+         |  DEFINE U AS U.v > PREV(U.v)
+         |)""".stripMargin)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("start_id"),
+        r.getAs[Long]("end_id"))).sortBy(t => (t._1, t._2)).toSeq
+    // greedy consumes whole rising runs; lazy stops after ONE rising row —
+    // the freed rows let skip-past re-anchor differently on k2's long rise
+    assert(run("+") == Seq(("k1", 3L, 5L), ("k1", 6L, 7L), ("k2", 8L, 10L)))
+    assert(run("+?") == Seq(("k1", 3L, 4L), ("k1", 6L, 7L), ("k2", 8L, 9L)))
+    // the {m,n}? form: lazy floor-2 takes exactly two rising rows
+    assert(run("{1,2}?") == run("+?"), "with runs <= 2 long after lazy-1 anchoring, {1,2}? = +?")
+  }
+
+  test("reluctant bounded pattern: scan route equals the lead()-CASE route") {
+    val events = core.Tables(spark, sfDir, "events")
+    events.createOrReplaceTempView("mr_events_lazy")
+    def q(extra: String) = s"""
+      SELECT * FROM mr_events_lazy MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES FIRST(S.ts) AS start_ts, FIRST(S.event_id) AS start_tie,
+                 LAST(U.ts) AS end_ts$extra
+        ONE ROW PER MATCH
+        PATTERN (S U{1,3}?)
+        DEFINE U AS U.value > PREV(U.value)
+      )"""
+    val casePath = SqlFrontend.execute(spark, q(""))
+      .select("user_id", "start_ts", "start_tie", "end_ts")
+    val scanPath = SqlFrontend.execute(spark, q(", MATCH_NUMBER() AS mseq"))
+      .select("user_id", "start_ts", "start_tie", "end_ts")
+    assert(casePath.exceptAll(scanPath).isEmpty && scanPath.exceptAll(casePath).isEmpty,
+      "reluctant selection diverged between the CASE expansion and the NFA scan")
+    assert(scanPath.count() > 0, "equivalence must not be vacuous")
+    // and the lazy result genuinely differs from the greedy one on this data
+    val greedy = SqlFrontend.execute(spark, q("").replace("U{1,3}?", "U{1,3}"))
+      .select("user_id", "start_ts", "start_tie", "end_ts")
+    assert(greedy.exceptAll(scanPath).count() > 0, "lazy must diverge from greedy here")
+  }
+
   test("interpreter surface limits stay loud; empty-run references are NULL (no match)") {
     ticker.createOrReplaceTempView("mr_ticker")
     // unsupported function inside a cross-variable condition → plan-time error

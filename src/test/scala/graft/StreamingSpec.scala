@@ -490,6 +490,62 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming RELUCTANT quantifier (A+?): shortest completion decides IMMEDIATELY; equals batch + SQL") {
+    import graft.streaming.StreamingSequenceMatchQ
+    import graft.streaming.StreamingSequenceMatchQ.QTok
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, String, Timestamp, Long)]
+    val mem = MemoryStream[(String, String, Timestamp, Long)]
+    val pattern = Seq(QTok("A", 1, QTok.Unbounded, reluctant = true)) // A+?
+    val matches = StreamingSequenceMatchQ(
+      mem.toDF().toDF("u", "t", "ts", "id"), "u", "t", "ts", "id", pattern,
+      skipPast = true)
+    val q = matches.writeStream.format("memory").queryName("seqq_lazy_sink")
+      .outputMode("append").start()
+    val b1 = Seq(
+      ("k1", "A", ts("2024-01-01 00:00:01"), 1L), ("k1", "A", ts("2024-01-01 00:00:02"), 2L),
+      ("k1", "A", ts("2024-01-01 00:00:03"), 3L))
+    val b2 = Seq(("k1", "x", ts("2024-01-01 00:00:04"), 4L),
+      ("k1", "A", ts("2024-01-01 00:00:05"), 5L))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      // the greedy form stays OPEN here (previous test); LAZY needs no
+      // breaking event — the shortest completion (one A) exists the moment
+      // each A arrives, so all three decide in THIS micro-batch
+      val afterB1 = spark.table("seqq_lazy_sink").collect()
+        .map(r => (r.getAs[Long]("start_tie"), r.getInt(4))).toSet
+      assert(afterB1 == Set((1L, 1), (2L, 1), (3L, 1)),
+        s"lazy A+? must decide len-1 per A without waiting for a break: $afterB1")
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    import spark.implicits._
+    val streamed = spark.table("seqq_lazy_sink")
+      .select(col("key"), col("match_start_ts"), col("match_end_ts"), col("matched_len"))
+    assert(streamed.count() == 4) // the b2 A decides too
+
+    // batch + SQL surfaces agree on the closed stream
+    val df = (b1 ++ b2).toDF("u", "t", "ts", "id")
+    val batch = graft.operators.Behavior.sequenceMatchSkipPast(df, "u", "t", "ts", "id", pattern)
+      .select(col("u").as("key"), col("match_start_ts"), col("match_end_ts"), col("matched_len"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "batch lazy skip-past must equal the streaming operator")
+    df.createOrReplaceTempView("seqq_lazy_events")
+    val sqlRows = graft.sql.SqlFrontend.execute(spark,
+      """SELECT * FROM seqq_lazy_events
+        |  MATCH_RECOGNIZE (
+        |    PARTITION BY u ORDER BY ts, id
+        |    MEASURES FIRST(A.ts) AS match_start_ts, LAST(A.ts) AS match_end_ts
+        |    ONE ROW PER MATCH
+        |    PATTERN (A+?)
+        |    DEFINE A AS A.t = 'A'
+        |  )""".stripMargin)
+      .select(col("u").as("key"), col("match_start_ts"), col("match_end_ts"))
+    val streamedSpan = streamed.select("key", "match_start_ts", "match_end_ts")
+    assert(streamedSpan.exceptAll(sqlRows).isEmpty && sqlRows.exceptAll(streamedSpan).isEmpty,
+      "SQL A+? must equal the streaming operator on the closed stream")
+  }
+
   test("streaming quantified SKIP PAST LAST ROW: younger completions wait; equals batch + SQL") {
     import graft.streaming.StreamingSequenceMatchQ
     import graft.streaming.StreamingSequenceMatchQ.QTok

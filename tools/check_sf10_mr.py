@@ -49,19 +49,58 @@ CREATE TEMP TABLE {tbl} AS
 SELECT user_id, rn, max(rn) OVER (PARTITION BY user_id, grp) AS run_end
 FROM (SELECT user_id, rn, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
       FROM r WHERE {flag})""")
-con.execute("""
+# next(c): smallest candidate rn past the skip point of the same key —
+# skip-past resumes AFTER the match (rn >= e+1, q164/q165); SKIP TO LAST U
+# resumes AT the peak row (rn >= e, q167). ASOF picks the GREATEST right
+# <= left, so negate both sides to get the smallest >=.
+mode = sys.argv[3] if len(sys.argv) > 3 else "skippast"
+
+# candidate construction per family: the q164 ticker (maximal D then U runs),
+# q169's cross-variable cap (U prefix below the anchor's value — rising
+# islands are monotone so the cap is a prefix; no qualifying first row drops
+# the candidate, mirroring the NFA's backtrack dead end), q170's self-first
+# cap (prefix below 1.5x the run's own first row)
+if mode == "xvar":
+    con.execute("""
+CREATE TEMP TABLE cand AS
+WITH cand0 AS (SELECT s.user_id, s.rn, s.ts AS start_ts, s.event_id AS start_tie,
+                      s.value AS sval, d.run_end AS m, u.run_end AS ue
+               FROM r s
+               JOIN dre d ON d.user_id = s.user_id AND d.rn = s.rn + 1
+               JOIN ure u ON u.user_id = s.user_id AND u.rn = d.run_end + 1)
+SELECT c.user_id, c.rn, c.start_ts, c.start_tie, c.m, max(x.rn) AS e
+FROM cand0 c
+JOIN r x ON x.user_id = c.user_id AND x.rn BETWEEN c.m + 1 AND c.ue
+        AND x.value < c.sval
+GROUP BY c.user_id, c.rn, c.start_ts, c.start_tie, c.m""")
+elif mode == "lazy":
+    # q171 `S B{2,}?`: the shortest admissible run is EXACTLY two rising rows
+    con.execute("""
+CREATE TEMP TABLE cand AS
+SELECT s.user_id, s.rn, s.ts AS start_ts, s.event_id AS start_tie,
+       s.rn AS m, s.rn + 2 AS e
+FROM r s
+JOIN ure u ON u.user_id = s.user_id AND u.rn = s.rn + 1
+WHERE u.run_end >= s.rn + 2""")
+elif mode == "selffirst":
+    con.execute("""
+CREATE TEMP TABLE cand AS
+SELECT s.user_id, s.rn, s.ts AS start_ts, s.event_id AS start_tie,
+       s.rn AS m, max(x.rn) AS e
+FROM r s
+JOIN ure u ON u.user_id = s.user_id AND u.rn = s.rn + 1
+JOIN r f ON f.user_id = s.user_id AND f.rn = s.rn + 1
+JOIN r x ON x.user_id = s.user_id AND x.rn BETWEEN s.rn + 1 AND u.run_end
+        AND x.value < 1.5 * f.value
+GROUP BY s.user_id, s.rn, s.ts, s.event_id""")
+else:
+    con.execute("""
 CREATE TEMP TABLE cand AS
 SELECT s.user_id, s.rn, s.ts AS start_ts, s.event_id AS start_tie,
        d.run_end AS m, u.run_end AS e
 FROM r s
 JOIN dre d ON d.user_id = s.user_id AND d.rn = s.rn + 1
 JOIN ure u ON u.user_id = s.user_id AND u.rn = d.run_end + 1""")
-
-# next(c): smallest candidate rn past the skip point of the same key —
-# skip-past resumes AFTER the match (rn >= e+1, q164/q165); SKIP TO LAST U
-# resumes AT the peak row (rn >= e, q167). ASOF picks the GREATEST right
-# <= left, so negate both sides to get the smallest >=.
-mode = sys.argv[3] if len(sys.argv) > 3 else "skippast"
 resume = "c.e" if mode == "tolast" else "(c.e + 1)"
 con.execute(f"""
 CREATE TEMP TABLE jump AS
@@ -104,6 +143,32 @@ FINALS_TOLAST = {
         SELECT sel.user_id, start_ts AS match_start_ts, re.ts AS match_end_ts, start_tie,
                row_number() OVER (PARTITION BY sel.user_id ORDER BY sel.rn) AS match_seq
         FROM sel
+        JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e""",
+}
+
+FINALS_XVAR = {
+    "q169_match_xvar_cap": """
+        SELECT sel.user_id, start_ts AS match_start_ts, re.ts AS match_end_ts, start_tie,
+               rm.value AS bottom_value, re.value AS top_value
+        FROM sel
+        JOIN r rm ON rm.user_id = sel.user_id AND rm.rn = sel.m
+        JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e""",
+}
+
+FINALS_LAZY = {
+    "q171_match_reluctant": """
+        SELECT sel.user_id, start_ts AS match_start_ts, re.ts AS match_end_ts, start_tie,
+               re.value AS top_value
+        FROM sel
+        JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e""",
+}
+
+FINALS_SELFFIRST = {
+    "q170_match_self_first": """
+        SELECT sel.user_id, start_ts AS match_start_ts, re.ts AS match_end_ts, start_tie,
+               rf.value AS first_up, re.value AS top_value
+        FROM sel
+        JOIN r rf ON rf.user_id = sel.user_id AND rf.rn = sel.rn + 1
         JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e""",
 }
 
@@ -154,8 +219,10 @@ def fingerprint(rel, cols_types):
     return con.execute(f"SELECT count(*), sum(CAST(hash({exprs}) AS HUGEINT)) "
                        f"FROM ({rel})").fetchone()
 
+MODE_FINALS = {"tolast": FINALS_TOLAST, "xvar": FINALS_XVAR,
+               "selffirst": FINALS_SELFFIRST, "lazy": FINALS_LAZY}
 fails = []
-for name, final in (FINALS_TOLAST if mode == "tolast" else FINALS).items():
+for name, final in MODE_FINALS.get(mode, FINALS).items():
     spark_rel = f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"
     schema = con.execute(f"DESCRIBE {spark_rel}").fetchall()
     cols_types = sorted((row[0], canon_type(row[1])) for row in schema)
@@ -167,6 +234,6 @@ for name, final in (FINALS_TOLAST if mode == "tolast" else FINALS).items():
     else:
         print(f"FAIL     {name}: spark=({gn},{gh}) duckdb=({wn},{wh})", flush=True)
         fails.append(name)
-checked = FINALS_TOLAST if mode == "tolast" else FINALS
+checked = MODE_FINALS.get(mode, FINALS)
 print(f"\n{len(checked) - len(fails)}/{len(checked)} queries match")
 sys.exit(1 if fails else 0)
