@@ -142,9 +142,27 @@ object MatchRecognize {
            tokens: Seq[MrTok], defs: Seq[Column], withinMicros: Option[Long],
            skip: Skip, allRows: Boolean, measureCols: Seq[String],
            aggSpecs: Seq[Seq[(String, String)]] = Seq.empty,
-           dynDefs: Seq[Option[String]] = Seq.empty): DataFrame = {
+           dynDefs: Seq[Option[String]] = Seq.empty,
+           offsetMeasures: Seq[(Int, Boolean, Int)] = Seq.empty,
+           runningStructs: Boolean = false): DataFrame = {
+    // RUNNING measure semantics under ALL ROWS (r10): per emitted row,
+    // __mr_run_first_<v>/__mr_run_last_<v> hold the variable's first/last
+    // matched row AT OR BEFORE that row — NULL while the variable hasn't
+    // matched yet. The match-level __mr_first/__mr_last structs stay FINAL.
+    require(!runningStructs || (allRows && measureCols.nonEmpty),
+      "runningStructs needs ALL ROWS PER MATCH and measureCols")
     require(aggSpecs.isEmpty || aggSpecs.size == tokens.size,
       "aggSpecs must align with tokens (or be empty)")
+    // Flink's logical-offset navigation in MEASURES — FIRST(A.c, k)/LAST(A.c,
+    // k): each distinct (token, isFirst, k>0) emits one additional
+    // __mr_off_<f|l><k>_<var> struct over the measure columns; out-of-run
+    // offsets are NULL structs
+    offsetMeasures.foreach { case (t, _, k) =>
+      require(t >= 0 && t < tokens.size, s"offset measure for unknown token index $t")
+      require(k >= 1, s"offset measure needs k >= 1, got $k (k = 0 is the plain FIRST/LAST)")
+      require(measureCols.nonEmpty, "offset measures need measureCols") }
+    require(offsetMeasures.distinct.size == offsetMeasures.size,
+      "duplicate offset-measure specs")
     require(dynDefs.isEmpty || dynDefs.size == tokens.size,
       "dynDefs must align with tokens (or be empty)")
     // cross-variable DEFINE conditions (r10): compiled once at plan time
@@ -240,13 +258,23 @@ object MatchRecognize {
           StructField(s"__mr_first_${t.name}", mStruct, nullable = true),
           StructField(s"__mr_last_${t.name}", mStruct, nullable = true)))
         else Nil) ++
+        offsetMeasures.map { case (t, isFirst, k) =>
+          StructField(s"__mr_off_${if (isFirst) "f" else "l"}${k}_${tokens(t).name}",
+            mStruct, nullable = true) } ++
+        (if (runningStructs) tokens.flatMap(t => Seq(
+          StructField(s"__mr_run_first_${t.name}", mStruct, nullable = true),
+          StructField(s"__mr_run_last_${t.name}", mStruct, nullable = true)))
+        else Nil) ++
         tokens.indices.flatMap(i => aggStructTypes(i).map(t =>
           StructField(s"__mr_agg_${tokens(i).name}", t, nullable = false))) ++
         Seq(StructField("__mr_len", LongType, nullable = false),
           StructField("__mr_seq", LongType, nullable = false)) ++
         (if (allRows) Seq(StructField("__mr_var", StringType, nullable = false)) else Nil))
     val outArity = outSchema.fields.length
-    val lenPos = nOrig + (if (hasMeasures) 2 * tokens.size else 0) + nAggStructs
+    val lenPos = nOrig + (if (hasMeasures) 2 * tokens.size else 0) +
+      offsetMeasures.size + (if (runningStructs) 2 * tokens.size else 0) + nAggStructs
+    val offSpecArr: Array[(Int, Boolean, Int)] = offsetMeasures.toArray
+    val emitRunning = runningStructs
     // per token: (fn, input field index or -1 for "*")
     val aggIdxArr: Array[Array[(String, Int)]] = aggs.map(_.map { case (fn, c) =>
       (fn, if (c == "*") -1 else inSchema.fieldIndex(c)) }.toArray).toArray
@@ -311,18 +339,21 @@ object MatchRecognize {
           var curRow: Row = _
           var self = 0
           var runStart = 0
+          var candPos = 0
           var countsRef: Array[Int] = _
           def cur: Row = curRow
           def rowAt(pos: Int): Row = buf.get(base + pos)
           def selfTok: Int = self
           def selfRunStart: Int = runStart
+          def selfPos: Int = candPos
           def starts: Array[Int] = dynStarts
           def counts: Array[Int] = countsRef
         }
-        private def dynOk(r: Row, t: Int, runStart: Int): Boolean = {
+        private def dynOk(r: Row, t: Int, runStart: Int, pos: Int): Boolean = {
           val d = dynArr(t)
           d == null || {
             dynCtx.curRow = r; dynCtx.self = t; dynCtx.runStart = runStart
+            dynCtx.candPos = pos
             d.holds(dynCtx)
           }
         }
@@ -342,7 +373,7 @@ object MatchRecognize {
             dynStarts(t) = pos
             var c = 0
             while (c < hiArr(t) && ensure(pos + c) && defOk(rowAt(pos + c), t) &&
-              dynOk(rowAt(pos + c), t, pos) &&
+              dynOk(rowAt(pos + c), t, pos, pos + c) &&
               (!hasWithin || micros(rowAt(pos + c).get(tsIdx)) - startUs <= withinUs)) c += 1
             if (relArr(t)) { // reluctant: shortest first (Flink's lazy forms)
               var k = loArr(t)
@@ -370,7 +401,8 @@ object MatchRecognize {
           Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
         }
 
-        private def mk(src: Row, structVals: Array[Any], aggVals: Array[Any],
+        private def mk(src: Row, structVals: Array[Any], offVals: Array[Any],
+                       runVals: Array[Any], aggVals: Array[Any],
                        len: Long, seq: Long, cls: String): Row = {
           val vals = new Array[Any](outArity)
           var i = 0
@@ -380,6 +412,16 @@ object MatchRecognize {
             var j = 0
             while (j < structVals.length) { vals(base + j) = structVals(j); j += 1 }
             base += structVals.length
+          }
+          if (offVals != null) {
+            var j = 0
+            while (j < offVals.length) { vals(base + j) = offVals(j); j += 1 }
+            base += offVals.length
+          }
+          if (runVals != null) {
+            var j = 0
+            while (j < runVals.length) { vals(base + j) = runVals(j); j += 1 }
+            base += runVals.length
           }
           if (aggVals != null) {
             var j = 0
@@ -455,6 +497,18 @@ object MatchRecognize {
               p += counts(t); t += 1
             }
           }
+          val offVals: Array[Any] =
+            if (offSpecArr.isEmpty) null
+            else {
+              val starts = new Array[Int](n) // token run starts within the match
+              var p = 0; var t = 0
+              while (t < n) { starts(t) = p; p += counts(t); t += 1 }
+              offSpecArr.map { case (tk, isFirst, k) =>
+                val c = counts(tk)
+                if (c <= k) null // run shorter than the offset → NULL struct
+                else projMeasure(rowAt(starts(tk) + (if (isFirst) k else c - 1 - k)))
+              }
+            }
           val aggVals: Array[Any] =
             if (nAggStructs == 0) null
             else {
@@ -466,12 +520,37 @@ object MatchRecognize {
               }
               av
             }
-          if (!emitAll) out.enqueue(mk(rowAt(0), structVals, aggVals, len, seq, null))
+          if (!emitAll) out.enqueue(mk(rowAt(0), structVals, offVals, null, aggVals, len, seq, null))
           else {
+            val starts = new Array[Int](n)
+            if (emitRunning) {
+              var p = 0; var t = 0
+              while (t < n) { starts(t) = p; p += counts(t); t += 1 }
+            }
             var pos = 0; var t = 0
             while (t < n) {
               var c = 0
-              while (c < counts(t)) { out.enqueue(mk(rowAt(pos), structVals, aggVals, len, seq, nameArr(t))); pos += 1; c += 1 }
+              while (c < counts(t)) {
+                val runVals: Array[Any] =
+                  if (!emitRunning) null
+                  else {
+                    // the standard's RUNNING view at this row: a variable's
+                    // first/last matched row AT OR BEFORE pos, NULL before
+                    // its run begins
+                    val rv = new Array[Any](2 * n)
+                    var u = 0
+                    while (u < n) {
+                      if (counts(u) > 0 && starts(u) <= pos) {
+                        rv(2 * u) = projMeasure(rowAt(starts(u)))
+                        rv(2 * u + 1) = projMeasure(rowAt(math.min(pos, starts(u) + counts(u) - 1)))
+                      }
+                      u += 1
+                    }
+                    rv
+                  }
+                out.enqueue(mk(rowAt(pos), structVals, offVals, runVals, aggVals, len, seq, nameArr(t)))
+                pos += 1; c += 1
+              }
               t += 1
             }
           }

@@ -50,8 +50,11 @@ object MrConditions {
   private sealed trait Ex
   private case class Lit(v: Any) extends Ex
   private case class Col(idx: Int) extends Ex // candidate row's column
-  /** kind: 0 = FIRST, 1 = LAST/bare (running last). */
-  private case class VarCol(tok: Int, kind: Int, idx: Int) extends Ex
+  /** kind: 0 = FIRST, 1 = LAST/bare (running last); `off` = Flink's logical
+    * occurrence offset (`FIRST(A.c, k)` = the (k+1)-th matched row, `LAST(A.c,
+    * k)` = k back from the last; out-of-run → NULL).
+    */
+  private case class VarCol(tok: Int, kind: Int, idx: Int, off: Int = 0) extends Ex
   private case class Un(op: String, e: Ex) extends Ex // NOT, NEG, ISNULL, ISNOTNULL
   private case class Bin(op: String, l: Ex, r: Ex) extends Ex
 
@@ -65,6 +68,10 @@ object MrConditions {
     def rowAt(pos: Int): Row
     def selfTok: Int
     def selfRunStart: Int
+    /** The candidate row's buffer position (= the self run's last position
+      * under RUNNING semantics — offset navigation needs it).
+      */
+    def selfPos: Int
     def starts: Array[Int]
     def counts: Array[Int]
   }
@@ -94,17 +101,19 @@ object MrConditions {
   private def eval(e: Ex, ctx: Ctx): Any = e match {
     case Lit(v) => v
     case Col(i) => get(ctx.cur, i)
-    case VarCol(tok, kind, i) =>
+    case VarCol(tok, kind, i, off) =>
       val self = ctx.selfTok
       if (tok > self) null // forward reference: nothing matched yet
       else if (tok == self) {
-        if (kind == 1) get(ctx.cur, i) // running LAST = the candidate row
-        else get(ctx.rowAt(ctx.selfRunStart), i) // FIRST = this run's first row
+        // running semantics: the run so far is [selfRunStart, selfPos]
+        val p = if (kind == 1) ctx.selfPos - off else ctx.selfRunStart + off
+        if (p < ctx.selfRunStart || p > ctx.selfPos) null // offset past the run
+        else get(ctx.rowAt(p), i)
       } else {
         val c = ctx.counts(tok)
-        if (c <= 0) null // empty earlier run (e.g. B{0,}) → NULL
-        else if (kind == 0) get(ctx.rowAt(ctx.starts(tok)), i)
-        else get(ctx.rowAt(ctx.starts(tok) + c - 1), i)
+        if (c <= off) null // empty/short earlier run → NULL
+        else if (kind == 0) get(ctx.rowAt(ctx.starts(tok) + off), i)
+        else get(ctx.rowAt(ctx.starts(tok) + c - 1 - off), i)
       }
     case Un("NOT", x) => eval(x, ctx) match {
       case b: java.lang.Boolean => java.lang.Boolean.valueOf(!b.booleanValue())
@@ -375,10 +384,20 @@ object MrConditions {
       while (pos < src.length && isIdentChar(src.charAt(pos))) pos += 1
       val c = src.substring(cstart, pos)
       ws()
+      // optional Flink logical offset: FIRST(A.c, k) / LAST(A.c, k)
+      var off = 0
+      if (peek == ',') {
+        pos += 1; ws()
+        val nstart = pos
+        while (pos < src.length && src.charAt(pos).isDigit) pos += 1
+        if (pos == nstart) fail(s"$kind() offset must be a non-negative integer literal")
+        off = src.substring(nstart, pos).toInt
+        ws()
+      }
       if (peek != ')') fail(s"expected ')' closing $kind()")
       pos += 1
       val tok = varIdx.getOrElse(v, fail(s"$kind() over unknown pattern variable '$v'"))
-      VarCol(tok, if (kind == "FIRST") 0 else 1, colIdx(c))
+      VarCol(tok, if (kind == "FIRST") 0 else 1, colIdx(c), off)
     }
     private def colIdx(c: String): Int =
       try schema.fieldIndex(c)

@@ -4090,6 +4090,83 @@ FROM n"""))
     FROM sel
     JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e"""))
 
+  private val q172 = Q("q172_match_nav_offsets", (s, dir) => {
+    // FIRST/LAST logical occurrence offsets in MEASURES (Flink's
+    // `FIRST(A.c, k)` navigation, r10): the k-th row of a variable's matched
+    // run, NULL past the run — here the SECOND rising row and the
+    // next-to-last falling row of each ticker match, on the NFA scan route.
+    t(s, dir, "events").createOrReplaceTempView("events_mr_nav")
+    graft.sql.SqlFrontend.execute(s, """
+      SELECT * FROM events_mr_nav MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES
+          FIRST(S.ts) AS match_start_ts,
+          FIRST(S.event_id) AS start_tie,
+          FIRST(U.value, 1) AS second_up,
+          LAST(D.value, 1) AS before_bottom,
+          LAST(U.ts) AS match_end_ts
+        ONE ROW PER MATCH
+        PATTERN (S D+ U+)
+        DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
+      )""")
+      .select(col("user_id"),
+        col("match_start_ts").cast("timestamp_ntz").as("match_start_ts"),
+        col("match_end_ts").cast("timestamp_ntz").as("match_end_ts"),
+        col("start_tie"), col("second_up"), col("before_bottom"))
+  }, Some(s"""
+    WITH RECURSIVE $MR_RUNS, $MR_TICKER_SEL,
+      -- NULL-target equi-joins (never an expression+filter mix in ON: DuckDB
+      -- plans that as an inequality join — the sf10 checker lesson)
+      s2 AS (SELECT *,
+                    CASE WHEN m + 2 <= e THEN m + 2 END AS su_rn,
+                    CASE WHEN m - 1 >= rn + 1 THEN m - 1 END AS bb_rn
+             FROM sel)
+    SELECT s2.user_id, start_ts AS match_start_ts, re.ts AS match_end_ts, start_tie,
+           su.value AS second_up, bb.value AS before_bottom
+    FROM s2
+    JOIN r re ON re.user_id = s2.user_id AND re.rn = s2.e
+    LEFT JOIN r su ON su.user_id = s2.user_id AND su.rn = s2.su_rn
+    LEFT JOIN r bb ON bb.user_id = s2.user_id AND bb.rn = s2.bb_rn"""))
+
+  private val q173 = Q("q173_match_running", (s, dir) => {
+    // RUNNING measure semantics under ALL ROWS (r10 — the standard's
+    // per-output-row view, opt-in by keyword; unmarked measures stay FINAL,
+    // the documented default): each emitted row sees the match only up to
+    // itself — NULL before a variable's run begins.
+    t(s, dir, "events").createOrReplaceTempView("events_mr_run")
+    graft.sql.SqlFrontend.execute(s, """
+      SELECT * FROM events_mr_run MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES
+          CLASSIFIER() AS cls,
+          RUNNING LAST(D.value) AS run_bottom,
+          RUNNING LAST(U.value) AS run_top,
+          LAST(U.value) AS final_top
+        ALL ROWS PER MATCH
+        PATTERN (S D+ U+)
+        DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
+      )""")
+      .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_id"), col("value"), col("cls"),
+        col("run_bottom"), col("run_top"), col("final_top"))
+  }, Some(s"""
+    WITH RECURSIVE $MR_RUNS, $MR_TICKER_SEL,
+      rows0 AS (SELECT s.user_id, s.rn AS srn, s.m, s.e, r.rn, r.ts, r.event_id, r.value
+                FROM sel s JOIN r ON r.user_id = s.user_id AND r.rn BETWEEN s.rn AND s.e),
+      -- running LAST(D) at row rn = value at least(rn, m) once D has begun
+      -- (NULL-target equi-join, the q172 oracle discipline)
+      rows1 AS (SELECT *, CASE WHEN rn >= srn + 1 THEN least(rn, m) END AS rd_rn FROM rows0)
+    SELECT w.user_id, w.ts, w.event_id, w.value,
+           CASE WHEN w.rn = w.srn THEN 'S' WHEN w.rn <= w.m THEN 'D' ELSE 'U' END AS cls,
+           rd.value AS run_bottom,
+           CASE WHEN w.rn > w.m THEN w.value END AS run_top,
+           re.value AS final_top
+    FROM rows1 w
+    LEFT JOIN r rd ON rd.user_id = w.user_id AND rd.rn = w.rd_rn
+    JOIN r re ON re.user_id = w.user_id AND re.rn = w.e"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -4107,7 +4184,7 @@ FROM n"""))
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
-    q164, q165, q166, q167, q168, q169, q170, q171)
+    q164, q165, q166, q167, q168, q169, q170, q171, q172, q173)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

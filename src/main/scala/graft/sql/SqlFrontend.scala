@@ -1079,18 +1079,22 @@ object SqlFrontend {
               "(physical navigation has no single current row in MEASURES)")
           }
         })
-      val marked = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*\\)".r
+      // optional trailing integer = Flink's logical occurrence offset
+      // (FIRST(A.c, k) = the (k+1)-th occurrence, LAST(A.c, k) = k back from
+      // the last); the RUNNING list for the variable being DEFINEd ends at
+      // the candidate row, and an out-of-run offset is NULL
+      val marked = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
         .replaceAllIn(nav, mm => java.util.regex.Matcher.quoteReplacement {
           val (kind, v, c) = (mm.group(1).toUpperCase, mm.group(2), mm.group(3))
+          val k = Option(mm.group(4)).map(_.toInt).getOrElse(0)
           if (!idx.contains(v)) mm.matched
-          else self match {
-            case Some((sv, off)) if sv == v =>
-              if (kind == "LAST") at(c, off) // running LAST includes the candidate row
-              else at(c, visible(v).headOption.getOrElse(off))
-            case _ => visible(v) match {
-              case Nil => "NULL"
-              case occ => at(c, if (kind == "FIRST") occ.head else occ.last)
+          else {
+            val occ = self match {
+              case Some((sv, off)) if sv == v => visible(v) :+ off
+              case _ => visible(v)
             }
+            occ.lift(if (kind == "FIRST") k else occ.size - 1 - k)
+              .map(at(c, _)).getOrElse("NULL")
           }
         })
       "\\b(\\w+)\\.(\\w+)\\b".r.replaceAllIn(marked, mm =>
@@ -1109,13 +1113,23 @@ object SqlFrontend {
     def splitTop(s: String): Seq[String] =
       splitTopLevelCommas(s).map(_.trim).filter(_.nonEmpty)
 
-    val measureSrc = clause("(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW|ALL\\s+ROWS|AFTER\\s+MATCH|PATTERN\\b)")
+    val measureSrcParsed = clause("(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW|ALL\\s+ROWS|AFTER\\s+MATCH|PATTERN\\b)")
       .map(splitTop).getOrElse(Seq.empty)
       .map { e =>
         val am = "(?is)^(.*?)\\s+AS\\s+(\\w+)\\s*$".r.findFirstMatchIn(e)
           .getOrElse(sys.error(s"MATCH_RECOGNIZE measure needs 'expr AS alias': $e"))
         (am.group(1), am.group(2))
       }
+    // the standard's RUNNING|FINAL measure-semantics keywords: under ALL ROWS
+    // a RUNNING measure sees the match only up to the CURRENT output row
+    // (r10 — the scan's __mr_run_* structs); under ONE ROW the output point
+    // is the final row, where RUNNING ≡ FINAL, so both keywords strip to the
+    // default there. Our ALL-ROWS default stays FINAL (documented deviation;
+    // the standard defaults to RUNNING) — the keyword opts in per measure.
+    val measureRunning: Seq[Boolean] = measureSrcParsed.map { case (e, _) =>
+      "(?is)^\\s*RUNNING\\b".r.findFirstIn(e).isDefined && allRowsPerMatch }
+    val measureSrc = measureSrcParsed.map { case (e, a) =>
+      ("(?is)^\\s*(?:RUNNING|FINAL)\\b\\s*".r.replaceFirstIn(e, ""), a) }
     val defineSrc: Map[String, String] = clause("(?is)DEFINE\\s+(.*)$")
       .map(splitTop).getOrElse(Seq.empty)
       .map { d =>
@@ -1289,11 +1303,14 @@ object SqlFrontend {
       // MEASURES read the FULL match (final semantics): FIRST/LAST/bare refs
       // become fields of the scan's __mr_first_<v>/__mr_last_<v> structs;
       // CLASSIFIER() (ALL ROWS only) is the scan's per-row variable label
-      def scanMeasure(e0: String): String = {
+      def scanMeasure(e0: String, running: Boolean = false): String = {
         "(?i)\\b(PREV|NEXT)\\s*\\(\\s*(\\w+)\\.".r.findFirstMatchIn(e0)
           .filter(mm => idx.contains(mm.group(2)))
           .foreach(mm => sys.error(s"MATCH_RECOGNIZE: ${mm.group(1).toUpperCase}() is " +
             "DEFINE-only (physical navigation has no single current row in MEASURES)"))
+        if (running) AggRe.findAllMatchIn(e0).filter(mm => idx.contains(mm.group(2)))
+          .foreach(mm => sys.error("MATCH_RECOGNIZE: RUNNING aggregates are not supported — " +
+            s"use FINAL (the default) for ${mm.matched}"))
         // aggregate measures over a variable's matched rows → the scan's
         // __mr_agg_<v> struct; avg = one deterministic double division of the
         // exact decimal sum by the non-null count
@@ -1319,15 +1336,25 @@ object SqlFrontend {
           require(allRowsPerMatch, "MATCH_RECOGNIZE: CLASSIFIER() requires ALL ROWS PER MATCH")
           "__mr_var"
         })
-        val fl = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*\\)".r
+        val fl = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
           .replaceAllIn(cls, mm => java.util.regex.Matcher.quoteReplacement {
             val (kind, vv, c) = (mm.group(1).toLowerCase, mm.group(2), mm.group(3))
-            if (!idx.contains(vv)) mm.matched else s"__mr_${kind}_$vv.$c"
+            val k = Option(mm.group(4)).map(_.toInt).getOrElse(0)
+            if (!idx.contains(vv)) mm.matched
+            else if (running) {
+              require(k == 0, "MATCH_RECOGNIZE: RUNNING with a logical offset is not " +
+                s"supported — drop RUNNING or the offset in ${mm.matched}")
+              s"__mr_run_${kind}_$vv.$c" // per-output-row running struct
+            }
+            else if (k == 0) s"__mr_${kind}_$vv.$c" // plain FIRST/LAST struct (FINAL)
+            else s"__mr_off_${kind.take(1)}${k}_$vv.$c" // logical-offset struct
           })
         "\\b(\\w+)\\.(\\w+)\\b".r.replaceAllIn(fl, mm =>
           java.util.regex.Matcher.quoteReplacement {
             val (vv, c) = (mm.group(1), mm.group(2))
-            if (!idx.contains(vv)) mm.matched else s"__mr_last_$vv.$c"
+            if (!idx.contains(vv)) mm.matched
+            else if (running) s"__mr_run_last_$vv.$c"
+            else s"__mr_last_$vv.$c"
           })
       }
       measureSrc.foreach { case (_, a) => require(!a.startsWith("__mr_"),
@@ -1338,6 +1365,14 @@ object SqlFrontend {
           s"MATCH_RECOGNIZE: ALL ROWS PER MATCH emits every input column; measure alias '$a' collides") }
       val toks = varSpecs.map { case (nm, lo, hi, rel) =>
         graft.operators.MatchRecognize.MrTok(nm, lo, hi, rel) }
+      // logical-offset FIRST/LAST measures → extra per-(var, kind, k) structs
+      val OffRe = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*,\\s*(\\d+)\\s*\\)".r
+      val offsetSpecs: Seq[(Int, Boolean, Int)] = measureSrc.flatMap { case (e, _) =>
+        OffRe.findAllMatchIn(e).flatMap { mm =>
+          val (kind, v, k) = (mm.group(1).toUpperCase, mm.group(2), mm.group(4).toInt)
+          if (!idx.contains(v) || k == 0) None else Some((idx(v), kind == "FIRST", k))
+        }
+      }.distinct
       // aggregate fields each variable's __mr_agg struct must carry
       val aggSpecs: Seq[Seq[(String, String)]] = {
         val byVar = scala.collection.mutable.Map
@@ -1376,8 +1411,10 @@ object SqlFrontend {
         input2, partCols.map(org.apache.spark.sql.functions.expr),
         ordCols.map(org.apache.spark.sql.functions.expr), ord, toks, defs,
         withinMicros, scanSkip, allRowsPerMatch, measureColNames,
-        if (aggSpecs.forall(_.isEmpty)) Seq.empty else aggSpecs, dynDefs)
-      val measures = measureSrc.map { case (e, a) => s"${scanMeasure(e)} AS $a" }
+        if (aggSpecs.forall(_.isEmpty)) Seq.empty else aggSpecs, dynDefs, offsetSpecs,
+        runningStructs = measureRunning.exists(identity))
+      val measures = measureSrc.zip(measureRunning).map { case ((e, a), running) =>
+        s"${scanMeasure(e, running)} AS $a" }
       // ALL ROWS emits every input column (the standard's shape); ONE ROW the
       // partition key plus measures — both from the match rows the scan kept
       val baseCols = if (allRowsPerMatch) input.columns.toSeq else partCols

@@ -424,6 +424,74 @@ class MatchRecognizeScanSpec extends SparkSpec {
     assert(greedy.exceptAll(scanPath).count() > 0, "lazy must diverge from greedy here")
   }
 
+  test("FIRST/LAST logical offsets in MEASURES: k-th occurrence, NULL past the run, both routes") {
+    ticker.createOrReplaceTempView("mr_ticker")
+    // scan route (unbounded): k1 match S@1 D=[8,7] U=[9,12]
+    val rs = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(S.id) AS start_id, FIRST(U.v, 1) AS second_up,
+        |           LAST(D.v, 1) AS before_bottom, LAST(U.v, 9) AS way_back
+        |  ONE ROW PER MATCH
+        |  PATTERN (S D+ U+)
+        |  DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v)
+        |)""".stripMargin).collect()
+    assert(rs.length == 1)
+    val r = rs.head
+    assert(r.getAs[Long]("start_id") == 1L)
+    assert(r.getAs[Double]("second_up") == 12.0, "FIRST(U.v, 1) = the SECOND U row")
+    assert(r.getAs[Double]("before_bottom") == 8.0, "LAST(D.v, 1) = one back from the last D")
+    assert(r.isNullAt(r.fieldIndex("way_back")), "offset past the run is NULL")
+
+    // bounded route (lead()-CASE) computes the same offsets
+    val rb = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(S.id) AS start_id, FIRST(U.v, 1) AS second_up,
+        |           LAST(D.v, 1) AS before_bottom, LAST(U.v, 9) AS way_back
+        |  ONE ROW PER MATCH
+        |  PATTERN (S D{1,3} U{1,3})
+        |  DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v)
+        |)""".stripMargin).collect()
+    assert(rb.length == 1 && rb.head.getAs[Double]("second_up") == 12.0 &&
+      rb.head.getAs[Double]("before_bottom") == 8.0 &&
+      rb.head.isNullAt(rb.head.fieldIndex("way_back")),
+      s"bounded-route offsets diverged: ${rb.mkString(", ")}")
+  }
+
+  test("RUNNING measures under ALL ROWS: per-output-row view; FINAL stays the default") {
+    ticker.createOrReplaceTempView("mr_ticker")
+    val rs = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES CLASSIFIER() AS cls, RUNNING LAST(D.v) AS run_bottom,
+        |           RUNNING LAST(U.v) AS run_top, LAST(U.v) AS fin_top
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S D+ U+)
+        |  DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v)
+        |)""".stripMargin)
+      .filter(col("k") === "k1").orderBy("id").collect()
+    // k1 match rows 1..5 (S@1, D@2:8, D@3:7, U@4:9, U@5:12)
+    assert(rs.length == 5)
+    def d(r: org.apache.spark.sql.Row, c: String): Option[Double] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Double](c))
+    assert(rs.map(d(_, "run_bottom")).toSeq ==
+      Seq(None, Some(8.0), Some(7.0), Some(7.0), Some(7.0)),
+      "RUNNING LAST(D.v): NULL before D starts, then the last D row so far")
+    assert(rs.map(d(_, "run_top")).toSeq ==
+      Seq(None, None, None, Some(9.0), Some(12.0)),
+      "RUNNING LAST(U.v): NULL until U starts, then grows per row")
+    assert(rs.forall(_.getAs[Double]("fin_top") == 12.0),
+      "unmarked measures stay FINAL (the documented default)")
+    // RUNNING aggregates are a loud refusal, not a silent FINAL
+    val err = intercept[RuntimeException](SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES RUNNING sum(U.v) AS s ALL ROWS PER MATCH
+        |  PATTERN (S U+) DEFINE U AS U.v > PREV(U.v))""".stripMargin))
+    assert(err.getMessage.contains("RUNNING aggregates"), err.getMessage)
+  }
+
   test("interpreter surface limits stay loud; empty-run references are NULL (no match)") {
     ticker.createOrReplaceTempView("mr_ticker")
     // unsupported function inside a cross-variable condition → plan-time error

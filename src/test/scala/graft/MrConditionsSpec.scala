@@ -25,6 +25,7 @@ class MrConditionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       def rowAt(pos: Int): Row = rows(pos)
       def selfTok: Int = 2
       def selfRunStart: Int = aCnt + bCnt
+      def selfPos: Int = aCnt + bCnt // run of one: the candidate row itself
       def starts: Array[Int] = Array(0, aCnt, aCnt + bCnt)
       def counts: Array[Int] = Array(aCnt, bCnt, 0)
     }
@@ -47,6 +48,13 @@ class MrConditionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     // empty earlier run and forward references are NULL -> never hold
     val empty = ctx(rows :+ cand, cand, 3, 0)
     assert(!holds("C.v > LAST(B.v)", empty) && !holds("C.v <= LAST(B.v)", empty))
+  }
+
+  test("logical offsets: FIRST/LAST(v.col, k) index the run, NULL past it") {
+    assert(holds("FIRST(B.v, 1) = 3.0 AND LAST(B.v, 1) = 2.0")) // B=[r1, r2]
+    assert(holds("LAST(B.v, 2) IS NULL AND FIRST(B.v, 2) IS NULL")) // run of 2
+    assert(holds("FIRST(C.v, 0) = 5.0 AND LAST(C.v, 1) IS NULL")) // self run of 1
+    assert(holds("FIRST(A.n, 0) = 10 AND LAST(A.n, 0) = 10")) // run of 1: k=0 both ends
   }
 
   test("three-valued logic: NULL propagates through NOT/compare, short-circuits AND/OR") {

@@ -435,21 +435,29 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
         |  PARTITION BY u ORDER BY ts MEASURES A.ts AS s ONE ROW PER MATCH
         |  AFTER MATCH SKIP TO FIRST Z PATTERN (A B) DEFINE A AS A.t = 'view')""".stripMargin))
     assert(e1.getMessage.contains("unknown pattern variable"), e1.getMessage)
-    // unbounded quantifiers route to the NFA scan, whose DEFINEs are
-    // row-local: a cross-variable condition under A+ fails loudly with the
-    // state-a-bound hint instead of mis-evaluating
+    // cross-variable and self-FIRST DEFINEs under unbounded quantifiers run
+    // on the scan's interpreted predicate since r10 (they used to be a loud
+    // state-a-bound refusal) — these parse, plan, and execute
+    SqlFrontend.execute(spark,
+      """SELECT * FROM mr_events MATCH_RECOGNIZE (
+        |  PARTITION BY u ORDER BY ts MEASURES FIRST(A.ts) AS s ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A+ B)
+        |  DEFINE A AS A.t = 'view', B AS B.price > A.price)""".stripMargin).collect()
+    SqlFrontend.execute(spark,
+      """SELECT * FROM mr_events MATCH_RECOGNIZE (
+        |  PARTITION BY u ORDER BY ts MEASURES FIRST(A.ts) AS s ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A{2,} B)
+        |  DEFINE A AS A.t = 'view' AND A.price > FIRST(A.price))""".stripMargin).collect()
+    // the remaining genuine limit stays loud: a condition outside the
+    // MrConditions surface (an unsupported function) under an unbounded
+    // pattern fails at plan time with the bounded-path hint
     val e2 = intercept[Exception](SqlFrontend.execute(spark,
       """SELECT * FROM mr_events MATCH_RECOGNIZE (
         |  PARTITION BY u ORDER BY ts MEASURES FIRST(A.ts) AS s ONE ROW PER MATCH
         |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A+ B)
-        |  DEFINE A AS A.t = 'view', B AS B.price > A.price)""".stripMargin))
-    assert(e2.getMessage.contains("state an upper bound"), e2.getMessage)
-    val e3 = intercept[Exception](SqlFrontend.execute(spark,
-      """SELECT * FROM mr_events MATCH_RECOGNIZE (
-        |  PARTITION BY u ORDER BY ts MEASURES FIRST(A.ts) AS s ONE ROW PER MATCH
-        |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A{2,} B)
-        |  DEFINE A AS A.t = 'view' AND A.price > FIRST(A.price))""".stripMargin))
-    assert(e3.getMessage.contains("state an upper bound"), e3.getMessage)
+        |  DEFINE A AS A.t = 'view', B AS abs(B.price) > A.price)""".stripMargin))
+    assert(e2.getMessage.contains("unsupported function") &&
+      e2.getMessage.contains("state an upper bound"), e2.getMessage)
   }
 
   test("MATCH_RECOGNIZE SKIP PAST LAST ROW selects non-overlapping matches and is the default") {

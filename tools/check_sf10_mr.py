@@ -83,16 +83,30 @@ FROM r s
 JOIN ure u ON u.user_id = s.user_id AND u.rn = s.rn + 1
 WHERE u.run_end >= s.rn + 2""")
 elif mode == "selffirst":
+    # q170's cap is a prefix of a STRICTLY rising island, so "last row below
+    # 1.5x the run's first value" = (first row >= the threshold) - 1 — an
+    # ASOF binary search on value (monotone within the island), not a range
+    # join: the naive BETWEEN form was O(sum of island-suffix pairs) and
+    # burned 14 CPU-hours at sf10 before being killed
+    con.execute("""
+CREATE TEMP TABLE isl AS
+SELECT user_id, rn, value, grp,
+       max(rn) OVER (PARTITION BY user_id, grp) AS isl_end
+FROM (SELECT user_id, rn, value,
+             rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM r WHERE uflag)""")
     con.execute("""
 CREATE TEMP TABLE cand AS
-SELECT s.user_id, s.rn, s.ts AS start_ts, s.event_id AS start_tie,
-       s.rn AS m, max(x.rn) AS e
-FROM r s
-JOIN ure u ON u.user_id = s.user_id AND u.rn = s.rn + 1
-JOIN r f ON f.user_id = s.user_id AND f.rn = s.rn + 1
-JOIN r x ON x.user_id = s.user_id AND x.rn BETWEEN s.rn + 1 AND u.run_end
-        AND x.value < 1.5 * f.value
-GROUP BY s.user_id, s.rn, s.ts, s.event_id""")
+WITH anch AS (SELECT s.user_id, s.rn, s.ts, s.event_id,
+                     f.grp, f.isl_end, 1.5 * f.value AS thr
+              FROM r s
+              JOIN isl f ON f.user_id = s.user_id AND f.rn = s.rn + 1),
+     capped AS (SELECT a.user_id, a.rn, a.ts, a.event_id,
+                       coalesce(x.rn - 1, a.isl_end) AS e_eff
+                FROM anch a ASOF LEFT JOIN isl x
+                  ON x.user_id = a.user_id AND x.grp = a.grp AND -x.value <= -a.thr)
+SELECT user_id, rn, ts AS start_ts, event_id AS start_tie, rn AS m, e_eff AS e
+FROM capped WHERE e_eff >= rn + 1""")
 else:
     con.execute("""
 CREATE TEMP TABLE cand AS
@@ -153,6 +167,38 @@ FINALS_XVAR = {
         FROM sel
         JOIN r rm ON rm.user_id = sel.user_id AND rm.rn = sel.m
         JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e""",
+}
+
+FINALS_NAV = { # q172 rides the same ticker cand/sel as q164 ("nav" mode).
+    # NULL-target equi-joins, not expression conditions in ON: mixing the
+    # equality with a side-local inequality made DuckDB plan an inequality
+    # join (8+ CPU-hours at sf10 before being killed)
+    "q172_match_nav_offsets": """
+        WITH s2 AS (SELECT *,
+                           CASE WHEN m + 2 <= e THEN m + 2 END AS su_rn,
+                           CASE WHEN m - 1 >= rn + 1 THEN m - 1 END AS bb_rn
+                    FROM sel)
+        SELECT s2.user_id, start_ts AS match_start_ts, re.ts AS match_end_ts, start_tie,
+               su.value AS second_up, bb.value AS before_bottom
+        FROM s2
+        JOIN r re ON re.user_id = s2.user_id AND re.rn = s2.e
+        LEFT JOIN r su ON su.user_id = s2.user_id AND su.rn = s2.su_rn
+        LEFT JOIN r bb ON bb.user_id = s2.user_id AND bb.rn = s2.bb_rn""",
+}
+
+FINALS_RUNNING = { # q173 rides the ticker cand/sel ("running" mode)
+    "q173_match_running": """
+        WITH rows0 AS (SELECT s.user_id, s.rn AS srn, s.m, s.e, r.rn, r.ts, r.event_id, r.value
+                       FROM sel s JOIN r ON r.user_id = s.user_id AND r.rn BETWEEN s.rn AND s.e),
+             rows1 AS (SELECT *, CASE WHEN rn >= srn + 1 THEN least(rn, m) END AS rd_rn FROM rows0)
+        SELECT w.user_id, w.ts, w.event_id, w.value,
+               CASE WHEN w.rn = w.srn THEN 'S' WHEN w.rn <= w.m THEN 'D' ELSE 'U' END AS cls,
+               rd.value AS run_bottom,
+               CASE WHEN w.rn > w.m THEN w.value END AS run_top,
+               re.value AS final_top
+        FROM rows1 w
+        LEFT JOIN r rd ON rd.user_id = w.user_id AND rd.rn = w.rd_rn
+        JOIN r re ON re.user_id = w.user_id AND re.rn = w.e""",
 }
 
 FINALS_LAZY = {
@@ -220,7 +266,8 @@ def fingerprint(rel, cols_types):
                        f"FROM ({rel})").fetchone()
 
 MODE_FINALS = {"tolast": FINALS_TOLAST, "xvar": FINALS_XVAR,
-               "selffirst": FINALS_SELFFIRST, "lazy": FINALS_LAZY}
+               "selffirst": FINALS_SELFFIRST, "lazy": FINALS_LAZY,
+               "nav": FINALS_NAV, "running": FINALS_RUNNING}
 fails = []
 for name, final in MODE_FINALS.get(mode, FINALS).items():
     spark_rel = f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"
