@@ -1251,10 +1251,14 @@ object SqlFrontend {
         * self run's FIRST — the parts only the attempt's buffer can answer.
         */
       def needsDyn(cond: String, v: String): Boolean = {
-        val crossFl = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*\\)".r
+        // any cross-variable ref, any FIRST(), or any LOGICAL OFFSET (even
+        // self-LAST: `LAST(B.v, 1)` is a run-relative read only the attempt
+        // buffer can answer) routes the whole condition to the interpreter
+        val crossFl = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
           .findAllMatchIn(cond).exists { mm =>
             val (kind, vv) = (mm.group(1).toUpperCase, mm.group(2))
-            idx.contains(vv) && (vv != v || kind == "FIRST")
+            val k = Option(mm.group(4)).map(_.toInt).getOrElse(0)
+            idx.contains(vv) && (vv != v || kind == "FIRST" || k > 0)
           }
         // strip FIRST/LAST(...) and PREV/NEXT(...) arguments before probing
         // bare qualified refs so their var.col operands don't double-count
@@ -1265,12 +1269,15 @@ object SqlFrontend {
       }
       def localDefine(cond: String, v: String): String = {
         val nav = navRewrite(cond, v, forDyn = false)
-        val marked = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*\\)".r
+        val marked = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
           .replaceAllIn(nav, mm => java.util.regex.Matcher.quoteReplacement {
             val (kind, vv, c) = (mm.group(1).toUpperCase, mm.group(2), mm.group(3))
+            val k = Option(mm.group(4)).map(_.toInt).getOrElse(0)
             if (!idx.contains(vv)) mm.matched
-            else if (vv == v && kind == "LAST") c // running LAST = the candidate row
-            else sys.error(s"unreachable: needsDyn routes $kind($vv.$c) to the interpreter")
+            // running LAST (offset 0) = the candidate row; any other form
+            // was routed to the interpreter by needsDyn
+            else if (vv == v && kind == "LAST" && k == 0) c
+            else sys.error(s"unreachable: needsDyn routes $kind($vv.$c, $k) to the interpreter")
           })
         "\\b(\\w+)\\.(\\w+)\\b".r.replaceAllIn(marked, mm =>
           java.util.regex.Matcher.quoteReplacement {

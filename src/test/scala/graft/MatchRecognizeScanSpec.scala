@@ -459,6 +459,34 @@ class MatchRecognizeScanSpec extends SparkSpec {
       s"bounded-route offsets diverged: ${rb.mkString(", ")}")
   }
 
+  test("self-LAST with a logical offset in DEFINE routes to the interpreter (run-relative read)") {
+    ticker.createOrReplaceTempView("mr_ticker")
+    // LAST(B.v, 1) = the run's PREVIOUS occurrence — NULL on the run's first
+    // row, where the physical PREV() (the S row, runs are contiguous) takes
+    // over. That composite is exactly the PREV() ticker idiom — the
+    // equivalence is the assertion, and it mixes an interpreted offset atom
+    // with a Catalyst-precomputed nav column in ONE condition.
+    val viaOffset = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(S.id) AS start_id, LAST(B.id) AS end_id
+        |  ONE ROW PER MATCH
+        |  PATTERN (S B+)
+        |  DEFINE B AS (LAST(B.v, 1) IS NULL AND B.v > PREV(B.v)) OR B.v > LAST(B.v, 1)
+        |)""".stripMargin).select("k", "start_id", "end_id")
+    val viaPrev = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(S.id) AS start_id, LAST(B.id) AS end_id
+        |  ONE ROW PER MATCH
+        |  PATTERN (S B+)
+        |  DEFINE B AS B.v > PREV(B.v)
+        |)""".stripMargin).select("k", "start_id", "end_id")
+    assert(viaOffset.exceptAll(viaPrev).isEmpty && viaPrev.exceptAll(viaOffset).isEmpty &&
+      viaOffset.count() > 0,
+      "run-relative LAST(B.v, 1) must equal the PREV() ticker idiom on contiguous runs")
+  }
+
   test("RUNNING measures under ALL ROWS: per-output-row view; FINAL stays the default") {
     ticker.createOrReplaceTempView("mr_ticker")
     val rs = SqlFrontend.execute(spark,
