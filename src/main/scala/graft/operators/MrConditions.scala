@@ -55,6 +55,14 @@ object MrConditions {
     * k)` = k back from the last; out-of-run → NULL).
     */
   private case class VarCol(tok: Int, kind: Int, idx: Int, off: Int = 0) extends Ex
+  /** PREV(self.col, n): PHYSICAL navigation, candidate position − n. Only
+    * produced under `allowNav` (the STREAMING route, which cannot precompute
+    * lag() columns — the batch routes rewrite PREV to Catalyst nav columns
+    * before compiling here). Before the buffer's retained range → NULL, the
+    * partition-edge rule; NEXT is refused on this route (an unarrived row is
+    * not a NULL — it would decide starts prematurely).
+    */
+  private case class PrevNav(n: Int, idx: Int) extends Ex
   private case class Un(op: String, e: Ex) extends Ex // NOT, NEG, ISNULL, ISNOTNULL
   private case class Bin(op: String, l: Ex, r: Ex) extends Ex
 
@@ -74,12 +82,17 @@ object MrConditions {
     def selfPos: Int
     def starts: Array[Int]
     def counts: Array[Int]
+    /** Lowest buffer position `rowAt` can answer (physical PREV below it is
+      * NULL — the partition-edge/retention rule). Batch contexts use 0.
+      */
+    def minPos: Int = 0
   }
 
   /** A compiled condition; `holds` is the final TRUE-or-not collapse of the
     * three-valued result (UNKNOWN → false, SQL WHERE semantics).
     */
   final class Compiled private[MrConditions] (root: Ex, val source: String) extends Serializable {
+    private[MrConditions] def rootEx: Ex = root
     def holds(ctx: Ctx): Boolean = eval(root, ctx) match {
       case b: java.lang.Boolean => b.booleanValue()
       case _ => false // null/unknown
@@ -88,13 +101,29 @@ object MrConditions {
 
   /** Parse + resolve `cond` against the input schema. `varIdx` maps pattern
     * variable name → token index; `selfVar` is the variable being DEFINEd.
+    * `allowNav` admits physical `PREV(self.col, n)` as an interpreter atom
+    * (the streaming route — batch rewrites PREV to Catalyst lag() columns
+    * instead); NEXT stays refused there, see [[PrevNav]].
     */
   def compile(cond: String, schema: StructType, varIdx: Map[String, Int],
-              selfVar: String): Compiled = {
+              selfVar: String, allowNav: Boolean = false): Compiled = {
     require(varIdx.contains(selfVar), s"unknown DEFINE variable '$selfVar'")
-    val p = new Parser(cond, schema, varIdx)
+    val p = new Parser(cond, schema, varIdx, if (allowNav) Some(selfVar) else None)
     val ex = p.parseAll()
     new Compiled(ex, cond)
+  }
+
+  /** Maximum physical PREV depth a compiled condition can reach — the
+    * streaming operator's retention margin before the first undecided start.
+    */
+  def maxPrevDepth(c: Compiled): Int = {
+    def walk(e: Ex): Int = e match {
+      case PrevNav(n, _) => n
+      case Un(_, x) => walk(x)
+      case Bin(_, l, r) => math.max(walk(l), walk(r))
+      case _ => 0
+    }
+    walk(c.rootEx)
   }
 
   // ------------------------------------------------------------ evaluation
@@ -115,6 +144,9 @@ object MrConditions {
         else if (kind == 0) get(ctx.rowAt(ctx.starts(tok) + off), i)
         else get(ctx.rowAt(ctx.starts(tok) + c - 1 - off), i)
       }
+    case PrevNav(nBack, i) =>
+      val p = ctx.selfPos - nBack
+      if (p < ctx.minPos) null else get(ctx.rowAt(p), i)
     case Un("NOT", x) => eval(x, ctx) match {
       case b: java.lang.Boolean => java.lang.Boolean.valueOf(!b.booleanValue())
       case _ => null
@@ -234,7 +266,8 @@ object MrConditions {
 
   // --------------------------------------------------------------- parsing
   private final class Parser(src: String, schema: StructType,
-                             varIdx: Map[String, Int]) {
+                             varIdx: Map[String, Int],
+                             navSelf: Option[String] = None) {
     private var pos = 0
     private def fail(msg: String): Nothing =
       sys.error(s"MATCH_RECOGNIZE cross-variable DEFINE: $msg at offset $pos in: $src " +
@@ -352,6 +385,10 @@ object MrConditions {
           case "FALSE" => Lit(java.lang.Boolean.FALSE)
           case "NULL" => Lit(null)
           case "FIRST" | "LAST" => firstLast(name.toUpperCase)
+          case "PREV" if navSelf.isDefined => prevNav()
+          case "NEXT" if navSelf.isDefined =>
+            fail("NEXT() is not available on the streaming route — an unarrived row " +
+              "is not a NULL; use the batch form")
           case _ =>
             ws()
             if (peek == '.') { // var.col or unknown qualifier
@@ -399,6 +436,39 @@ object MrConditions {
       val tok = varIdx.getOrElse(v, fail(s"$kind() over unknown pattern variable '$v'"))
       VarCol(tok, if (kind == "FIRST") 0 else 1, colIdx(c), off)
     }
+    /** `PREV(self.col [, n])` under `navSelf` — physical back-navigation. */
+    private def prevNav(): Ex = {
+      ws()
+      if (peek != '(') fail("expected '(' after PREV")
+      pos += 1
+      ws()
+      val vstart = pos
+      while (pos < src.length && isIdentChar(src.charAt(pos))) pos += 1
+      val v = src.substring(vstart, pos)
+      ws()
+      if (peek != '.') fail("PREV() needs var.col")
+      pos += 1
+      val cstart = pos
+      while (pos < src.length && isIdentChar(src.charAt(pos))) pos += 1
+      val c = src.substring(cstart, pos)
+      ws()
+      var n = 1
+      if (peek == ',') {
+        pos += 1; ws()
+        val nstart = pos
+        while (pos < src.length && src.charAt(pos).isDigit) pos += 1
+        if (pos == nstart) fail("PREV() offset must be a non-negative integer literal")
+        n = src.substring(nstart, pos).toInt
+        ws()
+      }
+      if (peek != ')') fail("expected ')' closing PREV()")
+      pos += 1
+      if (!varIdx.contains(v)) fail(s"PREV() over unknown pattern variable '$v'")
+      if (!navSelf.contains(v))
+        fail(s"PREV() may only navigate the variable being DEFINEd, got PREV($v.$c)")
+      PrevNav(n, colIdx(c))
+    }
+
     private def colIdx(c: String): Int =
       try schema.fieldIndex(c)
       catch { case _: IllegalArgumentException => fail(s"unknown column '$c'") }

@@ -241,18 +241,25 @@ object StreamPlanner {
     s"SELECT ${items.mkString(", ")} FROM ${refs(fromPart)}"
   }
 
-  /** One stage whose FROM carries `MATCH_RECOGNIZE` — the standing-CEP form:
-    * route to [[graft.streaming.StreamingSequenceMatchQ]] (per-key O(maxLen)
-    * state, greedy cross-batch decisions) instead of the batch lead()-window
-    * rewrite, which streams can't run (unbounded window functions).
+  /** One stage whose FROM carries `MATCH_RECOGNIZE` — the standing-CEP form,
+    * routed to a stateful operator instead of the batch lead()-window
+    * rewrite, which streams can't run (unbounded window functions). Two
+    * routes (r10):
     *
-    * Supported subset — the literal-type CEP core, loud errors otherwise:
-    * single PARTITION BY column; DEFINEs of the form `V AS V.col = 'lit'`
-    * (every pattern variable defined, all on ONE column — that column IS the
-    * event-type column); bounded quantifiers; `WITHIN` in whole seconds;
+    *   - literal type DEFINEs (`V AS V.col = 'lit'`, all on one column,
+    *     every variable defined) → [[graft.streaming.StreamingSequenceMatchQ]]
+    *     (type-token state, O(maxLen));
+    *   - any richer predicate — the ticker `PREV()` idiom, cross-variable /
+    *     FIRST() / offset conditions — →
+    *     [[graft.streaming.StreamingMatchRecognize]] (value-buffered state,
+    *     MrConditions-interpreted DEFINEs over ONE numeric column and at
+    *     most one string column of the source; NEXT() refused — an
+    *     unarrived row is not a NULL).
+    *
+    * Shared surface: single PARTITION BY column; the full quantifier grammar
+    * incl. unbounded and reluctant forms; `WITHIN` in whole seconds;
     * MEASURES limited to the first variable's ORDER BY ref (AS alias →
-    * match start) and the last variable's (→ match end). Cross-variable
-    * price-style predicates need the batch form or the DataFrame operator.
+    * match start) and the last variable's (→ match end).
     */
   private def matchRecognizeStage(spark: SparkSession, stageSql: String): DataFrame = {
     import graft.streaming.StreamingSequenceMatchQ
@@ -298,23 +305,26 @@ object StreamPlanner {
       case tok => sys.error(s"unsupported pattern token '$tok'")
     }
     val DefineRe = "(?is)^(\\w+)\\s+AS\\s+(\\w+)\\.(\\w+)\\s*=\\s*'([^']*)'\\s*$".r
-    val defines: Map[String, (String, String)] = clause("(?is)DEFINE\\s+(.*)$")
+    val defSrc: Seq[(String, String)] = clause("(?is)DEFINE\\s+(.*)$")
       .map(SqlFrontend.splitTopLevelCommas(_).map(_.trim)).getOrElse(Seq.empty)
-      .map {
-        case DefineRe(v, v2, c, lit) =>
-          require(v == v2, s"streaming DEFINE must constrain its own variable: '$v AS $v2.$c'")
-          v -> (c, lit)
-        case other => sys.error(s"streaming MATCH_RECOGNIZE supports only literal type DEFINEs " +
-          s"(V AS V.col = 'lit'); got '$other' — use the batch form for richer predicates")
-      }.toMap
-    val typeCols = defines.values.map(_._1).toSet
-    require(typeCols.size == 1,
-      s"streaming MATCH_RECOGNIZE DEFINEs must all test ONE column, got $typeCols")
-    tokens.foreach { case (v, _, _, _) =>
-      require(defines.contains(v), s"pattern variable '$v' has no DEFINE — its type is " +
-        "unconstrained, which the typed streaming operator cannot express") }
-    val typeCol = typeCols.head
-    val qtoks = tokens.map { case (v, lo, hi, rel) => QTok(defines(v)._2, lo, hi, rel) }
+      .map { d =>
+        val dm = "(?is)^(\\w+)\\s+AS\\s+(.*)$".r.findFirstMatchIn(d)
+          .getOrElse(sys.error(s"MATCH_RECOGNIZE DEFINE needs 'VAR AS condition': $d"))
+        dm.group(1) -> dm.group(2).trim
+      }
+    val varNames = tokens.map(_._1).toSet
+    defSrc.foreach { case (v, _) =>
+      require(varNames.contains(v), s"DEFINE for unknown pattern variable '$v'") }
+    // two streaming routes: literal type DEFINEs (`V AS V.col = 'lit'`, all
+    // on one column, every variable defined) ride the typed operator; any
+    // richer predicate (the ticker PREV idiom, cross-variable caps) rides
+    // the VALUE operator — r10, previously a loud batch-only refusal
+    val allLiteral = defSrc.nonEmpty &&
+      defSrc.forall { case (v, c) => s"$v AS $c" match {
+        case DefineRe(v1, v2, _, _) => v1 == v2
+        case _ => false
+      } } && tokens.forall { case (v, _, _, _) => defSrc.exists(_._1 == v) }
+    val valueRoute = !allLiteral
     val withinSeconds = Option(patM.group(2)).map { num =>
       val us = graft.operators.Cumulate.durationMicros(s"$num ${patM.group(3)}")
       require(us % 1000000L == 0, s"WITHIN must be whole seconds, got $us micros")
@@ -360,10 +370,47 @@ object StreamPlanner {
     // watermark delay defaults to the TTL itself — a 0s delay would engage
     // Spark's late-row filter against cross-key event-time skew (r8 ADVICE);
     // 'sql.state-ttl-watermark-delay' tunes it explicitly
-    val matched = StreamingSequenceMatchQ(input, part, typeCol, ord, "__tie",
-      qtoks, withinSeconds, ttlSeconds = ttlSeconds,
-      ttlWatermarkDelay = graft.sources.TableRegistry.stateTtlWatermarkDelay(ttlSeconds),
-      skipPast = skipPast).toDF()
+    val matched = (if (!valueRoute) {
+      val defines = defSrc.map { case (v, c) =>
+        s"$v AS $c" match { case DefineRe(_, _, cc, lit0) => v -> (cc, lit0) }
+      }.toMap
+      val typeCols = defines.values.map(_._1).toSet
+      require(typeCols.size == 1,
+        s"streaming MATCH_RECOGNIZE DEFINEs must all test ONE column, got $typeCols")
+      val qtoks = tokens.map { case (v, lo, hi, rel) => QTok(defines(v)._2, lo, hi, rel) }
+      StreamingSequenceMatchQ(input, part, typeCols.head, ord, "__tie",
+        qtoks, withinSeconds, ttlSeconds = ttlSeconds,
+        ttlWatermarkDelay = graft.sources.TableRegistry.stateTtlWatermarkDelay(ttlSeconds),
+        skipPast = skipPast)
+    } else {
+      // ---- VALUE route: rich predicates on StreamingMatchRecognize (r10).
+      // Referenced columns are read from the conditions; at most one string
+      // (type) and one numeric (value) column of the source, resolved by
+      // the source schema's dtypes
+      val defMap = defSrc.toMap
+      val refCols: Seq[String] = defSrc.flatMap { case (_, c) =>
+        "\\b(\\w+)\\.(\\w+)\\b".r.findAllMatchIn(c)
+          .filter(mm => varNames.contains(mm.group(1))).map(_.group(2)).toSeq
+      }.distinct
+      require(refCols.nonEmpty, "streaming MATCH_RECOGNIZE: value DEFINEs reference no columns")
+      refCols.foreach(c => require(input.columns.contains(c),
+        s"streaming MATCH_RECOGNIZE: DEFINE references unknown column '$c'"))
+      require(!refCols.contains(ord),
+        "streaming MATCH_RECOGNIZE: DEFINEs over the ORDER BY column are not supported")
+      def isNumeric(c: String) = input.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+      val (numCols, strCols) = refCols.partition(isNumeric)
+      require(numCols.size == 1 && strCols.size <= 1,
+        s"streaming MATCH_RECOGNIZE value DEFINEs support ONE numeric column and at most " +
+          s"one string column, got numeric=${numCols.mkString(",")} other=${strCols.mkString(",")}")
+      val toks = tokens.map { case (v, lo, hi, rel) =>
+        graft.operators.MatchRecognize.MrTok(v, lo,
+          if (hi == QTok.Unbounded) None else Some(hi), rel) }
+      val conds = tokens.map { case (v, _, _, _) => defMap.get(v) }
+      graft.streaming.StreamingMatchRecognize(input, part, strCols.headOption, numCols.head,
+        ord, "__tie", toks, conds, withinSeconds, ttlSeconds = ttlSeconds,
+        ttlWatermarkDelay = graft.sources.TableRegistry.stateTtlWatermarkDelay(ttlSeconds),
+        skipPast = skipPast)
+    }).toDF()
     // restore the partition column's ORIGINAL type (the operator keys on its
     // string image) so downstream joins/schemas see what the source declared
     val keyType = input.schema(part).dataType

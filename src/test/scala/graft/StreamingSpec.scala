@@ -546,6 +546,37 @@ class StreamingSpec extends SparkSpec {
       "SQL A+? must equal the streaming operator on the closed stream")
   }
 
+  test("streaming VALUE CEP with a cross-variable cap: buffered-run reads across micro-batches") {
+    import graft.streaming.StreamingMatchRecognize
+    import graft.operators.MatchRecognize.MrTok
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, String, Timestamp, Double)]
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    def ev(m: Int, v: Double) = ("k1", "tick", ts(s"2024-01-01 00:0$m:00"), v)
+    // S D+ U+ with the r10 interpreted cap: U rises only while BELOW the
+    // anchor's value — FIRST(S.v) is a cross-variable read of the attempt's
+    // buffered rows, and the down-run spans the micro-batch boundary
+    val matches = StreamingMatchRecognize(
+      mem.toDF().toDF("u", "t", "ts", "v"), "u", typeCol = None, valueCol = "v",
+      tsCol = "ts", tieCol = "v", // ties never collide in this fixture
+      tokens = Seq(MrTok("S", 1, Some(1)), MrTok("D", 1, None), MrTok("U", 1, None)),
+      defs = Seq(None, Some("D.v < PREV(D.v)"),
+        Some("U.v > PREV(U.v) AND U.v < FIRST(S.v)")),
+      skipPast = true)
+    val q = matches.writeStream.format("memory").queryName("mrv_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(0, 10.0), ev(1, 8.0), ev(2, 7.0)); q.processAllAvailable()
+      assert(spark.table("mrv_sink").isEmpty, "open run must not emit at the batch boundary")
+      mem.addData(ev(3, 9.0), ev(4, 12.0), ev(5, 11.0), ev(6, 13.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mrv_sink").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getInt(4))).toSeq
+    // the cap cuts the rise at 9 (12 >= 10): match = rows 00:00..00:03, len 4
+    assert(got == Seq(("k1", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:03:00"), 4)),
+      got.mkString(";"))
+  }
+
   test("streaming quantified SKIP PAST LAST ROW: younger completions wait; equals batch + SQL") {
     import graft.streaming.StreamingSequenceMatchQ
     import graft.streaming.StreamingSequenceMatchQ.QTok

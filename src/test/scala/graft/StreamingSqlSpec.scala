@@ -252,7 +252,9 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       StatementCatalog.reset()
     }
 
-    // unsupported subsets fail loudly at submission, not silently mis-match
+    // genuinely unsupported subsets still fail loudly at submission (value
+    // DEFINEs themselves route to StreamingMatchRecognize since r10 — see
+    // the ticker CTAS spec below): NEXT() navigation cannot stream
     TableRegistry.createTable(TableRegistry.TableDef("click_events", Some(schema),
       load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
       loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
@@ -261,10 +263,69 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
         |SELECT * FROM click_events MATCH_RECOGNIZE (
         |  PARTITION BY u ORDER BY ts MEASURES A.ts AS s ONE ROW PER MATCH
         |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A B)
-        |  DEFINE A AS A.t = 'view', B AS B.v > A.v)""".stripMargin))
-    assert(e.getMessage.contains("literal type DEFINEs"), e.getMessage)
+        |  DEFINE A AS A.t = 'view', B AS NEXT(B.v) > B.v)""".stripMargin))
+    assert(e.getMessage.contains("NEXT()"), e.getMessage)
     TableRegistry.dropTable("click_events")
     StatementCatalog.reset()
+  }
+
+  test("streaming MATCH_RECOGNIZE value route: the ticker PREV idiom as a standing statement") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(String, String, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("ticker_matches", "ticker_events").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    val schema = mem.toDF().toDF("u", "t", "ts", "v").schema
+    TableRegistry.createTable(TableRegistry.TableDef("ticker_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
+    val mrSql = """
+      |SELECT * FROM %s
+      |  MATCH_RECOGNIZE (
+      |    PARTITION BY u
+      |    ORDER BY ts
+      |    MEASURES FIRST(S.ts) AS start_ts, LAST(U.ts) AS end_ts
+      |    ONE ROW PER MATCH
+      |    PATTERN (S D+ U+)
+      |    DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v)
+      |  )""".stripMargin
+    SqlFrontend.execute(spark, "CREATE TABLE ticker_matches AS" + mrSql.format("ticker_events"))
+    assert(StatementCatalog.status("ticker_matches") == "RUNNING")
+    val q = StatementCatalog.get("ticker_matches").collect {
+      case StatementCatalog.Standing(_, _, query) => query
+    }.getOrElse(fail("value-route MATCH_RECOGNIZE CTAS must register a standing statement"))
+
+    def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
+    // the down-run SPANS the micro-batch boundary: nothing may emit at b1
+    val b1 = Seq(ev(0, 10.0), ev(1, 8.0), ev(2, 7.0))
+    val b2 = Seq(ev(3, 9.0), ev(4, 12.0), ev(5, 11.0), ev(6, 13.0))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(SqlFrontend.execute(spark, "SELECT * FROM ticker_matches").isEmpty,
+        "an open greedy value-run must not emit before a breaking event")
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = SqlFrontend.execute(spark, "SELECT u, start_ts, end_ts FROM ticker_matches")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSeq
+      assert(got == Seq(("k1", Timestamp.valueOf("2024-01-01 00:00:00"),
+        Timestamp.valueOf("2024-01-01 00:04:00"))), got.mkString(";"))
+
+      // closed-stream parity with the BATCH scan route on the same rows
+      import spark.implicits._
+      (b1 ++ b2).toDF("u", "t", "ts", "v").createOrReplaceTempView("ticker_batch")
+      val batch = SqlFrontend.execute(spark, mrSql.format("ticker_batch"))
+        .selectExpr("u", "start_ts", "end_ts")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSeq
+      assert(batch == got, s"streaming value route diverged from the batch scan: $batch vs $got")
+    } finally {
+      SqlFrontend.execute(spark, "DROP TABLE ticker_matches")
+      TableRegistry.dropTable("ticker_events")
+      StatementCatalog.reset()
+    }
   }
 
   test("streaming MATCH_RECOGNIZE accepts unbounded quantifiers (A+): one greedy run per break") {

@@ -129,6 +129,35 @@ class StreamingTtlSpec extends SparkSpec {
       s"only the post-eviction start may match, got ${m.toSeq}")
   }
 
+  test("value-CEP TTL: an open greedy value-run evicts silently; fresh buffer matches after") {
+    import graft.operators.MatchRecognize.MrTok
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, String, Timestamp, Double, Long)]
+    val mem = MemoryStream[(String, String, Timestamp, Double, Long)]
+    // S U+ with a PREV predicate: a rising tail stays OPEN until a breaking
+    // event — the TTL must evict the open run, not flush it
+    val q = graft.streaming.StreamingMatchRecognize(
+      mem.toDF().toDF("k", "typ", "ts", "v", "tie"),
+      "k", typeCol = None, valueCol = "v", tsCol = "ts", tieCol = "tie",
+      tokens = Seq(MrTok("S", 1, Some(1)), MrTok("U", 1, None)),
+      defs = Seq(None, Some("U.v > PREV(U.v)")),
+      ttlSeconds = 100L)
+      .writeStream.format("memory").queryName("ttl_mrv").outputMode("append").start()
+    try {
+      push(mem, q, ("u1", "t", at(0), 1.0, 1L), ("u1", "t", at(1), 2.0, 2L)) // open rising run
+      push(mem, q, ("w1", "t", at(1000), 9.0, 90L))
+      push(mem, q, ("w2", "t", at(1001), 9.0, 91L)) // u1 evicted: the open S U+ never emits
+      // fresh buffer: rise then break -> exactly one post-eviction match
+      push(mem, q, ("u1", "t", at(1100), 5.0, 3L), ("u1", "t", at(1101), 6.0, 4L),
+        ("u1", "t", at(1102), 1.0, 5L))
+    } finally q.stop()
+    val m = spark.table("ttl_mrv").collect()
+      .filter(_.getAs[String]("key") == "u1")
+      .map(r => (r.getAs[Timestamp]("match_start_ts"), r.getAs[Int]("matched_len")))
+    assert(m.toSeq == Seq((at(1100), 2)),
+      s"only the post-eviction run may match, got ${m.toSeq}")
+  }
+
   test("scd2 TTL: the evicted open interval is dropped, never flushed; next change opens fresh") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
