@@ -392,6 +392,8 @@ object StreamPlanner {
         "\\b(\\w+)\\.(\\w+)\\b".r.findAllMatchIn(c)
           .filter(mm => varNames.contains(mm.group(1))).map(_.group(2)).toSeq
       }.distinct
+      require(defSrc.nonEmpty, "streaming MATCH_RECOGNIZE requires a DEFINE clause — an " +
+        "undefined pattern variable matches every row, which neither streaming route can bound")
       require(refCols.nonEmpty, "streaming MATCH_RECOGNIZE: value DEFINEs reference no columns")
       refCols.foreach(c => require(input.columns.contains(c),
         s"streaming MATCH_RECOGNIZE: DEFINE references unknown column '$c'"))
@@ -401,7 +403,9 @@ object StreamPlanner {
       val (numCols, strCols) = refCols.partition(isNumeric)
       require(numCols.size == 1 && strCols.size <= 1,
         s"streaming MATCH_RECOGNIZE value DEFINEs support ONE numeric column and at most " +
-          s"one string column, got numeric=${numCols.mkString(",")} other=${strCols.mkString(",")}")
+          s"one string column, got numeric=${numCols.mkString(",")} other=${strCols.mkString(",")}" +
+          (if (numCols.isEmpty) " — string-only predicates fit the typed route: give EVERY " +
+            "pattern variable a literal DEFINE (V AS V.col = 'lit')" else ""))
       val toks = tokens.map { case (v, lo, hi, rel) =>
         graft.operators.MatchRecognize.MrTok(v, lo,
           if (hi == QTok.Unbounded) None else Some(hi), rel) }

@@ -520,6 +520,27 @@ class MatchRecognizeScanSpec extends SparkSpec {
     assert(err.getMessage.contains("RUNNING aggregates"), err.getMessage)
   }
 
+  test("r10 features compose: cross-var cap + WITHIN + SKIP TO LAST + MATCH_NUMBER + aggregates") {
+    ticker.createOrReplaceTempView("mr_ticker")
+    val rs = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(S.id) AS start_id, LAST(U.id) AS end_id,
+        |           MATCH_NUMBER() AS seq, count(U.*) AS n_up
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO LAST U
+        |  PATTERN (S D+ U+) WITHIN INTERVAL '1' HOUR
+        |  DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v) AND U.v < FIRST(S.v)
+        |)""".stripMargin)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("start_id"),
+        r.getAs[Long]("end_id"), r.getAs[Long]("seq"), r.getAs[Long]("n_up"))).toSeq
+    // the capped match 1..4; resuming AT id4 (SKIP TO LAST U) re-anchors but
+    // the cap kills every later candidate (hand-traced), so exactly one
+    // match with the interpreted predicate, the within bound, the targeted
+    // skip, the ordinal, and the per-run aggregate all live at once
+    assert(rs == Seq(("k1", 1L, 4L, 1L, 1L)), s"got ${rs.mkString(", ")}")
+  }
+
   test("interpreter surface limits stay loud; empty-run references are NULL (no match)") {
     ticker.createOrReplaceTempView("mr_ticker")
     // unsupported function inside a cross-variable condition → plan-time error
