@@ -57,7 +57,7 @@ object SpotStreamingMr {
     val toks = Seq(MrTok("S", 1, Some(1)), MrTok("D", 1, None), MrTok("U", 1, None))
     val defs = Seq(None, Some("D.value < PREV(D.value)"), Some("U.value > PREV(U.value)"))
     val matched = graft.streaming.StreamingMatchRecognize(
-      stream, "user_id", typeCol = None, valueCol = "value",
+      stream, "user_id", condCols = Seq("value"),
       tsCol = "ts", tieCol = "event_id", tokens = toks, defs = defs, skipPast = true)
     val t0 = System.nanoTime()
     val q = matched.writeStream.format("parquet")

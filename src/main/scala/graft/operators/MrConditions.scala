@@ -38,8 +38,12 @@ import org.apache.spark.sql.types._
   * Supported surface (loud [[sys.error]] beyond it, with the bounded-path
   * hint): AND/OR/NOT, comparisons (= == <> != < <= > >=), IS [NOT] NULL,
   * arithmetic (+ - * / and unary -), parentheses, numeric/string/boolean/NULL
-  * literals, bare column refs (candidate row), `var.col`, and
-  * `FIRST|LAST(var.col)`. Numeric comparisons and + - * are exact
+  * literals, bare column refs (candidate row), `var.col`,
+  * `FIRST|LAST(var.col [, k])`, and — under `allowNav` (the streaming
+  * route) — physical `PREV|NEXT(self.col [, n])`. Conditions are
+  * TYPE-CHECKED at plan time against the schema (boolean misuse like
+  * `A.v AND B.v` over numeric v fails at compile, never per-row on an
+  * executor). Numeric comparisons and + - * are exact
   * (BigDecimal) when both operands are integral/decimal, double otherwise;
   * division is always double — the same determinism contract the catalog's
   * oracle queries pin.
@@ -59,10 +63,17 @@ object MrConditions {
     * produced under `allowNav` (the STREAMING route, which cannot precompute
     * lag() columns — the batch routes rewrite PREV to Catalyst nav columns
     * before compiling here). Before the buffer's retained range → NULL, the
-    * partition-edge rule; NEXT is refused on this route (an unarrived row is
-    * not a NULL — it would decide starts prematurely).
+    * partition-edge rule.
     */
   private case class PrevNav(n: Int, idx: Int) extends Ex
+  /** NEXT(self.col, n): PHYSICAL forward navigation, candidate position + n,
+    * under `allowNav` (r11 — Flink's streaming NEXT semantics). An unarrived
+    * row is NOT a NULL: reading past the buffer's newest row throws the
+    * [[NotYet]] control signal and the caller defers the whole decision one
+    * event (the successor always arrives, or the stream ends and the open
+    * attempt never emits — the bounded-stream tail contract).
+    */
+  private case class NextNav(n: Int, idx: Int) extends Ex
   private case class Un(op: String, e: Ex) extends Ex // NOT, NEG, ISNULL, ISNOTNULL
   private case class Bin(op: String, l: Ex, r: Ex) extends Ex
 
@@ -86,7 +97,19 @@ object MrConditions {
       * NULL — the partition-edge/retention rule). Batch contexts use 0.
       */
     def minPos: Int = 0
+    /** Highest buffer position `rowAt` can answer. Physical NEXT beyond it
+      * is NOT a NULL — the row has not arrived yet, so evaluation throws
+      * [[NotYet]] and the caller defers the decision (streaming contexts set
+      * this to the buffer's last index; batch routes never produce NextNav).
+      */
+    def maxPos: Int = Int.MaxValue
   }
+
+  /** Control signal: a NEXT() read past the newest buffered row — the
+    * condition is UNDECIDABLE until the successor arrives. Stackless
+    * singleton; callers catch it via [[Compiled.holdsOrDefer]].
+    */
+  object NotYet extends scala.util.control.ControlThrowable
 
   /** A compiled condition; `holds` is the final TRUE-or-not collapse of the
     * three-valued result (UNKNOWN → false, SQL WHERE semantics).
@@ -97,6 +120,11 @@ object MrConditions {
       case b: java.lang.Boolean => b.booleanValue()
       case _ => false // null/unknown
     }
+    /** 1 = holds, 0 = does not, -1 = UNDECIDABLE yet (a NEXT() read past the
+      * buffer's newest row) — the streaming route's one-event deferral.
+      */
+    def holdsOrDefer(ctx: Ctx): Int =
+      try { if (holds(ctx)) 1 else 0 } catch { case NotYet => -1 }
   }
 
   /** Parse + resolve `cond` against the input schema. `varIdx` maps pattern
@@ -110,7 +138,60 @@ object MrConditions {
     require(varIdx.contains(selfVar), s"unknown DEFINE variable '$selfVar'")
     val p = new Parser(cond, schema, varIdx, if (allowNav) Some(selfVar) else None)
     val ex = p.parseAll()
+    val t = typeOf(ex, schema, cond)
+    if (t != 'B' && t != '?')
+      sys.error(s"MATCH_RECOGNIZE DEFINE must be a boolean condition, got " +
+        s"${tpeName(t)}: $cond")
     new Compiled(ex, cond)
+  }
+
+  // ------------------------------------------------- plan-time type check
+  // Column types are known from the schema, so boolean/numeric misuse
+  // (`A.v AND B.v` over numeric v, `price + name`) is rejected HERE with the
+  // condition text instead of a per-row ClassCastException on an executor
+  // mid-job. Lattice: 'B' boolean, 'N' numeric, 'S' string, 'T' time-like,
+  // '?' the NULL literal (compatible with everything).
+  private def tpeName(t: Char): String = t match {
+    case 'B' => "boolean"; case 'N' => "numeric"; case 'S' => "string"
+    case 'T' => "timestamp"; case _ => "null"
+  }
+  private def typeOf(e: Ex, schema: StructType, src: String): Char = {
+    def bad(msg: String): Nothing =
+      sys.error(s"MATCH_RECOGNIZE DEFINE type error: $msg in: $src")
+    def colT(i: Int): Char = schema(i).dataType match {
+      case BooleanType => 'B'
+      case _: NumericType => 'N'
+      case StringType => 'S'
+      case TimestampType | TimestampNTZType | DateType => 'T'
+      case other => bad(s"unsupported column type ${other.simpleString} ('${schema(i).name}')")
+    }
+    def req(t: Char, want: Char, what: String): Unit =
+      if (t != want && t != '?') bad(s"$what needs a ${tpeName(want)} operand, got ${tpeName(t)}")
+    e match {
+      case Lit(null) => '?'
+      case Lit(_: java.lang.Boolean) => 'B'
+      case Lit(_: String) => 'S'
+      case Lit(_) => 'N'
+      case Col(i) => colT(i)
+      case VarCol(_, _, i, _) => colT(i)
+      case PrevNav(_, i) => colT(i)
+      case NextNav(_, i) => colT(i)
+      case Un("NOT", x) => req(typeOf(x, schema, src), 'B', "NOT"); 'B'
+      case Un("NEG", x) => req(typeOf(x, schema, src), 'N', "unary -"); 'N'
+      case Un(_, x) => typeOf(x, schema, src); 'B' // IS [NOT] NULL: any operand
+      case Bin(op @ ("AND" | "OR"), l, r) =>
+        req(typeOf(l, schema, src), 'B', op); req(typeOf(r, schema, src), 'B', op); 'B'
+      case Bin(op @ ("+" | "-" | "*" | "/"), l, r) =>
+        req(typeOf(l, schema, src), 'N', s"arithmetic '$op'")
+        req(typeOf(r, schema, src), 'N', s"arithmetic '$op'"); 'N'
+      case Bin(op, l, r) =>
+        val lt = typeOf(l, schema, src); val rt = typeOf(r, schema, src)
+        if (lt != '?' && rt != '?' && lt != rt)
+          bad(s"cannot compare ${tpeName(lt)} with ${tpeName(rt)} ('$op')")
+        if ((lt == 'B' || rt == 'B') && op != "=" && op != "<>")
+          bad(s"booleans support only = and <> ('$op')")
+        'B'
+    }
   }
 
   /** Maximum physical PREV depth a compiled condition can reach — the
@@ -147,6 +228,9 @@ object MrConditions {
     case PrevNav(nBack, i) =>
       val p = ctx.selfPos - nBack
       if (p < ctx.minPos) null else get(ctx.rowAt(p), i)
+    case NextNav(nFwd, i) =>
+      val p = ctx.selfPos + nFwd
+      if (p > ctx.maxPos) throw NotYet else get(ctx.rowAt(p), i)
     case Un("NOT", x) => eval(x, ctx) match {
       case b: java.lang.Boolean => java.lang.Boolean.valueOf(!b.booleanValue())
       case _ => null
@@ -221,6 +305,8 @@ object MrConditions {
     case t: java.time.LocalDateTime =>
       val i = t.toInstant(java.time.ZoneOffset.UTC)
       java.lang.Long.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000)
+    case d: java.sql.Date => java.lang.Long.valueOf(d.getTime * 1000L)
+    case d: java.time.LocalDate => java.lang.Long.valueOf(d.toEpochDay * 86400000000L)
     case _ => null
   }
 
@@ -275,7 +361,7 @@ object MrConditions {
         "column refs, var.col, FIRST/LAST(var.col); state an upper bound to use " +
         "the full bounded-rewrite surface)")
     private def ws(): Unit = while (pos < src.length && src.charAt(pos).isWhitespace) pos += 1
-    private def peek: Char = if (pos < src.length) src.charAt(pos) else ' '
+    private def peek: Char = if (pos < src.length) src.charAt(pos) else '\u0000'
     private def kw(k: String): Boolean = { // case-insensitive keyword with word boundary
       ws()
       if (src.regionMatches(true, pos, k, 0, k.length) &&
@@ -385,10 +471,8 @@ object MrConditions {
           case "FALSE" => Lit(java.lang.Boolean.FALSE)
           case "NULL" => Lit(null)
           case "FIRST" | "LAST" => firstLast(name.toUpperCase)
-          case "PREV" if navSelf.isDefined => prevNav()
-          case "NEXT" if navSelf.isDefined =>
-            fail("NEXT() is not available on the streaming route — an unarrived row " +
-              "is not a NULL; use the batch form")
+          case "PREV" if navSelf.isDefined => nav("PREV")
+          case "NEXT" if navSelf.isDefined => nav("NEXT")
           case _ =>
             ws()
             if (peek == '.') { // var.col or unknown qualifier
@@ -436,17 +520,20 @@ object MrConditions {
       val tok = varIdx.getOrElse(v, fail(s"$kind() over unknown pattern variable '$v'"))
       VarCol(tok, if (kind == "FIRST") 0 else 1, colIdx(c), off)
     }
-    /** `PREV(self.col [, n])` under `navSelf` — physical back-navigation. */
-    private def prevNav(): Ex = {
+    /** `PREV|NEXT(self.col [, n])` under `navSelf` — physical navigation.
+      * PREV reads backward (below the retained range → NULL); NEXT reads
+      * forward (past the newest buffered row → the [[NotYet]] deferral).
+      */
+    private def nav(kind: String): Ex = {
       ws()
-      if (peek != '(') fail("expected '(' after PREV")
+      if (peek != '(') fail(s"expected '(' after $kind")
       pos += 1
       ws()
       val vstart = pos
       while (pos < src.length && isIdentChar(src.charAt(pos))) pos += 1
       val v = src.substring(vstart, pos)
       ws()
-      if (peek != '.') fail("PREV() needs var.col")
+      if (peek != '.') fail(s"$kind() needs var.col")
       pos += 1
       val cstart = pos
       while (pos < src.length && isIdentChar(src.charAt(pos))) pos += 1
@@ -457,16 +544,16 @@ object MrConditions {
         pos += 1; ws()
         val nstart = pos
         while (pos < src.length && src.charAt(pos).isDigit) pos += 1
-        if (pos == nstart) fail("PREV() offset must be a non-negative integer literal")
+        if (pos == nstart) fail(s"$kind() offset must be a non-negative integer literal")
         n = src.substring(nstart, pos).toInt
         ws()
       }
-      if (peek != ')') fail("expected ')' closing PREV()")
+      if (peek != ')') fail(s"expected ')' closing $kind()")
       pos += 1
-      if (!varIdx.contains(v)) fail(s"PREV() over unknown pattern variable '$v'")
+      if (!varIdx.contains(v)) fail(s"$kind() over unknown pattern variable '$v'")
       if (!navSelf.contains(v))
-        fail(s"PREV() may only navigate the variable being DEFINEd, got PREV($v.$c)")
-      PrevNav(n, colIdx(c))
+        fail(s"$kind() may only navigate the variable being DEFINEd, got $kind($v.$c)")
+      if (kind == "PREV") PrevNav(n, colIdx(c)) else NextNav(n, colIdx(c))
     }
 
     private def colIdx(c: String): Int =

@@ -399,18 +399,14 @@ object StreamPlanner {
         s"streaming MATCH_RECOGNIZE: DEFINE references unknown column '$c'"))
       require(!refCols.contains(ord),
         "streaming MATCH_RECOGNIZE: DEFINEs over the ORDER BY column are not supported")
-      def isNumeric(c: String) = input.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
-      val (numCols, strCols) = refCols.partition(isNumeric)
-      require(numCols.size == 1 && strCols.size <= 1,
-        s"streaming MATCH_RECOGNIZE value DEFINEs support ONE numeric column and at most " +
-          s"one string column, got numeric=${numCols.mkString(",")} other=${strCols.mkString(",")}" +
-          (if (numCols.isEmpty) " — string-only predicates fit the typed route: give EVERY " +
-            "pattern variable a literal DEFINE (V AS V.col = 'lit')" else ""))
+      // any number of referenced columns, buffered in their ORIGINAL types
+      // (r11 — the r10 one-numeric+one-string shape is gone; exact decimal/
+      // integral comparison parity with the batch scan by construction)
       val toks = tokens.map { case (v, lo, hi, rel) =>
         graft.operators.MatchRecognize.MrTok(v, lo,
           if (hi == QTok.Unbounded) None else Some(hi), rel) }
       val conds = tokens.map { case (v, _, _, _) => defMap.get(v) }
-      graft.streaming.StreamingMatchRecognize(input, part, strCols.headOption, numCols.head,
+      graft.streaming.StreamingMatchRecognize(input, part, refCols,
         ord, "__tie", toks, conds, withinSeconds, ttlSeconds = ttlSeconds,
         ttlWatermarkDelay = graft.sources.TableRegistry.stateTtlWatermarkDelay(ttlSeconds),
         skipPast = skipPast)

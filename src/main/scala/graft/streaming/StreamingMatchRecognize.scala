@@ -28,55 +28,87 @@ import StreamingSequenceMatchQ.QMatch
   * exists. On a closed stream the emitted spans equal the batch scan's
   * row-for-row (spec-pinned).
   *
+  * DEFINE columns (r11 — generalized from the r10 one-numeric+one-string
+  * shape): `condCols` are the columns the conditions reference, buffered
+  * per row in their ORIGINAL external types — integral/decimal values
+  * compare exactly (BigDecimal), never through a lossy double cast, so
+  * streaming spans agree with the batch scan bit-for-bit on wide longs and
+  * high-precision decimals. Any number of numeric/string/boolean/time
+  * columns is accepted; conditions are plan-time type-checked against the
+  * projected schema.
+  *
   * DEFINE evaluation: the batch routes precompute row-local booleans as
   * Catalyst lag()/lead() columns — a stream cannot (no lag over an unbounded
   * preceding window), so EVERY condition here runs on [[MrConditions]] with
   * `allowNav`: `PREV(V.col, n)` is physical back-navigation into the per-key
   * buffer, and rows below the retention margin answer NULL exactly like rows
-  * before a batch partition's start. `NEXT()` is refused — an unarrived row
-  * is not a NULL; treating it as one would decide starts prematurely.
+  * before a batch partition's start. `NEXT(V.col, n)` (r11, Flink's streaming
+  * semantics) is physical forward-navigation with ONE-EVENT DECISION
+  * DEFERRAL: a read past the newest buffered row does not evaluate to NULL —
+  * the whole attempt stays OPEN until the successor arrives (it always does,
+  * or the stream ends and the open attempt never emits, the bounded-stream
+  * tail contract shared with unbounded greedy runs).
+  *
+  * Event-time order contract: rows are sorted by (ts, tie) WITHIN each
+  * micro-batch, but the buffer is append-only across batches — in-order
+  * arrival per key across micro-batches is the parity contract's assumption
+  * (the bounded replays and Kafka-per-key ordering satisfy it). A late event
+  * arriving BELOW the buffer tail is detected, counted, logged loudly at
+  * ERROR, and DROPPED — the watermark rule applied even when no TTL
+  * watermark is configured — rather than silently corrupting PREV navigation
+  * and run detection.
   *
   * Scale shape: one `groupByKey(key)` shuffle; per-key state is the rows
   * from `navDepth` before the selection frontier onward (navDepth = the
   * deepest PREV offset any condition uses) — the typed operator's
   * decided-prefix eviction plus that margin, so state is O(longest open
   * attempt + navDepth), event-time-capped by WITHIN and wall-capped by the
-  * TTL. Nothing reaches the driver.
+  * TTL. Buffered rows wrap their cell arrays in a [[GenericRow]] ONCE at
+  * append/restore time — the interpreter's per-read path allocates nothing.
+  * Nothing reaches the driver.
   */
 object StreamingMatchRecognize {
 
-  /** Aligned per-row state; `cursor` = the skip-past selection cursor's
-    * index within the retained arrays (0 in skip-to-next mode); `undecided`
-    * = skip-to-next per-position flags (margin-retained rows are decided).
+  /** Aligned per-row state; `cells(i)` = row i's condCols values in their
+    * original external types (Kryo-encoded state — the only state this
+    * module keeps); `cursor` = the skip-past selection cursor's index within
+    * the retained arrays (0 in skip-to-next mode); `undecided` =
+    * skip-to-next per-position flags (margin-retained rows are decided).
     */
-  case class Buf(types: Seq[String], values: Seq[Double], tsMicros: Seq[Long],
-                 ties: Seq[Long], cursor: Int, undecided: Seq[Boolean])
+  case class Buf(cells: Array[Array[Any]], tsMicros: Array[Long], ties: Array[Long],
+                 cursor: Int, undecided: Array[Boolean])
 
-  case class Ev(key: String, typ: String, value: Double, ts: Timestamp, tie: Long)
-
-  /** Mutable evaluation context over the growing per-key buffers. */
-  private final class Cx(typesB: ArrayBuffer[String], valuesB: ArrayBuffer[Double],
-                         val startsA: Array[Int], val countsA: Array[Int])
-    extends MrConditions.Ctx {
+  /** Mutable evaluation context over the growing per-key buffers; rows are
+    * pre-wrapped GenericRows over the stored cell arrays (zero per-read
+    * allocation).
+    */
+  private final class Cx(rowsB: ArrayBuffer[Row], val startsA: Array[Int],
+                         val countsA: Array[Int]) extends MrConditions.Ctx {
     var curPos = 0
     var self = 0
     var runStart = 0
-    def cur: Row = rowAt(curPos)
-    def rowAt(pos: Int): Row = new GenericRow(Array[Any](typesB(pos), valuesB(pos)))
+    var maxP = 0
+    def cur: Row = rowsB(curPos)
+    def rowAt(pos: Int): Row = rowsB(pos)
     def selfTok: Int = self
     def selfRunStart: Int = runStart
     def selfPos: Int = curPos
     def starts: Array[Int] = startsA
     def counts: Array[Int] = countsA
+    override def maxPos: Int = maxP
   }
 
-  def apply(df: DataFrame, keyCol: String, typeCol: Option[String], valueCol: String,
+  def apply(df: DataFrame, keyCol: String, condCols: Seq[String],
             tsCol: String, tieCol: String,
             tokens: Seq[MatchRecognize.MrTok], defs: Seq[Option[String]],
             withinSeconds: Long = 0L, ttlSeconds: Long = 0L,
             ttlWatermarkDelay: String = "0 seconds",
             skipPast: Boolean = true): Dataset[QMatch] = {
-    require(!typeCol.contains(valueCol), "typeCol and valueCol must differ")
+    require(condCols.nonEmpty, "conditions must reference at least one column")
+    require(condCols.distinct == condCols, s"duplicate condCols: $condCols")
+    require(!condCols.exists(_.startsWith("__mr_")),
+      s"condCols collide with the operator's reserved __mr_ prefix: $condCols")
+    condCols.foreach(c => require(df.columns.contains(c), s"unknown DEFINE column '$c'"))
     require(tokens.nonEmpty, "pattern must name at least one token")
     require(defs.size == tokens.size, "one DEFINE option per pattern token")
     require(tokens.exists(t => t.hi.forall(_ > 0)), "pattern admits only the empty match")
@@ -88,12 +120,10 @@ object StreamingMatchRecognize {
           "ttlSeconds — an unbroken greedy run grows per-key state without bound and " +
           "never emits; set a WITHIN bound (and/or a TTL >= it) to cap state age")
 
-    // conditions compile against the value-bearing columns, named as in the
-    // input so SQL DEFINE text passes through unchanged; a pattern with no
-    // type column gets an unreferencable placeholder slot
-    val condSchema = StructType(Seq(
-      StructField(typeCol.getOrElse("__mr_no_type_col"), StringType, nullable = true),
-      StructField(valueCol, DoubleType, nullable = true)))
+    // conditions compile against the referenced columns IN THEIR ORIGINAL
+    // TYPES, named as in the input so SQL DEFINE text passes through
+    // unchanged; the compile also runs the plan-time type check
+    val condSchema = StructType(condCols.map(c => df.schema(c)))
     val varIdx = tokens.map(_.name).zipWithIndex.toMap
     val compiled: Array[MrConditions.Compiled] = defs.zipWithIndex.map { case (o, i) =>
       o.map(MrConditions.compile(_, condSchema, varIdx, tokens(i).name, allowNav = true)).orNull
@@ -101,14 +131,14 @@ object StreamingMatchRecognize {
     val navDepth = compiled.filter(_ != null).map(MrConditions.maxPrevDepth).foldLeft(0)(math.max)
 
     val nTok = tokens.size
+    val nCond = condCols.size
     val loArr = tokens.map(_.lo).toArray
     val hiArr = tokens.map(_.hi.getOrElse(Int.MaxValue)).toArray
     val relArr = tokens.map(_.reluctant).toArray
     val withinUs = withinSeconds * 1000000L
 
-    implicit val evEnc = Encoders.product[Ev]
     implicit val outEnc = Encoders.product[QMatch]
-    implicit val stEnc = Encoders.product[Buf]
+    implicit val stEnc = Encoders.kryo[Buf]
     implicit val keyEnc = Encoders.STRING
 
     def toTs(us: Long): Timestamp = {
@@ -117,23 +147,27 @@ object StreamingMatchRecognize {
       t
     }
 
-    val sel = df.select(col(keyCol).cast("string").as("key"),
-      typeCol.map(c => col(c).cast("string")).getOrElse(lit(null).cast("string")).as("typ"),
-      col(valueCol).cast("double").as("value"),
-      col(tsCol).cast("timestamp").as("ts"), col(tieCol).cast("long").as("tie"))
-    val srcQ = if (ttlSeconds > 0) sel.withWatermark("ts", ttlWatermarkDelay) else sel
-    srcQ.as[Ev]
-      .groupByKey(_.key)
+    // projection layout: 0 = key, 1 = ts, 2 = tie, 3.. = cond columns as-is
+    val sel = df.select(
+      col(keyCol).cast("string").as("__mr_key") +:
+        col(tsCol).cast("timestamp").as("__mr_ts") +:
+        col(tieCol).cast("long").as("__mr_tie") +:
+        condCols.map(col): _*)
+    val srcQ = if (ttlSeconds > 0) sel.withWatermark("__mr_ts", ttlWatermarkDelay) else sel
+    srcQ
+      .groupByKey(_.getString(0))
       .flatMapGroupsWithState[Buf, QMatch](OutputMode.Append(), StreamingOps.ttlConf(ttlSeconds)) {
-        (key: String, rows: Iterator[Ev], state: GroupState[Buf]) =>
+        (key: String, rows: Iterator[Row], state: GroupState[Buf]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val buf = state.getOption.getOrElse(Buf(Nil, Nil, Nil, Nil, 0, Nil))
+            val buf = state.getOption.getOrElse(
+              Buf(Array.empty, Array.empty, Array.empty, 0, Array.empty))
             val out = Seq.newBuilder[QMatch]
             var newest = Long.MinValue
+            var late = 0
 
-            val typesB = ArrayBuffer.from(buf.types)
-            val valuesB = ArrayBuffer.from(buf.values)
+            val cellsB = ArrayBuffer.from(buf.cells)
+            val rowsB = cellsB.map(a => new GenericRow(a): Row).to(ArrayBuffer)
             val tssB = ArrayBuffer.from(buf.tsMicros)
             val tiesB = ArrayBuffer.from(buf.ties)
             val undecB = ArrayBuffer.from(buf.undecided)
@@ -141,13 +175,15 @@ object StreamingMatchRecognize {
 
             val starts = new Array[Int](nTok)
             val counts = new Array[Int](nTok)
-            val cx = new Cx(typesB, valuesB, starts, counts)
+            val cx = new Cx(rowsB, starts, counts)
 
-            def predOk(t: Int, pos: Int, runStart: Int): Boolean = {
+            /** 1 holds, 0 not, -1 undecidable until the successor arrives. */
+            def predOk(t: Int, pos: Int, runStart: Int): Int = {
               val d = compiled(t)
-              d == null || {
+              if (d == null) 1
+              else {
                 cx.self = t; cx.runStart = runStart; cx.curPos = pos
-                d.holds(cx)
+                d.holdsOrDefer(cx)
               }
             }
 
@@ -155,35 +191,49 @@ object StreamingMatchRecognize {
               * reluctant) exploration with the streaming open rules; counts
               * of earlier tokens are fixed along each attempt path, so
               * cross-variable conditions read the same placements the batch
-              * scan would.
+              * scan would. A NEXT() read past the newest row aborts the
+              * whole attempt to OPEN (decision deferred one event).
               */
             def resolve(p: Int): Int = {
-              val len = typesB.length
+              val len = rowsB.length
               val futureViolated = withinUs > 0L && tssB(len - 1) - tssB(p) > withinUs
               def go(tokI: Int, pos: Int): Int = {
                 if (tokI == nTok) return if (pos > p) pos - p else 0
                 starts(tokI) = pos
+                // scan the run, capped at the quantifier's hi — rows beyond
+                // the cap are never placed, so they must not defer/decide
                 var avail = 0
-                while (pos + avail < len && predOk(tokI, pos + avail, pos) &&
-                  (withinUs == 0L || tssB(pos + avail) - tssB(p) <= withinUs)) avail += 1
-                val reachedEnd = pos + avail == len
+                var stop = 0 // 1 pred-false, 2 buffer-end, 3 within, 4 cap
+                while (stop == 0) {
+                  if (avail >= hiArr(tokI)) stop = 4
+                  else if (pos + avail >= len) stop = 2
+                  else if (withinUs > 0L && tssB(pos + avail) - tssB(p) > withinUs) stop = 3
+                  else predOk(tokI, pos + avail, pos) match {
+                    case 1 => avail += 1
+                    case 0 => stop = 1
+                    case _ => throw MrConditions.NotYet
+                  }
+                }
+                // stop==2 implies avail < hi (cap checked first): the run is
+                // still extensible by future events unless the horizon is
+                // already past every extension
+                val openHere = stop == 2 && !futureViolated
                 if (relArr(tokI)) {
                   // lazy: shortest first; a win or an open at count k blocks
                   // every longer k, and only an all-dead scan of an
                   // extensible run stays open
                   var c = loArr(tokI)
-                  val cap = math.min(hiArr(tokI), avail)
-                  while (c <= cap) {
+                  while (c <= avail) {
                     counts(tokI) = c
                     val r = go(tokI + 1, pos + c)
                     if (r != 0) return r
                     c += 1
                   }
-                  if (reachedEnd && avail < hiArr(tokI) && !futureViolated) return -1
+                  if (openHere) return -1
                   0
                 } else {
-                  if (reachedEnd && avail < hiArr(tokI) && !futureViolated) return -1
-                  var c = math.min(hiArr(tokI), avail)
+                  if (openHere) return -1
+                  var c = avail
                   while (c >= loArr(tokI)) {
                     counts(tokI) = c
                     val r = go(tokI + 1, pos + c)
@@ -193,64 +243,88 @@ object StreamingMatchRecognize {
                   0
                 }
               }
-              go(0, p)
+              try go(0, p) catch { case MrConditions.NotYet => -1 }
             }
 
-            rows.toSeq.sortBy(e => (StreamingOps.tsMicros(e.ts), e.tie)).foreach { e =>
-              val us = StreamingOps.tsMicros(e.ts)
-              newest = math.max(newest, us)
-              typesB += e.typ; valuesB += e.value; tssB += us; tiesB += e.tie
-              if (!skipPast) undecB += true
-              if (skipPast) {
-                // the buffer cursor is the selection frontier: only the
-                // oldest unresolved start may decide (an older open start
-                // can still consume a younger one's rows)
-                var walking = true
-                while (walking && cursor < typesB.length) {
-                  resolve(cursor) match {
-                    case -1 => walking = false
-                    case 0 => cursor += 1
-                    case len =>
-                      out += QMatch(key, toTs(tssB(cursor)), toTs(tssB(cursor + len - 1)),
-                        tiesB(cursor), len)
-                      cursor += len
-                  }
-                }
-                val drop = math.max(0, cursor - navDepth)
-                if (drop > 0) {
-                  typesB.remove(0, drop); valuesB.remove(0, drop)
-                  tssB.remove(0, drop); tiesB.remove(0, drop)
-                  cursor -= drop
-                }
+            rows.toSeq.sortBy(r => (StreamingOps.tsMicros(r.getTimestamp(1)),
+              if (r.isNullAt(2)) 0L else r.getLong(2))).foreach { r =>
+              val us = StreamingOps.tsMicros(r.getTimestamp(1))
+              val tie = if (r.isNullAt(2)) 0L else r.getLong(2)
+              if (tssB.nonEmpty && (us < tssB.last || (us == tssB.last && tie < tiesB.last))) {
+                // a late event below the buffer tail: appending it would
+                // silently corrupt PREV navigation and run detection — drop
+                // it (the watermark rule) and report loudly after the batch
+                late += 1
               } else {
-                // SKIP TO NEXT ROW: every start decides independently
-                var p = 0
-                while (p < typesB.length) {
-                  if (undecB(p)) {
-                    resolve(p) match {
-                      case -1 => ()
-                      case 0 => undecB(p) = false
-                      case w =>
-                        out += QMatch(key, toTs(tssB(p)), toTs(tssB(p + w - 1)), tiesB(p), w)
-                        undecB(p) = false
+                newest = math.max(newest, us)
+                val cells = new Array[Any](nCond)
+                var ci = 0
+                while (ci < nCond) {
+                  cells(ci) = if (r.isNullAt(3 + ci)) null else r.get(3 + ci)
+                  ci += 1
+                }
+                cellsB += cells; rowsB += new GenericRow(cells); tssB += us; tiesB += tie
+                cx.maxP = rowsB.length - 1
+                if (!skipPast) undecB += true
+                if (skipPast) {
+                  // the buffer cursor is the selection frontier: only the
+                  // oldest unresolved start may decide (an older open start
+                  // can still consume a younger one's rows)
+                  var walking = true
+                  while (walking && cursor < rowsB.length) {
+                    resolve(cursor) match {
+                      case -1 => walking = false
+                      case 0 => cursor += 1
+                      case len =>
+                        out += QMatch(key, toTs(tssB(cursor)), toTs(tssB(cursor + len - 1)),
+                          tiesB(cursor), len)
+                        cursor += len
                     }
                   }
-                  p += 1
-                }
-                val firstUndec = undecB.indexOf(true) match {
-                  case -1 => typesB.length
-                  case i => i
-                }
-                val drop = math.max(0, firstUndec - navDepth)
-                if (drop > 0) {
-                  typesB.remove(0, drop); valuesB.remove(0, drop)
-                  tssB.remove(0, drop); tiesB.remove(0, drop)
-                  undecB.remove(0, drop)
+                  val drop = math.max(0, cursor - navDepth)
+                  if (drop > 0) {
+                    cellsB.remove(0, drop); rowsB.remove(0, drop)
+                    tssB.remove(0, drop); tiesB.remove(0, drop)
+                    cursor -= drop
+                    cx.maxP = rowsB.length - 1
+                  }
+                } else {
+                  // SKIP TO NEXT ROW: every start decides independently
+                  var p = 0
+                  while (p < rowsB.length) {
+                    if (undecB(p)) {
+                      resolve(p) match {
+                        case -1 => ()
+                        case 0 => undecB(p) = false
+                        case w =>
+                          out += QMatch(key, toTs(tssB(p)), toTs(tssB(p + w - 1)), tiesB(p), w)
+                          undecB(p) = false
+                      }
+                    }
+                    p += 1
+                  }
+                  val firstUndec = undecB.indexOf(true) match {
+                    case -1 => rowsB.length
+                    case i => i
+                  }
+                  val drop = math.max(0, firstUndec - navDepth)
+                  if (drop > 0) {
+                    cellsB.remove(0, drop); rowsB.remove(0, drop)
+                    tssB.remove(0, drop); tiesB.remove(0, drop)
+                    undecB.remove(0, drop)
+                    cx.maxP = rowsB.length - 1
+                  }
                 }
               }
             }
-            state.update(Buf(typesB.toSeq, valuesB.toSeq, tssB.toSeq, tiesB.toSeq,
-              cursor, undecB.toSeq))
+            if (late > 0)
+              org.slf4j.LoggerFactory.getLogger(getClass).error(
+                s"StreamingMatchRecognize: dropped $late late event(s) for key '$key' " +
+                  "arriving below the buffer tail — per-key event-time order across " +
+                  "micro-batches is the operator's contract (see scaladoc); configure " +
+                  "a TTL watermark or repair the upstream ordering")
+            state.update(Buf(cellsB.toArray, tssB.toArray, tiesB.toArray,
+              cursor, undecB.toArray))
             StreamingOps.armTtl(state, ttlSeconds, newest)
             out.result().iterator
           }

@@ -75,6 +75,51 @@ class MrConditionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(holds("'b' < 's' AND s = 'z'")) // strings compare lexically
   }
 
+  test("plan-time type check: boolean/numeric misuse fails at compile, not per-row") {
+    def bad(cond: String) = intercept[RuntimeException](
+      MrConditions.compile(cond, schema, varIdx, "C")).getMessage
+    // the r10 shape: `A.v AND B.v` over numeric v compiled then threw
+    // ClassCastException per-row on an executor — now a loud plan-time error
+    assert(bad("A.v AND B.v").contains("type error"), bad("A.v AND B.v"))
+    assert(bad("v OR n > 0").contains("boolean operand"))
+    assert(bad("NOT v").contains("boolean operand"))
+    assert(bad("s > 1").contains("cannot compare"))
+    assert(bad("s + 1 = 2").contains("numeric operand"))
+    assert(bad("-s = 'a'").contains("numeric operand"))
+    assert(bad("v < s").contains("cannot compare"))
+    assert(bad("v + 1").contains("must be a boolean condition"))
+    // NULL literal is compatible with everything; IS NULL takes any operand
+    MrConditions.compile("v = NULL OR s IS NOT NULL", schema, varIdx, "C")
+  }
+
+  test("NEXT() under allowNav: physical forward read; past the newest row DEFERS") {
+    val buf = rows :+ cand // positions 0..3
+    def navCtx(pos: Int, newest: Int): MrConditions.Ctx = new MrConditions.Ctx {
+      def cur: Row = buf(pos)
+      def rowAt(p: Int): Row = buf(p)
+      def selfTok: Int = 2
+      def selfRunStart: Int = pos
+      def selfPos: Int = pos
+      def starts: Array[Int] = Array(0, 0, pos)
+      def counts: Array[Int] = Array(0, 0, 0)
+      override def maxPos: Int = newest
+    }
+    val c = MrConditions.compile("NEXT(C.v) > C.v", schema, varIdx, "C", allowNav = true)
+    assert(c.holdsOrDefer(navCtx(1, 3)) == 1) // rows(2).v=3.0 > rows(1).v=2.0
+    val fall = MrConditions.compile("NEXT(C.v) < C.v", schema, varIdx, "C", allowNav = true)
+    assert(fall.holdsOrDefer(navCtx(1, 3)) == 0)
+    // the candidate IS the newest row: its successor has not arrived -> defer
+    assert(c.holdsOrDefer(navCtx(3, 3)) == -1)
+    // NEXT(C.v, 2) reaches one past a single successor -> still deferred
+    val two = MrConditions.compile("NEXT(C.v, 2) > C.v", schema, varIdx, "C", allowNav = true)
+    assert(two.holdsOrDefer(navCtx(2, 3)) == -1)
+    assert(two.holdsOrDefer(navCtx(1, 3)) == 1)
+    // batch routes (no allowNav) still rewrite NEXT before reaching here
+    val e = intercept[RuntimeException](
+      MrConditions.compile("NEXT(C.v) > C.v", schema, varIdx, "C")).getMessage
+    assert(e.contains("unsupported function"), e)
+  }
+
   test("loud plan-time failures: syntax, unknown names, unsupported functions") {
     def bad(cond: String) = intercept[RuntimeException](
       MrConditions.compile(cond, schema, varIdx, "C")).getMessage

@@ -557,7 +557,7 @@ class StreamingSpec extends SparkSpec {
     // anchor's value — FIRST(S.v) is a cross-variable read of the attempt's
     // buffered rows, and the down-run spans the micro-batch boundary
     val matches = StreamingMatchRecognize(
-      mem.toDF().toDF("u", "t", "ts", "v"), "u", typeCol = None, valueCol = "v",
+      mem.toDF().toDF("u", "t", "ts", "v"), "u", condCols = Seq("v"),
       tsCol = "ts", tieCol = "v", // ties never collide in this fixture
       tokens = Seq(MrTok("S", 1, Some(1)), MrTok("D", 1, None), MrTok("U", 1, None)),
       defs = Seq(None, Some("D.v < PREV(D.v)"),
@@ -575,6 +575,161 @@ class StreamingSpec extends SparkSpec {
     // the cap cuts the rise at 9 (12 >= 10): match = rows 00:00..00:03, len 4
     assert(got == Seq(("k1", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:03:00"), 4)),
       got.mkString(";"))
+  }
+
+  test("streaming VALUE CEP over TWO numeric columns: closed-stream parity with batch SQL") {
+    import graft.streaming.StreamingMatchRecognize
+    import graft.operators.MatchRecognize.MrTok
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Long, Double, Double)]
+    val mem = MemoryStream[(String, Timestamp, Long, Double, Double)]
+    // the r10 route refused this (ONE numeric + <=1 string); r11 buffers the
+    // projected row set, so `D.price < PREV(D.price) AND D.volume > 1000`
+    // runs as a standing query
+    val rows = Seq(
+      ("k1", ts("2024-01-01 00:00:00"), 1L, 100.0, 500.0),
+      ("k1", ts("2024-01-01 00:01:00"), 2L, 90.0, 2000.0),
+      ("k1", ts("2024-01-01 00:02:00"), 3L, 80.0, 1500.0),
+      ("k1", ts("2024-01-01 00:03:00"), 4L, 85.0, 3000.0), // price rises: breaks D
+      ("k2", ts("2024-01-01 00:00:00"), 5L, 100.0, 9999.0),
+      ("k2", ts("2024-01-01 00:01:00"), 6L, 90.0, 500.0)) // volume too thin: D fails
+    val matches = StreamingMatchRecognize(
+      mem.toDF().toDF("u", "ts", "id", "price", "volume"), "u",
+      condCols = Seq("price", "volume"), tsCol = "ts", tieCol = "id",
+      tokens = Seq(MrTok("S", 1, Some(1)), MrTok("D", 1, None)),
+      defs = Seq(None, Some("D.price < PREV(D.price) AND D.volume > 1000")),
+      skipPast = true)
+    val q = matches.writeStream.format("memory").queryName("mrv2_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(2): _*); q.processAllAvailable()
+      mem.addData(rows.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("mrv2_sink")
+      .select(col("key"), col("match_start_ts"), col("match_end_ts"))
+    import spark.implicits._
+    rows.toDF("u", "ts", "id", "price", "volume").createOrReplaceTempView("mrv2_events")
+    val batch = graft.sql.SqlFrontend.execute(spark,
+      """SELECT * FROM mrv2_events
+        |  MATCH_RECOGNIZE (
+        |    PARTITION BY u ORDER BY ts
+        |    MEASURES FIRST(S.ts) AS match_start_ts, LAST(D.ts) AS match_end_ts
+        |    ONE ROW PER MATCH
+        |    PATTERN (S D+)
+        |    DEFINE D AS D.price < PREV(D.price) AND D.volume > 1000
+        |  )""".stripMargin)
+      .select(col("u").as("key"), col("match_start_ts"), col("match_end_ts"))
+    assert(streamed.count() == 1 && batch.count() == 1,
+      s"expected the single k1 00:00..00:02 match: streamed=${streamed.collect().mkString(";")}")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "two-numeric-column value CEP must equal the batch scan on the closed stream")
+  }
+
+  test("streaming VALUE CEP keeps exact integral types: longs beyond 2^53 split correctly") {
+    import graft.streaming.StreamingMatchRecognize
+    import graft.operators.MatchRecognize.MrTok
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Long, Long)]
+    val mem = MemoryStream[(String, Timestamp, Long, Long)]
+    // 2^53 and 2^53+1 collapse to the same IEEE double — the r10 buffer's
+    // double cast would see PREV(D.n) = D.n and never match; the r11 buffer
+    // keeps the long and compares exactly (the batch scan's contract)
+    val hi = 9007199254740993L // 2^53 + 1
+    val lo = 9007199254740992L // 2^53
+    val rows = Seq(("k1", ts("2024-01-01 00:00:00"), 1L, hi),
+      ("k1", ts("2024-01-01 00:01:00"), 2L, lo))
+    val matches = StreamingMatchRecognize(
+      mem.toDF().toDF("u", "ts", "id", "n"), "u", condCols = Seq("n"),
+      tsCol = "ts", tieCol = "id",
+      tokens = Seq(MrTok("A", 1, Some(1)), MrTok("D", 1, Some(1))),
+      defs = Seq(None, Some("D.n < PREV(D.n)")), skipPast = true)
+    val q = matches.writeStream.format("memory").queryName("mrv_exact_sink")
+      .outputMode("append").start()
+    try { mem.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("mrv_exact_sink").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSeq
+    assert(got == Seq(("k1", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:01:00"))),
+      s"exact long comparison must see 2^53+1 > 2^53: $got")
+  }
+
+  test("streaming NEXT(): one-event deferral, WITHIN closes a deferred attempt; equals batch") {
+    import graft.streaming.StreamingMatchRecognize
+    import graft.operators.MatchRecognize.MrTok
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Long, Double)]
+    val mem = MemoryStream[(String, Timestamp, Long, Double)]
+    val r0 = ("k1", ts("2024-01-01 00:00:00"), 1L, 5.0)
+    val r1 = ("k1", ts("2024-01-01 01:00:00"), 2L, 6.0)
+    val r2 = ("k1", ts("2024-01-01 01:00:30"), 3L, 7.0)
+    val matches = StreamingMatchRecognize(
+      mem.toDF().toDF("u", "ts", "id", "v"), "u", condCols = Seq("v"),
+      tsCol = "ts", tieCol = "id",
+      tokens = Seq(MrTok("A", 1, Some(1)), MrTok("B", 1, Some(1))),
+      defs = Seq(Some("NEXT(A.v) > A.v"), Some("B.v > 0")),
+      withinSeconds = 60L, skipPast = true)
+    val q = matches.writeStream.format("memory").queryName("mrv_next_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(r0); q.processAllAvailable()
+      // A@00:00 reads its unarrived successor: deferred, nothing emitted
+      assert(spark.table("mrv_next_sink").isEmpty, "NEXT at the tail must defer, not decide")
+      mem.addData(r1); q.processAllAvailable()
+      // successor arrived: NEXT(A.v)=6>5 holds, but B@01:00 is past WITHIN
+      // 60s -> the deferred attempt is CLOSED dead, it does not hang
+      assert(spark.table("mrv_next_sink").isEmpty, "WITHIN must close the resolved attempt")
+      mem.addData(r2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("mrv_next_sink")
+      .select(col("key"), col("match_start_ts"), col("match_end_ts"))
+    val got = streamed.collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
+    assert(got.toSeq == Seq(("k1", ts("2024-01-01 01:00:00"), ts("2024-01-01 01:00:30"))),
+      s"only the in-horizon (r1, r2) attempt matches: ${got.mkString(";")}")
+    // closed-stream parity with the batch scan's NEXT (lead-rewritten)
+    import spark.implicits._
+    Seq(r0, r1, r2).toDF("u", "ts", "id", "v").createOrReplaceTempView("mrv_next_events")
+    val batch = graft.sql.SqlFrontend.execute(spark,
+      """SELECT * FROM mrv_next_events
+        |  MATCH_RECOGNIZE (
+        |    PARTITION BY u ORDER BY ts
+        |    MEASURES A.ts AS match_start_ts, B.ts AS match_end_ts
+        |    ONE ROW PER MATCH
+        |    PATTERN (A B) WITHIN INTERVAL '1' MINUTE
+        |    DEFINE A AS NEXT(A.v) > A.v, B AS B.v > 0
+        |  )""".stripMargin)
+      .select(col("u").as("key"), col("match_start_ts"), col("match_end_ts"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streaming NEXT must equal the batch scan on the closed stream")
+  }
+
+  test("streaming VALUE CEP drops a late event below the buffer tail (loudly, not silently)") {
+    import graft.streaming.StreamingMatchRecognize
+    import graft.operators.MatchRecognize.MrTok
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Long, Double)]
+    val mem = MemoryStream[(String, Timestamp, Long, Double)]
+    val matches = StreamingMatchRecognize(
+      mem.toDF().toDF("u", "ts", "id", "v"), "u", condCols = Seq("v"),
+      tsCol = "ts", tieCol = "id",
+      tokens = Seq(MrTok("A", 1, Some(1)), MrTok("D", 1, Some(1))),
+      defs = Seq(None, Some("D.v < PREV(D.v)")), skipPast = true)
+    val q = matches.writeStream.format("memory").queryName("mrv_late_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(("k1", ts("2024-01-01 00:02:00"), 1L, 10.0),
+        ("k1", ts("2024-01-01 00:03:00"), 2L, 5.0))
+      q.processAllAvailable()
+      // a 00:01 event in the NEXT batch is below the 00:03 tail: appending
+      // it would corrupt PREV navigation — the contract drops it
+      mem.addData(("k1", ts("2024-01-01 00:01:00"), 3L, 100.0),
+        ("k1", ts("2024-01-01 00:04:00"), 4L, 20.0),
+        ("k1", ts("2024-01-01 00:05:00"), 5L, 15.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mrv_late_sink").collect()
+      .map(r => (r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(got == Set((ts("2024-01-01 00:02:00"), ts("2024-01-01 00:03:00")),
+      (ts("2024-01-01 00:04:00"), ts("2024-01-01 00:05:00"))),
+      s"late 00:01 row must be dropped, in-order rows still match: $got")
   }
 
   test("streaming quantified SKIP PAST LAST ROW: younger completions wait; equals batch + SQL") {

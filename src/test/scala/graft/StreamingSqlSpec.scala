@@ -252,21 +252,39 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       StatementCatalog.reset()
     }
 
-    // genuinely unsupported subsets still fail loudly at submission (value
-    // DEFINEs themselves route to StreamingMatchRecognize since r10 — see
-    // the ticker CTAS spec below): NEXT() navigation cannot stream
+    // NEXT() navigation streams since r11 (one-event decision deferral):
+    // the DEFINE references two columns of mixed type (t string, v numeric)
+    // and the match is emitted only once B's successor has arrived
+    val mem2 = MemoryStream[(String, String, Timestamp, Double)]
     TableRegistry.createTable(TableRegistry.TableDef("click_events", Some(schema),
       load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-      loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
-    val e = intercept[Exception](SqlFrontend.execute(spark,
-      """CREATE TABLE bad_matches AS
+      loadStream = Some(_ => mem2.toDF().toDF("u", "t", "ts", "v"))))
+    SqlFrontend.execute(spark,
+      """CREATE TABLE next_matches AS
         |SELECT * FROM click_events MATCH_RECOGNIZE (
         |  PARTITION BY u ORDER BY ts MEASURES A.ts AS s ONE ROW PER MATCH
         |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A B)
-        |  DEFINE A AS A.t = 'view', B AS NEXT(B.v) > B.v)""".stripMargin))
-    assert(e.getMessage.contains("NEXT()"), e.getMessage)
-    TableRegistry.dropTable("click_events")
-    StatementCatalog.reset()
+        |  DEFINE A AS A.t = 'view', B AS NEXT(B.v) > B.v)""".stripMargin)
+    val q2 = StatementCatalog.get("next_matches").collect {
+      case StatementCatalog.Standing(_, _, query) => query
+    }.getOrElse(fail("NEXT() value route must register a standing statement"))
+    try {
+      mem2.addData(("u1", "view", Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+        ("u1", "x", Timestamp.valueOf("2024-01-01 00:01:00"), 1.0))
+      q2.processAllAvailable()
+      // B@00:01 needs its successor: undecided, nothing emitted yet
+      assert(SqlFrontend.execute(spark, "SELECT * FROM next_matches").count() == 0L)
+      mem2.addData(("u1", "x", Timestamp.valueOf("2024-01-01 00:02:00"), 2.0))
+      q2.processAllAvailable()
+      val got2 = SqlFrontend.execute(spark, "SELECT u, s FROM next_matches")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1)))
+      assert(got2.toSeq == Seq(("u1", Timestamp.valueOf("2024-01-01 00:00:00"))),
+        got2.mkString(";"))
+    } finally {
+      SqlFrontend.execute(spark, "DROP TABLE next_matches")
+      TableRegistry.dropTable("click_events")
+      StatementCatalog.reset()
+    }
   }
 
   test("streaming MATCH_RECOGNIZE value route: the ticker PREV idiom as a standing statement") {

@@ -138,7 +138,7 @@ class StreamingTtlSpec extends SparkSpec {
     // event — the TTL must evict the open run, not flush it
     val q = graft.streaming.StreamingMatchRecognize(
       mem.toDF().toDF("k", "typ", "ts", "v", "tie"),
-      "k", typeCol = None, valueCol = "v", tsCol = "ts", tieCol = "tie",
+      "k", condCols = Seq("v"), tsCol = "ts", tieCol = "tie",
       tokens = Seq(MrTok("S", 1, Some(1)), MrTok("U", 1, None)),
       defs = Seq(None, Some("U.v > PREV(U.v)")),
       ttlSeconds = 100L)
