@@ -61,11 +61,15 @@ object Bench {
     // the headline set froze) rides in the same line under "group2"; the
     // top-level "value" stays the headline total, anchor-comparable
     val results2 = run(graft.queries.Catalog.benchGroup2Names)
+    // group3 (r11): the four end-to-end lab pipelines + the ANN lab
+    val results3 = run(graft.queries.Catalog.benchGroup3Names)
     val (qs, rows, total) = objOf(results)
     // row counts let a reader sanity-check that timings measure real output
     val (qs2, rows2, total2) = objOf(results2)
+    val (qs3, rows3, total3) = objOf(results3)
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,""" +
-      s""""group2":{"value":$total2,"queries":$qs2,"rows":$rows2},"sf":"$sfDir"}"""
+      s""""group2":{"value":$total2,"queries":$qs2,"rows":$rows2},""" +
+      s""""group3":{"value":$total3,"queries":$qs3,"rows":$rows3},"sf":"$sfDir"}"""
     // stdout line is unprefixed (build.sbt: run / outputStrategy := StdoutOutput);
     // the file copy is belt-and-braces for any runner that scrapes artifacts.
     println(json)

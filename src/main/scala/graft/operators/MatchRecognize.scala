@@ -144,13 +144,20 @@ object MatchRecognize {
            aggSpecs: Seq[Seq[(String, String)]] = Seq.empty,
            dynDefs: Seq[Option[String]] = Seq.empty,
            offsetMeasures: Seq[(Int, Boolean, Int)] = Seq.empty,
-           runningStructs: Boolean = false): DataFrame = {
+           runningStructs: Boolean = false,
+           runningAggStructs: Boolean = false): DataFrame = {
     // RUNNING measure semantics under ALL ROWS (r10): per emitted row,
     // __mr_run_first_<v>/__mr_run_last_<v> hold the variable's first/last
     // matched row AT OR BEFORE that row — NULL while the variable hasn't
     // matched yet. The match-level __mr_first/__mr_last structs stay FINAL.
     require(!runningStructs || (allRows && measureCols.nonEmpty),
       "runningStructs needs ALL ROWS PER MATCH and measureCols")
+    // RUNNING aggregates under ALL ROWS (r11): __mr_run_agg_<v> mirrors
+    // __mr_agg_<v>'s fields over the variable's rows AT OR BEFORE each
+    // emitted row — incremental accumulators, cnt 0 / NULLs before the run
+    // begins, equal to the FINAL struct on the match's last row.
+    require(!runningAggStructs || (allRows && aggSpecs.exists(_.nonEmpty)),
+      "runningAggStructs needs ALL ROWS PER MATCH and aggSpecs")
     require(aggSpecs.isEmpty || aggSpecs.size == tokens.size,
       "aggSpecs must align with tokens (or be empty)")
     // Flink's logical-offset navigation in MEASURES — FIRST(A.c, k)/LAST(A.c,
@@ -265,6 +272,9 @@ object MatchRecognize {
           StructField(s"__mr_run_first_${t.name}", mStruct, nullable = true),
           StructField(s"__mr_run_last_${t.name}", mStruct, nullable = true)))
         else Nil) ++
+        (if (runningAggStructs) tokens.indices.flatMap(i => aggStructTypes(i).map(t =>
+          StructField(s"__mr_run_agg_${tokens(i).name}", t, nullable = false)))
+        else Nil) ++
         tokens.indices.flatMap(i => aggStructTypes(i).map(t =>
           StructField(s"__mr_agg_${tokens(i).name}", t, nullable = false))) ++
         Seq(StructField("__mr_len", LongType, nullable = false),
@@ -272,9 +282,11 @@ object MatchRecognize {
         (if (allRows) Seq(StructField("__mr_var", StringType, nullable = false)) else Nil))
     val outArity = outSchema.fields.length
     val lenPos = nOrig + (if (hasMeasures) 2 * tokens.size else 0) +
-      offsetMeasures.size + (if (runningStructs) 2 * tokens.size else 0) + nAggStructs
+      offsetMeasures.size + (if (runningStructs) 2 * tokens.size else 0) +
+      (if (runningAggStructs) nAggStructs else 0) + nAggStructs
     val offSpecArr: Array[(Int, Boolean, Int)] = offsetMeasures.toArray
     val emitRunning = runningStructs
+    val emitRunningAgg = runningAggStructs
     // per token: (fn, input field index or -1 for "*")
     val aggIdxArr: Array[Array[(String, Int)]] = aggs.map(_.map { case (fn, c) =>
       (fn, if (c == "*") -1 else inSchema.fieldIndex(c)) }.toArray).toArray
@@ -402,7 +414,7 @@ object MatchRecognize {
         }
 
         private def mk(src: Row, structVals: Array[Any], offVals: Array[Any],
-                       runVals: Array[Any], aggVals: Array[Any],
+                       runVals: Array[Any], runAggVals: Array[Any], aggVals: Array[Any],
                        len: Long, seq: Long, cls: String): Row = {
           val vals = new Array[Any](outArity)
           var i = 0
@@ -422,6 +434,11 @@ object MatchRecognize {
             var j = 0
             while (j < runVals.length) { vals(base + j) = runVals(j); j += 1 }
             base += runVals.length
+          }
+          if (runAggVals != null) {
+            var j = 0
+            while (j < runAggVals.length) { vals(base + j) = runAggVals(j); j += 1 }
+            base += runAggVals.length
           }
           if (aggVals != null) {
             var j = 0
@@ -520,12 +537,43 @@ object MatchRecognize {
               }
               av
             }
-          if (!emitAll) out.enqueue(mk(rowAt(0), structVals, offVals, null, aggVals, len, seq, null))
+          if (!emitAll)
+            out.enqueue(mk(rowAt(0), structVals, offVals, null, null, aggVals, len, seq, null))
           else {
             val starts = new Array[Int](n)
-            if (emitRunning) {
+            if (emitRunning || emitRunningAgg) {
               var p = 0; var t = 0
               while (t < n) { starts(t) = p; p += counts(t); t += 1 }
+            }
+            // running-aggregate accumulators (r11): one per agg-bearing
+            // token, updated incrementally as the emit cursor enters its run
+            // — O(rows × fields), never a per-row rescan of the prefix
+            val runAcc: Array[Array[Any]] = if (!emitRunningAgg) null else {
+              val a = new Array[Array[Any]](n)
+              var u = 0
+              while (u < n) {
+                if (aggIdxArr(u).nonEmpty) {
+                  val spec = aggIdxArr(u)
+                  val vals = new Array[Any](spec.length)
+                  var j = 0
+                  while (j < spec.length) { vals(j) = if (spec(j)._1 == "cnt") 0L else null; j += 1 }
+                  a(u) = vals
+                }
+                u += 1
+              }
+              a
+            }
+            // the before-the-run view: cnt fields 0, everything else NULL
+            val emptyAggRows: Array[Any] = if (!emitRunningAgg) null else {
+              val a = new Array[Any](n)
+              var u = 0
+              while (u < n) {
+                if (runAcc(u) != null)
+                  a(u) = Row.fromSeq(scala.collection.immutable.ArraySeq
+                    .unsafeWrapArray(runAcc(u).clone()))
+                u += 1
+              }
+              a
             }
             var pos = 0; var t = 0
             while (t < n) {
@@ -548,11 +596,62 @@ object MatchRecognize {
                     }
                     rv
                   }
-                out.enqueue(mk(rowAt(pos), structVals, offVals, runVals, aggVals, len, seq, nameArr(t)))
+                val runAggVals: Array[Any] =
+                  if (!emitRunningAgg) null
+                  else {
+                    if (runAcc(t) != null) accumulate(runAcc(t), aggIdxArr(t), rowAt(pos))
+                    val av = new Array[Any](nAggStructs)
+                    var k = 0; var u = 0
+                    while (u < n) {
+                      if (aggIdxArr(u).nonEmpty) {
+                        av(k) =
+                          if (starts(u) > pos) emptyAggRows(u) // run not begun
+                          else if (starts(u) + counts(u) - 1 <= pos) aggVals(k) // fully visible
+                          else Row.fromSeq(scala.collection.immutable.ArraySeq
+                            .unsafeWrapArray(runAcc(u).clone())) // mid-run snapshot
+                        k += 1
+                      }
+                      u += 1
+                    }
+                    av
+                  }
+                out.enqueue(mk(rowAt(pos), structVals, offVals, runVals, runAggVals, aggVals,
+                  len, seq, nameArr(t)))
                 pos += 1; c += 1
               }
               t += 1
             }
+          }
+        }
+
+        /** Fold one row into a running-aggregate accumulator (same exactness
+          * contract as [[computeAgg]]: exact decimal sums, natural-order
+          * min/max, non-null counting).
+          */
+        private def accumulate(acc: Array[Any], spec: Array[(String, Int)], row: Row): Unit = {
+          var j = 0
+          while (j < spec.length) {
+            val (fn, colIdx) = spec(j)
+            fn match {
+              case "cnt" if colIdx < 0 => acc(j) = acc(j).asInstanceOf[Long] + 1L
+              case "cnt" => if (!row.isNullAt(colIdx)) acc(j) = acc(j).asInstanceOf[Long] + 1L
+              case "sum" =>
+                if (!row.isNullAt(colIdx)) {
+                  val d = toDecimal6(row.get(colIdx))
+                  acc(j) = if (acc(j) == null) d
+                  else acc(j).asInstanceOf[java.math.BigDecimal].add(d)
+                }
+              case _ =>
+                if (!row.isNullAt(colIdx)) {
+                  val v = row.get(colIdx)
+                  if (acc(j) == null) acc(j) = v
+                  else {
+                    val cmp = v.asInstanceOf[Comparable[Any]].compareTo(acc(j))
+                    if ((fn == "min" && cmp < 0) || (fn == "max" && cmp > 0)) acc(j) = v
+                  }
+                }
+            }
+            j += 1
           }
         }
 

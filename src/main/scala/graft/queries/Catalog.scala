@@ -4167,6 +4167,48 @@ FROM n"""))
     LEFT JOIN r rd ON rd.user_id = w.user_id AND rd.rn = w.rd_rn
     JOIN r re ON re.user_id = w.user_id AND re.rn = w.e"""))
 
+  private val q174 = Q("q174_match_running_aggs", (s, dir) => {
+    // RUNNING aggregate MEASURES under ALL ROWS (r11 — closes the r10
+    // refusal; the standard makes ALL-ROWS aggregates running, Flink ports
+    // rely on it): each emitted row sees count/sum/min over the variable's
+    // rows AT OR BEFORE itself — cnt 0 / NULL sums before the run begins,
+    // equal to the FINAL aggregate on the match's last row. The scan keeps
+    // incremental accumulators (never a per-row prefix rescan) and sums
+    // exact HALF_UP scale-6 decimals, so the cast doubles are bit-equal to
+    // DuckDB's windowed decimal prefix sums.
+    t(s, dir, "events").createOrReplaceTempView("events_mr_runagg")
+    graft.sql.SqlFrontend.execute(s, """
+      SELECT * FROM events_mr_runagg MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES
+          CLASSIFIER() AS cls,
+          RUNNING count(D.*) AS d_seen,
+          RUNNING CAST(sum(U.value) AS DOUBLE) AS run_up_sum,
+          RUNNING min(D.value) AS run_bottom,
+          count(U.*) AS final_n_up
+        ALL ROWS PER MATCH
+        PATTERN (S D+ U+)
+        DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
+      )""")
+      .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_id"), col("value"), col("cls"),
+        col("d_seen"), col("run_up_sum"), col("run_bottom"), col("final_n_up"))
+  }, Some(s"""
+    WITH RECURSIVE $MR_RUNS, $MR_TICKER_SEL,
+      rows0 AS (SELECT s.user_id, s.rn AS srn, s.m, s.e, r.rn, r.ts, r.event_id, r.value
+                FROM sel s JOIN r ON r.user_id = s.user_id AND r.rn BETWEEN s.rn AND s.e)
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN rn = srn THEN 'S' WHEN rn <= m THEN 'D' ELSE 'U' END AS cls,
+           COUNT(CASE WHEN rn > srn AND rn <= m THEN 1 END)
+             OVER (PARTITION BY user_id, srn ORDER BY rn) AS d_seen,
+           CAST(SUM(CASE WHEN rn > m THEN CAST(value AS DECIMAL(25,6)) END)
+             OVER (PARTITION BY user_id, srn ORDER BY rn) AS DOUBLE) AS run_up_sum,
+           MIN(CASE WHEN rn > srn AND rn <= m THEN value END)
+             OVER (PARTITION BY user_id, srn ORDER BY rn) AS run_bottom,
+           e - m AS final_n_up
+    FROM rows0"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -4184,7 +4226,7 @@ FROM n"""))
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
-    q164, q165, q166, q167, q168, q169, q170, q171, q172, q173)
+    q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
@@ -4208,4 +4250,14 @@ FROM n"""))
     // (regressions in MrConditions' per-row cost are invisible to q162,
     // whose DEFINEs are fully Catalyst)
     "q169_match_xvar_cap")
+
+  /** Third BENCH group (r10 verdict directive #5): the four end-to-end lab
+    * topologies — fused batch runs with deterministic models — plus the ANN
+    * lab twin, so a regression in the pipelines the reference actually ships
+    * is visible round over round (they previously ran only in smoke,
+    * untimed). Headline and group2 stay anchor-comparable.
+    */
+  def benchGroup3Names: Seq[String] = Seq(
+    "q32_lab1_pricematch", "q33_lab2_rag", "q34_lab3_fleet",
+    "q35_lab4_fraud", "q161_lab3_fleet_ann")
 }

@@ -1149,6 +1149,19 @@ object SqlFrontend {
     val AggRe = "(?i)\\b(count|sum|min|max|avg)\\s*\\(\\s*(\\w+)\\.(\\w+|\\*)\\s*\\)".r
     val usesAggregates = measureSrc.exists { case (e, _) =>
       AggRe.findAllMatchIn(e).exists(mm => idx.contains(mm.group(2))) }
+    // which flavors of per-output-row RUNNING structs the scan must emit:
+    // var-ref measures need __mr_run_first/last, aggregate measures (r11)
+    // need __mr_run_agg — detected separately so neither pays for the other
+    val runningAggs = measureSrc.zip(measureRunning).exists { case ((e, _), r) =>
+      r && AggRe.findAllMatchIn(e).exists(mm => idx.contains(mm.group(2))) }
+    val runningNonAgg = measureSrc.zip(measureRunning).exists { case ((e, _), r) =>
+      r && {
+        val stripped = AggRe.replaceAllIn(e, mm =>
+          if (idx.contains(mm.group(2))) "0"
+          else java.util.regex.Matcher.quoteReplacement(mm.matched))
+        "\\b(\\w+)\\.(\\w+)\\b".r.findAllMatchIn(stripped)
+          .exists(mm => idx.contains(mm.group(1)))
+      } }
     val replacement = if (!unboundedPat && !allRowsPerMatch && !usesMatchNumber &&
       !usesAggregates && skipToVar.isEmpty) {
       // ------------------------------- bounded, ONE ROW: lead()-expansion CASE
@@ -1315,23 +1328,24 @@ object SqlFrontend {
           .filter(mm => idx.contains(mm.group(2)))
           .foreach(mm => sys.error(s"MATCH_RECOGNIZE: ${mm.group(1).toUpperCase}() is " +
             "DEFINE-only (physical navigation has no single current row in MEASURES)"))
-        if (running) AggRe.findAllMatchIn(e0).filter(mm => idx.contains(mm.group(2)))
-          .foreach(mm => sys.error("MATCH_RECOGNIZE: RUNNING aggregates are not supported — " +
-            s"use FINAL (the default) for ${mm.matched}"))
         // aggregate measures over a variable's matched rows → the scan's
-        // __mr_agg_<v> struct; avg = one deterministic double division of the
-        // exact decimal sum by the non-null count
+        // __mr_agg_<v> struct, or under RUNNING (r11) the per-output-row
+        // __mr_run_agg_<v> prefix struct; avg = one deterministic double
+        // division of the exact decimal sum by the non-null count
         val e = AggRe.replaceAllIn(e0, mm => java.util.regex.Matcher.quoteReplacement {
           val (fn, v, c) = (mm.group(1).toLowerCase, mm.group(2), mm.group(3))
           if (!idx.contains(v)) mm.matched
-          else fn match {
-            case "count" => s"__mr_agg_$v.cnt_${if (c == "*") "rows" else c}"
-            case "avg" =>
-              require(c != "*", "MATCH_RECOGNIZE: avg(V.*) — name a column")
-              s"(CAST(__mr_agg_$v.sum_$c AS DOUBLE) / __mr_agg_$v.cnt_$c)"
-            case f =>
-              require(c != "*", s"MATCH_RECOGNIZE: $f(V.*) — name a column")
-              s"__mr_agg_$v.${f}_$c"
+          else {
+            val base = if (running) s"__mr_run_agg_$v" else s"__mr_agg_$v"
+            fn match {
+              case "count" => s"$base.cnt_${if (c == "*") "rows" else c}"
+              case "avg" =>
+                require(c != "*", "MATCH_RECOGNIZE: avg(V.*) — name a column")
+                s"(CAST($base.sum_$c AS DOUBLE) / $base.cnt_$c)"
+              case f =>
+                require(c != "*", s"MATCH_RECOGNIZE: $f(V.*) — name a column")
+                s"$base.${f}_$c"
+            }
           }
         })
         // MATCH_NUMBER(): the match's 1-based ordinal WITHIN its partition —
@@ -1419,7 +1433,7 @@ object SqlFrontend {
         ordCols.map(org.apache.spark.sql.functions.expr), ord, toks, defs,
         withinMicros, scanSkip, allRowsPerMatch, measureColNames,
         if (aggSpecs.forall(_.isEmpty)) Seq.empty else aggSpecs, dynDefs, offsetSpecs,
-        runningStructs = measureRunning.exists(identity))
+        runningStructs = runningNonAgg, runningAggStructs = runningAggs)
       val measures = measureSrc.zip(measureRunning).map { case ((e, a), running) =>
         s"${scanMeasure(e, running)} AS $a" }
       // ALL ROWS emits every input column (the standard's shape); ONE ROW the

@@ -511,13 +511,34 @@ class MatchRecognizeScanSpec extends SparkSpec {
       "RUNNING LAST(U.v): NULL until U starts, then grows per row")
     assert(rs.forall(_.getAs[Double]("fin_top") == 12.0),
       "unmarked measures stay FINAL (the documented default)")
-    // RUNNING aggregates are a loud refusal, not a silent FINAL
-    val err = intercept[RuntimeException](SqlFrontend.execute(spark,
+    // RUNNING aggregates (r11 — the r10 refusal closed): per-output-row
+    // prefix accumulators — cnt 0 / NULL sum before the run begins, equal
+    // to the FINAL aggregate on the match's last row
+    val ra = SqlFrontend.execute(spark,
       """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY ts, id
-        |  MEASURES RUNNING sum(U.v) AS s ALL ROWS PER MATCH
-        |  PATTERN (S U+) DEFINE U AS U.v > PREV(U.v))""".stripMargin))
-    assert(err.getMessage.contains("RUNNING aggregates"), err.getMessage)
+        |  MEASURES RUNNING count(D.*) AS d_seen,
+        |           RUNNING CAST(sum(U.v) AS DOUBLE) AS up_sum,
+        |           RUNNING min(D.v) AS run_min,
+        |           count(U.*) AS fin_up
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S D+ U+)
+        |  DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v)
+        |)""".stripMargin)
+      .filter(col("k") === "k1").orderBy("id").collect()
+    assert(ra.length == 5)
+    assert(ra.map(_.getAs[Long]("d_seen")).toSeq == Seq(0L, 1L, 2L, 2L, 2L),
+      "RUNNING count(D.*): 0 before D, grows through D's run, final after")
+    assert(ra.map(d(_, "up_sum")).toSeq ==
+      Seq(None, None, None, Some(9.0), Some(21.0)),
+      "RUNNING sum(U.v): NULL until U starts, prefix-accumulates per row")
+    assert(ra.map(d(_, "run_min")).toSeq ==
+      Seq(None, Some(8.0), Some(7.0), Some(7.0), Some(7.0)),
+      "RUNNING min(D.v): per-prefix minimum")
+    assert(ra.forall(_.getAs[Long]("fin_up") == 2L),
+      "unmarked aggregates stay FINAL (the documented default)")
+    // RUNNING == FINAL on the match's last row
+    assert(d(ra.last, "up_sum").contains(9.0 + 12.0))
   }
 
   test("r10 features compose: cross-var cap + WITHIN + SKIP TO LAST + MATCH_NUMBER + aggregates") {

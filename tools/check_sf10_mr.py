@@ -213,6 +213,23 @@ FINALS_RUNNING = { # q173 rides the ticker cand/sel ("running" mode)
         JOIN r re ON re.user_id = w.user_id AND re.rn = w.e""",
 }
 
+FINALS_RUNNINGAGG = { # q174 rides the ticker cand/sel ("runningagg" mode):
+    # running aggregates = windowed prefix aggregates within the match
+    "q174_match_running_aggs": """
+        WITH rows0 AS (SELECT s.user_id, s.rn AS srn, s.m, s.e, r.rn, r.ts, r.event_id, r.value
+                       FROM sel s JOIN r ON r.user_id = s.user_id AND r.rn BETWEEN s.rn AND s.e)
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN rn = srn THEN 'S' WHEN rn <= m THEN 'D' ELSE 'U' END AS cls,
+               COUNT(CASE WHEN rn > srn AND rn <= m THEN 1 END)
+                 OVER (PARTITION BY user_id, srn ORDER BY rn) AS d_seen,
+               CAST(SUM(CASE WHEN rn > m THEN CAST(value AS DECIMAL(25,6)) END)
+                 OVER (PARTITION BY user_id, srn ORDER BY rn) AS DOUBLE) AS run_up_sum,
+               MIN(CASE WHEN rn > srn AND rn <= m THEN value END)
+                 OVER (PARTITION BY user_id, srn ORDER BY rn) AS run_bottom,
+               e - m AS final_n_up
+        FROM rows0""",
+}
+
 FINALS_LAZY = {
     "q171_match_reluctant": """
         SELECT sel.user_id, start_ts AS match_start_ts, re.ts AS match_end_ts, start_tie,
@@ -279,7 +296,8 @@ def fingerprint(rel, cols_types):
 
 MODE_FINALS = {"tolast": FINALS_TOLAST, "xvar": FINALS_XVAR,
                "selffirst": FINALS_SELFFIRST, "lazy": FINALS_LAZY,
-               "nav": FINALS_NAV, "running": FINALS_RUNNING}
+               "nav": FINALS_NAV, "running": FINALS_RUNNING,
+               "runningagg": FINALS_RUNNINGAGG}
 fails = []
 skipped = 0
 for name, final in MODE_FINALS.get(mode, FINALS).items():
