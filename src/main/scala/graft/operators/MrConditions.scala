@@ -35,15 +35,21 @@ import org.apache.spark.sql.types._
   * NULL — their conditions can never hold, exactly as the standard
   * prescribes.
   *
-  * Supported surface (loud [[sys.error]] beyond it, with the bounded-path
-  * hint): AND/OR/NOT, comparisons (= == <> != < <= > >=), IS [NOT] NULL,
-  * arithmetic (+ - * / and unary -), parentheses, numeric/string/boolean/NULL
-  * literals, bare column refs (candidate row), `var.col`,
-  * `FIRST|LAST(var.col [, k])`, and — under `allowNav` (the streaming
-  * route) — physical `PREV|NEXT(self.col [, n])`. Conditions are
+  * Interpreted surface: AND/OR/NOT, comparisons (= == <> != < <= > >=),
+  * IS [NOT] NULL, arithmetic (+ - * / and unary -), parentheses,
+  * numeric/string/boolean/NULL literals, bare column refs (candidate row),
+  * `var.col`, `FIRST|LAST(var.col [, k])`, and — under `allowNav` (the
+  * streaming route) — physical `PREV|NEXT(self.col [, n])`. Conditions are
   * TYPE-CHECKED at plan time against the schema (boolean misuse like
   * `A.v AND B.v` over numeric v fails at compile, never per-row on an
-  * executor). Numeric comparisons and + - * are exact
+  * executor). BEYOND that surface (r11): any deterministic Spark SQL
+  * expression — ABS/CASE/IN/LIKE/BETWEEN/COALESCE/... — compiles through
+  * the [[Hybrid]] Catalyst fallback (navigation atoms stay interpreted and
+  * feed slots of a composed row; numeric semantics there are Spark's own,
+  * matching the bounded lead()-CASE route bit-for-bit). A condition BOTH
+  * paths refuse fails loudly with both reasons; subqueries and
+  * non-deterministic expressions are refused. Interpreted-path numeric
+  * comparisons and + - * are exact
   * (BigDecimal) when both operands are integral/decimal, double otherwise;
   * division is always double — the same determinism contract the catalog's
   * oracle queries pin.
@@ -76,6 +82,18 @@ object MrConditions {
   private case class NextNav(n: Int, idx: Int) extends Ex
   private case class Un(op: String, e: Ex) extends Ex // NOT, NEG, ISNULL, ISNOTNULL
   private case class Bin(op: String, l: Ex, r: Ex) extends Ex
+  /** Catalyst-fallback root (r11): the whole condition as ONE analyzed+bound
+    * Catalyst expression over [input columns ++ extracted navigation atoms] —
+    * conditions beyond the interpreted surface (ABS/CASE/IN/LIKE/COALESCE,
+    * any deterministic Spark expression) run here; the atoms (`var.col`,
+    * `FIRST|LAST(var.col[,k])`, `PREV|NEXT` under allowNav) stay interpreted
+    * and feed slots `__mr_atom_<i>` of the composed row.
+    */
+  private case class Hybrid(bound: org.apache.spark.sql.catalyst.expressions.Expression,
+                            atomExs: Array[Ex], extSchema: StructType, nBase: Int) extends Ex {
+    @transient lazy val converter: Any => Any =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(extSchema)
+  }
 
   /** Evaluation context the scan provides per tested row: the candidate row,
     * absolute-in-buffer accessors, and the current attempt's per-token run
@@ -137,12 +155,135 @@ object MrConditions {
               selfVar: String, allowNav: Boolean = false): Compiled = {
     require(varIdx.contains(selfVar), s"unknown DEFINE variable '$selfVar'")
     val p = new Parser(cond, schema, varIdx, if (allowNav) Some(selfVar) else None)
-    val ex = p.parseAll()
-    val t = typeOf(ex, schema, cond)
-    if (t != 'B' && t != '?')
-      sys.error(s"MATCH_RECOGNIZE DEFINE must be a boolean condition, got " +
-        s"${tpeName(t)}: $cond")
-    new Compiled(ex, cond)
+    val parsed = try Right(p.parseAll()) catch { case e: RuntimeException => Left(e) }
+    parsed match {
+      case Right(ex) =>
+        val t = typeOf(ex, schema, cond)
+        if (t != 'B' && t != '?')
+          sys.error(s"MATCH_RECOGNIZE DEFINE must be a boolean condition, got " +
+            s"${tpeName(t)}: $cond")
+        new Compiled(ex, cond)
+      case Left(err) =>
+        // beyond the interpreted surface (a function, CASE, IN, BETWEEN…):
+        // fall back to ONE Catalyst expression with interpreted atoms (r11);
+        // a condition BOTH paths refuse reports both reasons
+        val h = try compileHybrid(cond, schema, varIdx, selfVar, allowNav)
+        catch {
+          case _: StackOverflowError => throw err
+          case e2: Throwable =>
+            sys.error(s"${err.getMessage} [Catalyst fallback also failed: " +
+              s"${Option(e2.getMessage).getOrElse(e2.getClass.getSimpleName).linesIterator.next()}]")
+        }
+        new Compiled(h, cond)
+    }
+  }
+
+  /** Build the [[Hybrid]] root: extract navigation atoms lexically (outside
+    * string literals), rewrite them to `__mr_atom_<i>` slots, analyze + bind
+    * the rewritten text as a Catalyst expression over input ++ atom columns.
+    * Plan-time only (driver; uses the active SparkSession's parser/analyzer).
+    */
+  private def compileHybrid(cond: String, schema: StructType, varIdx: Map[String, Int],
+                            selfVar: String, allowNav: Boolean): Ex = {
+    import org.apache.spark.sql.catalyst.expressions._
+    // string-literal spans: atom regexes must not fire inside '…'
+    val quotes = {
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var i = 0
+      while (i < cond.length) {
+        if (cond.charAt(i) == '\'') {
+          val s = i; i += 1
+          while (i < cond.length && cond.charAt(i) != '\'') i += 1
+          spans += ((s, math.min(i + 1, cond.length)))
+        }
+        i += 1
+      }
+      spans.toSeq
+    }
+    def inQuote(p: Int): Boolean = quotes.exists(s => p >= s._1 && p < s._2)
+
+    final case class Found(start: Int, end: Int, ex: Ex, tpe: DataType)
+    val found = scala.collection.mutable.ArrayBuffer.empty[Found]
+    def colIdx(c: String): Int =
+      try schema.fieldIndex(c)
+      catch { case _: IllegalArgumentException => sys.error(s"unknown column '$c'") }
+
+    val NavRe = "(?i)\\b(PREV|NEXT)\\s*\\(\\s*(\\w+)\\s*\\.\\s*(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
+    for (m <- NavRe.findAllMatchIn(cond) if !inQuote(m.start)) {
+      val (kind, v, c) = (m.group(1).toUpperCase, m.group(2), m.group(3))
+      require(varIdx.contains(v), s"${kind}() over unknown pattern variable '$v'")
+      require(allowNav, s"physical ${kind}() reached the interpreter on a batch route " +
+        "(the frontend rewrites it to nav columns first)")
+      require(v == selfVar, s"$kind() may only navigate the variable being DEFINEd")
+      val n = Option(m.group(4)).map(_.toInt).getOrElse(1)
+      val ci = colIdx(c)
+      found += Found(m.start, m.end,
+        if (kind == "PREV") PrevNav(n, ci) else NextNav(n, ci), schema(ci).dataType)
+    }
+    val FlRe = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\s*\\.\\s*(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
+    for (m <- FlRe.findAllMatchIn(cond)
+         if !inQuote(m.start) && varIdx.contains(m.group(2)) &&
+           !found.exists(f => m.start >= f.start && m.start < f.end)) {
+      val (kind, v, c) = (m.group(1).toUpperCase, m.group(2), m.group(3))
+      val k = Option(m.group(4)).map(_.toInt).getOrElse(0)
+      val ci = colIdx(c)
+      found += Found(m.start, m.end,
+        VarCol(varIdx(v), if (kind == "FIRST") 0 else 1, ci, k), schema(ci).dataType)
+    }
+    val VcRe = "\\b(\\w+)\\s*\\.\\s*(\\w+)\\b".r
+    for (m <- VcRe.findAllMatchIn(cond)
+         if !inQuote(m.start) && varIdx.contains(m.group(1)) &&
+           !found.exists(f => m.start >= f.start && m.start < f.end)) {
+      val ci = colIdx(m.group(2))
+      found += Found(m.start, m.end, VarCol(varIdx(m.group(1)), 1, ci), schema(ci).dataType)
+    }
+    // distinct atoms → slots; rewrite right-to-left so positions stay valid
+    val slots = scala.collection.mutable.LinkedHashMap.empty[Ex, (Int, DataType)]
+    found.foreach(f => slots.getOrElseUpdate(f.ex, (slots.size, f.tpe)))
+    var rewritten = cond
+    found.sortBy(-_.start).foreach { f =>
+      rewritten = rewritten.substring(0, f.start) +
+        s"__mr_atom_${slots(f.ex)._1}" + rewritten.substring(f.end)
+    }
+    val extSchema = StructType(schema.fields.toSeq ++ slots.toSeq.map { case (_, (i, t)) =>
+      StructField(s"__mr_atom_$i", t, nullable = true) })
+
+    val spark = org.apache.spark.sql.SparkSession.active
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(extSchema)
+    val parsedE = spark.sessionState.sqlParser.parseExpression(rewritten)
+    val proj = org.apache.spark.sql.catalyst.plans.logical.Project(
+      Seq(Alias(parsedE, "__mr_cond")()),
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(attrs))
+    val analyzed = spark.sessionState.analyzer.execute(proj)
+    spark.sessionState.analyzer.checkAnalysis(analyzed)
+    val ex0 = analyzed.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+      .projectList.head.asInstanceOf[Alias].child
+    require(ex0.deterministic, "DEFINE conditions must be deterministic")
+    require(!ex0.exists(_.isInstanceOf[SubqueryExpression]),
+      "subqueries are not allowed in DEFINE conditions")
+    require(ex0.dataType == BooleanType,
+      s"DEFINE must be a boolean condition, got ${ex0.dataType.simpleString}")
+    // direct eval() needs RuntimeReplaceable (BETWEEN, ilike, …) swapped for
+    // its replacement and `With` common-expression wrappers inlined (the
+    // optimizer rules that normally do this run on plans, not expressions;
+    // duplicating a common expression is fine under interpretation)
+    var cur: Expression = ex0
+    var changed = true
+    while (changed) {
+      val next = cur.transformUp {
+        case r: RuntimeReplaceable => r.replacement
+        case w: With =>
+          val defs = w.defs.map(d => d.id -> d.child).toMap
+          w.child.transformUp {
+            case ref: CommonExpressionRef if defs.contains(ref.id) => defs(ref.id)
+          }
+      }
+      changed = !next.fastEquals(cur)
+      cur = next
+    }
+    val bound = BindReferences.bindReference(cur, org.apache.spark.sql.catalyst.expressions
+      .AttributeSeq(attrs))
+    Hybrid(bound, slots.keys.toArray, extSchema, schema.fields.length)
   }
 
   // ------------------------------------------------- plan-time type check
@@ -176,6 +317,7 @@ object MrConditions {
       case VarCol(_, _, i, _) => colT(i)
       case PrevNav(_, i) => colT(i)
       case NextNav(_, i) => colT(i)
+      case _: Hybrid => 'B' // validated at Catalyst analysis time
       case Un("NOT", x) => req(typeOf(x, schema, src), 'B', "NOT"); 'B'
       case Un("NEG", x) => req(typeOf(x, schema, src), 'N', "unary -"); 'N'
       case Un(_, x) => typeOf(x, schema, src); 'B' // IS [NOT] NULL: any operand
@@ -202,6 +344,7 @@ object MrConditions {
       case PrevNav(n, _) => n
       case Un(_, x) => walk(x)
       case Bin(_, l, r) => math.max(walk(l), walk(r))
+      case h: Hybrid => h.atomExs.map(walk).foldLeft(0)(math.max)
       case _ => 0
     }
     walk(c.rootEx)
@@ -231,6 +374,14 @@ object MrConditions {
     case NextNav(nFwd, i) =>
       val p = ctx.selfPos + nFwd
       if (p > ctx.maxPos) throw NotYet else get(ctx.rowAt(p), i)
+    case h: Hybrid =>
+      val vals = new Array[Any](h.nBase + h.atomExs.length)
+      var i = 0
+      while (i < h.nBase) { vals(i) = get(ctx.cur, i); i += 1 }
+      var j = 0
+      while (j < h.atomExs.length) { vals(h.nBase + j) = eval(h.atomExs(j), ctx); j += 1 }
+      h.bound.eval(h.converter(new org.apache.spark.sql.catalyst.expressions.GenericRow(vals))
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
     case Un("NOT", x) => eval(x, ctx) match {
       case b: java.lang.Boolean => java.lang.Boolean.valueOf(!b.booleanValue())
       case _ => null

@@ -506,7 +506,21 @@ object Catalog {
     graft.llmops.Multimodal.extractImageFeatures(media, "content")
       .select(col("media_id"), col("media_type"), col("width"), col("height"),
         size(col("features")).cast("long").as("n_features"))
-  }, None)
+  }, Some("""
+    -- r11: the synthetic generator's dimensions are closed-form in doc_id
+    -- (SyntheticPayloads.png: w = 16 + (id%8)*8, h = 16 + ((id/8)%8)*8) and
+    -- PNG is lossless, so decode must return them exactly; audio/video
+    -- payloads are not images -> dead-letter NULL dims; feature dim is 8
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL
+                THEN CAST(16 + (doc_id % 8) * 8 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL
+                THEN CAST(16 + ((doc_id // 8) % 8) * 8 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 3 = 0 AND text IS NOT NULL
+                THEN CAST(8 AS BIGINT) END AS n_features
+    FROM documents"""))
 
   // --------------------------------------------------------------- pipelines
 
@@ -2542,7 +2556,24 @@ object Catalog {
         media.filter(col("media_type") === "video"), "content", everyNthFrame = 10)
       .groupBy("media_id", "media_type").agg(count(lit(1)).as("metric"))
     images.unionByName(audio).unionByName(video)
-  }, None)
+  }, Some("""
+    -- r11: every branch's metric is closed-form in doc_id (generator
+    -- contract): images <= 79px never downscale inside a 512x512 box so the
+    -- re-measured width is the generated one; WAV duration = 100 + id%1000
+    -- ms exactly (8 kHz x 8-bit frames round-trip integrally); video samples
+    -- frames 0,10,20 of 6 + (id%8)*3 frames. NULL text -> NULL-payload
+    -- dead-letter rows for image/audio, ZERO rows for video (nothing to
+    -- sample), exactly the operators' documented contracts
+    SELECT doc_id AS media_id, 'image' AS media_type,
+           CASE WHEN text IS NOT NULL THEN CAST(16 + (doc_id % 8) * 8 AS BIGINT) END AS metric
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 'audio',
+           CASE WHEN text IS NOT NULL THEN CAST(100 + doc_id % 1000 AS BIGINT) END
+    FROM documents WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id, 'video', CAST((6 + (doc_id % 8) * 3 - 1) // 10 + 1 AS BIGINT)
+    FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL"""))
 
   private val q124 = Q("q124_zscore", (s, dir) => {
     // Group-wise standardization: exact decimal moments broadcast back,

@@ -379,6 +379,34 @@ class MatchRecognizeScanSpec extends SparkSpec {
     assert(scanPath.count() > 0, "equivalence must not be vacuous")
   }
 
+  test("Catalyst-fallback DEFINEs (ABS/CASE/BETWEEN): scan route equals the lead()-CASE route") {
+    val events = core.Tables(spark, sfDir, "events")
+    events.createOrReplaceTempView("mr_events_fb")
+    // conditions the interpreter refuses (function calls, CASE, BETWEEN)
+    // now compile through the Hybrid Catalyst fallback with the navigation
+    // atoms (FIRST/PREV-rewritten refs) still interpreted; the bounded
+    // route evaluates the same text natively — both must select identically
+    def q(measuresExtra: String) = s"""
+      SELECT * FROM mr_events_fb MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES FIRST(S.ts) AS start_ts, FIRST(S.event_id) AS start_tie,
+                 LAST(U.ts) AS end_ts$measuresExtra
+        ONE ROW PER MATCH
+        PATTERN (S D{1,3} U{1,2})
+        DEFINE D AS D.value < PREV(D.value),
+               U AS abs(U.value - PREV(U.value)) BETWEEN 0.000001 AND 1000000
+                 AND (CASE WHEN U.value < FIRST(S.value) THEN U.value > PREV(U.value)
+                      ELSE false END)
+      )"""
+    val boundedPath = SqlFrontend.execute(spark, q(""))
+      .select("user_id", "start_ts", "start_tie", "end_ts")
+    val scanPath = SqlFrontend.execute(spark, q(", MATCH_NUMBER() AS mseq"))
+      .select("user_id", "start_ts", "start_tie", "end_ts")
+    assert(boundedPath.exceptAll(scanPath).isEmpty && scanPath.exceptAll(boundedPath).isEmpty,
+      "fallback selection diverged between the CASE expansion and the NFA + Hybrid")
+    assert(scanPath.count() > 0, "equivalence must not be vacuous")
+  }
+
   test("reluctant quantifiers: U+? takes the SHORTEST rising run, diverging from greedy") {
     ticker.createOrReplaceTempView("mr_ticker")
     def run(quant: String) = SqlFrontend.execute(spark,
@@ -564,12 +592,18 @@ class MatchRecognizeScanSpec extends SparkSpec {
 
   test("interpreter surface limits stay loud; empty-run references are NULL (no match)") {
     ticker.createOrReplaceTempView("mr_ticker")
-    // unsupported function inside a cross-variable condition → plan-time error
+    // a function inside a cross-variable condition rides the Catalyst
+    // fallback since r11 (parity spec above); the remaining genuine limit —
+    // non-determinism — stays a plan-time error on BOTH paths
+    SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id MEASURES FIRST(S.id) AS s ONE ROW PER MATCH
+        |  PATTERN (S U+) DEFINE U AS abs(U.v) > FIRST(S.v))""".stripMargin).collect()
     val err = intercept[RuntimeException](SqlFrontend.execute(spark,
       """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY ts, id MEASURES FIRST(S.id) AS s ONE ROW PER MATCH
-        |  PATTERN (S U+) DEFINE U AS abs(U.v) > FIRST(S.v))""".stripMargin))
-    assert(err.getMessage.contains("unsupported function"), err.getMessage)
+        |  PATTERN (S U+) DEFINE U AS rand() > 0.5 AND U.v > FIRST(S.v))""".stripMargin))
+    assert(err.getMessage.contains("deterministic"), err.getMessage)
     // B{0,} matched empty: C's reference to LAST(B.v) is NULL → C can never
     // classify, exactly the bounded path's forward/absent-reference rule
     val rs = SqlFrontend.execute(spark,

@@ -120,14 +120,15 @@ class MrConditionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(e.contains("unsupported function"), e)
   }
 
-  test("loud plan-time failures: syntax, unknown names, unsupported functions") {
+  test("loud plan-time failures: syntax, unknown names — on BOTH paths") {
+    // functions/CASE/BETWEEN are no longer refusals — they compile through
+    // the Catalyst fallback (MatchRecognizeScanSpec pins route parity); the
+    // conditions here fail the interpreter AND the fallback, and the error
+    // must carry the interpreter's reason
     def bad(cond: String) = intercept[RuntimeException](
       MrConditions.compile(cond, schema, varIdx, "C")).getMessage
-    assert(bad("abs(v) > 1").contains("unsupported function"))
     assert(bad("v > X.v").contains("unknown qualifier"))
     assert(bad("FIRST(A.nope) > 1").contains("unknown column"))
     assert(bad("v >").contains("unexpected"))
-    assert(bad("v BETWEEN 1 AND 2").contains("unknown qualifier") ||
-      bad("v BETWEEN 1 AND 2").nonEmpty) // BETWEEN is outside the surface
   }
 }

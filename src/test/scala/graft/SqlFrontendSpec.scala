@@ -448,16 +448,21 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
         |  PARTITION BY u ORDER BY ts MEASURES FIRST(A.ts) AS s ONE ROW PER MATCH
         |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A{2,} B)
         |  DEFINE A AS A.t = 'view' AND A.price > FIRST(A.price))""".stripMargin).collect()
-    // the remaining genuine limit stays loud: a condition outside the
-    // MrConditions surface (an unsupported function) under an unbounded
-    // pattern fails at plan time with the bounded-path hint
+    // beyond the interpreted surface (r11): a function-bearing cross-variable
+    // DEFINE under an unbounded pattern compiles through the Catalyst
+    // fallback and EXECUTES (route parity pinned in MatchRecognizeScanSpec)
+    SqlFrontend.execute(spark,
+      """SELECT * FROM mr_events MATCH_RECOGNIZE (
+        |  PARTITION BY u ORDER BY ts MEASURES FIRST(A.ts) AS s ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A+ B)
+        |  DEFINE A AS A.t = 'view', B AS abs(B.price) > A.price)""".stripMargin).collect()
+    // the genuine limits stay loud on BOTH paths: non-determinism is refused
     val e2 = intercept[Exception](SqlFrontend.execute(spark,
       """SELECT * FROM mr_events MATCH_RECOGNIZE (
         |  PARTITION BY u ORDER BY ts MEASURES FIRST(A.ts) AS s ONE ROW PER MATCH
         |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A+ B)
-        |  DEFINE A AS A.t = 'view', B AS abs(B.price) > A.price)""".stripMargin))
-    assert(e2.getMessage.contains("unsupported function") &&
-      e2.getMessage.contains("state an upper bound"), e2.getMessage)
+        |  DEFINE A AS A.t = 'view', B AS rand() > 0.5 AND B.price > A.price)""".stripMargin))
+    assert(e2.getMessage.contains("deterministic"), e2.getMessage)
   }
 
   test("MATCH_RECOGNIZE SKIP PAST LAST ROW selects non-overlapping matches and is the default") {
