@@ -56,9 +56,14 @@ object SpotStreamingMr {
       .option("maxFilesPerTrigger", "1").parquet(feed)
     val toks = Seq(MrTok("S", 1, Some(1)), MrTok("D", 1, None), MrTok("U", 1, None))
     val defs = Seq(None, Some("D.value < PREV(D.value)"), Some("U.value > PREV(U.value)"))
+    // peak retained buffer rows for any key (post-batch, after eviction) —
+    // the number the decided-prefix eviction + navDepth margin must bound
+    val probe = new graft.streaming.StreamingOps.MaxAccumulator
+    spark.sparkContext.register(probe, "mr_peak_state_rows")
     val matched = graft.streaming.StreamingMatchRecognize(
       stream, "user_id", condCols = Seq("value"),
-      tsCol = "ts", tieCol = "event_id", tokens = toks, defs = defs, skipPast = true)
+      tsCol = "ts", tieCol = "event_id", tokens = toks, defs = defs, skipPast = true,
+      stateProbe = Some(probe))
     val t0 = System.nanoTime()
     val q = matched.writeStream.format("parquet")
       .option("path", s"$tmp/sink").option("checkpointLocation", s"$tmp/ckpt")
@@ -89,8 +94,9 @@ object SpotStreamingMr {
     val extra = streamed.exceptAll(batch).count() // must be empty
     val missing = batch.exceptAll(streamed).count() // <= one open tail per key
     val nKeys = ev.select("user_id").distinct().count()
+    val nEvents = ev.count()
     val ok = nStream > 0 && extra == 0 && missing <= nKeys
-    println(f"""[mrstream] {"sec":$sec%.1f,"slices":$slices,"streamMatches":$nStream,"batchMatches":$nBatch,"extra":$extra,"missingFinal":$missing,"keys":$nKeys,"ok":$ok}""")
+    println(f"""[mrstream] {"sec":$sec%.1f,"slices":$slices,"events":$nEvents,"eventsPerSec":${(nEvents / sec).toLong},"peakStateRows":${probe.value},"streamMatches":$nStream,"batchMatches":$nBatch,"extra":$extra,"missingFinal":$missing,"keys":$nKeys,"ok":$ok}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }

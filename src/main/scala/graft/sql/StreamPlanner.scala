@@ -331,11 +331,16 @@ object StreamPlanner {
       us / 1000000L
     }.getOrElse(0L)
 
-    // MEASURES → the operator's match_start_ts / match_end_ts columns
+    // MEASURES: ORDER-BY-column refs map to the operator's match_start_ts /
+    // match_end_ts; any other `[FIRST|LAST](var.col)` is a VALUE measure
+    // (r11) read from the winning placement's buffered rows on the value
+    // route — Left(src -> alias) = span measure, Right = value measure
     val (firstVar, firstMin, firstMax, _) = tokens.head
     val (lastVar, lastMin, _, _) = tokens.last
+    val varIdx0 = tokens.map(_._1).zipWithIndex.toMap
     val MeasRe = "(?is)^(?:(FIRST|LAST)\\s*\\(\\s*)?(\\w+)\\.(\\w+)\\s*\\)?\\s+AS\\s+(\\w+)\\s*$".r
-    val measures: Seq[(String, String)] = clause(
+    import graft.streaming.StreamingMatchRecognize.MrMeasure
+    val measures: Seq[Either[(String, String), MrMeasure]] = clause(
       "(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW|AFTER\\s+MATCH|PATTERN\\b)")
       .map(SqlFrontend.splitTopLevelCommas(_).map(_.trim)).getOrElse(Seq.empty)
       .map {
@@ -356,10 +361,16 @@ object StreamPlanner {
               "(quantified/optional variables need FIRST(...) on a mandatory first " +
               "variable or LAST(...) on a mandatory last variable)")
           }
-          src -> alias
-        case other => sys.error(s"streaming MATCH_RECOGNIZE supports MEASURES over the ORDER BY " +
-          s"column of the first/last pattern variable only; got '$other'")
+          Left(src -> alias)
+        case MeasRe(kind, v, c, alias) if varIdx0.contains(v) =>
+          // value measure: bare = the standard's LAST occurrence
+          Right(MrMeasure(Option(kind).exists(_.equalsIgnoreCase("FIRST")),
+            varIdx0(v), c, alias))
+        case other => sys.error(s"streaming MATCH_RECOGNIZE MEASURES support " +
+          s"[FIRST|LAST](var.col) over the ORDER BY column or a data column of a " +
+          s"pattern variable; got '$other'")
       }
+    val valueMeasures: Seq[MrMeasure] = measures.collect { case Right(m) => m }
 
     val input = SqlFrontend.parseSql(spark, s"SELECT * FROM $tbl")
       .withColumn("__tie", lit(0L))
@@ -370,7 +381,9 @@ object StreamPlanner {
     // watermark delay defaults to the TTL itself — a 0s delay would engage
     // Spark's late-row filter against cross-key event-time skew (r8 ADVICE);
     // 'sql.state-ttl-watermark-delay' tunes it explicitly
-    val matched = (if (!valueRoute) {
+    // value MEASURES force the value route even under all-literal DEFINEs
+    // (the typed operator emits spans only)
+    val matched = (if (!valueRoute && valueMeasures.isEmpty) {
       val defines = defSrc.map { case (v, c) =>
         s"$v AS $c" match { case DefineRe(_, _, cc, lit0) => v -> (cc, lit0) }
       }.toMap
@@ -406,17 +419,23 @@ object StreamPlanner {
         graft.operators.MatchRecognize.MrTok(v, lo,
           if (hi == QTok.Unbounded) None else Some(hi), rel) }
       val conds = tokens.map { case (v, _, _, _) => defMap.get(v) }
-      graft.streaming.StreamingMatchRecognize(input, part, refCols,
+      val condCols = (refCols ++ valueMeasures.map(_.col).filterNot(refCols.contains)).distinct
+      valueMeasures.foreach(m => require(input.columns.contains(m.col),
+        s"streaming MEASURES references unknown column '${m.col}'"))
+      graft.streaming.StreamingMatchRecognize(input, part, condCols,
         ord, "__tie", toks, conds, withinSeconds, ttlSeconds = ttlSeconds,
         ttlWatermarkDelay = graft.sources.TableRegistry.stateTtlWatermarkDelay(ttlSeconds),
-        skipPast = skipPast)
+        skipPast = skipPast, measures = valueMeasures)
     }).toDF()
     // restore the partition column's ORIGINAL type (the operator keys on its
     // string image) so downstream joins/schemas see what the source declared
     val keyType = input.schema(part).dataType
     val projected = matched.select(
       col("key").cast(keyType).as(part) +:
-        measures.map { case (src, alias) => col(src).as(alias) }: _*)
+        measures.map {
+          case Left((src, alias)) => col(src).as(alias)
+          case Right(m) => col(m.alias) // emitted under its alias already
+        }: _*)
     // the stage's outer SELECT runs over the matched view, with the user's
     // table alias RE-ATTACHED so qualified refs (mr.start_ts) still resolve
     val keywords = Set("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION",

@@ -18,6 +18,23 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object StreamingOps {
 
+  /** Max-gauge accumulator (r11): stateful operators report per-key buffered
+    * row counts through it so scale spot-runs can print PEAK state size —
+    * the number the eviction math has to hold down — without a driver
+    * collect. Standard AccumulatorV2 merge discipline (max is commutative,
+    * associative, idempotent under task retries).
+    */
+  final class MaxAccumulator extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+    private var _max = 0L
+    override def isZero: Boolean = _max == 0L
+    override def copy(): MaxAccumulator = { val a = new MaxAccumulator; a._max = _max; a }
+    override def reset(): Unit = _max = 0L
+    override def add(v: Long): Unit = if (v > _max) _max = v
+    override def merge(other: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+      add(other.value)
+    override def value: Long = _max
+  }
+
   /** Event-time micros from a Timestamp WITHOUT sub-millisecond truncation:
     * `getTime * 1000` drops the µs component (getTime is millis), which would
     * make streaming strict-ordering tests and auto-STL cadence deltas diverge

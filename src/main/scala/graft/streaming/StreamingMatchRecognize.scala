@@ -11,7 +11,6 @@ import org.apache.spark.sql.streaming.{GroupState, OutputMode}
 import org.apache.spark.sql.types._
 
 import graft.operators.{MatchRecognize, MrConditions}
-import StreamingSequenceMatchQ.QMatch
 
 /** Streaming MATCH_RECOGNIZE over VALUE predicates — the ticker idiom
   * (`D AS D.value < PREV(D.value)`) as a standing query, which the typed
@@ -69,6 +68,14 @@ import StreamingSequenceMatchQ.QMatch
   */
 object StreamingMatchRecognize {
 
+  /** A value MEASURE over the buffered columns (r11 — Flink standing queries
+    * report prices, not just span timestamps): `FIRST|LAST(tokens(tok).name
+    * .col)` where `col` must be one of the operator's buffered `condCols`.
+    * Emitted per match from the winning placement; a token that matched no
+    * rows yields NULL (the optional-variable rule).
+    */
+  case class MrMeasure(isFirst: Boolean, tok: Int, col: String, alias: String)
+
   /** Aligned per-row state; `cells(i)` = row i's condCols values in their
     * original external types (Kryo-encoded state — the only state this
     * module keeps); `cursor` = the skip-past selection cursor's index within
@@ -103,8 +110,20 @@ object StreamingMatchRecognize {
             tokens: Seq[MatchRecognize.MrTok], defs: Seq[Option[String]],
             withinSeconds: Long = 0L, ttlSeconds: Long = 0L,
             ttlWatermarkDelay: String = "0 seconds",
-            skipPast: Boolean = true): Dataset[QMatch] = {
+            skipPast: Boolean = true,
+            stateProbe: Option[StreamingOps.MaxAccumulator] = None,
+            measures: Seq[MrMeasure] = Seq.empty): DataFrame = {
     require(condCols.nonEmpty, "conditions must reference at least one column")
+    measures.foreach { m =>
+      require(m.tok >= 0 && m.tok < tokens.size, s"measure over unknown token index ${m.tok}")
+      require(condCols.contains(m.col),
+        s"measure column '${m.col}' must be among the buffered condCols $condCols")
+      require(!Set("key", "match_start_ts", "match_end_ts", "start_tie", "matched_len")
+        .contains(m.alias) && !m.alias.startsWith("__mr_"),
+        s"measure alias '${m.alias}' collides with an output/reserved name")
+    }
+    require(measures.map(_.alias).distinct.size == measures.size,
+      s"duplicate measure aliases: ${measures.map(_.alias)}")
     require(condCols.distinct == condCols, s"duplicate condCols: $condCols")
     require(!condCols.exists(_.startsWith("__mr_")),
       s"condCols collide with the operator's reserved __mr_ prefix: $condCols")
@@ -137,7 +156,21 @@ object StreamingMatchRecognize {
     val relArr = tokens.map(_.reluctant).toArray
     val withinUs = withinSeconds * 1000000L
 
-    implicit val outEnc = Encoders.product[QMatch]
+    // QMatch's shape (the r10 contract) plus the value-measure columns in
+    // declaration order, typed from the buffered schema
+    val outSchema = StructType(Seq(
+      StructField("key", StringType, nullable = true),
+      StructField("match_start_ts", TimestampType, nullable = true),
+      StructField("match_end_ts", TimestampType, nullable = true),
+      StructField("start_tie", LongType, nullable = false),
+      StructField("matched_len", IntegerType, nullable = false)) ++
+      measures.map(m => condSchema(condSchema.fieldIndex(m.col)).copy(
+        name = m.alias, nullable = true)))
+    val measArr: Array[(Boolean, Int, Int)] =
+      measures.map(m => (m.isFirst, m.tok, condSchema.fieldIndex(m.col))).toArray
+    val nMeas = measArr.length
+
+    implicit val outEnc = Encoders.row(outSchema)
     implicit val stEnc = Encoders.kryo[Buf]
     implicit val keyEnc = Encoders.STRING
 
@@ -156,13 +189,13 @@ object StreamingMatchRecognize {
     val srcQ = if (ttlSeconds > 0) sel.withWatermark("__mr_ts", ttlWatermarkDelay) else sel
     srcQ
       .groupByKey(_.getString(0))
-      .flatMapGroupsWithState[Buf, QMatch](OutputMode.Append(), StreamingOps.ttlConf(ttlSeconds)) {
+      .flatMapGroupsWithState[Buf, Row](OutputMode.Append(), StreamingOps.ttlConf(ttlSeconds)) {
         (key: String, rows: Iterator[Row], state: GroupState[Buf]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val buf = state.getOption.getOrElse(
               Buf(Array.empty, Array.empty, Array.empty, 0, Array.empty))
-            val out = Seq.newBuilder[QMatch]
+            val out = Seq.newBuilder[Row]
             var newest = Long.MinValue
             var late = 0
 
@@ -246,6 +279,33 @@ object StreamingMatchRecognize {
               try go(0, p) catch { case MrConditions.NotYet => -1 }
             }
 
+            /** One output row for the winner starting at buffer position p:
+              * the QMatch columns plus the value measures read from the
+              * WINNING placement (resolve's starts/counts hold it — a
+              * successful recursion returns without further mutation).
+              */
+            def emitMatch(p: Int, len: Int): Unit = {
+              val vals = new Array[Any](5 + nMeas)
+              vals(0) = key
+              vals(1) = toTs(tssB(p))
+              vals(2) = toTs(tssB(p + len - 1))
+              vals(3) = tiesB(p)
+              vals(4) = len
+              var m = 0
+              while (m < nMeas) {
+                val (isFirst, tok, colI) = measArr(m)
+                val c = counts(tok)
+                vals(5 + m) =
+                  if (c <= 0) null // the token matched no rows in the winner
+                  else {
+                    val row = rowsB(if (isFirst) starts(tok) else starts(tok) + c - 1)
+                    if (row.isNullAt(colI)) null else row.get(colI)
+                  }
+                m += 1
+              }
+              out += new GenericRow(vals)
+            }
+
             rows.toSeq.sortBy(r => (StreamingOps.tsMicros(r.getTimestamp(1)),
               if (r.isNullAt(2)) 0L else r.getLong(2))).foreach { r =>
               val us = StreamingOps.tsMicros(r.getTimestamp(1))
@@ -276,8 +336,7 @@ object StreamingMatchRecognize {
                       case -1 => walking = false
                       case 0 => cursor += 1
                       case len =>
-                        out += QMatch(key, toTs(tssB(cursor)), toTs(tssB(cursor + len - 1)),
-                          tiesB(cursor), len)
+                        emitMatch(cursor, len)
                         cursor += len
                     }
                   }
@@ -297,7 +356,7 @@ object StreamingMatchRecognize {
                         case -1 => ()
                         case 0 => undecB(p) = false
                         case w =>
-                          out += QMatch(key, toTs(tssB(p)), toTs(tssB(p + w - 1)), tiesB(p), w)
+                          emitMatch(p, w)
                           undecB(p) = false
                       }
                     }
@@ -325,6 +384,7 @@ object StreamingMatchRecognize {
                   "a TTL watermark or repair the upstream ordering")
             state.update(Buf(cellsB.toArray, tssB.toArray, tiesB.toArray,
               cursor, undecB.toArray))
+            stateProbe.foreach(_.add(rowsB.length.toLong)) // peak retained rows per key
             StreamingOps.armTtl(state, ttlSeconds, newest)
             out.result().iterator
           }

@@ -701,6 +701,57 @@ class StreamingSpec extends SparkSpec {
       "streaming NEXT must equal the batch scan on the closed stream")
   }
 
+  test("streaming VALUE CEP with a Catalyst-fallback DEFINE (ABS + CASE): equals batch") {
+    import graft.streaming.StreamingMatchRecognize
+    import graft.operators.MatchRecognize.MrTok
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Long, Double)]
+    val mem = MemoryStream[(String, Timestamp, Long, Double)]
+    // the interpreter refuses abs()/CASE; the Hybrid fallback runs them on
+    // the streaming route too, with PREV() staying an interpreted atom:
+    // D = a drop of MORE than 1.0 from the previous row
+    val rows = Seq(
+      ("k1", ts("2024-01-01 00:00:00"), 1L, 10.0),
+      ("k1", ts("2024-01-01 00:01:00"), 2L, 9.5), // drop 0.5: not a D
+      ("k1", ts("2024-01-01 00:02:00"), 3L, 7.0), // drop 2.5: D
+      ("k1", ts("2024-01-01 00:03:00"), 4L, 4.0), // drop 3.0: D
+      ("k1", ts("2024-01-01 00:04:00"), 5L, 3.8)) // drop 0.2: breaks the run
+    val matches = StreamingMatchRecognize(
+      mem.toDF().toDF("u", "ts", "id", "v"), "u", condCols = Seq("v"),
+      tsCol = "ts", tieCol = "id",
+      tokens = Seq(MrTok("S", 1, Some(1)), MrTok("D", 1, None)),
+      defs = Seq(None, Some(
+        "CASE WHEN abs(D.v - PREV(D.v)) > 1.0 THEN D.v < PREV(D.v) ELSE false END")),
+      skipPast = true)
+    val q = matches.writeStream.format("memory").queryName("mrv_hybrid_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(3): _*); q.processAllAvailable()
+      mem.addData(rows.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("mrv_hybrid_sink")
+      .select(col("key"), col("match_start_ts"), col("match_end_ts"))
+    import spark.implicits._
+    rows.toDF("u", "ts", "id", "v").createOrReplaceTempView("mrv_hybrid_events")
+    val batch = graft.sql.SqlFrontend.execute(spark,
+      """SELECT * FROM mrv_hybrid_events
+        |  MATCH_RECOGNIZE (
+        |    PARTITION BY u ORDER BY ts
+        |    MEASURES FIRST(S.ts) AS match_start_ts, LAST(D.ts) AS match_end_ts
+        |    ONE ROW PER MATCH
+        |    PATTERN (S D+)
+        |    DEFINE D AS CASE WHEN abs(D.v - PREV(D.v)) > 1.0
+        |                     THEN D.v < PREV(D.v) ELSE false END
+        |  )""".stripMargin)
+      .select(col("u").as("key"), col("match_start_ts"), col("match_end_ts"))
+    // the S@00:01 anchor's D-run spans 00:02..00:03 (both drops > 1.0)
+    assert(streamed.count() == 1 && batch.count() == 1,
+      s"expected one match: streamed=${streamed.collect().mkString(";")} " +
+        s"batch=${batch.collect().mkString(";")}")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "hybrid-DEFINE value CEP must equal the batch scan on the closed stream")
+  }
+
   test("streaming VALUE CEP drops a late event below the buffer tail (loudly, not silently)") {
     import graft.streaming.StreamingMatchRecognize
     import graft.operators.MatchRecognize.MrTok

@@ -346,6 +346,56 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("streaming MATCH_RECOGNIZE VALUE MEASURES: FIRST/LAST over data columns as a standing query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(String, String, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("vm_matches", "vm_events").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    val schema = mem.toDF().toDF("u", "t", "ts", "v").schema
+    TableRegistry.createTable(TableRegistry.TableDef("vm_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
+    // r11: measures over DATA columns (the ticker's bottom and first-rebound
+    // prices) ride the value route from the winning placement's buffered
+    // rows — previously only ORDER-BY span measures were expressible
+    val mrSql = """
+      |SELECT * FROM %s
+      |  MATCH_RECOGNIZE (
+      |    PARTITION BY u
+      |    ORDER BY ts
+      |    MEASURES FIRST(S.ts) AS start_ts, LAST(D.v) AS bottom,
+      |             FIRST(U.v) AS first_up, LAST(U.ts) AS end_ts
+      |    ONE ROW PER MATCH
+      |    PATTERN (S D+ U+)
+      |    DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v)
+      |  )""".stripMargin
+    SqlFrontend.execute(spark, "CREATE TABLE vm_matches AS" + mrSql.format("vm_events"))
+    val q = StatementCatalog.get("vm_matches").collect {
+      case StatementCatalog.Standing(_, _, query) => query
+    }.getOrElse(fail("value-measure MATCH_RECOGNIZE CTAS must register a standing statement"))
+    def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
+    val rows = Seq(ev(0, 10.0), ev(1, 8.0), ev(2, 7.0), ev(3, 9.0), ev(4, 12.0), ev(5, 11.0))
+    try {
+      mem.addData(rows: _*); q.processAllAvailable()
+      val got = SqlFrontend.execute(spark,
+        "SELECT u, start_ts, bottom, first_up, end_ts FROM vm_matches")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+          r.getDouble(3), r.getTimestamp(4))).toSeq
+      assert(got == Seq(("k1", Timestamp.valueOf("2024-01-01 00:00:00"), 7.0, 9.0,
+        Timestamp.valueOf("2024-01-01 00:04:00"))), got.mkString(";"))
+    } finally {
+      SqlFrontend.execute(spark, "DROP TABLE vm_matches")
+      TableRegistry.dropTable("vm_events")
+      StatementCatalog.reset()
+    }
+  }
+
   test("streaming MATCH_RECOGNIZE accepts unbounded quantifiers (A+): one greedy run per break") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
