@@ -33,6 +33,21 @@ import org.apache.spark.sql.types._
   * matches never overlap; `SKIP TO NEXT ROW` advances one row — overlapping
   * matches all emit.
   *
+  * ALTERNATION / PERMUTE / exclusion (r11): [[scanPattern]] takes the
+  * [[MrPattern]]-expanded alternative BRANCHES and tries them in the
+  * standard's preference order at each cursor position — the first branch
+  * that matches wins (leftmost-alternative preference, ISO 9075-2 row-pattern
+  * rules; PERMUTE is by definition its lexicographic alternation expansion).
+  * Within a branch the greedy/reluctant quantifier machinery is unchanged.
+  * A variable may appear in several branches but once per branch, so the
+  * per-variable contiguous-run model (MEASURES structs, aggregates, skip
+  * targets) holds per match: variables absent from the matched branch have
+  * empty runs — NULL structs, cnt 0, and a SKIP TO target on them fails
+  * loudly exactly like an empty-run target. Tokens marked `excluded`
+  * (`{- X -}`, ALL ROWS only) match and count toward `__mr_len`, WITHIN and
+  * MEASURES, but their rows are not emitted — the standard's output
+  * exclusion.
+  *
   * The per-key dependency chain is inherently sequential (every skip decision
   * depends on all earlier ones — `Behavior.skipPastSelect`'s contract);
   * memory is O(longest match attempt), which a `WITHIN` bound caps in event
@@ -44,12 +59,15 @@ import org.apache.spark.sql.types._
   * zero per-row interpretation. Cross-variable and FIRST() DEFINEs (r10) ride
   * the optional `dynDefs` interpreted predicates ([[MrConditions]]): inside
   * one attempt every earlier variable's placement is fixed, so they read the
-  * buffered rows directly.
+  * buffered rows directly. Under branches "earlier" means earlier in the
+  * CURRENT branch (the context's `placedBefore`), not the global variable
+  * order.
   *
   * Reference behavior covered: Flink's MATCH_RECOGNIZE accepts unbounded
   * quantifiers (confluent docs, flink-sql match_recognize) which the r8
-  * bounded rewrite refused; ALL ROWS PER MATCH goes beyond Flink (ONE ROW
-  * only there) with FINAL measure semantics, documented.
+  * bounded rewrite refused; ALL ROWS PER MATCH, alternation, PERMUTE,
+  * exclusion and SUBSET go beyond Flink (none exist there), with FINAL
+  * measure semantics under ALL ROWS documented.
   */
 object MatchRecognize {
 
@@ -60,6 +78,27 @@ object MatchRecognize {
   case class MrTok(name: String, lo: Int, hi: Option[Int], reluctant: Boolean = false) {
     require(lo >= 0, s"quantifier lower bound must be >= 0, got {$lo,} on '$name'")
     hi.foreach(h => require(h >= lo, s"empty quantifier range {$lo,$h} on '$name'"))
+  }
+
+  /** One branch token for [[scanPattern]]: `v` indexes the GLOBAL variable
+    * table; `excluded` → matched but not emitted under ALL ROWS (`{- X -}`).
+    */
+  final case class BTok(v: Int, lo: Int, hi: Option[Int],
+                        reluctant: Boolean = false, excluded: Boolean = false) {
+    require(lo >= 0, s"quantifier lower bound must be >= 0, got {$lo,}")
+    hi.foreach(h => require(h >= lo, s"empty quantifier range {$lo,$h}"))
+  }
+
+  /** A SUBSET union variable (`SUBSET U = (A, B)`): MEASURES over `name` see
+    * the union of the member variables' matched rows in row order. FIRST/LAST
+    * structs ride as `__mr_first_<name>`/`__mr_last_<name>` (emitted when
+    * `measureCols` is non-empty), aggregates as `__mr_agg_<name>` with the
+    * same field/exactness contract as the per-variable structs.
+    */
+  final case class SubsetSpec(name: String, members: Seq[Int],
+                              aggs: Seq[(String, String)] = Seq.empty) {
+    require(members.nonEmpty, s"SUBSET $name needs at least one member variable")
+    require(members.distinct.size == members.size, s"SUBSET $name repeats a member")
   }
 
   /** AFTER MATCH skip strategy — all four of the standard's forms. The
@@ -101,16 +140,41 @@ object MatchRecognize {
       (if (other == null) "NULL" else other.getClass.getSimpleName))
   }).setScale(6, java.math.RoundingMode.HALF_UP)
 
+  /** Single-linear-sequence entry — the pre-r11 surface, unchanged: every
+    * token is one global variable in pattern order, one branch.
+    */
+  def scan(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column], tsCol: String,
+           tokens: Seq[MrTok], defs: Seq[Column], withinMicros: Option[Long],
+           skip: Skip, allRows: Boolean, measureCols: Seq[String],
+           aggSpecs: Seq[Seq[(String, String)]] = Seq.empty,
+           dynDefs: Seq[Option[String]] = Seq.empty,
+           offsetMeasures: Seq[(Int, Boolean, Int)] = Seq.empty,
+           runningStructs: Boolean = false,
+           runningAggStructs: Boolean = false): DataFrame = {
+    require(tokens.nonEmpty, "MATCH_RECOGNIZE requires a non-empty PATTERN")
+    require(tokens.map(_.name).distinct.size == tokens.size,
+      s"duplicate pattern variable in ${tokens.map(_.name).mkString(" ")}")
+    val branch = tokens.zipWithIndex
+      .map { case (t, i) => BTok(i, t.lo, t.hi, t.reluctant) }.toIndexedSeq
+    scanPattern(df, keyCols, orderCols, tsCol, tokens.map(_.name), Seq(branch), defs,
+      withinMicros, skip, allRows, measureCols, aggSpecs, dynDefs, offsetMeasures,
+      runningStructs, runningAggStructs)
+  }
+
   /** Run the pattern over `df`.
     *
     * @param keyCols     PARTITION BY columns (atomic — KeyImage contract)
     * @param orderCols   ORDER BY columns; the FIRST is the event time
     * @param tsCol       name of the event-time column (WITHIN measures it;
     *                    unused when `withinMicros` is empty)
-    * @param tokens      the pattern, in order
-    * @param defs        one boolean predicate per token (aligned); row-local —
-    *                    evaluated by Catalyst before the scan. `lit(true)`
-    *                    for an undefined variable.
+    * @param varNames    the GLOBAL variable table (first-appearance order);
+    *                    defs/aggSpecs/dynDefs/offset + skip targets index it
+    * @param branches    alternative linear token sequences in PREFERENCE
+    *                    order ([[MrPattern.expand]]); each variable at most
+    *                    once per branch
+    * @param defs        one boolean predicate per VARIABLE (aligned with
+    *                    varNames); row-local — evaluated by Catalyst before
+    *                    the scan. `lit(true)` for an undefined variable.
     * @param withinMicros every matched row must lie within this many micros
     *                    of the match's first row
     * @param skip        the AFTER MATCH strategy ([[Skip]]); SKIP PAST LAST
@@ -121,8 +185,8 @@ object MatchRecognize {
     * @param measureCols input columns captured into the per-variable
     *                    `__mr_first_<v>` / `__mr_last_<v>` structs that
     *                    MEASURES read (FINAL semantics); empty → no structs
-    * @param aggSpecs    per token (aligned), the aggregate MEASURES over its
-    *                    matched rows: (fn, col) with fn ∈ cnt|sum|min|max,
+    * @param aggSpecs    per VARIABLE (aligned), the aggregate MEASURES over
+    *                    its matched rows: (fn, col) with fn ∈ cnt|sum|min|max,
     *                    col = "*" for cnt = the run length. Emitted as an
     *                    `__mr_agg_<v>` struct (`<fn>_<col>` fields): cnt_*
     *                    LongType (0 on an empty run); sum_* DecimalType(38,6)
@@ -132,20 +196,40 @@ object MatchRecognize {
     *                    (the catalog's money-sum determinism rule); min/max
     *                    keep the input type; non-cnt fields NULL on an empty
     *                    run
+    * @param subsets     SUBSET union variables ([[SubsetSpec]]): their
+    *                    FIRST/LAST structs (union of member runs, row order)
+    *                    and aggregate structs append after the per-variable
+    *                    ones
     * @return df's columns plus the structs, `__mr_len` (match row count),
     *         `__mr_seq` (the match's 1-based ordinal WITHIN its key, in
     *         (order) position — deterministic under any parallelism, unlike
     *         a query-global counter; MATCH_NUMBER() maps here) and, under
     *         `allRows`, `__mr_var`
     */
-  def scan(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column], tsCol: String,
-           tokens: Seq[MrTok], defs: Seq[Column], withinMicros: Option[Long],
-           skip: Skip, allRows: Boolean, measureCols: Seq[String],
-           aggSpecs: Seq[Seq[(String, String)]] = Seq.empty,
-           dynDefs: Seq[Option[String]] = Seq.empty,
-           offsetMeasures: Seq[(Int, Boolean, Int)] = Seq.empty,
-           runningStructs: Boolean = false,
-           runningAggStructs: Boolean = false): DataFrame = {
+  def scanPattern(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column], tsCol: String,
+                  varNames: Seq[String], branches: Seq[IndexedSeq[BTok]], defs: Seq[Column],
+                  withinMicros: Option[Long], skip: Skip, allRows: Boolean,
+                  measureCols: Seq[String],
+                  aggSpecs: Seq[Seq[(String, String)]] = Seq.empty,
+                  dynDefs: Seq[Option[String]] = Seq.empty,
+                  offsetMeasures: Seq[(Int, Boolean, Int)] = Seq.empty,
+                  runningStructs: Boolean = false,
+                  runningAggStructs: Boolean = false,
+                  subsets: Seq[SubsetSpec] = Seq.empty): DataFrame = {
+    val n = varNames.size
+    require(n > 0, "MATCH_RECOGNIZE requires at least one pattern variable")
+    require(varNames.distinct.size == n, s"duplicate variable name in ${varNames.mkString(" ")}")
+    require(branches.nonEmpty, "MATCH_RECOGNIZE requires at least one pattern branch")
+    branches.foreach { b =>
+      require(b.nonEmpty, "empty pattern branch (MrPattern drops these — direct callers must too)")
+      require(b.map(_.v).distinct.size == b.size,
+        "a variable may appear only once per branch — expand repetitions across alternatives")
+      b.foreach(t => require(t.v >= 0 && t.v < n, s"branch token indexes unknown variable ${t.v}"))
+    }
+    require(branches.exists(_.exists(t => t.hi.forall(_ > 0))),
+      "MATCH_RECOGNIZE: pattern admits only the empty match")
+    require(allRows || branches.forall(_.forall(!_.excluded)),
+      "pattern exclusion ({- X -}) requires ALL ROWS PER MATCH (under ONE ROW it has no effect)")
     // RUNNING measure semantics under ALL ROWS (r10): per emitted row,
     // __mr_run_first_<v>/__mr_run_last_<v> hold the variable's first/last
     // matched row AT OR BEFORE that row — NULL while the variable hasn't
@@ -158,35 +242,44 @@ object MatchRecognize {
     // begins, equal to the FINAL struct on the match's last row.
     require(!runningAggStructs || (allRows && aggSpecs.exists(_.nonEmpty)),
       "runningAggStructs needs ALL ROWS PER MATCH and aggSpecs")
-    require(aggSpecs.isEmpty || aggSpecs.size == tokens.size,
-      "aggSpecs must align with tokens (or be empty)")
+    require(aggSpecs.isEmpty || aggSpecs.size == n,
+      "aggSpecs must align with varNames (or be empty)")
     // Flink's logical-offset navigation in MEASURES — FIRST(A.c, k)/LAST(A.c,
-    // k): each distinct (token, isFirst, k>0) emits one additional
+    // k): each distinct (var, isFirst, k>0) emits one additional
     // __mr_off_<f|l><k>_<var> struct over the measure columns; out-of-run
     // offsets are NULL structs
     offsetMeasures.foreach { case (t, _, k) =>
-      require(t >= 0 && t < tokens.size, s"offset measure for unknown token index $t")
+      require(t >= 0 && t < n, s"offset measure for unknown variable index $t")
       require(k >= 1, s"offset measure needs k >= 1, got $k (k = 0 is the plain FIRST/LAST)")
       require(measureCols.nonEmpty, "offset measures need measureCols") }
     require(offsetMeasures.distinct.size == offsetMeasures.size,
       "duplicate offset-measure specs")
-    require(dynDefs.isEmpty || dynDefs.size == tokens.size,
-      "dynDefs must align with tokens (or be empty)")
+    require(dynDefs.isEmpty || dynDefs.size == n,
+      "dynDefs must align with varNames (or be empty)")
+    subsets.foreach { s =>
+      s.members.foreach(m => require(m >= 0 && m < n,
+        s"SUBSET ${s.name} references unknown variable index $m"))
+      require(!varNames.contains(s.name),
+        s"SUBSET ${s.name} collides with a pattern variable name")
+      require(s.aggs.nonEmpty || measureCols.nonEmpty,
+        s"SUBSET ${s.name} carries no aggregates and there are no measureCols — nothing to emit")
+    }
+    require(subsets.map(_.name).distinct.size == subsets.size, "duplicate SUBSET name")
     // cross-variable DEFINE conditions (r10): compiled once at plan time
     // against the INPUT schema (helper columns are appended after it, so
     // field indices stay valid on the scan's rows), evaluated per tested row
     // inside the NFA attempt where every earlier variable's placement is
     // fixed — see MrConditions. AND-composed with the Catalyst-compiled
     // row-local booleans (lit(true) when the whole condition is dynamic).
-    val varIdxMap: Map[String, Int] = tokens.map(_.name).zipWithIndex.toMap
+    val varIdxMap: Map[String, Int] = varNames.zipWithIndex.toMap
     val dynArr: Array[MrConditions.Compiled] =
-      if (dynDefs.isEmpty) new Array[MrConditions.Compiled](tokens.size)
+      if (dynDefs.isEmpty) new Array[MrConditions.Compiled](n)
       else dynDefs.zipWithIndex.map { case (o, i) =>
-        o.map(c => MrConditions.compile(c, df.schema, varIdxMap, tokens(i).name)).orNull
+        o.map(c => MrConditions.compile(c, df.schema, varIdxMap, varNames(i))).orNull
       }.toArray
     val aggs: Seq[Seq[(String, String)]] =
-      if (aggSpecs.isEmpty) tokens.map(_ => Seq.empty) else aggSpecs
-    aggs.flatten.foreach { case (fn, c) =>
+      if (aggSpecs.isEmpty) varNames.map(_ => Seq.empty) else aggSpecs
+    (aggs.flatten ++ subsets.flatMap(_.aggs)).foreach { case (fn, c) =>
       require(Set("cnt", "sum", "min", "max").contains(fn), s"unknown aggregate '$fn'")
       require(c == "*" || df.columns.contains(c), s"aggregate over unknown column '$c'")
       require(fn == "cnt" || c != "*", s"'$fn(*)' is not a thing — name a column")
@@ -209,16 +302,11 @@ object MatchRecognize {
             s"(numeric/string/boolean/date/timestamp), got ${dt.simpleString}")
       } }
     skip match {
-      case SkipToFirst(i) => require(i >= 0 && i < tokens.size, s"skip target out of range: $i")
-      case SkipToLast(i)  => require(i >= 0 && i < tokens.size, s"skip target out of range: $i")
+      case SkipToFirst(i) => require(i >= 0 && i < n, s"skip target out of range: $i")
+      case SkipToLast(i)  => require(i >= 0 && i < n, s"skip target out of range: $i")
       case _ => ()
     }
-    require(tokens.nonEmpty, "MATCH_RECOGNIZE requires a non-empty PATTERN")
-    require(tokens.map(_.name).distinct.size == tokens.size,
-      s"duplicate pattern variable in ${tokens.map(_.name).mkString(" ")}")
-    require(defs.size == tokens.size, "one DEFINE predicate per pattern token (lit(true) when absent)")
-    require(tokens.exists(t => t.hi.forall(_ > 0)),
-      "MATCH_RECOGNIZE: pattern admits only the empty match")
+    require(defs.size == n, "one DEFINE predicate per variable (lit(true) when absent)")
     withinMicros.foreach(w => require(w > 0, s"WITHIN bound must be positive, got $w micros"))
     graft.core.KeyImage.requireAtomic(df, keyCols)
     // every helper AND output column the scan appends starts with __mr_
@@ -231,7 +319,7 @@ object MatchRecognize {
     val missing = measureCols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"MEASURES reference columns absent from the input: ${missing.mkString(", ")}")
 
-    val withDefs = tokens.indices.foldLeft(df)((d, i) => d.withColumn(s"__mr_def_$i", defs(i)))
+    val withDefs = (0 until n).foldLeft(df)((d, i) => d.withColumn(s"__mr_def_$i", defs(i)))
     // sort on the REAL key columns (not the image) so Catalyst can collapse
     // this sort into the DEFINE window's own (key, order) sort; the image is
     // only the collision-free equality probe for key-change detection
@@ -243,7 +331,7 @@ object MatchRecognize {
     val inSchema = pre.schema
     val nOrig = df.schema.fields.length // original columns lead; helpers appended
     val keyIdx = inSchema.fieldIndex("__mr_spk")
-    val defIdxArr = tokens.indices.map(i => inSchema.fieldIndex(s"__mr_def_$i")).toArray
+    val defIdxArr = (0 until n).map(i => inSchema.fieldIndex(s"__mr_def_$i")).toArray
     val tsIdx = inSchema.fieldIndex(tsCol)
     val measureIdxArr = measureCols.map(inSchema.fieldIndex).toArray
     val hasMeasures = measureCols.nonEmpty
@@ -253,53 +341,73 @@ object MatchRecognize {
       case "sum" => DecimalType(38, 6)
       case _     => df.schema(c).dataType
     }
-    val aggStructTypes: Seq[Option[StructType]] = tokens.indices.map { i =>
-      if (aggs(i).isEmpty) None
-      else Some(StructType(aggs(i).map { case (fn, c) =>
+    def aggStructOf(spec: Seq[(String, String)]): Option[StructType] =
+      if (spec.isEmpty) None
+      else Some(StructType(spec.map { case (fn, c) =>
         StructField(s"${fn}_${if (c == "*") "rows" else c}", aggFieldType(fn, c), nullable = true) }))
-    }
+    val aggStructTypes: Seq[Option[StructType]] = (0 until n).map(i => aggStructOf(aggs(i)))
+    val subAggStructTypes: Seq[Option[StructType]] = subsets.map(s => aggStructOf(s.aggs))
     val nAggStructs = aggStructTypes.count(_.isDefined)
+    val nSubAggStructs = subAggStructTypes.count(_.isDefined)
+    val nSub = subsets.size
     val outSchema = StructType(
       df.schema.fields.toSeq ++
-        (if (hasMeasures) tokens.flatMap(t => Seq(
-          StructField(s"__mr_first_${t.name}", mStruct, nullable = true),
-          StructField(s"__mr_last_${t.name}", mStruct, nullable = true)))
+        (if (hasMeasures) varNames.flatMap(v => Seq(
+          StructField(s"__mr_first_$v", mStruct, nullable = true),
+          StructField(s"__mr_last_$v", mStruct, nullable = true)))
+        else Nil) ++
+        (if (hasMeasures) subsets.flatMap(s => Seq(
+          StructField(s"__mr_first_${s.name}", mStruct, nullable = true),
+          StructField(s"__mr_last_${s.name}", mStruct, nullable = true)))
         else Nil) ++
         offsetMeasures.map { case (t, isFirst, k) =>
-          StructField(s"__mr_off_${if (isFirst) "f" else "l"}${k}_${tokens(t).name}",
+          StructField(s"__mr_off_${if (isFirst) "f" else "l"}${k}_${varNames(t)}",
             mStruct, nullable = true) } ++
-        (if (runningStructs) tokens.flatMap(t => Seq(
-          StructField(s"__mr_run_first_${t.name}", mStruct, nullable = true),
-          StructField(s"__mr_run_last_${t.name}", mStruct, nullable = true)))
+        (if (runningStructs) varNames.flatMap(v => Seq(
+          StructField(s"__mr_run_first_$v", mStruct, nullable = true),
+          StructField(s"__mr_run_last_$v", mStruct, nullable = true)))
         else Nil) ++
-        (if (runningAggStructs) tokens.indices.flatMap(i => aggStructTypes(i).map(t =>
-          StructField(s"__mr_run_agg_${tokens(i).name}", t, nullable = false)))
+        (if (runningAggStructs) (0 until n).flatMap(i => aggStructTypes(i).map(t =>
+          StructField(s"__mr_run_agg_${varNames(i)}", t, nullable = false)))
         else Nil) ++
-        tokens.indices.flatMap(i => aggStructTypes(i).map(t =>
-          StructField(s"__mr_agg_${tokens(i).name}", t, nullable = false))) ++
+        (0 until n).flatMap(i => aggStructTypes(i).map(t =>
+          StructField(s"__mr_agg_${varNames(i)}", t, nullable = false))) ++
+        subsets.zipWithIndex.flatMap { case (s, i) => subAggStructTypes(i).map(t =>
+          StructField(s"__mr_agg_${s.name}", t, nullable = false)) } ++
         Seq(StructField("__mr_len", LongType, nullable = false),
           StructField("__mr_seq", LongType, nullable = false)) ++
         (if (allRows) Seq(StructField("__mr_var", StringType, nullable = false)) else Nil))
     val outArity = outSchema.fields.length
-    val lenPos = nOrig + (if (hasMeasures) 2 * tokens.size else 0) +
-      offsetMeasures.size + (if (runningStructs) 2 * tokens.size else 0) +
-      (if (runningAggStructs) nAggStructs else 0) + nAggStructs
+    val lenPos = nOrig + (if (hasMeasures) 2 * (n + nSub) else 0) +
+      offsetMeasures.size + (if (runningStructs) 2 * n else 0) +
+      (if (runningAggStructs) nAggStructs else 0) + nAggStructs + nSubAggStructs
     val offSpecArr: Array[(Int, Boolean, Int)] = offsetMeasures.toArray
     val emitRunning = runningStructs
     val emitRunningAgg = runningAggStructs
-    // per token: (fn, input field index or -1 for "*")
-    val aggIdxArr: Array[Array[(String, Int)]] = aggs.map(_.map { case (fn, c) =>
-      (fn, if (c == "*") -1 else inSchema.fieldIndex(c)) }.toArray).toArray
+    // per variable / subset: (fn, input field index or -1 for "*")
+    def aggIdxOf(spec: Seq[(String, String)]): Array[(String, Int)] =
+      spec.map { case (fn, c) => (fn, if (c == "*") -1 else inSchema.fieldIndex(c)) }.toArray
+    val aggIdxArr: Array[Array[(String, Int)]] = aggs.map(aggIdxOf).toArray
+    val subAggIdxArr: Array[Array[(String, Int)]] = subsets.map(s => aggIdxOf(s.aggs)).toArray
+    val subMembersArr: Array[Array[Int]] = subsets.map(_.members.toArray).toArray
 
-    val n = tokens.size
-    val loArr = tokens.map(_.lo).toArray
-    val hiArr = tokens.map(_.hi.getOrElse(Int.MaxValue)).toArray
-    val relArr = tokens.map(_.reluctant).toArray
-    val nameArr = tokens.map(_.name).toArray
+    // branch tables: token → global var, quantifier arrays; bPos = global
+    // var → position in the branch (-1 when absent) for placedBefore
+    val nBr = branches.size
+    val brVar: Array[Array[Int]] = branches.map(_.map(_.v).toArray).toArray
+    val brLo: Array[Array[Int]] = branches.map(_.map(_.lo).toArray).toArray
+    val brHi: Array[Array[Int]] = branches.map(_.map(_.hi.getOrElse(Int.MaxValue)).toArray).toArray
+    val brRel: Array[Array[Boolean]] = branches.map(_.map(_.reluctant).toArray).toArray
+    val brExcl: Array[Array[Boolean]] = branches.map(_.map(_.excluded).toArray).toArray
+    val brPos: Array[Array[Int]] = branches.map { b =>
+      val p = Array.fill(n)(-1)
+      b.zipWithIndex.foreach { case (t, i) => p(t.v) = i }
+      p
+    }.toArray
     val hasWithin = withinMicros.isDefined
     val withinUs = withinMicros.getOrElse(0L)
     val skipMode = skip
-    val nameByIdx = tokens.map(_.name).toArray
+    val nameByIdx = varNames.toArray
     val emitAll = allRows
 
     pre.mapPartitions { it =>
@@ -345,7 +453,9 @@ object MatchRecognize {
         }
 
         // cross-variable predicate context: one mutable instance per task,
-        // repointed per tested row (zero allocation in the scan loop)
+        // repointed per tested row (zero allocation in the scan loop).
+        // Placement visibility is BRANCH-positional: a variable is readable
+        // iff it sits strictly earlier in the branch being attempted.
         private val dynStarts = new Array[Int](n)
         private object dynCtx extends MrConditions.Ctx {
           var curRow: Row = _
@@ -353,6 +463,8 @@ object MatchRecognize {
           var runStart = 0
           var candPos = 0
           var countsRef: Array[Int] = _
+          var brPosRef: Array[Int] = _
+          var selfBrPos = 0
           def cur: Row = curRow
           def rowAt(pos: Int): Row = buf.get(base + pos)
           def selfTok: Int = self
@@ -360,50 +472,71 @@ object MatchRecognize {
           def selfPos: Int = candPos
           def starts: Array[Int] = dynStarts
           def counts: Array[Int] = countsRef
+          override def placedBefore(tok: Int): Boolean =
+            brPosRef(tok) >= 0 && brPosRef(tok) < selfBrPos
         }
-        private def dynOk(r: Row, t: Int, runStart: Int, pos: Int): Boolean = {
-          val d = dynArr(t)
+        private def dynOk(r: Row, gv: Int, bt: Int, runStart: Int, pos: Int): Boolean = {
+          val d = dynArr(gv)
           d == null || {
-            dynCtx.curRow = r; dynCtx.self = t; dynCtx.runStart = runStart
-            dynCtx.candPos = pos
+            dynCtx.curRow = r; dynCtx.self = gv; dynCtx.runStart = runStart
+            dynCtx.candPos = pos; dynCtx.selfBrPos = bt
             d.holds(dynCtx)
           }
         }
 
-        /** Greedy leftmost-longest match at the cursor: counts per token, with
-          * backtracking — identical selection order to the bounded rewrite's
-          * descending-lexicographic CASE branches. Cross-variable predicates
-          * are sound inside the avail-scan because a row's test depends only
-          * on the run's start and EARLIER tokens' placements, both fixed here
-          * (the prefix property: a valid run's prefixes are valid).
+        /** Greedy leftmost-longest match of branch `b` at the cursor: counts
+          * per GLOBAL variable, with backtracking — identical selection order
+          * to the bounded rewrite's descending-lexicographic CASE branches.
+          * Cross-variable predicates are sound inside the avail-scan because
+          * a row's test depends only on the run's start and BRANCH-earlier
+          * variables' placements, both fixed here (the prefix property: a
+          * valid run's prefixes are valid).
           */
-        private def tryMatch(counts: Array[Int]): Boolean = {
+        private def tryBranch(b: Int, counts: Array[Int]): Boolean = {
           val startUs = if (hasWithin) micros(rowAt(0).get(tsIdx)) else 0L
+          val vs = brVar(b); val los = brLo(b); val his = brHi(b); val rels = brRel(b)
+          val bn = vs.length
           dynCtx.countsRef = counts
+          dynCtx.brPosRef = brPos(b)
           def go(t: Int, pos: Int): Boolean = {
-            if (t == n) return pos > 0 // the empty match never selects
-            dynStarts(t) = pos
+            if (t == bn) return pos > 0 // the empty match never selects
+            val gv = vs(t)
+            dynStarts(gv) = pos
             var c = 0
-            while (c < hiArr(t) && ensure(pos + c) && defOk(rowAt(pos + c), t) &&
-              dynOk(rowAt(pos + c), t, pos, pos + c) &&
+            while (c < his(t) && ensure(pos + c) && defOk(rowAt(pos + c), gv) &&
+              dynOk(rowAt(pos + c), gv, t, pos, pos + c) &&
               (!hasWithin || micros(rowAt(pos + c).get(tsIdx)) - startUs <= withinUs)) c += 1
-            if (relArr(t)) { // reluctant: shortest first (Flink's lazy forms)
-              var k = loArr(t)
+            if (rels(t)) { // reluctant: shortest first (Flink's lazy forms)
+              var k = los(t)
               while (k <= c) {
-                counts(t) = k
+                counts(gv) = k
                 if (go(t + 1, pos + k)) return true
                 k += 1
               }
             } else {
-              while (c >= loArr(t)) {
-                counts(t) = c
+              while (c >= los(t)) {
+                counts(gv) = c
                 if (go(t + 1, pos + c)) return true
                 c -= 1
               }
             }
+            counts(gv) = 0 // clean failed placement (next branch reads zeros)
             false
           }
           go(0, 0)
+        }
+
+        /** Try branches in preference order; the first that matches wins
+          * (leftmost-alternative preference). Returns the branch index or -1.
+          */
+        private def tryMatch(counts: Array[Int]): Int = {
+          var b = 0
+          while (b < nBr) {
+            if (b > 0) java.util.Arrays.fill(counts, 0)
+            if (tryBranch(b, counts)) return b
+            b += 1
+          }
+          -1
         }
 
         private def projMeasure(r: Row): Row = {
@@ -413,141 +546,167 @@ object MatchRecognize {
           Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
         }
 
-        private def mk(src: Row, structVals: Array[Any], offVals: Array[Any],
-                       runVals: Array[Any], runAggVals: Array[Any], aggVals: Array[Any],
+        private def mk(src: Row, structVals: Array[Any], subVals: Array[Any],
+                       offVals: Array[Any], runVals: Array[Any], runAggVals: Array[Any],
+                       aggVals: Array[Any], subAggVals: Array[Any],
                        len: Long, seq: Long, cls: String): Row = {
           val vals = new Array[Any](outArity)
           var i = 0
           while (i < nOrig) { vals(i) = src.get(i); i += 1 }
-          var base = nOrig
-          if (hasMeasures) {
+          var at = nOrig
+          def put(a: Array[Any]): Unit = if (a != null) {
             var j = 0
-            while (j < structVals.length) { vals(base + j) = structVals(j); j += 1 }
-            base += structVals.length
+            while (j < a.length) { vals(at + j) = a(j); j += 1 }
+            at += a.length
           }
-          if (offVals != null) {
-            var j = 0
-            while (j < offVals.length) { vals(base + j) = offVals(j); j += 1 }
-            base += offVals.length
-          }
-          if (runVals != null) {
-            var j = 0
-            while (j < runVals.length) { vals(base + j) = runVals(j); j += 1 }
-            base += runVals.length
-          }
-          if (runAggVals != null) {
-            var j = 0
-            while (j < runAggVals.length) { vals(base + j) = runAggVals(j); j += 1 }
-            base += runAggVals.length
-          }
-          if (aggVals != null) {
-            var j = 0
-            while (j < aggVals.length) { vals(base + j) = aggVals(j); j += 1 }
-          }
+          put(structVals); put(subVals); put(offVals); put(runVals); put(runAggVals)
+          put(aggVals); put(subAggVals)
           vals(lenPos) = len
           vals(lenPos + 1) = seq
           if (emitAll) vals(lenPos + 2) = cls
           Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
         }
 
-        /** Aggregates over one variable's matched run [p, p+c): cnt exact,
-          * sum EXACT decimal over HALF_UP-scale-6 values (order-independent,
-          * the Spark double→decimal cast's rounding), min/max by the column
-          * type's natural order; non-cnt fields NULL on an empty run.
+        /** Aggregates over a set of matched runs (p, c): cnt exact, sum EXACT
+          * decimal over HALF_UP-scale-6 values (order-independent, the Spark
+          * double→decimal cast's rounding), min/max by the column type's
+          * natural order; non-cnt fields NULL when the runs are empty.
           */
-        private def computeAgg(i: Int, p: Int, c: Int): Row = {
-          val spec = aggIdxArr(i)
+        private def aggOver(spec: Array[(String, Int)], runs: Array[Long]): Row = {
           val vals = new Array[Any](spec.length)
           var j = 0
           while (j < spec.length) {
             val (fn, colIdx) = spec(j)
-            vals(j) = fn match {
-              case "cnt" if colIdx < 0 => c.toLong
-              case "cnt" =>
-                var nn = 0L; var r = 0
-                while (r < c) { if (!rowAt(p + r).isNullAt(colIdx)) nn += 1; r += 1 }
-                nn
-              case "sum" =>
-                var acc: java.math.BigDecimal = null
-                var r = 0
-                while (r < c) {
-                  val row = rowAt(p + r)
-                  if (!row.isNullAt(colIdx)) {
-                    val d = toDecimal6(row.get(colIdx))
-                    acc = if (acc == null) d else acc.add(d)
-                  }
-                  r += 1
-                }
-                acc
-              case _ =>
-                var best: Any = null
-                var r = 0
-                while (r < c) {
-                  val row = rowAt(p + r)
-                  if (!row.isNullAt(colIdx)) {
-                    val v = row.get(colIdx)
-                    if (best == null) best = v
-                    else {
-                      val cmp = v.asInstanceOf[Comparable[Any]].compareTo(best)
-                      if ((fn == "min" && cmp < 0) || (fn == "max" && cmp > 0)) best = v
+            var acc: Any = if (fn == "cnt") 0L else null
+            var ri = 0
+            while (ri < runs.length) {
+              val p = (runs(ri) >> 32).toInt; val c = runs(ri).toInt
+              var r = 0
+              while (r < c) {
+                val row = rowAt(p + r)
+                fn match {
+                  case "cnt" =>
+                    if (colIdx < 0 || !row.isNullAt(colIdx)) acc = acc.asInstanceOf[Long] + 1L
+                  case "sum" =>
+                    if (!row.isNullAt(colIdx)) {
+                      val d = toDecimal6(row.get(colIdx))
+                      acc = if (acc == null) d else acc.asInstanceOf[java.math.BigDecimal].add(d)
                     }
-                  }
-                  r += 1
+                  case _ =>
+                    if (!row.isNullAt(colIdx)) {
+                      val v = row.get(colIdx)
+                      if (acc == null) acc = v
+                      else {
+                        val cmp = v.asInstanceOf[Comparable[Any]].compareTo(acc)
+                        if ((fn == "min" && cmp < 0) || (fn == "max" && cmp > 0)) acc = v
+                      }
+                    }
                 }
-                best
+                r += 1
+              }
+              ri += 1
             }
+            vals(j) = acc
             j += 1
           }
           Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
         }
 
-        private def emit(counts: Array[Int], seq: Long): Unit = {
-          val len = counts.sum.toLong
+        private def run1(p: Int, c: Int): Array[Long] =
+          if (c == 0) Array.emptyLongArray else Array((p.toLong << 32) | (c.toLong & 0xffffffffL))
+
+        private def emit(b: Int, counts: Array[Int], seq: Long): Unit = {
+          val vs = brVar(b); val excl = brExcl(b); val bn = vs.length
+          // global starts (-1 = variable absent from the matched branch) and
+          // the match length, from the branch's token order
+          val gStarts = Array.fill(n)(-1)
+          var len = 0L
+          locally { var p = 0; var t = 0
+            while (t < bn) { gStarts(vs(t)) = p; p += counts(vs(t)); t += 1 }
+            len = p.toLong }
           val structVals = if (hasMeasures) new Array[Any](2 * n) else null
           if (hasMeasures) {
-            var p = 0; var t = 0
-            while (t < n) {
-              if (counts(t) > 0) {
-                structVals(2 * t) = projMeasure(rowAt(p))
-                structVals(2 * t + 1) = projMeasure(rowAt(p + counts(t) - 1))
+            var u = 0
+            while (u < n) {
+              if (gStarts(u) >= 0 && counts(u) > 0) {
+                structVals(2 * u) = projMeasure(rowAt(gStarts(u)))
+                structVals(2 * u + 1) = projMeasure(rowAt(gStarts(u) + counts(u) - 1))
               }
-              p += counts(t); t += 1
+              u += 1
+            }
+          }
+          // SUBSET first/last: union of member runs in row order — the
+          // earliest member start and the latest member end
+          val subVals = if (hasMeasures && nSub > 0) new Array[Any](2 * nSub) else null
+          if (subVals != null) {
+            var s = 0
+            while (s < nSub) {
+              val ms = subMembersArr(s)
+              var first = -1; var last = -1
+              var mi = 0
+              while (mi < ms.length) {
+                val u = ms(mi)
+                if (gStarts(u) >= 0 && counts(u) > 0) {
+                  if (first < 0 || gStarts(u) < first) first = gStarts(u)
+                  val e = gStarts(u) + counts(u) - 1
+                  if (e > last) last = e
+                }
+                mi += 1
+              }
+              if (first >= 0) {
+                subVals(2 * s) = projMeasure(rowAt(first))
+                subVals(2 * s + 1) = projMeasure(rowAt(last))
+              }
+              s += 1
             }
           }
           val offVals: Array[Any] =
             if (offSpecArr.isEmpty) null
-            else {
-              val starts = new Array[Int](n) // token run starts within the match
-              var p = 0; var t = 0
-              while (t < n) { starts(t) = p; p += counts(t); t += 1 }
-              offSpecArr.map { case (tk, isFirst, k) =>
-                val c = counts(tk)
-                if (c <= k) null // run shorter than the offset → NULL struct
-                else projMeasure(rowAt(starts(tk) + (if (isFirst) k else c - 1 - k)))
-              }
+            else offSpecArr.map { case (tk, isFirst, k) =>
+              val c = counts(tk)
+              if (gStarts(tk) < 0 || c <= k) null // absent/short run → NULL struct
+              else projMeasure(rowAt(gStarts(tk) + (if (isFirst) k else c - 1 - k)))
             }
           val aggVals: Array[Any] =
             if (nAggStructs == 0) null
             else {
               val av = new Array[Any](nAggStructs)
-              var p = 0; var t = 0; var k = 0
-              while (t < n) {
-                if (aggIdxArr(t).nonEmpty) { av(k) = computeAgg(t, p, counts(t)); k += 1 }
-                p += counts(t); t += 1
+              var k = 0; var u = 0
+              while (u < n) {
+                if (aggIdxArr(u).nonEmpty) {
+                  av(k) = aggOver(aggIdxArr(u), run1(math.max(gStarts(u), 0), counts(u)))
+                  k += 1
+                }
+                u += 1
+              }
+              av
+            }
+          val subAggVals: Array[Any] =
+            if (nSubAggStructs == 0) null
+            else {
+              val av = new Array[Any](nSubAggStructs)
+              var k = 0; var s = 0
+              while (s < nSub) {
+                if (subAggIdxArr(s).nonEmpty) {
+                  // member runs in row order (order only matters for exactness
+                  // bookkeeping — every aggregate here is order-independent)
+                  val runs = subMembersArr(s).filter(u => gStarts(u) >= 0 && counts(u) > 0)
+                    .sortBy(gStarts(_)).map(u => (gStarts(u).toLong << 32) |
+                      (counts(u).toLong & 0xffffffffL))
+                  av(k) = aggOver(subAggIdxArr(s), runs)
+                  k += 1
+                }
+                s += 1
               }
               av
             }
           if (!emitAll)
-            out.enqueue(mk(rowAt(0), structVals, offVals, null, null, aggVals, len, seq, null))
+            out.enqueue(mk(rowAt(0), structVals, subVals, offVals, null, null,
+              aggVals, subAggVals, len, seq, null))
           else {
-            val starts = new Array[Int](n)
-            if (emitRunning || emitRunningAgg) {
-              var p = 0; var t = 0
-              while (t < n) { starts(t) = p; p += counts(t); t += 1 }
-            }
             // running-aggregate accumulators (r11): one per agg-bearing
-            // token, updated incrementally as the emit cursor enters its run
-            // — O(rows × fields), never a per-row rescan of the prefix
+            // variable, updated incrementally as the emit cursor enters its
+            // run — O(rows × fields), never a per-row rescan of the prefix
             val runAcc: Array[Array[Any]] = if (!emitRunningAgg) null else {
               val a = new Array[Array[Any]](n)
               var u = 0
@@ -576,9 +735,10 @@ object MatchRecognize {
               a
             }
             var pos = 0; var t = 0
-            while (t < n) {
+            while (t < bn) {
+              val gv = vs(t)
               var c = 0
-              while (c < counts(t)) {
+              while (c < counts(gv)) {
                 val runVals: Array[Any] =
                   if (!emitRunning) null
                   else {
@@ -588,9 +748,9 @@ object MatchRecognize {
                     val rv = new Array[Any](2 * n)
                     var u = 0
                     while (u < n) {
-                      if (counts(u) > 0 && starts(u) <= pos) {
-                        rv(2 * u) = projMeasure(rowAt(starts(u)))
-                        rv(2 * u + 1) = projMeasure(rowAt(math.min(pos, starts(u) + counts(u) - 1)))
+                      if (gStarts(u) >= 0 && counts(u) > 0 && gStarts(u) <= pos) {
+                        rv(2 * u) = projMeasure(rowAt(gStarts(u)))
+                        rv(2 * u + 1) = projMeasure(rowAt(math.min(pos, gStarts(u) + counts(u) - 1)))
                       }
                       u += 1
                     }
@@ -599,14 +759,16 @@ object MatchRecognize {
                 val runAggVals: Array[Any] =
                   if (!emitRunningAgg) null
                   else {
-                    if (runAcc(t) != null) accumulate(runAcc(t), aggIdxArr(t), rowAt(pos))
+                    // fold BEFORE the exclusion check: an excluded row is part
+                    // of the match, later RUNNING views must have seen it
+                    if (runAcc(gv) != null) accumulate(runAcc(gv), aggIdxArr(gv), rowAt(pos))
                     val av = new Array[Any](nAggStructs)
                     var k = 0; var u = 0
                     while (u < n) {
                       if (aggIdxArr(u).nonEmpty) {
                         av(k) =
-                          if (starts(u) > pos) emptyAggRows(u) // run not begun
-                          else if (starts(u) + counts(u) - 1 <= pos) aggVals(k) // fully visible
+                          if (gStarts(u) < 0 || gStarts(u) > pos) emptyAggRows(u) // run not begun
+                          else if (gStarts(u) + counts(u) - 1 <= pos) aggVals(k) // fully visible
                           else Row.fromSeq(scala.collection.immutable.ArraySeq
                             .unsafeWrapArray(runAcc(u).clone())) // mid-run snapshot
                         k += 1
@@ -615,8 +777,9 @@ object MatchRecognize {
                     }
                     av
                   }
-                out.enqueue(mk(rowAt(pos), structVals, offVals, runVals, runAggVals, aggVals,
-                  len, seq, nameArr(t)))
+                if (!excl(t)) // {- X -}: matched but not emitted
+                  out.enqueue(mk(rowAt(pos), structVals, subVals, offVals, runVals, runAggVals,
+                    aggVals, subAggVals, len, seq, nameByIdx(gv)))
                 pos += 1; c += 1
               }
               t += 1
@@ -625,7 +788,7 @@ object MatchRecognize {
         }
 
         /** Fold one row into a running-aggregate accumulator (same exactness
-          * contract as [[computeAgg]]: exact decimal sums, natural-order
+          * contract as [[aggOver]]: exact decimal sums, natural-order
           * min/max, non-null counting).
           */
         private def accumulate(acc: Array[Any], spec: Array[(String, Int)], row: Row): Unit = {
@@ -657,17 +820,21 @@ object MatchRecognize {
 
         /** Cursor rows to consume after a selected match, per strategy.
           * Variable-targeted skips resume AT the target row; re-anchoring at
-          * the match's own start (or an empty target) would loop — loud.
+          * the match's own start (or an empty/absent target) would loop —
+          * loud.
           */
-        private def skipAdvance(counts: Array[Int]): Int = skipMode match {
-          case SkipPastLastRow => counts.sum
-          case SkipToNextRow   => 1
-          case SkipToFirst(i)  =>
+        private def skipAdvance(b: Int, counts: Array[Int]): Int = skipMode match {
+          case SkipPastLastRow =>
+            var s = 0; val vs = brVar(b); var t = 0
+            while (t < vs.length) { s += counts(vs(t)); t += 1 }
+            s
+          case SkipToNextRow => 1
+          case SkipToFirst(i) =>
             if (counts(i) == 0) sys.error(s"AFTER MATCH SKIP TO FIRST ${nameByIdx(i)}: " +
               "the variable matched no rows in the selected match")
             else {
-              var pos = 0; var t = 0
-              while (t < i) { pos += counts(t); t += 1 }
+              var pos = 0; val vs = brVar(b); var t = 0
+              while (vs(t) != i) { pos += counts(vs(t)); t += 1 }
               if (pos == 0) sys.error(s"AFTER MATCH SKIP TO FIRST ${nameByIdx(i)} would " +
                 "re-anchor at the match's own start row (infinite loop)")
               pos
@@ -676,8 +843,9 @@ object MatchRecognize {
             if (counts(i) == 0) sys.error(s"AFTER MATCH SKIP TO LAST ${nameByIdx(i)}: " +
               "the variable matched no rows in the selected match")
             else {
-              var pos = 0; var t = 0
-              while (t <= i) { pos += counts(t); t += 1 }
+              var pos = 0; val vs = brVar(b); var t = 0
+              while (vs(t) != i) { pos += counts(vs(t)); t += 1 }
+              pos += counts(i)
               if (pos - 1 == 0) sys.error(s"AFTER MATCH SKIP TO LAST ${nameByIdx(i)} would " +
                 "re-anchor at the match's own start row (infinite loop)")
               pos - 1
@@ -693,10 +861,11 @@ object MatchRecognize {
               else { buf.clear(); base = 0; curKey = null; keyDone = false; matchSeq = 0L } // next key
             } else {
               val counts = new Array[Int](n)
-              if (tryMatch(counts)) {
+              val b = tryMatch(counts)
+              if (b >= 0) {
                 matchSeq += 1
-                emit(counts, matchSeq)
-                advance(skipAdvance(counts))
+                emit(b, counts, matchSeq)
+                advance(skipAdvance(b, counts))
               }
               else advance(1)
             }

@@ -121,6 +121,14 @@ object MrConditions {
       * this to the buffer's last index; batch routes never produce NextNav).
       */
     def maxPos: Int = Int.MaxValue
+    /** True when token `tok`'s run is FIXED strictly before the current
+      * token in the attempt being explored — i.e. `starts(tok)`/`counts(tok)`
+      * are readable. Linear patterns use the global token order (the
+      * default); branch-expanded patterns (alternation/PERMUTE) override
+      * with the branch-positional order, because a variable with a LATER
+      * global index may sit earlier in the branch being attempted.
+      */
+    def placedBefore(tok: Int): Boolean = tok < selfTok
   }
 
   /** Control signal: a NEXT() read past the newest buffered row — the
@@ -356,13 +364,13 @@ object MrConditions {
     case Col(i) => get(ctx.cur, i)
     case VarCol(tok, kind, i, off) =>
       val self = ctx.selfTok
-      if (tok > self) null // forward reference: nothing matched yet
-      else if (tok == self) {
+      if (tok == self) {
         // running semantics: the run so far is [selfRunStart, selfPos]
         val p = if (kind == 1) ctx.selfPos - off else ctx.selfRunStart + off
         if (p < ctx.selfRunStart || p > ctx.selfPos) null // offset past the run
         else get(ctx.rowAt(p), i)
-      } else {
+      } else if (!ctx.placedBefore(tok)) null // forward/absent reference: nothing matched yet
+      else {
         val c = ctx.counts(tok)
         if (c <= off) null // empty/short earlier run → NULL
         else if (kind == 0) get(ctx.rowAt(ctx.starts(tok) + off), i)

@@ -4240,6 +4240,158 @@ FROM n"""))
            e - m AS final_n_up
     FROM rows0"""))
 
+  private val q175 = Q("q175_match_alternation", (s, dir) => {
+    // PATTERN alternation (r11 — ISO 9075-2 row-pattern; Flink has NO
+    // alternation): `V (C | P)` matches a view followed by EITHER a click or
+    // a purchase, leftmost-alternative preference. MrPattern expands the
+    // grouped alternation into two linear branches the NFA scan tries in
+    // order; the un-matched branch's variable has an empty run → NULL struct.
+    // SKIP TO NEXT ROW keeps every anchor independent (lead()-oracle-able).
+    t(s, dir, "events").createOrReplaceTempView("events_mr_alt")
+    graft.sql.SqlFrontend.execute(s, """
+      SELECT * FROM events_mr_alt MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES
+          FIRST(V.ts) AS match_start_ts,
+          FIRST(V.event_id) AS start_tie,
+          LAST(C.ts) AS click_ts,
+          LAST(P.ts) AS buy_ts
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (V (C | P))
+        DEFINE V AS V.event_type = 'view',
+               C AS C.event_type = 'click',
+               P AS P.event_type = 'purchase'
+      )""")
+      .select(col("user_id"),
+        col("match_start_ts").cast("timestamp_ntz").as("match_start_ts"),
+        col("start_tie"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"),
+        col("buy_ts").cast("timestamp_ntz").as("buy_ts"))
+  }, Some(s"""
+    WITH led AS (
+      SELECT user_id, ts, event_id, event_type,
+             lead(event_type) OVER w AS t1, lead(ts) OVER w AS ts1
+      FROM $EV e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, ts AS match_start_ts, event_id AS start_tie,
+           CASE WHEN t1 = 'click' THEN ts1 END AS click_ts,
+           CASE WHEN t1 = 'purchase' THEN ts1 END AS buy_ts
+    FROM led
+    WHERE event_type = 'view' AND t1 IN ('click', 'purchase')"""))
+
+  private val q176 = Q("q176_match_permute", (s, dir) => {
+    // PERMUTE (r11 — the standard defines it as the lexicographic alternation
+    // of all permutations; Flink has no PERMUTE): a view followed by a click
+    // AND a purchase in EITHER order. Two expanded branches; measures bind to
+    // each variable's own matched row regardless of the order that matched.
+    t(s, dir, "events").createOrReplaceTempView("events_mr_perm")
+    graft.sql.SqlFrontend.execute(s, """
+      SELECT * FROM events_mr_perm MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES
+          FIRST(V.ts) AS match_start_ts,
+          FIRST(V.event_id) AS start_tie,
+          LAST(C.event_id) AS click_id,
+          LAST(P.event_id) AS buy_id
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (V PERMUTE(C, P))
+        DEFINE V AS V.event_type = 'view',
+               C AS C.event_type = 'click',
+               P AS P.event_type = 'purchase'
+      )""")
+      .select(col("user_id"),
+        col("match_start_ts").cast("timestamp_ntz").as("match_start_ts"),
+        col("start_tie"), col("click_id"), col("buy_id"))
+  }, Some(s"""
+    WITH led AS (
+      SELECT user_id, ts, event_id, event_type,
+             lead(event_type, 1) OVER w AS t1, lead(event_id, 1) OVER w AS id1,
+             lead(event_type, 2) OVER w AS t2, lead(event_id, 2) OVER w AS id2
+      FROM $EV e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, ts AS match_start_ts, event_id AS start_tie,
+           CASE WHEN t1 = 'click' THEN id1 ELSE id2 END AS click_id,
+           CASE WHEN t1 = 'purchase' THEN id1 ELSE id2 END AS buy_id
+    FROM led
+    WHERE event_type = 'view'
+      AND ((t1 = 'click' AND t2 = 'purchase') OR (t1 = 'purchase' AND t2 = 'click'))"""))
+
+  private val q177 = Q("q177_match_subset", (s, dir) => {
+    // SUBSET union variables (r11 — ISO 9075-2; absent in Flink): M = (D, U)
+    // pools the falling and rising runs, so FIRST/LAST span the whole move
+    // and aggregates run over both runs' rows. Same ticker islands as q164 —
+    // the oracle reuses the recursive island+cursor selection with M's span
+    // being rn+1..e by construction.
+    t(s, dir, "events").createOrReplaceTempView("events_mr_subset")
+    graft.sql.SqlFrontend.execute(s, """
+      SELECT * FROM events_mr_subset MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES
+          FIRST(S.ts) AS match_start_ts,
+          FIRST(S.event_id) AS start_tie,
+          FIRST(M.ts) AS move_start_ts,
+          LAST(M.ts) AS move_end_ts,
+          count(M.*) AS move_rows,
+          CAST(sum(M.value) AS DOUBLE) AS move_sum,
+          min(M.value) AS move_min
+        ONE ROW PER MATCH
+        PATTERN (S D+ U+)
+        SUBSET M = (D, U)
+        DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
+      )""")
+      .select(col("user_id"),
+        col("match_start_ts").cast("timestamp_ntz").as("match_start_ts"),
+        col("start_tie"),
+        col("move_start_ts").cast("timestamp_ntz").as("move_start_ts"),
+        col("move_end_ts").cast("timestamp_ntz").as("move_end_ts"),
+        col("move_rows"), col("move_sum"), col("move_min"))
+  }, Some(s"""
+    WITH RECURSIVE $MR_RUNS, $MR_TICKER_SEL,
+      ma AS (SELECT s.user_id, s.rn,
+                    COUNT(*) AS move_rows,
+                    CAST(SUM(CAST(r.value AS DECIMAL(25,6))) AS DOUBLE) AS move_sum,
+                    MIN(r.value) AS move_min
+             FROM sel s JOIN r ON r.user_id = s.user_id AND r.rn BETWEEN s.rn + 1 AND s.e
+             GROUP BY s.user_id, s.rn)
+    SELECT sel.user_id, start_ts AS match_start_ts, start_tie,
+           rf.ts AS move_start_ts, re.ts AS move_end_ts,
+           ma.move_rows, ma.move_sum, ma.move_min
+    FROM sel
+    JOIN r rf ON rf.user_id = sel.user_id AND rf.rn = sel.rn + 1
+    JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e
+    JOIN ma ON ma.user_id = sel.user_id AND ma.rn = sel.rn"""))
+
+  private val q178 = Q("q178_match_exclusion", (s, dir) => {
+    // Output exclusion `{- D+ -}` (r11 — ISO 9075-2; absent in Flink): the
+    // falling run is MATCHED (it anchors U+, counts toward aggregates, and
+    // skip-past consumes it) but its rows are NOT emitted under ALL ROWS —
+    // the q165 shape minus the D rows, with count(D.*) proving the excluded
+    // run still aggregates.
+    t(s, dir, "events").createOrReplaceTempView("events_mr_excl")
+    graft.sql.SqlFrontend.execute(s, """
+      SELECT * FROM events_mr_excl MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES CLASSIFIER() AS cls, count(D.*) AS n_down, LAST(U.value) AS final_top
+        ALL ROWS PER MATCH
+        PATTERN (S {- D+ -} U+)
+        DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
+      )""")
+      .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_id"), col("value"), col("cls"), col("n_down"), col("final_top"))
+  }, Some(s"""
+    WITH RECURSIVE $MR_RUNS, $MR_TICKER_SEL
+    SELECT s.user_id, r.ts, r.event_id, r.value,
+           CASE WHEN r.rn = s.rn THEN 'S' ELSE 'U' END AS cls,
+           s.m - s.rn AS n_down,
+           re.value AS final_top
+    FROM sel s
+    JOIN r ON r.user_id = s.user_id AND (r.rn = s.rn OR r.rn BETWEEN s.m + 1 AND s.e)
+    JOIN r re ON re.user_id = s.user_id AND re.rn = s.e"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -4257,7 +4409,8 @@ FROM n"""))
     q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
-    q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174)
+    q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
+    q175, q176, q177, q178)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

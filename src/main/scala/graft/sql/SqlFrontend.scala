@@ -1002,15 +1002,45 @@ object SqlFrontend {
         "SKIP PAST LAST ROW (the default when the clause is absent), and " +
         "SKIP TO [FIRST|LAST] <variable>")
     val skipPast = !skipToNext // explicit SKIP PAST LAST ROW, or the standard default
-    // PREV()/NEXT() are handled inside subst (DEFINE-only physical navigation)
-    val patM = "(?is)PATTERN\\s*\\(\\s*(.*?)\\s*\\)(?:\\s+WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(\\w+))?".r
-      .findFirstMatchIn(body).getOrElse(sys.error("MATCH_RECOGNIZE requires PATTERN (...)"))
+    // PREV()/NEXT() are handled inside subst (DEFINE-only physical navigation).
+    // The pattern text is extracted with BALANCED parens (composite patterns —
+    // alternation groups, PERMUTE — nest them; a .*? regex would cut at the
+    // first ')'), then the optional WITHIN suffix is read after the close.
+    val patKwM = "(?is)PATTERN\\s*\\(".r.findFirstMatchIn(body)
+      .getOrElse(sys.error("MATCH_RECOGNIZE requires PATTERN (...)"))
+    // raw balanced span, NOT balancedArgs: quantifier commas (`A{2,4}`) sit at
+    // paren depth 1 and must pass through verbatim, not as argument splits
+    val (patText, patEnd) = {
+      var depth = 0; var i = patKwM.end - 1; var inner: String = null; var end = -1
+      while (end < 0 && i < body.length) {
+        body.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+            if (depth == 0) { inner = body.substring(patKwM.end, i); end = i + 1 }
+          case _ =>
+        }
+        i += 1
+      }
+      if (end < 0) sys.error("MATCH_RECOGNIZE: unbalanced parentheses in PATTERN")
+      (inner.trim, end)
+    }
+    require(patText.nonEmpty, "MATCH_RECOGNIZE requires a non-empty PATTERN")
+    val withinMicros = "(?is)^\\s*WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(\\w+)".r
+      .findFirstMatchIn(body.substring(patEnd))
+      .map(mm => graft.operators.Cumulate.durationMicros(s"${mm.group(1)} ${mm.group(2)}"))
+    // alternation / grouping / PERMUTE / exclusion → MrPattern's branch
+    // expansion, always routed to the NFA cursor scan (scanPattern); a plain
+    // whitespace-separated quantified sequence keeps the linear fast paths
+    val composite = graft.operators.MrPattern.isComposite(patText)
+    val (expBranches, expNames): (Seq[Vector[graft.operators.MrPattern.PTok]], Seq[String]) =
+      if (composite) graft.operators.MrPattern.expand(patText) else (Nil, Nil)
     // hi = None → UNBOUNDED (`+`, `*`, `{m,}`) — routed to the NFA cursor
     // scan; a trailing `?` (Flink's reluctant forms `+?`/`*?`/`??`/`{m,n}?`)
     // flips that token's exploration to shortest-first
     val TokenRe = "(\\w+)(?:(\\?\\??)|([+*]\\??)|\\{(\\d+)(?:(,)(\\d+)?)?\\}(\\?)?)?".r
     val varSpecs: Seq[(String, Int, Option[Int], Boolean)] =
-      patM.group(1).trim.split("\\s+").toSeq.map {
+      if (composite) expNames.map(n => (n, 1, Option(1), false)) // quantifiers live per-branch
+      else patText.split("\\s+").toSeq.map {
         case TokenRe(name, q, pm, lo, comma, hi, lzy) =>
           if (q != null) (name, 0, Some(1), q == "??")
           else if (pm != null && pm.startsWith("+")) (name, 1, None, pm == "+?")
@@ -1027,13 +1057,35 @@ object SqlFrontend {
       hi.foreach(h => require(lo <= h, s"MATCH_RECOGNIZE: empty quantifier range {$lo,$h} on '$nm'")) }
     require(varSpecs.nonEmpty, "MATCH_RECOGNIZE requires a non-empty PATTERN")
     require(varSpecs.map(_._1).distinct.size == varSpecs.size,
-      s"MATCH_RECOGNIZE: duplicate pattern variable in '${patM.group(1)}'")
+      s"MATCH_RECOGNIZE: duplicate pattern variable in '$patText'")
     val varNames = varSpecs.map(_._1)
     val idx = varNames.zipWithIndex.toMap
     val w = s"(PARTITION BY $part ORDER BY $ordList)"
     val unboundedPat = varSpecs.exists(_._3.isEmpty)
     skipToVar.foreach { case (_, v) => require(idx.contains(v),
       s"MATCH_RECOGNIZE: AFTER MATCH SKIP TO references unknown pattern variable '$v'") }
+    // SUBSET union variables (ISO 9075-2 row-pattern; absent in Flink):
+    // `SUBSET U = (A, B), V = (C)` between PATTERN and DEFINE. MEASURES over a
+    // subset name see the union of the member variables' matched rows;
+    // DEFINE may not reference one (placement would be ambiguous mid-attempt).
+    val subsetSrc: Seq[(String, Seq[String])] =
+      clause("(?is)\\bSUBSET\\s+(.*?)\\s*(?:\\bDEFINE\\b.*)?$")
+        .map(s => splitTopLevelCommas(s).map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+        .map { s =>
+          val sm = "(?is)^(\\w+)\\s*=\\s*\\(([^)]*)\\)$".r.findFirstMatchIn(s.trim)
+            .getOrElse(sys.error(s"MATCH_RECOGNIZE SUBSET needs 'NAME = (V1, V2, …)': $s"))
+          val members = sm.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          members.foreach(v => require(idx.contains(v),
+            s"MATCH_RECOGNIZE: SUBSET ${sm.group(1)} references unknown pattern variable '$v'"))
+          require(!idx.contains(sm.group(1)),
+            s"MATCH_RECOGNIZE: SUBSET ${sm.group(1)} collides with a pattern variable")
+          (sm.group(1), members)
+        }
+    require(subsetSrc.map(_._1).distinct.size == subsetSrc.size,
+      "MATCH_RECOGNIZE: duplicate SUBSET name")
+    val subsetNames: Set[String] = subsetSrc.map(_._1).toSet
+    // a variable name valid in MEASURES: pattern variables plus subsets
+    val mVars: Set[String] = idx.keySet ++ subsetNames
 
     /** Column ref at absolute row offset k from the match start. */
     def at(colName: String, k: Int): String =
@@ -1136,11 +1188,13 @@ object SqlFrontend {
         val dm = "(?is)^(\\w+)\\s+AS\\s+(.*)$".r.findFirstMatchIn(d)
           .getOrElse(sys.error(s"MATCH_RECOGNIZE DEFINE needs 'VAR AS condition': $d"))
         require(idx.contains(dm.group(1)), s"DEFINE for unknown pattern variable '${dm.group(1)}'")
+        subsetNames.foreach { u =>
+          require(!s"(?i)\\b$u\\s*\\.".r.findFirstIn(dm.group(2)).isDefined,
+            s"MATCH_RECOGNIZE: DEFINE ${dm.group(1)} references SUBSET variable '$u' — " +
+              "SUBSET variables are MEASURES-only (their placement is ambiguous mid-attempt)")
+        }
         dm.group(1) -> dm.group(2)
       }.toMap
-
-    val withinMicros = Option(patM.group(2))
-      .map(num => graft.operators.Cumulate.durationMicros(s"$num ${patM.group(3)}"))
 
     val partCols = splitTop(part)
     // MATCH_NUMBER() and aggregate measures need the cursor — scan route
@@ -1148,7 +1202,7 @@ object SqlFrontend {
       "(?i)\\bMATCH_NUMBER\\s*\\(".r.findFirstIn(e).isDefined }
     val AggRe = "(?i)\\b(count|sum|min|max|avg)\\s*\\(\\s*(\\w+)\\.(\\w+|\\*)\\s*\\)".r
     val usesAggregates = measureSrc.exists { case (e, _) =>
-      AggRe.findAllMatchIn(e).exists(mm => idx.contains(mm.group(2))) }
+      AggRe.findAllMatchIn(e).exists(mm => mVars.contains(mm.group(2))) }
     // which flavors of per-output-row RUNNING structs the scan must emit:
     // var-ref measures need __mr_run_first/last, aggregate measures (r11)
     // need __mr_run_agg — detected separately so neither pays for the other
@@ -1162,8 +1216,8 @@ object SqlFrontend {
         "\\b(\\w+)\\.(\\w+)\\b".r.findAllMatchIn(stripped)
           .exists(mm => idx.contains(mm.group(1)))
       } }
-    val replacement = if (!unboundedPat && !allRowsPerMatch && !usesMatchNumber &&
-      !usesAggregates && skipToVar.isEmpty) {
+    val replacement = if (!composite && subsetSrc.isEmpty && !unboundedPat &&
+      !allRowsPerMatch && !usesMatchNumber && !usesAggregates && skipToVar.isEmpty) {
       // ------------------------------- bounded, ONE ROW: lead()-expansion CASE
       // every bounded-count assignment, greedy order: leftmost quantifier
       // longest first (descending lexicographic) — reluctant tokens ascend
@@ -1316,9 +1370,10 @@ object SqlFrontend {
       val dynDefs: Seq[Option[String]] =
         if (defPairs.exists(_._2.isDefined)) defPairs.map(_._2) else Seq.empty
       // columns the MEASURES read → captured into the per-variable structs
+      // (subset-variable refs too — their structs carry the same fields)
       val measureColNames = measureSrc.flatMap { case (e, _) =>
         "\\b(\\w+)\\.(\\w+)\\b".r.findAllMatchIn(e)
-          .filter(mm => idx.contains(mm.group(1))).map(_.group(2)).toSeq
+          .filter(mm => mVars.contains(mm.group(1))).map(_.group(2)).toSeq
       }.distinct
       // MEASURES read the FULL match (final semantics): FIRST/LAST/bare refs
       // become fields of the scan's __mr_first_<v>/__mr_last_<v> structs;
@@ -1334,8 +1389,11 @@ object SqlFrontend {
         // division of the exact decimal sum by the non-null count
         val e = AggRe.replaceAllIn(e0, mm => java.util.regex.Matcher.quoteReplacement {
           val (fn, v, c) = (mm.group(1).toLowerCase, mm.group(2), mm.group(3))
-          if (!idx.contains(v)) mm.matched
+          if (!mVars.contains(v)) mm.matched
           else {
+            require(!(running && subsetNames.contains(v)),
+              s"MATCH_RECOGNIZE: RUNNING over SUBSET variable '$v' is not supported — " +
+                "subset measures are FINAL")
             val base = if (running) s"__mr_run_agg_$v" else s"__mr_agg_$v"
             fn match {
               case "count" => s"$base.cnt_${if (c == "*") "rows" else c}"
@@ -1361,20 +1419,33 @@ object SqlFrontend {
           .replaceAllIn(cls, mm => java.util.regex.Matcher.quoteReplacement {
             val (kind, vv, c) = (mm.group(1).toLowerCase, mm.group(2), mm.group(3))
             val k = Option(mm.group(4)).map(_.toInt).getOrElse(0)
-            if (!idx.contains(vv)) mm.matched
+            if (!mVars.contains(vv)) mm.matched
             else if (running) {
+              require(!subsetNames.contains(vv),
+                s"MATCH_RECOGNIZE: RUNNING over SUBSET variable '$vv' is not supported — " +
+                  "subset measures are FINAL")
               require(k == 0, "MATCH_RECOGNIZE: RUNNING with a logical offset is not " +
                 s"supported — drop RUNNING or the offset in ${mm.matched}")
               s"__mr_run_${kind}_$vv.$c" // per-output-row running struct
             }
             else if (k == 0) s"__mr_${kind}_$vv.$c" // plain FIRST/LAST struct (FINAL)
-            else s"__mr_off_${kind.take(1)}${k}_$vv.$c" // logical-offset struct
+            else {
+              require(!subsetNames.contains(vv),
+                s"MATCH_RECOGNIZE: logical-offset ${kind.toUpperCase}($vv.$c, $k) over a " +
+                  "SUBSET variable is not supported — offset into a member variable instead")
+              s"__mr_off_${kind.take(1)}${k}_$vv.$c" // logical-offset struct
+            }
           })
         "\\b(\\w+)\\.(\\w+)\\b".r.replaceAllIn(fl, mm =>
           java.util.regex.Matcher.quoteReplacement {
             val (vv, c) = (mm.group(1), mm.group(2))
-            if (!idx.contains(vv)) mm.matched
-            else if (running) s"__mr_run_last_$vv.$c"
+            if (!mVars.contains(vv)) mm.matched
+            else if (running) {
+              require(!subsetNames.contains(vv),
+                s"MATCH_RECOGNIZE: RUNNING over SUBSET variable '$vv' is not supported — " +
+                  "subset measures are FINAL")
+              s"__mr_run_last_$vv.$c"
+            }
             else s"__mr_last_$vv.$c"
           })
       }
@@ -1384,8 +1455,6 @@ object SqlFrontend {
       if (allRowsPerMatch) measureSrc.foreach { case (_, a) =>
         require(!input.columns.contains(a),
           s"MATCH_RECOGNIZE: ALL ROWS PER MATCH emits every input column; measure alias '$a' collides") }
-      val toks = varSpecs.map { case (nm, lo, hi, rel) =>
-        graft.operators.MatchRecognize.MrTok(nm, lo, hi, rel) }
       // logical-offset FIRST/LAST measures → extra per-(var, kind, k) structs
       val OffRe = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*,\\s*(\\d+)\\s*\\)".r
       val offsetSpecs: Seq[(Int, Boolean, Int)] = measureSrc.flatMap { case (e, _) =>
@@ -1394,14 +1463,14 @@ object SqlFrontend {
           if (!idx.contains(v) || k == 0) None else Some((idx(v), kind == "FIRST", k))
         }
       }.distinct
-      // aggregate fields each variable's __mr_agg struct must carry
-      val aggSpecs: Seq[Seq[(String, String)]] = {
+      // aggregate fields each variable's / subset's __mr_agg struct must carry
+      val aggByVar = {
         val byVar = scala.collection.mutable.Map
           .empty[String, scala.collection.mutable.LinkedHashSet[(String, String)]]
         measureSrc.foreach { case (e, _) =>
           AggRe.findAllMatchIn(e).foreach { mm =>
             val (fn, v, c) = (mm.group(1).toLowerCase, mm.group(2), mm.group(3))
-            if (idx.contains(v)) {
+            if (mVars.contains(v)) {
               val specs = byVar.getOrElseUpdate(v,
                 scala.collection.mutable.LinkedHashSet.empty[(String, String)])
               fn match {
@@ -1412,8 +1481,14 @@ object SqlFrontend {
             }
           }
         }
-        varNames.map(v => byVar.get(v).map(_.toSeq).getOrElse(Seq.empty))
+        byVar
       }
+      val aggSpecs: Seq[Seq[(String, String)]] =
+        varNames.map(v => aggByVar.get(v).map(_.toSeq).getOrElse(Seq.empty))
+      val subsetSpecs: Seq[graft.operators.MatchRecognize.SubsetSpec] =
+        subsetSrc.map { case (nm, members) =>
+          graft.operators.MatchRecognize.SubsetSpec(nm, members.map(idx),
+            aggByVar.get(nm).map(_.toSeq).getOrElse(Seq.empty)) }
       val scanSkip: graft.operators.MatchRecognize.Skip =
         if (skipToNext) graft.operators.MatchRecognize.SkipToNextRow
         else skipToVar match {
@@ -1428,12 +1503,20 @@ object SqlFrontend {
       val input2 =
         if (navCols.isEmpty) input
         else input.selectExpr("*" +: navCols.toSeq.map { case (nm, e) => s"$e AS $nm" }: _*)
-      val scanned = graft.operators.MatchRecognize.scan(
+      // composite patterns hand the MrPattern-expanded branches to the scan;
+      // a linear sequence is its own single branch — same machinery either way
+      val branches: Seq[IndexedSeq[graft.operators.MatchRecognize.BTok]] =
+        if (composite) expBranches.map(_.map(t => graft.operators.MatchRecognize.BTok(
+          idx(t.name), t.lo, t.hi, t.reluctant, t.excluded)).toIndexedSeq)
+        else Seq(varSpecs.zipWithIndex.map { case ((_, lo, hi, rel), i) =>
+          graft.operators.MatchRecognize.BTok(i, lo, hi, rel) }.toIndexedSeq)
+      val scanned = graft.operators.MatchRecognize.scanPattern(
         input2, partCols.map(org.apache.spark.sql.functions.expr),
-        ordCols.map(org.apache.spark.sql.functions.expr), ord, toks, defs,
+        ordCols.map(org.apache.spark.sql.functions.expr), ord, varNames, branches, defs,
         withinMicros, scanSkip, allRowsPerMatch, measureColNames,
         if (aggSpecs.forall(_.isEmpty)) Seq.empty else aggSpecs, dynDefs, offsetSpecs,
-        runningStructs = runningNonAgg, runningAggStructs = runningAggs)
+        runningStructs = runningNonAgg, runningAggStructs = runningAggs,
+        subsets = subsetSpecs)
       val measures = measureSrc.zip(measureRunning).map { case ((e, a), running) =>
         s"${scanMeasure(e, running)} AS $a" }
       // ALL ROWS emits every input column (the standard's shape); ONE ROW the
