@@ -66,8 +66,10 @@ import org.apache.spark.sql.types._
   * Reference behavior covered: Flink's MATCH_RECOGNIZE accepts unbounded
   * quantifiers (confluent docs, flink-sql match_recognize) which the r8
   * bounded rewrite refused; ALL ROWS PER MATCH, alternation, PERMUTE,
-  * exclusion and SUBSET go beyond Flink (none exist there), with FINAL
-  * measure semantics under ALL ROWS documented.
+  * exclusion and SUBSET go beyond Flink (none exist there). Measure
+  * semantics under ALL ROWS follow the standard: unmarked = RUNNING,
+  * FINAL opts out (the SQL frontend maps both onto this scan's final
+  * structs and per-output-row `__mr_run_*` views).
   */
 object MatchRecognize {
 

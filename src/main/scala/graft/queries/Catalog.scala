@@ -3844,13 +3844,14 @@ FROM n"""))
     // ALL ROWS PER MATCH over the same ticker pattern: one output row per
     // MATCHED row with its CLASSIFIER() — the per-row shape a downstream
     // labeling pipeline joins on (beyond Flink, which is ONE ROW only;
-    // measures carry FINAL semantics, documented in the rewrite).
+    // FINAL marks the whole-match view, since ALL-ROWS measures default to
+    // RUNNING per the standard — r11).
     t(s, dir, "events").createOrReplaceTempView("events_mr_allrows")
     graft.sql.SqlFrontend.execute(s, """
       SELECT * FROM events_mr_allrows MATCH_RECOGNIZE (
         PARTITION BY user_id
         ORDER BY ts, event_id
-        MEASURES CLASSIFIER() AS cls, LAST(U.value) AS final_top
+        MEASURES CLASSIFIER() AS cls, FINAL LAST(U.value) AS final_top
         ALL ROWS PER MATCH
         PATTERN (S D+ U+)
         DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
@@ -4161,10 +4162,10 @@ FROM n"""))
     LEFT JOIN r bb ON bb.user_id = s2.user_id AND bb.rn = s2.bb_rn"""))
 
   private val q173 = Q("q173_match_running", (s, dir) => {
-    // RUNNING measure semantics under ALL ROWS (r10 — the standard's
-    // per-output-row view, opt-in by keyword; unmarked measures stay FINAL,
-    // the documented default): each emitted row sees the match only up to
-    // itself — NULL before a variable's run begins.
+    // RUNNING measure semantics under ALL ROWS (r10; since r11 RUNNING is
+    // also the unmarked DEFAULT, per the standard — FINAL opts out): each
+    // emitted row sees the match only up to itself — NULL before a
+    // variable's run begins.
     t(s, dir, "events").createOrReplaceTempView("events_mr_run")
     graft.sql.SqlFrontend.execute(s, """
       SELECT * FROM events_mr_run MATCH_RECOGNIZE (
@@ -4174,7 +4175,7 @@ FROM n"""))
           CLASSIFIER() AS cls,
           RUNNING LAST(D.value) AS run_bottom,
           RUNNING LAST(U.value) AS run_top,
-          LAST(U.value) AS final_top
+          FINAL LAST(U.value) AS final_top
         ALL ROWS PER MATCH
         PATTERN (S D+ U+)
         DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
@@ -4217,7 +4218,7 @@ FROM n"""))
           RUNNING count(D.*) AS d_seen,
           RUNNING CAST(sum(U.value) AS DOUBLE) AS run_up_sum,
           RUNNING min(D.value) AS run_bottom,
-          count(U.*) AS final_n_up
+          FINAL count(U.*) AS final_n_up
         ALL ROWS PER MATCH
         PATTERN (S D+ U+)
         DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
@@ -4375,7 +4376,8 @@ FROM n"""))
       SELECT * FROM events_mr_excl MATCH_RECOGNIZE (
         PARTITION BY user_id
         ORDER BY ts, event_id
-        MEASURES CLASSIFIER() AS cls, count(D.*) AS n_down, LAST(U.value) AS final_top
+        MEASURES CLASSIFIER() AS cls, FINAL count(D.*) AS n_down,
+                 FINAL LAST(U.value) AS final_top
         ALL ROWS PER MATCH
         PATTERN (S {- D+ -} U+)
         DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)

@@ -1176,10 +1176,13 @@ object SqlFrontend {
     // a RUNNING measure sees the match only up to the CURRENT output row
     // (r10 — the scan's __mr_run_* structs); under ONE ROW the output point
     // is the final row, where RUNNING ≡ FINAL, so both keywords strip to the
-    // default there. Our ALL-ROWS default stays FINAL (documented deviation;
-    // the standard defaults to RUNNING) — the keyword opts in per measure.
+    // default there. Under ALL ROWS the DEFAULT is RUNNING (r11 — the
+    // standard's and Flink's default, closing the r10 documented deviation);
+    // FINAL is the per-measure opt-out keyword. Measures the scan has no
+    // running view for (logical offsets, SUBSET refs) refuse loudly under the
+    // running default with a mark-it-FINAL hint — never a silent FINAL.
     val measureRunning: Seq[Boolean] = measureSrcParsed.map { case (e, _) =>
-      "(?is)^\\s*RUNNING\\b".r.findFirstIn(e).isDefined && allRowsPerMatch }
+      allRowsPerMatch && !"(?is)^\\s*FINAL\\b".r.findFirstIn(e).isDefined }
     val measureSrc = measureSrcParsed.map { case (e, a) =>
       ("(?is)^\\s*(?:RUNNING|FINAL)\\b\\s*".r.replaceFirstIn(e, ""), a) }
     val defineSrc: Map[String, String] = clause("(?is)DEFINE\\s+(.*)$")
@@ -1392,8 +1395,9 @@ object SqlFrontend {
           if (!mVars.contains(v)) mm.matched
           else {
             require(!(running && subsetNames.contains(v)),
-              s"MATCH_RECOGNIZE: RUNNING over SUBSET variable '$v' is not supported — " +
-                "subset measures are FINAL")
+              s"MATCH_RECOGNIZE: RUNNING over SUBSET variable '$v' is not supported " +
+                "(MEASURES under ALL ROWS default to RUNNING, the standard) — mark the " +
+                "measure FINAL")
             val base = if (running) s"__mr_run_agg_$v" else s"__mr_agg_$v"
             fn match {
               case "count" => s"$base.cnt_${if (c == "*") "rows" else c}"
@@ -1422,10 +1426,12 @@ object SqlFrontend {
             if (!mVars.contains(vv)) mm.matched
             else if (running) {
               require(!subsetNames.contains(vv),
-                s"MATCH_RECOGNIZE: RUNNING over SUBSET variable '$vv' is not supported — " +
-                  "subset measures are FINAL")
+                s"MATCH_RECOGNIZE: RUNNING over SUBSET variable '$vv' is not supported " +
+                  "(MEASURES under ALL ROWS default to RUNNING, the standard) — mark the " +
+                  "measure FINAL")
               require(k == 0, "MATCH_RECOGNIZE: RUNNING with a logical offset is not " +
-                s"supported — drop RUNNING or the offset in ${mm.matched}")
+                s"supported (MEASURES under ALL ROWS default to RUNNING, the standard) — " +
+                  s"mark the measure FINAL or drop the offset in ${mm.matched}")
               s"__mr_run_${kind}_$vv.$c" // per-output-row running struct
             }
             else if (k == 0) s"__mr_${kind}_$vv.$c" // plain FIRST/LAST struct (FINAL)
@@ -1442,8 +1448,9 @@ object SqlFrontend {
             if (!mVars.contains(vv)) mm.matched
             else if (running) {
               require(!subsetNames.contains(vv),
-                s"MATCH_RECOGNIZE: RUNNING over SUBSET variable '$vv' is not supported — " +
-                  "subset measures are FINAL")
+                s"MATCH_RECOGNIZE: RUNNING over SUBSET variable '$vv' is not supported " +
+                  "(MEASURES under ALL ROWS default to RUNNING, the standard) — mark the " +
+                  "measure FINAL")
               s"__mr_run_last_$vv.$c"
             }
             else s"__mr_last_$vv.$c"

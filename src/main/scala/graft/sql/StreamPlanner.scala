@@ -285,6 +285,30 @@ object StreamPlanner {
       "MATCH_RECOGNIZE: supported AFTER MATCH strategies are SKIP TO NEXT ROW and " +
         "SKIP PAST LAST ROW (the default when the clause is absent)")
     val skipPast = !skipToNext
+    // composite PATTERN grammars (alternation/grouping/PERMUTE/exclusion) and
+    // SUBSET are batch-scan features (r11) — the standing streaming routes
+    // take a linear quantified sequence; refuse loudly before the linear
+    // token parse trips on a paren fragment
+    locally {
+      val pk = "(?is)PATTERN\\s*\\(".r.findFirstMatchIn(body)
+      pk.foreach { m =>
+        var depth = 0; var i = m.end - 1; var inner: String = null
+        while (inner == null && i < body.length) {
+          body.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) inner = body.substring(m.end, i)
+            case _ =>
+          }
+          i += 1
+        }
+        require(inner == null || !graft.operators.MrPattern.isComposite(inner),
+          "streaming MATCH_RECOGNIZE takes a LINEAR quantified PATTERN — alternation, " +
+            "grouping, PERMUTE and {- exclusion -} run on the batch scan only; " +
+            "split the alternatives into separate standing queries")
+      }
+      require(!"(?is)\\bSUBSET\\s+\\w+\\s*=".r.findFirstIn(body).isDefined,
+        "streaming MATCH_RECOGNIZE does not support SUBSET — batch-scan only")
+    }
     val patM = "(?is)PATTERN\\s*\\(\\s*(.*?)\\s*\\)(?:\\s+WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(\\w+))?".r
       .findFirstMatchIn(body).getOrElse(sys.error("MATCH_RECOGNIZE requires PATTERN (...)"))
     // unbounded quantifiers (`+`/`*`/`{m,}`) ride the operator's NFA resolve

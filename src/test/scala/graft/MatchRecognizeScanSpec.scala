@@ -108,7 +108,7 @@ class MatchRecognizeScanSpec extends SparkSpec {
     val out = SqlFrontend.execute(spark,
       """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY ts, id
-        |  MEASURES CLASSIFIER() AS var_name, LAST(U.v) AS final_top
+        |  MEASURES CLASSIFIER() AS var_name, FINAL LAST(U.v) AS final_top
         |  ALL ROWS PER MATCH
         |  AFTER MATCH SKIP PAST LAST ROW
         |  PATTERN (S D+ U+)
@@ -515,13 +515,13 @@ class MatchRecognizeScanSpec extends SparkSpec {
       "run-relative LAST(B.v, 1) must equal the PREV() ticker idiom on contiguous runs")
   }
 
-  test("RUNNING measures under ALL ROWS: per-output-row view; FINAL stays the default") {
+  test("RUNNING measures under ALL ROWS: per-output-row view; RUNNING is the unmarked default") {
     ticker.createOrReplaceTempView("mr_ticker")
     val rs = SqlFrontend.execute(spark,
       """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY ts, id
-        |  MEASURES CLASSIFIER() AS cls, RUNNING LAST(D.v) AS run_bottom,
-        |           RUNNING LAST(U.v) AS run_top, LAST(U.v) AS fin_top
+        |  MEASURES CLASSIFIER() AS cls, LAST(D.v) AS run_bottom,
+        |           RUNNING LAST(U.v) AS run_top, FINAL LAST(U.v) AS fin_top
         |  ALL ROWS PER MATCH
         |  PATTERN (S D+ U+)
         |  DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v)
@@ -533,22 +533,23 @@ class MatchRecognizeScanSpec extends SparkSpec {
       if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Double](c))
     assert(rs.map(d(_, "run_bottom")).toSeq ==
       Seq(None, Some(8.0), Some(7.0), Some(7.0), Some(7.0)),
-      "RUNNING LAST(D.v): NULL before D starts, then the last D row so far")
+      "UNMARKED LAST(D.v) under ALL ROWS is RUNNING (the standard's default, r11): " +
+        "NULL before D starts, then the last D row so far")
     assert(rs.map(d(_, "run_top")).toSeq ==
       Seq(None, None, None, Some(9.0), Some(12.0)),
       "RUNNING LAST(U.v): NULL until U starts, then grows per row")
     assert(rs.forall(_.getAs[Double]("fin_top") == 12.0),
-      "unmarked measures stay FINAL (the documented default)")
+      "FINAL opts a measure out of the running default")
     // RUNNING aggregates (r11 — the r10 refusal closed): per-output-row
     // prefix accumulators — cnt 0 / NULL sum before the run begins, equal
     // to the FINAL aggregate on the match's last row
     val ra = SqlFrontend.execute(spark,
       """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY ts, id
-        |  MEASURES RUNNING count(D.*) AS d_seen,
+        |  MEASURES count(D.*) AS d_seen,
         |           RUNNING CAST(sum(U.v) AS DOUBLE) AS up_sum,
         |           RUNNING min(D.v) AS run_min,
-        |           count(U.*) AS fin_up
+        |           FINAL count(U.*) AS fin_up
         |  ALL ROWS PER MATCH
         |  PATTERN (S D+ U+)
         |  DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v)
@@ -556,7 +557,8 @@ class MatchRecognizeScanSpec extends SparkSpec {
       .filter(col("k") === "k1").orderBy("id").collect()
     assert(ra.length == 5)
     assert(ra.map(_.getAs[Long]("d_seen")).toSeq == Seq(0L, 1L, 2L, 2L, 2L),
-      "RUNNING count(D.*): 0 before D, grows through D's run, final after")
+      "UNMARKED count(D.*) under ALL ROWS is RUNNING (the standard's default): " +
+        "0 before D, grows through D's run, final after")
     assert(ra.map(d(_, "up_sum")).toSeq ==
       Seq(None, None, None, Some(9.0), Some(21.0)),
       "RUNNING sum(U.v): NULL until U starts, prefix-accumulates per row")
@@ -564,7 +566,7 @@ class MatchRecognizeScanSpec extends SparkSpec {
       Seq(None, Some(8.0), Some(7.0), Some(7.0), Some(7.0)),
       "RUNNING min(D.v): per-prefix minimum")
     assert(ra.forall(_.getAs[Long]("fin_up") == 2L),
-      "unmarked aggregates stay FINAL (the documented default)")
+      "FINAL opts an aggregate out of the running default")
     // RUNNING == FINAL on the match's last row
     assert(d(ra.last, "up_sum").contains(9.0 + 12.0))
   }

@@ -211,14 +211,18 @@ class MrPatternSpec extends SparkSpec {
     val out = SqlFrontend.execute(spark,
       """SELECT * FROM mr_excl MATCH_RECOGNIZE (
            PARTITION BY k ORDER BY ts, id
-           MEASURES CLASSIFIER() AS cls, count(D.*) AS n_down
+           MEASURES CLASSIFIER() AS cls, FINAL count(D.*) AS n_down,
+                    count(D.*) AS d_seen
            ALL ROWS PER MATCH
            PATTERN (S {- D+ -} U+)
            DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v)
-         )""").select($"id", $"cls", $"n_down").as[(Long, String, Long)].collect().sortBy(_._1)
-    // the match covers rows 1..5; D rows (2, 3) are matched — n_down = 2,
-    // and skip-past consumed them — but not emitted
-    assert(out.toSeq == Seq((1L, "S", 2L), (4L, "U", 2L), (5L, "U", 2L)))
+         )""").select($"id", $"cls", $"n_down", $"d_seen")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // the match covers rows 1..5; D rows (2, 3) are matched — FINAL n_down =
+    // 2, and skip-past consumed them — but not emitted. The unmarked measure
+    // is RUNNING (the standard's ALL-ROWS default): 0 at S, and the EXCLUDED
+    // D rows still fold into the accumulator before the first emitted U row.
+    assert(out.toSeq == Seq((1L, "S", 2L, 0L), (4L, "U", 2L, 2L), (5L, "U", 2L, 2L)))
     val err = intercept[Exception](SqlFrontend.execute(spark,
       """SELECT * FROM mr_excl MATCH_RECOGNIZE (
            PARTITION BY k ORDER BY ts, id

@@ -516,4 +516,49 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       StatementCatalog.reset()
     }
   }
+
+  test("streaming MATCH_RECOGNIZE refuses composite patterns and SUBSET loudly (batch-scan only)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(String, String, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("comp_matches", "comp_events").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    val schema = mem.toDF().toDF("u", "t", "ts", "v").schema
+    TableRegistry.createTable(TableRegistry.TableDef("comp_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
+    def ctas(pattern: String, subset: String = "") =
+      s"""CREATE TABLE comp_matches AS
+         |SELECT * FROM comp_events
+         |  MATCH_RECOGNIZE (
+         |    PARTITION BY u
+         |    ORDER BY ts
+         |    MEASURES FIRST(A.ts) AS start_ts, LAST(B.ts) AS end_ts
+         |    ONE ROW PER MATCH
+         |    PATTERN ($pattern)
+         |    $subset
+         |    DEFINE A AS A.t = 'a', B AS B.t = 'b'
+         |  )""".stripMargin
+    try {
+      val e1 = intercept[Exception](SqlFrontend.execute(spark, ctas("A B | B A")))
+      assert(e1.getMessage.contains("LINEAR quantified PATTERN"), e1.getMessage)
+      val e2 = intercept[Exception](SqlFrontend.execute(spark, ctas("A PERMUTE(B, A)")))
+      assert(e2.getMessage.contains("LINEAR quantified PATTERN"), e2.getMessage)
+      val e3 = intercept[Exception](SqlFrontend.execute(spark, ctas("A B", "SUBSET M = (A, B)")))
+      assert(e3.getMessage.contains("SUBSET"), e3.getMessage)
+      // a linear quantified pattern still plans fine on the same table
+      SqlFrontend.execute(spark, ctas("A{1,2} B"))
+      assert(StatementCatalog.status("comp_matches") == "RUNNING")
+    } finally {
+      if (TableRegistry.exists("comp_matches"))
+        SqlFrontend.execute(spark, "DROP TABLE comp_matches")
+      TableRegistry.dropTable("comp_events")
+      StatementCatalog.reset()
+    }
+  }
 }

@@ -277,6 +277,30 @@ FINALS = {
         FROM sel s
         JOIN r ON r.user_id = s.user_id AND r.rn BETWEEN s.rn AND s.e
         JOIN r re ON re.user_id = s.user_id AND re.rn = s.e""",
+    # r11: SUBSET M = (D, U) rides the same ticker sel — M's span is rn+1..e
+    "q177_match_subset": """
+        WITH ma AS (SELECT s.user_id, s.rn,
+                           COUNT(*) AS move_rows,
+                           CAST(SUM(CAST(r.value AS DECIMAL(25,6))) AS DOUBLE) AS move_sum,
+                           MIN(r.value) AS move_min
+                    FROM sel s JOIN r ON r.user_id = s.user_id AND r.rn BETWEEN s.rn + 1 AND s.e
+                    GROUP BY s.user_id, s.rn)
+        SELECT sel.user_id, start_ts AS match_start_ts, start_tie,
+               rf.ts AS move_start_ts, re.ts AS move_end_ts,
+               ma.move_rows, ma.move_sum, ma.move_min
+        FROM sel
+        JOIN r rf ON rf.user_id = sel.user_id AND rf.rn = sel.rn + 1
+        JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e
+        JOIN ma ON ma.user_id = sel.user_id AND ma.rn = sel.rn""",
+    # r11: exclusion {- D+ -} rides the ticker sel too — q165 minus D rows
+    "q178_match_exclusion": """
+        SELECT s.user_id, r.ts, r.event_id, r.value,
+               CASE WHEN r.rn = s.rn THEN 'S' ELSE 'U' END AS cls,
+               s.m - s.rn AS n_down,
+               re.value AS final_top
+        FROM sel s
+        JOIN r ON r.user_id = s.user_id AND (r.rn = s.rn OR r.rn BETWEEN s.m + 1 AND s.e)
+        JOIN r re ON re.user_id = s.user_id AND re.rn = s.e""",
 }
 
 CANON = {"TINYINT": "BIGINT", "SMALLINT": "BIGINT", "INTEGER": "BIGINT",
