@@ -236,6 +236,26 @@ class MrPatternSpec extends SparkSpec {
 
   // ------------------------------------------------- scan-level invariants
 
+  test("plan guard: composite patterns keep the ONE exchange + ONE sort scan shape") {
+    // branch expansion happens at PLAN time; the physical scan is the same
+    // single mapPartitions over the shared (key, order) sort — alternation
+    // must not add an exchange, a sort, or a second Window at 100 TB
+    alt.createOrReplaceTempView("mr_plan_alt")
+    val df = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_plan_alt MATCH_RECOGNIZE (
+           PARTITION BY k ORDER BY ts, id
+           MEASURES FIRST(A.id) AS a_id, LAST(X.v) AS xv, LAST(Y.v) AS yv
+           ONE ROW PER MATCH
+           PATTERN (A (X | Y))
+           DEFINE A AS A.kind = 'a', X AS X.kind = 'x', Y AS Y.v > PREV(Y.v)
+         )""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"composite pattern added an exchange:\n${plan.take(3000)}")
+    assert("\\bSort\\b".r.findAllIn(plan).size == 1,
+      s"composite pattern added a sort:\n${plan.take(3000)}")
+  }
+
   test("alternation preference is positional: a later-starting branch-1 match never " +
     "outranks an earlier branch-2 match") {
     // at cursor row 1 only branch C (id 1-2) matches; branch (A B) would match
