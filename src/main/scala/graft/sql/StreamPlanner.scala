@@ -285,49 +285,54 @@ object StreamPlanner {
       "MATCH_RECOGNIZE: supported AFTER MATCH strategies are SKIP TO NEXT ROW and " +
         "SKIP PAST LAST ROW (the default when the clause is absent)")
     val skipPast = !skipToNext
-    // composite PATTERN grammars (alternation/grouping/PERMUTE/exclusion) and
-    // SUBSET are batch-scan features (r11) — the standing streaming routes
-    // take a linear quantified sequence; refuse loudly before the linear
-    // token parse trips on a paren fragment
-    locally {
-      val pk = "(?is)PATTERN\\s*\\(".r.findFirstMatchIn(body)
-      pk.foreach { m =>
-        var depth = 0; var i = m.end - 1; var inner: String = null
-        while (inner == null && i < body.length) {
-          body.charAt(i) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1; if (depth == 0) inner = body.substring(m.end, i)
-            case _ =>
-          }
-          i += 1
+    require(!"(?is)\\bSUBSET\\s+\\w+\\s*=".r.findFirstIn(body).isDefined,
+      "streaming MATCH_RECOGNIZE does not support SUBSET — batch-scan only")
+    // PATTERN text by balanced-paren span (composite grammars nest parens;
+    // quantifier commas pass through verbatim), WITHIN read after the close
+    val patKwM = "(?is)PATTERN\\s*\\(".r.findFirstMatchIn(body)
+      .getOrElse(sys.error("MATCH_RECOGNIZE requires PATTERN (...)"))
+    val (patText, patEnd) = {
+      var depth = 0; var i = patKwM.end - 1; var inner: String = null; var end = -1
+      while (end < 0 && i < body.length) {
+        body.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+            if (depth == 0) { inner = body.substring(patKwM.end, i); end = i + 1 }
+          case _ =>
         }
-        require(inner == null || !graft.operators.MrPattern.isComposite(inner),
-          "streaming MATCH_RECOGNIZE takes a LINEAR quantified PATTERN — alternation, " +
-            "grouping, PERMUTE and {- exclusion -} run on the batch scan only; " +
-            "split the alternatives into separate standing queries")
+        i += 1
       }
-      require(!"(?is)\\bSUBSET\\s+\\w+\\s*=".r.findFirstIn(body).isDefined,
-        "streaming MATCH_RECOGNIZE does not support SUBSET — batch-scan only")
+      if (end < 0) sys.error("MATCH_RECOGNIZE: unbalanced parentheses in PATTERN")
+      (inner.trim, end)
     }
-    val patM = "(?is)PATTERN\\s*\\(\\s*(.*?)\\s*\\)(?:\\s+WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(\\w+))?".r
-      .findFirstMatchIn(body).getOrElse(sys.error("MATCH_RECOGNIZE requires PATTERN (...)"))
+    val withinM = "(?is)^\\s*WITHIN\\s+INTERVAL\\s+'(\\d+)'\\s+(\\w+)".r
+      .findFirstMatchIn(body.substring(patEnd))
+    // composite grammars (alternation/grouping/PERMUTE — r11, beyond Flink
+    // CEP's SQL surface) expand to preference-ordered branches and ride the
+    // VALUE route's applyPattern; {- exclusion -} stays refused (ONE-ROW
+    // output shape — the operator rejects excluded tokens loudly)
+    val composite = graft.operators.MrPattern.isComposite(patText)
+    val (expBranches, expNames): (Seq[Vector[graft.operators.MrPattern.PTok]], Seq[String]) =
+      if (composite) graft.operators.MrPattern.expand(patText) else (Nil, Nil)
     // unbounded quantifiers (`+`/`*`/`{m,}`) ride the operator's NFA resolve
     // (QTok.Unbounded, r9) — greedy runs stay OPEN until a breaking event or
     // the within horizon, exactly the batch scan's semantics
     // trailing `?` = the reluctant (lazy) forms, same grammar as the batch
     // frontend — shortest-first exploration, early decision in the operator
     val TokenRe = "(\\w+)(?:(\\?\\??)|([+*]\\??)|\\{(\\d+)(?:(,)(\\d+)?)?\\}(\\?)?)?".r
-    val tokens: Seq[(String, Int, Int, Boolean)] = patM.group(1).trim.split("\\s+").toSeq.map {
-      case TokenRe(name, q, pm, lo, comma, hi, lzy) =>
-        if (q != null) (name, 0, 1, q == "??")
-        else if (pm != null && pm.startsWith("+")) (name, 1, QTok.Unbounded, pm == "+?")
-        else if (pm != null) (name, 0, QTok.Unbounded, pm == "*?")
-        else if (lo == null) (name, 1, 1, false)
-        else if (comma == null) (name, lo.toInt, lo.toInt, lzy != null)
-        else if (hi == null) (name, lo.toInt, QTok.Unbounded, lzy != null)
-        else (name, lo.toInt, hi.toInt, lzy != null)
-      case tok => sys.error(s"unsupported pattern token '$tok'")
-    }
+    val tokens: Seq[(String, Int, Int, Boolean)] =
+      if (composite) expNames.map(n => (n, 1, 1, false)) // quantifiers live per-branch
+      else patText.split("\\s+").toSeq.map {
+        case TokenRe(name, q, pm, lo, comma, hi, lzy) =>
+          if (q != null) (name, 0, 1, q == "??")
+          else if (pm != null && pm.startsWith("+")) (name, 1, QTok.Unbounded, pm == "+?")
+          else if (pm != null) (name, 0, QTok.Unbounded, pm == "*?")
+          else if (lo == null) (name, 1, 1, false)
+          else if (comma == null) (name, lo.toInt, lo.toInt, lzy != null)
+          else if (hi == null) (name, lo.toInt, QTok.Unbounded, lzy != null)
+          else (name, lo.toInt, hi.toInt, lzy != null)
+        case tok => sys.error(s"unsupported pattern token '$tok'")
+      }
     val DefineRe = "(?is)^(\\w+)\\s+AS\\s+(\\w+)\\.(\\w+)\\s*=\\s*'([^']*)'\\s*$".r
     val defSrc: Seq[(String, String)] = clause("(?is)DEFINE\\s+(.*)$")
       .map(SqlFrontend.splitTopLevelCommas(_).map(_.trim)).getOrElse(Seq.empty)
@@ -343,14 +348,14 @@ object StreamPlanner {
     // on one column, every variable defined) ride the typed operator; any
     // richer predicate (the ticker PREV idiom, cross-variable caps) rides
     // the VALUE operator — r10, previously a loud batch-only refusal
-    val allLiteral = defSrc.nonEmpty &&
+    val allLiteral = !composite && defSrc.nonEmpty &&
       defSrc.forall { case (v, c) => s"$v AS $c" match {
         case DefineRe(v1, v2, _, _) => v1 == v2
         case _ => false
       } } && tokens.forall { case (v, _, _, _) => defSrc.exists(_._1 == v) }
     val valueRoute = !allLiteral
-    val withinSeconds = Option(patM.group(2)).map { num =>
-      val us = graft.operators.Cumulate.durationMicros(s"$num ${patM.group(3)}")
+    val withinSeconds = withinM.map { mm =>
+      val us = graft.operators.Cumulate.durationMicros(s"${mm.group(1)} ${mm.group(2)}")
       require(us % 1000000L == 0, s"WITHIN must be whole seconds, got $us micros")
       us / 1000000L
     }.getOrElse(0L)
@@ -358,9 +363,28 @@ object StreamPlanner {
     // MEASURES: ORDER-BY-column refs map to the operator's match_start_ts /
     // match_end_ts; any other `[FIRST|LAST](var.col)` is a VALUE measure
     // (r11) read from the winning placement's buffered rows on the value
-    // route — Left(src -> alias) = span measure, Right = value measure
-    val (firstVar, firstMin, firstMax, _) = tokens.head
-    val (lastVar, lastMin, _, _) = tokens.last
+    // route — Left(src -> alias) = span measure, Right = value measure.
+    // Under a composite pattern the span anchors exist only when EVERY
+    // branch starts (ends) with the SAME mandatory variable — otherwise a
+    // span measure errors via the mapping below and the user keeps value
+    // measures (match_start_ts/match_end_ts still drive the output span).
+    val (firstVar, firstMin, firstMax, _) =
+      if (!composite) tokens.head
+      else {
+        val heads = expBranches.map(_.head)
+        if (heads.map(_.name).distinct.size == 1 && heads.forall(_.lo >= 1))
+          (heads.head.name, heads.map(_.lo).min,
+            heads.map(_.hi.getOrElse(Int.MaxValue)).max, false)
+        else ("", 0, 0, false)
+      }
+    val (lastVar, lastMin, _, _) =
+      if (!composite) tokens.last
+      else {
+        val tails = expBranches.map(_.last)
+        if (tails.map(_.name).distinct.size == 1 && tails.forall(_.lo >= 1))
+          (tails.head.name, tails.map(_.lo).min, 0, false)
+        else ("", 0, 0, false)
+      }
     val varIdx0 = tokens.map(_._1).zipWithIndex.toMap
     val MeasRe = "(?is)^(?:(FIRST|LAST)\\s*\\(\\s*)?(\\w+)\\.(\\w+)\\s*\\)?\\s+AS\\s+(\\w+)\\s*$".r
     import graft.streaming.StreamingMatchRecognize.MrMeasure
@@ -438,16 +462,23 @@ object StreamPlanner {
         "streaming MATCH_RECOGNIZE: DEFINEs over the ORDER BY column are not supported")
       // any number of referenced columns, buffered in their ORIGINAL types
       // (r11 — the r10 one-numeric+one-string shape is gone; exact decimal/
-      // integral comparison parity with the batch scan by construction)
-      val toks = tokens.map { case (v, lo, hi, rel) =>
-        graft.operators.MatchRecognize.MrTok(v, lo,
-          if (hi == QTok.Unbounded) None else Some(hi), rel) }
+      // integral comparison parity with the batch scan by construction);
+      // composite patterns hand MrPattern's preference-ordered branches to
+      // applyPattern, a linear sequence is its own single branch
+      val nidx = tokens.map(_._1).zipWithIndex.toMap
+      val condBranches: Seq[IndexedSeq[graft.operators.MatchRecognize.BTok]] =
+        if (composite) expBranches.map(_.map(t => graft.operators.MatchRecognize.BTok(
+          nidx(t.name), t.lo, t.hi, t.reluctant, t.excluded)).toIndexedSeq)
+        else Seq(tokens.zipWithIndex.map { case ((_, lo, hi, rel), i) =>
+          graft.operators.MatchRecognize.BTok(i, lo,
+            if (hi == QTok.Unbounded) None else Some(hi), rel) }.toIndexedSeq)
       val conds = tokens.map { case (v, _, _, _) => defMap.get(v) }
       val condCols = (refCols ++ valueMeasures.map(_.col).filterNot(refCols.contains)).distinct
       valueMeasures.foreach(m => require(input.columns.contains(m.col),
         s"streaming MEASURES references unknown column '${m.col}'"))
-      graft.streaming.StreamingMatchRecognize(input, part, condCols,
-        ord, "__tie", toks, conds, withinSeconds, ttlSeconds = ttlSeconds,
+      graft.streaming.StreamingMatchRecognize.applyPattern(input, part, condCols,
+        ord, "__tie", tokens.map(_._1), condBranches, conds, withinSeconds,
+        ttlSeconds = ttlSeconds,
         ttlWatermarkDelay = graft.sources.TableRegistry.stateTtlWatermarkDelay(ttlSeconds),
         skipPast = skipPast, measures = valueMeasures)
     }).toDF()

@@ -87,7 +87,9 @@ object StreamingMatchRecognize {
 
   /** Mutable evaluation context over the growing per-key buffers; rows are
     * pre-wrapped GenericRows over the stored cell arrays (zero per-read
-    * allocation).
+    * allocation). `brPosRef` carries the branch being attempted's variable
+    * positions so cross-variable visibility is BRANCH-positional, exactly
+    * the batch scan's placedBefore rule under alternation.
     */
   private final class Cx(rowsB: ArrayBuffer[Row], val startsA: Array[Int],
                          val countsA: Array[Int]) extends MrConditions.Ctx {
@@ -95,6 +97,8 @@ object StreamingMatchRecognize {
     var self = 0
     var runStart = 0
     var maxP = 0
+    var brPosRef: Array[Int] = _
+    var selfBrPos = 0
     def cur: Row = rowsB(curPos)
     def rowAt(pos: Int): Row = rowsB(pos)
     def selfTok: Int = self
@@ -103,8 +107,13 @@ object StreamingMatchRecognize {
     def starts: Array[Int] = startsA
     def counts: Array[Int] = countsA
     override def maxPos: Int = maxP
+    override def placedBefore(tok: Int): Boolean =
+      brPosRef(tok) >= 0 && brPosRef(tok) < selfBrPos
   }
 
+  /** Linear-sequence entry (the pre-r11 surface, unchanged): every token is
+    * one variable in pattern order, one branch.
+    */
   def apply(df: DataFrame, keyCol: String, condCols: Seq[String],
             tsCol: String, tieCol: String,
             tokens: Seq[MatchRecognize.MrTok], defs: Seq[Option[String]],
@@ -113,9 +122,52 @@ object StreamingMatchRecognize {
             skipPast: Boolean = true,
             stateProbe: Option[StreamingOps.MaxAccumulator] = None,
             measures: Seq[MrMeasure] = Seq.empty): DataFrame = {
+    require(tokens.nonEmpty, "pattern must name at least one token")
+    val branch = tokens.zipWithIndex
+      .map { case (t, i) => MatchRecognize.BTok(i, t.lo, t.hi, t.reluctant) }.toIndexedSeq
+    applyPattern(df, keyCol, condCols, tsCol, tieCol, tokens.map(_.name), Seq(branch),
+      defs, withinSeconds, ttlSeconds, ttlWatermarkDelay, skipPast, stateProbe, measures)
+  }
+
+  /** Branch-general entry (r11): `branches` are [[graft.operators.MrPattern]]-
+    * expanded alternative linear sequences in PREFERENCE order over the
+    * GLOBAL `varNames` table — streaming alternation/grouping/PERMUTE as a
+    * standing query (Flink CEP's SQL surface has none of these). Branch
+    * preference under the open/dead/winner rules: at a start position the
+    * branches are tried in order; a DEAD branch falls through to the next, a
+    * WINNING branch emits, and an OPEN branch (extensible by future events)
+    * DEFERS the whole position — a later branch that already matches must
+    * not pre-empt an earlier one that may yet match (leftmost preference is
+    * decided, never raced). Output exclusion is refused (the streaming shape
+    * is ONE-ROW QMatch — exclusion only affects ALL ROWS emission).
+    */
+  def applyPattern(df: DataFrame, keyCol: String, condCols: Seq[String],
+                   tsCol: String, tieCol: String,
+                   varNames: Seq[String], branches: Seq[IndexedSeq[MatchRecognize.BTok]],
+                   defs: Seq[Option[String]],
+                   withinSeconds: Long = 0L, ttlSeconds: Long = 0L,
+                   ttlWatermarkDelay: String = "0 seconds",
+                   skipPast: Boolean = true,
+                   stateProbe: Option[StreamingOps.MaxAccumulator] = None,
+                   measures: Seq[MrMeasure] = Seq.empty): DataFrame = {
+    val nTok = varNames.size
     require(condCols.nonEmpty, "conditions must reference at least one column")
+    require(nTok > 0, "pattern must name at least one variable")
+    require(varNames.distinct.size == nTok, s"duplicate variable name in $varNames")
+    require(branches.nonEmpty, "pattern must carry at least one branch")
+    branches.foreach { b =>
+      require(b.nonEmpty, "empty pattern branch")
+      require(b.map(_.v).distinct.size == b.size, "a variable may appear only once per branch")
+      b.foreach { t =>
+        require(t.v >= 0 && t.v < nTok, s"branch token indexes unknown variable ${t.v}")
+        require(!t.excluded,
+          "streaming MATCH_RECOGNIZE does not support {- exclusion -} (ONE-ROW output shape)")
+      }
+    }
+    require(branches.exists(_.exists(t => t.hi.forall(_ > 0))),
+      "pattern admits only the empty match")
     measures.foreach { m =>
-      require(m.tok >= 0 && m.tok < tokens.size, s"measure over unknown token index ${m.tok}")
+      require(m.tok >= 0 && m.tok < nTok, s"measure over unknown token index ${m.tok}")
       require(condCols.contains(m.col),
         s"measure column '${m.col}' must be among the buffered condCols $condCols")
       require(!Set("key", "match_start_ts", "match_end_ts", "start_tie", "matched_len")
@@ -128,12 +180,10 @@ object StreamingMatchRecognize {
     require(!condCols.exists(_.startsWith("__mr_")),
       s"condCols collide with the operator's reserved __mr_ prefix: $condCols")
     condCols.foreach(c => require(df.columns.contains(c), s"unknown DEFINE column '$c'"))
-    require(tokens.nonEmpty, "pattern must name at least one token")
-    require(defs.size == tokens.size, "one DEFINE option per pattern token")
-    require(tokens.exists(t => t.hi.forall(_ > 0)), "pattern admits only the empty match")
+    require(defs.size == nTok, "one DEFINE option per pattern variable")
     require(withinSeconds >= 0 && withinSeconds <= Long.MaxValue / 1000000L,
       s"withinSeconds out of range: $withinSeconds")
-    if (tokens.exists(_.hi.isEmpty) && withinSeconds == 0L && ttlSeconds == 0L)
+    if (branches.exists(_.exists(_.hi.isEmpty)) && withinSeconds == 0L && ttlSeconds == 0L)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         "StreamingMatchRecognize: unbounded quantifier with neither withinSeconds nor " +
           "ttlSeconds — an unbroken greedy run grows per-key state without bound and " +
@@ -143,17 +193,25 @@ object StreamingMatchRecognize {
     // TYPES, named as in the input so SQL DEFINE text passes through
     // unchanged; the compile also runs the plan-time type check
     val condSchema = StructType(condCols.map(c => df.schema(c)))
-    val varIdx = tokens.map(_.name).zipWithIndex.toMap
+    val varIdx = varNames.zipWithIndex.toMap
     val compiled: Array[MrConditions.Compiled] = defs.zipWithIndex.map { case (o, i) =>
-      o.map(MrConditions.compile(_, condSchema, varIdx, tokens(i).name, allowNav = true)).orNull
+      o.map(MrConditions.compile(_, condSchema, varIdx, varNames(i), allowNav = true)).orNull
     }.toArray
     val navDepth = compiled.filter(_ != null).map(MrConditions.maxPrevDepth).foldLeft(0)(math.max)
 
-    val nTok = tokens.size
     val nCond = condCols.size
-    val loArr = tokens.map(_.lo).toArray
-    val hiArr = tokens.map(_.hi.getOrElse(Int.MaxValue)).toArray
-    val relArr = tokens.map(_.reluctant).toArray
+    // branch tables: token position → global variable / quantifier; brPos =
+    // global variable → position in the branch (-1 absent) for placedBefore
+    val nBr = branches.size
+    val brVar: Array[Array[Int]] = branches.map(_.map(_.v).toArray).toArray
+    val brLo: Array[Array[Int]] = branches.map(_.map(_.lo).toArray).toArray
+    val brHi: Array[Array[Int]] = branches.map(_.map(_.hi.getOrElse(Int.MaxValue)).toArray).toArray
+    val brRel: Array[Array[Boolean]] = branches.map(_.map(_.reluctant).toArray).toArray
+    val brPos: Array[Array[Int]] = branches.map { b =>
+      val p = Array.fill(nTok)(-1)
+      b.zipWithIndex.foreach { case (t, i) => p(t.v) = i }
+      p
+    }.toArray
     val withinUs = withinSeconds * 1000000L
 
     // QMatch's shape (the r10 contract) plus the value-measure columns in
@@ -210,38 +268,46 @@ object StreamingMatchRecognize {
             val counts = new Array[Int](nTok)
             val cx = new Cx(rowsB, starts, counts)
 
-            /** 1 holds, 0 not, -1 undecidable until the successor arrives. */
-            def predOk(t: Int, pos: Int, runStart: Int): Int = {
-              val d = compiled(t)
+            /** 1 holds, 0 not, -1 undecidable until the successor arrives.
+              * `gv` = global variable, `bt` = its position in the branch
+              * being attempted (placedBefore visibility).
+              */
+            def predOk(gv: Int, bt: Int, pos: Int, runStart: Int): Int = {
+              val d = compiled(gv)
               if (d == null) 1
               else {
-                cx.self = t; cx.runStart = runStart; cx.curPos = pos
+                cx.self = gv; cx.runStart = runStart; cx.curPos = pos; cx.selfBrPos = bt
                 d.holdsOrDefer(cx)
               }
             }
 
-            /** >0 winner len, -1 open, 0 dead — the batch NFA's greedy (and
-              * reluctant) exploration with the streaming open rules; counts
-              * of earlier tokens are fixed along each attempt path, so
-              * cross-variable conditions read the same placements the batch
-              * scan would. A NEXT() read past the newest row aborts the
-              * whole attempt to OPEN (decision deferred one event).
+            /** >0 winner len, -1 open, 0 dead for ONE branch at start p —
+              * the batch NFA's greedy (and reluctant) exploration with the
+              * streaming open rules; counts of branch-earlier tokens are
+              * fixed along each attempt path, so cross-variable conditions
+              * read the same placements the batch scan would. A NEXT() read
+              * past the newest row aborts the whole attempt to OPEN
+              * (decision deferred one event).
               */
-            def resolve(p: Int): Int = {
+            def resolveBranch(b: Int, p: Int): Int = {
               val len = rowsB.length
               val futureViolated = withinUs > 0L && tssB(len - 1) - tssB(p) > withinUs
+              val vs = brVar(b); val los = brLo(b); val his = brHi(b); val rels = brRel(b)
+              val bn = vs.length
+              cx.brPosRef = brPos(b)
               def go(tokI: Int, pos: Int): Int = {
-                if (tokI == nTok) return if (pos > p) pos - p else 0
-                starts(tokI) = pos
+                if (tokI == bn) return if (pos > p) pos - p else 0
+                val gv = vs(tokI)
+                starts(gv) = pos
                 // scan the run, capped at the quantifier's hi — rows beyond
                 // the cap are never placed, so they must not defer/decide
                 var avail = 0
                 var stop = 0 // 1 pred-false, 2 buffer-end, 3 within, 4 cap
                 while (stop == 0) {
-                  if (avail >= hiArr(tokI)) stop = 4
+                  if (avail >= his(tokI)) stop = 4
                   else if (pos + avail >= len) stop = 2
                   else if (withinUs > 0L && tssB(pos + avail) - tssB(p) > withinUs) stop = 3
-                  else predOk(tokI, pos + avail, pos) match {
+                  else predOk(gv, tokI, pos + avail, pos) match {
                     case 1 => avail += 1
                     case 0 => stop = 1
                     case _ => throw MrConditions.NotYet
@@ -251,32 +317,54 @@ object StreamingMatchRecognize {
                 // still extensible by future events unless the horizon is
                 // already past every extension
                 val openHere = stop == 2 && !futureViolated
-                if (relArr(tokI)) {
+                if (rels(tokI)) {
                   // lazy: shortest first; a win or an open at count k blocks
                   // every longer k, and only an all-dead scan of an
                   // extensible run stays open
-                  var c = loArr(tokI)
+                  var c = los(tokI)
                   while (c <= avail) {
-                    counts(tokI) = c
+                    counts(gv) = c
                     val r = go(tokI + 1, pos + c)
                     if (r != 0) return r
                     c += 1
                   }
                   if (openHere) return -1
+                  counts(gv) = 0
                   0
                 } else {
                   if (openHere) return -1
                   var c = avail
-                  while (c >= loArr(tokI)) {
-                    counts(tokI) = c
+                  while (c >= los(tokI)) {
+                    counts(gv) = c
                     val r = go(tokI + 1, pos + c)
                     if (r != 0) return r
                     c -= 1
                   }
+                  counts(gv) = 0
                   0
                 }
               }
               try go(0, p) catch { case MrConditions.NotYet => -1 }
+            }
+
+            /** Branches in preference order (r11): a DEAD branch falls
+              * through; a WINNER emits (its placements are live in
+              * starts/counts); an OPEN branch defers the WHOLE position —
+              * a later branch matching now must not pre-empt an earlier
+              * branch that future events may yet complete (leftmost
+              * preference is decided, never raced — closed-stream parity
+              * with the batch scan's branch order).
+              */
+            def resolve(p: Int): Int = {
+              var b = 0
+              while (b < nBr) {
+                if (b > 0) java.util.Arrays.fill(counts, 0)
+                resolveBranch(b, p) match {
+                  case 0 => b += 1
+                  case r => return r // winner or open
+                }
+              }
+              0
             }
 
             /** One output row for the winner starting at buffer position p:

@@ -652,6 +652,101 @@ class StreamingSpec extends SparkSpec {
       s"exact long comparison must see 2^53+1 > 2^53: $got")
   }
 
+  test("streaming ALTERNATION: branch placement + closed-stream parity with the batch scan") {
+    // PATTERN (A B | B A) with cross-variable DEFINEs (the MrPatternSpec
+    // batch fixture) as a STANDING query, events split across two
+    // micro-batches — branch-positional placedBefore must hold in the
+    // streaming resolve exactly as in the batch NFA
+    import graft.streaming.StreamingMatchRecognize
+    import graft.operators.{MatchRecognize, MrPattern}
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Long, String, Double)]
+    val mem = MemoryStream[(String, Timestamp, Long, String, Double)]
+    val rows = Seq(
+      // r1: b(5) then a(7) — only branch [B A] fits
+      ("r1", ts("2024-01-01 00:00:00"), 1L, "b", 5.0),
+      ("r1", ts("2024-01-01 00:01:00"), 2L, "a", 7.0),
+      // r2: a(7) then b(9) — branch [A B] fits
+      ("r2", ts("2024-01-01 00:00:00"), 3L, "a", 7.0),
+      ("r2", ts("2024-01-01 00:01:00"), 4L, "b", 9.0),
+      // r3: b(5) then a(4) — branch 2's cross check (A.v > B.v) fails
+      ("r3", ts("2024-01-01 00:00:00"), 5L, "b", 5.0),
+      ("r3", ts("2024-01-01 00:01:00"), 6L, "a", 4.0))
+    val (bs, names) = MrPattern.expand("A B | B A")
+    val nidx = names.zipWithIndex.toMap
+    val branches = bs.map(_.map(t =>
+      MatchRecognize.BTok(nidx(t.name), t.lo, t.hi, t.reluctant)).toIndexedSeq)
+    val defs = Seq(
+      Some("A.kind = 'a' AND (LAST(B.v) IS NULL OR A.v > LAST(B.v))"),
+      Some("B.kind = 'b' AND (LAST(A.v) IS NULL OR B.v > LAST(A.v))"))
+    val matches = StreamingMatchRecognize.applyPattern(
+      mem.toDF().toDF("u", "ts", "id", "kind", "v"), "u",
+      condCols = Seq("kind", "v"), tsCol = "ts", tieCol = "id",
+      varNames = names, branches = branches, defs = defs, skipPast = true,
+      measures = Seq(StreamingMatchRecognize.MrMeasure(isFirst = false, nidx("A"), "v", "a_v"),
+        StreamingMatchRecognize.MrMeasure(isFirst = false, nidx("B"), "v", "b_v")))
+    val q = matches.writeStream.format("memory").queryName("mralt_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(3): _*); q.processAllAvailable()
+      mem.addData(rows.drop(3): _*); q.processAllAvailable()
+      // bounded streams keep final open attempts un-emitted; these fixtures
+      // all end broken (len-2 winners or dead), so the sink is complete
+    } finally q.stop()
+    val got = spark.table("mralt_sink")
+      .select("key", "a_v", "b_v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(got == Seq(("r1", 7.0, 5.0), ("r2", 7.0, 9.0)),
+      s"branch placement must decide per key: $got")
+  }
+
+  test("streaming ALTERNATION: an OPEN earlier branch defers a later branch's ready match") {
+    // PATTERN (S B{2,} | S C): after [S, 20] branch 1 is OPEN (B extensible)
+    // while branch 2 (S C) already matches — leftmost preference must DEFER,
+    // then resolve by what actually arrives: a B-killing event hands the
+    // match to branch 2; a B-extending run keeps branch 1 (parity with the
+    // batch scan's branch order on the closed stream)
+    import graft.streaming.StreamingMatchRecognize
+    import graft.operators.{MatchRecognize, MrPattern}
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Long, Double)]
+    val mem = MemoryStream[(String, Timestamp, Long, Double)]
+    val (bs, names) = MrPattern.expand("S B{2,} | S C")
+    val nidx = names.zipWithIndex.toMap
+    val branches = bs.map(_.map(t =>
+      MatchRecognize.BTok(nidx(t.name), t.lo, t.hi, t.reluctant)).toIndexedSeq)
+    val defs = Seq(None, Some("B.v > 10"), Some("C.v > 5"))
+    val matches = StreamingMatchRecognize.applyPattern(
+      mem.toDF().toDF("u", "ts", "id", "v"), "u",
+      condCols = Seq("v"), tsCol = "ts", tieCol = "id",
+      varNames = names, branches = branches, defs = defs, skipPast = true,
+      measures = Seq(StreamingMatchRecognize.MrMeasure(isFirst = false, nidx("C"), "v", "c_v")))
+    val q = matches.writeStream.format("memory").queryName("mralt2_sink")
+      .outputMode("append").start()
+    try {
+      // k1: branch 1 dies (2.0 kills B with only one B row) → branch 2 wins
+      mem.addData(("k1", ts("2024-01-01 00:00:00"), 1L, 1.0),
+        ("k1", ts("2024-01-01 00:01:00"), 2L, 20.0))
+      q.processAllAvailable()
+      assert(spark.table("mralt2_sink").isEmpty,
+        "open branch 1 must defer branch 2's ready match across the batch boundary")
+      mem.addData(("k1", ts("2024-01-01 00:02:00"), 3L, 2.0))
+      // k2: branch 1 completes (two B rows then a break) → branch 1 wins
+      mem.addData(("k2", ts("2024-01-01 00:00:00"), 4L, 1.0),
+        ("k2", ts("2024-01-01 00:01:00"), 5L, 20.0),
+        ("k2", ts("2024-01-01 00:02:00"), 6L, 30.0),
+        ("k2", ts("2024-01-01 00:03:00"), 7L, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mralt2_sink").collect()
+      .map(r => (r.getString(0), r.getInt(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).sortBy(_._1).toSeq
+    // k1: branch 2's len-2 match with C = 20; k2: branch 1's len-3 match,
+    // C absent → NULL measure
+    assert(got == Seq(("k1", 2, Some(20.0)), ("k2", 3, None)),
+      s"branch preference under deferral diverged: $got")
+  }
+
   test("streaming NEXT(): one-event deferral, WITHIN closes a deferred attempt; equals batch") {
     import graft.streaming.StreamingMatchRecognize
     import graft.operators.MatchRecognize.MrTok

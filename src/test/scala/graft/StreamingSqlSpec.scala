@@ -517,7 +517,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
-  test("streaming MATCH_RECOGNIZE refuses composite patterns and SUBSET loudly (batch-scan only)") {
+  test("streaming MATCH_RECOGNIZE: alternation plans as a standing query; exclusion/SUBSET refuse") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.Encoders
@@ -532,25 +532,33 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     TableRegistry.createTable(TableRegistry.TableDef("comp_events", Some(schema),
       load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
       loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
-    def ctas(pattern: String, subset: String = "") =
+    def ctas(pattern: String, subset: String = "",
+             measures: String = "LAST(A.v) AS av, LAST(B.v) AS bv",
+             define: String = "A AS A.v > 1.0, B AS B.v > 2.0") =
       s"""CREATE TABLE comp_matches AS
          |SELECT * FROM comp_events
          |  MATCH_RECOGNIZE (
          |    PARTITION BY u
          |    ORDER BY ts
-         |    MEASURES FIRST(A.ts) AS start_ts, LAST(B.ts) AS end_ts
+         |    MEASURES $measures
          |    ONE ROW PER MATCH
          |    PATTERN ($pattern)
          |    $subset
-         |    DEFINE A AS A.t = 'a', B AS B.t = 'b'
+         |    DEFINE $define
          |  )""".stripMargin
     try {
-      val e1 = intercept[Exception](SqlFrontend.execute(spark, ctas("A B | B A")))
-      assert(e1.getMessage.contains("LINEAR quantified PATTERN"), e1.getMessage)
-      val e2 = intercept[Exception](SqlFrontend.execute(spark, ctas("A PERMUTE(B, A)")))
-      assert(e2.getMessage.contains("LINEAR quantified PATTERN"), e2.getMessage)
-      val e3 = intercept[Exception](SqlFrontend.execute(spark, ctas("A B", "SUBSET M = (A, B)")))
-      assert(e3.getMessage.contains("SUBSET"), e3.getMessage)
+      // alternation rides the value route's branch machinery (r11) — the
+      // composite CTAS plans and runs as a standing statement
+      SqlFrontend.execute(spark, ctas("A B | B A"))
+      assert(StatementCatalog.status("comp_matches") == "RUNNING")
+      SqlFrontend.execute(spark, "DROP TABLE comp_matches")
+      StatementCatalog.reset()
+      // exclusion (ONE-ROW output shape) and SUBSET stay loud refusals
+      val e1 = intercept[Exception](SqlFrontend.execute(spark, ctas("A {- B -} C",
+        define = "A AS A.v > 1.0, B AS B.v > 2.0, C AS C.v > 3.0")))
+      assert(e1.getMessage.contains("exclusion"), e1.getMessage)
+      val e2 = intercept[Exception](SqlFrontend.execute(spark, ctas("A B", "SUBSET M = (A, B)")))
+      assert(e2.getMessage.contains("SUBSET"), e2.getMessage)
       // a linear quantified pattern still plans fine on the same table
       SqlFrontend.execute(spark, ctas("A{1,2} B"))
       assert(StatementCatalog.status("comp_matches") == "RUNNING")
