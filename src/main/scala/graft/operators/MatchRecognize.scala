@@ -258,13 +258,13 @@ object MatchRecognize {
       "duplicate offset-measure specs")
     require(dynDefs.isEmpty || dynDefs.size == n,
       "dynDefs must align with varNames (or be empty)")
+    // a SUBSET with neither aggregates nor measureCols emits nothing — legal
+    // since r11: DEFINE conditions may reference it (MrConditions SubCol)
     subsets.foreach { s =>
       s.members.foreach(m => require(m >= 0 && m < n,
         s"SUBSET ${s.name} references unknown variable index $m"))
       require(!varNames.contains(s.name),
         s"SUBSET ${s.name} collides with a pattern variable name")
-      require(s.aggs.nonEmpty || measureCols.nonEmpty,
-        s"SUBSET ${s.name} carries no aggregates and there are no measureCols — nothing to emit")
     }
     require(subsets.map(_.name).distinct.size == subsets.size, "duplicate SUBSET name")
     // cross-variable DEFINE conditions (r10): compiled once at plan time
@@ -274,10 +274,12 @@ object MatchRecognize {
     // fixed — see MrConditions. AND-composed with the Catalyst-compiled
     // row-local booleans (lit(true) when the whole condition is dynamic).
     val varIdxMap: Map[String, Int] = varNames.zipWithIndex.toMap
+    val subsetDefMap: Map[String, Seq[Int]] = subsets.map(s => s.name -> s.members).toMap
     val dynArr: Array[MrConditions.Compiled] =
       if (dynDefs.isEmpty) new Array[MrConditions.Compiled](n)
       else dynDefs.zipWithIndex.map { case (o, i) =>
-        o.map(c => MrConditions.compile(c, df.schema, varIdxMap, varNames(i))).orNull
+        o.map(c => MrConditions.compile(c, df.schema, varIdxMap, varNames(i),
+          subsets = subsetDefMap)).orNull
       }.toArray
     val aggs: Seq[Seq[(String, String)]] =
       if (aggSpecs.isEmpty) varNames.map(_ => Seq.empty) else aggSpecs

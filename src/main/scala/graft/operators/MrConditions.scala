@@ -65,6 +65,16 @@ object MrConditions {
     * k)` = k back from the last; out-of-run → NULL).
     */
   private case class VarCol(tok: Int, kind: Int, idx: Int, off: Int = 0) extends Ex
+  /** A SUBSET union reference in DEFINE (r11, ISO 9075-2 — Flink has no
+    * SUBSET at all): FIRST/LAST/bare over the UNION of the member variables'
+    * PLACED runs in row order — members placed strictly before the current
+    * token in the attempted branch, plus the self run's prefix when the
+    * variable being DEFINEd is itself a member (RUNNING semantics). `off` =
+    * the logical occurrence offset into the union; no placed member rows →
+    * NULL. `members` is a Vector for case-class equality (the Hybrid slot
+    * dedup relies on it).
+    */
+  private case class SubCol(members: Vector[Int], kind: Int, idx: Int, off: Int = 0) extends Ex
   /** PREV(self.col, n): PHYSICAL navigation, candidate position − n. Only
     * produced under `allowNav` (the STREAMING route, which cannot precompute
     * lag() columns — the batch routes rewrite PREV to Catalyst nav columns
@@ -157,12 +167,15 @@ object MrConditions {
     * variable name → token index; `selfVar` is the variable being DEFINEd.
     * `allowNav` admits physical `PREV(self.col, n)` as an interpreter atom
     * (the streaming route — batch rewrites PREV to Catalyst lag() columns
-    * instead); NEXT stays refused there, see [[PrevNav]].
+    * instead); NEXT stays refused there, see [[PrevNav]]. `subsets` maps
+    * SUBSET union-variable names to member token indices — their refs
+    * resolve as [[SubCol]] union reads (r11).
     */
   def compile(cond: String, schema: StructType, varIdx: Map[String, Int],
-              selfVar: String, allowNav: Boolean = false): Compiled = {
+              selfVar: String, allowNav: Boolean = false,
+              subsets: Map[String, Seq[Int]] = Map.empty): Compiled = {
     require(varIdx.contains(selfVar), s"unknown DEFINE variable '$selfVar'")
-    val p = new Parser(cond, schema, varIdx, if (allowNav) Some(selfVar) else None)
+    val p = new Parser(cond, schema, varIdx, if (allowNav) Some(selfVar) else None, subsets)
     val parsed = try Right(p.parseAll()) catch { case e: RuntimeException => Left(e) }
     parsed match {
       case Right(ex) =>
@@ -175,7 +188,7 @@ object MrConditions {
         // beyond the interpreted surface (a function, CASE, IN, BETWEEN…):
         // fall back to ONE Catalyst expression with interpreted atoms (r11);
         // a condition BOTH paths refuse reports both reasons
-        val h = try compileHybrid(cond, schema, varIdx, selfVar, allowNav)
+        val h = try compileHybrid(cond, schema, varIdx, selfVar, allowNav, subsets)
         catch {
           case _: StackOverflowError => throw err
           case e2: Throwable =>
@@ -192,7 +205,8 @@ object MrConditions {
     * Plan-time only (driver; uses the active SparkSession's parser/analyzer).
     */
   private def compileHybrid(cond: String, schema: StructType, varIdx: Map[String, Int],
-                            selfVar: String, allowNav: Boolean): Ex = {
+                            selfVar: String, allowNav: Boolean,
+                            subsets: Map[String, Seq[Int]] = Map.empty): Ex = {
     import org.apache.spark.sql.catalyst.expressions._
     // string-literal spans: atom regexes must not fire inside '…'
     val quotes = {
@@ -230,20 +244,29 @@ object MrConditions {
     }
     val FlRe = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\s*\\.\\s*(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
     for (m <- FlRe.findAllMatchIn(cond)
-         if !inQuote(m.start) && varIdx.contains(m.group(2)) &&
+         if !inQuote(m.start) &&
+           (varIdx.contains(m.group(2)) || subsets.contains(m.group(2))) &&
            !found.exists(f => m.start >= f.start && m.start < f.end)) {
       val (kind, v, c) = (m.group(1).toUpperCase, m.group(2), m.group(3))
       val k = Option(m.group(4)).map(_.toInt).getOrElse(0)
       val ci = colIdx(c)
-      found += Found(m.start, m.end,
-        VarCol(varIdx(v), if (kind == "FIRST") 0 else 1, ci, k), schema(ci).dataType)
+      val ex = varIdx.get(v) match {
+        case Some(tok) => VarCol(tok, if (kind == "FIRST") 0 else 1, ci, k)
+        case None => SubCol(subsets(v).toVector, if (kind == "FIRST") 0 else 1, ci, k)
+      }
+      found += Found(m.start, m.end, ex, schema(ci).dataType)
     }
     val VcRe = "\\b(\\w+)\\s*\\.\\s*(\\w+)\\b".r
     for (m <- VcRe.findAllMatchIn(cond)
-         if !inQuote(m.start) && varIdx.contains(m.group(1)) &&
+         if !inQuote(m.start) &&
+           (varIdx.contains(m.group(1)) || subsets.contains(m.group(1))) &&
            !found.exists(f => m.start >= f.start && m.start < f.end)) {
       val ci = colIdx(m.group(2))
-      found += Found(m.start, m.end, VarCol(varIdx(m.group(1)), 1, ci), schema(ci).dataType)
+      val ex = varIdx.get(m.group(1)) match {
+        case Some(tok) => VarCol(tok, 1, ci)
+        case None => SubCol(subsets(m.group(1)).toVector, 1, ci)
+      }
+      found += Found(m.start, m.end, ex, schema(ci).dataType)
     }
     // distinct atoms → slots; rewrite right-to-left so positions stay valid
     val slots = scala.collection.mutable.LinkedHashMap.empty[Ex, (Int, DataType)]
@@ -323,6 +346,7 @@ object MrConditions {
       case Lit(_) => 'N'
       case Col(i) => colT(i)
       case VarCol(_, _, i, _) => colT(i)
+      case SubCol(_, _, i, _) => colT(i)
       case PrevNav(_, i) => colT(i)
       case NextNav(_, i) => colT(i)
       case _: Hybrid => 'B' // validated at Catalyst analysis time
@@ -358,6 +382,55 @@ object MrConditions {
     walk(c.rootEx)
   }
 
+  /** SUBSET union read: collect the PLACED member intervals (branch-earlier
+    * members with non-empty runs; the self run's [runStart, selfPos] prefix
+    * when self is a member), order them by start (runs are disjoint within
+    * one attempt), and index the off-th row from the union's first (kind 0)
+    * or last (kind 1) end. No placed rows, or offset past the union → NULL.
+    */
+  private def evalSubCol(ms: Vector[Int], kind: Int, i: Int, off: Int, ctx: Ctx): Any = {
+    val n = ms.length
+    val ss = new Array[Int](n); val es = new Array[Int](n)
+    var nIv = 0
+    var mi = 0
+    while (mi < n) {
+      val m = ms(mi)
+      if (m == ctx.selfTok) {
+        ss(nIv) = ctx.selfRunStart; es(nIv) = ctx.selfPos; nIv += 1
+      } else if (ctx.placedBefore(m) && ctx.counts(m) > 0) {
+        ss(nIv) = ctx.starts(m); es(nIv) = ctx.starts(m) + ctx.counts(m) - 1; nIv += 1
+      }
+      mi += 1
+    }
+    if (nIv == 0) return null
+    // insertion sort by start — n is the subset's member count (tiny)
+    var a = 1
+    while (a < nIv) {
+      val s0 = ss(a); val e0 = es(a)
+      var b = a - 1
+      while (b >= 0 && ss(b) > s0) { ss(b + 1) = ss(b); es(b + 1) = es(b); b -= 1 }
+      ss(b + 1) = s0; es(b + 1) = e0
+      a += 1
+    }
+    var k = off
+    if (kind == 0) {
+      var j = 0
+      while (j < nIv) {
+        val len = es(j) - ss(j) + 1
+        if (k < len) return get(ctx.rowAt(ss(j) + k), i)
+        k -= len; j += 1
+      }
+    } else {
+      var j = nIv - 1
+      while (j >= 0) {
+        val len = es(j) - ss(j) + 1
+        if (k < len) return get(ctx.rowAt(es(j) - k), i)
+        k -= len; j -= 1
+      }
+    }
+    null // offset past the union
+  }
+
   // ------------------------------------------------------------ evaluation
   private def eval(e: Ex, ctx: Ctx): Any = e match {
     case Lit(v) => v
@@ -376,6 +449,7 @@ object MrConditions {
         else if (kind == 0) get(ctx.rowAt(ctx.starts(tok) + off), i)
         else get(ctx.rowAt(ctx.starts(tok) + c - 1 - off), i)
       }
+    case SubCol(ms, kind, i, off) => evalSubCol(ms, kind, i, off, ctx)
     case PrevNav(nBack, i) =>
       val p = ctx.selfPos - nBack
       if (p < ctx.minPos) null else get(ctx.rowAt(p), i)
@@ -512,7 +586,8 @@ object MrConditions {
   // --------------------------------------------------------------- parsing
   private final class Parser(src: String, schema: StructType,
                              varIdx: Map[String, Int],
-                             navSelf: Option[String] = None) {
+                             navSelf: Option[String] = None,
+                             subsets: Map[String, Seq[Int]] = Map.empty) {
     private var pos = 0
     private def fail(msg: String): Nothing =
       sys.error(s"MATCH_RECOGNIZE cross-variable DEFINE: $msg at offset $pos in: $src " +
@@ -641,7 +716,10 @@ object MrConditions {
               val c = src.substring(cstart, pos)
               varIdx.get(name) match {
                 case Some(tok) => VarCol(tok, 1, colIdx(c)) // bare = running LAST
-                case None => fail(s"unknown qualifier '$name' (not a pattern variable)")
+                case None => subsets.get(name) match {
+                  case Some(ms) => SubCol(ms.toVector, 1, colIdx(c)) // union running LAST
+                  case None => fail(s"unknown qualifier '$name' (not a pattern variable)")
+                }
               }
             } else if (peek == '(') {
               fail(s"unsupported function '$name'")
@@ -676,8 +754,13 @@ object MrConditions {
       }
       if (peek != ')') fail(s"expected ')' closing $kind()")
       pos += 1
-      val tok = varIdx.getOrElse(v, fail(s"$kind() over unknown pattern variable '$v'"))
-      VarCol(tok, if (kind == "FIRST") 0 else 1, colIdx(c), off)
+      varIdx.get(v) match {
+        case Some(tok) => VarCol(tok, if (kind == "FIRST") 0 else 1, colIdx(c), off)
+        case None => subsets.get(v) match {
+          case Some(ms) => SubCol(ms.toVector, if (kind == "FIRST") 0 else 1, colIdx(c), off)
+          case None => fail(s"$kind() over unknown pattern variable '$v'")
+        }
+      }
     }
     /** `PREV|NEXT(self.col [, n])` under `navSelf` — physical navigation.
       * PREV reads backward (below the retained range → NULL); NEXT reads

@@ -4394,6 +4394,55 @@ FROM n"""))
     JOIN r ON r.user_id = s.user_id AND (r.rn = s.rn OR r.rn BETWEEN s.m + 1 AND s.e)
     JOIN r re ON re.user_id = s.user_id AND re.rn = s.e"""))
 
+  private val q179 = Q("q179_match_subset_define", (s, dir) => {
+    // SUBSET referenced from DEFINE (r11 — ISO 9075-2's union variables are
+    // legal in conditions, not just MEASURES; Flink has no SUBSET at all):
+    // `U.value < 2 * FIRST(M.value)` with M = (S, D) reads the union's first
+    // placed row, which is the anchor row S places first — so the rise is
+    // capped at twice the anchor's value. MrConditions resolves M as a
+    // SubCol union read over the attempt's placed member runs.
+    t(s, dir, "events").createOrReplaceTempView("events_mr_subdef")
+    graft.sql.SqlFrontend.execute(s, """
+      SELECT * FROM events_mr_subdef MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES
+          FIRST(S.ts) AS match_start_ts,
+          FIRST(S.event_id) AS start_tie,
+          LAST(D.value) AS bottom_value,
+          LAST(U.value) AS top_value,
+          LAST(U.ts) AS match_end_ts
+        ONE ROW PER MATCH
+        PATTERN (S D+ U+)
+        SUBSET M = (S, D)
+        DEFINE D AS D.value < PREV(D.value),
+               U AS U.value > PREV(U.value) AND U.value < 2 * FIRST(M.value)
+      )""")
+      .select(col("user_id"),
+        col("match_start_ts").cast("timestamp_ntz").as("match_start_ts"),
+        col("match_end_ts").cast("timestamp_ntz").as("match_end_ts"),
+        col("start_tie"), col("bottom_value"), col("top_value"))
+  }, Some(s"""
+    WITH RECURSIVE $MR_RUNS,
+      -- FIRST(M.value) = the anchor row's value (S heads the union), so the
+      -- capped run end is the q169 monotone-island prefix with a 2x threshold
+      cand0 AS (SELECT s.user_id, s.rn, s.ts AS start_ts, s.event_id AS start_tie,
+                       s.value AS sval, d.run_end AS m, u.run_end AS ue
+                FROM r s
+                JOIN dre d ON d.user_id = s.user_id AND d.rn = s.rn + 1
+                JOIN ure u ON u.user_id = s.user_id AND u.rn = d.run_end + 1),
+      cand AS (SELECT c.user_id, c.rn, c.start_ts, c.start_tie, c.m, max(x.rn) AS e
+               FROM cand0 c
+               JOIN r x ON x.user_id = c.user_id AND x.rn BETWEEN c.m + 1 AND c.ue
+                       AND x.value < 2 * c.sval
+               GROUP BY c.user_id, c.rn, c.start_ts, c.start_tie, c.m),
+      $MR_SEL
+    SELECT sel.user_id, start_ts AS match_start_ts, re.ts AS match_end_ts, start_tie,
+           rm.value AS bottom_value, re.value AS top_value
+    FROM sel
+    JOIN r rm ON rm.user_id = sel.user_id AND rm.rn = sel.m
+    JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -4412,7 +4461,7 @@ FROM n"""))
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
-    q175, q176, q177, q178)
+    q175, q176, q177, q178, q179)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap
@@ -4435,7 +4484,11 @@ FROM n"""))
     // r10: the interpreted cross-variable CEP path gets its own bench row
     // (regressions in MrConditions' per-row cost are invisible to q162,
     // whose DEFINEs are fully Catalyst)
-    "q169_match_xvar_cap")
+    "q169_match_xvar_cap",
+    // r11: the branch-expanded composite-pattern scan (q176 PERMUTE = the
+    // two-branch try-order loop; q177 SUBSET union aggregates on the ticker
+    // chain) — costs invisible to the single-branch rows above
+    "q176_match_permute", "q177_match_subset")
 
   /** Third BENCH group (r10 verdict directive #5): the four end-to-end lab
     * topologies — fused batch runs with deterministic models — plus the ANN

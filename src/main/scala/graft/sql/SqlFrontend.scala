@@ -1191,11 +1191,6 @@ object SqlFrontend {
         val dm = "(?is)^(\\w+)\\s+AS\\s+(.*)$".r.findFirstMatchIn(d)
           .getOrElse(sys.error(s"MATCH_RECOGNIZE DEFINE needs 'VAR AS condition': $d"))
         require(idx.contains(dm.group(1)), s"DEFINE for unknown pattern variable '${dm.group(1)}'")
-        subsetNames.foreach { u =>
-          require(!s"(?i)\\b$u\\s*\\.".r.findFirstIn(dm.group(2)).isDefined,
-            s"MATCH_RECOGNIZE: DEFINE ${dm.group(1)} references SUBSET variable '$u' — " +
-              "SUBSET variables are MEASURES-only (their placement is ambiguous mid-attempt)")
-        }
         dm.group(1) -> dm.group(2)
       }.toMap
 
@@ -1321,21 +1316,24 @@ object SqlFrontend {
         * self run's FIRST — the parts only the attempt's buffer can answer.
         */
       def needsDyn(cond: String, v: String): Boolean = {
-        // any cross-variable ref, any FIRST(), or any LOGICAL OFFSET (even
-        // self-LAST: `LAST(B.v, 1)` is a run-relative read only the attempt
-        // buffer can answer) routes the whole condition to the interpreter
+        // any cross-variable ref, any SUBSET union ref (r11), any FIRST(),
+        // or any LOGICAL OFFSET (even self-LAST: `LAST(B.v, 1)` is a
+        // run-relative read only the attempt buffer can answer) routes the
+        // whole condition to the interpreter
         val crossFl = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
           .findAllMatchIn(cond).exists { mm =>
             val (kind, vv) = (mm.group(1).toUpperCase, mm.group(2))
             val k = Option(mm.group(4)).map(_.toInt).getOrElse(0)
-            idx.contains(vv) && (vv != v || kind == "FIRST" || k > 0)
+            subsetNames.contains(vv) ||
+              (idx.contains(vv) && (vv != v || kind == "FIRST" || k > 0))
           }
         // strip FIRST/LAST(...) and PREV/NEXT(...) arguments before probing
         // bare qualified refs so their var.col operands don't double-count
         val bare = "(?i)\\b(?:FIRST|LAST|PREV|NEXT)\\s*\\(\\s*\\w+\\.\\w+\\s*(?:,\\s*\\d+\\s*)?\\)".r
           .replaceAllIn(cond, " ")
         crossFl || "\\b(\\w+)\\.(\\w+)\\b".r.findAllMatchIn(bare)
-          .exists(mm => idx.contains(mm.group(1)) && mm.group(1) != v)
+          .exists(mm => subsetNames.contains(mm.group(1)) ||
+            (idx.contains(mm.group(1)) && mm.group(1) != v))
       }
       def localDefine(cond: String, v: String): String = {
         val nav = navRewrite(cond, v, forDyn = false)

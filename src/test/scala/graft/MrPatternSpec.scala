@@ -194,10 +194,59 @@ class MrPatternSpec extends SparkSpec {
       )"""
     assert(run(base.format("FIRST(U.id) AS f", "ONE ROW", "SUBSET U = (A, Z)",
       "A AS A.kind = 'a', X AS X.kind = 'x'")).getMessage.contains("unknown pattern variable"))
-    assert(run(base.format("FIRST(A.id) AS f", "ONE ROW", "SUBSET U = (A, X)",
-      "A AS A.kind = 'a', X AS U.v > 0")).getMessage.contains("MEASURES-only"))
     assert(run(base.format("FIRST(U.id, 2) AS f", "ONE ROW", "SUBSET U = (A, X)",
       "A AS A.kind = 'a', X AS X.kind = 'x'")).getMessage.contains("SUBSET"))
+  }
+
+  test("SUBSET in DEFINE (r11): union FIRST/LAST reads over placed member runs") {
+    // M = (S, D): while defining U, FIRST(M.v) = the S row's value (S places
+    // first in the union) — the rise is capped by 2x the union's first value
+    val df = Seq(
+      ("k1", ts(0), 1L, 10.0), ("k1", ts(1), 2L, 8.0), ("k1", ts(2), 3L, 7.0),
+      ("k1", ts(3), 4L, 9.0), ("k1", ts(4), 5L, 12.0), ("k1", ts(5), 6L, 25.0))
+      .toDF("k", "ts", "id", "v")
+    df.createOrReplaceTempView("mr_sub_def")
+    val out = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_sub_def MATCH_RECOGNIZE (
+           PARTITION BY k ORDER BY ts, id
+           MEASURES FIRST(S.id) AS s_id, LAST(U.id) AS u_last, LAST(U.v) AS u_top,
+                    LAST(M.v) AS m_last
+           ONE ROW PER MATCH
+           PATTERN (S D+ U+)
+           SUBSET M = (S, D)
+           DEFINE D AS D.v < PREV(D.v),
+                  U AS U.v > PREV(U.v) AND U.v < 2 * FIRST(M.v)
+         )""").select($"s_id", $"u_last", $"u_top", $"m_last")
+      .as[(Long, Long, Double, Double)].collect()
+    // 2 * FIRST(M.v) = 20: the rise 9, 12 is kept, 25 is cut;
+    // LAST(M.v) in MEASURES (FINAL) = the last D row's value, 7
+    assert(out.toSeq == Seq((1L, 5L, 12.0, 7.0)), out.mkString(";"))
+  }
+
+  test("SUBSET in DEFINE: running self-membership — the union includes the self run's prefix") {
+    // M = (D, U): while classifying a row as U, the union is D's placed run
+    // PLUS U's running prefix INCLUDING the candidate (standard RUNNING:
+    // bare LAST = the current row) — so the union's previous row is the
+    // offset form LAST(M.v, 1). Each rise must exceed it by more than 1.
+    val df = Seq(
+      ("k1", ts(0), 1L, 10.0), ("k1", ts(1), 2L, 7.0),
+      ("k1", ts(2), 3L, 9.0), ("k1", ts(3), 4L, 10.5), ("k1", ts(4), 5L, 11.0))
+      .toDF("k", "ts", "id", "v")
+    df.createOrReplaceTempView("mr_sub_self")
+    val out = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_sub_self MATCH_RECOGNIZE (
+           PARTITION BY k ORDER BY ts, id
+           MEASURES LAST(U.id) AS u_last, count(U.*) AS n_up
+           ONE ROW PER MATCH
+           PATTERN (S D+ U+)
+           SUBSET M = (D, U)
+           DEFINE D AS D.v < PREV(D.v),
+                  U AS U.v > LAST(M.v, 1) + 1
+         )""").select($"u_last", $"n_up").as[(Long, Long)].collect()
+    // U candidates: 9 > 7+1 yes (union = D's 7, then the candidate);
+    // 10.5 > 9+1 yes (the union's previous row is the placed U prefix's 9);
+    // 11 > 10.5+1 NO — the run ends at id 4, two U rows
+    assert(out.toSeq == Seq((4L, 2L)), out.mkString(";"))
   }
 
   // --------------------------------------------------------------- exclusion

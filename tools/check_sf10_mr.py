@@ -60,7 +60,9 @@ mode = sys.argv[3] if len(sys.argv) > 3 else "skippast"
 # islands are monotone so the cap is a prefix; no qualifying first row drops
 # the candidate, mirroring the NFA's backtrack dead end), q170's self-first
 # cap (prefix below 1.5x the run's own first row)
-if mode == "xvar":
+if mode in ("xvar", "subdef"):
+    # q179 ("subdef") = q169's monotone-island prefix cap with a 2x anchor
+    # threshold — FIRST(M.value) over SUBSET M = (S, D) is the anchor row
     # q169's cap (rising prefix below the anchor's value) over a STRICTLY
     # monotone island = ASOF binary search, same as selffirst — the naive
     # BETWEEN form was fine at sf10 (45 s) but superlinear at the sf100e
@@ -82,9 +84,10 @@ WITH cand0 AS (SELECT s.user_id, s.rn, s.ts AS start_ts, s.event_id AS start_tie
      capped AS (SELECT c.user_id, c.rn, c.start_ts, c.start_tie, c.m,
                        coalesce(x.rn - 1, c.isl_end) AS e_eff
                 FROM cand0 c ASOF LEFT JOIN isl x
-                  ON x.user_id = c.user_id AND x.grp = c.grp AND -x.value <= -c.sval)
+                  ON x.user_id = c.user_id AND x.grp = c.grp
+                 AND -x.value <= -(%s))
 SELECT user_id, rn, start_ts, start_tie, m, e_eff AS e
-FROM capped WHERE e_eff >= m + 1""")
+FROM capped WHERE e_eff >= m + 1""" % ("2 * c.sval" if mode == "subdef" else "c.sval"))
 elif mode == "lazy":
     # q171 `S B{2,}?`: the shortest admissible run is EXACTLY two rising rows
     con.execute("""
@@ -174,6 +177,15 @@ FINALS_TOLAST = {
 
 FINALS_XVAR = {
     "q169_match_xvar_cap": """
+        SELECT sel.user_id, start_ts AS match_start_ts, re.ts AS match_end_ts, start_tie,
+               rm.value AS bottom_value, re.value AS top_value
+        FROM sel
+        JOIN r rm ON rm.user_id = sel.user_id AND rm.rn = sel.m
+        JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e""",
+}
+
+FINALS_SUBDEF = { # q179 rides the 2x-threshold island cap ("subdef" mode)
+    "q179_match_subset_define": """
         SELECT sel.user_id, start_ts AS match_start_ts, re.ts AS match_end_ts, start_tie,
                rm.value AS bottom_value, re.value AS top_value
         FROM sel
@@ -319,6 +331,7 @@ def fingerprint(rel, cols_types):
                        f"FROM ({rel})").fetchone()
 
 MODE_FINALS = {"tolast": FINALS_TOLAST, "xvar": FINALS_XVAR,
+               "subdef": FINALS_SUBDEF,
                "selffirst": FINALS_SELFFIRST, "lazy": FINALS_LAZY,
                "nav": FINALS_NAV, "running": FINALS_RUNNING,
                "runningagg": FINALS_RUNNINGAGG}
