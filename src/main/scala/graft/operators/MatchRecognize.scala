@@ -132,7 +132,7 @@ object MatchRecognize {
     * of these is order-independent and matches `SUM(CAST(x AS DECIMAL(_,6)))`
     * in any engine.
     */
-  private[operators] def toDecimal6(v: Any): java.math.BigDecimal = (v match {
+  private[graft] def toDecimal6(v: Any): java.math.BigDecimal = (v match {
     case b: java.math.BigDecimal => b
     case b: scala.math.BigDecimal => b.bigDecimal
     case d: java.lang.Double => java.math.BigDecimal.valueOf(d)

@@ -387,11 +387,20 @@ object StreamPlanner {
       }
     val varIdx0 = tokens.map(_._1).zipWithIndex.toMap
     val MeasRe = "(?is)^(?:(FIRST|LAST)\\s*\\(\\s*)?(\\w+)\\.(\\w+)\\s*\\)?\\s+AS\\s+(\\w+)\\s*$".r
-    import graft.streaming.StreamingMatchRecognize.MrMeasure
-    val measures: Seq[Either[(String, String), MrMeasure]] = clause(
+    // aggregate MEASURES over a variable's matched rows (r11 — Flink CEP
+    // allows these in standing queries): count/sum/min/max/avg, computed by
+    // the value operator per winning placement with the batch scan's
+    // exactness contract (exact decimal sums, one-division avg)
+    val AggMeasRe =
+      "(?is)^(count|sum|min|max|avg)\\s*\\(\\s*(\\w+)\\.(\\w+|\\*)\\s*\\)\\s+AS\\s+(\\w+)\\s*$".r
+    import graft.streaming.StreamingMatchRecognize.{MrAggMeasure, MrMeasure}
+    val measures: Seq[Either[(String, String), Either[MrMeasure, MrAggMeasure]]] = clause(
       "(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW|AFTER\\s+MATCH|PATTERN\\b)")
       .map(SqlFrontend.splitTopLevelCommas(_).map(_.trim)).getOrElse(Seq.empty)
       .map {
+        case AggMeasRe(fn0, v, c, alias) if varIdx0.contains(v) =>
+          val fn = fn0.toLowerCase match { case "count" => "cnt"; case f => f }
+          Right(Right(MrAggMeasure(fn, varIdx0(v), c, alias)))
         case MeasRe(kind, v, c, alias) if c == ord =>
           // FIRST(first.ord) → match start (first var must be mandatory);
           // bare first.ord additionally needs max=1 — the standard's bare ref
@@ -412,13 +421,14 @@ object StreamPlanner {
           Left(src -> alias)
         case MeasRe(kind, v, c, alias) if varIdx0.contains(v) =>
           // value measure: bare = the standard's LAST occurrence
-          Right(MrMeasure(Option(kind).exists(_.equalsIgnoreCase("FIRST")),
-            varIdx0(v), c, alias))
+          Right(Left(MrMeasure(Option(kind).exists(_.equalsIgnoreCase("FIRST")),
+            varIdx0(v), c, alias)))
         case other => sys.error(s"streaming MATCH_RECOGNIZE MEASURES support " +
           s"[FIRST|LAST](var.col) over the ORDER BY column or a data column of a " +
-          s"pattern variable; got '$other'")
+          s"pattern variable, and count/sum/min/max/avg(var.col) aggregates; got '$other'")
       }
-    val valueMeasures: Seq[MrMeasure] = measures.collect { case Right(m) => m }
+    val valueMeasures: Seq[MrMeasure] = measures.collect { case Right(Left(m)) => m }
+    val aggMeasures: Seq[MrAggMeasure] = measures.collect { case Right(Right(m)) => m }
 
     val input = SqlFrontend.parseSql(spark, s"SELECT * FROM $tbl")
       .withColumn("__tie", lit(0L))
@@ -431,7 +441,7 @@ object StreamPlanner {
     // 'sql.state-ttl-watermark-delay' tunes it explicitly
     // value MEASURES force the value route even under all-literal DEFINEs
     // (the typed operator emits spans only)
-    val matched = (if (!valueRoute && valueMeasures.isEmpty) {
+    val matched = (if (!valueRoute && valueMeasures.isEmpty && aggMeasures.isEmpty) {
       val defines = defSrc.map { case (v, c) =>
         s"$v AS $c" match { case DefineRe(_, _, cc, lit0) => v -> (cc, lit0) }
       }.toMap
@@ -473,14 +483,16 @@ object StreamPlanner {
           graft.operators.MatchRecognize.BTok(i, lo,
             if (hi == QTok.Unbounded) None else Some(hi), rel) }.toIndexedSeq)
       val conds = tokens.map { case (v, _, _, _) => defMap.get(v) }
-      val condCols = (refCols ++ valueMeasures.map(_.col).filterNot(refCols.contains)).distinct
-      valueMeasures.foreach(m => require(input.columns.contains(m.col),
-        s"streaming MEASURES references unknown column '${m.col}'"))
+      val condCols = (refCols ++ valueMeasures.map(_.col) ++
+        aggMeasures.map(_.col).filter(_ != "*")).distinct
+      (valueMeasures.map(_.col) ++ aggMeasures.map(_.col).filter(_ != "*"))
+        .foreach(c => require(input.columns.contains(c),
+          s"streaming MEASURES references unknown column '$c'"))
       graft.streaming.StreamingMatchRecognize.applyPattern(input, part, condCols,
         ord, "__tie", tokens.map(_._1), condBranches, conds, withinSeconds,
         ttlSeconds = ttlSeconds,
         ttlWatermarkDelay = graft.sources.TableRegistry.stateTtlWatermarkDelay(ttlSeconds),
-        skipPast = skipPast, measures = valueMeasures)
+        skipPast = skipPast, measures = valueMeasures, aggMeasures = aggMeasures)
     }).toDF()
     // restore the partition column's ORIGINAL type (the operator keys on its
     // string image) so downstream joins/schemas see what the source declared
@@ -489,7 +501,7 @@ object StreamPlanner {
       col("key").cast(keyType).as(part) +:
         measures.map {
           case Left((src, alias)) => col(src).as(alias)
-          case Right(m) => col(m.alias) // emitted under its alias already
+          case Right(m) => col(m.fold(_.alias, _.alias)) // emitted under its alias already
         }: _*)
     // the stage's outer SELECT runs over the matched view, with the user's
     // table alias RE-ATTACHED so qualified refs (mr.start_ts) still resolve

@@ -76,6 +76,21 @@ object StreamingMatchRecognize {
     */
   case class MrMeasure(isFirst: Boolean, tok: Int, col: String, alias: String)
 
+  /** An aggregate MEASURE over a variable's matched rows (r11 — Flink CEP
+    * supports aggregates in standing MEASURES; the batch scan's exactness
+    * contract applies): fn ∈ cnt|sum|min|max|avg over `col` of the winning
+    * run; `col = "*"` only for cnt (= run length). cnt emits LongType (0 on
+    * an empty run); sum an EXACT DecimalType(38,6) over HALF_UP-scale-6
+    * values (order-independent, bit-equal to the batch scan and the DuckDB
+    * decimal forms); avg ONE double division of that exact sum by the
+    * non-null count; min/max the column's type by natural order. Non-cnt
+    * aggregates are NULL on an empty run.
+    */
+  case class MrAggMeasure(fn: String, tok: Int, col: String, alias: String) {
+    require(Set("cnt", "sum", "min", "max", "avg").contains(fn), s"unknown aggregate '$fn'")
+    require(col != "*" || fn == "cnt", s"'$fn(*)' is not a thing — name a column")
+  }
+
   /** Aligned per-row state; `cells(i)` = row i's condCols values in their
     * original external types (Kryo-encoded state — the only state this
     * module keeps); `cursor` = the skip-past selection cursor's index within
@@ -121,13 +136,17 @@ object StreamingMatchRecognize {
             ttlWatermarkDelay: String = "0 seconds",
             skipPast: Boolean = true,
             stateProbe: Option[StreamingOps.MaxAccumulator] = None,
-            measures: Seq[MrMeasure] = Seq.empty): DataFrame = {
+            measures: Seq[MrMeasure] = Seq.empty,
+            aggMeasures: Seq[MrAggMeasure] = Seq.empty): DataFrame = {
     require(tokens.nonEmpty, "pattern must name at least one token")
     val branch = tokens.zipWithIndex
       .map { case (t, i) => MatchRecognize.BTok(i, t.lo, t.hi, t.reluctant) }.toIndexedSeq
     applyPattern(df, keyCol, condCols, tsCol, tieCol, tokens.map(_.name), Seq(branch),
-      defs, withinSeconds, ttlSeconds, ttlWatermarkDelay, skipPast, stateProbe, measures)
+      defs, withinSeconds, ttlSeconds, ttlWatermarkDelay, skipPast, stateProbe, measures,
+      aggMeasures)
   }
+
+  private val AggFnCode = Map("cnt" -> 0, "sum" -> 1, "min" -> 2, "max" -> 3, "avg" -> 4)
 
   /** Branch-general entry (r11): `branches` are [[graft.operators.MrPattern]]-
     * expanded alternative linear sequences in PREFERENCE order over the
@@ -149,7 +168,8 @@ object StreamingMatchRecognize {
                    ttlWatermarkDelay: String = "0 seconds",
                    skipPast: Boolean = true,
                    stateProbe: Option[StreamingOps.MaxAccumulator] = None,
-                   measures: Seq[MrMeasure] = Seq.empty): DataFrame = {
+                   measures: Seq[MrMeasure] = Seq.empty,
+                   aggMeasures: Seq[MrAggMeasure] = Seq.empty): DataFrame = {
     val nTok = varNames.size
     require(condCols.nonEmpty, "conditions must reference at least one column")
     require(nTok > 0, "pattern must name at least one variable")
@@ -174,8 +194,29 @@ object StreamingMatchRecognize {
         .contains(m.alias) && !m.alias.startsWith("__mr_"),
         s"measure alias '${m.alias}' collides with an output/reserved name")
     }
-    require(measures.map(_.alias).distinct.size == measures.size,
-      s"duplicate measure aliases: ${measures.map(_.alias)}")
+    aggMeasures.foreach { m =>
+      require(m.tok >= 0 && m.tok < nTok, s"aggregate measure over unknown token index ${m.tok}")
+      require(m.col == "*" || condCols.contains(m.col),
+        s"aggregate measure column '${m.col}' must be among the buffered condCols $condCols")
+      require(!Set("key", "match_start_ts", "match_end_ts", "start_tie", "matched_len")
+        .contains(m.alias) && !m.alias.startsWith("__mr_"),
+        s"measure alias '${m.alias}' collides with an output/reserved name")
+      if (m.col != "*") {
+        val dt = df.schema(m.col).dataType
+        if (m.fn == "sum" || m.fn == "avg")
+          require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+            s"${m.fn.toUpperCase} MEASURES column '${m.col}' must be numeric, got ${dt.simpleString}")
+        if (m.fn == "min" || m.fn == "max")
+          require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] || (dt match {
+            case StringType | BooleanType | DateType | TimestampType | TimestampNTZType => true
+            case _ => false
+          }), s"${m.fn.toUpperCase} MEASURES column '${m.col}' must have an orderable atomic " +
+            s"type, got ${dt.simpleString}")
+      }
+    }
+    require((measures.map(_.alias) ++ aggMeasures.map(_.alias)).distinct.size ==
+      measures.size + aggMeasures.size,
+      s"duplicate measure aliases: ${measures.map(_.alias) ++ aggMeasures.map(_.alias)}")
     require(condCols.distinct == condCols, s"duplicate condCols: $condCols")
     require(!condCols.exists(_.startsWith("__mr_")),
       s"condCols collide with the operator's reserved __mr_ prefix: $condCols")
@@ -223,10 +264,20 @@ object StreamingMatchRecognize {
       StructField("start_tie", LongType, nullable = false),
       StructField("matched_len", IntegerType, nullable = false)) ++
       measures.map(m => condSchema(condSchema.fieldIndex(m.col)).copy(
-        name = m.alias, nullable = true)))
+        name = m.alias, nullable = true)) ++
+      aggMeasures.map(m => StructField(m.alias, m.fn match {
+        case "cnt" => LongType
+        case "sum" => DecimalType(38, 6)
+        case "avg" => DoubleType
+        case _ => condSchema(condSchema.fieldIndex(m.col)).dataType
+      }, nullable = true)))
     val measArr: Array[(Boolean, Int, Int)] =
       measures.map(m => (m.isFirst, m.tok, condSchema.fieldIndex(m.col))).toArray
     val nMeas = measArr.length
+    // (fnCode, tok, colIdx or -1 for '*')
+    val aggMeasArr: Array[(Int, Int, Int)] = aggMeasures.map(m =>
+      (AggFnCode(m.fn), m.tok, if (m.col == "*") -1 else condSchema.fieldIndex(m.col))).toArray
+    val nAggMeas = aggMeasArr.length
 
     implicit val outEnc = Encoders.row(outSchema)
     implicit val stEnc = Encoders.kryo[Buf]
@@ -373,7 +424,7 @@ object StreamingMatchRecognize {
               * successful recursion returns without further mutation).
               */
             def emitMatch(p: Int, len: Int): Unit = {
-              val vals = new Array[Any](5 + nMeas)
+              val vals = new Array[Any](5 + nMeas + nAggMeas)
               vals(0) = key
               vals(1) = toTs(tssB(p))
               vals(2) = toTs(tssB(p + len - 1))
@@ -390,6 +441,50 @@ object StreamingMatchRecognize {
                     if (row.isNullAt(colI)) null else row.get(colI)
                   }
                 m += 1
+              }
+              var am = 0
+              while (am < nAggMeas) {
+                val (fn, tok, colI) = aggMeasArr(am)
+                val c = counts(tok)
+                vals(5 + nMeas + am) = fn match {
+                  case 0 => // cnt: rows (colI < 0) or non-null values of the run
+                    var n = 0L; var r = 0
+                    while (r < c) {
+                      if (colI < 0 || !rowsB(starts(tok) + r).isNullAt(colI)) n += 1L
+                      r += 1
+                    }
+                    n
+                  case 1 | 4 => // sum / avg: exact scale-6 decimal accumulation
+                    var acc: java.math.BigDecimal = null; var n = 0L; var r = 0
+                    while (r < c) {
+                      val row = rowsB(starts(tok) + r)
+                      if (!row.isNullAt(colI)) {
+                        val d = MatchRecognize.toDecimal6(row.get(colI))
+                        acc = if (acc == null) d else acc.add(d)
+                        n += 1L
+                      }
+                      r += 1
+                    }
+                    if (acc == null) null
+                    else if (fn == 1) acc // scale-6 by construction (DecimalType(38,6))
+                    else java.lang.Double.valueOf(acc.doubleValue() / n)
+                  case _ => // min / max by the column type's natural order
+                    var acc: Any = null; var r = 0
+                    while (r < c) {
+                      val row = rowsB(starts(tok) + r)
+                      if (!row.isNullAt(colI)) {
+                        val v = row.get(colI)
+                        if (acc == null) acc = v
+                        else {
+                          val cmp = v.asInstanceOf[Comparable[Any]].compareTo(acc)
+                          if ((fn == 2 && cmp < 0) || (fn == 3 && cmp > 0)) acc = v
+                        }
+                      }
+                      r += 1
+                    }
+                    acc
+                }
+                am += 1
               }
               out += new GenericRow(vals)
             }

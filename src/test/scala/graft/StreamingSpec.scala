@@ -652,6 +652,40 @@ class StreamingSpec extends SparkSpec {
       s"exact long comparison must see 2^53+1 > 2^53: $got")
   }
 
+  test("streaming aggregate MEASURES: count/sum/min/avg per winning run, exact decimals") {
+    import graft.streaming.StreamingMatchRecognize
+    import graft.streaming.StreamingMatchRecognize.{MrAggMeasure, MrMeasure}
+    import graft.operators.MatchRecognize.MrTok
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Long, Double)]
+    val mem = MemoryStream[(String, Timestamp, Long, Double)]
+    // ticker S D+ U+ split across two micro-batches
+    def ev(m: Int, id: Long, v: Double) = ("k1", ts(f"2024-01-01 00:$m%02d:00"), id, v)
+    val matches = StreamingMatchRecognize(
+      mem.toDF().toDF("u", "ts", "id", "v"), "u", condCols = Seq("v"),
+      tsCol = "ts", tieCol = "id",
+      tokens = Seq(MrTok("S", 1, Some(1)), MrTok("D", 1, None), MrTok("U", 1, None)),
+      defs = Seq(None, Some("D.v < PREV(D.v)"), Some("U.v > PREV(U.v)")),
+      skipPast = true,
+      measures = Seq(MrMeasure(isFirst = false, 2, "v", "top")),
+      aggMeasures = Seq(
+        MrAggMeasure("cnt", 1, "*", "n_down"),
+        MrAggMeasure("sum", 2, "v", "up_sum"),
+        MrAggMeasure("min", 1, "v", "bottom"),
+        MrAggMeasure("avg", 1, "v", "down_avg")))
+    val q = matches.writeStream.format("memory").queryName("mragg_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(0, 1L, 10.0), ev(1, 2L, 8.0), ev(2, 3L, 7.0)); q.processAllAvailable()
+      mem.addData(ev(3, 4L, 9.0), ev(4, 5L, 12.0), ev(5, 6L, 11.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mragg_sink")
+      .selectExpr("n_down", "CAST(up_sum AS DOUBLE)", "bottom", "down_avg", "top").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // the match: S=10, D=[8,7], U=[9,12] (11 breaks the rise and seals it)
+    assert(got.toSeq == Seq((2L, 21.0, 7.0, 7.5, 12.0)), got.mkString(";"))
+  }
+
   test("streaming ALTERNATION: branch placement + closed-stream parity with the batch scan") {
     // PATTERN (A B | B A) with cross-variable DEFINEs (the MrPatternSpec
     // batch fixture) as a STANDING query, events split across two

@@ -559,8 +559,10 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       assert(e1.getMessage.contains("exclusion"), e1.getMessage)
       val e2 = intercept[Exception](SqlFrontend.execute(spark, ctas("A B", "SUBSET M = (A, B)")))
       assert(e2.getMessage.contains("SUBSET"), e2.getMessage)
-      // a linear quantified pattern still plans fine on the same table
-      SqlFrontend.execute(spark, ctas("A{1,2} B"))
+      // a linear quantified pattern still plans fine on the same table —
+      // with aggregate MEASURES (r11: count/sum/avg parse to MrAggMeasure)
+      SqlFrontend.execute(spark, ctas("A{1,2} B",
+        measures = "LAST(A.v) AS av, count(B.*) AS nb, sum(B.v) AS sb, avg(B.v) AS ab"))
       assert(StatementCatalog.status("comp_matches") == "RUNNING")
     } finally {
       if (TableRegistry.exists("comp_matches"))
