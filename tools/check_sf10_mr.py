@@ -304,14 +304,21 @@ FINALS = {
         JOIN r rf ON rf.user_id = sel.user_id AND rf.rn = sel.rn + 1
         JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e
         JOIN ma ON ma.user_id = sel.user_id AND ma.rn = sel.rn""",
-    # r11: exclusion {- D+ -} rides the ticker sel too — q165 minus D rows
+    # r11: exclusion {- D+ -} rides the ticker sel too — q165 minus D rows.
+    # UNION ALL of an equi-join (the S row) and ONE range join (the U rows):
+    # the OR-combined ON clause plans as an inequality join in DuckDB and
+    # never finishes at the decade (the q172 oracle lesson, again)
     "q178_match_exclusion": """
-        SELECT s.user_id, r.ts, r.event_id, r.value,
-               CASE WHEN r.rn = s.rn THEN 'S' ELSE 'U' END AS cls,
-               s.m - s.rn AS n_down,
-               re.value AS final_top
+        SELECT s.user_id, r.ts, r.event_id, r.value, 'S' AS cls,
+               s.m - s.rn AS n_down, re.value AS final_top
         FROM sel s
-        JOIN r ON r.user_id = s.user_id AND (r.rn = s.rn OR r.rn BETWEEN s.m + 1 AND s.e)
+        JOIN r ON r.user_id = s.user_id AND r.rn = s.rn
+        JOIN r re ON re.user_id = s.user_id AND re.rn = s.e
+        UNION ALL
+        SELECT s.user_id, r.ts, r.event_id, r.value, 'U' AS cls,
+               s.m - s.rn AS n_down, re.value AS final_top
+        FROM sel s
+        JOIN r ON r.user_id = s.user_id AND r.rn BETWEEN s.m + 1 AND s.e
         JOIN r re ON re.user_id = s.user_id AND re.rn = s.e""",
 }
 
