@@ -394,10 +394,18 @@ object StreamPlanner {
     val AggMeasRe =
       "(?is)^(count|sum|min|max|avg)\\s*\\(\\s*(\\w+)\\.(\\w+|\\*)\\s*\\)\\s+AS\\s+(\\w+)\\s*$".r
     import graft.streaming.StreamingMatchRecognize.{MrAggMeasure, MrMeasure}
+    // MATCH_NUMBER() (r11): the per-key emitted-match ordinal — the operator
+    // emits it under the alias directly, so it rides the Left(src -> alias)
+    // projection with src = alias
+    val MnRe = "(?is)^MATCH_NUMBER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)\\s*$".r
+    var matchNumberAlias: Option[String] = None
     val measures: Seq[Either[(String, String), Either[MrMeasure, MrAggMeasure]]] = clause(
       "(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW|AFTER\\s+MATCH|PATTERN\\b)")
       .map(SqlFrontend.splitTopLevelCommas(_).map(_.trim)).getOrElse(Seq.empty)
       .map {
+        case MnRe(alias) =>
+          matchNumberAlias = Some(alias)
+          Left(alias -> alias)
         case AggMeasRe(fn0, v, c, alias) if varIdx0.contains(v) =>
           val fn = fn0.toLowerCase match { case "count" => "cnt"; case f => f }
           Right(Right(MrAggMeasure(fn, varIdx0(v), c, alias)))
@@ -441,7 +449,8 @@ object StreamPlanner {
     // 'sql.state-ttl-watermark-delay' tunes it explicitly
     // value MEASURES force the value route even under all-literal DEFINEs
     // (the typed operator emits spans only)
-    val matched = (if (!valueRoute && valueMeasures.isEmpty && aggMeasures.isEmpty) {
+    val matched = (if (!valueRoute && valueMeasures.isEmpty && aggMeasures.isEmpty &&
+      matchNumberAlias.isEmpty) {
       val defines = defSrc.map { case (v, c) =>
         s"$v AS $c" match { case DefineRe(_, _, cc, lit0) => v -> (cc, lit0) }
       }.toMap
@@ -492,7 +501,8 @@ object StreamPlanner {
         ord, "__tie", tokens.map(_._1), condBranches, conds, withinSeconds,
         ttlSeconds = ttlSeconds,
         ttlWatermarkDelay = graft.sources.TableRegistry.stateTtlWatermarkDelay(ttlSeconds),
-        skipPast = skipPast, measures = valueMeasures, aggMeasures = aggMeasures)
+        skipPast = skipPast, measures = valueMeasures, aggMeasures = aggMeasures,
+        matchNumberAlias = matchNumberAlias)
     }).toDF()
     // restore the partition column's ORIGINAL type (the operator keys on its
     // string image) so downstream joins/schemas see what the source declared

@@ -95,10 +95,13 @@ object StreamingMatchRecognize {
     * original external types (Kryo-encoded state — the only state this
     * module keeps); `cursor` = the skip-past selection cursor's index within
     * the retained arrays (0 in skip-to-next mode); `undecided` =
-    * skip-to-next per-position flags (margin-retained rows are decided).
+    * skip-to-next per-position flags (margin-retained rows are decided);
+    * `matchSeq` = the key's emitted-match ordinal so far (MATCH_NUMBER(),
+    * r11 — skip-past emission is positional, so the ordinal equals the
+    * batch scan's `__mr_seq`).
     */
   case class Buf(cells: Array[Array[Any]], tsMicros: Array[Long], ties: Array[Long],
-                 cursor: Int, undecided: Array[Boolean])
+                 cursor: Int, undecided: Array[Boolean], matchSeq: Long = 0L)
 
   /** Mutable evaluation context over the growing per-key buffers; rows are
     * pre-wrapped GenericRows over the stored cell arrays (zero per-read
@@ -137,13 +140,14 @@ object StreamingMatchRecognize {
             skipPast: Boolean = true,
             stateProbe: Option[StreamingOps.MaxAccumulator] = None,
             measures: Seq[MrMeasure] = Seq.empty,
-            aggMeasures: Seq[MrAggMeasure] = Seq.empty): DataFrame = {
+            aggMeasures: Seq[MrAggMeasure] = Seq.empty,
+            matchNumberAlias: Option[String] = None): DataFrame = {
     require(tokens.nonEmpty, "pattern must name at least one token")
     val branch = tokens.zipWithIndex
       .map { case (t, i) => MatchRecognize.BTok(i, t.lo, t.hi, t.reluctant) }.toIndexedSeq
     applyPattern(df, keyCol, condCols, tsCol, tieCol, tokens.map(_.name), Seq(branch),
       defs, withinSeconds, ttlSeconds, ttlWatermarkDelay, skipPast, stateProbe, measures,
-      aggMeasures)
+      aggMeasures, matchNumberAlias)
   }
 
   private val AggFnCode = Map("cnt" -> 0, "sum" -> 1, "min" -> 2, "max" -> 3, "avg" -> 4)
@@ -169,7 +173,8 @@ object StreamingMatchRecognize {
                    skipPast: Boolean = true,
                    stateProbe: Option[StreamingOps.MaxAccumulator] = None,
                    measures: Seq[MrMeasure] = Seq.empty,
-                   aggMeasures: Seq[MrAggMeasure] = Seq.empty): DataFrame = {
+                   aggMeasures: Seq[MrAggMeasure] = Seq.empty,
+                   matchNumberAlias: Option[String] = None): DataFrame = {
     val nTok = varNames.size
     require(condCols.nonEmpty, "conditions must reference at least one column")
     require(nTok > 0, "pattern must name at least one variable")
@@ -214,9 +219,23 @@ object StreamingMatchRecognize {
             s"type, got ${dt.simpleString}")
       }
     }
-    require((measures.map(_.alias) ++ aggMeasures.map(_.alias)).distinct.size ==
-      measures.size + aggMeasures.size,
-      s"duplicate measure aliases: ${measures.map(_.alias) ++ aggMeasures.map(_.alias)}")
+    // MATCH_NUMBER(): the key's 1-based emitted-match ordinal. Skip-past
+    // emission is strictly positional (the cursor is the selection
+    // frontier), so the ordinal equals the batch scan's __mr_seq; under
+    // SKIP TO NEXT ROW a later start can decide before an earlier deferred
+    // one, which would scramble the ordinals — refused loudly.
+    matchNumberAlias.foreach { a =>
+      require(skipPast,
+        "streaming MATCH_NUMBER() requires AFTER MATCH SKIP PAST LAST ROW — under SKIP TO " +
+          "NEXT ROW a deferred earlier start can emit after a later one, scrambling ordinals")
+      require(!Set("key", "match_start_ts", "match_end_ts", "start_tie", "matched_len")
+        .contains(a) && !a.startsWith("__mr_"),
+        s"measure alias '$a' collides with an output/reserved name")
+    }
+    require((measures.map(_.alias) ++ aggMeasures.map(_.alias) ++ matchNumberAlias).distinct.size ==
+      measures.size + aggMeasures.size + matchNumberAlias.size,
+      s"duplicate measure aliases: ${measures.map(_.alias) ++ aggMeasures.map(_.alias) ++
+        matchNumberAlias}")
     require(condCols.distinct == condCols, s"duplicate condCols: $condCols")
     require(!condCols.exists(_.startsWith("__mr_")),
       s"condCols collide with the operator's reserved __mr_ prefix: $condCols")
@@ -270,7 +289,8 @@ object StreamingMatchRecognize {
         case "sum" => DecimalType(38, 6)
         case "avg" => DoubleType
         case _ => condSchema(condSchema.fieldIndex(m.col)).dataType
-      }, nullable = true)))
+      }, nullable = true)) ++
+      matchNumberAlias.map(a => StructField(a, LongType, nullable = false)))
     val measArr: Array[(Boolean, Int, Int)] =
       measures.map(m => (m.isFirst, m.tok, condSchema.fieldIndex(m.col))).toArray
     val nMeas = measArr.length
@@ -278,6 +298,7 @@ object StreamingMatchRecognize {
     val aggMeasArr: Array[(Int, Int, Int)] = aggMeasures.map(m =>
       (AggFnCode(m.fn), m.tok, if (m.col == "*") -1 else condSchema.fieldIndex(m.col))).toArray
     val nAggMeas = aggMeasArr.length
+    val hasMatchNumber = matchNumberAlias.isDefined
 
     implicit val outEnc = Encoders.row(outSchema)
     implicit val stEnc = Encoders.kryo[Buf]
@@ -308,6 +329,7 @@ object StreamingMatchRecognize {
             var newest = Long.MinValue
             var late = 0
 
+            var matchSeq = buf.matchSeq
             val cellsB = ArrayBuffer.from(buf.cells)
             val rowsB = cellsB.map(a => new GenericRow(a): Row).to(ArrayBuffer)
             val tssB = ArrayBuffer.from(buf.tsMicros)
@@ -424,7 +446,7 @@ object StreamingMatchRecognize {
               * successful recursion returns without further mutation).
               */
             def emitMatch(p: Int, len: Int): Unit = {
-              val vals = new Array[Any](5 + nMeas + nAggMeas)
+              val vals = new Array[Any](5 + nMeas + nAggMeas + (if (hasMatchNumber) 1 else 0))
               vals(0) = key
               vals(1) = toTs(tssB(p))
               vals(2) = toTs(tssB(p + len - 1))
@@ -485,6 +507,10 @@ object StreamingMatchRecognize {
                     acc
                 }
                 am += 1
+              }
+              if (hasMatchNumber) {
+                matchSeq += 1L
+                vals(5 + nMeas + nAggMeas) = matchSeq
               }
               out += new GenericRow(vals)
             }
@@ -566,7 +592,7 @@ object StreamingMatchRecognize {
                   "micro-batches is the operator's contract (see scaladoc); configure " +
                   "a TTL watermark or repair the upstream ordering")
             state.update(Buf(cellsB.toArray, tssB.toArray, tiesB.toArray,
-              cursor, undecB.toArray))
+              cursor, undecB.toArray, matchSeq))
             stateProbe.foreach(_.add(rowsB.length.toLong)) // peak retained rows per key
             StreamingOps.armTtl(state, ttlSeconds, newest)
             out.result().iterator

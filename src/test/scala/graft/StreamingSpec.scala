@@ -686,6 +686,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, 21.0, 7.0, 7.5, 12.0)), got.mkString(";"))
   }
 
+  test("streaming MATCH_NUMBER(): per-key ordinal across micro-batches; skip-to-next refuses") {
+    import graft.streaming.StreamingMatchRecognize
+    import graft.operators.MatchRecognize.MrTok
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Long, Double)]
+    val mem = MemoryStream[(String, Timestamp, Long, Double)]
+    def ev(m: Int, id: Long, v: Double) = ("k1", ts(f"2024-01-01 00:$m%02d:00"), id, v)
+    val matches = StreamingMatchRecognize.applyPattern(
+      mem.toDF().toDF("u", "ts", "id", "v"), "u",
+      condCols = Seq("v"), tsCol = "ts", tieCol = "id",
+      varNames = Seq("S", "D"),
+      branches = Seq(IndexedSeq(graft.operators.MatchRecognize.BTok(0, 1, Some(1)),
+        graft.operators.MatchRecognize.BTok(1, 1, None))),
+      defs = Seq(None, Some("D.v < PREV(D.v)")), skipPast = true,
+      matchNumberAlias = Some("seq"))
+    val q = matches.writeStream.format("memory").queryName("mrmn_sink")
+      .outputMode("append").start()
+    try {
+      // two falls split across batches: [10, 8] rise-break [9, 7] rise-break
+      mem.addData(ev(0, 1L, 10.0), ev(1, 2L, 8.0), ev(2, 3L, 9.0)); q.processAllAvailable()
+      mem.addData(ev(3, 4L, 7.0), ev(4, 5L, 11.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mrmn_sink").select("start_tie", "seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L), (3L, 2L)),
+      s"per-key ordinals must persist across micro-batches: $got")
+    val err = intercept[IllegalArgumentException](StreamingMatchRecognize(
+      mem.toDF().toDF("u", "ts", "id", "v"), "u", condCols = Seq("v"),
+      tsCol = "ts", tieCol = "id",
+      tokens = Seq(MrTok("A", 1, Some(1))), defs = Seq(Some("A.v > 0")),
+      skipPast = false, matchNumberAlias = Some("seq")))
+    assert(err.getMessage.contains("SKIP PAST LAST ROW"), err.getMessage)
+  }
+
   test("streaming ALTERNATION: branch placement + closed-stream parity with the batch scan") {
     // PATTERN (A B | B A) with cross-variable DEFINEs (the MrPatternSpec
     // batch fixture) as a STANDING query, events split across two
