@@ -1066,8 +1066,9 @@ object SqlFrontend {
       s"MATCH_RECOGNIZE: AFTER MATCH SKIP TO references unknown pattern variable '$v'") }
     // SUBSET union variables (ISO 9075-2 row-pattern; absent in Flink):
     // `SUBSET U = (A, B), V = (C)` between PATTERN and DEFINE. MEASURES over a
-    // subset name see the union of the member variables' matched rows;
-    // DEFINE may not reference one (placement would be ambiguous mid-attempt).
+    // subset name see the union of the member variables' matched rows; DEFINE
+    // may reference one too (r11) — needsDyn routes it to MrConditions'
+    // SubCol union reads over the member runs placed so far in the attempt.
     val subsetSrc: Seq[(String, Seq[String])] =
       clause("(?is)\\bSUBSET\\s+(.*?)\\s*(?:\\bDEFINE\\b.*)?$")
         .map(s => splitTopLevelCommas(s).map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)

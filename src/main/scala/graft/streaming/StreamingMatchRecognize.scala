@@ -431,7 +431,12 @@ object StreamingMatchRecognize {
             def resolve(p: Int): Int = {
               var b = 0
               while (b < nBr) {
-                if (b > 0) java.util.Arrays.fill(counts, 0)
+                // zero UNCONDITIONALLY (r12): a prior match in the same
+                // invocation leaves placements for variables absent from
+                // this branch; a stale count > 0 would make emitMatch read
+                // a previous match's rows for a variable the winner never
+                // placed (non-NULL measures that should be NULL)
+                java.util.Arrays.fill(counts, 0)
                 resolveBranch(b, p) match {
                   case 0 => b += 1
                   case r => return r // winner or open

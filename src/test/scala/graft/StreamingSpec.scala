@@ -815,6 +815,54 @@ class StreamingSpec extends SparkSpec {
       s"branch preference under deferral diverged: $got")
   }
 
+  test("streaming ALTERNATION: branch-0 re-win zeroes prior placements (stale-measure guard)") {
+    // r12 regression (ADVICE r11 high): resolve() used to zero the shared
+    // counts array only for branches b > 0 — when branch 0 wins a LATER
+    // match in the same micro-batch, variables absent from branch 0 kept
+    // the PREVIOUS match's placements and emitMatch reported stale
+    // non-NULL measures (after buffer drops, arbitrary shifted rows).
+    // PATTERN (V (C | P)) over view,purchase,view,click: match 1 = [V P]
+    // (buy = 42), match 2 = [V C] — its buy measure must be NULL, not the
+    // click row's value.
+    import graft.streaming.StreamingMatchRecognize
+    import graft.operators.{MatchRecognize, MrPattern}
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Long, String, Double)]
+    val mem = MemoryStream[(String, Timestamp, Long, String, Double)]
+    val (bs, names) = MrPattern.expand("V (C | P)")
+    val nidx = names.zipWithIndex.toMap
+    val branches = bs.map(_.map(t =>
+      MatchRecognize.BTok(nidx(t.name), t.lo, t.hi, t.reluctant)).toIndexedSeq)
+    val defs = Seq(Some("V.kind = 'view'"), Some("C.kind = 'click'"),
+      Some("P.kind = 'purchase'"))
+    val matches = StreamingMatchRecognize.applyPattern(
+      mem.toDF().toDF("u", "ts", "id", "kind", "v"), "u",
+      condCols = Seq("kind", "v"), tsCol = "ts", tieCol = "id",
+      varNames = names, branches = branches, defs = defs, skipPast = true,
+      measures = Seq(
+        StreamingMatchRecognize.MrMeasure(isFirst = false, nidx("P"), "v", "buy_v"),
+        StreamingMatchRecognize.MrMeasure(isFirst = false, nidx("C"), "v", "click_v")))
+    val q = matches.writeStream.format("memory").queryName("mrstale_sink")
+      .outputMode("append").start()
+    try {
+      // one micro-batch so both matches resolve in ONE state invocation —
+      // the shape that exercised the stale shared-array path
+      mem.addData(
+        ("k1", ts("2024-01-01 00:00:00"), 1L, "view", 1.0),
+        ("k1", ts("2024-01-01 00:01:00"), 2L, "purchase", 42.0),
+        ("k1", ts("2024-01-01 00:02:00"), 3L, "view", 2.0),
+        ("k1", ts("2024-01-01 00:03:00"), 4L, "click", 99.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mrstale_sink")
+      .select("start_tie", "buy_v", "click_v").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, Some(42.0), None), (3L, None, Some(99.0))),
+      s"a branch-0 winner after a prior match must not read stale placements: $got")
+  }
+
   test("streaming NEXT(): one-event deferral, WITHIN closes a deferred attempt; equals batch") {
     import graft.streaming.StreamingMatchRecognize
     import graft.operators.MatchRecognize.MrTok
