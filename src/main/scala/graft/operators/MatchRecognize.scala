@@ -217,7 +217,8 @@ object MatchRecognize {
                   offsetMeasures: Seq[(Int, Boolean, Int)] = Seq.empty,
                   runningStructs: Boolean = false,
                   runningAggStructs: Boolean = false,
-                  subsets: Seq[SubsetSpec] = Seq.empty): DataFrame = {
+                  subsets: Seq[SubsetSpec] = Seq.empty,
+                  tree: Option[MrPattern.Node] = None): DataFrame = {
     val n = varNames.size
     require(n > 0, "MATCH_RECOGNIZE requires at least one pattern variable")
     require(varNames.distinct.size == n, s"duplicate variable name in ${varNames.mkString(" ")}")
@@ -395,19 +396,11 @@ object MatchRecognize {
     val subAggIdxArr: Array[Array[(String, Int)]] = subsets.map(s => aggIdxOf(s.aggs)).toArray
     val subMembersArr: Array[Array[Int]] = subsets.map(_.members.toArray).toArray
 
-    // branch tables: token → global var, quantifier arrays; bPos = global
-    // var → position in the branch (-1 when absent) for placedBefore
-    val nBr = branches.size
-    val brVar: Array[Array[Int]] = branches.map(_.map(_.v).toArray).toArray
-    val brLo: Array[Array[Int]] = branches.map(_.map(_.lo).toArray).toArray
-    val brHi: Array[Array[Int]] = branches.map(_.map(_.hi.getOrElse(Int.MaxValue)).toArray).toArray
-    val brRel: Array[Array[Boolean]] = branches.map(_.map(_.reluctant).toArray).toArray
-    val brExcl: Array[Array[Boolean]] = branches.map(_.map(_.excluded).toArray).toArray
-    val brPos: Array[Array[Int]] = branches.map { b =>
-      val p = Array.fill(n)(-1)
-      b.zipWithIndex.foreach { case (t, i) => p(t.v) = i }
-      p
-    }.toArray
+    // the execution program (r12): the parse tree when the caller has one —
+    // choice points decided at their written positions, the ISO preferment —
+    // otherwise the branch-shaped choice (identical order for linear and
+    // front-choice patterns, which is every branch-only caller)
+    val prog: MrProg = tree.map(t => MrProg.ofTree(t, varIdxMap)).getOrElse(MrProg.ofBranches(branches))
     val hasWithin = withinMicros.isDefined
     val withinUs = withinMicros.getOrElse(0L)
     val skipMode = skip
@@ -458,17 +451,18 @@ object MatchRecognize {
 
         // cross-variable predicate context: one mutable instance per task,
         // repointed per tested row (zero allocation in the scan loop).
-        // Placement visibility is BRANCH-positional: a variable is readable
-        // iff it sits strictly earlier in the branch being attempted.
+        // Placement visibility is PATH-positional: a variable is readable iff
+        // its run is committed on the attempt path being explored (placed
+        // flags set/cleared as the walk recurses/backtracks) — the program-
+        // order generalization of the r11 branch-positional rule.
         private val dynStarts = new Array[Int](n)
+        private val placed = new Array[Boolean](n)
         private object dynCtx extends MrConditions.Ctx {
           var curRow: Row = _
           var self = 0
           var runStart = 0
           var candPos = 0
           var countsRef: Array[Int] = _
-          var brPosRef: Array[Int] = _
-          var selfBrPos = 0
           def cur: Row = curRow
           def rowAt(pos: Int): Row = buf.get(base + pos)
           def selfTok: Int = self
@@ -476,71 +470,97 @@ object MatchRecognize {
           def selfPos: Int = candPos
           def starts: Array[Int] = dynStarts
           def counts: Array[Int] = countsRef
-          override def placedBefore(tok: Int): Boolean =
-            brPosRef(tok) >= 0 && brPosRef(tok) < selfBrPos
+          override def placedBefore(tok: Int): Boolean = placed(tok)
         }
-        private def dynOk(r: Row, gv: Int, bt: Int, runStart: Int, pos: Int): Boolean = {
+        private def dynOk(r: Row, gv: Int, runStart: Int, pos: Int): Boolean = {
           val d = dynArr(gv)
           d == null || {
             dynCtx.curRow = r; dynCtx.self = gv; dynCtx.runStart = runStart
-            dynCtx.candPos = pos; dynCtx.selfBrPos = bt
+            dynCtx.candPos = pos
             d.holds(dynCtx)
           }
         }
 
-        /** Greedy leftmost-longest match of branch `b` at the cursor: counts
-          * per GLOBAL variable, with backtracking — identical selection order
-          * to the bounded rewrite's descending-lexicographic CASE branches.
-          * Cross-variable predicates are sound inside the avail-scan because
-          * a row's test depends only on the run's start and BRANCH-earlier
-          * variables' placements, both fixed here (the prefix property: a
-          * valid run's prefixes are valid).
+        // program tables (hoisted from the MrProg for the hot loop)
+        private val pKind = prog.kind; private val pV = prog.v
+        private val pLo = prog.lo; private val pHi = prog.hi
+        private val pRel = prog.rel; private val pExcl = prog.excl
+        private val pNxt = prog.nxt; private val pAlts = prog.alts
+        private val pEntry = prog.entry
+        // the winning attempt path: placements in ROW order (ALL ROWS
+        // emission and variable-targeted skips need the order, not just the
+        // per-variable arrays); depth <= n (one placement per variable)
+        private val pathVar = new Array[Int](n)
+        private val pathStart = new Array[Int](n)
+        private val pathCount = new Array[Int](n)
+        private val pathExcl = new Array[Boolean](n)
+        private var pathLen = 0
+        private var matchLen = 0
+
+        /** Walk the ordered-choice program at the cursor: greedy leftmost-
+          * longest with backtracking, choice points decided at their written
+          * positions (ISO 9075-2 preferment — a quantifier written before an
+          * alternation dominates it). Cross-variable predicates are sound
+          * inside the avail-scan because a row's test depends only on the
+          * run's start and PATH-earlier variables' placements, both fixed
+          * here (the prefix property: a valid run's prefixes are valid).
+          * On success the placement arrays and path hold the winning match.
           */
-        private def tryBranch(b: Int, counts: Array[Int]): Boolean = {
-          val startUs = if (hasWithin) micros(rowAt(0).get(tsIdx)) else 0L
-          val vs = brVar(b); val los = brLo(b); val his = brHi(b); val rels = brRel(b)
-          val bn = vs.length
-          dynCtx.countsRef = counts
-          dynCtx.brPosRef = brPos(b)
-          def go(t: Int, pos: Int): Boolean = {
-            if (t == bn) return pos > 0 // the empty match never selects
-            val gv = vs(t)
-            dynStarts(gv) = pos
-            var c = 0
-            while (c < his(t) && ensure(pos + c) && defOk(rowAt(pos + c), gv) &&
-              dynOk(rowAt(pos + c), gv, t, pos, pos + c) &&
-              (!hasWithin || micros(rowAt(pos + c).get(tsIdx)) - startUs <= withinUs)) c += 1
-            if (rels(t)) { // reluctant: shortest first (Flink's lazy forms)
-              var k = los(t)
-              while (k <= c) {
+        private def walk(ip: Int, pos: Int, startUs: Long, counts: Array[Int]): Boolean = {
+          pKind(ip) match {
+            case 2 => // Done: the empty match never selects
+              if (pos > 0) { matchLen = pos; true } else false
+            case 1 => // Split: alternatives in written (preference) order
+              val ts = pAlts(ip)
+              var i = 0
+              while (i < ts.length) {
+                if (walk(ts(i), pos, startUs, counts)) return true
+                i += 1
+              }
+              false
+            case _ => // Var: scan the run, explore counts, recurse
+              val gv = pV(ip)
+              dynStarts(gv) = pos
+              var c = 0
+              while (c < pHi(ip) && ensure(pos + c) && defOk(rowAt(pos + c), gv) &&
+                dynOk(rowAt(pos + c), gv, pos, pos + c) &&
+                (!hasWithin || micros(rowAt(pos + c).get(tsIdx)) - startUs <= withinUs)) c += 1
+              val d = pathLen
+              pathVar(d) = gv; pathStart(d) = pos; pathExcl(d) = pExcl(ip)
+              def tryCount(k: Int): Boolean = {
                 counts(gv) = k
-                if (go(t + 1, pos + k)) return true
-                k += 1
+                pathCount(d) = k
+                placed(gv) = true
+                pathLen = d + 1
+                if (walk(pNxt(ip), pos + k, startUs, counts)) true
+                else { pathLen = d; placed(gv) = false; false }
               }
-            } else {
-              while (c >= los(t)) {
-                counts(gv) = c
-                if (go(t + 1, pos + c)) return true
-                c -= 1
+              if (pRel(ip)) { // reluctant: shortest first (Flink's lazy forms)
+                var k = pLo(ip)
+                while (k <= c) {
+                  if (tryCount(k)) return true
+                  k += 1
+                }
+              } else {
+                while (c >= pLo(ip)) {
+                  if (tryCount(c)) return true
+                  c -= 1
+                }
               }
-            }
-            counts(gv) = 0 // clean failed placement (next branch reads zeros)
-            false
+              counts(gv) = 0 // clean failed placement (later alternatives read zeros)
+              false
           }
-          go(0, 0)
         }
 
-        /** Try branches in preference order; the first that matches wins
-          * (leftmost-alternative preference). Returns the branch index or -1.
+        /** One attempt at the cursor position. Returns true on a match (the
+          * path/placement arrays hold it).
           */
-        private def tryMatch(counts: Array[Int]): Int = {
-          var b = 0
-          while (b < nBr) {
-            if (b > 0) java.util.Arrays.fill(counts, 0)
-            if (tryBranch(b, counts)) return b
-            b += 1
-          }
-          -1
+        private def tryMatch(counts: Array[Int]): Boolean = {
+          java.util.Arrays.fill(placed, false)
+          pathLen = 0
+          dynCtx.countsRef = counts
+          val startUs = if (hasWithin) micros(rowAt(0).get(tsIdx)) else 0L
+          walk(pEntry, 0, startUs, counts)
         }
 
         private def projMeasure(r: Row): Row = {
@@ -619,15 +639,13 @@ object MatchRecognize {
         private def run1(p: Int, c: Int): Array[Long] =
           if (c == 0) Array.emptyLongArray else Array((p.toLong << 32) | (c.toLong & 0xffffffffL))
 
-        private def emit(b: Int, counts: Array[Int], seq: Long): Unit = {
-          val vs = brVar(b); val excl = brExcl(b); val bn = vs.length
-          // global starts (-1 = variable absent from the matched branch) and
-          // the match length, from the branch's token order
+        private def emit(counts: Array[Int], seq: Long): Unit = {
+          // global starts (-1 = variable absent from the matched path) and
+          // the match length, from the winning path's placement order
           val gStarts = Array.fill(n)(-1)
-          var len = 0L
-          locally { var p = 0; var t = 0
-            while (t < bn) { gStarts(vs(t)) = p; p += counts(vs(t)); t += 1 }
-            len = p.toLong }
+          val len = matchLen.toLong
+          locally { var t = 0
+            while (t < pathLen) { gStarts(pathVar(t)) = pathStart(t); t += 1 } }
           val structVals = if (hasMeasures) new Array[Any](2 * n) else null
           if (hasMeasures) {
             var u = 0
@@ -739,10 +757,10 @@ object MatchRecognize {
               a
             }
             var pos = 0; var t = 0
-            while (t < bn) {
-              val gv = vs(t)
+            while (t < pathLen) {
+              val gv = pathVar(t)
               var c = 0
-              while (c < counts(gv)) {
+              while (c < pathCount(t)) {
                 val runVals: Array[Any] =
                   if (!emitRunning) null
                   else {
@@ -781,7 +799,7 @@ object MatchRecognize {
                     }
                     av
                   }
-                if (!excl(t)) // {- X -}: matched but not emitted
+                if (!pathExcl(t)) // {- X -}: matched but not emitted
                   out.enqueue(mk(rowAt(pos), structVals, subVals, offVals, runVals, runAggVals,
                     aggVals, subAggVals, len, seq, nameByIdx(gv)))
                 pos += 1; c += 1
@@ -827,18 +845,20 @@ object MatchRecognize {
           * the match's own start (or an empty/absent target) would loop —
           * loud.
           */
-        private def skipAdvance(b: Int, counts: Array[Int]): Int = skipMode match {
-          case SkipPastLastRow =>
-            var s = 0; val vs = brVar(b); var t = 0
-            while (t < vs.length) { s += counts(vs(t)); t += 1 }
-            s
+        private def pathStartOf(i: Int): Int = {
+          var t = 0
+          while (t < pathLen && pathVar(t) != i) t += 1
+          if (t == pathLen) -1 else pathStart(t)
+        }
+
+        private def skipAdvance(counts: Array[Int]): Int = skipMode match {
+          case SkipPastLastRow => matchLen
           case SkipToNextRow => 1
           case SkipToFirst(i) =>
             if (counts(i) == 0) sys.error(s"AFTER MATCH SKIP TO FIRST ${nameByIdx(i)}: " +
               "the variable matched no rows in the selected match")
             else {
-              var pos = 0; val vs = brVar(b); var t = 0
-              while (vs(t) != i) { pos += counts(vs(t)); t += 1 }
+              val pos = pathStartOf(i)
               if (pos == 0) sys.error(s"AFTER MATCH SKIP TO FIRST ${nameByIdx(i)} would " +
                 "re-anchor at the match's own start row (infinite loop)")
               pos
@@ -847,9 +867,7 @@ object MatchRecognize {
             if (counts(i) == 0) sys.error(s"AFTER MATCH SKIP TO LAST ${nameByIdx(i)}: " +
               "the variable matched no rows in the selected match")
             else {
-              var pos = 0; val vs = brVar(b); var t = 0
-              while (vs(t) != i) { pos += counts(vs(t)); t += 1 }
-              pos += counts(i)
+              val pos = pathStartOf(i) + counts(i)
               if (pos - 1 == 0) sys.error(s"AFTER MATCH SKIP TO LAST ${nameByIdx(i)} would " +
                 "re-anchor at the match's own start row (infinite loop)")
               pos - 1
@@ -865,11 +883,10 @@ object MatchRecognize {
               else { buf.clear(); base = 0; curKey = null; keyDone = false; matchSeq = 0L } // next key
             } else {
               val counts = new Array[Int](n)
-              val b = tryMatch(counts)
-              if (b >= 0) {
+              if (tryMatch(counts)) {
                 matchSeq += 1
-                emit(b, counts, matchSeq)
-                advance(skipAdvance(b, counts))
+                emit(counts, matchSeq)
+                advance(skipAdvance(counts))
               }
               else advance(1)
             }

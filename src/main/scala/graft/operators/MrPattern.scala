@@ -2,18 +2,23 @@ package graft.operators
 
 /** PATTERN grammar beyond a linear variable sequence — alternation
   * (`A B | C`), grouping (`(A | B) C`), `PERMUTE(A, B, C)`, and output
-  * exclusion (`{- M+ -}`, ALL ROWS PER MATCH only) — compiled by EXPANSION
-  * into alternative LINEAR branches that the existing NFA cursor scan
-  * ([[MatchRecognize.scanPattern]]) tries in preference order.
+  * exclusion (`{- M+ -}`, ALL ROWS PER MATCH only). Two artifacts come out
+  * of the same parse:
   *
-  * The SQL standard (ISO 9075-2 §R, row-pattern recognition) itself defines
-  * `PERMUTE` as exactly this expansion — the alternation of all permutations
-  * in lexicographic order of the listed elements — and defines alternation
-  * preference as leftmost-first: an attempt tries alternatives in written
-  * order and the first that matches wins, regardless of length. Expansion
-  * therefore preserves the standard's match selection exactly, and keeps
-  * every branch on the proven per-branch greedy machinery (one shared
-  * exchange + sort; the branch loop costs nothing when branch 1 matches).
+  *   - [[expand]]: the alternative LINEAR branches, used for VALIDATION
+  *     (per-path variable uniqueness, the 256-branch cap) and by consumers
+  *     that reason branch-wise (the streaming span-measure anchors);
+  *   - [[parse]] + [[MrProg.ofTree]]: the EXECUTION form (r12) — an
+  *     ordered-choice instruction graph the scans walk with backtracking,
+  *     deciding choice points at their WRITTEN positions per ISO 9075-2.
+  *
+  * The standard defines `PERMUTE` as the alternation of all permutations in
+  * lexicographic order of the listed elements, and alternation preference as
+  * leftmost-first. Branch-major expansion preserved that only when every
+  * choice point sat in front of any variable-length element; a greedy
+  * quantifier written BEFORE an alternation must dominate it (for
+  * `A+ (B | C)` the standard selects the longer `A A C` over `A B`), which
+  * only the per-choice-point program order gives — see [[MrProg]].
   *
   * Neither alternation, grouping, PERMUTE, nor exclusion exists in Flink's
   * MATCH_RECOGNIZE — this surface goes past the reference's engine again
@@ -39,12 +44,19 @@ object MrPattern {
                         reluctant: Boolean = false, excluded: Boolean = false)
 
   sealed trait Node
-  private final case class Va(t: PTok) extends Node
-  private final case class Sq(items: Seq[Node]) extends Node
-  private final case class Al(alts: Seq[Node]) extends Node
-  private final case class Pm(items: Seq[Node]) extends Node
-  private final case class Opt(inner: Node, reluctant: Boolean) extends Node
-  private final case class Ex(inner: Node) extends Node
+  private[operators] final case class Va(t: PTok) extends Node
+  private[operators] final case class Sq(items: Seq[Node]) extends Node
+  private[operators] final case class Al(alts: Seq[Node]) extends Node
+  private[operators] final case class Pm(items: Seq[Node]) extends Node
+  private[operators] final case class Opt(inner: Node, reluctant: Boolean) extends Node
+  private[operators] final case class Ex(inner: Node) extends Node
+
+  /** The PATTERN's parse tree — [[MrProg.ofTree]] compiles it with choice
+    * points at their written positions (the ISO execution order). Callers
+    * must still run [[expand]] for validation (per-path variable uniqueness,
+    * branch caps) before building a program from the tree.
+    */
+  def parse(pat: String): Node = new P(pat).parseAll()
 
   /** True when `pat` needs this module at all — any construct beyond
     * whitespace-separated quantified variables.

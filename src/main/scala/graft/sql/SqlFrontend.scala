@@ -1522,7 +1522,11 @@ object SqlFrontend {
         withinMicros, scanSkip, allRowsPerMatch, measureColNames,
         if (aggSpecs.forall(_.isEmpty)) Seq.empty else aggSpecs, dynDefs, offsetSpecs,
         runningStructs = runningNonAgg, runningAggStructs = runningAggs,
-        subsets = subsetSpecs)
+        subsets = subsetSpecs,
+        // composite patterns execute by the parse tree (r12): choice points
+        // decided at their written positions — ISO preferment even when a
+        // variable-length quantifier precedes an alternation
+        tree = if (composite) Some(graft.operators.MrPattern.parse(patText)) else None)
       val measures = measureSrc.zip(measureRunning).map { case ((e, a), running) =>
         s"${scanMeasure(e, running)} AS $a" }
       // ALL ROWS emits every input column (the standard's shape); ONE ROW the

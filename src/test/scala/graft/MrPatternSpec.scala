@@ -305,6 +305,122 @@ class MrPatternSpec extends SparkSpec {
       s"composite pattern added a sort:\n${plan.take(3000)}")
   }
 
+  // ---------------------------------------- ISO choice-point order (r12)
+
+  test("ISO preferment: a greedy quantifier BEFORE an alternation dominates it") {
+    // r12 (ADVICE r11 medium): PATTERN (A+ (B | C)) over rows where A can
+    // extend only in front of C — the standard decides choice points in
+    // left-to-right encounter order, so the greedy A+ (encountered first)
+    // prefers the longer 'A A C' over 'A B'. Branch-major expansion used to
+    // pick 'A B' (all of branch [A+ B] before any of [A+ C]).
+    // kinds: a, a|b (both A and B hold), c — A+ greedy takes both a-rows,
+    // leaving only the c row for the choice.
+    val df = Seq(
+      ("k1", ts(0), 1L, "a", 0.0), ("k1", ts(1), 2L, "ab", 0.0), ("k1", ts(2), 3L, "c", 0.0))
+      .toDF("k", "ts", "id", "kind", "v")
+    df.createOrReplaceTempView("mr_iso1")
+    val out = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_iso1 MATCH_RECOGNIZE (
+           PARTITION BY k ORDER BY ts, id
+           MEASURES count(A.*) AS n_a, LAST(B.id) AS b_id, LAST(C.id) AS c_id
+           ONE ROW PER MATCH
+           PATTERN (A+ (B | C))
+           DEFINE A AS A.kind IN ('a', 'ab'),
+                  B AS B.kind IN ('ab', 'b'),
+                  C AS C.kind = 'c'
+         )""").select($"n_a", $"b_id", $"c_id").as[(Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(out == Seq((2L, None, Some(3L))),
+      s"greedy A+ must dominate the later (B | C) choice — expected 'A A C', got $out")
+  }
+
+  test("ISO preferment: an explicit top-level alternation dominates its quantifiers") {
+    // the shape branch expansion could not distinguish from the previous
+    // test: PATTERN (A+ B | A+ C) writes the choice point FIRST, so
+    // alternative 1 is explored fully (its greedy A+ included) before
+    // alternative 2 — 'A B' wins over 'A A C' here, per the standard.
+    val df = Seq(
+      ("k1", ts(0), 1L, "a", 0.0), ("k1", ts(1), 2L, "ab", 0.0), ("k1", ts(2), 3L, "c", 0.0))
+      .toDF("k", "ts", "id", "kind", "v")
+    df.createOrReplaceTempView("mr_iso2")
+    val out = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_iso2 MATCH_RECOGNIZE (
+           PARTITION BY k ORDER BY ts, id
+           MEASURES count(A.*) AS n_a, LAST(B.id) AS b_id, LAST(C.id) AS c_id
+           ONE ROW PER MATCH
+           PATTERN (A+ B | A+ C)
+           DEFINE A AS A.kind IN ('a', 'ab'),
+                  B AS B.kind IN ('ab', 'b'),
+                  C AS C.kind = 'c'
+         )""").select($"n_a", $"b_id", $"c_id").as[(Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(out == Seq((1L, Some(2L), None)),
+      s"a written-first alternation must dominate its inner quantifiers — expected 'A B', got $out")
+  }
+
+  test("ISO preferment: reluctant quantifier before a choice point stays shortest-first") {
+    // A*? (B | C): the reluctant quantifier (encountered first) prefers the
+    // SHORTEST run, so with both B and C viable at the start row the match
+    // is the bare choice — and B (leftmost) wins it.
+    val df = Seq(("k1", ts(0), 1L, "ab", 0.0), ("k1", ts(1), 2L, "c", 0.0))
+      .toDF("k", "ts", "id", "kind", "v")
+    df.createOrReplaceTempView("mr_iso3")
+    val out = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_iso3 MATCH_RECOGNIZE (
+           PARTITION BY k ORDER BY ts, id
+           MEASURES count(A.*) AS n_a, LAST(B.id) AS b_id, LAST(C.id) AS c_id
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP PAST LAST ROW
+           PATTERN (A*? (B | C))
+           DEFINE A AS A.kind IN ('a', 'ab'),
+                  B AS B.kind IN ('ab', 'b'),
+                  C AS C.kind = 'c'
+         )""").select($"n_a", $"b_id", $"c_id").as[(Long, Option[Long], Option[Long])]
+      .collect().sortBy(_._3).toSeq
+    // match 1: zero A rows, B takes row 1; match 2: zero A rows, C takes row 2
+    assert(out == Seq((0L, Some(1L), None), (0L, None, Some(2L))), out.toString)
+  }
+
+  test("streaming value route agrees with the batch scan on quantifier-before-choice") {
+    // the streaming program walk must make the same ISO selection: A+ (B|C)
+    // with A extensible only in front of C → 'A A C' once the c row arrives
+    import graft.streaming.StreamingMatchRecognize
+    import graft.operators.{MatchRecognize, MrPattern}
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[(String, java.sql.Timestamp, Long, String, Double)]
+    val mem = MemoryStream[(String, java.sql.Timestamp, Long, String, Double)]
+    val (bs, names) = MrPattern.expand("A+ (B | C)")
+    val nidx = names.zipWithIndex.toMap
+    val branches = bs.map(_.map(t =>
+      MatchRecognize.BTok(nidx(t.name), t.lo, t.hi, t.reluctant)).toIndexedSeq)
+    val defs = Seq(Some("A.kind IN ('a', 'ab')"), Some("B.kind IN ('ab', 'b')"),
+      Some("C.kind = 'c'"))
+    val matches = StreamingMatchRecognize.applyPattern(
+      mem.toDF().toDF("u", "ts", "id", "kind", "v"), "u",
+      condCols = Seq("kind", "v"), tsCol = "ts", tieCol = "id",
+      varNames = names, branches = branches, defs = defs, skipPast = true,
+      withinSeconds = 3600L,
+      aggMeasures = Seq(StreamingMatchRecognize.MrAggMeasure("cnt", nidx("A"), "*", "n_a")),
+      measures = Seq(StreamingMatchRecognize.MrMeasure(isFirst = false, nidx("C"), "v", "c_v")),
+      tree = Some(MrPattern.parse("A+ (B | C)")))
+    val q = matches.writeStream.format("memory").queryName("mriso_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(("k1", ts(0), 1L, "a", 1.0), ("k1", ts(1), 2L, "ab", 2.0))
+      q.processAllAvailable()
+      // the greedy A+ is still extensible — nothing decides yet
+      assert(spark.table("mriso_sink").isEmpty)
+      mem.addData(("k1", ts(2), 3L, "c", 9.0), ("k1", ts(61), 4L, "z", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mriso_sink").select("n_a", "c_v", "matched_len")
+      .as[(Long, Option[Double], Int)].collect().toSeq
+    assert(got == Seq((2L, Some(9.0), 3)),
+      s"streaming must select 'A A C' like the batch scan (ISO), got $got")
+  }
+
   test("alternation preference is positional: a later-starting branch-1 match never " +
     "outranks an earlier branch-2 match") {
     // at cursor row 1 only branch C (id 1-2) matches; branch (A B) would match
