@@ -32,10 +32,31 @@ object Bench {
     s
   }
 
+  /** CPU-contention telemetry (r11 verdict #3): bench numbers on this box
+    * swing 2–8x under external CPU steal, so every BENCH line now carries
+    * enough to self-diagnose a contended window without same-window A/B
+    * runs. Readings are Linux-proc-based: (load1, total busy jiffies across
+    * all CPUs, this process's own jiffies).
+    */
+  private def cpuStat(): (Double, Long, Long) = {
+    def firstLine(p: String): String =
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+        .linesIterator.next()
+    val load1 = firstLine("/proc/loadavg").split("\\s+")(0).toDouble
+    // /proc/stat "cpu" line: user nice system idle iowait irq softirq steal …
+    val f = firstLine("/proc/stat").split("\\s+").drop(1).map(_.toLong)
+    val busy = f(0) + f(1) + f(2) + f(5) + f(6) + (if (f.length > 7) f(7) else 0L)
+    // /proc/self/stat fields 14-15 (1-based): utime, stime — all threads
+    val self = firstLine("/proc/self/stat").split("\\s+")
+    (load1, busy, self(13).toLong + self(14).toLong)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = session(cpus)
+    val (load1Start, busy0, self0) = cpuStat()
+    val wall0 = System.nanoTime()
 
     // Warm-up pass (JIT + codegen + parquet footer cache) so the measured pass
     // reflects steady-state executor throughput, not first-run compilation.
@@ -67,9 +88,20 @@ object Bench {
     // row counts let a reader sanity-check that timings measure real output
     val (qs2, rows2, total2) = objOf(results2)
     val (qs3, rows3, total3) = objOf(results3)
+    // extCpuFrac = CPU consumed by OTHER processes during the run, as a
+    // fraction of total machine capacity (0 = clean window; BASELINE.md's
+    // comparability rule is load1 < 1 at start and extCpuFrac < 0.05)
+    val (load1End, busy1, self1) = cpuStat()
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val hz = 100.0 // USER_HZ on this kernel (getconf CLK_TCK)
+    val nCpu = Runtime.getRuntime.availableProcessors()
+    val extCpuFrac = math.max(0.0,
+      ((busy1 - busy0) - (self1 - self0)) / hz / (wallSec * nCpu))
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,""" +
       s""""group2":{"value":$total2,"queries":$qs2,"rows":$rows2},""" +
-      s""""group3":{"value":$total3,"queries":$qs3,"rows":$rows3},"sf":"$sfDir"}"""
+      s""""group3":{"value":$total3,"queries":$qs3,"rows":$rows3},""" +
+      f""""load1_start":$load1Start%.2f,"load1_end":$load1End%.2f,""" +
+      f""""extCpuFrac":$extCpuFrac%.4f,"wallSec":$wallSec%.1f,"sf":"$sfDir"}"""
     // stdout line is unprefixed (build.sbt: run / outputStrategy := StdoutOutput);
     // the file copy is belt-and-braces for any runner that scrapes artifacts.
     println(json)

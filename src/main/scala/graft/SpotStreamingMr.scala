@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Scale spot-run for the streaming VALUE-CEP operator (r10): replay the
@@ -19,18 +20,16 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.SpotStreamingMr <sfDir> [slices]
   */
 object SpotStreamingMr {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("benchdata/sf10")
-    val slices = args.lift(1).map(_.toInt).getOrElse(20)
-    val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    import graft.operators.MatchRecognize.MrTok
-    val tmp = java.nio.file.Files.createTempDirectory("mrstream").toString
+
+  /** Time-sliced feed files under `tmp/feed`, written in event-time order so
+    * the file source's modification-time ordering replays history
+    * faithfully; [lo, hi) slicing keeps every equal-timestamp group in ONE
+    * slice. Returns (feedDir, the events DataFrame the feed was cut from).
+    */
+  private[graft] def makeFeed(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                              slices: Int, tmp: String): (String, DataFrame) = {
     val feed = s"$tmp/feed"
     new java.io.File(feed).mkdirs()
-
-    // ---- prep: time-sliced feed files, written in event-time order so the
-    // file source's modification-time ordering replays history faithfully;
-    // [lo, hi) slicing keeps every equal-timestamp group in ONE slice
     val ev = graft.core.Tables(spark, sfDir, "events")
       .select(col("user_id"), col("event_type"), col("ts").cast("timestamp").as("ts"),
         col("event_id"), col("value"))
@@ -48,6 +47,16 @@ object SpotStreamingMr {
         .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
       fs.rename(part, new org.apache.hadoop.fs.Path(f"$feed/slice_$i%03d.parquet"))
     }
+    (feed, ev)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("benchdata/sf10")
+    val slices = args.lift(1).map(_.toInt).getOrElse(20)
+    val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import graft.operators.MatchRecognize.MrTok
+    val tmp = java.nio.file.Files.createTempDirectory("mrstream").toString
+    val (feed, ev) = makeFeed(spark, sfDir, slices, tmp)
     println(s"[mrstream] feed ready: $slices slices")
 
     // ---- the standing ticker pattern over the sliced stream

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale spot-run for streaming ALL ROWS PER MATCH / exclusion / SUBSET
+  * (r12): replay the events table as a TRUE multi-micro-batch stream
+  * ([[SpotStreamingMr.makeFeed]]'s time-sliced files, maxFilesPerTrigger =
+  * 1), drain one of the r12 standing shapes through
+  * [[graft.streaming.StreamingMatchRecognize]], and check PER-ROW value
+  * parity against the batch scan route on the same rows.
+  *
+  * Modes (arg 3):
+  *   - `q173` — ALL ROWS with CLASSIFIER + RUNNING LAST(D/U.value) +
+  *     FINAL LAST(U.value) (the q165/q173 catalog shape);
+  *   - `q178` — ALL ROWS with `{- D+ -}` exclusion + FINAL count(D.*);
+  *   - `q177` — ONE ROW with SUBSET M = (D, U) pooled aggregates.
+  *
+  * Bounded-stream contract (the SpotStreamingMr discipline): a match still
+  * OPEN when the file stream ends never emits — so the streamed MATCH SPAN
+  * set must be a subset of the batch set missing at most one final span per
+  * key, and on the COMMON spans the per-row output must match the batch scan
+  * EXACTLY (symmetric exceptAll counts after a span semi-join; nothing
+  * collected to the driver).
+  *
+  * Usage: runMain graft.SpotStreamingMrRows <sfDir> [slices] [mode]
+  */
+object SpotStreamingMrRows {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("benchdata/sf10")
+    val slices = args.lift(1).map(_.toInt).getOrElse(20)
+    val mode = args.lift(2).getOrElse("q173")
+    require(Set("q173", "q178", "q177").contains(mode), s"unknown mode '$mode'")
+    val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import graft.operators.{MatchRecognize, MrPattern}
+    import graft.streaming.StreamingMatchRecognize
+    import graft.streaming.StreamingMatchRecognize.{MrAggMeasure, MrMeasure}
+
+    val tmp = java.nio.file.Files.createTempDirectory("mrrows").toString
+    val (feed, ev) = SpotStreamingMr.makeFeed(spark, sfDir, slices, tmp)
+    println(s"[mrrows] feed ready: $slices slices, mode=$mode")
+
+    val pattern = if (mode == "q178") "S {- D+ -} U+" else "S D+ U+"
+    val (bs, names) = MrPattern.expand(pattern)
+    val nidx = names.zipWithIndex.toMap
+    val branches = bs.map(_.map(t =>
+      MatchRecognize.BTok(nidx(t.name), t.lo, t.hi, t.reluctant, t.excluded)).toIndexedSeq)
+    val defs = Seq(None, Some("D.value < PREV(D.value)"), Some("U.value > PREV(U.value)"))
+    val allRows = mode != "q177"
+    val (measures, aggMeasures, subsets) = mode match {
+      case "q173" => (Seq(
+        MrMeasure(isFirst = false, nidx("D"), "value", "run_bottom", running = true),
+        MrMeasure(isFirst = false, nidx("U"), "value", "run_top", running = true),
+        MrMeasure(isFirst = false, nidx("U"), "value", "final_top")),
+        Seq.empty[MrAggMeasure], Seq.empty[(String, Seq[Int])])
+      case "q178" => (Seq(
+        MrMeasure(isFirst = false, nidx("U"), "value", "final_top")),
+        Seq(MrAggMeasure("cnt", nidx("D"), "*", "n_down")),
+        Seq.empty[(String, Seq[Int])])
+      case _ => (Seq( // q177: SUBSET M = (D, U) at tok = nTok
+        MrMeasure(isFirst = true, names.size, "value", "move_first"),
+        MrMeasure(isFirst = false, names.size, "value", "move_last")),
+        Seq(MrAggMeasure("cnt", names.size, "*", "move_rows"),
+          MrAggMeasure("sum", names.size, "value", "move_sum"),
+          MrAggMeasure("min", names.size, "value", "move_min")),
+        Seq(("M", Seq(nidx("D"), nidx("U")))))
+    }
+
+    val schema = spark.read.parquet(feed).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+    val matched = StreamingMatchRecognize.applyPattern(
+      stream, "user_id", condCols = Seq("value"), tsCol = "ts", tieCol = "event_id",
+      varNames = names, branches = branches, defs = defs, skipPast = true,
+      measures = measures, aggMeasures = aggMeasures, allRows = allRows,
+      subsets = subsets, tree = Some(MrPattern.parse(pattern)))
+    val t0 = System.nanoTime()
+    val q = matched.writeStream.format("parquet")
+      .option("path", s"$tmp/sink").option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    // ---- the batch scan route on the same rows, projected to the streamed
+    // shape (start_tie identifies the match on every emitted row)
+    ev.createOrReplaceTempView("mrrows_events")
+    val batchSql = mode match {
+      case "q173" => """
+        SELECT * FROM mrrows_events MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES FIRST(S.event_id) AS m_start_tie, CLASSIFIER() AS cls,
+                   LAST(D.value) AS run_bottom, LAST(U.value) AS run_top,
+                   FINAL LAST(U.value) AS final_top
+          ALL ROWS PER MATCH
+          PATTERN (S D+ U+)
+          DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
+        )"""
+      case "q178" => """
+        SELECT * FROM mrrows_events MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES FIRST(S.event_id) AS m_start_tie, CLASSIFIER() AS cls,
+                   FINAL LAST(U.value) AS final_top, FINAL count(D.*) AS n_down
+          ALL ROWS PER MATCH
+          PATTERN (S {- D+ -} U+)
+          DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
+        )"""
+      case _ => """
+        SELECT * FROM mrrows_events MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES FIRST(S.event_id) AS m_start_tie,
+                   FIRST(M.value) AS move_first, LAST(M.value) AS move_last,
+                   count(M.*) AS move_rows, sum(M.value) AS move_sum,
+                   min(M.value) AS move_min
+          ONE ROW PER MATCH
+          PATTERN (S D+ U+)
+          SUBSET M = (D, U)
+          DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
+        )"""
+    }
+    val batch0 = graft.sql.SqlFrontend.execute(spark, batchSql)
+    val streamed0 = spark.read.parquet(s"$tmp/sink")
+    val (batch, streamed) = mode match {
+      case "q177" =>
+        (batch0.select(col("user_id").cast("string").as("key"),
+          col("m_start_tie").cast("long").as("start_tie"),
+          col("move_first"), col("move_last"), col("move_rows").cast("long"),
+          col("move_sum").cast("decimal(38,6)"), col("move_min")),
+          streamed0.select(col("key"), col("start_tie"),
+            col("move_first"), col("move_last"), col("move_rows"),
+            col("move_sum"), col("move_min")))
+      case "q178" =>
+        (batch0.select(col("user_id").cast("string").as("key"),
+          col("m_start_tie").cast("long").as("start_tie"),
+          unix_micros(col("ts").cast("timestamp")).as("row_us"),
+          col("event_id").cast("long").as("row_tie"), col("value"),
+          col("cls"), col("final_top"), col("n_down").cast("long")),
+          streamed0.select(col("key"), col("start_tie"),
+            unix_micros(col("row_ts")).as("row_us"),
+            col("row_tie"), col("value"), col("cls"), col("final_top"), col("n_down")))
+      case _ =>
+        (batch0.select(col("user_id").cast("string").as("key"),
+          col("m_start_tie").cast("long").as("start_tie"),
+          unix_micros(col("ts").cast("timestamp")).as("row_us"),
+          col("event_id").cast("long").as("row_tie"), col("value"),
+          col("cls"), col("run_bottom"), col("run_top"), col("final_top")),
+          streamed0.select(col("key"), col("start_tie"),
+            unix_micros(col("row_ts")).as("row_us"),
+            col("row_tie"), col("value"), col("cls"),
+            col("run_bottom"), col("run_top"), col("final_top")))
+    }
+    // decided spans must be a subset of the batch spans missing at most the
+    // one open tail per key; on common spans the rows must match EXACTLY
+    val streamedSpans = streamed.select("key", "start_tie").distinct()
+    val batchSpans = batch.select("key", "start_tie").distinct()
+    val extraSpans = streamedSpans.exceptAll(batchSpans).count()
+    val missingSpans = batchSpans.exceptAll(streamedSpans).count()
+    val common = batch.join(streamedSpans, Seq("key", "start_tie"), "left_semi")
+    val extraRows = streamed.exceptAll(common).count()
+    val missingRows = common.exceptAll(streamed).count()
+    val nKeys = ev.select("user_id").distinct().count()
+    val nEvents = ev.count()
+    val nStream = streamed.count()
+    val nBatch = batch.count()
+    val ok = nStream > 0 && extraSpans == 0 && missingSpans <= nKeys &&
+      extraRows == 0 && missingRows == 0
+    println(f"""[mrrows] {"mode":"$mode","sec":$sec%.1f,"slices":$slices,"events":$nEvents,"eventsPerSec":${(nEvents / sec).toLong},"streamRows":$nStream,"batchRows":$nBatch,"extraSpans":$extraSpans,"missingFinalSpans":$missingSpans,"extraRows":$extraRows,"missingRowsOnCommonSpans":$missingRows,"keys":$nKeys,"ok":$ok}""")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

@@ -4479,7 +4479,10 @@ FROM n"""))
     */
   def benchGroup2Names: Seq[String] = Seq(
     "q109_window_cumulate", "q111_sequence_match", "q122_sequence_match_q",
-    "q107_resample_ffill", "q139_exact_substring_spans", "q161_lab3_fleet_ann",
+    "q107_resample_ffill", "q139_exact_substring_spans",
+    // q161 moved to group3 ONLY in r12 (the r11 verdict's double-pay: both
+    // groups ran the lab-3 corpus embed + IVF build; group totals weren't
+    // round-comparable while the heaviest row was duplicated)
     "q162_match_skip_past",
     // r10: the interpreted cross-variable CEP path gets its own bench row
     // (regressions in MrConditions' per-row cost are invisible to q162,

@@ -244,22 +244,37 @@ object StreamPlanner {
   /** One stage whose FROM carries `MATCH_RECOGNIZE` — the standing-CEP form,
     * routed to a stateful operator instead of the batch lead()-window
     * rewrite, which streams can't run (unbounded window functions). Two
-    * routes (r10):
+    * routes:
     *
     *   - literal type DEFINEs (`V AS V.col = 'lit'`, all on one column,
-    *     every variable defined) → [[graft.streaming.StreamingSequenceMatchQ]]
-    *     (type-token state, O(maxLen));
-    *   - any richer predicate — the ticker `PREV()` idiom, cross-variable /
-    *     FIRST() / offset conditions — →
-    *     [[graft.streaming.StreamingMatchRecognize]] (value-buffered state,
-    *     MrConditions-interpreted DEFINEs over ONE numeric column and at
-    *     most one string column of the source; NEXT() refused — an
-    *     unarrived row is not a NULL).
+    *     every variable defined, ONE ROW, no value/agg measures) →
+    *     [[graft.streaming.StreamingSequenceMatchQ]] (type-token state,
+    *     O(maxLen));
+    *   - everything else → [[graft.streaming.StreamingMatchRecognize]]
+    *     (value-buffered state): DEFINEs over ANY number of source columns
+    *     in their ORIGINAL types (r11), `PREV()` physical back-navigation,
+    *     `NEXT()` via one-event decision deferral (r11), cross-variable /
+    *     FIRST() / logical-offset conditions, composite patterns
+    *     (alternation, grouping, PERMUTE) executed by the parse tree in ISO
+    *     per-choice-point order (r12), SUBSET union variables in DEFINE and
+    *     MEASURES (r12), `ALL ROWS PER MATCH` per-row emission with
+    *     CLASSIFIER() and RUNNING/FINAL measure views, and `{- exclusion -}`
+    *     under ALL ROWS (r12).
     *
-    * Shared surface: single PARTITION BY column; the full quantifier grammar
-    * incl. unbounded and reluctant forms; `WITHIN` in whole seconds;
-    * MEASURES limited to the first variable's ORDER BY ref (AS alias →
-    * match start) and the last variable's (→ match end).
+    * Shared surface: single PARTITION BY column; single ORDER BY column (the
+    * event time — arrival tie-breaks are not expressible on a stream, so
+    * batch twins order by (ts, tie) only outside SQL); the full quantifier
+    * grammar incl. unbounded and reluctant forms; `WITHIN` in whole seconds.
+    * MEASURES: span anchors (FIRST(first.ord) → match start, LAST(last.ord)
+    * → match end), value FIRST/LAST over buffered columns, count/sum/min/
+    * max/avg aggregates, MATCH_NUMBER() (skip-past only), CLASSIFIER()
+    * (ALL ROWS only). Under ALL ROWS the unmarked measure default is
+    * RUNNING, FINAL opts out — the standard's rule, same as batch.
+    *
+    * Current refusal list (loud, spec-pinned): exclusion under ONE ROW (no
+    * effect, the batch rule); MATCH_NUMBER() under SKIP TO NEXT ROW
+    * (ordinal scrambling); RUNNING on a match-END span measure (mark it
+    * FINAL); DEFINEs over the ORDER BY column.
     */
   private def matchRecognizeStage(spark: SparkSession, stageSql: String): DataFrame = {
     import graft.streaming.StreamingSequenceMatchQ
@@ -285,8 +300,21 @@ object StreamPlanner {
       "MATCH_RECOGNIZE: supported AFTER MATCH strategies are SKIP TO NEXT ROW and " +
         "SKIP PAST LAST ROW (the default when the clause is absent)")
     val skipPast = !skipToNext
-    require(!"(?is)\\bSUBSET\\s+\\w+\\s*=".r.findFirstIn(body).isDefined,
-      "streaming MATCH_RECOGNIZE does not support SUBSET — batch-scan only")
+    // ALL ROWS PER MATCH (r12): per-row emission on the value route —
+    // row_ts/cls + the buffered columns, RUNNING-default measures
+    val allRowsPerMatch = "(?is)ALL\\s+ROWS\\s+PER\\s+MATCH".r.findFirstIn(body).isDefined
+    // SUBSET union variables (r12 — previously a loud batch-only refusal):
+    // `SUBSET U = (A, B)` between PATTERN and DEFINE; resolved to member
+    // indexes after the variable table is known
+    val subsetSrc: Seq[(String, Seq[String])] =
+      clause("(?is)\\bSUBSET\\s+(.*?)\\s*(?:\\bDEFINE\\b.*)?$")
+        .map(SqlFrontend.splitTopLevelCommas(_).map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
+        .map { s =>
+          val sm = "(?is)^(\\w+)\\s*=\\s*\\(([^)]*)\\)$".r.findFirstMatchIn(s.trim)
+            .getOrElse(sys.error(s"MATCH_RECOGNIZE SUBSET needs 'NAME = (V1, V2, …)': $s"))
+          (sm.group(1), sm.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        }
     // PATTERN text by balanced-paren span (composite grammars nest parens;
     // quantifier commas pass through verbatim), WITHIN read after the close
     val patKwM = "(?is)PATTERN\\s*\\(".r.findFirstMatchIn(body)
@@ -386,6 +414,20 @@ object StreamPlanner {
         else ("", 0, 0, false)
       }
     val varIdx0 = tokens.map(_._1).zipWithIndex.toMap
+    subsetSrc.foreach { case (nm, members) =>
+      members.foreach(v => require(varIdx0.contains(v),
+        s"MATCH_RECOGNIZE: SUBSET $nm references unknown pattern variable '$v'"))
+      require(!varIdx0.contains(nm),
+        s"MATCH_RECOGNIZE: SUBSET $nm collides with a pattern variable")
+    }
+    require(subsetSrc.map(_._1).distinct.size == subsetSrc.size,
+      "MATCH_RECOGNIZE: duplicate SUBSET name")
+    // measure tok space: variables, then subsets at nTok + i (the operator's
+    // pooled-union convention)
+    val measTokIdx: Map[String, Int] = varIdx0 ++
+      subsetSrc.map(_._1).zipWithIndex.map { case (nm, i) => nm -> (tokens.size + i) }
+    val resolvedSubsets: Seq[(String, Seq[Int])] =
+      subsetSrc.map { case (nm, ms) => (nm, ms.map(varIdx0)) }
     val MeasRe = "(?is)^(?:(FIRST|LAST)\\s*\\(\\s*)?(\\w+)\\.(\\w+)\\s*\\)?\\s+AS\\s+(\\w+)\\s*$".r
     // aggregate MEASURES over a variable's matched rows (r11 — Flink CEP
     // allows these in standing queries): count/sum/min/max/avg, computed by
@@ -398,42 +440,66 @@ object StreamPlanner {
     // emits it under the alias directly, so it rides the Left(src -> alias)
     // projection with src = alias
     val MnRe = "(?is)^MATCH_NUMBER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)\\s*$".r
+    // CLASSIFIER() (r12, ALL ROWS only): the operator's per-row `cls` column
+    val ClsRe = "(?is)^CLASSIFIER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)\\s*$".r
     var matchNumberAlias: Option[String] = None
     val measures: Seq[Either[(String, String), Either[MrMeasure, MrAggMeasure]]] = clause(
-      "(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW|AFTER\\s+MATCH|PATTERN\\b)")
+      "(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW|ALL\\s+ROWS|AFTER\\s+MATCH|PATTERN\\b)")
       .map(SqlFrontend.splitTopLevelCommas(_).map(_.trim)).getOrElse(Seq.empty)
-      .map {
-        case MnRe(alias) =>
-          matchNumberAlias = Some(alias)
-          Left(alias -> alias)
-        case AggMeasRe(fn0, v, c, alias) if varIdx0.contains(v) =>
-          val fn = fn0.toLowerCase match { case "count" => "cnt"; case f => f }
-          Right(Right(MrAggMeasure(fn, varIdx0(v), c, alias)))
-        case MeasRe(kind, v, c, alias) if c == ord =>
-          // FIRST(first.ord) → match start (first var must be mandatory);
-          // bare first.ord additionally needs max=1 — the standard's bare ref
-          // is the LAST occurrence, which equals the start only unquantified.
-          // LAST(last.ord) / bare last.ord → match end (last var mandatory —
-          // an absent optional's measure would be NULL, not the end).
-          // Anything else is not representable in (start, end) and errors.
-          val src = (v, Option(kind).map(_.toUpperCase)) match {
-            case (`firstVar`, Some("FIRST")) if firstMin >= 1 => "match_start_ts"
-            case (`firstVar`, None) if firstMin >= 1 && firstMax == 1 && v != lastVar =>
-              "match_start_ts"
-            case (`lastVar`, None | Some("LAST")) if lastMin >= 1 => "match_end_ts"
-            case _ => sys.error(s"streaming MEASURES: '${Option(kind).getOrElse("")}($v.$c)' maps " +
-              "to neither the first variable's start nor the last variable's end " +
-              "(quantified/optional variables need FIRST(...) on a mandatory first " +
-              "variable or LAST(...) on a mandatory last variable)")
-          }
-          Left(src -> alias)
-        case MeasRe(kind, v, c, alias) if varIdx0.contains(v) =>
-          // value measure: bare = the standard's LAST occurrence
-          Right(Left(MrMeasure(Option(kind).exists(_.equalsIgnoreCase("FIRST")),
-            varIdx0(v), c, alias)))
-        case other => sys.error(s"streaming MATCH_RECOGNIZE MEASURES support " +
-          s"[FIRST|LAST](var.col) over the ORDER BY column or a data column of a " +
-          s"pattern variable, and count/sum/min/max/avg(var.col) aggregates; got '$other'")
+      .map { raw =>
+        // the standard's measure-semantics keywords: under ALL ROWS the
+        // unmarked default is RUNNING (the batch frontend's r11 rule) and
+        // FINAL opts out; under ONE ROW the output point is the final row,
+        // where RUNNING ≡ FINAL, so both strip to the whole-match view
+        val finalMark = "(?is)^\\s*FINAL\\b".r.findFirstIn(raw).isDefined
+        val e = "(?is)^\\s*(?:RUNNING|FINAL)\\b\\s*".r.replaceFirstIn(raw, "")
+        val running = allRowsPerMatch && !finalMark
+        e match {
+          case MnRe(alias) =>
+            matchNumberAlias = Some(alias)
+            Left(alias -> alias)
+          case ClsRe(alias) =>
+            require(allRowsPerMatch,
+              "streaming MATCH_RECOGNIZE: CLASSIFIER() requires ALL ROWS PER MATCH")
+            Left("cls" -> alias)
+          case AggMeasRe(fn0, v, c, alias) if measTokIdx.contains(v) =>
+            val fn = fn0.toLowerCase match { case "count" => "cnt"; case f => f }
+            Right(Right(MrAggMeasure(fn, measTokIdx(v), c, alias, running = running)))
+          case MeasRe(kind, v, c, alias) if c == ord && varIdx0.contains(v) =>
+            // FIRST(first.ord) → match start (first var must be mandatory);
+            // bare first.ord additionally needs max=1 — the standard's bare
+            // ref is the LAST occurrence, which equals the start only
+            // unquantified. LAST(last.ord) / bare last.ord → match end (last
+            // var mandatory — an absent optional's measure would be NULL,
+            // not the end). Anything else is not representable in (start,
+            // end) and errors. Under ALL ROWS a match-END span measure is a
+            // whole-match value, which the RUNNING default contradicts —
+            // mark it FINAL (the start anchor's running view already equals
+            // the final one, so it passes unmarked).
+            val src = (v, Option(kind).map(_.toUpperCase)) match {
+              case (`firstVar`, Some("FIRST")) if firstMin >= 1 => "match_start_ts"
+              case (`firstVar`, None) if firstMin >= 1 && firstMax == 1 && v != lastVar =>
+                "match_start_ts"
+              case (`lastVar`, None | Some("LAST")) if lastMin >= 1 => "match_end_ts"
+              case _ => sys.error(s"streaming MEASURES: '${Option(kind).getOrElse("")}($v.$c)' " +
+                "maps to neither the first variable's start nor the last variable's end " +
+                "(quantified/optional variables need FIRST(...) on a mandatory first " +
+                "variable or LAST(...) on a mandatory last variable)")
+            }
+            require(!(running && src == "match_end_ts"),
+              s"streaming MEASURES: '$raw' is the match END under ALL ROWS PER MATCH, where " +
+                "unmarked measures default to RUNNING (the standard) — mark it FINAL")
+            Left(src -> alias)
+          case MeasRe(kind, v, c, alias) if measTokIdx.contains(v) =>
+            // value measure: bare = the standard's LAST occurrence; subset
+            // names read the union of the member runs
+            Right(Left(MrMeasure(Option(kind).exists(_.equalsIgnoreCase("FIRST")),
+              measTokIdx(v), c, alias, running = running)))
+          case other => sys.error(s"streaming MATCH_RECOGNIZE MEASURES support " +
+            s"[FIRST|LAST](var.col) over the ORDER BY column or a data column of a " +
+            s"pattern variable or SUBSET, count/sum/min/max/avg(var.col) aggregates, " +
+            s"MATCH_NUMBER() and (ALL ROWS) CLASSIFIER(); got '$other'")
+        }
       }
     val valueMeasures: Seq[MrMeasure] = measures.collect { case Right(Left(m)) => m }
     val aggMeasures: Seq[MrAggMeasure] = measures.collect { case Right(Right(m)) => m }
@@ -449,8 +515,11 @@ object StreamPlanner {
     // 'sql.state-ttl-watermark-delay' tunes it explicitly
     // value MEASURES force the value route even under all-literal DEFINEs
     // (the typed operator emits spans only)
+    // the ALL-ROWS projection re-exposes the buffered columns — recorded by
+    // the value route for the post-match select
+    var allRowsCondCols: Seq[String] = Nil
     val matched = (if (!valueRoute && valueMeasures.isEmpty && aggMeasures.isEmpty &&
-      matchNumberAlias.isEmpty) {
+      matchNumberAlias.isEmpty && !allRowsPerMatch && subsetSrc.isEmpty) {
       val defines = defSrc.map { case (v, c) =>
         s"$v AS $c" match { case DefineRe(_, _, cc, lit0) => v -> (cc, lit0) }
       }.toMap
@@ -468,9 +537,11 @@ object StreamPlanner {
       // (type) and one numeric (value) column of the source, resolved by
       // the source schema's dtypes
       val defMap = defSrc.toMap
+      val subsetNames = subsetSrc.map(_._1).toSet
       val refCols: Seq[String] = defSrc.flatMap { case (_, c) =>
         "\\b(\\w+)\\.(\\w+)\\b".r.findAllMatchIn(c)
-          .filter(mm => varNames.contains(mm.group(1))).map(_.group(2)).toSeq
+          .filter(mm => varNames.contains(mm.group(1)) || subsetNames.contains(mm.group(1)))
+          .map(_.group(2)).toSeq
       }.distinct
       require(defSrc.nonEmpty, "streaming MATCH_RECOGNIZE requires a DEFINE clause — an " +
         "undefined pattern variable matches every row, which neither streaming route can bound")
@@ -497,22 +568,35 @@ object StreamPlanner {
       (valueMeasures.map(_.col) ++ aggMeasures.map(_.col).filter(_ != "*"))
         .foreach(c => require(input.columns.contains(c),
           s"streaming MEASURES references unknown column '$c'"))
+      allRowsCondCols = condCols
       graft.streaming.StreamingMatchRecognize.applyPattern(input, part, condCols,
         ord, "__tie", tokens.map(_._1), condBranches, conds, withinSeconds,
         ttlSeconds = ttlSeconds,
         ttlWatermarkDelay = graft.sources.TableRegistry.stateTtlWatermarkDelay(ttlSeconds),
         skipPast = skipPast, measures = valueMeasures, aggMeasures = aggMeasures,
-        matchNumberAlias = matchNumberAlias)
+        matchNumberAlias = matchNumberAlias,
+        // composite patterns execute by the parse tree (r12): ISO preferment
+        // even when a variable-length quantifier precedes a choice point
+        tree = if (composite) Some(graft.operators.MrPattern.parse(patText)) else None,
+        allRows = allRowsPerMatch, subsets = resolvedSubsets,
+        // undecided-at-expiry runs surface as a NAMED accumulator (r12) —
+        // visible in the Spark UI / status without an oracle diff
+        openTailAcc = Some(spark.sparkContext.longAccumulator(s"mr_open_tails_$tbl")))
     }).toDF()
     // restore the partition column's ORIGINAL type (the operator keys on its
-    // string image) so downstream joins/schemas see what the source declared
+    // string image) so downstream joins/schemas see what the source declared;
+    // under ALL ROWS the per-row shape re-exposes the ORDER BY column (from
+    // row_ts, original type) and the buffered columns by name
     val keyType = input.schema(part).dataType
-    val projected = matched.select(
-      col("key").cast(keyType).as(part) +:
-        measures.map {
-          case Left((src, alias)) => col(src).as(alias)
-          case Right(m) => col(m.fold(_.alias, _.alias)) // emitted under its alias already
-        }: _*)
+    val measureProj = measures.map {
+      case Left((src, alias)) => col(src).as(alias)
+      case Right(m) => col(m.fold(_.alias, _.alias)) // emitted under its alias already
+    }
+    val projected =
+      if (!allRowsPerMatch) matched.select(col("key").cast(keyType).as(part) +: measureProj: _*)
+      else matched.select(col("key").cast(keyType).as(part) +:
+        col("row_ts").cast(input.schema(ord).dataType).as(ord) +:
+        (allRowsCondCols.map(col) ++ measureProj): _*)
     // the stage's outer SELECT runs over the matched view, with the user's
     // table alias RE-ATTACHED so qualified refs (mr.start_ts) still resolve
     val keywords = Set("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION",

@@ -71,10 +71,16 @@ object StreamingMatchRecognize {
   /** A value MEASURE over the buffered columns (r11 — Flink standing queries
     * report prices, not just span timestamps): `FIRST|LAST(tokens(tok).name
     * .col)` where `col` must be one of the operator's buffered `condCols`.
-    * Emitted per match from the winning placement; a token that matched no
-    * rows yields NULL (the optional-variable rule).
+    * `tok` may also index a SUBSET union variable (r12): `nTok + subsetIdx`
+    * reads the union of the member runs in row order. Emitted per match from
+    * the winning placement; a token that matched no rows yields NULL (the
+    * optional-variable rule). `running` (ALL ROWS only, r12): the view at
+    * each emitted row — first/last of the target's rows AT OR BEFORE it,
+    * NULL before the run begins (the standard's RUNNING semantics, the
+    * ALL-ROWS default in the batch frontend).
     */
-  case class MrMeasure(isFirst: Boolean, tok: Int, col: String, alias: String)
+  case class MrMeasure(isFirst: Boolean, tok: Int, col: String, alias: String,
+                       running: Boolean = false)
 
   /** An aggregate MEASURE over a variable's matched rows (r11 — Flink CEP
     * supports aggregates in standing MEASURES; the batch scan's exactness
@@ -84,9 +90,14 @@ object StreamingMatchRecognize {
     * values (order-independent, bit-equal to the batch scan and the DuckDB
     * decimal forms); avg ONE double division of that exact sum by the
     * non-null count; min/max the column's type by natural order. Non-cnt
-    * aggregates are NULL on an empty run.
+    * aggregates are NULL on an empty run. `tok` may index a SUBSET union
+    * variable (`nTok + subsetIdx`, r12) — the aggregate pools the member
+    * runs. `running` (ALL ROWS only, r12): incremental per-emitted-row
+    * prefix aggregates, excluded rows folded before the next emitted row
+    * (the batch scan's __mr_run_agg contract).
     */
-  case class MrAggMeasure(fn: String, tok: Int, col: String, alias: String) {
+  case class MrAggMeasure(fn: String, tok: Int, col: String, alias: String,
+                          running: Boolean = false) {
     require(Set("cnt", "sum", "min", "max", "avg").contains(fn), s"unknown aggregate '$fn'")
     require(col != "*" || fn == "cnt", s"'$fn(*)' is not a thing — name a column")
   }
@@ -105,18 +116,17 @@ object StreamingMatchRecognize {
 
   /** Mutable evaluation context over the growing per-key buffers; rows are
     * pre-wrapped GenericRows over the stored cell arrays (zero per-read
-    * allocation). `brPosRef` carries the branch being attempted's variable
-    * positions so cross-variable visibility is BRANCH-positional, exactly
-    * the batch scan's placedBefore rule under alternation.
+    * allocation). `placedA` carries the attempt path's committed placements
+    * so cross-variable visibility is PATH-positional — the program-order
+    * generalization of the batch scan's placedBefore rule (r12).
     */
   private final class Cx(rowsB: ArrayBuffer[Row], val startsA: Array[Int],
-                         val countsA: Array[Int]) extends MrConditions.Ctx {
+                         val countsA: Array[Int], val placedA: Array[Boolean])
+    extends MrConditions.Ctx {
     var curPos = 0
     var self = 0
     var runStart = 0
     var maxP = 0
-    var brPosRef: Array[Int] = _
-    var selfBrPos = 0
     def cur: Row = rowsB(curPos)
     def rowAt(pos: Int): Row = rowsB(pos)
     def selfTok: Int = self
@@ -125,8 +135,7 @@ object StreamingMatchRecognize {
     def starts: Array[Int] = startsA
     def counts: Array[Int] = countsA
     override def maxPos: Int = maxP
-    override def placedBefore(tok: Int): Boolean =
-      brPosRef(tok) >= 0 && brPosRef(tok) < selfBrPos
+    override def placedBefore(tok: Int): Boolean = placedA(tok)
   }
 
   /** Linear-sequence entry (the pre-r11 surface, unchanged): every token is
@@ -161,8 +170,15 @@ object StreamingMatchRecognize {
     * WINNING branch emits, and an OPEN branch (extensible by future events)
     * DEFERS the whole position — a later branch that already matches must
     * not pre-empt an earlier one that may yet match (leftmost preference is
-    * decided, never raced). Output exclusion is refused (the streaming shape
-    * is ONE-ROW QMatch — exclusion only affects ALL ROWS emission).
+    * decided, never raced). Since r12 choice points execute by the caller's
+    * parse `tree` when given (ISO per-choice-point preferment — see
+    * [[graft.operators.MrProg]]); `allRows` switches the output to one row
+    * per non-excluded matched row (`row_ts`/`row_tie`/`cls` + the buffered
+    * columns, RUNNING/FINAL measure views), emitted in row order in the
+    * micro-batch that decides the winner — which is also what makes
+    * `{- exclusion -}` meaningful on a standing query; `subsets` are the
+    * SUBSET union variables (measure `tok = nTok + subsetIdx` pools the
+    * member runs; DEFINE references resolve as SubCol union reads).
     */
   def applyPattern(df: DataFrame, keyCol: String, condCols: Seq[String],
                    tsCol: String, tieCol: String,
@@ -174,37 +190,66 @@ object StreamingMatchRecognize {
                    stateProbe: Option[StreamingOps.MaxAccumulator] = None,
                    measures: Seq[MrMeasure] = Seq.empty,
                    aggMeasures: Seq[MrAggMeasure] = Seq.empty,
-                   matchNumberAlias: Option[String] = None): DataFrame = {
+                   matchNumberAlias: Option[String] = None,
+                   tree: Option[graft.operators.MrPattern.Node] = None,
+                   allRows: Boolean = false,
+                   subsets: Seq[(String, Seq[Int])] = Seq.empty,
+                   openTailAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val nTok = varNames.size
+    val nSub = subsets.size
     require(condCols.nonEmpty, "conditions must reference at least one column")
     require(nTok > 0, "pattern must name at least one variable")
     require(varNames.distinct.size == nTok, s"duplicate variable name in $varNames")
     require(branches.nonEmpty, "pattern must carry at least one branch")
+    subsets.foreach { case (nm, members) =>
+      require(members.nonEmpty, s"SUBSET $nm needs at least one member variable")
+      require(members.forall(m => m >= 0 && m < nTok),
+        s"SUBSET $nm references an unknown variable index")
+      require(members.distinct.size == members.size, s"SUBSET $nm repeats a member")
+      require(!varNames.contains(nm), s"SUBSET $nm collides with a pattern variable name")
+    }
+    require(subsets.map(_._1).distinct.size == nSub, "duplicate SUBSET name")
     branches.foreach { b =>
       require(b.nonEmpty, "empty pattern branch")
       require(b.map(_.v).distinct.size == b.size, "a variable may appear only once per branch")
       b.foreach { t =>
         require(t.v >= 0 && t.v < nTok, s"branch token indexes unknown variable ${t.v}")
-        require(!t.excluded,
-          "streaming MATCH_RECOGNIZE does not support {- exclusion -} (ONE-ROW output shape)")
+        require(allRows || !t.excluded,
+          "streaming MATCH_RECOGNIZE supports {- exclusion -} only under ALL ROWS PER MATCH " +
+            "(under the ONE-ROW shape it has no effect — same rule as the batch scan)")
       }
     }
     require(branches.exists(_.exists(t => t.hi.forall(_ > 0))),
       "pattern admits only the empty match")
+    // the ALL-ROWS output adds per-row columns and the buffered condCols by
+    // their source names — widen the reserved-name guard accordingly
+    val reservedOut: Set[String] =
+      Set("key", "match_start_ts", "match_end_ts", "start_tie", "matched_len") ++
+        (if (allRows) Set("row_ts", "row_tie", "cls") else Set.empty)
+    if (allRows) {
+      val clash = condCols.filter(reservedOut.contains)
+      require(clash.isEmpty,
+        s"ALL ROWS PER MATCH emits the buffered columns by name; $clash collide with the " +
+          "operator's fixed output columns — rename them upstream")
+    }
     measures.foreach { m =>
-      require(m.tok >= 0 && m.tok < nTok, s"measure over unknown token index ${m.tok}")
+      require(m.tok >= 0 && m.tok < nTok + nSub,
+        s"measure over unknown token/subset index ${m.tok}")
       require(condCols.contains(m.col),
         s"measure column '${m.col}' must be among the buffered condCols $condCols")
-      require(!Set("key", "match_start_ts", "match_end_ts", "start_tie", "matched_len")
-        .contains(m.alias) && !m.alias.startsWith("__mr_"),
+      require(!m.running || allRows, s"RUNNING measure '${m.alias}' needs ALL ROWS PER MATCH")
+      require(!reservedOut.contains(m.alias) && !m.alias.startsWith("__mr_") &&
+        !(allRows && condCols.contains(m.alias)),
         s"measure alias '${m.alias}' collides with an output/reserved name")
     }
     aggMeasures.foreach { m =>
-      require(m.tok >= 0 && m.tok < nTok, s"aggregate measure over unknown token index ${m.tok}")
+      require(m.tok >= 0 && m.tok < nTok + nSub,
+        s"aggregate measure over unknown token/subset index ${m.tok}")
       require(m.col == "*" || condCols.contains(m.col),
         s"aggregate measure column '${m.col}' must be among the buffered condCols $condCols")
-      require(!Set("key", "match_start_ts", "match_end_ts", "start_tie", "matched_len")
-        .contains(m.alias) && !m.alias.startsWith("__mr_"),
+      require(!m.running || allRows, s"RUNNING measure '${m.alias}' needs ALL ROWS PER MATCH")
+      require(!reservedOut.contains(m.alias) && !m.alias.startsWith("__mr_") &&
+        !(allRows && condCols.contains(m.alias)),
         s"measure alias '${m.alias}' collides with an output/reserved name")
       if (m.col != "*") {
         val dt = df.schema(m.col).dataType
@@ -254,34 +299,39 @@ object StreamingMatchRecognize {
     // unchanged; the compile also runs the plan-time type check
     val condSchema = StructType(condCols.map(c => df.schema(c)))
     val varIdx = varNames.zipWithIndex.toMap
+    val subsetDefMap: Map[String, Seq[Int]] = subsets.toMap
     val compiled: Array[MrConditions.Compiled] = defs.zipWithIndex.map { case (o, i) =>
-      o.map(MrConditions.compile(_, condSchema, varIdx, varNames(i), allowNav = true)).orNull
+      o.map(MrConditions.compile(_, condSchema, varIdx, varNames(i), allowNav = true,
+        subsets = subsetDefMap)).orNull
     }.toArray
     val navDepth = compiled.filter(_ != null).map(MrConditions.maxPrevDepth).foldLeft(0)(math.max)
 
     val nCond = condCols.size
-    // branch tables: token position → global variable / quantifier; brPos =
-    // global variable → position in the branch (-1 absent) for placedBefore
-    val nBr = branches.size
-    val brVar: Array[Array[Int]] = branches.map(_.map(_.v).toArray).toArray
-    val brLo: Array[Array[Int]] = branches.map(_.map(_.lo).toArray).toArray
-    val brHi: Array[Array[Int]] = branches.map(_.map(_.hi.getOrElse(Int.MaxValue)).toArray).toArray
-    val brRel: Array[Array[Boolean]] = branches.map(_.map(_.reluctant).toArray).toArray
-    val brPos: Array[Array[Int]] = branches.map { b =>
-      val p = Array.fill(nTok)(-1)
-      b.zipWithIndex.foreach { case (t, i) => p(t.v) = i }
-      p
-    }.toArray
+    // the execution program (r12): the parse tree when the caller has one —
+    // choice points decided at their written positions (ISO preferment) —
+    // otherwise the branch-shaped choice (identical order for linear and
+    // front-choice patterns)
+    val prog: graft.operators.MrProg = tree
+      .map(t => graft.operators.MrProg.ofTree(t, varIdx))
+      .getOrElse(graft.operators.MrProg.ofBranches(branches))
     val withinUs = withinSeconds * 1000000L
 
-    // QMatch's shape (the r10 contract) plus the value-measure columns in
-    // declaration order, typed from the buffered schema
+    // QMatch's shape (the r10 contract); under ALL ROWS (r12) each matched
+    // row additionally carries its own (ts, tie), the CLASSIFIER and the
+    // buffered columns by their source names — then the value-measure
+    // columns in declaration order, typed from the buffered schema
     val outSchema = StructType(Seq(
       StructField("key", StringType, nullable = true),
       StructField("match_start_ts", TimestampType, nullable = true),
       StructField("match_end_ts", TimestampType, nullable = true),
       StructField("start_tie", LongType, nullable = false),
       StructField("matched_len", IntegerType, nullable = false)) ++
+      (if (allRows) Seq(
+        StructField("row_ts", TimestampType, nullable = true),
+        StructField("row_tie", LongType, nullable = false),
+        StructField("cls", StringType, nullable = false)) ++
+        condSchema.fields.toSeq.map(_.copy(nullable = true))
+      else Nil) ++
       measures.map(m => condSchema(condSchema.fieldIndex(m.col)).copy(
         name = m.alias, nullable = true)) ++
       aggMeasures.map(m => StructField(m.alias, m.fn match {
@@ -291,14 +341,26 @@ object StreamingMatchRecognize {
         case _ => condSchema(condSchema.fieldIndex(m.col)).dataType
       }, nullable = true)) ++
       matchNumberAlias.map(a => StructField(a, LongType, nullable = false)))
-    val measArr: Array[(Boolean, Int, Int)] =
-      measures.map(m => (m.isFirst, m.tok, condSchema.fieldIndex(m.col))).toArray
+    val measArr: Array[(Boolean, Int, Int, Boolean)] =
+      measures.map(m => (m.isFirst, m.tok, condSchema.fieldIndex(m.col), m.running)).toArray
     val nMeas = measArr.length
-    // (fnCode, tok, colIdx or -1 for '*')
-    val aggMeasArr: Array[(Int, Int, Int)] = aggMeasures.map(m =>
-      (AggFnCode(m.fn), m.tok, if (m.col == "*") -1 else condSchema.fieldIndex(m.col))).toArray
+    // (fnCode, tok, colIdx or -1 for '*', running)
+    val aggMeasArr: Array[(Int, Int, Int, Boolean)] = aggMeasures.map(m =>
+      (AggFnCode(m.fn), m.tok, if (m.col == "*") -1 else condSchema.fieldIndex(m.col),
+        m.running)).toArray
     val nAggMeas = aggMeasArr.length
     val hasMatchNumber = matchNumberAlias.isDefined
+    val subMembersArr: Array[Array[Int]] = subsets.map(_._2.toArray).toArray
+    // per-row extras under ALL ROWS: row_ts, row_tie, cls, the condCols
+    val nRowCols = if (allRows) 3 + nCond else 0
+    // RUNNING-aggregate fold membership: measure am folds rows classified as
+    // variable gv (the target itself, or a member of the target SUBSET)
+    val aggFoldTarget: Array[Array[Boolean]] = aggMeasures.map { m =>
+      val a = new Array[Boolean](nTok)
+      if (m.tok < nTok) a(m.tok) = true
+      else subsets(m.tok - nTok)._2.foreach(u => a(u) = true)
+      a
+    }.toArray
 
     implicit val outEnc = Encoders.row(outSchema)
     implicit val stEnc = Encoders.kryo[Buf]
@@ -321,7 +383,29 @@ object StreamingMatchRecognize {
       .groupByKey(_.getString(0))
       .flatMapGroupsWithState[Buf, Row](OutputMode.Append(), StreamingOps.ttlConf(ttlSeconds)) {
         (key: String, rows: Iterator[Row], state: GroupState[Buf]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          if (state.hasTimedOut) {
+            // the open-tail contract, made observable (r12): a key expiring
+            // with a still-OPEN attempt is a run that never decided and never
+            // emitted — the bounded-stream tail a user previously saw only by
+            // diffing against the batch scan. Counted per expiring key into
+            // the caller's named accumulator and logged; keys on a bounded
+            // stream WITHOUT a TTL never time out, so the harness diff stays
+            // the oracle there (scaladoc).
+            openTailAcc.foreach { acc =>
+              state.getOption.foreach { buf =>
+                val open =
+                  if (skipPast) { if (buf.cursor < buf.cells.length) 1 else 0 }
+                  else buf.undecided.count(identity)
+                if (open > 0) {
+                  acc.add(open.toLong)
+                  org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                    s"StreamingMatchRecognize: key '$key' expired (TTL) with $open undecided " +
+                      "open attempt(s) — runs that never completed and were never emitted")
+                }
+              }
+            }
+            state.remove(); Iterator.empty
+          }
           else {
             val buf = state.getOption.getOrElse(
               Buf(Array.empty, Array.empty, Array.empty, 0, Array.empty))
@@ -339,116 +423,203 @@ object StreamingMatchRecognize {
 
             val starts = new Array[Int](nTok)
             val counts = new Array[Int](nTok)
-            val cx = new Cx(rowsB, starts, counts)
+            val placed = new Array[Boolean](nTok)
+            val cx = new Cx(rowsB, starts, counts, placed)
+            // program tables (hoisted for the hot loop)
+            val pKind = prog.kind; val pV = prog.v
+            val pLo = prog.lo; val pHi = prog.hi
+            val pRel = prog.rel; val pExcl = prog.excl
+            val pNxt = prog.nxt; val pAlts = prog.alts
+            // the winning attempt path in ROW order (ALL ROWS emission and
+            // exclusion need the order; depth <= nTok)
+            val pathVar = new Array[Int](nTok)
+            val pathStart = new Array[Int](nTok)
+            val pathCount = new Array[Int](nTok)
+            val pathExcl = new Array[Boolean](nTok)
+            var pathLen = 0
 
-            /** 1 holds, 0 not, -1 undecidable until the successor arrives.
-              * `gv` = global variable, `bt` = its position in the branch
-              * being attempted (placedBefore visibility).
-              */
-            def predOk(gv: Int, bt: Int, pos: Int, runStart: Int): Int = {
+            /** 1 holds, 0 not, -1 undecidable until the successor arrives. */
+            def predOk(gv: Int, pos: Int, runStart: Int): Int = {
               val d = compiled(gv)
               if (d == null) 1
               else {
-                cx.self = gv; cx.runStart = runStart; cx.curPos = pos; cx.selfBrPos = bt
+                cx.self = gv; cx.runStart = runStart; cx.curPos = pos
                 d.holdsOrDefer(cx)
               }
             }
 
-            /** >0 winner len, -1 open, 0 dead for ONE branch at start p —
-              * the batch NFA's greedy (and reluctant) exploration with the
-              * streaming open rules; counts of branch-earlier tokens are
-              * fixed along each attempt path, so cross-variable conditions
-              * read the same placements the batch scan would. A NEXT() read
+            /** >0 winner len, -1 open, 0 dead — the batch program walk
+              * (choice points at their written positions, ISO preferment)
+              * with the streaming open rules: the FIRST non-dead outcome in
+              * preference order decides, so an OPEN possibility met before
+              * any completed match defers the WHOLE position (a lower-
+              * preference match must not pre-empt a higher-preference
+              * attempt that future events may yet complete). A NEXT() read
               * past the newest row aborts the whole attempt to OPEN
               * (decision deferred one event).
               */
-            def resolveBranch(b: Int, p: Int): Int = {
+            def resolve(p: Int): Int = {
               val len = rowsB.length
               val futureViolated = withinUs > 0L && tssB(len - 1) - tssB(p) > withinUs
-              val vs = brVar(b); val los = brLo(b); val his = brHi(b); val rels = brRel(b)
-              val bn = vs.length
-              cx.brPosRef = brPos(b)
-              def go(tokI: Int, pos: Int): Int = {
-                if (tokI == bn) return if (pos > p) pos - p else 0
-                val gv = vs(tokI)
-                starts(gv) = pos
-                // scan the run, capped at the quantifier's hi — rows beyond
-                // the cap are never placed, so they must not defer/decide
-                var avail = 0
-                var stop = 0 // 1 pred-false, 2 buffer-end, 3 within, 4 cap
-                while (stop == 0) {
-                  if (avail >= his(tokI)) stop = 4
-                  else if (pos + avail >= len) stop = 2
-                  else if (withinUs > 0L && tssB(pos + avail) - tssB(p) > withinUs) stop = 3
-                  else predOk(gv, tokI, pos + avail, pos) match {
-                    case 1 => avail += 1
-                    case 0 => stop = 1
-                    case _ => throw MrConditions.NotYet
+              java.util.Arrays.fill(counts, 0)
+              java.util.Arrays.fill(placed, false)
+              pathLen = 0
+              def walk(ip: Int, pos: Int): Int = pKind(ip) match {
+                case 2 => if (pos > p) pos - p else 0 // the empty match never selects
+                case 1 =>
+                  val ts = pAlts(ip)
+                  var i = 0
+                  while (i < ts.length) {
+                    val r = walk(ts(i), pos)
+                    if (r != 0) return r // winner or open — both stop lower preference
+                    i += 1
                   }
-                }
-                // stop==2 implies avail < hi (cap checked first): the run is
-                // still extensible by future events unless the horizon is
-                // already past every extension
-                val openHere = stop == 2 && !futureViolated
-                if (rels(tokI)) {
-                  // lazy: shortest first; a win or an open at count k blocks
-                  // every longer k, and only an all-dead scan of an
-                  // extensible run stays open
-                  var c = los(tokI)
-                  while (c <= avail) {
-                    counts(gv) = c
-                    val r = go(tokI + 1, pos + c)
-                    if (r != 0) return r
-                    c += 1
-                  }
-                  if (openHere) return -1
-                  counts(gv) = 0
                   0
-                } else {
-                  if (openHere) return -1
-                  var c = avail
-                  while (c >= los(tokI)) {
-                    counts(gv) = c
-                    val r = go(tokI + 1, pos + c)
-                    if (r != 0) return r
-                    c -= 1
+                case _ =>
+                  val gv = pV(ip)
+                  starts(gv) = pos
+                  // scan the run, capped at the quantifier's hi — rows beyond
+                  // the cap are never placed, so they must not defer/decide
+                  var avail = 0
+                  var stop = 0 // 1 pred-false, 2 buffer-end, 3 within, 4 cap
+                  while (stop == 0) {
+                    if (avail >= pHi(ip)) stop = 4
+                    else if (pos + avail >= len) stop = 2
+                    else if (withinUs > 0L && tssB(pos + avail) - tssB(p) > withinUs) stop = 3
+                    else predOk(gv, pos + avail, pos) match {
+                      case 1 => avail += 1
+                      case 0 => stop = 1
+                      case _ => throw MrConditions.NotYet
+                    }
                   }
-                  counts(gv) = 0
-                  0
-                }
+                  // stop==2 implies avail < hi (cap checked first): the run is
+                  // still extensible by future events unless the horizon is
+                  // already past every extension
+                  val openHere = stop == 2 && !futureViolated
+                  val d = pathLen
+                  pathVar(d) = gv; pathStart(d) = pos; pathExcl(d) = pExcl(ip)
+                  def tryCount(k: Int): Int = {
+                    counts(gv) = k
+                    pathCount(d) = k
+                    placed(gv) = true
+                    pathLen = d + 1
+                    val r = walk(pNxt(ip), pos + k)
+                    if (r == 0) { pathLen = d; placed(gv) = false }
+                    r
+                  }
+                  if (pRel(ip)) {
+                    // lazy: shortest first; a win or an open at count k blocks
+                    // every longer k, and only an all-dead scan of an
+                    // extensible run stays open
+                    var c = pLo(ip)
+                    while (c <= avail) {
+                      val r = tryCount(c)
+                      if (r != 0) return r
+                      c += 1
+                    }
+                    if (openHere) return -1
+                    counts(gv) = 0
+                    0
+                  } else {
+                    if (openHere) return -1
+                    var c = avail
+                    while (c >= pLo(ip)) {
+                      val r = tryCount(c)
+                      if (r != 0) return r
+                      c -= 1
+                    }
+                    counts(gv) = 0
+                    0
+                  }
               }
-              try go(0, p) catch { case MrConditions.NotYet => -1 }
+              try walk(prog.entry, p) catch { case MrConditions.NotYet => -1 }
             }
 
-            /** Branches in preference order (r11): a DEAD branch falls
-              * through; a WINNER emits (its placements are live in
-              * starts/counts); an OPEN branch defers the WHOLE position —
-              * a later branch matching now must not pre-empt an earlier
-              * branch that future events may yet complete (leftmost
-              * preference is decided, never raced — closed-stream parity
-              * with the batch scan's branch order).
+            /** Placed runs of measure target `m` — a variable, or a SUBSET
+              * union (`nTok + i`): the member runs pooled in row order —
+              * packed (start << 32 | len). Valid right after a winning
+              * resolve (a successful recursion returns without mutation).
               */
-            def resolve(p: Int): Int = {
-              var b = 0
-              while (b < nBr) {
-                // zero UNCONDITIONALLY (r12): a prior match in the same
-                // invocation leaves placements for variables absent from
-                // this branch; a stale count > 0 would make emitMatch read
-                // a previous match's rows for a variable the winner never
-                // placed (non-NULL measures that should be NULL)
-                java.util.Arrays.fill(counts, 0)
-                resolveBranch(b, p) match {
-                  case 0 => b += 1
-                  case r => return r // winner or open
+            def runsOf(m: Int): Array[Long] =
+              if (m < nTok) {
+                if (counts(m) > 0)
+                  Array((starts(m).toLong << 32) | (counts(m).toLong & 0xffffffffL))
+                else Array.emptyLongArray
+              } else subMembersArr(m - nTok).filter(u => counts(u) > 0).sortBy(starts(_))
+                .map(u => (starts(u).toLong << 32) | (counts(u).toLong & 0xffffffffL))
+
+            /** FIRST/LAST over runs. `limitPos < 0` = the FINAL whole-match
+              * view; otherwise the RUNNING view at that buffer position
+              * (rows at or before it; NULL before the target's run begins).
+              */
+            def valueMeasureAt(isFirst: Boolean, rs: Array[Long], colI: Int,
+                               limitPos: Int): Any = {
+              var firstIdx = -1; var lastIdx = -1
+              var i = 0
+              while (i < rs.length) {
+                val s = (rs(i) >> 32).toInt; val c = rs(i).toInt
+                if (limitPos < 0 || s <= limitPos) {
+                  if (firstIdx < 0) firstIdx = s
+                  val e = s + c - 1
+                  val eEff = if (limitPos < 0) e else math.min(e, limitPos)
+                  if (eEff > lastIdx) lastIdx = eEff
                 }
+                i += 1
               }
-              0
+              val at = if (isFirst) firstIdx else lastIdx
+              if (at < 0) null
+              else {
+                val row = rowsB(at)
+                if (row.isNullAt(colI)) null else row.get(colI)
+              }
             }
 
-            /** One output row for the winner starting at buffer position p:
-              * the QMatch columns plus the value measures read from the
-              * WINNING placement (resolve's starts/counts hold it — a
-              * successful recursion returns without further mutation).
+            /** Aggregate over runs (same exactness contract as the batch
+              * scan: exact HALF_UP-scale-6 decimal sums, one-division avg,
+              * natural-order min/max, non-null counting).
+              */
+            def aggOverRuns(fn: Int, rs: Array[Long], colI: Int): Any = {
+              var cntAcc = 0L
+              var dec: java.math.BigDecimal = null; var nd = 0L
+              var cmp: Any = null
+              var i = 0
+              while (i < rs.length) {
+                val s = (rs(i) >> 32).toInt; val e = s + rs(i).toInt - 1
+                var pos = s
+                while (pos <= e) {
+                  val row = rowsB(pos)
+                  fn match {
+                    case 0 => if (colI < 0 || !row.isNullAt(colI)) cntAcc += 1L
+                    case 1 | 4 => if (!row.isNullAt(colI)) {
+                      val d = MatchRecognize.toDecimal6(row.get(colI))
+                      dec = if (dec == null) d else dec.add(d)
+                      nd += 1L
+                    }
+                    case _ => if (!row.isNullAt(colI)) {
+                      val v = row.get(colI)
+                      if (cmp == null) cmp = v
+                      else {
+                        val r = v.asInstanceOf[Comparable[Any]].compareTo(cmp)
+                        if ((fn == 2 && r < 0) || (fn == 3 && r > 0)) cmp = v
+                      }
+                    }
+                  }
+                  pos += 1
+                }
+                i += 1
+              }
+              fn match {
+                case 0 => cntAcc
+                case 1 => dec // scale-6 by construction (DecimalType(38,6))
+                case 4 => if (dec == null) null
+                  else java.lang.Double.valueOf(dec.doubleValue() / nd)
+                case _ => cmp
+              }
+            }
+
+            /** ONE ROW PER MATCH for the winner starting at buffer position
+              * p: the QMatch columns plus the value/aggregate measures read
+              * from the WINNING placement.
               */
             def emitMatch(p: Int, len: Int): Unit = {
               val vals = new Array[Any](5 + nMeas + nAggMeas + (if (hasMatchNumber) 1 else 0))
@@ -459,58 +630,14 @@ object StreamingMatchRecognize {
               vals(4) = len
               var m = 0
               while (m < nMeas) {
-                val (isFirst, tok, colI) = measArr(m)
-                val c = counts(tok)
-                vals(5 + m) =
-                  if (c <= 0) null // the token matched no rows in the winner
-                  else {
-                    val row = rowsB(if (isFirst) starts(tok) else starts(tok) + c - 1)
-                    if (row.isNullAt(colI)) null else row.get(colI)
-                  }
+                val (isFirst, tok, colI, _) = measArr(m)
+                vals(5 + m) = valueMeasureAt(isFirst, runsOf(tok), colI, -1)
                 m += 1
               }
               var am = 0
               while (am < nAggMeas) {
-                val (fn, tok, colI) = aggMeasArr(am)
-                val c = counts(tok)
-                vals(5 + nMeas + am) = fn match {
-                  case 0 => // cnt: rows (colI < 0) or non-null values of the run
-                    var n = 0L; var r = 0
-                    while (r < c) {
-                      if (colI < 0 || !rowsB(starts(tok) + r).isNullAt(colI)) n += 1L
-                      r += 1
-                    }
-                    n
-                  case 1 | 4 => // sum / avg: exact scale-6 decimal accumulation
-                    var acc: java.math.BigDecimal = null; var n = 0L; var r = 0
-                    while (r < c) {
-                      val row = rowsB(starts(tok) + r)
-                      if (!row.isNullAt(colI)) {
-                        val d = MatchRecognize.toDecimal6(row.get(colI))
-                        acc = if (acc == null) d else acc.add(d)
-                        n += 1L
-                      }
-                      r += 1
-                    }
-                    if (acc == null) null
-                    else if (fn == 1) acc // scale-6 by construction (DecimalType(38,6))
-                    else java.lang.Double.valueOf(acc.doubleValue() / n)
-                  case _ => // min / max by the column type's natural order
-                    var acc: Any = null; var r = 0
-                    while (r < c) {
-                      val row = rowsB(starts(tok) + r)
-                      if (!row.isNullAt(colI)) {
-                        val v = row.get(colI)
-                        if (acc == null) acc = v
-                        else {
-                          val cmp = v.asInstanceOf[Comparable[Any]].compareTo(acc)
-                          if ((fn == 2 && cmp < 0) || (fn == 3 && cmp > 0)) acc = v
-                        }
-                      }
-                      r += 1
-                    }
-                    acc
-                }
+                val (fn, tok, colI, _) = aggMeasArr(am)
+                vals(5 + nMeas + am) = aggOverRuns(fn, runsOf(tok), colI)
                 am += 1
               }
               if (hasMatchNumber) {
@@ -518,6 +645,111 @@ object StreamingMatchRecognize {
                 vals(5 + nMeas + nAggMeas) = matchSeq
               }
               out += new GenericRow(vals)
+            }
+
+            /** ALL ROWS PER MATCH (r12): one output row per NON-EXCLUDED
+              * matched row of the decided winner, in row order — the batch
+              * scan's emission chain as a standing query. FINAL measures are
+              * computed once per match; RUNNING value measures read the
+              * placement clipped at the emitted row; RUNNING aggregates keep
+              * incremental accumulators (never a per-row prefix rescan), and
+              * an excluded `{- X -}` row folds into them BEFORE the next
+              * emitted row, exactly the batch contract. All rows of a match
+              * emit in the micro-batch that decides the winner.
+              */
+            def emitMatchRows(p: Int, len: Int): Unit = {
+              if (hasMatchNumber) matchSeq += 1L
+              val measRuns: Array[Array[Long]] =
+                if (nMeas == 0) null else Array.tabulate(nMeas)(m => runsOf(measArr(m)._2))
+              val finVals = new Array[Any](nMeas)
+              locally { var m = 0
+                while (m < nMeas) {
+                  val (isFirst, _, colI, running) = measArr(m)
+                  if (!running) finVals(m) = valueMeasureAt(isFirst, measRuns(m), colI, -1)
+                  m += 1
+                } }
+              val finAgg = new Array[Any](nAggMeas)
+              locally { var am = 0
+                while (am < nAggMeas) {
+                  val (fn, tok, colI, running) = aggMeasArr(am)
+                  if (!running) finAgg(am) = aggOverRuns(fn, runsOf(tok), colI)
+                  am += 1
+                } }
+              val accCnt = new Array[Long](nAggMeas)
+              val accDec = new Array[java.math.BigDecimal](nAggMeas)
+              val accN = new Array[Long](nAggMeas)
+              val accCmp = new Array[Any](nAggMeas)
+              val startTs = toTs(tssB(p)); val endTs = toTs(tssB(p + len - 1))
+              val startTie = tiesB(p)
+              var t = 0
+              while (t < pathLen) {
+                val gv = pathVar(t)
+                var r = 0
+                while (r < pathCount(t)) {
+                  val pos = pathStart(t) + r
+                  val row = rowsB(pos)
+                  // fold into RUNNING accumulators BEFORE the exclusion check
+                  var am = 0
+                  while (am < nAggMeas) {
+                    val (fn, _, colI, running) = aggMeasArr(am)
+                    if (running && aggFoldTarget(am)(gv)) fn match {
+                      case 0 => if (colI < 0 || !row.isNullAt(colI)) accCnt(am) += 1L
+                      case 1 | 4 => if (!row.isNullAt(colI)) {
+                        val d = MatchRecognize.toDecimal6(row.get(colI))
+                        accDec(am) = if (accDec(am) == null) d else accDec(am).add(d)
+                        accN(am) += 1L
+                      }
+                      case _ => if (!row.isNullAt(colI)) {
+                        val v = row.get(colI)
+                        if (accCmp(am) == null) accCmp(am) = v
+                        else {
+                          val c = v.asInstanceOf[Comparable[Any]].compareTo(accCmp(am))
+                          if ((fn == 2 && c < 0) || (fn == 3 && c > 0)) accCmp(am) = v
+                        }
+                      }
+                    }
+                    am += 1
+                  }
+                  if (!pathExcl(t)) { // {- X -}: matched but not emitted
+                    val vals = new Array[Any](5 + nRowCols + nMeas + nAggMeas +
+                      (if (hasMatchNumber) 1 else 0))
+                    vals(0) = key; vals(1) = startTs; vals(2) = endTs
+                    vals(3) = startTie; vals(4) = len
+                    vals(5) = toTs(tssB(pos)); vals(6) = tiesB(pos); vals(7) = varNames(gv)
+                    var ci = 0
+                    while (ci < nCond) {
+                      vals(8 + ci) = if (row.isNullAt(ci)) null else row.get(ci)
+                      ci += 1
+                    }
+                    var m = 0
+                    while (m < nMeas) {
+                      val (isFirst, _, colI, running) = measArr(m)
+                      vals(5 + nRowCols + m) =
+                        if (running) valueMeasureAt(isFirst, measRuns(m), colI, pos)
+                        else finVals(m)
+                      m += 1
+                    }
+                    var am2 = 0
+                    while (am2 < nAggMeas) {
+                      val (fn, _, _, running) = aggMeasArr(am2)
+                      vals(5 + nRowCols + nMeas + am2) =
+                        if (!running) finAgg(am2)
+                        else fn match {
+                          case 0 => accCnt(am2)
+                          case 1 => accDec(am2)
+                          case 4 => if (accDec(am2) == null) null
+                            else java.lang.Double.valueOf(accDec(am2).doubleValue() / accN(am2))
+                          case _ => accCmp(am2)
+                        }
+                      am2 += 1
+                    }
+                    if (hasMatchNumber) vals(5 + nRowCols + nMeas + nAggMeas) = matchSeq
+                    out += new GenericRow(vals)
+                  }
+                  r += 1
+                }
+                t += 1
+              }
             }
 
             rows.toSeq.sortBy(r => (StreamingOps.tsMicros(r.getTimestamp(1)),
@@ -550,7 +782,7 @@ object StreamingMatchRecognize {
                       case -1 => walking = false
                       case 0 => cursor += 1
                       case len =>
-                        emitMatch(cursor, len)
+                        if (allRows) emitMatchRows(cursor, len) else emitMatch(cursor, len)
                         cursor += len
                     }
                   }
@@ -570,7 +802,7 @@ object StreamingMatchRecognize {
                         case -1 => ()
                         case 0 => undecB(p) = false
                         case w =>
-                          emitMatch(p, w)
+                          if (allRows) emitMatchRows(p, w) else emitMatch(p, w)
                           undecB(p) = false
                       }
                     }

@@ -863,6 +863,270 @@ class StreamingSpec extends SparkSpec {
       s"a branch-0 winner after a prior match must not read stale placements: $got")
   }
 
+  // ---------------------------------------- streaming ALL ROWS PER MATCH (r12)
+
+  private def mrTicker(
+      mem: MemoryStream[(String, Timestamp, Long, Double)],
+      sink: String,
+      pattern: String = "S D+ U+",
+      measures: Seq[graft.streaming.StreamingMatchRecognize.MrMeasure] = Seq.empty,
+      aggMeasures: Seq[graft.streaming.StreamingMatchRecognize.MrAggMeasure] = Seq.empty,
+      subsets: Seq[(String, Seq[Int])] = Seq.empty,
+      allRows: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{MatchRecognize, MrPattern}
+    import graft.streaming.StreamingMatchRecognize
+    val (bs, names) = MrPattern.expand(pattern)
+    val nidx = names.zipWithIndex.toMap
+    val branches = bs.map(_.map(t =>
+      MatchRecognize.BTok(nidx(t.name), t.lo, t.hi, t.reluctant, t.excluded)).toIndexedSeq)
+    val defs = names.map {
+      case "D" => Some("D.value < PREV(D.value)")
+      case "U" => Some("U.value > PREV(U.value)")
+      case _ => None
+    }
+    StreamingMatchRecognize.applyPattern(
+      mem.toDF().toDF("u", "ts", "id", "value"), "u",
+      condCols = Seq("value"), tsCol = "ts", tieCol = "id",
+      varNames = names, branches = branches, defs = defs, skipPast = true,
+      measures = measures, aggMeasures = aggMeasures, allRows = allRows,
+      subsets = subsets, tree = Some(MrPattern.parse(pattern)))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+  }
+
+  test("streaming ALL ROWS: per-row emission with classifier, decided across micro-batches") {
+    // the q165 shape as a standing query: rows of ONE match arrive over
+    // three micro-batches; nothing emits until the breaking event decides
+    // the greedy U+ — then ALL matched rows emit at once, in row order
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Long, Double)]
+    val mem = MemoryStream[(String, Timestamp, Long, Double)]
+    val q = mrTicker(mem, "mr_allrows_sink")
+    try {
+      mem.addData(("k1", ts("2024-01-01 00:00:00"), 1L, 10.0),
+        ("k1", ts("2024-01-01 00:01:00"), 2L, 8.0))
+      q.processAllAvailable()
+      assert(spark.table("mr_allrows_sink").isEmpty, "greedy run still open — nothing decides")
+      mem.addData(("k1", ts("2024-01-01 00:02:00"), 3L, 7.0),
+        ("k1", ts("2024-01-01 00:03:00"), 4L, 9.0))
+      q.processAllAvailable()
+      assert(spark.table("mr_allrows_sink").isEmpty, "U+ still extensible — still open")
+      mem.addData(("k1", ts("2024-01-01 00:04:00"), 5L, 12.0),
+        ("k1", ts("2024-01-01 00:05:00"), 6L, 5.0)) // 5 breaks U+ → decided
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mr_allrows_sink")
+      .select("row_tie", "cls", "value", "matched_len", "start_tie")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getInt(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "S", 10.0, 5, 1L), (2L, "D", 8.0, 5, 1L), (3L, "D", 7.0, 5, 1L),
+      (4L, "U", 9.0, 5, 1L), (5L, "U", 12.0, 5, 1L)), got.toString)
+    // the trailing 5.0 row seeds an undecided S — never emitted (open tail)
+  }
+
+  test("streaming ALL ROWS: RUNNING vs FINAL measure views equal the batch contract") {
+    // q173's shape: RUNNING LAST(D.value)/LAST(U.value) see the match only
+    // up to each emitted row (NULL before the run begins); FINAL sees it all
+    import graft.streaming.StreamingMatchRecognize.MrMeasure
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Long, Double)]
+    val mem = MemoryStream[(String, Timestamp, Long, Double)]
+    val q = mrTicker(mem, "mr_runview_sink", measures = Seq(
+      MrMeasure(isFirst = false, 1, "value", "run_bottom", running = true),
+      MrMeasure(isFirst = false, 2, "value", "run_top", running = true),
+      MrMeasure(isFirst = false, 2, "value", "final_top")))
+    try {
+      mem.addData(("k1", ts("2024-01-01 00:00:00"), 1L, 10.0),
+        ("k1", ts("2024-01-01 00:01:00"), 2L, 8.0),
+        ("k1", ts("2024-01-01 00:02:00"), 3L, 7.0),
+        ("k1", ts("2024-01-01 00:03:00"), 4L, 9.0),
+        ("k1", ts("2024-01-01 00:04:00"), 5L, 12.0),
+        ("k1", ts("2024-01-01 00:05:00"), 6L, 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mr_runview_sink")
+      .select("row_tie", "cls", "run_bottom", "run_top", "final_top")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getDouble(4))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "S", None, None, 12.0),
+      (2L, "D", Some(8.0), None, 12.0),
+      (3L, "D", Some(7.0), None, 12.0),
+      (4L, "U", Some(7.0), Some(9.0), 12.0),
+      (5L, "U", Some(7.0), Some(12.0), 12.0)), got.toString)
+  }
+
+  test("streaming ALL ROWS: exclusion hides rows but they fold into RUNNING aggregates") {
+    // q178's shape: {- D+ -} rows are matched (anchor U+, count toward
+    // matched_len and aggregates, consumed by skip-past) but not emitted;
+    // the RUNNING count folds them BEFORE the first emitted U row
+    import graft.streaming.StreamingMatchRecognize.MrAggMeasure
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Long, Double)]
+    val mem = MemoryStream[(String, Timestamp, Long, Double)]
+    val q = mrTicker(mem, "mr_excl_sink", pattern = "S {- D+ -} U+", aggMeasures = Seq(
+      MrAggMeasure("cnt", 1, "*", "d_seen", running = true),
+      MrAggMeasure("cnt", 1, "*", "n_down"),
+      MrAggMeasure("sum", 2, "value", "run_up_sum", running = true)))
+    try {
+      mem.addData(("k1", ts("2024-01-01 00:00:00"), 1L, 10.0),
+        ("k1", ts("2024-01-01 00:01:00"), 2L, 8.0),
+        ("k1", ts("2024-01-01 00:02:00"), 3L, 7.0),
+        ("k1", ts("2024-01-01 00:03:00"), 4L, 9.0),
+        ("k1", ts("2024-01-01 00:04:00"), 5L, 12.0),
+        ("k1", ts("2024-01-01 00:05:00"), 6L, 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mr_excl_sink")
+      .selectExpr("row_tie", "cls", "d_seen", "n_down", "CAST(run_up_sum AS DOUBLE)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "S", 0L, 2L, None),
+      (4L, "U", 2L, 2L, Some(9.0)),
+      (5L, "U", 2L, 2L, Some(21.0))), got.toString)
+    // matched_len still counts the hidden rows
+    val lens = spark.table("mr_excl_sink").select("matched_len")
+      .collect().map(_.getInt(0)).toSet
+    assert(lens == Set(5))
+  }
+
+  test("streaming exclusion under ONE ROW stays refused (batch-scan rule)") {
+    import graft.operators.{MatchRecognize, MrPattern}
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Long, Double)]
+    val mem = MemoryStream[(String, Timestamp, Long, Double)]
+    val (bs, names) = MrPattern.expand("S {- D+ -} U+")
+    val nidx = names.zipWithIndex.toMap
+    val branches = bs.map(_.map(t =>
+      MatchRecognize.BTok(nidx(t.name), t.lo, t.hi, t.reluctant, t.excluded)).toIndexedSeq)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingMatchRecognize.applyPattern(
+        mem.toDF().toDF("u", "ts", "id", "value"), "u",
+        condCols = Seq("value"), tsCol = "ts", tieCol = "id",
+        varNames = names, branches = branches,
+        defs = Seq(None, Some("D.value < PREV(D.value)"), Some("U.value > PREV(U.value)")),
+        allRows = false)
+    }
+    assert(e.getMessage.contains("ALL ROWS"), e.getMessage)
+  }
+
+  test("streaming MR open-tail accumulator: a key expiring with an undecided run is counted") {
+    // r12 (verdict #7): the bounded-stream open-tail contract, observable —
+    // a TTL-expired key holding a still-OPEN attempt adds to the named
+    // accumulator (and logs), so production sees undecided-run counts
+    // without an oracle diff
+    import graft.operators.{MatchRecognize, MrPattern}
+    import graft.streaming.StreamingMatchRecognize
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Long, Double)]
+    val mem = MemoryStream[(String, Timestamp, Long, Double)]
+    val (bs, names) = MrPattern.expand("S D+ U+")
+    val nidx = names.zipWithIndex.toMap
+    val branches = bs.map(_.map(t =>
+      MatchRecognize.BTok(nidx(t.name), t.lo, t.hi, t.reluctant)).toIndexedSeq)
+    val acc = spark.sparkContext.longAccumulator("mr_open_tails_test")
+    val matched = StreamingMatchRecognize.applyPattern(
+      mem.toDF().toDF("u", "ts", "id", "value"), "u",
+      condCols = Seq("value"), tsCol = "ts", tieCol = "id",
+      varNames = names, branches = branches,
+      defs = Seq(None, Some("D.value < PREV(D.value)"), Some("U.value > PREV(U.value)")),
+      skipPast = true, ttlSeconds = 60L, ttlWatermarkDelay = "0 seconds",
+      openTailAcc = Some(acc))
+    val q = matched.writeStream.format("memory").queryName("mr_opentail_sink")
+      .outputMode("append").start()
+    try {
+      // k1: S D — the greedy attempt stays OPEN (no U yet)
+      mem.addData(("k1", ts("2024-01-01 00:00:00"), 1L, 10.0),
+        ("k1", ts("2024-01-01 00:01:00"), 2L, 8.0))
+      q.processAllAvailable()
+      assert(acc.value == 0L)
+      // k2 far in the future advances the watermark past k1's TTL → k1
+      // expires holding its undecided attempt
+      mem.addData(("k2", ts("2024-01-01 01:00:00"), 3L, 1.0))
+      q.processAllAvailable()
+      mem.addData(("k2", ts("2024-01-01 02:00:00"), 4L, 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(acc.value == 1L,
+      s"the expired key's undecided open attempt must be counted, got ${acc.value}")
+    assert(spark.table("mr_opentail_sink").isEmpty, "an undecided run never emits")
+  }
+
+  // ------------------------------------------------ streaming SUBSET (r12)
+
+  test("streaming SUBSET: aggregate and value MEASURES pool the member runs (q177 twin)") {
+    import graft.streaming.StreamingMatchRecognize.{MrAggMeasure, MrMeasure}
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Long, Double)]
+    val mem = MemoryStream[(String, Timestamp, Long, Double)]
+    // M = (D, U) at subset index 0 → measure tok = nTok + 0 = 3
+    val q = mrTicker(mem, "mr_subset_sink", allRows = false,
+      subsets = Seq(("M", Seq(1, 2))),
+      measures = Seq(
+        MrMeasure(isFirst = true, 3, "value", "move_first"),
+        MrMeasure(isFirst = false, 3, "value", "move_last")),
+      aggMeasures = Seq(
+        MrAggMeasure("cnt", 3, "*", "move_rows"),
+        MrAggMeasure("sum", 3, "value", "move_sum"),
+        MrAggMeasure("min", 3, "value", "move_min")))
+    try {
+      mem.addData(("k1", ts("2024-01-01 00:00:00"), 1L, 10.0),
+        ("k1", ts("2024-01-01 00:01:00"), 2L, 8.0),
+        ("k1", ts("2024-01-01 00:02:00"), 3L, 7.0),
+        ("k1", ts("2024-01-01 00:03:00"), 4L, 9.0),
+        ("k1", ts("2024-01-01 00:04:00"), 5L, 12.0),
+        ("k1", ts("2024-01-01 00:05:00"), 6L, 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mr_subset_sink")
+      .selectExpr("start_tie", "move_first", "move_last", "move_rows",
+        "CAST(move_sum AS DOUBLE)", "move_min")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq((1L, 8.0, 12.0, 4L, 36.0, 7.0)), got.toString)
+  }
+
+  test("streaming SUBSET in DEFINE: union FIRST caps the rise (q179 twin)") {
+    import graft.operators.{MatchRecognize, MrPattern}
+    import graft.streaming.StreamingMatchRecognize
+    import graft.streaming.StreamingMatchRecognize.MrAggMeasure
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Long, Double)]
+    val mem = MemoryStream[(String, Timestamp, Long, Double)]
+    val (bs, names) = MrPattern.expand("S D+ U+")
+    val nidx = names.zipWithIndex.toMap
+    val branches = bs.map(_.map(t =>
+      MatchRecognize.BTok(nidx(t.name), t.lo, t.hi, t.reluctant)).toIndexedSeq)
+    val matched = StreamingMatchRecognize.applyPattern(
+      mem.toDF().toDF("u", "ts", "id", "value"), "u",
+      condCols = Seq("value"), tsCol = "ts", tieCol = "id",
+      varNames = names, branches = branches,
+      defs = Seq(None, Some("D.value < PREV(D.value)"),
+        Some("U.value > PREV(U.value) AND U.value < 2 * FIRST(M.value)")),
+      skipPast = true, subsets = Seq(("M", Seq(nidx("S"), nidx("D")))),
+      aggMeasures = Seq(MrAggMeasure("cnt", nidx("U"), "*", "n_up")))
+    val q = matched.writeStream.format("memory").queryName("mr_subdef_sink")
+      .outputMode("append").start()
+    try {
+      // 2 * FIRST(M.value) = 20: the rise 9, 12 is kept, 25 is cut — the
+      // run decides at the 25 row (pred false), match ends at value 12
+      mem.addData(("k1", ts("2024-01-01 00:00:00"), 1L, 10.0),
+        ("k1", ts("2024-01-01 00:01:00"), 2L, 8.0),
+        ("k1", ts("2024-01-01 00:02:00"), 3L, 7.0),
+        ("k1", ts("2024-01-01 00:03:00"), 4L, 9.0),
+        ("k1", ts("2024-01-01 00:04:00"), 5L, 12.0),
+        ("k1", ts("2024-01-01 00:05:00"), 6L, 25.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mr_subdef_sink")
+      .select("start_tie", "matched_len", "n_up")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 5, 2L)), got.toString)
+  }
+
   test("streaming NEXT(): one-event deferral, WITHIN closes a deferred attempt; equals batch") {
     import graft.streaming.StreamingMatchRecognize
     import graft.operators.MatchRecognize.MrTok

@@ -517,7 +517,77 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
-  test("streaming MATCH_RECOGNIZE: alternation plans as a standing query; exclusion/SUBSET refuse") {
+  test("streaming MATCH_RECOGNIZE ALL ROWS PER MATCH: per-row standing output equals the batch route") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(String, String, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("ar_matches", "ar_events").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    val schema = mem.toDF().toDF("u", "t", "ts", "v").schema
+    TableRegistry.createTable(TableRegistry.TableDef("ar_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
+    // q165/q173's shape as a standing query: CLASSIFIER + RUNNING (the
+    // unmarked ALL-ROWS default) + FINAL measures, per-row emission
+    val mrSql = """
+      |SELECT * FROM %s
+      |  MATCH_RECOGNIZE (
+      |    PARTITION BY u
+      |    ORDER BY ts
+      |    MEASURES CLASSIFIER() AS cls, LAST(D.v) AS run_bottom,
+      |             FINAL LAST(U.v) AS final_top
+      |    ALL ROWS PER MATCH
+      |    PATTERN (S D+ U+)
+      |    DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v)
+      |  )""".stripMargin
+    SqlFrontend.execute(spark, "CREATE TABLE ar_matches AS" + mrSql.format("ar_events"))
+    val q = StatementCatalog.get("ar_matches").collect {
+      case StatementCatalog.Standing(_, _, query) => query
+    }.getOrElse(fail("ALL ROWS MATCH_RECOGNIZE CTAS must register a standing statement"))
+    def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
+    // the match spans two micro-batches; the final 5.0 breaks U+ and decides
+    val b1 = Seq(ev(0, 10.0), ev(1, 8.0), ev(2, 7.0))
+    val b2 = Seq(ev(3, 9.0), ev(4, 12.0), ev(5, 5.0))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(SqlFrontend.execute(spark, "SELECT * FROM ar_matches").isEmpty,
+        "no per-row output before the match decides")
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = SqlFrontend.execute(spark,
+        "SELECT u, ts, v, cls, run_bottom, final_top FROM ar_matches")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2), r.getString(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getDouble(5)))
+        .sortBy(_._2.getTime).toSeq
+      def t0(m: Int) = Timestamp.valueOf(f"2024-01-01 00:0$m:00")
+      assert(got == Seq(
+        ("k1", t0(0), 10.0, "S", None, 12.0),
+        ("k1", t0(1), 8.0, "D", Some(8.0), 12.0),
+        ("k1", t0(2), 7.0, "D", Some(7.0), 12.0),
+        ("k1", t0(3), 9.0, "U", Some(7.0), 12.0),
+        ("k1", t0(4), 12.0, "U", Some(7.0), 12.0)), got.mkString(";"))
+
+      // closed-stream parity with the BATCH ALL-ROWS scan on the same rows
+      import spark.implicits._
+      (b1 ++ b2).toDF("u", "t", "ts", "v").createOrReplaceTempView("ar_batch")
+      val batch = SqlFrontend.execute(spark, mrSql.format("ar_batch"))
+        .selectExpr("u", "ts", "v", "cls", "run_bottom", "final_top")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2), r.getString(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getDouble(5)))
+        .sortBy(_._2.getTime).toSeq
+      assert(batch == got, s"streaming ALL ROWS diverged from the batch scan:\n$batch\nvs\n$got")
+    } finally {
+      SqlFrontend.execute(spark, "DROP TABLE ar_matches")
+      TableRegistry.dropTable("ar_events")
+      StatementCatalog.reset()
+    }
+  }
+
+  test("streaming MATCH_RECOGNIZE: alternation/SUBSET plan as standing queries; ONE-ROW exclusion refuses") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.Encoders
@@ -553,12 +623,19 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       assert(StatementCatalog.status("comp_matches") == "RUNNING")
       SqlFrontend.execute(spark, "DROP TABLE comp_matches")
       StatementCatalog.reset()
-      // exclusion (ONE-ROW output shape) and SUBSET stay loud refusals
+      // exclusion under the ONE-ROW output shape stays a loud refusal (it
+      // has no effect there — the batch rule; ALL ROWS accepts it since r12)
       val e1 = intercept[Exception](SqlFrontend.execute(spark, ctas("A {- B -} C",
         define = "A AS A.v > 1.0, B AS B.v > 2.0, C AS C.v > 3.0")))
-      assert(e1.getMessage.contains("exclusion"), e1.getMessage)
-      val e2 = intercept[Exception](SqlFrontend.execute(spark, ctas("A B", "SUBSET M = (A, B)")))
-      assert(e2.getMessage.contains("SUBSET"), e2.getMessage)
+      assert(e1.getMessage.contains("ALL ROWS"), e1.getMessage)
+      // SUBSET union variables plan as standing queries since r12 — in
+      // MEASURES (pooled aggregates/values) and in DEFINE (SubCol reads)
+      SqlFrontend.execute(spark, ctas("A B", "SUBSET M = (A, B)",
+        measures = "FIRST(M.v) AS mf, count(M.*) AS mn, sum(M.v) AS ms",
+        define = "A AS A.v > 1.0, B AS B.v > FIRST(M.v)"))
+      assert(StatementCatalog.status("comp_matches") == "RUNNING")
+      SqlFrontend.execute(spark, "DROP TABLE comp_matches")
+      StatementCatalog.reset()
       // a linear quantified pattern still plans fine on the same table —
       // with aggregate MEASURES (r11: count/sum/avg parse to MrAggMeasure)
       SqlFrontend.execute(spark, ctas("A{1,2} B",
