@@ -517,6 +517,64 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("streaming MATCH_RECOGNIZE refusal list matches the documented surface (r12)") {
+    // StreamPlanner's scaladoc names exactly four loud refusals; this spec
+    // pins each message so the doc and the code can't drift apart
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(String, String, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("ref_matches", "ref_events").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    val schema = mem.toDF().toDF("u", "t", "ts", "v").schema
+    TableRegistry.createTable(TableRegistry.TableDef("ref_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
+    def ctas(measures: String, perMatch: String, after: String, pattern: String,
+             define: String) =
+      s"""CREATE TABLE ref_matches AS
+         |SELECT * FROM ref_events
+         |  MATCH_RECOGNIZE (
+         |    PARTITION BY u
+         |    ORDER BY ts
+         |    MEASURES $measures
+         |    $perMatch PER MATCH
+         |    $after
+         |    PATTERN ($pattern)
+         |    DEFINE $define
+         |  )""".stripMargin
+    def refuse(sql: String): String = {
+      val e = intercept[Exception](SqlFrontend.execute(spark, sql))
+      if (TableRegistry.exists("ref_matches"))
+        SqlFrontend.execute(spark, "DROP TABLE ref_matches")
+      StatementCatalog.reset()
+      e.getMessage
+    }
+    try {
+      // 1. exclusion under ONE ROW (no effect there — the batch rule)
+      assert(refuse(ctas("LAST(A.v) AS av", "ONE ROW", "", "A {- B -} C",
+        "A AS A.v > 1.0, B AS B.v > 2.0, C AS C.v > 3.0")).contains("ALL ROWS"))
+      // 2. MATCH_NUMBER() under SKIP TO NEXT ROW (ordinal scrambling)
+      assert(refuse(ctas("MATCH_NUMBER() AS seq", "ONE ROW", "AFTER MATCH SKIP TO NEXT ROW",
+        "A B", "A AS A.v > 1.0, B AS B.v > 2.0")).contains("scrambling"))
+      // 3. RUNNING on a match-END span measure (mark it FINAL)
+      assert(refuse(ctas("CLASSIFIER() AS cls, LAST(B.ts) AS end_ts", "ALL ROWS", "",
+        "A B+", "A AS A.v > 1.0, B AS B.v > 2.0")).contains("FINAL"))
+      // 4. DEFINEs over the ORDER BY column
+      assert(refuse(ctas("LAST(B.v) AS bv", "ONE ROW", "", "A B",
+        "A AS A.v > 1.0, B AS B.ts > A.ts")).contains("ORDER BY"))
+    } finally {
+      if (TableRegistry.exists("ref_matches"))
+        SqlFrontend.execute(spark, "DROP TABLE ref_matches")
+      TableRegistry.dropTable("ref_events")
+      StatementCatalog.reset()
+    }
+  }
+
   test("streaming MATCH_RECOGNIZE ALL ROWS PER MATCH: per-row standing output equals the batch route") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
