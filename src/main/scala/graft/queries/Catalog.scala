@@ -4443,6 +4443,63 @@ FROM n"""))
     JOIN r rm ON rm.user_id = sel.user_id AND rm.rn = sel.m
     JOIN r re ON re.user_id = sel.user_id AND re.rn = sel.e"""))
 
+  private val q180 = Q("q180_match_iso_preferment", (s, dir) => {
+    // ISO 9075-2 choice-point preferment (r12 — the conformance case the
+    // per-choice-point program walk exists for): in PATTERN (D+ (E | U)) the
+    // greedy D+ is encountered BEFORE the alternation, so it dominates — D+
+    // takes the maximal falling run, and only then does the choice test E
+    // (one more fall — impossible after a maximal run) and U (a rise).
+    // Branch-major expansion selected the OTHER match wherever a fall island
+    // is followed by a rise: all of branch [D+ E] was tried first, so D
+    // backtracked one row and E took the island's last fall, never reaching
+    // U — this query hash-FAILS on the r11 engine, pinning the r12 order.
+    // SKIP TO NEXT ROW so every fall row anchors independently (no selection
+    // chain in the oracle).
+    t(s, dir, "events").createOrReplaceTempView("events_mr_iso")
+    graft.sql.SqlFrontend.execute(s, """
+      SELECT * FROM events_mr_iso MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES
+          FIRST(D.ts) AS match_start_ts,
+          FIRST(D.event_id) AS start_tie,
+          count(D.*) AS n_down,
+          LAST(E.value) AS e_val,
+          LAST(U.value) AS u_val,
+          LAST(E.ts) AS e_ts,
+          LAST(U.ts) AS u_ts
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (D+ (E | U))
+        DEFINE D AS D.value < PREV(D.value),
+               E AS E.value < PREV(E.value),
+               U AS U.value > PREV(U.value)
+      )""")
+      .select(col("user_id"),
+        col("match_start_ts").cast("timestamp_ntz").as("match_start_ts"),
+        col("start_tie"), col("n_down"), col("e_val"), col("u_val"),
+        coalesce(col("u_ts"), col("e_ts")).cast("timestamp_ntz").as("end_ts"))
+  }, Some(s"""
+    WITH $MR_RUNS,
+      -- every fall row anchors; m = its maximal fall-run end
+      m0 AS (SELECT s.user_id, s.rn, s.ts AS start_ts, s.event_id AS start_tie,
+                    d.run_end AS m
+             FROM r s JOIN dre d ON d.user_id = s.user_id AND d.rn = s.rn
+             WHERE s.dflag),
+      -- the successor row decides the choice: a rise -> 'D{k} U' (the greedy
+      -- quantifier dominates); otherwise D backtracks one row and E takes the
+      -- island's last fall -> 'D{k-1} E' (needs k >= 2)
+      sel AS (SELECT m0.user_id, m0.rn, m0.start_ts, m0.start_tie, m0.m,
+                     coalesce(nxt.uflag, FALSE) AS rise, nxt.value AS nv, nxt.ts AS nts
+              FROM m0 LEFT JOIN r nxt ON nxt.user_id = m0.user_id AND nxt.rn = m0.m + 1)
+    SELECT sel.user_id, start_ts AS match_start_ts, start_tie,
+           CAST(CASE WHEN rise THEN m - sel.rn + 1 ELSE m - sel.rn END AS BIGINT) AS n_down,
+           CASE WHEN rise THEN NULL ELSE rm.value END AS e_val,
+           CASE WHEN rise THEN nv END AS u_val,
+           CASE WHEN rise THEN nts ELSE rm.ts END AS end_ts
+    FROM sel JOIN r rm ON rm.user_id = sel.user_id AND rm.rn = sel.m
+    WHERE rise OR m > sel.rn"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -4461,7 +4518,7 @@ FROM n"""))
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
-    q175, q176, q177, q178, q179)
+    q175, q176, q177, q178, q179, q180)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

@@ -261,9 +261,9 @@ object StreamPlanner {
     *     CLASSIFIER() and RUNNING/FINAL measure views, and `{- exclusion -}`
     *     under ALL ROWS (r12).
     *
-    * Shared surface: single PARTITION BY column; single ORDER BY column (the
-    * event time — arrival tie-breaks are not expressible on a stream, so
-    * batch twins order by (ts, tie) only outside SQL); the full quantifier
+    * Shared surface: single PARTITION BY column; `ORDER BY ts[, tie]` (r12 —
+    * the optional second column is the within-timestamp tie-break, the batch
+    * route's `ORDER BY ts, event_id` shape); the full quantifier
     * grammar incl. unbounded and reluctant forms; `WITHIN` in whole seconds.
     * MEASURES: span anchors (FIRST(first.ord) → match start, LAST(last.ord)
     * → match end), value FIRST/LAST over buffered columns, count/sum/min/
@@ -289,8 +289,17 @@ object StreamPlanner {
       .getOrElse(sys.error("MATCH_RECOGNIZE requires PARTITION BY"))
     require(part.matches("\\w+"),
       s"streaming MATCH_RECOGNIZE supports a single partition column, got '$part'")
-    val ord = clause("(?is)ORDER\\s+BY\\s+(\\w+)")
+    // ORDER BY <ts>[, <tie>] (r12): an optional second column is the
+    // within-timestamp tie-break (the batch route's `ORDER BY ts, event_id`
+    // shape) — buffered as the operator's tie so equal-timestamp rows order
+    // deterministically instead of by arrival
+    val ordCols = clause("(?is)ORDER\\s+BY\\s+(\\w+(?:\\s*,\\s*\\w+)*)")
       .getOrElse(sys.error("MATCH_RECOGNIZE requires ORDER BY"))
+      .split(",").map(_.trim).toSeq
+    require(ordCols.size <= 2, "streaming MATCH_RECOGNIZE supports ORDER BY " +
+      s"<ts>[, <tie>] — at most one tie-break column, got ${ordCols.mkString(", ")}")
+    val ord = ordCols.head
+    val tieCol: Option[String] = ordCols.lift(1)
     // same strategy surface as the batch rewrite: SKIP TO NEXT ROW, SKIP PAST
     // LAST ROW, or absent = the SQL standard's default (skip past)
     val skipToNext = "(?is)AFTER\\s+MATCH\\s+SKIP\\s+TO\\s+NEXT\\s+ROW".r.findFirstIn(body).isDefined
@@ -504,8 +513,11 @@ object StreamPlanner {
     val valueMeasures: Seq[MrMeasure] = measures.collect { case Right(Left(m)) => m }
     val aggMeasures: Seq[MrAggMeasure] = measures.collect { case Right(Right(m)) => m }
 
-    val input = SqlFrontend.parseSql(spark, s"SELECT * FROM $tbl")
-      .withColumn("__tie", lit(0L))
+    val input0 = SqlFrontend.parseSql(spark, s"SELECT * FROM $tbl")
+    tieCol.foreach(t => require(input0.columns.contains(t),
+      s"streaming MATCH_RECOGNIZE: ORDER BY tie column '$t' is not in the source"))
+    val input = input0.withColumn("__tie",
+      tieCol.map(col(_).cast("long")).getOrElse(lit(0L)))
     // the reference bounds stateful queries with SET 'sql.state-ttl' (the
     // LAB4 sessions run '14 d') — honor it here as the operator's event-time
     // TTL; unset = unbounded state, the operator default

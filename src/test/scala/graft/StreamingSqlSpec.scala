@@ -517,6 +517,56 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("streaming MATCH_RECOGNIZE ORDER BY ts, tie: equal-timestamp rows order by the tie column") {
+    // r12: the batch route's `ORDER BY ts, event_id` shape now parses on the
+    // streaming route — without it, equal-timestamp rows ordered by arrival
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(String, Long, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("tie_matches", "tie_events").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+    val mem = MemoryStream[(String, Long, Timestamp, Double)]
+    val schema = mem.toDF().toDF("u", "id", "ts", "v").schema
+    TableRegistry.createTable(TableRegistry.TableDef("tie_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("u", "id", "ts", "v"))))
+    SqlFrontend.execute(spark,
+      """CREATE TABLE tie_matches AS
+        |SELECT * FROM tie_events
+        |  MATCH_RECOGNIZE (
+        |    PARTITION BY u
+        |    ORDER BY ts, id
+        |    MEASURES LAST(D.v) AS bottom, LAST(U.v) AS top
+        |    ONE ROW PER MATCH
+        |    PATTERN (S D+ U+)
+        |    DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v)
+        |  )""".stripMargin)
+    val q = StatementCatalog.get("tie_matches").collect {
+      case StatementCatalog.Standing(_, _, query) => query
+    }.getOrElse(fail("tie-ordered MATCH_RECOGNIZE CTAS must register a standing statement"))
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    try {
+      // three rows share ONE timestamp: only the id order makes them the
+      // ticker 10 > 7 < 12 (arrival order is deliberately shuffled), then a
+      // breaker decides the greedy U+
+      mem.addData(("k1", 3L, t0, 12.0), ("k1", 1L, t0, 10.0), ("k1", 2L, t0, 7.0),
+        ("k1", 4L, Timestamp.valueOf("2024-01-01 00:01:00"), 5.0))
+      q.processAllAvailable()
+      val got = SqlFrontend.execute(spark, "SELECT u, bottom, top FROM tie_matches")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+      assert(got == Seq(("k1", 7.0, 12.0)),
+        s"tie column must order equal-timestamp rows, got $got")
+    } finally {
+      SqlFrontend.execute(spark, "DROP TABLE tie_matches")
+      TableRegistry.dropTable("tie_events")
+      StatementCatalog.reset()
+    }
+  }
+
   test("streaming MATCH_RECOGNIZE refusal list matches the documented surface (r12)") {
     // StreamPlanner's scaladoc names exactly four loud refusals; this spec
     // pins each message so the doc and the code can't drift apart
