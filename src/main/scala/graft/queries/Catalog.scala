@@ -4548,7 +4548,11 @@ FROM n"""))
     // r11: the branch-expanded composite-pattern scan (q176 PERMUTE = the
     // two-branch try-order loop; q177 SUBSET union aggregates on the ticker
     // chain) — costs invisible to the single-branch rows above
-    "q176_match_permute", "q177_match_subset")
+    "q176_match_permute", "q177_match_subset",
+    // r12: backtracking THROUGH a choice point (the MrProg program walk's
+    // quantifier-dominates case) — a regression here is invisible to the
+    // front-choice rows
+    "q180_match_iso_preferment")
 
   /** Third BENCH group (r10 verdict directive #5): the four end-to-end lab
     * topologies — fused batch runs with deterministic models — plus the ANN
