@@ -55,6 +55,15 @@ object Graft {
       // maxDocsPerShingle/CapStats. No catalog query runs a high-cardinality
       // key space with unbounded per-key buffers under this session.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      // RocksDB state store (r13): per-key streaming state lives off-heap on
+      // local disk instead of the executor heap — at 100M+ standing keys the
+      // heap-backed default provider is the executor-memory ceiling, RocksDB
+      // is the scale-safe backend. Session-wide: every stateful operator
+      // (anomaly, funnel, MATCH_RECOGNIZE, sessionize) benefits, and the
+      // transformWithState operators (TtlAnomaly, StreamingTemporalJoin,
+      // StreamingMatchRecognize's default engine) REQUIRE it.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

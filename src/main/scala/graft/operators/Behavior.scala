@@ -102,7 +102,7 @@ object Behavior {
     * (`PATTERN (A B C)` with STRICT contiguity, the default in Flink's
     * MATCH_RECOGNIZE): a match is `pattern.size` CONSECUTIVE events of the
     * user's time-ordered stream whose types equal the pattern, with the whole
-    * span inside `withinSeconds` (0 = unbounded). Contrast with [[funnel]],
+    * span inside `withinMicros` (event-time micros; 0 = unbounded). Contrast with [[funnel]],
     * which is the SKIP-TILL-NEXT relaxation (other events may intervene).
     *
     * One shuffle on the user key; each row sees only its next
@@ -112,10 +112,9 @@ object Behavior {
     * ties order deterministically by `tieCol`.
     */
   def sequenceMatch(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
-                    tieCol: String, pattern: Seq[String], withinSeconds: Long = 0L): DataFrame = {
+                    tieCol: String, pattern: Seq[String], withinMicros: Long = 0L): DataFrame = {
     require(pattern.nonEmpty, "pattern must name at least one event type")
-    require(withinSeconds >= 0 && withinSeconds <= Long.MaxValue / 1000000L,
-      s"withinSeconds must be in [0, ${Long.MaxValue / 1000000L}], got $withinSeconds")
+    require(withinMicros >= 0, s"withinMicros must be >= 0, got $withinMicros")
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
     val n = pattern.size
     val matched = events
@@ -126,10 +125,10 @@ object Behavior {
         }.reduce(_ && _))
       .filter(col("__sm_ok"))
     val bounded =
-      if (withinSeconds == 0) matched
+      if (withinMicros == 0) matched
       else matched.filter(
         unix_micros(col("__sm_end_ts").cast("timestamp")) -
-          unix_micros(col(tsCol).cast("timestamp")) <= withinSeconds * 1000000L)
+          unix_micros(col(tsCol).cast("timestamp")) <= withinMicros)
     bounded.select(col(userCol), col(tsCol).as("match_start_ts"),
       col("__sm_end_ts").as("match_end_ts"), col(tieCol).as("start_tie"))
   }
@@ -146,11 +145,11 @@ object Behavior {
   def sequenceMatchQ(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
                      tieCol: String,
                      pattern: Seq[graft.streaming.StreamingSequenceMatchQ.QTok],
-                     withinSeconds: Long = 0L): DataFrame = {
+                     withinMicros: Long = 0L): DataFrame = {
     if (pattern.exists(_.max == graft.streaming.StreamingSequenceMatchQ.QTok.Unbounded))
-      return scanTyped(events, userCol, typeCol, tsCol, tieCol, pattern, withinSeconds,
+      return scanTyped(events, userCol, typeCol, tsCol, tieCol, pattern, withinMicros,
         skipToNext = true)
-    val winner = qWinner(userCol, typeCol, tsCol, tieCol, pattern, withinSeconds)
+    val winner = qWinner(userCol, typeCol, tsCol, tieCol, pattern, withinMicros)
     events
       .withColumn("__smq", winner)
       .filter(col("__smq").isNotNull)
@@ -168,15 +167,14 @@ object Behavior {
   private def scanTyped(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
                         tieCol: String,
                         pattern: Seq[graft.streaming.StreamingSequenceMatchQ.QTok],
-                        withinSeconds: Long, skipToNext: Boolean): DataFrame = {
-    require(withinSeconds >= 0 && withinSeconds <= Long.MaxValue / 1000000L,
-      s"withinSeconds must be in [0, ${Long.MaxValue / 1000000L}], got $withinSeconds")
+                        withinMicros: Long, skipToNext: Boolean): DataFrame = {
+    require(withinMicros >= 0, s"withinMicros must be >= 0, got $withinMicros")
     val unbounded = graft.streaming.StreamingSequenceMatchQ.QTok.Unbounded
     val toks = pattern.zipWithIndex.map { case (t, i) =>
       MatchRecognize.MrTok(s"T$i", t.min,
         if (t.max == unbounded) None else Some(t.max), t.reluctant) }
     val defs = pattern.map(t => col(typeCol) === t.typ)
-    val within = if (withinSeconds == 0L) None else Some(withinSeconds * 1000000L)
+    val within = if (withinMicros == 0L) None else Some(withinMicros)
     val skip = if (skipToNext) MatchRecognize.SkipToNextRow else MatchRecognize.SkipPastLastRow
     val out = MatchRecognize.scan(events, Seq(col(userCol)), Seq(col(tsCol), col(tieCol)),
       tsCol, toks, defs, within, skip, allRows = false, measureCols = Seq(tsCol))
@@ -193,9 +191,8 @@ object Behavior {
     */
   private def qWinner(userCol: String, typeCol: String, tsCol: String, tieCol: String,
                       pattern: Seq[graft.streaming.StreamingSequenceMatchQ.QTok],
-                      withinSeconds: Long): Column = {
-    require(withinSeconds >= 0 && withinSeconds <= Long.MaxValue / 1000000L,
-      s"withinSeconds must be in [0, ${Long.MaxValue / 1000000L}], got $withinSeconds")
+                      withinMicros: Long): Column = {
+    require(withinMicros >= 0, s"withinMicros must be >= 0, got $withinMicros")
     val exps = graft.streaming.StreamingSequenceMatchQ.expansions(pattern)
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
     def at(c: String, k: Int) = if (k == 0) col(c) else lead(col(c), k).over(w)
@@ -204,9 +201,9 @@ object Behavior {
       val endTs = at(tsCol, ex.size - 1)
       val exists = endTs.isNotNull
       val within =
-        if (withinSeconds == 0) lit(true)
+        if (withinMicros == 0) lit(true)
         else unix_micros(endTs.cast("timestamp")) - unix_micros(col(tsCol).cast("timestamp")) <=
-          withinSeconds * 1000000L
+          withinMicros
       when(types && exists && within,
         struct(endTs.as("end_ts"), lit(ex.size).as("len")))
     }.reduce((a, b) => coalesce(a, b))
@@ -228,12 +225,12 @@ object Behavior {
   def sequenceMatchSkipPast(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
                             tieCol: String,
                             pattern: Seq[graft.streaming.StreamingSequenceMatchQ.QTok],
-                            withinSeconds: Long = 0L): DataFrame = {
+                            withinMicros: Long = 0L): DataFrame = {
     if (pattern.exists(_.max == graft.streaming.StreamingSequenceMatchQ.QTok.Unbounded))
-      return scanTyped(events, userCol, typeCol, tsCol, tieCol, pattern, withinSeconds,
+      return scanTyped(events, userCol, typeCol, tsCol, tieCol, pattern, withinMicros,
         skipToNext = false)
     val cand = events
-      .withColumn("__smq", qWinner(userCol, typeCol, tsCol, tieCol, pattern, withinSeconds))
+      .withColumn("__smq", qWinner(userCol, typeCol, tsCol, tieCol, pattern, withinMicros))
       .select(col(userCol), col(tsCol), col(tieCol), col("__smq"),
         col("__smq.len").as("__len"))
     skipPastSelect(cand, Seq(col(userCol)), Seq(col(tsCol), col(tieCol)), "__len")

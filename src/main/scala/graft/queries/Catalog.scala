@@ -2287,7 +2287,7 @@ object Catalog {
     // user within 24h (funnel's SKIP-TILL-NEXT sibling with STRICT contiguity).
     // One user-keyed shuffle; lead() sees the next 2 events — no self-joins.
     graft.operators.Behavior.sequenceMatch(t(s, dir, "events"),
-      "user_id", "event_type", "ts", "event_id", Seq("view", "click", "purchase"), 86400)
+      "user_id", "event_type", "ts", "event_id", Seq("view", "click", "purchase"), 86400L * 1000000L)
       .select(col("user_id"),
         col("match_start_ts").cast("timestamp_ntz").as("match_start_ts"),
         col("match_end_ts").cast("timestamp_ntz").as("match_end_ts"), col("start_tie"))
@@ -2506,7 +2506,7 @@ object Catalog {
     import graft.streaming.StreamingSequenceMatchQ.QTok
     graft.operators.Behavior.sequenceMatchQ(t(s, dir, "events"),
       "user_id", "event_type", "ts", "event_id",
-      Seq(QTok("view", 1, 2), QTok("click", 1, 1)), 600)
+      Seq(QTok("view", 1, 2), QTok("click", 1, 1)), 600L * 1000000L)
       .select(col("user_id"),
         col("match_start_ts").cast("timestamp_ntz").as("match_start_ts"),
         col("match_end_ts").cast("timestamp_ntz").as("match_end_ts"),

@@ -261,10 +261,13 @@ object StreamPlanner {
     *     CLASSIFIER() and RUNNING/FINAL measure views, and `{- exclusion -}`
     *     under ALL ROWS (r12).
     *
-    * Shared surface: single PARTITION BY column; `ORDER BY ts[, tie]` (r12 —
+    * Shared surface: PARTITION BY over any number of plain columns (r13 —
+    * composite keys ride a collision-free [[graft.core.KeyImage]] state key
+    * on the value route and the original typed columns are re-emitted; the
+    * typed route stays single-column); `ORDER BY ts[, tie]` (r12 —
     * the optional second column is the within-timestamp tie-break, the batch
     * route's `ORDER BY ts, event_id` shape); the full quantifier
-    * grammar incl. unbounded and reluctant forms; `WITHIN` in whole seconds.
+    * grammar incl. unbounded and reluctant forms; `WITHIN` at micros precision (r13).
     * MEASURES: span anchors (FIRST(first.ord) → match start, LAST(last.ord)
     * → match end), value FIRST/LAST over buffered columns, count/sum/min/
     * max/avg aggregates, MATCH_NUMBER() (skip-past only), CLASSIFIER()
@@ -287,8 +290,15 @@ object StreamPlanner {
     def clause(re: String): Option[String] = re.r.findFirstMatchIn(body).map(_.group(1).trim)
     val part = clause("(?is)PARTITION\\s+BY\\s+(.*?)\\s+ORDER\\s+BY")
       .getOrElse(sys.error("MATCH_RECOGNIZE requires PARTITION BY"))
-    require(part.matches("\\w+"),
-      s"streaming MATCH_RECOGNIZE supports a single partition column, got '$part'")
+    // multi-column PARTITION BY (r13 — the batch route's general clause):
+    // state keys on a collision-free KeyImage of the columns; the original
+    // typed columns are re-emitted from the buffered rows (they are constant
+    // per key by construction, so any matched row carries them)
+    val parts = SqlFrontend.splitTopLevelCommas(part).map(_.trim).filter(_.nonEmpty)
+    require(parts.nonEmpty && parts.forall(_.matches("\\w+")),
+      s"streaming MATCH_RECOGNIZE PARTITION BY takes plain column names, got '$part'")
+    require(parts.distinct.size == parts.size,
+      s"streaming MATCH_RECOGNIZE PARTITION BY repeats a column: '$part'")
     // ORDER BY <ts>[, <tie>] (r12): an optional second column is the
     // within-timestamp tie-break (the batch route's `ORDER BY ts, event_id`
     // shape) — buffered as the operator's tie so equal-timestamp rows order
@@ -391,10 +401,11 @@ object StreamPlanner {
         case _ => false
       } } && tokens.forall { case (v, _, _, _) => defSrc.exists(_._1 == v) }
     val valueRoute = !allLiteral
-    val withinSeconds = withinM.map { mm =>
-      val us = graft.operators.Cumulate.durationMicros(s"${mm.group(1)} ${mm.group(2)}")
-      require(us % 1000000L == 0, s"WITHIN must be whole seconds, got $us micros")
-      us / 1000000L
+    // WITHIN in MICROS (r13) — sub-second CEP horizons (fraud bursts) now
+    // match the batch route's precision; both streaming operators compare
+    // event-time micros directly, so no whole-seconds restriction remains
+    val withinMicros = withinM.map { mm =>
+      graft.operators.Cumulate.durationMicros(s"${mm.group(1)} ${mm.group(2)}")
     }.getOrElse(0L)
 
     // MEASURES: ORDER-BY-column refs map to the operator's match_start_ts /
@@ -514,8 +525,24 @@ object StreamPlanner {
     val aggMeasures: Seq[MrAggMeasure] = measures.collect { case Right(Right(m)) => m }
 
     val input0 = SqlFrontend.parseSql(spark, s"SELECT * FROM $tbl")
-    tieCol.foreach(t => require(input0.columns.contains(t),
-      s"streaming MATCH_RECOGNIZE: ORDER BY tie column '$t' is not in the source"))
+    tieCol.foreach { t =>
+      require(input0.columns.contains(t),
+        s"streaming MATCH_RECOGNIZE: ORDER BY tie column '$t' is not in the source")
+      // the tie rides state as a long; a non-integral column would cast to
+      // NULL (→ tie 0), silently reverting equal-timestamp rows to arrival
+      // order — refuse loudly instead (the planner's discipline; r12 ADVICE)
+      val dt = input0.schema(t).dataType
+      require(dt match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }, s"streaming MATCH_RECOGNIZE: ORDER BY tie column '$t' must be an integral type " +
+        s"(losslessly castable to BIGINT), got ${dt.simpleString}")
+    }
+    parts.foreach(p => require(input0.columns.contains(p),
+      s"streaming MATCH_RECOGNIZE: PARTITION BY column '$p' is not in the source"))
+    require(!parts.contains(ord),
+      "streaming MATCH_RECOGNIZE: the ORDER BY column cannot also be a PARTITION BY column")
     val input = input0.withColumn("__tie",
       tieCol.map(col(_).cast("long")).getOrElse(lit(0L)))
     // the reference bounds stateful queries with SET 'sql.state-ttl' (the
@@ -531,7 +558,7 @@ object StreamPlanner {
     // the value route for the post-match select
     var allRowsCondCols: Seq[String] = Nil
     val matched = (if (!valueRoute && valueMeasures.isEmpty && aggMeasures.isEmpty &&
-      matchNumberAlias.isEmpty && !allRowsPerMatch && subsetSrc.isEmpty) {
+      matchNumberAlias.isEmpty && !allRowsPerMatch && subsetSrc.isEmpty && parts.size == 1) {
       val defines = defSrc.map { case (v, c) =>
         s"$v AS $c" match { case DefineRe(_, _, cc, lit0) => v -> (cc, lit0) }
       }.toMap
@@ -539,8 +566,8 @@ object StreamPlanner {
       require(typeCols.size == 1,
         s"streaming MATCH_RECOGNIZE DEFINEs must all test ONE column, got $typeCols")
       val qtoks = tokens.map { case (v, lo, hi, rel) => QTok(defines(v)._2, lo, hi, rel) }
-      StreamingSequenceMatchQ(input, part, typeCols.head, ord, "__tie",
-        qtoks, withinSeconds, ttlSeconds = ttlSeconds,
+      StreamingSequenceMatchQ(input, parts.head, typeCols.head, ord, "__tie",
+        qtoks, withinMicros, ttlSeconds = ttlSeconds,
         ttlWatermarkDelay = graft.sources.TableRegistry.stateTtlWatermarkDelay(ttlSeconds),
         skipPast = skipPast)
     } else {
@@ -575,40 +602,82 @@ object StreamPlanner {
           graft.operators.MatchRecognize.BTok(i, lo,
             if (hi == QTok.Unbounded) None else Some(hi), rel) }.toIndexedSeq)
       val conds = tokens.map { case (v, _, _, _) => defMap.get(v) }
+      // composite PARTITION BY (r13): the operator keys on one string — a
+      // collision-free KeyImage of the columns — and the original typed
+      // columns ride the buffer (they're constant per key, so ANY matched
+      // row carries them): condCols under ALL ROWS re-emits them directly;
+      // under ONE ROW a hidden all-variables SUBSET FIRST-measure reads the
+      // first matched row's values (every match has >= 1 matched row)
+      val multiKey = parts.size > 1
+      val keyCol = if (!multiKey) parts.head else "__mr_pkey"
+      val opInput = if (!multiKey) input else {
+        graft.core.KeyImage.requireAtomic(input.toDF(), parts.map(col))
+        input.withColumn(keyCol, graft.core.KeyImage.of(parts.map(col)))
+      }
+      val partMeasures: Seq[MrMeasure] =
+        if (!multiKey || allRowsPerMatch) Nil
+        else parts.map(p => MrMeasure(isFirst = true,
+          tok = tokens.size + resolvedSubsets.size, col = p, alias = p))
+      val opSubsets = resolvedSubsets ++
+        (if (partMeasures.nonEmpty) Seq(("__graft_pkey_pool", tokens.indices.toSeq)) else Nil)
       val condCols = (refCols ++ valueMeasures.map(_.col) ++
-        aggMeasures.map(_.col).filter(_ != "*")).distinct
+        aggMeasures.map(_.col).filter(_ != "*") ++
+        (if (multiKey) parts else Nil)).distinct
       (valueMeasures.map(_.col) ++ aggMeasures.map(_.col).filter(_ != "*"))
         .foreach(c => require(input.columns.contains(c),
           s"streaming MEASURES references unknown column '$c'"))
       allRowsCondCols = condCols
-      graft.streaming.StreamingMatchRecognize.applyPattern(input, part, condCols,
-        ord, "__tie", tokens.map(_._1), condBranches, conds, withinSeconds,
+      graft.streaming.StreamingMatchRecognize.applyPattern(opInput, keyCol, condCols,
+        ord, "__tie", tokens.map(_._1), condBranches, conds, withinMicros,
         ttlSeconds = ttlSeconds,
         ttlWatermarkDelay = graft.sources.TableRegistry.stateTtlWatermarkDelay(ttlSeconds),
-        skipPast = skipPast, measures = valueMeasures, aggMeasures = aggMeasures,
+        skipPast = skipPast, measures = valueMeasures ++ partMeasures,
+        aggMeasures = aggMeasures,
         matchNumberAlias = matchNumberAlias,
         // composite patterns execute by the parse tree (r12): ISO preferment
         // even when a variable-length quantifier precedes a choice point
         tree = if (composite) Some(graft.operators.MrPattern.parse(patText)) else None,
-        allRows = allRowsPerMatch, subsets = resolvedSubsets,
+        allRows = allRowsPerMatch, subsets = opSubsets,
         // undecided-at-expiry runs surface as a NAMED accumulator (r12) —
         // visible in the Spark UI / status without an oracle diff
         openTailAcc = Some(spark.sparkContext.longAccumulator(s"mr_open_tails_$tbl")))
     }).toDF()
-    // restore the partition column's ORIGINAL type (the operator keys on its
-    // string image) so downstream joins/schemas see what the source declared;
-    // under ALL ROWS the per-row shape re-exposes the ORDER BY column (from
-    // row_ts, original type) and the buffered columns by name
-    val keyType = input.schema(part).dataType
+    // restore the partition columns' ORIGINAL types: a single column casts
+    // the operator's string key back; a composite key re-reads the typed
+    // values the value route buffered/measured (the KeyImage string never
+    // leaves this stage). Under ALL ROWS the per-row shape re-exposes the
+    // ORDER BY column (from row_ts, original type) and the buffered columns
+    // by name.
+    val partProj: Seq[org.apache.spark.sql.Column] =
+      if (parts.size == 1)
+        Seq(col("key").cast(input.schema(parts.head).dataType).as(parts.head))
+      else parts.map(col)
+    // the re-exposed buffered columns, minus the partition columns partProj
+    // already emits (composite keys ride condCols under ALL ROWS)
+    val rowCondProj = allRowsCondCols.filterNot(c => parts.size > 1 && parts.contains(c))
+    // EVERY projected output name must be unique — the operator-level checks
+    // cover value/agg measure aliases, but span-measure, MATCH_NUMBER and
+    // CLASSIFIER aliases ride the Left(src -> alias) projection and would
+    // otherwise collide silently with a partition column, the ORDER BY
+    // column, or (ALL ROWS) a re-exposed buffered column (r12 ADVICE)
+    locally {
+      val aliases = measures.map { case Left((_, a)) => a; case Right(m) => m.fold(_.alias, _.alias) }
+      val outNames = (parts ++
+        (if (allRowsPerMatch) ord +: rowCondProj else Nil) ++ aliases).map(_.toLowerCase)
+      val dups = outNames.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+      require(dups.isEmpty, "streaming MATCH_RECOGNIZE: duplicate output column name(s) " +
+        s"${dups.mkString(", ")} — a measure alias collides with a partition column, the " +
+        "ORDER BY column, another alias, or (under ALL ROWS) a buffered DEFINE/MEASURES column")
+    }
     val measureProj = measures.map {
       case Left((src, alias)) => col(src).as(alias)
       case Right(m) => col(m.fold(_.alias, _.alias)) // emitted under its alias already
     }
     val projected =
-      if (!allRowsPerMatch) matched.select(col("key").cast(keyType).as(part) +: measureProj: _*)
-      else matched.select(col("key").cast(keyType).as(part) +:
-        col("row_ts").cast(input.schema(ord).dataType).as(ord) +:
-        (allRowsCondCols.map(col) ++ measureProj): _*)
+      if (!allRowsPerMatch) matched.select(partProj ++ measureProj: _*)
+      else matched.select(partProj ++
+        (col("row_ts").cast(input.schema(ord).dataType).as(ord) +:
+          (rowCondProj.map(col) ++ measureProj)): _*)
     // the stage's outer SELECT runs over the matched view, with the user's
     // table alias RE-ATTACHED so qualified refs (mr.start_ts) still resolve
     val keywords = Set("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION",

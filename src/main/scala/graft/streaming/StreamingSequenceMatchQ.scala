@@ -110,7 +110,7 @@ object StreamingSequenceMatchQ {
   }
 
   def apply(df: DataFrame, keyCol: String, typeCol: String, tsCol: String, tieCol: String,
-            pattern: Seq[QTok], withinSeconds: Long = 0L, ttlSeconds: Long = 0L,
+            pattern: Seq[QTok], withinMicros: Long = 0L, ttlSeconds: Long = 0L,
             ttlWatermarkDelay: String = "0 seconds", skipPast: Boolean = false): Dataset[QMatch] = {
     // unbounded quantifiers can't enumerate alternatives — the NFA resolver
     // explores counts greedily (descending) with backtracking instead, in
@@ -120,18 +120,17 @@ object StreamingSequenceMatchQ {
     // an unbounded greedy run with neither a WITHIN horizon nor a state TTL
     // never has to decide: an unbroken `A+` grows per-key state forever and
     // emits nothing (documented below) — loud at plan time, not a silent leak
-    if (useNfa && withinSeconds == 0L && ttlSeconds == 0L)
+    if (useNfa && withinMicros == 0L && ttlSeconds == 0L)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        "StreamingSequenceMatchQ: unbounded quantifier with neither withinSeconds nor " +
+        "StreamingSequenceMatchQ: unbounded quantifier with neither withinMicros nor " +
           "ttlSeconds — an unbroken greedy run grows per-key state without bound and " +
           "never emits; set a WITHIN bound (and/or a TTL >= it) to cap state age")
     val exps = if (useNfa) Seq.empty else expansions(pattern)
     val nTok = pattern.size
     require(pattern.nonEmpty, "pattern must name at least one token")
     require(pattern.exists(_.max > 0), "pattern admits only the empty match")
-    require(withinSeconds >= 0 && withinSeconds <= Long.MaxValue / 1000000L,
-      s"withinSeconds out of range: $withinSeconds")
-    val withinUs = withinSeconds * 1000000L
+    require(withinMicros >= 0, s"withinMicros out of range: $withinMicros")
+    val withinUs = withinMicros
     implicit val evEnc = Encoders.product[Ev]
     implicit val outEnc = Encoders.product[QMatch]
     implicit val stEnc = Encoders.product[Buf]

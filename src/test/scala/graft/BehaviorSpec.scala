@@ -57,7 +57,7 @@ class BehaviorSpec extends SparkSpec {
       graft.operators.Behavior.sequenceMatch(df, "u", "t", "ts", "id", pattern, within)
         .select("u").as[String].collect().toSeq.sorted
     assert(users(Seq("A", "B", "C"), 0) == Seq("u1", "u4", "u5"), "u2's gap event must break the match")
-    assert(users(Seq("A", "B", "C"), 7200) == Seq("u1", "u5"), "the within bound is inclusive at exactly 2h")
+    assert(users(Seq("A", "B", "C"), 7200L * 1000000L) == Seq("u1", "u5"), "the within bound is inclusive at exactly 2h")
     assert(users(Seq("A", "B"), 0) == Seq("u1", "u3", "u4", "u5"), "u3 matches A->B once, at 00:01")
     val u3 = graft.operators.Behavior.sequenceMatch(df, "u", "t", "ts", "id", Seq("A", "B"))
       .filter($"u" === "u3").collect()

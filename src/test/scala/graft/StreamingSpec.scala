@@ -77,7 +77,7 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(String, String, Timestamp, Long)]
     val pattern = Seq("A", "B", "C")
     val matches = graft.streaming.StreamingSequenceMatch(
-      mem.toDF().toDF("u", "t", "ts", "id"), "u", "t", "ts", "id", pattern, 7200)
+      mem.toDF().toDF("u", "t", "ts", "id"), "u", "t", "ts", "id", pattern, 7200L * 1000000L)
     val q = matches.writeStream.format("memory").queryName("seq_sink").outputMode("append").start()
     val rows = Seq(
       ("u1", "A", ts("2024-01-01 00:00:00"), 1L), ("u1", "B", ts("2024-01-01 00:01:00"), 2L),
@@ -99,7 +99,7 @@ class StreamingSpec extends SparkSpec {
 
     import spark.implicits._
     val batch = graft.operators.Behavior.sequenceMatch(
-      rows.toDF("u", "t", "ts", "id"), "u", "t", "ts", "id", pattern, 7200)
+      rows.toDF("u", "t", "ts", "id"), "u", "t", "ts", "id", pattern, 7200L * 1000000L)
       .select(col("u").as("key"), col("match_start_ts"), col("match_end_ts"), col("start_tie"))
     val streamed = spark.table("seq_sink")
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
@@ -350,7 +350,7 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(String, String, Timestamp, Long)]
     val pattern = Seq(QTok("A", 1, 1), QTok("B", 1, 2), QTok("C", 0, 1))
     val matches = StreamingSequenceMatchQ(
-      mem.toDF().toDF("u", "t", "ts", "id"), "u", "t", "ts", "id", pattern, 7200)
+      mem.toDF().toDF("u", "t", "ts", "id"), "u", "t", "ts", "id", pattern, 7200L * 1000000L)
     val q = matches.writeStream.format("memory").queryName("seqq_sink").outputMode("append").start()
     val b1 = Seq(
       ("u1", "A", ts("2024-01-01 00:00:00"), 1L), ("u1", "B", ts("2024-01-01 00:01:00"), 2L),
@@ -399,7 +399,7 @@ class StreamingSpec extends SparkSpec {
 
     // third surface: the batch DataFrame operator agrees column-for-column
     val batchQ = graft.operators.Behavior.sequenceMatchQ(
-      (b1 ++ b2).toDF("u", "t", "ts", "id"), "u", "t", "ts", "id", pattern, 7200)
+      (b1 ++ b2).toDF("u", "t", "ts", "id"), "u", "t", "ts", "id", pattern, 7200L * 1000000L)
       .select(col("u").as("key"), col("match_start_ts"), col("match_end_ts"), col("matched_len"))
     assert(streamed.exceptAll(batchQ).isEmpty && batchQ.exceptAll(streamed).isEmpty,
       "batch sequenceMatchQ must equal the streaming operator on the closed stream")
@@ -476,7 +476,7 @@ class StreamingSpec extends SparkSpec {
     val mem2 = MemoryStream[(String, String, Timestamp, Long)]
     val m2 = StreamingSequenceMatchQ(
       mem2.toDF().toDF("u", "t", "ts", "id"), "u", "t", "ts", "id",
-      Seq(QTok("A", 2, QTok.Unbounded)), withinSeconds = 7200, skipPast = true)
+      Seq(QTok("A", 2, QTok.Unbounded)), withinMicros = 7200L * 1000000L, skipPast = true)
     val q2 = m2.writeStream.format("memory").queryName("seqq_unb_within")
       .outputMode("append").start()
     try {
@@ -1141,7 +1141,7 @@ class StreamingSpec extends SparkSpec {
       tsCol = "ts", tieCol = "id",
       tokens = Seq(MrTok("A", 1, Some(1)), MrTok("B", 1, Some(1))),
       defs = Seq(Some("NEXT(A.v) > A.v"), Some("B.v > 0")),
-      withinSeconds = 60L, skipPast = true)
+      withinMicros = 60L * 1000000L, skipPast = true)
     val q = matches.writeStream.format("memory").queryName("mrv_next_sink")
       .outputMode("append").start()
     try {

@@ -756,4 +756,208 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       StatementCatalog.reset()
     }
   }
+
+  test("streaming MATCH_RECOGNIZE: multi-column PARTITION BY keys state per composite and re-emits typed columns") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(String, String, String, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("mk_matches", "mk_events", "mk_batch").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+    val mem = MemoryStream[(String, String, String, Timestamp, Double)]
+    val schema = mem.toDF().toDF("city", "dev", "t", "ts", "v").schema
+    TableRegistry.createTable(TableRegistry.TableDef("mk_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("city", "dev", "t", "ts", "v"))))
+    // the two composite keys SHARE the city value — separating their runs
+    // proves the state key is (city, dev), not city alone
+    def ev(dev: String, m: Int, v: Double) =
+      ("a", dev, "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
+    val data = Seq(
+      ev("x", 0, 10.0), ev("y", 0, 20.0), ev("x", 1, 8.0), ev("y", 1, 15.0),
+      ev("x", 2, 12.0), ev("y", 2, 25.0), ev("x", 3, 5.0), ev("y", 3, 1.0))
+    val mrSql = """
+      |SELECT * FROM %s
+      |  MATCH_RECOGNIZE (
+      |    PARTITION BY city, dev
+      |    ORDER BY ts
+      |    MEASURES FIRST(S.ts) AS s_ts, FINAL LAST(U.v) AS top, FINAL count(M.*) AS n_rows%s
+      |    %s PER MATCH
+      |    PATTERN (S D+ U+)
+      |    SUBSET M = (S, D, U)
+      |    DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v)
+      |  )""".stripMargin
+    try {
+      // ---- ONE ROW: the typed partition columns come back via the hidden
+      // all-variables pool (any matched row carries the constant key values)
+      SqlFrontend.execute(spark,
+        "CREATE TABLE mk_matches AS" + mrSql.format("mk_events", "", "ONE ROW"))
+      val q = StatementCatalog.get("mk_matches").collect {
+        case StatementCatalog.Standing(_, _, query) => query
+      }.getOrElse(fail("multi-key MR CTAS must register a standing statement"))
+      mem.addData(data: _*); q.processAllAvailable()
+      val got = SqlFrontend.execute(spark,
+        "SELECT city, dev, s_ts, top, n_rows FROM mk_matches")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
+          r.getDouble(3), r.getLong(4))).sortBy(_._2).toSeq
+      def t0(m: Int) = Timestamp.valueOf(f"2024-01-01 00:0$m:00")
+      assert(got == Seq(("a", "x", t0(0), 12.0, 3L), ("a", "y", t0(0), 25.0, 3L)),
+        got.mkString(";"))
+      // batch parity on the same rows (the batch route's general clause)
+      data.toDF("city", "dev", "t", "ts", "v").createOrReplaceTempView("mk_batch")
+      val batch = SqlFrontend.execute(spark, mrSql.format("mk_batch", "", "ONE ROW"))
+        .selectExpr("city", "dev", "s_ts", "top", "n_rows")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
+          r.getDouble(3), r.getLong(4))).sortBy(_._2).toSeq
+      assert(batch == got, s"multi-key ONE ROW diverged from batch:\n$batch\nvs\n$got")
+      SqlFrontend.execute(spark, "DROP TABLE mk_matches")
+      StatementCatalog.reset()
+
+      // ---- ALL ROWS: the partition columns ride the buffered condCols and
+      // appear typed on every emitted row, alongside CLASSIFIER
+      val mem2 = MemoryStream[(String, String, String, Timestamp, Double)]
+      TableRegistry.createTable(TableRegistry.TableDef("mk_events", Some(schema),
+        load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+        loadStream = Some(_ => mem2.toDF().toDF("city", "dev", "t", "ts", "v"))))
+      SqlFrontend.execute(spark,
+        "CREATE TABLE mk_matches AS" + mrSql.format("mk_events",
+          ", CLASSIFIER() AS cls", "ALL ROWS"))
+      val q2 = StatementCatalog.get("mk_matches").collect {
+        case StatementCatalog.Standing(_, _, query) => query
+      }.getOrElse(fail("multi-key ALL ROWS MR CTAS must register a standing statement"))
+      mem2.addData(data: _*); q2.processAllAvailable()
+      val gotRows = SqlFrontend.execute(spark,
+        "SELECT city, dev, ts, v, cls, top, n_rows FROM mk_matches")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getTimestamp(2), r.getDouble(3),
+          r.getString(4), r.getDouble(5), r.getLong(6))).sortBy(x => (x._2, x._3.getTime)).toSeq
+      val batchRows = SqlFrontend.execute(spark,
+        mrSql.format("mk_batch", ", CLASSIFIER() AS cls", "ALL ROWS"))
+        .selectExpr("city", "dev", "ts", "v", "cls", "top", "n_rows")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getTimestamp(2), r.getDouble(3),
+          r.getString(4), r.getDouble(5), r.getLong(6))).sortBy(x => (x._2, x._3.getTime)).toSeq
+      assert(gotRows.nonEmpty && gotRows == batchRows,
+        s"multi-key ALL ROWS diverged from batch:\n$batchRows\nvs\n$gotRows")
+    } finally {
+      if (TableRegistry.exists("mk_matches"))
+        SqlFrontend.execute(spark, "DROP TABLE mk_matches")
+      TableRegistry.dropTable("mk_events")
+      StatementCatalog.reset()
+    }
+  }
+
+  test("streaming MATCH_RECOGNIZE: sub-second WITHIN bounds the match horizon at micros precision") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(String, String, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("ms_matches", "ms_events", "ms_batch").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    val schema = mem.toDF().toDF("u", "t", "ts", "v").schema
+    TableRegistry.createTable(TableRegistry.TableDef("ms_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
+    val mrSql = """
+      |SELECT * FROM %s
+      |  MATCH_RECOGNIZE (
+      |    PARTITION BY u
+      |    ORDER BY ts
+      |    MEASURES FIRST(A.ts) AS s_ts, LAST(B.v) AS bv
+      |    ONE ROW PER MATCH
+      |    PATTERN (A B) WITHIN INTERVAL '500' MILLISECOND
+      |    DEFINE A AS A.v >= 10.0, B AS B.v > PREV(B.v)
+      |  )""".stripMargin
+    // pair 1 spans 300 ms (inside the horizon), pair 2 spans 700 ms (outside)
+    val data = Seq(
+      ("k1", "tick", Timestamp.valueOf("2024-01-01 00:00:00.0"), 10.0),
+      ("k1", "tick", Timestamp.valueOf("2024-01-01 00:00:00.3"), 20.0),
+      ("k1", "tick", Timestamp.valueOf("2024-01-01 00:00:02.0"), 10.0),
+      ("k1", "tick", Timestamp.valueOf("2024-01-01 00:00:02.7"), 20.0))
+    try {
+      SqlFrontend.execute(spark, "CREATE TABLE ms_matches AS" + mrSql.format("ms_events"))
+      val q = StatementCatalog.get("ms_matches").collect {
+        case StatementCatalog.Standing(_, _, query) => query
+      }.getOrElse(fail("sub-second WITHIN CTAS must register a standing statement"))
+      mem.addData(data: _*); q.processAllAvailable()
+      val got = SqlFrontend.execute(spark, "SELECT u, s_ts, bv FROM ms_matches")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+      assert(got == Seq(("k1", Timestamp.valueOf("2024-01-01 00:00:00.0"), 20.0)),
+        s"500 ms WITHIN must admit only the 300 ms pair, got ${got.mkString(";")}")
+      // identical spans from the batch scan on the same rows
+      data.toDF("u", "t", "ts", "v").createOrReplaceTempView("ms_batch")
+      val batch = SqlFrontend.execute(spark, mrSql.format("ms_batch"))
+        .selectExpr("u", "s_ts", "bv")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+      assert(batch == got, s"sub-second WITHIN diverged from batch:\n$batch\nvs\n$got")
+    } finally {
+      if (TableRegistry.exists("ms_matches"))
+        SqlFrontend.execute(spark, "DROP TABLE ms_matches")
+      TableRegistry.dropTable("ms_events")
+      StatementCatalog.reset()
+    }
+  }
+
+  test("streaming MATCH_RECOGNIZE: alias-collision and tie-column refusals are loud (r12 ADVICE)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(String, String, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("rc_matches", "rc_events").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    val schema = mem.toDF().toDF("u", "t", "ts", "v").schema
+    TableRegistry.createTable(TableRegistry.TableDef("rc_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
+    def ctas(orderBy: String, measures: String, perMatch: String) =
+      s"""CREATE TABLE rc_matches AS
+         |SELECT * FROM rc_events
+         |  MATCH_RECOGNIZE (
+         |    PARTITION BY u
+         |    ORDER BY $orderBy
+         |    MEASURES $measures
+         |    $perMatch PER MATCH
+         |    PATTERN (A B+)
+         |    DEFINE A AS A.v > 1.0, B AS B.v > PREV(B.v)
+         |  )""".stripMargin
+    def refuse(sql: String): String = {
+      val e = intercept[Exception](SqlFrontend.execute(spark, sql))
+      if (TableRegistry.exists("rc_matches"))
+        SqlFrontend.execute(spark, "DROP TABLE rc_matches")
+      StatementCatalog.reset()
+      e.getMessage
+    }
+    try {
+      // MATCH_NUMBER() AS cls collides with the ALL-ROWS CLASSIFIER column
+      assert(refuse(ctas("ts", "MATCH_NUMBER() AS cls, LAST(B.v) AS bv", "ALL ROWS"))
+        .contains("collides"))
+      // MATCH_NUMBER() AS v collides with a re-exposed buffered column
+      assert(refuse(ctas("ts", "MATCH_NUMBER() AS v, LAST(B.v) AS bv", "ALL ROWS"))
+        .contains("collides"))
+      // CLASSIFIER() AS v collides with a re-exposed buffered column
+      assert(refuse(ctas("ts", "CLASSIFIER() AS v, LAST(B.v) AS bv", "ALL ROWS"))
+        .contains("duplicate output column"))
+      // a span-measure alias colliding with the partition column
+      assert(refuse(ctas("ts", "FIRST(A.ts) AS u, LAST(B.v) AS bv", "ONE ROW"))
+        .contains("duplicate output column"))
+      // a non-integral tie column would cast to NULL (arrival order) — loud
+      assert(refuse(ctas("ts, t", "LAST(B.v) AS bv", "ONE ROW")).contains("integral"))
+    } finally {
+      if (TableRegistry.exists("rc_matches"))
+        SqlFrontend.execute(spark, "DROP TABLE rc_matches")
+      TableRegistry.dropTable("rc_events")
+      StatementCatalog.reset()
+    }
+  }
 }
