@@ -68,9 +68,13 @@ object SpotStreamingMrRows {
     val schema = spark.read.parquet(feed).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(feed)
+    // peak retained buffer rows for any key (post-batch, after eviction)
+    val probe = new graft.streaming.StreamingOps.MaxAccumulator
+    spark.sparkContext.register(probe, "mr_peak_state_rows")
     val matched = StreamingMatchRecognize.applyPattern(
       stream, "user_id", condCols = Seq("value"), tsCol = "ts", tieCol = "event_id",
       varNames = names, branches = branches, defs = defs, skipPast = true,
+      stateProbe = Some(probe),
       measures = measures, aggMeasures = aggMeasures, allRows = allRows,
       subsets = subsets, tree = Some(MrPattern.parse(pattern)))
     val t0 = System.nanoTime()
@@ -79,6 +83,13 @@ object SpotStreamingMrRows {
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     val sec = (System.nanoTime() - t0) / 1e9
+    // state-store telemetry from the final progress line (r13): total keyed
+    // state rows and the store's own memory reading — with the RocksDB
+    // provider (the Bench.session default) that memory is off-heap
+    val stateOp = q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head)
+    val stateRows = stateOp.map(_.numRowsTotal).getOrElse(-1L)
+    val stateMem = stateOp.map(_.memoryUsedBytes).getOrElse(-1L)
 
     // ---- the batch scan route on the same rows, projected to the streamed
     // shape (start_tie identifies the match on every emitted row)
@@ -162,7 +173,7 @@ object SpotStreamingMrRows {
     val nBatch = batch.count()
     val ok = nStream > 0 && extraSpans == 0 && missingSpans <= nKeys &&
       extraRows == 0 && missingRows == 0
-    println(f"""[mrrows] {"mode":"$mode","sec":$sec%.1f,"slices":$slices,"events":$nEvents,"eventsPerSec":${(nEvents / sec).toLong},"streamRows":$nStream,"batchRows":$nBatch,"extraSpans":$extraSpans,"missingFinalSpans":$missingSpans,"extraRows":$extraRows,"missingRowsOnCommonSpans":$missingRows,"keys":$nKeys,"ok":$ok}""")
+    println(f"""[mrrows] {"mode":"$mode","sec":$sec%.1f,"slices":$slices,"events":$nEvents,"eventsPerSec":${(nEvents / sec).toLong},"streamRows":$nStream,"batchRows":$nBatch,"extraSpans":$extraSpans,"missingFinalSpans":$missingSpans,"extraRows":$extraRows,"missingRowsOnCommonSpans":$missingRows,"keys":$nKeys,"peakStateRows":${probe.value},"stateRowsTotal":$stateRows,"stateMemBytes":$stateMem,"ok":$ok}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }

@@ -79,7 +79,10 @@ import graft.operators.{MatchRecognize, MrConditions}
   * query restarted mid-pattern resumes exactly where it stopped and emits
   * output row-identical to a never-stopped run.
   */
-object StreamingMatchRecognize {
+// Serializable: the per-key step is a local def (a method on this module), so
+// the flatMapGroupsWithState lambda captures the module reference; Scala
+// serializes modules by readResolve back to MODULE$, so this costs nothing.
+object StreamingMatchRecognize extends Serializable {
 
   /** A value MEASURE over the buffered columns (r11 — Flink standing queries
     * report prices, not just span timestamps): `FIRST|LAST(tokens(tok).name

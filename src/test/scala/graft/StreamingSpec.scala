@@ -1328,4 +1328,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamedStarts.exceptAll(sqlRows).isEmpty && sqlRows.exceptAll(streamedStarts).isEmpty,
       "closed-stream skip-past matches must equal the SQL rewrite")
   }
+
+  test("streaming MR state engines (transformWithState/RocksDB vs flatMapGroupsWithState) emit identical output") {
+    // the r13 migration contract: both engines run the SAME per-key step, so
+    // a feed drained through each — across micro-batch boundaries, ALL ROWS,
+    // RUNNING measures, MATCH_NUMBER — must produce row-identical output.
+    // The engine is chosen at PLAN time from the session's state-store
+    // provider conf; the shared spec session defaults to RocksDB (TWS), and
+    // unsetting the conf around planning+start exercises the heap engine.
+    import graft.streaming.StreamingMatchRecognize
+    import graft.streaming.StreamingMatchRecognize.{MrAggMeasure, MrMeasure}
+    import graft.operators.MatchRecognize.MrTok
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Long, Double)]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = spark.conf.get(providerKey)
+    assert(rocks.contains("RocksDB"), s"spec session must default to RocksDB, got $rocks")
+
+    def ev(m: Int, v: Double) = ("k1", ts(f"2024-01-01 00:0$m:00"), m.toLong, v)
+    val b1 = Seq(ev(0, 10.0), ev(1, 8.0), ev(2, 12.0), ev(3, 11.0), ev(4, 9.0))
+    val b2 = Seq(ev(5, 14.0), ev(6, 5.0))
+
+    def drain(name: String): Seq[String] = {
+      val mem = MemoryStream[(String, Timestamp, Long, Double)]
+      val matched = StreamingMatchRecognize(
+        mem.toDF().toDF("u", "ts", "id", "v"), "u", condCols = Seq("v"),
+        tsCol = "ts", tieCol = "id",
+        tokens = Seq(MrTok("S", 1, Some(1)), MrTok("D", 1, None), MrTok("U", 1, None)),
+        defs = Seq(None, Some("D.v < PREV(D.v)"), Some("U.v > PREV(U.v)")),
+        skipPast = true,
+        measures = Seq(MrMeasure(isFirst = false, 1, "v", "bottom")),
+        aggMeasures = Seq(MrAggMeasure("sum", 2, "v", "up_sum")),
+        matchNumberAlias = Some("mn"))
+      val q = matched.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        mem.addData(b1: _*); q.processAllAvailable()
+        mem.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).orderBy("mn").collect().map(_.toString).toSeq
+    }
+
+    val viaTws = drain("mr_eng_tws")
+    val viaHeap =
+      try { spark.conf.unset(providerKey); drain("mr_eng_heap") }
+      finally spark.conf.set(providerKey, rocks)
+    assert(viaTws.nonEmpty && viaTws == viaHeap,
+      s"engines diverged:\nTWS : $viaTws\nheap: $viaHeap")
+    // both decide the same two matches: (10,8,12) and (11,9,14)
+    assert(viaTws.size == 2, viaTws.toString)
+  }
 }
