@@ -75,6 +75,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = session(cpus)
+    // settle (r13): the sbt launch that starts this main leaves ITS OWN
+    // compile/JVM-warmup spike in the 1-minute load average — exactly what
+    // poisoned BENCH_r12.json's load1_start=5.23 on a box with zero external
+    // steal. Wait (bounded) for load1 to decay below the anchor rule before
+    // reading the start telemetry: a genuinely idle box settles and stamps
+    // clean; real external load never settles and stays CONTENDED.
+    val settleDeadline = System.nanoTime() + 180L * 1000000000L
+    while (cpuStat()._1 > 1.0 && System.nanoTime() < settleDeadline) Thread.sleep(5000)
     val (load1Start, busy0, self0) = cpuStat()
     val wall0 = System.nanoTime()
 
