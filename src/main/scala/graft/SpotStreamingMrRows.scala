@@ -22,13 +22,22 @@ import org.apache.spark.sql.functions._
   * EXACTLY (symmetric exceptAll counts after a span semi-join; nothing
   * collected to the driver).
   *
-  * Usage: runMain graft.SpotStreamingMrRows <sfDir> [slices] [mode]
+  * `restartAfter` (arg 4, r13): > 0 kills the standing query after that many
+  * committed micro-batches — EVERY key holds mid-pattern state at a slice
+  * boundary — and restarts a NEW query instance on the same checkpoint; the
+  * parity gate is unchanged, so a pass proves checkpoint-restart recovery of
+  * the full Buf state (buffered rows, cursor, matchSeq) at sf10 volume on
+  * the RocksDB engine, the production-shaped twin of RecoverySpec's
+  * MemoryStream proof.
+  *
+  * Usage: runMain graft.SpotStreamingMrRows <sfDir> [slices] [mode] [restartAfter]
   */
 object SpotStreamingMrRows {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("benchdata/sf10")
     val slices = args.lift(1).map(_.toInt).getOrElse(20)
     val mode = args.lift(2).getOrElse("q173")
+    val restartAfter = args.lift(3).map(_.toInt).getOrElse(0)
     require(Set("q173", "q178", "q177").contains(mode), s"unknown mode '$mode'")
     val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     import graft.operators.{MatchRecognize, MrPattern}
@@ -78,15 +87,29 @@ object SpotStreamingMrRows {
       measures = measures, aggMeasures = aggMeasures, allRows = allRows,
       subsets = subsets, tree = Some(MrPattern.parse(pattern)))
     val t0 = System.nanoTime()
-    val q = matched.writeStream.format("parquet")
+    def startQ() = matched.writeStream.format("parquet")
       .option("path", s"$tmp/sink").option("checkpointLocation", s"$tmp/ckpt")
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    val q = startQ()
+    val q2 =
+      if (restartAfter <= 0) { try q.processAllAvailable() finally q.stop(); q }
+      else {
+        // kill mid-drain: wait for `restartAfter` committed batches, stop,
+        // and resume a NEW instance from the checkpoint
+        while (Option(q.lastProgress).forall(_.batchId < restartAfter.toLong))
+          Thread.sleep(200)
+        q.stop()
+        println(s"[mrrows] killed after batch ${q.lastProgress.batchId}; " +
+          "restarting from checkpoint")
+        val r = startQ()
+        try r.processAllAvailable() finally r.stop()
+        r
+      }
     val sec = (System.nanoTime() - t0) / 1e9
     // state-store telemetry from the final progress line (r13): total keyed
     // state rows and the store's own memory reading — with the RocksDB
     // provider (the Bench.session default) that memory is off-heap
-    val stateOp = q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+    val stateOp = q2.recentProgress.reverse.find(_.stateOperators.nonEmpty)
       .map(_.stateOperators.head)
     val stateRows = stateOp.map(_.numRowsTotal).getOrElse(-1L)
     val stateMem = stateOp.map(_.memoryUsedBytes).getOrElse(-1L)
@@ -173,7 +196,7 @@ object SpotStreamingMrRows {
     val nBatch = batch.count()
     val ok = nStream > 0 && extraSpans == 0 && missingSpans <= nKeys &&
       extraRows == 0 && missingRows == 0
-    println(f"""[mrrows] {"mode":"$mode","sec":$sec%.1f,"slices":$slices,"events":$nEvents,"eventsPerSec":${(nEvents / sec).toLong},"streamRows":$nStream,"batchRows":$nBatch,"extraSpans":$extraSpans,"missingFinalSpans":$missingSpans,"extraRows":$extraRows,"missingRowsOnCommonSpans":$missingRows,"keys":$nKeys,"peakStateRows":${probe.value},"stateRowsTotal":$stateRows,"stateMemBytes":$stateMem,"ok":$ok}""")
+    println(f"""[mrrows] {"mode":"$mode","restartAfter":$restartAfter,"sec":$sec%.1f,"slices":$slices,"events":$nEvents,"eventsPerSec":${(nEvents / sec).toLong},"streamRows":$nStream,"batchRows":$nBatch,"extraSpans":$extraSpans,"missingFinalSpans":$missingSpans,"extraRows":$extraRows,"missingRowsOnCommonSpans":$missingRows,"keys":$nKeys,"peakStateRows":${probe.value},"stateRowsTotal":$stateRows,"stateMemBytes":$stateMem,"ok":$ok}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }
