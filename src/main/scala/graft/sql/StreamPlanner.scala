@@ -277,7 +277,9 @@ object StreamPlanner {
     * Current refusal list (loud, spec-pinned): exclusion under ONE ROW (no
     * effect, the batch rule); MATCH_NUMBER() under SKIP TO NEXT ROW
     * (ordinal scrambling); RUNNING on a match-END span measure (mark it
-    * FINAL); DEFINEs over the ORDER BY column.
+    * FINAL); non-integral ORDER BY tie columns. DEFINEs and non-anchor
+    * MEASURES over the ORDER BY column are SUPPORTED since r13 (per-step
+    * time-gap conditions — the column buffers like any condCol).
     */
   private def matchRecognizeStage(spark: SparkSession, stageSql: String): DataFrame = {
     import graft.streaming.StreamingSequenceMatchQ
@@ -496,20 +498,27 @@ object StreamPlanner {
             // whole-match value, which the RUNNING default contradicts —
             // mark it FINAL (the start anchor's running view already equals
             // the final one, so it passes unmarked).
-            val src = (v, Option(kind).map(_.toUpperCase)) match {
-              case (`firstVar`, Some("FIRST")) if firstMin >= 1 => "match_start_ts"
+            val anchor = (v, Option(kind).map(_.toUpperCase)) match {
+              case (`firstVar`, Some("FIRST")) if firstMin >= 1 => Some("match_start_ts")
               case (`firstVar`, None) if firstMin >= 1 && firstMax == 1 && v != lastVar =>
-                "match_start_ts"
-              case (`lastVar`, None | Some("LAST")) if lastMin >= 1 => "match_end_ts"
-              case _ => sys.error(s"streaming MEASURES: '${Option(kind).getOrElse("")}($v.$c)' " +
-                "maps to neither the first variable's start nor the last variable's end " +
-                "(quantified/optional variables need FIRST(...) on a mandatory first " +
-                "variable or LAST(...) on a mandatory last variable)")
+                Some("match_start_ts")
+              case (`lastVar`, None | Some("LAST")) if lastMin >= 1 => Some("match_end_ts")
+              case _ => None
             }
-            require(!(running && src == "match_end_ts"),
-              s"streaming MEASURES: '$raw' is the match END under ALL ROWS PER MATCH, where " +
-                "unmarked measures default to RUNNING (the standard) — mark it FINAL")
-            Left(src -> alias)
+            anchor match {
+              case Some(src) =>
+                require(!(running && src == "match_end_ts"),
+                  s"streaming MEASURES: '$raw' is the match END under ALL ROWS PER MATCH, " +
+                    "where unmarked measures default to RUNNING (the standard) — mark it FINAL")
+                Left(src -> alias)
+              case None =>
+                // not a whole-match anchor (quantified/optional/mid-pattern
+                // variable): read the ORDER BY column from the winning
+                // placement like any buffered column (r13 — previously a
+                // loud error; the measure pulls the column into condCols)
+                Right(Left(MrMeasure(Option(kind).exists(_.equalsIgnoreCase("FIRST")),
+                  measTokIdx(v), c, alias, running = running)))
+            }
           case MeasRe(kind, v, c, alias) if measTokIdx.contains(v) =>
             // value measure: bare = the standard's LAST occurrence; subset
             // names read the union of the member runs
@@ -587,8 +596,13 @@ object StreamPlanner {
       require(refCols.nonEmpty, "streaming MATCH_RECOGNIZE: value DEFINEs reference no columns")
       refCols.foreach(c => require(input.columns.contains(c),
         s"streaming MATCH_RECOGNIZE: DEFINE references unknown column '$c'"))
-      require(!refCols.contains(ord),
-        "streaming MATCH_RECOGNIZE: DEFINEs over the ORDER BY column are not supported")
+      // DEFINEs may reference the ORDER BY column itself (r13 — previously a
+      // loud refusal, an r10-shape leftover): per-step time-gap conditions
+      // (`D.ts - PREV(D.ts) < gap`, the fraud-burst CEP idiom WITHIN cannot
+      // express) buffer the column like any other condCol in its ORIGINAL
+      // type; MrConditions type-checks time-likes and the Hybrid fallback
+      // covers interval arithmetic. Under ALL ROWS the projection re-exposes
+      // the column from row_ts, so rowCondProj below skips the duplicate.
       // any number of referenced columns, buffered in their ORIGINAL types
       // (r11 — the r10 one-numeric+one-string shape is gone; exact decimal/
       // integral comparison parity with the batch scan by construction);
@@ -653,8 +667,11 @@ object StreamPlanner {
         Seq(col("key").cast(input.schema(parts.head).dataType).as(parts.head))
       else parts.map(col)
     // the re-exposed buffered columns, minus the partition columns partProj
-    // already emits (composite keys ride condCols under ALL ROWS)
-    val rowCondProj = allRowsCondCols.filterNot(c => parts.size > 1 && parts.contains(c))
+    // already emits (composite keys ride condCols under ALL ROWS) and minus
+    // the ORDER BY column (re-exposed from row_ts — an ord-referencing
+    // DEFINE/MEASURE buffers it as a condCol, r13)
+    val rowCondProj = allRowsCondCols.filterNot(c =>
+      c == ord || (parts.size > 1 && parts.contains(c)))
     // EVERY projected output name must be unique — the operator-level checks
     // cover value/agg measure aliases, but span-measure, MATCH_NUMBER and
     // CLASSIFIER aliases ride the Left(src -> alias) projection and would

@@ -614,9 +614,13 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       // 3. RUNNING on a match-END span measure (mark it FINAL)
       assert(refuse(ctas("CLASSIFIER() AS cls, LAST(B.ts) AS end_ts", "ALL ROWS", "",
         "A B+", "A AS A.v > 1.0, B AS B.v > 2.0")).contains("FINAL"))
-      // 4. DEFINEs over the ORDER BY column
-      assert(refuse(ctas("LAST(B.v) AS bv", "ONE ROW", "", "A B",
-        "A AS A.v > 1.0, B AS B.ts > A.ts")).contains("ORDER BY"))
+      // 4. DEFINEs over the ORDER BY column PLAN since r13 (previously a
+      // loud refusal) — the column buffers like any condCol
+      SqlFrontend.execute(spark, ctas("LAST(B.v) AS bv", "ONE ROW", "", "A B",
+        "A AS A.v > 1.0, B AS B.ts > A.ts"))
+      assert(StatementCatalog.status("ref_matches") == "RUNNING")
+      SqlFrontend.execute(spark, "DROP TABLE ref_matches")
+      StatementCatalog.reset()
     } finally {
       if (TableRegistry.exists("ref_matches"))
         SqlFrontend.execute(spark, "DROP TABLE ref_matches")
@@ -901,6 +905,71 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       if (TableRegistry.exists("ms_matches"))
         SqlFrontend.execute(spark, "DROP TABLE ms_matches")
       TableRegistry.dropTable("ms_events")
+      StatementCatalog.reset()
+    }
+  }
+
+  test("streaming MATCH_RECOGNIZE: per-step time-gap DEFINE over the ORDER BY column equals batch (r13)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(String, String, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("tg_matches", "tg_events", "tg_batch").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    val schema = mem.toDF().toDF("u", "t", "ts", "v").schema
+    TableRegistry.createTable(TableRegistry.TableDef("tg_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
+    // the fraud-burst idiom: a falling run only counts while steps arrive
+    // within 2 minutes of each other — a per-STEP horizon WITHIN (whole-match
+    // span) cannot express. LAST(D.ts) is a NON-anchor measure over the
+    // ORDER BY column (D is mid-pattern), read from the winning placement.
+    val mrSql = """
+      |SELECT * FROM %s
+      |  MATCH_RECOGNIZE (
+      |    PARTITION BY u
+      |    ORDER BY ts
+      |    MEASURES FIRST(S.ts) AS s_ts, LAST(D.ts) AS last_down_ts, LAST(U.v) AS top
+      |    ONE ROW PER MATCH
+      |    PATTERN (S D+ U)
+      |    DEFINE D AS D.v < PREV(D.v) AND D.ts <= PREV(D.ts) + INTERVAL '2' MINUTE,
+      |           U AS U.v > PREV(U.v)
+      |  )""".stripMargin
+    def ev(hm: String, v: Double) = ("k1", "tick", Timestamp.valueOf(s"2024-01-01 $hm:00"), v)
+    // drop 10→8→6 with 1-minute steps (inside the gap), rise 9 decides it;
+    // the second drop 20→15 then 10 NINE minutes later breaks the gap rule —
+    // no match (10 is not a rise off 15 either)
+    val b1 = Seq(ev("00:00", 10.0), ev("00:01", 8.0), ev("00:02", 6.0))
+    val b2 = Seq(ev("00:03", 9.0), ev("00:10", 20.0), ev("00:11", 15.0), ev("00:20", 10.0))
+    try {
+      SqlFrontend.execute(spark, "CREATE TABLE tg_matches AS" + mrSql.format("tg_events"))
+      val q = StatementCatalog.get("tg_matches").collect {
+        case StatementCatalog.Standing(_, _, query) => query
+      }.getOrElse(fail("time-gap MR CTAS must register a standing statement"))
+      mem.addData(b1: _*); q.processAllAvailable() // D+ still open at the boundary
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = SqlFrontend.execute(spark, "SELECT u, s_ts, last_down_ts, top FROM tg_matches")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getDouble(3))).toSeq
+      assert(got == Seq(("k1", Timestamp.valueOf("2024-01-01 00:00:00"),
+        Timestamp.valueOf("2024-01-01 00:02:00"), 9.0)),
+        s"gap rule must admit only the 1-minute-step run: ${got.mkString(";")}")
+      // batch parity on the same rows
+      (b1 ++ b2).toDF("u", "t", "ts", "v").createOrReplaceTempView("tg_batch")
+      val batch = SqlFrontend.execute(spark, mrSql.format("tg_batch"))
+        .selectExpr("u", "s_ts", "last_down_ts", "top")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getDouble(3))).toSeq
+      assert(batch == got, s"time-gap DEFINE diverged from batch:\n$batch\nvs\n$got")
+    } finally {
+      if (TableRegistry.exists("tg_matches"))
+        SqlFrontend.execute(spark, "DROP TABLE tg_matches")
+      TableRegistry.dropTable("tg_events")
       StatementCatalog.reset()
     }
   }
