@@ -51,12 +51,18 @@ object Bench {
     // /proc/stat "cpu" line: user nice system idle iowait irq softirq steal …
     val f = firstLine("/proc/stat").split("\\s+").drop(1).map(_.toLong)
     val busy = f(0) + f(1) + f(2) + f(5) + f(6) + (if (f.length > 7) f(7) else 0L)
-    // /proc/self/stat: "pid (comm) state ppid …" — comm may itself contain
-    // spaces (and even ')'), so field-split only AFTER the LAST ')'; utime
-    // and stime are then fields 12-13 (0-based) of the remainder
-    val selfStat = firstLine("/proc/self/stat")
-    val self = selfStat.substring(selfStat.lastIndexOf(')') + 1).trim.split("\\s+")
-    (load1, busy, self(11).toLong + self(12).toLong)
+    (load1, busy, selfJiffies(firstLine("/proc/self/stat")))
+  }
+
+  /** utime + stime from a /proc/<pid>/stat line: "pid (comm) state ppid …" —
+    * comm may itself contain spaces (and even ')'), so field-split only
+    * AFTER the LAST ')'; utime and stime are then fields 12-13 (0-based) of
+    * the remainder (kernel fields 14-15, 1-based). Spec-pinned against
+    * adversarial comm values (r12 ADVICE).
+    */
+  private[graft] def selfJiffies(statLine: String): Long = {
+    val rest = statLine.substring(statLine.lastIndexOf(')') + 1).trim.split("\\s+")
+    rest(11).toLong + rest(12).toLong
   }
 
   /** Kernel jiffies-per-second for the /proc readings — `getconf CLK_TCK`
