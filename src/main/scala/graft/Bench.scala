@@ -71,10 +71,16 @@ object Bench {
     */
   private lazy val clkTck: Double =
     try {
-      val p = new ProcessBuilder("getconf", "CLK_TCK").start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
-      p.waitFor()
-      out.toDouble
+      // stderr merged and the wait BOUNDED (r13 ADVICE): a hung getconf on
+      // another image must not block the end-of-run telemetry read forever —
+      // kill it and fall back rather than wedge the lazy val
+      val p = new ProcessBuilder("getconf", "CLK_TCK").redirectErrorStream(true).start()
+      if (!p.waitFor(5, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly()
+        throw new RuntimeException("getconf CLK_TCK timed out")
+      }
+      new String(p.getInputStream.readAllBytes(), "UTF-8").linesIterator
+        .map(_.trim).find(_.nonEmpty).get.toDouble
     } catch { case _: Exception => 100.0 }
 
   def main(args: Array[String]): Unit = {
@@ -139,14 +145,24 @@ object Bench {
     if (contended)
       System.err.println(f"[bench] CONTENDED window (load1_start=$load1Start%.2f, " +
         f"extCpuFrac=$extCpuFrac%.4f) — timings recorded but NOT anchor-comparable")
+    // compact summary: emitted BEFORE the full line on its own line AND
+    // duplicated as the full line's LAST key (r13 verdict #6 / next-round #6)
+    // — the driver's artifact truncates long output from either end, and the
+    // headline number must survive both (r13's artifact `tail` lost it to the
+    // per-query dump's length)
+    val summary = f"""{"headline_sec":$total%.2f,"group2_sec":$total2%.2f,""" +
+      f""""group3_sec":$total3%.2f,"load1_start":$load1Start%.2f,""" +
+      f""""extCpuFrac":$extCpuFrac%.4f,"contended":$contended}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,""" +
       s""""group2":{"value":$total2,"queries":$qs2,"rows":$rows2},""" +
       s""""group3":{"value":$total3,"queries":$qs3,"rows":$rows3},""" +
       f""""load1_start":$load1Start%.2f,"load1_end":$load1End%.2f,""" +
       f""""extCpuFrac":$extCpuFrac%.4f,"contended":$contended,""" +
-      f""""wallSec":$wallSec%.1f,"sf":"$sfDir"}"""
+      f""""wallSec":$wallSec%.1f,"sf":"$sfDir",""" +
+      s""""summary":$summary}"""
     // stdout line is unprefixed (build.sbt: run / outputStrategy := StdoutOutput);
     // the file copy is belt-and-braces for any runner that scrapes artifacts.
+    println(s"[bench] summary $summary")
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -71,7 +71,7 @@ object SpotStreamingMr {
     spark.sparkContext.register(probe, "mr_peak_state_rows")
     val matched = graft.streaming.StreamingMatchRecognize(
       stream, "user_id", condCols = Seq("value"),
-      tsCol = "ts", tieCol = "event_id", tokens = toks, defs = defs, skipPast = true,
+      tsCol = "ts", tieCol = "event_id", tokens = toks, defs = defs,
       stateProbe = Some(probe))
     val t0 = System.nanoTime()
     val q = matched.writeStream.format("parquet")

@@ -14,12 +14,23 @@ import org.apache.spark.sql.functions._
   * COMPOSITE key; everything present must match value-exactly (symmetric
   * exceptAll counts, nothing collected to the driver).
   *
-  * Usage: runMain graft.SpotStreamingMr2Key <sfDir> [slices]
+  * `restartAfter` (arg 3, r14 — the composite-key recovery proof): > 0
+  * kills the standing statement after that many committed micro-batches —
+  * every composite key holds mid-pattern KeyImage state — and resumes it
+  * from its own checkpoint via [[graft.sql.StatementCatalog.relightStanding]]
+  * (the FULL planner path, not a hand-built writeStream); the parity gate is
+  * unchanged, so a pass proves the KeyImage state key + typed re-emission +
+  * timers all ride the checkpoint at sf10 volume.
+  *
+  * Usage: runMain graft.SpotStreamingMr2Key <sfDir> [slices] [restartAfter]
   */
 object SpotStreamingMr2Key {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("benchdata/sf10")
     val slices = args.lift(1).map(_.toInt).getOrElse(20)
+    val restartAfter = args.lift(2).map(_.toInt).getOrElse(0)
+    require(restartAfter < slices,
+      s"restartAfter=$restartAfter must be < slices=$slices (one batch per slice)")
     val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     import graft.sources.TableRegistry
     import graft.sql.{SqlFrontend, StatementCatalog}
@@ -52,9 +63,19 @@ object SpotStreamingMr2Key {
     val t0 = System.nanoTime()
     SqlFrontend.execute(spark, "CREATE TABLE mr2k_matches AS" + mrSql.format("mr2k_events"))
     val q = StatementCatalog.get("mr2k_matches").collect {
-      case StatementCatalog.Standing(_, _, query) => query
+      case StatementCatalog.Standing(_, _, query, _) => query
     }.getOrElse(sys.error("multi-key MR CTAS must register a standing statement"))
-    try q.processAllAvailable() finally q.stop()
+    if (restartAfter <= 0) { try q.processAllAvailable() finally q.stop() }
+    else {
+      // kill mid-drain: wait for `restartAfter` committed batches, stop the
+      // statement, and RELIGHT it from its own checkpoint (r14)
+      while (Option(q.lastProgress).forall(_.batchId < restartAfter.toLong))
+        Thread.sleep(200)
+      q.stop()
+      println(s"[mr2key] killed after batch ${q.lastProgress.batchId}; relighting from checkpoint")
+      val r = StatementCatalog.relightStanding("mr2k_matches")
+      try r.processAllAvailable() finally r.stop()
+    }
     val sec = (System.nanoTime() - t0) / 1e9
 
     def shape(df: org.apache.spark.sql.DataFrame) = df.select(

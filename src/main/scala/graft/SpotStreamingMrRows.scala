@@ -30,7 +30,21 @@ import org.apache.spark.sql.functions._
   * the RocksDB engine, the production-shaped twin of RecoverySpec's
   * MemoryStream proof.
   *
-  * Usage: runMain graft.SpotStreamingMrRows <sfDir> [slices] [mode] [restartAfter]
+  * Mode `q167` (r14): ALL ROWS under `AFTER MATCH SKIP TO LAST U` with
+  * MATCH_NUMBER — the overlapping-runs strategy (each match re-anchors at
+  * the previous peak), value-parity against the batch scan per row AND per
+  * ordinal.
+  *
+  * `engine` (arg 5, r14): `rocksdb` (default — transformWithState + RocksDB,
+  * the Bench.session route) or `heap` (flatMapGroupsWithState on the
+  * HDFS-backed heap provider) — the two state engines share one processKey,
+  * and running the same mode under both then diffing sinks
+  * (tools/compare_dumps.py) is the at-scale engine-equality gate.
+  * `dumpDir` (arg 6): copy the streamed sink to `<dumpDir>/<mode>/` for that
+  * diff.
+  *
+  * Usage: runMain graft.SpotStreamingMrRows <sfDir> [slices] [mode]
+  * [restartAfter] [engine] [dumpDir]
   */
 object SpotStreamingMrRows {
   def main(args: Array[String]): Unit = {
@@ -38,8 +52,18 @@ object SpotStreamingMrRows {
     val slices = args.lift(1).map(_.toInt).getOrElse(20)
     val mode = args.lift(2).getOrElse("q173")
     val restartAfter = args.lift(3).map(_.toInt).getOrElse(0)
-    require(Set("q173", "q178", "q177").contains(mode), s"unknown mode '$mode'")
+    val engine = args.lift(4).getOrElse("rocksdb")
+    val dumpDir = args.lift(5)
+    require(Set("q173", "q178", "q177", "q167").contains(mode), s"unknown mode '$mode'")
+    require(Set("rocksdb", "heap").contains(engine), s"unknown engine '$engine'")
+    // a restart target at/past the feed's batch count would spin the wait
+    // loop forever once the stream drains (r13 ADVICE) — refuse up front
+    require(restartAfter < slices,
+      s"restartAfter=$restartAfter must be < slices=$slices (the feed yields one batch per slice)")
     val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    if (engine == "heap")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
     import graft.operators.{MatchRecognize, MrPattern}
     import graft.streaming.StreamingMatchRecognize
     import graft.streaming.StreamingMatchRecognize.{MrAggMeasure, MrMeasure}
@@ -55,6 +79,13 @@ object SpotStreamingMrRows {
       MatchRecognize.BTok(nidx(t.name), t.lo, t.hi, t.reluctant, t.excluded)).toIndexedSeq)
     val defs = Seq(None, Some("D.value < PREV(D.value)"), Some("U.value > PREV(U.value)"))
     val allRows = mode != "q177"
+    // q167 (r14): the overlapping-runs strategy — the cursor re-anchors AT
+    // each match's peak row, so a peak that seeds the next fall starts a new
+    // match the skip-past modes consume away
+    val skipStrategy: MatchRecognize.Skip =
+      if (mode == "q167") MatchRecognize.SkipToLast(nidx("U"))
+      else MatchRecognize.SkipPastLastRow
+    val matchNumberAlias = if (mode == "q167") Some("match_seq") else None
     val (measures, aggMeasures, subsets) = mode match {
       case "q173" => (Seq(
         MrMeasure(isFirst = false, nidx("D"), "value", "run_bottom", running = true),
@@ -65,6 +96,9 @@ object SpotStreamingMrRows {
         MrMeasure(isFirst = false, nidx("U"), "value", "final_top")),
         Seq(MrAggMeasure("cnt", nidx("D"), "*", "n_down")),
         Seq.empty[(String, Seq[Int])])
+      case "q167" => (Seq(
+        MrMeasure(isFirst = false, nidx("U"), "value", "final_top")),
+        Seq.empty[MrAggMeasure], Seq.empty[(String, Seq[Int])])
       case _ => (Seq( // q177: SUBSET M = (D, U) at tok = nTok
         MrMeasure(isFirst = true, names.size, "value", "move_first"),
         MrMeasure(isFirst = false, names.size, "value", "move_last")),
@@ -82,10 +116,11 @@ object SpotStreamingMrRows {
     spark.sparkContext.register(probe, "mr_peak_state_rows")
     val matched = StreamingMatchRecognize.applyPattern(
       stream, "user_id", condCols = Seq("value"), tsCol = "ts", tieCol = "event_id",
-      varNames = names, branches = branches, defs = defs, skipPast = true,
+      varNames = names, branches = branches, defs = defs, skip = skipStrategy,
       stateProbe = Some(probe),
       measures = measures, aggMeasures = aggMeasures, allRows = allRows,
-      subsets = subsets, tree = Some(MrPattern.parse(pattern)))
+      subsets = subsets, tree = Some(MrPattern.parse(pattern)),
+      matchNumberAlias = matchNumberAlias)
     val t0 = System.nanoTime()
     def startQ() = matched.writeStream.format("parquet")
       .option("path", s"$tmp/sink").option("checkpointLocation", s"$tmp/ckpt")
@@ -137,6 +172,16 @@ object SpotStreamingMrRows {
           PATTERN (S {- D+ -} U+)
           DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
         )"""
+      case "q167" => """
+        SELECT * FROM mrrows_events MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES FIRST(S.event_id) AS m_start_tie, CLASSIFIER() AS cls,
+                   FINAL LAST(U.value) AS final_top, MATCH_NUMBER() AS match_seq
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP TO LAST U
+          PATTERN (S D+ U+)
+          DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
+        )"""
       case _ => """
         SELECT * FROM mrrows_events MATCH_RECOGNIZE (
           PARTITION BY user_id ORDER BY ts, event_id
@@ -161,6 +206,18 @@ object SpotStreamingMrRows {
           streamed0.select(col("key"), col("start_tie"),
             col("move_first"), col("move_last"), col("move_rows"),
             col("move_sum"), col("move_min")))
+      case "q167" =>
+        // per-row AND per-ordinal parity: match_seq rides every emitted row,
+        // so a single scrambled ordinal fails the exceptAll gate
+        (batch0.select(col("user_id").cast("string").as("key"),
+          col("m_start_tie").cast("long").as("start_tie"),
+          unix_micros(col("ts").cast("timestamp")).as("row_us"),
+          col("event_id").cast("long").as("row_tie"), col("value"),
+          col("cls"), col("final_top"), col("match_seq").cast("long")),
+          streamed0.select(col("key"), col("start_tie"),
+            unix_micros(col("row_ts")).as("row_us"),
+            col("row_tie"), col("value"), col("cls"), col("final_top"),
+            col("match_seq")))
       case "q178" =>
         (batch0.select(col("user_id").cast("string").as("key"),
           col("m_start_tie").cast("long").as("start_tie"),
@@ -194,9 +251,15 @@ object SpotStreamingMrRows {
     val nEvents = ev.count()
     val nStream = streamed.count()
     val nBatch = batch.count()
+    // engine A/B support (r14): persist the PROJECTED streamed output for
+    // tools/compare_dumps.py (heap vs RocksDB hash equality at sf10)
+    dumpDir.foreach { d =>
+      streamed.write.mode("overwrite").parquet(s"$d/$mode")
+      println(s"[mrrows] dump written: $d/$mode (engine=$engine)")
+    }
     val ok = nStream > 0 && extraSpans == 0 && missingSpans <= nKeys &&
       extraRows == 0 && missingRows == 0
-    println(f"""[mrrows] {"mode":"$mode","restartAfter":$restartAfter,"sec":$sec%.1f,"slices":$slices,"events":$nEvents,"eventsPerSec":${(nEvents / sec).toLong},"streamRows":$nStream,"batchRows":$nBatch,"extraSpans":$extraSpans,"missingFinalSpans":$missingSpans,"extraRows":$extraRows,"missingRowsOnCommonSpans":$missingRows,"keys":$nKeys,"peakStateRows":${probe.value},"stateRowsTotal":$stateRows,"stateMemBytes":$stateMem,"ok":$ok}""")
+    println(f"""[mrrows] {"mode":"$mode","engine":"$engine","restartAfter":$restartAfter,"sec":$sec%.1f,"slices":$slices,"events":$nEvents,"eventsPerSec":${(nEvents / sec).toLong},"streamRows":$nStream,"batchRows":$nBatch,"extraSpans":$extraSpans,"missingFinalSpans":$missingSpans,"extraRows":$extraRows,"missingRowsOnCommonSpans":$missingRows,"keys":$nKeys,"peakStateRows":${probe.value},"stateRowsTotal":$stateRows,"stateMemBytes":$stateMem,"ok":$ok}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }

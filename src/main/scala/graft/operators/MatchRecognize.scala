@@ -218,8 +218,14 @@ object MatchRecognize {
                   runningStructs: Boolean = false,
                   runningAggStructs: Boolean = false,
                   subsets: Seq[SubsetSpec] = Seq.empty,
-                  tree: Option[MrPattern.Node] = None): DataFrame = {
+                  tree: Option[MrPattern.Node] = None,
+                  oneRowClassifier: Boolean = false): DataFrame = {
     val n = varNames.size
+    // CLASSIFIER() under ONE ROW PER MATCH (r14, ISO 9075-2): the label of
+    // the match's LAST row rides __mr_var — the same column ALL ROWS emits
+    // per row (where this flag is redundant, hence refused)
+    require(!oneRowClassifier || !allRows,
+      "oneRowClassifier is the ONE-ROW shape's CLASSIFIER — ALL ROWS already emits __mr_var")
     require(n > 0, "MATCH_RECOGNIZE requires at least one pattern variable")
     require(varNames.distinct.size == n, s"duplicate variable name in ${varNames.mkString(" ")}")
     require(branches.nonEmpty, "MATCH_RECOGNIZE requires at least one pattern branch")
@@ -381,7 +387,8 @@ object MatchRecognize {
           StructField(s"__mr_agg_${s.name}", t, nullable = false)) } ++
         Seq(StructField("__mr_len", LongType, nullable = false),
           StructField("__mr_seq", LongType, nullable = false)) ++
-        (if (allRows) Seq(StructField("__mr_var", StringType, nullable = false)) else Nil))
+        (if (allRows || oneRowClassifier)
+          Seq(StructField("__mr_var", StringType, nullable = false)) else Nil))
     val outArity = outSchema.fields.length
     val lenPos = nOrig + (if (hasMeasures) 2 * (n + nSub) else 0) +
       offsetMeasures.size + (if (runningStructs) 2 * n else 0) +
@@ -406,6 +413,7 @@ object MatchRecognize {
     val skipMode = skip
     val nameByIdx = varNames.toArray
     val emitAll = allRows
+    val emitOneRowCls = oneRowClassifier
 
     pre.mapPartitions { it =>
       new scala.collection.AbstractIterator[Row] {
@@ -587,7 +595,7 @@ object MatchRecognize {
           put(aggVals); put(subAggVals)
           vals(lenPos) = len
           vals(lenPos + 1) = seq
-          if (emitAll) vals(lenPos + 2) = cls
+          if (emitAll || emitOneRowCls) vals(lenPos + 2) = cls
           Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
         }
 
@@ -722,9 +730,18 @@ object MatchRecognize {
               }
               av
             }
-          if (!emitAll)
+          if (!emitAll) {
+            // ONE-ROW CLASSIFIER (r14, ISO): the LAST matched row's label —
+            // the deepest path entry that placed at least one row (a match
+            // has matchLen > 0, so one exists)
+            val oneRowLabel = if (!emitOneRowCls) null else {
+              var t = pathLen - 1
+              while (t >= 0 && pathCount(t) == 0) t -= 1
+              nameByIdx(pathVar(t))
+            }
             out.enqueue(mk(rowAt(0), structVals, subVals, offVals, null, null,
-              aggVals, subAggVals, len, seq, null))
+              aggVals, subAggVals, len, seq, oneRowLabel))
+          }
           else {
             // running-aggregate accumulators (r11): one per agg-bearing
             // variable, updated incrementally as the emit cursor enters its

@@ -4500,6 +4500,45 @@ FROM n"""))
     FROM sel JOIN r rm ON rm.user_id = sel.user_id AND rm.rn = sel.m
     WHERE rise OR m > sel.rn"""))
 
+  private val q181 = Q("q181_match_classifier_one_row", (s, dir) => {
+    // CLASSIFIER() under ONE ROW PER MATCH (r14, ISO 9075-2 — Flink allows
+    // it in MEASURES generally; the pre-r14 engine refused it outside ALL
+    // ROWS): the measure is the label of the match's LAST row. `U*` makes
+    // the label VARY per match — a fall that recovers ends in U, a fall
+    // sealed by a flat tick or the partition end ends in D with an empty
+    // U* run.
+    t(s, dir, "events").createOrReplaceTempView("events_mr_cls1")
+    graft.sql.SqlFrontend.execute(s, """
+      SELECT * FROM events_mr_cls1 MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES
+          FIRST(S.ts) AS match_start_ts,
+          FIRST(S.event_id) AS start_tie,
+          CLASSIFIER() AS last_label,
+          count(U.*) AS n_up
+        ONE ROW PER MATCH
+        PATTERN (S D+ U*)
+        DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
+      )""")
+      .select(col("user_id"),
+        col("match_start_ts").cast("timestamp_ntz").as("match_start_ts"),
+        col("start_tie"), col("last_label"), col("n_up"))
+  }, Some(s"""
+    WITH RECURSIVE $MR_RUNS,
+      -- q164's islands with the rise run OPTIONAL (U*): e falls back to the
+      -- fall-run end when no rise follows; the greedy label is then 'D'
+      cand AS (SELECT s.user_id, s.rn, s.ts AS start_ts, s.event_id AS start_tie,
+                      d.run_end AS m, coalesce(u.run_end, d.run_end) AS e
+               FROM r s
+               JOIN dre d ON d.user_id = s.user_id AND d.rn = s.rn + 1
+               LEFT JOIN ure u ON u.user_id = s.user_id AND u.rn = d.run_end + 1),
+      $MR_SEL
+    SELECT sel.user_id, start_ts AS match_start_ts, start_tie,
+           CASE WHEN e > m THEN 'U' ELSE 'D' END AS last_label,
+           CAST(e - m AS BIGINT) AS n_up
+    FROM sel"""))
+
   // -------------------------------------------------------------------- list
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
@@ -4518,7 +4557,7 @@ FROM n"""))
     q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163,
     q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
-    q175, q176, q177, q178, q179, q180)
+    q175, q176, q177, q178, q179, q180, q181)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

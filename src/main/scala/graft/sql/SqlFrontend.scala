@@ -1196,9 +1196,13 @@ object SqlFrontend {
       }.toMap
 
     val partCols = splitTop(part)
-    // MATCH_NUMBER() and aggregate measures need the cursor — scan route
+    // MATCH_NUMBER(), CLASSIFIER() and aggregate measures need the cursor —
+    // scan route (CLASSIFIER under ONE ROW is the last matched row's label,
+    // r14 — only the scan's winning path knows it)
     val usesMatchNumber = measureSrc.exists { case (e, _) =>
       "(?i)\\bMATCH_NUMBER\\s*\\(".r.findFirstIn(e).isDefined }
+    val usesClassifier = measureSrc.exists { case (e, _) =>
+      "(?i)\\bCLASSIFIER\\s*\\(".r.findFirstIn(e).isDefined }
     val AggRe = "(?i)\\b(count|sum|min|max|avg)\\s*\\(\\s*(\\w+)\\.(\\w+|\\*)\\s*\\)".r
     val usesAggregates = measureSrc.exists { case (e, _) =>
       AggRe.findAllMatchIn(e).exists(mm => mVars.contains(mm.group(2))) }
@@ -1216,7 +1220,8 @@ object SqlFrontend {
           .exists(mm => idx.contains(mm.group(1)))
       } }
     val replacement = if (!composite && subsetSrc.isEmpty && !unboundedPat &&
-      !allRowsPerMatch && !usesMatchNumber && !usesAggregates && skipToVar.isEmpty) {
+      !allRowsPerMatch && !usesMatchNumber && !usesAggregates && !usesClassifier &&
+      skipToVar.isEmpty) {
       // ------------------------------- bounded, ONE ROW: lead()-expansion CASE
       // every bounded-count assignment, greedy order: leftmost quantifier
       // longest first (descending lexicographic) — reluctant tokens ascend
@@ -1379,7 +1384,8 @@ object SqlFrontend {
       }.distinct
       // MEASURES read the FULL match (final semantics): FIRST/LAST/bare refs
       // become fields of the scan's __mr_first_<v>/__mr_last_<v> structs;
-      // CLASSIFIER() (ALL ROWS only) is the scan's per-row variable label
+      // CLASSIFIER() is the scan's __mr_var label (per-row under ALL ROWS;
+      // the last matched row's label under ONE ROW — r14, ISO)
       def scanMeasure(e0: String, running: Boolean = false): String = {
         "(?i)\\b(PREV|NEXT)\\s*\\(\\s*(\\w+)\\.".r.findFirstMatchIn(e0)
           .filter(mm => idx.contains(mm.group(2)))
@@ -1414,10 +1420,9 @@ object SqlFrontend {
         // query-global counter (documented deviation; per-key ordinals are
         // what downstream joins actually use)
         val mn = "(?i)\\bMATCH_NUMBER\\s*\\(\\s*\\)".r.replaceAllIn(e, _ => "__mr_seq")
-        val cls = "(?i)\\bCLASSIFIER\\s*\\(\\s*\\)".r.replaceAllIn(mn, _ => {
-          require(allRowsPerMatch, "MATCH_RECOGNIZE: CLASSIFIER() requires ALL ROWS PER MATCH")
-          "__mr_var"
-        })
+        // CLASSIFIER(): the scan's __mr_var — per-row under ALL ROWS, or
+        // (r14, ISO 9075-2) the LAST matched row's label under ONE ROW
+        val cls = "(?i)\\bCLASSIFIER\\s*\\(\\s*\\)".r.replaceAllIn(mn, _ => "__mr_var")
         val fl = "(?i)\\b(FIRST|LAST)\\s*\\(\\s*(\\w+)\\.(\\w+)\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
           .replaceAllIn(cls, mm => java.util.regex.Matcher.quoteReplacement {
             val (kind, vv, c) = (mm.group(1).toLowerCase, mm.group(2), mm.group(3))
@@ -1526,7 +1531,8 @@ object SqlFrontend {
         // composite patterns execute by the parse tree (r12): choice points
         // decided at their written positions — ISO preferment even when a
         // variable-length quantifier precedes an alternation
-        tree = if (composite) Some(graft.operators.MrPattern.parse(patText)) else None)
+        tree = if (composite) Some(graft.operators.MrPattern.parse(patText)) else None,
+        oneRowClassifier = usesClassifier && !allRowsPerMatch)
       val measures = measureSrc.zip(measureRunning).map { case ((e, a), running) =>
         s"${scanMeasure(e, running)} AS $a" }
       // ALL ROWS emits every input column (the standard's shape); ONE ROW the

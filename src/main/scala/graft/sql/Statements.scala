@@ -20,15 +20,37 @@ object StatementCatalog {
 
   sealed trait Entry { def name: String; def sql: String }
   final case class Completed(name: String, sql: String) extends Entry
-  final case class Standing(name: String, sql: String, query: StreamingQuery) extends Entry
+  /** `relight` (r14): start a NEW query instance on the SAME sink +
+    * checkpoint — the planner records it so a stopped/crashed standing
+    * statement can resume exactly where its state store left off (the
+    * checkpoint-recovery surface the kill-mid-drain harnesses exercise).
+    */
+  final case class Standing(name: String, sql: String, query: StreamingQuery,
+                            relight: Option[() => StreamingQuery] = None) extends Entry
 
   private val statements = scala.collection.concurrent.TrieMap[String, Entry]()
 
   def recordCompleted(name: String, sql: String): Unit =
     statements.put(name, Completed(name, sql))
 
-  def recordStanding(name: String, sql: String, query: StreamingQuery): Unit =
-    statements.put(name, Standing(name, sql, query))
+  def recordStanding(name: String, sql: String, query: StreamingQuery,
+                     relight: Option[() => StreamingQuery] = None): Unit =
+    statements.put(name, Standing(name, sql, query, relight))
+
+  /** Stop a standing statement and resume it from its own checkpoint (r14):
+    * the new instance replays any uncommitted micro-batch and continues —
+    * recovery semantics are the streaming operators' Buf/state contract.
+    * Loud on one-shots and on standing entries without a relight recipe.
+    */
+  def relightStanding(name: String): StreamingQuery = statements.get(name) match {
+    case Some(Standing(n, sql, q, Some(fn))) =>
+      if (q.isActive) { q.stop(); q.awaitTermination() }
+      val nq = fn()
+      statements.put(n, Standing(n, sql, nq, Some(fn)))
+      nq
+    case Some(_: Standing) => sys.error(s"statement '$name' records no relight recipe")
+    case other => sys.error(s"cannot relight '$name': ${other.fold("not found")(_ => "one-shot")}")
+  }
 
   /** The harness's status vocabulary. NOT_FOUND for unknown names, matching
     * `get_statement_status` on a missing statement.
@@ -36,7 +58,7 @@ object StatementCatalog {
   def status(name: String): String = statements.get(name) match {
     case None                   => "NOT_FOUND"
     case Some(_: Completed)     => "COMPLETED"
-    case Some(Standing(_, _, q)) =>
+    case Some(Standing(_, _, q, _)) =>
       if (q.exception.isDefined) "FAILED"
       else if (q.isActive) "RUNNING"
       else "STOPPED"
@@ -44,7 +66,7 @@ object StatementCatalog {
 
   /** Stop a standing statement's continuous query (no-op for one-shots). */
   def stop(name: String): Unit = statements.get(name) match {
-    case Some(Standing(_, _, q)) if q.isActive => q.stop(); q.awaitTermination()
+    case Some(Standing(_, _, q, _)) if q.isActive => q.stop(); q.awaitTermination()
     case _                                     => ()
   }
 

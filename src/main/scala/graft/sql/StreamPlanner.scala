@@ -84,13 +84,17 @@ object StreamPlanner {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_streams/" +
       s"${spark.sparkContext.applicationId}/${table}_${counter.incrementAndGet()}"
     val sinkDir = s"$base/sink"
-    val query = result.writeStream
+    // launch recipe kept (r14): relightStanding restarts a NEW instance on
+    // the SAME sink + checkpoint — streaming-state recovery through the full
+    // planner path (the kill-mid-drain harnesses' route)
+    def launch(): org.apache.spark.sql.streaming.StreamingQuery = result.writeStream
       .format("parquet")
       .option("path", sinkDir)
       .option("checkpointLocation", s"$base/checkpoint")
       .outputMode("append")
       .queryName(stmt)
       .start()
+    val query = launch()
     val load: SparkSession => DataFrame = priorLoad match {
       case Some(prev) => s => prev(s).unionByName(readSink(s, sinkDir, schema))
       case None       => s => readSink(s, sinkDir, schema)
@@ -98,7 +102,7 @@ object StreamPlanner {
     TableRegistry.createTable(TableRegistry.TableDef(table, Some(schema),
       options = Map("graft.refresh-on-read" -> "true", "graft.sink-path" -> sinkDir),
       load = load))
-    StatementCatalog.recordStanding(stmt, fullSql, query)
+    StatementCatalog.recordStanding(stmt, fullSql, query, relight = Some(() => launch()))
   }
 
   /** An append sink that may not have produced files yet: empty-but-typed
@@ -267,11 +271,16 @@ object StreamPlanner {
     * typed route stays single-column); `ORDER BY ts[, tie]` (r12 —
     * the optional second column is the within-timestamp tie-break, the batch
     * route's `ORDER BY ts, event_id` shape); the full quantifier
-    * grammar incl. unbounded and reluctant forms; `WITHIN` at micros precision (r13).
-    * MEASURES: span anchors (FIRST(first.ord) → match start, LAST(last.ord)
-    * → match end), value FIRST/LAST over buffered columns, count/sum/min/
-    * max/avg aggregates, MATCH_NUMBER() (skip-past only), CLASSIFIER()
-    * (ALL ROWS only). Under ALL ROWS the unmarked measure default is
+    * grammar incl. unbounded and reluctant forms; `WITHIN` at micros precision (r13);
+    * ALL FOUR of the standard's AFTER MATCH strategies (r14 — SKIP TO
+    * [FIRST|LAST] <var> resumes the cursor AT the target row, so standing
+    * matches may OVERLAP; empty-target / self-re-anchor fail loudly, the
+    * batch scan's rules). MEASURES: span anchors (FIRST(first.ord) → match
+    * start, LAST(last.ord) → match end), value FIRST/LAST over buffered
+    * columns, count/sum/min/max/avg aggregates, MATCH_NUMBER() (any
+    * cursor-mode strategy — everything but SKIP TO NEXT ROW), CLASSIFIER()
+    * (ALL ROWS per-row label, or under ONE ROW the last matched row's label
+    * — ISO semantics, r14). Under ALL ROWS the unmarked measure default is
     * RUNNING, FINAL opts out — the standard's rule, same as batch.
     *
     * Current refusal list (loud, spec-pinned): exclusion under ONE ROW (no
@@ -312,15 +321,23 @@ object StreamPlanner {
       s"<ts>[, <tie>] — at most one tie-break column, got ${ordCols.mkString(", ")}")
     val ord = ordCols.head
     val tieCol: Option[String] = ordCols.lift(1)
-    // same strategy surface as the batch rewrite: SKIP TO NEXT ROW, SKIP PAST
-    // LAST ROW, or absent = the SQL standard's default (skip past)
+    // the FULL strategy surface of the batch rewrite (r14 — the last
+    // batch-vs-streaming skip gap): SKIP TO NEXT ROW, SKIP PAST LAST ROW
+    // (the default when the clause is absent), and the variable-targeted
+    // SKIP TO [FIRST|LAST] <var> (bare SKIP TO <var> = LAST, the standard) —
+    // the overlapping-runs strategies, always on the value route
     val skipToNext = "(?is)AFTER\\s+MATCH\\s+SKIP\\s+TO\\s+NEXT\\s+ROW".r.findFirstIn(body).isDefined
     val skipPastExplicit = "(?is)AFTER\\s+MATCH\\s+SKIP\\s+PAST\\s+LAST\\s+ROW".r.findFirstIn(body).isDefined
-    require(skipToNext || skipPastExplicit ||
+    val skipToVar: Option[(String, String)] =
+      if (skipToNext || skipPastExplicit) None
+      else "(?is)AFTER\\s+MATCH\\s+SKIP\\s+TO\\s+(?:(FIRST|LAST)\\s+)?(\\w+)".r
+        .findFirstMatchIn(body)
+        .map(mm => (Option(mm.group(1)).map(_.toUpperCase).getOrElse("LAST"), mm.group(2)))
+    require(skipToNext || skipPastExplicit || skipToVar.isDefined ||
       !"(?is)AFTER\\s+MATCH".r.findFirstIn(body).isDefined,
-      "MATCH_RECOGNIZE: supported AFTER MATCH strategies are SKIP TO NEXT ROW and " +
-        "SKIP PAST LAST ROW (the default when the clause is absent)")
-    val skipPast = !skipToNext
+      "MATCH_RECOGNIZE: supported AFTER MATCH strategies are SKIP TO NEXT ROW, " +
+        "SKIP PAST LAST ROW (the default when the clause is absent), and " +
+        "SKIP TO [FIRST|LAST] <variable>")
     // ALL ROWS PER MATCH (r12): per-row emission on the value route —
     // row_ts/cls + the buffered columns, RUNNING-default measures
     val allRowsPerMatch = "(?is)ALL\\s+ROWS\\s+PER\\s+MATCH".r.findFirstIn(body).isDefined
@@ -436,6 +453,16 @@ object StreamPlanner {
         else ("", 0, 0, false)
       }
     val varIdx0 = tokens.map(_._1).zipWithIndex.toMap
+    val skipStrategy: graft.operators.MatchRecognize.Skip =
+      if (skipToNext) graft.operators.MatchRecognize.SkipToNextRow
+      else skipToVar match {
+        case Some((kind, v)) =>
+          require(varIdx0.contains(v),
+            s"MATCH_RECOGNIZE: AFTER MATCH SKIP TO references unknown pattern variable '$v'")
+          if (kind == "FIRST") graft.operators.MatchRecognize.SkipToFirst(varIdx0(v))
+          else graft.operators.MatchRecognize.SkipToLast(varIdx0(v))
+        case None => graft.operators.MatchRecognize.SkipPastLastRow
+      }
     subsetSrc.foreach { case (nm, members) =>
       members.foreach(v => require(varIdx0.contains(v),
         s"MATCH_RECOGNIZE: SUBSET $nm references unknown pattern variable '$v'"))
@@ -465,6 +492,10 @@ object StreamPlanner {
     // CLASSIFIER() (r12, ALL ROWS only): the operator's per-row `cls` column
     val ClsRe = "(?is)^CLASSIFIER\\s*\\(\\s*\\)\\s+AS\\s+(\\w+)\\s*$".r
     var matchNumberAlias: Option[String] = None
+    // CLASSIFIER() under ONE ROW PER MATCH (r14, ISO): the LAST matched
+    // row's label, emitted by the value operator as `cls` — same projection
+    // path as the ALL-ROWS per-row classifier
+    var oneRowCls = false
     val measures: Seq[Either[(String, String), Either[MrMeasure, MrAggMeasure]]] = clause(
       "(?is)MEASURES\\s+(.*?)\\s+(?:ONE\\s+ROW|ALL\\s+ROWS|AFTER\\s+MATCH|PATTERN\\b)")
       .map(SqlFrontend.splitTopLevelCommas(_).map(_.trim)).getOrElse(Seq.empty)
@@ -481,8 +512,9 @@ object StreamPlanner {
             matchNumberAlias = Some(alias)
             Left(alias -> alias)
           case ClsRe(alias) =>
-            require(allRowsPerMatch,
-              "streaming MATCH_RECOGNIZE: CLASSIFIER() requires ALL ROWS PER MATCH")
+            // ALL ROWS: the operator's per-row cls column; ONE ROW (r14,
+            // ISO): the last matched row's label, also emitted as `cls`
+            if (!allRowsPerMatch) oneRowCls = true
             Left("cls" -> alias)
           case AggMeasRe(fn0, v, c, alias) if measTokIdx.contains(v) =>
             val fn = fn0.toLowerCase match { case "count" => "cnt"; case f => f }
@@ -567,7 +599,8 @@ object StreamPlanner {
     // the value route for the post-match select
     var allRowsCondCols: Seq[String] = Nil
     val matched = (if (!valueRoute && valueMeasures.isEmpty && aggMeasures.isEmpty &&
-      matchNumberAlias.isEmpty && !allRowsPerMatch && subsetSrc.isEmpty && parts.size == 1) {
+      matchNumberAlias.isEmpty && !allRowsPerMatch && subsetSrc.isEmpty && parts.size == 1 &&
+      skipToVar.isEmpty && !oneRowCls) {
       val defines = defSrc.map { case (v, c) =>
         s"$v AS $c" match { case DefineRe(_, _, cc, lit0) => v -> (cc, lit0) }
       }.toMap
@@ -578,7 +611,7 @@ object StreamPlanner {
       StreamingSequenceMatchQ(input, parts.head, typeCols.head, ord, "__tie",
         qtoks, withinMicros, ttlSeconds = ttlSeconds,
         ttlWatermarkDelay = graft.sources.TableRegistry.stateTtlWatermarkDelay(ttlSeconds),
-        skipPast = skipPast)
+        skipPast = !skipToNext)
     } else {
       // ---- VALUE route: rich predicates on StreamingMatchRecognize (r10).
       // Referenced columns are read from the conditions; at most one string
@@ -645,7 +678,8 @@ object StreamPlanner {
         ord, "__tie", tokens.map(_._1), condBranches, conds, withinMicros,
         ttlSeconds = ttlSeconds,
         ttlWatermarkDelay = graft.sources.TableRegistry.stateTtlWatermarkDelay(ttlSeconds),
-        skipPast = skipPast, measures = valueMeasures ++ partMeasures,
+        skip = skipStrategy, measures = valueMeasures ++ partMeasures,
+        oneRowClassifier = oneRowCls,
         aggMeasures = aggMeasures,
         matchNumberAlias = matchNumberAlias,
         // composite patterns execute by the parse tree (r12): ISO preferment
@@ -667,11 +701,13 @@ object StreamPlanner {
         Seq(col("key").cast(input.schema(parts.head).dataType).as(parts.head))
       else parts.map(col)
     // the re-exposed buffered columns, minus the partition columns partProj
-    // already emits (composite keys ride condCols under ALL ROWS) and minus
-    // the ORDER BY column (re-exposed from row_ts — an ord-referencing
-    // DEFINE/MEASURE buffers it as a condCol, r13)
-    val rowCondProj = allRowsCondCols.filterNot(c =>
-      c == ord || (parts.size > 1 && parts.contains(c)))
+    // already emits — at EVERY key arity (r13 ADVICE: a single-column key
+    // referenced by a DEFINE is a condCol too; partProj re-emits it from the
+    // operator's key, so keeping it here tripped the duplicate-output guard
+    // on a shape the composite-key twin supported) — and minus the ORDER BY
+    // column (re-exposed from row_ts — an ord-referencing DEFINE/MEASURE
+    // buffers it as a condCol, r13)
+    val rowCondProj = allRowsCondCols.filterNot(c => c == ord || parts.contains(c))
     // EVERY projected output name must be unique — the operator-level checks
     // cover value/agg measure aliases, but span-measure, MATCH_NUMBER and
     // CLASSIFIER aliases ride the Left(src -> alias) projection and would

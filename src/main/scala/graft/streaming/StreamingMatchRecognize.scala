@@ -78,6 +78,14 @@ import graft.operators.{MatchRecognize, MrConditions}
   * (MATCH_NUMBER continuity) — rides the streaming checkpoint, so a standing
   * query restarted mid-pattern resumes exactly where it stopped and emits
   * output row-identical to a never-stopped run.
+  *
+  * AFTER MATCH strategies (r14 — all four of the standard's): SKIP PAST LAST
+  * ROW and the variable-targeted SKIP TO FIRST|LAST <var> share the
+  * cursor-frontier walk — the skip strategy only picks the cursor's next
+  * position, so the targeted forms produce OVERLAPPING standing matches
+  * (resume AT the target row) with batch-identical spans, ordinals and
+  * loud empty-target/self-re-anchor errors; SKIP TO NEXT ROW keeps the
+  * per-position undecided walk (every start decides independently).
   */
 // Serializable: the per-key step is a local def (a method on this module), so
 // the flatMapGroupsWithState lambda captures the module reference; Scala
@@ -120,12 +128,13 @@ object StreamingMatchRecognize extends Serializable {
 
   /** Aligned per-row state; `cells(i)` = row i's condCols values in their
     * original external types (Kryo-encoded state — the only state this
-    * module keeps); `cursor` = the skip-past selection cursor's index within
-    * the retained arrays (0 in skip-to-next mode); `undecided` =
-    * skip-to-next per-position flags (margin-retained rows are decided);
-    * `matchSeq` = the key's emitted-match ordinal so far (MATCH_NUMBER(),
-    * r11 — skip-past emission is positional, so the ordinal equals the
-    * batch scan's `__mr_seq`).
+    * module keeps); `cursor` = the cursor-mode selection frontier's index
+    * within the retained arrays (skip-past and the variable-targeted skips;
+    * 0 in skip-to-next mode); `undecided` = skip-to-next per-position flags
+    * (margin-retained rows are decided); `matchSeq` = the key's
+    * emitted-match ordinal so far (MATCH_NUMBER(), r11 — cursor-mode
+    * emission is positional, so the ordinal equals the batch scan's
+    * `__mr_seq`).
     */
   case class Buf(cells: Array[Array[Any]], tsMicros: Array[Long], ties: Array[Long],
                  cursor: Int, undecided: Array[Boolean], matchSeq: Long = 0L)
@@ -162,7 +171,7 @@ object StreamingMatchRecognize extends Serializable {
             tokens: Seq[MatchRecognize.MrTok], defs: Seq[Option[String]],
             withinMicros: Long = 0L, ttlSeconds: Long = 0L,
             ttlWatermarkDelay: String = "0 seconds",
-            skipPast: Boolean = true,
+            skip: MatchRecognize.Skip = MatchRecognize.SkipPastLastRow,
             stateProbe: Option[StreamingOps.MaxAccumulator] = None,
             measures: Seq[MrMeasure] = Seq.empty,
             aggMeasures: Seq[MrAggMeasure] = Seq.empty,
@@ -171,7 +180,7 @@ object StreamingMatchRecognize extends Serializable {
     val branch = tokens.zipWithIndex
       .map { case (t, i) => MatchRecognize.BTok(i, t.lo, t.hi, t.reluctant) }.toIndexedSeq
     applyPattern(df, keyCol, condCols, tsCol, tieCol, tokens.map(_.name), Seq(branch),
-      defs, withinMicros, ttlSeconds, ttlWatermarkDelay, skipPast, stateProbe, measures,
+      defs, withinMicros, ttlSeconds, ttlWatermarkDelay, skip, stateProbe, measures,
       aggMeasures, matchNumberAlias)
   }
 
@@ -202,7 +211,7 @@ object StreamingMatchRecognize extends Serializable {
                    defs: Seq[Option[String]],
                    withinMicros: Long = 0L, ttlSeconds: Long = 0L,
                    ttlWatermarkDelay: String = "0 seconds",
-                   skipPast: Boolean = true,
+                   skip: MatchRecognize.Skip = MatchRecognize.SkipPastLastRow,
                    stateProbe: Option[StreamingOps.MaxAccumulator] = None,
                    measures: Seq[MrMeasure] = Seq.empty,
                    aggMeasures: Seq[MrAggMeasure] = Seq.empty,
@@ -210,8 +219,21 @@ object StreamingMatchRecognize extends Serializable {
                    tree: Option[graft.operators.MrPattern.Node] = None,
                    allRows: Boolean = false,
                    subsets: Seq[(String, Seq[Int])] = Seq.empty,
-                   openTailAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+                   openTailAcc: Option[org.apache.spark.util.LongAccumulator] = None,
+                   oneRowClassifier: Boolean = false): DataFrame = {
     val nTok = varNames.size
+    // cursor-mode strategies (skip-past and the variable-targeted skips, r14)
+    // share the selection-frontier walk: emission is strictly positional, so
+    // MATCH_NUMBER ordinals stay batch-equal; only SKIP TO NEXT ROW decides
+    // starts independently (the undecided-flags walk)
+    val cursorMode = skip != MatchRecognize.SkipToNextRow
+    skip match {
+      case MatchRecognize.SkipToFirst(i) =>
+        require(i >= 0 && i < nTok, s"skip target out of range: $i")
+      case MatchRecognize.SkipToLast(i) =>
+        require(i >= 0 && i < nTok, s"skip target out of range: $i")
+      case _ => ()
+    }
     val nSub = subsets.size
     require(condCols.nonEmpty, "conditions must reference at least one column")
     require(nTok > 0, "pattern must name at least one variable")
@@ -241,7 +263,11 @@ object StreamingMatchRecognize extends Serializable {
     // their source names — widen the reserved-name guard accordingly
     val reservedOut: Set[String] =
       Set("key", "match_start_ts", "match_end_ts", "start_tie", "matched_len") ++
-        (if (allRows) Set("row_ts", "row_tie", "cls") else Set.empty)
+        (if (allRows) Set("row_ts", "row_tie", "cls") else Set.empty) ++
+        (if (oneRowClassifier) Set("cls") else Set.empty)
+    require(!oneRowClassifier || !allRows,
+      "oneRowClassifier is the ONE-ROW shape's CLASSIFIER (the last matched row's label, " +
+        "ISO) — ALL ROWS already emits the per-row cls column")
     if (allRows) {
       val clash = condCols.filter(reservedOut.contains)
       require(clash.isEmpty,
@@ -280,15 +306,17 @@ object StreamingMatchRecognize extends Serializable {
             s"type, got ${dt.simpleString}")
       }
     }
-    // MATCH_NUMBER(): the key's 1-based emitted-match ordinal. Skip-past
-    // emission is strictly positional (the cursor is the selection
-    // frontier), so the ordinal equals the batch scan's __mr_seq; under
-    // SKIP TO NEXT ROW a later start can decide before an earlier deferred
-    // one, which would scramble the ordinals — refused loudly.
+    // MATCH_NUMBER(): the key's 1-based emitted-match ordinal. Cursor-mode
+    // emission (skip-past AND the variable-targeted skips, r14) is strictly
+    // positional (the cursor is the selection frontier), so the ordinal
+    // equals the batch scan's __mr_seq; under SKIP TO NEXT ROW a later start
+    // can decide before an earlier deferred one, which would scramble the
+    // ordinals — refused loudly.
     matchNumberAlias.foreach { a =>
-      require(skipPast,
-        "streaming MATCH_NUMBER() requires AFTER MATCH SKIP PAST LAST ROW — under SKIP TO " +
-          "NEXT ROW a deferred earlier start can emit after a later one, scrambling ordinals")
+      require(cursorMode,
+        "streaming MATCH_NUMBER() is unsupported under AFTER MATCH SKIP TO NEXT ROW — a " +
+          "deferred earlier start can emit after a later one, scrambling ordinals (every " +
+          "cursor-mode strategy — SKIP PAST LAST ROW, SKIP TO FIRST/LAST <var> — is fine)")
       // same collision rule as every other measure alias: the WIDENED
       // reserved set (row_ts/row_tie/cls under ALL ROWS) plus the buffered
       // condCols the ALL-ROWS shape re-emits by name (r12 ADVICE)
@@ -349,6 +377,8 @@ object StreamingMatchRecognize extends Serializable {
         StructField("row_tie", LongType, nullable = false),
         StructField("cls", StringType, nullable = false)) ++
         condSchema.fields.toSeq.map(_.copy(nullable = true))
+      // ONE-ROW CLASSIFIER (r14, ISO): the LAST matched row's label
+      else if (oneRowClassifier) Seq(StructField("cls", StringType, nullable = false))
       else Nil) ++
       measures.map(m => condSchema(condSchema.fieldIndex(m.col)).copy(
         name = m.alias, nullable = true)) ++
@@ -371,6 +401,9 @@ object StreamingMatchRecognize extends Serializable {
     val subMembersArr: Array[Array[Int]] = subsets.map(_._2.toArray).toArray
     // per-row extras under ALL ROWS: row_ts, row_tie, cls, the condCols
     val nRowCols = if (allRows) 3 + nCond else 0
+    // ONE-ROW CLASSIFIER slot (mutually exclusive with allRows by the
+    // require above)
+    val nClsCols = if (oneRowClassifier) 1 else 0
     // RUNNING-aggregate fold membership: measure am folds rows classified as
     // variable gv (the target itself, or a member of the target SUBSET)
     val aggFoldTarget: Array[Array[Boolean]] = aggMeasures.map { m =>
@@ -400,7 +433,7 @@ object StreamingMatchRecognize extends Serializable {
 
     /** Per-key still-OPEN attempt count at expiry — the open-tail contract. */
     def openRuns(buf: Buf): Int =
-      if (skipPast) { if (buf.cursor < buf.cells.length) 1 else 0 }
+      if (cursorMode) { if (buf.cursor < buf.cells.length) 1 else 0 }
       else buf.undecided.count(identity)
 
     // the open-tail contract, made observable (r12): a key expiring with a
@@ -558,6 +591,44 @@ object StreamingMatchRecognize extends Serializable {
               try walk(prog.entry, p) catch { case MrConditions.NotYet => -1 }
             }
 
+            /** Buffer position where variable i's run starts on the winning
+              * path, -1 when absent — valid right after a winning resolve.
+              */
+            def pathStartOf(i: Int): Int = {
+              var t = 0
+              while (t < pathLen && pathVar(t) != i) t += 1
+              if (t == pathLen) -1 else pathStart(t)
+            }
+
+            /** The cursor's next position after a winner at `p` of length
+              * `len` — the batch scan's skipAdvance in buffer-absolute form
+              * (r14). The variable-targeted strategies resume AT the target
+              * variable's first/last matched row, so matches may OVERLAP (a
+              * later match starts inside the previous span); an empty-run
+              * target or a self-re-anchor fails loudly, the standard's
+              * infinite-loop rules — identical to the batch scan and Flink.
+              */
+            def skipAdvanceTo(p: Int, len: Int): Int = skip match {
+              case MatchRecognize.SkipPastLastRow => p + len
+              case MatchRecognize.SkipToFirst(i) =>
+                if (counts(i) == 0) sys.error(s"AFTER MATCH SKIP TO FIRST ${varNames(i)}: " +
+                  "the variable matched no rows in the selected match")
+                val pos = pathStartOf(i)
+                if (pos == p) sys.error(s"AFTER MATCH SKIP TO FIRST ${varNames(i)} would " +
+                  "re-anchor at the match's own start row (infinite loop)")
+                pos
+              case MatchRecognize.SkipToLast(i) =>
+                if (counts(i) == 0) sys.error(s"AFTER MATCH SKIP TO LAST ${varNames(i)}: " +
+                  "the variable matched no rows in the selected match")
+                val pos = pathStartOf(i) + counts(i) - 1
+                if (pos == p) sys.error(s"AFTER MATCH SKIP TO LAST ${varNames(i)} would " +
+                  "re-anchor at the match's own start row (infinite loop)")
+                pos
+              case MatchRecognize.SkipToNextRow =>
+                throw new IllegalStateException("unreachable: SKIP TO NEXT ROW never walks " +
+                  "the cursor")
+            }
+
             /** Placed runs of measure target `m` — a variable, or a SUBSET
               * union (`nTok + i`): the member runs pooled in row order —
               * packed (start << 32 | len). Valid right after a winning
@@ -645,27 +716,36 @@ object StreamingMatchRecognize extends Serializable {
               * from the WINNING placement.
               */
             def emitMatch(p: Int, len: Int): Unit = {
-              val vals = new Array[Any](5 + nMeas + nAggMeas + (if (hasMatchNumber) 1 else 0))
+              val vals = new Array[Any](5 + nClsCols + nMeas + nAggMeas +
+                (if (hasMatchNumber) 1 else 0))
               vals(0) = key
               vals(1) = toTs(tssB(p))
               vals(2) = toTs(tssB(p + len - 1))
               vals(3) = tiesB(p)
               vals(4) = len
+              if (oneRowClassifier) {
+                // ISO ONE-ROW CLASSIFIER: the LAST matched row's label — the
+                // deepest path entry that placed at least one row (matchLen >
+                // 0 guarantees one exists)
+                var t = pathLen - 1
+                while (t >= 0 && pathCount(t) == 0) t -= 1
+                vals(5) = varNames(pathVar(t))
+              }
               var m = 0
               while (m < nMeas) {
                 val (isFirst, tok, colI, _) = measArr(m)
-                vals(5 + m) = valueMeasureAt(isFirst, runsOf(tok), colI, -1)
+                vals(5 + nClsCols + m) = valueMeasureAt(isFirst, runsOf(tok), colI, -1)
                 m += 1
               }
               var am = 0
               while (am < nAggMeas) {
                 val (fn, tok, colI, _) = aggMeasArr(am)
-                vals(5 + nMeas + am) = aggOverRuns(fn, runsOf(tok), colI)
+                vals(5 + nClsCols + nMeas + am) = aggOverRuns(fn, runsOf(tok), colI)
                 am += 1
               }
               if (hasMatchNumber) {
                 matchSeq += 1L
-                vals(5 + nMeas + nAggMeas) = matchSeq
+                vals(5 + nClsCols + nMeas + nAggMeas) = matchSeq
               }
               out += new GenericRow(vals)
             }
@@ -794,11 +874,15 @@ object StreamingMatchRecognize extends Serializable {
                 }
                 cellsB += cells; rowsB += new GenericRow(cells); tssB += us; tiesB += tie
                 cx.maxP = rowsB.length - 1
-                if (!skipPast) undecB += true
-                if (skipPast) {
+                if (!cursorMode) undecB += true
+                if (cursorMode) {
                   // the buffer cursor is the selection frontier: only the
                   // oldest unresolved start may decide (an older open start
-                  // can still consume a younger one's rows)
+                  // can still consume a younger one's rows). The skip
+                  // strategy picks the cursor's NEXT position — past the
+                  // match (skip-past) or AT a placed variable's first/last
+                  // row (the overlapping-runs strategies, r14); either way
+                  // the cursor strictly advances, so the walk terminates.
                   var walking = true
                   while (walking && cursor < rowsB.length) {
                     resolve(cursor) match {
@@ -806,7 +890,7 @@ object StreamingMatchRecognize extends Serializable {
                       case 0 => cursor += 1
                       case len =>
                         if (allRows) emitMatchRows(cursor, len) else emitMatch(cursor, len)
-                        cursor += len
+                        cursor = skipAdvanceTo(cursor, len)
                     }
                   }
                   val drop = math.max(0, cursor - navDepth)

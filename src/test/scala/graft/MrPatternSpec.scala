@@ -400,7 +400,7 @@ class MrPatternSpec extends SparkSpec {
     val matches = StreamingMatchRecognize.applyPattern(
       mem.toDF().toDF("u", "ts", "id", "kind", "v"), "u",
       condCols = Seq("kind", "v"), tsCol = "ts", tieCol = "id",
-      varNames = names, branches = branches, defs = defs, skipPast = true,
+      varNames = names, branches = branches, defs = defs,
       withinMicros = 3600L * 1000000L,
       aggMeasures = Seq(StreamingMatchRecognize.MrAggMeasure("cnt", nidx("A"), "*", "n_a")),
       measures = Seq(StreamingMatchRecognize.MrMeasure(isFirst = false, nidx("C"), "v", "c_v")),

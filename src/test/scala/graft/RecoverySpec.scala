@@ -159,7 +159,7 @@ class RecoverySpec extends SparkSpec {
       StreamingMatchRecognize.applyPattern(
         mem.toDF().toDF("u", "ts", "tie", "v"), "u", condCols = Seq("v"),
         tsCol = "ts", tieCol = "tie", varNames = names, branches = branches,
-        defs = defs, skipPast = true, measures = measures, aggMeasures = aggMeasures,
+        defs = defs, skip = MatchRecognize.SkipPastLastRow, measures = measures, aggMeasures = aggMeasures,
         matchNumberAlias = Some("mn"), tree = Some(MrPattern.parse(pattern)),
         allRows = true, subsets = subsets)
         .writeStream.format("parquet")

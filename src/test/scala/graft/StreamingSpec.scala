@@ -7,6 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.anomaly.AnomalyDetector
+import graft.operators.MatchRecognize
 import graft.streaming.{KafkaIO, StreamingAnomaly, StreamingOps}
 
 class StreamingSpec extends SparkSpec {
@@ -562,7 +563,7 @@ class StreamingSpec extends SparkSpec {
       tokens = Seq(MrTok("S", 1, Some(1)), MrTok("D", 1, None), MrTok("U", 1, None)),
       defs = Seq(None, Some("D.v < PREV(D.v)"),
         Some("U.v > PREV(U.v) AND U.v < FIRST(S.v)")),
-      skipPast = true)
+      skip = MatchRecognize.SkipPastLastRow)
     val q = matches.writeStream.format("memory").queryName("mrv_sink")
       .outputMode("append").start()
     try {
@@ -598,7 +599,7 @@ class StreamingSpec extends SparkSpec {
       condCols = Seq("price", "volume"), tsCol = "ts", tieCol = "id",
       tokens = Seq(MrTok("S", 1, Some(1)), MrTok("D", 1, None)),
       defs = Seq(None, Some("D.price < PREV(D.price) AND D.volume > 1000")),
-      skipPast = true)
+      skip = MatchRecognize.SkipPastLastRow)
     val q = matches.writeStream.format("memory").queryName("mrv2_sink")
       .outputMode("append").start()
     try {
@@ -642,7 +643,7 @@ class StreamingSpec extends SparkSpec {
       mem.toDF().toDF("u", "ts", "id", "n"), "u", condCols = Seq("n"),
       tsCol = "ts", tieCol = "id",
       tokens = Seq(MrTok("A", 1, Some(1)), MrTok("D", 1, Some(1))),
-      defs = Seq(None, Some("D.n < PREV(D.n)")), skipPast = true)
+      defs = Seq(None, Some("D.n < PREV(D.n)")), skip = MatchRecognize.SkipPastLastRow)
     val q = matches.writeStream.format("memory").queryName("mrv_exact_sink")
       .outputMode("append").start()
     try { mem.addData(rows: _*); q.processAllAvailable() } finally q.stop()
@@ -666,7 +667,7 @@ class StreamingSpec extends SparkSpec {
       tsCol = "ts", tieCol = "id",
       tokens = Seq(MrTok("S", 1, Some(1)), MrTok("D", 1, None), MrTok("U", 1, None)),
       defs = Seq(None, Some("D.v < PREV(D.v)"), Some("U.v > PREV(U.v)")),
-      skipPast = true,
+      skip = MatchRecognize.SkipPastLastRow,
       measures = Seq(MrMeasure(isFirst = false, 2, "v", "top")),
       aggMeasures = Seq(
         MrAggMeasure("cnt", 1, "*", "n_down"),
@@ -699,7 +700,7 @@ class StreamingSpec extends SparkSpec {
       varNames = Seq("S", "D"),
       branches = Seq(IndexedSeq(graft.operators.MatchRecognize.BTok(0, 1, Some(1)),
         graft.operators.MatchRecognize.BTok(1, 1, None))),
-      defs = Seq(None, Some("D.v < PREV(D.v)")), skipPast = true,
+      defs = Seq(None, Some("D.v < PREV(D.v)")), skip = MatchRecognize.SkipPastLastRow,
       matchNumberAlias = Some("seq"))
     val q = matches.writeStream.format("memory").queryName("mrmn_sink")
       .outputMode("append").start()
@@ -716,7 +717,7 @@ class StreamingSpec extends SparkSpec {
       mem.toDF().toDF("u", "ts", "id", "v"), "u", condCols = Seq("v"),
       tsCol = "ts", tieCol = "id",
       tokens = Seq(MrTok("A", 1, Some(1))), defs = Seq(Some("A.v > 0")),
-      skipPast = false, matchNumberAlias = Some("seq")))
+      skip = MatchRecognize.SkipToNextRow, matchNumberAlias = Some("seq")))
     assert(err.getMessage.contains("SKIP PAST LAST ROW"), err.getMessage)
   }
 
@@ -750,7 +751,7 @@ class StreamingSpec extends SparkSpec {
     val matches = StreamingMatchRecognize.applyPattern(
       mem.toDF().toDF("u", "ts", "id", "kind", "v"), "u",
       condCols = Seq("kind", "v"), tsCol = "ts", tieCol = "id",
-      varNames = names, branches = branches, defs = defs, skipPast = true,
+      varNames = names, branches = branches, defs = defs, skip = MatchRecognize.SkipPastLastRow,
       measures = Seq(StreamingMatchRecognize.MrMeasure(isFirst = false, nidx("A"), "v", "a_v"),
         StreamingMatchRecognize.MrMeasure(isFirst = false, nidx("B"), "v", "b_v")))
     val q = matches.writeStream.format("memory").queryName("mralt_sink")
@@ -787,7 +788,7 @@ class StreamingSpec extends SparkSpec {
     val matches = StreamingMatchRecognize.applyPattern(
       mem.toDF().toDF("u", "ts", "id", "v"), "u",
       condCols = Seq("v"), tsCol = "ts", tieCol = "id",
-      varNames = names, branches = branches, defs = defs, skipPast = true,
+      varNames = names, branches = branches, defs = defs, skip = MatchRecognize.SkipPastLastRow,
       measures = Seq(StreamingMatchRecognize.MrMeasure(isFirst = false, nidx("C"), "v", "c_v")))
     val q = matches.writeStream.format("memory").queryName("mralt2_sink")
       .outputMode("append").start()
@@ -838,7 +839,7 @@ class StreamingSpec extends SparkSpec {
     val matches = StreamingMatchRecognize.applyPattern(
       mem.toDF().toDF("u", "ts", "id", "kind", "v"), "u",
       condCols = Seq("kind", "v"), tsCol = "ts", tieCol = "id",
-      varNames = names, branches = branches, defs = defs, skipPast = true,
+      varNames = names, branches = branches, defs = defs, skip = MatchRecognize.SkipPastLastRow,
       measures = Seq(
         StreamingMatchRecognize.MrMeasure(isFirst = false, nidx("P"), "v", "buy_v"),
         StreamingMatchRecognize.MrMeasure(isFirst = false, nidx("C"), "v", "click_v")))
@@ -887,7 +888,7 @@ class StreamingSpec extends SparkSpec {
     StreamingMatchRecognize.applyPattern(
       mem.toDF().toDF("u", "ts", "id", "value"), "u",
       condCols = Seq("value"), tsCol = "ts", tieCol = "id",
-      varNames = names, branches = branches, defs = defs, skipPast = true,
+      varNames = names, branches = branches, defs = defs, skip = MatchRecognize.SkipPastLastRow,
       measures = measures, aggMeasures = aggMeasures, allRows = allRows,
       subsets = subsets, tree = Some(MrPattern.parse(pattern)))
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
@@ -1033,7 +1034,7 @@ class StreamingSpec extends SparkSpec {
       condCols = Seq("value"), tsCol = "ts", tieCol = "id",
       varNames = names, branches = branches,
       defs = Seq(None, Some("D.value < PREV(D.value)"), Some("U.value > PREV(U.value)")),
-      skipPast = true, ttlSeconds = 60L, ttlWatermarkDelay = "0 seconds",
+      skip = MatchRecognize.SkipPastLastRow, ttlSeconds = 60L, ttlWatermarkDelay = "0 seconds",
       openTailAcc = Some(acc))
     val q = matched.writeStream.format("memory").queryName("mr_opentail_sink")
       .outputMode("append").start()
@@ -1106,7 +1107,7 @@ class StreamingSpec extends SparkSpec {
       varNames = names, branches = branches,
       defs = Seq(None, Some("D.value < PREV(D.value)"),
         Some("U.value > PREV(U.value) AND U.value < 2 * FIRST(M.value)")),
-      skipPast = true, subsets = Seq(("M", Seq(nidx("S"), nidx("D")))),
+      skip = MatchRecognize.SkipPastLastRow, subsets = Seq(("M", Seq(nidx("S"), nidx("D")))),
       aggMeasures = Seq(MrAggMeasure("cnt", nidx("U"), "*", "n_up")))
     val q = matched.writeStream.format("memory").queryName("mr_subdef_sink")
       .outputMode("append").start()
@@ -1141,7 +1142,7 @@ class StreamingSpec extends SparkSpec {
       tsCol = "ts", tieCol = "id",
       tokens = Seq(MrTok("A", 1, Some(1)), MrTok("B", 1, Some(1))),
       defs = Seq(Some("NEXT(A.v) > A.v"), Some("B.v > 0")),
-      withinMicros = 60L * 1000000L, skipPast = true)
+      withinMicros = 60L * 1000000L, skip = MatchRecognize.SkipPastLastRow)
     val q = matches.writeStream.format("memory").queryName("mrv_next_sink")
       .outputMode("append").start()
     try {
@@ -1197,7 +1198,7 @@ class StreamingSpec extends SparkSpec {
       tokens = Seq(MrTok("S", 1, Some(1)), MrTok("D", 1, None)),
       defs = Seq(None, Some(
         "CASE WHEN abs(D.v - PREV(D.v)) > 1.0 THEN D.v < PREV(D.v) ELSE false END")),
-      skipPast = true)
+      skip = MatchRecognize.SkipPastLastRow)
     val q = matches.writeStream.format("memory").queryName("mrv_hybrid_sink")
       .outputMode("append").start()
     try {
@@ -1237,7 +1238,7 @@ class StreamingSpec extends SparkSpec {
       mem.toDF().toDF("u", "ts", "id", "v"), "u", condCols = Seq("v"),
       tsCol = "ts", tieCol = "id",
       tokens = Seq(MrTok("A", 1, Some(1)), MrTok("D", 1, Some(1))),
-      defs = Seq(None, Some("D.v < PREV(D.v)")), skipPast = true)
+      defs = Seq(None, Some("D.v < PREV(D.v)")), skip = MatchRecognize.SkipPastLastRow)
     val q = matches.writeStream.format("memory").queryName("mrv_late_sink")
       .outputMode("append").start()
     try {
@@ -1356,7 +1357,7 @@ class StreamingSpec extends SparkSpec {
         tsCol = "ts", tieCol = "id",
         tokens = Seq(MrTok("S", 1, Some(1)), MrTok("D", 1, None), MrTok("U", 1, None)),
         defs = Seq(None, Some("D.v < PREV(D.v)"), Some("U.v > PREV(U.v)")),
-        skipPast = true,
+        skip = MatchRecognize.SkipPastLastRow,
         measures = Seq(MrMeasure(isFirst = false, 1, "v", "bottom")),
         aggMeasures = Seq(MrAggMeasure("sum", 2, "v", "up_sum")),
         matchNumberAlias = Some("mn"))
@@ -1377,5 +1378,87 @@ class StreamingSpec extends SparkSpec {
       s"engines diverged:\nTWS : $viaTws\nheap: $viaHeap")
     // both decide the same two matches: (10,8,12) and (11,9,14)
     assert(viaTws.size == 2, viaTws.toString)
+  }
+
+  test("streaming AFTER MATCH SKIP TO FIRST <var>: overlapping matches across micro-batches " +
+    "equal the batch scan, ordinals intact (r14)") {
+    import graft.streaming.StreamingMatchRecognize
+    import graft.operators.MatchRecognize.MrTok
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Long, Double)]
+    val mem = MemoryStream[(String, Timestamp, Long, Double)]
+    def ev(m: Int, id: Long, v: Double) = ("k1", ts(f"2024-01-01 00:$m%02d:00"), id, v)
+    // skip-to-first re-anchors INSIDE the previous span: the 10,8,7,9,8,6,9
+    // tail yields four matches, two fully nested in earlier spans
+    val b1 = Seq(ev(0, 1L, 10.0), ev(1, 2L, 8.0), ev(2, 3L, 7.0), ev(3, 4L, 9.0))
+    val b2 = Seq(ev(4, 5L, 8.0), ev(5, 6L, 6.0), ev(6, 7L, 9.0), ev(7, 8L, 5.0))
+    val matches = StreamingMatchRecognize(
+      mem.toDF().toDF("u", "ts", "id", "v"), "u", condCols = Seq("v"),
+      tsCol = "ts", tieCol = "id",
+      tokens = Seq(MrTok("S", 1, Some(1)), MrTok("D", 1, None), MrTok("U", 1, None)),
+      defs = Seq(None, Some("D.v < PREV(D.v)"), Some("U.v > PREV(U.v)")),
+      skip = MatchRecognize.SkipToFirst(1),
+      matchNumberAlias = Some("seq"))
+    val q = matches.writeStream.format("memory").queryName("mrskipf_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(spark.table("mrskipf_sink").isEmpty,
+        "the first span's U-run is still extensible — nothing may decide in batch 1")
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("mrskipf_sink")
+      .select("start_tie", "matched_len", "seq").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._3).toSeq
+    // m1 rows 1-4; re-anchor at FIRST D (row 2) -> m2 rows 2-4 (nested);
+    // row 3 anchors nothing; m3 rows 4-7; m4 rows 5-7 (nested)
+    assert(got == Seq((1L, 4, 1L), (2L, 3, 2L), (4L, 4, 3L), (5L, 3, 4L)), got.mkString(";"))
+
+    // closed-stream parity with the batch scan under the same strategy
+    import spark.implicits._
+    val evs = (b1 ++ b2).toDF("u", "ts", "id", "v")
+    val batch = graft.operators.MatchRecognize.scan(
+      evs, Seq(col("u")), Seq(col("ts"), col("id")), "ts",
+      Seq(MrTok("S", 1, Some(1)), MrTok("D", 1, None), MrTok("U", 1, None)),
+      Seq(lit(true), expr("v < lag(v) OVER (PARTITION BY u ORDER BY ts, id)"),
+        expr("v > lag(v) OVER (PARTITION BY u ORDER BY ts, id)")),
+      None, graft.operators.MatchRecognize.SkipToFirst(1), allRows = false, Seq.empty)
+      .select(col("id").cast("long"), col("__mr_len").cast("int"), col("__mr_seq"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._3).toSeq
+    assert(batch == got, s"streaming skip-to-first diverged from the batch scan:\n$batch\nvs\n$got")
+  }
+
+  test("streaming AFTER MATCH SKIP TO: empty-target and self-re-anchor fail loudly (r14)") {
+    import graft.streaming.StreamingMatchRecognize
+    import graft.operators.MatchRecognize.MrTok
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[(String, Timestamp, Long, Double)]
+    val mem = MemoryStream[(String, Timestamp, Long, Double)]
+    def ev(m: Int, id: Long, v: Double) = ("k1", ts(f"2024-01-01 00:$m%02d:00"), id, v)
+    // SKIP TO FIRST S re-anchors at the match's own start row — the
+    // standard's infinite-loop rule, a TASK error (batch parity), so the
+    // standing query fails loudly instead of spinning
+    val matches = StreamingMatchRecognize(
+      mem.toDF().toDF("u", "ts", "id", "v"), "u", condCols = Seq("v"),
+      tsCol = "ts", tieCol = "id",
+      tokens = Seq(MrTok("S", 1, Some(1)), MrTok("D", 1, None)),
+      defs = Seq(None, Some("D.v < PREV(D.v)")),
+      skip = MatchRecognize.SkipToFirst(0))
+    val q = matches.writeStream.format("memory").queryName("mrskiperr_sink")
+      .outputMode("append").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        mem.addData(ev(0, 1L, 10.0), ev(1, 2L, 8.0), ev(2, 3L, 9.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    assert(err.getMessage.contains("re-anchor"), err.getMessage)
+    // an out-of-range target index refuses at plan time
+    val planErr = intercept[IllegalArgumentException](StreamingMatchRecognize(
+      mem.toDF().toDF("u", "ts", "id", "v"), "u", condCols = Seq("v"),
+      tsCol = "ts", tieCol = "id",
+      tokens = Seq(MrTok("A", 1, Some(1))), defs = Seq(Some("A.v > 0")),
+      skip = MatchRecognize.SkipToLast(3)))
+    assert(planErr.getMessage.contains("skip target out of range"), planErr.getMessage)
   }
 }

@@ -62,7 +62,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     // standing semantics: RUNNING immediately, sink empty until data flows
     assert(StatementCatalog.status("anomalies_per_zone") == "RUNNING")
     val q = StatementCatalog.get("anomalies_per_zone").collect {
-      case StatementCatalog.Standing(_, _, query) => query
+      case StatementCatalog.Standing(_, _, query, _) => query
     }.getOrElse(fail("CTAS over a stream table must register a standing statement"))
     assert(SqlFrontend.execute(spark, "SELECT * FROM anomalies_per_zone").isEmpty)
 
@@ -128,7 +128,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       "INSERT INTO ride_prices SELECT request_id, price FROM rides_src WHERE price > 5.0")
     assert(StatementCatalog.status("insert-into-ride_prices") == "RUNNING")
     val q = StatementCatalog.get("insert-into-ride_prices").collect {
-      case StatementCatalog.Standing(_, _, query) => query
+      case StatementCatalog.Standing(_, _, query, _) => query
     }.get
 
     def ride(id: String, price: Double) = RideEvent(id, "u@example.com", "Z", "Z",
@@ -231,7 +231,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
         |  )""".stripMargin)
     assert(StatementCatalog.status("funnel_matches") == "RUNNING")
     val q = StatementCatalog.get("funnel_matches").collect {
-      case StatementCatalog.Standing(_, _, query) => query
+      case StatementCatalog.Standing(_, _, query, _) => query
     }.getOrElse(fail("MATCH_RECOGNIZE CTAS over a stream must register a standing statement"))
 
     def ev(u: String, t: String, s: String) = (u, t, Timestamp.valueOf(s), 1.0)
@@ -266,7 +266,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
         |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A B)
         |  DEFINE A AS A.t = 'view', B AS NEXT(B.v) > B.v)""".stripMargin)
     val q2 = StatementCatalog.get("next_matches").collect {
-      case StatementCatalog.Standing(_, _, query) => query
+      case StatementCatalog.Standing(_, _, query, _) => query
     }.getOrElse(fail("NEXT() value route must register a standing statement"))
     try {
       mem2.addData(("u1", "view", Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
@@ -315,7 +315,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     SqlFrontend.execute(spark, "CREATE TABLE ticker_matches AS" + mrSql.format("ticker_events"))
     assert(StatementCatalog.status("ticker_matches") == "RUNNING")
     val q = StatementCatalog.get("ticker_matches").collect {
-      case StatementCatalog.Standing(_, _, query) => query
+      case StatementCatalog.Standing(_, _, query, _) => query
     }.getOrElse(fail("value-route MATCH_RECOGNIZE CTAS must register a standing statement"))
 
     def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
@@ -377,7 +377,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       |  )""".stripMargin
     SqlFrontend.execute(spark, "CREATE TABLE vm_matches AS" + mrSql.format("vm_events"))
     val q = StatementCatalog.get("vm_matches").collect {
-      case StatementCatalog.Standing(_, _, query) => query
+      case StatementCatalog.Standing(_, _, query, _) => query
     }.getOrElse(fail("value-measure MATCH_RECOGNIZE CTAS must register a standing statement"))
     def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
     val rows = Seq(ev(0, 10.0), ev(1, 8.0), ev(2, 7.0), ev(3, 9.0), ev(4, 12.0), ev(5, 11.0))
@@ -423,7 +423,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
         |    DEFINE A AS A.t = 'x'
         |  )""".stripMargin)
     val q = StatementCatalog.get("unb_matches").collect {
-      case StatementCatalog.Standing(_, _, query) => query
+      case StatementCatalog.Standing(_, _, query, _) => query
     }.getOrElse(fail("standing statement expected"))
     def at(sec: Long) = new Timestamp((1000000L + sec) * 1000L)
     try {
@@ -476,7 +476,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
         |    DEFINE A AS A.t = 'x'
         |  )""".stripMargin)
     val q = StatementCatalog.get("sp_matches").collect {
-      case StatementCatalog.Standing(_, _, query) => query
+      case StatementCatalog.Standing(_, _, query, _) => query
     }.getOrElse(fail("standing statement expected"))
 
     // offset from epoch (initial watermark 0 filters rows AT it)
@@ -546,7 +546,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
         |    DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v)
         |  )""".stripMargin)
     val q = StatementCatalog.get("tie_matches").collect {
-      case StatementCatalog.Standing(_, _, query) => query
+      case StatementCatalog.Standing(_, _, query, _) => query
     }.getOrElse(fail("tie-ordered MATCH_RECOGNIZE CTAS must register a standing statement"))
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
     try {
@@ -659,7 +659,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       |  )""".stripMargin
     SqlFrontend.execute(spark, "CREATE TABLE ar_matches AS" + mrSql.format("ar_events"))
     val q = StatementCatalog.get("ar_matches").collect {
-      case StatementCatalog.Standing(_, _, query) => query
+      case StatementCatalog.Standing(_, _, query, _) => query
     }.getOrElse(fail("ALL ROWS MATCH_RECOGNIZE CTAS must register a standing statement"))
     def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
     // the match spans two micro-batches; the final 5.0 breaks U+ and decides
@@ -801,7 +801,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       SqlFrontend.execute(spark,
         "CREATE TABLE mk_matches AS" + mrSql.format("mk_events", "", "ONE ROW"))
       val q = StatementCatalog.get("mk_matches").collect {
-        case StatementCatalog.Standing(_, _, query) => query
+        case StatementCatalog.Standing(_, _, query, _) => query
       }.getOrElse(fail("multi-key MR CTAS must register a standing statement"))
       mem.addData(data: _*); q.processAllAvailable()
       val got = SqlFrontend.execute(spark,
@@ -831,7 +831,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
         "CREATE TABLE mk_matches AS" + mrSql.format("mk_events",
           ", CLASSIFIER() AS cls", "ALL ROWS"))
       val q2 = StatementCatalog.get("mk_matches").collect {
-        case StatementCatalog.Standing(_, _, query) => query
+        case StatementCatalog.Standing(_, _, query, _) => query
       }.getOrElse(fail("multi-key ALL ROWS MR CTAS must register a standing statement"))
       mem2.addData(data: _*); q2.processAllAvailable()
       val gotRows = SqlFrontend.execute(spark,
@@ -888,7 +888,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     try {
       SqlFrontend.execute(spark, "CREATE TABLE ms_matches AS" + mrSql.format("ms_events"))
       val q = StatementCatalog.get("ms_matches").collect {
-        case StatementCatalog.Standing(_, _, query) => query
+        case StatementCatalog.Standing(_, _, query, _) => query
       }.getOrElse(fail("sub-second WITHIN CTAS must register a standing statement"))
       mem.addData(data: _*); q.processAllAvailable()
       val got = SqlFrontend.execute(spark, "SELECT u, s_ts, bv FROM ms_matches")
@@ -949,7 +949,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     try {
       SqlFrontend.execute(spark, "CREATE TABLE tg_matches AS" + mrSql.format("tg_events"))
       val q = StatementCatalog.get("tg_matches").collect {
-        case StatementCatalog.Standing(_, _, query) => query
+        case StatementCatalog.Standing(_, _, query, _) => query
       }.getOrElse(fail("time-gap MR CTAS must register a standing statement"))
       mem.addData(b1: _*); q.processAllAvailable() // D+ still open at the boundary
       mem.addData(b2: _*); q.processAllAvailable()
@@ -1026,6 +1026,263 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       if (TableRegistry.exists("rc_matches"))
         SqlFrontend.execute(spark, "DROP TABLE rc_matches")
       TableRegistry.dropTable("rc_events")
+      StatementCatalog.reset()
+    }
+  }
+
+  test("streaming MATCH_RECOGNIZE AFTER MATCH SKIP TO LAST <var>: overlapping standing " +
+    "matches equal the batch scan with MATCH_NUMBER intact (r14)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(String, String, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("stl_matches", "stl_events").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    val schema = mem.toDF().toDF("u", "t", "ts", "v").schema
+    TableRegistry.createTable(TableRegistry.TableDef("stl_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
+    // q167's shape: each match re-anchors AT the previous peak, so the peak
+    // that seeds the next fall starts an OVERLAPPING match skip-past eats
+    val mrSql = """
+      |SELECT * FROM %s
+      |  MATCH_RECOGNIZE (
+      |    PARTITION BY u
+      |    ORDER BY ts
+      |    MEASURES FIRST(S.ts) AS start_ts, LAST(U.ts) AS end_ts,
+      |             MATCH_NUMBER() AS seq
+      |    ONE ROW PER MATCH
+      |    AFTER MATCH SKIP TO LAST U
+      |    PATTERN (S D+ U+)
+      |    DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v)
+      |  )""".stripMargin
+    SqlFrontend.execute(spark, "CREATE TABLE stl_matches AS" + mrSql.format("stl_events"))
+    val q = StatementCatalog.get("stl_matches").collect {
+      case StatementCatalog.Standing(_, _, query, _) => query
+    }.getOrElse(fail("skip-to-last MATCH_RECOGNIZE CTAS must register a standing statement"))
+    def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
+    def t0(m: Int) = Timestamp.valueOf(f"2024-01-01 00:0$m:00")
+    // the second match STARTS at the first match's peak (minute 4) and spans
+    // the micro-batch boundary
+    val b1 = Seq(ev(0, 10.0), ev(1, 8.0), ev(2, 7.0), ev(3, 9.0), ev(4, 12.0))
+    val b2 = Seq(ev(5, 10.0), ev(6, 8.0), ev(7, 11.0), ev(8, 6.0))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = SqlFrontend.execute(spark, "SELECT u, start_ts, end_ts, seq FROM stl_matches")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .sortBy(_._4).toSeq
+      assert(got == Seq(
+        ("k1", t0(0), t0(4), 1L),
+        ("k1", t0(4), t0(7), 2L)), got.mkString(";"))
+
+      // closed-stream parity with the BATCH scan route on the same rows
+      import spark.implicits._
+      (b1 ++ b2).toDF("u", "t", "ts", "v").createOrReplaceTempView("stl_batch")
+      val batch = SqlFrontend.execute(spark, mrSql.format("stl_batch"))
+        .selectExpr("u", "start_ts", "end_ts", "seq")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .sortBy(_._4).toSeq
+      assert(batch == got, s"streaming skip-to-last diverged from the batch scan: $batch vs $got")
+
+      // bare SKIP TO <var> is SKIP TO LAST <var> (the standard); an unknown
+      // target refuses loudly
+      val bare = mrSql.format("stl_batch").replace("SKIP TO LAST U", "SKIP TO U")
+      val bareRows = SqlFrontend.execute(spark, bare).selectExpr("u", "start_ts", "end_ts", "seq")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .sortBy(_._4).toSeq
+      assert(bareRows == got, "bare SKIP TO <var> must equal SKIP TO LAST <var>")
+      val unk = intercept[Exception](SqlFrontend.execute(spark,
+        mrSql.format("stl_batch").replace("SKIP TO LAST U", "SKIP TO LAST X")))
+      assert(unk.getMessage.contains("unknown pattern variable"), unk.getMessage)
+    } finally {
+      SqlFrontend.execute(spark, "DROP TABLE stl_matches")
+      TableRegistry.dropTable("stl_events")
+      StatementCatalog.reset()
+    }
+  }
+
+  test("streaming MATCH_RECOGNIZE CLASSIFIER() under ONE ROW PER MATCH: the last matched " +
+    "row's label, ISO semantics, equals batch (r14)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(String, String, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("cls1_matches", "cls1_events").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    val schema = mem.toDF().toDF("u", "t", "ts", "v").schema
+    TableRegistry.createTable(TableRegistry.TableDef("cls1_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
+    // U* makes the last label VARY per match: a fall that recovers ends in
+    // U, a fall sealed by a flat tick ends in D
+    val mrSql = """
+      |SELECT * FROM %s
+      |  MATCH_RECOGNIZE (
+      |    PARTITION BY u
+      |    ORDER BY ts
+      |    MEASURES FIRST(S.ts) AS start_ts, CLASSIFIER() AS last_label
+      |    ONE ROW PER MATCH
+      |    PATTERN (S D+ U*)
+      |    DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v)
+      |  )""".stripMargin
+    SqlFrontend.execute(spark, "CREATE TABLE cls1_matches AS" + mrSql.format("cls1_events"))
+    val q = StatementCatalog.get("cls1_matches").collect {
+      case StatementCatalog.Standing(_, _, query, _) => query
+    }.getOrElse(fail("ONE-ROW CLASSIFIER CTAS must register a standing statement"))
+    def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
+    def t0(m: Int) = Timestamp.valueOf(f"2024-01-01 00:0$m:00")
+    val b1 = Seq(ev(0, 10.0), ev(1, 8.0), ev(2, 7.0), ev(3, 9.0))
+    val b2 = Seq(ev(4, 10.0), ev(5, 7.0), ev(6, 6.0), ev(7, 6.0))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = SqlFrontend.execute(spark, "SELECT u, start_ts, last_label FROM cls1_matches")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getString(2)))
+        .sortBy(_._2.getTime).toSeq
+      // match 1 ends in the recovery (label U); match 2's fall is sealed by
+      // the flat 6.0 tick with an EMPTY U* run (label D)
+      assert(got == Seq(("k1", t0(0), "U"), ("k1", t0(5), "D")), got.mkString(";"))
+
+      import spark.implicits._
+      (b1 ++ b2).toDF("u", "t", "ts", "v").createOrReplaceTempView("cls1_batch")
+      val batch = SqlFrontend.execute(spark, mrSql.format("cls1_batch"))
+        .selectExpr("u", "start_ts", "last_label")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getString(2)))
+        .sortBy(_._2.getTime).toSeq
+      assert(batch == got, s"ONE-ROW CLASSIFIER diverged from the batch scan: $batch vs $got")
+    } finally {
+      SqlFrontend.execute(spark, "DROP TABLE cls1_matches")
+      TableRegistry.dropTable("cls1_events")
+      StatementCatalog.reset()
+    }
+  }
+
+  test("streaming MATCH_RECOGNIZE ALL ROWS: DEFINE/MEASURES over the single PARTITION BY " +
+    "column re-emits it once (r13 ADVICE)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(String, String, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("pk1_matches", "pk1_events").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    val schema = mem.toDF().toDF("u", "t", "ts", "v").schema
+    TableRegistry.createTable(TableRegistry.TableDef("pk1_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
+    // the DEFINE and a MEASURE both reference the partition column, pulling
+    // it into condCols — previously the duplicate-output guard refused this
+    // at a SINGLE-column key while the composite-key twin worked
+    val mrSql = """
+      |SELECT * FROM %s
+      |  MATCH_RECOGNIZE (
+      |    PARTITION BY u
+      |    ORDER BY ts
+      |    MEASURES FINAL LAST(U.u) AS peak_key
+      |    ALL ROWS PER MATCH
+      |    PATTERN (S D+ U+)
+      |    DEFINE D AS D.v < PREV(D.v) AND D.u <> 'nope', U AS U.v > PREV(U.v)
+      |  )""".stripMargin
+    SqlFrontend.execute(spark, "CREATE TABLE pk1_matches AS" + mrSql.format("pk1_events"))
+    val q = StatementCatalog.get("pk1_matches").collect {
+      case StatementCatalog.Standing(_, _, query, _) => query
+    }.getOrElse(fail("single-key ALL ROWS CTAS must register a standing statement"))
+    def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
+    try {
+      mem.addData(Seq(ev(0, 10.0), ev(1, 8.0), ev(2, 9.0), ev(3, 4.0)): _*)
+      q.processAllAvailable()
+      val out = SqlFrontend.execute(spark, "SELECT * FROM pk1_matches")
+      assert(out.columns.count(_ == "u") == 1,
+        s"the partition column must be emitted exactly once: ${out.columns.mkString(",")}")
+      val got = out.selectExpr("u", "ts", "v", "peak_key").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2), r.getString(3)))
+        .sortBy(_._2.getTime).toSeq
+      def t0(m: Int) = Timestamp.valueOf(f"2024-01-01 00:0$m:00")
+      assert(got == Seq(("k1", t0(0), 10.0, "k1"), ("k1", t0(1), 8.0, "k1"),
+        ("k1", t0(2), 9.0, "k1")), got.mkString(";"))
+
+      import spark.implicits._
+      Seq(ev(0, 10.0), ev(1, 8.0), ev(2, 9.0), ev(3, 4.0)).toDF("u", "t", "ts", "v")
+        .createOrReplaceTempView("pk1_batch")
+      val batch = SqlFrontend.execute(spark, mrSql.format("pk1_batch"))
+        .selectExpr("u", "ts", "v", "peak_key").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2), r.getString(3)))
+        .sortBy(_._2.getTime).toSeq
+      assert(batch == got, s"single-key ALL ROWS diverged from the batch scan: $batch vs $got")
+    } finally {
+      SqlFrontend.execute(spark, "DROP TABLE pk1_matches")
+      TableRegistry.dropTable("pk1_events")
+      StatementCatalog.reset()
+    }
+  }
+
+  test("relightStanding resumes a standing statement from its own checkpoint (r14)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(String, String, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("rl_matches", "rl_events").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    val schema = mem.toDF().toDF("u", "t", "ts", "v").schema
+    TableRegistry.createTable(TableRegistry.TableDef("rl_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
+    val mrSql = """
+      |SELECT * FROM %s
+      |  MATCH_RECOGNIZE (
+      |    PARTITION BY u
+      |    ORDER BY ts
+      |    MEASURES FIRST(S.ts) AS start_ts, LAST(U.ts) AS end_ts
+      |    ONE ROW PER MATCH
+      |    PATTERN (S D+ U+)
+      |    DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v)
+      |  )""".stripMargin
+    SqlFrontend.execute(spark, "CREATE TABLE rl_matches AS" + mrSql.format("rl_events"))
+    val q = StatementCatalog.get("rl_matches").collect {
+      case StatementCatalog.Standing(_, _, query, _) => query
+    }.getOrElse(fail("MATCH_RECOGNIZE CTAS must register a standing statement"))
+    def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
+    def t0(m: Int) = Timestamp.valueOf(f"2024-01-01 00:0$m:00")
+    try {
+      // batch 1 decides match 1 AND leaves mid-pattern state (the 11 starts
+      // a new fall the restart must continue from)
+      mem.addData(Seq(ev(0, 10.0), ev(1, 8.0), ev(2, 7.0), ev(3, 12.0), ev(4, 11.0)): _*)
+      q.processAllAvailable()
+      q.stop()
+      val q2 = StatementCatalog.relightStanding("rl_matches")
+      assert(q2.isActive && q2.id != null, "relight must start a fresh instance")
+      assert(StatementCatalog.status("rl_matches") == "RUNNING")
+      mem.addData(Seq(ev(5, 9.0), ev(6, 13.0), ev(7, 12.0)): _*)
+      q2.processAllAvailable()
+      val got = SqlFrontend.execute(spark, "SELECT u, start_ts, end_ts FROM rl_matches")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
+        .sortBy(_._2.getTime).toSeq
+      // match 2 started BEFORE the kill (the 11 at minute 4 is mid-buffer
+      // state) and decided after the relight — row-identical to a
+      // never-stopped run
+      assert(got == Seq(("k1", t0(0), t0(3)), ("k1", t0(4), t0(6))), got.mkString(";"))
+      // one-shots and unknown names refuse
+      val e = intercept[Exception](StatementCatalog.relightStanding("no_such_stmt"))
+      assert(e.getMessage.contains("not found"), e.getMessage)
+    } finally {
+      SqlFrontend.execute(spark, "DROP TABLE rl_matches")
+      TableRegistry.dropTable("rl_events")
       StatementCatalog.reset()
     }
   }
