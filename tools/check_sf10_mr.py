@@ -122,6 +122,16 @@ WITH anch AS (SELECT s.user_id, s.rn, s.ts, s.event_id,
                   ON x.user_id = a.user_id AND x.grp = a.grp AND -x.value <= -a.thr)
 SELECT user_id, rn, ts AS start_ts, event_id AS start_tie, rn AS m, e_eff AS e
 FROM capped WHERE e_eff >= rn + 1""")
+elif mode == "cls1":
+    # q181 `S D+ U*` (r14): the rise run is OPTIONAL — e falls back to the
+    # fall-run end; the ONE-ROW CLASSIFIER is then 'D' (empty U* run)
+    con.execute("""
+CREATE TEMP TABLE cand AS
+SELECT s.user_id, s.rn, s.ts AS start_ts, s.event_id AS start_tie,
+       d.run_end AS m, coalesce(u.run_end, d.run_end) AS e
+FROM r s
+JOIN dre d ON d.user_id = s.user_id AND d.rn = s.rn + 1
+LEFT JOIN ure u ON u.user_id = s.user_id AND u.rn = d.run_end + 1""")
 else:
     con.execute("""
 CREATE TEMP TABLE cand AS
@@ -166,6 +176,14 @@ con.execute("CREATE TEMP TABLE sel AS "
             "FROM (SELECT DISTINCT user_id, rn FROM reach) x JOIN cand c USING (user_id, rn)")
 print(f"setup+selection {time.time()-t0:.0f}s; selected =",
       con.execute("SELECT count(*) FROM sel").fetchone()[0], flush=True)
+
+FINALS_CLS1 = { # q181 rides the optional-rise cand ("cls1" mode, r14)
+    "q181_match_classifier_one_row": """
+        SELECT sel.user_id, start_ts AS match_start_ts, start_tie,
+               CASE WHEN e > m THEN 'U' ELSE 'D' END AS last_label,
+               CAST(e - m AS BIGINT) AS n_up
+        FROM sel""",
+}
 
 FINALS_TOLAST = {
     "q167_match_skip_to_last": """
@@ -337,7 +355,7 @@ def fingerprint(rel, cols_types):
     return con.execute(f"SELECT count(*), sum(CAST(hash({exprs}) AS HUGEINT)) "
                        f"FROM ({rel})").fetchone()
 
-MODE_FINALS = {"tolast": FINALS_TOLAST, "xvar": FINALS_XVAR,
+MODE_FINALS = {"tolast": FINALS_TOLAST, "xvar": FINALS_XVAR, "cls1": FINALS_CLS1,
                "subdef": FINALS_SUBDEF,
                "selffirst": FINALS_SELFFIRST, "lazy": FINALS_LAZY,
                "nav": FINALS_NAV, "running": FINALS_RUNNING,

@@ -5,9 +5,14 @@ SimHash chain (graft.llmops.Dedup.simHashSignatures — Spark-trim tokens
 split on Java \\s+ with -1 limit, xxhash64(token, seed 42) over UTF-8, 64
 bit-votes with STRICT-positive majority) and of the pairing contract
 (Dedup.simHashPairs): the 4x16-bit quarter banding guarantees recall at
-Hamming <= 3 by pigeonhole, so — given no hot-bucket cap engaged, which this
-script ASSERTS from the signature distribution — the engine's output is
-EXACTLY every unordered doc pair with popcount(sig_a XOR sig_b) <= 3.
+Hamming <= 3 by pigeonhole — and the hot-bucket cap is DETERMINISTIC
+(capBuckets drops EVERY side-a row of a bucket larger than `cap`, never a
+sample), so the engine's output is closed-form either way: every unordered
+doc pair with popcount(sig_a XOR sig_b) <= 3 that shares at least one
+NON-oversized (quarter, 16-bit-value) bucket. With no oversized buckets
+(sf0.01) that degenerates to the pure Hamming ball; at sf10 the x100 clone
+groups push some quarter buckets past 10k and the dropped buckets are
+modeled exactly (and counted, the CapStats discipline).
 
 Signatures are computed once per DISTINCT text (sf10 documents is a x100
 replication fixture: 500k rows, ~5k distinct texts); sig-level Hamming pairs
@@ -136,15 +141,25 @@ def main():
     print(f"hashed {len(texts)} distinct texts -> {len(sigs)} distinct sigs "
           f"({time.time()-t0:.0f}s)", flush=True)
 
-    # the cap-never-engaged assertion: per (quarter, 16-bit-value) doc counts
+    # per (quarter, 16-bit-value) doc counts -> the engine's dropped-bucket
+    # set (capBuckets removes the WHOLE side-a bucket when its size > cap, so
+    # the surviving pair set is deterministic: a pair needs one SHARED
+    # non-oversized quarter bucket)
     buckets = defaultdict(int)
     for sig, ids in by_sig.items():
         for q in range(4):
             buckets[(q, (sig >> (16 * q)) & 0xFFFF)] += len(ids)
-    biggest = max(buckets.values())
-    assert biggest <= max_bucket, (
-        f"hot-bucket cap would engage (max bucket {biggest} > {max_bucket}) — "
-        "this oracle models the UNCAPPED output only")
+    oversized = {k for k, n in buckets.items() if n > max_bucket}
+    print(f"{len(oversized)} oversized quarter buckets (cap {max_bucket}, "
+          f"max {max(buckets.values())}) — dropped-bucket set modeled exactly",
+          flush=True)
+
+    def shares_live_bucket(s1, s2):
+        for q in range(4):
+            b1 = (s1 >> (16 * q)) & 0xFFFF
+            if b1 == (s2 >> (16 * q)) & 0xFFFF and (q, b1) not in oversized:
+                return True
+        return False
 
     # sig-level Hamming pairs via a bit-matrix product: H = B (1-B)^T + (1-B) B^T
     t1 = time.time()
@@ -153,7 +168,8 @@ def main():
                          bitorder="little").astype(np.int32)
     ham = bits @ (1 - bits).T + (1 - bits) @ bits.T
     ia, ib = np.nonzero(np.triu(ham <= max_hamming, k=1))
-    sig_pairs = [(sigs[a], sigs[b], int(ham[a, b])) for a, b in zip(ia, ib)]
+    sig_pairs = [(sigs[a], sigs[b], int(ham[a, b])) for a, b in zip(ia, ib)
+                 if shares_live_bucket(sigs[a], sigs[b])]
     print(f"{len(sig_pairs)} cross-sig pairs at hamming<= {max_hamming} "
           f"({time.time()-t1:.0f}s)", flush=True)
 
@@ -163,6 +179,11 @@ def main():
     con.execute("CREATE TABLE members(sig BIGINT, doc_id BIGINT)")
     con.executemany("INSERT INTO members VALUES (?, ?)",
                     [(s64(sig), int(d)) for sig, ids in by_sig.items() for d in ids])
+    # intra-sig (hamming-0) pairs survive iff one of THEIR OWN four buckets
+    # is non-oversized (all four quarters are shared by construction)
+    con.execute("CREATE TABLE live_intra(sig BIGINT)")
+    con.executemany("INSERT INTO live_intra VALUES (?)",
+                    [(s64(sig),) for sig in sigs if shares_live_bucket(sig, sig)])
     con.execute("CREATE TABLE sig_pairs(sig_a BIGINT, sig_b BIGINT, ham BIGINT)")
     if sig_pairs:
         con.executemany("INSERT INTO sig_pairs VALUES (?, ?, ?)",
@@ -176,7 +197,8 @@ def main():
         JOIN members m2 ON m2.sig = p.sig_b
         UNION ALL
         SELECT m1.doc_id, m2.doc_id, 0
-        FROM members m1 JOIN members m2 ON m1.sig = m2.sig AND m1.doc_id < m2.doc_id""")
+        FROM members m1 JOIN members m2 ON m1.sig = m2.sig AND m1.doc_id < m2.doc_id
+        WHERE m1.sig IN (SELECT sig FROM live_intra)""")
 
     fp_sql = ("SELECT COUNT(*), COALESCE(SUM(CAST(hash(concat_ws(chr(1), "
               "CAST(id_a AS BIGINT), CAST(id_b AS BIGINT), "
