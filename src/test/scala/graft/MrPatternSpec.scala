@@ -94,6 +94,27 @@ class MrPatternSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, Some(2L), None), (3L, None, Some(4L))))
   }
 
+  test("CLASSIFIER under ONE ROW follows the matched BRANCH's last variable (r14)") {
+    // ISO ONE-ROW CLASSIFIER = the last matched row's label; under
+    // alternation that is the winning branch's variable, exercising the
+    // deepest-placed-path-entry read on the composite walk
+    alt.createOrReplaceTempView("mr_alt_cls")
+    val out = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_alt_cls MATCH_RECOGNIZE (
+           PARTITION BY k ORDER BY ts, id
+           MEASURES FIRST(A.id) AS a_id, CLASSIFIER() AS lbl
+           ONE ROW PER MATCH
+           AFTER MATCH SKIP TO NEXT ROW
+           PATTERN (A (X | Y))
+           DEFINE A AS A.kind = 'a',
+                  X AS X.kind IN ('both', 'x'),
+                  Y AS Y.kind IN ('both', 'y')
+         )""").select("a_id", "lbl").as[(Long, String)].collect().sortBy(_._1)
+    // row 2 satisfies both: X (leftmost) wins and labels the match; row 4
+    // matches only Y
+    assert(out.toSeq == Seq((1L, "X"), (3L, "Y")))
+  }
+
   test("PERMUTE matches both orders; measures bind per variable (SQL route)") {
     val df = Seq(
       ("k1", ts(0), 1L, "v", 1.0), ("k1", ts(1), 2L, "c", 2.0), ("k1", ts(2), 3L, "p", 3.0),
