@@ -116,6 +116,13 @@ object SqlFrontend {
         // the harness's get_statement_status — flink_sql_helper.py:98-160)
         import spark.implicits._
         StatementCatalog.list.toDF("name", "status", "kind", "statement")
+      case StopStatementRe(name) =>
+        require(StatementCatalog.get(name).isDefined, s"no statement '$name'")
+        StatementCatalog.stop(name)
+        status(spark, "STOP STATEMENT", name)
+      case ResumeStatementRe(name) =>
+        StatementCatalog.relightStanding(name) // loud on unknown / one-shot
+        status(spark, "RESUME STATEMENT", name)
       case CreateTableHeadRe() =>
         // declared-schema CREATE TABLE (terraform/topic-table form): columns +
         // PRIMARY KEY + WATERMARK land in the registry; the table starts as
@@ -245,6 +252,13 @@ object SqlFrontend {
   private val ResetRe = "(?is)^RESET\\s+'([^']+)'$".r
   private val BareResetRe = "(?is)^RESET$".r
   private val ShowStatementsRe = "(?is)^SHOW\\s+(?:STATEMENTS|JOBS)$".r
+  // the statement stop/resume lifecycle (`confluent flink statement
+  // stop|resume <name>`, the product ops the harness drives via CLI) as SQL:
+  // STOP halts the continuous query keeping sink + checkpoint readable;
+  // RESUME relights a NEW instance on the SAME checkpoint (r14 —
+  // StatementCatalog.relightStanding), continuing exactly where it stopped
+  private val StopStatementRe = "(?is)^STOP\\s+STATEMENT\\s+'?([\\w-]+)'?$".r
+  private val ResumeStatementRe = "(?is)^RESUME\\s+STATEMENT\\s+'?([\\w-]+)'?$".r
   private val ShowRe = "(?is)^SHOW\\s+(TABLES|VIEWS|MODELS|TOOLS|AGENTS|CONNECTIONS|FUNCTIONS)$".r
   private val ShowCreateRe = "(?is)^SHOW\\s+CREATE\\s+TABLE\\s+([\\w.`]+)$".r
   // Flink accepts both `EXPLAIN <query>` and `EXPLAIN PLAN FOR <query>`

@@ -12,7 +12,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * object name (the reference names statements after the object they create):
   * one-shot DDL/CTAS → COMPLETED; a standing streaming CTAS/INSERT →
   * RUNNING while its StreamingQuery is active, FAILED if it died with an
-  * exception, STOPPED after `DROP TABLE` / `STOP STATEMENT` / `stop()`.
+  * exception, STOPPED after `DROP TABLE` / `STOP STATEMENT` / `stop()` —
+  * and RUNNING again after `RESUME STATEMENT` (r14: [[relightStanding]] —
+  * a new query instance on the same sink + checkpoint).
   * DEGRADED exists in the reference's vocabulary for infra backpressure and
   * has no local analog — never reported here.
   */

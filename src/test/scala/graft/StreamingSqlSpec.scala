@@ -1264,8 +1264,15 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       // a new fall the restart must continue from)
       mem.addData(Seq(ev(0, 10.0), ev(1, 8.0), ev(2, 7.0), ev(3, 12.0), ev(4, 11.0)): _*)
       q.processAllAvailable()
-      q.stop()
-      val q2 = StatementCatalog.relightStanding("rl_matches")
+      // the statement stop/resume lifecycle AS SQL (r14): STOP halts the
+      // query keeping sink + checkpoint; RESUME relights on the same
+      // checkpoint via relightStanding
+      SqlFrontend.execute(spark, "STOP STATEMENT 'rl_matches'")
+      assert(!q.isActive && StatementCatalog.status("rl_matches") == "STOPPED")
+      SqlFrontend.execute(spark, "RESUME STATEMENT 'rl_matches'")
+      val q2 = StatementCatalog.get("rl_matches").collect {
+        case StatementCatalog.Standing(_, _, query, _) => query
+      }.get
       assert(q2.isActive && q2.id != null, "relight must start a fresh instance")
       assert(StatementCatalog.status("rl_matches") == "RUNNING")
       mem.addData(Seq(ev(5, 9.0), ev(6, 13.0), ev(7, 12.0)): _*)
@@ -1277,9 +1284,11 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       // state) and decided after the relight — row-identical to a
       // never-stopped run
       assert(got == Seq(("k1", t0(0), t0(3)), ("k1", t0(4), t0(6))), got.mkString(";"))
-      // one-shots and unknown names refuse
-      val e = intercept[Exception](StatementCatalog.relightStanding("no_such_stmt"))
+      // one-shots and unknown names refuse — through the SQL surface too
+      val e = intercept[Exception](SqlFrontend.execute(spark, "RESUME STATEMENT no_such_stmt"))
       assert(e.getMessage.contains("not found"), e.getMessage)
+      val e2 = intercept[Exception](SqlFrontend.execute(spark, "STOP STATEMENT 'no_such_stmt'"))
+      assert(e2.getMessage.contains("no statement"), e2.getMessage)
     } finally {
       SqlFrontend.execute(spark, "DROP TABLE rl_matches")
       TableRegistry.dropTable("rl_events")
