@@ -68,9 +68,16 @@ object SpotStreamingMr2Key {
     if (restartAfter <= 0) { try q.processAllAvailable() finally q.stop() }
     else {
       // kill mid-drain: wait for `restartAfter` committed batches, stop the
-      // statement, and RELIGHT it from its own checkpoint (r14)
-      while (Option(q.lastProgress).forall(_.batchId < restartAfter.toLong))
+      // statement, and RELIGHT it from its own checkpoint (r14). A query that
+      // dies before committing that many batches must abort the harness loudly
+      // — lastProgress plateaus on failure and the loop would spin forever.
+      val deadline = System.nanoTime() + 30L * 60 * 1000 * 1000 * 1000
+      while (Option(q.lastProgress).forall(_.batchId < restartAfter.toLong)) {
+        q.exception.foreach(e => throw e)
+        if (System.nanoTime() > deadline)
+          sys.error(s"mr2key: no batch $restartAfter after 30 min (lastProgress=${Option(q.lastProgress).map(_.batchId)})")
         Thread.sleep(200)
+      }
       q.stop()
       println(s"[mr2key] killed after batch ${q.lastProgress.batchId}; relighting from checkpoint")
       val r = StatementCatalog.relightStanding("mr2k_matches")

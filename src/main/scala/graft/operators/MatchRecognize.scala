@@ -862,33 +862,43 @@ object MatchRecognize {
           * the match's own start (or an empty/absent target) would loop —
           * loud.
           */
-        private def pathStartOf(i: Int): Int = {
+        /** First row mapped to variable i on the winning path, -1 when the
+          * variable matched no rows. A variable can occupy SEVERAL path
+          * entries (PATTERN (A B A)) and any placement can be an empty run —
+          * ISO's first/last-row-mapped semantics mean the scan must skip
+          * zero-count entries and, for LAST, walk from the END (the variable's
+          * last run, not firstRunStart + lastRunCount).
+          */
+        private def firstRowOf(i: Int): Int = {
           var t = 0
-          while (t < pathLen && pathVar(t) != i) t += 1
+          while (t < pathLen && !(pathVar(t) == i && pathCount(t) > 0)) t += 1
           if (t == pathLen) -1 else pathStart(t)
+        }
+
+        /** Last row mapped to variable i on the winning path, -1 when absent. */
+        private def lastRowOf(i: Int): Int = {
+          var t = pathLen - 1
+          while (t >= 0 && !(pathVar(t) == i && pathCount(t) > 0)) t -= 1
+          if (t < 0) -1 else pathStart(t) + pathCount(t) - 1
         }
 
         private def skipAdvance(counts: Array[Int]): Int = skipMode match {
           case SkipPastLastRow => matchLen
           case SkipToNextRow => 1
           case SkipToFirst(i) =>
-            if (counts(i) == 0) sys.error(s"AFTER MATCH SKIP TO FIRST ${nameByIdx(i)}: " +
+            val pos = firstRowOf(i)
+            if (pos < 0) sys.error(s"AFTER MATCH SKIP TO FIRST ${nameByIdx(i)}: " +
               "the variable matched no rows in the selected match")
-            else {
-              val pos = pathStartOf(i)
-              if (pos == 0) sys.error(s"AFTER MATCH SKIP TO FIRST ${nameByIdx(i)} would " +
-                "re-anchor at the match's own start row (infinite loop)")
-              pos
-            }
+            if (pos == 0) sys.error(s"AFTER MATCH SKIP TO FIRST ${nameByIdx(i)} would " +
+              "re-anchor at the match's own start row (infinite loop)")
+            pos
           case SkipToLast(i) =>
-            if (counts(i) == 0) sys.error(s"AFTER MATCH SKIP TO LAST ${nameByIdx(i)}: " +
+            val pos = lastRowOf(i)
+            if (pos < 0) sys.error(s"AFTER MATCH SKIP TO LAST ${nameByIdx(i)}: " +
               "the variable matched no rows in the selected match")
-            else {
-              val pos = pathStartOf(i) + counts(i)
-              if (pos - 1 == 0) sys.error(s"AFTER MATCH SKIP TO LAST ${nameByIdx(i)} would " +
-                "re-anchor at the match's own start row (infinite loop)")
-              pos - 1
-            }
+            if (pos == 0) sys.error(s"AFTER MATCH SKIP TO LAST ${nameByIdx(i)} would " +
+              "re-anchor at the match's own start row (infinite loop)")
+            pos
         }
 
         private var matchSeq = 0L // per-key match ordinal, resets with the key

@@ -116,11 +116,13 @@ object SqlFrontend {
         // the harness's get_statement_status — flink_sql_helper.py:98-160)
         import spark.implicits._
         StatementCatalog.list.toDF("name", "status", "kind", "statement")
-      case StopStatementRe(name) =>
+      case StopStatementRe(quoted, bare) =>
+        val name = Option(quoted).getOrElse(bare)
         require(StatementCatalog.get(name).isDefined, s"no statement '$name'")
         StatementCatalog.stop(name)
         status(spark, "STOP STATEMENT", name)
-      case ResumeStatementRe(name) =>
+      case ResumeStatementRe(quoted, bare) =>
+        val name = Option(quoted).getOrElse(bare)
         StatementCatalog.relightStanding(name) // loud on unknown / one-shot
         status(spark, "RESUME STATEMENT", name)
       case CreateTableHeadRe() =>
@@ -257,8 +259,10 @@ object SqlFrontend {
   // STOP halts the continuous query keeping sink + checkpoint readable;
   // RESUME relights a NEW instance on the SAME checkpoint (r14 —
   // StatementCatalog.relightStanding), continuing exactly where it stopped
-  private val StopStatementRe = "(?is)^STOP\\s+STATEMENT\\s+'?([\\w-]+)'?$".r
-  private val ResumeStatementRe = "(?is)^RESUME\\s+STATEMENT\\s+'?([\\w-]+)'?$".r
+  // quotes must balance: either 'name' or name — a stray half-quote
+  // (STOP STATEMENT 'name) is a parse error, matching the CLI surface
+  private val StopStatementRe = "(?is)^STOP\\s+STATEMENT\\s+(?:'([\\w-]+)'|([\\w-]+))$".r
+  private val ResumeStatementRe = "(?is)^RESUME\\s+STATEMENT\\s+(?:'([\\w-]+)'|([\\w-]+))$".r
   private val ShowRe = "(?is)^SHOW\\s+(TABLES|VIEWS|MODELS|TOOLS|AGENTS|CONNECTIONS|FUNCTIONS)$".r
   private val ShowCreateRe = "(?is)^SHOW\\s+CREATE\\s+TABLE\\s+([\\w.`]+)$".r
   // Flink accepts both `EXPLAIN <query>` and `EXPLAIN PLAN FOR <query>`

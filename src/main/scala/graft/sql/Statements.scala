@@ -44,15 +44,25 @@ object StatementCatalog {
     * recovery semantics are the streaming operators' Buf/state contract.
     * Loud on one-shots and on standing entries without a relight recipe.
     */
-  def relightStanding(name: String): StreamingQuery = statements.get(name) match {
-    case Some(Standing(n, sql, q, Some(fn))) =>
-      if (q.isActive) { q.stop(); q.awaitTermination() }
-      val nq = fn()
-      statements.put(n, Standing(n, sql, nq, Some(fn)))
-      nq
-    case Some(_: Standing) => sys.error(s"statement '$name' records no relight recipe")
-    case other => sys.error(s"cannot relight '$name': ${other.fold("not found")(_ => "one-shot")}")
+  def relightStanding(name: String): StreamingQuery = relightLock.synchronized {
+    statements.get(name) match {
+      case Some(Standing(n, sql, q, Some(fn))) =>
+        if (q.isActive) { q.stop(); q.awaitTermination() }
+        val nq = fn()
+        statements.put(n, Standing(n, sql, nq, Some(fn)))
+        nq
+      case Some(_: Standing) => sys.error(s"statement '$name' records no relight recipe")
+      case other => sys.error(s"cannot relight '$name': ${other.fold("not found")(_ => "one-shot")}")
+    }
   }
+
+  /** Serializes relights: two concurrent RESUME STATEMENT calls (or RESUME
+    * racing STOP) must not both observe the stopped entry and launch two
+    * query instances on the same sink+checkpoint — the loser would die on
+    * the checkpoint lock. Relight is control-plane-rare, so one monitor
+    * (not per-name) keeps the invariant simple.
+    */
+  private val relightLock = new Object
 
   /** The harness's status vocabulary. NOT_FOUND for unknown names, matching
     * `get_statement_status` on a missing statement.

@@ -591,13 +591,25 @@ object StreamingMatchRecognize extends Serializable {
               try walk(prog.entry, p) catch { case MrConditions.NotYet => -1 }
             }
 
-            /** Buffer position where variable i's run starts on the winning
-              * path, -1 when absent — valid right after a winning resolve.
+            /** Buffer position of variable i's FIRST matched row on the
+              * winning path, -1 when the variable matched no rows — valid
+              * right after a winning resolve. A variable can occupy several
+              * path entries (PATTERN (A B A)) and any placement can be an
+              * empty run; ISO's first/last-row-mapped skip semantics need the
+              * zero-count entries skipped and, for LAST, the scan to run from
+              * the END — identical to the batch scan's firstRowOf/lastRowOf.
               */
-            def pathStartOf(i: Int): Int = {
+            def firstRowOf(i: Int): Int = {
               var t = 0
-              while (t < pathLen && pathVar(t) != i) t += 1
+              while (t < pathLen && !(pathVar(t) == i && pathCount(t) > 0)) t += 1
               if (t == pathLen) -1 else pathStart(t)
+            }
+
+            /** Buffer position of variable i's LAST matched row, -1 when absent. */
+            def lastRowOf(i: Int): Int = {
+              var t = pathLen - 1
+              while (t >= 0 && !(pathVar(t) == i && pathCount(t) > 0)) t -= 1
+              if (t < 0) -1 else pathStart(t) + pathCount(t) - 1
             }
 
             /** The cursor's next position after a winner at `p` of length
@@ -611,16 +623,16 @@ object StreamingMatchRecognize extends Serializable {
             def skipAdvanceTo(p: Int, len: Int): Int = skip match {
               case MatchRecognize.SkipPastLastRow => p + len
               case MatchRecognize.SkipToFirst(i) =>
-                if (counts(i) == 0) sys.error(s"AFTER MATCH SKIP TO FIRST ${varNames(i)}: " +
+                val pos = firstRowOf(i)
+                if (pos < 0) sys.error(s"AFTER MATCH SKIP TO FIRST ${varNames(i)}: " +
                   "the variable matched no rows in the selected match")
-                val pos = pathStartOf(i)
                 if (pos == p) sys.error(s"AFTER MATCH SKIP TO FIRST ${varNames(i)} would " +
                   "re-anchor at the match's own start row (infinite loop)")
                 pos
               case MatchRecognize.SkipToLast(i) =>
-                if (counts(i) == 0) sys.error(s"AFTER MATCH SKIP TO LAST ${varNames(i)}: " +
+                val pos = lastRowOf(i)
+                if (pos < 0) sys.error(s"AFTER MATCH SKIP TO LAST ${varNames(i)}: " +
                   "the variable matched no rows in the selected match")
-                val pos = pathStartOf(i) + counts(i) - 1
                 if (pos == p) sys.error(s"AFTER MATCH SKIP TO LAST ${varNames(i)} would " +
                   "re-anchor at the match's own start row (infinite loop)")
                 pos

@@ -253,6 +253,71 @@ class MatchRecognizeScanSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("re-anchor")), e.getMessage)
   }
 
+  test("SKIP TO FIRST/LAST target resolution: repeated placements are structurally " +
+    "refused, cross-alternative repeats and empty-run targets resolve per ISO (r15)") {
+    // The r14 ADVICE low on skipAdvance noted that a variable occupying
+    // MULTIPLE path entries would resolve the skip target as firstRunStart +
+    // lastRunCount. That state is UNREACHABLE: a repeated variable is refused
+    // in simple sequences (frontend) and per expanded branch (MrPattern), so
+    // a winning path holds at most one entry per variable. The resolution now
+    // scans entries by position anyway (firstRowOf/lastRowOf — defense for
+    // when per-branch repeats ever become constructible); these cases pin the
+    // refusals and every reachable skip-target shape.
+    val dup = intercept[Exception](SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(B.id) AS b_id ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO LAST A
+        |  PATTERN (A B+ A)
+        |  DEFINE A AS A.v = 1, B AS B.v = 2)""".stripMargin))
+    assert(dup.getMessage.contains("duplicate pattern variable"), dup.getMessage)
+    val dupBranch = intercept[Exception](SqlFrontend.execute(spark,
+      """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(C.id) AS c_id ONE ROW PER MATCH
+        |  PATTERN ((A | B) C A)
+        |  DEFINE A AS A.v = 1, B AS B.v = 5, C AS C.v = 2)""".stripMargin))
+    assert(dupBranch.getMessage.contains("appears twice within one alternative"),
+      dupBranch.getMessage)
+
+    // a variable MAY repeat ACROSS alternatives: the skip target resolves on
+    // the winning branch's single placement, whichever alternative won — the
+    // path scan walks over other variables' entries to find it
+    Seq(("k1", ts(0), 1L, 9.0), ("k1", ts(1), 2L, 1.0), ("k1", ts(2), 3L, 5.0),
+      ("k1", ts(3), 4L, 1.0), ("k1", ts(4), 5L, 9.0), ("k1", ts(5), 6L, 1.0))
+      .toDF("k", "ts", "id", "v").createOrReplaceTempView("mr_alt_rep")
+    val out = SqlFrontend.execute(spark,
+      """SELECT * FROM mr_alt_rep MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(A.id) AS a_id, count(Y.*) AS n_y, MATCH_NUMBER() AS seq
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO LAST A
+        |  PATTERN (Y A | B A)
+        |  DEFINE Y AS Y.v = 9, A AS A.v = 1, B AS B.v = 5
+        |)""".stripMargin)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("n_y"), r.getAs[Long]("seq")))
+      .sortBy(_._3).toSeq
+    // ids 1-2 win via Y A; resume AT id2 (no match there); ids 3-4 win via
+    // the SECOND alternative B A; ids 5-6 via Y A again
+    assert(out == Seq((2L, 1L, 1L), (4L, 0L, 2L), (6L, 1L, 3L)), s"got $out")
+
+    // an empty-run skip target is the ISO runtime error (reachable: A* with
+    // zero rows), identical before and after the r15 resolution change
+    Seq(("k1", ts(0), 1L, 9.0), ("k1", ts(1), 2L, 5.0), ("k1", ts(2), 3L, 7.0))
+      .toDF("k", "ts", "id", "v").createOrReplaceTempView("mr_rep_last0")
+    val empt = intercept[Exception](SqlFrontend.execute(spark,
+      """SELECT * FROM mr_rep_last0 MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts, id
+        |  MEASURES FIRST(Y.id) AS y_id
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO LAST A
+        |  PATTERN (Y B A*)
+        |  DEFINE Y AS Y.v = 9, B AS B.v = 5, A AS A.v = 1
+        |)""".stripMargin).collect())
+    assert(empt.getMessage.contains("matched no rows") ||
+      Option(empt.getCause).exists(_.getMessage.contains("matched no rows")), empt.getMessage)
+  }
+
   test("MATCH_NUMBER(): 1-based per-key match ordinal, ONE ROW and ALL ROWS") {
     Seq(("a", ts(0), 1L, "x"), ("a", ts(1), 2L, "x"), ("a", ts(2), 3L, "y"),
       ("a", ts(3), 4L, "x"), ("b", ts(0), 5L, "x"))

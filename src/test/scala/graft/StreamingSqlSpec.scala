@@ -1106,6 +1106,71 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("streaming MATCH_RECOGNIZE SKIP TO LAST with a REPEATED pattern variable: resumes " +
+    "at the last placement's row across a micro-batch boundary, equals batch (r15)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(String, String, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("rep_matches", "rep_events").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    val schema = mem.toDF().toDF("u", "t", "ts", "v").schema
+    TableRegistry.createTable(TableRegistry.TableDef("rep_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
+    // a variable repeated ACROSS alternatives (the only legal repeat shape —
+    // per-branch repeats are refused): SKIP TO LAST A must resolve on the
+    // WINNING branch's placement, with the deciding rows split across a
+    // micro-batch boundary
+    val mrSql = """
+      |SELECT * FROM %s
+      |  MATCH_RECOGNIZE (
+      |    PARTITION BY u
+      |    ORDER BY ts
+      |    MEASURES FIRST(A.ts) AS a_ts, count(Y.*) AS n_y, MATCH_NUMBER() AS seq
+      |    ONE ROW PER MATCH
+      |    AFTER MATCH SKIP TO LAST A
+      |    PATTERN (Y A | B A)
+      |    DEFINE Y AS Y.v = 9, A AS A.v = 1, B AS B.v = 5
+      |  )""".stripMargin
+    SqlFrontend.execute(spark, "CREATE TABLE rep_matches AS" + mrSql.format("rep_events"))
+    val q = StatementCatalog.get("rep_matches").collect {
+      case StatementCatalog.Standing(_, _, query, _) => query
+    }.getOrElse(fail("repeated-var MATCH_RECOGNIZE CTAS must register a standing statement"))
+    def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
+    def t0(m: Int) = Timestamp.valueOf(f"2024-01-01 00:0$m:00")
+    // match 2 (B at minute 2, A at minute 3 — the SECOND alternative) decides
+    // across the batch boundary; matches 1 and 3 win via the first
+    val b1 = Seq(ev(0, 9.0), ev(1, 1.0), ev(2, 5.0))
+    val b2 = Seq(ev(3, 1.0), ev(4, 9.0), ev(5, 1.0))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = SqlFrontend.execute(spark, "SELECT u, a_ts, n_y, seq FROM rep_matches")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._4).toSeq
+      assert(got == Seq(("k1", t0(1), 1L, 1L), ("k1", t0(3), 0L, 2L),
+        ("k1", t0(5), 1L, 3L)), got.mkString(";"))
+
+      // closed-stream parity with the batch scan on the same rows
+      import spark.implicits._
+      (b1 ++ b2).toDF("u", "t", "ts", "v").createOrReplaceTempView("rep_batch")
+      val batch = SqlFrontend.execute(spark, mrSql.format("rep_batch"))
+        .selectExpr("u", "a_ts", "n_y", "seq")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._4).toSeq
+      assert(batch == got, s"streaming repeated-var skip diverged from batch: $batch vs $got")
+    } finally {
+      SqlFrontend.execute(spark, "DROP TABLE rep_matches")
+      TableRegistry.dropTable("rep_events")
+      StatementCatalog.reset()
+    }
+  }
+
   test("streaming MATCH_RECOGNIZE CLASSIFIER() under ONE ROW PER MATCH: the last matched " +
     "row's label, ISO semantics, equals batch (r14)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1289,6 +1354,12 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       assert(e.getMessage.contains("not found"), e.getMessage)
       val e2 = intercept[Exception](SqlFrontend.execute(spark, "STOP STATEMENT 'no_such_stmt'"))
       assert(e2.getMessage.contains("no statement"), e2.getMessage)
+      // mismatched quoting is a parse error, not a lax accept (r15): the
+      // name regex requires balanced quotes like the CLI surface modeled
+      val e3 = intercept[Exception](SqlFrontend.execute(spark, "STOP STATEMENT 'rl_matches"))
+      assert(!e3.getMessage.contains("no statement"), s"half-quoted name must not parse: ${e3.getMessage}")
+      val e4 = intercept[Exception](SqlFrontend.execute(spark, "RESUME STATEMENT rl_matches'"))
+      assert(!e4.getMessage.contains("not found"), s"half-quoted name must not parse: ${e4.getMessage}")
     } finally {
       SqlFrontend.execute(spark, "DROP TABLE rl_matches")
       TableRegistry.dropTable("rl_events")
