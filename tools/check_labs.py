@@ -1,0 +1,378 @@
+#!/usr/bin/env python3
+"""Value gates for the deterministic lab pipelines q32/q33/q35 (r15 — rows-only
+checks before): INDEPENDENT pure-Python transcriptions of the three
+batch lab DAGs (graft.pipelines.Labs) driven by the deterministic local
+models (SURVEY.md §5 test plan), fingerprint-compared against the engine's
+Verify dumps. q34 is excluded by design: it is the declared exact twin of
+ANN q161 and its surge stage is q08/q09-oracle-backed already.
+
+Transcribed components:
+  - LocalHashEmbedding (ml/Model.scala:40): Java trim + split("\\s+"),
+    scala MurmurHash3.stringHash(tok, 42), signed buckets mod 64, L2
+    normalize via sequential double accumulation, float32 rounding;
+  - BruteForceStore.search (vector/VectorStore.scala:41): sequential-order
+    double dot products, score = dot/(qnorm*norm), ties (-score, doc_id),
+    NaN last (TotalOrdering) — the same output contract as the distributed
+    route (spec-pinned identical);
+  - LocalTemplateTextGen: "[name] summary(N tokens): head12";
+  - ScriptedChatModel + AgentRuntime (agent/Agent.scala): the 3-turn lab1
+    tool chain (http_get/send_email with Java hashCode-derived scripted
+    outputs) and the 0-tool lab4 judge, VERDICT via floorMod(hashCode, m);
+  - Scalars.moneyFmt: shortest-repr double -> BigDecimal scale 2 HALF_UP;
+  - lab4 spike stage: the q08/q09-PROVEN DuckDB digit-decimal anomaly twin
+    (Catalog.anomalySql shape) at 6-hour tumble over sumMoney(value), z
+    extracted verbatim from the dump's own oracle_sql.json (q08 inlines the
+    identical confidence-95 z literal);
+  - IntervalJoin + top-10 queue in DuckDB.
+
+Self-validation contract (memory-bank discipline): run at sf0.01 FIRST and
+require all three fingerprints to match before trusting any larger scale.
+
+Usage: python3 tools/check_labs.py <sfDir> <verifyOutDir> [q32,q33,q35]
+(expects Verify dumps for q32_lab1_pricematch, q33_lab2_rag, q35_lab4_fraud
+ and the oracle_sql.json written by the same Verify run)
+"""
+import json
+import math
+import os
+import re
+import sys
+import time
+from decimal import Decimal, ROUND_HALF_UP
+
+import duckdb
+import numpy as np
+
+I32 = 0xFFFFFFFF
+
+
+def _i32(x):
+    x &= I32
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+def utf16_units(s):
+    b = s.encode("utf-16-be")
+    return [int.from_bytes(b[i:i + 2], "big") for i in range(0, len(b), 2)]
+
+
+def java_hash(s):
+    """java.lang.String.hashCode: h = 31*h + c over UTF-16 units, int32."""
+    h = 0
+    for c in utf16_units(s):
+        h = (31 * h + c) & I32
+    return _i32(h)
+
+
+def scala_abs(x):
+    """scala Int .abs: Int.MinValue stays negative."""
+    return x if x == -(1 << 31) else abs(x)
+
+
+def java_rem(a, b):
+    """Java %: truncation toward zero, sign of the dividend."""
+    r = abs(a) % abs(b)
+    return -r if a < 0 else r
+
+
+def floor_mod(a, b):
+    return a % b if b > 0 else -((-a) % b)  # python % IS floorMod for b>0
+
+
+def java_trim(s):
+    """java.lang.String.trim: strips chars <= U+0020 from both ends."""
+    i, j = 0, len(s)
+    while i < j and s[i] <= " ":
+        i += 1
+    while j > i and s[j - 1] <= " ":
+        j -= 1
+    return s[i:j]
+
+
+JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")  # Java regex \s exactly
+
+
+def java_split_ws(s):
+    """Java split("\\s+") limit 0: trailing empties removed, leading empty
+    kept when the string starts with a separator. "" -> [""].
+    """
+    if s == "":
+        return [""]
+    parts = JAVA_WS.split(s)
+    while parts and parts[-1] == "":
+        parts.pop()
+    return parts if parts else [""]
+
+
+# ------------------------------------------------- scala MurmurHash3.stringHash
+def _mm_rotl(x, r):
+    return ((x << r) | ((x & I32) >> (32 - r))) & I32
+
+
+def mm3_string_hash(s, seed=42):
+    """scala.util.hashing.MurmurHash3.stringHash: UTF-16 units pairwise."""
+    u = utf16_units(s)
+    h = seed & I32
+    i = 0
+    while i + 1 < len(u):
+        data = ((u[i] << 16) + u[i + 1]) & I32
+        k = (data * 0xCC9E2D51) & I32
+        k = _mm_rotl(k, 15)
+        k = (k * 0x1B873593) & I32
+        h ^= k
+        h = _mm_rotl(h, 13)
+        h = (h * 5 + 0xE6546B64) & I32
+        i += 2
+    if i < len(u):
+        k = (u[i] * 0xCC9E2D51) & I32
+        k = _mm_rotl(k, 15)
+        k = (k * 0x1B873593) & I32
+        h ^= k
+    h ^= len(u)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & I32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & I32
+    h ^= h >> 16
+    return _i32(h)
+
+
+def embed(text):
+    """LocalHashEmbedding('local-embed-64', dim=64, seed=42)."""
+    v = [0] * 64  # += ±1.0f on float32 is exact while |v| < 2^24
+    for tok in java_split_ws(java_trim("" if text is None else text)):
+        h = mm3_string_hash(tok, 42)
+        idx = floor_mod(h, 64)
+        v[idx] += -1 if ((h & I32) >> 31) == 1 else 1
+    n = math.sqrt(sum(float(x) * x for x in v))  # ints: order-exact
+    if n > 0:
+        return np.array([np.float32(x / n) for x in v], dtype=np.float32)
+    return np.zeros(64, dtype=np.float32)
+
+
+def seq_norm(vec32):
+    s = 0.0
+    for x in vec32:
+        s += float(x) * float(x)
+    return math.sqrt(s)
+
+
+def seq_dot(a32, b32):
+    s = 0.0
+    for x, y in zip(a32, b32):
+        s += float(x) * float(y)
+    return s
+
+
+def textgen(prompt):
+    toks = java_split_ws(java_trim(prompt))
+    head = " ".join(toks[:12])
+    return f"[local-textgen] summary({len(toks)} tokens): {head}"
+
+
+def money_fmt(x):
+    """Scalars.moneyFmt: double -> DECIMAL(10,2) (Spark: shortest-string
+    BigDecimal, HALF_UP) -> string. None on overflow (never in testdata).
+    """
+    d = Decimal(repr(float(x))).quantize(Decimal("0.01"), ROUND_HALF_UP)
+    return str(d)
+
+
+def long_str(x):
+    return str(int(x))
+
+
+def java_double_str(x):
+    """Java Double.toString for the plain-decimal range (the scripted tool
+    prices are in [10.0, 109.99]): python repr matches there.
+    """
+    return repr(float(x))
+
+
+# --------------------------------------------------------------- agent runtime
+def run_lab1_agent(prompt):
+    """ScriptedChatModel('scripted-pricer', [http_get, send_email]) through
+    AgentRuntime.run: two tool turns then the final verdict answer.
+    """
+    p48 = "".join(chr(c) for c in utf16_units(prompt)[:48])  # String.take(48)
+    args = java_trim(p48)  # ToolCallRe group(2).trim
+    h = java_hash(args)
+    price = (java_rem(scala_abs(h), 9000) + 1000) / 100.0
+    obs1 = f"<html>page:{java_rem(scala_abs(h), 1000)} price=${java_double_str(price)}</html>"
+    obs2 = f"email sent ({len(utf16_units(args))} chars)"
+    observations = f"{obs1} | {obs2}"
+    verdict = "MATCH" if floor_mod(java_hash(prompt), 2) == 0 else "NO_MATCH"
+    resp = f"Analysis complete. VERDICT: {verdict}\nEvidence: {observations[:120]}"
+    return "SUCCESS", resp, verdict
+
+
+LAB4_VERDICTS = ["APPROVE", "APPROVE_PARTIAL", "REQUEST_DOCS",
+                 "DENY_INELIGIBLE", "DENY_FRAUD"]
+
+
+def run_lab4_judge(prompt):
+    v = LAB4_VERDICTS[floor_mod(java_hash(prompt), 5)]
+    return "SUCCESS", v
+
+
+# ------------------------------------------------------------------ fingerprint
+def fingerprint(con, table_expr, cols):
+    parts = ", ".join(cols)
+    n, h = con.execute(
+        f"SELECT COUNT(*), COALESCE(SUM(CAST(hash(concat_ws(chr(1), {parts})) "
+        f"AS HUGEINT)), 0) FROM {table_expr}").fetchone()
+    return n, h
+
+
+def check(name, con, py_rows, py_schema, fp_cols, outdir):
+    con.execute(f"DROP TABLE IF EXISTS py_{name}")
+    con.execute(f"CREATE TABLE py_{name}({py_schema})")
+    if py_rows:
+        ph = ", ".join("?" * len(py_rows[0]))
+        con.executemany(f"INSERT INTO py_{name} VALUES ({ph})", py_rows)
+    py = fingerprint(con, f"py_{name}", fp_cols)
+    eng = fingerprint(con, f"read_parquet('{outdir}/{name}/*.parquet')", fp_cols)
+    ok = py == eng
+    print(f"[{name}] python rows={py[0]} engine rows={eng[0]} "
+          f"hash_match={py[1] == eng[1]} -> {'PASS' if ok else 'FAIL'}")
+    return ok
+
+
+# ------------------------------------------------------------------------ labs
+def lab2_rag(con, sfdir):
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sfdir}/documents.parquet') "
+        f"ORDER BY doc_id").fetchall()
+    # embedDistinct: one embed per distinct text; clones share score bits
+    vec_by_text = {}
+    for _, text in docs:
+        if text not in vec_by_text:
+            vec_by_text[text] = embed(text)
+    norm_by_text = {t: seq_norm(v) for t, v in vec_by_text.items()}
+    queries = docs[:5]  # orderBy(doc_id).limit(5)
+    rows = []
+    for qid, qtext in queries:
+        qv = vec_by_text[qtext]
+        qnorm = seq_norm(qv)
+        score_by_text = {}
+        for t, v in vec_by_text.items():
+            score_by_text[t] = seq_dot(qv, v) / (qnorm * norm_by_text[t])
+        scored = [(score_by_text[text], did, text) for did, text in docs]
+        scored.sort(key=lambda s: (math.isnan(s[0]), -s[0] if not math.isnan(s[0]) else 0.0, s[1]))
+        top = scored[:3]
+        chunks = "\n".join(t for _, _, t in top)
+        prompt = f"Answer using only this context:\n{chunks}\n\nQuestion: {qtext}"
+        rows.append((int(qid), qtext, int(top[0][1]), float(top[0][0]),
+                     len(top), textgen(prompt)))
+    return rows
+
+
+def lab1_pricematch(con, sfdir):
+    base = con.execute(f"""
+        SELECT o.o_orderkey, c.c_name, n.n_name, o.o_totalprice
+        FROM read_parquet('{sfdir}/orders.parquet') o
+        JOIN read_parquet('{sfdir}/customer.parquet') c ON o.o_custkey = c.c_custkey
+        JOIN read_parquet('{sfdir}/nation.parquet') n ON c.c_nationkey = n.n_nationkey
+        ORDER BY o.o_orderkey LIMIT 40""").fetchall()
+    rows = []
+    for okey, cname, nname, price in base:
+        pstr = money_fmt(price)
+        prompt = (f"Price-match check for order {long_str(okey)} customer {cname} "
+                  f"nation {nname} at price {pstr}")
+        status, resp, verdict = run_lab1_agent(prompt)
+        rows.append((int(okey), cname, nname, pstr, status, resp, verdict))
+    return rows
+
+
+def lab4_fraud(con, sfdir, z_literal):
+    queued = con.execute(f"""
+        WITH series AS (
+          SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
+                 CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total_amount
+          FROM read_parquet('{sfdir}/events.parquet') GROUP BY 1, 2),
+        hist AS (
+          SELECT window_start, event_type, total_amount,
+                 CAST(CAST(SUM(CAST(CAST(total_amount AS VARCHAR) AS DECIMAL(27,6))) OVER w AS VARCHAR) AS DOUBLE) AS s1,
+                 CAST(CAST(SUM(CAST(CAST(total_amount * total_amount AS VARCHAR) AS DECIMAL(27,8))) OVER w AS VARCHAR) AS DOUBLE) AS s2,
+                 CAST(COUNT(total_amount) OVER w AS DOUBLE) AS n
+          FROM series
+          WINDOW w AS (PARTITION BY event_type ORDER BY window_start ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)),
+        det AS (
+          SELECT window_start, event_type, total_amount, n,
+                 s1 / n AS forecast,
+                 sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) AS sd
+          FROM hist),
+        spikes AS (
+          SELECT event_type AS city,
+                 window_start + INTERVAL '6 hours' - INTERVAL '1 millisecond' AS window_time
+          FROM det
+          WHERE n >= 8 AND (total_amount > forecast + {z_literal} * sd
+                            OR total_amount < forecast - {z_literal} * sd)
+                AND total_amount > forecast + {z_literal} * sd),
+        claims AS (
+          SELECT event_id AS claim_id, event_type AS claim_city, ts AS claim_ts,
+                 value AS claim_amount, props AS narrative
+          FROM read_parquet('{sfdir}/events.parquet')),
+        joined AS (
+          SELECT c.claim_id, c.claim_city, c.claim_amount, c.narrative
+          FROM claims c JOIN spikes s
+            ON c.claim_city = s.city
+           AND c.claim_ts >= s.window_time - INTERVAL '6 hours'
+           AND c.claim_ts <= s.window_time)
+        SELECT claim_id, claim_city, claim_amount, narrative
+        FROM joined ORDER BY claim_amount DESC, claim_id LIMIT 10""").fetchall()
+    rows = []
+    for cid, city, amount, narrative in queued:
+        prompt = (f"Claim {long_str(cid)} city {city} amount {money_fmt(amount)} "
+                  f"narrative {narrative if narrative is not None else ''}")
+        status, verdict = run_lab4_judge(prompt)
+        rows.append((int(cid), city, float(amount), status, verdict))
+    return rows
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    which = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else {"q32", "q33", "q35"}
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    t0 = time.time()
+    ok = True
+    if "q33" in which:
+        rows = lab2_rag(con, sfdir)
+        ok &= check("q33_lab2_rag", con, rows,
+                    "query_id BIGINT, query VARCHAR, top_doc_id BIGINT, "
+                    "top_score DOUBLE, n_results BIGINT, response VARCHAR",
+                    ["CAST(query_id AS BIGINT)", "query",
+                     "CAST(top_doc_id AS BIGINT)", "CAST(top_score AS DOUBLE)",
+                     "CAST(n_results AS BIGINT)", "response"], outdir)
+    if "q32" in which:
+        rows = lab1_pricematch(con, sfdir)
+        ok &= check("q32_lab1_pricematch", con, rows,
+                    "order_id BIGINT, customer_name VARCHAR, nation_name VARCHAR, "
+                    "order_price VARCHAR, agent_status VARCHAR, "
+                    "agent_response VARCHAR, verdict VARCHAR",
+                    ["CAST(order_id AS BIGINT)", "customer_name", "nation_name",
+                     "order_price", "agent_status", "agent_response", "verdict"],
+                    outdir)
+    if "q35" in which:
+        # the engine's exact z literal, verbatim from the dump's own oracle
+        # SQL (q08 inlines the same confidence-95 z the lab4 config computes)
+        with open(f"{outdir}/oracle_sql.json") as f:
+            q08 = json.load(f)["q08_anomaly_detect"]
+        m = re.search(r"forecast \+ ([0-9.eE+-]+) \* sd", q08)
+        if not m:
+            print("ABORT: cannot extract the z literal from oracle_sql.json")
+            sys.exit(2)
+        rows = lab4_fraud(con, sfdir, m.group(1))
+        ok &= check("q35_lab4_fraud", con, rows,
+                    "claim_id BIGINT, claim_city VARCHAR, claim_amount DOUBLE, "
+                    "agent_status VARCHAR, verdict VARCHAR",
+                    ["CAST(claim_id AS BIGINT)", "claim_city",
+                     "CAST(claim_amount AS DOUBLE)", "agent_status", "verdict"],
+                    outdir)
+    print(f"{'PASS' if ok else 'FAIL'} ({time.time()-t0:.0f}s total)")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
