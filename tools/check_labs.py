@@ -20,19 +20,17 @@ Transcribed components:
     outputs) and the 0-tool lab4 judge, VERDICT via floorMod(hashCode, m);
   - Scalars.moneyFmt: shortest-repr double -> BigDecimal scale 2 HALF_UP;
   - lab4 spike stage: the q08/q09-PROVEN DuckDB digit-decimal anomaly twin
-    (Catalog.anomalySql shape) at 6-hour tumble over sumMoney(value), z
-    extracted verbatim from the dump's own oracle_sql.json (q08 inlines the
-    identical confidence-95 z literal);
+    (Catalog.anomalySql shape) at 6-hour tumble over sumMoney(value), z from
+    the transcribed Acklam invCdf (bit-equal to Gaussian.invCdf);
   - IntervalJoin + top-10 queue in DuckDB.
 
 Self-validation contract (memory-bank discipline): run at sf0.01 FIRST and
 require all three fingerprints to match before trusting any larger scale.
 
 Usage: python3 tools/check_labs.py <sfDir> <verifyOutDir> [q32,q33,q35]
-(expects Verify dumps for q32_lab1_pricematch, q33_lab2_rag, q35_lab4_fraud
- and the oracle_sql.json written by the same Verify run)
+(expects Verify dumps for q32_lab1_pricematch, q33_lab2_rag, q35_lab4_fraud)
 """
-import json
+
 import math
 import os
 import re
@@ -210,6 +208,34 @@ LAB4_VERDICTS = ["APPROVE", "APPROVE_PARTIAL", "REQUEST_DOCS",
                  "DENY_INELIGIBLE", "DENY_FRAUD"]
 
 
+def gaussian_inv_cdf(p):
+    """graft.anomaly.Gaussian.invCdf transcribed: Acklam's rational
+    approximation, identical IEEE operation order — bit-equal to the engine's
+    z for any confidencePercentage.
+    """
+    a = [-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00]
+    p_low = 0.02425
+    if p < p_low:
+        q = math.sqrt(-2 * math.log(p))
+        return ((((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) /
+                ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1))
+    if p <= 1 - p_low:
+        q = p - 0.5
+        r = q * q
+        return (((((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q) /
+                (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1))
+    q = math.sqrt(-2 * math.log(1 - p))
+    return (-(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) /
+            ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1))
+
+
 def run_lab4_judge(prompt):
     v = LAB4_VERDICTS[floor_mod(java_hash(prompt), 5)]
     return "SUCCESS", v
@@ -355,15 +381,11 @@ def main():
                      "order_price", "agent_status", "agent_response", "verdict"],
                     outdir)
     if "q35" in which:
-        # the engine's exact z literal, verbatim from the dump's own oracle
-        # SQL (q08 inlines the same confidence-95 z the lab4 config computes)
-        with open(f"{outdir}/oracle_sql.json") as f:
-            q08 = json.load(f)["q08_anomaly_detect"]
-        m = re.search(r"forecast \+ ([0-9.eE+-]+) \* sd", q08)
-        if not m:
-            print("ABORT: cannot extract the z literal from oracle_sql.json")
-            sys.exit(2)
-        rows = lab4_fraud(con, sfdir, m.group(1))
+        # lab4's Config(.., confidencePercentage = 95.0): z via the
+        # transcribed Acklam invCdf — repr round-trips, so the SQL literal
+        # parses back to the engine's exact double
+        z = gaussian_inv_cdf(0.5 + 95.0 / 200.0)
+        rows = lab4_fraud(con, sfdir, repr(z))
         ok &= check("q35_lab4_fraud", con, rows,
                     "claim_id BIGINT, claim_city VARCHAR, claim_amount DOUBLE, "
                     "agent_status VARCHAR, verdict VARCHAR",
