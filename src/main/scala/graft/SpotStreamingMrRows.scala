@@ -54,7 +54,7 @@ object SpotStreamingMrRows {
     val restartAfter = args.lift(3).map(_.toInt).getOrElse(0)
     val engine = args.lift(4).getOrElse("rocksdb")
     val dumpDir = args.lift(5)
-    require(Set("q173", "q178", "q177", "q167").contains(mode), s"unknown mode '$mode'")
+    require(Set("q173", "q178", "q177", "q167", "mnseq").contains(mode), s"unknown mode '$mode'")
     require(Set("rocksdb", "heap").contains(engine), s"unknown engine '$engine'")
     // a restart target at/past the feed's batch count would spin the wait
     // loop forever once the stream drains (r13 ADVICE) — refuse up front
@@ -78,14 +78,20 @@ object SpotStreamingMrRows {
     val branches = bs.map(_.map(t =>
       MatchRecognize.BTok(nidx(t.name), t.lo, t.hi, t.reluctant, t.excluded)).toIndexedSeq)
     val defs = Seq(None, Some("D.value < PREV(D.value)"), Some("U.value > PREV(U.value)"))
-    val allRows = mode != "q177"
+    val allRows = mode != "q177" && mode != "mnseq"
     // q167 (r14): the overlapping-runs strategy — the cursor re-anchors AT
     // each match's peak row, so a peak that seeds the next fall starts a new
-    // match the skip-past modes consume away
-    val skipStrategy: MatchRecognize.Skip =
-      if (mode == "q167") MatchRecognize.SkipToLast(nidx("U"))
-      else MatchRecognize.SkipPastLastRow
-    val matchNumberAlias = if (mode == "q167") Some("match_seq") else None
+    // match the skip-past modes consume away.
+    // mnseq (r15): MATCH_NUMBER under SKIP TO NEXT ROW — every start decides
+    // independently and decided winners defer behind the undecided frontier
+    // so ordinals flush in start order (the r15 deferral buffer at scale).
+    val skipStrategy: MatchRecognize.Skip = mode match {
+      case "q167" => MatchRecognize.SkipToLast(nidx("U"))
+      case "mnseq" => MatchRecognize.SkipToNextRow
+      case _ => MatchRecognize.SkipPastLastRow
+    }
+    val matchNumberAlias =
+      if (mode == "q167" || mode == "mnseq") Some("match_seq") else None
     val (measures, aggMeasures, subsets) = mode match {
       case "q173" => (Seq(
         MrMeasure(isFirst = false, nidx("D"), "value", "run_bottom", running = true),
@@ -96,7 +102,7 @@ object SpotStreamingMrRows {
         MrMeasure(isFirst = false, nidx("U"), "value", "final_top")),
         Seq(MrAggMeasure("cnt", nidx("D"), "*", "n_down")),
         Seq.empty[(String, Seq[Int])])
-      case "q167" => (Seq(
+      case "q167" | "mnseq" => (Seq(
         MrMeasure(isFirst = false, nidx("U"), "value", "final_top")),
         Seq.empty[MrAggMeasure], Seq.empty[(String, Seq[Int])])
       case _ => (Seq( // q177: SUBSET M = (D, U) at tok = nTok
@@ -182,6 +188,16 @@ object SpotStreamingMrRows {
           PATTERN (S D+ U+)
           DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
         )"""
+      case "mnseq" => """
+        SELECT * FROM mrrows_events MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES FIRST(S.event_id) AS m_start_tie,
+                   LAST(U.value) AS final_top, MATCH_NUMBER() AS match_seq
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (S D+ U+)
+          DEFINE D AS D.value < PREV(D.value), U AS U.value > PREV(U.value)
+        )"""
       case _ => """
         SELECT * FROM mrrows_events MATCH_RECOGNIZE (
           PARTITION BY user_id ORDER BY ts, event_id
@@ -218,6 +234,14 @@ object SpotStreamingMrRows {
             unix_micros(col("row_ts")).as("row_us"),
             col("row_tie"), col("value"), col("cls"), col("final_top"),
             col("match_seq")))
+      case "mnseq" =>
+        // ONE ROW: (key, start_tie) identifies the match; match_seq rides it,
+        // so a single scrambled ordinal fails the exceptAll gate
+        (batch0.select(col("user_id").cast("string").as("key"),
+          col("m_start_tie").cast("long").as("start_tie"),
+          col("final_top"), col("match_seq").cast("long")),
+          streamed0.select(col("key"), col("start_tie"),
+            col("final_top"), col("match_seq")))
       case "q178" =>
         (batch0.select(col("user_id").cast("string").as("key"),
           col("m_start_tie").cast("long").as("start_tie"),
@@ -257,9 +281,22 @@ object SpotStreamingMrRows {
       streamed.write.mode("overwrite").parquet(s"$d/$mode")
       println(s"[mrrows] dump written: $d/$mode (engine=$engine)")
     }
-    val ok = nStream > 0 && extraSpans == 0 && missingSpans <= nKeys &&
+    // mnseq: SKIP TO NEXT ROW can leave SEVERAL open starts per key at the
+    // bounded-stream tail (every position in the final wave is its own
+    // start), so the one-final-span-per-key bound doesn't apply. The
+    // replacement gate is stronger where it matters: the streamed matches
+    // must be exactly the batch list's PREFIX per key — common spans value-
+    // AND-ordinal exact (exceptAll) and per-key max(match_seq) == count
+    // (consecutive from 1, no gap where a deferred winner was lost).
+    val prefixBad =
+      if (mode != "mnseq") 0L
+      else streamed.groupBy("key")
+        .agg(max(col("match_seq")).as("mx"), count(lit(1)).as("n"))
+        .filter(col("mx") =!= col("n")).count()
+    val ok = nStream > 0 && extraSpans == 0 &&
+      (if (mode == "mnseq") prefixBad == 0 else missingSpans <= nKeys) &&
       extraRows == 0 && missingRows == 0
-    println(f"""[mrrows] {"mode":"$mode","engine":"$engine","restartAfter":$restartAfter,"sec":$sec%.1f,"slices":$slices,"events":$nEvents,"eventsPerSec":${(nEvents / sec).toLong},"streamRows":$nStream,"batchRows":$nBatch,"extraSpans":$extraSpans,"missingFinalSpans":$missingSpans,"extraRows":$extraRows,"missingRowsOnCommonSpans":$missingRows,"keys":$nKeys,"peakStateRows":${probe.value},"stateRowsTotal":$stateRows,"stateMemBytes":$stateMem,"ok":$ok}""")
+    println(f"""[mrrows] {"mode":"$mode","engine":"$engine","restartAfter":$restartAfter,"sec":$sec%.1f,"slices":$slices,"events":$nEvents,"eventsPerSec":${(nEvents / sec).toLong},"streamRows":$nStream,"batchRows":$nBatch,"extraSpans":$extraSpans,"missingFinalSpans":$missingSpans,"extraRows":$extraRows,"missingRowsOnCommonSpans":$missingRows,"prefixBad":$prefixBad,"keys":$nKeys,"peakStateRows":${probe.value},"stateRowsTotal":$stateRows,"stateMemBytes":$stateMem,"ok":$ok}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }

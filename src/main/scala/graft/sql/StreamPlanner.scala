@@ -94,14 +94,27 @@ object StreamPlanner {
       .outputMode("append")
       .queryName(stmt)
       .start()
+    // the sink dir must exist before any DOWNSTREAM standing statement plans
+    // a file-stream scan over it (the sink itself creates it only at the
+    // first commit)
+    new java.io.File(sinkDir).mkdirs()
     val query = launch()
     val load: SparkSession => DataFrame = priorLoad match {
       case Some(prev) => s => prev(s).unionByName(readSink(s, sinkDir, schema))
       case None       => s => readSink(s, sinkDir, schema)
     }
+    // the sink is ALSO a stream table (r15 — the reference's topic-chained
+    // topology: every lab stage CTAS-reads the previous stage's table, and
+    // each stage is its own standing statement, lab4's five-topic chain,
+    // scripts/lab4_datagen.py:296-304). A downstream standing statement
+    // reads the committed micro-batch files through the parquet sink's
+    // metadata log (FileStreamSource honors _spark_metadata — exactly-once
+    // file handoff), so STOP/RESUME of any stage composes across the chain:
+    // a resumed stage continues from its own checkpoint's file offsets.
     TableRegistry.createTable(TableRegistry.TableDef(table, Some(schema),
       options = Map("graft.refresh-on-read" -> "true", "graft.sink-path" -> sinkDir),
-      load = load))
+      load = load,
+      loadStream = Some(s => s.readStream.schema(schema).parquet(sinkDir))))
     StatementCatalog.recordStanding(stmt, fullSql, query, relight = Some(() => launch()))
   }
 
@@ -277,15 +290,16 @@ object StreamPlanner {
     * matches may OVERLAP; empty-target / self-re-anchor fail loudly, the
     * batch scan's rules). MEASURES: span anchors (FIRST(first.ord) → match
     * start, LAST(last.ord) → match end), value FIRST/LAST over buffered
-    * columns, count/sum/min/max/avg aggregates, MATCH_NUMBER() (any
-    * cursor-mode strategy — everything but SKIP TO NEXT ROW), CLASSIFIER()
-    * (ALL ROWS per-row label, or under ONE ROW the last matched row's label
-    * — ISO semantics, r14). Under ALL ROWS the unmarked measure default is
-    * RUNNING, FINAL opts out — the standard's rule, same as batch.
+    * columns, count/sum/min/max/avg aggregates, MATCH_NUMBER() (EVERY skip
+    * strategy since r15 — under SKIP TO NEXT ROW decided winners defer
+    * behind the undecided frontier so ordinals flush in start order,
+    * batch-equal), CLASSIFIER() (ALL ROWS per-row label, or under ONE ROW
+    * the last matched row's label — ISO semantics, r14). Under ALL ROWS the
+    * unmarked measure default is RUNNING, FINAL opts out — the standard's
+    * rule, same as batch.
     *
     * Current refusal list (loud, spec-pinned): exclusion under ONE ROW (no
-    * effect, the batch rule); MATCH_NUMBER() under SKIP TO NEXT ROW
-    * (ordinal scrambling); RUNNING on a match-END span measure (mark it
+    * effect, the batch rule); RUNNING on a match-END span measure (mark it
     * FINAL); non-integral ORDER BY tie columns. DEFINEs and non-anchor
     * MEASURES over the ORDER BY column are SUPPORTED since r13 (per-step
     * time-gap conditions — the column buffers like any condCol).
@@ -304,12 +318,18 @@ object StreamPlanner {
     // multi-column PARTITION BY (r13 — the batch route's general clause):
     // state keys on a collision-free KeyImage of the columns; the original
     // typed columns are re-emitted from the buffered rows (they are constant
-    // per key by construction, so any matched row carries them)
-    val parts = SqlFrontend.splitTopLevelCommas(part).map(_.trim).filter(_.nonEmpty)
-    require(parts.nonEmpty && parts.forall(_.matches("\\w+")),
-      s"streaming MATCH_RECOGNIZE PARTITION BY takes plain column names, got '$part'")
-    require(parts.distinct.size == parts.size,
-      s"streaming MATCH_RECOGNIZE PARTITION BY repeats a column: '$part'")
+    // per key by construction, so any matched row carries them).
+    // r15 (Flink conformance): entries may be EXPRESSIONS — each non-plain
+    // entry pre-projects onto the source below under the same auto-name the
+    // batch route's selectExpr emits (`PARTITION BY UPPER(region)` → column
+    // `upper(region)`), so stream and batch output schemas agree. ALL ROWS
+    // keeps the plain-column contract: its batch twin re-emits the SOURCE
+    // columns, where a computed key has no column to agree with.
+    val rawParts = SqlFrontend.splitTopLevelCommas(part).map(_.trim).filter(_.nonEmpty)
+    require(rawParts.nonEmpty,
+      s"streaming MATCH_RECOGNIZE PARTITION BY names no columns: '$part'")
+    require(rawParts.distinct.size == rawParts.size,
+      s"streaming MATCH_RECOGNIZE PARTITION BY repeats an entry: '$part'")
     // ORDER BY <ts>[, <tie>] (r12): an optional second column is the
     // within-timestamp tie-break (the batch route's `ORDER BY ts, event_id`
     // shape) — buffered as the operator's tie so equal-timestamp rows order
@@ -565,7 +585,24 @@ object StreamPlanner {
     val valueMeasures: Seq[MrMeasure] = measures.collect { case Right(Left(m)) => m }
     val aggMeasures: Seq[MrAggMeasure] = measures.collect { case Right(Right(m)) => m }
 
-    val input0 = SqlFrontend.parseSql(spark, s"SELECT * FROM $tbl")
+    val input00 = SqlFrontend.parseSql(spark, s"SELECT * FROM $tbl")
+    // PARTITION BY expression resolution (r15): plain names pass through;
+    // an expression pre-projects under batch's selectExpr auto-name. The
+    // computed key is then an ordinary column for every downstream stage
+    // (KeyImage, condCols, the typed-key output projection).
+    require(!allRowsPerMatch || rawParts.forall(_.matches("\\w+")),
+      "streaming MATCH_RECOGNIZE: PARTITION BY expressions require ONE ROW PER MATCH " +
+        s"(ALL ROWS re-emits the source columns, where a computed key has none) — got '$part'; " +
+        "pre-project the expression as a column upstream")
+    val (input0, parts) = rawParts.foldLeft((input00, Seq.empty[String])) {
+      case ((df, acc), p) if p.matches("\\w+") =>
+        require(df.columns.contains(p),
+          s"streaming MATCH_RECOGNIZE: PARTITION BY column '$p' is not in the source")
+        (df, acc :+ p)
+      case ((df, acc), p) =>
+        val name = df.selectExpr(p).columns.head // batch's output name for the expression
+        (df.withColumn(name, expr(p)), acc :+ name)
+    }
     tieCol.foreach { t =>
       require(input0.columns.contains(t),
         s"streaming MATCH_RECOGNIZE: ORDER BY tie column '$t' is not in the source")
@@ -580,8 +617,6 @@ object StreamPlanner {
       }, s"streaming MATCH_RECOGNIZE: ORDER BY tie column '$t' must be an integral type " +
         s"(losslessly castable to BIGINT), got ${dt.simpleString}")
     }
-    parts.foreach(p => require(input0.columns.contains(p),
-      s"streaming MATCH_RECOGNIZE: PARTITION BY column '$p' is not in the source"))
     require(!parts.contains(ord),
       "streaming MATCH_RECOGNIZE: the ORDER BY column cannot also be a PARTITION BY column")
     val input = input0.withColumn("__tie",

@@ -134,10 +134,17 @@ object StreamingMatchRecognize extends Serializable {
     * (margin-retained rows are decided); `matchSeq` = the key's
     * emitted-match ordinal so far (MATCH_NUMBER(), r11 — cursor-mode
     * emission is positional, so the ordinal equals the batch scan's
-    * `__mr_seq`).
+    * `__mr_seq`); `pending` (r15) = SKIP TO NEXT ROW matches decided while
+    * an EARLIER start is still undecided, held back so MATCH_NUMBER
+    * ordinals flush in start order (batch-equal): (buffer-relative start,
+    * rendered output rows with the ordinal slot unstamped). Bounded by the
+    * undecided frontier — a pending match exists only while an older start
+    * is open, the same WITHIN/TTL-bounded condition that bounds the row
+    * buffer itself; empty unless MATCH_NUMBER is requested.
     */
   case class Buf(cells: Array[Array[Any]], tsMicros: Array[Long], ties: Array[Long],
-                 cursor: Int, undecided: Array[Boolean], matchSeq: Long = 0L)
+                 cursor: Int, undecided: Array[Boolean], matchSeq: Long = 0L,
+                 pending: Array[(Int, Array[Array[Any]])] = Array.empty)
 
   /** Mutable evaluation context over the growing per-key buffers; rows are
     * pre-wrapped GenericRows over the stored cell arrays (zero per-read
@@ -309,14 +316,15 @@ object StreamingMatchRecognize extends Serializable {
     // MATCH_NUMBER(): the key's 1-based emitted-match ordinal. Cursor-mode
     // emission (skip-past AND the variable-targeted skips, r14) is strictly
     // positional (the cursor is the selection frontier), so the ordinal
-    // equals the batch scan's __mr_seq; under SKIP TO NEXT ROW a later start
-    // can decide before an earlier deferred one, which would scramble the
-    // ordinals — refused loudly.
+    // equals the batch scan's __mr_seq. Under SKIP TO NEXT ROW a later start
+    // can DECIDE before an earlier deferred one; r15 closes the last
+    // MATCH_NUMBER gap by buffering decided winners behind the undecided
+    // frontier (Buf.pending) and flushing them in START order — the ordinal
+    // is then batch-equal on every strategy. The deferral is bounded by the
+    // frontier: a match waits only while an OLDER start is undecided, the
+    // same WITHIN/TTL-bounded condition that bounds the row buffer; at TTL
+    // expiry pending winners flush (open tails still never emit).
     matchNumberAlias.foreach { a =>
-      require(cursorMode,
-        "streaming MATCH_NUMBER() is unsupported under AFTER MATCH SKIP TO NEXT ROW — a " +
-          "deferred earlier start can emit after a later one, scrambling ordinals (every " +
-          "cursor-mode strategy — SKIP PAST LAST ROW, SKIP TO FIRST/LAST <var> — is fine)")
       // same collision rule as every other measure alias: the WIDENED
       // reserved set (row_ts/row_tie/cls under ALL ROWS) plus the buffered
       // condCols the ALL-ROWS shape re-emits by name (r12 ADVICE)
@@ -404,6 +412,10 @@ object StreamingMatchRecognize extends Serializable {
     // ONE-ROW CLASSIFIER slot (mutually exclusive with allRows by the
     // require above)
     val nClsCols = if (oneRowClassifier) 1 else 0
+    // the MATCH_NUMBER output slot — stamped at EMISSION time (emitNow /
+    // the pending flush), never at render time, so deferred SKIP TO NEXT
+    // ROW winners take their ordinal in start order (r15)
+    val ordIdx = 5 + (if (allRows) nRowCols else nClsCols) + nMeas + nAggMeas
     // RUNNING-aggregate fold membership: measure am folds rows classified as
     // variable gv (the target itself, or a member of the target SUBSET)
     val aggFoldTarget: Array[Array[Boolean]] = aggMeasures.map { m =>
@@ -455,6 +467,22 @@ object StreamingMatchRecognize extends Serializable {
         }
       }
 
+    /** TTL-expiry flush of the SKIP TO NEXT ROW deferral buffer (r15): the
+      * pending entries are DECIDED winners that waited only for an earlier
+      * undecided start; at expiry those open starts are abandoned (the
+      * open-tail contract — they never emit), so the winners take the next
+      * ordinals in start order, exactly what the batch scan assigns on a
+      * series where those starts never complete.
+      */
+    def flushPendingAtExpiry(bufOpt: Option[Buf]): Seq[Row] =
+      bufOpt.filter(_.pending.nonEmpty).fold(Seq.empty[Row]) { buf =>
+        var seq = buf.matchSeq
+        buf.pending.sortBy(_._1).iterator.flatMap { case (_, rows) =>
+          if (hasMatchNumber) { seq += 1L; rows.foreach(v => v(ordIdx) = seq) }
+          rows.iterator.map(v => new GenericRow(v): Row)
+        }.toSeq
+      }
+
     /** The per-key micro-batch step, shared VERBATIM by both state engines
       * (r13): append the batch's rows in (ts, tie) order, walk the selection
       * frontier, emit decided winners, evict the decided prefix. Returns
@@ -476,6 +504,17 @@ object StreamingMatchRecognize extends Serializable {
             val tiesB = ArrayBuffer.from(buf.ties)
             val undecB = ArrayBuffer.from(buf.undecided)
             var cursor = buf.cursor
+            // SKIP TO NEXT ROW + MATCH_NUMBER deferral (r15): decided
+            // winners held behind the undecided frontier, flushed in start
+            // order; positions are buffer-relative and shift with drops
+            val pendB = ArrayBuffer.from(buf.pending)
+            // the emitters RENDER here (ordinal slot unstamped); emitNow
+            // stamps + publishes
+            val rendered = ArrayBuffer.empty[Array[Any]]
+            def emitNow(rows: Iterable[Array[Any]]): Unit = {
+              if (hasMatchNumber) { matchSeq += 1L; rows.foreach(v => v(ordIdx) = matchSeq) }
+              rows.foreach(v => out += new GenericRow(v))
+            }
 
             val starts = new Array[Int](nTok)
             val counts = new Array[Int](nTok)
@@ -755,11 +794,9 @@ object StreamingMatchRecognize extends Serializable {
                 vals(5 + nClsCols + nMeas + am) = aggOverRuns(fn, runsOf(tok), colI)
                 am += 1
               }
-              if (hasMatchNumber) {
-                matchSeq += 1L
-                vals(5 + nClsCols + nMeas + nAggMeas) = matchSeq
-              }
-              out += new GenericRow(vals)
+              // the MATCH_NUMBER slot (ordIdx) stays unstamped here; emitNow
+              // or the pending flush assigns it in emission order
+              rendered += vals
             }
 
             /** ALL ROWS PER MATCH (r12): one output row per NON-EXCLUDED
@@ -773,7 +810,6 @@ object StreamingMatchRecognize extends Serializable {
               * emit in the micro-batch that decides the winner.
               */
             def emitMatchRows(p: Int, len: Int): Unit = {
-              if (hasMatchNumber) matchSeq += 1L
               val measRuns: Array[Array[Long]] =
                 if (nMeas == 0) null else Array.tabulate(nMeas)(m => runsOf(measArr(m)._2))
               val finVals = new Array[Any](nMeas)
@@ -858,13 +894,22 @@ object StreamingMatchRecognize extends Serializable {
                         }
                       am2 += 1
                     }
-                    if (hasMatchNumber) vals(5 + nRowCols + nMeas + nAggMeas) = matchSeq
-                    out += new GenericRow(vals)
+                    // ordinal slot stamped at emission (emitNow / flush)
+                    rendered += vals
                   }
                   r += 1
                 }
                 t += 1
               }
+            }
+
+            /** Render the winner at `p` (both shapes) — rows with the
+              * MATCH_NUMBER slot unstamped; the caller emits or defers.
+              */
+            def render(p: Int, len: Int): Array[Array[Any]] = {
+              rendered.clear()
+              if (allRows) emitMatchRows(p, len) else emitMatch(p, len)
+              rendered.toArray
             }
 
             rows.toSeq.sortBy(r => (StreamingOps.tsMicros(r.getTimestamp(1)),
@@ -901,7 +946,7 @@ object StreamingMatchRecognize extends Serializable {
                       case -1 => walking = false
                       case 0 => cursor += 1
                       case len =>
-                        if (allRows) emitMatchRows(cursor, len) else emitMatch(cursor, len)
+                        emitNow(render(cursor, len)) // positional: ordinal = batch __mr_seq
                         cursor = skipAdvanceTo(cursor, len)
                     }
                   }
@@ -921,7 +966,12 @@ object StreamingMatchRecognize extends Serializable {
                         case -1 => ()
                         case 0 => undecB(p) = false
                         case w =>
-                          if (allRows) emitMatchRows(p, w) else emitMatch(p, w)
+                          // with MATCH_NUMBER, a winner must take its
+                          // ordinal in START order: defer it behind the
+                          // undecided frontier (flushed below); without,
+                          // decide-order emission is the unchanged contract
+                          if (hasMatchNumber) pendB += ((p, render(p, w)))
+                          else emitNow(render(p, w))
                           undecB(p) = false
                       }
                     }
@@ -931,12 +981,26 @@ object StreamingMatchRecognize extends Serializable {
                     case -1 => rowsB.length
                     case i => i
                   }
+                  // flush deferred winners whose start cleared the frontier
+                  // — every earlier start is decided, so the start-order
+                  // ordinal is final (batch-equal)
+                  if (pendB.nonEmpty) {
+                    pendB.sortInPlaceBy(_._1)
+                    while (pendB.nonEmpty && pendB.head._1 < firstUndec)
+                      emitNow(pendB.remove(0)._2)
+                  }
                   val drop = math.max(0, firstUndec - navDepth)
                   if (drop > 0) {
                     cellsB.remove(0, drop); rowsB.remove(0, drop)
                     tssB.remove(0, drop); tiesB.remove(0, drop)
                     undecB.remove(0, drop)
                     cx.maxP = rowsB.length - 1
+                    // surviving deferred starts are >= firstUndec > drop:
+                    // shift them into the post-drop coordinates
+                    var pi = 0
+                    while (pi < pendB.length) {
+                      val (s, r) = pendB(pi); pendB(pi) = (s - drop, r); pi += 1
+                    }
                   }
                 }
               }
@@ -948,7 +1012,7 @@ object StreamingMatchRecognize extends Serializable {
                   "micro-batches is the operator's contract (see scaladoc); configure " +
                   "a TTL watermark or repair the upstream ordering")
             (Buf(cellsB.toArray, tssB.toArray, tiesB.toArray,
-              cursor, undecB.toArray, matchSeq), out.result(), newest)
+              cursor, undecB.toArray, matchSeq, pendB.toArray), out.result(), newest)
           }
     }
 
@@ -993,9 +1057,11 @@ object StreamingMatchRecognize extends Serializable {
           }
           override def handleExpiredTimer(key: String, tv: TimerValues,
                                           info: ExpiredTimerInfo): Iterator[Row] = {
-            reportOpenTails(key, Option(st.get()))
+            val bufOpt = Option(st.get())
+            reportOpenTails(key, bufOpt)
+            val flushed = flushPendingAtExpiry(bufOpt)
             st.clear()
-            Iterator.empty
+            flushed.iterator
           }
         }
         grouped.transformWithState(proc,
@@ -1005,8 +1071,10 @@ object StreamingMatchRecognize extends Serializable {
           StreamingOps.ttlConf(ttlSeconds)) {
           (key: String, rows: Iterator[Row], state: GroupState[Buf]) =>
             if (state.hasTimedOut) {
-              reportOpenTails(key, state.getOption)
-              state.remove(); Iterator.empty
+              val bufOpt = state.getOption
+              reportOpenTails(key, bufOpt)
+              val flushed = flushPendingAtExpiry(bufOpt)
+              state.remove(); flushed.iterator
             } else {
               val (nb, out, newest) = processKey(key, rows, state.getOption)
               state.update(nb)

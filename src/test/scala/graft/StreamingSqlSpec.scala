@@ -608,9 +608,15 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       // 1. exclusion under ONE ROW (no effect there — the batch rule)
       assert(refuse(ctas("LAST(A.v) AS av", "ONE ROW", "", "A {- B -} C",
         "A AS A.v > 1.0, B AS B.v > 2.0, C AS C.v > 3.0")).contains("ALL ROWS"))
-      // 2. MATCH_NUMBER() under SKIP TO NEXT ROW (ordinal scrambling)
-      assert(refuse(ctas("MATCH_NUMBER() AS seq", "ONE ROW", "AFTER MATCH SKIP TO NEXT ROW",
-        "A B", "A AS A.v > 1.0, B AS B.v > 2.0")).contains("scrambling"))
+      // 2. MATCH_NUMBER() under SKIP TO NEXT ROW PLANS since r15 (previously
+      // a loud ordinal-scrambling refusal) — decided winners defer behind
+      // the undecided frontier so ordinals flush in start order; the
+      // batch-equality spec below pins the semantics
+      SqlFrontend.execute(spark, ctas("MATCH_NUMBER() AS seq", "ONE ROW",
+        "AFTER MATCH SKIP TO NEXT ROW", "A B", "A AS A.v > 1.0, B AS B.v > 2.0"))
+      assert(StatementCatalog.status("ref_matches") == "RUNNING")
+      SqlFrontend.execute(spark, "DROP TABLE ref_matches")
+      StatementCatalog.reset()
       // 3. RUNNING on a match-END span measure (mark it FINAL)
       assert(refuse(ctas("CLASSIFIER() AS cls, LAST(B.ts) AS end_ts", "ALL ROWS", "",
         "A B+", "A AS A.v > 1.0, B AS B.v > 2.0")).contains("FINAL"))
@@ -1167,6 +1173,269 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     } finally {
       SqlFrontend.execute(spark, "DROP TABLE rep_matches")
       TableRegistry.dropTable("rep_events")
+      StatementCatalog.reset()
+    }
+  }
+
+  test("chained standing statements (lab4's staged topology): STOP/RESUME of the " +
+    "interval-join stage mid-run, output identical to an unbroken chain (r15)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    import spark.implicits._
+    implicit val enc = Encoders.product[(Long, String, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("l4_spikes", "l4_queue", "l4_claims", "l4b_spikes", "l4b_queue", "l4b_claims")
+      .foreach { t =>
+        if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+        spark.catalog.dropTempView(t)
+      }
+    def w(widx: Int, off: Int) = // claim inside 6h window widx
+      Timestamp.valueOf("2024-02-01 00:00:00").toLocalDateTime
+        .plusHours(widx * 6L + off).toString.replace('T', ' ')
+    def claim(id: Long, city: String, widx: Int, off: Int, amount: Double) =
+      (id, city, Timestamp.valueOf(w(widx, off) + ":00"), amount)
+    // windows 0-2 fed before the kill; 3-4 after; Naples spikes in window 1,
+    // Tampa in window 4 (stage-1 threshold: window total > 5000)
+    // sentinels sit just past the windows they close: far enough for the
+    // 10-minute watermark delay, NOT so far that the next feed's windows
+    // fall below the advanced watermark and get late-dropped
+    val b1 = (for (wi <- 0 to 2; c <- Seq("Naples", "Tampa"); k <- 0 to 2) yield
+      claim(wi * 100 + (if (c == "Naples") 10 else 20) + k, c, wi, k + 1,
+        if (c == "Naples" && wi == 1) 3000.0 else 1000.0)) :+
+      claim(900, "Tampa", 3, 1, 1.0) // sentinel: closes windows 0-2 only
+    val b2 = (for (wi <- 3 to 4; c <- Seq("Naples", "Tampa"); k <- 0 to 2) yield
+      claim(wi * 100 + (if (c == "Naples") 10 else 20) + k, c, wi, k + 1,
+        if (c == "Tampa" && wi == 4) 3000.0 else 1000.0)) :+
+      claim(901, "Tampa", 6, 1, 1.0) // sentinel: closes windows 3-4
+    // the static claims snapshot both chains join back to (lab4's pinned
+    // snapshot discipline) — all claims, known up front
+    (b1 ++ b2).toDF("claim_id", "city", "ts", "amount")
+      .createOrReplaceTempView("claims_static")
+
+    def buildChain(claimsTbl: String, spikesTbl: String, queueTbl: String,
+                   mem: MemoryStream[(Long, String, Timestamp, Double)]): Unit = {
+      val schema = mem.toDF().toDF("claim_id", "city", "ts", "amount").schema
+      TableRegistry.createTable(TableRegistry.TableDef(claimsTbl, Some(schema),
+        watermarkCol = Some("ts"), watermarkDelay = Some("10 minutes"),
+        load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+        loadStream = Some(_ => mem.toDF().toDF("claim_id", "city", "ts", "amount"))))
+      // stage 1: windowed totals -> spike filter (the lab4 stage-1 shape,
+      // threshold in place of the oracle-backed anomaly band)
+      SqlFrontend.execute(spark,
+        s"""CREATE TABLE $spikesTbl AS
+           |WITH windowed AS (
+           |  SELECT window_time, city, SUM(amount) AS total
+           |  FROM TABLE(TUMBLE(TABLE $claimsTbl, DESCRIPTOR(ts), INTERVAL '6' HOUR))
+           |  GROUP BY window_start, window_end, window_time, city)
+           |SELECT city, window_time, total FROM windowed WHERE total > 5000""".stripMargin)
+      // stage 2: interval-join the spikes STREAM (the stage-1 SINK read as a
+      // topic — r15 chained standing statements) back to the static claims
+      SqlFrontend.execute(spark,
+        s"""CREATE TABLE $queueTbl AS
+           |SELECT c.claim_id, s.city, s.window_time
+           |FROM claims_static c
+           |INNER JOIN $spikesTbl s
+           |  ON c.city = s.city
+           | AND c.ts >= s.window_time - INTERVAL '6' HOUR
+           | AND c.ts <= s.window_time""".stripMargin)
+    }
+    def standing(name: String) = StatementCatalog.get(name).collect {
+      case StatementCatalog.Standing(_, _, query, _) => query
+    }.getOrElse(fail(s"'$name' must be a standing statement"))
+
+    val mem = MemoryStream[(Long, String, Timestamp, Double)]
+    val memB = MemoryStream[(Long, String, Timestamp, Double)]
+    try {
+      buildChain("l4_claims", "l4_spikes", "l4_queue", mem)
+      assert(StatementCatalog.status("l4_spikes") == "RUNNING" &&
+        StatementCatalog.status("l4_queue") == "RUNNING",
+        "both chained stages must be standing statements")
+      mem.addData(b1: _*)
+      standing("l4_spikes").processAllAvailable()
+      standing("l4_queue").processAllAvailable()
+      val afterB1 = SqlFrontend.execute(spark, "SELECT claim_id FROM l4_queue")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(afterB1 == Seq(110L, 111L, 112L), s"got $afterB1") // Naples window-1 claims
+
+      // kill the JOIN stage mid-chain through the SQL lifecycle surface
+      SqlFrontend.execute(spark, "STOP STATEMENT 'l4_queue'")
+      assert(StatementCatalog.status("l4_queue") == "STOPPED")
+      // the upstream stage keeps running and commits new spike files while
+      // the downstream consumer is down
+      mem.addData(b2: _*)
+      standing("l4_spikes").processAllAvailable()
+      SqlFrontend.execute(spark, "RESUME STATEMENT 'l4_queue'")
+      val q2b = standing("l4_queue")
+      assert(q2b.isActive && StatementCatalog.status("l4_queue") == "RUNNING")
+      q2b.processAllAvailable()
+      val killed = SqlFrontend.execute(spark,
+          "SELECT claim_id, city, window_time FROM l4_queue")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime)).toSeq
+      // exactly-once across the relight: no duplicated claim rows
+      assert(killed.distinct.size == killed.size,
+        s"relight duplicated rows: ${killed.groupBy(identity).filter(_._2.size > 1).keys}")
+
+      // the unbroken twin chain over the SAME feed, never stopped
+      buildChain("l4b_claims", "l4b_spikes", "l4b_queue", memB)
+      memB.addData((b1 ++ b2): _*)
+      standing("l4b_spikes").processAllAvailable()
+      standing("l4b_queue").processAllAvailable()
+      val unbroken = SqlFrontend.execute(spark,
+          "SELECT claim_id, city, window_time FROM l4b_queue")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime)).toSeq
+      assert(killed.sorted == unbroken.sorted,
+        s"stop/resume chain diverged from the unbroken chain: " +
+          s"${killed.sorted} vs ${unbroken.sorted}")
+      assert(unbroken.map(_._1).sorted == Seq(110L, 111L, 112L, 420L, 421L, 422L),
+        s"got ${unbroken.map(_._1).sorted}")
+    } finally {
+      Seq("l4_queue", "l4_spikes", "l4b_queue", "l4b_spikes").foreach { t =>
+        if (TableRegistry.exists(t)) SqlFrontend.execute(spark, s"DROP TABLE $t")
+      }
+      Seq("l4_claims", "l4b_claims").foreach(TableRegistry.dropTable)
+      spark.catalog.dropTempView("claims_static")
+      StatementCatalog.reset()
+    }
+  }
+
+  test("streaming MATCH_RECOGNIZE PARTITION BY over an EXPRESSION: keys on the computed " +
+    "value under batch's auto-name, equals batch (r15)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(String, String, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("pe_matches", "pe_events").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    val schema = mem.toDF().toDF("u", "t", "ts", "v").schema
+    TableRegistry.createTable(TableRegistry.TableDef("pe_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
+    // Flink permits PARTITION BY <expr> (r14 verdict missing-#2): the rows
+    // match ONLY when keyed on UPPER(u) — 'a1' and 'A1' conflate — so a
+    // non-expression key would emit nothing
+    val mrSql = """
+      |SELECT * FROM %s
+      |  MATCH_RECOGNIZE (
+      |    PARTITION BY UPPER(u)
+      |    ORDER BY ts
+      |    MEASURES FIRST(A.ts) AS a_ts, LAST(B.ts) AS b_ts
+      |    ONE ROW PER MATCH
+      |    PATTERN (A B)
+      |    DEFINE A AS A.v = 1, B AS B.v = 2
+      |  )""".stripMargin
+    SqlFrontend.execute(spark, "CREATE TABLE pe_matches AS" + mrSql.format("pe_events"))
+    val q = StatementCatalog.get("pe_matches").collect {
+      case StatementCatalog.Standing(_, _, query, _) => query
+    }.getOrElse(fail("expression-keyed MATCH_RECOGNIZE CTAS must register a standing statement"))
+    def ev(u: String, m: Int, v: Double) = (u, "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
+    def t0(m: Int) = Timestamp.valueOf(f"2024-01-01 00:0$m:00")
+    val b1 = Seq(ev("a1", 0, 1.0), ev("A1", 1, 2.0), ev("b2", 2, 1.0))
+    val b2 = Seq(ev("B2", 3, 2.0))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = SqlFrontend.execute(spark,
+          "SELECT `upper(u)` AS k, a_ts, b_ts FROM pe_matches")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
+        .sortBy(_._1).toSeq
+      assert(got == Seq(("A1", t0(0), t0(1)), ("B2", t0(2), t0(3))), got.mkString(";"))
+
+      // batch parity: the batch route runs the SAME expression clause and
+      // emits the SAME auto-named column
+      import spark.implicits._
+      (b1 ++ b2).toDF("u", "t", "ts", "v").createOrReplaceTempView("pe_batch")
+      val batch = SqlFrontend.execute(spark, mrSql.format("pe_batch"))
+        .selectExpr("`upper(u)` AS k", "a_ts", "b_ts")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
+        .sortBy(_._1).toSeq
+      assert(batch == got, s"expression-keyed streaming diverged from batch: $batch vs $got")
+
+      // ALL ROWS keeps the plain-column contract (its batch twin re-emits
+      // SOURCE columns) — loud refusal with the pre-project workaround, at
+      // plan time on the STREAMING route
+      val e = intercept[Exception](SqlFrontend.execute(spark,
+        ("CREATE TABLE pe2 AS" + mrSql.format("pe_events"))
+          .replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+          .replace("LAST(B.ts) AS b_ts", "FINAL LAST(B.ts) AS b_ts")))
+      assert(e.getMessage.contains("pre-project"), e.getMessage)
+    } finally {
+      SqlFrontend.execute(spark, "DROP TABLE pe_matches")
+      TableRegistry.dropTable("pe_events")
+      StatementCatalog.reset()
+    }
+  }
+
+  test("streaming MATCH_NUMBER() under SKIP TO NEXT ROW: deferred winners flush in " +
+    "START order across a micro-batch boundary, ordinals batch-equal (r15)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    implicit val enc = Encoders.product[(String, String, Timestamp, Double)]
+    StatementCatalog.reset()
+    Seq("mn_matches", "mn_events").foreach { t =>
+      if (TableRegistry.exists(t)) TableRegistry.dropTable(t)
+      spark.catalog.dropTempView(t)
+    }
+    val mem = MemoryStream[(String, String, Timestamp, Double)]
+    val schema = mem.toDF().toDF("u", "t", "ts", "v").schema
+    TableRegistry.createTable(TableRegistry.TableDef("mn_events", Some(schema),
+      load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      loadStream = Some(_ => mem.toDF().toDF("u", "t", "ts", "v"))))
+    // the ordinal-scrambling fixture the old refusal guarded against: at the
+    // batch-1 boundary the start at minute 0 is OPEN on the long branch
+    // (A B C needs minute 2) while the LATER start at minute 1 has already
+    // DECIDED via the short branch S. The decided winner must NOT take
+    // ordinal 1 — it defers behind the undecided frontier and flushes second.
+    val mrSql = """
+      |SELECT * FROM %s
+      |  MATCH_RECOGNIZE (
+      |    PARTITION BY u
+      |    ORDER BY ts
+      |    MEASURES FIRST(A.ts) AS a_ts, FIRST(S.ts) AS s_ts, MATCH_NUMBER() AS seq
+      |    ONE ROW PER MATCH
+      |    AFTER MATCH SKIP TO NEXT ROW
+      |    PATTERN (A B C | S)
+      |    DEFINE A AS A.v = 1, B AS B.v = 2, C AS C.v = 3, S AS S.v = 2
+      |  )""".stripMargin
+    SqlFrontend.execute(spark, "CREATE TABLE mn_matches AS" + mrSql.format("mn_events"))
+    val q = StatementCatalog.get("mn_matches").collect {
+      case StatementCatalog.Standing(_, _, query, _) => query
+    }.getOrElse(fail("MATCH_NUMBER-under-next-row CTAS must register a standing statement"))
+    def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
+    def t0(m: Int) = Timestamp.valueOf(f"2024-01-01 00:0$m:00")
+    val b1 = Seq(ev(0, 1.0), ev(1, 2.0))
+    val b2 = Seq(ev(2, 3.0), ev(3, 2.0))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      // nothing may emit yet: minute 1's S-win is decided but the earlier
+      // start is still open — emitting it now would hand it ordinal 1
+      assert(SqlFrontend.execute(spark, "SELECT * FROM mn_matches").count() == 0L,
+        "decided winner escaped ahead of the undecided frontier")
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = SqlFrontend.execute(spark, "SELECT u, a_ts, s_ts, seq FROM mn_matches")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .sortBy(_._4).toSeq
+      assert(got == Seq(
+        ("k1", t0(0), null, 1L),  // A B C from minute 0 — start order wins
+        ("k1", null, t0(1), 2L),  // the deferred S at minute 1
+        ("k1", null, t0(3), 3L)), got.mkString(";"))
+
+      // closed-stream parity with the batch scan on the same rows
+      import spark.implicits._
+      (b1 ++ b2).toDF("u", "t", "ts", "v").createOrReplaceTempView("mn_batch")
+      val batch = SqlFrontend.execute(spark, mrSql.format("mn_batch"))
+        .selectExpr("u", "a_ts", "s_ts", "seq")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .sortBy(_._4).toSeq
+      assert(batch == got, s"streaming next-row ordinals diverged from batch: $batch vs $got")
+    } finally {
+      SqlFrontend.execute(spark, "DROP TABLE mn_matches")
+      TableRegistry.dropTable("mn_events")
       StatementCatalog.reset()
     }
   }
