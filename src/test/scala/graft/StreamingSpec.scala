@@ -687,7 +687,8 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, 21.0, 7.0, 7.5, 12.0)), got.mkString(";"))
   }
 
-  test("streaming MATCH_NUMBER(): per-key ordinal across micro-batches; skip-to-next refuses") {
+  test("streaming MATCH_NUMBER(): per-key ordinal across micro-batches; skip-to-next " +
+    "defers winners behind the undecided frontier (r15)") {
     import graft.streaming.StreamingMatchRecognize
     import graft.operators.MatchRecognize.MrTok
     implicit val sq = spark.sqlContext
@@ -713,12 +714,27 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(got == Seq((1L, 1L), (3L, 2L)),
       s"per-key ordinals must persist across micro-batches: $got")
-    val err = intercept[IllegalArgumentException](StreamingMatchRecognize(
-      mem.toDF().toDF("u", "ts", "id", "v"), "u", condCols = Seq("v"),
+    // SKIP TO NEXT ROW PLANS since r15 (the r14 refusal is gone): every
+    // start decides independently and MATCH_NUMBER defers winners behind
+    // the undecided frontier — ordinals land in start order. The SQL-route
+    // spec (StreamingSqlSpec) pins the cross-batch scrambling fixture; this
+    // operator-level case pins the simple accepted shape.
+    val mem2 = MemoryStream[(String, Timestamp, Long, Double)]
+    val next = StreamingMatchRecognize(
+      mem2.toDF().toDF("u", "ts", "id", "v"), "u", condCols = Seq("v"),
       tsCol = "ts", tieCol = "id",
       tokens = Seq(MrTok("A", 1, Some(1))), defs = Seq(Some("A.v > 0")),
-      skip = MatchRecognize.SkipToNextRow, matchNumberAlias = Some("seq")))
-    assert(err.getMessage.contains("SKIP PAST LAST ROW"), err.getMessage)
+      skip = MatchRecognize.SkipToNextRow, matchNumberAlias = Some("seq"))
+    val q2 = next.writeStream.format("memory").queryName("mrmn_next_sink")
+      .outputMode("append").start()
+    try {
+      mem2.addData(ev(0, 1L, 5.0), ev(1, 2L, -1.0)); q2.processAllAvailable()
+      mem2.addData(ev(2, 3L, 6.0)); q2.processAllAvailable()
+    } finally q2.stop()
+    val got2 = spark.table("mrmn_next_sink").select("start_tie", "seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got2 == Seq((1L, 1L), (3L, 2L)),
+      s"skip-to-next MATCH_NUMBER must count matching starts in order: $got2")
   }
 
   test("streaming ALTERNATION: branch placement + closed-stream parity with the batch scan") {
