@@ -356,13 +356,64 @@ def lab4_fraud(con, sfdir, z_literal):
     return rows
 
 
+def tool_invoke(con, sfdir):
+    """q43_tool_invoke: the single-shot AI_TOOL_INVOKE chain — scripted model
+    ('SENT' verdict), one send_email tool turn, SUCCESS status.
+    """
+    base = con.execute(
+        f"SELECT o_orderkey FROM read_parquet('{sfdir}/orders.parquet') "
+        f"ORDER BY o_orderkey LIMIT 20").fetchall()
+    # the output exposes (order_id, status, verdict) only: the gate pins the
+    # bounded queue's ids, the SUCCESS status (a broken TOOL: envelope would
+    # surface FAILED/MAX_ITERATIONS), and the VERDICT extraction
+    return [(int(okey), "SUCCESS", "SENT") for (okey,) in base]
+
+
+def ml_embed(con, sfdir):
+    """q21_ml_embed: (doc_id, dim, first_dim) — dim always 64, first_dim =
+    the hash embedding's first float32 bucket (exact under double widening).
+    """
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sfdir}/documents.parquet')").fetchall()
+    cache = {}
+    rows = []
+    for did, text in docs:
+        if text not in cache:
+            cache[text] = embed(text)
+        v = cache[text]
+        rows.append((int(did), len(v), float(v[0])))
+    return rows
+
+
+def ml_textgen(con, sfdir):
+    """q22_ml_textgen: (doc_id, response) — LocalTemplateTextGen over text."""
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sfdir}/documents.parquet')").fetchall()
+    return [(int(did), textgen("" if t is None else t)) for did, t in docs]
+
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
-    which = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else {"q32", "q33", "q35"}
+    which = set(sys.argv[3].split(",")) if len(sys.argv) > 3 \
+        else {"q21", "q22", "q32", "q33", "q35", "q43"}
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
     t0 = time.time()
     ok = True
+    if "q21" in which:
+        ok &= check("q21_ml_embed", con, ml_embed(con, sfdir),
+                    "doc_id BIGINT, dim BIGINT, first_dim DOUBLE",
+                    ["CAST(doc_id AS BIGINT)", "CAST(dim AS BIGINT)",
+                     "CAST(first_dim AS DOUBLE)"], outdir)
+    if "q22" in which:
+        ok &= check("q22_ml_textgen", con, ml_textgen(con, sfdir),
+                    "doc_id BIGINT, response VARCHAR",
+                    ["CAST(doc_id AS BIGINT)", "response"], outdir)
+    if "q43" in which:
+        ok &= check("q43_tool_invoke", con, tool_invoke(con, sfdir),
+                    "order_id BIGINT, invoke_status VARCHAR, verdict VARCHAR",
+                    ["CAST(order_id AS BIGINT)", "invoke_status", "verdict"],
+                    outdir)
     if "q33" in which:
         rows = lab2_rag(con, sfdir)
         ok &= check("q33_lab2_rag", con, rows,
