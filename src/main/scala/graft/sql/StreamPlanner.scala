@@ -111,6 +111,14 @@ object StreamPlanner {
     // metadata log (FileStreamSource honors _spark_metadata — exactly-once
     // file handoff), so STOP/RESUME of any stage composes across the chain:
     // a resumed stage continues from its own checkpoint's file offsets.
+    // Re-submission caveat (the pre-existing replace semantics, now visible
+    // to chains): re-running an upstream CTAS rotates its sink dir, so an
+    // ALREADY-RUNNING downstream statement keeps its plan against the old
+    // directory — re-submit the downstream stages too, exactly as the
+    // reference requires when a user re-creates an upstream topic-table.
+    // DROP TABLE upstream stops its query but retains the sink files, so a
+    // downstream reader drains what was committed (topic-retention
+    // semantics).
     TableRegistry.createTable(TableRegistry.TableDef(table, Some(schema),
       options = Map("graft.refresh-on-read" -> "true", "graft.sink-path" -> sinkDir),
       load = load,
