@@ -14,6 +14,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // keep bounded TopKAgg-style aggregations on the hash path, like
+      // Graft.session/Bench.session (r7's object-agg lesson): without it the
+      // 128-key default silently degrades them to sort-and-spill — q34's
+      // sf10 exact search (1.5B candidate rows into the bounded top-k)
+      // spilled past 73 GB of disk here where the hash path is answer-sized
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

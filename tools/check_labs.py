@@ -356,6 +356,97 @@ def lab4_fraud(con, sfdir, z_literal):
     return rows
 
 
+TOD = [(0, 4, "late night"), (4, 7, "early morning"), (7, 10, "morning rush"),
+       (10, 12, "late morning"), (12, 14, "midday"), (14, 17, "afternoon"),
+       (17, 20, "evening rush"), (20, 23, "night"), (23, 24, "late night")]
+
+
+def time_of_day(hour):
+    for lo, hi, label in TOD:
+        if lo <= hour < hi:
+            return label
+    return "late night"
+
+
+def spark_round4(x):
+    """Spark round(double, 4): shortest-string BigDecimal, HALF_UP."""
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
+def lab3_fleet(con, sfdir):
+    """q34_lab3_fleet: 5-min tumble counts per zone -> z-band surges (the
+    q08/q09-proven digit-decimal DuckDB twin at confidence 99.9) -> query
+    embed -> EXACT top-3 corpus search -> templated reason. Exact-by-contract
+    (the ANN production twin is q161).
+    """
+    z = repr(gaussian_inv_cdf(0.5 + 99.9 / 200.0))
+    surges = con.execute(f"""
+        WITH series AS (
+          SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+                 COUNT(*) AS request_count
+          FROM read_parquet('{sfdir}/events.parquet') GROUP BY 1, 2),
+        hist AS (
+          SELECT window_start, event_type, request_count,
+                 CAST(CAST(SUM(CAST(CAST(CAST(request_count AS DOUBLE) AS VARCHAR) AS DECIMAL(27,6))) OVER w AS VARCHAR) AS DOUBLE) AS s1,
+                 CAST(CAST(SUM(CAST(CAST(CAST(request_count AS DOUBLE) * CAST(request_count AS DOUBLE) AS VARCHAR) AS DECIMAL(38,8))) OVER w AS VARCHAR) AS DOUBLE) AS s2,
+                 CAST(COUNT(request_count) OVER w AS DOUBLE) AS n
+          FROM series
+          WINDOW w AS (PARTITION BY event_type ORDER BY window_start ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)),
+        det AS (
+          SELECT window_start, event_type, request_count, n,
+                 s1 / n AS forecast,
+                 sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) AS sd
+          FROM hist)
+        SELECT window_start, event_type, request_count,
+               forecast + {z} * sd AS upper_bound
+        FROM det
+        WHERE n >= 8 AND (CAST(request_count AS DOUBLE) > forecast + {z} * sd
+                          OR CAST(request_count AS DOUBLE) < forecast - {z} * sd)
+              AND CAST(request_count AS DOUBLE) > forecast + {z} * sd""").fetchall()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sfdir}/documents.parquet') "
+        f"ORDER BY doc_id").fetchall()
+    texts = []
+    docs_by_text = {}
+    for did, text in docs:
+        if text not in docs_by_text:
+            docs_by_text[text] = []
+            texts.append(text)
+        docs_by_text[text].append(int(did))
+    # bit-exact vectorized scoring: DOUBLE products (exact f32 widenings),
+    # summed along the 64-dim axis — below numpy's 128-element pairwise
+    # cutoff, so the reduction is sequential like the engine's loop
+    mat = np.array([embed(t) for t in texts], dtype=np.float32).astype(np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    rows = []
+    for ws, zone, rc, ub in surges:
+        tod = time_of_day(ws.hour)
+        qtext = f"surge in {zone} during {tod} with {int(rc)} requests"
+        qv = embed(qtext).astype(np.float64)
+        qnorm = math.sqrt(float((qv * qv).sum()))
+        scores = (mat * qv[None, :]).sum(axis=1) / (qnorm * norms)
+        # top-3 DOCS by (nan-last, -score, doc_id): take texts in score order
+        # until the collected docs can no longer be displaced, then settle
+        # ties at the doc level
+        order = sorted(range(len(texts)),
+                       key=lambda i: (math.isnan(scores[i]),
+                                      -scores[i] if not math.isnan(scores[i]) else 0.0))
+        cand = []
+        k = 0
+        while k < len(order):
+            i = order[k]
+            cand.extend((float(scores[i]), d, texts[i]) for d in docs_by_text[texts[i]])
+            k += 1
+            if len(cand) >= 3 and (k >= len(order) or scores[order[k]] != scores[i]):
+                break
+        cand.sort(key=lambda s: (math.isnan(s[0]),
+                                 -s[0] if not math.isnan(s[0]) else 0.0, s[1]))
+        chunks = " | ".join(t for _, _, t in cand[:3])
+        prompt = f"Explain this surge: {qtext}\nContext: {chunks}"
+        rows.append((ws, zone, int(rc), spark_round4(ub), tod, textgen(prompt)))
+    return rows
+
+
 def tool_invoke(con, sfdir):
     """q43_tool_invoke: the single-shot AI_TOOL_INVOKE chain — scripted model
     ('SENT' verdict), one send_email tool turn, SUCCESS status.
@@ -395,7 +486,7 @@ def ml_textgen(con, sfdir):
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     which = set(sys.argv[3].split(",")) if len(sys.argv) > 3 \
-        else {"q21", "q22", "q32", "q33", "q35", "q43"}
+        else {"q21", "q22", "q32", "q33", "q34", "q35", "q43"}
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
     t0 = time.time()
@@ -409,6 +500,14 @@ def main():
         ok &= check("q22_ml_textgen", con, ml_textgen(con, sfdir),
                     "doc_id BIGINT, response VARCHAR",
                     ["CAST(doc_id AS BIGINT)", "response"], outdir)
+    if "q34" in which:
+        rows = lab3_fleet(con, sfdir)
+        ok &= check("q34_lab3_fleet", con, rows,
+                    "window_start TIMESTAMP, zone VARCHAR, request_count BIGINT, "
+                    "upper_bound DOUBLE, time_of_day VARCHAR, reason VARCHAR",
+                    ["CAST(window_start AS TIMESTAMP)", "zone",
+                     "CAST(request_count AS BIGINT)", "CAST(upper_bound AS DOUBLE)",
+                     "time_of_day", "reason"], outdir)
     if "q43" in which:
         ok &= check("q43_tool_invoke", con, tool_invoke(con, sfdir),
                     "order_id BIGINT, invoke_status VARCHAR, verdict VARCHAR",
