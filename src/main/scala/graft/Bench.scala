@@ -9,33 +9,17 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** One session recipe for Bench AND SpotTime, so spot-times in BASELINE.md
-    * measure the same environment as the headline runs.
+    * measure the same environment as the headline runs. The shared config
+    * set lives in [[graft.core.Sessions]] (r16 — one definition); the one
+    * bench-specific extra: bench data arrives as ONE parquet file per table
+    * (the sf1 replica is a single 184 MB lineitem), so the default 128 MB
+    * maxPartitionBytes would scan it with ~2 tasks on 32 cores, serializing
+    * every downstream agg. On a real cluster tables are many files and the
+    * knob is moot; here it restores scan parallelism (splits land on
+    * row-group boundaries).
     */
-  private[graft] def session(cpus: String): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // Bench data arrives as ONE parquet file per table (the sf1 replica is a
-      // single 184 MB lineitem); the default 128 MB maxPartitionBytes would
-      // scan it with ~2 tasks on 32 cores, serializing every downstream agg.
-      // On a real cluster tables are many files and this knob is moot; here it
-      // restores scan parallelism (splits land on row-group boundaries).
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      // see Graft.session: keep TopKAgg-style bounded aggs on the hash path
-      // (the 128-key default silently degrades them to sort-and-spill)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
-      // see Graft.session: RocksDB state store — the scale-safe streaming
-      // state backend, and the default-engine opt-in for the
-      // transformWithState operators (incl. StreamingMatchRecognize r13)
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  private[graft] def session(cpus: String): SparkSession =
+    graft.core.Sessions.localCpus(cpus, Map("spark.sql.files.maxPartitionBytes" -> "8m"))
 
   /** CPU-contention telemetry (r11 verdict #3): bench numbers on this box
     * swing 2–8x under external CPU steal, so every BENCH line now carries
@@ -123,14 +107,19 @@ object Bench {
         var r = 0
         while (r < repeats) {
           val t0 = System.nanoTime()
-          rows =
+          val n =
             try SparkEntry.queries(name)(spark, sfDir).count()
             catch { case _: Throwable => -1L }
           val sec = (System.nanoTime() - t0) / 1e9
-          if (sec < best) best = sec
+          // rows follows the repeat that produced `best` (r15 ADVICE): a
+          // transient failure in the LAST repeat must not stamp rows:-1 next
+          // to a valid min-of-N time — and a repeat that errored must never
+          // contribute to `best` (a fast failure is not a fast query)
+          if (n >= 0 && sec < best) { best = sec; rows = n }
           if (sec > worst) worst = sec
           r += 1
         }
+        if (best == Double.MaxValue) best = worst // every repeat failed
         (name, best, rows, worst)
       }
     }

@@ -63,7 +63,7 @@ object SpotStreamingMr2Key {
     val t0 = System.nanoTime()
     SqlFrontend.execute(spark, "CREATE TABLE mr2k_matches AS" + mrSql.format("mr2k_events"))
     val q = StatementCatalog.get("mr2k_matches").collect {
-      case StatementCatalog.Standing(_, _, query, _) => query
+      case s: StatementCatalog.Standing => s.query
     }.getOrElse(sys.error("multi-key MR CTAS must register a standing statement"))
     if (restartAfter <= 0) { try q.processAllAvailable() finally q.stop() }
     else {

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Round-5 scale-stress main: the iterative/graph/layout operators at
@@ -21,13 +20,7 @@ import org.apache.spark.sql.functions._
 object StressGraph {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = core.Sessions.localCpus(cpus) // the shared factory (r16)
 
     def timed[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f

@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -10,19 +10,11 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] = args.drop(2).headOption.map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // keep bounded TopKAgg-style aggregations on the hash path, like
-      // Graft.session/Bench.session (r7's object-agg lesson): without it the
-      // 128-key default silently degrades them to sort-and-spill — q34's
-      // sf10 exact search (1.5B candidate rows into the bounded top-k)
-      // spilled past 73 GB of disk here where the hash path is answer-sized
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the shared factory (r16): Verify's inline builder was the third copy of
+    // the session config and proved the hazard — it shipped a round without
+    // the objectHashAggregate threshold and q34's sf10 exact search spilled
+    // 73 GB where the hash path is answer-sized. One definition now.
+    val spark = graft.core.Sessions.localCpus(cpus)
     new java.io.File(outDir).mkdirs()
     // default single-file dumps match the driver's reader; the sf10 heavy
     // gate (tools/check_oracle_sf10.py reads the whole directory) sets

@@ -11,64 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object Graft {
 
-  /** Opinionated local session. On a real cluster the same settings apply except
-    * `master`; shuffle partitions should be sized to ~2-3x total cores and
-    * re-planned by AQE (`spark.sql.adaptive.coalescePartitions`).
+  /** Opinionated local session — [[Sessions.local]] is the one definition of
+    * the config set (r16); the scaladoc history of each entry (the r7/r15
+    * objectHashAggregate lessons, the nanosAsLong execution-time contract,
+    * the r13 RocksDB rationale) lives there. On a real cluster the same
+    * settings apply except `master`; shuffle partitions should be sized to
+    * ~2-3x total cores and re-planned by AQE.
     */
-  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
-    val spark = SparkSession
-      .builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // session-wide on purpose (also set lazily by Tables for sessions built
-      // elsewhere): TIMESTAMP(NANOS) parquet columns surface as nanos longs
-      // instead of failing, and the flag must stay set while any events scan
-      // is alive (it is consulted at execution, not plan time). Consequence a
-      // caller should know: an unrelated NANOS parquet read in the same
-      // session also decodes as LongType rather than erroring.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // the engine's bounded typed aggregates (TopKAgg and friends) rely on
-      // map-side partial aggregation to keep the shuffle O(groups·k). The
-      // default sort-based fallback kicks in at just 128 DISTINCT KEYS per
-      // task, silently turning a small-memory hash agg (e.g. 30k query
-      // groups × a bounded heap) into a full sort-and-spill of the
-      // pre-aggregation input — at sf10 that spilled the 15B-row exact knn
-      // candidate stream to disk until the device filled. The hash map's
-      // real memory is groups × heap size, which the operators bound by
-      // construction, so the threshold can safely sit far above any
-      // realistic per-task group count.
-      //
-      // Trade-off (session-global, so it also covers UNBOUNDED object aggs
-      // like collect_list/collect_set/percentile): the valve is raised, not
-      // removed — past 4.19M distinct keys per task the sort-spill still
-      // engages. Below that, memory is keys × per-group buffer, and the
-      // fallback never bounded the per-group buffer anyway (sort-based mode
-      // still materialises each group's full collect_list before emitting).
-      // Catalog audit of unbounded-agg sites: the percentile/quantile aggs
-      // produce |groups|-row outputs with small group counts by construction
-      // (Curation.scala); collect_list sites are per-doc / per-vector bounded
-      // (chunk rewrites, PQ codebooks, series windows) except the inverted-
-      // index postings (Dedup.ngramJaccardPairs), whose per-key buffers are
-      // document-frequency-bounded and hot keys are capped via
-      // maxDocsPerShingle/CapStats. No catalog query runs a high-cardinality
-      // key space with unbounded per-key buffers under this session.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
-      // RocksDB state store (r13): per-key streaming state lives off-heap on
-      // local disk instead of the executor heap — at 100M+ standing keys the
-      // heap-backed default provider is the executor-memory ceiling, RocksDB
-      // is the scale-safe backend. Session-wide: every stateful operator
-      // (anomaly, funnel, MATCH_RECOGNIZE, sessionize) benefits, and the
-      // transformWithState operators (TtlAnomaly, StreamingTemporalJoin,
-      // StreamingMatchRecognize's default engine) REQUIRE it.
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark
-  }
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession =
+    Sessions.local(master, shufflePartitions.toString)
 }
 
 /** Loaders for the driver-provided testdata tables (see TESTDATA.md). */

@@ -882,7 +882,7 @@ object MatchRecognize {
           if (t < 0) -1 else pathStart(t) + pathCount(t) - 1
         }
 
-        private def skipAdvance(counts: Array[Int]): Int = skipMode match {
+        private def skipAdvance(): Int = skipMode match {
           case SkipPastLastRow => matchLen
           case SkipToNextRow => 1
           case SkipToFirst(i) =>
@@ -913,7 +913,7 @@ object MatchRecognize {
               if (tryMatch(counts)) {
                 matchSeq += 1
                 emit(counts, matchSeq)
-                advance(skipAdvance(counts))
+                advance(skipAdvance())
               }
               else advance(1)
             }

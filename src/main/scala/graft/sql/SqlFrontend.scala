@@ -1480,7 +1480,29 @@ object SqlFrontend {
       }
       measureSrc.foreach { case (_, a) => require(!a.startsWith("__mr_"),
         s"MATCH_RECOGNIZE: measure alias '$a' uses the reserved __mr_ prefix") }
-      val input = spark.sql(s"SELECT * FROM $tbl")
+      val input00 = spark.sql(s"SELECT * FROM $tbl")
+      // PARTITION BY expressions under ALL ROWS (r16, VERDICT r15 #3): each
+      // non-plain entry pre-projects onto the input under its selectExpr
+      // auto-name, so the ALL-ROWS shape (which emits every input column)
+      // carries the computed key as a regular column — the SAME auto-named
+      // column the streaming route emits, dissolving the old
+      // schema-agreement refusal. The auto-name must not shadow a real
+      // source column (a silent replace would corrupt it in the output);
+      // two raw entries resolving to one auto-name are a duplicate key.
+      val (input, partColsR) =
+        if (!allRowsPerMatch) (input00, partCols)
+        else partCols.foldLeft((input00, Seq.empty[String])) {
+          case ((df, acc), p) if p.matches("\\w+") => (df, acc :+ p)
+          case ((df, acc), p) =>
+            val nm = df.selectExpr(p).columns.head
+            require(!input00.columns.contains(nm),
+              s"MATCH_RECOGNIZE: PARTITION BY expression '$p' resolves to auto-name '$nm', " +
+                "which already exists as a source column — pre-project the expression " +
+                "upstream under a different alias")
+            (df.withColumn(nm, org.apache.spark.sql.functions.expr(p)), acc :+ s"`$nm`")
+        }
+      require(partColsR.distinct.size == partColsR.size,
+        s"MATCH_RECOGNIZE: PARTITION BY entries resolve to duplicate key columns: $partColsR")
       if (allRowsPerMatch) measureSrc.foreach { case (_, a) =>
         require(!input.columns.contains(a),
           s"MATCH_RECOGNIZE: ALL ROWS PER MATCH emits every input column; measure alias '$a' collides") }
@@ -1540,7 +1562,7 @@ object SqlFrontend {
         else Seq(varSpecs.zipWithIndex.map { case ((_, lo, hi, rel), i) =>
           graft.operators.MatchRecognize.BTok(i, lo, hi, rel) }.toIndexedSeq)
       val scanned = graft.operators.MatchRecognize.scanPattern(
-        input2, partCols.map(org.apache.spark.sql.functions.expr),
+        input2, partColsR.map(org.apache.spark.sql.functions.expr),
         ordCols.map(org.apache.spark.sql.functions.expr), ord, varNames, branches, defs,
         withinMicros, scanSkip, allRowsPerMatch, measureColNames,
         if (aggSpecs.forall(_.isEmpty)) Seq.empty else aggSpecs, dynDefs, offsetSpecs,

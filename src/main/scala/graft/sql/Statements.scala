@@ -26,9 +26,21 @@ object StatementCatalog {
     * checkpoint — the planner records it so a stopped/crashed standing
     * statement can resume exactly where its state store left off (the
     * checkpoint-recovery surface the kill-mid-drain harnesses exercise).
+    *
+    * `upstreamSinks` (r16): the STREAM tables this statement's plan reads,
+    * each with the sink directory backing it AT PLAN TIME ("" for source
+    * tables with no sink) — the chain edges the planner walks when an
+    * upstream re-submission rotates a sink directory under readers, and the
+    * staleness fingerprint [[relightStanding]] checks before reusing the
+    * recorded plan. `resubmit` replays the statement's own submission from
+    * scratch (fresh plan against the CURRENT registry, fresh sink +
+    * checkpoint) — the cascade's unit step; unlike `relight`, which restarts
+    * the RECORDED plan on the SAME sink.
     */
   final case class Standing(name: String, sql: String, query: StreamingQuery,
-                            relight: Option[() => StreamingQuery] = None) extends Entry
+                            relight: Option[() => StreamingQuery] = None,
+                            upstreamSinks: Map[String, String] = Map.empty,
+                            resubmit: Option[() => Unit] = None) extends Entry
 
   private val statements = scala.collection.concurrent.TrieMap[String, Entry]()
 
@@ -36,8 +48,22 @@ object StatementCatalog {
     statements.put(name, Completed(name, sql))
 
   def recordStanding(name: String, sql: String, query: StreamingQuery,
-                     relight: Option[() => StreamingQuery] = None): Unit =
-    statements.put(name, Standing(name, sql, query, relight))
+                     relight: Option[() => StreamingQuery] = None,
+                     upstreamSinks: Map[String, String] = Map.empty,
+                     resubmit: Option[() => Unit] = None): Unit =
+    statements.put(name, Standing(name, sql, query, relight, upstreamSinks, resubmit))
+
+  /** Standing statements whose plan reads `table` as a STREAM source and
+    * whose query is still ACTIVE — the stale-read candidates when `table`'s
+    * sink directory rotates under them (re-submission cascade, r16).
+    * STOPPED readers are excluded: re-submitting one would start it against
+    * the user's explicit STOP; their RESUME re-plans instead (the staleness
+    * check in [[relightStanding]]).
+    */
+  def runningReadersOf(table: String): Seq[Standing] =
+    statements.values.collect {
+      case s: Standing if s.upstreamSinks.contains(table) && s.query.isActive => s
+    }.toSeq
 
   /** Stop a standing statement and resume it from its own checkpoint (r14):
     * the new instance replays any uncommitted micro-batch and continues —
@@ -46,11 +72,37 @@ object StatementCatalog {
     */
   def relightStanding(name: String): StreamingQuery = relightLock.synchronized {
     statements.get(name) match {
-      case Some(Standing(n, sql, q, Some(fn))) =>
-        if (q.isActive) { q.stop(); q.awaitTermination() }
-        val nq = fn()
-        statements.put(n, Standing(n, sql, nq, Some(fn)))
-        nq
+      case Some(Standing(n, sql, q, Some(fn), ups, resub)) =>
+        // staleness fingerprint (r16): an upstream re-submission while this
+        // statement was STOPPED rotated a sink directory the RECORDED plan
+        // reads — relighting that plan would silently drain a dead
+        // directory forever. RESUME re-plans from the statement's own SQL
+        // instead (fresh plan + sink + checkpoint against the CURRENT
+        // upstream sinks), the same unit step the running-reader cascade
+        // uses. An upstream DROPPED since plan time is NOT stale: the plan
+        // keeps draining the retained sink files (topic-retention
+        // semantics).
+        val rotated = ups.filter { case (t, sink) =>
+          graft.sources.TableRegistry.exists(t) &&
+            graft.sources.TableRegistry.resolve(t).options
+              .getOrElse("graft.sink-path", "") != sink
+        }
+        if (rotated.nonEmpty && resub.isDefined) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"RESUME STATEMENT '$name': upstream sink(s) rotated since it was planned " +
+              s"(${rotated.keys.mkString(", ")}) — re-planning from its SQL instead of " +
+              "relighting the stale plan")
+          resub.get.apply()
+          statements.get(n) match {
+            case Some(s: Standing) => s.query
+            case _ => sys.error(s"re-plan of '$n' did not record a standing statement")
+          }
+        } else {
+          if (q.isActive) { q.stop(); q.awaitTermination() }
+          val nq = fn()
+          statements.put(n, Standing(n, sql, nq, Some(fn), ups, resub))
+          nq
+        }
       case Some(_: Standing) => sys.error(s"statement '$name' records no relight recipe")
       case other => sys.error(s"cannot relight '$name': ${other.fold("not found")(_ => "one-shot")}")
     }
@@ -70,15 +122,15 @@ object StatementCatalog {
   def status(name: String): String = statements.get(name) match {
     case None                   => "NOT_FOUND"
     case Some(_: Completed)     => "COMPLETED"
-    case Some(Standing(_, _, q, _)) =>
-      if (q.exception.isDefined) "FAILED"
-      else if (q.isActive) "RUNNING"
+    case Some(s: Standing) =>
+      if (s.query.exception.isDefined) "FAILED"
+      else if (s.query.isActive) "RUNNING"
       else "STOPPED"
   }
 
   /** Stop a standing statement's continuous query (no-op for one-shots). */
   def stop(name: String): Unit = statements.get(name) match {
-    case Some(Standing(_, _, q, _)) if q.isActive => q.stop(); q.awaitTermination()
+    case Some(s: Standing) if s.query.isActive => s.query.stop(); s.query.awaitTermination()
     case _                                     => ()
   }
 

@@ -141,6 +141,17 @@ object StreamingMatchRecognize extends Serializable {
     * undecided frontier — a pending match exists only while an older start
     * is open, the same WITHIN/TTL-bounded condition that bounds the row
     * buffer itself; empty unless MATCH_NUMBER is requested.
+    *
+    * CHECKPOINT COMPATIBILITY: Buf rides streaming checkpoints KRYO-encoded
+    * (field-serialized), so ANY change to this field layout — adding
+    * `pending` in r15 did this across the r14→r15 boundary — invalidates
+    * state written by earlier builds: a standing statement RESUMEd
+    * (relightStanding) from a pre-change checkpoint fails or misreads
+    * deserialization. Operational rule, also in README: after upgrading
+    * across a Buf layout change, re-submit standing MATCH_RECOGNIZE
+    * statements on a fresh checkpoint instead of relighting the old one.
+    * Within one build (the kill-mid-drain recovery surface) the encoding is
+    * stable by construction.
     */
   case class Buf(cells: Array[Array[Any]], tsMicros: Array[Long], ties: Array[Long],
                  cursor: Int, undecided: Array[Boolean], matchSeq: Long = 0L,
@@ -347,6 +358,19 @@ object StreamingMatchRecognize extends Serializable {
         "StreamingMatchRecognize: unbounded quantifier with neither withinMicros nor " +
           "ttlSeconds — an unbroken greedy run grows per-key state without bound and " +
           "never emits; set a WITHIN bound (and/or a TTL >= it) to cap state age")
+    // MATCH_NUMBER + SKIP TO NEXT ROW defers decided winners behind the
+    // undecided frontier (r15); a permanently-undecided earlier start (an
+    // open tail that no future event ever breaks) then withholds them
+    // FOREVER when no TTL exists — on a bounded drain they never emit where
+    // batch emits them (r15 ADVICE). The TTL-expiry flush is the release
+    // valve; without one, warn loudly up front.
+    if (matchNumberAlias.isDefined && skip == MatchRecognize.SkipToNextRow && ttlSeconds == 0L)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "StreamingMatchRecognize: MATCH_NUMBER() under SKIP TO NEXT ROW without a TTL — " +
+          "a decided winner behind a permanently-undecided earlier start is withheld " +
+          "until TTL expiry flushes it, and with no TTL that is FOREVER (a bounded drain " +
+          "will omit it where the batch scan emits it); configure 'sql.state-ttl' (or the " +
+          "operator's ttlSeconds) so abandoned open tails release their deferred winners")
 
     // conditions compile against the referenced columns IN THEIR ORIGINAL
     // TYPES, named as in the input so SQL DEFINE text passes through

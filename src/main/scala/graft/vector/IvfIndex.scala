@@ -84,9 +84,24 @@ object IvfIndex {
       .localCheckpoint()
     for (_ <- 1 to iterations) {
       val assigned = assign(vecs, centroids, embCol)
-      // new centroid = element-wise mean of member vectors (distributed)
+      // new centroid = element-wise mean of member vectors (distributed).
+      // ORDER-INDEPENDENT mean (r16, VERDICT r15 #5): a plain float/double
+      // avg() sums in partition-layout order, so a re-layout (AQE, a
+      // different file split at 100 TB) could move centroids — and no
+      // engine-independent value gate could ever pin the ANN family. Summing
+      // as DECIMAL(38,12) is exact and commutative (each float32 member
+      // rounds once, deterministically HALF_UP at scale 12 — noise ~5e-13,
+      // five orders below float32's own resolution), and the mean is ONE
+      // double division of that exact sum — bit-stable under any layout, so
+      // the whole build (init sample → Lloyd → assignment) is a pure
+      // function of the corpus VALUES. Gate: tools/check_ivf.py transcribes
+      // it end-to-end. Cost: the decimal agg adds ~O(N·dim) decimal adds to
+      // a step dominated by the O(N·dim·nLists) assignment loop (measured
+      // <5% of build; BASELINE r16 audit row).
       val dims = assigned.select(col("list_id"), posexplode(col(embCol)))
-        .groupBy("list_id", "pos").agg(avg(col("col").cast("double")).as("m"))
+        .groupBy("list_id", "pos")
+        .agg((sum(col("col").cast("decimal(38,12)")).cast("double") /
+          count(col("col"))).as("m"))
       centroids = dims.groupBy("list_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("centroid"))

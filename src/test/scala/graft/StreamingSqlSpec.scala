@@ -62,7 +62,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     // standing semantics: RUNNING immediately, sink empty until data flows
     assert(StatementCatalog.status("anomalies_per_zone") == "RUNNING")
     val q = StatementCatalog.get("anomalies_per_zone").collect {
-      case StatementCatalog.Standing(_, _, query, _) => query
+      case s: StatementCatalog.Standing => s.query
     }.getOrElse(fail("CTAS over a stream table must register a standing statement"))
     assert(SqlFrontend.execute(spark, "SELECT * FROM anomalies_per_zone").isEmpty)
 
@@ -128,7 +128,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       "INSERT INTO ride_prices SELECT request_id, price FROM rides_src WHERE price > 5.0")
     assert(StatementCatalog.status("insert-into-ride_prices") == "RUNNING")
     val q = StatementCatalog.get("insert-into-ride_prices").collect {
-      case StatementCatalog.Standing(_, _, query, _) => query
+      case s: StatementCatalog.Standing => s.query
     }.get
 
     def ride(id: String, price: Double) = RideEvent(id, "u@example.com", "Z", "Z",
@@ -231,7 +231,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
         |  )""".stripMargin)
     assert(StatementCatalog.status("funnel_matches") == "RUNNING")
     val q = StatementCatalog.get("funnel_matches").collect {
-      case StatementCatalog.Standing(_, _, query, _) => query
+      case s: StatementCatalog.Standing => s.query
     }.getOrElse(fail("MATCH_RECOGNIZE CTAS over a stream must register a standing statement"))
 
     def ev(u: String, t: String, s: String) = (u, t, Timestamp.valueOf(s), 1.0)
@@ -266,7 +266,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
         |  AFTER MATCH SKIP TO NEXT ROW PATTERN (A B)
         |  DEFINE A AS A.t = 'view', B AS NEXT(B.v) > B.v)""".stripMargin)
     val q2 = StatementCatalog.get("next_matches").collect {
-      case StatementCatalog.Standing(_, _, query, _) => query
+      case s: StatementCatalog.Standing => s.query
     }.getOrElse(fail("NEXT() value route must register a standing statement"))
     try {
       mem2.addData(("u1", "view", Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
@@ -315,7 +315,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     SqlFrontend.execute(spark, "CREATE TABLE ticker_matches AS" + mrSql.format("ticker_events"))
     assert(StatementCatalog.status("ticker_matches") == "RUNNING")
     val q = StatementCatalog.get("ticker_matches").collect {
-      case StatementCatalog.Standing(_, _, query, _) => query
+      case s: StatementCatalog.Standing => s.query
     }.getOrElse(fail("value-route MATCH_RECOGNIZE CTAS must register a standing statement"))
 
     def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
@@ -377,7 +377,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       |  )""".stripMargin
     SqlFrontend.execute(spark, "CREATE TABLE vm_matches AS" + mrSql.format("vm_events"))
     val q = StatementCatalog.get("vm_matches").collect {
-      case StatementCatalog.Standing(_, _, query, _) => query
+      case s: StatementCatalog.Standing => s.query
     }.getOrElse(fail("value-measure MATCH_RECOGNIZE CTAS must register a standing statement"))
     def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
     val rows = Seq(ev(0, 10.0), ev(1, 8.0), ev(2, 7.0), ev(3, 9.0), ev(4, 12.0), ev(5, 11.0))
@@ -423,7 +423,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
         |    DEFINE A AS A.t = 'x'
         |  )""".stripMargin)
     val q = StatementCatalog.get("unb_matches").collect {
-      case StatementCatalog.Standing(_, _, query, _) => query
+      case s: StatementCatalog.Standing => s.query
     }.getOrElse(fail("standing statement expected"))
     def at(sec: Long) = new Timestamp((1000000L + sec) * 1000L)
     try {
@@ -476,7 +476,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
         |    DEFINE A AS A.t = 'x'
         |  )""".stripMargin)
     val q = StatementCatalog.get("sp_matches").collect {
-      case StatementCatalog.Standing(_, _, query, _) => query
+      case s: StatementCatalog.Standing => s.query
     }.getOrElse(fail("standing statement expected"))
 
     // offset from epoch (initial watermark 0 filters rows AT it)
@@ -546,7 +546,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
         |    DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v)
         |  )""".stripMargin)
     val q = StatementCatalog.get("tie_matches").collect {
-      case StatementCatalog.Standing(_, _, query, _) => query
+      case s: StatementCatalog.Standing => s.query
     }.getOrElse(fail("tie-ordered MATCH_RECOGNIZE CTAS must register a standing statement"))
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
     try {
@@ -665,7 +665,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       |  )""".stripMargin
     SqlFrontend.execute(spark, "CREATE TABLE ar_matches AS" + mrSql.format("ar_events"))
     val q = StatementCatalog.get("ar_matches").collect {
-      case StatementCatalog.Standing(_, _, query, _) => query
+      case s: StatementCatalog.Standing => s.query
     }.getOrElse(fail("ALL ROWS MATCH_RECOGNIZE CTAS must register a standing statement"))
     def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
     // the match spans two micro-batches; the final 5.0 breaks U+ and decides
@@ -807,7 +807,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       SqlFrontend.execute(spark,
         "CREATE TABLE mk_matches AS" + mrSql.format("mk_events", "", "ONE ROW"))
       val q = StatementCatalog.get("mk_matches").collect {
-        case StatementCatalog.Standing(_, _, query, _) => query
+        case s: StatementCatalog.Standing => s.query
       }.getOrElse(fail("multi-key MR CTAS must register a standing statement"))
       mem.addData(data: _*); q.processAllAvailable()
       val got = SqlFrontend.execute(spark,
@@ -837,7 +837,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
         "CREATE TABLE mk_matches AS" + mrSql.format("mk_events",
           ", CLASSIFIER() AS cls", "ALL ROWS"))
       val q2 = StatementCatalog.get("mk_matches").collect {
-        case StatementCatalog.Standing(_, _, query, _) => query
+        case s: StatementCatalog.Standing => s.query
       }.getOrElse(fail("multi-key ALL ROWS MR CTAS must register a standing statement"))
       mem2.addData(data: _*); q2.processAllAvailable()
       val gotRows = SqlFrontend.execute(spark,
@@ -894,7 +894,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     try {
       SqlFrontend.execute(spark, "CREATE TABLE ms_matches AS" + mrSql.format("ms_events"))
       val q = StatementCatalog.get("ms_matches").collect {
-        case StatementCatalog.Standing(_, _, query, _) => query
+        case s: StatementCatalog.Standing => s.query
       }.getOrElse(fail("sub-second WITHIN CTAS must register a standing statement"))
       mem.addData(data: _*); q.processAllAvailable()
       val got = SqlFrontend.execute(spark, "SELECT u, s_ts, bv FROM ms_matches")
@@ -955,7 +955,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     try {
       SqlFrontend.execute(spark, "CREATE TABLE tg_matches AS" + mrSql.format("tg_events"))
       val q = StatementCatalog.get("tg_matches").collect {
-        case StatementCatalog.Standing(_, _, query, _) => query
+        case s: StatementCatalog.Standing => s.query
       }.getOrElse(fail("time-gap MR CTAS must register a standing statement"))
       mem.addData(b1: _*); q.processAllAvailable() // D+ still open at the boundary
       mem.addData(b2: _*); q.processAllAvailable()
@@ -1068,7 +1068,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       |  )""".stripMargin
     SqlFrontend.execute(spark, "CREATE TABLE stl_matches AS" + mrSql.format("stl_events"))
     val q = StatementCatalog.get("stl_matches").collect {
-      case StatementCatalog.Standing(_, _, query, _) => query
+      case s: StatementCatalog.Standing => s.query
     }.getOrElse(fail("skip-to-last MATCH_RECOGNIZE CTAS must register a standing statement"))
     def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
     def t0(m: Int) = Timestamp.valueOf(f"2024-01-01 00:0$m:00")
@@ -1145,7 +1145,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       |  )""".stripMargin
     SqlFrontend.execute(spark, "CREATE TABLE rep_matches AS" + mrSql.format("rep_events"))
     val q = StatementCatalog.get("rep_matches").collect {
-      case StatementCatalog.Standing(_, _, query, _) => query
+      case s: StatementCatalog.Standing => s.query
     }.getOrElse(fail("repeated-var MATCH_RECOGNIZE CTAS must register a standing statement"))
     def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
     def t0(m: Int) = Timestamp.valueOf(f"2024-01-01 00:0$m:00")
@@ -1241,7 +1241,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
            | AND c.ts <= s.window_time""".stripMargin)
     }
     def standing(name: String) = StatementCatalog.get(name).collect {
-      case StatementCatalog.Standing(_, _, query, _) => query
+      case s: StatementCatalog.Standing => s.query
     }.getOrElse(fail(s"'$name' must be a standing statement"))
 
     val mem = MemoryStream[(Long, String, Timestamp, Double)]
@@ -1330,7 +1330,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       |  )""".stripMargin
     SqlFrontend.execute(spark, "CREATE TABLE pe_matches AS" + mrSql.format("pe_events"))
     val q = StatementCatalog.get("pe_matches").collect {
-      case StatementCatalog.Standing(_, _, query, _) => query
+      case s: StatementCatalog.Standing => s.query
     }.getOrElse(fail("expression-keyed MATCH_RECOGNIZE CTAS must register a standing statement"))
     def ev(u: String, m: Int, v: Double) = (u, "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
     def t0(m: Int) = Timestamp.valueOf(f"2024-01-01 00:0$m:00")
@@ -1355,17 +1355,51 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
         .sortBy(_._1).toSeq
       assert(batch == got, s"expression-keyed streaming diverged from batch: $batch vs $got")
 
-      // ALL ROWS keeps the plain-column contract (its batch twin re-emits
-      // SOURCE columns) — loud refusal with the pre-project workaround, at
-      // plan time on the STREAMING route
+      // ALL ROWS PER MATCH over the expression key (r16, VERDICT r15 #3 —
+      // the last non-principled streaming refusal): both routes emit the
+      // computed key under its auto-name (streaming re-emits it from the
+      // buffered rows; batch ADDs the auto-named column to its
+      // every-input-column shape), so the per-row shapes agree on the
+      // common projection. The b1/b2 feed already crosses a micro-batch
+      // boundary (B2's match decides in batch 2).
+      val allRowsSql = mrSql
+        .replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+        .replace("LAST(B.ts) AS b_ts", "FINAL LAST(B.ts) AS b_ts")
+      q.stop() // done with pe_matches; the re-fed batches below are its past
+      SqlFrontend.execute(spark, "CREATE TABLE pe_rows AS" + allRowsSql.format("pe_events"))
+      val qr = StatementCatalog.get("pe_rows").collect {
+        case s: StatementCatalog.Standing => s.query }.getOrElse(fail("pe_rows must stand"))
+      // MemoryStream prunes committed batches, so the new query needs its own
+      // feed — re-played with the same b1/b2 micro-batch boundary
+      mem.addData(b1: _*); qr.processAllAvailable()
+      mem.addData(b2: _*); qr.processAllAvailable()
+      val proj = Seq("`upper(u)` AS k", "ts", "v", "a_ts", "b_ts")
+      val gotRows = SqlFrontend.execute(spark, "SELECT * FROM pe_rows")
+        .selectExpr(proj: _*)
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+          r.getTimestamp(3), r.getTimestamp(4))).sortBy(x => (x._1, x._2.getTime)).toSeq
+      val batchRows = SqlFrontend.execute(spark, allRowsSql.format("pe_batch"))
+        .selectExpr(proj: _*)
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+          r.getTimestamp(3), r.getTimestamp(4))).sortBy(x => (x._1, x._2.getTime)).toSeq
+      assert(gotRows.size == 4, s"two 2-row matches expected, got $gotRows")
+      assert(batchRows == gotRows,
+        s"ALL-ROWS expression-keyed streaming diverged from batch: $batchRows vs $gotRows")
+
+      // the auto-name must not shadow a REAL source column (r15 ADVICE): a
+      // silent withColumn replace would corrupt the condCol reads — loud
+      val shadowSchema = mem.toDF().toDF("u", "upper(u)", "ts", "v").schema
+      TableRegistry.createTable(TableRegistry.TableDef("pe_shadow", Some(shadowSchema),
+        load = s => s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], shadowSchema),
+        loadStream = Some(_ => mem.toDF().toDF("u", "upper(u)", "ts", "v"))))
       val e = intercept[Exception](SqlFrontend.execute(spark,
-        ("CREATE TABLE pe2 AS" + mrSql.format("pe_events"))
-          .replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
-          .replace("LAST(B.ts) AS b_ts", "FINAL LAST(B.ts) AS b_ts")))
-      assert(e.getMessage.contains("pre-project"), e.getMessage)
+        "CREATE TABLE pe_bad AS" + mrSql.format("pe_shadow")))
+      assert(e.getMessage.contains("auto-name"), e.getMessage)
     } finally {
       SqlFrontend.execute(spark, "DROP TABLE pe_matches")
-      TableRegistry.dropTable("pe_events")
+      Seq("pe_rows", "pe_bad").foreach { t =>
+        if (TableRegistry.exists(t)) SqlFrontend.execute(spark, s"DROP TABLE $t") }
+      Seq("pe_events", "pe_shadow").foreach(TableRegistry.dropTable)
       StatementCatalog.reset()
     }
   }
@@ -1404,7 +1438,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       |  )""".stripMargin
     SqlFrontend.execute(spark, "CREATE TABLE mn_matches AS" + mrSql.format("mn_events"))
     val q = StatementCatalog.get("mn_matches").collect {
-      case StatementCatalog.Standing(_, _, query, _) => query
+      case s: StatementCatalog.Standing => s.query
     }.getOrElse(fail("MATCH_NUMBER-under-next-row CTAS must register a standing statement"))
     def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
     def t0(m: Int) = Timestamp.valueOf(f"2024-01-01 00:0$m:00")
@@ -1470,7 +1504,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       |  )""".stripMargin
     SqlFrontend.execute(spark, "CREATE TABLE cls1_matches AS" + mrSql.format("cls1_events"))
     val q = StatementCatalog.get("cls1_matches").collect {
-      case StatementCatalog.Standing(_, _, query, _) => query
+      case s: StatementCatalog.Standing => s.query
     }.getOrElse(fail("ONE-ROW CLASSIFIER CTAS must register a standing statement"))
     def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
     def t0(m: Int) = Timestamp.valueOf(f"2024-01-01 00:0$m:00")
@@ -1531,7 +1565,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       |  )""".stripMargin
     SqlFrontend.execute(spark, "CREATE TABLE pk1_matches AS" + mrSql.format("pk1_events"))
     val q = StatementCatalog.get("pk1_matches").collect {
-      case StatementCatalog.Standing(_, _, query, _) => query
+      case s: StatementCatalog.Standing => s.query
     }.getOrElse(fail("single-key ALL ROWS CTAS must register a standing statement"))
     def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
     try {
@@ -1589,7 +1623,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       |  )""".stripMargin
     SqlFrontend.execute(spark, "CREATE TABLE rl_matches AS" + mrSql.format("rl_events"))
     val q = StatementCatalog.get("rl_matches").collect {
-      case StatementCatalog.Standing(_, _, query, _) => query
+      case s: StatementCatalog.Standing => s.query
     }.getOrElse(fail("MATCH_RECOGNIZE CTAS must register a standing statement"))
     def ev(m: Int, v: Double) = ("k1", "tick", Timestamp.valueOf(f"2024-01-01 00:0$m:00"), v)
     def t0(m: Int) = Timestamp.valueOf(f"2024-01-01 00:0$m:00")
@@ -1605,7 +1639,7 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       assert(!q.isActive && StatementCatalog.status("rl_matches") == "STOPPED")
       SqlFrontend.execute(spark, "RESUME STATEMENT 'rl_matches'")
       val q2 = StatementCatalog.get("rl_matches").collect {
-        case StatementCatalog.Standing(_, _, query, _) => query
+        case s: StatementCatalog.Standing => s.query
       }.get
       assert(q2.isActive && q2.id != null, "relight must start a fresh instance")
       assert(StatementCatalog.status("rl_matches") == "RUNNING")
@@ -1634,5 +1668,167 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       TableRegistry.dropTable("rl_events")
       StatementCatalog.reset()
     }
+  }
+
+  // ---- chain re-submission (r16, VERDICT r15 #1): shared lab4-shaped fixture.
+  // A FILE-backed claims source (not MemoryStream — committed batches survive
+  // a fresh query, so a re-submitted stage can replay the feed from scratch,
+  // exactly the re-created-topic semantics of the reference).
+  private def chainClaimTs(widx: Int, off: Int) =
+    Timestamp.valueOf(Timestamp.valueOf("2024-02-01 00:00:00").toLocalDateTime
+      .plusHours(widx * 6L + off).toString.replace('T', ' ') + ":00")
+  private def chainClaim(id: Long, city: String, widx: Int, off: Int, amount: Double) =
+    (id, city, chainClaimTs(widx, off), amount)
+  private def chainB1: Seq[(Long, String, Timestamp, Double)] =
+    (for (wi <- 0 to 2; c <- Seq("Naples", "Tampa"); k <- 0 to 2) yield
+      chainClaim(wi * 100 + (if (c == "Naples") 10 else 20) + k, c, wi, k + 1,
+        if (c == "Naples" && wi == 1) 3000.0 else 1000.0)) :+
+      chainClaim(900, "Tampa", 3, 1, 1.0) // sentinel: closes windows 0-2
+  private def chainB2: Seq[(Long, String, Timestamp, Double)] =
+    (for (wi <- 3 to 4; c <- Seq("Naples", "Tampa"); k <- 0 to 2) yield
+      chainClaim(wi * 100 + (if (c == "Naples") 10 else 20) + k, c, wi, k + 1,
+        if (c == "Tampa" && wi == 4) 3000.0 else 1000.0)) :+
+      chainClaim(901, "Tampa", 6, 1, 1.0) // sentinel: closes windows 3-4
+
+  private def chainWrite(dir: String, rows: Seq[(Long, String, Timestamp, Double)]): Unit = {
+    import spark.implicits._
+    rows.toDF("claim_id", "city", "ts", "amount")
+      .coalesce(1).write.mode("append").parquet(dir)
+  }
+
+  /** Register the file-backed claims stream table and submit the two chained
+    * stages (spike filter → interval join back to the static snapshot).
+    */
+  private def chainBuild(dir: String, claimsTbl: String, spikesTbl: String,
+                         queueTbl: String): Unit = {
+    import spark.implicits._
+    val schema = Seq.empty[(Long, String, Timestamp, Double)]
+      .toDF("claim_id", "city", "ts", "amount").schema
+    TableRegistry.createTable(TableRegistry.TableDef(claimsTbl, Some(schema),
+      watermarkCol = Some("ts"), watermarkDelay = Some("10 minutes"),
+      load = s => s.read.schema(schema).parquet(dir),
+      loadStream = Some(s => s.readStream.schema(schema).parquet(dir))))
+    SqlFrontend.execute(spark, chainSpikesSql(claimsTbl, spikesTbl))
+    SqlFrontend.execute(spark,
+      s"""CREATE TABLE $queueTbl AS
+         |SELECT c.claim_id, s.city, s.window_time
+         |FROM chain_claims_static c
+         |INNER JOIN $spikesTbl s
+         |  ON c.city = s.city
+         | AND c.ts >= s.window_time - INTERVAL '6' HOUR
+         | AND c.ts <= s.window_time""".stripMargin)
+  }
+  private def chainSpikesSql(claimsTbl: String, spikesTbl: String): String =
+    s"""CREATE TABLE $spikesTbl AS
+       |WITH windowed AS (
+       |  SELECT window_time, city, SUM(amount) AS total
+       |  FROM TABLE(TUMBLE(TABLE $claimsTbl, DESCRIPTOR(ts), INTERVAL '6' HOUR))
+       |  GROUP BY window_start, window_end, window_time, city)
+       |SELECT city, window_time, total FROM windowed WHERE total > 5000""".stripMargin
+  private def chainStanding(name: String) = StatementCatalog.get(name).collect {
+    case s: StatementCatalog.Standing => s.query
+  }.getOrElse(fail(s"'$name' must be a standing statement"))
+  private def chainQueueIds(queueTbl: String): Seq[Long] =
+    SqlFrontend.execute(spark, s"SELECT claim_id FROM $queueTbl")
+      .collect().map(_.getLong(0)).sorted.toSeq
+  private def chainDrain(spikesTbl: String, queueTbl: String): Unit = {
+    chainStanding(spikesTbl).processAllAvailable()
+    chainStanding(queueTbl).processAllAvailable()
+  }
+  private def chainCleanup(tables: Seq[String]): Unit = {
+    tables.foreach { t =>
+      if (TableRegistry.exists(t) && StatementCatalog.get(t).isDefined)
+        SqlFrontend.execute(spark, s"DROP TABLE $t")
+      TableRegistry.dropTable(t)
+    }
+    spark.catalog.dropTempView("chain_claims_static")
+    StatementCatalog.reset()
+  }
+
+  test("re-submitting an upstream CTAS cascades re-submission to RUNNING downstream " +
+    "statements: the chain continues against the rotated sink, output equals an " +
+    "unbroken chain (r16)") {
+    import spark.implicits._
+    StatementCatalog.reset()
+    val dirA = java.nio.file.Files.createTempDirectory("c16a_claims").toString
+    val dirB = java.nio.file.Files.createTempDirectory("c16b_claims").toString
+    (chainB1 ++ chainB2).toDF("claim_id", "city", "ts", "amount")
+      .createOrReplaceTempView("chain_claims_static")
+    try {
+      chainWrite(dirA, chainB1)
+      chainBuild(dirA, "c16_claims", "c16_spikes", "c16_queue")
+      chainDrain("c16_spikes", "c16_queue")
+      assert(chainQueueIds("c16_queue") == Seq(110L, 111L, 112L))
+
+      val oldQueue = chainStanding("c16_queue")
+      val oldSink = TableRegistry.resolve("c16_spikes").options("graft.sink-path")
+      // re-submit the MIDDLE stage with its own SQL — the hazard scenario:
+      // before r16 the running downstream statement kept reading the OLD
+      // sink dir forever, silently
+      SqlFrontend.execute(spark, chainSpikesSql("c16_claims", "c16_spikes"))
+      val newSink = TableRegistry.resolve("c16_spikes").options("graft.sink-path")
+      assert(newSink != oldSink, "re-submission must rotate the sink dir")
+      // the cascade re-planned the downstream statement: still RUNNING, on a
+      // NEW query instance (fresh checkpoint → fresh query id), and the old
+      // instance is stopped — nothing is left draining the dead directory
+      assert(StatementCatalog.status("c16_queue") == "RUNNING")
+      val newQueue = chainStanding("c16_queue")
+      assert(newQueue.id != oldQueue.id,
+        "cascade must re-plan the downstream statement on a fresh checkpoint")
+      assert(!oldQueue.isActive, "the stale downstream instance must be stopped")
+
+      chainWrite(dirA, chainB2)
+      chainDrain("c16_spikes", "c16_queue")
+      val resubmitted = chainQueueIds("c16_queue")
+
+      // unbroken twin: same total feed, never re-submitted
+      chainWrite(dirB, chainB1 ++ chainB2)
+      chainBuild(dirB, "c16b_claims", "c16b_spikes", "c16b_queue")
+      chainDrain("c16b_spikes", "c16b_queue")
+      val unbroken = chainQueueIds("c16b_queue")
+      assert(unbroken == Seq(110L, 111L, 112L, 420L, 421L, 422L), s"got $unbroken")
+      assert(resubmitted == unbroken,
+        s"cascaded chain diverged from the unbroken chain: $resubmitted vs $unbroken")
+    } finally chainCleanup(Seq("c16_queue", "c16_spikes", "c16b_queue", "c16b_spikes",
+      "c16_claims", "c16b_claims"))
+  }
+
+  test("a STOPPED downstream statement is NOT cascaded (the user's STOP holds); its " +
+    "RESUME detects the rotated upstream sink and re-plans instead of relighting the " +
+    "stale plan (r16)") {
+    import spark.implicits._
+    StatementCatalog.reset()
+    val dir = java.nio.file.Files.createTempDirectory("c16r_claims").toString
+    (chainB1 ++ chainB2).toDF("claim_id", "city", "ts", "amount")
+      .createOrReplaceTempView("chain_claims_static")
+    try {
+      chainWrite(dir, chainB1)
+      chainBuild(dir, "c16r_claims", "c16r_spikes", "c16r_queue")
+      chainDrain("c16r_spikes", "c16r_queue")
+      assert(chainQueueIds("c16r_queue") == Seq(110L, 111L, 112L))
+
+      SqlFrontend.execute(spark, "STOP STATEMENT 'c16r_queue'")
+      assert(StatementCatalog.status("c16r_queue") == "STOPPED")
+      val stoppedQueue = chainStanding("c16r_queue")
+      // re-submit the upstream while the downstream is stopped: the cascade
+      // must NOT restart it against the user's explicit STOP
+      SqlFrontend.execute(spark, chainSpikesSql("c16r_claims", "c16r_spikes"))
+      assert(StatementCatalog.status("c16r_queue") == "STOPPED",
+        "cascade must leave a STOPPED downstream statement stopped")
+
+      chainWrite(dir, chainB2)
+      chainStanding("c16r_spikes").processAllAvailable()
+      // RESUME: the relight staleness check sees the rotated upstream sink
+      // and re-plans from the statement's SQL (a plain relight would drain
+      // the dead directory forever)
+      SqlFrontend.execute(spark, "RESUME STATEMENT 'c16r_queue'")
+      assert(StatementCatalog.status("c16r_queue") == "RUNNING")
+      val resumed = chainStanding("c16r_queue")
+      assert(resumed.id != stoppedQueue.id,
+        "RESUME under a rotated upstream sink must re-plan, not relight")
+      resumed.processAllAvailable()
+      assert(chainQueueIds("c16r_queue") == Seq(110L, 111L, 112L, 420L, 421L, 422L),
+        s"got ${chainQueueIds("c16r_queue")}")
+    } finally chainCleanup(Seq("c16r_queue", "c16r_spikes", "c16r_claims"))
   }
 }
