@@ -41,6 +41,9 @@ from decimal import Decimal, ROUND_HALF_UP
 import duckdb
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import check_ivf  # noqa: E402  (q161: xxh64 render hashing, decimal Lloyd units)
+
 I32 = 0xFFFFFFFF
 
 
@@ -373,14 +376,13 @@ def spark_round4(x):
     return float(Decimal(repr(float(x))).quantize(Decimal("0.0001"), ROUND_HALF_UP))
 
 
-def lab3_fleet(con, sfdir):
-    """q34_lab3_fleet: 5-min tumble counts per zone -> z-band surges (the
-    q08/q09-proven digit-decimal DuckDB twin at confidence 99.9) -> query
-    embed -> EXACT top-3 corpus search -> templated reason. Exact-by-contract
-    (the ANN production twin is q161).
+def lab3_surges(con, sfdir):
+    """The shared lab3 surge stage: 5-min tumble counts per zone -> z-band
+    surges (the q08/q09-proven digit-decimal DuckDB twin at confidence
+    99.9). Used by both q34 (exact search) and q161 (IVF ann search).
     """
     z = repr(gaussian_inv_cdf(0.5 + 99.9 / 200.0))
-    surges = con.execute(f"""
+    return con.execute(f"""
         WITH series AS (
           SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
                  COUNT(*) AS request_count
@@ -403,6 +405,13 @@ def lab3_fleet(con, sfdir):
         WHERE n >= 8 AND (CAST(request_count AS DOUBLE) > forecast + {z} * sd
                           OR CAST(request_count AS DOUBLE) < forecast - {z} * sd)
               AND CAST(request_count AS DOUBLE) > forecast + {z} * sd""").fetchall()
+
+
+def lab3_fleet(con, sfdir):
+    """q34_lab3_fleet: surges -> query embed -> EXACT top-3 corpus search ->
+    templated reason. Exact-by-contract (the ANN production twin is q161).
+    """
+    surges = lab3_surges(con, sfdir)
     docs = con.execute(
         f"SELECT doc_id, text FROM read_parquet('{sfdir}/documents.parquet') "
         f"ORDER BY doc_id").fetchall()
@@ -439,6 +448,152 @@ def lab3_fleet(con, sfdir):
             k += 1
             if len(cand) >= 3 and (k >= len(order) or scores[order[k]] != scores[i]):
                 break
+        cand.sort(key=lambda s: (math.isnan(s[0]),
+                                 -s[0] if not math.isnan(s[0]) else 0.0, s[1]))
+        chunks = " | ".join(t for _, _, t in cand[:3])
+        prompt = f"Explain this surge: {qtext}\nContext: {chunks}"
+        rows.append((ws, zone, int(rc), spark_round4(ub), tod, textgen(prompt)))
+    return rows
+
+
+def _seqsums(mat64, row64):
+    """Strictly-sequential per-row double dot of `mat64` rows with `row64`:
+    np.cumsum along the last axis IS left-to-right accumulation (a plain
+    .sum() uses numpy's 8-accumulator unrolled loop and drifts in the last
+    ulp vs the engine's sequential loop)."""
+    return np.cumsum(mat64 * row64[None, :], axis=1)[:, -1]
+
+
+def lab3_fleet_ann(con, sfdir):
+    """q161_lab3_fleet_ann (r16 — previously in the DECLINED
+    distributed-float-avg class, unlocked by the order-independent IVF Lloyd
+    step proven in check_ivf.py): q34's surge/embed/reason stages with the
+    reference's OWN search semantics — VectorSearchAgg.ann, an IVF index at
+    AutoLists sizing (max(16, min(4096, int(4*sqrt(N)))) lists, 2 Lloyd
+    passes) probed with numCandidates=500 breadth
+    (nProbes = min(nLists, ceil(500 / (N // nLists)))), top-3 by
+    (nan-last, -score, doc_id) with NO self-exclusion (query ids are
+    surrogates). Clone-heavy corpora collapse to distinct vectors for the
+    build (identical vectors hash, assign, and score identically; the
+    decimal Lloyd sum scales each distinct unit row by its clone count —
+    exact integer arithmetic either way).
+    """
+    surges = lab3_surges(con, sfdir)
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sfdir}/documents.parquet') "
+        f"ORDER BY doc_id").fetchall()
+    emb_by_text = {}
+    for _, text in docs:
+        if text not in emb_by_text:
+            emb_by_text[text] = embed(text)
+    # distinct VECTORS (two texts could in principle embed identically):
+    # vkey -> (float32 vec, clone count, [(doc_id, text)])
+    vecs, counts, rows_of = {}, {}, {}
+    for did, text in docs:
+        v = emb_by_text[text]
+        vk = v.tobytes()
+        if vk not in vecs:
+            vecs[vk] = v
+            counts[vk] = 0
+            rows_of[vk] = []
+        counts[vk] += 1
+        rows_of[vk].append((int(did), text))
+    vkeys = list(vecs.keys())
+    dmat32 = np.array([vecs[k] for k in vkeys], dtype=np.float32)
+    dmat64 = dmat32.astype(np.float64)
+    dnorms = np.sqrt(np.cumsum(dmat64 * dmat64, axis=1)[:, -1])
+    dcounts = np.array([counts[k] for k in vkeys], dtype=np.int64)
+    n_rows = len(docs)
+    n_lists = max(16, min(4096, int(4.0 * math.sqrt(float(n_rows)))))
+
+    # init: ORDER BY signed xxhash64(render) LIMIT n_lists over ROWS — a
+    # distinct vector with c clones occupies c consecutive slots (hash ties
+    # are between identical renders, so slot order cannot move a VALUE)
+    hs = sorted((check_ivf.signed64(
+        check_ivf.xxh64(check_ivf.java_array_str(dmat32[i]).encode("utf-8"))), i)
+        for i in range(len(vkeys)))
+    centroids = []
+    for _, i in hs:
+        reps = min(int(dcounts[i]), n_lists - len(centroids))
+        for _ in range(reps):
+            centroids.append((len(centroids), dmat32[i].copy()))
+        if len(centroids) >= n_lists:
+            break
+
+    def assign_distinct(cents):
+        """Nearest centroid per distinct vector: guarded cosine, strict->
+        first-max in ascending list order (check_ivf.assign_all's contract)
+        with exact sequential sums."""
+        best_sim = np.full(len(vkeys), -np.inf)
+        best_id = np.full(len(vkeys), -1, dtype=np.int64)
+        for lid, c32 in cents:
+            c64 = c32.astype(np.float64)
+            cn = math.sqrt(float(np.cumsum(c64 * c64)[-1]))
+            denom = dnorms * cn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = _seqsums(dmat64, c64) / denom
+            sims[denom == 0.0] = -1.0
+            upd = sims > best_sim
+            best_sim[upd] = sims[upd]
+            best_id[upd] = lid
+        return best_id
+
+    for it in range(2):
+        t0 = time.time()
+        assigned = assign_distinct(centroids)
+        new_centroids = []
+        for lid, _ in centroids:
+            members = np.nonzero(assigned == lid)[0]
+            if len(members) == 0:
+                continue
+            cnt = int(dcounts[members].sum())
+            cent = np.empty(64, dtype=np.float32)
+            for d in range(64):
+                units = 0
+                for i in members:
+                    units += int(dcounts[i]) * check_ivf.dec12_units(dmat32[i, d])
+                cent[d] = np.float32(
+                    float(Decimal(units).scaleb(-12)) / cnt)
+            new_centroids.append((lid, cent))
+        centroids = new_centroids
+        print(f"[q161] lloyd pass {it + 1} done in {time.time() - t0:.1f}s "
+              f"({len(centroids)} lists)", flush=True)
+    final_assign = assign_distinct(centroids)
+
+    # searchNumCandidates breadth: Scala Long division on ROW counts
+    n_lists_f = len(centroids)
+    avg_per_list = max(n_rows // n_lists_f, 1)
+    n_probes = min(n_lists_f, max(1, (500 + avg_per_list - 1) // avg_per_list))
+    by_list = {lid: np.nonzero(final_assign == lid)[0] for lid, _ in centroids}
+    cent64 = {lid: c32.astype(np.float64) for lid, c32 in centroids}
+    cnorm = {lid: math.sqrt(float(np.cumsum(cent64[lid] * cent64[lid])[-1]))
+             for lid, _ in centroids}
+
+    rows = []
+    for ws, zone, rc, ub in surges:
+        tod = time_of_day(ws.hour)
+        qtext = f"surge in {zone} during {tod} with {int(rc)} requests"
+        qv32 = embed(qtext)
+        qv64 = qv32.astype(np.float64)
+        qn = math.sqrt(float(np.cumsum(qv64 * qv64)[-1]))
+        # probeLists: guarded cosine per centroid, sortBy (-sim, list_id)
+        cs = []
+        for lid, _ in centroids:
+            denom = qn * cnorm[lid]
+            sim = -1.0 if denom == 0.0 else \
+                float(np.cumsum(qv64 * cent64[lid])[-1]) / denom
+            cs.append((sim, lid))
+        cs.sort(key=lambda s: (-s[0], s[1]))
+        probed = [lid for _, lid in cs[:n_probes]]
+        # candidates: every DOC ROW in the probed lists (no self-exclusion);
+        # CosineSimilarity per distinct vector (clones share the score)
+        cand = []
+        for lid in probed:
+            for i in by_list.get(lid, ()):
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    score = float(np.cumsum(qv64 * dmat64[i])[-1]) / (qn * dnorms[i])
+                for did, text in rows_of[vkeys[i]]:
+                    cand.append((score, did, text))
         cand.sort(key=lambda s: (math.isnan(s[0]),
                                  -s[0] if not math.isnan(s[0]) else 0.0, s[1]))
         chunks = " | ".join(t for _, _, t in cand[:3])
@@ -486,7 +641,7 @@ def ml_textgen(con, sfdir):
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     which = set(sys.argv[3].split(",")) if len(sys.argv) > 3 \
-        else {"q21", "q22", "q32", "q33", "q34", "q35", "q43"}
+        else {"q21", "q22", "q32", "q33", "q34", "q35", "q43", "q161"}
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
     t0 = time.time()
@@ -503,6 +658,14 @@ def main():
     if "q34" in which:
         rows = lab3_fleet(con, sfdir)
         ok &= check("q34_lab3_fleet", con, rows,
+                    "window_start TIMESTAMP, zone VARCHAR, request_count BIGINT, "
+                    "upper_bound DOUBLE, time_of_day VARCHAR, reason VARCHAR",
+                    ["CAST(window_start AS TIMESTAMP)", "zone",
+                     "CAST(request_count AS BIGINT)", "CAST(upper_bound AS DOUBLE)",
+                     "time_of_day", "reason"], outdir)
+    if "q161" in which:
+        rows = lab3_fleet_ann(con, sfdir)
+        ok &= check("q161_lab3_fleet_ann", con, rows,
                     "window_start TIMESTAMP, zone VARCHAR, request_count BIGINT, "
                     "upper_bound DOUBLE, time_of_day VARCHAR, reason VARCHAR",
                     ["CAST(window_start AS TIMESTAMP)", "zone",
