@@ -34,16 +34,26 @@ import graft.sources.TableRegistry
   * compared output on either path (total 0 is never ABOVE an upper band,
   * and no real claim lies in its window).
   *
-  * Usage: runMain graft.SpotStreamingChain <sfDir> [slices] [restartAfter]
+  * Usage: runMain graft.SpotStreamingChain <sfDir> [slices] [restartAfter] [mode]
   * (restartAfter = 0 -> unbroken run; the BASELINE row pairs a restarted and
-  * an unbroken reading, both ≡ batch, hence ≡ each other.)
+  * an unbroken reading, both ≡ batch, hence ≡ each other. mode `restart`
+  * (default) STOPs/RESUMEs the middle stage; mode `resubmit` RE-SUBMITS the
+  * middle stage's CTAS mid-drain instead — the r16 cascade surface at scale:
+  * the re-submission rotates `cq_spikes`'s sink under the RUNNING `cq_queue`
+  * statement, the planner cascades a re-plan of `cq_queue` automatically,
+  * and the re-planned pair recomputes from the upstream sink's full
+  * committed history, so the terminal queue must STILL equal the batch
+  * twin — the chain heals itself where pre-r16 the downstream would have
+  * silently drained a dead directory forever.)
   */
 object SpotStreamingChain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val slices = args.lift(1).map(_.toInt).getOrElse(8)
     val restartAfter = args.lift(2).map(_.toInt).getOrElse(0)
+    val mode = args.lift(3).getOrElse("restart")
     require(restartAfter < slices, s"restartAfter $restartAfter must be < slices $slices")
+    require(mode == "restart" || mode == "resubmit", s"unknown mode '$mode'")
     val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     import graft.core.Tables
 
@@ -96,7 +106,7 @@ object SpotStreamingChain {
     // walkthrough's ALTER DDL, the analog of the per-topic WATERMARK clause
     SqlFrontend.execute(spark,
       "ALTER TABLE cq_norm MODIFY (WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)")
-    SqlFrontend.execute(spark,
+    val spikesDdl =
       """CREATE TABLE cq_spikes AS
         |WITH windowed AS (
         |  SELECT window_time, city,
@@ -112,7 +122,8 @@ object SpotStreamingChain {
         |          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anomaly_result
         |  FROM windowed)
         |SELECT city, window_time, total FROM det
-        |WHERE anomaly_result.is_anomaly = true AND total > anomaly_result.upper_bound""".stripMargin)
+        |WHERE anomaly_result.is_anomaly = true AND total > anomaly_result.upper_bound""".stripMargin
+    SqlFrontend.execute(spark, spikesDdl)
     SqlFrontend.execute(spark,
       """CREATE TABLE cq_queue AS
         |SELECT c.claim_id, s.city, s.window_time
@@ -134,16 +145,30 @@ object SpotStreamingChain {
     drainAll()
     var restarted = false
     for (i <- 1 until slices) {
-      if (restartAfter > 0 && i == restartAfter) {
+      if (restartAfter > 0 && i == restartAfter && mode == "restart") {
         SqlFrontend.execute(spark, "STOP STATEMENT 'cq_spikes'")
         println(s"[chain] STOPPED cq_spikes after slice ${i - 1}")
       }
       writeSlice(i)
       if (restartAfter > 0 && i == restartAfter) {
-        // the upstream stage keeps committing while the middle one is down
-        q("cq_norm").processAllAvailable()
-        SqlFrontend.execute(spark, "RESUME STATEMENT 'cq_spikes'")
-        println(s"[chain] RESUMED cq_spikes (relight on its own checkpoint)")
+        if (mode == "restart") {
+          // the upstream stage keeps committing while the middle one is down
+          q("cq_norm").processAllAvailable()
+          SqlFrontend.execute(spark, "RESUME STATEMENT 'cq_spikes'")
+          println(s"[chain] RESUMED cq_spikes (relight on its own checkpoint)")
+        } else {
+          // the r16 cascade at scale: re-submit the MIDDLE stage's CTAS —
+          // its sink rotates under the RUNNING cq_queue reader, and the
+          // planner must cascade a re-plan of cq_queue automatically; both
+          // re-planned stages recompute from the upstream's full committed
+          // history on fresh checkpoints
+          q("cq_norm").processAllAvailable()
+          SqlFrontend.execute(spark, spikesDdl)
+          require(StatementCatalog.status("cq_queue") == "RUNNING",
+            "cascade must leave cq_queue RUNNING on a re-planned instance")
+          println(s"[chain] RE-SUBMITTED cq_spikes after slice ${i - 1} " +
+            "(cascade re-planned cq_queue)")
+        }
         restarted = true
       }
       drainAll()
@@ -177,8 +202,8 @@ object SpotStreamingChain {
     val ok = nChain > 0 && missing == 0 && extra == 0
     val totalSec = (System.nanoTime() - t0) / 1e9
     println(f"""[chain] {"chain":"lab4-3stage","sf":"$sfDir","slices":$slices,""" +
-      f""""restartAfter":$restartAfter,"restarted":$restarted,"chainRows":$nChain,""" +
-      f""""batchRows":$nBatch,"missing":$missing,"extra":$extra,""" +
+      f""""restartAfter":$restartAfter,"mode":"$mode","restarted":$restarted,""" +
+      f""""chainRows":$nChain,"batchRows":$nBatch,"missing":$missing,"extra":$extra,""" +
       f""""drainSec":$drainSec%.1f,"totalSec":$totalSec%.1f,"ok":$ok}""")
 
     // drop the standing statements and remove the multi-GB feed/sink dirs
