@@ -115,7 +115,7 @@ object SqlFrontend {
         // the statement-lifecycle surface (`confluent flink statement list` /
         // the harness's get_statement_status — flink_sql_helper.py:98-160)
         import spark.implicits._
-        StatementCatalog.list.toDF("name", "status", "kind", "statement")
+        StatementCatalog.list.toDF("name", "status", "kind", "upstream", "statement")
       case StopStatementRe(quoted, bare) =>
         val name = Option(quoted).getOrElse(bare)
         require(StatementCatalog.get(name).isDefined, s"no statement '$name'")

@@ -136,11 +136,19 @@ object StatementCatalog {
 
   def get(name: String): Option[Entry] = statements.get(name)
 
-  /** SHOW STATEMENTS rows: (name, status, kind, sql). */
-  def list: Seq[(String, String, String, String)] =
+  /** SHOW STATEMENTS rows: (name, status, kind, upstream, sql). `upstream`
+    * lists the STREAM tables the statement's plan reads (r16 — the chain
+    * edges the re-submission cascade walks), comma-joined; empty for batch
+    * statements.
+    */
+  def list: Seq[(String, String, String, String, String)] =
     statements.values.toSeq.sortBy(_.name).map { e =>
       val kind = e match { case _: Standing => "STREAMING"; case _ => "BATCH" }
-      (e.name, status(e.name), kind, e.sql.linesIterator.mkString(" ").take(120))
+      val ups = e match {
+        case s: Standing => s.upstreamSinks.keys.toSeq.sorted.mkString(",")
+        case _           => ""
+      }
+      (e.name, status(e.name), kind, ups, e.sql.linesIterator.mkString(" ").take(120))
     }
 
   /** Test isolation: stop everything and forget (not part of the surface). */

@@ -142,7 +142,25 @@ object StreamPlanner {
     // DROP TABLE upstream stops its query but retains the sink files, so a
     // downstream reader drains what was committed (topic-retention
     // semantics).
+    // Re-submission must PRESERVE declared table metadata (r16): a user's
+    // `ALTER TABLE … MODIFY (WATERMARK …)` on the sink table outlives the
+    // statement behind it — exactly like a topic-table's watermark clause
+    // outlives re-created statements in the reference. Without this, the
+    // cascade re-planning a downstream TUMBLE stage would re-plan against a
+    // watermark-less table and fail (or silently never close windows).
+    // Preserved only while the column still exists in the new output schema;
+    // a schema change that drops the event-time column drops the watermark
+    // with it (the ALTER no longer refers to anything).
+    val priorDef = if (TableRegistry.exists(table)) Some(TableRegistry.resolve(table)) else None
+    val (wmCol, wmDelay) = priorDef match {
+      case Some(p) if p.watermarkCol.exists(schema.fieldNames.contains) =>
+        (p.watermarkCol, p.watermarkDelay)
+      case _ => (None, None)
+    }
+    val pk = priorDef.map(_.primaryKey).getOrElse(Seq.empty)
+      .filter(schema.fieldNames.contains)
     TableRegistry.createTable(TableRegistry.TableDef(table, Some(schema),
+      primaryKey = pk, watermarkCol = wmCol, watermarkDelay = wmDelay,
       options = Map("graft.refresh-on-read" -> "true", "graft.sink-path" -> sinkDir),
       load = load,
       loadStream = Some(s => s.readStream.schema(schema).parquet(sinkDir))))

@@ -165,9 +165,11 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       "CREATE TABLE stmt_standing AS SELECT request_id, price FROM stmt_stream_src")
 
     val listed = SqlFrontend.execute(spark, "SHOW STATEMENTS")
-      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
-    assert(listed("stmt_batch") == (("COMPLETED", "BATCH")))
-    assert(listed("stmt_standing") == (("RUNNING", "STREAMING")))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    // `upstream` (r16): the chain edges the re-submission cascade walks
+    assert(listed("stmt_batch") == (("COMPLETED", "BATCH", "")))
+    assert(listed("stmt_standing") == (("RUNNING", "STREAMING", "stmt_stream_src")))
 
     // the harness's wait_for_status(STOPPED) analog after a drop
     SqlFrontend.execute(spark, "DROP TABLE stmt_standing")
@@ -1830,5 +1832,86 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
       assert(chainQueueIds("c16r_queue") == Seq(110L, 111L, 112L, 420L, 421L, 422L),
         s"got ${chainQueueIds("c16r_queue")}")
     } finally chainCleanup(Seq("c16r_queue", "c16r_spikes", "c16r_claims"))
+  }
+
+  /** Register the claims file source and submit a THREE-stage chain:
+    * normalize projection → TUMBLE spike filter over the normalized sink
+    * (whose watermark comes from the walkthrough's ALTER DDL, not the source
+    * table) → interval join. The recursive-cascade fixture.
+    */
+  private def chainBuild3(dir: String, claimsTbl: String, normTbl: String,
+                          spikesTbl: String, queueTbl: String): String = {
+    import spark.implicits._
+    val schema = Seq.empty[(Long, String, Timestamp, Double)]
+      .toDF("claim_id", "city", "ts", "amount").schema
+    TableRegistry.createTable(TableRegistry.TableDef(claimsTbl, Some(schema),
+      watermarkCol = Some("ts"), watermarkDelay = Some("10 minutes"),
+      load = s => s.read.schema(schema).parquet(dir),
+      loadStream = Some(s => s.readStream.schema(schema).parquet(dir))))
+    val normDdl = s"CREATE TABLE $normTbl AS SELECT claim_id, city, ts, amount FROM $claimsTbl"
+    SqlFrontend.execute(spark, normDdl)
+    SqlFrontend.execute(spark,
+      s"ALTER TABLE $normTbl MODIFY (WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE)")
+    SqlFrontend.execute(spark, chainSpikesSql(normTbl, spikesTbl))
+    SqlFrontend.execute(spark,
+      s"""CREATE TABLE $queueTbl AS
+         |SELECT c.claim_id, s.city, s.window_time
+         |FROM chain_claims_static c
+         |INNER JOIN $spikesTbl s
+         |  ON c.city = s.city
+         | AND c.ts >= s.window_time - INTERVAL '6' HOUR
+         | AND c.ts <= s.window_time""".stripMargin)
+    normDdl
+  }
+  private def chainDrain3(normTbl: String, spikesTbl: String, queueTbl: String): Unit = {
+    chainStanding(normTbl).processAllAvailable()
+    chainDrain(spikesTbl, queueTbl)
+  }
+
+  test("re-submitting the FIRST stage of a 3-stage chain cascades RECURSIVELY (the " +
+    "stage-2 re-plan rotates its own sink under stage 3) and PRESERVES the sink " +
+    "table's ALTERed watermark across re-registration (r16)") {
+    import spark.implicits._
+    StatementCatalog.reset()
+    val dirA = java.nio.file.Files.createTempDirectory("c16x_claims").toString
+    val dirB = java.nio.file.Files.createTempDirectory("c16y_claims").toString
+    (chainB1 ++ chainB2).toDF("claim_id", "city", "ts", "amount")
+      .createOrReplaceTempView("chain_claims_static")
+    try {
+      chainWrite(dirA, chainB1)
+      val normDdl = chainBuild3(dirA, "c16x_claims", "c16x_norm", "c16x_spikes", "c16x_queue")
+      chainDrain3("c16x_norm", "c16x_spikes", "c16x_queue")
+      assert(chainQueueIds("c16x_queue") == Seq(110L, 111L, 112L))
+
+      val oldSpikes = chainStanding("c16x_spikes")
+      val oldQueue = chainStanding("c16x_queue")
+      // re-submit the FIRST stage: its sink rotates under c16x_spikes, whose
+      // cascaded re-plan rotates ITS sink under c16x_queue — two cascade
+      // levels through the recursion guard. The spikes re-plan TUMBLEs over
+      // c16x_norm, so it only plans if the re-registered sink table kept the
+      // ALTERed watermark.
+      SqlFrontend.execute(spark, normDdl)
+      assert(TableRegistry.resolve("c16x_norm").watermarkCol.contains("ts"),
+        "re-registration must preserve the sink table's ALTERed watermark")
+      assert(StatementCatalog.status("c16x_spikes") == "RUNNING")
+      assert(StatementCatalog.status("c16x_queue") == "RUNNING")
+      assert(chainStanding("c16x_spikes").id != oldSpikes.id,
+        "level-1 cascade must re-plan the spike stage")
+      assert(chainStanding("c16x_queue").id != oldQueue.id,
+        "level-2 cascade must re-plan the join stage (recursive)")
+
+      chainWrite(dirA, chainB2)
+      chainDrain3("c16x_norm", "c16x_spikes", "c16x_queue")
+      val cascaded = chainQueueIds("c16x_queue")
+
+      chainWrite(dirB, chainB1 ++ chainB2)
+      chainBuild3(dirB, "c16y_claims", "c16y_norm", "c16y_spikes", "c16y_queue")
+      chainDrain3("c16y_norm", "c16y_spikes", "c16y_queue")
+      val unbroken = chainQueueIds("c16y_queue")
+      assert(unbroken == Seq(110L, 111L, 112L, 420L, 421L, 422L), s"got $unbroken")
+      assert(cascaded == unbroken,
+        s"recursively-cascaded chain diverged from the unbroken chain: $cascaded vs $unbroken")
+    } finally chainCleanup(Seq("c16x_queue", "c16x_spikes", "c16x_norm",
+      "c16y_queue", "c16y_spikes", "c16y_norm", "c16x_claims", "c16y_claims"))
   }
 }
