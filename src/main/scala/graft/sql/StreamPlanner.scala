@@ -83,6 +83,12 @@ object StreamPlanner {
     * this thread — the termination guard: a statement re-submits at most
     * once per cascade, so even a cyclic chain (a statement reading its own
     * downstream's table) converges instead of recursing forever.
+    *
+    * Concurrency contract: submissions are caller-serialized (the SQL
+    * frontend executes statements one at a time per session, and RESUME
+    * re-plans serialize on `StatementCatalog.relightLock`), so a cascade
+    * never races another cascade; the ThreadLocal bounds recursion within
+    * the one submitting thread, it is not a cross-thread lock.
     */
   private val cascading = new ThreadLocal[scala.collection.mutable.Set[String]] {
     override def initialValue(): scala.collection.mutable.Set[String] =
