@@ -36,11 +36,21 @@ object StatementCatalog {
     * scratch (fresh plan against the CURRENT registry, fresh sink +
     * checkpoint) — the cascade's unit step; unlike `relight`, which restarts
     * the RECORDED plan on the SAME sink.
+    *
+    * `appendSink` (r16 review): true for INSERT INTO statements, whose
+    * target UNIONS prior contents with the sink. A from-scratch re-plan of
+    * such a statement replays the upstream's full history on top of what it
+    * already appended — duplicating every row — so neither the cascade nor
+    * the RESUME staleness check may re-plan one automatically; both warn
+    * and leave the decision (re-create the insert, or accept the stale
+    * read) to the user. CTAS readers have replace semantics: a recompute
+    * yields the same table, so automatic re-plan is safe for them.
     */
   final case class Standing(name: String, sql: String, query: StreamingQuery,
                             relight: Option[() => StreamingQuery] = None,
                             upstreamSinks: Map[String, String] = Map.empty,
-                            resubmit: Option[() => Unit] = None) extends Entry
+                            resubmit: Option[() => Unit] = None,
+                            appendSink: Boolean = false) extends Entry
 
   private val statements = scala.collection.concurrent.TrieMap[String, Entry]()
 
@@ -50,8 +60,9 @@ object StatementCatalog {
   def recordStanding(name: String, sql: String, query: StreamingQuery,
                      relight: Option[() => StreamingQuery] = None,
                      upstreamSinks: Map[String, String] = Map.empty,
-                     resubmit: Option[() => Unit] = None): Unit =
-    statements.put(name, Standing(name, sql, query, relight, upstreamSinks, resubmit))
+                     resubmit: Option[() => Unit] = None,
+                     appendSink: Boolean = false): Unit =
+    statements.put(name, Standing(name, sql, query, relight, upstreamSinks, resubmit, appendSink))
 
   /** Standing statements whose plan reads `table` as a STREAM source and
     * whose query is still ACTIVE — the stale-read candidates when `table`'s
@@ -72,7 +83,8 @@ object StatementCatalog {
     */
   def relightStanding(name: String): StreamingQuery = relightLock.synchronized {
     statements.get(name) match {
-      case Some(Standing(n, sql, q, Some(fn), ups, resub)) =>
+      case Some(s: Standing) if s.relight.isDefined =>
+        val fn = s.relight.get
         // staleness fingerprint (r16): an upstream re-submission while this
         // statement was STOPPED rotated a sink directory the RECORDED plan
         // reads — relighting that plan would silently drain a dead
@@ -81,26 +93,39 @@ object StatementCatalog {
         // upstream sinks), the same unit step the running-reader cascade
         // uses. An upstream DROPPED since plan time is NOT stale: the plan
         // keeps draining the retained sink files (topic-retention
-        // semantics).
-        val rotated = ups.filter { case (t, sink) =>
+        // semantics). An append-sink statement (INSERT INTO) is NEVER
+        // re-planned automatically — the replay would duplicate everything
+        // it already appended — so its RESUME relights the recorded plan
+        // and warns that the statement is reading a dead directory; the
+        // user re-creates the insert when they want it to follow the new
+        // sink (the reference's re-created-topic manual step).
+        val rotated = s.upstreamSinks.filter { case (t, sink) =>
           graft.sources.TableRegistry.exists(t) &&
             graft.sources.TableRegistry.resolve(t).options
               .getOrElse("graft.sink-path", "") != sink
         }
-        if (rotated.nonEmpty && resub.isDefined) {
+        if (rotated.nonEmpty && s.resubmit.isDefined && !s.appendSink) {
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"RESUME STATEMENT '$name': upstream sink(s) rotated since it was planned " +
               s"(${rotated.keys.mkString(", ")}) — re-planning from its SQL instead of " +
               "relighting the stale plan")
-          resub.get.apply()
-          statements.get(n) match {
-            case Some(s: Standing) => s.query
-            case _ => sys.error(s"re-plan of '$n' did not record a standing statement")
+          s.resubmit.get.apply()
+          statements.get(s.name) match {
+            case Some(ns: Standing) => ns.query
+            case _ => sys.error(s"re-plan of '${s.name}' did not record a standing statement")
           }
         } else {
-          if (q.isActive) { q.stop(); q.awaitTermination() }
+          if (rotated.nonEmpty && s.appendSink)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"RESUME STATEMENT '$name': upstream sink(s) rotated " +
+                s"(${rotated.keys.mkString(", ")}) but this is an APPEND statement — " +
+                "an automatic re-plan would replay the upstream's history and duplicate " +
+                "every row already appended. Relighting the recorded plan instead (it " +
+                "drains only the retained old files); re-create the INSERT to follow " +
+                "the new sink")
+          if (s.query.isActive) { s.query.stop(); s.query.awaitTermination() }
           val nq = fn()
-          statements.put(n, Standing(n, sql, nq, Some(fn), ups, resub))
+          statements.put(s.name, s.copy(query = nq))
           nq
         }
       case Some(_: Standing) => sys.error(s"statement '$name' records no relight recipe")

@@ -76,7 +76,22 @@ object StreamPlanner {
     StatementCatalog.stop(stmt)
     val prior = if (TableRegistry.exists(name)) Some(TableRegistry.resolve(name)) else None
     start(spark, name, stmt, select, fullSql, priorLoad = prior.map(_.load),
-      resubmit = () => startInsert(spark, name, select, fullSql))
+      resubmit = () => startInsert(spark, name, select, fullSql), appendSink = true)
+  }
+
+  /** Does the SELECT actually READ this stream table? The chain-edge match
+    * is anchored on a FROM / JOIN / TABLE keyword position (r16 review): a
+    * bare word-boundary match would make a column alias or string literal
+    * named like a stream table a chain edge, and a FALSE edge is
+    * destructive — the cascade would discard the reader's checkpoint and
+    * re-plan it for nothing. The trade is deliberate: a comma-style join
+    * (`FROM a, b`) under-matches `b`, which degrades to the pre-r16
+    * documented re-create-by-hand behavior rather than a wrong re-plan.
+    */
+  private def readsTable(select: String, name: String): Boolean = {
+    val q = java.util.regex.Pattern.quote(name)
+    ("(?is)\\b(?:from|join|table)\\s*\\(?\\s*`?" + q + "`?\\b").r
+      .findFirstIn(select).isDefined
   }
 
   /** Statements currently being re-planned by the re-submission cascade on
@@ -97,13 +112,14 @@ object StreamPlanner {
 
   private def start(spark: SparkSession, table: String, stmt: String, select: String,
                     fullSql: String, priorLoad: Option[SparkSession => DataFrame],
-                    resubmit: () => Unit): Unit = {
+                    resubmit: () => Unit, appendSink: Boolean = false): Unit = {
     // chain edges (r16): the stream tables this plan reads, fingerprinted by
     // the sink dir backing each AT PLAN TIME ("" for sink-less source
     // tables) — captured BEFORE the target registers, so a self-read records
-    // the prior generation
+    // the prior generation; keyword-anchored (readsTable) so a column or
+    // literal named like a stream table cannot become a destructive edge
     val upstreamSinks: Map[String, String] = TableRegistry.streamTableNames
-      .filter(t => nameRe(t).findFirstIn(select).isDefined)
+      .filter(t => readsTable(select, t))
       .map(t => t -> TableRegistry.resolve(t).options.getOrElse("graft.sink-path", ""))
       .toMap
     val result = plan(spark, select)
@@ -171,7 +187,7 @@ object StreamPlanner {
       load = load,
       loadStream = Some(s => s.readStream.schema(schema).parquet(sinkDir))))
     StatementCatalog.recordStanding(stmt, fullSql, query, relight = Some(() => launch()),
-      upstreamSinks = upstreamSinks, resubmit = Some(resubmit))
+      upstreamSinks = upstreamSinks, resubmit = Some(resubmit), appendSink = appendSink)
     // re-submission cascade (r16, VERDICT r15 #1 — closes the one silent
     // failure mode the product surface had): this submission just rotated
     // `table`'s sink dir; a RUNNING downstream standing statement planned
@@ -183,18 +199,49 @@ object StreamPlanner {
     // STOPPED readers are left stopped; their RESUME re-plans via the
     // relightStanding staleness check. The per-thread `cascading` set bounds
     // recursion: each statement re-submits at most once per cascade.
+    //
+    // Three reader classes do NOT auto-re-plan, each loudly (r16 review):
+    //   - append-sink readers (INSERT INTO): a from-scratch replay would
+    //     duplicate every row they already appended — the user re-creates
+    //     the insert when they want it to follow the new sink;
+    //   - readers already in this cascade (a cyclic chain): re-planning
+    //     them again would recurse forever, so the cycle's originator is
+    //     left on the rotated sink and told so;
+    //   - readers whose re-plan THROWS (e.g. the new output schema breaks
+    //     their SQL): the failure is logged per reader and the loop
+    //     continues, so one broken reader cannot silently strand its
+    //     siblings on the dead directory.
     val guard = cascading.get()
-    val stale = StatementCatalog.runningReadersOf(table)
-      .filter(d => d.name != stmt && !guard.contains(d.name) && d.resubmit.isDefined)
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val readers = StatementCatalog.runningReadersOf(table)
+      .filter(d => d.name != stmt && d.resubmit.isDefined)
+    val (cyclic, rest) = readers.partition(d => guard.contains(d.name))
+    val (appendReaders, stale) = rest.partition(_.appendSink)
+    cyclic.foreach { d =>
+      log.warn(s"re-submission of '$stmt' rotated table '$table''s sink under '${d.name}', " +
+        "which is already re-planning in this cascade (cyclic chain) — it stays on the " +
+        "rotated sink; break the cycle and re-submit it by hand")
+    }
+    appendReaders.foreach { d =>
+      log.warn(s"re-submission of '$stmt' rotated table '$table''s sink under APPEND " +
+        s"statement '${d.name}' — NOT cascading (a replay would duplicate every row it " +
+        "already appended); it keeps draining the retained old files — re-create the " +
+        "INSERT to follow the new sink")
+    }
     if (stale.nonEmpty) {
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"re-submission of '$stmt' rotated table '$table''s sink under " +
-          s"${stale.size} running downstream statement(s) " +
-          s"(${stale.map(_.name).mkString(", ")}) — cascading re-submission")
+      log.warn(s"re-submission of '$stmt' rotated table '$table''s sink under " +
+        s"${stale.size} running downstream statement(s) " +
+        s"(${stale.map(_.name).mkString(", ")}) — cascading re-submission")
       guard += stmt
       try stale.foreach { d =>
         guard += d.name
         try d.resubmit.get.apply()
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            log.error(s"cascade re-plan of '${d.name}' FAILED (${e.getMessage}); it is " +
+              "stopped/stale against the rotated sink — fix its SQL and re-submit it " +
+              "by hand; continuing with the remaining readers", e)
+        }
         finally guard -= d.name
       } finally guard -= stmt
     }

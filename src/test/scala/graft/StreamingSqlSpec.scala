@@ -1914,4 +1914,48 @@ class StreamingSqlSpec extends SparkSpec with BeforeAndAfterAll {
     } finally chainCleanup(Seq("c16x_queue", "c16x_spikes", "c16x_norm",
       "c16y_queue", "c16y_spikes", "c16y_norm", "c16x_claims", "c16y_claims"))
   }
+
+  test("an APPEND reader (INSERT INTO) is NOT cascaded on upstream re-submission — a " +
+    "from-scratch replay would duplicate every row it already appended; it keeps " +
+    "draining the retained old files, loudly (r16 review)") {
+    import spark.implicits._
+    StatementCatalog.reset()
+    val dir = java.nio.file.Files.createTempDirectory("c16i_claims").toString
+    try {
+      chainWrite(dir, chainB1)
+      val schema = Seq.empty[(Long, String, Timestamp, Double)]
+        .toDF("claim_id", "city", "ts", "amount").schema
+      TableRegistry.createTable(TableRegistry.TableDef("c16i_claims", Some(schema),
+        watermarkCol = Some("ts"), watermarkDelay = Some("10 minutes"),
+        load = s => s.read.schema(schema).parquet(dir),
+        loadStream = Some(s => s.readStream.schema(schema).parquet(dir))))
+      val normDdl = "CREATE TABLE c16i_norm AS " +
+        "SELECT claim_id, city, ts, amount FROM c16i_claims"
+      SqlFrontend.execute(spark, normDdl)
+      SqlFrontend.execute(spark,
+        "INSERT INTO c16i_sums SELECT claim_id, amount FROM c16i_norm")
+      chainStanding("c16i_norm").processAllAvailable()
+      chainStanding("insert-into-c16i_sums").processAllAvailable()
+      val n1 = SqlFrontend.execute(spark, "SELECT * FROM c16i_sums").count()
+      assert(n1 == chainB1.size.toLong, s"expected ${chainB1.size} appended rows, got $n1")
+      val oldIns = chainStanding("insert-into-c16i_sums")
+
+      // re-submit the upstream CTAS: the cascade must SKIP the append
+      // reader (same query instance, still RUNNING), and even after new
+      // data flows through the re-planned upstream, the append target must
+      // NOT change — the insert is pinned to the retained OLD sink files
+      SqlFrontend.execute(spark, normDdl)
+      assert(StatementCatalog.status("insert-into-c16i_sums") == "RUNNING")
+      assert(chainStanding("insert-into-c16i_sums").id == oldIns.id,
+        "append reader must not be re-planned by the cascade")
+      chainWrite(dir, chainB2)
+      chainStanding("c16i_norm").processAllAvailable()
+      chainStanding("insert-into-c16i_sums").processAllAvailable()
+      val n2 = SqlFrontend.execute(spark, "SELECT * FROM c16i_sums").count()
+      assert(n2 == n1,
+        s"append target changed after the skipped cascade: $n1 -> $n2 (a re-plan " +
+          "would have duplicated history; following the new sink is the user's " +
+          "explicit re-create step)")
+    } finally chainCleanup(Seq("c16i_norm", "c16i_sums", "c16i_claims"))
+  }
 }

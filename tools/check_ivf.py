@@ -16,10 +16,11 @@ of the corpus values:
     (transcribed + unit-tested in check_pq.py, copied here); signed-long
     hash order;
   - assign (per Lloyd pass + final): broadcast centroids ASC by list_id,
-    guarded cosine (norms and dot are sequential double products of exact
-    float32 widenings — 64 dims, below numpy's 128-element pairwise cutoff,
-    so vectorized f64 sums match the engine's loop), zero-norm product
-    guard -> -1.0, first-max tie (lowest list_id);
+    guarded cosine (norms and dots are STRICTLY-SEQUENTIAL double sums of
+    exact float32 widenings, via np.cumsum — a plain .sum() is an
+    8-accumulator unrolled loop that drifts in the last ulp; see
+    seqsum_rows), zero-norm product guard -> -1.0, first-max tie (lowest
+    list_id);
   - Lloyd mean: per (list, dim), each float32 member casts
     float->double->Decimal(Double.toString)->HALF_UP scale 12 (the engine's
     cast-to-DECIMAL(38,12) path; python Decimal(repr(float(x))) is the same
@@ -165,13 +166,23 @@ assert dec12_units(np.float32(1.25e-13)) == 0  # 0.000000000000125 -> 0.000
 assert dec12_units(np.float32(6.25e-13)) == 1  # rounds HALF_UP at scale 12
 
 
+def seqsum_rows(prod):
+    """Strictly-sequential per-row double sum: np.cumsum along the last axis
+    IS left-to-right accumulation. A plain .sum(axis=1) is NOT — numpy's
+    8-accumulator unrolled loop drifts from the engine's sequential loop in
+    the last ulp on most 64-dim inputs (measured in check_semdedup.py:
+    1592/2000 random vectors differ). q36's gate compares ranks only, which
+    tolerated the drift at both scales, but exactness costs nothing
+    (r16 review hardening)."""
+    return np.cumsum(prod, axis=1)[:, -1]
+
+
 def guarded_cosine_sims(mat64, norms, cent64, cnorm):
     """IvfIndex.guardedCosine for ONE centroid against all rows: sequential
-    double dot over 64 dims (numpy f64 row sums are sequential below the
-    128-element pairwise cutoff); zero norm-PRODUCT guards to -1.0."""
+    double dot over 64 dims; zero norm-PRODUCT guards to -1.0."""
     denom = norms * cnorm
     with np.errstate(divide="ignore", invalid="ignore"):
-        sims = (mat64 * cent64[None, :]).sum(axis=1) / denom
+        sims = seqsum_rows(mat64 * cent64[None, :]) / denom
     sims[denom == 0.0] = -1.0
     return sims
 
@@ -183,7 +194,7 @@ def assign_all(mat64, norms, centroids):
     best_id = np.full(mat64.shape[0], -1, dtype=np.int64)
     for lid, c32 in centroids:
         c64 = c32.astype(np.float64)
-        cn = math.sqrt(float((c64 * c64).sum()))
+        cn = math.sqrt(float(np.cumsum(c64 * c64)[-1]))
         sims = guarded_cosine_sims(mat64, norms, c64, cn)
         upd = sims > best_sim
         best_sim[upd] = sims[upd]
@@ -215,7 +226,7 @@ def build_and_search(sfdir):
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat32 = np.array([r[1] for r in rows], dtype=np.float32)
     mat64 = mat32.astype(np.float64)
-    norms = np.sqrt((mat64 * mat64).sum(axis=1))
+    norms = np.sqrt(seqsum_rows(mat64 * mat64))
 
     # init: ORDER BY signed xxhash64(render) LIMIT 8, list_id in hash order.
     # Hash ties happen only between IDENTICAL renders (= identical vectors,
@@ -253,12 +264,12 @@ def build_and_search(sfdir):
         cs = []
         for lid, c32 in centroids:
             c64 = c32.astype(np.float64)
-            cn = math.sqrt(float((c64 * c64).sum()))
+            cn = math.sqrt(float(np.cumsum(c64 * c64)[-1]))
             denom = qn * cn
             if denom == 0.0:
                 sim = -1.0
             else:
-                sim = float((qv * c64).sum() / denom)
+                sim = float(np.cumsum(qv * c64)[-1] / denom)
             cs.append((sim, lid))
         cs.sort(key=lambda s: (-s[0], s[1]))
         probed = [lid for _, lid in cs[:N_PROBES]]
@@ -271,7 +282,7 @@ def build_and_search(sfdir):
                 if nid == qid:
                     continue
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    sim = float((qv * mat64[i]).sum() / (qn * norms[i]))
+                    sim = float(np.cumsum(qv * mat64[i])[-1] / (qn * norms[i]))
                 cand.append((sim, nid))
         # TopKAgg ordering: score DESC, id ASC, NaN last (java Double
         # ordering treats NaN as the largest, so -score puts it last)

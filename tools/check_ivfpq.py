@@ -105,7 +105,7 @@ def main():
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat32 = np.array([r[1] for r in rows], dtype=np.float32)
     mat64 = mat32.astype(np.float64)
-    norms = np.sqrt((mat64 * mat64).sum(axis=1))
+    norms = np.sqrt(check_ivf.seqsum_rows(mat64 * mat64))  # sequential (cumsum)
     n, dim = mat32.shape
     print(f"corpus {n} x {dim}", flush=True)
 
@@ -148,9 +148,9 @@ def main():
         cs = []
         for lid, c32 in centroids:
             c64 = c32.astype(np.float64)
-            cn = math.sqrt(float((c64 * c64).sum()))
+            cn = math.sqrt(float(np.cumsum(c64 * c64)[-1]))
             denom = qn * cn
-            sim = -1.0 if denom == 0.0 else float((qv64 * c64).sum() / denom)
+            sim = -1.0 if denom == 0.0 else float(np.cumsum(qv64 * c64)[-1] / denom)
             cs.append((sim, lid))
         cs.sort(key=lambda s: (-s[0], s[1]))
         probed = [lid for _, lid in cs[:N_PROBES]]

@@ -70,7 +70,10 @@ def main():
             WHERE l_returnflag = ?""", [med, med, med, flag]).fetchone()
         lo = math.ceil((0.5 - EPS) * n)
         hi = math.ceil((0.5 + EPS) * n)
-        good = is_elem == 1 and le >= lo and lt <= hi
+        # v's possible ranks are [lt+1, le]; intersecting [lo, hi] needs
+        # lt+1 <= hi (not lt <= hi — that off-by-one would admit a window
+        # starting exactly one rank above the band)
+        good = is_elem == 1 and le >= lo and lt + 1 <= hi
         ok &= good
         print(f"[q70] {flag} median: v={med} element={bool(is_elem)} "
               f"rank window [{lt + 1}, {le}] must intersect [{lo}, {hi}] "
