@@ -634,8 +634,9 @@ class SqlFrontendSpec extends SparkSpec with BeforeAndAfterAll {
     assert(rt.watermarkCol.contains("ts") && rt.watermarkDelay.contains("5 second"),
       s"watermark must survive the DDL round-trip: ${rt.watermarkCol}/${rt.watermarkDelay}")
     // SHOW JOBS is the Flink spelling of the statement-lifecycle listing
+    // (`upstream` = the chain edges the r16 re-submission cascade walks)
     val jobs = SqlFrontend.execute(spark, "SHOW JOBS")
-    assert(jobs.columns.toSeq == Seq("name", "status", "kind", "statement"))
+    assert(jobs.columns.toSeq == Seq("name", "status", "kind", "upstream", "statement"))
   }
 
   test("SESSION window TVF rewrites to native session_window; RESET clears conf") {
