@@ -178,11 +178,6 @@ object AnomalyDetector {
       .rowsBetween(Window.unboundedPreceding, -1)
     val cumB = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -(cfg.maxTrainingSize + 1L))
-    def frameSum(e: Column): Column = {
-      val a = sum(e).over(cumA)
-      val b = sum(e).over(cumB)
-      when(b.isNull, a).otherwise(a - b)
-    }
     // mean/stddev from decimal-exact sums (order-independent, bit-reproducible
     // across engines) rather than a streaming estimator like stddev_samp whose
     // float result depends on accumulation order.
@@ -195,20 +190,46 @@ object AnomalyDetector {
     // DECIMAL(38,7), rounding s2 at the 8th decimal (caught by the
     // fractional-fixture equivalence spec; invisible on integer series).
     // 19 integer digits of headroom remain for v² (money squares ≈ 1e8).
-    val s1 = frameSum(v.cast("string").cast("decimal(27,6)"))
+    //
+    // The SIX primitive window aggregates are materialized ONCE as columns
+    // (r16 optimization round, guide §2.4/§7.2): Catalyst does not CSE
+    // duplicate window expressions — with the aggregates inlined into each
+    // published column, the four withColumns expanded to 24 aggregate
+    // buffers, and a downstream filter on is_anomaly/upper_bound (every
+    // surge pipeline: q08's oracle, lab3/lab4) substituted the full formula
+    // and materialized a SECOND Window node with 46 more — ~70 incremental
+    // aggregators where 6 suffice (q34 plan nodes (10)+(12), r16 before
+    // plans). Binding them through real columns leaves ONE Window node with
+    // exactly these 6 expressions; the scalar arithmetic below is what
+    // filters now duplicate, which is cheap. Same expressions, same order of
+    // operations — bit-identical outputs (q08/q09 oracle-green; the
+    // surge-stage twin measured 1.96 → 0.81 s at sf0.1).
+    val tmp = Seq("__ad_s1a", "__ad_s1b", "__ad_s2a", "__ad_s2b", "__ad_na", "__ad_nb")
+    require(!tmp.exists(df.columns.contains),
+      s"detectBatch: input already carries a reserved __ad_* column")
+    val Seq(s1a, s1b, s2a, s2b, na, nb) = tmp.map(col)
+    val mat = df
+      .withColumn("__ad_s1a", sum(v.cast("string").cast("decimal(27,6)")).over(cumA))
+      .withColumn("__ad_s1b", sum(v.cast("string").cast("decimal(27,6)")).over(cumB))
+      .withColumn("__ad_s2a", sum((v * v).cast("string").cast("decimal(27,8)")).over(cumA))
+      .withColumn("__ad_s2b", sum((v * v).cast("string").cast("decimal(27,8)")).over(cumB))
+      .withColumn("__ad_na", count(v).over(cumA))
+      .withColumn("__ad_nb", count(v).over(cumB))
+    val s1 = when(s1b.isNull, s1a).otherwise(s1a - s1b)
       .cast("string").cast("double")
-    val s2 = frameSum((v * v).cast("string").cast("decimal(27,8)"))
+    val s2 = when(s2b.isNull, s2a).otherwise(s2a - s2b)
       .cast("string").cast("double")
-    val n = (count(v).over(cumA) - count(v).over(cumB)).cast("double")
+    val n = (na - nb).cast("double")
     val forecast = s1 / n
     val sd = sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), lit(0.0)))
     val warm = n >= cfg.minTrainingSize
     val upper = forecast + lit(cfg.z) * sd
     val lower = forecast - lit(cfg.z) * sd
-    df.withColumn("forecast_value", when(warm, forecast))
+    mat.withColumn("forecast_value", when(warm, forecast))
       .withColumn("upper_bound", when(warm, upper))
       .withColumn("lower_bound", when(warm, lower))
       .withColumn("is_anomaly", when(warm, v > upper || v < lower).otherwise(lit(false)))
+      .drop(tmp: _*)
   }
 
   /** Sequential batch path for forecasters that need a model fit per row

@@ -104,9 +104,14 @@ object Labs {
   def lab2Rag(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     // embedDistinct: the corpus is the embed-cost driver and clone-heavy
-    // corpora re-embed the same text — each distinct text hits the model once
+    // corpora re-embed the same text — each distinct text hits the model once.
+    // localCheckpoint (r16 optimization round): the corpus frame feeds the
+    // route probe, the store collect / IVF build, and the chunk fetch — each
+    // re-ran the scan+distinct+embed lineage; pinned blocks run it ONCE (the
+    // curateFull precedent; blocks free with the DataFrame)
     val corpus = MlPredict.embedDistinct(docs, "local-embed-64", "text")
       .select(col("doc_id"), col("text").as("chunk"), col("embedding"))
+      .localCheckpoint()
 
     val queries = docs.orderBy("doc_id").limit(nQueries)
       .select(col("doc_id").as("query_id"), col("text").as("query"))
@@ -184,9 +189,12 @@ object Labs {
 
     val docs = Tables(spark, dir, "documents")
     // embedDistinct: each distinct text hits the model once — the corpus is
-    // the embed-cost driver and clone-heavy corpora re-embed the same text
+    // the embed-cost driver and clone-heavy corpora re-embed the same text.
+    // localCheckpoint (r16 optimization round): same rationale as lab2Rag —
+    // probe + collect/build + chunk fetch each re-ran the embed lineage
     val corpus = MlPredict.embedDistinct(docs, "local-embed-64", "text")
       .select(col("doc_id"), col("text").as("chunk"), col("embedding"))
+      .localCheckpoint()
 
     val embedded = MlPredict.embed(queried, "local-embed-64", "query_text")
     val enriched =

@@ -72,8 +72,14 @@ object IvfIndex {
   def build(corpus: DataFrame, idCol: String, embCol: String,
             nLists: Int, iterations: Int = 2): Ivf = {
     val vecs = corpus.select(col(idCol), col(embCol)).localCheckpoint()
+    // one count over the pinned blocks serves BOTH the auto-lists sizing and
+    // the searchNumCandidates nVectors invariant (r16 optimization round: the
+    // lazy assigned.count() in Ivf was a full extra assignment pass over the
+    // corpus — at 100 TB that is a corpus × nLists cosine scan spent on a
+    // row count the build already knows, since assign() is a projection)
+    val nVecs = vecs.count()
     val lists = if (nLists > 0) nLists
-      else math.max(16, math.min(4096, (4.0 * math.sqrt(vecs.count().toDouble)).toInt))
+      else math.max(16, math.min(4096, (4.0 * math.sqrt(nVecs.toDouble)).toInt))
     var centroids = vecs
       .select(col(embCol).as("centroid"))
       .withColumn("__h", xxhash64(col("centroid").cast("string")))
@@ -81,7 +87,6 @@ object IvfIndex {
       .withColumn("list_id", (row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("__h")) - 1).cast("long"))
       .select("list_id", "centroid")
-      .localCheckpoint()
     for (_ <- 1 to iterations) {
       val assigned = assign(vecs, centroids, embCol)
       // new centroid = element-wise mean of member vectors (distributed).
@@ -105,18 +110,33 @@ object IvfIndex {
       centroids = dims.groupBy("list_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("centroid"))
-        .localCheckpoint()
     }
-    val assigned = assign(vecs, centroids, embCol)
+    // Only the FINAL centroid frame is checkpointed (r16 optimization round):
+    // each intermediate frame is consumed exactly once — by the next
+    // iteration's assign(), whose collect() runs its aggregation chain once
+    // anyway (the chain reads the pinned `vecs` blocks plus already-collected
+    // centroid broadcasts, never the caller's corpus lineage) — so the
+    // per-iteration localCheckpoint was one extra materialization job per
+    // Lloyd step with nothing reusing it. The final frame IS multi-consumer
+    // (the assignment below + every search's probeLists collect + listStats),
+    // so it keeps the pin. Values unchanged: a checkpoint is a
+    // materialization barrier, not a computation (check_ivf.py still
+    // fingerprint-exact).
+    val pinnedCentroids = centroids.localCheckpoint()
+    val assigned = assign(vecs, pinnedCentroids, embCol)
       .select(col(idCol).as("nid"), col(embCol).as("nvec"), col("list_id"))
-    Ivf(centroids, assigned)
+    Ivf(pinnedCentroids, assigned, nVectorsKnown = Some(nVecs))
   }
 
-  final case class Ivf(centroids: DataFrame, assigned: DataFrame) {
+  final case class Ivf(centroids: DataFrame, assigned: DataFrame,
+                       nVectorsKnown: Option[Long] = None) {
 
     // index invariants, computed once per Ivf (a per-search count() would
-    // re-run the whole assignment lineage over the corpus)
-    private lazy val nVectors: Long = math.max(assigned.count(), 1L)
+    // re-run the whole assignment lineage over the corpus); build passes the
+    // count it already took (assign() is a projection: |assigned| == |vecs|),
+    // mutation paths (add/remove) and load fall back to counting
+    private lazy val nVectors: Long =
+      math.max(nVectorsKnown.getOrElse(assigned.count()), 1L)
     private lazy val nLists: Long = math.max(centroids.count(), 1L)
 
     /** Approximate top-k: probe `nProbes` lists per query.
@@ -160,7 +180,8 @@ object IvfIndex {
       * k-means lineage — build (and any upstream embed) executes exactly
       * once, at pin time.
       */
-    def pinned(): Ivf = Ivf(centroids.localCheckpoint(), assigned.localCheckpoint())
+    def pinned(): Ivf =
+      copy(centroids = centroids.localCheckpoint(), assigned = assigned.localCheckpoint())
 
     /** Persist the index: corpus partitioned by list_id (so loads prune to the
       * probed lists), centroids alongside. This is the 100 TB layout — the
