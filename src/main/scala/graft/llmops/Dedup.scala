@@ -254,16 +254,39 @@ object Dedup {
         approx_count_distinct(xxhash64(col(textCol))).as("d")).head()
       probe.getLong(1).toDouble < 0.95 * probe.getLong(0)
     }
+    val rowsPerBand0 = numHashes / numBands
     if (!doCollapse) {
-      val banded0 = bandedBuckets(df, textCol, idCol, shingleSize, numHashes, numBands)
+      // ONE fused tokenize+hash pass (r16 optimization round, guide §1.2):
+      // the direct path's plan referenced the per-doc signature UDF three
+      // times (cap counts, capped join side, uncapped side) and the shingle
+      //-set UDF twice (both verification sides) — five full tokenize+hash
+      // passes over the corpus per action. [[sigSetUdf]] derives signature
+      // AND sorted set from one tokenize (min over the DISTINCT set equals
+      // min over all occurrences — the collapse path's sigFromSet identity),
+      // and the lazy checkpoint makes every consumer a block read. Values
+      // bit-identical (check_minhash.py; q54/q99 gates; DedupSpec).
+      // Cost: materialized (sig, set) blocks ≈ the token mass of the corpus
+      // on executor-local storage — the same trade the collapse path and
+      // curateFull already take.
+      val fused = graft.core.Parallelism.defend(df)
+        .select(col(idCol).as("doc_id"),
+          sigSetUdf(shingleSize, numHashes)(col(textCol)).as("__fs"))
+        .localCheckpoint(eager = false)
+      val shSetsF = fused.select(col("doc_id"), col("__fs").getField("sh").as("__sh"))
+      val banded0 = fused
+        .select(col("doc_id"), col("__fs").getField("sig").as("sig"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+            b => slice(col("sig"), b * rowsPerBand0 + 1, lit(rowsPerBand0)))))
+        .select(col("doc_id"), col("pos").as("band"), hash(col("col")).as("bucket"))
       val capped = capBuckets(banded0, Seq("band", "bucket"), maxBucketSize, capStats)
       val a = capped.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
       val b = banded0.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
       val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
       return pairs
-        .join(shSets.select(col("doc_id").as("id_a"), col("__sh").as("__sa")), "id_a")
-        .join(shSets.select(col("doc_id").as("id_b"), col("__sh").as("__sb")), "id_b")
+        .join(shSetsF.select(col("doc_id").as("id_a"), col("__sh").as("__sa")), "id_a")
+        .join(shSetsF.select(col("doc_id").as("id_b"), col("__sh").as("__sb")), "id_b")
         .withColumn("__common", sortedIntersectSize(col("__sa"), col("__sb")).cast("double"))
         .withColumn("jaccard", col("__common") / (size(col("__sa")) + size(col("__sb")) - col("__common")).cast("double"))
         .filter(col("jaccard") >= threshold)
@@ -343,6 +366,52 @@ object Dedup {
       .select(least(col("__da"), col("__db")).as("id_a"),
         greatest(col("__da"), col("__db")).as("id_b"), col("jaccard"))
     cross.unionByName(intra)
+  }
+
+  /** Signature AND sorted distinct shingle-hash set from ONE tokenize pass
+    * (r16 optimization round): sig_j = min over the DISTINCT hash set of
+    * chainInt(base, j) — identical to the per-occurrence recurrence in
+    * [[minHashSignatures]] because min is duplicate-insensitive (the same
+    * identity the collapse path's sigFromSet relies on), and the set is
+    * exactly [[shingleHashSet]]'s. Null text keeps both legacy contracts:
+    * sig computed from tokens(null) = [""] (so banding sees the row, like
+    * minHashSignatures), sh = null (so verification drops its pairs, like
+    * shingleSets).
+    */
+  private case class SigSet(sig: Array[Long], sh: Array[Long])
+
+  private def sigSetUdf(shingleSize: Int, numHashes: Int) = {
+    val sz = shingleSize
+    val n = numHashes
+    udf { text: String =>
+      val shStrs = RowHash.shingles(RowHash.tokens(text), sz)
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val sig = Array.fill(n)(Long.MaxValue)
+      var i = 0
+      while (i < shStrs.length) {
+        val base = RowHash.utf8(shStrs(i))
+        if (seen.add(base)) {
+          var j = 0
+          while (j < n) {
+            val h = RowHash.chainInt(base, j)
+            if (h < sig(j)) sig(j) = h
+            j += 1
+          }
+        }
+        i += 1
+      }
+      val set =
+        if (text == null) null
+        else {
+          val out = new Array[Long](seen.size())
+          val it = seen.iterator()
+          var x = 0
+          while (it.hasNext) { out(x) = it.next(); x += 1 }
+          java.util.Arrays.sort(out)
+          out
+        }
+      SigSet(sig, set)
+    }
   }
 
   /** Distinct shingle hashes of one doc, SORTED — the imperative core of the
@@ -1166,12 +1235,16 @@ object Dedup {
     val gram = col("__text").substr(col("p").cast("int"), lit(L))
     val grams = pos.select(col("doc_id"), col("p"),
       (if (hashWidth == 64) xxhash64(gram) else md5(gram).cast("string")).as("__h"))
-    val byHash = Window.partitionBy("__h")
-    val byHashOrd = byHash.orderBy(col("doc_id"), col("p"))
+    val byHashOrd = Window.partitionBy("__h").orderBy(col("doc_id"), col("p"))
+    // rn > 1 alone selects exactly the non-first occurrences: rn > 1 implies
+    // the gram group has >= 2 rows, so the old `count(*) over (partition)
+    // > 1` conjunct was redundant — and it was a SECOND whole-partition
+    // aggregate buffer in the WindowExec (r16 optimization round; measured
+    // 1.21 -> 0.99 s on the sf0.1 dup-window stage, identical rows; the
+    // DuckDB oracle keeps the two-conjunct formulation — same set).
     val red = grams
-      .withColumn("__c", count(lit(1)).over(byHash))
       .withColumn("__rn", row_number().over(byHashOrd))
-      .where(col("__c") > 1 && col("__rn") > 1)
+      .where(col("__rn") > 1)
       .select(col("doc_id"), col("p"))
     // gaps-and-islands: a window starts a new span iff it neither overlaps
     // nor touches the furthest char covered so far ([p, p+L-1] vs max end)
