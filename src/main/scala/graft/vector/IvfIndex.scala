@@ -103,13 +103,17 @@ object IvfIndex {
       // it end-to-end. Cost: the decimal agg adds ~O(N·dim) decimal adds to
       // a step dominated by the O(N·dim·nLists) assignment loop (measured
       // <5% of build; BASELINE r16 audit row).
-      val dims = assigned.select(col("list_id"), posexplode(col(embCol)))
-        .groupBy("list_id", "pos")
-        .agg((sum(col("col").cast("decimal(38,12)")).cast("double") /
-          count(col("col"))).as("m"))
-      centroids = dims.groupBy("list_id")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m").cast("float")).as("centroid"))
+      // ONE shuffle instead of two (r16 optimization round, guide §2.4): the
+      // posexplode → groupBy(list_id, pos) → groupBy(list_id) chain shuffled
+      // dim× exploded rows and then re-assembled arrays with a second
+      // exchange + collect_list sort. [[VecMeanAgg]] computes the identical
+      // element-wise exact-decimal mean in a single groupBy(list_id) pass
+      // with mergeable partial buffers (nLists × dim BigIntegers per task).
+      // Bit-parity argument is in VecMeanAgg's scaladoc; gate:
+      // tools/check_ivf.py / check_ivfpq.py / check_semdedup.py.
+      centroids = assigned.groupBy("list_id")
+        .agg(vecMeanUdaf(col(embCol)).as("centroid"))
+        .filter(size(col("centroid")) > 0)
     }
     // Only the FINAL centroid frame is checkpointed (r16 optimization round):
     // each intermediate frame is consumed exactly once — by the next
@@ -249,6 +253,89 @@ object IvfIndex {
     Ivf(
       centroids = spark.read.parquet(s"$path/centroids"),
       assigned = spark.read.parquet(s"$path/assigned"))
+
+  /** Mutable partial state of [[VecMeanAgg]]: per-dimension exact sums as
+    * UNSCALED scale-12 decimal integers (BigInteger adds are exact and
+    * commutative — merge-order independent, the property the whole
+    * order-independent-Lloyd design rests on) plus per-dimension counts
+    * (vectors can differ in length; a shorter vector contributes to fewer
+    * positions, exactly like the posexplode rows it replaces).
+    */
+  private[vector] final case class VecMeanBuf(var sums: Array[java.math.BigInteger],
+                                              var counts: Array[Long])
+
+  /** Element-wise exact-decimal mean of float vectors — the single-shuffle
+    * twin of `posexplode → sum(cast(col AS DECIMAL(38,12)))/count → re-pack`.
+    * Bit-parity, term by term:
+    *   - `cast(float AS decimal(38,12))` is Decimal(f.toDouble) rounded
+    *     HALF_UP to scale 12 — here java.math.BigDecimal.valueOf(f.toDouble)
+    *     .setScale(12, HALF_UP), whose unscaled BigInteger is summed exactly;
+    *   - the SQL decimal sum is exact within precision 38 (never approached:
+    *     elements are float-sized), so BigInteger addition reproduces it;
+    *   - `.cast("double")` is BigDecimal.doubleValue on the exact sum;
+    *   - `/ count(col)` is one IEEE double division;
+    *   - the final `cast("float")` is Double.toFloat.
+    * A null or empty input vector contributes nothing (posexplode emitted no
+    * rows for it); a group with ONLY such vectors yields an empty array,
+    * dropped by the caller's size() filter exactly where the old chain's
+    * aggregation produced no row at all.
+    */
+  private[vector] object VecMeanAgg
+    extends org.apache.spark.sql.expressions.Aggregator[Seq[Float], VecMeanBuf, Seq[Float]] {
+    private val HALF_UP = java.math.RoundingMode.HALF_UP
+    override def zero: VecMeanBuf = VecMeanBuf(Array.empty, Array.empty)
+    private def grow(b: VecMeanBuf, n: Int): Unit = if (b.sums.length < n) {
+      val s = new Array[java.math.BigInteger](n)
+      val c = new Array[Long](n)
+      System.arraycopy(b.sums, 0, s, 0, b.sums.length)
+      System.arraycopy(b.counts, 0, c, 0, b.counts.length)
+      var i = b.sums.length
+      while (i < n) { s(i) = java.math.BigInteger.ZERO; i += 1 }
+      b.sums = s
+      b.counts = c
+    }
+    override def reduce(b: VecMeanBuf, v: Seq[Float]): VecMeanBuf = {
+      if (v != null && v.nonEmpty) {
+        grow(b, v.length)
+        var i = 0
+        while (i < v.length) {
+          b.sums(i) = b.sums(i).add(
+            java.math.BigDecimal.valueOf(v(i).toDouble).setScale(12, HALF_UP).unscaledValue())
+          b.counts(i) += 1
+          i += 1
+        }
+      }
+      b
+    }
+    override def merge(a: VecMeanBuf, b: VecMeanBuf): VecMeanBuf = {
+      grow(a, b.sums.length)
+      var i = 0
+      while (i < b.sums.length) {
+        a.sums(i) = a.sums(i).add(b.sums(i))
+        a.counts(i) += b.counts(i)
+        i += 1
+      }
+      a
+    }
+    override def finish(b: VecMeanBuf): Seq[Float] = {
+      val out = new Array[Float](b.sums.length)
+      var i = 0
+      while (i < b.sums.length) {
+        out(i) = (new java.math.BigDecimal(b.sums(i), 12).doubleValue() /
+          b.counts(i).toDouble).toFloat
+        i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[VecMeanBuf] =
+      org.apache.spark.sql.Encoders.kryo[VecMeanBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Float]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
+  }
+
+  private[vector] lazy val vecMeanUdaf =
+    org.apache.spark.sql.functions.udaf(VecMeanAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
 
   /** Route each query row to its nProbes nearest centroid list ids. */
   private[vector] def probeLists(queries: DataFrame, centroids: DataFrame,

@@ -157,8 +157,23 @@ object VectorSearchAgg {
           numCandidates: Int = 500, nLists: Int = AutoLists, iterations: Int = 2,
           idCol: String = "doc_id", chunkCol: String = "chunk",
           embCol: String = "embedding", outCol: String = "search_results"): DataFrame = {
-    val ivf = buildIndex(corpus, idCol, embCol, nLists, iterations)
-    annPrepared(queries, ivf, corpus, queryVecCol, k, numCandidates, idCol, chunkCol, outCol)
+    // Overlap the two independent eager phases (r16 optimization round,
+    // guide §2.6): the IVF build (corpus side) and annPrepared's query-side
+    // pin (often an expensive lineage — lab3's is the whole anomaly chain)
+    // share no inputs, but ran back-to-back on the driver thread, each
+    // leaving the cluster idle during the other's stragglers. Spark runs
+    // concurrent jobs from one session fine (FIFO back-fill); values are
+    // untouched — both sides are deterministic and disjoint. Wall-clock
+    // saving ≈ min(build, query-pin).
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val buildF = exec.submit(new java.util.concurrent.Callable[IvfIndex.Ivf] {
+        override def call(): IvfIndex.Ivf = buildIndex(corpus, idCol, embCol, nLists, iterations)
+      })
+      val q = queries.withColumn("__qid", monotonically_increasing_id()).localCheckpoint(true)
+      val ivf = buildF.get()
+      annPreparedPinned(q, ivf, corpus, queryVecCol, k, numCandidates, idCol, chunkCol, outCol)
+    } finally exec.shutdown()
   }
 
   /** Sentinel for `nLists`: size the index from the corpus count. */
@@ -186,6 +201,16 @@ object VectorSearchAgg {
     // false because __qid values are surrogates that may collide with real
     // corpus ids (see Ivf.search)
     val q = queries.withColumn("__qid", monotonically_increasing_id()).localCheckpoint(true)
+    annPreparedPinned(q, ivf, corpus, queryVecCol, k, numCandidates, idCol, chunkCol, outCol)
+  }
+
+  /** [[annPrepared]] body with the query side ALREADY __qid-pinned — lets
+    * [[ann]] overlap that pin with the index build (guide §2.6).
+    */
+  private def annPreparedPinned(q: DataFrame, ivf: IvfIndex.Ivf, corpus: DataFrame,
+                                queryVecCol: String, k: Int, numCandidates: Int,
+                                idCol: String, chunkCol: String,
+                                outCol: String): DataFrame = {
     val qs = q.select(col("__qid"), col(queryVecCol).as("__qvec"))
     val ranked = ivf
       .searchNumCandidates(qs, "__qid", "__qvec", k, numCandidates, excludeSelf = false)
