@@ -257,12 +257,26 @@ object VectorSearchAgg {
            embCol: String = "embedding", outCol: String = "search_results",
            broadcastThreshold: Long = 100000L,
            broadcastMaxBytes: Long = 64L << 20): DataFrame =
+    prepareAuto(spark, corpus, queryVecCol, k, idCol, chunkCol, embCol, outCol,
+      broadcastThreshold, broadcastMaxBytes)(queries)
+
+  /** The eager corpus-side half of [[auto]] (route probe + store collect),
+    * split out so a caller can run it CONCURRENTLY with an expensive
+    * query-side lineage (guide §2.6 — see Labs.lab3Fleet) and bind the query
+    * frame afterwards. `prepareAuto(...)(queries)` ≡ `auto(spark, queries,
+    * ...)` — same routes, same plans, same values.
+    */
+  def prepareAuto(spark: SparkSession, corpus: DataFrame, queryVecCol: String,
+                  k: Int, idCol: String = "doc_id", chunkCol: String = "chunk",
+                  embCol: String = "embedding", outCol: String = "search_results",
+                  broadcastThreshold: Long = 100000L,
+                  broadcastMaxBytes: Long = 64L << 20): DataFrame => DataFrame =
     chooseRoute(corpus, chunkCol, embCol, broadcastThreshold, broadcastMaxBytes) match {
       case BroadcastRoute =>
         val store = VectorStore.bruteForce(corpus, idCol, chunkCol, embCol)
-        apply(spark, queries, store, queryVecCol, k, outCol)
+        q => apply(spark, q, store, queryVecCol, k, outCol)
       case DistributedRoute =>
-        distributed(queries, corpus, queryVecCol, k, idCol, chunkCol, embCol, outCol)
+        q => distributed(q, corpus, queryVecCol, k, idCol, chunkCol, embCol, outCol)
     }
 }
 
