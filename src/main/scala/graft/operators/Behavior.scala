@@ -264,7 +264,13 @@ object Behavior {
       // leak across their series)
       .withColumn("__spk", graft.core.KeyImage.of(keyCols))
       .repartition(keyCols: _*)
-      .sortWithinPartitions(col("__spk") +: orderCols: _*)
+      // sort on the REAL key columns, not the image (r16 optimization round
+      // — the scanPattern precedent): KeyImage is injective, so grouping by
+      // (keyCols, order) equals grouping by (__spk, order), and Catalyst can
+      // now ELIDE this sort when an upstream window already ordered the
+      // partition by (key, order) — q162's plan dropped its second Sort. The
+      // image stays as the collision-free key-CHANGE probe in the scan.
+      .sortWithinPartitions(keyCols ++ orderCols: _*)
     val lenIdx = pre.schema.fieldIndex(lenCol)
     val keyIdx = pre.schema.fieldIndex("__spk")
     pre.mapPartitions { it =>

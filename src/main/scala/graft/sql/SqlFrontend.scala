@@ -1290,7 +1290,20 @@ object SqlFrontend {
         // rewritten text references (rewriteTemporalJoin registers views the
         // same way). EVERY row enters the scan — non-candidates still occupy
         // row positions a selected match must consume.
-        val cand = spark.sql(s"SELECT *, __mr.__len AS __graft_len FROM ($candidateSql) __graft_mr0")
+        val cand0 = spark.sql(s"SELECT *, __mr.__len AS __graft_len FROM ($candidateSql) __graft_mr0")
+        // column pruning through the opaque selection pass (r16 optimization
+        // round, guide §2.3 "project before the exchange"): skipPastSelect's
+        // mapPartitions is a black box to Catalyst, so every source column —
+        // including wide payloads no clause references — was shuffled, sorted
+        // and object-converted. The scan needs only the key/order columns and
+        // the candidate struct (measures already live INSIDE __mr, computed
+        // by the CASE above, before the opaque boundary); the outer select
+        // reads partCols + __mr fields. Identical output rows (q162 oracle).
+        val candRefs = (partCols ++ ordCols)
+          .flatMap("\\w+".r.findAllIn(_)).map(_.toLowerCase).toSet
+        val cand = cand0.select(cand0.columns
+          .filter(c => candRefs.contains(c.toLowerCase) || c == "__mr" || c == "__graft_len")
+          .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
         val sel = graft.operators.Behavior.skipPastSelect(
           cand, partCols.map(org.apache.spark.sql.functions.expr),
           ordCols.map(org.apache.spark.sql.functions.expr), "__graft_len")
@@ -1480,7 +1493,28 @@ object SqlFrontend {
       }
       measureSrc.foreach { case (_, a) => require(!a.startsWith("__mr_"),
         s"MATCH_RECOGNIZE: measure alias '$a' uses the reserved __mr_ prefix") }
-      val input00 = spark.sql(s"SELECT * FROM $tbl")
+      val input00full = spark.sql(s"SELECT * FROM $tbl")
+      // Column pruning through the opaque NFA scan (r16 optimization round,
+      // guide §2.3): scanPattern's mapPartitions is a black box to Catalyst,
+      // so every source column — wide payloads included — crossed the
+      // exchange, both sorts and the object boundary even when no clause
+      // referenced it. Under ONE ROW PER MATCH the output is partition keys
+      // + measures, and every column the scan can possibly touch appears
+      // textually in PARTITION BY / ORDER BY / DEFINE / MEASURES (the
+      // substitution and the interpreted conditions both resolve names from
+      // these same texts), so keeping exactly the source columns mentioned
+      // there is safe over-approximation — quoted literals contribute
+      // harmless extra tokens, never a miss. ALL ROWS emits every source
+      // column by contract: no pruning.
+      val input00 =
+        if (allRowsPerMatch) input00full
+        else {
+          val refs = (partCols ++ ordCols ++ defineSrc.values ++ measureSrc.map(_._1))
+            .flatMap("\\w+".r.findAllIn(_)).map(_.toLowerCase).toSet
+          val keep = input00full.columns.filter(c => refs.contains(c.toLowerCase))
+          if (keep.length == input00full.columns.length) input00full
+          else input00full.select(keep.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+        }
       // PARTITION BY expressions under ALL ROWS (r16, VERDICT r15 #3): each
       // non-plain entry pre-projects onto the input under its selectExpr
       // auto-name, so the ALL-ROWS shape (which emits every input column)
