@@ -1230,11 +1230,78 @@ object Dedup {
       .where(col("__text").isNotNull && length(col("__text")) >= L)
     // stop of the sequence is >= 1 by the length filter, so it never flips
     // into Spark's descending-sequence mode
-    val pos = base.select(col("doc_id"), col("__text"),
-      explode(sequence(lit(1L), (length(col("__text")) - lit(L - 1)).cast("long"))).as("p"))
-    val gram = col("__text").substr(col("p").cast("int"), lit(L))
-    val grams = pos.select(col("doc_id"), col("p"),
-      (if (hashWidth == 64) xxhash64(gram) else md5(gram).cast("string")).as("__h"))
+    def posGrams = {
+      val pos = base.select(col("doc_id"), col("__text"),
+        explode(sequence(lit(1L), (length(col("__text")) - lit(L - 1)).cast("long"))).as("p"))
+      val gram = col("__text").substr(col("p").cast("int"), lit(L))
+      pos.select(col("doc_id"), col("p"),
+        (if (hashWidth == 64) xxhash64(gram) else md5(gram).cast("string")).as("__h"))
+    }
+    // 64-bit route: ONE rolling pass per doc instead of substr+xxhash64 per
+    // position (r16 optimization round, guide §1.2): the expression form
+    // allocated an L-char UTF8String copy and re-encoded it for every
+    // position — O(|doc|·L) bytes touched per doc. The UDF encodes the doc
+    // to UTF-8 once, walks char→byte offsets, and hashes each window as a
+    // byte-range slice — O(|doc| + positions·L) with zero per-window
+    // allocation. Bit-parity: for text without surrogate pairs, UTF-8
+    // encodes each char independently, so a byte-range of the whole doc's
+    // encoding IS the encoding of the substring (gate: the q139 oracle
+    // groups by the gram STRING — hash identity is the existing trust
+    // model); docs containing surrogates fall back to per-window
+    // substring+encode, which reproduces substr()'s unpaired-surrogate
+    // behavior exactly. The md5/128-bit route keeps the expression form.
+    val grams = if (hashWidth != 64) posGrams else {
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      import org.apache.spark.unsafe.Platform
+      val win = L
+      val hashesUdf = udf { text: String =>
+        val n = text.codePointCount(0, text.length)
+        if (n < win) Array.empty[Long]
+        else {
+          var hasSurrogate = false
+          var i = 0
+          while (i < text.length && !hasSurrogate) {
+            val c = text.charAt(i)
+            if (c >= 0xD800 && c <= 0xDFFF) hasSurrogate = true
+            i += 1
+          }
+          val out = new Array[Long](n - win + 1)
+          if (!hasSurrogate) {
+            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val offs = new Array[Int](n + 1)
+            var bi = 0
+            var ci = 0
+            while (ci < n) {
+              offs(ci) = bi
+              val c = text.charAt(ci)
+              bi += (if (c < 0x80) 1 else if (c < 0x800) 2 else 3)
+              ci += 1
+            }
+            offs(n) = bi
+            var p = 0
+            while (p <= n - win) {
+              out(p) = XXH64.hashUnsafeBytes(bytes,
+                Platform.BYTE_ARRAY_OFFSET + offs(p), offs(p + win) - offs(p), 42L)
+              p += 1
+            }
+          } else {
+            var p = 0
+            var start = 0 // UTF-16 index of code point p
+            while (p <= n - win) {
+              val end = text.offsetByCodePoints(start, win)
+              val b = text.substring(start, end)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              out(p) = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+              start = text.offsetByCodePoints(start, 1)
+              p += 1
+            }
+          }
+          out
+        }
+      }
+      base.select(col("doc_id"), posexplode(hashesUdf(col("__text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("__h"))
+    }
     val byHashOrd = Window.partitionBy("__h").orderBy(col("doc_id"), col("p"))
     // rn > 1 alone selects exactly the non-first occurrences: rn > 1 implies
     // the gram group has >= 2 rows, so the old `count(*) over (partition)

@@ -124,4 +124,25 @@ class ExactSubstrSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expected.toSet)
   }
+
+  test("rolling gram-hash path matches the expression path on surrogate-heavy docs (r16)") {
+    import spark.implicits._
+    // astral-plane chars (surrogate pairs in UTF-16) interleaved with a
+    // duplicated 40-char run: the 64-bit rolling route must fall back to
+    // per-window encoding and produce the SAME spans the md5 expression
+    // route finds (both are exact; the hashes differ, the span set must not)
+    val dup = "the quick brown fox jumps over the lazy dog!"  // 45 chars
+    val astral = "\uD835\uDD4F\uD834\uDD1E" // 𝕏𝄞
+    val docs = Seq(
+      (1L, s"$astral prefix $dup suffix one $astral"),
+      (2L, s"other lead-in text $dup trailing tail $astral$astral"),
+      (3L, s"$dup$astral$dup"),
+      (4L, "no duplicate content here just filler " + astral * 12),
+      (5L, astral * 30)).toDF("doc_id", "text")
+    def spans(hw: Int) = Dedup.exactSubstringSpans(docs, "text", "doc_id",
+        minLen = 40, hashWidth = hw)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans(64) == spans(128), "64-bit rolling route diverged from the md5 route")
+    assert(spans(64).nonEmpty, "fixture should contain duplicated 40-grams")
+  }
 }
