@@ -204,17 +204,26 @@ object AnomalyDetector {
     // filters now duplicate, which is cheap. Same expressions, same order of
     // operations — bit-identical outputs (q08/q09 oracle-green; the
     // surge-stage twin measured 1.96 → 0.81 s at sf0.1).
-    val tmp = Seq("__ad_s1a", "__ad_s1b", "__ad_s2a", "__ad_s2b", "__ad_na", "__ad_nb")
+    val tmp = Seq("__ad_w1", "__ad_w2",
+      "__ad_s1a", "__ad_s1b", "__ad_s2a", "__ad_s2b", "__ad_na", "__ad_nb")
     require(!tmp.exists(df.columns.contains),
       s"detectBatch: input already carries a reserved __ad_* column")
-    val Seq(s1a, s1b, s2a, s2b, na, nb) = tmp.map(col)
-    val mat = df
-      .withColumn("__ad_s1a", sum(v.cast("string").cast("decimal(27,6)")).over(cumA))
-      .withColumn("__ad_s1b", sum(v.cast("string").cast("decimal(27,6)")).over(cumB))
-      .withColumn("__ad_s2a", sum((v * v).cast("string").cast("decimal(27,8)")).over(cumA))
-      .withColumn("__ad_s2b", sum((v * v).cast("string").cast("decimal(27,8)")).over(cumB))
-      .withColumn("__ad_na", count(v).over(cumA))
-      .withColumn("__ad_nb", count(v).over(cumB))
+    val Seq(_, _, s1a, s1b, s2a, s2b, na, nb) = tmp.map(col)
+    // the cast inputs are bound ONCE and all six aggregates land in one
+    // select: per-aggregate derived inputs made ExtractWindowExpressions
+    // interleave a Project under each Window, which blocks CollapseWindow —
+    // the first cut of this rewrite produced FOUR Window nodes (still 6
+    // buffers, but 4 passes); bound inputs + one projection yield ONE
+    val w1 = df
+      .withColumn("__ad_w1", v.cast("string").cast("decimal(27,6)"))
+      .withColumn("__ad_w2", (v * v).cast("string").cast("decimal(27,8)"))
+    val mat = w1.select(w1.columns.map(col) ++ Seq(
+      sum(col("__ad_w1")).over(cumA).as("__ad_s1a"),
+      sum(col("__ad_w1")).over(cumB).as("__ad_s1b"),
+      sum(col("__ad_w2")).over(cumA).as("__ad_s2a"),
+      sum(col("__ad_w2")).over(cumB).as("__ad_s2b"),
+      count(v).over(cumA).as("__ad_na"),
+      count(v).over(cumB).as("__ad_nb")): _*)
     val s1 = when(s1b.isNull, s1a).otherwise(s1a - s1b)
       .cast("string").cast("double")
     val s2 = when(s2b.isNull, s2a).otherwise(s2a - s2b)
