@@ -28,7 +28,10 @@ object QTime {
         if (sec > worst) worst = sec
         r += 1
       }
-      println(f"[qtime] $name: min $best%.3f s worst $worst%.3f s ($rows rows, $repeats repeats)")
+      if (rows < 0)
+        println(s"[qtime] $name: FAILED (every repeat threw; no timing recorded)")
+      else
+        println(f"[qtime] $name: min $best%.3f s worst $worst%.3f s ($rows rows, $repeats repeats)")
     }
     spark.stop()
   }

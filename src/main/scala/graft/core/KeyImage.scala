@@ -38,6 +38,26 @@ object KeyImage {
           "encode it first (e.g. to_json(struct(col)))")
     }
 
+  /** [[of]] with floating-point key columns zero-normalized first (−0.0 →
+    * 0.0 via `c + 0.0`, identity on every other value including NaN): SQL
+    * key equality — and Spark's own shuffle/sort normalization
+    * (NormalizeFloatingNumbers) — treats −0.0 = 0.0, but their string
+    * renderings differ, so a sequential scan that sorts by the REAL key
+    * columns (for sort-elision) and detects key CHANGES by image would see
+    * sort-interleaved ±0.0 rows as alternating keys and reset its cursor
+    * mid-series (r16 optimization-round review). Type-aware: only
+    * float/double columns are wrapped — a STRING key with literal value
+    * "-0.0" keeps its distinct image.
+    */
+  def ofNormalized(df: org.apache.spark.sql.DataFrame, cols: Seq[Column]): Column = {
+    val types = df.select(cols: _*).schema.fields.map(_.dataType.typeName)
+    of(cols.zip(types).map {
+      case (c, "double") => c + lit(0.0)
+      case (c, "float")  => c + lit(0.0f)
+      case (c, _)        => c
+    })
+  }
+
   def of(cols: Seq[Column]): Column = {
     require(cols.nonEmpty, "KeyImage.of: no columns")
     val parts = cols.map { c =>

@@ -262,7 +262,10 @@ object Behavior {
       // collision-free length-prefixed key image (same reasoning as Cusum:
       // a separator encoding could merge crafted keys and the cursor would
       // leak across their series)
-      .withColumn("__spk", graft.core.KeyImage.of(keyCols))
+      // zero-normalized image (KeyImage.ofNormalized): sorting by the real
+      // columns groups -0.0 with 0.0 (SQL key equality), so the change-probe
+      // image must agree or the cursor would reset mid-series on ±0.0 keys
+      .withColumn("__spk", graft.core.KeyImage.ofNormalized(df, keyCols))
       .repartition(keyCols: _*)
       // sort on the REAL key columns, not the image (r16 optimization round
       // — the scanPattern precedent): KeyImage is injective, so grouping by

@@ -335,7 +335,9 @@ object MatchRecognize {
     // this sort into the DEFINE window's own (key, order) sort; the image is
     // only the collision-free equality probe for key-change detection
     val pre = withDefs
-      .withColumn("__mr_spk", graft.core.KeyImage.of(keyCols))
+      // zero-normalized image: the sort below groups -0.0 with 0.0, so the
+      // key-change probe must agree (see KeyImage.ofNormalized)
+      .withColumn("__mr_spk", graft.core.KeyImage.ofNormalized(withDefs, keyCols))
       .repartition(keyCols: _*)
       .sortWithinPartitions(keyCols ++ orderCols: _*)
 

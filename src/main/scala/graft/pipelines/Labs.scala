@@ -207,13 +207,17 @@ object Labs {
       val corpus = MlPredict.embedDistinct(docs, "local-embed-64", "text")
         .select(col("doc_id"), col("text").as("chunk"), col("embedding"))
         .localCheckpoint()
-      val bind =
-        if (ann) null
-        else VectorSearchAgg.prepareAuto(spark, corpus, "embedding", 3)
-      val embedded = MlPredict.embed(queriedF.get(), "local-embed-64", "query_text")
-      val enriched =
-        if (ann) VectorSearchAgg.ann(embedded, corpus, "embedding", 3, numCandidates)
-        else bind(embedded)
+      val bind: Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] =
+        if (ann) None
+        else Some(VectorSearchAgg.prepareAuto(spark, corpus, "embedding", 3))
+      val queriedPinned =
+        try queriedF.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      val embedded = MlPredict.embed(queriedPinned, "local-embed-64", "query_text")
+      val enriched = bind match {
+        case Some(b) => b(embedded)
+        case None => VectorSearchAgg.ann(embedded, corpus, "embedding", 3, numCandidates)
+      }
       MlPredict.generate(
         enriched.withColumn("prompt", Prompts.lab3(col("query_text"), col("search_results"))),
         "local-textgen", "prompt", "reason")

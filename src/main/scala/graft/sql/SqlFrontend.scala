@@ -1302,7 +1302,8 @@ object SqlFrontend {
         val candRefs = (partCols ++ ordCols)
           .flatMap("\\w+".r.findAllIn(_)).map(_.toLowerCase).toSet
         val cand = cand0.select(cand0.columns
-          .filter(c => candRefs.contains(c.toLowerCase) || c == "__mr" || c == "__graft_len")
+          .filter(c => candRefs.contains(c.toLowerCase) || !c.matches("\\w+") ||
+            c == "__mr" || c == "__graft_len")
           .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
         val sel = graft.operators.Behavior.skipPastSelect(
           cand, partCols.map(org.apache.spark.sql.functions.expr),
@@ -1511,7 +1512,11 @@ object SqlFrontend {
         else {
           val refs = (partCols ++ ordCols ++ defineSrc.values ++ measureSrc.map(_._1))
             .flatMap("\\w+".r.findAllIn(_)).map(_.toLowerCase).toSet
-          val keep = input00full.columns.filter(c => refs.contains(c.toLowerCase))
+          // a column whose NAME is not a plain \w+ identifier (backticked,
+          // hyphenated, non-ASCII) can never be matched by the token probe —
+          // keep it defensively rather than mis-prune a referenced column
+          val keep = input00full.columns.filter(c =>
+            refs.contains(c.toLowerCase) || !c.matches("\\w+"))
           if (keep.length == input00full.columns.length) input00full
           else input00full.select(keep.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
         }

@@ -171,7 +171,12 @@ object VectorSearchAgg {
         override def call(): IvfIndex.Ivf = buildIndex(corpus, idCol, embCol, nLists, iterations)
       })
       val q = queries.withColumn("__qid", monotonically_increasing_id()).localCheckpoint(true)
-      val ivf = buildF.get()
+      // rethrow the ORIGINAL build failure, not the ExecutionException
+      // wrapper — callers/tests catch the same exception type the old
+      // synchronous call threw
+      val ivf =
+        try buildF.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
       annPreparedPinned(q, ivf, corpus, queryVecCol, k, numCandidates, idCol, chunkCol, outCol)
     } finally exec.shutdown()
   }
