@@ -149,6 +149,13 @@ object Text {
         LangQ(lang, q)
       }
     }
+      // asNondeterministic (r17 optimization round, guide §4.4): callers
+      // filter on lang_pred/quality derived from this struct, and the pushed
+      // filter substituted the UDF — q54's before-plan evaluated the fused
+      // pass TWICE in the scan-side filter and a THIRD time in the surviving
+      // projection. The marker pins one evaluation per row; the function is
+      // pure (TextFusedSpec parity), so values are unchanged.
+      .asNondeterministic()
   }
 
   /** Mean token length over a materialized token array (Gopher-style signal;

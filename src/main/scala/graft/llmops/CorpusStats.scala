@@ -255,7 +255,10 @@ object CorpusStats {
       var i = 0
       while (i < sh.length) { seen.add(sh(i)); i += 1 }
       seen.toArray(new Array[String](seen.size()))
-    }
+      // asNondeterministic (r17, guide §4.4): explode over the UDF makes
+      // InferFiltersFromGenerate duplicate the call into an inferred
+      // size/isnotnull filter (the q27 pattern) — pin one tokenize per doc
+    }.asNondeterministic()
     df.select(explode(shUdf(col(textCol))).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("ngram")).limit(k)

@@ -436,6 +436,13 @@ object Dedup {
     * None on a null side (null text), matching array_intersect's null-in
     * null-out so a null-text doc still never passes the jaccard filter.
     */
+  // asNondeterministic (r17 optimization round, guide §4.4): every caller
+  // computes `__common` then filters on a jaccard derived from it — the
+  // optimizer substituted the UDF into the pushed filter/join condition, so
+  // each candidate pair paid THREE linear merges (jaccard references
+  // __common twice, plus the project). The marker pins one evaluation per
+  // pair; the merge is pure, so values are unchanged (q28 rows, q54/q99
+  // transcription gates, DedupSpec).
   private[graft] val sortedIntersectSize = udf { (a: Seq[Long], b: Seq[Long]) =>
     if (a == null || b == null) None
     else {
@@ -452,7 +459,7 @@ object Dedup {
       }
       Some(n)
     }
-  }
+  }.asNondeterministic()
 
   /** Exact token-n-gram Jaccard between two text columns (row-local). */
   def jaccardShingles(a: Column, b: Column, n: Int): Column = {
@@ -488,9 +495,16 @@ object Dedup {
     // never materializes string shingle arrays in the plan — only 8-byte
     // hashes leave the row (same reasoning as CorpusStats.topNgrams, where
     // the HOF formulation measured 40-70× slower at sf1)
+    // asNondeterministic (r17 optimization round, guide §4.4): the explode
+    // below makes InferFiltersFromGenerate push `size(sh) > 0 AND
+    // isnotnull(sh)` THROUGH the projection, substituting the UDF into the
+    // filter — the before-plan evaluated the full tokenize+hash pass THREE
+    // times per doc (twice in the pushed filter, once in the projection).
+    // The marker forbids the optimizer from duplicating/reordering the call;
+    // the function itself is pure, so values are unchanged (q27/q30 oracle).
     val hashUdf = udf { text: String =>
       if (text == null) null else shingleHashSet(text, sz)
-    }
+    }.asNondeterministic()
     val sh = graft.core.Parallelism.defend(df)
       .select(col(idCol).as("doc_id"), hashUdf(col(textCol)).as("sh"))
       .withColumn("n_sh", size(col("sh")))
