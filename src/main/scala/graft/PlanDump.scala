@@ -22,13 +22,21 @@ object PlanDump {
         graft.queries.Catalog.benchGroup2Names ++ graft.queries.Catalog.benchGroup3Names
     names.foreach { name =>
       val q = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
+      graft.core.PlanProbe.clear()
       val df = q(spark, sfDir)
       // queryExecution.explainString == what .explain("formatted") prints
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+      // operators that split at an RDD boundary (r17: the MR scans run on
+      // queryExecution.toRdd) record their exchange/sort child plans in
+      // PlanProbe — append them so the dump still shows the full shape
+      val children = graft.core.PlanProbe.recorded.map { case (tag, qe) =>
+        s"\n\n== RDD-boundary child plan: $tag ==\n" +
+          qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+      }.mkString
       java.nio.file.Files.write(outDir.resolve(s"$name.txt"),
-        txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      println(s"[plandump] wrote $name (${txt.length} chars)")
+        (txt + children).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[plandump] wrote $name (${txt.length + children.length} chars)")
     }
     spark.stop()
   }

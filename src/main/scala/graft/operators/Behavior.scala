@@ -274,21 +274,47 @@ object Behavior {
       // partition by (key, order) — q162's plan dropped its second Sort. The
       // image stays as the collision-free key-CHANGE probe in the scan.
       .sortWithinPartitions(keyCols ++ orderCols: _*)
-    val lenIdx = pre.schema.fieldIndex(lenCol)
-    val keyIdx = pre.schema.fieldIndex("__spk")
-    pre.mapPartitions { it =>
-      var curKey: String = null
+    val preSchema = pre.schema
+    val lenIdx = preSchema.fieldIndex(lenCol)
+    val keyIdx = preSchema.fieldIndex("__spk")
+    // numeric-width-agnostic long read of the candidate length (the external
+    // path used getAs[Number].longValue — integral widths only, same set)
+    val lenGet: org.apache.spark.sql.catalyst.InternalRow => Long =
+      preSchema(lenIdx).dataType match {
+        case org.apache.spark.sql.types.LongType    => _.getLong(lenIdx)
+        case org.apache.spark.sql.types.IntegerType => _.getInt(lenIdx).toLong
+        case org.apache.spark.sql.types.ShortType   => _.getShort(lenIdx).toLong
+        case org.apache.spark.sql.types.ByteType    => _.getByte(lenIdx).toLong
+        case dt => sys.error(s"skipPastSelect: length column '$lenCol' must be integral, got $dt")
+      }
+    // INTERNAL-row scan (r17 optimization round — the MR object boundary was
+    // the verdict's #3): the previous Dataset.mapPartitions over external
+    // Rows planned a DeserializeToObject/SerializeFromObject pair, so every
+    // field of every row round-tripped through Scala objects (UTF8String →
+    // String, micros → LocalDateTime, …) just to read one length and one key
+    // per row. This filter streams the sorted UnsafeRows through UNTOUCHED —
+    // one-in/one-out, no buffering, no per-row conversion — cloning only the
+    // tiny key image it must retain across rows for the key-change probe.
+    graft.core.PlanProbe.record("skip_past_child", pre.queryExecution)
+    val rdd = pre.queryExecution.toRdd.mapPartitions { it =>
+      var curKey: org.apache.spark.unsafe.types.UTF8String = null
       var consume = 0L
       it.filter { r =>
-        val key = r.getString(keyIdx)
-        if (key != curKey) { curKey = key; consume = 0L }
+        val key = r.getUTF8String(keyIdx)
+        // exact twin of the external `key != curKey` probe incl. nulls
+        // (consecutive null images are ONE series)
+        val changed =
+          if (key == null) curKey != null
+          else curKey == null || !key.equals(curKey)
+        if (changed) { curKey = if (key == null) null else key.clone(); consume = 0L }
         if (consume > 0L) { consume -= 1L; false }
         else {
-          val len = if (r.isNullAt(lenIdx)) 0L else r.getAs[Number](lenIdx).longValue()
+          val len = if (r.isNullAt(lenIdx)) 0L else lenGet(r)
           if (len > 0L) { consume = len - 1L; true } else false
         }
       }
-    }(org.apache.spark.sql.Encoders.row(pre.schema))
+    }
+    org.apache.spark.sql.graft.Bridge.internalDf(df.sparkSession, rdd, preSchema)
       .drop("__spk")
   }
 

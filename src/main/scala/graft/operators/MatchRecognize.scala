@@ -142,6 +142,19 @@ object MatchRecognize {
       (if (other == null) "NULL" else other.getClass.getSimpleName))
   }).setScale(6, java.math.RoundingMode.HALF_UP)
 
+  /** [[toDecimal6]] for INTERNAL values (the r17 InternalRow scan): Decimal
+    * instead of BigDecimal, integrals boxed as java Numbers, identical
+    * rounding and result for every value the external twin accepted.
+    */
+  private[graft] def toDecimal6Internal(v: Any): java.math.BigDecimal = (v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    case d: java.lang.Double => java.math.BigDecimal.valueOf(d)
+    case f: java.lang.Float => new java.math.BigDecimal(f.toString)
+    case n: java.lang.Number => java.math.BigDecimal.valueOf(n.longValue)
+    case other => sys.error("SUM over a non-numeric MEASURES column: " +
+      (if (other == null) "NULL" else other.getClass.getSimpleName))
+  }).setScale(6, java.math.RoundingMode.HALF_UP)
+
   /** Single-linear-sequence entry — the pre-r11 surface, unchanged: every
     * token is one global variable in pattern order, one branch.
     */
@@ -342,6 +355,7 @@ object MatchRecognize {
       .sortWithinPartitions(keyCols ++ orderCols: _*)
 
     val inSchema = pre.schema
+    val inTypes: Array[DataType] = inSchema.fields.map(_.dataType)
     val nOrig = df.schema.fields.length // original columns lead; helpers appended
     val keyIdx = inSchema.fieldIndex("__mr_spk")
     val defIdxArr = (0 until n).map(i => inSchema.fieldIndex(s"__mr_def_$i")).toArray
@@ -414,33 +428,85 @@ object MatchRecognize {
     val withinUs = withinMicros.getOrElse(0L)
     val skipMode = skip
     val nameByIdx = varNames.toArray
+    val nameU8: Array[org.apache.spark.unsafe.types.UTF8String] =
+      varNames.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
     val emitAll = allRows
     val emitOneRowCls = oneRowClassifier
+    // both timestamp flavors store epoch micros as an internal long — WITHIN
+    // reads them directly (the external path converted to LocalDateTime/
+    // Instant per row and re-derived the same micros)
+    val tsIsTimestampTyped = inTypes(tsIdx) match {
+      case TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val tsTypeName = inTypes(tsIdx).simpleString
+    val needsDyn = dynArr.exists(_ != null)
 
-    pre.mapPartitions { it =>
-      new scala.collection.AbstractIterator[Row] {
-        private val out = scala.collection.mutable.Queue.empty[Row]
-        private var stash: Row = null // first row of the NEXT key, read past the boundary
-        private var curKey: String = null
+    // INTERNAL-row scan (r17 optimization round — the MR object boundary was
+    // the r16 verdict's top remaining cost): the previous Dataset
+    // .mapPartitions over external Rows planned a DeserializeToObject /
+    // SerializeFromObject pair, converting EVERY field of EVERY row
+    // (UTF8String → String, micros-long → LocalDateTime, Decimal → BigDecimal
+    // and back) before the NFA read its one boolean per DEFINE. This pass
+    // consumes the sorted UnsafeRows directly — the only per-row work is one
+    // buffer copy (rows must outlive the iterator slot for backtracking) —
+    // and emits internal rows; Bridge.internalDf wraps them without a second
+    // conversion. One semantic note: min/max MEASURES over StringType now
+    // compare UTF8String binary order — Spark's and DuckDB's own string
+    // collation — where the external path compared Java UTF-16 Strings; the
+    // two differ only when a supplementary code point meets a BMP char in
+    // [U+E000, U+FFFF] at the first differing position (no oracle or spec
+    // data does — and the new order is the engine-native one).
+    graft.core.PlanProbe.record("mr_scan_child", pre.queryExecution)
+    val rddOut = pre.queryExecution.toRdd.mapPartitions { it =>
+      new scala.collection.AbstractIterator[org.apache.spark.sql.catalyst.InternalRow] {
+        import org.apache.spark.sql.catalyst.InternalRow
+        import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+        import org.apache.spark.unsafe.types.UTF8String
+        // cross-variable (interpreted) DEFINEs read EXTERNAL rows —
+        // MrConditions' value model is String/BigDecimal/Timestamp — so
+        // convert lazily, only the rows a dynamic predicate actually touches
+        private val toScala: InternalRow => Row =
+          if (!needsDyn) null
+          else {
+            val c = org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .createToScalaConverter(inSchema)
+            (r: InternalRow) => c(r).asInstanceOf[Row]
+          }
+        private val out = scala.collection.mutable.Queue.empty[InternalRow]
+        private var stash: InternalRow = null // first row of the NEXT key, read past the boundary
+        private var curKey: UTF8String = null
         private var keyDone = false
         private var finished = false
         // rows of the current key from the cursor on; base = cursor's index
-        private val buf = new java.util.ArrayList[Row]()
+        private val buf = new java.util.ArrayList[InternalRow]()
         private var base = 0
 
         private def bufLen: Int = buf.size - base
-        private def rowAt(j: Int): Row = buf.get(base + j)
+        private def rowAt(j: Int): InternalRow = buf.get(base + j)
 
-        /** Pull rows until index j (cursor-relative) exists or the key ends. */
+        /** WITHIN's event time: internal epoch micros, read directly. */
+        private def tsMicrosAt(r: InternalRow): Long = {
+          if (!tsIsTimestampTyped)
+            sys.error("MATCH_RECOGNIZE WITHIN requires a timestamp ORDER BY column, got " + tsTypeName)
+          if (r.isNullAt(tsIdx))
+            sys.error("MATCH_RECOGNIZE WITHIN requires a timestamp ORDER BY column, got NULL")
+          r.getLong(tsIdx)
+        }
+
+        /** Pull rows until index j (cursor-relative) exists or the key ends.
+          * Rows are copied ON INGESTION: the source iterator reuses one
+          * UnsafeRow buffer, and the NFA buffers rows for backtracking.
+          */
         private def ensure(j: Int): Boolean = {
           while (bufLen <= j && !keyDone) {
             val r =
               if (stash != null) { val s = stash; stash = null; s }
-              else if (it.hasNext) it.next()
+              else if (it.hasNext) it.next().copy()
               else null
             if (r == null) keyDone = true
             else {
-              val k = r.getString(keyIdx)
+              val k = r.getUTF8String(keyIdx)
               if (curKey == null) curKey = k
               if (k == curKey) { buf.add(r); () }
               else { stash = r; keyDone = true }
@@ -455,7 +521,7 @@ object MatchRecognize {
           if (base >= 1024 && base * 2 >= buf.size) { buf.subList(0, base).clear(); base = 0 }
         }
 
-        private def defOk(r: Row, t: Int): Boolean = {
+        private def defOk(r: InternalRow, t: Int): Boolean = {
           val i = defIdxArr(t); !r.isNullAt(i) && r.getBoolean(i)
         }
 
@@ -474,7 +540,7 @@ object MatchRecognize {
           var candPos = 0
           var countsRef: Array[Int] = _
           def cur: Row = curRow
-          def rowAt(pos: Int): Row = buf.get(base + pos)
+          def rowAt(pos: Int): Row = toScala(buf.get(base + pos))
           def selfTok: Int = self
           def selfRunStart: Int = runStart
           def selfPos: Int = candPos
@@ -482,10 +548,10 @@ object MatchRecognize {
           def counts: Array[Int] = countsRef
           override def placedBefore(tok: Int): Boolean = placed(tok)
         }
-        private def dynOk(r: Row, gv: Int, runStart: Int, pos: Int): Boolean = {
+        private def dynOk(r: InternalRow, gv: Int, runStart: Int, pos: Int): Boolean = {
           val d = dynArr(gv)
           d == null || {
-            dynCtx.curRow = r; dynCtx.self = gv; dynCtx.runStart = runStart
+            dynCtx.curRow = toScala(r); dynCtx.self = gv; dynCtx.runStart = runStart
             dynCtx.candPos = pos
             d.holds(dynCtx)
           }
@@ -534,7 +600,7 @@ object MatchRecognize {
               var c = 0
               while (c < pHi(ip) && ensure(pos + c) && defOk(rowAt(pos + c), gv) &&
                 dynOk(rowAt(pos + c), gv, pos, pos + c) &&
-                (!hasWithin || micros(rowAt(pos + c).get(tsIdx)) - startUs <= withinUs)) c += 1
+                (!hasWithin || tsMicrosAt(rowAt(pos + c)) - startUs <= withinUs)) c += 1
               val d = pathLen
               pathVar(d) = gv; pathStart(d) = pos; pathExcl(d) = pExcl(ip)
               def tryCount(k: Int): Boolean = {
@@ -569,24 +635,28 @@ object MatchRecognize {
           java.util.Arrays.fill(placed, false)
           pathLen = 0
           dynCtx.countsRef = counts
-          val startUs = if (hasWithin) micros(rowAt(0).get(tsIdx)) else 0L
+          val startUs = if (hasWithin) tsMicrosAt(rowAt(0)) else 0L
           walk(pEntry, 0, startUs, counts)
         }
 
-        private def projMeasure(r: Row): Row = {
+        private def projMeasure(r: InternalRow): InternalRow = {
           val vals = new Array[Any](measureIdxArr.length)
           var i = 0
-          while (i < measureIdxArr.length) { vals(i) = r.get(measureIdxArr(i)); i += 1 }
-          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+          while (i < measureIdxArr.length) {
+            val at = measureIdxArr(i)
+            vals(i) = r.get(at, inTypes(at))
+            i += 1
+          }
+          new GenericInternalRow(vals)
         }
 
-        private def mk(src: Row, structVals: Array[Any], subVals: Array[Any],
+        private def mk(src: InternalRow, structVals: Array[Any], subVals: Array[Any],
                        offVals: Array[Any], runVals: Array[Any], runAggVals: Array[Any],
                        aggVals: Array[Any], subAggVals: Array[Any],
-                       len: Long, seq: Long, cls: String): Row = {
+                       len: Long, seq: Long, cls: UTF8String): InternalRow = {
           val vals = new Array[Any](outArity)
           var i = 0
-          while (i < nOrig) { vals(i) = src.get(i); i += 1 }
+          while (i < nOrig) { vals(i) = src.get(i, inTypes(i)); i += 1 }
           var at = nOrig
           def put(a: Array[Any]): Unit = if (a != null) {
             var j = 0
@@ -598,7 +668,7 @@ object MatchRecognize {
           vals(lenPos) = len
           vals(lenPos + 1) = seq
           if (emitAll || emitOneRowCls) vals(lenPos + 2) = cls
-          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+          new GenericInternalRow(vals)
         }
 
         /** Aggregates over a set of matched runs (p, c): cnt exact, sum EXACT
@@ -606,7 +676,24 @@ object MatchRecognize {
           * double→decimal cast's rounding), min/max by the column type's
           * natural order; non-cnt fields NULL when the runs are empty.
           */
-        private def aggOver(spec: Array[(String, Int)], runs: Array[Long]): Row = {
+        /** Materialize an aggregate-accumulator array as an internal struct
+          * row: exact BigDecimal sums become scale-6 internal Decimals; cnt
+          * longs and min/max internal values pass through.
+          */
+        private def aggRowOf(vals: Array[Any]): InternalRow = {
+          val out = new Array[Any](vals.length)
+          var j = 0
+          while (j < vals.length) {
+            out(j) = vals(j) match {
+              case b: java.math.BigDecimal => Decimal(new scala.math.BigDecimal(b), 38, 6)
+              case v => v
+            }
+            j += 1
+          }
+          new GenericInternalRow(out)
+        }
+
+        private def aggOver(spec: Array[(String, Int)], runs: Array[Long]): InternalRow = {
           val vals = new Array[Any](spec.length)
           var j = 0
           while (j < spec.length) {
@@ -623,12 +710,12 @@ object MatchRecognize {
                     if (colIdx < 0 || !row.isNullAt(colIdx)) acc = acc.asInstanceOf[Long] + 1L
                   case "sum" =>
                     if (!row.isNullAt(colIdx)) {
-                      val d = toDecimal6(row.get(colIdx))
+                      val d = toDecimal6Internal(row.get(colIdx, inTypes(colIdx)))
                       acc = if (acc == null) d else acc.asInstanceOf[java.math.BigDecimal].add(d)
                     }
                   case _ =>
                     if (!row.isNullAt(colIdx)) {
-                      val v = row.get(colIdx)
+                      val v = row.get(colIdx, inTypes(colIdx))
                       if (acc == null) acc = v
                       else {
                         val cmp = v.asInstanceOf[Comparable[Any]].compareTo(acc)
@@ -643,7 +730,7 @@ object MatchRecognize {
             vals(j) = acc
             j += 1
           }
-          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+          aggRowOf(vals)
         }
 
         private def run1(p: Int, c: Int): Array[Long] =
@@ -739,7 +826,7 @@ object MatchRecognize {
             val oneRowLabel = if (!emitOneRowCls) null else {
               var t = pathLen - 1
               while (t >= 0 && pathCount(t) == 0) t -= 1
-              nameByIdx(pathVar(t))
+              nameU8(pathVar(t))
             }
             out.enqueue(mk(rowAt(0), structVals, subVals, offVals, null, null,
               aggVals, subAggVals, len, seq, oneRowLabel))
@@ -768,9 +855,7 @@ object MatchRecognize {
               val a = new Array[Any](n)
               var u = 0
               while (u < n) {
-                if (runAcc(u) != null)
-                  a(u) = Row.fromSeq(scala.collection.immutable.ArraySeq
-                    .unsafeWrapArray(runAcc(u).clone()))
+                if (runAcc(u) != null) a(u) = aggRowOf(runAcc(u).clone())
                 u += 1
               }
               a
@@ -810,8 +895,7 @@ object MatchRecognize {
                         av(k) =
                           if (gStarts(u) < 0 || gStarts(u) > pos) emptyAggRows(u) // run not begun
                           else if (gStarts(u) + counts(u) - 1 <= pos) aggVals(k) // fully visible
-                          else Row.fromSeq(scala.collection.immutable.ArraySeq
-                            .unsafeWrapArray(runAcc(u).clone())) // mid-run snapshot
+                          else aggRowOf(runAcc(u).clone()) // mid-run snapshot
                         k += 1
                       }
                       u += 1
@@ -820,7 +904,7 @@ object MatchRecognize {
                   }
                 if (!pathExcl(t)) // {- X -}: matched but not emitted
                   out.enqueue(mk(rowAt(pos), structVals, subVals, offVals, runVals, runAggVals,
-                    aggVals, subAggVals, len, seq, nameByIdx(gv)))
+                    aggVals, subAggVals, len, seq, nameU8(gv)))
                 pos += 1; c += 1
               }
               t += 1
@@ -832,7 +916,7 @@ object MatchRecognize {
           * contract as [[aggOver]]: exact decimal sums, natural-order
           * min/max, non-null counting).
           */
-        private def accumulate(acc: Array[Any], spec: Array[(String, Int)], row: Row): Unit = {
+        private def accumulate(acc: Array[Any], spec: Array[(String, Int)], row: InternalRow): Unit = {
           var j = 0
           while (j < spec.length) {
             val (fn, colIdx) = spec(j)
@@ -841,13 +925,13 @@ object MatchRecognize {
               case "cnt" => if (!row.isNullAt(colIdx)) acc(j) = acc(j).asInstanceOf[Long] + 1L
               case "sum" =>
                 if (!row.isNullAt(colIdx)) {
-                  val d = toDecimal6(row.get(colIdx))
+                  val d = toDecimal6Internal(row.get(colIdx, inTypes(colIdx)))
                   acc(j) = if (acc(j) == null) d
                   else acc(j).asInstanceOf[java.math.BigDecimal].add(d)
                 }
               case _ =>
                 if (!row.isNullAt(colIdx)) {
-                  val v = row.get(colIdx)
+                  val v = row.get(colIdx, inTypes(colIdx))
                   if (acc(j) == null) acc(j) = v
                   else {
                     val cmp = v.asInstanceOf[Comparable[Any]].compareTo(acc(j))
@@ -923,12 +1007,13 @@ object MatchRecognize {
         }
 
         override def hasNext: Boolean = { pump(); out.nonEmpty }
-        override def next(): Row = {
+        override def next(): org.apache.spark.sql.catalyst.InternalRow = {
           pump()
           if (out.isEmpty) throw new NoSuchElementException("empty scan iterator")
           out.dequeue()
         }
       }
-    }(Encoders.row(outSchema))
+    }
+    org.apache.spark.sql.graft.Bridge.internalDf(df.sparkSession, rddOut, outSchema)
   }
 }

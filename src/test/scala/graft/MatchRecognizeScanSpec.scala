@@ -352,6 +352,7 @@ class MatchRecognizeScanSpec extends SparkSpec {
     // a single exchange + a single sort (the q162 plan-guard precedent: if
     // this regresses, the operator pays a second full shuffle at 100 TB)
     ticker.createOrReplaceTempView("mr_ticker")
+    graft.core.PlanProbe.clear()
     val df = SqlFrontend.execute(spark,
       """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY ts, id
@@ -359,17 +360,28 @@ class MatchRecognizeScanSpec extends SparkSpec {
         |  ONE ROW PER MATCH
         |  PATTERN (S D+ U+)
         |  DEFINE D AS D.v < PREV(D.v), U AS U.v > PREV(U.v))""".stripMargin)
-    val plan = df.queryExecution.executedPlan.toString
+    // r17: the scan runs on queryExecution.toRdd, so the exchange/sort live
+    // in the recorded CHILD plan; the OUTER plan must carry NO shuffle, NO
+    // sort and — the point of the InternalRow port — NO object boundary
+    val children = graft.core.PlanProbe.recorded
+    assert(children.nonEmpty, "scan did not record its child plan")
+    val plan = children.map(c => finalPlanOnly(c._2.executedPlan.toString)).mkString("\n")
+    val outer = df.queryExecution.executedPlan.toString
     val exchanges = "Exchange".r.findAllIn(plan).size
     val sorts = "\\bSort\\b".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected ONE shared exchange, got $exchanges:\n${plan.take(3000)}")
     assert(sorts == 1, s"expected ONE shared sort, got $sorts:\n${plan.take(3000)}")
+    assert(!outer.contains("Exchange") && !"\\bSort\\b".r.findAllIn(outer).hasNext,
+      s"outer plan grew a shuffle/sort:\n${outer.take(3000)}")
+    assert(!outer.contains("DeserializeToObject") && !plan.contains("DeserializeToObject"),
+      s"MR scan re-grew the external-Row object boundary:\n${outer.take(3000)}")
 
     // cross-variable route: the PREV nav helper column is a SEPARATE
     // selectExpr window pass before the scan — CollapseWindow must merge it
     // into the DEFINE window (same spec), keeping one exchange + one sort +
     // one Window; a second of any would double the 100 TB shuffle bill
-    val df2 = SqlFrontend.execute(spark,
+    graft.core.PlanProbe.clear()
+    SqlFrontend.execute(spark,
       """SELECT * FROM mr_ticker MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY ts, id
         |  MEASURES FIRST(S.id) AS s_id, LAST(U.v) AS top
@@ -377,7 +389,9 @@ class MatchRecognizeScanSpec extends SparkSpec {
         |  PATTERN (S D+ U+)
         |  DEFINE D AS D.v < PREV(D.v),
         |         U AS U.v > PREV(U.v) AND U.v < FIRST(S.v))""".stripMargin)
-    val plan2 = df2.queryExecution.executedPlan.toString
+    val children2 = graft.core.PlanProbe.recorded
+    assert(children2.nonEmpty, "cross-var scan did not record its child plan")
+    val plan2 = children2.map(c => finalPlanOnly(c._2.executedPlan.toString)).mkString("\n")
     assert("Exchange".r.findAllIn(plan2).size == 1 &&
       "\\bSort\\b".r.findAllIn(plan2).size == 1 &&
       "\\bWindow\\b".r.findAllIn(plan2).size == 1,
