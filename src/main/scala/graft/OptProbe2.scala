@@ -93,6 +93,23 @@ object OptProbe2 {
     // --- q28 --------------------------------------------------------------
     time("q28: minHashLsh direct (collapse probe on)")(noop(
       graft.llmops.Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.5)))
+
+    // --- q27 stages (r17): where does ngramJaccardPairs spend? ------------
+    val shUdf = udf { text: String =>
+      if (text == null) null else graft.llmops.Dedup.shingleHashSet(text, 3)
+    }.asNondeterministic()
+    val sh27 = graft.core.Parallelism.defend(docs)
+      .select(col("doc_id"), shUdf(col("text")).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    time("q27: tokenize+hash UDF pass")(noop(sh27))
+    val inv27 = sh27.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      .select(col("shingle"), struct(col("doc_id"), col("n_sh")).as("__p"))
+    time("q27: + explode (pre-exchange rows)")(noop(inv27))
+    val post27 = inv27.groupBy("shingle").agg(collect_list(col("__p")).as("__ps"))
+      .filter(size(col("__ps")) >= 2)
+    time("q27: + postings shuffle (collect_list + df>=2)")(noop(post27))
+    time("q27: full ngramJaccardPairs")(noop(
+      graft.llmops.Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.8)))
     spark.stop()
   }
 }

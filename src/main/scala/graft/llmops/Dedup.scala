@@ -284,13 +284,9 @@ object Dedup {
       val b = banded0.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
       val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
-      return pairs
-        .join(shSetsF.select(col("doc_id").as("id_a"), col("__sh").as("__sa")), "id_a")
-        .join(shSetsF.select(col("doc_id").as("id_b"), col("__sh").as("__sb")), "id_b")
-        .withColumn("__common", sortedIntersectSize(col("__sa"), col("__sb")).cast("double"))
-        .withColumn("jaccard", col("__common") / (size(col("__sa")) + size(col("__sb")) - col("__common")).cast("double"))
-        .filter(col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+      // one streamed pass over the (sig, set) checkpoint instead of two
+      // full-frame broadcasts — see verifySetPairs
+      return verifySetPairs(pairs, shSetsF, threshold)
     }
     // SET-IDENTICAL COLLAPSE before banding (round 6, same as
     // jaccardJoinPrefix / embeddingNearDupLsh): identical shingle sets have
@@ -350,16 +346,11 @@ object Dedup {
     val b = banded0.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val repPairs = pairs
-      .join(shSetsC.select(col("doc_id").as("id_a"), col("__sh").as("__sa")), "id_a")
-      .join(shSetsC.select(col("doc_id").as("id_b"), col("__sh").as("__sb")), "id_b")
-      // sortedIntersectSize: the sets are sorted at construction, so the
-      // intersection is a linear merge — no per-pair hash-set build the way
-      // array_intersect would (a doc in many pairs pays per PAIR, not per doc)
-      .withColumn("__common", sortedIntersectSize(col("__sa"), col("__sb")).cast("double"))
-      .withColumn("jaccard", col("__common") / (size(col("__sa")) + size(col("__sb")) - col("__common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // sortedIntersectSize inside verifySetPairs: the sets are sorted at
+    // construction, so the intersection is a linear merge — no per-pair
+    // hash-set build the way array_intersect would (a doc in many pairs
+    // pays per PAIR, not per doc)
+    val repPairs = verifySetPairs(pairs, shSetsC, threshold)
     val cross = repPairs
       .join(members.select(col("rep").as("id_a"), col("doc_id").as("__da")), "id_a")
       .join(members.select(col("rep").as("id_b"), col("doc_id").as("__db")), "id_b")
@@ -460,6 +451,48 @@ object Dedup {
       Some(n)
     }
   }.asNondeterministic()
+
+  /** Verification tail shared by [[minHashLsh]] (both paths) and
+    * [[jaccardJoinPrefix]]: exact jaccard for each candidate (id_a, id_b)
+    * pair against the per-doc sorted hash sets in `sets` (columns: doc_id,
+    * __sh), keeping pairs with jaccard >= threshold.
+    *
+    * ONE streamed pass over the corpus-sized sets frame instead of two (r17
+    * optimization round, guide §3.1/§8): the previous two-join form left the
+    * build-side choice to size estimates, and the optimizer BROADCAST the
+    * whole corpus-sized sets frame twice (plans/r16 q28 nodes 32/38: a
+    * BroadcastExchange over each full scan — two driver round-trips of the
+    * corpus token mass locally, an OOM at 100 TB where the estimate gate
+    * would instead shuffle the sets frame twice by id). Here the candidate
+    * PAIRS — small by the LSH / prefix-filter contract, the same reason only
+    * ids flow through the bucket join — explode into one (pair, side) row
+    * per member and broadcast; the sets frame streams through a single
+    * BroadcastHashJoin, and one pair-keyed exchange carries only the
+    * CANDIDATE sets into a two-row-per-group aggregate that reunites
+    * (__sa, __sb). Values bit-identical: same sortedIntersectSize merge,
+    * same IEEE double chain, and null sets (a null-text doc still bands via
+    * its signature) yield null jaccard and drop exactly as the inner joins
+    * did (check_minhash/check_curation/check_recipe; DedupSpec; q28/q54/q99).
+    */
+  private def verifySetPairs(pairs: DataFrame, sets: DataFrame,
+                             threshold: Double): DataFrame = {
+    val sides = pairs.select(explode(array(
+        struct(col("id_a"), col("id_b"), col("id_a").as("__d"), lit(0).as("__slot")),
+        struct(col("id_a"), col("id_b"), col("id_b").as("__d"), lit(1).as("__slot")))).as("__s"))
+      .select(col("__s.id_a").as("id_a"), col("__s.id_b").as("id_b"),
+        col("__s.__d").as("__d"), col("__s.__slot").as("__slot"))
+    sets.join(broadcast(sides), col("doc_id") === col("__d"))
+      // exactly two rows per group (doc_id is unique in `sets`, each pair
+      // side matches its one doc row); max-over-one-non-null just selects it
+      .groupBy("id_a", "id_b")
+      .agg(max(when(col("__slot") === 0, col("__sh"))).as("__sa"),
+        max(when(col("__slot") === 1, col("__sh"))).as("__sb"))
+      .withColumn("__common", sortedIntersectSize(col("__sa"), col("__sb")).cast("double"))
+      .withColumn("jaccard",
+        col("__common") / (size(col("__sa")) + size(col("__sb")) - col("__common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
 
   /** Exact token-n-gram Jaccard between two text columns (row-local). */
   def jaccardShingles(a: Column, b: Column, n: Int): Column = {
@@ -626,14 +659,8 @@ object Dedup {
       .filter((least(col("n_a") - col("__pa"), col("n_b") - col("__pb")) + lit(1)).cast("double") >=
         lit(threshold / (1.0 + threshold)) * (col("n_a") + col("n_b")).cast("double") - lit(1e-9))
       .select("id_a", "id_b").distinct()
-    val repPairs = cands
-      .join(withN.select(col("doc_id").as("id_a"), col("sh").as("__sa")), "id_a")
-      .join(withN.select(col("doc_id").as("id_b"), col("sh").as("__sb")), "id_b")
-      .withColumn("__common", sortedIntersectSize(col("__sa"), col("__sb")).cast("double"))
-      .withColumn("jaccard",
-        col("__common") / (size(col("__sa")) + size(col("__sb")) - col("__common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val repPairs = verifySetPairs(cands,
+      withN.select(col("doc_id"), col("sh").as("__sh")), threshold)
     // expand verified rep pairs to all member pairs (least/greatest keeps
     // the id_a < id_b contract; each unordered pair arises exactly once
     // because the two groups are distinct), then add the intra-group pairs

@@ -207,17 +207,20 @@ object Labs {
       val corpus = MlPredict.embedDistinct(docs, "local-embed-64", "text")
         .select(col("doc_id"), col("text").as("chunk"), col("embedding"))
         .localCheckpoint()
-      val bind: Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] =
-        if (ann) None
-        else Some(VectorSearchAgg.prepareAuto(spark, corpus, "embedding", 3))
+      // BOTH routes build their corpus-side store eagerly HERE, on this
+      // thread, while the query side still pins on the helper (r17: the ann
+      // route previously waited for the query pin and only then started the
+      // IVF build inside ann(), overlapping the ~seconds-long build with
+      // nothing but the tiny query-embed pin — now it overlaps the whole
+      // anomaly chain; guide §2.6). prepareAnn ≡ ann: same build, same values.
+      val bind: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        if (ann) VectorSearchAgg.prepareAnn(corpus, "embedding", 3, numCandidates)
+        else VectorSearchAgg.prepareAuto(spark, corpus, "embedding", 3)
       val queriedPinned =
         try queriedF.get()
         catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
       val embedded = MlPredict.embed(queriedPinned, "local-embed-64", "query_text")
-      val enriched = bind match {
-        case Some(b) => b(embedded)
-        case None => VectorSearchAgg.ann(embedded, corpus, "embedding", 3, numCandidates)
-      }
+      val enriched = bind(embedded)
       MlPredict.generate(
         enriched.withColumn("prompt", Prompts.lab3(col("query_text"), col("search_results"))),
         "local-textgen", "prompt", "reason")

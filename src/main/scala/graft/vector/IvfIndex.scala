@@ -31,9 +31,24 @@ object IvfIndex {
     * only (at auto-sized lists this loop is the whole build cost: 4·√N
     * centroids × N rows × dim).
     */
-  def assign(df: DataFrame, centroids: DataFrame, embCol: String): DataFrame = {
-    val cents = centroids.orderBy("list_id").collect()
+  def assign(df: DataFrame, centroids: DataFrame, embCol: String): DataFrame =
+    assignCollected(df, collectCentroids(centroids), embCol)
+
+  /** The one centroid-frame collect every assign/probe shares: ordered by
+    * list_id so broadcast contents (and the -1-init tie-breaks downstream)
+    * are layout-independent.
+    */
+  private[vector] def collectCentroids(centroids: DataFrame): Array[(Long, Array[Float])] =
+    centroids.orderBy("list_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  /** [[assign]] body against an ALREADY-collected centroid array — lets build
+    * reuse its final collect for both the assignment broadcast and the exact
+    * nLists count (r17: the lazy centroids.count() was one extra job on the
+    * first search of every index).
+    */
+  private def assignCollected(df: DataFrame, cents: Array[(Long, Array[Float])],
+                              embCol: String): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(
       (cents.map(_._1), cents.map(_._2), cents.map(c => IvfIndex.norm(c._2))))
     val nearest = udf((v: Seq[Float]) => {
@@ -127,21 +142,30 @@ object IvfIndex {
     // materialization barrier, not a computation (check_ivf.py still
     // fingerprint-exact).
     val pinnedCentroids = centroids.localCheckpoint()
-    val assigned = assign(vecs, pinnedCentroids, embCol)
+    // one collect serves the final assignment broadcast AND the exact list
+    // count (NOT `lists`: drained lists are filtered out, and searchNum-
+    // Candidates' nProbes must see the same count the old centroids.count()
+    // returned)
+    val cents = collectCentroids(pinnedCentroids)
+    val assigned = assignCollected(vecs, cents, embCol)
       .select(col(idCol).as("nid"), col(embCol).as("nvec"), col("list_id"))
-    Ivf(pinnedCentroids, assigned, nVectorsKnown = Some(nVecs))
+    Ivf(pinnedCentroids, assigned, nVectorsKnown = Some(nVecs),
+      nListsKnown = Some(cents.length.toLong))
   }
 
   final case class Ivf(centroids: DataFrame, assigned: DataFrame,
-                       nVectorsKnown: Option[Long] = None) {
+                       nVectorsKnown: Option[Long] = None,
+                       nListsKnown: Option[Long] = None) {
 
     // index invariants, computed once per Ivf (a per-search count() would
     // re-run the whole assignment lineage over the corpus); build passes the
-    // count it already took (assign() is a projection: |assigned| == |vecs|),
-    // mutation paths (add/remove) and load fall back to counting
+    // counts it already knows (assign() is a projection: |assigned| == |vecs|,
+    // and the auto-lists sizing fixed nLists — r17: the lazy centroids.count()
+    // was one extra job on the first search of every index), mutation paths
+    // (add/remove) and load fall back to counting
     private lazy val nVectors: Long =
       math.max(nVectorsKnown.getOrElse(assigned.count()), 1L)
-    private lazy val nLists: Long = math.max(centroids.count(), 1L)
+    private lazy val nLists: Long = math.max(nListsKnown.getOrElse(centroids.count()), 1L)
 
     /** Approximate top-k: probe `nProbes` lists per query.
       *
@@ -153,7 +177,11 @@ object IvfIndex {
     def search(queries: DataFrame, qidCol: String, qvecCol: String,
                k: Int, nProbes: Int, excludeSelf: Boolean = true): DataFrame = {
       val probed = IvfIndex.probeLists(queries, centroids, qidCol, qvecCol, nProbes)
-      val joined = probed.join(assigned, "list_id")
+      // queries are the small side by the ann contract (the corpus-sized
+      // `assigned` must never build the hash side at 100 TB) — broadcast
+      // explicitly like distributed()/KnnJoin do, instead of relying on the
+      // optimizer's stats for the probed frame (r17, guide §3.1)
+      val joined = broadcast(probed).join(assigned, "list_id")
       val sims = (if (excludeSelf) joined.filter(col(qidCol) =!= col("nid")) else joined)
         .select(col(qidCol), col("nid"),
           Vectors.cosine(col(qvecCol), col("nvec")).as("sim"))
@@ -208,7 +236,8 @@ object IvfIndex {
       val fresh = IvfIndex.assign(
           newVectors.select(col(idCol).as("nid"), col(embCol).as("nvec")), centroids, "nvec")
         .select(col("nid"), col("nvec"), col("list_id"))
-      Ivf(centroids, assigned.unionByName(fresh))
+      // vectors changed (recount), centroids did not (count carries over)
+      Ivf(centroids, assigned.unionByName(fresh), nListsKnown = nListsKnown)
     }
 
     /** Incremental REMOVE: drop ids from the lists (anti-join on the
@@ -217,7 +246,7 @@ object IvfIndex {
       */
     def remove(ids: DataFrame, idCol: String): Ivf =
       Ivf(centroids, assigned.join(broadcast(ids.select(col(idCol).as("nid"))),
-        Seq("nid"), "leftanti"))
+        Seq("nid"), "leftanti"), nListsKnown = nListsKnown)
 
     /** Per-list occupancy — the drift/imbalance signal that schedules a
       * rebuild (max/mean creeping up = centroids no longer fit the data).

@@ -181,6 +181,23 @@ object VectorSearchAgg {
     } finally exec.shutdown()
   }
 
+  /** The eager corpus-side half of [[ann]] (the IVF build), split out like
+    * [[prepareAuto]] so a caller can run it CONCURRENTLY with an expensive
+    * query-side lineage (guide §2.6 — see Labs.lab3Fleet: the build now
+    * overlaps the whole tumble→anomaly→surge pin instead of only the tiny
+    * query-embed pin inside [[ann]]). `prepareAnn(...)(queries)` ≡
+    * `ann(queries, ...)` — same build, same probes, same values.
+    */
+  def prepareAnn(corpus: DataFrame, queryVecCol: String, k: Int,
+                 numCandidates: Int = 500, nLists: Int = AutoLists, iterations: Int = 2,
+                 idCol: String = "doc_id", chunkCol: String = "chunk",
+                 embCol: String = "embedding",
+                 outCol: String = "search_results"): DataFrame => DataFrame = {
+    val ivf = buildIndex(corpus, idCol, embCol, nLists, iterations)
+    queries => annPrepared(queries, ivf, corpus, queryVecCol, k, numCandidates,
+      idCol, chunkCol, outCol)
+  }
+
   /** Sentinel for `nLists`: size the index from the corpus count. */
   val AutoLists: Int = 0
 
