@@ -518,6 +518,23 @@ object Dedup {
     * fixed shuffle key instead of variable-length text (collisions between
     * distinct shingles of overlapping docs are ~2^-64 — and the oracle would
     * catch one).
+    *
+    * SET-IDENTICAL COLLAPSE (r17 optimization round, guide §2.5 — the
+    * jaccardJoinPrefix r6 lesson applied to the full index): on a clone-heavy
+    * corpus EVERY shingle of a cloned doc has df ≥ the clone multiplicity, so
+    * pair emission goes quadratic per shingle × every shingle of the group —
+    * measured 27.6 s at sf1 (×10-clone fixture) where the de-cloned index
+    * runs in ~1-2 s. Docs with byte-identical hash SETS are grouped under a
+    * min-id representative first (lossless and exact: the group key is the
+    * sorted hash array itself — intra-group pairs have jaccard exactly 1.0,
+    * identical sets; cross pairs inherit their rep pair's jaccard bit-for-bit,
+    * same n_sh and same common count). Behind the SAME adaptive raw-text
+    * probe as [[minHashLsh]] (one light scan, deterministic for a fixed
+    * corpus): on a mostly-unique corpus the collapse's extra set-keyed
+    * shuffles are pure overhead, and an under-fire lands on the direct path,
+    * output-identical. With a BINDING maxDocsPerShingle the cap counts REP
+    * entries on the collapse path instead of docs — the same documented
+    * unit-divergence contract as minHashLsh's gate.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5,
@@ -538,9 +555,50 @@ object Dedup {
     val hashUdf = udf { text: String =>
       if (text == null) null else shingleHashSet(text, sz)
     }.asNondeterministic()
-    val sh = graft.core.Parallelism.defend(df)
+    val doCollapse = {
+      val probe = df.agg(count(col(textCol)).as("n"),
+        approx_count_distinct(xxhash64(col(textCol))).as("d")).head()
+      probe.getLong(1).toDouble < 0.95 * probe.getLong(0)
+    }
+    if (!doCollapse) {
+      val sh = graft.core.Parallelism.defend(df)
+        .select(col(idCol).as("doc_id"), hashUdf(col(textCol)).as("sh"))
+        .withColumn("n_sh", size(col("sh")))
+      return indexPairs(sh, threshold, maxDocsPerShingle, capStats)
+    }
+    // lazy checkpoint: the set frame fans out to the collapse agg and the
+    // membership join — without it each would re-run the tokenize pass
+    val shAll = graft.core.Parallelism.defend(df)
       .select(col(idCol).as("doc_id"), hashUdf(col(textCol)).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
+      .localCheckpoint(eager = false)
+    // empty sets group with NOBODY: two empty-set docs share no shingle, so
+    // the direct path emits no pair for them — an intra "jaccard 1.0" row
+    // here would be wrong (nulls are excluded by collapseGroups already)
+    val nonEmpty = shAll.filter(col("sh").isNotNull && size(col("sh")) > 0)
+    // no group cap: like jaccardJoinPrefix, the operator's contract is
+    // exactness — clone groups expand fully, the expansion IS the answer
+    val (reps, members0) = collapseGroups(nonEmpty, Seq("sh"), "doc_id", Int.MaxValue, null)
+    val members = members0.withColumnRenamed("__cg_id", "doc_id")
+    val intra = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"), lit(1.0).as("jaccard"))
+      .filter(lit(1.0 >= threshold)) // constant: intra pairs exist iff 1.0 passes
+    val repPairs = indexPairs(
+      reps.select(col("rep").as("doc_id"), col("sh")).withColumn("n_sh", size(col("sh"))),
+      threshold, maxDocsPerShingle, capStats)
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("doc_id").as("__da")), "id_a")
+      .join(members.select(col("rep").as("id_b"), col("doc_id").as("__db")), "id_b")
+      .select(least(col("__da"), col("__db")).as("id_a"),
+        greatest(col("__da"), col("__db")).as("id_b"), col("jaccard"))
+    cross.unionByName(intra)
+  }
+
+  /** The inverted-index pair core of [[ngramJaccardPairs]], shared by its
+    * direct and collapse paths: `sh` columns (doc_id, sh, n_sh).
+    */
+  private def indexPairs(sh: DataFrame, threshold: Double,
+                         maxDocsPerShingle: Int, capStats: CapStats): DataFrame = {
     val inv = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
       .select(col("shingle"), struct(col("doc_id"), col("n_sh")).as("__p"))
     val postingsAll = inv.groupBy("shingle").agg(collect_list(col("__p")).as("__ps"))

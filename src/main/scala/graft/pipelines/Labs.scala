@@ -225,7 +225,9 @@ object Labs {
         enriched.withColumn("prompt", Prompts.lab3(col("query_text"), col("search_results"))),
         "local-textgen", "prompt", "reason")
         .select("window_start", "zone", "request_count", "upper_bound", "time_of_day", "reason")
-    } finally exec.shutdown()
+    // shutdownNow (ADVICE r16): if the corpus side threw, interrupt the
+    // still-running query pin instead of letting it finish discarded
+    } finally exec.shutdownNow()
   }
 
   /** Streaming Lab3: the same topology as [[lab3Fleet]] but as a continuous

@@ -80,9 +80,10 @@ object IvfIndex {
     * inherently multi-pass (each Lloyd step scans the corpus, and [[assign]]
     * collects the centroid frame), and the caller's corpus lineage is often
     * expensive — lab3's is a full-corpus ML embed, which pre-pin re-ran on
-    * EVERY pass (the whole build cost 6+ embed passes). The per-iteration
-    * centroid frame (nLists rows) is likewise checkpointed so its collect
-    * never re-runs the previous iteration's corpus-wide aggregation chain.
+    * EVERY pass (the whole build cost 6+ embed passes). Only the FINAL
+    * centroid frame is checkpointed (it is multi-consumer: the assignment
+    * below plus every search's probe collect); each intermediate frame is
+    * consumed exactly once, by the next iteration's assign collect.
     */
   def build(corpus: DataFrame, idCol: String, embCol: String,
             nLists: Int, iterations: Int = 2): Ivf = {
@@ -308,6 +309,11 @@ object IvfIndex {
     * rows for it); a group with ONLY such vectors yields an empty array,
     * dropped by the caller's size() filter exactly where the old chain's
     * aggregation produced no row at all.
+    *
+    * Precondition: vector ELEMENTS are non-null (the ExpressionEncoder input
+    * cannot represent a null Float the way the old posexplode chain skipped
+    * one per position). Every embed path emits dense float arrays, so this
+    * is latent; a future nullable-element source must pre-clean.
     */
   private[vector] object VecMeanAgg
     extends org.apache.spark.sql.expressions.Aggregator[Seq[Float], VecMeanBuf, Seq[Float]] {

@@ -170,7 +170,11 @@ object VectorSearchAgg {
       val buildF = exec.submit(new java.util.concurrent.Callable[IvfIndex.Ivf] {
         override def call(): IvfIndex.Ivf = buildIndex(corpus, idCol, embCol, nLists, iterations)
       })
-      val q = queries.withColumn("__qid", monotonically_increasing_id()).localCheckpoint(true)
+      // if the query-side pin throws, don't leave the background build
+      // running to completion with its result discarded (ADVICE r16)
+      val q =
+        try queries.withColumn("__qid", monotonically_increasing_id()).localCheckpoint(true)
+        catch { case e: Throwable => buildF.cancel(true); throw e }
       // rethrow the ORIGINAL build failure, not the ExecutionException
       // wrapper — callers/tests catch the same exception type the old
       // synchronous call threw
@@ -178,7 +182,7 @@ object VectorSearchAgg {
         try buildF.get()
         catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
       annPreparedPinned(q, ivf, corpus, queryVecCol, k, numCandidates, idCol, chunkCol, outCol)
-    } finally exec.shutdown()
+    } finally exec.shutdownNow()
   }
 
   /** The eager corpus-side half of [[ann]] (the IVF build), split out like

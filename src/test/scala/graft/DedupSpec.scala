@@ -91,22 +91,50 @@ class DedupSpec extends SparkSpec {
 
   test("ngramJaccardPairs: whitespace-edged twins pair exactly; hot-shingle cap is loud") {
     import spark.implicits._
+    // docs 3..10 share the boilerplate RUN but are pairwise DISTINCT (unique
+    // tails): the raw-text probe keeps the DIRECT path (no clones), and the
+    // boiler shingles' df counts real docs — the cap's unit on this path
     val boiler = (1 to 10).map(i => s"w$i").mkString(" ")
     val docs = (Seq((1L, "alpha beta gamma delta\n"), (2L, "\talpha beta gamma delta"))
-      ++ (3L to 10L).map(i => (i, boiler))).toDF("doc_id", "text")
+      ++ (3L to 10L).map(i => (i, s"$boiler end$i"))).toDF("doc_id", "text")
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // docs 1 and 2 differ only in edge whitespace: trim strips spaces only,
     // so each has ONE edge empty token ("\n" left, "\t" right) at opposite
-    // ends -> shingle sets differ at the edges but share the interior; the
-    // boilerplate docs 3..10 are identical (jaccard 1.0) and pair fully
-    assert(pairs((3L, 4L)) == 1.0 && pairs.size >= 28, s"got ${pairs.size}: $pairs")
+    // ends -> shingle sets differ at the edges but share the interior;
+    // docs 3..10 share 8 of their 9 shingles: jaccard 8/(9+9-8) = 0.8
+    assert(pairs((3L, 4L)) == 0.8 && pairs.size >= 28, s"got ${pairs.size}: $pairs")
     val stats = new Dedup.CapStats(spark)
     val capped = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5,
       maxDocsPerShingle = 4, capStats = stats)
     assert(capped.count() < pairs.size, "hot shingles must stop pairing under the cap")
     assert(stats.droppedBuckets > 0 && stats.droppedRows > 0,
       s"drops must be visible: ${stats.droppedBuckets}/${stats.droppedRows}")
+  }
+
+  test("ngramJaccardPairs collapse path (clone-heavy gate) equals the quadratic oracle") {
+    import spark.implicits._
+    // 8 byte-identical clones fire the adaptive probe -> set-identical
+    // collapse path; output must equal the row-local all-pairs oracle exactly
+    val boiler = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = (Seq((1L, "alpha beta gamma delta\n"), (2L, "\talpha beta gamma delta"))
+      ++ (3L to 10L).map(i => (i, boiler))).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected = docs.as("x").join(docs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        Dedup.jaccardShingles(col("x.text"), col("y.text"), 3).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == expected, s"collapse=$got oracle=$expected")
+    // cap unit on the collapse path is REP entries (documented divergence):
+    // the clone group is one rep here, so a cap of 4 never binds
+    val stats = new Dedup.CapStats(spark)
+    val capped = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5,
+      maxDocsPerShingle = 4, capStats = stats)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped == expected && stats.droppedBuckets == 0,
+      s"rep-unit cap must not bind on a collapsed clone group: $capped")
   }
 
   test("hyperplane-LSH near-dup: recall >= 0.9 vs the exact oracle, precision 1") {
