@@ -1317,7 +1317,10 @@ object Dedup {
     * global sort. Collision honesty: a 64-bit gram-hash collision conflates
     * two distinct substrings (false-positive span). Fine to ~10^9 distinct
     * grams; beyond that (any real 100 TB run) pass `hashWidth = 128` — md5
-    * gram keys, 2× the shuffle key width, same plan shape.
+    * gram keys (16-byte binary, r17: was a 32-char hex string), 2× the
+    * shuffle key width, same plan shape. The hash is internal: only span
+    * offsets leave the operator, so the key representation is free to be
+    * the narrowest groupable form.
     */
   def exactSubstringSpans(docs: DataFrame, textCol: String, idCol: String,
                           minLen: Int = 40, hashWidth: Int = 64): DataFrame = {
@@ -1327,65 +1330,46 @@ object Dedup {
     val base = graft.core.Parallelism.defend(docs)
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .where(col("__text").isNotNull && length(col("__text")) >= L)
-    // stop of the sequence is >= 1 by the length filter, so it never flips
-    // into Spark's descending-sequence mode
-    def posGrams = {
-      val pos = base.select(col("doc_id"), col("__text"),
-        explode(sequence(lit(1L), (length(col("__text")) - lit(L - 1)).cast("long"))).as("p"))
-      val gram = col("__text").substr(col("p").cast("int"), lit(L))
-      pos.select(col("doc_id"), col("p"),
-        (if (hashWidth == 64) xxhash64(gram) else md5(gram).cast("string")).as("__h"))
-    }
-    // 64-bit route: ONE rolling pass per doc instead of substr+xxhash64 per
-    // position (r16 optimization round, guide §1.2): the expression form
-    // allocated an L-char UTF8String copy and re-encoded it for every
-    // position — O(|doc|·L) bytes touched per doc. The UDF encodes the doc
-    // to UTF-8 once, walks char→byte offsets, and hashes each window as a
-    // byte-range slice — O(|doc| + positions·L) with zero per-window
-    // allocation. Bit-parity: for text without surrogate pairs, UTF-8
-    // encodes each char independently, so a byte-range of the whole doc's
-    // encoding IS the encoding of the substring (gate: the q139 oracle
-    // groups by the gram STRING — hash identity is the existing trust
-    // model); docs containing surrogates fall back to per-window
-    // substring+encode, which reproduces substr()'s unpaired-surrogate
-    // behavior exactly. The md5/128-bit route keeps the expression form.
-    val grams = if (hashWidth != 64) posGrams else {
+    // BOTH routes: ONE pass per doc instead of substr+hash per position (r16
+    // optimization round for the 64-bit route, r17 extends it to md5;
+    // guide §1.2): the expression form allocated an L-char UTF8String copy
+    // and re-encoded it for every position — O(|doc|·L) bytes touched per
+    // doc before hashing even starts. The UDFs encode the doc to UTF-8
+    // once, walk char→byte offsets, and hash each window as a byte-range
+    // slice — xxhash64 rolls in O(|doc| + positions·L) with zero per-window
+    // allocation; md5 still pays O(L) digest work per window (cryptographic,
+    // cannot roll) but drops the per-window substring+encode and emits the
+    // raw 16-byte digest instead of a 32-char hex string (half the shuffle
+    // key, no hex encode; binary is groupable/orderable). Bit-parity: for
+    // text without surrogate pairs, UTF-8 encodes each char independently,
+    // so a byte-range of the whole doc's encoding IS the encoding of the
+    // substring (gate: the q139 oracle groups by the gram STRING — hash
+    // identity is the existing trust model); docs containing surrogates
+    // fall back to per-window substring+encode, which reproduces substr()'s
+    // unpaired-surrogate behavior exactly (spec: DedupSpanSpec md5≡xxh
+    // route parity incl. surrogate docs).
+    // Positions shuffle as INT (r17, guide §2.3 narrower types): a JVM
+    // string index is < 2^31 by construction; the output spans cast back
+    // to the contract's longs after the per-doc merge.
+    val grams = if (hashWidth == 64) {
       import org.apache.spark.sql.catalyst.expressions.XXH64
       import org.apache.spark.unsafe.Platform
       val win = L
       val hashesUdf = udf { text: String =>
-        val n = text.codePointCount(0, text.length)
-        if (n < win) Array.empty[Long]
+        val enc = encodeWindows(text, win)
+        if (enc == null) Array.empty[Long]
         else {
-          var hasSurrogate = false
-          var i = 0
-          while (i < text.length && !hasSurrogate) {
-            val c = text.charAt(i)
-            if (c >= 0xD800 && c <= 0xDFFF) hasSurrogate = true
-            i += 1
-          }
+          val (bytes, offs, n) = enc
           val out = new Array[Long](n - win + 1)
-          if (!hasSurrogate) {
-            val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val offs = new Array[Int](n + 1)
-            var bi = 0
-            var ci = 0
-            while (ci < n) {
-              offs(ci) = bi
-              val c = text.charAt(ci)
-              bi += (if (c < 0x80) 1 else if (c < 0x800) 2 else 3)
-              ci += 1
-            }
-            offs(n) = bi
-            var p = 0
+          var p = 0
+          if (offs != null) {
             while (p <= n - win) {
               out(p) = XXH64.hashUnsafeBytes(bytes,
                 Platform.BYTE_ARRAY_OFFSET + offs(p), offs(p + win) - offs(p), 42L)
               p += 1
             }
           } else {
-            var p = 0
-            var start = 0 // UTF-16 index of code point p
+            var start = 0 // UTF-16 index of code point p (surrogate fallback)
             while (p <= n - win) {
               val end = text.offsetByCodePoints(start, win)
               val b = text.substring(start, end)
@@ -1399,7 +1383,38 @@ object Dedup {
         }
       }
       base.select(col("doc_id"), posexplode(hashesUdf(col("__text"))))
-        .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("__h"))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("__h"))
+    } else {
+      val win = L
+      val hashesUdf = udf { text: String =>
+        val enc = encodeWindows(text, win)
+        if (enc == null) Array.empty[Array[Byte]]
+        else {
+          val (bytes, offs, n) = enc
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val out = new Array[Array[Byte]](n - win + 1)
+          var p = 0
+          if (offs != null) {
+            while (p <= n - win) {
+              md.update(bytes, offs(p), offs(p + win) - offs(p))
+              out(p) = md.digest() // digest() resets the instance
+              p += 1
+            }
+          } else {
+            var start = 0
+            while (p <= n - win) {
+              val end = text.offsetByCodePoints(start, win)
+              out(p) = md.digest(text.substring(start, end)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              start = text.offsetByCodePoints(start, 1)
+              p += 1
+            }
+          }
+          out
+        }
+      }
+      base.select(col("doc_id"), posexplode(hashesUdf(col("__text"))))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("__h"))
     }
     val byHashOrd = Window.partitionBy("__h").orderBy(col("doc_id"), col("p"))
     // rn > 1 alone selects exactly the non-first occurrences: rn > 1 implies
@@ -1424,7 +1439,41 @@ object Dedup {
       .withColumn("__island", sum(col("__brk")).over(cum))
       .groupBy(col("doc_id"), col("__island"))
       .agg(min(col("p")).as("span_start"), max(col("p")).as("__maxp"))
-      .select(col("doc_id"), col("span_start"), (col("__maxp") + lit(L - 1)).as("span_end"))
+      // positions travelled as int; the span contract stays BIGINT
+      .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+        (col("__maxp") + lit(L - 1)).cast("long").as("span_end"))
+  }
+
+  /** Shared one-pass window-encode for [[exactSubstringSpans]]'s hash routes:
+    * UTF-8 encode the doc ONCE and return (bytes, char→byte offsets,
+    * codePointCount). `offs` is null when the doc contains surrogate chars —
+    * the caller then falls back to per-window substring+encode, which
+    * reproduces substr()'s unpaired-surrogate behavior exactly. The whole
+    * result is null when the doc is shorter than the window.
+    */
+  private def encodeWindows(text: String, win: Int): (Array[Byte], Array[Int], Int) = {
+    val n = text.codePointCount(0, text.length)
+    if (n < win) return null
+    var hasSurrogate = false
+    var i = 0
+    while (i < text.length && !hasSurrogate) {
+      val c = text.charAt(i)
+      if (c >= 0xD800 && c <= 0xDFFF) hasSurrogate = true
+      i += 1
+    }
+    if (hasSurrogate) return (null, null, n)
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val offs = new Array[Int](n + 1)
+    var bi = 0
+    var ci = 0
+    while (ci < n) {
+      offs(ci) = bi
+      val c = text.charAt(ci)
+      bi += (if (c < 0x80) 1 else if (c < 0x800) 2 else 3)
+      ci += 1
+    }
+    offs(n) = bi
+    (bytes, offs, n)
   }
 
   /** Rewrite documents with their [[exactSubstringSpans]] cut out (the
