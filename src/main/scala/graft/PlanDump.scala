@@ -16,8 +16,14 @@ object PlanDump {
     java.nio.file.Files.createDirectories(outDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Bench.session(cpus)
+    // --no-broadcast: dump the shuffled-fallback route (autoBroadcastJoinThreshold
+    // = -1) as <name>_nobroadcast.txt — evidence that scale-route plans keep an
+    // equi-join shape when the small side stops fitting (r17, VERDICT #6)
+    val noBroadcast = args.contains("--no-broadcast")
+    if (noBroadcast) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val suffix = if (noBroadcast) "_nobroadcast" else ""
     val names =
-      if (args.length > 2) args.drop(2).toSeq
+      if (args.length > 2) args.drop(2).toSeq.filterNot(_ == "--no-broadcast")
       else graft.queries.Catalog.headlineNames ++
         graft.queries.Catalog.benchGroup2Names ++ graft.queries.Catalog.benchGroup3Names
     names.foreach { name =>
@@ -34,7 +40,7 @@ object PlanDump {
         s"\n\n== RDD-boundary child plan: $tag ==\n" +
           qe.explainString(org.apache.spark.sql.execution.FormattedMode)
       }.mkString
-      java.nio.file.Files.write(outDir.resolve(s"$name.txt"),
+      java.nio.file.Files.write(outDir.resolve(s"$name$suffix.txt"),
         (txt + children).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"[plandump] wrote $name (${txt.length + children.length} chars)")
     }

@@ -35,6 +35,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "never a cartesian fallback")
   }
 
+  test("q04/q44: the interval joins survive a non-broadcastable small side (r17)") {
+    // the sf0.1 plans broadcast the small side; at 100 TB the windowed /
+    // orders side outgrows the threshold and the planner must fall back to a
+    // shuffled EQUI-join on the same keys — never a per-key cartesian or a
+    // BroadcastNestedLoopJoin on the residual range predicate
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (name <- Seq("q04_interval_join", "q44_window_interval_join")) {
+        val df = graft.queries.Catalog.queries(name)(spark, sfDir)
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"$name must keep an equi-join shape without broadcast:\n" +
+            p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$name expected a shuffled equi-join fallback")
+      }
+      // same rows on both routes (q04 is the cheaper one to compare fully)
+      val smj = graft.queries.Catalog.queries("q04_interval_join")(spark, sfDir).count()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      val bhj = graft.queries.Catalog.queries("q04_interval_join")(spark, sfDir).count()
+      assert(smj == bhj, s"route change must not change rows: $smj vs $bhj")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("q17: knn reduces map-side through the bounded top-k aggregator") {
     val p = plan("q17_knn_cosine")
     assert(p.contains("partial_topkagg"),
