@@ -483,10 +483,15 @@ object Dedup {
         col("__s.__d").as("__d"), col("__s.__slot").as("__slot"))
     sets.join(broadcast(sides), col("doc_id") === col("__d"))
       // exactly two rows per group (doc_id is unique in `sets`, each pair
-      // side matches its one doc row); max-over-one-non-null just selects it
+      // side matches its one doc row). collect_list keeps the aggregate on
+      // the sort-free ObjectHashAggregate path — max/first over an ARRAY
+      // buffer would fall back to SortAggregate and re-sort the candidate
+      // set rows by pair key (measured +0.25 s at sf1). Slot order is
+      // restored explicitly; values independent of arrival order.
       .groupBy("id_a", "id_b")
-      .agg(max(when(col("__slot") === 0, col("__sh"))).as("__sa"),
-        max(when(col("__slot") === 1, col("__sh"))).as("__sb"))
+      .agg(sort_array(collect_list(struct(col("__slot"), col("__sh")))).as("__ss"))
+      .withColumn("__sa", element_at(col("__ss"), 1).getField("__sh"))
+      .withColumn("__sb", element_at(col("__ss"), 2).getField("__sh"))
       .withColumn("__common", sortedIntersectSize(col("__sa"), col("__sb")).cast("double"))
       .withColumn("jaccard",
         col("__common") / (size(col("__sa")) + size(col("__sb")) - col("__common")).cast("double"))
